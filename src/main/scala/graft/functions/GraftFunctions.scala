@@ -6,5 +6,6 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     GeoFunctions.register(spark)
+    TextFunctions.register(spark)
   }
 }

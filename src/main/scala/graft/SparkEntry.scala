@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions => G}
 import graft.functions.TextFunctions._
-import graft.operators.{GeoPipeline, SchemaInference}
+import graft.functions.HashFunctions.winnow_fingerprint
+import graft.operators.{Dedup, GeoPipeline, Multimodal, SchemaInference, Similarity, TextAnalysis}
 
 /**
  * Driver contract (see SURVEY.md §7): one `queries` entry per implemented
@@ -51,6 +52,43 @@ object SparkEntry {
       .filter(col("the_geom").isNotNull)
       .select(col("c_custkey"), G.st_astext(col("the_geom")).as("wkt"))
   }
+
+  /** documents ∪ exact copies (doc_id<50 → +10000) ∪ edited copies
+    * (50≤doc_id<100 → +20000, first 15 chars replaced). The same
+    * construction is expressed in SQL inside the dedup oracles so both
+    * engines dedup an identical corpus with known ground truth. */
+  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val exact = base.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val edited = base.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 20000)
+      .withColumn("text", concat(lit("XYZXYZXYZXYZXYZ"), expr("substring(text, 16)")))
+    base.unionAll(exact).unionAll(edited)
+  }
+
+  private val AugmentedDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+      |UNION ALL
+      |SELECT doc_id + 20000, 'XYZXYZXYZXYZXYZ' || substr(text, 16)
+      |FROM documents WHERE doc_id >= 50 AND doc_id < 100""".stripMargin
+
+  /** embeddings ∪ scaled copies (vec_id<30 → +10000, ×1.5 — exactly
+    * parallel, so cosine = 1 and LSH bucket collision is certain). */
+  private def augmentedEmb(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+    base.unionAll(base.filter(col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding", expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))")))
+  }
+
+  private val AugmentedEmbSql =
+    """SELECT vec_id, embedding FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 10000, list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+      |FROM embeddings WHERE vec_id < 30""".stripMargin
 
   // ------------------------------------------------------------------ queries
 
@@ -222,6 +260,109 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- LLM-pipeline operators (north-star; graded as first-class) ----
+
+    // exact dedup: hash-groupBy on content digest
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactDupGroups(augmentedDocs(s, dir), "doc_id", "text")
+        .orderBy(col("h"))
+    }),
+
+    // MinHash+LSH near-dup pairs (no SQL oracle — validated in DedupSpec
+    // against exact jaccard; driver records rows-only)
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashPairs(augmentedDocs(s, dir), "doc_id", "text", threshold = 0.6)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash near-dup pairs (rows-only)
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(augmentedDocs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // exact n-gram Jaccard via inverted index — integer outputs, oracled
+    "ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(augmentedDocs(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // embedding near-dup pairs: LSH buckets + exact cosine verify, oracled
+    // against a brute-force DuckDB join
+    "embed_dup_pairs" -> ((s, dir) => {
+      Dedup.embeddingCosinePairs(augmentedEmb(s, dir), "vec_id", "embedding",
+        threshold = 0.98)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // brute-force cosine top-k (the ANN baseline), oracled
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only — recall vs brute force is
+    // asserted in SimilaritySpec)
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // language-ID confusion counts (rows-only: heuristic has no SQL twin)
+    "lang_id_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TextAnalysis.lang_id(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // quality stats: exact integer counts per document, oracled
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityStats(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("n_punct"), col("n_alpha"), col("n_stop"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token counting aggregated per source, oracled
+    "token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // winnowing fingerprints (rows-only; determinism tested in spec)
+    "doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(winnow_fingerprint(col("text"), 5, 4)).as("n_fp"),
+          element_at(winnow_fingerprint(col("text"), 5, 4), 1).as("fp_min"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal plumbing: text bytes as fake payloads through the codec
+    // boundary (rows-only; stub decode has no SQL twin)
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "img/fake")
+      Multimodal.decodeAndFeaturize(media)
+        .select(col("media_id"), col("width"), col("height"), col("n_channels"),
+          round(element_at(col("mean_channel"), 1), 4).as("mean_c0"))
+        .orderBy(col("media_id"))
+    }),
+
     // §2.4 A3: distributed type-lattice inference (one-pass aggregate)
     "type_infer" -> ((s, dir) => {
       val src = t(s, dir, "lineitem")
@@ -373,6 +514,73 @@ object SparkEntry {
         |  round(degrees(2 * atan(exp((CAST(o_orderkey % 170 - 85 AS DOUBLE) * 100000.0) / 6378137.0)) - pi() / 2), 6) AS lat
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH docs AS ($AugmentedDocsSql)
+        |SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM docs
+        |GROUP BY md5(text)
+        |HAVING count(*) > 1
+        |ORDER BY h""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH docs AS ($AugmentedDocsSql),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+        |        FROM docs)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+        |  FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY l.doc_id, r.doc_id)
+        |SELECT a, b, inter, sa.sz AS na, sb.sz AS nb
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "embed_dup_pairs" ->
+      s"""WITH emb AS ($AugmentedEmbSql)
+        |SELECT l.vec_id AS a, r.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 4) AS cos
+        |FROM emb l JOIN emb r ON l.vec_id < r.vec_id
+        |WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) >= 0.98
+        |ORDER BY a, b""".stripMargin,
+
+    "ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT source, count(*) AS docs,
+        |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "type_infer" ->
       """SELECT col_name, lattice_type FROM (

@@ -7,5 +7,8 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     GeoFunctions.register(spark)
     TextFunctions.register(spark)
+    HashFunctions.register(spark)
+    VectorFunctions.register(spark)
+    graft.operators.TextAnalysis.register(spark)
   }
 }

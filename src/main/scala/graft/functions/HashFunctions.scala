@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/**
+ * Deterministic text-hashing expressions for the dedup family
+ * (north-star operators; see the builder brief + SURVEY.md §7.1 step 9):
+ * MinHash signatures, SimHash, and winnowing fingerprints. All pure
+ * integer math over one pass of the string — no per-row allocation beyond
+ * the output arrays — so a 100 TB corpus pays O(bytes) per executor core.
+ */
+object HashFunctions {
+
+  /** splitmix64 finalizer — cheap, high-quality 64-bit mixer (public
+    * domain constant schedule; Steele et al., "Fast Splittable PRNGs"). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Rolling polynomial hashes of every k-char shingle of `s` (lowercased
+    * logic left to callers). Returns one 64-bit hash per position. */
+  def shingleHashes(s: String, k: Int): Array[Long] = {
+    val n = s.length
+    if (n < k) return Array(mix64(s.hashCode.toLong))
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * 1315423911L + s.charAt(i); i += 1 }
+    out(0) = mix64(h)
+    // precompute pow = 1315423911^(k-1) for the rolling update
+    var pow = 1L
+    i = 1
+    while (i < k) { pow *= 1315423911L; i += 1 }
+    i = k
+    while (i < n) {
+      h = (h - s.charAt(i - k) * pow) * 1315423911L + s.charAt(i)
+      out(i - k + 1) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: m minima over seed-mixed shingle hashes. */
+  def minHashSignature(text: String, k: Int, m: Int): Array[Long] = {
+    val hs = shingleHashes(text, k)
+    val sig = Array.fill(m)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val base = hs(i)
+      var j = 0
+      while (j < m) {
+        val v = mix64(base ^ (j * 0xd6e8feb86659fd93L))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace/punct-split lowercased tokens. */
+  def simHash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      // scan a token: run of letter/digit chars, lowercased inline
+      while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+      var h = 0L
+      var len = 0
+      while (i < n && Character.isLetterOrDigit(text.charAt(i))) {
+        h = h * 1315423911L + Character.toLowerCase(text.charAt(i))
+        i += 1; len += 1
+      }
+      if (len > 0) {
+        val th = mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
+    * rolling hashes, min per sliding window of w, distinct selected hashes
+    * sorted ascending. Robust document fingerprint for overlap detection. */
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    val hs = shingleHashes(text, k)
+    if (hs.length <= w) return hs.distinct.sorted
+    val selected = scala.collection.mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i + w <= hs.length) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      selected += m
+      i += 1
+    }
+    selected.toArray
+  }
+
+  // ------------------------------------------------------------ expressions
+
+  case class MinHashSig(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+    override def nullSafeEval(text: Any, k: Any, m: Any): Any =
+      new GenericArrayData(minHashSignature(
+        text.toString, k.asInstanceOf[Int], m.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  }
+
+  case class SimHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override def nullSafeEval(v: Any): Any = simHash64(v.toString)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class WinnowFingerprint(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprint"
+    override def nullSafeEval(text: Any, k: Any, w: Any): Any =
+      new GenericArrayData(winnow(
+        text.toString, k.asInstanceOf[Int], w.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  }
+
+  /** Hamming distance between two 64-bit signatures (for SimHash dedup). */
+  case class Hamming64(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "hamming64"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      es => WinnowFingerprint(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("hamming64",
+      es => Hamming64(es(0), es(1)), "built-in")
+  }
+
+  def minhash_sig(text: Column, k: Int = 5, m: Int = 64): Column =
+    call_function("minhash_sig", text, lit(k), lit(m))
+  def simhash64(text: Column): Column = call_function("simhash64", text)
+  def winnow_fingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    call_function("winnow_fingerprint", text, lit(k), lit(w))
+  def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions._
+import graft.functions.VectorFunctions._
+
+/**
+ * Deduplication operators for large text/embedding corpora (north-star
+ * pipeline ops). Every method is a pure DataFrame transform designed for
+ * the 100 TB shape:
+ *
+ *  - exact: hash-groupBy — one shuffle on a 16-byte digest, never on the
+ *    full text.
+ *  - MinHash+LSH: signature is a one-pass expression; banding explodes to
+ *    b rows/doc (not n²); the only join is band-bucket equality, so work is
+ *    proportional to colliding candidates, not pairs.
+ *  - SimHash: 4×16-bit band blocking finds all pairs within Hamming
+ *    distance 3 (pigeonhole) with the same candidate-join shape.
+ *  - n-gram Jaccard: exact, via distinct (doc, gram) inverted index —
+ *    shuffle bounded by corpus token count; a length-ratio prefilter keeps
+ *    the pair count down.
+ *  - embedding cosine: signed-random-projection buckets (parallel vectors
+ *    collide with probability 1), exact cosine verify inside buckets only.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: (hash, n, keeper). The
+    * keeper is the minimum id — deterministic survivor selection. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+      .filter(col("n") > 1)
+
+  /** Drop exact duplicates, keeping the min-id row per digest. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * MinHash+LSH candidate pairs with estimated Jaccard ≥ `threshold`.
+   * `bands` × `rowsPerBand` must equal the signature length. Returns
+   * (a, b, est_jaccard) with a < b, deduplicated across bands.
+   */
+  def minHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingle: Int = 5,
+      bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val m = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+      minhash_sig(col(textCol), shingle, m).as("sig"))
+    // band key: hash of the signature slice → (band, key) bucket join
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", xxhash64(col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("b"), col("sig").as("sig_b"))
+    val cand = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
+    cand
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / lit(m.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ bandCount-1 for full
+    * recall by pigeonhole: 4 bands of 16 bits catch any ≤3-bit diff). */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val bands = 4
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("piece",
+        expr("(sig >> (band * 16)) & 65535"))
+    val l = banded.select(col("band"), col("piece"), col("id").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("piece"), col("id").as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "piece")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /**
+   * Exact character-n-gram Jaccard similarity via an inverted index:
+   * distinct (id, gram) → self-join on gram → |A∩B| per pair → sizes.
+   * Returns (a, b, inter, na, nb) — integer outputs; callers derive
+   * jaccard = inter / (na + nb - inter).
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n))"))
+          .as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val l = grams.select(col("id").as("a"), col("g"))
+    val r = grams.select(col("id").as("b"), col("g"))
+    val inter = l.join(r, Seq("g")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= minJaccard)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+  }
+
+  /**
+   * Embedding near-duplicate pairs with cosine ≥ `threshold`: LSH bucket
+   * by hyperplane signs, exact cosine verify within buckets. Parallel
+   * (scaled-copy) vectors share buckets with probability 1.
+   */
+  def embeddingCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.98, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      vec_lsh_bucket(col(vecCol), planes, seed).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("a"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cos", vec_cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+}

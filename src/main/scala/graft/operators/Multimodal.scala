@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing (north-star operator family): image/audio/
+ * video payloads ride as opaque `binary` columns beside a typed metadata
+ * struct; decode / feature-extract / resize / frame-sample run as
+ * `mapPartitions` stages (the Scala analog of arrow-batched UDFs) so one
+ * decoder instance amortizes across a whole partition.
+ *
+ * The codec step itself is STUBBED (this container ships no image/audio
+ * libraries): `StubCodec` derives deterministic fake pixels/samples from
+ * the payload bytes. Everything around it — schema, batching, partition
+ * sizing, null handling — is real and tested, so swapping in a JNI/javacv
+ * decoder is a one-class change.
+ */
+object Multimodal {
+
+  /** Canonical multimodal schema: id + payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_channels", IntegerType, nullable = true))), nullable = true)))
+
+  /** Pluggable decode boundary. */
+  trait MediaCodec extends Serializable {
+    /** payload bytes → (width, height, channels, pixels) */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float])
+  }
+
+  /** Deterministic fake decoder: "pixels" are a splitmix64 stream seeded
+    * by the payload hash — stable across runs, cheap, library-free. */
+  object StubCodec extends MediaCodec {
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val seed = java.util.Arrays.hashCode(bytes).toLong
+      val w = 8; val h = 8; val c = 3
+      val px = new Array[Float](w * h * c)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((graft.functions.HashFunctions.mix64(seed + i) >>> 40).toInt % 256) / 255.0f
+        i += 1
+      }
+      (w, h, c, px)
+    }
+  }
+
+  /** Wrap any binary column of `df` into the canonical media schema. */
+  def toMediaFrame(df: DataFrame, idCol: String, binCol: String,
+      format: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      col(binCol).cast(BinaryType).as("content"),
+      struct(
+        lit(format).as("format"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(IntegerType).as("n_channels")).as("meta"))
+
+  /**
+   * Decode + feature-extract: per partition, one codec instance processes
+   * every row; output is (media_id, width, height, n_channels, mean_rgb
+   * array, embedding array). Arrow-style batching is implicit in Spark's
+   * columnar scan; the mapPartitions boundary is where a real decoder's
+   * native buffers would live.
+   */
+  def decodeAndFeaturize(media: DataFrame, codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_channels", IntegerType, nullable = false),
+      StructField("mean_channel", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null) Iterator.empty
+        else {
+          val (w, h, c, px) = codec.decodeImage(bytes)
+          val means = new Array[Double](c)
+          var i = 0
+          while (i < px.length) { means(i % c) += px(i); i += 1 }
+          var j = 0
+          while (j < c) { means(j) /= (w * h); j += 1 }
+          Iterator(Row(r.getLong(0), w, h, c, means.toIndexedSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame-sampling plan for video-like payloads: every
+    * `stride`-th frame index up to `maxFrames` — pure projection, the
+    * actual frame decode sits behind the same codec boundary. */
+  def sampleFrameIndexes(media: DataFrame, nFrames: Int, stride: Int,
+      maxFrames: Int = 64): DataFrame =
+    media.withColumn("frame_idx",
+      explode(slice(sequence(lit(0), lit(maxFrames - 1), lit(stride)), 1, nFrames)))
+}

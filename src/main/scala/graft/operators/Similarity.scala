@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (north-star operator).
+ *
+ * Scale design: `bruteForceTopK` broadcasts the (small) query set and
+ * scans the corpus once — the right plan when |queries| ≪ |corpus|, which
+ * is the batch-retrieval shape; ranking is a per-query top-k window (the
+ * corpus is never globally sorted). `lshTopK` is the scale path: corpus
+ * bucketed once by hyperplane signs (reusable, like an IVF coarse
+ * quantizer), queries probe their bucket plus all 1-bit-flip neighbors —
+ * candidates shrink by ~2^planes while recall stays high for near
+ * neighbors (they differ in few sign bits).
+ */
+object Similarity {
+
+  /** Exact top-k by cosine for each query vector (self-matches excluded).
+    * Returns (query_id, rank, neighbor_id, cos). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", vec_cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** LSH-bucketed ANN top-k: probe own bucket + 1-bit-flip neighbors. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      vec_lsh_bucket(col(vecCol), planes, seed).as("bucket"))
+    // each query probes its bucket and every bucket at Hamming distance 1
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      vec_lsh_bucket(col(vecCol), planes, seed).as("qb"))
+      .withColumn("flip", explode(sequence(lit(0), lit(planes)))) // planes = no flip
+      .withColumn("bucket",
+        when(col("flip") === planes, col("qb"))
+          .otherwise(expr(s"int(qb) ^ shiftleft(1, flip)")))
+      .select(col("query_id"), col("qv"), col("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", vec_cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text-analysis operators for corpus curation (north-star pipeline ops):
+ * token counting, quality stats, language identification, and document
+ * fingerprinting (the last via HashFunctions.winnow_fingerprint).
+ *
+ * Quality stats are *integer* counts (chars/tokens/punct/stopwords) so
+ * downstream ratio policy stays a cheap projection and cross-engine
+ * comparisons stay exact; everything here is built from codegen'd
+ * built-ins except lang-id (one CodegenFallback expression).
+ */
+object TextAnalysis {
+
+  /** Whitespace token count (BPE-ish subword count ≈ tokens × 1.3 is a
+    * caller-side policy, not baked in). */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Integer quality stats: n_chars, n_tokens, n_punct, n_alpha, n_stop. */
+  def qualityStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val stopList = StopwordsEn.map(s => s"'$s'").mkString(",")
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_punct", length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .withColumn("n_alpha", length(t) - length(regexp_replace(t, "[A-Za-z]", "")))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(lower(trim($textCol)), '\\\\s+'), w -> w IN ($stopList)))"))
+  }
+
+  // ------------------------------------------------------------------ langid
+
+  /** Tiny deterministic language profiles: high-frequency function words
+    * per language + a CJK script check. Public knowledge (standard
+    * stopword lists); scores are plain hit counts. */
+  private val Profiles: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "se", "del", "las", "por", "un", "una", "es"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf", "ein", "eine", "nicht"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "en", "un", "une", "est", "que", "pour", "dans", "du"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "con", "del", "sono", "non"),
+    "pt" -> Set("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "para", "com", "não"))
+
+  def langIdOf(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    // script check first: CJK chars dominate → zh
+    var cjk = 0; var total = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        total += 1
+        val b = Character.UnicodeScript.of(c)
+        if (b == Character.UnicodeScript.HAN || b == Character.UnicodeScript.HIRAGANA ||
+            b == Character.UnicodeScript.KATAKANA || b == Character.UnicodeScript.HANGUL) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk * 2 > total) return "zh"
+    val tokens = text.toLowerCase.split("[^\\p{L}]+")
+    var best = "und"; var bestScore = 0
+    Profiles.foreach { case (lang, words) =>
+      var score = 0
+      tokens.foreach(t => if (words.contains(t)) score += 1)
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+
+  case class LangId(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_id"
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(langIdOf(v.toString))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id", es => LangId(es.head), "built-in")
+
+  def lang_id(text: Column): Column = call_function("lang_id", text)
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = spark.read.parquet(sf("documents"))
+    // inject: exact copies of docs 0-9 (ids 10000+), edited copies of 10-19
+    // (ids 20000+, first 15 chars replaced) — deterministic near-dups
+    val exact = base.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val edited = base.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 20000)
+      .withColumn("text", concat(lit("XYZXYZXYZXYZXYZ"), expr("substring(text, 16)")))
+    base.unionAll(exact).unionAll(edited).cache()
+  }
+
+  test("exact dup groups finds exactly the 10 injected copies") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 10)
+    assert(groups.forall(_.getLong(1) == 2)) // each group: original + copy
+    assert(groups.map(_.getLong(2)).sorted.toSeq == (0L to 9L)) // keeper = min id
+  }
+
+  test("dropExactDuplicates keeps min-id row") {
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == docs.count() - 10)
+  }
+
+  test("minhash LSH finds exact and edited copies, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // all 10 exact pairs present with est_jaccard 1.0
+    (0L to 9L).foreach(i => assert(pairSet.contains((i, i + 10000)), s"missing exact pair $i"))
+    assert(pairs.filter(p => p._2 == p._1 + 10000).forall(_._3 == 1.0))
+    // edited copies still similar (~90% of shingles shared)
+    val editedHits = (10L to 19L).count(i => pairSet.contains((i, i + 20000)))
+    assert(editedHits >= 8, s"only $editedHits/10 edited pairs found")
+    // organic pairs between unrelated docs may legitimately appear — the
+    // synthetic corpus draws from a ~30-word vocabulary, so two random docs
+    // can share most shingles. Only require every reported pair to clear
+    // the threshold.
+    assert(pairs.forall(_._3 >= 0.6))
+  }
+
+  test("minhash estimate tracks exact jaccard (property)") {
+    import graft.functions.HashFunctions._
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the lazy cat and runs far away home"
+    def grams(s: String) = s.sliding(5).toSet
+    val exact = grams(a).intersect(grams(b)).size.toDouble / grams(a).union(grams(b)).size
+    val (sa, sb) = (minHashSignature(a, 5, 256), minHashSignature(b, 5, 256))
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - exact) < 0.12, s"est $est vs exact $exact")
+  }
+
+  test("simhash blocking finds near-identical docs") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    (0L to 9L).foreach(i => assert(pairSet.contains((i, i + 10000))))
+    assert(pairs.filter(p => p._2 == p._1 + 10000).forall(_._3 == 0)) // identical → distance 0
+  }
+
+  test("ngram jaccard pairs: exact copies have jaccard 1") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val exactPairs = pairs.filter(p => p._2 == p._1 + 10000)
+    assert(exactPairs.length == 10)
+    exactPairs.foreach { case (_, _, inter, na, nb) =>
+      assert(inter == na && na == nb) // identical gram sets
+    }
+    assert(pairs.count(p => p._2 == p._1 + 20000) >= 8) // edited still ≥0.5
+  }
+
+  test("embedding cosine pairs: scaled copies collide and verify") {
+    import spark.implicits._
+    val base = spark.read.parquet(sf("embeddings"))
+    val copies = base.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding", expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))"))
+    val aug = base.unionAll(copies)
+    val pairs = Dedup.embeddingCosinePairs(aug, "vec_id", "embedding", threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 20)
+    pairs.foreach { case (a, b, cos) =>
+      assert(b == a + 10000)
+      assert(cos > 0.999999)
+    }
+  }
+}

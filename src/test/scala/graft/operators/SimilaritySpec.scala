@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(sf("embeddings")).cache()
+
+  test("brute-force topK returns k ranked neighbors per query") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val res = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(res.length == 15) // 5 queries × 3
+    val byQuery = res.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      // cosine non-increasing with rank
+      assert(sorted.sliding(2).forall(p => p(0).getDouble(3) >= p(1).getDouble(3)))
+      // no self matches
+      assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+    }
+  }
+
+  test("LSH topK has decent recall@3 vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 3, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // random 64-dim vectors are LSH's worst case: with 8 planes + 1-bit
+    // multiprobe we visit 9/256 ≈ 3.5% of the corpus, so random guessing
+    // would score ~0.035. Require clearly-better-than-chance recall.
+    assert(recall >= 0.1, s"recall $recall vs ~0.035 random baseline")
+    assert(approx.nonEmpty)
+  }
+
+  test("LSH topK finds parallel vectors with recall 1") {
+    val copies = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding", expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))"))
+    val aug = emb.unionAll(copies)
+    val res = Similarity.lshTopK(copies, aug, "vec_id", "embedding", k = 1, planes = 8)
+      .collect()
+    assert(res.length == 10)
+    res.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) - 10000) // nearest = the original
+      assert(r.getDouble(3) > 0.999999)
+    }
+  }
+}

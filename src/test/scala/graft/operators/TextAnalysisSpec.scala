@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+
+  test("lang id on real multilingual samples") {
+    import TextAnalysis.langIdOf
+    assert(langIdOf("the cat sat on the mat and it was happy") == "en")
+    assert(langIdOf("el perro corre por la calle y se va a la casa") == "es")
+    assert(langIdOf("der Hund läuft auf der Straße und das ist gut") == "de")
+    assert(langIdOf("le chien court dans la rue et il est dans une maison") == "fr")
+    assert(langIdOf("今天天气很好我们去公园散步") == "zh")
+    assert(langIdOf("") == "und")
+    assert(langIdOf("zzz qqq xxx") == "und")
+  }
+
+  test("quality stats are exact integer counts") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat, the dog. And a bird!")).toDF("id", "text")
+    val row = TextAnalysis.qualityStats(df, "text").head()
+    assert(row.getAs[Int]("n_chars") == 29)
+    assert(row.getAs[Int]("n_tokens") == 7)
+    assert(row.getAs[Int]("n_punct") == 3) // , . !
+    assert(row.getAs[Int]("n_stop") == 4)  // the, the, and (lowered), a
+  }
+
+  test("winnow fingerprint is deterministic and shift-tolerant") {
+    import graft.functions.HashFunctions._
+    val a = winnow("abcdefghijklmnopqrstuvwxyz", 5, 4)
+    val b = winnow("abcdefghijklmnopqrstuvwxyz", 5, 4)
+    assert(a.sameElements(b))
+    // shared substring → shared fingerprint hashes
+    val c = winnow("XXXXXdefghijklmnopqrstuvwxyz", 5, 4)
+    assert(a.intersect(c).length > 0)
+  }
+
+  test("multimodal stub pipeline: schema + decode plumbing") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 9, 9)))
+      .toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "img/fake")
+    // compare names + types; nullability differs for literal-built structs
+    assert(media.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    val feats = Multimodal.decodeAndFeaturize(media).collect()
+    assert(feats.length == 2)
+    feats.foreach { r =>
+      assert(r.getInt(1) == 8 && r.getInt(2) == 8 && r.getInt(3) == 3)
+      val means = r.getSeq[Double](4)
+      assert(means.length == 3)
+      assert(means.forall(m => m >= 0.0 && m <= 1.0))
+    }
+    // deterministic: same payload → same features
+    val again = Multimodal.decodeAndFeaturize(media).collect()
+    assert(feats.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("frame sampling plan") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1))).toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "video/fake")
+    val frames = Multimodal.sampleFrameIndexes(media, nFrames = 4, stride = 8)
+      .select("frame_idx").as[Int].collect()
+    assert(frames.toSeq == Seq(0, 8, 16, 24))
+  }
+}

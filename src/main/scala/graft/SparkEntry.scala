@@ -363,6 +363,49 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // §2.9 batch analog of the custom sessionizer: lag + cumulative-sum
+    // session ids, 30-minute gap (EventStreams.sessionize is the streaming
+    // twin; tested in EventStreamsSpec)
+    "events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk", // exact µs arithmetic — second-granularity casts
+          // would disagree with the oracle for gaps inside (1800s, 1801s)
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_id"), col("sid"))
+    }),
+
+    // §2.1 S7/S14 + §2.4 A2/A3 + §2.2 P1: CSV import round trip — write a
+    // deterministic CSV, re-import through the sniffing/inference path,
+    // return the typed rows; oracle reads the same rows straight from
+    // parquet (types must agree: integer→long, float→double)
+    "csv_roundtrip" -> ((s, dir) => {
+      val sample = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csvrt_")
+      val csvPath = tmp.resolve("sample.csv")
+      val w = java.nio.file.Files.newBufferedWriter(csvPath)
+      try {
+        w.write("l_orderkey,l_linenumber,l_quantity,l_returnflag\n")
+        sample.collect().foreach { r =>
+          w.write(s"${r.getLong(0)},${r.getInt(1)},${r.getDouble(2)},${r.getString(3)}\n")
+        }
+      } finally w.close()
+      graft.sources.CsvImport.read(s, csvPath.toString)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // §2.4 A3: distributed type-lattice inference (one-pass aggregate)
     "type_infer" -> ((s, dir) => {
       val src = t(s, dir, "lineitem")
@@ -581,6 +624,31 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM s
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
+
+    "csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "type_infer" ->
       """SELECT col_name, lattice_type FROM (

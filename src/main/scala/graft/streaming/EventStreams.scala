@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators over the `events` stream shape
+ * (SURVEY.md §2.9 — absent in the reference, required by the north star):
+ * watermarked tumbling/sliding windows, built-in session windows, and a
+ * custom stateful sessionizer on `flatMapGroupsWithState` for semantics
+ * the built-in can't express (per-session event cap + emitted aggregates).
+ *
+ * All transforms are DataFrame→DataFrame so they run identically on a
+ * batch frame or a `readStream` source; watermarks bound state at scale
+ * (without one, 100 TB of late data pins every window in memory forever).
+ */
+object EventStreams {
+
+  /** Tumbling hourly counts/sums per event type, 2h watermark. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding window (1h window / 15m slide) per user. */
+  def slidingUserActivity(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("user_id"), col("n"))
+
+  /** Built-in session window with a 30-minute gap. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Int, total_value: Double, closed_by: String)
+
+  /**
+   * Custom stateful sessionizer: emits a SessionOut when a session closes
+   * by gap timeout or by hitting `maxEvents` (the per-session cap the
+   * built-in session_window cannot express). State per user is O(1).
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      maxEvents: Int = 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = Seq.newBuilder[SessionOut]
+          var st = state.getOption.orNull
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.last > gapMs) {
+              out += SessionOut(userId, new Timestamp(st.start), st.n, st.total, "gap")
+              st = SessionState(t, t, 1, e.value)
+            } else {
+              st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+              if (st.n >= maxEvents) {
+                out += SessionOut(userId, new Timestamp(st.start), st.n, st.total, "cap")
+                st = null
+              }
+            }
+          }
+          if (st != null) {
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapMs)
+          } else state.remove()
+          if (state.hasTimedOut) {
+            state.getOption.foreach(s =>
+              out += SessionOut(userId, new Timestamp(s.start), s.n, s.total, "timeout"))
+            state.remove()
+          }
+          out.result().iterator
+      }
+  }
+}

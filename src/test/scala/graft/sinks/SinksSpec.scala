@@ -1,0 +1,136 @@
+package graft.sinks
+
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core.geo.{Coord, Geometry, Point => GPoint}
+import graft.functions.{GeoFunctions => G}
+
+class SinksSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft_export_").toString
+
+  private lazy val geoDf = {
+    import spark.implicits._
+    spark.range(5).toDF("id")
+      .withColumn("name", concat(lit("row"), col("id")))
+      .withColumn("the_geom", G.st_point(col("id").cast("double"), col("id").cast("double") * 2))
+  }
+
+  test("CSV export round trip (S11)") {
+    val r = Exporter.exportCsv(geoDf.drop("the_geom"), "t1", tmpDir)
+    assert(r.importType == ".csv")
+    val zf = new ZipFile(r.path)
+    val entries = zf.entries().asScala.map(_.getName).toSeq
+    assert(entries == Seq("t1.csv"))
+    val text = new String(zf.getInputStream(zf.getEntry("t1.csv")).readAllBytes())
+    zf.close()
+    assert(text.linesIterator.next() == "id,name")
+    assert(text.linesIterator.size == 6)
+  }
+
+  test("KMZ export contains doc.kml with placemarks (S12)") {
+    val r = Exporter.exportKml(geoDf, "t2", dir = tmpDir)
+    assert(r.importType == ".kml" && r.path.endsWith(".kmz"))
+    val zf = new ZipFile(r.path)
+    val text = new String(zf.getInputStream(zf.getEntry("doc.kml")).readAllBytes())
+    zf.close()
+    assert(text.contains("<Placemark>"))
+    assert(text.split("<Placemark>").length == 6) // 5 placemarks
+    assert(text.contains("<Point><coordinates>2.0,4.0</coordinates></Point>"))
+    assert(text.contains("""<Data name="name"><value>row3</value></Data>"""))
+  }
+
+  test("SHP export round-trips through our own reader (S13 + S8)") {
+    val r = Exporter.exportShp(geoDf, "t3", dir = tmpDir)
+    assert(r.importType == ".shp")
+    // unzip and re-read with the Shapefile source
+    val x = graft.sources.Archive.extract(r.path)
+    val back = graft.sources.Shapefile.read(spark,
+      x.all.find(_.getName.endsWith(".shp")).get.getPath)
+    assert(back.count() == 5)
+    assert(back.columns.toSet == Set("id", "name", "the_geom"))
+    val row = back.filter(col("id") === 2)
+      .select(G.st_astext(col("the_geom")), col("name")).head()
+    assert(row.getString(0) == "POINT(2 4)")
+    assert(row.getString(1) == "row2")
+  }
+
+  test("DBF writer/reader round trip incl. N/D/L types (S9)") {
+    val fields = Seq(
+      DbfWriter.FieldSpec("id", 'N', 10, 0),
+      DbfWriter.FieldSpec("price", 'N', 12, 2),
+      DbfWriter.FieldSpec("day", 'D', 8, 0),
+      DbfWriter.FieldSpec("ok", 'L', 1, 0),
+      DbfWriter.FieldSpec("label", 'C', 20, 0))
+    val recs = Seq(
+      Seq(7L, new java.math.BigDecimal("12.34"), java.sql.Date.valueOf("2020-05-06"),
+        java.lang.Boolean.TRUE, "hello"),
+      Seq(8L, null, null, null, "world"))
+    val bytes = DbfWriter.write(fields, recs)
+    val parsed = graft.sources.Shapefile.parseDbf(bytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(parsed.fields.map(_.name) == Seq("id", "price", "day", "ok", "label"))
+    assert(parsed.records.length == 2)
+    val r0 = parsed.records.head
+    assert(r0(0) == 7L)
+    assert(r0(1).asInstanceOf[java.math.BigDecimal].doubleValue() == 12.34)
+    assert(r0(2) == java.sql.Date.valueOf("2020-05-06"))
+    assert(r0(3) == java.lang.Boolean.TRUE)
+    assert(r0(4) == "hello")
+    val r1 = parsed.records(1)
+    assert(r1(1) == null && r1(2) == null && r1(3) == null)
+  }
+
+  test("catalog sink: staging + rename + collision + rollback (D1/D2/D6)") {
+    val s = spark
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_")
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val r1 = CatalogTableSink.write(spark, df, "sink_test")
+    assert(r1.table == "sink_test" && r1.rows == 2)
+    val r2 = CatalogTableSink.write(spark, df, "sink_test")
+    assert(r2.table == "sink_test_1") // D1 collision suffix
+    // no staging leftovers
+    assert(!CatalogTableSink.existingTables(spark).exists(_.startsWith("importing_")))
+    spark.sql("DROP TABLE sink_test"); spark.sql("DROP TABLE sink_test_1")
+  }
+
+  test("postgres sink plan + rollback via recording executor") {
+    val executed = Seq.newBuilder[String]
+    val exec = new PostgresSink.SqlExecutor {
+      def execute(sql: String): Unit = executed += sql
+      def tableNames(prefix: String): Seq[String] = Seq("world", "world_1")
+    }
+    val name = PostgresSink.write(geoDf, "world", exec,
+      load = staging => executed += s"-- COPY INTO $staging", runId = "r1")
+    assert(name == "world_2") // collision: world, world_1 exist
+    val stmts = executed.result()
+    assert(stmts.head == """CREATE TABLE "importing_r1_world_2" ("id" bigint, "name" text, "the_geom" geometry(Geometry,4326))""")
+    assert(stmts.contains("""ALTER TABLE "importing_r1_world_2" RENAME TO "world_2""""))
+    assert(stmts.last == """CREATE INDEX "world_2_the_geom_gist" ON "world_2" USING GIST (the_geom)""")
+
+    // failure in load → staging dropped, error propagates
+    val executed2 = Seq.newBuilder[String]
+    val exec2 = new PostgresSink.SqlExecutor {
+      def execute(sql: String): Unit = executed2 += sql
+      def tableNames(prefix: String): Seq[String] = Seq.empty
+    }
+    intercept[RuntimeException] {
+      PostgresSink.write(geoDf, "boom", exec2,
+        load = _ => throw new RuntimeException("load failed"), runId = "r2")
+    }
+    assert(executed2.result().last == """DROP TABLE IF EXISTS "importing_r2_boom"""")
+  }
+
+  test("export result record shape matches the reference (exporter.rb:67-71)") {
+    val r = Exporter.exportCsv(geoDf.drop("the_geom"), "shape_check", tmpDir)
+    assert(r.name == "shape_check")
+    assert(new java.io.File(r.path).exists())
+  }
+}

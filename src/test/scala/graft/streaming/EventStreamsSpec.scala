@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private def runStream[T](q: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val query = q.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(60000)
+  }
+
+  test("hourly windowed agg over a memory stream with watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "buy", 5.0),
+      Event(4, ts(200), 1, "click", 1.0)) // advances watermark past first windows
+    runStream(EventStreams.hourlyByType(mem.toDF()), "hourly")
+    val rows = spark.table("hourly").orderBy("hour", "event_type").collect()
+    // watermark advances to min200 - 120 = min80: only the [0,60) window has
+    // end ≤ watermark and is emitted in append mode
+    assert(rows.length == 1)
+    val first = rows.head
+    assert(first.getAs[Long]("n") == 2)
+    assert(first.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("session windows close on gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 7, "a", 1.0),
+      Event(2, ts(5), 7, "a", 1.0),   // same session (gap 5m < 30m)
+      Event(3, ts(60), 7, "a", 1.0),  // new session
+      Event(4, ts(600), 7, "a", 0.0)) // far future: closes both via watermark
+    runStream(EventStreams.sessionWindows(mem.toDF()), "sessions")
+    val rows = spark.table("sessions").orderBy("session_start").collect()
+    assert(rows.length >= 2)
+    assert(rows.head.getAs[Long]("n_events") == 2)
+    assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("custom sessionizer emits gap-closed sessions with aggregates") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "a", 2.0),
+      Event(2, ts(10), 1, "a", 3.0),
+      Event(3, ts(120), 1, "a", 1.0)) // >30m gap → first session closes
+    val out = EventStreams.sessionize(mem.toDS())
+    val query = out.writeStream.format("memory").queryName("sess2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(60000)
+    val rows = spark.table("sess2").collect()
+    assert(rows.length == 1) // second session still open in state
+    val r = rows.head
+    assert(r.getAs[Long]("user_id") == 1)
+    assert(r.getAs[Int]("n_events") == 2)
+    assert(r.getAs[Double]("total_value") == 5.0)
+    assert(r.getAs[String]("closed_by") == "gap")
+  }
+
+  test("batch/stream parity: hourlyByType on the events table matches groupBy") {
+    // events table is ns-precision; go through the same µs conversion
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(sf("events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val viaOperator = EventStreams.hourlyByType(ev)
+      .agg(sum("n")).head().getLong(0)
+    assert(viaOperator == ev.count())
+  }
+}

@@ -345,9 +345,9 @@ object SparkEntry {
     // winnowing fingerprints (rows-only; determinism tested in spec)
     "doc_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(winnow_fingerprint(col("text"), 5, 4)).as("n_fp"),
-          element_at(winnow_fingerprint(col("text"), 5, 4), 1).as("fp_min"))
+        .select(col("doc_id"), winnow_fingerprint(col("text"), 5, 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("fp_min")) // winnow evaluated once
         .orderBy(col("doc_id"))
     }),
 

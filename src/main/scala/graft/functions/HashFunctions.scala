@@ -145,6 +145,64 @@ object HashFunctions {
         f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
   }
 
+  /** Distinct character n-grams of a string as SORTED 64-bit hashes — the
+    * set form used by the dense-corpus exact-Jaccard path. Hashing keeps
+    * the per-pair intersect allocation-free (primitive long merge instead
+    * of per-element UTF8String churn — measured 40 µs → ~1 µs per pair);
+    * 64-bit collisions across a corpus's gram space are ~1e-12 events and
+    * accepted (documented divergence from string-exact counting). */
+  def ngramHashSet(s: String, n: Int): Array[Long] = {
+    val hs = if (s.length <= n) Array(mix64(s.hashCode.toLong))
+      else shingleHashes(s, n)
+    java.util.Arrays.sort(hs)
+    // dedup in place
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, w)
+  }
+
+  case class NgramSortedSet(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "ngram_sorted_set"
+    override def nullSafeEval(text: Any, n: Any): Any =
+      new GenericArrayData(ngramHashSet(text.toString, n.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  /** Intersection size of two SORTED long arrays — allocation-free linear
+    * merge over primitive arrays. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_count"
+    override def nullSafeEval(a0: Any, b0: Any): Any = {
+      val a = a0.asInstanceOf[ArrayData]
+      val b = b0.asInstanceOf[ArrayData]
+      val la = a.numElements(); val lb = b.numElements()
+      var i = 0; var j = 0; var n = 0
+      // direct getLong indexing — no per-pair array materialization
+      var av = if (la > 0) a.getLong(0) else 0L
+      var bv = if (lb > 0) b.getLong(0) else 0L
+      while (i < la && j < lb) {
+        if (av == bv) {
+          n += 1; i += 1; j += 1
+          if (i < la) av = a.getLong(i)
+          if (j < lb) bv = b.getLong(j)
+        } else if (av < bv) { i += 1; if (i < la) av = a.getLong(i) }
+        else { j += 1; if (j < lb) bv = b.getLong(j) }
+      }
+      n
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** Hamming distance between two 64-bit signatures (for SimHash dedup). */
   case class Hamming64(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -166,6 +224,10 @@ object HashFunctions {
       es => WinnowFingerprint(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("hamming64",
       es => Hamming64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("ngram_sorted_set",
+      es => NgramSortedSet(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "built-in")
   }
 
   def minhash_sig(text: Column, k: Int = 5, m: Int = 64): Column =
@@ -174,4 +236,8 @@ object HashFunctions {
   def winnow_fingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
     call_function("winnow_fingerprint", text, lit(k), lit(w))
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+  def ngram_sorted_set(text: Column, n: Int): Column =
+    call_function("ngram_sorted_set", text, lit(n))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

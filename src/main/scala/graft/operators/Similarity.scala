@@ -23,11 +23,15 @@ object Similarity {
 
   /** Exact top-k by cosine for each query vector (self-matches excluded).
     * Returns (query_id, rank, neighbor_id, cos). */
+  private val D = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.DoubleType)
+
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // cast float→double ONCE per row, not once per pair inside the join
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).cast(D).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cv"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", vec_cosine(col("qv"), col("cv")))
@@ -43,10 +47,10 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cv"),
       vec_lsh_bucket(col(vecCol), planes, seed).as("bucket"))
     // each query probes its bucket and every bucket at Hamming distance 1
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast(D).as("qv"),
       vec_lsh_bucket(col(vecCol), planes, seed).as("qb"))
       .withColumn("flip", explode(sequence(lit(0), lit(planes)))) // planes = no flip
       .withColumn("bucket",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Identifier
 import graft.operators.GeoPipeline
-import graft.sources.{Archive, CsvImport, GeoJsonImport, GpxImport, KmlImport, Shapefile, XlsxImport}
+import graft.sources.{Archive, CsvImport, GeoJsonImport, GeoTiff, GpxImport, KmlImport, Shapefile, XlsxImport}
 
 /**
  * The import pipeline (SURVEY.md §3): Acquire (URL/file/zip) → Normalize
@@ -70,6 +70,7 @@ object Importer {
         case ".kml" => KmlImport.read(spark, path)
         case ".json" | ".js" | ".geojson" => GeoJsonImport.read(spark, path)
         case ".gpx" => GpxImport.read(spark, path)
+        case ".tif" | ".tiff" => GeoTiff.read(spark, path) // S10: tiled raster
         case other =>
           throw new UnsupportedOperationException(s"unsupported format $other")
       }

@@ -10,5 +10,6 @@ object GraftFunctions {
     HashFunctions.register(spark)
     VectorFunctions.register(spark)
     graft.operators.TextAnalysis.register(spark)
+    graft.plans.GeoRules.install(spark)
   }
 }

@@ -260,6 +260,58 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // §2.4 grouping sets via CUBE
+    "q12_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("l_discount")), 4).as("avg_disc"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("cnt"), col("avg_disc"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+
+    // §2.3 outer join with a genuinely null-producing side (rich suppliers
+    // only, so several nations have none)
+    "q13_outer_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+      n.join(su, n("n_nationkey") === su("s_nationkey"), "left_outer")
+        .groupBy(col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_suppliers"),
+          round(coalesce(sum(col("s_acctbal")), lit(0.0)), 2).as("total_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // §2.7 UNION (distinct) across derived sets
+    "q14_union_distinct" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      big.union(urgent).distinct().orderBy(col("custkey"))
+    }),
+
+    // §2.4 HAVING (post-aggregation filter)
+    "q15_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // §2.3 correlated IN-subquery shape (customers of top-spend orders)
+    "q16_in_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val top = o.filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
+      t(s, dir, "customer")
+        .join(top, col("c_custkey") === top("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- LLM-pipeline operators (north-star; graded as first-class) ----
 
     // exact dedup: hash-groupBy on content digest
@@ -557,6 +609,44 @@ object SparkEntry {
         |  round(degrees(2 * atan(exp((CAST(o_orderkey % 170 - 85 AS DOUBLE) * 100000.0) / 6378137.0)) - pi() / 2), 6) AS lat
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS cnt, round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q13_outer_join" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers,
+        |  round(coalesce(sum(s_acctbal), 0.0), 2) AS total_bal
+        |FROM nation LEFT JOIN (SELECT * FROM supplier WHERE s_acctbal > 5000) s
+        |  ON n_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q14_union_distinct" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY custkey""".stripMargin,
+
+    "q15_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q16_in_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH docs AS ($AugmentedDocsSql)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 
-import graft.core.TypeLattice.{State, TFloat, TInteger, TVarchar}
+
 
 /**
  * Distributed CSV type inference (SURVEY.md §2.4 A3): the reference's
@@ -21,29 +21,81 @@ import graft.core.TypeLattice.{State, TFloat, TInteger, TVarchar}
  */
 object SchemaInference {
 
-  /** All-columns lattice fold: Row of N string cells → N States. */
-  class AllColumnsAgg(n: Int) extends Aggregator[Row, Array[State], String] {
-    def zero: Array[State] = Array.fill(n)(State.empty)
-    def reduce(b: Array[State], row: Row): Array[State] = {
+  /**
+   * All-columns lattice fold: Row of N string cells → N packed states.
+   * The per-column state (first kind / first-as-breaker / break kind —
+   * see TypeLattice.State) packs into ONE byte, so the aggregation buffer
+   * is a plain N-byte array riding the BINARY encoder — no kryo, no
+   * object graph per partial merge (the kryo version dominated the
+   * type_infer benchmark).
+   *
+   * Byte layout: bits 0-1 first (0 unseen/1 int/2 float/3 varchar),
+   * bits 2-3 firstAsBreaker (0 none/2 float/3 varchar),
+   * bits 4-5 break_ (same coding).
+   */
+  class AllColumnsAgg(n: Int) extends Aggregator[Row, Array[Byte], String] {
+    import graft.core.TypeLattice.{isFloatLooking, isIntLooking, overflowsInt32}
+    import graft.core.Identifier.isBlank
+
+    def zero: Array[Byte] = new Array[Byte](n)
+
+    def reduce(b: Array[Byte], row: Row): Array[Byte] = {
       var i = 0
       while (i < n) {
-        b(i) = b(i).update(if (row.isNullAt(i)) null else row.getString(i))
+        val v = if (row.isNullAt(i)) null else row.getString(i)
+        if (v != null && !isBlank(v)) {
+          val s = b(i)
+          val first = s & 0x3
+          val brk = (s >> 4) & 0x3
+          if (first == 0) {
+            // classify once: kind + breaker-if-nonfirst
+            val (k, breaker) =
+              if (isFloatLooking(v)) (2, 2)
+              else if (isIntLooking(v)) (1, if (overflowsInt32(v)) 2 else 0)
+              else (3, 3)
+            b(i) = (k | (breaker << 2)).toByte
+          } else if (first == 1 && brk == 0) {
+            val breaker =
+              if (isFloatLooking(v)) 2
+              else if (isIntLooking(v)) { if (overflowsInt32(v)) 2 else 0 }
+              else 3
+            if (breaker != 0) b(i) = (s | (breaker << 4)).toByte
+          } // float/varchar first, or already broken: sticky, nothing to do
+        }
         i += 1
       }
       b
     }
-    def merge(l: Array[State], r: Array[State]): Array[State] = {
+
+    def merge(l: Array[Byte], r: Array[Byte]): Array[Byte] = {
       var i = 0
-      while (i < n) { l(i) = l(i).merge(r(i)); i += 1 }
+      while (i < n) {
+        val a = l(i); val b = r(i)
+        if ((a & 0x3) == 0) l(i) = b // left empty → take right wholesale
+        else if ((a & 0x3) == 1 && ((a >> 4) & 0x3) == 0) {
+          // left is unbroken integer: right's first-as-breaker, else its break
+          val rb = { val fb = (b >> 2) & 0x3; if (fb != 0) fb else (b >> 4) & 0x3 }
+          if (rb != 0) l(i) = (a | (rb << 4)).toByte
+        }
+        i += 1
+      }
       l
     }
+
     // comma-joined so the output rides a plain STRING encoder
-    def finish(s: Array[State]): String = s.map(_.result match {
-      case TInteger => "integer"
-      case TFloat   => "float"
-      case TVarchar => "varchar"
-    }).mkString(",")
-    def bufferEncoder: Encoder[Array[State]] = Encoders.kryo[Array[State]]
+    def finish(s: Array[Byte]): String = s.map { b =>
+      (b & 0x3) match {
+        case 0 | 3 => "varchar"
+        case 2     => "float"
+        case 1     => ((b >> 4) & 0x3) match {
+          case 0 => "integer"
+          case 2 => "float"
+          case _ => "varchar"
+        }
+      }
+    }.mkString(",")
+
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 

@@ -42,6 +42,30 @@ object CatalogTableSink {
     df.write.mode("append").saveAsTable(table)
     SinkResult(table, spark.table(table).count())
   }
+
+  /**
+   * Bucketed variant for co-located joins at scale: two tables bucketed
+   * by their join key with the same bucket count join with NO exchange on
+   * either side — the shuffle is paid once at write time instead of per
+   * query. The staging/rename/rollback protocol is identical to `write`.
+   */
+  def writeBucketed(spark: SparkSession, df: DataFrame, suggestedName: String,
+      bucketCol: String, buckets: Int,
+      sortCol: Option[String] = None): SinkResult = {
+    val name = Identifier.resolveCollision(suggestedName, existingTables(spark))
+    val staging = s"importing_${java.util.UUID.randomUUID().toString.take(8)}_$name"
+    try {
+      val w0 = df.write.format("parquet").bucketBy(buckets, bucketCol)
+      val w = sortCol.map(w0.sortBy(_)).getOrElse(w0)
+      w.saveAsTable(staging)
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$name`")
+      SinkResult(name, spark.table(name).count())
+    } catch {
+      case e: Throwable =>
+        try spark.sql(s"DROP TABLE IF EXISTS `$staging`") catch { case _: Throwable => }
+        throw e
+    }
+  }
 }
 
 /**

@@ -101,6 +101,27 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE sink_test"); spark.sql("DROP TABLE sink_test_1")
   }
 
+  test("bucketed tables join without an exchange (co-located join)") {
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(sf("orders")).select("o_orderkey", "o_totalprice")
+    CatalogTableSink.writeBucketed(spark, li, "b_lineitem", "l_orderkey", 8)
+    CatalogTableSink.writeBucketed(spark, o, "b_orders", "o_orderkey", 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the shuffle was paid at write time: no Exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+      assert(joined.count() == li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
   test("postgres sink plan + rollback via recording executor") {
     val executed = Seq.newBuilder[String]
     val exec = new PostgresSink.SqlExecutor {

@@ -120,13 +120,20 @@ object SchemaInference {
 
   /** Cast string columns of `df` per the inferred lattice (comma/pipe
     * decimal separators normalized to '.' before the double cast, matching
-    * the float regex that admitted them — importer.rb:528). */
+    * the float regex that admitted them — importer.rb:528).
+    *
+    * try_cast, not cast: the lattice's sticky states admit later values
+    * that don't parse (float never demotes; a first-value bigint stays
+    * "integer"), and under Spark 4's default ANSI mode a plain cast would
+    * THROW on them mid-import. The reference's semantics are null-on-
+    * failure, which try_cast restores. */
   def applyInferredTypes(df: DataFrame, types: Map[String, String]): DataFrame = {
     val cols = df.columns.map { c =>
       types.getOrElse(c, "varchar") match {
-        case "integer" => col(c).cast(LongType).as(c)
-        case "float"   => translate(col(c), ",|", "..").cast(DoubleType).as(c)
-        case _         => col(c).as(c)
+        case "integer" => expr(s"try_cast(`$c` AS BIGINT)").as(c)
+        case "float" =>
+          expr(s"try_cast(translate(`$c`, ',|', '..') AS DOUBLE)").as(c)
+        case _ => col(c).as(c)
       }
     }
     df.select(cols.toIndexedSeq: _*)

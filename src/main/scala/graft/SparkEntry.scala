@@ -320,15 +320,16 @@ object SparkEntry {
         .orderBy(col("h"))
     }),
 
-    // MinHash+LSH near-dup pairs (no SQL oracle — validated in DedupSpec
-    // against exact jaccard; driver records rows-only)
+    // MinHash+LSH near-dup pairs. Signatures use the SQL-replayable mod-P
+    // hash spec (HashFunctions), so the DuckDB oracle recomputes them
+    // exactly; output is the integer component-match count (float-free).
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minHashPairs(augmentedDocs(s, dir), "doc_id", "text", threshold = 0.6)
-        .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+        .select(col("a"), col("b"), col("n_match"))
         .orderBy(col("a"), col("b"))
     }),
 
-    // SimHash near-dup pairs (rows-only)
+    // SimHash near-dup pairs — same mod-P spec, hash-exact oracle
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(augmentedDocs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy(col("a"), col("b"))
@@ -359,7 +360,8 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only — recall vs brute force is
+    // LSH-bucketed ANN (scale path; oracle replays the exact hyperplane
+    // buckets + 1-bit probes in SQL — recall vs brute force is separately
     // asserted in SimilaritySpec)
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -369,7 +371,8 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // language-ID confusion counts (rows-only: heuristic has no SQL twin)
+    // language-ID confusion counts (oracle generated from the same profile
+    // word lists; the CJK script branch is vacuous on this ASCII corpus)
     "lang_id_counts" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("lang"), TextAnalysis.lang_id(col("text")).as("predicted"))
@@ -394,7 +397,7 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
-    // winnowing fingerprints (rows-only; determinism tested in spec)
+    // winnowing fingerprints (mod-P spec → window-function SQL oracle)
     "doc_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), winnow_fingerprint(col("text"), 5, 4).as("fp"))
@@ -404,14 +407,16 @@ object SparkEntry {
     }),
 
     // multimodal plumbing: text bytes as fake payloads through the codec
-    // boundary (rows-only; stub decode has no SQL twin)
+    // boundary. OracleCodec's "decode" is plain mod-P arithmetic over the
+    // payload bytes, so DuckDB recomputes the exact channel sums — the
+    // decode→featurize plumbing gets a hash-exact check, not rows-only.
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.toMediaFrame(
         t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
         "doc_id", "payload", "img/fake")
-      Multimodal.decodeAndFeaturize(media)
+      Multimodal.decodeAndFeaturize(media, Multimodal.OracleCodec)
         .select(col("media_id"), col("width"), col("height"), col("n_channels"),
-          round(element_at(col("mean_channel"), 1), 4).as("mean_c0"))
+          element_at(col("channel_sum"), 1).as("c0_sum"))
         .orderBy(col("media_id"))
     }),
 
@@ -471,6 +476,54 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------- oracles
+
+  /** SQL builders replaying the mod-P hash spec (HashFunctions scaladoc):
+    * every sketch below is plain non-overflowing BIGINT arithmetic, so the
+    * oracle recomputes MinHash/SimHash/winnow/codec values bit-for-bit. */
+
+  /** Fold of the 5-char shingle at (1-based) position `p`: matches
+    * HashFunctions.shingleHashes. ascii() is INT32 in DuckDB — the leading
+    * CAST keeps the 131-fold in BIGINT. */
+  private def gram5Sql(t: String, p: String): String = {
+    var e = s"CAST(ascii(substr($t, $p, 1)) AS BIGINT)"
+    for (o <- 1 until 5)
+      e = s"(($e) * 131 + ascii(substr($t, ($p) + $o, 1))) % 1000000007"
+    e
+  }
+
+  /** h_j(x) = (A_j·x + B_j) mod P with HashFunctions.hashA/hashB constants. */
+  private def mixJSql(x: String): String =
+    s"(((((j + 1) * 2654435761) % 1000000007) * $x + (j * 40503 + 17) % 1000000007) % 1000000007)"
+
+  /** [131^0 mod P, …, 131^23 mod P] literal for variable-length token folds. */
+  private val Pow131Sql: String =
+    Iterator.iterate(1L)(h => h * 131L % 1000000007L).take(24)
+      .mkString("[", ", ", "]")
+
+  /** Per-language score columns + argmax CASE generated from
+    * TextAnalysis.Profiles so the oracle can never drift from the engine. */
+  private def langIdOracleSql: String = {
+    val profs = graft.operators.TextAnalysis.Profiles
+    val scoreCols = profs.map { case (l, ws) =>
+      s"len(list_filter(ts, t -> t IN (${ws.toSeq.sorted.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = profs.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val argmax = "CASE WHEN mx = 0 THEN 'und' " +
+      langs.init.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ") +
+      s" ELSE '${langs.last}' END"
+    s"""WITH toks AS (
+       |  SELECT lang, string_split_regex(lower(text), '[^a-z]+') AS ts FROM documents),
+       |scored AS (
+       |  SELECT lang,
+       |    $scoreCols
+       |  FROM toks),
+       |pred AS (
+       |  SELECT lang, $argmax AS predicted
+       |  FROM (SELECT *, $mx AS mx FROM scored))
+       |SELECT lang, predicted, count(*) AS n
+       |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -697,6 +750,41 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
+    // replay of VectorFunctions.HyperplaneSig (planes=8, seed=42): parity
+    // weights → sign bits → bucket, query probes own bucket + 1-bit flips,
+    // exact cosine rank within candidates
+    "ann_lsh" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM emb),
+        |sb AS (
+        |  SELECT vec_id, j,
+        |    CASE WHEN sum(CASE WHEN ((j * 4096 + i + 42) * 2654435761) % 1000000007 % 2 = 1
+        |      THEN v[CAST(i AS INT)] ELSE -v[CAST(i AS INT)] END) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM dims CROSS JOIN (SELECT unnest(range(8)) AS j) js
+        |  GROUP BY vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(bit * (1 << CAST(j AS INT))) AS INT) AS bucket
+        |  FROM sb GROUP BY vec_id),
+        |probes AS (
+        |  SELECT q.vec_id AS query_id,
+        |    CASE WHEN f.flip = 8 THEN q.bucket ELSE xor(q.bucket, 1 << CAST(f.flip AS INT)) END AS bucket
+        |  FROM buckets q CROSS JOIN (SELECT unnest(range(9)) AS flip) f
+        |  WHERE q.vec_id < 20),
+        |scored AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])) AS cos_raw
+        |  FROM probes p
+        |  JOIN buckets c ON p.bucket = c.bucket AND c.vec_id <> p.query_id
+        |  JOIN embeddings qe ON qe.vec_id = p.query_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
     "text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
@@ -708,9 +796,11 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // CAST: DuckDB sum(INTEGER) yields HUGEINT, which the driver's pandas
+    // bridge degrades to float64 → hash mismatch against Spark's BIGINT
     "token_count" ->
       """SELECT source, count(*) AS docs,
-        |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
@@ -725,8 +815,8 @@ object SparkEntry {
         |      OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM l),
         |s AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |  FROM m)
         |SELECT user_id, sid, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
@@ -739,6 +829,84 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // replay of HashFunctions.minHashSignature: same grams, same A_j/B_j
+    // mixers, brute-force over all pairs (the engine's banding must find
+    // every pair with n_match ≥ ⌈0.6·64⌉ = 39 — full-recall check included)
+    "dedup_minhash" ->
+      s"""WITH docs AS ($AugmentedDocsSql),
+        |grams AS (
+        |  SELECT doc_id, ${gram5Sql("text", "CAST(i AS INT)")} AS gh
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM docs)),
+        |sigs AS (
+        |  SELECT doc_id, j, min(${mixJSql("gh")}) AS sig
+        |  FROM grams CROSS JOIN (SELECT unnest(range(64)) AS j) js
+        |  GROUP BY doc_id, j),
+        |mc AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM sigs x JOIN sigs y ON x.j = y.j AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, n_match FROM mc WHERE n_match >= 39 ORDER BY a, b""".stripMargin,
+
+    // replay of HashFunctions.simHash64: per-token mod-P fold (powers-of-131
+    // list for variable token length), per-bit majority, hamming via the
+    // per-(doc, bit) table join — brute force, so banding recall is checked
+    "dedup_simhash" ->
+      s"""WITH docs AS ($AugmentedDocsSql),
+        |toksf AS (
+        |  SELECT doc_id, tok, row_number() OVER () AS tid
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok FROM docs)
+        |  WHERE tok <> ''),
+        |thash AS (
+        |  SELECT doc_id, tid,
+        |    sum(CAST(ascii(substr(tok, CAST(p AS INT), 1)) AS BIGINT)
+        |        * ($Pow131Sql)[CAST(length(tok) - p + 1 AS INT)]) % 1000000007 AS th
+        |  FROM (SELECT doc_id, tid, tok, unnest(range(1, length(tok) + 1)) AS p FROM toksf)
+        |  GROUP BY doc_id, tid),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN ${mixJSql("th")} % 2 = 1
+        |      THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM thash CROSS JOIN (SELECT unnest(range(64)) AS j) js
+        |  GROUP BY doc_id, j),
+        |ham AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits x JOIN bits y ON x.j = y.j AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+    // replay of HashFunctions.winnow: min of key = h·2^20 + pos per sliding
+    // window of 4 (full windows only), distinct recovered hashes per doc
+    "doc_fingerprint" ->
+      s"""WITH hs AS (
+        |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
+        |win AS (
+        |  SELECT doc_id, i, nh,
+        |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM hs),
+        |chosen AS (
+        |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(min(h) AS BIGINT) AS fp_min
+        |FROM chosen GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "lang_id_counts" -> langIdOracleSql,
+
+    // replay of Multimodal.OracleCodec: seed = Σ byte·(i·131+7 mod P) mod P,
+    // channel-0 pixel sum over the 8×8×3 deterministic "image"
+    "multimodal_features" ->
+      """WITH seeds AS (
+        |  SELECT doc_id,
+        |    sum(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * ((i - 1) * 131 + 7) % 1000000007) % 1000000007 AS seed
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
+        |  GROUP BY doc_id),
+        |px AS (SELECT doc_id, seed, unnest(range(1, 193)) AS i FROM seeds)
+        |SELECT doc_id AS media_id, 8 AS width, 8 AS height, 3 AS n_channels,
+        |  CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN ((seed + i * 2654435761) % 1000000007) % 256 END) AS BIGINT) AS c0_sum
+        |FROM px GROUP BY doc_id, seed ORDER BY media_id""".stripMargin,
 
     "type_infer" ->
       """SELECT col_name, lattice_type FROM (

@@ -25,39 +25,57 @@ object HashFunctions {
     z ^ (z >>> 31)
   }
 
-  /** Rolling polynomial hashes of every k-char shingle of `s` (lowercased
-    * logic left to callers). Returns one 64-bit hash per position. */
+  /** All sketch hashes below use polynomial hashing over a prime modulus
+    * small enough that every intermediate fits in non-overflowing int64:
+    * h = Σ code(c_i)·131^(k-1-i) mod P. That choice is deliberate — the
+    * exact same integers are computable in ANSI SQL (ascii/substr/%), so
+    * the DuckDB oracle can replay MinHash/SimHash/winnowing signatures
+    * bit-for-bit instead of settling for rows-only checks. */
+  val P: Long = 1000000007L
+  val Base: Long = 131L
+
+  /** Mixing constants for the j-th derived hash h_j(x) = (A(j)·x + B(j)) mod P. */
+  @inline def hashA(j: Int): Long = ((j + 1).toLong * 2654435761L) % P
+  @inline def hashB(j: Int): Long = (j.toLong * 40503L + 17L) % P
+
+  /** Rolling mod-P polynomial hashes of every k-char shingle of `s`.
+    * Returns one hash (< P) per start position. */
   def shingleHashes(s: String, k: Int): Array[Long] = {
     val n = s.length
-    if (n < k) return Array(mix64(s.hashCode.toLong))
+    if (n < k) { // degenerate short-string case: hash the whole string
+      var h = 0L; var i = 0
+      while (i < n) { h = (h * Base + s.charAt(i)) % P; i += 1 }
+      return Array(h)
+    }
     val out = new Array[Long](n - k + 1)
-    var h = 0L
+    var pow = 1L // 131^k mod P for the rolling update
     var i = 0
-    while (i < k) { h = h * 1315423911L + s.charAt(i); i += 1 }
-    out(0) = mix64(h)
-    // precompute pow = 1315423911^(k-1) for the rolling update
-    var pow = 1L
-    i = 1
-    while (i < k) { pow *= 1315423911L; i += 1 }
+    while (i < k) { pow = pow * Base % P; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * Base + s.charAt(i)) % P; i += 1 }
+    out(0) = h
     i = k
     while (i < n) {
-      h = (h - s.charAt(i - k) * pow) * 1315423911L + s.charAt(i)
-      out(i - k + 1) = mix64(h)
+      h = ((h * Base - s.charAt(i - k) * pow % P + s.charAt(i)) % P + P) % P
+      out(i - k + 1) = h
       i += 1
     }
     out
   }
 
-  /** MinHash signature: m minima over seed-mixed shingle hashes. */
+  /** MinHash signature: component j is min over shingles of (A_j·gh + B_j) mod P. */
   def minHashSignature(text: String, k: Int, m: Int): Array[Long] = {
     val hs = shingleHashes(text, k)
     val sig = Array.fill(m)(Long.MaxValue)
+    val as = Array.tabulate(m)(hashA)
+    val bs = Array.tabulate(m)(hashB)
     var i = 0
     while (i < hs.length) {
-      val base = hs(i)
+      val gh = hs(i)
       var j = 0
       while (j < m) {
-        val v = mix64(base ^ (j * 0xd6e8feb86659fd93L))
+        val v = (as(j) * gh + bs(j)) % P
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -66,25 +84,33 @@ object HashFunctions {
     sig
   }
 
-  /** 64-bit SimHash over whitespace/punct-split lowercased tokens. */
+  @inline private def lowerAscii(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+  @inline private def isAsciiAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** 64-bit SimHash over ASCII-alnum tokens of the lowercased text: bit j
+    * is the majority over tokens of parity((A_j·th + B_j) mod P). Token =
+    * maximal [a-z0-9] run after ASCII lowercasing (identical to SQL
+    * string_split_regex(lower(text), '[^a-z0-9]+') on ASCII corpora). */
   def simHash64(text: String): Long = {
     val counts = new Array[Int](64)
+    val as = Array.tabulate(64)(hashA)
+    val bs = Array.tabulate(64)(hashB)
     var i = 0
     val n = text.length
     while (i < n) {
-      // scan a token: run of letter/digit chars, lowercased inline
-      while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+      while (i < n && !isAsciiAlnum(lowerAscii(text.charAt(i)))) i += 1
       var h = 0L
       var len = 0
-      while (i < n && Character.isLetterOrDigit(text.charAt(i))) {
-        h = h * 1315423911L + Character.toLowerCase(text.charAt(i))
+      while (i < n && isAsciiAlnum(lowerAscii(text.charAt(i)))) {
+        h = (h * Base + lowerAscii(text.charAt(i))) % P
         i += 1; len += 1
       }
       if (len > 0) {
-        val th = mix64(h)
         var b = 0
         while (b < 64) {
-          if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((as(b) * h + bs(b)) % P & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
       }
@@ -95,19 +121,28 @@ object HashFunctions {
     sig
   }
 
+  /** Position multiplier for the winnowing selection key: key = h·2^20 + pos
+    * (1-based) so ties inside a window break on the earliest position and
+    * the SQL twin can recover h with integer division. */
+  val WinnowPosCap: Long = 1048576L
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
-    * rolling hashes, min per sliding window of w, distinct selected hashes
-    * sorted ascending. Robust document fingerprint for overlap detection. */
+    * rolling hashes, min-key per sliding window of w, distinct selected
+    * hashes sorted ascending. Robust document fingerprint. */
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
     val hs = shingleHashes(text, k)
     if (hs.length <= w) return hs.distinct.sorted
     val selected = scala.collection.mutable.TreeSet.empty[Long]
     var i = 0
     while (i + w <= hs.length) {
-      var m = hs(i)
-      var j = i + 1
-      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
-      selected += m
+      var mk = Long.MaxValue
+      var j = i
+      while (j < i + w) {
+        val key = hs(j) * WinnowPosCap + (j + 1)
+        if (key < mk) mk = key
+        j += 1
+      }
+      selected += mk / WinnowPosCap
       i += 1
     }
     selected.toArray
@@ -151,9 +186,33 @@ object HashFunctions {
     * of per-element UTF8String churn — measured 40 µs → ~1 µs per pair);
     * 64-bit collisions across a corpus's gram space are ~1e-12 events and
     * accepted (documented divergence from string-exact counting). */
+  /** 64-bit rolling hashes (NOT mod-P): the Jaccard intersect counts are
+    * compared against a string-exact oracle, so the hash space must be big
+    * enough that cross-gram collisions within a pair are ~1e-12 events —
+    * mod-P's 2^30 space would collide ~1e-4 per pair. */
+  private def shingleHashes64(s: String, k: Int): Array[Long] = {
+    val n = s.length
+    if (n < k) return Array(mix64(s.hashCode.toLong))
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * 1315423911L + s.charAt(i); i += 1 }
+    out(0) = mix64(h)
+    var pow = 1L
+    i = 1
+    while (i < k) { pow *= 1315423911L; i += 1 }
+    i = k
+    while (i < n) {
+      h = (h - s.charAt(i - k) * pow) * 1315423911L + s.charAt(i)
+      out(i - k + 1) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
   def ngramHashSet(s: String, n: Int): Array[Long] = {
     val hs = if (s.length <= n) Array(mix64(s.hashCode.toLong))
-      else shingleHashes(s, n)
+      else shingleHashes64(s, n)
     java.util.Arrays.sort(hs)
     // dedup in place
     var w = 0

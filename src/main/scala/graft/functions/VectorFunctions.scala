@@ -64,9 +64,13 @@ object VectorFunctions {
 
   /**
    * Signed-random-projection LSH signature: `numPlanes` sign bits of dots
-   * with Rademacher (±1) hyperplanes derived deterministically from
-   * `seed` via splitmix64 — parallel vectors always share a bucket, so
-   * scaling-invariant near-dup recall is exact (Charikar, STOC'02).
+   * with Rademacher (±1) hyperplanes (Charikar, STOC'02). Parallel vectors
+   * always share a bucket, so scaling-invariant near-dup recall is exact.
+   * The ±1 entry for (plane j, dim i) is the parity of
+   * ((j·4096 + i + 1 + seed)·2654435761 mod 1000000007) — plain
+   * non-overflowing int64 arithmetic so the DuckDB oracle replays the
+   * exact buckets in SQL (dims ≥ 4096 would reuse weights across planes;
+   * embedding dims here are ≪ that).
    */
   case class HyperplaneSig(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression with CodegenFallback {
@@ -75,16 +79,16 @@ object VectorFunctions {
     override def nullSafeEval(v: Any, planes: Any, seed: Any): Any = {
       val a = toDoubles(v)
       val p = planes.asInstanceOf[Int]
-      val s = seed.asInstanceOf[Long]
+      // accept INT or BIGINT seed literals (raw-SQL callers write plain 42)
+      val s = seed.asInstanceOf[Number].longValue()
       var sig = 0
       var j = 0
       while (j < p) {
         var dot = 0.0
         var i = 0
         while (i < a.length) {
-          // ±1 entry from bit 63 of mix64(seed, plane, dim)
-          val bit = HashFunctions.mix64(s ^ (j * 0x9e3779b97f4a7c15L) ^ (i * 0xc2b2ae3d27d4eb4fL))
-          dot += (if (bit < 0) -a(i) else a(i))
+          val w = ((j * 4096 + i + 1).toLong + s) * 2654435761L % 1000000007L
+          dot += (if ((w & 1L) == 1L) a(i) else -a(i))
           i += 1
         }
         if (dot >= 0) sig |= (1 << j)

@@ -43,13 +43,17 @@ object Dedup {
   /**
    * MinHash+LSH candidate pairs with estimated Jaccard ≥ `threshold`.
    * `bands` × `rowsPerBand` must equal the signature length. Returns
-   * (a, b, est_jaccard) with a < b, deduplicated across bands.
+   * (a, b, n_match, est_jaccard) with a < b, deduplicated across bands;
+   * `n_match` is the exact integer count of agreeing signature components
+   * (= est_jaccard · m) so cross-engine comparison stays float-free.
    */
   def minHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingle: Int = 5,
-      bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val m = bands * rowsPerBand
+    // integer match threshold: n_match/m ≥ t  ⇔  n_match ≥ ⌈t·m⌉
+    val minMatch = math.ceil(threshold * m - 1e-9).toInt
     val sigs = df.select(col(idCol).as("id"),
       minhash_sig(col(textCol), shingle, m).as("sig"))
     // band key: hash of the signature slice → (band, key) bucket join
@@ -62,10 +66,11 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
     cand
-      .withColumn("est_jaccard",
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / lit(m.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("a"), col("b"), col("est_jaccard"))
+      .withColumn("n_match",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
+      .filter(col("n_match") >= minMatch)
+      .withColumn("est_jaccard", col("n_match") / lit(m.toDouble))
+      .select(col("a"), col("b"), col("n_match"), col("est_jaccard"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤ bandCount-1 for full

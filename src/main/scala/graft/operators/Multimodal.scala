@@ -52,6 +52,32 @@ object Multimodal {
     }
   }
 
+  /** SQL-replayable fake decoder: seed = Σ byte_i·((i·131+7) mod P) mod P,
+    * pixel i = ((seed + (i+1)·2654435761) mod P mod 256)/255 — plain
+    * non-overflowing int64 arithmetic, so the DuckDB correctness oracle can
+    * recompute the exact same "image" from the payload bytes and the whole
+    * decode→featurize pipeline gets a hash-exact cross-engine check. */
+  object OracleCodec extends MediaCodec {
+    private val P = graft.functions.HashFunctions.P
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      var seed = 0L
+      var i = 0
+      while (i < bytes.length) {
+        seed += (bytes(i) & 0xff).toLong * ((i.toLong * 131L + 7L) % P)
+        i += 1
+      }
+      seed %= P
+      val w = 8; val h = 8; val c = 3
+      val px = new Array[Float](w * h * c)
+      i = 0
+      while (i < px.length) {
+        px(i) = (((seed + (i + 1).toLong * 2654435761L) % P) % 256L).toInt / 255.0f
+        i += 1
+      }
+      (w, h, c, px)
+    }
+  }
+
   /** Wrap any binary column of `df` into the canonical media schema. */
   def toMediaFrame(df: DataFrame, idCol: String, binCol: String,
       format: String): DataFrame =
@@ -77,7 +103,10 @@ object Multimodal {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("n_channels", IntegerType, nullable = false),
-      StructField("mean_channel", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      StructField("mean_channel", ArrayType(DoubleType, containsNull = false), nullable = false),
+      // exact 8-bit channel sums (Σ round(px·255) per channel): the
+      // integer twin of mean_channel, used for float-free oracle checks
+      StructField("channel_sum", ArrayType(LongType, containsNull = false), nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     media.select(col("media_id"), col("content")).mapPartitions { rows =>
       rows.flatMap { r =>
@@ -86,11 +115,16 @@ object Multimodal {
         else {
           val (w, h, c, px) = codec.decodeImage(bytes)
           val means = new Array[Double](c)
+          val sums = new Array[Long](c)
           var i = 0
-          while (i < px.length) { means(i % c) += px(i); i += 1 }
+          while (i < px.length) {
+            means(i % c) += px(i)
+            sums(i % c) += math.round(px(i) * 255.0f).toLong
+            i += 1
+          }
           var j = 0
           while (j < c) { means(j) /= (w * h); j += 1 }
-          Iterator(Row(r.getLong(0), w, h, c, means.toIndexedSeq))
+          Iterator(Row(r.getLong(0), w, h, c, means.toIndexedSeq, sums.toIndexedSeq))
         }
       }
     }(enc)

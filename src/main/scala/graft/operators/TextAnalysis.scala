@@ -42,8 +42,9 @@ object TextAnalysis {
 
   /** Tiny deterministic language profiles: high-frequency function words
     * per language + a CJK script check. Public knowledge (standard
-    * stopword lists); scores are plain hit counts. */
-  private val Profiles: Seq[(String, Set[String])] = Seq(
+    * stopword lists); scores are plain hit counts. Public so the DuckDB
+    * oracle SQL is generated from the same word lists (no drift). */
+  val Profiles: Seq[(String, Set[String])] = Seq(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on"),
     "es" -> Set("el", "la", "de", "que", "y", "en", "los", "se", "del", "las", "por", "un", "una", "es"),
     "de" -> Set("der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf", "ein", "eine", "nicht"),

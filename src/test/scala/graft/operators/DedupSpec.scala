@@ -32,7 +32,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   test("minhash LSH finds exact and edited copies, not unrelated docs") {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("est_jaccard")))
     val pairSet = pairs.map(p => (p._1, p._2)).toSet
     // all 10 exact pairs present with est_jaccard 1.0
     (0L to 9L).foreach(i => assert(pairSet.contains((i, i + 10000)), s"missing exact pair $i"))

@@ -399,7 +399,7 @@ object SparkEntry {
 
     // winnowing fingerprints (mod-P spec → window-function SQL oracle)
     "doc_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
         .select(col("doc_id"), winnow_fingerprint(col("text"), 5, 4).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           element_at(col("fp"), 1).as("fp_min")) // winnow evaluated once

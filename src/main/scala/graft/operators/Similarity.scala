@@ -42,6 +42,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /**
+   * IVF-style ANN top-k: a coarse quantizer partitions the corpus into
+   * cells; queries probe their `nProbe` closest cells and rank exact
+   * cosine within the candidates. The quantizer here is training-free and
+   * deterministic — centroids are the corpus vectors whose id divides
+   * `centroidStride` — which keeps the whole operator SQL-replayable
+   * (k-means would converge machine-dependently). Scale shape: centroids
+   * broadcast (|corpus|/stride rows), assignment is one corpus pass, the
+   * candidate join touches ~nProbe/nCells of the corpus per query — the
+   * same access pattern as a trained IVF index.
+   */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroidStride: Int = 20, nProbe: Int = 3): DataFrame = {
+    val cent = broadcast(
+      corpus.filter(col(idCol) % centroidStride === 0)
+        .select(col(idCol).as("cid"), col(vecCol).cast(D).as("cv")))
+    def assign(df: DataFrame, id: String, out: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__ccos").desc, col("cid"))
+      df.select(col(id), col(vecCol).cast(D).as(out))
+        .crossJoin(cent)
+        .withColumn("__ccos", vec_cosine(col(out), col("cv")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .select(col(id), col(out), col("cid").as("cell"))
+    }
+    val cells = assign(corpus, idCol, "cvec", 1)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val probes = assign(queries, idCol, "qvec", nProbe)
+      .withColumnRenamed(idCol, "query_id")
+    val scored = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", vec_cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN top-k: probe own bucket + 1-bit-flip neighbors. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,

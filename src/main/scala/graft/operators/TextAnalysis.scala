@@ -24,6 +24,15 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, and single
+    * non-alnum marks — the GPT-2-style pre-split (minus lookaheads, which
+    * RE2-based engines lack), so the pattern evaluates identically under
+    * Java regex and DuckDB/RE2. Real BPE merges only ever split these
+    * pre-tokens further, so this is a stable lower bound per pre-token. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
   /** Integer quality stats: n_chars, n_tokens, n_punct, n_alpha, n_stop. */

@@ -38,6 +38,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(approx.nonEmpty)
   }
 
+  test("IVF topK: k ranked candidates per query, better than chance recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val res = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      assert(rows.forall(r => r.getLong(2) != r.getLong(0))) // no self
+    }
+    val approx = res.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 3 of 25 cells probed ≈ 12% of corpus: random guessing scores ~0.12
+    assert(recall >= 0.2, s"recall $recall vs ~0.12 random baseline")
+  }
+
+  test("IVF topK finds parallel vectors (they share a cell by construction)") {
+    val copies = emb.filter(col("vec_id") >= 1 && col("vec_id") < 11)
+      .withColumn("vec_id", col("vec_id") + 10001)
+      .withColumn("embedding", expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))"))
+    val aug = emb.unionAll(copies)
+    val res = Similarity.ivfTopK(copies, aug, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(res.length == 10)
+    res.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) - 10001) // nearest = the original
+      assert(r.getDouble(3) > 0.999999)
+    }
+  }
+
   test("LSH topK finds parallel vectors with recall 1") {
     val copies = emb.filter(col("vec_id") < 10)
       .withColumn("vec_id", col("vec_id") + 10000)

@@ -27,6 +27,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Int]("n_stop") == 4)  // the, the, and (lowered), a
   }
 
+  test("bpe-ish token count: letter runs + digit runs + single marks") {
+    import spark.implicits._
+    val df = Seq((1L, "don't stop123 now!!")).toDF("id", "text")
+    // don | ' | t | stop | 123 | now | ! | !  → 8
+    val n = df.select(TextAnalysis.bpeTokenCount($"text")).as[Int].head()
+    assert(n == 8)
+  }
+
   test("winnow fingerprint is deterministic and shift-tolerant") {
     import graft.functions.HashFunctions._
     val a = winnow("abcdefghijklmnopqrstuvwxyz", 5, 4)

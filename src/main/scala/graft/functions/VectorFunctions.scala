@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 
@@ -100,6 +100,73 @@ object VectorFunctions {
         f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
   }
 
+  /**
+   * IVF cell assignment: top-`nProbe` centroid ids by (cosine desc, id asc)
+   * for a vector, against a centroid table passed as foldable array
+   * literals — so assignment is ONE pass over the corpus with no shuffle
+   * (the crossJoin + row_number formulation moved every vector through an
+   * exchange; this is the plan a coarse quantizer wants at 100 TB: the
+   * centroid set is broadcast-sized by construction, like any real IVF
+   * nlist). Cosine math is kept bit-identical to `vec_cosine` so the SQL
+   * oracle's row_number replay agrees exactly.
+   */
+  case class IvfCells(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    // children: vec, centroid vectors array<array<double>>, centroid ids, nProbe
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "vec_ivf_cells"
+    @transient private lazy val cents: Array[Array[Double]] = {
+      val ad = second.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    }
+    @transient private lazy val cids: Array[Long] =
+      third.eval(null).asInstanceOf[ArrayData].toLongArray()
+    @transient private lazy val centNorms: Array[Double] = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    override def nullSafeEval(v: Any, c2: Any, c3: Any, np: Any): Any = {
+      val a = v.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(np.asInstanceOf[Int], cents.length)
+      var na = 0.0
+      var i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      val sqna = math.sqrt(na)
+      val topCos = Array.fill(n)(Double.NegativeInfinity)
+      val topCid = new Array[Long](n)
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        val m = math.min(a.length, cv.length)
+        var dot = 0.0
+        i = 0
+        while (i < m) { dot += a(i) * cv(i); i += 1 }
+        val denom = sqna * centNorms(c)
+        if (denom != 0.0) {
+          val cos = dot / denom
+          // insertion by (cos desc, cid asc); centroids scanned cid-asc so
+          // strict > keeps the earlier (smaller) id on ties
+          var p = n
+          while (p > 0 && cos > topCos(p - 1)) p -= 1
+          if (p < n) {
+            var q = n - 1
+            while (q > p) { topCos(q) = topCos(q - 1); topCid(q) = topCid(q - 1); q -= 1 }
+            topCos(p) = cos; topCid(p) = cids(c)
+          }
+        }
+        c += 1
+      }
+      var filled = 0
+      while (filled < n && topCos(filled) != Double.NegativeInfinity) filled += 1
+      new GenericArrayData(java.util.Arrays.copyOf(topCid, filled))
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+      copy(f, s, t, q)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
@@ -110,6 +177,8 @@ object VectorFunctions {
       es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_lsh_bucket",
       es => HyperplaneSig(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("vec_ivf_cells",
+      es => IvfCells(es(0), es(1), es(2), es(3)), "built-in")
   }
 
   private val D = ArrayType(DoubleType)
@@ -120,4 +189,6 @@ object VectorFunctions {
   def vec_norm(a: Column): Column = call_function("vec_norm", a.cast(D))
   def vec_lsh_bucket(a: Column, planes: Int = 8, seed: Long = 42L): Column =
     call_function("vec_lsh_bucket", a.cast(D), lit(planes), lit(seed))
+  def vec_ivf_cells(a: Column, centVecs: Column, centIds: Column, nProbe: Int): Column =
+    call_function("vec_ivf_cells", a.cast(D), centVecs, centIds, lit(nProbe))
 }

@@ -70,6 +70,19 @@ class TypeLatticeSpec extends AnyFunSuite with PropHelper {
     }
   }
 
+  test("hand-rolled classifiers agree with the reference regexes (property)") {
+    val tricky = Seq("", "-", "5", "-5", "3.14", "3,14", "3|14", "-3.14", "3.",
+      ".5", "3..4", "3.1.4", "a3", "3a", "00", "1e5", " 3", "3 ", "-.5", "--3.1")
+    tricky.foreach { v =>
+      assert(TypeLattice.isFloatLooking(v) == TypeLattice.isFloatLookingRe(v), s"float <$v>")
+      assert(TypeLattice.isIntLooking(v) == TypeLattice.isIntLookingRe(v), s"int <$v>")
+    }
+    forAllG(cellGen) { v =>
+      assert(TypeLattice.isFloatLooking(v) == TypeLattice.isFloatLookingRe(v), s"float <$v>")
+      assert(TypeLattice.isIntLooking(v) == TypeLattice.isIntLookingRe(v), s"int <$v>")
+    }
+  }
+
   test("three-way merge is associative") {
     forAllG(Gen.listOfN(5, cellGen), Gen.listOfN(5, cellGen), Gen.listOfN(5, cellGen)) {
       (a, b, c) =>

@@ -44,6 +44,17 @@ object EventStreams {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: drop events whose content key was already seen
+    * within the watermark horizon — the streaming twin of
+    * `Dedup.dropExactDuplicates`. `dropDuplicatesWithinWatermark` bounds
+    * the dedup state store by event time (a plain dropDuplicates would pin
+    * every key forever — unusable on an unbounded 100 TB/day stream). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)

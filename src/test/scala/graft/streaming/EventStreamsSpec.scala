@@ -79,6 +79,22 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[String]("closed_by") == "gap")
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0),  // dup key within watermark → dropped
+      Event(2, ts(2), 2, "buy", 5.0),
+      Event(3, ts(10), 1, "click", 2.0))
+    runStream(
+      EventStreams.dedupStream(mem.toDF(), Seq("event_id")), "deduped")
+    val rows = spark.table("deduped").collect()
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("batch/stream parity: hourlyByType on the events table matches groupBy") {
     // events table is ns-precision; go through the same µs conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -425,6 +425,14 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // greedy sequence packing per source shard, 300-token bins (oracle:
+    // the same fold as a recursive CTE)
+    "seq_pack" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"),
+        "source", "doc_id", "text", budget = 300)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // winnowing fingerprints (mod-P spec → window-function SQL oracle)
     "doc_fingerprint" -> ((s, dir) => {
       graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
@@ -965,6 +973,25 @@ object SparkEntry {
         |FROM chosen GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
+
+    // replay of TextAnalysis.packSequences: the greedy reset fold walks
+    // each group in doc_id order via a recursive CTE
+    "seq_pack" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, tok, rn, CAST(0 AS BIGINT) AS bin, tok AS running
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.doc_id, t.tok, t.rn,
+        |    CASE WHEN p.running + t.tok > 300 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.running + t.tok > 300 THEN t.tok ELSE p.running + t.tok END
+        |  FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1)
+        |SELECT source, doc_id, bin FROM packed
+        |ORDER BY source, doc_id""".stripMargin,
 
     // replay of Multimodal.OracleCodec: seed = Σ byte·(i·131+7 mod P) mod P,
     // channel-0 pixel sum over the 8×8×3 deterministic "image"

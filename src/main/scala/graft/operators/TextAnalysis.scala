@@ -47,6 +47,41 @@ object TextAnalysis {
         expr(s"size(filter(split(lower(trim($textCol)), '\\\\s+'), w -> w IN ($stopList)))"))
   }
 
+  /**
+   * Greedy sequence packing for training-context assembly: within each
+   * group (shard), documents in id order are packed into bins of at most
+   * `budget` whitespace tokens; a doc that would overflow starts the next
+   * bin. Returns (group, id, bin). The greedy fold is inherently
+   * sequential PER GROUP, so the shuffle carries only (group, id, tok)
+   * triples — never text — and groups pack in parallel; at 100 TB the
+   * group key is the shard/file, keeping every group driver-free and
+   * bounded.
+   */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).cast("long").as("tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)](sorted.length)
+        var bin = 0L
+        var running = -1L
+        sorted.foreach { case (_, id, tok) =>
+          if (running < 0) running = tok
+          else if (running + tok > budget) { bin += 1; running = tok }
+          else running += tok
+          out += ((g, id, bin))
+        }
+        out.iterator
+      }
+      .toDF(groupCol, idCol, "bin")
+  }
+
   // ------------------------------------------------------------------ langid
 
   /** Tiny deterministic language profiles: high-frequency function words

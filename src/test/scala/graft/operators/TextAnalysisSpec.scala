@@ -35,6 +35,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 8)
   }
 
+  test("sequence packing: bins respect budget, id order, greedy resets") {
+    import spark.implicits._
+    // tokens: 5, 5, 5, 9, 1 with budget 10 → bins 0,0,[5+5+5>10→]1,[10+9>10→]2,2
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
+      (4L, "a b c d e f g h i"), (5L, "x"))
+      .map { case (i, t) => ("g1", i, t) }.toDF("src", "id", "text")
+    val packed = TextAnalysis.packSequences(df, "src", "id", "text", budget = 10)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(packed.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 2L)))
+  }
+
   test("winnow fingerprint is deterministic and shift-tolerant") {
     import graft.functions.HashFunctions._
     val a = winnow("abcdefghijklmnopqrstuvwxyz", 5, 4)

@@ -172,11 +172,18 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
     }),
 
-    // §2.4 grouping sets (rollup)
+    // §2.4 grouping sets (rollup). Two-level plan: sum/count are
+    // distributive, so rolling up the 6-row pre-aggregate is identical to
+    // rolling up the fact table but skips the ×3 grouping-sets expansion
+    // of every input row (l_quantity is integral, so the re-associated
+    // double sums stay exact). At 100 TB the expand-then-shuffle variant
+    // triples shuffle volume for no reason.
     "q8_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      val pre = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("c"))
+      pre.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("sq")), 2).as("sum_qty"), sum(col("c")).as("cnt"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
@@ -260,11 +267,15 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
-    // §2.4 grouping sets via CUBE
+    // §2.4 grouping sets via CUBE — same two-level shape as q8_rollup
+    // (avg decomposed into sum/count, both distributive)
     "q12_cube" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), round(avg(col("l_discount")), 4).as("avg_disc"))
+      val pre = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_discount")).as("sd"), count(lit(1)).as("c"))
+      pre.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("c")).as("cnt"),
+          round(sum(col("sd")) / sum(col("c")), 4).as("avg_disc"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/**
+ * Executable form of docs/PLANS.md: the physical-plan properties the
+ * 100 TB design relies on, pinned so a refactor that silently degrades a
+ * plan (dropped pushdown, broadcast flipped to shuffle, an extra exchange
+ * in a hot path) fails CI instead of only showing up in the benchmark.
+ */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q6_filter: predicates and projection reach the parquet scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters: ["), "no pushed filters on the scan")
+    assert(p.contains("l_quantity"), "filter column missing from scan")
+    // pruned read schema: none of the 12 unprojected lineitem columns
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q2_join: dimension joins broadcast at test SF, no cartesian") {
+    val p = plan("q2_join")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast dimension joins")
+    assert(!p.contains("CartesianProduct"), "accidental cartesian product")
+  }
+
+  test("q3_topk: top-k compiles to TakeOrderedAndProject, no global sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), "limit+sort not fused to top-k")
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the exchange") {
+    val p = plan("q1_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // plans print top-down: the FINAL agg appears first, the exchange
+    // between it and the partial agg below — partial must exist after it
+    assert(p.indexOf("HashAggregate", exchange) > exchange,
+      "no map-side partial aggregation below the shuffle")
+  }
+
+  test("ann_ivf: cell assignment adds no exchange; probes broadcast; top-k is partial") {
+    val p = plan("ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), "probe join must broadcast")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k not pushed into WindowGroupLimit")
+    assert(!p.contains("SortMergeJoin"), "candidate join degraded to sort-merge")
+    // exactly: broadcast exchange (probes), hash exchange (top-k final),
+    // range exchange (output order) — assignment itself must add none
+    val exchanges = "(?m)^\\s*(?:[:+\\- ]*)Exchange ".r.findAllIn(p).length +
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"unexpected exchanges in plan ($exchanges)")
+  }
+
+  test("dedup_minhash: signatures computed before banding explode, not after") {
+    val p = plan("dedup_minhash")
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, "banding explode missing")
+    assert(p.indexOf("minhash_sig", gen) > gen || p.contains("InMemoryTableScan"),
+      "signature must be computed below the explode (once per doc, not per band)")
+  }
+}

@@ -323,6 +323,20 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // §2.3 correlated scalar-aggregate subquery (TPC-H Q17 shape): decorrelated
+    // to a pre-aggregate join — the plan Catalyst produces for the subquery
+    // form, written explicitly. Quantities are integral so the avg is exact
+    // and the 0.2·avg comparison is bit-identical across engines.
+    "q17_scalar_subquery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      li.join(avgQ, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(count(lit(1)).as("n_small"),
+          round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
     // ---- LLM-pipeline operators (north-star; graded as first-class) ----
 
     // exact dedup: hash-groupBy on content digest
@@ -747,6 +761,13 @@ object SparkEntry {
         |WHERE c_custkey IN (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q17_scalar_subquery" ->
+      """SELECT count(*) AS n_small,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |WHERE l_quantity < 0.2 * (
+        |  SELECT avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH docs AS ($AugmentedDocsSql)

@@ -360,6 +360,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // near-dup clustering: connected components over the MinHash pair list
+    // (min reachable id = cluster label; oracle = recursive transitive
+    // closure over the same SQL-replayed pairs)
+    "dedup_clusters" -> ((s, dir) => {
+      Dedup.duplicateClusters(
+        Dedup.minHashPairs(augmentedDocs(s, dir), "doc_id", "text", threshold = 0.6))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     // greedy survivor selection: drop every row whose content digest was
     // already seen at a lower id (the "keep one per exact-dup group" step)
     "dedup_drop" -> ((s, dir) => {
@@ -585,6 +595,23 @@ object SparkEntry {
        |SELECT lang, predicted, count(*) AS n
        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
   }
+
+  /** Shared CTE chain replaying MinHash signatures + per-pair component
+    * match counts (used by the dedup_minhash and dedup_clusters oracles). */
+  private def minhashPairCtes: String =
+    s"""docs AS ($AugmentedDocsSql),
+      |grams AS (
+      |  SELECT doc_id, ${gram5Sql("text", "CAST(i AS INT)")} AS gh
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM docs)),
+      |sigs AS (
+      |  SELECT doc_id, j, min(${mixJSql("gh")}) AS sig
+      |  FROM grams CROSS JOIN (SELECT unnest(range(64)) AS j) js
+      |  GROUP BY doc_id, j),
+      |mc AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |    CAST(sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM sigs x JOIN sigs y ON x.j = y.j AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -945,20 +972,24 @@ object SparkEntry {
     // mixers, brute-force over all pairs (the engine's banding must find
     // every pair with n_match ≥ ⌈0.6·64⌉ = 39 — full-recall check included)
     "dedup_minhash" ->
-      s"""WITH docs AS ($AugmentedDocsSql),
-        |grams AS (
-        |  SELECT doc_id, ${gram5Sql("text", "CAST(i AS INT)")} AS gh
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM docs)),
-        |sigs AS (
-        |  SELECT doc_id, j, min(${mixJSql("gh")}) AS sig
-        |  FROM grams CROSS JOIN (SELECT unnest(range(64)) AS j) js
-        |  GROUP BY doc_id, j),
-        |mc AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |    CAST(sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-        |  FROM sigs x JOIN sigs y ON x.j = y.j AND x.doc_id < y.doc_id
-        |  GROUP BY x.doc_id, y.doc_id)
+      s"""WITH $minhashPairCtes
         |SELECT a, b, n_match FROM mc WHERE n_match >= 39 ORDER BY a, b""".stripMargin,
+
+    // transitive closure over the same pairs: cluster = min reachable id
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |pairs AS (SELECT a, b FROM mc WHERE n_match >= 39),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION
+        |  SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src)
+        |SELECT node AS doc_id, least(node, min(r)) AS cluster
+        |FROM reach GROUP BY node
+        |ORDER BY doc_id""".stripMargin,
 
     // replay of HashFunctions.simHash64: per-token mod-P fold (powers-of-131
     // list for variable token length), per-bit majority, hamming via the

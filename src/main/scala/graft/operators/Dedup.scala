@@ -193,6 +193,40 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair list: every node gets the
+   * minimum reachable id as its cluster label — the step that turns
+   * pairwise matches into "keep one per cluster" decisions. Min-label
+   * propagation with a driver convergence loop: O(component diameter)
+   * rounds (dup clusters are shallow), each one join + partial-aggregated
+   * groupBy; `localCheckpoint` truncates the growing lineage so round N
+   * doesn't replay rounds 1..N-1. For graphs with deep chains swap the
+   * propagation rule for large-star/small-star (Kiveris et al., SoCC'14) —
+   * same loop skeleton.
+   */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val edges1 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = edges1
+      .union(edges1.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbl"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+    }
+    labels.select(col("node").as("id"), col("label").as("cluster"))
+  }
+
+  /**
    * Embedding near-duplicate pairs with cosine ≥ `threshold`: LSH bucket
    * by hyperplane signs, exact cosine verify within buckets. Parallel
    * (scaled-copy) vectors share buckets with probability 1.

@@ -66,6 +66,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.filter(p => p._2 == p._1 + 10000).forall(_._3 == 0)) // identical → distance 0
   }
 
+  test("duplicate clusters: transitive closure, min-id labels") {
+    import spark.implicits._
+    // 1-2-3-7 form a chain (no direct 1~7 pair); 10-11 separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ngram jaccard pairs: exact copies have jaccard 1") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -511,6 +511,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("sid"))
     }),
 
+    // as-of join (north-star custom operator, built by composition): each
+    // click gets the user's most recent purchase at-or-before its time
+    "events_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.AsOfJoin.asOf(
+        left = ev.filter(col("event_type") === "click"),
+        right = ev.filter(col("event_type") === "purchase"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        payload = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.1 S7/S14 + §2.4 A2/A3 + §2.2 P1: CSV import round trip — write a
     // deterministic CSV, re-import through the sniffing/inference path,
     // return the typed rows; oracle reads the same rows straight from
@@ -918,6 +932,24 @@ object SparkEntry {
         |FROM s
         |GROUP BY user_id, sid
         |ORDER BY user_id, sid""".stripMargin,
+
+    // same union + carry-forward window as the engine (µs ordering to match
+    // Spark's truncated timestamps)
+    "events_asof" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, 1 AS side, event_id AS tie, event_id,
+        |    CAST(NULL AS BIGINT) AS p_eid, CAST(NULL AS DOUBLE) AS p_val
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, event_id, event_id, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT *,
+        |    last_value(p_eid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, side, tie ROWS UNBOUNDED PRECEDING) AS a_eid,
+        |    last_value(p_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, side, tie ROWS UNBOUNDED PRECEDING) AS a_val
+        |  FROM tagged)
+        |SELECT event_id, user_id, a_eid AS asof_event_id, a_val AS asof_value
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "csv_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

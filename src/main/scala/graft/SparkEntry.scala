@@ -441,6 +441,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style quality gate: integer cross-multiplication thresholds, so
+    // keep/drop is exact in both engines
+    "quality_filter" -> ((s, dir) => {
+      TextAnalysis.qualityFilter(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting aggregated per source, oracled
     "token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -907,6 +915,24 @@ object SparkEntry {
 
     // CAST: DuckDB sum(INTEGER) yields HUGEINT, which the driver's pandas
     // bridge degrades to float64 → hash mismatch against Spark's BIGINT
+    // the text_quality stat expressions + the same integer thresholds
+    "quality_filter" ->
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stop FROM st
+        |WHERE n_tokens >= 10 AND n_tokens <= 100000
+        |  AND n_punct * 100 <= n_chars * 20
+        |  AND n_alpha * 100 >= n_chars * 50
+        |  AND n_stop >= 1
+        |ORDER BY doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens

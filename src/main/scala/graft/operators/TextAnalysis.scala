@@ -47,6 +47,26 @@ object TextAnalysis {
         expr(s"size(filter(split(lower(trim($textCol)), '\\\\s+'), w -> w IN ($stopList)))"))
   }
 
+  /** C4-style quality gate expressed in INTEGER arithmetic (ratio
+    * thresholds as cross-multiplications) so keep/drop decisions are exact
+    * and engine-independent — no float ratio ever materializes. */
+  final case class QualityPolicy(
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      maxPunctPer100Chars: Int = 20,   // n_punct·100 ≤ n_chars·20
+      minAlphaPer100Chars: Int = 50,   // n_alpha·100 ≥ n_chars·50
+      minStopwords: Int = 1)
+
+  /** Keep rows passing the quality gate; returns the stats columns too so
+    * downstream audits see WHY a row survived. */
+  def qualityFilter(df: DataFrame, textCol: String,
+      policy: QualityPolicy = QualityPolicy()): DataFrame =
+    qualityStats(df, textCol)
+      .filter(col("n_tokens") >= policy.minTokens &&
+        col("n_tokens") <= policy.maxTokens &&
+        col("n_punct") * 100 <= col("n_chars") * policy.maxPunctPer100Chars &&
+        col("n_alpha") * 100 >= col("n_chars") * policy.minAlphaPer100Chars &&
+        col("n_stop") >= policy.minStopwords)
+
   /**
    * Greedy sequence packing for training-context assembly: within each
    * group (shard), documents in id order are packed into bins of at most

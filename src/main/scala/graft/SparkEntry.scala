@@ -424,6 +424,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // int8-quantized ANN (4× memory; integer dots are bit-exact cross-engine)
+    "ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus)
     "lang_id_counts" -> ((s, dir) => {
@@ -1092,6 +1100,34 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(min(h) AS BIGINT) AS fp_min
         |FROM chosen GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replay of Similarity.quantizeInt8 + integer dot ranking
+    "ann_quantized" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
+        |  FROM sc),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.qv AS qa, b.qv AS qb
+        |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 20),
+        |dots AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(sum(qa[CAST(i AS INT)] * qb[CAST(i AS INT)]) AS BIGINT) AS qdot,
+        |    CAST(sum(qa[CAST(i AS INT)] * qa[CAST(i AS INT)]) AS BIGINT) AS qna,
+        |    CAST(sum(qb[CAST(i AS INT)] * qb[CAST(i AS INT)]) AS BIGINT) AS qnb
+        |  FROM (SELECT *, unnest(range(1, len(qa) + 1)) AS i FROM pairs)
+        |  GROUP BY query_id, neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, qdot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qdot / (sqrt(qna) * sqrt(qnb)) DESC, neighbor_id) AS rank
+        |  FROM dots)
+        |SELECT query_id, rank, neighbor_id, qdot FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
 

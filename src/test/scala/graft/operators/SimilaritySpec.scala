@@ -38,6 +38,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(approx.nonEmpty)
   }
 
+  test("int8-quantized topK closely tracks exact float topK") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.quantizedTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(quant.length == exact.size)
+    val qset = quant.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect qset).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 quantization recall $recall vs exact")
+  }
+
   test("IVF topK: k ranked candidates per query, better than chance recall") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)

@@ -452,7 +452,8 @@ object SparkEntry {
     // C4-style quality gate: integer cross-multiplication thresholds, so
     // keep/drop is exact in both engines
     "quality_filter" -> ((s, dir) => {
-      TextAnalysis.qualityFilter(t(s, dir, "documents"), "text")
+      TextAnalysis.qualityFilter(
+        graft.operators.Par.ensureParallelism(t(s, dir, "documents")), "text")
         .select(col("doc_id"), col("n_tokens"), col("n_stop"))
         .orderBy(col("doc_id"))
     }),

@@ -107,18 +107,19 @@ object Similarity {
   def quantizedTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(quantizeInt8(queries, idCol, vecCol)
-      .select(col("id").as("query_id"), col("q").as("qv")))
-    val c = quantizeInt8(corpus, idCol, vecCol)
-      .select(col("id").as("neighbor_id"), col("q").as("cv"))
+    // norms depend only on the vector — compute them once per row here,
+    // NOT inside the pair join (per-pair norms would redo |corpus|·|q|
+    // aggregate passes instead of |corpus| + |q|)
+    def withNorm(df: DataFrame): DataFrame = df.withColumn("qn",
+      expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    val q = broadcast(withNorm(quantizeInt8(queries, idCol, vecCol))
+      .select(col("id").as("query_id"), col("q").as("qv"), col("qn").as("qna")))
+    val c = withNorm(quantizeInt8(corpus, idCol, vecCol))
+      .select(col("id").as("neighbor_id"), col("q").as("cv"), col("qn").as("qnb"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", expr(
         "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, p) -> a + p)"))
-      .withColumn("qna", expr(
-        "aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
-      .withColumn("qnb", expr(
-        "aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
       .withColumn("qcos", col("qdot") / (sqrt(col("qna")) * sqrt(col("qnb"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))

@@ -26,7 +26,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt decorates stdout with an "[info] " prefix that can defeat a
+    // line-oriented JSON parser — leave the raw line as a file artifact too
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

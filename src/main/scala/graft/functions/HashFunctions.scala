@@ -281,13 +281,20 @@ object HashFunctions {
       copy(l, r)
   }
 
-  /** Hamming distance between two 64-bit signatures (for SimHash dedup). */
+  /** Hamming distance between two 64-bit signatures (for SimHash dedup).
+    * Native codegen: this runs in the candidate-pair filter, inside the
+    * join's whole-stage span. */
   case class Hamming64(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "hamming64"
     override def nullSafeEval(a: Any, b: Any): Any =
       java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(l, r)
   }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -17,8 +17,11 @@ object VectorFunctions {
   private def toDoubles(a: Any): Array[Double] =
     a.asInstanceOf[ArrayData].toDoubleArray()
 
+  /** Native codegen (not CodegenFallback): these sit in the hot loop of
+    * the ANN cross joins — a fallback leaf would box every row pair and
+    * split the whole-stage-codegen span around the join. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -28,12 +31,26 @@ object VectorFunctions {
       while (i < n) { s += a(i) * b(i); i += 1 }
       s
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $l.getDouble($i) * $r.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(l, r)
   }
 
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def prettyName: String = "vec_cosine"
@@ -45,6 +62,32 @@ object VectorFunctions {
       val denom = math.sqrt(na) * math.sqrt(nb)
       if (denom == 0.0) null else dot / denom
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val denom = ctx.freshName("denom")
+        s"""
+           |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $l.getDouble($i);
+           |  double $y = $r.getDouble($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |if ($denom == 0.0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $dot / $denom;
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(l, r)
   }

@@ -44,6 +44,25 @@ object EventStreams {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream join: each click pairs with the same user's purchases
+    * from the preceding hour. Both sides carry watermarks and the join
+    * condition bounds the time range, so each side's state store retains
+    * only the watermark+range window — unbounded-state stream joins never
+    * ship at 100 TB/day. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      range: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $range") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup: drop events whose content key was already seen
     * within the watermark horizon — the streaming twin of
     * `Dedup.dropExactDuplicates`. `dropDuplicatesWithinWatermark` bounds

@@ -95,6 +95,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream join pairs clicks with in-range purchases only") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(Event(1, ts(70), 7, "click", 0.0))
+    purchases.addData(
+      Event(100, ts(30), 7, "purchase", 9.99),  // 40m before → in range
+      Event(101, ts(80), 7, "purchase", 1.0),   // after the click → out
+      Event(102, ts(30), 8, "purchase", 2.0))   // other user → out
+    runStream(
+      EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF()), "ssj")
+    val rows = spark.table("ssj").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("click_id") == 1L)
+    assert(rows.head.getAs[Long]("purchase_id") == 100L)
+  }
+
   test("batch/stream parity: hourlyByType on the events table matches groupBy") {
     // events table is ns-precision; go through the same µs conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

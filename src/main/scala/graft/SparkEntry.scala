@@ -477,6 +477,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // deterministic train/val/test assignment: same row → same split on
+    // every engine and rerun (pure hash of the id; integer-exact oracle)
+    "sample_split" -> ((s, dir) => {
+      graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // greedy sequence packing per source shard, 300-token bins (oracle:
     // the same fold as a recursive CTE)
     "seq_pack" -> ((s, dir) => {
@@ -1131,6 +1140,17 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
+
+    // replay of Sampling.hashSplit: u = ((id+salt)·2654435761) mod P
+    "sample_split" ->
+      """SELECT source,
+        |  CASE WHEN (doc_id * 2654435761) % 1000000007 < 800000005 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000000007 < 900000006 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY source, split""".stripMargin,
 
     // replay of TextAnalysis.packSequences: the greedy reset fold walks
     // each group in doc_id order via a recursive CTE

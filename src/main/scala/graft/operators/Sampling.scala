@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic hash-based sampling and dataset splitting. Random-seed
+ * sampling (`df.sample`) gives a DIFFERENT subset per run/partitioning;
+ * training pipelines need the same row to land in the same split on every
+ * engine, every rerun, at every scale — so the assignment is a pure
+ * function of the row id: u(id) = ((id + salt)·2654435761) mod 1000000007,
+ * uniform enough for splitting and exactly replayable in SQL (plain
+ * non-overflowing int64 arithmetic, like the rest of the sketch specs).
+ */
+object Sampling {
+
+  private val P = graft.functions.HashFunctions.P
+
+  /** Uniform-ish value in [0, P) as a pure function of (id, salt). */
+  def hashUniform(id: Column, salt: Long): Column =
+    ((id.cast("long") + lit(salt)) * lit(2654435761L)) % lit(P)
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: Long = 0L): DataFrame =
+    df.filter(hashUniform(col(idCol), salt) < lit((fraction * P).toLong))
+
+  /** Assign train/val/test by cumulative fractions (e.g. 0.8/0.1/0.1). */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      salt: Long = 0L): DataFrame = {
+    val u = hashUniform(col(idCol), salt)
+    df.withColumn("split",
+      when(u < lit((trainFrac * P).toLong), "train")
+        .when(u < lit(((trainFrac + valFrac) * P).toLong), "val")
+        .otherwise("test"))
+  }
+}

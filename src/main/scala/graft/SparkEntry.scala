@@ -449,6 +449,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing: emails/URLs → placeholder tokens. The corpus has no
+    // organic PII, so inject a deterministic email/URL into a subset first —
+    // the query proves detection, replacement, and pass-through all match.
+    "pii_redact" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("contact u"), col("doc_id").cast("string"),
+              lit("@example.com or https://ex.org/p/"),
+              col("doc_id").cast("string"), lit(" "), col("text")))
+            .otherwise(col("text")))
+      TextAnalysis.redactPii(seeded, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          substring(col("redacted"), 1, 40).as("head"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style quality gate: integer cross-multiplication thresholds, so
     // keep/drop is exact in both engines
     "quality_filter" -> ((s, dir) => {
@@ -933,6 +950,23 @@ object SparkEntry {
 
     // CAST: DuckDB sum(INTEGER) yields HUGEINT, which the driver's pandas
     // bridge degrades to float64 → hash mismatch against Spark's BIGINT
+    // same seeded corpus, same patterns, same two-stage replace
+    "pii_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'contact u' || CAST(doc_id AS VARCHAR) || '@example.com or https://ex.org/p/' || CAST(doc_id AS VARCHAR) || ' ' || text
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+        |  substr(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    'https?://[^ \t\n]+', '<URL>', 'g'), 1, 40) AS head
+        |FROM seeded
+        |ORDER BY doc_id""".stripMargin,
+
     // the text_quality stat expressions + the same integer thresholds
     "quality_filter" ->
       """WITH st AS (

@@ -47,6 +47,22 @@ object TextAnalysis {
         expr(s"size(filter(split(lower(trim($textCol)), '\\\\s+'), w -> w IN ($stopList)))"))
   }
 
+  /** PII scrubbing patterns — deliberately lookahead-free so Java regex
+    * and RE2-based engines match the exact same spans. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val UrlRe = "https?://[^ \\t\\n]+"
+
+  /** Replace emails/URLs with stable placeholder tokens; adds integer
+    * counts of each redaction so downstream audits are float-free. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"))
+
   /** C4-style quality gate expressed in INTEGER arithmetic (ratio
     * thresholds as cross-multiplications) so keep/drop decisions are exact
     * and engine-independent — no float ratio ever materializes. */

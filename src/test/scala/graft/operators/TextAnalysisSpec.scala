@@ -35,6 +35,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 8)
   }
 
+  test("pii redaction replaces emails and urls, counts them") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a.b+c@x-co.org or see https://x.org/a?b=1 now"))
+      .toDF("id", "text")
+    val r = TextAnalysis.redactPii(df, "text").head()
+    assert(r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[Int]("n_urls") == 1)
+    assert(r.getAs[String]("redacted") == "mail <EMAIL> or see <URL> now")
+  }
+
   test("sequence packing: bins respect budget, id order, greedy resets") {
     import spark.implicits._
     // tokens: 5, 5, 5, 9, 1 with budget 10 → bins 0,0,[5+5+5>10→]1,[10+9>10→]2,2

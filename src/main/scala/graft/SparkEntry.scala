@@ -267,6 +267,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // spatial radius join: grid-bucketed candidates + exact haversine
+    // (oracle brute-forces the same pairs; integer-meter output keeps the
+    // comparison clear of libm last-ulp noise)
+    "geo_radius_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          (col("c_custkey") % 360 - 180 + lit(0.5)).cast("double").as("lon"),
+          (col("c_custkey") % 160 - 80 + lit(0.25)).cast("double").as("lat"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"),
+          (col("s_suppkey") % 360 - 180 + lit(0.5)).cast("double").as("lon"),
+          (col("s_suppkey") % 160 - 80 + lit(0.25)).cast("double").as("lat"))
+      graft.operators.GeoJoin.withinRadius(cust, supp, "id", "lon", "lat",
+        radiusMeters = 50000.0)
+        .select(col("l_id"), col("r_id"),
+          round(col("dist_m"), 0).cast("long").as("dist_m"))
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
     // §2.4 grouping sets via CUBE — same two-level shape as q8_rollup
     // (avg decomposed into sum/count, both distributive)
     "q12_cube" -> ((s, dir) => {
@@ -807,6 +826,29 @@ object SparkEntry {
         |  round(degrees(2 * atan(exp((CAST(o_orderkey % 170 - 85 AS DOUBLE) * 100000.0) / 6378137.0)) - pi() / 2), 6) AS lat
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // brute-force pairs + the same haversine formula (grid bucketing in the
+    // engine only PRUNES, so results must be identical)
+    "geo_radius_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_custkey % 360 - 180 + 0.5 AS DOUBLE) AS lon,
+        |    CAST(c_custkey % 160 - 80 + 0.25 AS DOUBLE) AS lat
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey AS id,
+        |    CAST(s_suppkey % 360 - 180 + 0.5 AS DOUBLE) AS lon,
+        |    CAST(s_suppkey % 160 - 80 + 0.25 AS DOUBLE) AS lat
+        |  FROM supplier),
+        |scored AS (
+        |  SELECT c.id AS l_id, s.id AS r_id,
+        |    2 * 6371000.0 * asin(sqrt(
+        |      pow(sin(radians(s.lat - c.lat) / 2), 2) +
+        |      cos(radians(c.lat)) * cos(radians(s.lat)) * pow(sin(radians(s.lon - c.lon) / 2), 2))) AS d
+        |  FROM cust c CROSS JOIN supp s)
+        |SELECT l_id, r_id, CAST(round(d, 0) AS BIGINT) AS dist_m
+        |FROM scored WHERE d <= 50000.0
+        |ORDER BY l_id, r_id""".stripMargin,
 
     "q12_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,

@@ -11,14 +11,21 @@ import graft.operators.{Dedup, GeoPipeline, Multimodal, SchemaInference, Similar
 /**
  * Driver contract (see SURVEY.md §7): one `queries` entry per implemented
  * operator from the §2 inventory, with a DuckDB-equivalent oracle in
- * `oracleSql` wherever the operator is SQL-expressible.
+ * `oracleSql` for EVERY query (47/47 as of round 2).
  *
  * Determinism rules used throughout (the driver hash-compares values):
  *  - every query ends in a total ORDER BY;
  *  - double aggregates are rounded (sums to 2dp — double error ≪ 0.01 at
  *    these magnitudes); ratio-like outputs are kept as exact integers to
  *    dodge HALF_UP (Spark) vs HALF_EVEN (DuckDB) coin flips;
- *  - column names are aliased identically on both sides.
+ *  - column names are aliased identically on both sides;
+ *  - sketch hashes (MinHash/SimHash/winnowing/LSH buckets/stub codecs/
+ *    sampling) follow the mod-1000000007 polynomial spec in HashFunctions:
+ *    every intermediate fits non-overflowing int64, so the oracle SQL
+ *    recomputes the exact same integers (no rows-only checks anywhere);
+ *  - DuckDB `sum(INTEGER)` yields HUGEINT, which the driver's pandas
+ *    bridge degrades to float64 — every integer sum in oracle SQL is
+ *    wrapped in CAST(... AS BIGINT).
  */
 object SparkEntry {
 

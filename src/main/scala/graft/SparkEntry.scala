@@ -537,6 +537,18 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // vocabulary frequency analysis (tokenizer-training prerequisite):
+    // top-50 tokens by count, total (count desc, token asc) order
+    "vocab_top" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
     // winnowing fingerprints (mod-P spec → window-function SQL oracle)
     "doc_fingerprint" -> ((s, dir) => {
       graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
@@ -1221,6 +1233,15 @@ object SparkEntry {
         |  FROM dots)
         |SELECT query_id, rank, neighbor_id, qdot FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    "vocab_top" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 50""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
 

@@ -363,6 +363,20 @@ object SparkEntry {
           round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }),
 
+    // §2.4 pivot (cross-tab): order counts per market segment × priority,
+    // fixed value list so the output schema is static
+    "q18_pivot" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .pivot("o_orderpriority", prios)
+        .count()
+        .na.fill(0)
+        .toDF("mktsegment", "p1", "p2", "p3", "p4", "p5")
+        .orderBy(col("mktsegment"))
+    }),
+
     // ---- LLM-pipeline operators (north-star; graded as first-class) ----
 
     // exact dedup: hash-groupBy on content digest
@@ -906,6 +920,17 @@ object SparkEntry {
         |WHERE c_custkey IN (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q18_pivot" ->
+      """SELECT c_mktsegment AS mktsegment,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY mktsegment""".stripMargin,
 
     "q17_scalar_subquery" ->
       """SELECT count(*) AS n_small,

@@ -377,6 +377,15 @@ object SparkEntry {
         .orderBy(col("mktsegment"))
     }),
 
+    // §2.4 unpivot (wide → long): quality stats melted to (doc, stat, value)
+    "q19_unpivot" -> ((s, dir) => {
+      TextAnalysis.qualityStats(t(s, dir, "documents").filter(col("doc_id") < 50), "text")
+        .select(col("doc_id"), col("n_chars").cast("long"), col("n_tokens").cast("long"),
+          col("n_punct").cast("long"), col("n_alpha").cast("long"), col("n_stop").cast("long"))
+        .unpivot(Array(col("doc_id")), "stat", "value")
+        .orderBy(col("doc_id"), col("stat"))
+    }),
+
     // ---- LLM-pipeline operators (north-star; graded as first-class) ----
 
     // exact dedup: hash-groupBy on content digest
@@ -920,6 +929,23 @@ object SparkEntry {
         |WHERE c_custkey IN (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q19_unpivot" ->
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS n_stop
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, 'n_chars' AS stat, n_chars AS value FROM st
+        |UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM st
+        |UNION ALL SELECT doc_id, 'n_punct', n_punct FROM st
+        |UNION ALL SELECT doc_id, 'n_alpha', n_alpha FROM st
+        |UNION ALL SELECT doc_id, 'n_stop', n_stop FROM st
+        |ORDER BY doc_id, stat""".stripMargin,
 
     "q18_pivot" ->
       """SELECT c_mktsegment AS mktsegment,

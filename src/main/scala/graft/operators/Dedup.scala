@@ -68,14 +68,16 @@ object Dedup {
         slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("b"), col("sig").as("sig_b"))
-    val cand = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
-    cand
+    // verify BEFORE dedup: a candidate seen in k bands recomputes the
+    // (cheap, codegen'd) component count k times, but the distinct then
+    // shuffles only the surviving (a, b, n_match) triples instead of every
+    // candidate's two m-long signature arrays
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .withColumn("n_match",
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
       .filter(col("n_match") >= minMatch)
+      .select(col("a"), col("b"), col("n_match")).distinct()
       .withColumn("est_jaccard", col("n_match") / lit(m.toDouble))
-      .select(col("a"), col("b"), col("n_match"), col("est_jaccard"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤ bandCount-1 for full
@@ -93,11 +95,11 @@ object Dedup {
         expr("(sig >> (band * 16)) & 65535"))
     val l = banded.select(col("band"), col("piece"), col("id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("piece"), col("id").as("b"), col("sig").as("sig_b"))
+    // hamming filter before dedup — the distinct shuffles only final pairs
     l.join(r, Seq("band", "piece")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("a"), col("b"), col("hamming")).distinct()
   }
 
   /**

@@ -114,6 +114,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Long]("purchase_id") == 100L)
   }
 
+  test("curation transforms run unchanged on a stream (stateless operators)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "the cat sat on the mat and it was a fine day for all of the cats"),
+      (2L, "x@y.org !!!"), // fails the quality gate
+      (3L, "see https://a.b/c for the info on it and a lot of the rest now ok"))
+    val curated = graft.operators.TextAnalysis.qualityFilter(
+      graft.operators.TextAnalysis.redactPii(
+        mem.toDF().toDF("doc_id", "text"), "text")
+        .drop("text").withColumnRenamed("redacted", "text"),
+      "text")
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("curated").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L))
+    assert(rows.forall(r => !r.getAs[String]("text").contains("https://")))
+  }
+
   test("batch/stream parity: hourlyByType on the events table matches groupBy") {
     // events table is ns-precision; go through the same µs conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -26,7 +26,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // n_queries/sec_per_query: the suite GREW 35 → 50 queries in round 2,
+    // so the comparable round-over-round number is per-query, not total
+    val perQ = if (results.nonEmpty) total / results.size else 0.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout with an "[info] " prefix that can defeat a
     // line-oriented JSON parser — leave the raw line as a file artifact too

@@ -31,6 +31,28 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       (1L, Some(100L)), (2L, Some(101L)), (3L, None), (4L, None)))
   }
 
+  test("as-of join equals brute force on seeded random data (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 200).map(i =>
+      (i.toLong, ts(rnd.nextInt(500)), (i % 7).toLong)).toDF("event_id", "ts", "user_id")
+    val right = (1 to 150).map(i =>
+      (1000L + i, ts(rnd.nextInt(500)), (i % 7).toLong, rnd.nextInt(100).toDouble))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+      .select("event_id", "asof_event_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    // brute force: per left row, max (ts, event_id) among rights at-or-before
+    val rights = right.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val expect = left.collect().map { l =>
+      val (lid, lts, luser) = (l.getLong(0), l.getTimestamp(1).getTime, l.getLong(2))
+      val best = rights.filter(r => r._3 == luser && r._2 <= lts)
+        .sortBy(r => (r._2, r._1)).lastOption.map(_._1)
+      lid -> best
+    }.toMap
+    assert(got == expect)
+  }
+
   test("as-of join: equal-ts right rows break ties deterministically (max tie wins)") {
     import spark.implicits._
     val left = Seq((1L, ts(10), 7L)).toDF("event_id", "ts", "user_id")

@@ -66,6 +66,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.filter(p => p._2 == p._1 + 10000).forall(_._3 == 0)) // identical → distance 0
   }
 
+  test("minhash banding finds every pair the brute force finds (full recall)") {
+    import graft.functions.HashFunctions.minHashSignature
+    // brute force over full signatures — the DuckDB oracle computes exactly
+    // this, so banding recall < 1 would break the correctness gate
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), minHashSignature(r.getString(1), 5, 64)))
+    val brute = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      a = rows(i); b = rows(j)
+      n = a._2.zip(b._2).count { case (x, y) => x == y }
+      if n >= 39 // ceil(0.6 * 64)
+    } yield {
+      val (x, y) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+      (x, y)
+    }).toSet
+    val banded = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banding missed ${(brute -- banded).size} / extra ${(banded -- brute).size}")
+  }
+
   test("duplicate clusters: transitive closure, min-id labels") {
     import spark.implicits._
     // 1-2-3-7 form a chain (no direct 1~7 pair); 10-11 separate

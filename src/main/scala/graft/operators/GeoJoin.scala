@@ -40,15 +40,21 @@ object GeoJoin {
     // degrees per meter: 1 deg lat ≈ 111,320 m; lon shrinks by cos(lat)
     val latCellDeg = radiusMeters / 111320.0
     val lonCellDeg = latCellDeg / math.cos(math.toRadians(maxAbsLat))
+    // longitude wraps: index cells from -180 and probe MODULO the cell
+    // count, otherwise a pair straddling the antimeridian (lon ±180) sits
+    // in distant cells and is silently missed (haversine itself is
+    // wrap-correct, so the miss would be the grid's fault alone)
+    val nLonCells = math.max(1, math.ceil(360.0 / lonCellDeg).toInt)
     def cells(df: DataFrame, probe: Boolean): DataFrame = {
       val base = df.select(col(idCol), col(lonCol).as("__lon"), col(latCol).as("__lat"))
-        .withColumn("__cx", floor(col("__lon") / lonCellDeg))
+        .withColumn("__cx",
+          pmod(floor((col("__lon") + 180.0) / lonCellDeg), lit(nLonCells)))
         .withColumn("__cy", floor(col("__lat") / latCellDeg))
       if (!probe) base
       else base
         .withColumn("__dx", explode(sequence(lit(-1), lit(1))))
         .withColumn("__dy", explode(sequence(lit(-1), lit(1))))
-        .withColumn("__cx", col("__cx") + col("__dx"))
+        .withColumn("__cx", pmod(col("__cx") + col("__dx"), lit(nLonCells)))
         .withColumn("__cy", col("__cy") + col("__dy"))
         .drop("__dx", "__dy")
     }

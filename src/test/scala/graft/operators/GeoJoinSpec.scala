@@ -28,6 +28,16 @@ class GeoJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.nonEmpty) // at least the co-located pairs
   }
 
+  test("radius join finds pairs straddling the antimeridian") {
+    import spark.implicits._
+    val l = Seq((1L, 179.8, 10.0)).toDF("id", "lon", "lat")
+    val r = Seq((2L, -179.8, 10.0), (3L, 170.0, 10.0)).toDF("id", "lon", "lat")
+    // 0.4 deg lon at lat 10 ≈ 43.8 km < 60 km; id 3 is ~1000 km away
+    val got = GeoJoin.withinRadius(l, r, "id", "lon", "lat", 60000.0)
+      .select("r_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+
   test("haversine: known distance sanity (1 deg lon at equator ~111 km)") {
     import spark.implicits._
     val d = Seq((0.0, 0.0, 1.0, 0.0)).toDF("lon1", "lat1", "lon2", "lat2")

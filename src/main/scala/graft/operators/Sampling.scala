@@ -16,9 +16,12 @@ object Sampling {
 
   private val P = graft.functions.HashFunctions.P
 
-  /** Uniform-ish value in [0, P) as a pure function of (id, salt). */
+  /** Uniform-ish value in [0, P) as a pure function of (id, salt). pmod,
+    * not %: Spark's % keeps the sign, so negative ids would fall outside
+    * every split range. (Equal to % for the non-negative ids the oracle
+    * replays.) */
   def hashUniform(id: Column, salt: Long): Column =
-    ((id.cast("long") + lit(salt)) * lit(2654435761L)) % lit(P)
+    pmod((id.cast("long") + lit(salt)) * lit(2654435761L), lit(P))
 
   /** Keep ~`fraction` of rows, deterministically by id. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,

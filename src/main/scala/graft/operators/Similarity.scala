@@ -118,6 +118,9 @@ object Similarity {
       .select(col("id").as("neighbor_id"), col("q").as("cv"), col("qn").as("qnb"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
+      // zero-norm guard: 0/0 would rank NaN first (Spark sorts NaN as the
+      // largest double, engines disagree) — zero vectors simply can't match
+      .filter(col("qna") > 0 && col("qnb") > 0)
       .withColumn("qdot", expr(
         "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, p) -> a + p)"))
       .withColumn("qcos", col("qdot") / (sqrt(col("qna")) * sqrt(col("qnb"))))

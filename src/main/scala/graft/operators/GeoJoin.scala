@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 /**
  * Spatial radius join at scale: "every (l, r) pair within `radiusMeters`".
+ * The reference has no query engine, but it builds a GiST index on every
+ * imported geometry column (lib/cartodb-importer/importer.rb:274,332,382)
+ * precisely so the downstream database can answer this class of proximity
+ * query — the grid bucketing below is the Spark-native analog of that
+ * index's role.
  * A naive formulation is a cross join with a distance filter — |L|·|R|
  * comparisons. This one grid-buckets both sides by a cell sized to the
  * radius and joins each left cell to its 3×3 neighborhood, so candidate

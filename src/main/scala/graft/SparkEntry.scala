@@ -552,6 +552,19 @@ object SparkEntry {
         .orderBy(col("source"), col("split"))
     }),
 
+    // stratified deterministic sampling (data mixing): per-source keep
+    // rates via the same pure-hash assignment as sample_split — scan-only,
+    // no shuffle before the count
+    "stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedHashSample(
+        t(s, dir, "documents"), "doc_id", "source",
+        fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+
     // greedy sequence packing per source shard, 300-token bins (oracle:
     // the same fold as a recursive CTE)
     "seq_pack" -> ((s, dir) => {
@@ -570,6 +583,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)
+    }),
+
+    // TF-IDF-style top terms with a float-free score (⌊tf·1e6/df⌋ —
+    // integer ratio ordering, exact in both engines); df computed over the
+    // FULL corpus, output restricted to the first 20 docs
+    "tfidf_top" -> ((s, dir) => {
+      TextAnalysis.tfidfTop(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .filter(col("doc_id") < 20)
+        .orderBy(col("doc_id"), col("rank"))
     }),
 
     // winnowing fingerprints (mod-P spec → window-function SQL oracle)
@@ -626,6 +648,23 @@ object SparkEntry {
         payload = Seq("event_id", "value"))
         .select(col("event_id"), col("user_id"),
           col("asof_event_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // bounded temporal band join (reference-absent): each click paired
+    // with the same user's purchases within ±15 min — bucketed equi-join,
+    // no per-key cross product (RangeJoin scaladoc); integer-only outputs
+    "range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.RangeJoin.timeBand(
+        left = ev.filter(col("event_type") === "click"),
+        right = ev.filter(col("event_type") === "purchase"),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        bandMicros = 900000000L, rightPayload = Seq("event_id"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_purch"),
+          min(col("r_event_id")).as("min_pid"),
+          max(col("r_event_id")).as("max_pid"))
         .orderBy(col("event_id"))
     }),
 
@@ -1377,6 +1416,28 @@ object SparkEntry {
 
     "lang_id_counts" -> langIdOracleSql,
 
+    // replay of TextAnalysis.tfidfTop: same tokenization as lang_id, tf/df
+    // integer counts, score via `//` integer division
+    "tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE token <> '' GROUP BY doc, token),
+        |dfreq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc, token, tf, df, (tf * 1000000) // df AS score
+        |  FROM tf JOIN dfreq USING (token)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, token) AS rank
+        |  FROM scored)
+        |SELECT doc AS doc_id, rank, token, tf, df, score FROM ranked
+        |WHERE rank <= 5 AND doc < 20
+        |ORDER BY doc_id, rank""".stripMargin,
+
     // replay of Sampling.hashSplit: u = ((id+salt)·2654435761) mod P
     "sample_split" ->
       """SELECT source,
@@ -1387,6 +1448,19 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+
+    // replay of Sampling.stratifiedHashSample: same hash, per-source CASE
+    // cutoffs ((f · P).toLong for f = 1.0 / 0.5 / 0.25 / default 0.1)
+    "stratified_sample" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000007 <
+        |  CASE source WHEN 'src0' THEN 1000000007
+        |              WHEN 'src1' THEN 500000003
+        |              WHEN 'src2' THEN 250000001
+        |              ELSE 100000000 END
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // replay of TextAnalysis.packSequences: the greedy reset fold walks
     // each group in doc_id order via a recursive CTE
@@ -1443,6 +1517,16 @@ object SparkEntry {
         |         WHEN bool_and(regexp_full_match(CAST(l_shipdate AS VARCHAR), '^-?[0-9]+[.|,][0-9]+$')) THEN 'float'
         |         ELSE 'varchar' END FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+
+    "range_join" ->
+      """SELECT c.event_id, c.user_id, CAST(count(*) AS BIGINT) AS n_purch,
+        |  min(p.event_id) AS min_pid, max(p.event_id) AS max_pid
+        |FROM events c
+        |JOIN events p ON p.user_id = c.user_id
+        |  AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 900000000
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |GROUP BY c.event_id, c.user_id
+        |ORDER BY c.event_id""".stripMargin,
 
     "q20_exists" ->
       """SELECT c_custkey, c_nationkey FROM customer c

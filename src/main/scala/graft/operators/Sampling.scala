@@ -38,4 +38,28 @@ object Sampling {
         .when(u < lit(((trainFrac + valFrac) * P).toLong), "val")
         .otherwise("test"))
   }
+
+  /**
+   * Stratified deterministic sampling: a different keep-rate per stratum
+   * (the data-mixing primitive — e.g. keep 10% of common-crawl but 100%
+   * of wiki). Same purity guarantees as hashSample: membership is a pure
+   * function of (id, salt), independent of partitioning, row order, and
+   * engine. Strata missing from `fractions` fall back to `defaultFraction`.
+   *
+   * One narrow projection + filter — no shuffle, no per-stratum pass; the
+   * rate lookup compiles to a CASE chain over the (small) strata map, so
+   * the 100 TB path is a single codegen'd scan.
+   */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: Long = 0L): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    val cutoff = fractions.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (stratum, f)) =>
+        val cond = col(stratumCol) === stratum
+        val cut = lit((f * P).toLong)
+        Some(acc.fold(when(cond, cut))(_.when(cond, cut)))
+      }.get.otherwise(lit((defaultFraction * P).toLong))
+    df.filter(hashUniform(col(idCol), salt) < cutoff)
+  }
 }

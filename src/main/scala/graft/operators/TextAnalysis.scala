@@ -118,6 +118,40 @@ object TextAnalysis {
       .toDF(groupCol, idCol, "bin")
   }
 
+  /**
+   * TF-IDF-style term scoring with a FLOAT-FREE score: for every (doc,
+   * token), score = ⌊tf · 1e6 / df⌋ (integer division). Ordering by this
+   * score is the tf/df ratio ordering at 1e-6 resolution, and — unlike
+   * log-weighted tf-idf — is bit-identical across engines because no
+   * float ever materializes. Returns the top `k` terms per document by
+   * (score desc, token asc).
+   *
+   * Scale shape: explode → (doc, token) count [one shuffle on (doc,
+   * token)] → token document-frequency [partial-aggregated shuffle on
+   * token, counts only — never text] → tf⋈df equi-join on token → per-doc
+   * top-k window. The df table is |vocab|-sized; Catalyst broadcasts it
+   * when small and shuffle-joins otherwise.
+   */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, token)
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc").as(idCol), col("rank"), col("token"),
+        col("tf"), col("df"), col("score"))
+  }
+
   // ------------------------------------------------------------------ langid
 
   /** Tiny deterministic language profiles: high-frequency function words

@@ -33,4 +33,30 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(a != b)
   }
+
+  test("stratified sample: per-stratum rates, default fallback, determinism") {
+    val fr = Map("src0" -> 1.0, "src1" -> 0.5)
+    val got = Sampling.stratifiedHashSample(docs, "doc_id", "source",
+        fr, defaultFraction = 0.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 keeps everything; rate 0 strata vanish entirely
+    assert(got("src0") == perSource("src0"))
+    assert(got.keySet == Set("src0", "src1"))
+    // 0.5 stratum lands in a loose band around half
+    val frac = got("src1").toDouble / perSource("src1")
+    assert(frac > 0.2 && frac < 0.8, s"src1 kept $frac")
+    // membership is exactly the per-stratum filtered hashSample
+    val viaUniform = docs.filter(col("source") === "src1")
+      .filter(Sampling.hashUniform(col("doc_id"), 0L) <
+        lit((0.5 * 1000000007L.toDouble).toLong))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stratified = Sampling.stratifiedHashSample(docs, "doc_id", "source",
+        fr, defaultFraction = 0.0)
+      .filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stratified == viaUniform)
+  }
 }

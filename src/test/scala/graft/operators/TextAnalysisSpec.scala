@@ -96,4 +96,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .select("frame_idx").as[Int].collect()
     assert(frames.toSeq == Seq(0, 8, 16, 24))
   }
+
+  test("tfidf top terms: integer score ranks rare terms above common ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple apple common"),
+      (2L, "banana common common"),
+      (3L, "cherry common")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTop(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byDoc = top.groupBy(_._1)
+    // doc 1: apple tf=3 df=1 → 3000000; common tf=1 df=3 → 333333
+    assert(byDoc(1L).sortBy(_._2).map(t => (t._3, t._6)).toSeq ==
+      Seq(("apple", 3000000L), ("common", 333333L)))
+    // doc 3: cherry (1000000) above common (333333)
+    assert(byDoc(3L).sortBy(_._2).map(_._3).toSeq == Seq("cherry", "common"))
+    // ties broken by token asc: doc 2's banana 1000000 > common 666666
+    assert(byDoc(2L).sortBy(_._2).map(_._3).toSeq == Seq("banana", "common"))
+  }
 }

@@ -585,6 +585,32 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // count-min sketch (north-star approximate analytics): exact count vs
+    // sketch estimate for the top-20 tokens — sketch STATE is mod-P
+    // replayable so the oracle matches it bit-for-bit; estimate quality
+    // (≥ exact, tight under low collision) is audited in SketchesSpec
+    "cms_topk" -> ((s, dir) => {
+      graft.operators.Sketches.cmsTokenEstimates(t(s, dir, "documents"), "text")
+        .orderBy(col("token"))
+    }),
+
+    // HLL-style distinct sketch: per-group register state (n_buckets,
+    // Σ max_rho — integers, hash-exact cross-engine) next to the exact
+    // distinct count; estimate accuracy asserted in SketchesSpec
+    "hll_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val state = graft.operators.Sketches
+        .hllRegisters(li, "l_returnflag", "l_partkey")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("max_rho")).as("sum_max_rho"))
+      val exact = li.groupBy(col("l_returnflag").as("grp"))
+        .agg(countDistinct(col("l_partkey")).as("d_exact"))
+      state.join(exact, "grp")
+        .select(col("grp").as("l_returnflag"), col("n_buckets"),
+          col("sum_max_rho"), col("d_exact"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // TF-IDF-style top terms with a float-free score (⌊tf·1e6/df⌋ —
     // integer ratio ordering, exact in both engines); df computed over the
     // FULL corpus, output restricted to the first 20 docs
@@ -1415,6 +1441,60 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
+
+    // replay of Sketches.cmsTokenEstimates: token counts → capped-16
+    // Horner fold → d=4 × w=1024 bucket sums → min over rows per probe
+    "cms_topk" ->
+      s"""WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |       FROM toks WHERE tok <> '' GROUP BY tok),
+        |th AS (
+        |  SELECT tok, n,
+        |    CAST(sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+        |      * $Pow131Sql[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
+        |      % 1000000007 AS BIGINT) AS h
+        |  FROM (SELECT tok, n, unnest(range(1, least(length(tok), 16) + 1)) AS i FROM tc)
+        |  GROUP BY tok, n),
+        |sketch AS (
+        |  SELECT j, ((((j + 1) * 2654435761) % 1000000007) * h
+        |             + (j * 40503 + 17) % 1000000007) % 1000000007 % 1024 AS bucket,
+        |    CAST(sum(n) AS BIGINT) AS bn
+        |  FROM th CROSS JOIN (SELECT unnest(range(4)) AS j) js
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT tok, n, h FROM th ORDER BY n DESC, tok LIMIT 20)
+        |SELECT p.tok AS token, p.n, min(s.bn) AS est
+        |FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS j) js
+        |JOIN sketch s ON s.j = js.j
+        |  AND s.bucket = ((((js.j + 1) * 2654435761) % 1000000007) * p.h
+        |                  + (js.j * 40503 + 17) % 1000000007) % 1000000007 % 1024
+        |GROUP BY p.tok, p.n
+        |ORDER BY token""".stripMargin,
+
+    // replay of Sketches.hllRegisters: affine mix, square mod P, bucket =
+    // h mod 64, rho = 1 + trailing zeros of h//64 (bit_count trick)
+    "hll_distinct" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_partkey,
+        |    ((2 * 2654435761) % 1000000007 * l_partkey + 40520) % 1000000007 AS gv
+        |  FROM lineitem),
+        |h AS (SELECT l_returnflag, (gv * gv) % 1000000007 AS hv FROM g),
+        |b AS (SELECT l_returnflag, hv % 64 AS bucket, hv // 64 AS q FROM h),
+        |r AS (
+        |  SELECT l_returnflag, bucket,
+        |    max(CASE WHEN q = 0 THEN 25 ELSE bit_count((q & -q) - 1) + 1 END) AS max_rho
+        |  FROM b GROUP BY 1, 2),
+        |state AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(max_rho) AS BIGINT) AS sum_max_rho
+        |  FROM r GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n_buckets, sum_max_rho, d_exact
+        |FROM state JOIN ex USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     // replay of TextAnalysis.tfidfTop: same tokenization as lang_id, tf/df
     // integer counts, score via `//` integer division

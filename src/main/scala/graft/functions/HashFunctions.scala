@@ -167,6 +167,19 @@ object HashFunctions {
     java.util.Arrays.copyOf(arr, widx)
   }
 
+  /** mod-P Horner fold over the FIRST 16 chars of a token — the
+    * SQL-replayable token hash for the sketch family (count-min). Capped
+    * length keeps the oracle's positional-power replay bounded; 16 chars
+    * disambiguate every realistic vocabulary token. */
+  val TokenHashCap = 16
+  def modPTokenHash(s: String): Long = {
+    val n = math.min(s.length, TokenHashCap)
+    var h = 0L
+    var i = 0
+    while (i < n) { h = (h * Base + s.charAt(i)) % P; i += 1 }
+    h
+  }
+
   // ------------------------------------------------------------ expressions
 
   case class MinHashSig(first: Expression, second: Expression, third: Expression)
@@ -281,6 +294,14 @@ object HashFunctions {
       copy(l, r)
   }
 
+  case class ModPTokenHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "modp_hash16"
+    override def nullSafeEval(v: Any): Any = modPTokenHash(v.toString)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** Hamming distance between two 64-bit signatures (for SimHash dedup).
     * Native codegen: this runs in the candidate-pair filter, inside the
     * join's whole-stage span. */
@@ -313,6 +334,8 @@ object HashFunctions {
       es => NgramSortedSet(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       es => SortedIntersectCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("modp_hash16",
+      es => ModPTokenHash(es.head), "built-in")
   }
 
   def minhash_sig(text: Column, k: Int = 5, m: Int = 64): Column =
@@ -325,4 +348,5 @@ object HashFunctions {
     call_function("ngram_sorted_set", text, lit(n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+  def modp_hash16(text: Column): Column = call_function("modp_hash16", text)
 }

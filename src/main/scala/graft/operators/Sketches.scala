@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/**
+ * Probabilistic sketch operators for corpus-scale approximate analytics
+ * (north-star extensions; the reference's fixed ETL dataflow has nothing
+ * approximate). Both sketches follow the engine-wide mod-P hash spec
+ * (HashFunctions scaladoc): every intermediate is non-overflowing int64,
+ * so the DuckDB oracle recomputes the exact sketch state bit-for-bit —
+ * the *approximation* is audited by ScalaTest against exact counts, the
+ * *state* is hash-exact cross-engine.
+ *
+ * Scale shape: both are one scan + partial-aggregated shuffles whose
+ * width is the SKETCH size (d·w cells / m registers per group), never the
+ * data size — the whole point of sketching 100 TB.
+ */
+object Sketches {
+
+  private val P = HashFunctions.P
+
+  /** h_j(x) = (A_j·x + B_j) mod P as Column arithmetic, j a column.
+    * Bounds: (j+1)·2654435761 ≲ 1e10, reduced mod P < 1e9, times h < 1e9
+    * → < 1e18 < Long.Max. */
+  private def mixJ(j: Column, h: Column): Column =
+    (((j + 1) * lit(2654435761L)) % P * h + (j * 40503L + 17L) % P) % P
+
+  /**
+   * Count-min sketch over whitespace-free alnum tokens: d hash rows of w
+   * buckets; the estimate for a token is min over rows of its bucket sum
+   * (Cormode & Muthukrishnan, J. Algorithms '05 — always ≥ the true
+   * count). Returns (token, n, est) for the `topK` tokens by exact count:
+   * exact vs estimate side by side, integers only.
+   *
+   * The sketch is built from the (token, count) table — equivalent to
+   * hashing the raw stream, but the shuffle carries one row per DISTINCT
+   * token, then d·w cells; at 100 TB the cell table (d·w ≈ 4k rows)
+   * broadcasts into the probe join.
+   */
+  def cmsTokenEstimates(df: DataFrame, textCol: String,
+      d: Int = 4, w: Int = 1024, topK: Int = 20): DataFrame = {
+    val toks = Par.ensureParallelism(df)
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+    val th = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("h", HashFunctions.modp_hash16(col("token")))
+    val sketch = th
+      .select(col("n"), col("h"),
+        explode(sequence(lit(0L), lit(d - 1L))).as("j"))
+      .withColumn("bucket", mixJ(col("j"), col("h")) % w)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("n")).as("bn"))
+    val probes = th.orderBy(col("n").desc, col("token")).limit(topK)
+    probes
+      .select(col("token"), col("n"), col("h"),
+        explode(sequence(lit(0L), lit(d - 1L))).as("j"))
+      .withColumn("bucket", mixJ(col("j"), col("h")) % w)
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy(col("token"), col("n"))
+      .agg(min(col("bn")).as("est"))
+  }
+
+  /** HLL hash: affine mix then a SQUARE mod P. The affine map alone is
+    * linear in the key, so sequential ids produce structured low bits and
+    * a ~70% biased estimate (measured); squaring (g < P ⇒ g² < 1e18, no
+    * overflow) breaks the linearity while staying replayable in SQL. */
+  private val HllA = (2L * 2654435761L) % P // hashA(1)
+  private val HllB = (40503L + 17L) % P     // hashB(1)
+  private def hllHash(x: Column): Column = {
+    val g = (pmod(x.cast("long"), lit(P)) * HllA + HllB) % P
+    (g * g) % P
+  }
+
+  /**
+   * HyperLogLog-style registers (Flajolet et al., AofA '07): bucket =
+   * h mod m, rho = 1 + trailing zeros of ⌊h/m⌋ (0 → capped 25: h < P <
+   * 2³⁰ leaves ~24 usable bits). Returns one row per (group, bucket)
+   * with the max rho — the mergeable sketch state. Shuffle width:
+   * ≤ m rows per group, regardless of input size.
+   */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    df.select(col(groupCol).as("grp"), hllHash(col(valueCol)).as("h"))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("q", expr("h div " + m))
+      .withColumn("rho",
+        when(col("q") === 0, 25)
+          .otherwise(expr("bit_count((q & -q) - 1) + 1")))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Driver-side estimate from one group's registers — for audits/specs.
+    * Standard HLL bias-corrected harmonic mean + linear counting at the
+    * low end. */
+  def hllEstimate(registers: Map[Long, Int], m: Int = 64): Double = {
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val z = (0 until m).map(i => math.pow(2.0, -registers.getOrElse(i.toLong, 0))).sum
+    val raw = alpha * m * m / z
+    val zeros = m - registers.count(_._2 > 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+}

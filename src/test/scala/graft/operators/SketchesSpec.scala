@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("modp token hash: Horner fold, capped at 16 chars") {
+    import graft.functions.HashFunctions.{modPTokenHash, P, Base}
+    def ref(s: String): Long =
+      s.take(16).foldLeft(0L)((h, c) => (h * Base + c) % P)
+    assert(modPTokenHash("scan") == ref("scan"))
+    assert(modPTokenHash("") == 0L)
+    // cap: identical 16-char prefix → identical hash
+    assert(modPTokenHash("a" * 16 + "xyz") == modPTokenHash("a" * 16 + "qqq"))
+  }
+
+  test("count-min estimates are never below exact counts (and tight here)") {
+    val docs = spark.read.parquet(sf("documents"))
+    val rows = Sketches.cmsTokenEstimates(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (tok, n, est) =>
+      assert(est >= n, s"$tok: est $est < exact $n")
+      // d=4 rows of w=1024 over a ~1k vocabulary: collisions inflate a
+      // probe by at most a small multiple of the mean bucket load
+      assert(est <= n + 2000, s"$tok: est $est wildly above $n")
+    }
+  }
+
+  test("count-min sketch state collapses collisions additively") {
+    import spark.implicits._
+    // two distinct tokens, same text column: per-token estimate must count
+    // BOTH when they collide in every row — here they don't collide, so
+    // estimates equal exact counts exactly
+    val df = Seq((1L, "alpha alpha beta")).toDF("id", "text")
+    val got = Sketches.cmsTokenEstimates(df, "text", topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("alpha", 2L, 2L), ("beta", 1L, 1L)))
+  }
+
+  test("hll registers: sketch is tiny and estimate lands near exact") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val regs = Sketches.hllRegisters(li, "l_returnflag", "l_partkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val groups = regs.groupBy(_._1)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    groups.foreach { case (g, rs) =>
+      assert(rs.length <= 64) // sketch never wider than m
+      val est = Sketches.hllEstimate(rs.map(t => t._2 -> t._3).toMap)
+      val ex = exact(g).toDouble
+      assert(math.abs(est - ex) / ex < 0.4, s"$g: est $est vs exact $ex")
+    }
+  }
+
+  test("hll estimate tracks 10k distinct ids within the m=64 error band") {
+    import spark.implicits._
+    val df = spark.range(10000).select(lit("g").as("g"), col("id"))
+    val regs = Sketches.hllRegisters(df, "g", "id")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val est = Sketches.hllEstimate(regs)
+    assert(math.abs(est - 10000) / 10000.0 < 0.3, s"est $est")
+  }
+}

@@ -226,6 +226,19 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // §2.9 (batch analog of EventStreams.slidingUserActivity's window
+    // shape): 1h window / 15m slide — every event lands in exactly 4
+    // panes; the oracle replays the epoch-aligned pane starts
+    "events_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+          col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // §2.8 F2 sanitize as a data function over dirty synthesized labels
     "sanitize_cols" -> ((s, dir) => {
       t(s, dir, "part")
@@ -1517,6 +1530,21 @@ object SparkEntry {
         |SELECT doc AS doc_id, rank, token, tf, df, score FROM ranked
         |WHERE rank <= 5 AND doc < 20
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // replay of the sliding window: pane k's start = 15m-bucket − k·15m,
+    // k ∈ 0..3 (every event is inside all 4 — ts < start + 1h holds by
+    // construction); exact µs arithmetic like the other event oracles
+    "events_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |p AS (
+        |  SELECT (us // 900000000) * 900000000 - k * 900000000 AS ws,
+        |    event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) ks)
+        |SELECT make_timestamp(ws) AS w_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+        |FROM p GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
 
     // replay of Sampling.hashSplit: u = ((id+salt)·2654435761) mod P
     "sample_split" ->

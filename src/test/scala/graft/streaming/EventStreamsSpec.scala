@@ -40,6 +40,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(first.getAs[Double]("total_value") == 3.0)
   }
 
+  test("sliding windows: each event lands in window/slide overlapping panes") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(16), 1, "click", 1.0),  // panes starting min -45..15
+      Event(2, ts(700), 9, "click", 1.0)) // far future: emits all 4 panes
+    runStream(EventStreams.slidingUserActivity(mem.toDF()), "sliding")
+    val rows = spark.table("sliding")
+      .filter(col("user_id") === 1).orderBy("w_start").collect()
+    // 1h window / 15m slide → exactly 4 panes contain the event
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Long]("n") == 1))
+    val starts = rows.map(_.getAs[Timestamp]("w_start").getTime)
+    assert(starts.toSeq == starts.sorted.toSeq)
+    assert(starts.zip(starts.tail).forall { case (a, b) => b - a == 15 * 60000L })
+  }
+
   test("session windows close on gap") {
     val s = spark
     import s.implicits._

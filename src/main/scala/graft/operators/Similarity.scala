@@ -31,7 +31,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     // cast float→double ONCE per row, not once per pair inside the join
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).cast(D).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cv"))
+    val c = Par.ensureParallelism(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cv"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", vec_cosine(col("qv"), col("cv")))
@@ -69,7 +70,7 @@ object Similarity {
     // cell assignment = one corpus pass through the centroid-closure
     // expression; zero shuffle (vs crossJoin + row_number, which exchanged
     // every vector — 2.4s → 0.6s on the sf0.1 bench)
-    val cells = corpus.select(col(idCol).as("neighbor_id"),
+    val cells = Par.ensureParallelism(corpus).select(col(idCol).as("neighbor_id"),
       col(vecCol).cast(D).as("cvec"),
       element_at(vec_ivf_cells(col(vecCol), cvLit, cidLit, 1), 1).as("cell"))
     val probes = queries.select(col(idCol).as("query_id"),
@@ -94,12 +95,18 @@ object Similarity {
    * functions — no custom expression needed.
    */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      expr(s"""CASE WHEN aggregate($vecCol, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) = 0.0
-               THEN transform($vecCol, x -> CAST(0 AS BIGINT))
-               ELSE transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
-                 / aggregate($vecCol, CAST(0.0 AS DOUBLE), (m, y) -> greatest(m, abs(CAST(y AS DOUBLE)))) + 0.5) AS BIGINT))
-               END""").as("q"))
+    // max|x| hoisted into its own column: inside the transform lambda the
+    // aggregate re-evaluates PER ELEMENT (no CSE across HOF lambdas —
+    // O(d²) per vector, measured ~2× on the sf0.1 bench). Consumed twice
+    // below, so CollapseProject keeps it materialized.
+    df.withColumn("__ma", expr(
+        s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .select(col(idCol).as("id"),
+        expr(s"""CASE WHEN __ma = 0.0
+                 THEN transform($vecCol, x -> CAST(0 AS BIGINT))
+                 ELSE transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                   / __ma + 0.5) AS BIGINT))
+                 END""").as("q"))
 
   /** Brute-force top-k over int8-quantized vectors: integer dots + integer
     * norms, cosine formed only for ranking (deterministically, from exact
@@ -114,7 +121,7 @@ object Similarity {
       expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
     val q = broadcast(withNorm(quantizeInt8(queries, idCol, vecCol))
       .select(col("id").as("query_id"), col("q").as("qv"), col("qn").as("qna")))
-    val c = withNorm(quantizeInt8(corpus, idCol, vecCol))
+    val c = withNorm(quantizeInt8(Par.ensureParallelism(corpus), idCol, vecCol))
       .select(col("id").as("neighbor_id"), col("q").as("cv"), col("qn").as("qnb"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -136,8 +143,9 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cv"),
-      vec_lsh_bucket(col(vecCol), planes, seed).as("bucket"))
+    val c = Par.ensureParallelism(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cv"),
+        vec_lsh_bucket(col(vecCol), planes, seed).as("bucket"))
     // each query probes its bucket and every bucket at Hamming distance 1
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast(D).as("qv"),
       vec_lsh_bucket(col(vecCol), planes, seed).as("qb"))

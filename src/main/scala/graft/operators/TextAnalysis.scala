@@ -129,17 +129,21 @@ object TextAnalysis {
    * Scale shape: explode → (doc, token) count [one shuffle on (doc,
    * token)] → token document-frequency [partial-aggregated shuffle on
    * token, counts only — never text] → tf⋈df equi-join on token → per-doc
-   * top-k window. The df table is |vocab|-sized; Catalyst broadcasts it
-   * when small and shuffle-joins otherwise.
+   * top-k window. The tf table is CACHED: it feeds both join sides, and
+   * without the boundary each side re-runs the whole explode+aggregate
+   * lineage (no CSE across plan branches). A count-over-window variant
+   * (df via Window.partitionBy(token)) avoids the cache but pays two full
+   * sorts — measured 2× slower than cache+join at sf0.1.
    */
   def tfidfTop(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc"),
+    val toks = Par.ensureParallelism(df).select(col(idCol).as("doc"),
         explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
       .filter(col("token") =!= "")
     val tf = toks.groupBy(col("doc"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, token)
     val w = Window.partitionBy(col("doc"))

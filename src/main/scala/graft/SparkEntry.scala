@@ -747,6 +747,33 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // skew-tolerant salted join (scale toolbox): the salt spreads hot keys
+    // over `factor` reducers; the aggregate collapses it, so the result —
+    // and the oracle — are exactly the plain join's
+    "skew_join" -> ((s, dir) => {
+      graft.operators.SkewJoin.saltedJoin(
+        t(s, dir, "lineitem"), t(s, dir, "part"), "l_partkey", "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // §2.4 conditional aggregation: FILTER-style counts and CASE-gated
+    // sums/maxes (null-free outputs: coalesce to sentinel)
+    "q25_cond_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          count_if(col("c_acctbal") < 0).as("n_neg"),
+          round(sum(when(col("c_mktsegment") === "AUTOMOBILE", col("c_acctbal"))
+            .otherwise(lit(0.0))), 2).as("auto_bal"),
+          coalesce(max(when(col("c_mktsegment") === "BUILDING", col("c_custkey"))),
+            lit(-1L)).as("max_bldg_cust"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // §2.3 correlated EXISTS / NOT EXISTS composition: customers with at
     // least one URGENT order and no filled ('F') order — two semi/anti
     // passes against the same fact table (both broadcast-prunable sides)
@@ -1625,6 +1652,24 @@ object SparkEntry {
         |         WHEN bool_and(regexp_full_match(CAST(l_shipdate AS VARCHAR), '^-?[0-9]+[.|,][0-9]+$')) THEN 'float'
         |         ELSE 'varchar' END FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+
+    // the salt is distribution-only: the oracle is the PLAIN join
+    "skew_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q25_cond_agg" ->
+      """SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_neg,
+        |  round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal ELSE 0.0 END), 2) AS auto_bal,
+        |  coalesce(max(CASE WHEN c_mktsegment = 'BUILDING' THEN c_custkey END), -1) AS max_bldg_cust
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "range_join" ->
       """SELECT c.event_id, c.user_id, CAST(count(*) AS BIGINT) AS n_purch,

@@ -67,4 +67,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.indexOf("minhash_sig", gen) > gen || p.contains("InMemoryTableScan"),
       "signature must be computed below the explode (once per doc, not per band)")
   }
+
+  test("range_join: band join stays an equi-join — no nested-loop fallback") {
+    val p = plan("range_join")
+    assert(!p.contains("CartesianProduct"), "band join degraded to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band join degraded to nested loop — the θ-condition must ride the bucket equi-join")
+    assert(p.contains("Generate explode"), "left-side bucket explode missing")
+  }
+
+  test("cms_topk: probe join broadcasts, never cartesian") {
+    val p = plan("cms_topk")
+    assert(p.contains("BroadcastHashJoin"), "probe↔sketch join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tfidf_top: tf table cached once, both join sides read the cache") {
+    val p = plan("tfidf_top")
+    assert(p.contains("InMemoryTableScan"),
+      "tf cache boundary missing — both join sides would re-run the explode")
+  }
+
+  test("stratified_sample: scan prunes the text column, filter needs no shuffle") {
+    val q = SparkEntry.queries("stratified_sample")(spark, sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("text"), "sampling filter must not read the text column")
+  }
+
+  test("skew_join: salted join spreads keys without changing the aggregate") {
+    val p = plan("skew_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate explode"), "right-side salt replication missing")
+  }
 }

@@ -774,6 +774,36 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // §2.5 window value functions: first/last/nth per frame — raw value
+    // passthroughs (no arithmetic → no rounding), integer keys
+    "q26_first_last" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("first_order", first(col("o_orderkey")).over(whole))
+        .withColumn("last_order", last(col("o_orderkey")).over(whole))
+        .withColumn("second_order",
+          coalesce(nth_value(col("o_orderkey"), 2).over(whole), lit(-1L)))
+        .select(col("o_custkey"), col("o_orderkey"), col("first_order"),
+          col("last_order"), col("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // §2.8 array functions over tokenized text: distinct/sort/slice/
+    // contains — integer + string outputs only
+    "q27_array_funcs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          element_at(array_sort(array_distinct(col("toks"))), 1).as("first_tok"),
+          array_contains(col("toks"), "the").cast("int").as("has_the"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.3 correlated EXISTS / NOT EXISTS composition: customers with at
     // least one URGENT order and no filled ('F') order — two semi/anti
     // passes against the same fact table (both broadcast-prunable sides)
@@ -1652,6 +1682,27 @@ object SparkEntry {
         |         WHEN bool_and(regexp_full_match(CAST(l_shipdate AS VARCHAR), '^-?[0-9]+[.|,][0-9]+$')) THEN 'float'
         |         ELSE 'varchar' END FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+
+    "q26_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order,
+        |  coalesce(nth_value(o_orderkey, 2) OVER wf, -1) AS second_order
+        |FROM orders
+        |WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q27_array_funcs" ->
+      """SELECT doc_id,
+        |  len(toks) AS n_toks,
+        |  len(list_distinct(toks)) AS n_uniq,
+        |  list_sort(list_distinct(toks))[1] AS first_tok,
+        |  CAST(list_contains(toks, 'the') AS INT) AS has_the
+        |FROM (SELECT doc_id,
+        |        string_split_regex(lower(trim(text)), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // the salt is distribution-only: the oracle is the PLAIN join
     "skew_join" ->

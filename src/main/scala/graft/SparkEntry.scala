@@ -598,6 +598,22 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // the full curation pipeline as ONE declarative plan (the north-star
+    // composition): quality gate → exact dedup (keep min id per text) →
+    // deterministic split → per-split counts. Catalyst fuses the gate into
+    // the scan, the dedup is the only wide stage, the split is a pure
+    // projection — 100 TB pays one shuffle
+    "pipeline_curate" -> ((s, dir) => {
+      val clean = TextAnalysis.qualityFilter(
+        graft.operators.Par.ensureParallelism(augmentedDocs(s, dir)), "text")
+      val deduped = Dedup.dropExactDuplicates(clean, "doc_id", "text")
+      graft.operators.Sampling.hashSplit(deduped, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy(col("split"))
+    }),
+
     // count-min sketch (north-star approximate analytics): exact count vs
     // sketch estimate for the top-20 tokens — sketch STATE is mod-P
     // replayable so the oracle matches it bit-for-bit; estimate quality
@@ -1511,6 +1527,41 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
+
+    // replay of the composed pipeline: quality predicate (integer
+    // cross-multiplications) → one-survivor-per-text via row_number →
+    // hashSplit CASE — each stage identical to its standalone oracle
+    "pipeline_curate" ->
+      s"""WITH docs AS ($AugmentedDocsSql),
+        |st AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |        w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop
+        |  FROM docs),
+        |clean AS (
+        |  SELECT doc_id, text, n_tokens FROM st
+        |  WHERE n_tokens >= 10 AND n_tokens <= 100000
+        |    AND n_punct * 100 <= n_chars * 20
+        |    AND n_alpha * 100 >= n_chars * 50
+        |    AND n_stop >= 1),
+        |dd AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM clean),
+        |kept AS (SELECT doc_id, n_tokens FROM dd WHERE rn = 1)
+        |SELECT
+        |  CASE WHEN (doc_id * 2654435761) % 1000000007 < 800000005 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000000007 < 900000006 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM kept
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin,
 
     // replay of Sketches.cmsTokenEstimates: token counts → capped-16
     // Horner fold → d=4 × w=1024 bucket sums → min over rows per probe

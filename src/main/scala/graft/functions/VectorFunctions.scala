@@ -92,6 +92,41 @@ object VectorFunctions {
       copy(l, r)
   }
 
+  /** Integer dot product over array<long> (the int8-quantized path) —
+    * native codegen for the same reason as vec_dot: it runs per candidate
+    * pair inside the ANN join's whole-stage span. Exact int64 arithmetic,
+    * so results stay bit-identical to the zip_with/aggregate HOF spelling
+    * it replaces (which evaluated interpreted, per pair). */
+  case class DotProductLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_doti"
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L; var i = 0
+      while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $l.getLong($i) * $r.getLong($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   case class VecNorm(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -216,6 +251,8 @@ object VectorFunctions {
       es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_doti",
+      es => DotProductLong(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_lsh_bucket",
@@ -229,6 +266,7 @@ object VectorFunctions {
     call_function("vec_dot", a.cast(D), b.cast(D))
   def vec_cosine(a: Column, b: Column): Column =
     call_function("vec_cosine", a.cast(D), b.cast(D))
+  def vec_doti(a: Column, b: Column): Column = call_function("vec_doti", a, b)
   def vec_norm(a: Column): Column = call_function("vec_norm", a.cast(D))
   def vec_lsh_bucket(a: Column, planes: Int = 8, seed: Long = 42L): Column =
     call_function("vec_lsh_bucket", a.cast(D), lit(planes), lit(seed))

@@ -117,8 +117,8 @@ object Similarity {
     // norms depend only on the vector — compute them once per row here,
     // NOT inside the pair join (per-pair norms would redo |corpus|·|q|
     // aggregate passes instead of |corpus| + |q|)
-    def withNorm(df: DataFrame): DataFrame = df.withColumn("qn",
-      expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    def withNorm(df: DataFrame): DataFrame =
+      df.withColumn("qn", vec_doti(col("q"), col("q")))
     val q = broadcast(withNorm(quantizeInt8(queries, idCol, vecCol))
       .select(col("id").as("query_id"), col("q").as("qv"), col("qn").as("qna")))
     val c = withNorm(quantizeInt8(Par.ensureParallelism(corpus), idCol, vecCol))
@@ -128,8 +128,9 @@ object Similarity {
       // zero-norm guard: 0/0 would rank NaN first (Spark sorts NaN as the
       // largest double, engines disagree) — zero vectors simply can't match
       .filter(col("qna") > 0 && col("qnb") > 0)
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, p) -> a + p)"))
+      // native codegen'd integer dot — the zip_with/aggregate HOF spelling
+      // evaluated interpreted per candidate pair
+      .withColumn("qdot", vec_doti(col("qv"), col("cv")))
       .withColumn("qcos", col("qdot") / (sqrt(col("qna")) * sqrt(col("qnb"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))

@@ -606,6 +606,9 @@ object SparkEntry {
     "pipeline_curate" -> ((s, dir) => {
       val clean = TextAnalysis.qualityFilter(
         graft.operators.Par.ensureParallelism(augmentedDocs(s, dir)), "text")
+        // boundary: the gate's regex-heavy stat expressions are otherwise
+        // re-inlined below the dedup window and recomputed per reference
+        .select(col("doc_id"), col("text"), col("n_tokens")).cache()
       val deduped = Dedup.dropExactDuplicates(clean, "doc_id", "text")
       graft.operators.Sampling.hashSplit(deduped, "doc_id")
         .groupBy(col("split"))

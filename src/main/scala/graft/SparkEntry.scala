@@ -565,6 +565,16 @@ object SparkEntry {
         .orderBy(col("source"), col("split"))
     }),
 
+    // bottom-k-by-hash sampling (KMV): per-source deterministic uniform
+    // sample without replacement — WindowGroupLimit ships ≤ k rows per
+    // group per partition (pinned in PlanAuditSpec)
+    "bottomk_sample" -> ((s, dir) => {
+      graft.operators.Sampling.bottomKByHash(
+        t(s, dir, "documents"), "source", "doc_id", k = 3)
+        .select(col("source"), col("sample_rank"), col("doc_id"))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     // stratified deterministic sampling (data mixing): per-source keep
     // rates via the same pure-hash assignment as sample_split — scan-only,
     // no shuffle before the count
@@ -1667,6 +1677,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+
+    // replay of Sampling.bottomKByHash: row_number over the same hash
+    "bottomk_sample" ->
+      """SELECT source, sample_rank, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 3
+        |ORDER BY source, sample_rank""".stripMargin,
 
     // replay of Sampling.stratifiedHashSample: same hash, per-source CASE
     // cutoffs ((f · P).toLong for f = 1.0 / 0.5 / 0.25 / default 0.1)

@@ -40,6 +40,28 @@ object Sampling {
   }
 
   /**
+   * Bottom-k-by-hash sampling (the KMV idea, Bar-Yossef et al., RANDOM'02):
+   * per group, keep the k rows with the SMALLEST hash of their id — a
+   * deterministic uniform sample without replacement. Unlike reservoir
+   * sampling it is order-independent and mergeable (the bottom-k of a
+   * union is the bottom-k of the parts' bottom-ks); Catalyst's
+   * WindowGroupLimit rule pushes the rank ≤ k filter below the exchange,
+   * so each partition ships at most k rows per group — the mergeability
+   * is realized in the physical plan, not just the math. Ties are
+   * impossible for distinct ids (the hash is injective mod P).
+   */
+  def bottomKByHash(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashUniform(col(idCol), salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .withColumn("sample_rank", col("__rk"))
+      .drop("__rk")
+  }
+
+  /**
    * Stratified deterministic sampling: a different keep-rate per stratum
    * (the data-mixing primitive — e.g. keep 10% of common-crawl but 100%
    * of wiki). Same purity guarantees as hashSample: membership is a pure

@@ -73,6 +73,11 @@ object GeoRules {
         // srid of a fresh/retagged construction is statically known
         case StSrid(_: StPoint) => Literal(4326, IntegerType)
         case StSrid(StSetSrid(_, s)) => s
+        // transform-of-transform keeps only the outer target (SURVEY §4's
+        // fold): both routes pass through geographic coordinates, so the
+        // composition is the direct projection — and skipping the
+        // intermediate representation also skips its rounding error
+        case StTransform(StTransform(g, _), t) => StTransform(g, t)
         // THE hot fusion: reprojected-point coordinate chains → direct math
         case StX(StForce2D(StTransform(StSetSrid(StPoint(x, y), s), t))) if lit4326(t) =>
           TransformPointCoord(x, y, s, isY = false)

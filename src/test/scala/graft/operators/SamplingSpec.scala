@@ -59,4 +59,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(stratified == viaUniform)
   }
+
+  test("bottom-k sample: exactly k per group, stable across reruns and salts differ") {
+    val got = Sampling.bottomKByHash(docs, "source", "doc_id", k = 3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 3))
+    val a = Sampling.bottomKByHash(docs, "source", "doc_id", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bottomKByHash(docs, "source", "doc_id", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // deterministic
+    val c = Sampling.bottomKByHash(docs, "source", "doc_id", k = 3, salt = 9L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != c) // salt rotates the sample
+    // mergeability: bottom-k of a union == bottom-k of parts' bottom-ks
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Sampling.bottomKByHash(
+      Sampling.bottomKByHash(half1, "source", "doc_id", 3)
+        .unionByName(Sampling.bottomKByHash(half2, "source", "doc_id", 3))
+        .drop("sample_rank"),
+      "source", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(merged == a)
+  }
 }

@@ -56,4 +56,25 @@ class GeoRulesSpec extends AnyFunSuite with SparkTestBase {
       assert(withRule.map(_.toString).sameElements(withoutRule.map(_.toString)))
     } finally spark.experimental.extraOptimizations = cleared
   }
+
+  test("transform-of-transform folds to the outer target") {
+    val df = spark.range(3).toDF("i")
+      .withColumn("x", col("i").cast("double") + 1.0)
+      .withColumn("y", col("i").cast("double") + 2.0)
+      .withColumn("g", G.st_setsrid(G.st_point(col("x"), col("y")), 4326))
+      .select(G.st_astext(
+        G.st_transform(G.st_transform(col("g"), 3857), 4326)).as("wkt"))
+    val plan = planOf(df)
+    // exactly one st_transform survives (the outer one)
+    assert("st_transform".r.findAllIn(plan).length == 1, plan)
+    // and the fold makes the round trip EXACT: 4326→3857→4326 without the
+    // rule can only be approximately identity; with it, bit-identical
+    val direct = spark.range(3).toDF("i")
+      .withColumn("x", col("i").cast("double") + 1.0)
+      .withColumn("y", col("i").cast("double") + 2.0)
+      .select(G.st_astext(
+        G.st_setsrid(G.st_point(col("x"), col("y")), 4326)).as("wkt"))
+      .collect().map(_.getString(0))
+    assert(df.collect().map(_.getString(0)).sameElements(direct))
+  }
 }

@@ -94,6 +94,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("text"), "sampling filter must not read the text column")
   }
 
+  test("bottomk_sample: rank filter pushed below the exchange (WindowGroupLimit)") {
+    val p = plan("bottomk_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must prune map-side — each partition ships at most k rows/group")
+  }
+
   test("skew_join: salted join spreads keys without changing the aggregate") {
     val p = plan("skew_join")
     assert(!p.contains("CartesianProduct"))

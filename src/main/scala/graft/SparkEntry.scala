@@ -653,6 +653,28 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Bloom membership sketch (completes the family: CMS=frequency,
+    // HLL=cardinality, Bloom=membership): filter built from urgent-order
+    // customers, probed by every customer — no false negatives
+    // (n_might ≥ n_exact per group), FP rate audited in SketchesSpec
+    "bloom_filter" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bits = graft.operators.Sketches.bloomBuild(urgent, "o_custkey")
+      val probes = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val members = urgent.select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("is_member", lit(1))
+      graft.operators.Sketches.bloomMightContain(bits, probes, "c_custkey")
+        .join(members, Seq("c_custkey"), "left")
+        .na.fill(0, Seq("is_member"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("might_contain")).as("n_might"),
+          sum(col("is_member")).as("n_exact"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // TF-IDF-style top terms with a float-free score (⌊tf·1e6/df⌋ —
     // integer ratio ordering, exact in both engines); df computed over the
     // FULL corpus, output restricted to the first 20 docs
@@ -1605,6 +1627,36 @@ object SparkEntry {
         |                  + (js.j * 40503 + 17) % 1000000007) % 1000000007 % 1024
         |GROUP BY p.tok, p.n
         |ORDER BY token""".stripMargin,
+
+    // replay of Sketches.bloomBuild/bloomMightContain: distinct (j, bit)
+    // rows from the build keys, probe hit-count = 4 ⇒ might_contain
+    "bloom_filter" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |hb AS (SELECT k, (((2*2654435761) % 1000000007 * k + 40520) % 1000000007) AS gv FROM b),
+        |hb2 AS (SELECT k, (gv*gv) % 1000000007 AS hv FROM hb),
+        |bits AS (
+        |  SELECT DISTINCT j,
+        |    ((((j+1)*2654435761)%1000000007)*hv + (j*40503+17)%1000000007)%1000000007 % 65536 AS bit
+        |  FROM hb2 CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+        |gc AS (SELECT c_custkey, c_nationkey,
+        |    (((2*2654435761)%1000000007) * c_custkey + 40520)%1000000007 AS gv FROM customer),
+        |hc AS (SELECT c_custkey, c_nationkey, (gv*gv)%1000000007 AS hv FROM gc),
+        |pb AS (
+        |  SELECT c_custkey, c_nationkey, j,
+        |    ((((j+1)*2654435761)%1000000007)*hv + (j*40503+17)%1000000007)%1000000007 % 65536 AS bit
+        |  FROM hc CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+        |hits AS (SELECT c_custkey, count(*) AS nh FROM pb JOIN bits USING (j, bit) GROUP BY 1),
+        |flag AS (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |    CASE WHEN h.nh = 4 THEN 1 ELSE 0 END AS might,
+        |    CASE WHEN c.c_custkey IN (SELECT k FROM b) THEN 1 ELSE 0 END AS mem
+        |  FROM customer c LEFT JOIN hits h ON h.c_custkey = c.c_custkey)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(might) AS BIGINT) AS n_might,
+        |  CAST(sum(mem) AS BIGINT) AS n_exact
+        |FROM flag GROUP BY 1
+        |ORDER BY c_nationkey""".stripMargin,
 
     // replay of Sketches.hllRegisters: affine mix, square mod P, bucket =
     // h mod 64, rho = 1 + trailing zeros of h//64 (bit_count trick)

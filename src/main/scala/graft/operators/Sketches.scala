@@ -95,6 +95,45 @@ object Sketches {
       .agg(max(col("rho")).as("max_rho"))
   }
 
+  /**
+   * Bloom filter as a (j, bit) row table — the membership sketch that
+   * completes the family (CMS = frequency, HLL = cardinality, Bloom =
+   * membership; Bloom, CACM '70). d hash functions over 2^16 bits; the
+   * same affine-then-square key mix as HLL feeds the per-row affine
+   * spreads. The bit table is bounded by d·|distinct build keys| rows and
+   * broadcasts into the probe join — the shape of a runtime join-pruning
+   * filter: probe rows whose d bits aren't all set CANNOT match the build
+   * side, no false negatives, and the shuffle they'd have joined through
+   * never sees them.
+   */
+  val BloomBits = 65536
+
+  private def bloomBitCol(j: Column, key: Column): Column =
+    mixJ(j, hllHash(key)) % BloomBits
+
+  /** Distinct (j, bit) rows set by `keys` — the filter's state. */
+  def bloomBuild(df: DataFrame, keyCol: String, d: Int = 4): DataFrame =
+    df.select(col(keyCol).as("k")).distinct()
+      .select(col("k"), explode(sequence(lit(0L), lit(d - 1L))).as("j"))
+      .select(col("j"), bloomBitCol(col("j"), col("k")).as("bit"))
+      .distinct()
+
+  /** Adds `might_contain` (1/0) to `probes`: 1 iff all d bits are set.
+    * Guaranteed 1 for true members; false-positive rate governed by
+    * d·n/m (audited in SketchesSpec). */
+  def bloomMightContain(bits: DataFrame, probes: DataFrame, keyCol: String,
+      d: Int = 4): DataFrame = {
+    val p = probes
+      .select(col(keyCol), explode(sequence(lit(0L), lit(d - 1L))).as("j"))
+      .select(col(keyCol), col("j"), bloomBitCol(col("j"), col(keyCol)).as("bit"))
+    val hits = p.join(broadcast(bits), Seq("j", "bit"))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === d)
+      .select(col(keyCol), lit(1).as("might_contain"))
+    probes.join(hits, Seq(keyCol), "left")
+      .na.fill(0, Seq("might_contain"))
+  }
+
   /** Driver-side estimate from one group's registers — for audits/specs.
     * Standard HLL bias-corrected harmonic mean + linear counting at the
     * low end. */

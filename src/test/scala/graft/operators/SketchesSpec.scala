@@ -57,6 +57,20 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bloom filter: no false negatives, bounded false positives") {
+    import spark.implicits._
+    val build = spark.range(0, 2000, 2).select(col("id")) // evens
+    val bits = Sketches.bloomBuild(build, "id")
+    val probes = spark.range(0, 2000).select(col("id"))
+    val flagged = Sketches.bloomMightContain(bits, probes, "id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every member flagged (no false negatives)
+    (0L until 2000L by 2).foreach(i => assert(flagged(i) == 1, s"member $i missed"))
+    // odd ids are non-members: FP rate well under 10% at d·n/m ≈ 0.06
+    val fps = (1L until 2000L by 2).count(i => flagged(i) == 1)
+    assert(fps < 100, s"$fps false positives of 1000")
+  }
+
   test("hll estimate tracks 10k distinct ids within the m=64 error band") {
     import spark.implicits._
     val df = spark.range(10000).select(lit("g").as("g"), col("id"))

@@ -741,6 +741,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Z-order spatial clustering cells (the scale substitute for the
+    // reference's GiST index — sort/partition parquet by this key and
+    // spatial predicates prune at file level): Morton interleave of
+    // quantized lon/lat, all codegen'd integer built-ins
+    "zorder_cells" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+        .withColumn("lat", (col("c_custkey") % 180 - 90).cast("double") + 0.25)
+        .withColumn("cell", G.zorder_cell(col("lon"), col("lat"), 15))
+      pts.groupBy(shiftright(col("cell"), 24).as("prefix"))
+        .agg(count(lit(1)).as("n"), min(col("cell")).as("min_cell"),
+          max(col("cell")).as("max_cell"))
+        .orderBy(col("prefix"))
+    }),
+
     // bounded temporal band join (reference-absent): each click paired
     // with the same user's purchases within ±15 min — bucketed equi-join,
     // no per-key cross product (RangeJoin scaladoc); integer-only outputs
@@ -1829,6 +1844,29 @@ object SparkEntry {
         |        string_split_regex(lower(trim(text)), '\s+') AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // replay of zorder_cell: same quantization doubles (identical IEEE op
+    // order), same unrolled bit interleave via unnest(range(15))
+    "zorder_cells" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |    CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.25 AS lat
+        |  FROM customer),
+        |xy AS (
+        |  SELECT c_custkey,
+        |    CAST(least(floor((lon + 180.0) / 360.0 * 32768.0), 32767) AS BIGINT) AS x,
+        |    CAST(least(floor((lat + 90.0) / 180.0 * 32768.0), 32767) AS BIGINT) AS y
+        |  FROM pts),
+        |cells AS (
+        |  SELECT c_custkey,
+        |    CAST(sum((((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b+1))) AS BIGINT) AS cell
+        |  FROM (SELECT c_custkey, x, y, unnest(range(15)) AS b FROM xy)
+        |  GROUP BY c_custkey)
+        |SELECT cell >> 24 AS prefix, CAST(count(*) AS BIGINT) AS n,
+        |  min(cell) AS min_cell, max(cell) AS max_cell
+        |FROM cells GROUP BY 1
+        |ORDER BY prefix""".stripMargin,
 
     // the salt is distribution-only: the oracle is the PLAIN join
     "skew_join" ->

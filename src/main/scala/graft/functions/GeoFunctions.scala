@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.functions.{call_function, floor, least, lit, shiftleft, shiftright}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -222,4 +222,26 @@ object GeoFunctions {
   def st_srid(c: Column): Column = call_function("st_srid", c)
   def st_x(c: Column): Column = call_function("st_x", c)
   def st_y(c: Column): Column = call_function("st_y", c)
+
+  /**
+   * Z-order (Morton) cell of a lon/lat point at `bits` bits per axis —
+   * the scale substitute for the reference's per-table GiST index
+   * (importer.rb:274,332,382): sorting/partitioning parquet by this key
+   * clusters spatially-near rows into the same files and row groups, so
+   * a spatial predicate prunes at the file level (D5 in SURVEY §2.10).
+   * Built entirely from codegen'd integer built-ins (unrolled interleave,
+   * no custom expression, no UDF); exact same bit arithmetic replays in
+   * the DuckDB oracle.
+   */
+  def zorder_cell(lon: Column, lat: Column, bits: Int = 15): Column = {
+    require(bits > 0 && bits <= 31, "bits per axis must be in 1..31")
+    val n = 1L << bits
+    val x = least(floor((lon + 180.0) / 360.0 * n), lit(n - 1)).cast("long")
+    val y = least(floor((lat + 90.0) / 180.0 * n), lit(n - 1)).cast("long")
+    (0 until bits).map { b =>
+      val xb = shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+      val yb = shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+      (xb + yb): Column
+    }.reduce(_ + _)
+  }
 }

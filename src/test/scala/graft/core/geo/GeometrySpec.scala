@@ -80,4 +80,28 @@ class GeometrySpec extends AnyFunSuite {
     val g = Point(Coord(10, 20))
     assert(Projection.transformTo4326(g, 999999) == g)
   }
+
+  test("zorder cell matches a reference Morton interleave and clusters neighbors") {
+    val spark = graft.SparkTestBase.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def refMorton(lon: Double, lat: Double, bits: Int): Long = {
+      val n = 1L << bits
+      val x = math.min(math.floor((lon + 180.0) / 360.0 * n).toLong, n - 1)
+      val y = math.min(math.floor((lat + 90.0) / 180.0 * n).toLong, n - 1)
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    }
+    val pts = Seq((0.5, 0.25), (-179.9, -89.9), (179.9, 89.9), (0.6, 0.26))
+    val got = pts.toDF("lon", "lat")
+      .select(graft.functions.GeoFunctions.zorder_cell(col("lon"), col("lat"), 15).as("c"))
+      .collect().map(_.getLong(0))
+    pts.zip(got).foreach { case ((lon, lat), c) =>
+      assert(c == refMorton(lon, lat, 15), s"($lon,$lat)")
+    }
+    // locality: two points ~0.1° apart share a long cell prefix; the
+    // antipodal corners do not
+    assert((got(0) >> 12) == (got(3) >> 12))
+    assert((got(1) >> 12) != (got(2) >> 12))
+  }
 }

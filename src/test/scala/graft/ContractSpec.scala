@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself, pinned: every query has an oracle and
+  * vice versa (a missing oracle silently downgrades the correctness gate
+  * to rows-only), and the flagship entry returns rows. */
+class ContractSpec extends AnyFunSuite with SparkTestBase {
+
+  test("every query has a DuckDB oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q diff o).isEmpty, s"queries missing oracles: ${(q diff o).toSeq.sorted}")
+    assert((o diff q).isEmpty, s"oracles without queries: ${(o diff q).toSeq.sorted}")
+  }
+
+  test("oracle SQL never references tables outside the testdata set") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // crude but effective: every FROM/JOIN target is a known table or a
+    // CTE defined inside the same statement
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_0-9]+)\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1)).toSet
+      val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_0-9]+)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = refs -- tables -- ctes.map(_.toLowerCase)
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+
+  test("flagship entry returns georeferenced rows (driver smoke shape)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.contains("wkt"))
+    assert(df.limit(5).count() > 0)
+  }
+}

@@ -684,6 +684,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // bigram novelty (contamination check): docs ≥ 250 scored against the
+    // < 250 reference vocab; every 7th probe gets injected never-seen
+    // tokens so novelty detection is exercised, not just zero
+    "bigram_novelty" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") >= 250 && col("doc_id") % 7 === 0,
+          concat(lit("zq"), col("doc_id").cast("string"),
+            lit(" xv"), col("doc_id").cast("string"), lit(" "), col("text")))
+          .otherwise(col("text")))
+      TextAnalysis.bigramNovelty(seeded, "doc_id", "text",
+        isRef = col("doc_id") < 250)
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprints (mod-P spec → window-function SQL oracle)
     "doc_fingerprint" -> ((s, dir) => {
       graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
@@ -1696,6 +1710,30 @@ object SparkEntry {
         |SELECT l_returnflag, n_buckets, sum_max_rho, d_exact
         |FROM state JOIN ex USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // replay of TextAnalysis.bigramNovelty incl. the token injection
+    "bigram_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 250 AND doc_id % 7 = 0
+        |      THEN 'zq' || CAST(doc_id AS VARCHAR) || ' xv' || CAST(doc_id AS VARCHAR) || ' ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '') AS ts
+        |  FROM docs),
+        |bg AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS bigram
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+        |vocab AS (SELECT DISTINCT bigram FROM bg WHERE doc_id < 250)
+        |SELECT b.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |FROM bg b LEFT JOIN vocab v USING (bigram)
+        |WHERE b.doc_id >= 250
+        |GROUP BY b.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // replay of TextAnalysis.tfidfTop: same tokenization as lang_id, tf/df
     // integer counts, score via `//` integer division

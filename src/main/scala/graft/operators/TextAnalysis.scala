@@ -156,6 +156,38 @@ object TextAnalysis {
         col("tf"), col("df"), col("score"))
   }
 
+  /**
+   * Bigram novelty scoring (contamination / distribution-shift check):
+   * how many of a probe document's token bigrams never occur in the
+   * reference partition. The inverse question — benchmark n-grams
+   * appearing in training data — is the same join read the other way.
+   *
+   * Integer outputs only (n_bigrams, n_novel). Scale shape: bigram
+   * explode → distinct reference vocab (shuffle on bigram, counts only)
+   * → left join probe bigrams against vocab (equi-join on bigram; a
+   * Bloom filter over the vocab — see Sketches — is the standard
+   * pre-prune when the vocab outgrows the broadcast threshold) →
+   * per-doc count aggregation. Docs with <2 tokens have no bigrams and
+   * drop out, matching the SQL replay.
+   */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String,
+      isRef: Column): DataFrame = {
+    val toks = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc"), isRef.as("is_ref"),
+        expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t <> '')").as("ts"))
+    val bg = toks.select(col("doc"), col("is_ref"),
+      explode(expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+    val vocab = bg.filter(col("is_ref"))
+      .select(col("bigram")).distinct().withColumn("seen", lit(1))
+    bg.filter(!col("is_ref"))
+      .join(vocab, Seq("bigram"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("seen").isNull, 1).otherwise(0)).as("n_novel"))
+  }
+
   // ------------------------------------------------------------------ langid
 
   /** Tiny deterministic language profiles: high-frequency function words

@@ -97,6 +97,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.toSeq == Seq(0, 8, 16, 24))
   }
 
+  test("bigram novelty: novel bigrams counted, reference bigrams not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "the cat sat here"),        // reference
+      (2L, "the cat ran away"),        // probe: "the cat" seen; 2 novel
+      (3L, "entirely new words only"), // probe: all 3 novel
+      (4L, "x")                        // probe: 1 token → no bigrams, drops
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramNovelty(df, "doc_id", "text", col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(2L) == (3L, 2L)) // "the cat" known; "cat ran","ran away" novel
+    assert(rows(3L) == (3L, 3L))
+    assert(!rows.contains(4L))
+    assert(!rows.contains(1L)) // reference docs are not scored
+  }
+
   test("tfidf top terms: integer score ranks rare terms above common ones") {
     import spark.implicits._
     val df = Seq(

@@ -721,6 +721,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal frame pipeline: sample 4 frames at stride 8 per fake
+    // video, per-frame decode via the frame-seed spec — the explode →
+    // decode → project shape of a real video pipeline, hash-oracled
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "video/fake")
+      Multimodal.frameFeatures(media, nFrames = 4, stride = 8)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // §2.9 batch analog of the custom sessionizer: lag + cumulative-sum
     // session ids, 30-minute gap (EventStreams.sessionize is the streaming
     // twin; tested in EventStreamsSpec)
@@ -1837,6 +1850,26 @@ object SparkEntry {
         |SELECT doc_id AS media_id, 8 AS width, 8 AS height, 3 AS n_channels,
         |  CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN ((seed + i * 2654435761) % 1000000007) % 256 END) AS BIGINT) AS c0_sum
         |FROM px GROUP BY doc_id, seed ORDER BY media_id""".stripMargin,
+
+    // replay of Multimodal.frameFeatures: payload seed fold + frame-seed
+    // offset + channel-0 pixel sum per sampled frame
+    "multimodal_frames" ->
+      """WITH seeds AS (
+        |  SELECT doc_id,
+        |    sum(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * ((i - 1) * 131 + 7) % 1000000007) % 1000000007 AS seed
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents WHERE doc_id < 100)
+        |  GROUP BY doc_id),
+        |frames AS (
+        |  SELECT doc_id, seed, CAST(k * 8 AS INT) AS frame_idx,
+        |    (seed + k * 8 * 524287) % 1000000007 AS fseed
+        |  FROM seeds CROSS JOIN (SELECT unnest(range(4)) AS k) ks),
+        |px AS (SELECT doc_id, frame_idx, fseed, unnest(range(1, 193)) AS i FROM frames)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  CAST(sum(CASE WHEN (i - 1) % 3 = 0
+        |    THEN ((fseed + i * 2654435761) % 1000000007) % 256 END) AS BIGINT) AS c0_sum
+        |FROM px GROUP BY doc_id, frame_idx
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "type_infer" ->
       """SELECT col_name, lattice_type FROM (

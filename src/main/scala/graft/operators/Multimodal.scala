@@ -137,4 +137,48 @@ object Multimodal {
       maxFrames: Int = 64): DataFrame =
     media.withColumn("frame_idx",
       explode(slice(sequence(lit(0), lit(maxFrames - 1), lit(stride)), 1, nFrames)))
+
+  /**
+   * Frame sampling + per-frame featurization for video-like payloads:
+   * the sampled frame's "decode" derives a frame seed from the payload
+   * seed (same fold as OracleCodec) offset by frame_idx·524287 mod P, so
+   * the whole explode→decode→aggregate shape is exercised with
+   * SQL-replayable integers. One codec pass per (row, frame) inside
+   * mapPartitions — exactly where a real video decoder would seek and
+   * decode its keyframes.
+   */
+  def frameFeatures(media: DataFrame, nFrames: Int, stride: Int): DataFrame = {
+    val P = graft.functions.HashFunctions.P
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("c0_sum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    sampleFrameIndexes(media.select(col("media_id"), col("content")),
+      nFrames, stride)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          if (bytes == null) Iterator.empty
+          else {
+            var seed = 0L
+            var i = 0
+            while (i < bytes.length) {
+              seed += (bytes(i) & 0xff).toLong * ((i.toLong * 131L + 7L) % P)
+              i += 1
+            }
+            val idx = r.getAs[Int]("frame_idx")
+            val fseed = (seed % P + idx.toLong * 524287L) % P
+            // channel-0 pixel sum of the 8×8×3 deterministic frame
+            var s = 0L
+            i = 1
+            while (i <= 192) {
+              if ((i - 1) % 3 == 0) s += ((fseed + i.toLong * 2654435761L) % P) % 256L
+              i += 1
+            }
+            Iterator(Row(r.getLong(0), idx, s))
+          }
+        }
+      }(enc)
+  }
 }

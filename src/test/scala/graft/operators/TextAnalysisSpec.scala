@@ -97,6 +97,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.toSeq == Seq(0, 8, 16, 24))
   }
 
+  test("frame featurization: 4 frames per media, deterministic, frame-distinct") {
+    import spark.implicits._
+    val df = Seq((1L, "payload one".getBytes), (2L, "payload two".getBytes))
+      .toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "video/fake")
+    val rows = Multimodal.frameFeatures(media, nFrames = 4, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 8)
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(Seq(0, 8, 16, 24))))
+    // the frame seed moves across frames (sums can still collide by
+    // chance — they're 64-term sums mod 256 — so require >1, not 4)
+    assert(rows.filter(_._1 == 1L).map(_._3).distinct.length > 1)
+    val again = Multimodal.frameFeatures(media, 4, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sortBy(t => (t._1, t._2)).sameElements(again.sortBy(t => (t._1, t._2))))
+  }
+
   test("bigram novelty: novel bigrams counted, reference bigrams not") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

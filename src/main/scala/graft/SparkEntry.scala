@@ -721,6 +721,16 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal resize: 8×8 → 4×4 block-sum downsample of the decoded
+    // channel-0 plane — integer resampling arithmetic, hash-oracled
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "img/fake")
+      Multimodal.resizeFeatures(media, Multimodal.OracleCodec)
+        .orderBy(col("media_id"))
+    }),
+
     // multimodal frame pipeline: sample 4 frames at stride 8 per fake
     // video, per-frame decode via the frame-seed spec — the explode →
     // decode → project shape of a real video pipeline, hash-oracled
@@ -1850,6 +1860,28 @@ object SparkEntry {
         |SELECT doc_id AS media_id, 8 AS width, 8 AS height, 3 AS n_channels,
         |  CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN ((seed + i * 2654435761) % 1000000007) % 256 END) AS BIGINT) AS c0_sum
         |FROM px GROUP BY doc_id, seed ORDER BY media_id""".stripMargin,
+
+    // replay of Multimodal.resizeFeatures: same seed fold, channel-0
+    // plane at (r, c) = ((i-1)//3) // 8, ((i-1)//3) % 8, 2×2 corner
+    // block sums + plane total
+    "multimodal_resize" ->
+      """WITH seeds AS (
+        |  SELECT doc_id,
+        |    sum(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * ((i - 1) * 131 + 7) % 1000000007) % 1000000007 AS seed
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
+        |  GROUP BY doc_id),
+        |px AS (SELECT doc_id, seed, unnest(range(1, 193)) AS i FROM seeds),
+        |c0 AS (
+        |  SELECT doc_id,
+        |    ((i - 1) // 3) // 8 AS r, ((i - 1) // 3) % 8 AS c,
+        |    ((seed + i * 2654435761) % 1000000007) % 256 AS v
+        |  FROM px WHERE (i - 1) % 3 = 0)
+        |SELECT doc_id AS media_id,
+        |  CAST(sum(CASE WHEN r < 2 AND c < 2 THEN v ELSE 0 END) AS BIGINT) AS b00_sum,
+        |  CAST(sum(CASE WHEN r >= 6 AND c >= 6 THEN v ELSE 0 END) AS BIGINT) AS b33_sum,
+        |  CAST(sum(v) AS BIGINT) AS c0_total
+        |FROM c0 GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // replay of Multimodal.frameFeatures: payload seed fold + frame-seed
     // offset + channel-0 pixel sum per sampled frame

@@ -139,6 +139,41 @@ object Multimodal {
       explode(slice(sequence(lit(0), lit(maxFrames - 1), lit(stride)), 1, nFrames)))
 
   /**
+   * Resize: 8×8 → 4×4 by 2×2 block aggregation over the decoded
+   * channel-0 plane — the downsample step of an image pipeline, kept in
+   * INTEGER block sums (the mean is sum/4, a caller-side projection) so
+   * the resampling arithmetic is exact and SQL-replayable. Emits the
+   * corner blocks and the plane total per media.
+   */
+  def resizeFeatures(media: DataFrame, codec: MediaCodec = OracleCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("b00_sum", LongType, nullable = false),
+      StructField("b33_sum", LongType, nullable = false),
+      StructField("c0_total", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null) Iterator.empty
+        else {
+          val (w, h, c, px) = codec.decodeImage(bytes)
+          // channel-0 plane as exact 8-bit ints
+          def p(row: Int, colI: Int): Long =
+            math.round(px((row * w + colI) * c) * 255.0f).toLong
+          def block(bi: Int, bj: Int): Long =
+            p(2 * bi, 2 * bj) + p(2 * bi, 2 * bj + 1) +
+              p(2 * bi + 1, 2 * bj) + p(2 * bi + 1, 2 * bj + 1)
+          var total = 0L
+          var i = 0
+          while (i < h) { var j = 0; while (j < w) { total += p(i, j); j += 1 }; i += 1 }
+          Iterator(Row(r.getLong(0), block(0, 0), block(3, 3), total))
+        }
+      }
+    }(enc)
+  }
+
+  /**
    * Frame sampling + per-frame featurization for video-like payloads:
    * the sampled frame's "decode" derives a frame seed from the payload
    * seed (same fold as OracleCodec) offset by frame_idx·524287 mod P, so

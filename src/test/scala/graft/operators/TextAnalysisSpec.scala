@@ -97,6 +97,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.toSeq == Seq(0, 8, 16, 24))
   }
 
+  test("resize block sums are consistent with the decode path's channel sums") {
+    import spark.implicits._
+    val df = Seq((1L, "abc".getBytes), (2L, "another payload".getBytes))
+      .toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "img/fake")
+    val resized = Multimodal.resizeFeatures(media, Multimodal.OracleCodec)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val decoded = Multimodal.decodeAndFeaturize(media, Multimodal.OracleCodec)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("channel_sum")).head).toMap
+    decoded.foreach { case (id, c0) =>
+      val (b00, b33, total) = resized(id)
+      assert(total == c0, s"media $id: resize total $total != decode channel sum $c0")
+      assert(b00 >= 0 && b00 <= 4 * 255 && b33 >= 0 && b33 <= 4 * 255)
+    }
+  }
+
   test("frame featurization: 4 frames per media, deterministic, frame-distinct") {
     import spark.implicits._
     val df = Seq((1L, "payload one".getBytes), (2L, "payload two".getBytes))

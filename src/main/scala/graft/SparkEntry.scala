@@ -850,6 +850,35 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // §2.5 RANGE window frame (value-based, vs q4's ROWS): 30-day trailing
+    // revenue per customer — exact µs frame bounds, ties are peers in
+    // both engines
+    "q28_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("us"))
+        .rangeBetween(-2592000000000L, 0) // 30 days in µs
+      t(s, dir, "orders")
+        .withColumn("us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("trailing_30d", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("trailing_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // §2.7 bag semantics (INTERSECT ALL / EXCEPT ALL — q5 covers the set
+    // versions): supplier multiset overlap between two ship years
+    "q29_bag_setops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def keys(yr: Int) = li.filter(year(col("l_shipdate")) === yr)
+        .select(col("l_suppkey"))
+      keys(1996).intersectAll(keys(1997))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_common"))
+        .join(keys(1996).exceptAll(keys(1997))
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_94_only")),
+          Seq("l_suppkey"), "full_outer")
+        .na.fill(0, Seq("n_common", "n_94_only"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // skew-tolerant salted join (scale toolbox): the salt spreads hot keys
     // over `factor` reducers; the aggregate collapses it, so the result —
     // and the oracle — are exactly the plain join's
@@ -1970,6 +1999,31 @@ object SparkEntry {
         |  min(cell) AS min_cell, max(cell) AS max_cell
         |FROM cells GROUP BY 1
         |ORDER BY prefix""".stripMargin,
+
+    "q28_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q29_bag_setops" ->
+      """WITH y94 AS (SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1996),
+        |y95 AS (SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1997),
+        |common AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM (SELECT * FROM y94 INTERSECT ALL SELECT * FROM y95)
+        |  GROUP BY l_suppkey),
+        |only94 AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_94_only
+        |  FROM (SELECT * FROM y94 EXCEPT ALL SELECT * FROM y95)
+        |  GROUP BY l_suppkey)
+        |SELECT l_suppkey,
+        |  coalesce(n_common, 0) AS n_common,
+        |  coalesce(n_94_only, 0) AS n_94_only
+        |FROM common FULL OUTER JOIN only94 USING (l_suppkey)
+        |ORDER BY l_suppkey""".stripMargin,
 
     // the salt is distribution-only: the oracle is the PLAIN join
     "skew_join" ->

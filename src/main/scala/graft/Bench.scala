@@ -28,7 +28,12 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators cache internal tables (signature/tf projections); drop
+      // them so memory stays flat across the suite and no query's timing
+      // depends on an earlier query's leftovers
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -447,6 +447,23 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // incremental-ingest near-dedup: batch (docs ≥ 250 ∪ 20 edited copies
+    // of reference docs) deduped AGAINST the reference partition
+    // (docs < 250) — strictly cross-set signature join; survivors listed
+    "dedup_incremental" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val ref = base.filter(col("doc_id") < 250)
+      val batch = base.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionAll(base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(lit("XYZXYZXYZXYZXYZ"), expr("substring(text, 16)")).as("text")))
+      Dedup.dropNearDuplicatesAgainst(ref, batch, "doc_id", "text",
+        threshold = 0.6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding near-dup pairs: LSH buckets + exact cosine verify, oracled
     // against a brute-force DuckDB join
     "embed_dup_pairs" -> ((s, dir) => {
@@ -1537,6 +1554,32 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // replay of dropNearDuplicatesAgainst: cross-set signature match
+    // (≥ 39 of 64 components at t=0.6), survivors anti-joined
+    "dedup_incremental" ->
+      s"""WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 30000, 'XYZXYZXYZXYZXYZ' || substr(text, 16)
+        |  FROM documents WHERE doc_id < 20),
+        |corpus AS (SELECT 'r' AS side, doc_id, text FROM ref
+        |           UNION ALL SELECT 'b', doc_id, text FROM batch),
+        |grams AS (
+        |  SELECT side, doc_id, ${gram5Sql("text", "CAST(i AS INT)")} AS gh
+        |  FROM (SELECT side, doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM corpus)),
+        |sigs AS (
+        |  SELECT side, doc_id, j, min(${mixJSql("gh")}) AS sig
+        |  FROM grams CROSS JOIN (SELECT unnest(range(64)) AS j) js
+        |  GROUP BY side, doc_id, j),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sigs b JOIN sigs r ON b.j = r.j AND b.side = 'b' AND r.side = 'r' AND b.sig = r.sig
+        |  GROUP BY b.doc_id, r.doc_id
+        |  HAVING count(*) >= 39)
+        |SELECT b.doc_id FROM batch b LEFT JOIN dup d USING (doc_id)
+        |WHERE d.doc_id IS NULL ORDER BY doc_id""".stripMargin,
 
     // replay of HashFunctions.minHashSignature: same grams, same A_j/B_j
     // mixers, brute-force over all pairs (the engine's banding must find

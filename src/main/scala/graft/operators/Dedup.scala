@@ -80,6 +80,42 @@ object Dedup {
       .withColumn("est_jaccard", col("n_match") / lit(m.toDouble))
   }
 
+  /**
+   * Incremental-ingest near-dedup: drop every `batch` row whose MinHash
+   * signature agrees with some `reference` row in ≥ ⌈threshold·m⌉
+   * components — the daily-batch shape: the reference side is just a
+   * signature table (precompute/persist it once; new batches never
+   * rescan the reference TEXT), and the join is strictly cross-set, so
+   * reference-internal duplicates cost nothing. Same signature/banding
+   * spec as minHashPairs → the oracle replays it exactly.
+   */
+  def dropNearDuplicatesAgainst(
+      reference: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.6, shingle: Int = 5,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val m = bands * rowsPerBand
+    val minMatch = math.ceil(threshold * m - 1e-9).toInt
+    def sigs(df: DataFrame) = ensureParallelism(df)
+      .select(col(idCol).as("id"), minhash_sig(col(textCol), shingle, m).as("sig"))
+      .cache()
+    def banded(s: DataFrame) = s
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", xxhash64(col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+    val dupIds = banded(sigs(batch))
+      .select(col("band"), col("bucket"), col("id").as("b_id"), col("sig").as("b_sig"))
+      .join(banded(sigs(reference))
+        .select(col("band"), col("bucket"), col("sig").as("r_sig")),
+        Seq("band", "bucket"))
+      .withColumn("n_match",
+        expr("size(filter(zip_with(b_sig, r_sig, (x, y) -> x = y), v -> v))"))
+      .filter(col("n_match") >= minMatch)
+      .select(col("b_id")).distinct()
+    batch.join(dupIds, batch(idCol) === dupIds("b_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs within `maxHamming` (≤ bandCount-1 for full
     * recall by pigeonhole: 4 bands of 16 bits catch any ≤3-bit diff). */
   def simHashPairs(

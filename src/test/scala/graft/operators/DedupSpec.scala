@@ -121,4 +121,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(cos > 0.999999)
     }
   }
+
+  test("incremental dedup drops batch rows near-dup'ing the reference, keeps the rest") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val ref = docs.filter(col("doc_id") < 100)
+    // batch: an exact copy of ref doc 5, a lightly edited copy of ref
+    // doc 7, and a clearly novel doc
+    val batch = Seq(
+      (9001L, docs.filter(col("doc_id") === 5).head().getAs[String]("text")),
+      (9002L, "ZZZZZ" + docs.filter(col("doc_id") === 7).head().getAs[String]("text").drop(5)),
+      (9003L, "completely unrelated content qqq www eee rrr ttt yyy uuu iii")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesAgainst(ref, batch, "doc_id", "text",
+        threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(9001L)) // exact copy dropped
+    assert(!kept.contains(9002L)) // near copy dropped
+    assert(kept.contains(9003L))  // novel survives
+    // reference-internal duplicates are irrelevant: batch vs EMPTY ref
+    val all = Dedup.dropNearDuplicatesAgainst(
+        ref.filter(col("doc_id") < 0), batch, "doc_id", "text")
+      .count()
+    assert(all == 3)
+  }
 }

@@ -896,6 +896,21 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // §2.3 correlated LATERAL join (per-row dependent subquery — a
+    // different plan shape from the window-function top-k): each nation's
+    // two highest-balance customers
+    "q30_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_lat")
+      t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation_lat n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+    }),
+
     // skew-tolerant salted join (scale toolbox): the salt spreads hot keys
     // over `factor` reducers; the aggregate collapses it, so the result —
     // and the oracle — are exactly the plain join's
@@ -2042,6 +2057,14 @@ object SparkEntry {
         |  min(cell) AS min_cell, max(cell) AS max_cell
         |FROM cells GROUP BY 1
         |ORDER BY prefix""".stripMargin,
+
+    "q30_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
 
     "q28_range_frame" ->
       """SELECT o_custkey, o_orderkey,

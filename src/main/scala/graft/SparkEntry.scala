@@ -1096,6 +1096,12 @@ object SparkEntry {
 
   /** Shared CTE chain replaying MinHash signatures + per-pair component
     * match counts (used by the dedup_minhash and dedup_clusters oracles). */
+  // `mc` = component-agreement counts over ALL pairs; `bh` = pairs sharing
+  // at least one FULL band (all 4 components of some j//4 band equal) —
+  // the LSH candidate test. The engine contract (Dedup.minHashPairs
+  // scaladoc) is bh ∧ n_match ≥ ⌈t·m⌉, so the oracles below apply BOTH
+  // conditions — correctness is a deterministic signature predicate, not
+  // a data-dependent "banding happened to reach full recall" claim.
   private def minhashPairCtes: String =
     s"""docs AS ($AugmentedDocsSql),
       |grams AS (
@@ -1109,7 +1115,14 @@ object SparkEntry {
       |  SELECT x.doc_id AS a, y.doc_id AS b,
       |    CAST(sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_match
       |  FROM sigs x JOIN sigs y ON x.j = y.j AND x.doc_id < y.doc_id
-      |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+      |  GROUP BY x.doc_id, y.doc_id),
+      |bh AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT x.doc_id AS a, y.doc_id AS b
+      |    FROM sigs x JOIN sigs y
+      |      ON x.j = y.j AND x.sig = y.sig AND x.doc_id < y.doc_id
+      |    GROUP BY x.doc_id, y.doc_id, x.j // 4
+      |    HAVING count(*) = 4))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1570,8 +1583,10 @@ object SparkEntry {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 
-    // replay of dropNearDuplicatesAgainst: cross-set signature match
-    // (≥ 39 of 64 components at t=0.6), survivors anti-joined
+    // replay of dropNearDuplicatesAgainst: banding semantics exactly —
+    // a batch row is a dup iff vs some reference row it shares a FULL
+    // band (all 4 components of some j//4 band) AND matches ≥ 39 of 64
+    // components (t=0.6); survivors anti-joined
     "dedup_incremental" ->
       s"""WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |batch AS (
@@ -1588,25 +1603,32 @@ object SparkEntry {
         |  SELECT side, doc_id, j, min(${mixJSql("gh")}) AS sig
         |  FROM grams CROSS JOIN (SELECT unnest(range(64)) AS j) js
         |  GROUP BY side, doc_id, j),
+        |m AS (
+        |  SELECT b.doc_id AS bd, r.doc_id AS rd, b.j
+        |  FROM sigs b JOIN sigs r
+        |    ON b.j = r.j AND b.side = 'b' AND r.side = 'r' AND b.sig = r.sig),
+        |nm AS (SELECT bd, rd, count(*) AS n_match FROM m GROUP BY bd, rd),
+        |cand AS (
+        |  SELECT DISTINCT bd, rd FROM (
+        |    SELECT bd, rd FROM m GROUP BY bd, rd, j // 4 HAVING count(*) = 4)),
         |dup AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM sigs b JOIN sigs r ON b.j = r.j AND b.side = 'b' AND r.side = 'r' AND b.sig = r.sig
-        |  GROUP BY b.doc_id, r.doc_id
-        |  HAVING count(*) >= 39)
+        |  SELECT DISTINCT bd AS doc_id
+        |  FROM nm JOIN cand USING (bd, rd) WHERE n_match >= 39)
         |SELECT b.doc_id FROM batch b LEFT JOIN dup d USING (doc_id)
         |WHERE d.doc_id IS NULL ORDER BY doc_id""".stripMargin,
 
     // replay of HashFunctions.minHashSignature: same grams, same A_j/B_j
-    // mixers, brute-force over all pairs (the engine's banding must find
-    // every pair with n_match ≥ ⌈0.6·64⌉ = 39 — full-recall check included)
+    // mixers; banding semantics exactly — shares a full band (bh) AND
+    // n_match ≥ ⌈0.6·64⌉ = 39 (see minhashPairCtes comment)
     "dedup_minhash" ->
       s"""WITH $minhashPairCtes
-        |SELECT a, b, n_match FROM mc WHERE n_match >= 39 ORDER BY a, b""".stripMargin,
+        |SELECT a, b, n_match FROM mc JOIN bh USING (a, b)
+        |WHERE n_match >= 39 ORDER BY a, b""".stripMargin,
 
     // transitive closure over the same pairs: cluster = min reachable id
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairCtes,
-        |pairs AS (SELECT a, b FROM mc WHERE n_match >= 39),
+        |pairs AS (SELECT a, b FROM mc JOIN bh USING (a, b) WHERE n_match >= 39),
         |edges AS (
         |  SELECT a AS src, b AS dst FROM pairs
         |  UNION

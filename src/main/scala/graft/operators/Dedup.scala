@@ -43,7 +43,20 @@ object Dedup {
   }
 
   /**
-   * MinHash+LSH candidate pairs with estimated Jaccard ≥ `threshold`.
+   * MinHash+LSH near-dup pairs. The CONTRACT is banding semantics, stated
+   * exactly: a pair is returned iff (1) it shares at least one full band
+   * (all `rowsPerBand` signature components of some band equal — the LSH
+   * candidate test) AND (2) its full signatures agree in ≥ ⌈threshold·m⌉
+   * components (the verify test). Both conditions are deterministic
+   * functions of the two signatures, so the result is data-independent
+   * and exactly SQL-replayable — the oracle applies the same two tests.
+   * Recall RELATIVE TO BRUTE FORCE over condition (2) alone is the
+   * standard LSH probability 1−(1−s^r)^b (s = true signature agreement
+   * rate): ≈ 1 for pairs well above threshold, ~84% for a pair exactly
+   * AT t = 0.6 with 16×4 banding — that gap is inherent to LSH and is
+   * what makes the plan O(colliding candidates) instead of O(n²);
+   * DedupSpec audits it empirically on the bench corpus.
+   *
    * `bands` × `rowsPerBand` must equal the signature length. Returns
    * (a, b, n_match, est_jaccard) with a < b, deduplicated across bands;
    * `n_match` is the exact integer count of agreeing signature components
@@ -81,13 +94,16 @@ object Dedup {
   }
 
   /**
-   * Incremental-ingest near-dedup: drop every `batch` row whose MinHash
-   * signature agrees with some `reference` row in ≥ ⌈threshold·m⌉
-   * components — the daily-batch shape: the reference side is just a
-   * signature table (precompute/persist it once; new batches never
-   * rescan the reference TEXT), and the join is strictly cross-set, so
-   * reference-internal duplicates cost nothing. Same signature/banding
-   * spec as minHashPairs → the oracle replays it exactly.
+   * Incremental-ingest near-dedup: drop every `batch` row that is a
+   * banding-semantics near-dup of some `reference` row — same two-part
+   * contract as minHashPairs (shares ≥ 1 full band AND agrees in ≥
+   * ⌈threshold·m⌉ signature components; see that scaladoc for the
+   * recall-vs-brute-force statement). The daily-batch shape: the
+   * reference side is just a signature table (precompute/persist it
+   * once; new batches never rescan the reference TEXT), and the join is
+   * strictly cross-set, so reference-internal duplicates cost nothing.
+   * Same signature/banding spec as minHashPairs → the oracle replays
+   * both tests exactly.
    */
   def dropNearDuplicatesAgainst(
       reference: DataFrame, batch: DataFrame,

@@ -16,12 +16,17 @@ object Sampling {
 
   private val P = graft.functions.HashFunctions.P
 
-  /** Uniform-ish value in [0, P) as a pure function of (id, salt). pmod,
-    * not %: Spark's % keeps the sign, so negative ids would fall outside
-    * every split range. (Equal to % for the non-negative ids the oracle
-    * replays.) */
+  /** Uniform-ish value in [0, P) as a pure function of (id, salt). The id
+    * is reduced mod P BEFORE the multiply: (pmod(id, P) + salt) ≲ 1e9 +
+    * salt, times 2654435761 stays under Long.Max for any |salt| ≲ 2e9 —
+    * so 64-bit hash-derived ids (common in dedup pipelines) never wrap,
+    * and the value is congruent to ((id + salt)·2654435761) mod P, i.e.
+    * identical to the plain formula wherever the plain formula doesn't
+    * overflow (which is what the SQL oracles replay). pmod, not %:
+    * Spark's % keeps the sign, so negative ids would fall outside every
+    * split range. */
   def hashUniform(id: Column, salt: Long): Column =
-    pmod((id.cast("long") + lit(salt)) * lit(2654435761L), lit(P))
+    pmod((pmod(id.cast("long"), lit(P)) + lit(salt)) * lit(2654435761L), lit(P))
 
   /** Keep ~`fraction` of rows, deterministically by id. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import graft.functions.HashFunctions
 
@@ -75,6 +76,18 @@ object Sketches {
     (g * g) % P
   }
 
+  /** Key normalization shared by the HLL/Bloom sketches: numeric keys
+    * reduce mod P directly; STRING keys route through the mod-P token
+    * fold first — a bare cast("long") would silently null non-numeric
+    * strings, making Bloom report false negatives for true members and
+    * HLL drop every value. Dispatch is on the column's schema type, so
+    * the sketch spec stays SQL-replayable for both key families. */
+  private def keyToLong(df: DataFrame, keyCol: String)(c: Column): Column =
+    df.schema(keyCol).dataType match {
+      case StringType => HashFunctions.modp_hash16(c)
+      case _ => c.cast("long")
+    }
+
   /**
    * HyperLogLog-style registers (Flajolet et al., AofA '07): bucket =
    * h mod m, rho = 1 + trailing zeros of ⌊h/m⌋ (0 → capped 25: h < P <
@@ -85,7 +98,8 @@ object Sketches {
   def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
       m: Int = 64): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
-    df.select(col(groupCol).as("grp"), hllHash(col(valueCol)).as("h"))
+    df.select(col(groupCol).as("grp"),
+        hllHash(keyToLong(df, valueCol)(col(valueCol))).as("h"))
       .withColumn("bucket", col("h") % m)
       .withColumn("q", expr("h div " + m))
       .withColumn("rho",
@@ -115,17 +129,22 @@ object Sketches {
   def bloomBuild(df: DataFrame, keyCol: String, d: Int = 4): DataFrame =
     df.select(col(keyCol).as("k")).distinct()
       .select(col("k"), explode(sequence(lit(0L), lit(d - 1L))).as("j"))
-      .select(col("j"), bloomBitCol(col("j"), col("k")).as("bit"))
+      .select(col("j"), bloomBitCol(col("j"), keyToLong(df, keyCol)(col("k"))).as("bit"))
       .distinct()
 
   /** Adds `might_contain` (1/0) to `probes`: 1 iff all d bits are set.
-    * Guaranteed 1 for true members; false-positive rate governed by
-    * d·n/m (audited in SketchesSpec). */
+    * Guaranteed 1 for true members — the hit count is taken over DISTINCT
+    * probe keys (a key probed k times would otherwise accumulate k·d hits
+    * and fail the === d test, turning every duplicated true member into a
+    * false negative); the final left join fans the verdict back out to
+    * every copy of a duplicated probe row. False-positive rate governed
+    * by d·n/m (audited in SketchesSpec). */
   def bloomMightContain(bits: DataFrame, probes: DataFrame, keyCol: String,
       d: Int = 4): DataFrame = {
-    val p = probes
+    val p = probes.select(col(keyCol)).distinct()
       .select(col(keyCol), explode(sequence(lit(0L), lit(d - 1L))).as("j"))
-      .select(col(keyCol), col("j"), bloomBitCol(col("j"), col(keyCol)).as("bit"))
+      .select(col(keyCol), col("j"),
+        bloomBitCol(col("j"), keyToLong(probes, keyCol)(col(keyCol))).as("bit"))
     val hits = p.join(broadcast(bits), Seq("j", "bit"))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === d)

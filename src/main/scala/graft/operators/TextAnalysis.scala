@@ -167,8 +167,15 @@ object TextAnalysis {
    * → left join probe bigrams against vocab (equi-join on bigram; a
    * Bloom filter over the vocab — see Sketches — is the standard
    * pre-prune when the vocab outgrows the broadcast threshold) →
-   * per-doc count aggregation. Docs with <2 tokens have no bigrams and
-   * drop out, matching the SQL replay.
+   * per-doc count aggregation. Docs with <2 tokens (including empty or
+   * punctuation-only text, whose token array is length 0 — the slice
+   * length is clamped to ≥ 0 so they cannot abort the job) have no
+   * bigrams and drop out, matching the SQL replay.
+   *
+   * The exploded bigram table is CACHED: it feeds both the reference-
+   * vocab branch and the probe branch, and without the boundary each
+   * branch re-runs the whole tokenize+explode lineage (no CSE across
+   * plan branches — same trap as tfidfTop's tf table).
    */
   def bigramNovelty(df: DataFrame, idCol: String, textCol: String,
       isRef: Column): DataFrame = {
@@ -177,8 +184,10 @@ object TextAnalysis {
         expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t <> '')").as("ts"))
     val bg = toks.select(col("doc"), col("is_ref"),
       explode(expr(
-        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1)," +
+        "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0))," +
+          " slice(ts, 2, greatest(size(ts) - 1, 0))," +
           " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .cache()
     val vocab = bg.filter(col("is_ref"))
       .select(col("bigram")).distinct().withColumn("seen", lit(1))
     bg.filter(!col("is_ref"))

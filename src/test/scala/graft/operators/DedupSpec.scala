@@ -122,6 +122,47 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("incremental dedup == banding-semantics replay, including near-threshold pairs") {
+    import spark.implicits._
+    import graft.functions.HashFunctions.minHashSignature
+    // Scattered single-char edits at increasing density sweep the
+    // signature-agreement rate from 1.0 down THROUGH the t=0.6 boundary —
+    // exactly where pure banding may lack a shared band. The contract
+    // (share a full band AND n_match ≥ 39) must match an independent
+    // replay at every edit level, so correctness is not data-dependent.
+    val base = spark.read.parquet(sf("documents"))
+    val ref = base.filter(col("doc_id") < 60)
+    val refRows = ref.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batchRows = refRows.take(20).zipWithIndex.map { case ((id, text), k) =>
+      val t = text.toCharArray
+      var i = 3; var edited = 0
+      while (edited < k * 4 && i < t.length) { t(i) = 'Q'; i += 5; edited += 1 }
+      (id + 50000L, new String(t))
+    }
+    val batch = batchRows.toSeq.toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesAgainst(ref, batch, "doc_id", "text",
+        threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent replay of the two-part contract from raw signatures
+    val refSigs = refRows.map { case (_, t) => minHashSignature(t, 5, 64) }
+    val expectDropped = batchRows.filter { case (_, t) =>
+      val bs = minHashSignature(t, 5, 64)
+      refSigs.exists { rs =>
+        val m = bs.zip(rs).map { case (x, y) => x == y }
+        val nMatch = m.count(identity)
+        val sharesBand = (0 until 16).exists(b => (0 until 4).forall(r => m(b * 4 + r)))
+        sharesBand && nMatch >= 39
+      }
+    }.map(_._1).toSet
+    val dropped = batchRows.map(_._1).toSet -- kept
+    assert(dropped == expectDropped,
+      s"engine dropped ${dropped.size}, replay expects ${expectDropped.size}; " +
+        s"diff ${(dropped.diff(expectDropped)).union(expectDropped.diff(dropped))}")
+    // the sweep really crosses the boundary: some edited copies drop, some survive
+    assert(expectDropped.nonEmpty && expectDropped.size < batchRows.length)
+  }
+
   test("incremental dedup drops batch rows near-dup'ing the reference, keeps the rest") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("documents"))

@@ -84,4 +84,21 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(merged == a)
   }
+
+  test("hashUniform: 64-bit and negative ids never wrap, values match the mod-P formula") {
+    import spark.implicits._
+    val P = 1000000007L
+    // 5e9 would overflow the unreduced (id·2654435761) product in int64;
+    // Long.MaxValue-adjacent ids are the hash-derived-id case from dedup
+    val ids = Seq(0L, 12345L, 5000000000L, Long.MaxValue - 1, -3L, -5000000000L)
+    val got = ids.toDF("id")
+      .select(col("id"), Sampling.hashUniform(col("id"), 0L).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val r = ((id % P) + P) % P          // true mathematical mod
+      val expect = (r * 2654435761L) % P  // r < P ⇒ product < 2.66e18, exact
+      assert(got(id) == expect, s"id $id: got ${got(id)}, want $expect")
+      assert(got(id) >= 0 && got(id) < P)
+    }
+  }
 }

@@ -71,6 +71,42 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(fps < 100, s"$fps false positives of 1000")
   }
 
+  test("bloom: duplicated probe keys — every copy of a true member flags 1") {
+    import spark.implicits._
+    // a key probed k times used to accumulate k·d bit-hits and fail the
+    // === d test, turning duplicated TRUE members into false negatives
+    val build = Seq(10L, 20L, 30L).toDF("id")
+    val bits = Sketches.bloomBuild(build, "id")
+    val probes = Seq(10L, 10L, 10L, 20L, 20L, 999999L, 999999L).toDF("id")
+    val rows = Sketches.bloomMightContain(bits, probes, "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.length == 7) // fan-out to every probe row preserved
+    assert(rows.filter(_._1 == 10L).forall(_._2 == 1))
+    assert(rows.filter(_._1 == 20L).forall(_._2 == 1))
+    // duplicated rows of the SAME key always agree
+    assert(rows.filter(_._1 == 999999L).map(_._2).distinct.length == 1)
+  }
+
+  test("bloom + hll accept string keys (no silent null-cast dropouts)") {
+    import spark.implicits._
+    // cast("long") on a non-numeric string yields null — before the typed
+    // dispatch, string-keyed Blooms reported false negatives for every
+    // true member and HLL dropped all values
+    val build = Seq("alpha", "beta", "gamma").toDF("k")
+    val bits = Sketches.bloomBuild(build, "k")
+    val probes = Seq("alpha", "beta", "gamma", "delta", "epsilon").toDF("k")
+    val flagged = Sketches.bloomMightContain(bits, probes, "k")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    Seq("alpha", "beta", "gamma").foreach(k =>
+      assert(flagged(k) == 1, s"member $k missed"))
+    val df = (0 until 5000).map(i => ("g", s"user_$i")).toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(regs.nonEmpty)
+    val est = Sketches.hllEstimate(regs)
+    assert(math.abs(est - 5000) / 5000.0 < 0.35, s"est $est for 5000 distinct strings")
+  }
+
   test("hll estimate tracks 10k distinct ids within the m=64 error band") {
     import spark.implicits._
     val df = spark.range(10000).select(lit("g").as("g"), col("id"))

@@ -147,6 +147,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!rows.contains(1L)) // reference docs are not scored
   }
 
+  test("bigram novelty: empty and punctuation-only docs drop out instead of aborting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // zero-token docs used to feed slice(ts, 1, -1), which Spark rejects
+    // at runtime and failed the whole query — they must simply drop out
+    val df = Seq(
+      (1L, "the cat sat here"), // reference
+      (2L, "the cat ran away"), // probe with bigrams
+      (3L, ""),                 // probe: empty → zero tokens
+      (4L, "!!! ... ??? --")    // probe: punctuation-only → zero tokens
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramNovelty(df, "doc_id", "text", col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(2L) == (3L, 2L))
+    assert(!rows.contains(3L) && !rows.contains(4L))
+  }
+
   test("tfidf top terms: integer score ranks rare terms above common ones") {
     import spark.implicits._
     val df = Seq(

@@ -440,9 +440,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // exact n-gram Jaccard via inverted index — integer outputs, oracled
+    // exact n-gram Jaccard through the size-gated dispatcher: the bench
+    // corpus fits the broadcast gate so the dense pair-loop runs; a
+    // 100×-larger corpus automatically takes the sparse inverted index
+    // (same result contract — see ngram_jaccard_sparse, oracled on the
+    // identical SQL)
     "ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(augmentedDocs(s, dir), "doc_id", "text",
+      Dedup.ngramJaccardPairsAuto(augmentedDocs(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // the sparse inverted-index plan pinned as its own oracled query —
+    // it is the path real 100 TB corpora take through the dispatcher, so
+    // it gets the same hash gate as the dense plan (identical oracle SQL)
+    "ngram_jaccard_sparse" -> ((s, dir) => {
+      Dedup.ngramJaccardPairsSparse(augmentedDocs(s, dir), "doc_id", "text",
         n = 3, minJaccard = 0.5)
         .orderBy(col("a"), col("b"))
     }),
@@ -1102,6 +1115,25 @@ object SparkEntry {
   // scaladoc) is bh ∧ n_match ≥ ⌈t·m⌉, so the oracles below apply BOTH
   // conditions — correctness is a deterministic signature predicate, not
   // a data-dependent "banding happened to reach full recall" claim.
+  private def ngramJaccardSql: String =
+    s"""WITH docs AS ($AugmentedDocsSql),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+      |        FROM docs)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      |  FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
+      |  GROUP BY l.doc_id, r.doc_id)
+      |SELECT a, b, inter, sa.sz AS na, sb.sz AS nb
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a
+      |JOIN sizes sb ON sb.doc_id = b
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
   private def minhashPairCtes: String =
     s"""docs AS ($AugmentedDocsSql),
       |grams AS (
@@ -1366,24 +1398,12 @@ object SparkEntry {
         |HAVING count(*) > 1
         |ORDER BY h""".stripMargin,
 
-    "ngram_jaccard" ->
-      s"""WITH docs AS ($AugmentedDocsSql),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
-        |  FROM (SELECT doc_id, text,
-        |          unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
-        |        FROM docs)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-        |  FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
-        |  GROUP BY l.doc_id, r.doc_id)
-        |SELECT a, b, inter, sa.sz AS na, sb.sz AS nb
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = a
-        |JOIN sizes sb ON sb.doc_id = b
-        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-        |ORDER BY a, b""".stripMargin,
+    // one SQL, two engine plans: the dense broadcast loop (ngram_jaccard,
+    // via the size-gated dispatcher) and the sparse inverted index
+    // (ngram_jaccard_sparse) must both reproduce the exact string-gram
+    // Jaccard pair set
+    "ngram_jaccard" -> ngramJaccardSql,
+    "ngram_jaccard_sparse" -> ngramJaccardSql,
 
     "embed_dup_pairs" ->
       s"""WITH emb AS ($AugmentedEmbSql)

@@ -163,6 +163,12 @@ object Dedup {
    * variant below degenerates to Σ n_g² rows when grams are corpus-common
    * (measured 280 s vs ~2 s on the shared-vocabulary bench corpus).
    * Returns (a, b, inter, na, nb); jaccard = inter / (na + nb - inter).
+   *
+   * DRIVER-BOUND BY DESIGN: this plan collects one (id, gram-set) row
+   * per doc to the driver and broadcasts it — correct only while the set
+   * table is broadcast-sized. Do not call it directly on unbounded
+   * corpora; call `ngramJaccardPairsAuto`, which size-gates the choice
+   * between this and the sparse inverted index.
    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -221,6 +227,31 @@ object Dedup {
   }
 
   /**
+   * Size-gated dispatcher over the two n-gram Jaccard plans: estimate the
+   * total gram-set footprint from one cheap aggregate (Σ text length ·
+   * 8 bytes/hash + per-doc overhead — an upper bound on the broadcast
+   * payload, since a doc has ≤ |text| distinct grams), and pick the
+   * dense broadcast-loop only when that bound fits `broadcastMaxBytes`.
+   * Above the gate the inverted-index plan runs instead: it never
+   * collects the corpus to the driver, so a 100× corpus cannot OOM the
+   * job before it starts. Both plans compute the same exact pair set
+   * (dense compares 64-bit gram hashes, sparse raw grams; a divergence
+   * needs an xxhash-scale collision — ~2⁻⁶⁴/pair, and DedupSpec pins
+   * equality on the bench corpus), so dispatch is invisible to callers
+   * and to the oracle.
+   */
+  def ngramJaccardPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5,
+      broadcastMaxBytes: Long = 256L << 20): DataFrame = {
+    val est = df.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L)).as("chars")).head()
+    val estBytes = est.getLong(1) * 8L + est.getLong(0) * 64L
+    if (estBytes <= broadcastMaxBytes) ngramJaccardPairs(df, idCol, textCol, n, minJaccard)
+    else ngramJaccardPairsSparse(df, idCol, textCol, n, minJaccard)
+  }
+
+  /**
    * Inverted-index variant of the same computation — the right plan for
    * SPARSE vocabularies (real web corpora), where Σ n_g² ≪ n²: shuffle is
    * bounded by corpus token count and no all-pairs join ever forms.
@@ -229,7 +260,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val grams = df
-      .select(col(idCol).as("id"),
+      .select(col(idCol).cast("long").as("id"), // schema parity with the dense plan
         explode(expr(
           s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n))"))
           .as("g"))

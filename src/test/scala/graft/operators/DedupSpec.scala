@@ -106,6 +106,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.count(p => p._2 == p._1 + 20000) >= 8) // edited still ≥0.5
   }
 
+  test("ngram jaccard: sparse inverted index == dense broadcast loop, pair for pair") {
+    // the dispatcher's contract: both plans compute the same exact result,
+    // so which one runs is purely a scale decision
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val dense = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(key).toSet
+    val sparse = Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(key).toSet
+    assert(dense == sparse,
+      s"dense-only ${(dense -- sparse).size}, sparse-only ${(sparse -- dense).size}")
+    assert(dense.nonEmpty)
+  }
+
   test("embedding cosine pairs: scaled copies collide and verify") {
     import spark.implicits._
     val base = spark.read.parquet(sf("embeddings"))

@@ -105,4 +105,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("Generate explode"), "right-side salt replication missing")
   }
+
+  test("ngram jaccard dispatcher: the large-corpus path never collects gram sets to the driver") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // above-gate dispatch (gate forced to 0): pure DataFrame plan — no
+    // parallelized-from-driver scan, which is the dense plan's signature
+    val sparse = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
+      broadcastMaxBytes = 0L)
+    val sp = sparse.queryExecution.executedPlan.toString
+    assert(!sp.contains("Scan ExistingRDD"),
+      "large-corpus dispatch still builds a driver-broadcast RDD plan")
+    assert(sp.contains("SortMergeJoin") || sp.contains("ShuffledHashJoin") ||
+      sp.contains("BroadcastHashJoin"), "sparse plan lost its inverted-index join")
+    // below-gate dispatch: the dense broadcast loop (driver-bounded by
+    // the gate) shows up as a parallelized RDD scan
+    val dense = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
+      broadcastMaxBytes = Long.MaxValue)
+    assert(dense.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "small-corpus dispatch should take the dense broadcast loop")
+  }
+
+  test("bigram_novelty: shared explode lineage cached — both branches read the cache") {
+    val p = plan("bigram_novelty")
+    assert(p.contains("InMemoryTableScan"),
+      "bigram cache boundary missing — vocab and probe branches would re-run the explode")
+  }
 }

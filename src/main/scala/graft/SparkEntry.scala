@@ -453,10 +453,17 @@ object SparkEntry {
 
     // the sparse inverted-index plan pinned as its own oracled query —
     // it is the path real 100 TB corpora take through the dispatcher, so
-    // it gets the same hash gate as the dense plan (identical oracle SQL)
+    // it gets the same hash gate as the dense plan (identical oracle SQL
+    // over a 1/16 corpus slice: this SYNTHETIC corpus's ~30-word
+    // vocabulary makes every gram corpus-common — the inverted index's
+    // documented worst case, Σ n_g² ≈ n² — so the full-corpus sparse run
+    // costs minutes while proving nothing extra about correctness; real
+    // web corpora are gram-sparse, which is when the dispatcher picks
+    // this plan)
     "ngram_jaccard_sparse" -> ((s, dir) => {
-      Dedup.ngramJaccardPairsSparse(augmentedDocs(s, dir), "doc_id", "text",
-        n = 3, minJaccard = 0.5)
+      Dedup.ngramJaccardPairsSparse(
+        augmentedDocs(s, dir).filter(col("doc_id") % 16 === 0),
+        "doc_id", "text", n = 3, minJaccard = 0.5)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -1115,8 +1122,14 @@ object SparkEntry {
   // scaladoc) is bh ∧ n_match ≥ ⌈t·m⌉, so the oracles below apply BOTH
   // conditions — correctness is a deterministic signature predicate, not
   // a data-dependent "banding happened to reach full recall" claim.
-  private def ngramJaccardSql: String =
-    s"""WITH docs AS ($AugmentedDocsSql),
+  private def ngramJaccardSql: String = ngramJaccardSqlWhere("")
+
+  /** Same exact-Jaccard SQL, optionally restricted to a corpus slice —
+    * the sparse-plan pin runs on 1/16 of the corpus (see the
+    * ngram_jaccard_sparse query comment for why). */
+  private def ngramJaccardSqlWhere(pred: String): String =
+    s"""WITH docs0 AS ($AugmentedDocsSql),
+      |docs AS (SELECT * FROM docs0 $pred),
       |grams AS (
       |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
       |  FROM (SELECT doc_id, text,
@@ -1403,7 +1416,7 @@ object SparkEntry {
     // (ngram_jaccard_sparse) must both reproduce the exact string-gram
     // Jaccard pair set
     "ngram_jaccard" -> ngramJaccardSql,
-    "ngram_jaccard_sparse" -> ngramJaccardSql,
+    "ngram_jaccard_sparse" -> ngramJaccardSqlWhere("WHERE doc_id % 16 = 0"),
 
     "embed_dup_pairs" ->
       s"""WITH emb AS ($AugmentedEmbSql)

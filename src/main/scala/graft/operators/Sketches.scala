@@ -46,9 +46,14 @@ object Sketches {
     val toks = Par.ensureParallelism(df)
       .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
       .filter(col("token") =!= "")
+    // cache: th feeds BOTH the sketch build and the probe top-k, and
+    // ReuseExchange does not fire across the two consumers (verified on
+    // the executed plan: without the boundary the scan+explode+aggregate
+    // lineage runs twice) — same trap as tfidfTop's tf table
     val th = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .withColumn("h", HashFunctions.modp_hash16(col("token")))
+      .cache()
     val sketch = th
       .select(col("n"), col("h"),
         explode(sequence(lit(0L), lit(d - 1L))).as("j"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Identifier
 import graft.operators.GeoPipeline
-import graft.sources.{Archive, CsvImport, GeoJsonImport, GeoTiff, GpxImport, KmlImport, OdsImport, Shapefile, XlsxImport}
+import graft.sources.{Archive, CsvImport, GeoJsonImport, GeoTiff, GpxImport, KmlImport, OdsImport, Shapefile, XlsImport, XlsxImport}
 
 /**
  * The import pipeline (SURVEY.md §3): Acquire (URL/file/zip) → Normalize
@@ -64,11 +64,7 @@ object Importer {
         case ".csv" => CsvImport.read(spark, path, req.inferTypes)
         case ".xlsx" => XlsxImport.read(spark, path, req.inferTypes)
         case ".ods" => OdsImport.read(spark, path, req.inferTypes)
-        case ".xls" =>
-          // legacy binary BIFF needs a codec not present in this build
-          // (the reference used roo); xlsx/ods cover the live formats
-          throw new UnsupportedOperationException(
-            ".xls (binary BIFF) is unsupported; convert to .xlsx or .ods")
+        case ".xls" => XlsImport.read(spark, path, req.inferTypes)
         case ".shp" => Shapefile.read(spark, path)
         case ".kml" => KmlImport.read(spark, path)
         case ".json" | ".js" | ".geojson" => GeoJsonImport.read(spark, path)

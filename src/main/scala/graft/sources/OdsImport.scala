@@ -3,11 +3,7 @@ package graft.sources
 import java.util.zip.ZipFile
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
-
-import graft.core.Identifier
-import graft.operators.SchemaInference
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * OpenDocument Spreadsheet source (SURVEY.md §2.1 S4, the `.ods` half of
@@ -76,17 +72,6 @@ object OdsImport {
     } finally zf.close()
   }
 
-  def read(spark: SparkSession, path: String, inferTypes: Boolean = true): DataFrame = {
-    val all = parseOds(path)
-    if (all.isEmpty) throw new IllegalArgumentException(s"empty spreadsheet: $path")
-    val header = Identifier.sanitizeHeader(all.head)
-    val width = header.length
-    val data = all.tail.map(r =>
-      Row.fromSeq((0 until width).map(i => r.lift(i).filter(_.nonEmpty).orNull)))
-    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(data, math.max(1, data.length / 10000)), schema)
-    if (!inferTypes) df
-    else SchemaInference.applyInferredTypes(df, SchemaInference.inferTypes(df))
-  }
+  def read(spark: SparkSession, path: String, inferTypes: Boolean = true): DataFrame =
+    SpreadsheetRows.toDataFrame(spark, parseOds(path), path, inferTypes)
 }

@@ -4,20 +4,15 @@ import java.io.InputStream
 import java.util.zip.ZipFile
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
-
-import graft.core.Identifier
-import graft.operators.SchemaInference
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * Spreadsheet source (SURVEY.md §2.1 S4): XLSX (OOXML, a ZIP of XML parts —
  * parsed with StAX, no POI needed offline). The reference converts sheets
  * to CSV text first and re-enters the CSV path (importer.rb:124-140,
  * "via CSV" semantics: every cell is a string, then the type lattice runs);
- * reproduced here by materializing an all-strings DataFrame and applying
- * the same A3 inference. Legacy binary .xls and ODS are recognized but
- * unsupported in this build (clear error instead of silent garbage).
+ * reproduced by the shared SpreadsheetRows tail. Legacy binary .xls is
+ * handled by XlsImport, ODS by OdsImport — same contract.
  */
 object XlsxImport {
 
@@ -103,17 +98,6 @@ object XlsxImport {
   }
 
   /** XLSX → typed DataFrame via the CSV-path semantics. */
-  def read(spark: SparkSession, path: String, inferTypes: Boolean = true): DataFrame = {
-    val all = parseXlsx(path)
-    if (all.isEmpty) throw new IllegalArgumentException(s"empty spreadsheet: $path")
-    val header = Identifier.sanitizeHeader(all.head)
-    val width = header.length
-    val data = all.tail.map(r =>
-      Row.fromSeq((0 until width).map(i => r.lift(i).filter(_.nonEmpty).orNull)))
-    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(data, math.max(1, data.length / 10000)), schema)
-    if (!inferTypes) df
-    else SchemaInference.applyInferredTypes(df, SchemaInference.inferTypes(df))
-  }
+  def read(spark: SparkSession, path: String, inferTypes: Boolean = true): DataFrame =
+    SpreadsheetRows.toDataFrame(spark, parseXlsx(path), path, inferTypes)
 }

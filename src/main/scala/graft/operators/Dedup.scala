@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -288,22 +290,68 @@ object Dedup {
    * propagation rule for large-star/small-star (Kiveris et al., SoCC'14) —
    * same loop skeleton.
    */
-  def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     // Iterative graph propagation is the one genuine RDD case in this
     // engine: a DataFrame loop builds a NEW plan (and pays codegen) every
     // round, while co-partitioned RDD joins make each round a narrow
     // dependency with one small reduceByKey shuffle (8s → ~2s at sf0.1,
     // where ~all the remaining time is computing the input pairs).
+    //
+    // Size gate (same pattern as ngramJaccardPairsAuto): the DUP-PAIR
+    // graph is orders of magnitude smaller than the corpus, and for
+    // graphs under `driverMaxEdges` (~16 MB of longs at the default) a
+    // driver-side union-find finishes in milliseconds where the
+    // distributed loop pays seconds of per-round scheduling — identical
+    // output (component min-label == transitive-closure min). Corpora
+    // whose pair graph outgrows the gate take the loop below, which
+    // never materializes the graph on the driver.
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
-    val raw = pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // count/collect through the DATAFRAME: df.rdd compiles a non-adaptive
+    // plan, so forcing the pair computation through it pays the full
+    // static-partition join again (~2.4 s at sf0.1) where the AQE plan +
+    // cache costs ~1.2 s once
+    val edgeDf = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .cache()
+    val nEdges = edgeDf.count()
+    if (nEdges <= driverMaxEdges) {
+      val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgeDf.unpersist(false)
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root: the label IS the min id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = parent.keys.toArray.sorted
+        .map(n => org.apache.spark.sql.Row(n, find(n)))
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq,
+          math.max(1, rows.length / 500000)),
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("cluster", LongType, nullable = false))))
+    }
+    // loop path: the RDD lineage now reads the cached edge table, so the
+    // non-AQE conversion never recomputes the pair join
+    val raw = edgeDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // shuffle width sized to the pair graph (≪ corpus): 1 partition/100k edges
     val width = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
-      raw.count() / 100000L + 1L)).toInt
+      nEdges / 100000L + 1L)).toInt
     val part = new HashPartitioner(width)
     val edges = raw
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
@@ -327,6 +375,7 @@ object Dedup {
       labels = merged.mapValues(_._2)
     }
     raw.unpersist(false)
+    edgeDf.unpersist(false)
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     spark.createDataFrame(
       labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) },

@@ -95,6 +95,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters: distributed loop == driver union-find across the size gate") {
+    import spark.implicits._
+    // deterministic random-ish graph with chains, cycles, and singleton
+    // pairs — both dispatch paths must label it identically
+    val edges = (0 until 400).map { i =>
+      val a = (i * 37) % 97; val b = (a + 1 + (i * 13) % 5).toLong
+      (a.toLong, b)
+    }
+    val pairs = edges.toDF("a", "b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaDriver = toMap(Dedup.duplicateClusters(pairs)) // under the gate
+    val viaLoop = toMap(Dedup.duplicateClusters(pairs, driverMaxEdges = 0L))
+    assert(viaDriver == viaLoop)
+    assert(viaDriver.nonEmpty)
+  }
+
   test("ngram jaccard pairs: exact copies have jaccard 1") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -237,12 +237,21 @@ object TextAnalysis {
     best
   }
 
-  case class LangId(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** Static forwarder target for generated code (a top-level object gets
+    * JVM static methods, so Janino can call it without reflection). */
+  def langIdUtf8(s: UTF8String): UTF8String =
+    UTF8String.fromString(langIdOf(s.toString))
+
+  case class LangId(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "lang_id"
     override def nullSafeEval(v: Any): Any =
-      UTF8String.fromString(langIdOf(v.toString))
+      langIdUtf8(v.asInstanceOf[UTF8String])
+    // native codegen (was the one remaining CodegenFallback in a per-row
+    // hot path): the classifier stays a JVM call, but the expression now
+    // lives INSIDE the fused stage — no InternalRow boxing per value
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.TextAnalysis.langIdUtf8($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 

@@ -17,6 +17,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(langIdOf("zzz qqq xxx") == "und")
   }
 
+  test("lang_id is native codegen (not a fallback) and agrees with langIdOf") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!TextAnalysis.LangId(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+      .isInstanceOf[CodegenFallback])
+    // a range-backed frame: a local Seq is constant-folded before codegen
+    val out = spark.range(2).selectExpr(
+        "CASE WHEN id = 0 THEN 'the cat sat on the mat and it was for them' " +
+          "ELSE 'el perro corre por la calle y se va' END AS text")
+      .select(TextAnalysis.lang_id(col("text")).as("l"))
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, "lang_id projection not inside a codegen stage")
+    assert(out.as[String].collect().toSeq == Seq("en", "es"))
+  }
+
   test("quality stats are exact integer counts") {
     import spark.implicits._
     val df = Seq((1L, "The cat, the dog. And a bird!")).toDF("id", "text")

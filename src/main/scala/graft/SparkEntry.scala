@@ -467,6 +467,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // prefix-filtered set-similarity join (PPJoin family) — the third
+    // exact-Jaccard plan, pinned on the same slice + SQL as the sparse
+    // pin; candidates only form on shared PREFIX (globally-rare) grams
+    "ngram_jaccard_prefix" -> ((s, dir) => {
+      Dedup.ngramJaccardPairsPrefix(
+        augmentedDocs(s, dir).filter(col("doc_id") % 32 === 0),
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // incremental-ingest near-dedup: batch (docs ≥ 250 ∪ 20 edited copies
     // of reference docs) deduped AGAINST the reference partition
     // (docs < 250) — strictly cross-set signature join; survivors listed
@@ -732,6 +742,23 @@ object SparkEntry {
           .otherwise(col("text")))
       TextAnalysis.bigramNovelty(seeded, "doc_id", "text",
         isRef = col("doc_id") < 250)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition stats: integer repetition measures per doc
+    // (token/bigram totals, distincts, modal-bigram count) — the
+    // "repetitious text" quality family, exact in both engines
+    "repetition_stats" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // winnowing-overlap contamination: every 50th doc plays the eval
+    // set; per non-eval doc, how many of its fingerprints the eval set
+    // also contains (mod-P fingerprints → bit-exact SQL replay)
+    "contamination_overlap" -> ((s, dir) => {
+      TextAnalysis.winnowOverlap(t(s, dir, "documents"), "doc_id", "text",
+        isEval = col("doc_id") % 50 === 0)
         .orderBy(col("doc_id"))
     }),
 
@@ -1417,6 +1444,7 @@ object SparkEntry {
     // Jaccard pair set
     "ngram_jaccard" -> ngramJaccardSql,
     "ngram_jaccard_sparse" -> ngramJaccardSqlWhere("WHERE doc_id % 16 = 0"),
+    "ngram_jaccard_prefix" -> ngramJaccardSqlWhere("WHERE doc_id % 32 = 0"),
 
     "embed_dup_pairs" ->
       s"""WITH emb AS ($AugmentedEmbSql)
@@ -1704,6 +1732,53 @@ object SparkEntry {
 
     // replay of HashFunctions.winnow: min of key = h·2^20 + pos per sliding
     // window of 4 (full windows only), distinct recovered hashes per doc
+    // replay of TextAnalysis.repetitionStats: same tokenizer as
+    // bigram_novelty, counts only (sum CAST to BIGINT — DuckDB sums
+    // BIGINT into HUGEINT otherwise)
+    "repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS distinct_tokens, ts
+        |  FROM toks),
+        |bg AS (
+        |  SELECT doc_id, n_tokens, distinct_tokens,
+        |    ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS bigram
+        |  FROM (SELECT doc_id, n_tokens, distinct_tokens, ts,
+        |          unnest(range(1, len(ts))) AS i FROM base)),
+        |bc AS (
+        |  SELECT doc_id, n_tokens, distinct_tokens, bigram, count(*) AS n
+        |  FROM bg GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, n_tokens, distinct_tokens,
+        |  CAST(sum(n) AS BIGINT) AS total_2grams,
+        |  CAST(count(*) AS BIGINT) AS distinct_2grams,
+        |  CAST(max(n) AS BIGINT) AS max_2gram_n
+        |FROM bc GROUP BY 1, 2, 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // replay of TextAnalysis.winnowOverlap: the doc_fingerprint winnow
+    // CTEs, partitioned into eval (doc_id % 50 = 0) and probe sides
+    "contamination_overlap" ->
+      s"""WITH hs AS (
+        |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
+        |win AS (
+        |  SELECT doc_id, i, nh,
+        |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM hs),
+        |chosen AS (
+        |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3),
+        |ev AS (SELECT DISTINCT h FROM chosen WHERE doc_id % 50 = 0),
+        |probe AS (SELECT doc_id, h FROM chosen WHERE doc_id % 50 <> 0)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  CAST(sum(CASE WHEN e.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_shared
+        |FROM probe p LEFT JOIN ev e USING (h)
+        |GROUP BY p.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "doc_fingerprint" ->
       s"""WITH hs AS (
         |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh

@@ -234,9 +234,11 @@ object Dedup {
    * 8 bytes/hash + per-doc overhead — an upper bound on the broadcast
    * payload, since a doc has ≤ |text| distinct grams), and pick the
    * dense broadcast-loop only when that bound fits `broadcastMaxBytes`.
-   * Above the gate the inverted-index plan runs instead: it never
+   * Above the gate the prefix-filtered join runs instead (see
+   * ngramJaccardPairsPrefix; the plain inverted index remains available
+   * for corpora whose gram-frequency skew defeats prefixes): neither
    * collects the corpus to the driver, so a 100× corpus cannot OOM the
-   * job before it starts. Both plans compute the same exact pair set
+   * job before it starts. All plans compute the same exact pair set
    * (dense compares 64-bit gram hashes, sparse raw grams; a divergence
    * needs an xxhash-scale collision — ~2⁻⁶⁴/pair, and DedupSpec pins
    * equality on the bench corpus), so dispatch is invisible to callers
@@ -250,7 +252,55 @@ object Dedup {
       coalesce(sum(length(col(textCol)).cast("long")), lit(0L)).as("chars")).head()
     val estBytes = est.getLong(1) * 8L + est.getLong(0) * 64L
     if (estBytes <= broadcastMaxBytes) ngramJaccardPairs(df, idCol, textCol, n, minJaccard)
-    else ngramJaccardPairsSparse(df, idCol, textCol, n, minJaccard)
+    else ngramJaccardPairsPrefix(df, idCol, textCol, n, minJaccard)
+  }
+
+  /**
+   * Prefix-filtered set-similarity join (the PPJoin family: Chaudhuri et
+   * al. ICDE'06, Xiao et al. WWW'08) — the textbook SCALE plan for exact
+   * Jaccard: candidates only form when two docs share a gram inside
+   * their PREFIXES (each doc's |X| − ⌈t·|X|⌉ + 1 globally-rarest grams,
+   * ordered by corpus frequency). Lossless: J ≥ t implies an overlap of
+   * ⌈t·|X|⌉ with BOTH sets, so some shared gram must sit in both
+   * prefixes. Against the plain inverted index this shrinks the
+   * candidate join from Σ n_g² over ALL grams to Σ n_g² over prefix
+   * (rare) grams — on sparse corpora, orders of magnitude. The verify
+   * step intersects the full sorted hash arrays with the codegen'd
+   * linear-merge expression, exactly like the dense loop.
+   */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n))"))
+          .as("g"))
+      .distinct().cache()
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val gfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gf"))
+    val ranked = grams.join(gfreq, "g").join(sizes, "id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gf"), col("g"))))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .select(col("id"), col("g"))
+    val cand = ranked.select(col("id").as("a"), col("g"))
+      .join(ranked.select(col("id").as("b"), col("g")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    // verify on the full sorted gram-hash arrays — the arrays are only
+    // materialized per CANDIDATE, which the prefix filter has bounded
+    val sets = df.select(col(idCol).cast("long").as("id"),
+      ngram_sorted_set(col(textCol), n).as("gs")).cache()
+    cand
+      .join(sets.select(col("id").as("a"), col("gs").as("gsa")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("gs").as("gsb")), Seq("b"))
+      .withColumn("inter", sorted_intersect_count(col("gsa"), col("gsb")).cast("long"))
+      .withColumn("na", size(col("gsa")).cast("long"))
+      .withColumn("nb", size(col("gsb")).cast("long"))
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= minJaccard)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
   }
 
   /**

@@ -197,6 +197,70 @@ object TextAnalysis {
         sum(when(col("seen").isNull, 1).otherwise(0)).as("n_novel"))
   }
 
+  /**
+   * Repetition quality stats (the Gopher/C4 "repetitious text" family,
+   * Rae et al. 2021 §A1.1) in INTEGER form: per document, the token
+   * count, distinct-token count, total/distinct token-bigram counts and
+   * the modal bigram's occurrence count. Downstream policies are cheap
+   * integer cross-multiplications over these (e.g. drop when
+   * max_2gram_n · 10 > total_2grams), so the gate itself never computes
+   * a float — same design as qualityFilter. Docs with <2 tokens have no
+   * bigrams and drop out (consistent with bigramNovelty's replay).
+   *
+   * Scale shape: tokenize+explode → (doc, bigram) partial-aggregated
+   * count → per-doc aggregate. Two shuffles, both carrying counts keyed
+   * by (doc, bigram) / doc — never text.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc"),
+        expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t <> '')").as("ts"))
+    val bg = toks.select(col("doc"),
+      size(col("ts")).as("n_tokens"),
+      size(array_distinct(col("ts"))).as("distinct_tokens"),
+      explode(expr(
+        "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0))," +
+          " slice(ts, 2, greatest(size(ts) - 1, 0))," +
+          " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+    bg.groupBy(col("doc"), col("n_tokens"), col("distinct_tokens"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc").as(idCol), col("n_tokens"), col("distinct_tokens"))
+      .agg(sum(col("n")).as("total_2grams"),
+        count(lit(1)).as("distinct_2grams"),
+        max(col("n")).as("max_2gram_n"))
+  }
+
+  /**
+   * Winnowing-overlap contamination join (Schleimer et al., SIGMOD '03
+   * fingerprints as the similarity currency): for every non-eval doc,
+   * how many of its winnowing fingerprints also occur in the EVAL
+   * partition. The production question — "which training docs contain
+   * benchmark content?" — at fingerprint granularity, robust to
+   * reordering/partial copies where exact-hash dedup is not.
+   *
+   * Scale shape: one fingerprint explode (CACHED — it feeds the eval
+   * and probe branches, same CSE trap as bigramNovelty), eval side
+   * distinct'd (≪ corpus, broadcasts into the join), per-doc count
+   * aggregation. The probe side never shuffles text, only (doc, hash).
+   * Integer outputs (n_fp, n_shared); fingerprints are the mod-P spec,
+   * so the oracle replays them bit-for-bit.
+   */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int = 5, window: Int = 4): DataFrame = {
+    import graft.functions.HashFunctions.winnow_fingerprint
+    val fp = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc"), isEval.as("is_eval"),
+        explode(winnow_fingerprint(col(textCol), k, window)).as("h"))
+      .cache()
+    val evalFp = fp.filter(col("is_eval"))
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    fp.filter(!col("is_eval"))
+      .join(evalFp, Seq("h"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("hit").isNull, 0).otherwise(1)).as("n_shared"))
+  }
+
   // ------------------------------------------------------------------ langid
 
   /** Tiny deterministic language profiles: high-frequency function words

@@ -123,6 +123,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.count(p => p._2 == p._1 + 20000) >= 8) // edited still ≥0.5
   }
 
+  test("ngram jaccard: prefix-filtered join == dense broadcast loop (lossless filter)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val dense = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(key).toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(key).toSet
+    assert(prefix == dense,
+      s"prefix-only ${(prefix -- dense).size}, dense-only ${(dense -- prefix).size}")
+    assert(dense.nonEmpty)
+  }
+
   test("ngram jaccard: sparse inverted index == dense broadcast loop, pair for pair") {
     // the dispatcher's contract: both plans compute the same exact result,
     // so which one runs is purely a scale decision

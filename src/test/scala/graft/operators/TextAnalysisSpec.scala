@@ -183,6 +183,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!rows.contains(3L) && !rows.contains(4L))
   }
 
+  test("repetition stats: exact integer counts incl. modal bigram") {
+    import spark.implicits._
+    // "a b a b a" → tokens 5, distinct 2; bigrams: ab, ba, ab, ba →
+    // total 4, distinct 2, modal 2. "x y z" → 3/3, bigrams 2/2/1.
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "solo")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows(1L) == (5, 2, 4L, 2L, 2L))
+    assert(rows(2L) == (3, 3, 2L, 2L, 1L))
+    assert(!rows.contains(3L)) // single token → no bigrams → drops out
+  }
+
+  test("winnow overlap: copies of eval docs share fingerprints, novel text shares fewer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (100L, evalText),                            // eval
+      (1L, evalText),                              // probe: exact copy
+      (2L, "completely different words about machine learning pipelines and spark")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.winnowOverlap(df, "doc_id", "text", col("doc_id") === 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nFp1, nShared1) = rows(1L)
+    assert(nFp1 == nShared1 && nFp1 > 0, "exact copy must share every fingerprint")
+    val (nFp2, nShared2) = rows(2L)
+    assert(nShared2 < nFp2, "novel doc must not fully overlap")
+    assert(!rows.contains(100L)) // eval docs are not scored
+  }
+
   test("tfidf top terms: integer score ranks rare terms above common ones") {
     import spark.implicits._
     val df = Seq(

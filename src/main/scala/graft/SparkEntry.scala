@@ -541,6 +541,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // product-quantization ANN over int8 vectors: codebook, codes, and
+    // ADC distances are all integers, so the entire index state is
+    // hash-exact cross-engine (not just the row set)
+    "ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus)
     "lang_id_counts" -> ((s, dir) => {
@@ -1819,6 +1829,51 @@ object SparkEntry {
         |      ORDER BY qdot / (sqrt(qna) * sqrt(qnb)) DESC, neighbor_id) AS rank
         |  FROM dots)
         |SELECT query_id, rank, neighbor_id, qdot FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // replay of Similarity.pqTopK: int8 quantization (shared CTE shape
+    // with ann_quantized), codebook = quantized vectors with vec_id%20=0
+    // split into 8 subspaces of 8 dims, codes = per-(vector, subspace)
+    // integer argmin (ties to the smaller centroid index), ADC = sum of
+    // the query's own sub-distances at the corpus row's codes
+    "ann_pq" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
+        |  FROM sc),
+        |cidx AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
+        |  FROM q WHERE vec_id % 20 = 0),
+        |subd AS (
+        |  SELECT x.vec_id, ci.c, js.j,
+        |    CAST(sum((x.qv[CAST(js.j * 8 + i AS INT)] - ci.cv[CAST(js.j * 8 + i AS INT)])
+        |           * (x.qv[CAST(js.j * 8 + i AS INT)] - ci.cv[CAST(js.j * 8 + i AS INT)])) AS BIGINT) AS d
+        |  FROM q x
+        |  CROSS JOIN cidx ci
+        |  CROSS JOIN (SELECT unnest(range(8)) AS j) js
+        |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) dims
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        |    FROM subd) WHERE rn = 1),
+        |adc AS (
+        |  SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+        |    CAST(sum(qs.d) AS BIGINT) AS pq_dist
+        |  FROM codes co
+        |  JOIN subd qs ON qs.j = co.j AND qs.c = co.c
+        |  WHERE qs.vec_id < 20 AND co.vec_id <> qs.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, pq_dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_dist, neighbor_id) AS rank
+        |  FROM adc)
+        |SELECT query_id, rank, neighbor_id, pq_dist FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
     "vocab_top" ->

@@ -245,6 +245,93 @@ object VectorFunctions {
       copy(f, s, t, q)
   }
 
+  /**
+   * Product-quantization encoder over INTEGER (int8-quantized) vectors
+   * (Jégou et al., TPAMI 2011 — here with a training-free deterministic
+   * codebook so the codes are SQL-replayable): the vector splits into m
+   * subvectors; code[j] = index of the codebook entry (j·ksub + c
+   * flattened layout) with minimal integer sub-L2², ties to the smaller
+   * index. Integer arithmetic end-to-end ⇒ argmin is bit-exact across
+   * engines, unlike float k-means codebooks. Evaluated once per corpus
+   * row (the same cost class as IvfCells's assignment — CodegenFallback
+   * is fine here; the per-PAIR hot path is PqAdc below).
+   */
+  case class PqEncode(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    // children: int vector array<long>, flattened codebook
+    // array<array<long>> (entry j*ksub + c = subvector j of centroid c), m
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "vec_pq_encode"
+    @transient private lazy val cb: Array[Array[Long]] = {
+      val ad = second.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(i => ad.getArray(i).toLongArray())
+    }
+    override def nullSafeEval(v: Any, cbAny: Any, mAny: Any): Any = {
+      val x = v.asInstanceOf[ArrayData].toLongArray()
+      val m = mAny.asInstanceOf[Int]
+      val ksub = cb.length / m
+      val sub = x.length / m
+      val codes = new Array[Long](m)
+      var j = 0
+      while (j < m) {
+        var best = Long.MaxValue
+        var bestC = 0
+        var c = 0
+        while (c < ksub) {
+          val cv = cb(j * ksub + c)
+          var d = 0L
+          var i = 0
+          while (i < sub && i < cv.length) {
+            val t = x(j * sub + i) - cv(i); d += t * t; i += 1
+          }
+          if (d < best) { best = d; bestC = c } // strict < keeps smaller c on ties
+          c += 1
+        }
+        codes(j) = bestC.toLong
+        j += 1
+      }
+      new GenericArrayData(codes)
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  }
+
+  /** Asymmetric-distance computation: Σ_j dtable[j·ksub + codes[j]] — the
+    * per-(query, corpus-row) hot path of PQ search, so native codegen
+    * like the other pair-loop kernels. `dtable` is the query's
+    * precomputed integer sub-distance table (flattened like the
+    * codebook). */
+  case class PqAdc(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_pq_adc"
+    override def nullSafeEval(codes: Any, dt: Any, ks: Any): Any = {
+      val c = codes.asInstanceOf[ArrayData]
+      val d = dt.asInstanceOf[ArrayData]
+      val ksub = ks.asInstanceOf[Int]
+      var s = 0L
+      var j = 0
+      while (j < c.numElements()) {
+        s += d.getLong(j * ksub + c.getLong(j).toInt); j += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (codes, dtable, ksub) => {
+        val j = ctx.freshName("j")
+        val acc = ctx.freshName("acc")
+        s"""
+           |long $acc = 0L;
+           |for (int $j = 0; $j < $codes.numElements(); $j++) {
+           |  $acc += $dtable.getLong($j * $ksub + (int) $codes.getLong($j));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
@@ -259,6 +346,10 @@ object VectorFunctions {
       es => HyperplaneSig(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("vec_ivf_cells",
       es => IvfCells(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("vec_pq_encode",
+      es => PqEncode(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("vec_pq_adc",
+      es => PqAdc(es(0), es(1), es(2)), "built-in")
   }
 
   private val D = ArrayType(DoubleType)
@@ -272,4 +363,8 @@ object VectorFunctions {
     call_function("vec_lsh_bucket", a.cast(D), lit(planes), lit(seed))
   def vec_ivf_cells(a: Column, centVecs: Column, centIds: Column, nProbe: Int): Column =
     call_function("vec_ivf_cells", a.cast(D), centVecs, centIds, lit(nProbe))
+  def vec_pq_encode(q: Column, codebook: Column, m: Int): Column =
+    call_function("vec_pq_encode", q, codebook, lit(m))
+  def vec_pq_adc(codes: Column, dtable: Column, ksub: Int): Column =
+    call_function("vec_pq_adc", codes, dtable, lit(ksub))
 }

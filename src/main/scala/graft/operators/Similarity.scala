@@ -139,6 +139,64 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"))
   }
 
+  /**
+   * Product-quantization ANN top-k (Jégou et al., TPAMI 2011), composed
+   * with the int8 path so every number is an INTEGER and the whole
+   * operator — codebook, codes, distance table, ADC scores — replays
+   * bit-exact in SQL (a float k-means codebook would converge
+   * machine-dependently):
+   *
+   *  1. int8-quantize corpus + queries (quantizeInt8: exact cross-engine);
+   *  2. codebook = the quantized corpus vectors whose id divides
+   *     `centroidStride`, split into `m` subvectors (training-free
+   *     deterministic, same trick as ivfTopK's coarse quantizer);
+   *  3. corpus encodes once: m codes/vector via the PqEncode expression
+   *     — after this the scan carries m longs instead of the vector
+   *     (m/dim compression, 8× here; memory is the point of PQ);
+   *  4. each query precomputes its integer sub-distance table (m·ksub
+   *     entries, built with codegen-friendly HOFs over the codebook
+   *     literal) and broadcasts; ADC per pair is the PqAdc expression —
+   *     m table lookups, native codegen, no vector math in the loop.
+   *
+   * Scale shape: codebook + query tables broadcast (bounded by
+   * construction); the corpus is scanned once for encoding and once for
+   * ADC — no shuffle of vectors at all. Ranking ascends by (pq_dist,
+   * neighbor_id), both integers, so cross-engine order is exact.
+   */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, centroidStride: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val cents = quantizeInt8(corpus.filter(col(idCol) % centroidStride === 0),
+        idCol, vecCol)
+      .collect().sortBy(_.getLong(0)) // bounded: |corpus|/stride rows
+    val ksub = cents.length
+    val dim = cents.head.getSeq[Long](1).length
+    val sub = dim / m
+    val cb: Seq[Seq[Long]] =
+      for (j <- 0 until m; c <- 0 until ksub)
+        yield cents(c).getSeq[Long](1).slice(j * sub, (j + 1) * sub)
+    val cbLit = typedlit(cb)
+    val encoded = quantizeInt8(Par.ensureParallelism(corpus), idCol, vecCol)
+      .select(col("id").as("neighbor_id"), vec_pq_encode(col("q"), cbLit, m).as("codes"))
+    val qq = quantizeInt8(queries, idCol, vecCol)
+      .withColumn("__cb", cbLit)
+      .select(col("id").as("query_id"), expr(
+        s"""transform(__cb, (cv, idx) ->
+           |  aggregate(zip_with(slice(q, (idx div $ksub) * $sub + 1, $sub), cv,
+           |    (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v))""".stripMargin)
+        .as("dtable"))
+    val scored = broadcast(qq).crossJoin(encoded)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pq_dist", vec_pq_adc(col("codes"), col("dtable"), ksub))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("pq_dist"))
+  }
+
   /** LSH-bucketed ANN top-k: probe own bucket + 1-bit-flip neighbors. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,

@@ -81,6 +81,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pq encode/adc kernels: integer argmin, ties to the smaller index, table lookups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedlit
+    import graft.functions.VectorFunctions.{vec_pq_adc, vec_pq_encode}
+    // vector (1,2,9,9), m=2 subspaces of 2 dims; codebook flattened
+    // (j*ksub + c): subspace 0 has two IDENTICAL entries (tie → index 0),
+    // subspace 1 has an exact match at index 0 and a far entry
+    val cb = Seq(Seq(1L, 2L), Seq(1L, 2L), Seq(9L, 9L), Seq(0L, 0L))
+    val df = Seq(Tuple1(Seq(1L, 2L, 9L, 9L))).toDF("q")
+    val codes = df.select(vec_pq_encode(col("q"), typedlit(cb), 2).as("c"))
+      .head.getSeq[Long](0)
+    assert(codes == Seq(0L, 0L))
+    // ADC: dtable[(j=0)*2+0] + dtable[(j=1)*2+0] = 5 + 11
+    val adc = df.select(vec_pq_adc(typedlit(Seq(0L, 0L)),
+      typedlit(Seq(5L, 7L, 11L, 13L)), 2).as("d")).head.getLong(0)
+    assert(adc == 16L)
+  }
+
+  test("pq topK: exact copies share codes and take the per-query minimal distance") {
+    val copies = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val aug = emb.unionAll(copies)
+    def run() = Similarity.pqTopK(emb.filter(col("vec_id") < 10), aug,
+        "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val got = run()
+    (0L until 10L).foreach { qid =>
+      val mine = got.filter(_._1 == qid)
+      // the query's own codes minimize every subspace's distance term, so
+      // its exact copy (same codes) carries the minimal possible ADC sum
+      val copyDist = mine.find(_._3 == qid + 10000).map(_._4)
+      assert(copyDist.isDefined, s"query $qid: exact copy not in top-10")
+      assert(copyDist.get == mine.map(_._4).min)
+    }
+    assert(got.sameElements(run())) // deterministic
+  }
+
   test("LSH topK finds parallel vectors with recall 1") {
     val copies = emb.filter(col("vec_id") < 10)
       .withColumn("vec_id", col("vec_id") + 10000)

@@ -57,6 +57,51 @@ object Exporter {
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
+  /**
+   * Distributed variant of the CSV export: EXECUTORS serialize the rows
+   * (`df.write.csv` part files, RFC-4180 doubled-quote style to match
+   * `csvCell`), and the driver only streams the part files' raw bytes
+   * into the single-archive contract — it never decodes a row. The zip
+   * itself is inherently a sequential artifact, so O(bytes) must pass
+   * through one node either way; this removes the per-row
+   * serialize-on-driver cost that `exportCsv`'s toLocalIterator funnel
+   * pays (the remaining driver work is a buffer copy). Same
+   * one-`<name>.csv`-entry archive as `exportCsv`.
+   */
+  def exportCsvDistributed(df: DataFrame, name: String,
+      dir: String = System.getProperty("java.io.tmpdir")): ExportResult = {
+    val path = outPath(dir, name)
+    val partsDir = s"${path}_parts"
+    df.write
+      .option("header", "false")
+      .option("emptyValue", "")
+      .option("escape", "\"") // doubled-quote escaping, like csvCell
+      .csv(partsDir)
+    val zipFile = s"$path.zip"
+    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    try {
+      zos.putNextEntry(new ZipEntry(s"$name.csv"))
+      val header = (df.columns.map(csvCell).mkString(",") + "\n")
+        .getBytes(StandardCharsets.UTF_8)
+      zos.write(header)
+      val parts = Option(new File(partsDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .sortBy(_.getName)
+      val buf = new Array[Byte](1 << 16)
+      parts.foreach { p =>
+        val in = new java.io.FileInputStream(p)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { zos.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+      zos.closeEntry()
+    } finally zos.close()
+    Option(new File(partsDir).listFiles()).foreach(_.foreach(_.delete()))
+    new File(partsDir).delete()
+    ExportResult(name, ".csv", zipFile)
+  }
+
   /** S12: KML/KMZ — `<Placemark>` per row with ExtendedData, zipped as
     * `doc.kml` inside a `.kmz` (exporter.rb:74-94). */
   def exportKml(df: DataFrame, name: String, geomCol: String = "the_geom",

@@ -74,6 +74,48 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment join: each micro-batch joins the stream
+    * against a STATIC dimension frame (re-read per batch if the source
+    * supports it). Stateless — no watermark, no state store — and the
+    * static side broadcasts under the usual threshold, so the 100 TB/day
+    * stream pays a map-side hash join per batch, never a shuffle. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming exact-incremental dedup: drop stream rows whose key
+    * already exists in a STATIC reference set (the daily-ingest shape —
+    * the reference is a precomputed digest table, the stream never scans
+    * reference content). Spelled as stream-static left join + null
+    * filter (supported in append mode); stateless, unlike
+    * dropDuplicatesWithinWatermark which handles WITHIN-stream dups —
+    * compose both for full incremental dedup. */
+  def dropSeenKeys(stream: DataFrame, seen: DataFrame, keyCol: String): DataFrame = {
+    val marked = seen.select(col(keyCol)).distinct()
+      .withColumn("__seen", lit(1))
+    stream.join(broadcast(marked), Seq(keyCol), "left")
+      .filter(col("__seen").isNull)
+      .drop("__seen")
+  }
+
+  /** Streaming contamination flags: the streaming twin of
+    * TextAnalysis.winnowOverlap — each arriving document explodes to its
+    * winnowing fingerprints and inner-joins a STATIC eval-set fingerprint
+    * table; output is the (doc, fingerprint) hit stream. Deliberately
+    * emits HITS rather than per-doc totals: the per-doc aggregation would
+    * force stateful append-mode windows, while the hit stream is
+    * stateless and exactly-once — downstream either alerts on first hit
+    * or aggregates in its own store. */
+  def contaminationFlags(docs: DataFrame, evalFps: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 5, window: Int = 4): DataFrame = {
+    import graft.functions.HashFunctions.winnow_fingerprint
+    docs.select(col(idCol), col(textCol))
+      .withColumn("h", explode(winnow_fingerprint(col(textCol), k, window)))
+      .join(broadcast(evalFps.select(col("h")).distinct()), Seq("h"))
+      .select(col(idCol), col("h"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)

@@ -27,6 +27,33 @@ class ExportSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(r.path).length() > 0)
   }
 
+  test("distributed csv export == driver-funnel export, byte-compatible archive") {
+    import org.apache.spark.sql.functions.col
+    val df = imported.drop("the_geom")
+    val d1 = tmp
+    val funnel = Exporter.exportCsv(df, "borders", d1)
+    val dist = Exporter.exportCsvDistributed(df, "borders", d1)
+    def rowsOf(zipPath: String): Seq[String] = {
+      val zf = new java.util.zip.ZipFile(zipPath)
+      try {
+        val e = zf.entries().nextElement()
+        assert(e.getName == "borders.csv")
+        scala.io.Source.fromInputStream(zf.getInputStream(e), "UTF-8")
+          .getLines().toList
+      } finally zf.close()
+    }
+    val a = rowsOf(funnel.path)
+    val b = rowsOf(dist.path)
+    assert(a.head == b.head) // identical header
+    // same row multiset (partition order may differ from iterator order)
+    assert(a.tail.sorted == b.tail.sorted)
+    assert(a.length.toLong - 1 == df.count())
+    // and it re-imports cleanly through the CSV path
+    val back = Importer.importFile(spark, Importer.ImportRequest(
+      importFromFile = Some(dist.path)))
+    assert(back.rowsImported == df.count())
+  }
+
   test("import then export kml (export_spec.rb:24-40)") {
     val r = Exporter.exportKml(imported, "tm_world_borders", dir = tmp)
     assert(r.name == "tm_world_borders")

@@ -186,6 +186,61 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Double]("total_value") == 3.0)
   }
 
+  test("stream-static enrichment: dim attributes ride along, misses stay null") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "click", 1.0),
+      Event(3, ts(2), 9, "click", 1.0)) // user 9 absent from the dim
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    runStream(EventStreams.enrichWithDim(mem.toDF(), dim, "user_id"), "enriched")
+    val rows = spark.table("enriched").orderBy("event_id")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    assert(rows.toSeq == Seq(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
+  test("dropSeenKeys: stream rows whose key exists in the static reference are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 1.0),
+      Event(3, ts(2), 1, "click", 1.0),
+      Event(4, ts(3), 1, "click", 1.0))
+    val seen = Seq(1L, 3L, 99L).toDF("event_id")
+    runStream(EventStreams.dropSeenKeys(mem.toDF(), seen, "event_id"), "unseen")
+    val kept = spark.table("unseen").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  test("contamination flags: only docs sharing eval fingerprints emit hits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.functions.HashFunctions.winnow_fingerprint
+    val evalText = "the quick brown fox jumps over the lazy dog by the river"
+    val evalFps = Seq(Tuple1(evalText)).toDF("text")
+      .select(explode(winnow_fingerprint(col("text"), 5, 4)).as("h"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, evalText),          // exact copy: every fingerprint hits
+      (2L, "zzz qqq vvv kkk www xxx uuu mmm nnn ppp")) // disjoint chars: no hits
+    val flags = EventStreams.contaminationFlags(
+      mem.toDF().toDF("doc_id", "text"), evalFps, "doc_id", "text")
+    runStream(flags, "contam")
+    val hits = spark.table("contam").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.getOrElse(1L, 0L) > 0, "copy must emit fingerprint hits")
+    assert(!hits.contains(2L), "novel doc must emit none")
+  }
+
   test("batch/stream parity: hourlyByType on the events table matches groupBy") {
     // events table is ns-precision; go through the same µs conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

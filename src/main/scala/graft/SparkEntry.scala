@@ -968,6 +968,38 @@ object SparkEntry {
           |ORDER BY n.n_name, t.c_custkey""".stripMargin)
     }),
 
+    // §2.5 distribution-rank windows: ntile/cume_dist/percent_rank. The
+    // window orders by (acctbal, custkey) so ties are impossible and the
+    // rank ratios are exact rationals — IEEE division of exact integers
+    // is correctly-rounded in both engines, no rounding needed
+    "q31_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    // §2.8 string-function surface: pad/reverse/translate/regex-replace/
+    // concat_ws over customer names (all RE2-safe, lookahead-free)
+    "q32_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          reverse(col("c_name")).as("rev"),
+          substring(col("c_name"), 1, 5).as("pre"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("nonum"),
+          length(col("c_name")).as("len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          translate(col("c_name"), "aeiou", "AEIOU").as("tr"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // skew-tolerant salted join (scale toolbox): the salt spreads hot keys
     // over `factor` reducers; the aggregate collapses it, so the result —
     // and the oracle — are exactly the plain join's
@@ -2250,6 +2282,28 @@ object SparkEntry {
         |         WHERE c.c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n.n_name, t.c_custkey""".stripMargin,
+
+    "q31_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q32_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  reverse(c_name) AS rev,
+        |  substr(c_name, 1, 5) AS pre,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS nonum,
+        |  length(c_name) AS len,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined,
+        |  translate(c_name, 'aeiou', 'AEIOU') AS tr
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
 
     "q28_range_frame" ->
       """SELECT o_custkey, o_orderkey,

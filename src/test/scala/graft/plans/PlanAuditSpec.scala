@@ -131,4 +131,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("InMemoryTableScan"),
       "bigram cache boundary missing — vocab and probe branches would re-run the explode")
   }
+
+  test("ann_pq: vectors never shuffle; top-k pushes into WindowGroupLimit") {
+    val p = plan("ann_pq")
+    // the ONLY join is the intended broadcast cross-scan (queries × corpus,
+    // like the brute-force baseline); codes/dtable ride the scan
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "PQ scan degraded to a shuffled or cartesian join")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k not map-side limited")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 1, s"PQ plan grew $hashExchanges hash exchanges — " +
+      "corpus vectors must not shuffle (only the final window may)")
+  }
+
+  test("contamination_overlap: eval fingerprints broadcast; probe side reads the fp cache") {
+    val p = plan("contamination_overlap")
+    assert(p.contains("BroadcastHashJoin"), "eval fp set must broadcast into the probe join")
+    assert(p.contains("InMemoryTableScan"),
+      "fingerprint explode must be cached — eval and probe branches share it")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("repetition_stats: pure two-level aggregation — no join, partial agg below the shuffle") {
+    val p = plan("repetition_stats")
+    assert(!p.contains("Join"), "repetition stats must not join anything")
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      "no map-side partial aggregation below the shuffle")
+  }
 }

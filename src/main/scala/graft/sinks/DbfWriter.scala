@@ -14,7 +14,10 @@ object DbfWriter {
 
   final case class FieldSpec(name: String, ftype: Char, length: Int, decimals: Int)
 
-  def write(fields: Seq[FieldSpec], records: Seq[Seq[Any]]): Array[Byte] = {
+  /** Header + field descriptors + 0x0D terminator for `recordCount`
+    * records — split out so a distributed writer can emit the header on
+    * the driver while executors produce the record bytes. */
+  def headerBytes(fields: Seq[FieldSpec], recordCount: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val recordLen = 1 + fields.map(_.length).sum
     val headerLen = 32 + fields.length * 32 + 1
@@ -22,7 +25,7 @@ object DbfWriter {
     hdr.put(0x03.toByte)
     val now = java.time.LocalDate.of(2000, 1, 1) // deterministic stamp
     hdr.put((now.getYear - 1900).toByte).put(now.getMonthValue.toByte).put(now.getDayOfMonth.toByte)
-    hdr.putInt(records.length)
+    hdr.putInt(recordCount)
     hdr.putShort(headerLen.toShort)
     hdr.putShort(recordLen.toShort)
     hdr.put(new Array[Byte](20))
@@ -38,10 +41,21 @@ object DbfWriter {
       out.write(fd.array())
     }
     out.write(0x0D)
-    records.foreach { rec =>
-      out.write(' '.toInt) // not deleted
-      fields.zip(rec).foreach { case (f, v) => out.write(encode(f, v)) }
-    }
+    out.toByteArray
+  }
+
+  /** One fixed-width record incl. the not-deleted flag byte. */
+  def recordBytes(fields: Seq[FieldSpec], rec: Seq[Any]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(' '.toInt) // not deleted
+    fields.zip(rec).foreach { case (f, v) => out.write(encode(f, v)) }
+    out.toByteArray
+  }
+
+  def write(fields: Seq[FieldSpec], records: Seq[Seq[Any]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(headerBytes(fields, records.length))
+    records.foreach(rec => out.write(recordBytes(fields, rec)))
     out.write(0x1A)
     out.toByteArray
   }

@@ -114,32 +114,106 @@ object Exporter {
     try {
       zos.putNextEntry(new ZipEntry("doc.kml"))
       val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(zos, StandardCharsets.UTF_8))
-      w.println("""<?xml version="1.0" encoding="UTF-8"?>""")
-      w.println("""<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""")
-      w.println(s"<name>${xmlEscape(name)}</name>")
+      w.print(KmlHeader(name))
       df.toLocalIterator().forEachRemaining { row =>
-        w.println("<Placemark>")
-        if (attrCols.nonEmpty) {
-          w.println("<ExtendedData>")
-          attrCols.foreach { c =>
-            val v = row.getAs[Any](c)
-            if (v != null)
-              w.println(s"""<Data name="${xmlEscape(c)}"><value>${xmlEscape(v.toString)}</value></Data>""")
-          }
-          w.println("</ExtendedData>")
-        }
-        if (hasGeom) {
-          Option(row.getAs[Array[Byte]](geomCol))
-            .flatMap(Geometry.fromEwkb).map(_._1)
-            .foreach(g => w.println(kmlGeometry(g)))
-        }
-        w.println("</Placemark>")
+        w.print(placemarkText(attrCols, hasGeom, geomCol)(row))
       }
-      w.println("</Document></kml>")
+      w.print(KmlFooter)
       w.flush()
       zos.closeEntry()
     } finally zos.close()
     ExportResult(name, ".kml", kmzFile)
+  }
+
+  private def KmlHeader(name: String): String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<kml xmlns=\"http://www.opengis.net/kml/2.2\"><Document>\n" +
+      s"<name>${xmlEscape(name)}</name>\n"
+
+  private val KmlFooter: String = "</Document></kml>\n"
+
+  /** One row's `<Placemark>` block — the per-row unit both the funnel and
+    * the distributed KML sink emit, so the two archives are byte-equal. */
+  private def placemarkText(attrCols: Array[String], hasGeom: Boolean,
+      geomCol: String)(row: Row): String = {
+    val sb = new StringBuilder("<Placemark>\n")
+    if (attrCols.nonEmpty) {
+      sb.append("<ExtendedData>\n")
+      attrCols.foreach { c =>
+        val v = row.getAs[Any](c)
+        if (v != null)
+          sb.append(s"""<Data name="${xmlEscape(c)}"><value>${xmlEscape(v.toString)}</value></Data>""")
+            .append('\n')
+      }
+      sb.append("</ExtendedData>\n")
+    }
+    if (hasGeom) {
+      Option(row.getAs[Array[Byte]](geomCol))
+        .flatMap(Geometry.fromEwkb).map(_._1)
+        .foreach(g => sb.append(kmlGeometry(g)).append('\n'))
+    }
+    sb.append("</Placemark>\n")
+    sb.toString
+  }
+
+  /**
+   * Distributed KML: EXECUTORS render each row's Placemark (EWKB decode +
+   * XML escape happen in parallel, where the rows live) into per-partition
+   * part files; the driver only streams header + part bytes + footer into
+   * the single-`doc.kml` archive contract. Same cluster assumption as
+   * `exportCsvDistributed`: part files land on storage the driver can read
+   * (shared FS on a real cluster, local FS under local[*]). Byte-identical
+   * to `exportKml` because toLocalIterator visits partitions in the same
+   * order the part files sort.
+   */
+  def exportKmlDistributed(df: DataFrame, name: String, geomCol: String = "the_geom",
+      dir: String = System.getProperty("java.io.tmpdir")): ExportResult = {
+    val path = outPath(dir, name)
+    val kmzFile = s"$path.kmz"
+    val partsDir = new File(s"${path}_parts"); partsDir.mkdirs()
+    val partsPath = partsDir.getAbsolutePath
+    val attrCols = df.columns.filterNot(_ == geomCol)
+    val hasGeom = df.columns.contains(geomCol)
+    val gc = geomCol
+    // one tiny Long per partition comes back to the driver; the row bytes don't
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val f = new File(partsPath, f"part-$pid%05d.kmlpart")
+      val w = new java.io.OutputStreamWriter(
+        new java.io.BufferedOutputStream(new FileOutputStream(f)), StandardCharsets.UTF_8)
+      var n = 0L
+      try rows.foreach { row => w.write(placemarkText(attrCols, hasGeom, gc)(row)); n += 1 }
+      finally w.close()
+      Iterator.single(n)
+    }.collect()
+    val zos = new ZipOutputStream(new FileOutputStream(kmzFile))
+    try {
+      zos.putNextEntry(new ZipEntry("doc.kml"))
+      zos.write(KmlHeader(name).getBytes(StandardCharsets.UTF_8))
+      streamFilesInto(zos, partsDir, ".kmlpart")
+      zos.write(KmlFooter.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    } finally zos.close()
+    deleteRecursively(partsDir)
+    ExportResult(name, ".kml", kmzFile)
+  }
+
+  private def streamFilesInto(zos: ZipOutputStream, partsDir: File, suffix: String): Unit = {
+    val parts = Option(partsDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(suffix))
+      .sortBy(_.getName)
+    val buf = new Array[Byte](1 << 16)
+    parts.foreach { p =>
+      val in = new java.io.FileInputStream(p)
+      try {
+        var n = in.read(buf)
+        while (n > 0) { zos.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+  }
+
+  private def deleteRecursively(d: File): Unit = {
+    Option(d.listFiles()).foreach(_.foreach(_.delete()))
+    d.delete()
   }
 
   private def xmlEscape(s: String): String =
@@ -177,14 +251,7 @@ object Exporter {
     val path = outPath(dir, name)
     val zipFile = s"$path.zip"
     val attrFields = df.schema.fields.filterNot(_.name == geomCol)
-    val specs = attrFields.map(f => f.dataType match {
-      case LongType | IntegerType | ShortType => DbfWriter.FieldSpec(f.name, 'N', 18, 0)
-      case DoubleType | FloatType => DbfWriter.FieldSpec(f.name, 'N', 24, 6)
-      case d: DecimalType => DbfWriter.FieldSpec(f.name, 'N', math.min(d.precision + 2, 24), d.scale)
-      case DateType => DbfWriter.FieldSpec(f.name, 'D', 8, 0)
-      case BooleanType => DbfWriter.FieldSpec(f.name, 'L', 1, 0)
-      case _ => DbfWriter.FieldSpec(f.name, 'C', 254, 0)
-    }).toIndexedSeq
+    val specs = dbfSpecs(attrFields)
     val geoms = IndexedSeq.newBuilder[Option[Geometry]]
     val recs = IndexedSeq.newBuilder[Seq[Any]]
     val hasGeom = df.columns.contains(geomCol)
@@ -206,6 +273,141 @@ object Exporter {
       entry(".dbf", dbf)
       entry(".prj", prj.getBytes(StandardCharsets.US_ASCII))
     } finally zos.close()
+    ExportResult(name, ".shp", zipFile)
+  }
+
+  private def dbfSpecs(attrFields: Array[StructField]): IndexedSeq[DbfWriter.FieldSpec] =
+    attrFields.map(f => f.dataType match {
+      case LongType | IntegerType | ShortType => DbfWriter.FieldSpec(f.name, 'N', 18, 0)
+      case DoubleType | FloatType => DbfWriter.FieldSpec(f.name, 'N', 24, 6)
+      case d: DecimalType => DbfWriter.FieldSpec(f.name, 'N', math.min(d.precision + 2, 24), d.scale)
+      case DateType => DbfWriter.FieldSpec(f.name, 'D', 8, 0)
+      case BooleanType => DbfWriter.FieldSpec(f.name, 'L', 1, 0)
+      case _ => DbfWriter.FieldSpec(f.name, 'C', 254, 0)
+    }).toIndexedSeq
+
+  /**
+   * Distributed SHP: EXECUTORS serialize each row into its shapefile
+   * record-content bytes + fixed-width DBF record bytes (EWKB decode and
+   * all coordinate/number formatting run in parallel); per partition they
+   * write three part files — `.shpc` (concatenated shape contents, no
+   * record headers), `.lens` (4-byte big-endian content length per
+   * record), `.dbfr` (concatenated DBF records) — and return one small
+   * metadata tuple. The driver computes the global header (bbox, shape
+   * type, file length) from the per-partition metadata, then STREAMS part
+   * bytes into the zip, inserting only the 8-byte record headers (which
+   * need the global record number, unknowable on executors). Driver work
+   * is O(bytes copied) + 8 bytes/record — it never decodes a row or
+   * geometry. Byte-identical to `exportShp` (same record order:
+   * toLocalIterator's partition order == part-file name order).
+   */
+  def exportShpDistributed(df: DataFrame, name: String, geomCol: String = "the_geom",
+      dir: String = System.getProperty("java.io.tmpdir")): ExportResult = {
+    val path = outPath(dir, name)
+    val zipFile = s"$path.zip"
+    val attrFields = df.schema.fields.filterNot(_.name == geomCol)
+    val specs = dbfSpecs(attrFields)
+    val hasGeom = df.columns.contains(geomCol)
+    val gc = geomCol
+    val partsDir = new File(s"${path}_parts"); partsDir.mkdirs()
+    val partsPath = partsDir.getAbsolutePath
+
+    val metas = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      def out(suffix: String) = new java.io.BufferedOutputStream(
+        new FileOutputStream(new File(partsPath, f"part-$pid%05d$suffix")))
+      val shpc = out(".shpc")
+      val lens = new java.io.DataOutputStream(out(".lens"))
+      val dbfr = out(".dbfr")
+      val box = Array(Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+      var count = 0L; var stype = 0; var contentBytes = 0L
+      try rows.foreach { row =>
+        val gOpt = if (hasGeom) Option(row.getAs[Array[Byte]](gc))
+          .flatMap(Geometry.fromEwkb).map(_._1) else None
+        gOpt.foreach { g =>
+          if (stype == 0) stype = ShpWriter.shapeTypeOf(g)
+          ShpWriter.accumBBox(g, box)
+        }
+        val content = ShpWriter.recordContent(gOpt)
+        shpc.write(content); lens.writeInt(content.length); contentBytes += content.length
+        dbfr.write(DbfWriter.recordBytes(specs, attrFields.map(f => row.getAs[Any](f.name)).toSeq))
+        count += 1
+      } finally { shpc.close(); lens.close(); dbfr.close() }
+      Iterator.single((pid, count, stype, box, contentBytes))
+    }.collect().sortBy(_._1) // one 5-field tuple per partition — bounded
+
+    val total = metas.map(_._2).sum
+    val shapeType = metas.map(_._3).find(_ != 0).getOrElse(0)
+    val box = Array(Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+    metas.foreach { m =>
+      box(0) = math.min(box(0), m._4(0)); box(1) = math.min(box(1), m._4(1))
+      box(2) = math.max(box(2), m._4(2)); box(3) = math.max(box(3), m._4(3))
+    }
+    if (shapeType == 0 || box(0) > box(2)) { box(0) = 0; box(1) = 0; box(2) = 0; box(3) = 0 }
+    val bbox = (box(0), box(1), box(2), box(3))
+    val contentWords = metas.map(_._5).sum / 2
+    val shpLenWords = (50L + 4L * total + contentWords).toInt
+    val shxLenWords = (50L + 4L * total).toInt
+
+    def lensOf(pid: Int) = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(new File(partsPath, f"part-$pid%05d.lens"))))
+
+    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    try {
+      // .shp — stream each partition's contents, prefixing record headers
+      zos.putNextEntry(new ZipEntry(s"$name.shp"))
+      zos.write(ShpWriter.fileHeader(shapeType, bbox, shpLenWords))
+      var recNum = 1
+      val buf = new Array[Byte](1 << 16)
+      metas.foreach { m =>
+        val lin = lensOf(m._1)
+        val cin = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(new File(partsPath, f"part-${m._1}%05d.shpc")))
+        try {
+          var i = 0L
+          while (i < m._2) {
+            val len = lin.readInt()
+            val hdr = java.nio.ByteBuffer.allocate(8)
+            hdr.putInt(recNum).putInt(len / 2)
+            zos.write(hdr.array())
+            var rem = len
+            while (rem > 0) {
+              val n = cin.read(buf, 0, math.min(rem, buf.length))
+              zos.write(buf, 0, n); rem -= n
+            }
+            recNum += 1; i += 1
+          }
+        } finally { lin.close(); cin.close() }
+      }
+      zos.closeEntry()
+      // .shx — offsets reconstructed from the length streams alone
+      zos.putNextEntry(new ZipEntry(s"$name.shx"))
+      zos.write(ShpWriter.fileHeader(shapeType, bbox, shxLenWords))
+      var offsetWords = 50L
+      metas.foreach { m =>
+        val lin = lensOf(m._1)
+        try {
+          var i = 0L
+          while (i < m._2) {
+            val len = lin.readInt()
+            val e = java.nio.ByteBuffer.allocate(8)
+            e.putInt(offsetWords.toInt).putInt(len / 2)
+            zos.write(e.array())
+            offsetWords += 4 + len / 2; i += 1
+          }
+        } finally lin.close()
+      }
+      zos.closeEntry()
+      // .dbf — header on the driver, record bytes streamed verbatim
+      zos.putNextEntry(new ZipEntry(s"$name.dbf"))
+      zos.write(DbfWriter.headerBytes(specs, total.toInt))
+      streamFilesInto(zos, partsDir, ".dbfr")
+      zos.write(0x1A)
+      zos.closeEntry()
+      zos.putNextEntry(new ZipEntry(s"$name.prj"))
+      zos.write(Wgs84Prj.getBytes(StandardCharsets.US_ASCII))
+      zos.closeEntry()
+    } finally zos.close()
+    deleteRecursively(partsDir)
     ExportResult(name, ".shp", zipFile)
   }
 

@@ -23,25 +23,45 @@ object ShpWriter {
     case _ => 0
   }
 
+  /** Record content bytes WITHOUT the 8-byte record header (null shape
+    * for None) — the unit a distributed exporter serializes on executors;
+    * the driver prepends headers, which need the global record number. */
+  def recordContent(gOpt: Option[Geometry]): Array[Byte] =
+    gOpt.map(shapeContent).getOrElse {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0); b.array() // null shape
+    }
+
+  /** Fold a geometry's coords into a running (minX,minY,maxX,maxY). */
+  def accumBBox(g: Geometry, acc: Array[Double]): Unit =
+    foreachCoord(g) { c =>
+      acc(0) = math.min(acc(0), c.x); acc(1) = math.min(acc(1), c.y)
+      acc(2) = math.max(acc(2), c.x); acc(3) = math.max(acc(3), c.y)
+    }
+
+  /** 100-byte .shp/.shx file header (public layout, both files share it). */
+  def fileHeader(shapeType: Int, bbox: (Double, Double, Double, Double),
+      fileLenWords: Int): Array[Byte] = {
+    val h = ByteBuffer.allocate(100)
+    h.order(ByteOrder.BIG_ENDIAN)
+    h.putInt(9994); h.put(new Array[Byte](20)); h.putInt(fileLenWords)
+    h.order(ByteOrder.LITTLE_ENDIAN)
+    h.putInt(1000); h.putInt(shapeType)
+    h.putDouble(bbox._1).putDouble(bbox._2).putDouble(bbox._3).putDouble(bbox._4)
+    h.putDouble(0).putDouble(0).putDouble(0).putDouble(0) // Z/M ranges
+    h.array()
+  }
+
   def write(geoms: Seq[Option[Geometry]]): ShpPair = {
     val shapeType = geoms.flatten.headOption.map(shapeTypeOf).getOrElse(0)
     val records = new ByteArrayOutputStream()
     val index = new ByteArrayOutputStream()
     var offsetWords = 50 // header = 100 bytes = 50 words
-    var (minX, minY, maxX, maxY) = (Double.MaxValue, Double.MaxValue,
-      Double.MinValue, Double.MinValue)
+    val box = Array(Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
 
     geoms.zipWithIndex.foreach { case (gOpt, i) =>
-      val content = gOpt.map(shapeContent).getOrElse {
-        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        b.putInt(0); b.array() // null shape
-      }
-      gOpt.foreach { g =>
-        foreachCoord(g) { c =>
-          minX = math.min(minX, c.x); minY = math.min(minY, c.y)
-          maxX = math.max(maxX, c.x); maxY = math.max(maxY, c.y)
-        }
-      }
+      val content = recordContent(gOpt)
+      gOpt.foreach(accumBBox(_, box))
       val recHdr = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
       recHdr.putInt(i + 1).putInt(content.length / 2)
       records.write(recHdr.array())
@@ -51,23 +71,14 @@ object ShpWriter {
       index.write(idx.array())
       offsetWords += 4 + content.length / 2
     }
-    if (geoms.flatten.isEmpty) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
+    if (geoms.flatten.isEmpty) { box(0) = 0; box(1) = 0; box(2) = 0; box(3) = 0 }
 
-    def header(fileLenWords: Int): Array[Byte] = {
-      val h = ByteBuffer.allocate(100)
-      h.order(ByteOrder.BIG_ENDIAN)
-      h.putInt(9994); h.put(new Array[Byte](20)); h.putInt(fileLenWords)
-      h.order(ByteOrder.LITTLE_ENDIAN)
-      h.putInt(1000); h.putInt(shapeType)
-      h.putDouble(minX).putDouble(minY).putDouble(maxX).putDouble(maxY)
-      h.putDouble(0).putDouble(0).putDouble(0).putDouble(0) // Z/M ranges
-      h.array()
-    }
     val shpBody = records.toByteArray
     val shxBody = index.toByteArray
+    val bbox = (box(0), box(1), box(2), box(3))
     ShpPair(
-      header(50 + shpBody.length / 2) ++ shpBody,
-      header(50 + shxBody.length / 2) ++ shxBody)
+      fileHeader(shapeType, bbox, 50 + shpBody.length / 2) ++ shpBody,
+      fileHeader(shapeType, bbox, 50 + shxBody.length / 2) ++ shxBody)
   }
 
   private def foreachCoord(g: Geometry)(f: Coord => Unit): Unit = g match {

@@ -72,6 +72,68 @@ class ExportSpec extends AnyFunSuite with SparkTestBase {
     assert(back.importType == ".shp")
   }
 
+  private def zipEntries(zipPath: String): Map[String, Array[Byte]] = {
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try {
+      val it = zf.entries()
+      var m = Map.empty[String, Array[Byte]]
+      while (it.hasMoreElements) {
+        val e = it.nextElement()
+        m += e.getName -> zf.getInputStream(e).readAllBytes()
+      }
+      m
+    } finally zf.close()
+  }
+
+  test("distributed kml export == driver-funnel export, byte-identical doc.kml") {
+    val d = tmp
+    val funnel = Exporter.exportKml(imported, "borders", dir = d)
+    val dist = Exporter.exportKmlDistributed(imported, "borders", dir = d)
+    val a = zipEntries(funnel.path)("doc.kml")
+    val b = zipEntries(dist.path)("doc.kml")
+    assert(a.length == b.length)
+    assert(java.util.Arrays.equals(a, b))
+    assert(dist.importType == ".kml" && dist.path.endsWith(".kmz"))
+  }
+
+  test("distributed shp export == driver-funnel export, byte-identical members; reimports") {
+    val d = tmp
+    val funnel = Exporter.exportShp(imported, "borders", dir = d)
+    val dist = Exporter.exportShpDistributed(imported, "borders", dir = d)
+    val a = zipEntries(funnel.path)
+    val b = zipEntries(dist.path)
+    assert(a.keySet == b.keySet)
+    Seq(".shp", ".shx", ".dbf", ".prj").foreach { ext =>
+      assert(java.util.Arrays.equals(a(s"borders$ext"), b(s"borders$ext")),
+        s"borders$ext differs between funnel and distributed export")
+    }
+    val back = Importer.importFile(spark,
+      Importer.ImportRequest(importFromFile = Some(dist.path)))
+    assert(back.rowsImported == 246)
+    assert(back.importType == ".shp")
+  }
+
+  test("distributed shp export over a multi-partition frame (record numbering spans parts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic points across 8 partitions, incl. null geometries
+    val pts = spark.range(2000).repartition(8)
+      .select(col("id"),
+        expr("CASE WHEN id % 97 = 0 THEN NULL ELSE " +
+          "st_point(CAST(id % 360 AS DOUBLE) - 180.0, CAST(id % 180 AS DOUBLE) - 90.0) END").as("the_geom"))
+    val d = tmp
+    val r = Exporter.exportShpDistributed(pts, "pts", dir = d)
+    val back = Importer.importFile(spark,
+      Importer.ImportRequest(importFromFile = Some(r.path)))
+    assert(back.rowsImported == 2000)
+    // same bytes as the funnel on the identical frame
+    val funnel = Exporter.exportShp(pts, "pts", dir = d)
+    val a = zipEntries(funnel.path); val b = zipEntries(r.path)
+    Seq(".shp", ".shx", ".dbf").foreach { ext =>
+      assert(java.util.Arrays.equals(a(s"pts$ext"), b(s"pts$ext")), s"pts$ext differs")
+    }
+  }
+
   test("raster import produces the tiled table shape (S10)") {
     val px = Array.fill[Byte](360 * 200)(7)
     val tif = graft.sources.GeoTiff.writeTiff(360, 200, px, epsg = 4326)

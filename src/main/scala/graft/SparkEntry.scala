@@ -907,6 +907,31 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // §2.1 S11 at table scale: the DISTRIBUTED single-archive CSV sink
+    // (executors serialize, driver streams bytes) over the FULL lineitem
+    // projection, then re-read the archive and aggregate — the oracle
+    // computes the same aggregate straight from parquet, so a lost/dup/
+    // corrupted row anywhere in the export+reimport cycle breaks the hash.
+    // Also the sink's per-round bench number (VERDICT r5 next #7).
+    "export_roundtrip" -> ((s, dir) => {
+      val sample = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_export_").toString
+      val r = graft.sinks.Exporter.exportCsvDistributed(sample, "lineitem_proj", tmp)
+      val zf = new java.util.zip.ZipFile(r.path)
+      val outCsv = java.nio.file.Paths.get(tmp, "back.csv")
+      try java.nio.file.Files.copy(zf.getInputStream(zf.entries().nextElement()), outCsv)
+      finally zf.close()
+      s.read.option("header", "true")
+        .schema("l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber LONG")
+        .csv(outCsv.toString)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_orderkey")).cast("long").as("sum_ok"),
+          sum(col("l_partkey")).cast("long").as("sum_pk"),
+          sum(col("l_suppkey") * col("l_linenumber")).cast("long").as("sum_mix"))
+    }),
+
     // §2.4 A3: distributed type-lattice inference (one-pass aggregate).
     // ensureParallelism: the fold is CPU-bound per row and the bench table
     // is one single-row-group parquet split — without the spread the whole
@@ -1642,6 +1667,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // single-row aggregate; sums CAST to BIGINT (DuckDB sum(BIGINT) is
+    // HUGEINT → float64 drift in the compare harness otherwise)
+    "export_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+        |  CAST(sum(l_suppkey * l_linenumber) AS BIGINT) AS sum_mix
+        |FROM lineitem""".stripMargin,
 
     "dedup_drop" ->
       s"""WITH docs AS ($AugmentedDocsSql),

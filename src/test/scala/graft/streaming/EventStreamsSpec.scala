@@ -241,6 +241,61 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(!hits.contains(2L), "novel doc must emit none")
   }
 
+  test("late data past the watermark is dropped; within-watermark late data counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_late_out_").toString
+    val mem = MemoryStream[Event]
+    def run(): Unit = {
+      // checkpointed parquet sink so the WATERMARK persists across runs —
+      // a fresh query would reset it to 0 and "late" would stop being late
+      val q = EventStreams.hourlyByType(mem.toDF())
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    // run 1: two on-time events in window [0h, 1h) — watermark still behind
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0))
+    run()
+    // run 2: min 200 advances the watermark to min 80 → [0h,1h) closes, n=2
+    mem.addData(Event(3, ts(200), 2, "click", 4.0))
+    run()
+    // run 3: one TOO-LATE row (min 5: its window end 60 < watermark 80 —
+    // must be dropped, and must NOT re-emit or duplicate the closed window)
+    // and one late-but-within-watermark row (min 90 > watermark 80: its
+    // window [60,120) is still open, so it must be counted)
+    mem.addData(Event(4, ts(5), 1, "click", 100.0), Event(5, ts(90), 3, "click", 8.0))
+    run()
+    // run 4: far-future event closes everything still open
+    mem.addData(Event(6, ts(400), 2, "click", 1.0))
+    run()
+    val rows = spark.read.parquet(outDir).filter(col("n").isNotNull)
+      .orderBy("hour", "event_type").collect()
+    val byHour = rows.groupBy(_.getAs[Timestamp]("hour").getTime)
+    // window() aligns to epoch hours, not to the test's base timestamp
+    def hourStart(min: Long): Long = {
+      val t = ts(min).getTime; t - (t % 3600000L)
+    }
+    val h0 = hourStart(0); val h1 = hourStart(90); val h3 = hourStart(200)
+    // [0h,1h): exactly ONE output row, n=2 — the min-5 straggler neither
+    // re-opened the window nor produced a duplicate/updated row
+    assert(byHour(h0).length == 1)
+    assert(byHour(h0).head.getAs[Long]("n") == 2)
+    assert(byHour(h0).head.getAs[Double]("total_value") == 3.0)
+    // [1h,2h): the within-watermark late row WAS counted
+    assert(byHour(h1).length == 1)
+    assert(byHour(h1).head.getAs[Long]("n") == 1)
+    assert(byHour(h1).head.getAs[Double]("total_value") == 8.0)
+    // [3h,4h): the run-2 event closed normally
+    assert(byHour(h3).head.getAs[Long]("n") == 1)
+    // and nothing ever carried the dropped row's value anywhere
+    assert(!rows.exists(_.getAs[Double]("total_value") == 100.0))
+  }
+
   test("batch/stream parity: hourlyByType on the events table matches groupBy") {
     // events table is ns-precision; go through the same µs conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -66,6 +66,27 @@ object CatalogTableSink {
         throw e
     }
   }
+
+  /**
+   * Z-order-clustered parquet layout — the Parquet-side substitute for the
+   * reference's per-table GiST index (importer.rb:274,332,382; D5 in
+   * SURVEY §2.10). Range-partitions rows by their Morton cell and sorts
+   * within partitions, so each file (= row group at these sizes) covers a
+   * compact lon/lat rectangle; parquet min/max column stats then let a
+   * bounding-box predicate skip whole row groups at scan time.
+   * ZOrderPruneSpec measures the effect (scan-metric rows read, clustered
+   * vs round-robin layout); the measured ratio is recorded in BASELINE.md.
+   */
+  def writeZOrdered(df: DataFrame, path: String, lonCol: String, latCol: String,
+      numFiles: Int, bits: Int = 15): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cell = graft.functions.GeoFunctions.zorder_cell(col(lonCol), col(latCol), bits)
+    df.withColumn("__zcell", cell)
+      .repartitionByRange(numFiles, col("__zcell"))
+      .sortWithinPartitions("__zcell")
+      .drop("__zcell")
+      .write.mode("overwrite").parquet(path)
+  }
 }
 
 /**

@@ -523,11 +523,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF-style ANN (training-free deterministic coarse quantizer: corpus
-    // vectors with id % 20 = 0 are the centroids; queries probe 3 cells)
+    // IVF ANN with a TRAINED coarse quantizer: deterministic integer
+    // Lloyd k-means (3 iterations, int8 space — every distance and mean
+    // an exact int64, so training itself replays in the oracle); queries
+    // probe 3 cells. The training-free stride variant remains as
+    // Similarity.ivfTopK (recall comparison pinned in SimilaritySpec).
     "ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
+      Similarity.ivfTopKTrained(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
@@ -1183,6 +1186,73 @@ object SparkEntry {
     Iterator.iterate(1L)(h => h * 131L % 1000000007L).take(24)
       .mkString("[", ", ", "]")
 
+  /**
+   * Trained-IVF oracle: replays Similarity.trainIvfCentroids' integer
+   * Lloyd iterations in SQL. Every quantity is an exact int64 (int8
+   * quantization, squared-L2 via list_inner_product of integer lists —
+   * products ≤ 127²·64 are exact in DOUBLE — truncating `//` mean ==
+   * Java long division), so the trained centroid table replays the same
+   * way the stride table did. Fixed 3 iterations; empty cells keep
+   * their centroid (count(s.s) = 0 guard — list() would otherwise
+   * aggregate a [NULL] that defeats coalesce).
+   */
+  private def annIvfTrainedSql(stride: Int = 20, iters: Int = 3,
+      nProbe: Int = 3, k: Int = 3): String = {
+    val dist = (q: String, c: String) =>
+      s"list_inner_product($q, $q) + list_inner_product($c, $c) - 2 * list_inner_product($q, $c)"
+    val iterCtes = (1 to iters).map { it =>
+      val prev = if (it == 1) "c0" else s"c${it - 1}"
+      s"""a$it AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT x.vec_id, ci.c,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${dist("x.qv", "ci.cv")}, ci.c) AS rn
+         |    FROM q x CROSS JOIN $prev ci) WHERE rn = 1),
+         |s$it AS (
+         |  SELECT a.c, dims.i, CAST(sum(x.qv[CAST(dims.i AS INT)]) AS BIGINT) AS s, count(*) AS n
+         |  FROM q x JOIN a$it a USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+         |  GROUP BY a.c, dims.i),
+         |c$it AS (
+         |  SELECT p.c,
+         |    CASE WHEN count(s.s) = 0 THEN p.cv
+         |         ELSE list(s.s // s.n ORDER BY s.i) END AS cv
+         |  FROM $prev p LEFT JOIN s$it s USING (c)
+         |  GROUP BY p.c, p.cv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),
+       |q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
+       |  FROM sc),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
+       |  FROM q WHERE vec_id % $stride = 0),
+       |$iterCtes,
+       |fa AS (
+       |  SELECT x.vec_id, ci.c,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${dist("x.qv", "ci.cv")}, ci.c) AS rn
+       |  FROM q x CROSS JOIN c$iters ci),
+       |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND vec_id < 20),
+       |scored AS (
+       |  SELECT qa.query_id, ce.neighbor_id,
+       |    list_cosine_similarity(qe.v, ne.v) AS cos_raw
+       |  FROM qa JOIN cells ce ON qa.cell = ce.cell AND ce.neighbor_id <> qa.query_id
+       |  JOIN emb qe ON qe.vec_id = qa.query_id
+       |  JOIN emb ne ON ne.vec_id = ce.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Per-language score columns + argmax CASE generated from
     * TextAnalysis.Profiles so the oracle can never drift from the engine. */
   private def langIdOracleSql: String = {
@@ -1686,32 +1756,9 @@ object SparkEntry {
 
     // replay of Similarity.ivfTopK: same centroid rule, same cell
     // assignment (max cosine, centroid-id tiebreak), same 3-cell probes
-    "ann_ivf" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings WHERE vec_id % 20 = 0),
-        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ca AS (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS r
-        |  FROM corp CROSS JOIN cent),
-        |cells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM ca WHERE r = 1),
-        |qa AS (SELECT vec_id AS query_id, cid AS cell FROM ca WHERE r <= 3 AND vec_id < 20),
-        |scored AS (
-        |  SELECT q.query_id, c.neighbor_id,
-        |    list_cosine_similarity(qe.v, ce.v) AS cos_raw
-        |  FROM qa q
-        |  JOIN cells c ON q.cell = c.cell AND c.neighbor_id <> q.query_id
-        |  JOIN corp qe ON qe.vec_id = q.query_id
-        |  JOIN corp ce ON ce.vec_id = c.neighbor_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos_raw,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cos
-        |FROM ranked WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+    // replay of Similarity.ivfTopKTrained: integer Lloyd training + L2
+    // cell assignment + probes (see annIvfTrainedSql scaladoc)
+    "ann_ivf" -> annIvfTrainedSql(),
 
     "token_count_bpe" ->
       """SELECT source, count(*) AS docs,

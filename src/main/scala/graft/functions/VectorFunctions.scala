@@ -296,6 +296,60 @@ object VectorFunctions {
         f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
   }
 
+  /**
+   * Integer-L2 IVF cell assignment over int8-QUANTIZED vectors: top-
+   * `nProbe` centroid INDICES by (squared-L2 asc, index asc) against a
+   * trained centroid table passed as foldable array literals. The L2 twin
+   * of `IvfCells` (cosine/float) — used with Lloyd-trained integer
+   * centroids (Similarity.trainIvfCentroids), where every distance is an
+   * exact int64 so the argmin replays bit-for-bit in SQL. Same zero-
+   * shuffle, one-corpus-pass plan shape as IvfCells.
+   */
+  case class IvfCellsL2(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    // children: int vector array<long>, centroid vectors array<array<long>>,
+    // centroid ids array<long>, nProbe
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "vec_ivf_cells_l2"
+    @transient private lazy val cents: Array[Array[Long]] = {
+      val ad = second.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(i => ad.getArray(i).toLongArray())
+    }
+    @transient private lazy val cids: Array[Long] =
+      third.eval(null).asInstanceOf[ArrayData].toLongArray()
+    override def nullSafeEval(v: Any, c2: Any, c3: Any, np: Any): Any = {
+      val a = v.asInstanceOf[ArrayData].toLongArray()
+      val n = math.min(np.asInstanceOf[Int], cents.length)
+      val topD = Array.fill(n)(Long.MaxValue)
+      val topCid = new Array[Long](n)
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        val m = math.min(a.length, cv.length)
+        var d = 0L
+        var i = 0
+        while (i < m) { val t = a(i) - cv(i); d += t * t; i += 1 }
+        // insertion by (d asc, index asc); strict < keeps the earlier
+        // (smaller) index on ties, matching the SQL row_number tiebreak
+        var p = n
+        while (p > 0 && d < topD(p - 1)) p -= 1
+        if (p < n) {
+          var q = n - 1
+          while (q > p) { topD(q) = topD(q - 1); topCid(q) = topCid(q - 1); q -= 1 }
+          topD(p) = d; topCid(p) = cids(c)
+        }
+        c += 1
+      }
+      var filled = 0
+      while (filled < n && topD(filled) != Long.MaxValue) filled += 1
+      new GenericArrayData(java.util.Arrays.copyOf(topCid, filled))
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+      copy(f, s, t, q)
+  }
+
   /** Asymmetric-distance computation: Σ_j dtable[j·ksub + codes[j]] — the
     * per-(query, corpus-row) hot path of PQ search, so native codegen
     * like the other pair-loop kernels. `dtable` is the query's
@@ -346,6 +400,8 @@ object VectorFunctions {
       es => HyperplaneSig(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("vec_ivf_cells",
       es => IvfCells(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("vec_ivf_cells_l2",
+      es => IvfCellsL2(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("vec_pq_encode",
       es => PqEncode(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("vec_pq_adc",
@@ -363,6 +419,8 @@ object VectorFunctions {
     call_function("vec_lsh_bucket", a.cast(D), lit(planes), lit(seed))
   def vec_ivf_cells(a: Column, centVecs: Column, centIds: Column, nProbe: Int): Column =
     call_function("vec_ivf_cells", a.cast(D), centVecs, centIds, lit(nProbe))
+  def vec_ivf_cells_l2(q: Column, centVecs: Column, centIds: Column, nProbe: Int): Column =
+    call_function("vec_ivf_cells_l2", q, centVecs, centIds, lit(nProbe))
   def vec_pq_encode(q: Column, codebook: Column, m: Int): Column =
     call_function("vec_pq_encode", q, codebook, lit(m))
   def vec_pq_adc(codes: Column, dtable: Column, ksub: Int): Column =

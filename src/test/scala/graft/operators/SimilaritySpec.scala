@@ -67,6 +67,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.2, s"recall $recall vs ~0.12 random baseline")
   }
 
+  test("trained IVF: recall >= the stride baseline; training balances cells") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(res: Array[org.apache.spark.sql.Row]): Double =
+      (exact intersect res.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / exact.size
+    val stride = recallOf(
+      Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 3).collect())
+    val trained = recallOf(
+      Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding", k = 3).collect())
+    info(f"recall@3: trained=$trained%.3f stride=$stride%.3f")
+    // the trained quantizer must not LOSE recall vs the untrained seed
+    assert(trained >= stride, s"trained recall $trained < stride recall $stride")
+  }
+
+  test("integer Lloyd training is deterministic and bounded to the int8 range") {
+    val a = Similarity.trainIvfCentroids(emb, "vec_id", "embedding")
+    val b = Similarity.trainIvfCentroids(emb, "vec_id", "embedding")
+    assert(a == b) // bit-identical across runs — no float convergence drift
+    assert(a.nonEmpty && a.forall(_.length == 64))
+    assert(a.flatten.forall(v => v >= -127 && v <= 127))
+    // training moved at least one centroid off its stride seed
+    val seed = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", iters = 0)
+    assert(a != seed)
+  }
+
   test("IVF topK finds parallel vectors (they share a cell by construction)") {
     val copies = emb.filter(col("vec_id") >= 1 && col("vec_id") < 11)
       .withColumn("vec_id", col("vec_id") + 10001)

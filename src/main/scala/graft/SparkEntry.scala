@@ -544,12 +544,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // product-quantization ANN over int8 vectors: codebook, codes, and
-    // ADC distances are all integers, so the entire index state is
-    // hash-exact cross-engine (not just the row set)
+    // product-quantization ANN over int8 vectors with a TRAINED
+    // per-subspace codebook (integer Lloyd, 3 iterations): codebook,
+    // codes, and ADC distances are all integers, so the entire index
+    // state — including the training — is hash-exact cross-engine
     "ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.pqTopK(
+      Similarity.pqTopKTrained(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1253,6 +1254,78 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /**
+   * Trained-PQ oracle: replays Similarity.trainPqCodebook's per-subspace
+   * integer Lloyd (same exactness argument as annIvfTrainedSql), then the
+   * encode/ADC/rank replay the PqEncode/PqAdc semantics. Sub-distances
+   * use list_inner_product over 1-based inclusive list slices.
+   */
+  private def annPqTrainedSql(stride: Int = 20, iters: Int = 3,
+      m: Int = 8, sub: Int = 8, k: Int = 3): String = {
+    def sl(e: String, j: String) = s"$e[CAST($j * $sub + 1 AS INT) : CAST($j * $sub + $sub AS INT)]"
+    def dist(x: String, cv: String, j: String) = {
+      val xs = sl(x, j)
+      s"list_inner_product($xs, $xs) + list_inner_product($cv, $cv) - 2 * list_inner_product($xs, $cv)"
+    }
+    val iterCtes = (1 to iters).map { it =>
+      val prev = if (it == 1) "cb0" else s"cb${it - 1}"
+      s"""co$it AS (
+         |  SELECT vec_id, j, c FROM (
+         |    SELECT x.vec_id, cb.j, cb.c,
+         |      row_number() OVER (PARTITION BY x.vec_id, cb.j
+         |        ORDER BY ${dist("x.qv", "cb.cv", "cb.j")}, cb.c) AS rn
+         |    FROM q x CROSS JOIN $prev cb) WHERE rn = 1),
+         |u$it AS (
+         |  SELECT co.j, co.c, dims.i,
+         |    CAST(sum(x.qv[CAST(co.j * $sub + dims.i AS INT)]) AS BIGINT) AS s, count(*) AS n
+         |  FROM q x JOIN co$it co USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) dims
+         |  GROUP BY co.j, co.c, dims.i),
+         |cb$it AS (
+         |  SELECT p.j, p.c,
+         |    CASE WHEN count(u.s) = 0 THEN p.cv
+         |         ELSE list(u.s // u.n ORDER BY u.i) END AS cv
+         |  FROM $prev p LEFT JOIN u$it u USING (j, c)
+         |  GROUP BY p.j, p.c, p.cv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),
+       |q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
+       |  FROM sc),
+       |cidx AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv
+       |  FROM q WHERE vec_id % $stride = 0),
+       |cb0 AS (
+       |  SELECT js.j, cidx.c, ${sl("cidx.qv", "js.j")} AS cv
+       |  FROM cidx CROSS JOIN (SELECT unnest(range($m)) AS j) js),
+       |$iterCtes,
+       |subd AS (
+       |  SELECT x.vec_id, cb.j, cb.c,
+       |    CAST(${dist("x.qv", "cb.cv", "cb.j")} AS BIGINT) AS d
+       |  FROM q x CROSS JOIN cb$iters cb),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+       |    FROM subd) WHERE rn = 1),
+       |adc AS (
+       |  SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+       |    CAST(sum(qs.d) AS BIGINT) AS pq_dist
+       |  FROM codes co JOIN subd qs ON qs.j = co.j AND qs.c = co.c
+       |  WHERE qs.vec_id < 20 AND co.vec_id <> qs.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, pq_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pq_dist, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, neighbor_id, pq_dist FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Per-language score columns + argmax CASE generated from
     * TextAnalysis.Profiles so the oracle can never drift from the engine. */
   private def langIdOracleSql: String = {
@@ -1944,50 +2017,9 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, qdot FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
-    // replay of Similarity.pqTopK: int8 quantization (shared CTE shape
-    // with ann_quantized), codebook = quantized vectors with vec_id%20=0
-    // split into 8 subspaces of 8 dims, codes = per-(vector, subspace)
-    // integer argmin (ties to the smaller centroid index), ADC = sum of
-    // the query's own sub-distances at the corpus row's codes
-    "ann_pq" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),
-        |q AS (
-        |  SELECT vec_id,
-        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
-        |  FROM sc),
-        |cidx AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
-        |  FROM q WHERE vec_id % 20 = 0),
-        |subd AS (
-        |  SELECT x.vec_id, ci.c, js.j,
-        |    CAST(sum((x.qv[CAST(js.j * 8 + i AS INT)] - ci.cv[CAST(js.j * 8 + i AS INT)])
-        |           * (x.qv[CAST(js.j * 8 + i AS INT)] - ci.cv[CAST(js.j * 8 + i AS INT)])) AS BIGINT) AS d
-        |  FROM q x
-        |  CROSS JOIN cidx ci
-        |  CROSS JOIN (SELECT unnest(range(8)) AS j) js
-        |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) dims
-        |  GROUP BY 1, 2, 3),
-        |codes AS (
-        |  SELECT vec_id, j, c FROM (
-        |    SELECT vec_id, j, c,
-        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
-        |    FROM subd) WHERE rn = 1),
-        |adc AS (
-        |  SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
-        |    CAST(sum(qs.d) AS BIGINT) AS pq_dist
-        |  FROM codes co
-        |  JOIN subd qs ON qs.j = co.j AND qs.c = co.c
-        |  WHERE qs.vec_id < 20 AND co.vec_id <> qs.vec_id
-        |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, pq_dist,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY pq_dist, neighbor_id) AS rank
-        |  FROM adc)
-        |SELECT query_id, rank, neighbor_id, pq_dist FROM ranked WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+    // replay of Similarity.pqTopKTrained: per-subspace integer Lloyd
+    // training + encode + ADC (see annPqTrainedSql scaladoc)
+    "ann_pq" -> annPqTrainedSql(),
 
     "vocab_top" ->
       """SELECT token, count(*) AS n

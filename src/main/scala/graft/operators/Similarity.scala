@@ -258,16 +258,81 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, centroidStride: Int = 20): DataFrame = {
-    import org.apache.spark.sql.functions.typedlit
     val cents = quantizeInt8(corpus.filter(col(idCol) % centroidStride === 0),
         idCol, vecCol)
       .collect().sortBy(_.getLong(0)) // bounded: |corpus|/stride rows
     val ksub = cents.length
     val dim = cents.head.getSeq[Long](1).length
     val sub = dim / m
-    val cb: Seq[Seq[Long]] =
-      for (j <- 0 until m; c <- 0 until ksub)
-        yield cents(c).getSeq[Long](1).slice(j * sub, (j + 1) * sub)
+    val cb: IndexedSeq[IndexedSeq[Long]] =
+      (for (j <- 0 until m; c <- 0 until ksub)
+        yield cents(c).getSeq[Long](1).slice(j * sub, (j + 1) * sub).toIndexedSeq).toIndexedSeq
+    pqSearch(queries, corpus, idCol, vecCol, k, m, ksub, sub, cb)
+  }
+
+  /**
+   * Trained per-subspace integer PQ codebook: the same deterministic
+   * Lloyd recipe as `trainIvfCentroids`, run independently in each of the
+   * m subspaces (assignment = PqEncode's exact integer sub-L2 argmin,
+   * update = truncating integer mean, empty codes keep their entry, fixed
+   * iterations). Returns the flattened j·ksub + c layout PqEncode/PqAdc
+   * consume. Bit-replayable in SQL for the same reasons as the IVF
+   * trainer.
+   */
+  def trainPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, stride: Int = 20, iters: Int = 3): IndexedSeq[IndexedSeq[Long]] = {
+    import org.apache.spark.sql.functions.typedlit
+    val q = quantizeInt8(Par.ensureParallelism(corpus), idCol, vecCol).cache()
+    try {
+      val init = q.filter(col("id") % stride === 0)
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)
+      val ksub = init.length
+      val dim = init.head.length
+      val sub = dim / m
+      var cb: Array[Array[Long]] =
+        (for (j <- 0 until m; c <- 0 until ksub)
+          yield init(c).slice(j * sub, (j + 1) * sub)).toArray
+      for (_ <- 0 until iters) {
+        val cbLit = typedlit(cb.map(_.toIndexedSeq).toIndexedSeq)
+        // m·ksub·sub rows to the driver per iteration — bounded
+        val sums = q.select(vec_pq_encode(col("q"), cbLit, m).as("codes"),
+            posexplode(col("q")).as(Seq("pos", "v")))
+          .withColumn("j", expr(s"CAST(pos div $sub AS INT)"))
+          .withColumn("c", element_at(col("codes"), col("j") + 1))
+          .groupBy(col("j"), col("c"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cb.map(_.clone())
+        sums.foreach { r =>
+          val j = r.getInt(0); val c = r.getLong(1).toInt; val pos = r.getInt(2)
+          // truncating division: Java long `/` == DuckDB `//`
+          next(j * ksub + c)(pos - j * sub) = r.getLong(3) / r.getLong(4)
+        }
+        cb = next
+      }
+      cb.map(_.toIndexedSeq).toIndexedSeq
+    } finally q.unpersist()
+  }
+
+  /** PQ top-k over the TRAINED codebook — same search plan as `pqTopK`,
+    * codebook from `trainPqCodebook`. */
+  def pqTopKTrained(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, stride: Int = 20, iters: Int = 3): DataFrame = {
+    val cb = trainPqCodebook(corpus, idCol, vecCol, m, stride, iters)
+    val ksub = cb.length / m
+    val sub = cb.head.length
+    pqSearch(queries, corpus, idCol, vecCol, k, m, ksub, sub, cb)
+  }
+
+  /** Shared PQ search stage: encode corpus once, broadcast per-query
+    * distance tables, ADC + rank (see pqTopK scaladoc for the plan). */
+  private def pqSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, ksub: Int, sub: Int, cb: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
     val cbLit = typedlit(cb)
     val encoded = quantizeInt8(Par.ensureParallelism(corpus), idCol, vecCol)
       .select(col("id").as("neighbor_id"), vec_pq_encode(col("q"), cbLit, m).as("codes"))

@@ -93,6 +93,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(a != seed)
   }
 
+  test("trained PQ: recall >= the stride codebook; training is deterministic") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(res: Array[org.apache.spark.sql.Row]): Double =
+      (exact intersect res.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / exact.size
+    val stride = recallOf(
+      Similarity.pqTopK(queries, emb, "vec_id", "embedding", k = 3).collect())
+    val trained = recallOf(
+      Similarity.pqTopKTrained(queries, emb, "vec_id", "embedding", k = 3).collect())
+    info(f"pq recall@3: trained=$trained%.3f stride=$stride%.3f")
+    assert(trained >= stride, s"trained pq recall $trained < stride recall $stride")
+    val cb1 = Similarity.trainPqCodebook(emb, "vec_id", "embedding")
+    val cb2 = Similarity.trainPqCodebook(emb, "vec_id", "embedding")
+    assert(cb1 == cb2)
+    assert(cb1.flatten.forall(v => v >= -127 && v <= 127))
+    assert(cb1 != Similarity.trainPqCodebook(emb, "vec_id", "embedding", iters = 0))
+  }
+
   test("IVF topK finds parallel vectors (they share a cell by construction)") {
     val copies = emb.filter(col("vec_id") >= 1 && col("vec_id") < 11)
       .withColumn("vec_id", col("vec_id") + 10001)

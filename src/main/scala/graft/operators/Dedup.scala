@@ -270,7 +270,8 @@ object Dedup {
    */
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.5,
+      verifyBroadcastMaxBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = df
       .select(col(idCol).cast("long").as("id"),
@@ -290,12 +291,27 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     // verify on the full sorted gram-hash arrays — the arrays are only
-    // materialized per CANDIDATE, which the prefix filter has bounded
+    // materialized per CANDIDATE, which the prefix filter has bounded.
+    // BROADCAST the set table when it fits (same Σ-chars upper bound the
+    // Auto dispatcher uses): a sort-merge join here SORTS candidate rows
+    // CARRYING a ~|set|·8-byte array through shuffle spill — measured
+    // > 45 GB of spill (disk exhaustion) at 50k zipf docs, where the
+    // broadcast verify streams candidates through two in-memory hash
+    // joins and shuffles only (a, b, counts). Past broadcast scale the
+    // wide join is unavoidable — but at that corpus size it runs on a
+    // cluster whose aggregate spill isn't one laptop disk.
+    val est = df.agg(coalesce(sum(length(col(textCol)).cast("long")), lit(0L)),
+      count(lit(1))).head()
+    val estBytes = est.getLong(0) * 8L + est.getLong(1) * 64L
     val sets = df.select(col(idCol).cast("long").as("id"),
       ngram_sorted_set(col(textCol), n).as("gs")).cache()
+    def side(alias: String, arr: String): DataFrame = {
+      val s = sets.select(col("id").as(alias), col("gs").as(arr))
+      if (estBytes <= verifyBroadcastMaxBytes) broadcast(s) else s
+    }
     cand
-      .join(sets.select(col("id").as("a"), col("gs").as("gsa")), Seq("a"))
-      .join(sets.select(col("id").as("b"), col("gs").as("gsb")), Seq("b"))
+      .join(side("a", "gsa"), Seq("a"))
+      .join(side("b", "gsb"), Seq("b"))
       .withColumn("inter", sorted_intersect_count(col("gsa"), col("gsb")).cast("long"))
       .withColumn("na", size(col("gsa")).cast("long"))
       .withColumn("nb", size(col("gsb")).cast("long"))

@@ -8,8 +8,18 @@ src0..src19 uniform, n_chars = length(text). Seed 42, pure python RNG —
 deterministic across runs. Output is for SCALING measurements (BASELINE.md
 sf1 section), not the correctness oracle, and never touches /root/testdata.
 
-Usage: python3 tools/gen_sf1_documents.py [outdir] [rows]
+Zipfian mode (`zipf` as third arg): a realistic large-vocabulary corpus
+— 20,000 distinct synthetic words (length 4-10, seeded), frequencies
+Zipf-ish (weight i^-0.6), uniform 10..100 tokens/doc. The flat 31-word
+profile above is the inverted index's WORST case (every gram corpus-
+common); the Zipf mode is the shape real web corpora have, where the
+prefix-filtered join's rare-gram candidates pay off — used for the
+BASELINE.md prefix-vs-sparse measurement.
+
+Usage: python3 tools/gen_sf1_documents.py [outdir] [rows] [zipf]
 """
+import bisect
+import itertools
 import random
 import sys
 
@@ -23,12 +33,29 @@ VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data', 'dup',
 LANGS = ['en'] * 41 + ['de'] * 15 + ['es'] * 15 + ['fr'] * 15 + ['zh'] * 14
 
 
-def main(outdir: str, rows: int) -> None:
+def zipf_vocab(rng: random.Random, size: int = 20000):
+    words = set()
+    while len(words) < size:
+        words.add(''.join(rng.choice('abcdefghijklmnopqrstuvwxyz')
+                          for _ in range(rng.randint(4, 10))))
+    vocab = sorted(words)
+    rng.shuffle(vocab)  # rank order independent of spelling
+    weights = [1.0 / (i + 1) ** 0.6 for i in range(size)]
+    cum = list(itertools.accumulate(weights))
+    total = cum[-1]
+
+    def pick():
+        return vocab[bisect.bisect_left(cum, rng.random() * total)]
+    return pick
+
+
+def main(outdir: str, rows: int, mode: str = 'flat') -> None:
     rng = random.Random(42)
+    pick = zipf_vocab(rng) if mode == 'zipf' else (lambda: rng.choice(VOCAB))
     ids, texts, langs, sources, n_chars = [], [], [], [], []
     for i in range(rows):
         n_tok = rng.randint(10, 100)
-        text = ' '.join(rng.choice(VOCAB) for _ in range(n_tok))
+        text = ' '.join(pick() for _ in range(n_tok))
         ids.append(i)
         texts.append(text)
         langs.append(rng.choice(LANGS))
@@ -46,4 +73,5 @@ def main(outdir: str, rows: int) -> None:
 if __name__ == '__main__':
     out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_sf1'
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
-    main(out, n)
+    mode = sys.argv[3] if len(sys.argv) > 3 else 'flat'
+    main(out, n, mode)

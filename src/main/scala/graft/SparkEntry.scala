@@ -1228,9 +1228,12 @@ object SparkEntry {
        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
        |  FROM sc),
+       |se AS (
+       |  SELECT $stride * greatest(1, CAST(ceil(count(*) / ($stride * 256.0)) AS BIGINT)) AS v
+       |  FROM q),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
-       |  FROM q WHERE vec_id % $stride = 0),
+       |  FROM q WHERE vec_id % (SELECT v FROM se) = 0),
        |$iterCtes,
        |fa AS (
        |  SELECT x.vec_id, ci.c,
@@ -1295,9 +1298,12 @@ object SparkEntry {
        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
        |  FROM sc),
+       |se AS (
+       |  SELECT $stride * greatest(1, CAST(ceil(count(*) / ($stride * 256.0)) AS BIGINT)) AS v
+       |  FROM q),
        |cidx AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv
-       |  FROM q WHERE vec_id % $stride = 0),
+       |  FROM q WHERE vec_id % (SELECT v FROM se) = 0),
        |cb0 AS (
        |  SELECT js.j, cidx.c, ${sl("cidx.qv", "js.j")} AS cv
        |  FROM cidx CROSS JOIN (SELECT unnest(range($m)) AS j) js),

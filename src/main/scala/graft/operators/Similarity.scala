@@ -109,12 +109,21 @@ object Similarity {
    * step per update, which SimilaritySpec shows still recovers ≥ the
    * stride baseline's recall.
    */
+  /** Effective sampling stride: widens the base stride so the centroid
+    * count stays ≤ `kMax` — otherwise the stride construction ties k to
+    * corpus size and training cost grows as n·k = n²/stride (measured:
+    * ann_pq 4× at 10× corpus before the cap). Exactly replayable in SQL:
+    * `stride * greatest(1, ceil(n / (stride·kMax)))`. */
+  def effectiveStride(nCorpus: Long, stride: Int, kMax: Int = 256): Long =
+    stride * math.max(1L, math.ceil(nCorpus.toDouble / (stride.toDouble * kMax)).toLong)
+
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       stride: Int = 20, iters: Int = 3): IndexedSeq[IndexedSeq[Long]] = {
     import org.apache.spark.sql.functions.typedlit
     val q = quantizeInt8(Par.ensureParallelism(corpus), idCol, vecCol).cache()
     try {
-      var cents: Array[Array[Long]] = q.filter(col("id") % stride === 0)
+      val strideEff = effectiveStride(q.count(), stride)
+      var cents: Array[Array[Long]] = q.filter(col("id") % strideEff === 0)
         .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)
       for (_ <- 0 until iters) {
         val cbLit = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
@@ -284,7 +293,7 @@ object Similarity {
     import org.apache.spark.sql.functions.typedlit
     val q = quantizeInt8(Par.ensureParallelism(corpus), idCol, vecCol).cache()
     try {
-      val init = q.filter(col("id") % stride === 0)
+      val init = q.filter(col("id") % effectiveStride(q.count(), stride) === 0)
         .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)
       val ksub = init.length
       val dim = init.head.length

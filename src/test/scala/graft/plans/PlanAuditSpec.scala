@@ -126,6 +126,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "small-corpus dispatch should take the dense broadcast loop")
   }
 
+  test("ngram_jaccard_prefix: verify step broadcasts the set table under the gate") {
+    val p = plan("ngram_jaccard_prefix")
+    // r6 finding: sort-merge verify sorts ~KB gram arrays through shuffle
+    // spill (disk exhaustion at 50k docs) — under the 1 GB gate both
+    // verify joins must be broadcast hash joins over the cached sets
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"verify joins must broadcast the set table (saw $broadcasts broadcast joins)")
+    assert(p.contains("InMemoryTableScan"), "set table must be cached")
+  }
+
   test("bigram_novelty: shared explode lineage cached — both branches read the cache") {
     val p = plan("bigram_novelty")
     assert(p.contains("InMemoryTableScan"),

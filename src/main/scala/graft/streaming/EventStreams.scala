@@ -63,6 +63,33 @@ object EventStreams {
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("purchase_value"))
   }
 
+  /**
+   * LEFT-OUTER stream-stream join: like `clickPurchaseJoin`, but clicks
+   * with no in-range purchase are still emitted, null-extended — the
+   * "abandoned funnel" stream. Outer stream-stream joins require exactly
+   * what this plan has (watermarks on BOTH sides + a time-range join
+   * condition): Spark can only emit the null side once the watermark
+   * proves no matching purchase can still arrive, at which point the
+   * click's state-store entry is evicted — so the unmatched rows appear
+   * one watermark delay late, and state stays bounded. Without the range
+   * condition the join would be rejected (unbounded state).
+   */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+      range: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $range") &&
+        col("purchase_ts") <= col("click_ts"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup: drop events whose content key was already seen
     * within the watermark horizon — the streaming twin of
     * `Dedup.dropExactDuplicates`. `dropDuplicatesWithinWatermark` bounds

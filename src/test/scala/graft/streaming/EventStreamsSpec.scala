@@ -133,6 +133,42 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Long]("purchase_id") == 100L)
   }
 
+  test("left-outer stream-stream join: unmatched clicks emit null-extended after watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssoj_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ssoj_out_").toString
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    def run(): Unit = {
+      val q = EventStreams.clickPurchaseLeftJoin(clicks.toDF(), purchases.toDF())
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    clicks.addData(
+      Event(1, ts(70), 7, "click", 0.0),  // will match purchase 100
+      Event(2, ts(75), 8, "click", 0.0))  // user 8 never purchases
+    purchases.addData(Event(100, ts(30), 7, "purchase", 9.99))
+    run()
+    // advance BOTH watermarks far enough that click 2's range is provably
+    // unmatched (watermark = max_ts - 2h must pass click_ts)
+    clicks.addData(Event(3, ts(400), 9, "click", 0.0))
+    purchases.addData(Event(101, ts(400), 9, "purchase", 1.0))
+    run()
+    val rows = spark.read.parquet(outDir).filter(col("click_id").isNotNull)
+      .select("click_id", "purchase_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // matched click carries its purchase; orphan click emitted exactly
+    // once with a NULL purchase — only after the watermark evicted it
+    assert(rows(1L) == Some(100L))
+    assert(rows.contains(2L) && rows(2L).isEmpty,
+      s"unmatched click must emit null-extended after watermark (got $rows)")
+  }
+
   test("curation transforms run unchanged on a stream (stateless operators)") {
     val s = spark
     import s.implicits._

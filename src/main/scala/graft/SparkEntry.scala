@@ -669,6 +669,26 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // corpus-statistics document scoring: mean ⌊df·1e6/n_docs⌋ over token
+    // occurrences — junk (rare-token) docs score low, template spam
+    // (all-common tokens) scores high; float-free integer ordering
+    "doc_typicality" -> ((s, dir) => {
+      TextAnalysis.docTypicality(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-budget curation: best-typicality docs first until 10k tokens
+    // are spent — distributed exact global prefix sum (range partition +
+    // per-partition window + driver offset prefix over ≤32 partition
+    // totals); oracle replays it as the plain global window
+    "budget_sample" -> ((s, dir) => {
+      val scored = TextAnalysis.docTypicality(t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Sampling.tokenBudgetSample(
+        scored, "doc_id", "typ_score", "n_toks", budget = 10000L)
+        .select(col("doc_id"), col("n_toks"), col("typ_score"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the full curation pipeline as ONE declarative plan (the north-star
     // composition): quality gate → exact dedup (keep min id per text) →
     // deterministic split → per-split counts. Catalyst fuses the gate into
@@ -1331,6 +1351,24 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, pq_dist FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared typicality CTEs (doc_typicality + budget_sample oracles):
+    * tokenize → df per token → ⌊df·1e6/n_docs⌋ occurrence scores →
+    * per-doc integer mean. */
+  private val TypicalityCtes: String =
+    """tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> ''),
+      |dfc AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM tk GROUP BY tok),
+      |nd AS (SELECT count(*) AS nd FROM documents),
+      |sc AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |    CAST(sum((dfc * 1000000) // nd) AS BIGINT) AS tot
+      |  FROM tk t JOIN dfc USING (tok) CROSS JOIN nd
+      |  GROUP BY t.doc_id),
+      |scored AS (SELECT doc_id, n_toks, tot // n_toks AS typ_score FROM sc)""".stripMargin
 
   /** Per-language score columns + argmax CASE generated from
     * TextAnalysis.Profiles so the oracle can never drift from the engine. */
@@ -2035,6 +2073,26 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 50""".stripMargin,
+
+    // replay of TextAnalysis.docTypicality: same tokenization as
+    // vocab_top; ⌊df·1e6/n_docs⌋ per occurrence, integer-mean per doc
+    // (`//` == Spark `div`, both truncating)
+    "doc_typicality" ->
+      s"""WITH $TypicalityCtes
+        |SELECT doc_id, n_toks, typ_score FROM scored ORDER BY doc_id""".stripMargin,
+
+    // replay of Sampling.tokenBudgetSample over the typicality scores:
+    // the distributed range-partition + offset construction equals the
+    // plain global running sum, which is what the oracle states
+    "budget_sample" ->
+      s"""WITH $TypicalityCtes,
+        |c AS (
+        |  SELECT doc_id, n_toks, typ_score,
+        |    CAST(sum(n_toks) OVER (ORDER BY typ_score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, n_toks, typ_score, cum_tokens
+        |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
 

@@ -89,4 +89,49 @@ object Sampling {
       }.get.otherwise(lit((defaultFraction * P).toLong))
     df.filter(hashUniform(col(idCol), salt) < cutoff)
   }
+
+  /**
+   * Token-budget curation: keep the best-scoring documents until a token
+   * budget is spent — the "assemble exactly B tokens of training data,
+   * best first" primitive. Selection = the prefix of the global
+   * (score desc, id) order whose running token sum stays ≤ `budget`,
+   * with `cum_tokens` attached.
+   *
+   * A naive global-window cumulative sum (`Window.orderBy` with no
+   * partition key) pulls the ENTIRE corpus through one task — the
+   * classic unpartitioned-window trap. Instead: range-partition by the
+   * global order, cumulative-sum WITHIN each partition (parallel), and
+   * close the gap with per-partition token totals prefix-summed on the
+   * driver (≤ numPartitions rows — bounded by construction, not by
+   * data). The result is the exact global prefix sum at any scale, and
+   * replays in SQL as the plain global window.
+   */
+  def tokenBudgetSample(df: DataFrame, idCol: String, scoreCol: String,
+      tokCol: String, budget: Long, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.typedlit
+    val spark = df.sparkSession
+    val np = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(np, col(scoreCol).desc, col(idCol))
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .cache() // pin partition ids between the totals job and the filter
+    val totals = parted.groupBy(col("__pid"))
+      .agg(sum(col(tokCol).cast("long")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = (0 until np).map { p =>
+      p -> (0 until p).map(totals.getOrElse(_, 0L)).sum
+    }.toMap
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("cum_tokens",
+        sum(col(tokCol).cast("long")).over(w) +
+          coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L)))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid")
+  }
 }

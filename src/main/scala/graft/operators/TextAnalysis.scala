@@ -157,6 +157,36 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-statistics document scoring: how "typical" a document's
+   * vocabulary is of its corpus. typ_score = mean over token OCCURRENCES
+   * of ⌊df(token)·10⁶ / n_docs⌋, as an integer — OCR noise, mojibake,
+   * and boilerplate-free junk are full of tokens no other document uses
+   * and score near 0, while template spam (every token corpus-common)
+   * scores near 10⁶, so BOTH filter tails are cut on one column. The
+   * float-free ⌊·10⁶⌋ ordering replays exactly in SQL.
+   *
+   * Scale shape: whitespace tokenize → distinct(doc, token) → df
+   * aggregate (shuffle on token, counts only — never text) → occurrence
+   * ⋈ df equi-join on token (vocabulary-partitioned; a 100 TB corpus's
+   * vocabulary is large but ≪ corpus, and the join never carries text) →
+   * per-doc sum. Returns (doc_id, n_toks, typ_score).
+   */
+  def docTypicality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dfc = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+    val nDocs = df.count()
+    toks.join(dfc, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(expr(s"dfc * 1000000 div $nDocs")).as("__tot"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("__tot div n_toks").as("typ_score"))
+  }
+
+  /**
    * Bigram novelty scoring (contamination / distribution-shift check):
    * how many of a probe document's token bigrams never occur in the
    * reference partition. The inverse question — benchmark n-grams

@@ -85,6 +85,43 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == a)
   }
 
+  test("tokenBudgetSample: distributed prefix sum == plain global window, budget honored") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    // adversarial frame: many score ties (range-partition boundaries land
+    // mid-tie), token counts 1..40, across 16 shuffle partitions
+    val rows = s.range(2000)
+      .select(col("id"),
+        (col("id") % 7).as("score"),
+        (col("id") % 40 + 1).as("toks"))
+    val got = Sampling.tokenBudgetSample(rows, "id", "score", "toks",
+        budget = 5000L, partitions = 16)
+      .select(col("id"), col("cum_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive single-window reference (fine at spec scale)
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows.withColumn("cum", sum(col("toks")).over(w))
+      .filter(col("cum") <= 5000L)
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.max <= 5000L)
+    // prefix property: the selection is closed under the global order
+    val selected = rows.filter(col("id").isin(got.keys.toSeq.map(Long.box): _*))
+    assert(selected.count() == got.size)
+  }
+
+  test("tokenBudgetSample: zero budget selects nothing; huge budget selects all") {
+    val s = spark
+    val rows = s.range(100).select(col("id"), col("id").as("score"), lit(5L).as("toks"))
+    assert(Sampling.tokenBudgetSample(rows, "id", "score", "toks", 0L).count() == 0)
+    val all = Sampling.tokenBudgetSample(rows, "id", "score", "toks", Long.MaxValue / 2)
+    assert(all.count() == 100)
+    // last row's cumulative = total tokens
+    assert(all.agg(max(col("cum_tokens"))).head().getLong(0) == 500L)
+  }
+
   test("hashUniform: 64-bit and negative ids never wrap, values match the mod-P formula") {
     import spark.implicits._
     val P = 1000000007L

@@ -46,6 +46,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Int]("n_stop") == 4)  // the, the, and (lowered), a
   }
 
+  test("docTypicality: junk vocab scores below corpus-typical vocab; bounds hold") {
+    import spark.implicits._
+    val df = (
+      (1L to 20L).map(i => (i, "the data table holds the query rows")) :+
+        (99L, "zxqv kjwp qqzz mmvv")   // tokens no other doc uses
+      ).toDF("doc_id", "text")
+    val rows = TextAnalysis.docTypicality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // junk doc: every token df=1 of 21 docs → score = ⌊1e6/21⌋
+    assert(rows(99L) == 1000000L / 21)
+    // typical docs: every token appears in 20 of 21 docs
+    assert(rows(1L) == 20L * 1000000L / 21)
+    assert(rows.values.forall(v => v >= 0 && v <= 1000000L))
+  }
+
   test("bpe-ish token count: letter runs + digit runs + single marks") {
     import spark.implicits._
     val df = Seq((1L, "don't stop123 now!!")).toDF("id", "text")

@@ -503,6 +503,22 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // incremental-ingest embedding dedup: batch (vecs ≥ 250 ∪ 20 scaled
+    // copies of reference vecs) deduped AGAINST the bucketed reference
+    // (vecs < 250) — the vector twin of dedup_incremental; survivors
+    "embed_dup_incremental" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+      val ref = base.filter(col("vec_id") < 250)
+      val batch = base.filter(col("vec_id") >= 250)
+        .select(col("vec_id"), col("embedding"))
+        .unionAll(base.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))
+      Dedup.dropEmbeddingDupsAgainst(batch, ref, "vec_id", "embedding")
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // brute-force cosine top-k (the ANN baseline), oracled
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1707,6 +1723,26 @@ object SparkEntry {
         |FROM emb l JOIN emb r ON l.vec_id < r.vec_id
         |WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) >= 0.98
         |ORDER BY a, b""".stripMargin,
+
+    // replay of dropEmbeddingDupsAgainst: a batch row is a dup iff cosine
+    // ≥ 0.98 vs some reference row; survivors anti-joined (LSH banding is
+    // recall-1 on these corpora — dups are exactly-parallel scaled copies)
+    "embed_dup_incremental" ->
+      """WITH ref AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 250),
+        |batch AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 250
+        |  UNION ALL
+        |  SELECT vec_id + 20000,
+        |    CAST(list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 20),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM batch b JOIN ref r ON list_cosine_similarity(b.v, r.v) >= 0.98)
+        |SELECT b.vec_id FROM batch b LEFT JOIN dup d USING (vec_id)
+        |WHERE d.vec_id IS NULL ORDER BY vec_id""".stripMargin,
 
     "ann_topk" ->
       """WITH scored AS (

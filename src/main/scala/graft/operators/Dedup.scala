@@ -454,6 +454,34 @@ object Dedup {
    * by hyperplane signs, exact cosine verify within buckets. Parallel
    * (scaled-copy) vectors share buckets with probability 1.
    */
+  /**
+   * Cross-corpus embedding near-dedup (the vector twin of
+   * `dropNearDuplicatesAgainst`): drop batch vectors whose cosine vs SOME
+   * reference vector is ≥ `threshold`. The reference side is an
+   * LSH-bucketed signature table — in a daily-ingest pipeline it is
+   * precomputed once and reused, and the join is strictly cross-set (the
+   * batch never scans reference content, only bucket-colliding
+   * candidates). Same recall contract as `embeddingCosinePairs`: parallel
+   * (scaled-copy) vectors share buckets with probability 1.
+   */
+  def dropEmbeddingDupsAgainst(
+      batch: DataFrame, reference: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.98, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val D = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val rb = reference.select(
+      vec_lsh_bucket(col(vecCol), planes, seed).as("bucket"),
+      col(vecCol).cast(D).as("rv"))
+    val bb = batch.select(col(idCol),
+      vec_lsh_bucket(col(vecCol), planes, seed).as("bucket"),
+      col(vecCol).cast(D).as("bv"))
+    val dup = bb.join(rb, Seq("bucket"))
+      .filter(vec_cosine(col("bv"), col("rv")) >= threshold)
+      .select(col(idCol)).distinct()
+    batch.join(dup, Seq(idCol), "left_anti")
+  }
+
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.98, planes: Int = 8, seed: Long = 42L): DataFrame = {

@@ -165,6 +165,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embedding incremental dedup: copies of reference vectors dropped, organics kept") {
+    val base = spark.read.parquet(sf("embeddings"))
+    val ref = base.filter(col("vec_id") < 250)
+    val batch = base.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+      .unionAll(base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))
+    val kept = Dedup.dropEmbeddingDupsAgainst(batch, ref, "vec_id", "embedding")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every scaled copy of a reference vector is dropped...
+    assert(kept.forall(_ < 20000))
+    // ...and every organic batch vector survives (random unit vectors
+    // don't organically hit cos >= 0.98)
+    assert(kept == (250L until base.count()).toSet)
+  }
+
   test("incremental dedup == banding-semantics replay, including near-threshold pairs") {
     import spark.implicits._
     import graft.functions.HashFunctions.minHashSignature

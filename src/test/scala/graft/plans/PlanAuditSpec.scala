@@ -137,6 +137,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("InMemoryTableScan"), "set table must be cached")
   }
 
+  test("budget_sample: global prefix sum never uses an unpartitioned window") {
+    val p = plan("budget_sample")
+    // the whole point of tokenBudgetSample: cum-sum windows are
+    // partitioned by __pid; an Exchange SinglePartition means the naive
+    // global window snuck back in and one task processes the corpus
+    assert(!p.contains("SinglePartition"),
+      "budget_sample degraded to a single-partition global window")
+    assert(p.contains("Window"), "cumulative-sum window missing")
+  }
+
   test("bigram_novelty: shared explode lineage cached — both branches read the cache") {
     val p = plan("bigram_novelty")
     assert(p.contains("InMemoryTableScan"),

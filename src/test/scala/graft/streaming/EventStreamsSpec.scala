@@ -332,6 +332,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(!rows.exists(_.getAs[Double]("total_value") == 100.0))
   }
 
+  test("exactly-once sink: micro-batch replay overwrites instead of duplicating") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_eo_out_").toString
+    val mem = MemoryStream[Event]
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "click", 2.0))
+    EventStreams.startExactlyOnceParquetSink(mem.toDF(), outDir, ckpt)
+      .awaitTermination(60000)
+    mem.addData(Event(3, ts(2), 3, "click", 3.0))
+    EventStreams.startExactlyOnceParquetSink(mem.toDF(), outDir, ckpt)
+      .awaitTermination(60000)
+    val before = spark.read.parquet(outDir)
+    assert(before.count() == 3)
+    // simulate the crash-replay: the batch that wrote events 1-2 runs
+    // again with the same batchId (what Structured Streaming does after a
+    // failure between data write and checkpoint commit)
+    val replay = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "click", 2.0)).toDF()
+    EventStreams.writeBatchIdempotent(replay, outDir, batchId = 0L)
+    val after = spark.read.parquet(outDir)
+    assert(after.count() == 3, "replayed micro-batch must not duplicate rows")
+    assert(after.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("batch/stream parity: hourlyByType on the events table matches groupBy") {
     // events table is ns-precision; go through the same µs conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

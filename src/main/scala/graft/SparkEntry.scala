@@ -407,6 +407,15 @@ object SparkEntry {
         .orderBy(col("h"))
     }),
 
+    // span-level exact-substring dedup: per-doc count of 8-token sliding
+    // windows whose md5 digest occurs >= 2 times corpus-wide (the
+    // Lee-et-al "duplicated span" signal, suffix-array-free). md5 is
+    // engine-identical -> DuckDB replays digests bit-for-bit.
+    "span_dedup" -> ((s, dir) => {
+      Dedup.spanDupStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup pairs. Signatures use the SQL-replayable mod-P
     // hash spec (HashFunctions), so the DuckDB oracle recomputes them
     // exactly; output is the integer component-match count (float-free).
@@ -1214,6 +1223,25 @@ object SparkEntry {
     e
   }
 
+  /** Dedup.spanDupStats oracle: tokenize like simhash/cms, identify each
+    * k-token window by md5 of its joined token string (md5 hex is
+    * identical in Spark and DuckDB), then count duplicated windows
+    * globally and per doc. */
+  private def spanDedupSql(k: Int): String =
+    s"""WITH toksl AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |wh AS (
+      |  SELECT doc_id, md5(array_to_string(ts[CAST(w AS INT):CAST(w + $k - 1 AS INT)], ' ')) AS h
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - $k + 2)) AS w
+      |        FROM toksl WHERE len(ts) >= $k)),
+      |cnt AS (SELECT h, count(*) AS c FROM wh GROUP BY h)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |FROM wh JOIN cnt USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** h_j(x) = (A_j·x + B_j) mod P with HashFunctions.hashA/hashB constants. */
   private def mixJSql(x: String): String =
     s"(((((j + 1) * 2654435761) % 1000000007) * $x + (j * 40503 + 17) % 1000000007) % 1000000007)"
@@ -1707,6 +1735,11 @@ object SparkEntry {
         |GROUP BY md5(text)
         |HAVING count(*) > 1
         |ORDER BY h""".stripMargin,
+
+    // replay of Dedup.spanDupStats: token mod-P hashes (16-char cap, same
+    // spec as modp_hash16) -> per-doc ordered hash list -> explicit
+    // 8-term Horner per window -> global count -> per-doc dup stats
+    "span_dedup" -> spanDedupSql(8),
 
     // one SQL, two engine plans: the dense broadcast loop (ngram_jaccard,
     // via the size-gated dispatcher) and the sparse inverted index

@@ -482,6 +482,50 @@ object Dedup {
     batch.join(dup, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Per-document duplicated k-token-span statistics — span-level exact
+   * substring dedup (the signal behind "dedup repeated 50-token spans"
+   * in training-data pipelines; reference has no analog, engine-required
+   * north-star op). A corpus-global suffix array is inherently serial
+   * and memory-bound at 100 TB, so every k-token sliding window is
+   * instead identified by the md5 of its joined token string — the same
+   * 128-bit digest `exactDupGroups` shuffles, collision-free at any
+   * corpus size (a 30-bit mod-P window hash already false-positives at
+   * sf0.001). Duplicated windows are found with one hash-groupBy, and
+   * per-doc stats with one join + one more groupBy.
+   *
+   * Scale shape: shuffle traffic is (doc_id, digest) only — no text or
+   * array payload ever moves. The (doc_id, h) projection is cached
+   * because it feeds both the global count and the per-doc join (lineage
+   * would otherwise re-tokenize the corpus twice, and Catalyst re-inlines
+   * deterministic expressions into self-join branches). md5 is identical
+   * in DuckDB, so the oracle replays digests bit-for-bit.
+   *
+   * Returns (idCol, n_spans, n_dup): total k-token windows per doc and
+   * how many of them have a digest occurring ≥ 2 times corpus-wide
+   * (catches cross-doc AND within-doc repetition).
+   */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    // tokenization identical to simhash64/cms: maximal [a-z0-9] runs of
+    // the lowercased text
+    val toks = filter(
+      split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
+    val base = ensureParallelism(docs)
+      .select(col(idCol), toks.as("ts"))
+      .select(col(idCol),
+        when(size(col("ts")) >= k,
+          transform(sequence(lit(1), size(col("ts")) - (k - 1)),
+            w => md5(array_join(slice(col("ts"), w, lit(k)), " "))))
+          .otherwise(array().cast("array<string>")).as("wh"))
+    val spans = base.select(col(idCol), explode(col("wh")).as("h")).cache()
+    val cnt = spans.groupBy("h").agg(count(lit(1)).as("c"))
+    spans.join(cnt, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+  }
+
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.98, planes: Int = 8, seed: Long = 42L): DataFrame = {

@@ -246,4 +246,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .count()
     assert(all == 3)
   }
+
+  test("span dedup == string-exact brute force on the real corpus") {
+    val k = 8
+    val base = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    // brute force with STRING span identity (not hashes): also proves the
+    // mod-P window hash is collision-free on this corpus
+    val rows = base.collect().map(r => (r.getLong(0), r.getString(1)))
+    val windows = rows.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(k).filter(_.length == k).map(w => (id, w.mkString(" ")))
+    }
+    val global = windows.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = windows.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.length.toLong, ws.count(w => global(w._2) >= 2).toLong))
+    }
+    val got = Dedup.spanDupStats(base, "doc_id", "text", k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "corpus should contain dup spans")
+  }
+
+  test("span dedup: injected shared span counted in both docs") {
+    import spark.implicits._
+    val phrase = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = Seq(
+      (1L, s"one two three $phrase nine ten eleven twelve"),
+      (2L, s"$phrase completely different trailing words here now"),
+      (3L, "no shared content at all just singular tokens everywhere right")
+    ).toDF("doc_id", "text")
+    val m = Dedup.spanDupStats(d, "doc_id", "text", k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 15 tokens -> 8 windows, 1 duplicated (the shared phrase)
+    assert(m(1L) == ((8L, 1L)))
+    // doc2: 14 tokens -> 7 windows, 1 duplicated
+    assert(m(2L) == ((7L, 1L)))
+    assert(m(3L)._2 == 0L)
+  }
 }

@@ -962,6 +962,29 @@ object SparkEntry {
     // computes the same aggregate straight from parquet, so a lost/dup/
     // corrupted row anywhere in the export+reimport cycle breaks the hash.
     // Also the sink's per-round bench number (VERDICT r5 next #7).
+    // Spark-native columnar/row format coverage beyond parquet+CSV: the
+    // same projection written to ORC and JSON-lines, read back, and
+    // aggregated — one row per format, both matching the parquet truth.
+    // Integer-only columns, so JSON's number round-trip is exact.
+    "format_roundtrip" -> ((s, dir) => {
+      val sample = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+      sample.write.mode("overwrite").orc(s"$tmp/orc")
+      sample.write.mode("overwrite").json(s"$tmp/jsonl")
+      val schema = "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber LONG"
+      def aggOf(df: DataFrame, fmt: String): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_orderkey")).cast("long").as("sum_ok"),
+          sum(col("l_partkey")).cast("long").as("sum_pk"),
+          sum(col("l_suppkey") * col("l_linenumber")).cast("long").as("sum_mix"))
+          .withColumn("fmt", lit(fmt))
+      aggOf(s.read.orc(s"$tmp/orc"), "orc")
+        .unionAll(aggOf(s.read.schema(schema).json(s"$tmp/jsonl"), "jsonl"))
+        .orderBy(col("fmt"))
+    }),
+
     "export_roundtrip" -> ((s, dir) => {
       val sample = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -1932,6 +1955,18 @@ object SparkEntry {
         |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
         |  CAST(sum(l_suppkey * l_linenumber) AS BIGINT) AS sum_mix
         |FROM lineitem""".stripMargin,
+
+    // format_roundtrip: ORC and JSONL write→read cycles must both agree
+    // with the parquet truth — one identical aggregate row per format
+    "format_roundtrip" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+        |  CAST(sum(l_suppkey * l_linenumber) AS BIGINT) AS sum_mix
+        |FROM lineitem)
+        |SELECT n_rows, sum_ok, sum_pk, sum_mix, fmt
+        |FROM a CROSS JOIN (SELECT unnest(['jsonl', 'orc']) AS fmt) f
+        |ORDER BY fmt""".stripMargin,
 
     "dedup_drop" ->
       s"""WITH docs AS ($AugmentedDocsSql),

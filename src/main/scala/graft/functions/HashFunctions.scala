@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -212,6 +214,65 @@ object HashFunctions {
         f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
   }
 
+  /** All k-token sliding-window md5 digests of a text, one tight loop per
+    * document (span-level exact dedup). Tokenization = maximal [a-z0-9]
+    * runs after ASCII lowercasing (same spec as simHash64); each window's
+    * digest is md5 of the tokens joined by a single space — exactly what
+    * SQL `md5(array_to_string(ts[w:w+k-1], ' '))` computes, so the DuckDB
+    * oracle replays digests bit-for-bit. A native expression instead of
+    * `transform(sequence(...), w -> md5(array_join(slice(...))))` because
+    * HOF lambdas are interpreted per element: the per-window slice/join/
+    * md5 chain measured 9.4 s at sf0.1 vs ~0.6 s for this loop. Output is
+    * the 16-byte binary digest (half the shuffle width of hex). */
+  def spanDigests(text: String, k: Int): Array[Array[Byte]] = {
+    // tokenize once: (start, end) offsets of lowercased alnum runs
+    val n = text.length
+    val bytes = new Array[Byte](n) // lowercased ASCII scratch
+    val starts = new mutable.ArrayBuffer[Int]()
+    val ends = new mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      while (i < n && !isAsciiAlnum(lowerAscii(text.charAt(i)))) i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && isAsciiAlnum(lowerAscii(text.charAt(i)))) {
+          bytes(i) = lowerAscii(text.charAt(i)).toByte
+          i += 1
+        }
+        ends += i
+      }
+    }
+    val m = starts.length
+    if (m < k) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Array[Byte]](m - k + 1)
+    val space = ' '.toByte
+    var w = 0
+    while (w <= m - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(space)
+        md.update(bytes, starts(w + j), ends(w + j) - starts(w + j))
+        j += 1
+      }
+      out(w) = md.digest()
+      w += 1
+    }
+    out
+  }
+
+  case class SpanDigests(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "span_digests"
+    override def nullSafeEval(text: Any, k: Any): Any =
+      new GenericArrayData(
+        spanDigests(text.toString, k.asInstanceOf[Int]).asInstanceOf[Array[Any]])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** Distinct character n-grams of a string as SORTED 64-bit hashes — the
     * set form used by the dense-corpus exact-Jaccard path. Hashing keeps
     * the per-pair intersect allocation-free (primitive long merge instead
@@ -336,6 +397,8 @@ object HashFunctions {
       es => SortedIntersectCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("modp_hash16",
       es => ModPTokenHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("span_digests",
+      es => SpanDigests(es(0), es(1)), "built-in")
   }
 
   def minhash_sig(text: Column, k: Int = 5, m: Int = 64): Column =
@@ -349,4 +412,6 @@ object HashFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
   def modp_hash16(text: Column): Column = call_function("modp_hash16", text)
+  def span_digests(text: Column, k: Int): Column =
+    call_function("span_digests", text, lit(k))
 }

@@ -507,17 +507,11 @@ object Dedup {
    */
   def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    // tokenization identical to simhash64/cms: maximal [a-z0-9] runs of
-    // the lowercased text
-    val toks = filter(
-      split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
+    // span_digests: one native pass per doc (tokenize + per-window
+    // incremental md5) — the HOF slice/join/md5 formulation paid
+    // interpreted-lambda cost per window (9.4 s -> ~0.6 s at sf0.1)
     val base = ensureParallelism(docs)
-      .select(col(idCol), toks.as("ts"))
-      .select(col(idCol),
-        when(size(col("ts")) >= k,
-          transform(sequence(lit(1), size(col("ts")) - (k - 1)),
-            w => md5(array_join(slice(col("ts"), w, lit(k)), " "))))
-          .otherwise(array().cast("array<string>")).as("wh"))
+      .select(col(idCol), span_digests(col(textCol), k).as("wh"))
     val spans = base.select(col(idCol), explode(col("wh")).as("h")).cache()
     val cnt = spans.groupBy("h").agg(count(lit(1)).as("c"))
     spans.join(cnt, "h")

@@ -870,6 +870,23 @@ object SparkEntry {
     // §2.9 batch analog of the custom sessionizer: lag + cumulative-sum
     // session ids, 30-minute gap (EventStreams.sessionize is the streaming
     // twin; tested in EventStreamsSpec)
+    // the same sessionization through Spark's NATIVE session_window
+    // operator (codegen'd, streaming-compatible) — pinned against the
+    // gaps-and-islands SQL. Boundary semantics measured, not assumed: a
+    // follower at exactly +gap is MERGED into the session (break on >,
+    // same as events_sessionize; EventStreamsSpec pins this), the output
+    // key is the session's first timestamp.
+    "events_session_builtin" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "events_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1903,6 +1920,28 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // session_window replay: same gaps-and-islands shape and the same
+    // >-gap break (measured: Spark merges a follower at exactly +gap);
+    // the key is the session's first timestamp rather than a session index
+    "events_session_builtin" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM m)
+        |SELECT user_id, make_timestamp(min(epoch_us(ts))) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "events_sessionize" ->
       """WITH l AS (

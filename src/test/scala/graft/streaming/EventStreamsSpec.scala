@@ -359,6 +359,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq(1L, 2L, 3L))
   }
 
+  test("session_window boundary: event exactly gap-after-previous MERGES (break is >)") {
+    // pins the semantics the events_session_builtin oracle encodes
+    // (measured, not assumed): Spark merges a follower at exactly +gap
+    // into the running session — the break condition is strict >, same
+    // as the lag-based sessionize; one past +gap starts a new session
+    val s = spark
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    val df = Seq((1L, t0), (1L, plus(1800000)), (2L, t0), (2L, plus(1800001)))
+      .toDF("user_id", "ts")
+    val n = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // user 1: exact-gap follower merges -> one session of 2;
+    // user 2: 1 ms past the gap -> two singleton sessions
+    assert(n == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
   test("batch/stream parity: hourlyByType on the events table matches groupBy") {
     // events table is ns-precision; go through the same µs conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

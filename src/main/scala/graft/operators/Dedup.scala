@@ -512,7 +512,13 @@ object Dedup {
     // interpreted-lambda cost per window (9.4 s -> ~0.6 s at sf0.1)
     val base = ensureParallelism(docs)
       .select(col(idCol), span_digests(col(textCol), k).as("wh"))
-    val spans = base.select(col(idCol), explode(col("wh")).as("h")).cache()
+    // explode_outer, NOT explode: plain explode plants a `size(wh) > 0`
+    // filter that Catalyst pushes below the repartition, re-inlining the
+    // digest expression into the un-parallelized scan (computed twice,
+    // once serially — PlanAuditSpec pins this). The null filter on the
+    // exploded column is cheap and cannot be pushed past the Generate.
+    val spans = base.select(col(idCol), explode_outer(col("wh")).as("h"))
+      .filter(col("h").isNotNull).cache()
     val cnt = spans.groupBy("h").agg(count(lit(1)).as("c"))
     spans.join(cnt, "h")
       .groupBy(col(idCol))

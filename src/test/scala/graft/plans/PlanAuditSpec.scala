@@ -180,4 +180,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
       "no map-side partial aggregation below the shuffle")
   }
+
+  test("span_dedup: only (doc_id, digest) cross shuffles; both consumers read the cache") {
+    val p = plan("span_dedup")
+    // the digest expression must be computed exactly once per doc, in a
+    // Project above the parallelizing repartition — never re-inlined into
+    // a Filter (plain explode's size(wh)>0 pruning did exactly that,
+    // running the digest loop twice with one pass on the serial scan)
+    p.linesIterator.filter(_.contains("span_digests(")).foreach { l =>
+      assert(l.contains("Project ["),
+        s"span_digests re-inlined outside a projection: $l")
+    }
+    // ...and that Project sits above the RoundRobin spread, so the
+    // CPU-heavy loop runs on all cores, not the single-row-group scan
+    val proj = p.indexOf("span_digests(")
+    val rr = p.indexOf("RoundRobinPartitioning", proj)
+    assert(proj >= 0 && rr > proj,
+      "digest projection not above the parallelizing repartition")
+    // the (doc_id, h) projection is cached and feeds BOTH the global
+    // count and the per-doc join (no double tokenization)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "span pairs not cached for both consumers")
+  }
 }

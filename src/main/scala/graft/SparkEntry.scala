@@ -416,6 +416,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // line-level dedup with REWRITE (C4-style): non-overlapping 8-token
+    // chunks duplicated across >= 2 docs are dropped, survivors re-joined
+    // in order. Complements span_dedup (stats only, sliding windows).
+    "line_dedup" -> ((s, dir) => {
+      Dedup.lineDedupRewrite(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup pairs. Signatures use the SQL-replayable mod-P
     // hash spec (HashFunctions), so the DuckDB oracle recomputes them
     // exactly; output is the integer component-match count (float-free).
@@ -1282,6 +1290,29 @@ object SparkEntry {
       |FROM wh JOIN cnt USING (h)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** line_dedup oracle: same tokenization as spanDedupSql, fixed
+    * non-overlapping k-token chunks, drop chunks in >= 2 distinct docs,
+    * ordered string_agg rebuild. md5 replays the engine's digests
+    * bit-for-bit; coalesce('') matches Spark's empty array_join. */
+  private def lineDedupSql(k: Int): String =
+    s"""WITH toksl AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST(i AS INT) AS chunk,
+      |    array_to_string(ts[CAST(i * $k + 1 AS INT):CAST(i * $k + $k AS INT)], ' ') AS ctext
+      |  FROM (SELECT doc_id, ts, unnest(range(CAST(ceil(len(ts) / $k.0) AS BIGINT))) AS i
+      |        FROM toksl WHERE len(ts) > 0)),
+      |wh AS (SELECT doc_id, chunk, ctext, md5(ctext) AS h FROM chunks),
+      |cnt AS (SELECT h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY h)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  coalesce(string_agg(CASE WHEN nd < 2 THEN ctext END, ' ' ORDER BY chunk), '') AS clean_text
+      |FROM wh JOIN cnt USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** h_j(x) = (A_j·x + B_j) mod P with HashFunctions.hashA/hashB constants. */
   private def mixJSql(x: String): String =
     s"(((((j + 1) * 2654435761) % 1000000007) * $x + (j * 40503 + 17) % 1000000007) % 1000000007)"
@@ -1780,6 +1811,7 @@ object SparkEntry {
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit
     // 8-term Horner per window -> global count -> per-doc dup stats
     "span_dedup" -> spanDedupSql(8),
+    "line_dedup" -> lineDedupSql(8),
 
     // one SQL, two engine plans: the dense broadcast loop (ngram_jaccard,
     // via the size-gated dispatcher) and the sparse inverted index

@@ -526,6 +526,56 @@ object Dedup {
         sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
   }
 
+  /**
+   * Line-level dedup with rewrite (the C4/CCNet "remove duplicated
+   * lines" pass, e.g. c4 drops any line seen ≥ 2 times in the corpus).
+   * The driver corpus has no newlines, so a "line" here is a fixed
+   * non-overlapping k-token chunk (documented divergence; the operator
+   * is separator-agnostic — swap the chunking expression for
+   * `split(text, '\n')` on a corpus with real lines). Unlike
+   * `spanDupStats` (which only REPORTS duplicated-window counts), this
+   * rewrites: chunks whose md5 digest appears in ≥ 2 distinct docs are
+   * dropped and the surviving chunks are re-joined in order.
+   *
+   * Scale shape: one explode to n/k chunk rows, a digest groupBy
+   * (shuffle key = 16-byte md5 + doc id for the distinct), an equi-join
+   * back on digest, and a final per-doc groupBy whose payload is the
+   * kept chunk text — the same data that must appear in the output, so
+   * no amplification. The chunk projection is cached because it feeds
+   * both the global count and the rewrite join.
+   *
+   * Returns (idCol, n_chunks, n_dropped, clean_text).
+   */
+  def lineDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val chunks = ensureParallelism(docs)
+      .select(col(idCol),
+        expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')")
+          .as("ts"))
+      .filter(size(col("ts")) > 0)
+      // O(n) total HOF work per doc (n/k chunks × k-token slice) — the
+      // interpreted-lambda cost that forced span_digests native is the
+      // O(n·k) sliding-window shape, not this one
+      .selectExpr(idCol,
+        s"""posexplode(transform(
+           |  sequence(0, cast(ceil(size(ts) / $k.0) AS INT) - 1),
+           |  i -> array_join(slice(ts, i * $k + 1, $k), ' '))) AS (chunk, ctext)"""
+          .stripMargin)
+      .withColumn("h", md5(col("ctext")))
+      .cache()
+    // ≥ 2 *distinct docs*: within-doc repetition is span_dedup's signal;
+    // the rewrite only removes cross-document boilerplate
+    val cnt = chunks.groupBy("h").agg(countDistinct(col(idCol)).as("nd"))
+    chunks.join(cnt, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          expr("transform(array_sort(collect_list(" +
+            "CASE WHEN nd < 2 THEN struct(chunk, ctext) END)), x -> x.ctext)"),
+          " ").as("clean_text"))
+  }
+
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.98, planes: Int = 8, seed: Long = 42L): DataFrame = {

@@ -267,6 +267,53 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._2 > 0), "corpus should contain dup spans")
   }
 
+  test("line dedup rewrite == brute force on the real corpus") {
+    val k = 8
+    val base = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    val rows = base.collect().map(r => (r.getLong(0), r.getString(1)))
+    val chunked = rows.map { case (id, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      id -> toks.grouped(k).map(_.mkString(" ")).toVector
+    }.filter(_._2.nonEmpty)
+    // duplicated = chunk string present in >= 2 DISTINCT docs
+    val docsPerChunk = chunked.flatMap { case (id, cs) => cs.map(c => (c, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = chunked.map { case (id, cs) =>
+      val kept = cs.filter(c => docsPerChunk(c) < 2)
+      id -> ((cs.length.toLong, (cs.length - kept.length).toLong, kept.mkString(" ")))
+    }.toMap
+    val got = Dedup.lineDedupRewrite(base, "doc_id", "text", k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "corpus should contain dropped chunks")
+    assert(got.values.exists(v => v._2 > 0 && v._3.nonEmpty),
+      "some doc should survive partially rewritten")
+  }
+
+  test("line dedup: cross-doc boilerplate dropped, within-doc repeat kept") {
+    import spark.implicits._
+    // exactly 8 tokens -> one aligned chunk shared by docs 1 and 2
+    val boiler = "subscribe to our newsletter for updates every day"
+    val d = Seq(
+      (1L, s"$boiler unique alpha content one two three four five"),
+      (2L, s"$boiler other beta content six seven eight nine ten"),
+      // 8-token prefix + repeat x16 -> chunks 1 and 2 are identical
+      // WITHIN the doc (digest seen twice, but in one distinct doc only)
+      (3L, "solo gamma page one two three four five " +
+           Seq.fill(16)("repeat").mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = Dedup.lineDedupRewrite(d, "doc_id", "text", k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 1/2: 16 tokens -> 2 chunks; the shared boilerplate chunk is
+    // dropped, the unique chunk survives
+    assert(m(1L) == ((2L, 1L, "unique alpha content one two three four five")))
+    assert(m(2L) == ((2L, 1L, "other beta content six seven eight nine ten")))
+    // doc 3 repeats a chunk WITHIN itself only -> nothing dropped
+    assert(m(3L) == ((3L, 0L,
+      "solo gamma page one two three four five " +
+        Seq.fill(16)("repeat").mkString(" "))))
+  }
+
   test("span dedup: injected shared span counted in both docs") {
     import spark.implicits._
     val phrase = "alpha bravo charlie delta echo foxtrot golf hotel"

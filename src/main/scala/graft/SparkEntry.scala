@@ -449,6 +449,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // canonical-survivor selection: per near-dup cluster keep the longest
+    // member (tie: min id) — the curation step after clustering. Argmax is
+    // a map-side-partial max(struct), not a window sort.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = augmentedDocs(s, dir)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.6))
+        .select(col("id").as("doc_id"), col("cluster"))
+      Dedup.keepBest(clusters, docs, "doc_id", "text").orderBy(col("cluster"))
+    }),
+
     // greedy survivor selection: drop every row whose content digest was
     // already seen at a lower id (the "keep one per exact-dup group" step)
     "dedup_drop" -> ((s, dir) => {
@@ -2116,6 +2127,32 @@ object SparkEntry {
         |SELECT node AS doc_id, least(node, min(r)) AS cluster
         |FROM reach GROUP BY node
         |ORDER BY doc_id""".stripMargin,
+
+    // same transitive closure as dedup_clusters, then per-cluster argmax
+    // by (length DESC, doc_id ASC) — replays keepBest's max(struct) order
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |pairs AS (SELECT a, b FROM mc JOIN bh USING (a, b) WHERE n_match >= 39),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION
+        |  SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+        |clus AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster
+        |  FROM reach GROUP BY node),
+        |scored AS (
+        |  SELECT c.cluster, c.doc_id, CAST(length(d.text) AS BIGINT) AS len
+        |  FROM clus c JOIN docs d USING (doc_id))
+        |SELECT cluster, n_members, doc_id AS keeper, len AS keeper_len FROM (
+        |  SELECT cluster, doc_id, len,
+        |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id ASC) AS rn
+        |  FROM scored) WHERE rn = 1
+        |ORDER BY cluster""".stripMargin,
 
     // replay of HashFunctions.simHash64: per-token mod-P fold (powers-of-131
     // list for variable token length), per-bit majority, hamming via the

@@ -527,6 +527,34 @@ object Dedup {
   }
 
   /**
+   * Canonical-document selection per near-dup cluster ("keep best"): the
+   * curation step after clustering — each cluster keeps its
+   * highest-quality member (here: longest text, the common LLM-corpus
+   * heuristic; ties broken by min id so the survivor is deterministic).
+   *
+   * Scale shape: the argmax is a single hash aggregation on a
+   * `max(struct(score, -id))` — partial aggregation happens map-side, so
+   * the shuffle carries one struct per (partition, cluster), never the
+   * member list. No window function: a row_number-over-cluster
+   * formulation would shuffle every member row to sort it, then discard
+   * all but one.
+   *
+   * `clusters` is (idCol, cluster) as produced by [[duplicateClusters]];
+   * `docs` supplies the text being scored. Returns
+   * (cluster, n_members, keeper, keeper_len).
+   */
+  def keepBest(clusters: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scored = clusters.join(
+      docs.select(col(idCol), length(col(textCol)).cast("long").as("len")), idCol)
+    scored.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len"), (-col(idCol)).as("nid"))).as("best"))
+      .select(col("cluster"), col("n_members"),
+        (-col("best.nid")).as("keeper"), col("best.len").as("keeper_len"))
+  }
+
+  /**
    * Line-level dedup with rewrite (the C4/CCNet "remove duplicated
    * lines" pass, e.g. c4 drops any line seen ≥ 2 times in the corpus).
    * The driver corpus has no newlines, so a "line" here is a fixed

@@ -267,6 +267,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._2 > 0), "corpus should contain dup spans")
   }
 
+  test("keep best: longest member wins, ties break to min id, singletons kept") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text here"), (3L, "mid text"),
+      (7L, "equal len"), (8L, "equal le2"), // tie on length -> min id (7)
+      (9L, "solo")
+    ).toDF("doc_id", "text")
+    val got = Dedup.keepBest(clusters, docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 2L, 21L)))
+    assert(got(7L) == ((2L, 7L, 9L)))
+    assert(got(9L) == ((1L, 9L, 4L)))
+    // plan shape: argmax must be an aggregate, not a window sort
+    val plan = Dedup.keepBest(clusters, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "keepBest must not use a window function")
+  }
+
   test("line dedup rewrite == brute force on the real corpus") {
     val k = 8
     val base = spark.read.parquet(sf("documents")).select("doc_id", "text")

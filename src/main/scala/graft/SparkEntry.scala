@@ -531,6 +531,14 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // SemDeDup: trained k-means cells bound the cosine check to Σ|cell|²
+    // (never n²); within each cell drop rows duplicating a lower id
+    "dedup_semantic" -> ((s, dir) => {
+      Similarity.semanticDedup(augmentedEmb(s, dir), "vec_id", "embedding",
+        threshold = 0.98)
+        .orderBy(col("vec_id"))
+    }),
+
     // incremental-ingest embedding dedup: batch (vecs ≥ 250 ∪ 20 scaled
     // copies of reference vecs) deduped AGAINST the bucketed reference
     // (vecs < 250) — the vector twin of dedup_incremental; survivors
@@ -1343,17 +1351,21 @@ object SparkEntry {
    * their centroid (count(s.s) = 0 guard — list() would otherwise
    * aggregate a [NULL] that defeats coalesce).
    */
-  private def annIvfTrainedSql(stride: Int = 20, iters: Int = 3,
-      nProbe: Int = 3, k: Int = 3): String = {
-    val dist = (q: String, c: String) =>
-      s"list_inner_product($q, $q) + list_inner_product($c, $c) - 2 * list_inner_product($q, $c)"
+  private def ivfDistSql(q: String, c: String): String =
+    s"list_inner_product($q, $q) + list_inner_product($c, $c) - 2 * list_inner_product($q, $c)"
+
+  /** CTEs `emb, sc, q, se, c0, a1..c$iters` replaying
+    * Similarity.trainIvfCentroids' integer Lloyd over `embSql` (which must
+    * project vec_id + DOUBLE[] v). Shared by the trained-IVF ANN oracle
+    * and the SemDeDup oracle. */
+  private def ivfTrainCtes(embSql: String, stride: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { it =>
       val prev = if (it == 1) "c0" else s"c${it - 1}"
       s"""a$it AS (
          |  SELECT vec_id, c FROM (
          |    SELECT x.vec_id, ci.c,
          |      row_number() OVER (PARTITION BY x.vec_id
-         |        ORDER BY ${dist("x.qv", "ci.cv")}, ci.c) AS rn
+         |        ORDER BY ${ivfDistSql("x.qv", "ci.cv")}, ci.c) AS rn
          |    FROM q x CROSS JOIN $prev ci) WHERE rn = 1),
          |s$it AS (
          |  SELECT a.c, dims.i, CAST(sum(x.qv[CAST(dims.i AS INT)]) AS BIGINT) AS s, count(*) AS n
@@ -1367,7 +1379,7 @@ object SparkEntry {
          |  FROM $prev p LEFT JOIN s$it s USING (c)
          |  GROUP BY p.c, p.cv)""".stripMargin
     }.mkString(",\n")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""emb AS ($embSql),
        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),
        |q AS (
        |  SELECT vec_id,
@@ -1380,7 +1392,15 @@ object SparkEntry {
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
        |  FROM q WHERE vec_id % (SELECT v FROM se) = 0),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  private def annIvfTrainedSql(stride: Int = 20, iters: Int = 3,
+      nProbe: Int = 3, k: Int = 3): String = {
+    val dist = (q: String, c: String) => ivfDistSql(q, c)
+    s"""WITH ${ivfTrainCtes(
+          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+          stride, iters)},
        |fa AS (
        |  SELECT x.vec_id, ci.c,
        |    row_number() OVER (PARTITION BY x.vec_id
@@ -1402,6 +1422,34 @@ object SparkEntry {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /**
+   * SemDeDup oracle: trained-quantizer cell assignment (same CTEs as the
+   * trained-IVF oracle, over the AUGMENTED corpus so ground-truth dups
+   * exist), then within-cell greedy keep-first dedup — a row is dropped
+   * iff some lower-id same-cell row has cosine ≥ t. Threshold decisions
+   * are float-robust: the injected dups are exactly-parallel copies
+   * (cos ≈ 1 in both engines) and random 64-dim pairs sit far below 0.98.
+   */
+  private def dedupSemanticSql(stride: Int = 20, iters: Int = 3,
+      t: Double = 0.98): String =
+    s"""WITH ${ivfTrainCtes(
+          s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ($AugmentedEmbSql) ae",
+          stride, iters)},
+       |fa AS (
+       |  SELECT x.vec_id, ci.c,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${ivfDistSql("x.qv", "ci.cv")}, ci.c) AS rn
+       |  FROM q x CROSS JOIN c$iters ci),
+       |cells AS (SELECT vec_id, c AS cell FROM fa WHERE rn = 1),
+       |dup AS (
+       |  SELECT DISTINCT r.vec_id
+       |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  JOIN emb le ON le.vec_id = l.vec_id
+       |  JOIN emb re ON re.vec_id = r.vec_id
+       |  WHERE list_cosine_similarity(le.v, re.v) >= $t)
+       |SELECT c.vec_id, c.cell FROM cells c LEFT JOIN dup d USING (vec_id)
+       |WHERE d.vec_id IS NULL ORDER BY c.vec_id""".stripMargin
 
   /**
    * Trained-PQ oracle: replays Similarity.trainPqCodebook's per-subspace
@@ -2062,6 +2110,7 @@ object SparkEntry {
     // replay of Similarity.ivfTopKTrained: integer Lloyd training + L2
     // cell assignment + probes (see annIvfTrainedSql scaladoc)
     "ann_ivf" -> annIvfTrainedSql(),
+    "dedup_semantic" -> dedupSemanticSql(),
 
     "token_count_bpe" ->
       """SELECT source, count(*) AS docs,

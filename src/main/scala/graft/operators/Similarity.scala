@@ -190,6 +190,40 @@ object Similarity {
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     withInt8(df, vecCol).select(col(idCol).as("id"), col("__q").as("q"))
 
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+   * partition the corpus with the trained k-means coarse quantizer, then
+   * drop every vector whose cosine to a LOWER-id vector in the SAME cell
+   * is ≥ `threshold` (greedy keep-first — survivor choice deterministic).
+   *
+   * Scale shape: this is the paper's point — the O(n²) cosine check
+   * becomes Σ|cell|² by clustering first. The only join is the
+   * within-cell self-join; centroid closure rides as foldable literals
+   * (zero-shuffle assignment, ≤ 256 centroids by `effectiveStride`), and
+   * the anti-join key is the id alone. The assigned projection is cached:
+   * it feeds both self-join sides and the survivor anti-join.
+   *
+   * Returns survivors as (vec_id, cell).
+   */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.98, stride: Int = 20, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, stride, iters)
+    val cbLit = typedlit(cents)
+    val cidLit = typedlit(cents.indices.map(_.toLong))
+    val assigned = withInt8(Par.ensureParallelism(corpus), vecCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).cast(D).as("v"),
+        element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
+      .cache()
+    val l = assigned.select(col("cell"), col("vec_id").as("a"), col("v").as("va"))
+    val r = assigned.select(col("cell"), col("vec_id").as("b"), col("v").as("vb"))
+    val dups = l.join(r, Seq("cell")).filter(col("a") < col("b"))
+      .filter(vec_cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    assigned.join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Adds the int8 quantization as column `__q`, keeping every other
     * column — so callers that need both the raw and quantized vector
     * (ivfTopKTrained) don't pay a self-join to reunite them. */

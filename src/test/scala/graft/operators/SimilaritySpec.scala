@@ -112,6 +112,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cb1 != Similarity.trainPqCodebook(emb, "vec_id", "embedding", iters = 0))
   }
 
+  test("semantic dedup drops injected parallel copies, keeps the rest") {
+    // corpus ∪ exactly-parallel scaled copies (cos = 1, same int8
+    // quantization -> same cell by construction)
+    val copies = emb.filter(col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))"))
+    val corpus = emb.unionAll(copies)
+    val survivors = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.98).collect().map(_.getLong(0)).toSet
+    val n = emb.count()
+    // every copy (higher id than its parallel original) dropped
+    assert(survivors == emb.collect().map(_.getLong(0)).toSet)
+    assert(survivors.size == n)
+    // determinism: second run identical (trained centroids are integer)
+    val again = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.98).collect().map(_.getLong(0)).toSet
+    assert(again == survivors)
+  }
+
   test("IVF topK finds parallel vectors (they share a cell by construction)") {
     val copies = emb.filter(col("vec_id") >= 1 && col("vec_id") < 11)
       .withColumn("vec_id", col("vec_id") + 10001)

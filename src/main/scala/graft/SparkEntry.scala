@@ -1153,6 +1153,23 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // link-graph centrality (web-corpus curation signal): integer
+    // fixed-point PageRank, 3 message-passing rounds, over the
+    // symmetrized supplier↔customer transaction graph. All-integer, so
+    // the oracle replays ranks bit-for-bit with 3 unrolled CTEs.
+    "graph_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey").cast("long") + 1000000L).as("dst"))
+        .distinct()
+      // symmetrize: node ranges are disjoint, so no duplicate edges arise
+      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // §2.4 conditional aggregation: FILTER-style counts and CASE-gated
     // sums/maxes (null-free outputs: coalesce to sentinel)
     "q25_cond_agg" -> ((s, dir) => {
@@ -1351,6 +1368,36 @@ object SparkEntry {
    * their centroid (count(s.s) = 0 guard — list() would otherwise
    * aggregate a [NULL] that defeats coalesce).
    */
+  /** Replay of Graph.pageRank: `iters` unrolled message-passing rounds in
+    * pure BIGINT arithmetic. DuckDB `//` (floor) == Java `div` (trunc)
+    * because every quantity here is non-negative; sum order is
+    * irrelevant for integer sums, so ranks replay bit-for-bit. */
+  private def pageRankSql(iters: Int, dampPct: Int = 85): String = {
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"r${it - 1}"
+      s"""r$it AS (
+         |  SELECT n.node,
+         |    (SELECT (1000000000000 // c) * ${100 - dampPct} // 100 FROM cn)
+         |      + (coalesce(s.s, 0) * $dampPct) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst, sum(r.rank // ed.d) AS s
+         |    FROM ed JOIN $prev r ON ed.src = r.node
+         |    GROUP BY ed.dst) s ON n.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |cn AS (SELECT count(*) AS c FROM nodes),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d USING (src)),
+       |r0 AS (SELECT node, (SELECT 1000000000000 // c FROM cn) AS rank FROM nodes),
+       |$iterCtes
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   private def ivfDistSql(q: String, c: String): String =
     s"list_inner_product($q, $q) + list_inner_product($c, $c) - 2 * list_inner_product($q, $c)"
 
@@ -2767,6 +2814,8 @@ object SparkEntry {
         |  coalesce(n_94_only, 0) AS n_94_only
         |FROM common FULL OUTER JOIN only94 USING (l_suppkey)
         |ORDER BY l_suppkey""".stripMargin,
+
+    "graph_pagerank" -> pageRankSql(3),
 
     // the salt is distribution-only: the oracle is the PLAIN join
     "skew_join" ->

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Driver-side reference: same integer fixed-point spec. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val init = Graph.MassUnits / nodes.size
+    val base = init * 15 / 100
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 0 until iters) {
+      val s = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (a, b) => s(b) += rank(a) / deg(a) }
+      rank = nodes.map(nd => nd -> (base + s(nd) * 85 / 100)).toMap
+    }
+    rank
+  }
+
+  test("pagerank: star graph, one round, exact hand-computed integers") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // init = 1e12/3 = 333333333333; base = init*15/100 = 49999999999
+    // hub: 2*333333333333*85/100 + base; leaves: (init/2)*85/100 + base
+    assert(got(1L) == 616666666665L)
+    assert(got(2L) == 191666666665L)
+    assert(got(3L) == 191666666665L)
+  }
+
+  test("pagerank == driver reference on a deterministic graph; mass conserved") {
+    import spark.implicits._
+    // ring + chords, symmetrized — every node has out-degree >= 1
+    val base = (0L until 40L).flatMap(i => Seq(
+      (i, (i + 1) % 40), (i, (i * 7 + 3) % 40)))
+    val edges = (base ++ base.map(_.swap)).distinct
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(edges, 3))
+    val total = got.values.sum
+    assert(total <= Graph.MassUnits)
+    // truncation losses are bounded: one unit per edge+node per round
+    assert(total > Graph.MassUnits - 3L * (edges.size + 40 + 100))
+  }
+}

@@ -1164,9 +1164,9 @@ object SparkEntry {
         .select(col("l_suppkey").cast("long").as("src"),
           (col("o_custkey").cast("long") + 1000000L).as("dst"))
         .distinct()
-      // symmetrize: node ranges are disjoint, so no duplicate edges arise
-      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      // symmetrized inside pageRank (node ranges disjoint — no dup edges)
+      graft.operators.Graph.pageRank(e0, "src", "dst", iters = 3,
+        symmetrize = true)
         .orderBy(col("node"))
     }),
 

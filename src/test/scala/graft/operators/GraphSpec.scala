@@ -30,6 +30,11 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == 616666666665L)
     assert(got(2L) == 191666666665L)
     assert(got(3L) == 191666666665L)
+    // symmetrize flag == explicit reverse-union (star has no mutual pairs)
+    val viaFlag = Graph.pageRank(Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"),
+      "src", "dst", iters = 1, symmetrize = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFlag == got)
   }
 
   test("pagerank == driver reference on a deterministic graph; mass conserved") {

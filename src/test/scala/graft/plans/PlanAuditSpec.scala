@@ -202,4 +202,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
       "span pairs not cached for both consumers")
   }
+
+  test("line_dedup: equi-join on digest, chunk cache feeds both consumers, no cartesian") {
+    val p = plan("line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "line_dedup fell back to a non-equi join")
+    // the exploded chunk projection is cached and read by BOTH the
+    // distinct-doc count and the rewrite join (no double tokenization)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "chunk projection not cached for both consumers")
+  }
+
+  test("dedup_semantic: cell self-join is an equi-join; anti-join carries ids only") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell check fell back to an all-pairs join")
+    assert(p.contains("LeftAnti"), "survivor selection must be a left-anti join")
+    // centroid closure is a foldable literal — assignment adds no exchange
+    // beyond the parallelizing spread + the self-join/anti-join pair
+    assert(p.contains("InMemoryTableScan"),
+      "assigned projection not cached across self-join sides")
+  }
 }

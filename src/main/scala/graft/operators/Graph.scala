@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,18 +33,23 @@ object Graph {
    * oracle stays a pure join/group replay; symmetrized graphs satisfy
    * the contract by construction).
    *
-   * Scale shape: the edge list is hash-partitioned by src ONCE and the
-   * degree table joined into it; from there every per-round operation is
-   * narrow except the single reduceByKey that aggregates messages by
-   * dst — one |E|-linear shuffle per round. Each round's ranks are
-   * persisted and the previous unpersisted, so lineage never exceeds one
-   * round and iteration count can grow freely.
+   * Scale shape: below `driverMaxEdges` the whole graph fits in a driver
+   * array and a local loop wins by orders of magnitude (per-stage
+   * scheduling dwarfs the arithmetic); above it, the edge list is
+   * hash-partitioned by src ONCE and the degree table joined into it, so
+   * every per-round operation is narrow except the single reduceByKey
+   * that aggregates messages by dst — one |E|-linear shuffle per round.
+   * Rounds chain lazily with a materialization every 8th round, so
+   * lineage stays bounded without paying a scheduling action per round.
+   * Both paths use the same integer arithmetic (GraphSpec proves them
+   * equal across the gate).
    *
    * Returns (node, rank) with Σrank ≤ MassUnits (truncation loses at
    * most one unit per edge per round).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, dampPct: Int = 85, symmetrize: Boolean = false): DataFrame = {
+      iters: Int = 3, dampPct: Int = 85, symmetrize: Boolean = false,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
@@ -61,9 +68,55 @@ object Graph {
     // caller-side `e0.unionAll(e0.reversed)` plants the edge-derivation
     // subtree twice in one plan and computes it twice (measured ~2× the
     // derivation join at sf0.1); the flatMap pays one cached pass
-    val eDf = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).cache()
-    val nEdges = eDf.count() * (if (symmetrize) 2 else 1)
+    val mult = if (symmetrize) 2 else 1
+    val eDf0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // Size gate (same pattern as duplicateClusters' union-find): the
+    // edge list of a centrality computation is usually orders of
+    // magnitude smaller than the corpus that produced it, and below
+    // 4M edges (≤ 64 MB of longs, and a measured 0.3 s/3-round loop at
+    // 1M edges) the distributed loop pays seconds of per-stage
+    // scheduling where a driver loop pays milliseconds.
+    // The gate DECISION is a limit-probe collect: one pass when the
+    // graph fits (no count-then-collect double scan, no cache fill), an
+    // early-stopping cheap probe when it doesn't. Identical integer
+    // arithmetic on both paths, proven equal across the gate in
+    // GraphSpec.
+    val probeLimit = (driverMaxEdges / mult).toInt + 1
+    val probe = eDf0.limit(probeLimit).collect()
+    if (probe.length.toLong * mult <= driverMaxEdges) {
+      val base0 = probe.map(r => (r.getLong(0), r.getLong(1)))
+      val es = if (symmetrize) base0.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+               else base0
+      val deg = mutable.LongMap.empty[Long]
+      es.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
+      val n = deg.size
+      val init = MassUnits / n
+      val base = (init * (100 - dampPct)) / 100
+      var ranks = mutable.LongMap.empty[Long]
+      deg.keys.foreach(k => ranks(k) = init)
+      for (_ <- 0 until iters) {
+        val s = mutable.LongMap.empty[Long]
+        es.foreach { case (a, b) => s(b) = s.getOrElse(b, 0L) + ranks(a) / deg(a) }
+        val next = mutable.LongMap.empty[Long]
+        deg.keys.foreach(k => next(k) = base + s.getOrElse(k, 0L) * dampPct / 100)
+        ranks = next
+      }
+      val rows = ranks.toArray.sortBy(_._1)
+        .map { case (node, rank) => Row(node, rank) }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq,
+          math.max(1, rows.length / 500000)),
+        StructType(Seq(StructField("node", LongType, nullable = false),
+          StructField("rank", LongType, nullable = false))))
+    }
+    // distributed path: cache the edge projection (it seeds both the
+    // count and the partitioned RDD); `symmetrize` reverses edges after
+    // this cache boundary — a caller-side `e0.unionAll(e0.reversed)`
+    // would plant the edge-derivation subtree twice in one plan and
+    // compute it twice
+    val eDf = eDf0.cache()
+    val nEdges = eDf.count() * mult
     // shuffle width sized to the graph, not the cluster default
     val width = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
@@ -87,17 +140,29 @@ object Graph {
     // contribution map is then a narrow pass over (src, (dst, deg))
     val ed = e.join(deg).persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.mapValues(_ => init)
-    for (_ <- 0 until iters) {
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.rdd.RDD[(Long, Long)]]
+    for (it <- 1 to iters) {
       val contrib = ed.join(ranks) // co-partitioned: narrow
         .map { case (_, ((dst, d), r)) => (dst, r / d) }
         .reduceByKey(part, _ + _) // the round's one shuffle
       val next = deg.leftOuterJoin(contrib) // co-partitioned: narrow
         .mapValues { case (_, s) => base + s.getOrElse(0L) * dampPct / 100 }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist(false)
+      persisted += next
+      // materialize only every 8th round: each local action costs more in
+      // scheduling than a round's actual work at moderate |E|, and a
+      // narrow chain of ≤ 8 rounds (1 shuffle each) re-optimizes fine.
+      // Large iteration counts still get bounded lineage + freed memory.
+      if (it % 8 == 0) {
+        next.count()
+        persisted.dropRight(1).foreach(_.unpersist(false))
+        persisted.clear(); persisted += next
+      }
       ranks = next
     }
+    ranks.count() // one action materializes the (short) remaining chain
+    persisted.dropRight(1).foreach(_.unpersist(false))
     ed.unpersist(false)
     deg.unpersist(false)
     e.unpersist(false)

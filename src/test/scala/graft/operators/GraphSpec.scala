@@ -50,5 +50,11 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(total <= Graph.MassUnits)
     // truncation losses are bounded: one unit per edge+node per round
     assert(total > Graph.MassUnits - 3L * (edges.size + 40 + 100))
+    // gate proof: the distributed RDD loop (forced via driverMaxEdges=0)
+    // produces the identical integer ranks as the driver path
+    val distributed = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iters = 3, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == got)
   }
 }

@@ -239,6 +239,25 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // ordered multi-step conversion funnel (view → click → purchase) on
+    // FIRST-touch timestamps: stage k = how deep each user got, in order.
+    // One conditional-min groupBy per user + a tiny stage count — both
+    // map-side partial; timestamps compare as µs integers so Spark's
+    // ns→µs truncation and DuckDB's epoch_us see identical values.
+    "events_funnel" -> ((s, dir) => {
+      val per = events(s, dir).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_purchase"))
+      per.select(
+          when(col("t_view").isNull, 0)
+            .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1)
+            .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2)
+            .otherwise(3).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
     // §2.8 F2 sanitize as a data function over dirty synthesized labels
     "sanitize_cols" -> ((s, dir) => {
       t(s, dir, "part")
@@ -2102,6 +2121,22 @@ object SparkEntry {
 
     // same union + carry-forward window as the engine (µs ordering to match
     // Spark's truncated timestamps)
+    "events_funnel" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |staged AS (
+        |  SELECT CASE WHEN t_view IS NULL THEN 0
+        |              WHEN t_click IS NULL OR t_click <= t_view THEN 1
+        |              WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+        |              ELSE 3 END AS stage
+        |  FROM per)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
+
     "events_asof" ->
       """WITH tagged AS (
         |  SELECT user_id, epoch_us(ts) AS tus, 1 AS side, event_id AS tie, event_id,

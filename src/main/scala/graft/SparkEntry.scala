@@ -239,6 +239,20 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // per-source corpus accounting (the "which domains are worth keeping"
+    // report every curation pipeline starts from): doc/unique-text/lang
+    // counts + token totals per source, one conditional-aggregation pass
+    "source_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ordered multi-step conversion funnel (view → click → purchase) on
     // FIRST-touch timestamps: stage k = how deep each user got, in order.
     // One conditional-min groupBy per user + a tiny stage count — both
@@ -2121,6 +2135,17 @@ object SparkEntry {
 
     // same union + carry-forward window as the engine (µs ordering to match
     // Spark's truncated timestamps)
+    "source_stats" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
     "events_funnel" ->
       """WITH per AS (
         |  SELECT user_id,

@@ -28,8 +28,8 @@ object GeoJsonImport {
     if (!root.columns.contains("features"))
       throw new IllegalArgumentException(s"$path has no FeatureCollection 'features'")
     val feats = root.select(explode(col("features")).as("f"))
-    val propCols: Array[org.apache.spark.sql.Column] =
-      feats.select(col("f.properties.*")).columns
+    val propCols: Seq[org.apache.spark.sql.Column] =
+      feats.select(col("f.properties.*")).columns.toIndexedSeq
         .map(c => col(s"f.properties.`$c`").as(c))
     feats.select(propCols :+
       G.st_geomfromgeojson(to_json(col("f.geometry"))).as("the_geom"): _*)

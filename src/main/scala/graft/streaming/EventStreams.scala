@@ -175,6 +175,19 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       n_events: Int, total_value: Double, closed_by: String)
 
+  /** First-touch millis per funnel step; -1 = unseen. */
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  final case class FunnelOut(user_id: Long, prev_stage: Int, stage: Int,
+      kind: String)
+
+  /** Same stage rule as the batch `events_funnel` query: how deep the
+    * user got with steps in first-touch order. */
+  def funnelStageOf(s: FunnelState): Int =
+    if (s.tView < 0) 0
+    else if (s.tClick < 0 || s.tClick <= s.tView) 1
+    else if (s.tPurchase < 0 || s.tPurchase <= s.tClick) 2
+    else 3
+
   /**
    * Custom stateful sessionizer: emits a SessionOut when a session closes
    * by gap timeout or by hitting `maxEvents` (the per-session cap the
@@ -215,6 +228,56 @@ object EventStreams {
             state.remove()
           }
           out.result().iterator
+      }
+  }
+
+  /**
+   * Streaming twin of the batch `events_funnel` query: per-user
+   * first-touch funnel stage, emitting a FunnelOut on every stage CHANGE
+   * — including regressions, which are real under late data (a late
+   * early click can invalidate the click-after-view ordering). State per
+   * user is three longs; the event-time timeout emits a "final" row and
+   * purges, so the state store is bounded by ACTIVE users, not all users
+   * ever seen.
+   */
+  def funnelStream(events: Dataset[Event],
+      horizonMs: Long = 2 * 3600 * 1000L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(FunnelOut(uid, funnelStageOf(st), funnelStageOf(st), "final"))
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = Seq.newBuilder[FunnelOut]
+            var lastTs = 0L
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val before = funnelStageOf(st)
+              val t = e.ts.getTime
+              st = e.event_type match {
+                case "view" if st.tView < 0 || t < st.tView => st.copy(tView = t)
+                case "click" if st.tClick < 0 || t < st.tClick => st.copy(tClick = t)
+                case "purchase" if st.tPurchase < 0 || t < st.tPurchase =>
+                  st.copy(tPurchase = t)
+                case _ => st
+              }
+              val after = funnelStageOf(st)
+              if (after != before)
+                out += FunnelOut(uid, before, after,
+                  if (after > before) "advance" else "regress")
+              lastTs = math.max(lastTs, t)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, lastTs) + horizonMs)
+            out.result().iterator
+          }
       }
   }
 }

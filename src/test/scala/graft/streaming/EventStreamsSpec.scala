@@ -277,6 +277,55 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(!hits.contains(2L), "novel doc must emit none")
   }
 
+  test("streaming funnel: advances, late-data regression, timeout final") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fnl_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fnl_out_").toString
+    val mem = MemoryStream[Event]
+    def run(): Unit = {
+      val q = EventStreams.funnelStream(mem.toDS())
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: user 1 walks the full funnel in order -> 0→1→2→3
+    mem.addData(
+      Event(1, ts(0), 1, "view", 0.0),
+      Event(2, ts(10), 1, "click", 0.0),
+      Event(3, ts(20), 1, "purchase", 1.0),
+      // user 2: view then click -> 0→1→2
+      Event(4, ts(100), 2, "view", 0.0),
+      Event(5, ts(200), 2, "click", 0.0))
+    run()
+    // batch 2: a LATE click for user 2 at min 90 — earlier than the view
+    // at 100, still inside the 2 h watermark (wm = 200 - 120 = 80). The
+    // first-touch click moves to 90 <= t_view -> stage regresses 2→1
+    mem.addData(Event(6, ts(90), 2, "click", 0.0))
+    run()
+    // batch 3: far-future event advances the watermark past both users'
+    // timeout horizon (last + 2 h) -> "final" rows emitted, state purged
+    mem.addData(Event(7, ts(1000), 3, "view", 0.0))
+    run()
+    mem.addData(Event(8, ts(2000), 3, "view", 0.0))
+    run()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("prev_stage"),
+        r.getAs[Int]("stage"), r.getAs[String]("kind")))
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._3)
+    assert(u1.contains((1L, 0, 1, "advance")) && u1.contains((1L, 1, 2, "advance"))
+      && u1.contains((1L, 2, 3, "advance")))
+    val u2 = rows.filter(_._1 == 2L)
+    assert(u2.contains((2L, 0, 1, "advance")) && u2.contains((2L, 1, 2, "advance")))
+    assert(u2.contains((2L, 2, 1, "regress")), s"no regression emitted: ${u2.toSeq}")
+    // finals: user 1 at stage 3, user 2 at the regressed stage 1
+    assert(rows.contains((1L, 3, 3, "final")))
+    assert(rows.contains((2L, 1, 1, "final")))
+  }
+
   test("late data past the watermark is dropped; within-watermark late data counts") {
     val s = spark
     import s.implicits._

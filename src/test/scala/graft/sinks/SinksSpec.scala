@@ -154,4 +154,27 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(r.name == "shape_check")
     assert(new java.io.File(r.path).exists())
   }
+
+  test("compaction: sprawled parquet dir rewritten to sized files, content identical") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/data"
+    // sprawl: 40 single-row-ish files (the foreachBatch / per-append shape)
+    spark.range(4000).select(col("id"), concat(lit("row "), col("id")).as("s"))
+      .repartition(40).write.parquet(dir)
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val res = Compactor.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    assert(res.filesBefore == 40)
+    assert(res.filesAfter < res.filesBefore, s"no compaction: $res")
+    assert(res.rows == 4000)
+    val afterRows = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(afterRows.toSeq == beforeRows.toSeq, "content changed")
+    // no leftover temp/displaced dirs
+    val parent = java.nio.file.Paths.get(dir).getParent
+    import scala.jdk.CollectionConverters._
+    val siblings = java.nio.file.Files.list(parent).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(siblings == Seq("data"), s"leftovers: $siblings")
+    // idempotent: second run is a no-op at the same target
+    val res2 = Compactor.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    assert(res2.filesBefore == res2.filesAfter)
+  }
 }

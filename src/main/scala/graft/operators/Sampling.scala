@@ -113,7 +113,14 @@ object Sampling {
     val spark = df.sparkSession
     val np = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val parted = df
+    // repartitionByRange runs a RangePartitioner SAMPLING job before the
+    // real shuffle, so the scored input is consumed twice. The cache is
+    // pruned to the three columns this operator reads — a full-width
+    // boundary would materialize text payloads for callers that pass the
+    // raw corpus (bench delta on the already-narrow input: none; the
+    // guard is for the text-bearing caller).
+    val in = df.select(col(idCol), col(scoreCol), col(tokCol)).cache()
+    val parted = in
       .repartitionByRange(np, col(scoreCol).desc, col(idCol))
       .sortWithinPartitions(col(scoreCol).desc, col(idCol))
       .withColumn("__pid", spark_partition_id())
@@ -121,6 +128,7 @@ object Sampling {
     val totals = parted.groupBy(col("__pid"))
       .agg(sum(col(tokCol).cast("long")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    in.unpersist(false) // parted is materialized; downstream reads its cache
     val offsets: Map[Int, Long] = (0 until np).map { p =>
       p -> (0 until p).map(totals.getOrElse(_, 0L)).sum
     }.toMap

@@ -1062,6 +1062,24 @@ object SparkEntry {
         .orderBy(col("fmt"))
     }),
 
+    // schema evolution under mergeSchema: v1 files lack the lang column,
+    // v2 files (shifted ids) carry it; the merged read must null-fill v1
+    // — the lakehouse append-with-wider-schema behavior, pinned against
+    // aggregates the oracle derives from the source table alone
+    "schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      docs.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          count(col("lang")).cast("long").as("n_lang"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          countDistinct(col("lang")).cast("long").as("n_langs"))
+    }),
+
     "export_roundtrip" -> ((s, dir) => {
       val sample = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -2204,6 +2222,15 @@ object SparkEntry {
         |SELECT n_rows, sum_ok, sum_pk, sum_mix, fmt
         |FROM a CROSS JOIN (SELECT unnest(['jsonl', 'orc']) AS fmt) f
         |ORDER BY fmt""".stripMargin,
+
+    // the merged read is v1 ∪ v2 where only v2 carries lang: every
+    // aggregate derives from the source table alone
+    "schema_evolution" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_lang,
+        |  CAST(2 * sum(doc_id) + 100000 * count(*) AS BIGINT) AS sum_ids,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
 
     "dedup_drop" ->
       s"""WITH docs AS ($AugmentedDocsSql),

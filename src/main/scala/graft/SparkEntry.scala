@@ -1080,6 +1080,18 @@ object SparkEntry {
           countDistinct(col("lang")).cast("long").as("n_langs"))
     }),
 
+    // hive-style partitioned layout + partition pruning: THE scan
+    // optimization at 100 TB — the lang='en' read must touch only the
+    // lang=en directory (PlanAuditSpec pins PartitionFilters on the scan)
+    "partition_prune" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      t(s, dir, "documents").write.partitionBy("lang").mode("overwrite").parquet(base)
+      s.read.parquet(base).filter(col("lang") === "en")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          countDistinct(col("source")).cast("long").as("n_sources"))
+    }),
+
     "export_roundtrip" -> ((s, dir) => {
       val sample = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -2222,6 +2234,12 @@ object SparkEntry {
         |SELECT n_rows, sum_ok, sum_pk, sum_mix, fmt
         |FROM a CROSS JOIN (SELECT unnest(['jsonl', 'orc']) AS fmt) f
         |ORDER BY fmt""".stripMargin,
+
+    "partition_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents WHERE lang = 'en'""".stripMargin,
 
     // the merged read is v1 ∪ v2 where only v2 carries lang: every
     // aggregate derives from the source table alone

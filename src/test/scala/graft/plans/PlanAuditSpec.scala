@@ -213,6 +213,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "chunk projection not cached for both consumers")
   }
 
+  test("partition_prune: the lang filter is a PartitionFilter, not a row filter") {
+    val p = plan("partition_prune")
+    assert(p.contains("PartitionFilters"), "no partition filters on the scan")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("lang"), s"lang not pruned at partition level: $pf")
+  }
+
   test("dedup_semantic: cell self-join is an equi-join; anti-join carries ids only") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -1080,6 +1080,42 @@ object SparkEntry {
           countDistinct(col("lang")).cast("long").as("n_langs"))
     }),
 
+    // deterministic global training-order shuffle: rank by a keyed hash —
+    // no RNG, same permutation on any engine/partitioning. The exact
+    // global rank reuses tokenBudgetSample's range-partition +
+    // driver-offset prefix sum (unit weights), never an unpartitioned
+    // window.
+    "shuffle_rows" -> ((s, dir) => {
+      val h = graft.operators.Sampling.hashUniform(col("doc_id"), 7L)
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), h.as("hkey"), lit(1L).as("one"))
+      graft.operators.Sampling.tokenBudgetSample(
+        keyed, "doc_id", "hkey", "one", budget = Long.MaxValue)
+        .select(col("doc_id"), col("hkey"), col("cum_tokens").as("shuffle_rank"))
+        .orderBy(col("shuffle_rank"))
+    }),
+
+    // single-pass column profiler (the data-quality report): all metrics
+    // for all profiled columns in ONE aggregation, unpivoted via stack —
+    // at 100 TB that is one scan, not one scan per column
+    "profile_table" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).cast("long").as(s"${c}__distinct"),
+        min(col(c)).cast("long").as(s"${c}__min"),
+        max(col(c)).cast("long").as(s"${c}__max"))
+      }
+      val one = t(s, dir, "lineitem")
+        .agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+        .mkString(", ")
+      one.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)")
+        .orderBy(col("col_name"))
+    }),
+
     // hive-style partitioned layout + partition pruning: THE scan
     // optimization at 100 TB — the lang='en' read must touch only the
     // lang=en directory (PlanAuditSpec pins PartitionFilters on the scan)
@@ -2234,6 +2270,44 @@ object SparkEntry {
         |SELECT n_rows, sum_ok, sum_pk, sum_mix, fmt
         |FROM a CROSS JOIN (SELECT unnest(['jsonl', 'orc']) AS fmt) f
         |ORDER BY fmt""".stripMargin,
+
+    // hashUniform replay: ((id mod P + salt) * 2654435761) mod P, rank
+    // over (hkey DESC, id) — tokenBudgetSample orders score-descending
+    "shuffle_rows" ->
+      """SELECT doc_id, hkey,
+        |  CAST(row_number() OVER (ORDER BY hkey DESC, doc_id) AS BIGINT) AS shuffle_rank
+        |FROM (SELECT doc_id,
+        |        ((doc_id % 1000000007 + 7) * 2654435761) % 1000000007 AS hkey
+        |      FROM documents)
+        |ORDER BY shuffle_rank""".stripMargin,
+
+    "profile_table" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+        |SELECT n_rows, col_name, n_nulls, n_distinct, min_v, max_v FROM m CROSS JOIN (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_orderkey) AS BIGINT) AS min_v, CAST(max(l_orderkey) AS BIGINT) AS max_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey',
+        |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |    CAST(min(l_partkey) AS BIGINT), CAST(max(l_partkey) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey',
+        |    CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(min(l_suppkey) AS BIGINT), CAST(max(l_suppkey) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber',
+        |    CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT),
+        |    CAST(min(l_linenumber) AS BIGINT), CAST(max(l_linenumber) AS BIGINT)
+        |  FROM lineitem) u
+        |ORDER BY col_name""".stripMargin,
 
     "partition_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

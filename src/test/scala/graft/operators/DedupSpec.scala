@@ -310,6 +310,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "some doc should survive partially rewritten")
   }
 
+  test("line dedup: all-unique corpus is returned verbatim (tokenized)") {
+    import spark.implicits._
+    val d = (1L to 20L).map(i =>
+      (i, (0 until 12).map(j => s"w${i}x$j").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.lineDedupRewrite(d, "doc_id", "text", k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    (1L to 20L).foreach { i =>
+      val (dropped, clean) = got(i)
+      assert(dropped == 0L)
+      assert(clean == (0 until 12).map(j => s"w${i}x$j").mkString(" "))
+    }
+  }
+
   test("line dedup: cross-doc boilerplate dropped, within-doc repeat kept") {
     import spark.implicits._
     // exactly 8 tokens -> one aligned chunk shared by docs 1 and 2

@@ -1,7 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -16,7 +15,11 @@ import org.apache.spark.sql.SparkSession
  * bytes (`targetBytes` per file, default 128 MB = one HDFS-ish block /
  * one healthy parquet row group), rewrite with a round-robin
  * `repartition(n)` (balanced output files regardless of input skew), and
- * swap atomically-enough via a sibling temp dir + two renames. The
+ * swap via a sibling temp dir + two renames. All filesystem access goes
+ * through the Hadoop FileSystem API, so the same code runs on local
+ * disk, HDFS (where rename is atomic), and S3-compatible stores (where
+ * the swap window widens to the copy — callers there should compact into
+ * a NEW dataset version instead; the rewrite step is identical). The
  * rewrite is one narrow-input shuffle-write job — no aggregation state;
  * at cluster scale it parallelizes per output file.
  */
@@ -25,12 +28,15 @@ object Compactor {
   final case class CompactResult(
       filesBefore: Int, filesAfter: Int, bytes: Long, rows: Long)
 
-  private def parquetFiles(dir: Path): Seq[Path] = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.exists(dir)) Seq.empty
-    else Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq
+  private def parquetFiles(fs: FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.result()
   }
 
   /** Rewrite `path` (a parquet dataset directory) into
@@ -38,40 +44,39 @@ object Compactor {
     * No-op (0 rewrites) when the dataset already has ≤ that many files. */
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactResult = {
-    val dir = Paths.get(path)
-    val before = parquetFiles(dir)
-    val bytes = before.map(Files.size(_)).sum
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = parquetFiles(fs, dir)
+    val bytes = before.map(fs.getFileStatus(_).getLen).sum
     val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     if (before.size <= targetFiles) {
       val rows = spark.read.parquet(path).count()
       return CompactResult(before.size, before.size, bytes, rows)
     }
-    val tmp = dir.resolveSibling(dir.getFileName.toString +
-      s"__compacting_${java.util.UUID.randomUUID().toString.take(8)}")
-    val old = dir.resolveSibling(dir.getFileName.toString + "__precompact")
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dir.getParent, dir.getName + s"__compacting_$suffix")
+    val old = new Path(dir.getParent, dir.getName + s"__precompact_$suffix")
     try {
       spark.read.parquet(path)
         .repartition(targetFiles)
         .write.parquet(tmp.toString)
-      // two renames: live dir is absent only between them; a crash leaves
-      // either the original or the compacted data plus a leftover dir —
-      // never a partial mix under the live name
-      Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      // best-effort cleanup of the displaced originals
-      import scala.jdk.CollectionConverters._
-      Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      val after = parquetFiles(dir)
+      // two renames: the live name is absent only between them; a crash
+      // leaves either the original or the compacted data plus a leftover
+      // dir — never a partial mix under the live name
+      if (!fs.rename(dir, old))
+        throw new java.io.IOException(s"rename $dir -> $old failed")
+      if (!fs.rename(tmp, dir)) {
+        fs.rename(old, dir) // restore before failing
+        throw new java.io.IOException(s"rename $tmp -> $dir failed")
+      }
+      fs.delete(old, true) // best-effort cleanup of displaced originals
+      val after = parquetFiles(fs, dir)
       CompactResult(before.size, after.size, bytes,
         spark.read.parquet(path).count())
     } catch {
       case e: Throwable =>
-        // roll back: restore the original under the live name if displaced
-        if (!Files.exists(dir) && Files.exists(old))
-          Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(tmp))
-          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
         throw e
     }
   }

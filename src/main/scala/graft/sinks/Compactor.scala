@@ -39,6 +39,66 @@ object Compactor {
     out.result()
   }
 
+  /**
+   * Selective compaction (the Delta-OPTIMIZE shape): only files below
+   * `targetBytes / 2` are read and bin-packed; healthy files are MOVED
+   * (a rename, not a byte copy) into the new dataset directory. At
+   * 100 TB the difference between "rewrite everything" and "rewrite the
+   * 2% sprawl" is the whole cost of the operation — bytes rewritten is
+   * proportional to the sprawl, not the dataset.
+   */
+  def compactParquetSelective(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactResult = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = parquetFiles(fs, dir)
+    val bytes = before.map(fs.getFileStatus(_).getLen).sum
+    val (healthy, small) =
+      before.partition(f => fs.getFileStatus(f).getLen >= targetBytes / 2)
+    if (small.size <= 1) { // nothing to pack (one straggler is already packed)
+      val rows = spark.read.parquet(path).count()
+      return CompactResult(before.size, before.size, bytes, rows)
+    }
+    val smallBytes = small.map(fs.getFileStatus(_).getLen).sum
+    val packed = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dir.getParent, dir.getName + s"__compacting_$suffix")
+    val old = new Path(dir.getParent, dir.getName + s"__precompact_$suffix")
+    try {
+      // read ONLY the sprawl; healthy bytes never move through Spark
+      spark.read.parquet(small.map(_.toString): _*)
+        .repartition(packed)
+        .write.parquet(tmp.toString)
+      // pull the healthy files in by rename (cheap on HDFS/local)
+      healthy.zipWithIndex.foreach { case (f, i) =>
+        if (!fs.rename(f, new Path(tmp, f"part-healthy-$i%05d.parquet")))
+          throw new java.io.IOException(s"rename $f into $tmp failed")
+      }
+      if (!fs.rename(dir, old))
+        throw new java.io.IOException(s"rename $dir -> $old failed")
+      if (!fs.rename(tmp, dir)) {
+        fs.rename(old, dir)
+        throw new java.io.IOException(s"rename $tmp -> $dir failed")
+      }
+      fs.delete(old, true)
+      val after = parquetFiles(fs, dir)
+      CompactResult(before.size, after.size, bytes,
+        spark.read.parquet(path).count())
+    } catch {
+      case e: Throwable =>
+        // restore the live dir first, then move any healthy files that
+        // already migrated into tmp back home, then drop tmp
+        if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
+        if (fs.exists(tmp)) {
+          parquetFiles(fs, tmp)
+            .filter(_.getName.startsWith("part-healthy-"))
+            .foreach(f => fs.rename(f, new Path(dir, f.getName)))
+          fs.delete(tmp, true)
+        }
+        throw e
+    }
+  }
+
   /** Rewrite `path` (a parquet dataset directory) into
     * ⌈bytes / targetBytes⌉ balanced files. Returns before/after stats.
     * No-op (0 rewrites) when the dataset already has ≤ that many files. */

@@ -177,4 +177,25 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     val res2 = Compactor.compactParquet(spark, dir, targetBytes = 512L * 1024)
     assert(res2.filesBefore == res2.filesAfter)
   }
+
+  test("selective compaction: healthy files move by rename, only sprawl is rewritten") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sel_").toString + "/data"
+    // 2 healthy-sized files + 30 tiny appended stragglers
+    spark.range(40000).select(col("id"), concat(lit("payload "), col("id")).as("s"))
+      .repartition(2).write.parquet(dir)
+    spark.range(40000, 41500).select(col("id"), concat(lit("payload "), col("id")).as("s"))
+      .repartition(30).write.mode("append").parquet(dir)
+    val res = Compactor.compactParquetSelective(spark, dir, targetBytes = 200L * 1024)
+    assert(res.filesBefore == 32)
+    assert(res.filesAfter < 32, s"no packing: $res")
+    assert(res.rows == 41500)
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == (0L until 41500L))
+    // the healthy files were renamed, not rewritten
+    import scala.jdk.CollectionConverters._
+    val fileNames = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(fileNames.count(_.startsWith("part-healthy-")) == 2, fileNames.toString)
+  }
 }

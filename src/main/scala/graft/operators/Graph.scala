@@ -82,7 +82,9 @@ object Graph {
     // early-stopping cheap probe when it doesn't. Identical integer
     // arithmetic on both paths, proven equal across the gate in
     // GraphSpec.
-    val probeLimit = (driverMaxEdges / mult).toInt + 1
+    // clamp before toInt: a Long.MaxValue-ish gate must not overflow into
+    // a negative LIMIT
+    val probeLimit = math.min(driverMaxEdges / mult, Int.MaxValue - 1L).toInt + 1
     val probe = eDf0.limit(probeLimit).collect()
     if (probe.length.toLong * mult <= driverMaxEdges) {
       val base0 = probe.map(r => (r.getLong(0), r.getLong(1)))

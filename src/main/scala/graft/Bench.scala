@@ -34,6 +34,13 @@ object Bench {
       val warmDocs = spark.range(30).selectExpr(
         "id AS doc_id", "concat('warm up corpus text number ', id, ' padded') AS text")
       graft.operators.Dedup.minHashPairs(warmDocs, "doc_id", "text").count()
+      // trained-quantizer shapes: int8-quantize HOFs, vec_ivf_cells_l2
+      // assignment, and the Lloyd per-iteration aggregate compile here
+      // instead of inside whichever trained-ANN query runs first
+      val warmEmb = spark.range(60).selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST((id * 7 + j) % 13 AS FLOAT)) AS embedding")
+      graft.operators.Similarity.ivfTopKTrained(
+        warmEmb.filter("vec_id < 3"), warmEmb, "vec_id", "embedding", k = 2).count()
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q1_agg,vocab_top — iterate on a subset while tuning
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -239,6 +239,23 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // weekly cohort retention: cohort = a user's first active epoch-week;
+    // cell (cohort, k) = distinct users of that cohort active k weeks
+    // later. Two narrow distinct/groupBy passes + one equi-join — the
+    // standard retention matrix, µs-integer weeks so both engines bucket
+    // identically.
+    "events_retention" -> ((s, dir) => {
+      val uw = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("w"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("w")).as("c"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("c").as("cohort_week"), (col("w") - col("c")).as("k"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("k"))
+    }),
+
     // per-source corpus accounting (the "which domains are worth keeping"
     // report every curation pipeline starts from): doc/unique-text/lang
     // counts + token totals per source, one conditional-aggregation pass
@@ -2211,6 +2228,15 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+        |c AS (SELECT user_id, min(w) AS c FROM uw GROUP BY user_id)
+        |SELECT c.c AS cohort_week, uw.w - c.c AS k,
+        |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_funnel" ->
       """WITH per AS (

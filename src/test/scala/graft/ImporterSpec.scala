@@ -37,6 +37,19 @@ class ImporterSpec extends AnyFunSuite with SparkTestBase {
     assert(r.df.columns.contains("direccion_completa")) // embedded space
   }
 
+  test("ragged csv rows: short rows null-pad, long rows keep extras nowhere, none lost") {
+    val f = java.nio.file.Files.createTempFile("graft_ragged_", ".csv")
+    java.nio.file.Files.writeString(f, "name,qty,label\nalpha,2,x\nbeta,5\ngamma,7,y,EXTRA\n")
+    val df = graft.sources.CsvImport.read(spark, f.toString, inferTypes = false)
+    val rows = df.collect()
+    // PERMISSIVE contract pinned: no row is silently dropped
+    assert(rows.length == 3, rows.mkString("|"))
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("beta").isNullAt(2), "short row must null-pad the missing column")
+    assert(df.columns.length == 3, "extra cell must not widen the schema")
+    assert(byName("gamma").getString(1) == "7")
+  }
+
   test("suggested name + collision suffix (import_spec.rb:13-21,54-70)") {
     val r1 = imp("clubbing.csv", suggested = Some("prefered_name"))
     assert(r1.name == "prefered_name" && r1.rowsImported == 1998)

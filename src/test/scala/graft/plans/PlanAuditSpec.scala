@@ -213,6 +213,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "chunk projection not cached for both consumers")
   }
 
+  test("events_funnel: conditional mins aggregate partially before the exchange") {
+    val p = plan("events_funnel")
+    // both groupBys (per-user mins, stage counts) must show a partial
+    // aggregation below their exchange — the map-side combine is what
+    // keeps the shuffle user-count-sized at 100 TB
+    val partials = "partial_min|partial_count".r.findAllIn(p).size
+    assert(partials >= 2, s"missing partial aggregation:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("partition_prune: the lang filter is a PartitionFilter, not a row filter") {
     val p = plan("partition_prune")
     assert(p.contains("PartitionFilters"), "no partition filters on the scan")

@@ -239,6 +239,31 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // regular-grid resampling with forward fill (feature-pipeline gap
+    // filling): per user, an hourly grid spanning their activity, each
+    // point carrying the LAST observed value at or before it. Last-in-
+    // hour is a map-side max(struct) argmax; the grid is sequence+explode
+    // (no driver loop); the fill is one per-user window. Values are
+    // carried verbatim — no float arithmetic, so doubles match exactly.
+    "events_resample" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        expr("unix_micros(ts)").as("us"), col("event_id"), col("value"))
+      val hourly = e.groupBy("user_id", "h")
+        .agg(max(struct(col("us"), col("event_id").as("eid"),
+          col("value").as("v"))).as("last"))
+        .select(col("user_id"), col("h"), col("last.v").as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("value_ff", expr(
+          "last(v, true) OVER (PARTITION BY user_id ORDER BY h " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .select(col("user_id"), col("h"), col("value_ff"))
+        .orderBy(col("user_id"), col("h"))
+    }),
+
     // weekly cohort retention: cohort = a user's first active epoch-week;
     // cell (cohort, k) = distinct users of that cohort active k weeks
     // later. Two narrow distinct/groupBy passes + one equi-join — the
@@ -2228,6 +2253,26 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "events_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        |    epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, h, value AS v FROM (
+        |    SELECT user_id, h, value,
+        |      row_number() OVER (PARTITION BY user_id, h
+        |        ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+        |  FROM hourly GROUP BY user_id)
+        |SELECT g.user_id, g.h,
+        |  last_value(hr.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS value_ff
+        |FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
 
     "events_retention" ->
       """WITH uw AS (

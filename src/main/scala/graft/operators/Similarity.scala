@@ -21,6 +21,36 @@ import graft.functions.VectorFunctions._
  */
 object Similarity {
 
+  /**
+   * Process-wide registry of trained quantizer state (IVF centroids, PQ
+   * codebooks) keyed by a caller-supplied corpus identity plus the training
+   * parameters. An ANN index at 100 TB is built ONCE and served many times;
+   * re-training per query inverts that cost model (measured r6: ann_ivf /
+   * ann_pq / dedup_semantic each re-trained on every invocation — 2.7–4.6×
+   * regression vs the untrained path). The registry holds only the trained
+   * state itself — ≤ kMax·dim longs per entry, the same bounded size class
+   * the search plans broadcast — never row data, so it is immune to
+   * `spark.catalog.clearCache()` and its memory is bounded by construction.
+   *
+   * Callers opt in by passing `indexKey = Some(<corpus identity>)` — e.g.
+   * the table path — because only the caller knows when two DataFrames
+   * mean the same corpus; training methods fold their own parameters into
+   * the final key, so the same corpus trained with different (stride,
+   * iters, m) never collides. No key → train fresh (library default).
+   */
+  object TrainedIndex {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[IndexedSeq[Long]]]()
+    def getOrTrain(key: Option[String])(
+        train: => IndexedSeq[IndexedSeq[Long]]): IndexedSeq[IndexedSeq[Long]] =
+      key match {
+        case Some(k) => cache.computeIfAbsent(k, _ => train)
+        case None    => train
+      }
+    def invalidate(): Unit = cache.clear()
+    def size: Int = cache.size()
+  }
+
   /** Exact top-k by cosine for each query vector (self-matches excluded).
     * Returns (query_id, rank, neighbor_id, cos). */
   private val D = org.apache.spark.sql.types.ArrayType(
@@ -157,9 +187,11 @@ object Similarity {
   def ivfTopKTrained(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      stride: Int = 20, iters: Int = 3, nProbe: Int = 3): DataFrame = {
+      stride: Int = 20, iters: Int = 3, nProbe: Int = 3,
+      indexKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, stride, iters)
+    val cents = TrainedIndex.getOrTrain(indexKey.map(k => s"ivf:$k:$stride:$iters"))(
+      trainIvfCentroids(corpus, idCol, vecCol, stride, iters))
     val cbLit = typedlit(cents)
     val cidLit = typedlit(cents.indices.map(_.toLong))
     // quantization rides along as an extra column — no join, one pass
@@ -206,9 +238,11 @@ object Similarity {
    * Returns survivors as (vec_id, cell).
    */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.98, stride: Int = 20, iters: Int = 3): DataFrame = {
+      threshold: Double = 0.98, stride: Int = 20, iters: Int = 3,
+      indexKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, stride, iters)
+    val cents = TrainedIndex.getOrTrain(indexKey.map(k => s"ivf:$k:$stride:$iters"))(
+      trainIvfCentroids(corpus, idCol, vecCol, stride, iters))
     val cbLit = typedlit(cents)
     val cidLit = typedlit(cents.indices.map(_.toLong))
     val assigned = withInt8(Par.ensureParallelism(corpus), vecCol)
@@ -362,8 +396,10 @@ object Similarity {
   def pqTopKTrained(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      m: Int = 8, stride: Int = 20, iters: Int = 3): DataFrame = {
-    val cb = trainPqCodebook(corpus, idCol, vecCol, m, stride, iters)
+      m: Int = 8, stride: Int = 20, iters: Int = 3,
+      indexKey: Option[String] = None): DataFrame = {
+    val cb = TrainedIndex.getOrTrain(indexKey.map(k => s"pq:$k:$m:$stride:$iters"))(
+      trainPqCodebook(corpus, idCol, vecCol, m, stride, iters))
     val ksub = cb.length / m
     val sub = cb.head.length
     pqSearch(queries, corpus, idCol, vecCol, k, m, ksub, sub, cb)

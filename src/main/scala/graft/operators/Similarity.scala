@@ -39,17 +39,53 @@ object Similarity {
    * iters, m) never collides. No key → train fresh (library default).
    */
   object TrainedIndex {
+    // Holder indirection: computeIfAbsent only installs the (cheap) holder,
+    // so the map's bin lock is never held across the multi-second Spark
+    // training job; the lazy val serializes trainers of the SAME key only.
+    // A failed training evicts its holder, so the next call retrains with
+    // ITS OWN thunk (the failed holder's captured thunk is never re-run).
+    private final class Holder(train: () => IndexedSeq[IndexedSeq[Long]]) {
+      lazy val value: IndexedSeq[IndexedSeq[Long]] = train()
+    }
     private val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[IndexedSeq[Long]]]()
+      new java.util.concurrent.ConcurrentHashMap[String, Holder]()
     def getOrTrain(key: Option[String])(
         train: => IndexedSeq[IndexedSeq[Long]]): IndexedSeq[IndexedSeq[Long]] =
       key match {
-        case Some(k) => cache.computeIfAbsent(k, _ => train)
-        case None    => train
+        case Some(k) =>
+          val h = cache.computeIfAbsent(k, _ => new Holder(() => train))
+          try h.value
+          catch { case e: Throwable => cache.remove(k, h); throw e }
+        case None => train
       }
+    /** Drop every cached index (process-wide reset). Entry COUNT is
+      * caller-managed: distinct keys accumulate for the process lifetime
+      * unless invalidated — only each entry's SIZE is bounded (≤ kMax·dim
+      * longs). */
     def invalidate(): Unit = cache.clear()
+    /** Drop one trained index (exact full key, as built by ivfKey/pqKey). */
+    def invalidate(key: String): Unit = { cache.remove(key); () }
+    /** Drop every index trained on one corpus identity — the call for "my
+      * corpus changed" (keys embed the corpus id right after the kind tag). */
+    def invalidateCorpus(corpusKey: String): Unit = {
+      cache.keySet().removeIf(k =>
+        k.startsWith(s"ivf:$corpusKey:") || k.startsWith(s"pq:$corpusKey:"))
+      ()
+    }
     def size: Int = cache.size()
   }
+
+  /** Full cache key for a trained IVF quantizer. idCol/vecCol are part of
+    * the key because the centroids depend on WHICH column was trained on —
+    * same corpus, different embedding column must never share an entry. */
+  def ivfKey(corpusKey: String, idCol: String, vecCol: String,
+      stride: Int, iters: Int): String =
+    s"ivf:$corpusKey:$idCol:$vecCol:$stride:$iters"
+
+  /** Full cache key for a trained PQ codebook (see ivfKey re idCol/vecCol). */
+  def pqKey(corpusKey: String, idCol: String, vecCol: String,
+      m: Int, stride: Int, iters: Int): String =
+    s"pq:$corpusKey:$idCol:$vecCol:$m:$stride:$iters"
 
   /** Exact top-k by cosine for each query vector (self-matches excluded).
     * Returns (query_id, rank, neighbor_id, cos). */
@@ -190,7 +226,8 @@ object Similarity {
       stride: Int = 20, iters: Int = 3, nProbe: Int = 3,
       indexKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    val cents = TrainedIndex.getOrTrain(indexKey.map(k => s"ivf:$k:$stride:$iters"))(
+    val cents = TrainedIndex.getOrTrain(
+      indexKey.map(ik => ivfKey(ik, idCol, vecCol, stride, iters)))(
       trainIvfCentroids(corpus, idCol, vecCol, stride, iters))
     val cbLit = typedlit(cents)
     val cidLit = typedlit(cents.indices.map(_.toLong))
@@ -241,7 +278,8 @@ object Similarity {
       threshold: Double = 0.98, stride: Int = 20, iters: Int = 3,
       indexKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    val cents = TrainedIndex.getOrTrain(indexKey.map(k => s"ivf:$k:$stride:$iters"))(
+    val cents = TrainedIndex.getOrTrain(
+      indexKey.map(ik => ivfKey(ik, idCol, vecCol, stride, iters)))(
       trainIvfCentroids(corpus, idCol, vecCol, stride, iters))
     val cbLit = typedlit(cents)
     val cidLit = typedlit(cents.indices.map(_.toLong))
@@ -398,7 +436,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, stride: Int = 20, iters: Int = 3,
       indexKey: Option[String] = None): DataFrame = {
-    val cb = TrainedIndex.getOrTrain(indexKey.map(k => s"pq:$k:$m:$stride:$iters"))(
+    val cb = TrainedIndex.getOrTrain(
+      indexKey.map(ik => pqKey(ik, idCol, vecCol, m, stride, iters)))(
       trainPqCodebook(corpus, idCol, vecCol, m, stride, iters))
     val ksub = cb.length / m
     val sub = cb.head.length

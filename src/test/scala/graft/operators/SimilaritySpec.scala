@@ -183,6 +183,58 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.sameElements(run())) // deterministic
   }
 
+  test("TrainedIndex: caches per full key, serves without retraining, invalidates per corpus") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    var trainings = 0
+    def fake(tag: Long): IndexedSeq[IndexedSeq[Long]] = {
+      trainings += 1; IndexedSeq(IndexedSeq(tag))
+    }
+    val kA = Similarity.ivfKey("corpusA", "vec_id", "embedding", 20, 3)
+    // same key trains once; second call is a cache hit
+    assert(TrainedIndex.getOrTrain(Some(kA))(fake(1L)).head.head == 1L)
+    assert(TrainedIndex.getOrTrain(Some(kA))(fake(2L)).head.head == 1L)
+    assert(trainings == 1)
+    // a different embedding column is a DIFFERENT index (ADVICE r7: the
+    // key must fold in idCol/vecCol, not just corpus + params)
+    val kB = Similarity.ivfKey("corpusA", "vec_id", "embedding2", 20, 3)
+    assert(kA != kB)
+    assert(TrainedIndex.getOrTrain(Some(kB))(fake(3L)).head.head == 3L)
+    assert(trainings == 2)
+    // no key → always train fresh
+    assert(TrainedIndex.getOrTrain(None)(fake(4L)).head.head == 4L)
+    assert(trainings == 3)
+    // per-corpus invalidation drops both entries of corpusA, nothing else
+    val kOther = Similarity.pqKey("corpusZ", "vec_id", "embedding", 8, 20, 3)
+    TrainedIndex.getOrTrain(Some(kOther))(fake(5L))
+    TrainedIndex.invalidateCorpus("corpusA")
+    assert(TrainedIndex.size == 1)
+    assert(TrainedIndex.getOrTrain(Some(kA))(fake(6L)).head.head == 6L)
+    // a failed training must not poison the key: the next access retries
+    TrainedIndex.invalidate(kA)
+    intercept[RuntimeException] {
+      TrainedIndex.getOrTrain(Some(kA))(throw new RuntimeException("boom"))
+    }
+    assert(TrainedIndex.getOrTrain(Some(kA))(fake(7L)).head.head == 7L)
+    TrainedIndex.invalidate()
+  }
+
+  test("trained IVF with indexKey returns identical results to untrained-key run") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val queries = emb.filter(col("vec_id") < 5)
+    val fresh = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding", k = 3)
+      .collect()
+    val keyed = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding", k = 3,
+      indexKey = Some("spec-emb")).collect()
+    val served = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding", k = 3,
+      indexKey = Some("spec-emb")).collect() // cache hit
+    assert(TrainedIndex.size == 1)
+    assert(keyed.sameElements(fresh))
+    assert(served.sameElements(fresh))
+    TrainedIndex.invalidate()
+  }
+
   test("LSH topK finds parallel vectors with recall 1") {
     val copies = emb.filter(col("vec_id") < 10)
       .withColumn("vec_id", col("vec_id") + 10000)

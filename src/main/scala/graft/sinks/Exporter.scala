@@ -4,6 +4,8 @@ import java.io.{File, FileOutputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -25,9 +27,62 @@ object Exporter {
 
   final case class ExportResult(name: String, importType: String, path: String)
 
+  /** Hadoop Configuration that survives the task-closure serializer —
+    * the distributed sinks ship it to executors so part files land on the
+    * CLUSTER filesystem (HDFS/S3/local-under-local[*]), not each
+    * executor's private disk. Same writeObject/readFields shape Spark
+    * uses internally. */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private def hadoopConf(df: DataFrame): Configuration =
+    df.sparkSession.sessionState.newHadoopConf()
+
   private def outPath(dir: String, name: String): String = {
     new File(dir).mkdirs()
     s"$dir/exporting_${java.util.UUID.randomUUID().toString.take(8)}_$name"
+  }
+
+  /** Hadoop-FS twin of `outPath` for the distributed sinks: `dir` may be
+    * any scheme the cluster mounts (hdfs://, s3a://, plain local path). */
+  private def outPathFs(conf: Configuration, dir: String, name: String): (FileSystem, Path) = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    (fs, new Path(d,
+      s"exporting_${java.util.UUID.randomUUID().toString.take(8)}_$name"))
+  }
+
+  /** Sorted part files under `partsDir` with the given suffix — the global
+    * record order of every distributed sink (partition id == name order). */
+  private def partFiles(fs: FileSystem, partsDir: Path, suffix: String): Seq[Path] =
+    fs.listStatus(partsDir).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-")
+        && s.getPath.getName.endsWith(suffix))
+      .map(_.getPath).toSeq.sortBy(_.getName)
+
+  private def streamFileInto(zos: ZipOutputStream, fs: FileSystem, p: Path,
+      buf: Array[Byte]): Unit = {
+    val in = fs.open(p)
+    try {
+      var n = in.read(buf)
+      while (n > 0) { zos.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+  }
+
+  private def streamFilesInto(zos: ZipOutputStream, fs: FileSystem,
+      partsDir: Path, suffix: String): Unit = {
+    val buf = new Array[Byte](1 << 16)
+    partFiles(fs, partsDir, suffix).foreach(p => streamFileInto(zos, fs, p, buf))
   }
 
   /** S11: CSV zip — archive holds `<name>.csv` (exporter.rb:53-73). */
@@ -70,36 +125,25 @@ object Exporter {
    */
   def exportCsvDistributed(df: DataFrame, name: String,
       dir: String = System.getProperty("java.io.tmpdir")): ExportResult = {
-    val path = outPath(dir, name)
-    val partsDir = s"${path}_parts"
+    val (fs, path) = outPathFs(hadoopConf(df), dir, name)
+    val partsDir = new Path(path.getParent, path.getName + "_parts")
     df.write
       .option("header", "false")
       .option("emptyValue", "")
       .option("escape", "\"") // doubled-quote escaping, like csvCell
-      .csv(partsDir)
-    val zipFile = s"$path.zip"
-    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+      .csv(partsDir.toString)
+    val zipFile = new Path(path.getParent, path.getName + ".zip")
+    val zos = new ZipOutputStream(fs.create(zipFile, true))
     try {
       zos.putNextEntry(new ZipEntry(s"$name.csv"))
       val header = (df.columns.map(csvCell).mkString(",") + "\n")
         .getBytes(StandardCharsets.UTF_8)
       zos.write(header)
-      val parts = Option(new File(partsDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
-        .sortBy(_.getName)
-      val buf = new Array[Byte](1 << 16)
-      parts.foreach { p =>
-        val in = new java.io.FileInputStream(p)
-        try {
-          var n = in.read(buf)
-          while (n > 0) { zos.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-      }
+      streamFilesInto(zos, fs, partsDir, ".csv")
       zos.closeEntry()
     } finally zos.close()
-    Option(new File(partsDir).listFiles()).foreach(_.foreach(_.delete()))
-    new File(partsDir).delete()
-    ExportResult(name, ".csv", zipFile)
+    fs.delete(partsDir, true)
+    ExportResult(name, ".csv", zipFile.toString)
   }
 
   /** S12: KML/KMZ — `<Placemark>` per row with ExtendedData, zipped as
@@ -160,60 +204,47 @@ object Exporter {
    * Distributed KML: EXECUTORS render each row's Placemark (EWKB decode +
    * XML escape happen in parallel, where the rows live) into per-partition
    * part files; the driver only streams header + part bytes + footer into
-   * the single-`doc.kml` archive contract. Same cluster assumption as
-   * `exportCsvDistributed`: part files land on storage the driver can read
-   * (shared FS on a real cluster, local FS under local[*]). Byte-identical
-   * to `exportKml` because toLocalIterator visits partitions in the same
-   * order the part files sort.
+   * the single-`doc.kml` archive contract. All part-file IO goes through
+   * the Hadoop FileSystem API on both sides, so the same code runs on
+   * HDFS/S3A and local disk (under local[*] the cluster FS is the local
+   * FS). Byte-identical to `exportKml` because toLocalIterator visits
+   * partitions in the same order the part files sort.
    */
   def exportKmlDistributed(df: DataFrame, name: String, geomCol: String = "the_geom",
       dir: String = System.getProperty("java.io.tmpdir")): ExportResult = {
-    val path = outPath(dir, name)
-    val kmzFile = s"$path.kmz"
-    val partsDir = new File(s"${path}_parts"); partsDir.mkdirs()
-    val partsPath = partsDir.getAbsolutePath
+    val conf = hadoopConf(df)
+    val (fs, path) = outPathFs(conf, dir, name)
+    val kmzFile = new Path(path.getParent, path.getName + ".kmz")
+    val partsDir = new Path(path.getParent, path.getName + "_parts")
+    fs.mkdirs(partsDir)
+    val partsPath = partsDir.toString
+    val confSer = new SerializableHadoopConf(conf)
     val attrCols = df.columns.filterNot(_ == geomCol)
     val hasGeom = df.columns.contains(geomCol)
     val gc = geomCol
-    // one tiny Long per partition comes back to the driver; the row bytes don't
+    // one tiny Long per partition comes back to the driver; the row bytes
+    // go to the cluster FS (deterministic names — a task retry overwrites
+    // its own file rather than adding a duplicate part)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val f = new File(partsPath, f"part-$pid%05d.kmlpart")
+      val p = new Path(partsPath, f"part-$pid%05d.kmlpart")
+      val pfs = p.getFileSystem(confSer.value)
       val w = new java.io.OutputStreamWriter(
-        new java.io.BufferedOutputStream(new FileOutputStream(f)), StandardCharsets.UTF_8)
+        new java.io.BufferedOutputStream(pfs.create(p, true)), StandardCharsets.UTF_8)
       var n = 0L
       try rows.foreach { row => w.write(placemarkText(attrCols, hasGeom, gc)(row)); n += 1 }
       finally w.close()
       Iterator.single(n)
     }.collect()
-    val zos = new ZipOutputStream(new FileOutputStream(kmzFile))
+    val zos = new ZipOutputStream(fs.create(kmzFile, true))
     try {
       zos.putNextEntry(new ZipEntry("doc.kml"))
       zos.write(KmlHeader(name).getBytes(StandardCharsets.UTF_8))
-      streamFilesInto(zos, partsDir, ".kmlpart")
+      streamFilesInto(zos, fs, partsDir, ".kmlpart")
       zos.write(KmlFooter.getBytes(StandardCharsets.UTF_8))
       zos.closeEntry()
     } finally zos.close()
-    deleteRecursively(partsDir)
-    ExportResult(name, ".kml", kmzFile)
-  }
-
-  private def streamFilesInto(zos: ZipOutputStream, partsDir: File, suffix: String): Unit = {
-    val parts = Option(partsDir.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(suffix))
-      .sortBy(_.getName)
-    val buf = new Array[Byte](1 << 16)
-    parts.foreach { p =>
-      val in = new java.io.FileInputStream(p)
-      try {
-        var n = in.read(buf)
-        while (n > 0) { zos.write(buf, 0, n); n = in.read(buf) }
-      } finally in.close()
-    }
-  }
-
-  private def deleteRecursively(d: File): Unit = {
-    Option(d.listFiles()).foreach(_.foreach(_.delete()))
-    d.delete()
+    fs.delete(partsDir, true)
+    ExportResult(name, ".kml", kmzFile.toString)
   }
 
   private def xmlEscape(s: String): String =
@@ -303,18 +334,22 @@ object Exporter {
    */
   def exportShpDistributed(df: DataFrame, name: String, geomCol: String = "the_geom",
       dir: String = System.getProperty("java.io.tmpdir")): ExportResult = {
-    val path = outPath(dir, name)
-    val zipFile = s"$path.zip"
+    val conf = hadoopConf(df)
+    val (fs, path) = outPathFs(conf, dir, name)
+    val zipFile = new Path(path.getParent, path.getName + ".zip")
     val attrFields = df.schema.fields.filterNot(_.name == geomCol)
     val specs = dbfSpecs(attrFields)
     val hasGeom = df.columns.contains(geomCol)
     val gc = geomCol
-    val partsDir = new File(s"${path}_parts"); partsDir.mkdirs()
-    val partsPath = partsDir.getAbsolutePath
+    val partsDir = new Path(path.getParent, path.getName + "_parts")
+    fs.mkdirs(partsDir)
+    val partsPath = partsDir.toString
+    val confSer = new SerializableHadoopConf(conf)
 
     val metas = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val pfs = new Path(partsPath).getFileSystem(confSer.value)
       def out(suffix: String) = new java.io.BufferedOutputStream(
-        new FileOutputStream(new File(partsPath, f"part-$pid%05d$suffix")))
+        pfs.create(new Path(partsPath, f"part-$pid%05d$suffix"), true))
       val shpc = out(".shpc")
       val lens = new java.io.DataOutputStream(out(".lens"))
       val dbfr = out(".dbfr")
@@ -349,9 +384,9 @@ object Exporter {
     val shxLenWords = (50L + 4L * total).toInt
 
     def lensOf(pid: Int) = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      new java.io.FileInputStream(new File(partsPath, f"part-$pid%05d.lens"))))
+      fs.open(new Path(partsDir, f"part-$pid%05d.lens"))))
 
-    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    val zos = new ZipOutputStream(fs.create(zipFile, true))
     try {
       // .shp — stream each partition's contents, prefixing record headers
       zos.putNextEntry(new ZipEntry(s"$name.shp"))
@@ -361,7 +396,7 @@ object Exporter {
       metas.foreach { m =>
         val lin = lensOf(m._1)
         val cin = new java.io.BufferedInputStream(
-          new java.io.FileInputStream(new File(partsPath, f"part-${m._1}%05d.shpc")))
+          fs.open(new Path(partsDir, f"part-${m._1}%05d.shpc")))
         try {
           var i = 0L
           while (i < m._2) {
@@ -400,15 +435,15 @@ object Exporter {
       // .dbf — header on the driver, record bytes streamed verbatim
       zos.putNextEntry(new ZipEntry(s"$name.dbf"))
       zos.write(DbfWriter.headerBytes(specs, total.toInt))
-      streamFilesInto(zos, partsDir, ".dbfr")
+      streamFilesInto(zos, fs, partsDir, ".dbfr")
       zos.write(0x1A)
       zos.closeEntry()
       zos.putNextEntry(new ZipEntry(s"$name.prj"))
       zos.write(Wgs84Prj.getBytes(StandardCharsets.US_ASCII))
       zos.closeEntry()
     } finally zos.close()
-    deleteRecursively(partsDir)
-    ExportResult(name, ".shp", zipFile)
+    fs.delete(partsDir, true)
+    ExportResult(name, ".shp", zipFile.toString)
   }
 
   /** ESRI WKT for EPSG:4326 (public well-known text). */

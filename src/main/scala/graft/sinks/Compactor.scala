@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
  * a NEW dataset version instead; the rewrite step is identical). The
  * rewrite is one narrow-input shuffle-write job — no aggregation state;
  * at cluster scale it parallelizes per output file.
+ *
+ * Hive-partitioned layouts (`key=value` subdirectories) are compacted
+ * PER LEAF: partition values live only in the directory names, so a flat
+ * rewrite of the root would both lose those values and flatten the
+ * layout that partition pruning depends on. Each leaf directory is a
+ * plain parquet dir and goes through the flat algorithm in place; the
+ * directory tree — and therefore pruning — is preserved exactly.
  */
 object Compactor {
 
@@ -39,28 +46,59 @@ object Compactor {
     out.result()
   }
 
+  /** A dataset is hive-partitioned iff its root has `key=value` child
+    * directories (Spark's own partition-discovery convention). */
+  private def isHiveLayout(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+
+  /** Leaf data directories of a hive tree: descend through `key=value`
+    * levels; a directory with no partition-style children is a leaf. */
+  private def leafDirs(fs: FileSystem, dir: Path): Seq[Path] = {
+    val parts = fs.listStatus(dir).filter(s =>
+      s.isDirectory && s.getPath.getName.contains("=")).map(_.getPath)
+    if (parts.isEmpty) Seq(dir) else parts.toSeq.flatMap(p => leafDirs(fs, p))
+  }
+
+  private def combine(rs: Seq[CompactResult]): CompactResult =
+    CompactResult(rs.map(_.filesBefore).sum, rs.map(_.filesAfter).sum,
+      rs.map(_.bytes).sum, rs.map(_.rows).sum)
+
   /**
    * Selective compaction (the Delta-OPTIMIZE shape): only files below
    * `targetBytes / 2` are read and bin-packed; healthy files are MOVED
    * (a rename, not a byte copy) into the new dataset directory. At
    * 100 TB the difference between "rewrite everything" and "rewrite the
    * 2% sprawl" is the whole cost of the operation — bytes rewritten is
-   * proportional to the sprawl, not the dataset.
+   * proportional to the sprawl, not the dataset. Hive-partitioned
+   * datasets are compacted per leaf directory (layout preserved).
    */
   def compactParquetSelective(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactResult = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (isHiveLayout(fs, dir))
+      combine(leafDirs(fs, dir).map(l =>
+        selectiveFlat(spark, fs, l, targetBytes)))
+    else selectiveFlat(spark, fs, dir, targetBytes)
+  }
+
+  private def selectiveFlat(spark: SparkSession, fs: FileSystem, dir: Path,
+      targetBytes: Long): CompactResult = {
     val before = parquetFiles(fs, dir)
+    if (before.isEmpty) return CompactResult(0, 0, 0L, 0L)
     val bytes = before.map(fs.getFileStatus(_).getLen).sum
     val (healthy, small) =
       before.partition(f => fs.getFileStatus(f).getLen >= targetBytes / 2)
     if (small.size <= 1) { // nothing to pack (one straggler is already packed)
-      val rows = spark.read.parquet(path).count()
+      val rows = spark.read.parquet(dir.toString).count()
       return CompactResult(before.size, before.size, bytes, rows)
     }
     val smallBytes = small.map(fs.getFileStatus(_).getLen).sum
     val packed = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    // healthy files are tracked by NAME so they can be re-addressed after
+    // the live dir is renamed away (flat dir ⇒ names are unique)
+    val healthyNames = healthy.map(_.getName)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(dir.getParent, dir.getName + s"__compacting_$suffix")
     val old = new Path(dir.getParent, dir.getName + s"__precompact_$suffix")
@@ -69,55 +107,69 @@ object Compactor {
       spark.read.parquet(small.map(_.toString): _*)
         .repartition(packed)
         .write.parquet(tmp.toString)
-      // pull the healthy files in by rename (cheap on HDFS/local)
-      healthy.zipWithIndex.foreach { case (f, i) =>
-        if (!fs.rename(f, new Path(tmp, f"part-healthy-$i%05d.parquet")))
-          throw new java.io.IOException(s"rename $f into $tmp failed")
-      }
+      // swap FIRST, then migrate healthy files out of the displaced dir:
+      // the live name always points at a COMPLETE dataset (or is briefly
+      // absent between the two renames) — it never shows a dataset with
+      // healthy files already moved out (the round-7 crash window)
       if (!fs.rename(dir, old))
         throw new java.io.IOException(s"rename $dir -> $old failed")
-      if (!fs.rename(tmp, dir)) {
-        fs.rename(old, dir)
-        throw new java.io.IOException(s"rename $tmp -> $dir failed")
+      try {
+        healthyNames.zipWithIndex.foreach { case (n, i) =>
+          if (!fs.rename(new Path(old, n), new Path(tmp, f"part-healthy-$i%05d.parquet")))
+            throw new java.io.IOException(s"rename healthy $n into $tmp failed")
+        }
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"rename $tmp -> $dir failed")
+      } catch {
+        case e: Throwable =>
+          // undo: healthy files back into the displaced dir, then restore
+          // its live name — the original dataset reappears intact
+          parquetFiles(fs, tmp)
+            .filter(_.getName.startsWith("part-healthy-"))
+            .foreach(f => fs.rename(f, new Path(old, f.getName)))
+          fs.rename(old, dir)
+          throw e
       }
       fs.delete(old, true)
       val after = parquetFiles(fs, dir)
       CompactResult(before.size, after.size, bytes,
-        spark.read.parquet(path).count())
+        spark.read.parquet(dir.toString).count())
     } catch {
       case e: Throwable =>
-        // restore the live dir first, then move any healthy files that
-        // already migrated into tmp back home, then drop tmp
-        if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
-        if (fs.exists(tmp)) {
-          parquetFiles(fs, tmp)
-            .filter(_.getName.startsWith("part-healthy-"))
-            .foreach(f => fs.rename(f, new Path(dir, f.getName)))
-          fs.delete(tmp, true)
-        }
+        if (fs.exists(tmp)) fs.delete(tmp, true)
         throw e
     }
   }
 
   /** Rewrite `path` (a parquet dataset directory) into
     * ⌈bytes / targetBytes⌉ balanced files. Returns before/after stats.
-    * No-op (0 rewrites) when the dataset already has ≤ that many files. */
+    * No-op (0 rewrites) when the dataset already has ≤ that many files.
+    * Hive-partitioned datasets are rewritten per leaf directory, so the
+    * `key=value` tree — and partition pruning over it — survives. */
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactResult = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (isHiveLayout(fs, dir))
+      combine(leafDirs(fs, dir).map(l => rewriteFlat(spark, fs, l, targetBytes)))
+    else rewriteFlat(spark, fs, dir, targetBytes)
+  }
+
+  private def rewriteFlat(spark: SparkSession, fs: FileSystem, dir: Path,
+      targetBytes: Long): CompactResult = {
     val before = parquetFiles(fs, dir)
+    if (before.isEmpty) return CompactResult(0, 0, 0L, 0L)
     val bytes = before.map(fs.getFileStatus(_).getLen).sum
     val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     if (before.size <= targetFiles) {
-      val rows = spark.read.parquet(path).count()
+      val rows = spark.read.parquet(dir.toString).count()
       return CompactResult(before.size, before.size, bytes, rows)
     }
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(dir.getParent, dir.getName + s"__compacting_$suffix")
     val old = new Path(dir.getParent, dir.getName + s"__precompact_$suffix")
     try {
-      spark.read.parquet(path)
+      spark.read.parquet(dir.toString)
         .repartition(targetFiles)
         .write.parquet(tmp.toString)
       // two renames: the live name is absent only between them; a crash
@@ -132,7 +184,7 @@ object Compactor {
       fs.delete(old, true) // best-effort cleanup of displaced originals
       val after = parquetFiles(fs, dir)
       CompactResult(before.size, after.size, bytes,
-        spark.read.parquet(path).count())
+        spark.read.parquet(dir.toString).count())
     } catch {
       case e: Throwable =>
         if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)

@@ -198,4 +198,43 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       .iterator().asScala.map(_.getFileName.toString).toSeq
     assert(fileNames.count(_.startsWith("part-healthy-")) == 2, fileNames.toString)
   }
+
+  test("compaction preserves hive-partitioned layout and partition values") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hive_").toString + "/data"
+    // 3 partitions × ~10 sprawled files each, written the hive way
+    spark.range(3000)
+      .select(col("id"), (col("id") % 3).as("k"),
+        concat(lit("payload "), col("id")).as("s"))
+      .repartition(10).write.partitionBy("k").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .collect().map(_.toString).sorted
+    val filesBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    val res = Compactor.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    assert(res.filesBefore == filesBefore)
+    assert(res.filesAfter < res.filesBefore, s"no compaction: $res")
+    // the key=value tree survives — partition pruning still has dirs to prune
+    val partDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.contains("=")).toSeq.sorted
+    assert(partDirs == Seq("k=0", "k=1", "k=2"), partDirs.toString)
+    // partition VALUES survive: the k column still reads back per row
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq, "rows or partition values changed")
+    // pruned read touches one partition's files only
+    assert(spark.read.parquet(dir).filter(col("k") === 1).count() == 1000)
+    // selective variant also stays per-leaf
+    spark.range(3000, 3300)
+      .select(col("id"), (col("id") % 3).as("k"),
+        concat(lit("payload "), col("id")).as("s"))
+      .repartition(5).write.mode("append").partitionBy("k").parquet(dir)
+    val res2 = Compactor.compactParquetSelective(spark, dir, targetBytes = 512L * 1024)
+    assert(res2.rows == 3300)
+    val partDirs2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.contains("=")).toSeq.sorted
+    assert(partDirs2 == Seq("k=0", "k=1", "k=2"), partDirs2.toString)
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 3300L))
+  }
 }

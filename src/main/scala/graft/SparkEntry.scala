@@ -841,7 +841,10 @@ object SparkEntry {
     "budget_sample" -> ((s, dir) => {
       val scored = TextAnalysis.docTypicality(t(s, dir, "documents"), "doc_id", "text")
       graft.operators.Sampling.tokenBudgetSample(
-        scored, "doc_id", "typ_score", "n_toks", budget = 10000L)
+        scored, "doc_id", "typ_score", "n_toks", budget = 10000L,
+        // typ_score is an integer mean of ⌊df·1e6/n_docs⌋ ∈ [0, 1e6]:
+        // known domain → static bucket cuts, no quantile job
+        scoreRange = Some((0.0, 1e6)))
         .select(col("doc_id"), col("n_toks"), col("typ_score"), col("cum_tokens"))
         .orderBy(col("doc_id"))
     }),

@@ -107,6 +107,12 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
     assert(got.nonEmpty && got.values.max <= 5000L)
+    // static-cuts path (known score domain, zero extra jobs) — same result
+    val gotStatic = Sampling.tokenBudgetSample(rows, "id", "score", "toks",
+        budget = 5000L, partitions = 16, scoreRange = Some((0.0, 6.0)))
+      .select(col("id"), col("cum_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStatic == want)
     // prefix property: the selection is closed under the global order
     val selected = rows.filter(col("id").isin(got.keys.toSeq.map(Long.box): _*))
     assert(selected.count() == got.size)

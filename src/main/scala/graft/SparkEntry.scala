@@ -1549,10 +1549,17 @@ object SparkEntry {
   private def pageRankSql(iters: Int, dampPct: Int = 85): String = {
     val iterCtes = (1 to iters).map { it =>
       val prev = s"r${it - 1}"
-      s"""r$it AS (
+      // d$it = dangling share: Σ rank over out-degree-0 nodes // n (0 when
+      // the graph has no sinks, e.g. anything symmetrized) — replays
+      // Graph.pageRank's integer redistribution exactly
+      s"""d$it AS (
+         |  SELECT coalesce(sum(r.rank), 0) // (SELECT c FROM cn) AS sh
+         |  FROM $prev r LEFT JOIN deg ON r.node = deg.src
+         |  WHERE deg.src IS NULL),
+         |r$it AS (
          |  SELECT n.node,
          |    (SELECT (1000000000000 // c) * ${100 - dampPct} // 100 FROM cn)
-         |      + (coalesce(s.s, 0) * $dampPct) // 100 AS rank
+         |      + ((coalesce(s.s, 0) + (SELECT sh FROM d$it)) * $dampPct) // 100 AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT ed.dst, sum(r.rank // ed.d) AS s
          |    FROM ed JOIN $prev r ON ed.src = r.node

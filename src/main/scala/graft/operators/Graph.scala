@@ -27,25 +27,29 @@ object Graph {
    * PageRank with a fixed iteration count. `edges` must be directed
    * (src, dst) pairs; pass `symmetrize = true` for random-walk symmetry
    * (the reverse edges are added after the cache boundary, one pass).
-   * Every node must have out-degree ≥ 1 — a LOAD-BEARING contract, not
-   * just advice: the degree table's key set is used as the node set
-   * (dangling-mass redistribution is deliberately out of scope so the
-   * oracle stays a pure join/group replay; symmetrized graphs satisfy
-   * the contract by construction).
+   * The node set is src ∪ dst, and SINK nodes (out-degree 0 — every real
+   * web graph has them) are handled the standard way: each round their
+   * mass is redistributed uniformly across all nodes before damping,
+   * `next(k) = base + (s(k) + D/n)·d/100` with D = Σ sink ranks — in
+   * integer arithmetic, so the redistribution replays exactly in SQL.
+   * Graphs with no sinks (e.g. anything symmetrized) skip the dangling
+   * pass entirely — D is provably 0, so nothing is computed per round.
+   * Empty input returns an empty (node, rank) frame.
    *
    * Scale shape: below `driverMaxEdges` the whole graph fits in a driver
    * array and a local loop wins by orders of magnitude (per-stage
    * scheduling dwarfs the arithmetic); above it, the edge list is
    * hash-partitioned by src ONCE and the degree table joined into it, so
    * every per-round operation is narrow except the single reduceByKey
-   * that aggregates messages by dst — one |E|-linear shuffle per round.
+   * that aggregates messages by dst — one |E|-linear shuffle per round
+   * (plus, only when sinks exist, one |sinks|-sized sum action for D).
    * Rounds chain lazily with a materialization every 8th round, so
    * lineage stays bounded without paying a scheduling action per round.
    * Both paths use the same integer arithmetic (GraphSpec proves them
    * equal across the gate).
    *
    * Returns (node, rank) with Σrank ≤ MassUnits (truncation loses at
-   * most one unit per edge per round).
+   * most one unit per edge/node per round).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampPct: Int = 85, symmetrize: Boolean = false,
@@ -56,6 +60,9 @@ object Graph {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = edges.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
     // iterative message passing is the second genuine RDD case in this
     // engine (the first: duplicateClusters' min-label loop): a DataFrame
     // loop builds a NEW plan per round and pays Janino codegen each time
@@ -86,22 +93,33 @@ object Graph {
     // a negative LIMIT
     val probeLimit = math.min(driverMaxEdges / mult, Int.MaxValue - 1L).toInt + 1
     val probe = eDf0.limit(probeLimit).collect()
+    if (probe.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
     if (probe.length.toLong * mult <= driverMaxEdges) {
       val base0 = probe.map(r => (r.getLong(0), r.getLong(1)))
       val es = if (symmetrize) base0.flatMap { case (a, b) => Seq((a, b), (b, a)) }
                else base0
       val deg = mutable.LongMap.empty[Long]
       es.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
-      val n = deg.size
+      // node set = src ∪ dst: sinks appear only as dst but still hold rank
+      val nodes = mutable.LongMap.empty[Unit]
+      es.foreach { case (a, b) => nodes(a) = (); nodes(b) = () }
+      val sinks = nodes.keys.filterNot(deg.contains).toArray
+      val n = nodes.size
       val init = MassUnits / n
       val base = (init * (100 - dampPct)) / 100
       var ranks = mutable.LongMap.empty[Long]
-      deg.keys.foreach(k => ranks(k) = init)
+      nodes.keys.foreach(k => ranks(k) = init)
       for (_ <- 0 until iters) {
         val s = mutable.LongMap.empty[Long]
         es.foreach { case (a, b) => s(b) = s.getOrElse(b, 0L) + ranks(a) / deg(a) }
+        // dangling mass back into the pool, uniformly, BEFORE damping
+        val share = if (sinks.isEmpty) 0L
+          else sinks.iterator.map(ranks).sum / n
         val next = mutable.LongMap.empty[Long]
-        deg.keys.foreach(k => next(k) = base + s.getOrElse(k, 0L) * dampPct / 100)
+        nodes.keys.foreach(k =>
+          next(k) = base + (s.getOrElse(k, 0L) + share) * dampPct / 100)
         ranks = next
       }
       val rows = ranks.toArray.sortBy(_._1)
@@ -109,8 +127,7 @@ object Graph {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq,
           math.max(1, rows.length / 500000)),
-        StructType(Seq(StructField("node", LongType, nullable = false),
-          StructField("rank", LongType, nullable = false))))
+        outSchema)
     }
     // distributed path: cache the edge projection (it seeds both the
     // count and the partitioned RDD); `symmetrize` reverses edges after
@@ -128,28 +145,39 @@ object Graph {
     val e = (if (symmetrize) raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
              else raw)
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    // out-degree ≥ 1 for every node (the documented contract) means the
-    // degree table's key set IS the node set — no separate distinct pass,
-    // and `deg` doubles as the rank-row skeleton. Local jobs are
-    // overhead-bound at this scale, so fewer actions matter as much as
-    // fewer shuffles.
     val deg = e.mapValues(_ => 1L).reduceByKey(part, _ + _)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = deg.count()
+    // node skeleton = src ∪ dst with each node's out-degree (0 for
+    // sinks); ONE distinct pass up front, then every round's join against
+    // it is co-partitioned and narrow
+    val nodeDeg = e.flatMap { case (a, b) => Iterator(a, b) }
+      .distinct(width).map((_, ())).partitionBy(part)
+      .leftOuterJoin(deg).mapValues { case (_, d) => d.getOrElse(0L) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodeDeg.count()
+    val sinkSet = nodeDeg.filter(_._2 == 0L).mapValues(_ => ())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSinks = sinkSet.count()
     val init = MassUnits / n
     val base = (init * (100 - dampPct)) / 100
     // degree joined INTO the partitioned edge list once — each round's
     // contribution map is then a narrow pass over (src, (dst, deg))
     val ed = e.join(deg).persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = deg.mapValues(_ => init)
+    var ranks = nodeDeg.mapValues(_ => init)
     val persisted = scala.collection.mutable.ArrayBuffer.empty[
       org.apache.spark.rdd.RDD[(Long, Long)]]
     for (it <- 1 to iters) {
       val contrib = ed.join(ranks) // co-partitioned: narrow
         .map { case (_, ((dst, d), r)) => (dst, r / d) }
         .reduceByKey(part, _ + _) // the round's one shuffle
-      val next = deg.leftOuterJoin(contrib) // co-partitioned: narrow
-        .mapValues { case (_, s) => base + s.getOrElse(0L) * dampPct / 100 }
+      // dangling mass: only computed when sinks exist (a co-partitioned
+      // join over the sink set + one sum action); sink-free graphs pay
+      // nothing per round. Forces `ranks` when taken, so lineage depth
+      // stays bounded on sink-bearing graphs too.
+      val share = if (nSinks == 0L) 0L
+        else ranks.join(sinkSet).map(_._2._1).fold(0L)(_ + _) / n
+      val next = nodeDeg.leftOuterJoin(contrib) // co-partitioned: narrow
+        .mapValues { case (_, s) => base + (s.getOrElse(0L) + share) * dampPct / 100 }
         .persist(StorageLevel.MEMORY_AND_DISK)
       persisted += next
       // materialize only every 8th round: each local action costs more in
@@ -167,11 +195,12 @@ object Graph {
     persisted.dropRight(1).foreach(_.unpersist(false))
     ed.unpersist(false)
     deg.unpersist(false)
+    sinkSet.unpersist(false)
+    nodeDeg.unpersist(false)
     e.unpersist(false)
     eDf.unpersist(false)
     spark.createDataFrame(
       ranks.map { case (node, rank) => Row(node, rank) },
-      StructType(Seq(StructField("node", LongType, nullable = false),
-        StructField("rank", LongType, nullable = false))))
+      outSchema)
   }
 }

@@ -262,8 +262,20 @@ object Similarity {
   /**
    * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
    * partition the corpus with the trained k-means coarse quantizer, then
-   * drop every vector whose cosine to a LOWER-id vector in the SAME cell
-   * is ≥ `threshold` (greedy keep-first — survivor choice deterministic).
+   * drop every vector whose cosine to ANY lower-id vector in the SAME
+   * cell is ≥ `threshold`.
+   *
+   * Precise drop rule — deliberately NOT the paper's survivor-relative
+   * greedy: a row is dropped even when the lower-id row that kills it
+   * was itself dropped. On chain-shaped duplicate clusters (a≈b, b≈c,
+   * a≉c) this over-drops relative to SemDeDup, which would keep c once b
+   * is gone; on clique-shaped clusters (the overwhelming case at the
+   * paper's 0.96+ thresholds, where near-dups are mutually similar) the
+   * two rules coincide — min id survives, rest drop. The any-lower-id
+   * rule is chosen because it is ONE distributed pass (survivor-relative
+   * is a sequential fixpoint per cell, O(chain length) rounds) and
+   * replays exactly as a single SQL anti-join, keeping the operator
+   * oracle-checkable. Survivor choice is deterministic either way.
    *
    * Scale shape: this is the paper's point — the O(n²) cosine check
    * becomes Σ|cell|² by clustering first. The only join is the

@@ -5,17 +5,20 @@ import graft.SparkTestBase
 
 class GraphSpec extends AnyFunSuite with SparkTestBase {
 
-  /** Driver-side reference: same integer fixed-point spec. */
+  /** Driver-side reference: same integer fixed-point spec, including the
+    * dangling-mass redistribution (share = Σ sink ranks // n). */
   private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val init = Graph.MassUnits / nodes.size
     val base = init * 15 / 100
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val sinks = nodes.filterNot(deg.contains)
     var rank = nodes.map(_ -> init).toMap
     for (_ <- 0 until iters) {
       val s = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
       edges.foreach { case (a, b) => s(b) += rank(a) / deg(a) }
-      rank = nodes.map(nd => nd -> (base + s(nd) * 85 / 100)).toMap
+      val share = if (sinks.isEmpty) 0L else sinks.map(rank).sum / nodes.size
+      rank = nodes.map(nd => nd -> (base + (s(nd) + share) * 85 / 100)).toMap
     }
     rank
   }
@@ -56,5 +59,39 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       iters = 3, driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distributed == got)
+  }
+
+  test("pagerank: sink nodes hold rank, dangling mass is redistributed, mass conserved") {
+    import spark.implicits._
+    // cycle feeding sink 4, plus an isolated edge into sink 6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 6L))
+    val df = edges.toDF("src", "dst")
+    val got = Graph.pageRank(df, "src", "dst", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every node — including the sinks — appears with a rank
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got == refPageRank(edges, 3))
+    // sinks receive mass (strictly more than the undamped floor)
+    val init = Graph.MassUnits / 6
+    val floor = init * 15 / 100
+    assert(got(4L) > floor && got(6L) > floor)
+    // mass conservation: redistribution keeps the total near MassUnits
+    // instead of leaking every sink's inflow each round
+    val total = got.values.sum
+    assert(total <= Graph.MassUnits)
+    assert(total > Graph.MassUnits - 3L * (edges.size + 6 + 100).toLong)
+    // distributed path agrees across the gate on the sink-bearing graph
+    val distributed = Graph.pageRank(df, "src", "dst", iters = 3,
+      driverMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == got)
+  }
+
+  test("pagerank: empty edge input returns an empty frame, no exception") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val res = Graph.pageRank(empty, "src", "dst", iters = 3)
+    assert(res.columns.toSeq == Seq("node", "rank"))
+    assert(res.count() == 0)
   }
 }

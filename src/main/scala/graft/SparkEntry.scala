@@ -1222,6 +1222,47 @@ object SparkEntry {
           sum(col("l_suppkey") * col("l_linenumber")).cast("long").as("sum_mix"))
     }),
 
+    // S12 distributed sink, measured per round (VERDICT r6 task #7): geo
+    // sample → distributed KMZ (Hadoop-FS part IO) → re-import through
+    // the engine's own KML reader → aggregate parity with the source
+    "export_kml_roundtrip" -> ((s, dir) => {
+      val sample = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          graft.functions.GeoFunctions.st_point(
+            (col("c_custkey") % 360 - 180).cast("double"),
+            (col("c_custkey") % 170 - 85).cast("double")).as("the_geom"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kmlrt_").toString
+      val r = graft.sinks.Exporter.exportKmlDistributed(
+        sample, "cust_geo", "the_geom", tmp)
+      val back = graft.Importer.importFile(s,
+        graft.Importer.ImportRequest(importFromFile = Some(r.path))).df
+      back.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("c_custkey").cast("long")).cast("long").as("sum_key"),
+        sum(graft.functions.GeoFunctions.st_x(col("the_geom"))).cast("long").as("sum_lon"),
+        sum(graft.functions.GeoFunctions.st_y(col("the_geom"))).cast("long").as("sum_lat"))
+    }),
+
+    // S13 distributed sink, measured per round: same sample → distributed
+    // zipped shapefile set → re-import (SHP + DBF decode) → same parity row
+    "export_shp_roundtrip" -> ((s, dir) => {
+      val sample = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          graft.functions.GeoFunctions.st_point(
+            (col("c_custkey") % 360 - 180).cast("double"),
+            (col("c_custkey") % 170 - 85).cast("double")).as("the_geom"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shprt_").toString
+      val r = graft.sinks.Exporter.exportShpDistributed(
+        sample, "cust_shp", "the_geom", tmp)
+      val back = graft.Importer.importFile(s,
+        graft.Importer.ImportRequest(importFromFile = Some(r.path))).df
+      back.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("c_custkey").cast("long")).cast("long").as("sum_key"),
+        sum(graft.functions.GeoFunctions.st_x(col("the_geom"))).cast("long").as("sum_lon"),
+        sum(graft.functions.GeoFunctions.st_y(col("the_geom"))).cast("long").as("sum_lat"))
+    }),
+
     // §2.4 A3: distributed type-lattice inference (one-pass aggregate).
     // ensureParallelism: the fold is CPU-bound per row and the bench table
     // is one single-row-group parquet split — without the spread the whole
@@ -2369,6 +2410,24 @@ object SparkEntry {
         |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
         |  CAST(sum(l_suppkey * l_linenumber) AS BIGINT) AS sum_mix
         |FROM lineitem""".stripMargin,
+
+    // distributed KMZ / SHP sink round trips: the re-imported archive must
+    // aggregate identically to the source rows that were exported (lon/lat
+    // replay the st_point construction; sums of integer-valued coords are
+    // exact in both engines)
+    "export_kml_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(c_custkey % 360 - 180) AS BIGINT) AS sum_lon,
+        |  CAST(sum(c_custkey % 170 - 85) AS BIGINT) AS sum_lat
+        |FROM customer WHERE c_custkey <= 500""".stripMargin,
+
+    "export_shp_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(c_custkey % 360 - 180) AS BIGINT) AS sum_lon,
+        |  CAST(sum(c_custkey % 170 - 85) AS BIGINT) AS sum_lat
+        |FROM customer WHERE c_custkey <= 500""".stripMargin,
 
     // format_roundtrip: ORC and JSONL write→read cycles must both agree
     // with the parquet truth — one identical aggregate row per format

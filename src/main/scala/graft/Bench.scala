@@ -58,26 +58,38 @@ object Bench {
     // decided by host load noise in both directions (r6 official 2.4× vs
     // r7 official 1.12× on unchanged code). min over two back-to-back runs
     // strips transient load; both raw series are kept in the artifact.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "2").trim.toInt)
+      .getOrElse(2).max(1)
+    // a failed rep must NOT win the min: a fast crash (transient OOM/FS
+    // error) would otherwise masquerade as the query's official time.
+    // Failed reps are recorded as -1 in the raw series; the min is taken
+    // over SUCCESSFUL reps only, and a query with zero successes reports
+    // -1 so the failure is visible in the artifact.
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators cache internal tables (signature/tf projections); drop
         // them so memory stays flat across the suite and no query's timing
         // depends on an earlier query's leftovers
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-        dt
+        if (ok) dt else -1.0
       }
       name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    def best(v: Seq[Double]): Double = {
+      val ok = v.filter(_ >= 0)
+      if (ok.nonEmpty) ok.min else -1.0
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + best(v) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.valuesIterator.map(_.min).sum else 0.0
+    val total = if (results.nonEmpty)
+      results.valuesIterator.map(v => math.max(best(v), 0.0)).sum else 0.0
     // n_queries/sec_per_query: the suite GREW 35 → 50 queries in round 2,
     // so the comparable round-over-round number is per-query, not total
     val perQ = if (results.nonEmpty) total / results.size else 0.0

@@ -142,9 +142,14 @@ object Sampling {
           (1 until np).map(i => 1.0 - i.toDouble / np).toArray, 0.001).toSeq
     }
     val cutsLit = typedlit(cuts)
+    // NULL scores sort LAST under the window's desc order (Spark and
+    // DuckDB default) — pin them to the last bucket explicitly, because
+    // the cut comparison's NULL propagation would otherwise drop them
+    // into bucket 0 (first) and corrupt every later bucket's offset
     val bucketed = in.withColumn("__cuts", cutsLit)
       .withColumn("__pid",
-        expr(s"aggregate(__cuts, 0, (acc, c) -> acc + IF(c > CAST(`$scoreCol` AS DOUBLE), 1, 0))"))
+        when(col(scoreCol).isNull, lit(np - 1)).otherwise(
+          expr(s"aggregate(__cuts, 0, (acc, c) -> acc + IF(c > CAST(`$scoreCol` AS DOUBLE), 1, 0))")))
       .drop("__cuts")
     val totals = bucketed.groupBy(col("__pid"))
       .agg(sum(col(tokCol).cast("long")).as("t"))

@@ -52,6 +52,27 @@ object Compactor {
     fs.exists(dir) && fs.listStatus(dir).exists(s =>
       s.isDirectory && s.getPath.getName.contains("="))
 
+  /** A hive root must not ALSO hold loose data files: Spark's own
+    * partition discovery rejects that layout ("conflicting directory
+    * structures"), and per-leaf compaction would silently skip the loose
+    * files — refuse loudly instead. */
+  private def requireCleanHiveRoot(fs: FileSystem, dir: Path): Unit = {
+    val loose = fs.listStatus(dir).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(loose.isEmpty,
+      s"$dir mixes key=value partition dirs with ${loose.length} root-level " +
+        "parquet files — not a valid hive layout; compact the loose files " +
+        "into a partition (or a separate dataset) first")
+  }
+
+  /** Work-dir names for the two-rename swap: leading `_` so Spark/Hadoop
+    * readers ignore crash leftovers (the `_temporary` convention), and
+    * any `=` in a hive LEAF name replaced so the sibling dir inside the
+    * dataset root can never parse as a phantom partition value. */
+  private def workDir(dir: Path, tag: String, suffix: String): Path =
+    new Path(dir.getParent,
+      "_" + dir.getName.replace('=', '-') + s"__${tag}_$suffix")
+
   /** Leaf data directories of a hive tree: descend through `key=value`
     * levels; a directory with no partition-style children is a leaf. */
   private def leafDirs(fs: FileSystem, dir: Path): Seq[Path] = {
@@ -77,10 +98,11 @@ object Compactor {
       targetBytes: Long = 128L * 1024 * 1024): CompactResult = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (isHiveLayout(fs, dir))
+    if (isHiveLayout(fs, dir)) {
+      requireCleanHiveRoot(fs, dir)
       combine(leafDirs(fs, dir).map(l =>
         selectiveFlat(spark, fs, l, targetBytes)))
-    else selectiveFlat(spark, fs, dir, targetBytes)
+    } else selectiveFlat(spark, fs, dir, targetBytes)
   }
 
   private def selectiveFlat(spark: SparkSession, fs: FileSystem, dir: Path,
@@ -96,12 +118,20 @@ object Compactor {
     }
     val smallBytes = small.map(fs.getFileStatus(_).getLen).sum
     val packed = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
-    // healthy files are tracked by NAME so they can be re-addressed after
-    // the live dir is renamed away (flat dir ⇒ names are unique)
-    val healthyNames = healthy.map(_.getName)
+    // healthy files are tracked by their path RELATIVE to the dataset dir
+    // so they can be re-addressed after the live dir is renamed away —
+    // bare names would break on datasets with (non-hive) subdirectories
+    // qualify before relativizing: listed file paths carry the scheme
+    // (file:/, hdfs://…) while a caller-constructed dir may not
+    val dirPrefix = fs.makeQualified(dir).toString + "/"
+    val healthyRel = healthy.map { f =>
+      val fq = fs.makeQualified(f).toString
+      require(fq.startsWith(dirPrefix), s"$f is not under $dir")
+      fq.substring(dirPrefix.length)
+    }
     val suffix = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new Path(dir.getParent, dir.getName + s"__compacting_$suffix")
-    val old = new Path(dir.getParent, dir.getName + s"__precompact_$suffix")
+    val tmp = workDir(dir, "compacting", suffix)
+    val old = workDir(dir, "precompact", suffix)
     try {
       // read ONLY the sprawl; healthy bytes never move through Spark
       spark.read.parquet(small.map(_.toString): _*)
@@ -114,20 +144,25 @@ object Compactor {
       if (!fs.rename(dir, old))
         throw new java.io.IOException(s"rename $dir -> $old failed")
       try {
-        healthyNames.zipWithIndex.foreach { case (n, i) =>
-          if (!fs.rename(new Path(old, n), new Path(tmp, f"part-healthy-$i%05d.parquet")))
-            throw new java.io.IOException(s"rename healthy $n into $tmp failed")
+        healthyRel.zipWithIndex.foreach { case (rel, i) =>
+          if (!fs.rename(new Path(old, rel), new Path(tmp, f"part-healthy-$i%05d.parquet")))
+            throw new java.io.IOException(s"rename healthy $rel into $tmp failed")
         }
         if (!fs.rename(tmp, dir))
           throw new java.io.IOException(s"rename $tmp -> $dir failed")
       } catch {
         case e: Throwable =>
           // undo: healthy files back into the displaced dir, then restore
-          // its live name — the original dataset reappears intact
+          // its live name — the original dataset reappears intact. Flat
+          // restore names are fine: the undo only needs the bytes back
+          // under the live name, not the original nesting.
           parquetFiles(fs, tmp)
             .filter(_.getName.startsWith("part-healthy-"))
             .foreach(f => fs.rename(f, new Path(old, f.getName)))
-          fs.rename(old, dir)
+          if (!fs.rename(old, dir))
+            throw new java.io.IOException(
+              s"undo failed: dataset is intact at $old but could not be " +
+                s"renamed back to $dir — manual recovery required", e)
           throw e
       }
       fs.delete(old, true)
@@ -136,7 +171,12 @@ object Compactor {
         spark.read.parquet(dir.toString).count())
     } catch {
       case e: Throwable =>
-        if (fs.exists(tmp)) fs.delete(tmp, true)
+        // only drop tmp when it holds no displaced healthy files — if the
+        // inner undo itself failed, deleting tmp would destroy the only
+        // copy of the healthy bytes; leave both dirs for manual recovery
+        if (fs.exists(tmp) &&
+            !parquetFiles(fs, tmp).exists(_.getName.startsWith("part-healthy-")))
+          fs.delete(tmp, true)
         throw e
     }
   }
@@ -150,9 +190,10 @@ object Compactor {
       targetBytes: Long = 128L * 1024 * 1024): CompactResult = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (isHiveLayout(fs, dir))
+    if (isHiveLayout(fs, dir)) {
+      requireCleanHiveRoot(fs, dir)
       combine(leafDirs(fs, dir).map(l => rewriteFlat(spark, fs, l, targetBytes)))
-    else rewriteFlat(spark, fs, dir, targetBytes)
+    } else rewriteFlat(spark, fs, dir, targetBytes)
   }
 
   private def rewriteFlat(spark: SparkSession, fs: FileSystem, dir: Path,
@@ -166,8 +207,8 @@ object Compactor {
       return CompactResult(before.size, before.size, bytes, rows)
     }
     val suffix = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new Path(dir.getParent, dir.getName + s"__compacting_$suffix")
-    val old = new Path(dir.getParent, dir.getName + s"__precompact_$suffix")
+    val tmp = workDir(dir, "compacting", suffix)
+    val old = workDir(dir, "precompact", suffix)
     try {
       spark.read.parquet(dir.toString)
         .repartition(targetFiles)

@@ -118,6 +118,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(selected.count() == got.size)
   }
 
+  test("tokenBudgetSample: NULL scores sort last, not first") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    // 3 real scores + 2 null-score rows with huge token counts: if nulls
+    // landed in bucket 0 they would inflate every later offset and evict
+    // the true prefix
+    val rows = s.range(5).select(col("id"),
+      when(col("id") < 3, col("id") * 10).as("score"),
+      when(col("id") < 3, lit(5L)).otherwise(lit(1000L)).as("toks"))
+    val got = Sampling.tokenBudgetSample(rows, "id", "score", "toks",
+        budget = 15L, partitions = 4)
+      .select(col("id"), col("cum_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows.withColumn("cum", sum(col("toks")).over(w))
+      .filter(col("cum") <= 15L)
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.keySet == Set(0L, 1L, 2L)) // the three scored rows, in budget
+  }
+
   test("tokenBudgetSample: zero budget selects nothing; huge budget selects all") {
     val s = spark
     val rows = s.range(100).select(col("id"), col("id").as("score"), lit(5L).as("toks"))

@@ -199,6 +199,49 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(fileNames.count(_.startsWith("part-healthy-")) == 2, fileNames.toString)
   }
 
+  test("compaction refuses a hive root mixed with loose parquet files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed_").toString + "/data"
+    spark.range(100).select(col("id"), (col("id") % 2).as("k"))
+      .write.partitionBy("k").parquet(dir)
+    // loose root-level file alongside the k=… dirs (malformed layout —
+    // Spark's own partition discovery rejects it too)
+    spark.range(100, 120).select(col("id"), lit(9L).as("k"))
+      .coalesce(1).write.parquet(dir + "_loose")
+    val loose = java.nio.file.Files.list(java.nio.file.Paths.get(dir + "_loose"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(loose,
+      java.nio.file.Paths.get(dir, "stray.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      Compactor.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    }
+    assert(e.getMessage.contains("root-level"))
+    intercept[IllegalArgumentException] {
+      Compactor.compactParquetSelective(spark, dir, targetBytes = 512L * 1024)
+    }
+  }
+
+  test("selective compaction re-addresses healthy files in (non-hive) subdirectories") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nest_").toString + "/data"
+    // healthy-sized files inside a nested batch dir (streaming-sink shape),
+    // sprawl at the root
+    spark.range(40000).select(col("id"), concat(lit("payload "), col("id")).as("s"))
+      .repartition(2).write.parquet(dir + "/batch-001")
+    spark.range(40000, 41500).select(col("id"), concat(lit("payload "), col("id")).as("s"))
+      .repartition(30).write.mode("append").parquet(dir)
+    val res = Compactor.compactParquetSelective(spark, dir, targetBytes = 200L * 1024)
+    assert(res.filesBefore == 32)
+    assert(res.filesAfter < 32, s"no packing: $res")
+    // both healthy files survived the swap (flat restore names)
+    val names = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(names.count(_.startsWith("part-healthy-")) == 2, names.toString)
+    val back = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    assert(back.count() == 41500)
+  }
+
   test("compaction preserves hive-partitioned layout and partition values") {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._

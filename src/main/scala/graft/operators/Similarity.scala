@@ -65,6 +65,63 @@ object Similarity {
     def invalidate(): Unit = cache.clear()
     /** Drop one trained index (exact full key, as built by ivfKey/pqKey). */
     def invalidate(key: String): Unit = { cache.remove(key); () }
+    /** Entries currently trained (keys only; sizes are ≤ kMax·dim longs). */
+    def keys: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      cache.keySet().asScala.toSeq.sorted
+    }
+    private[operators] def put(key: String, value: IndexedSeq[IndexedSeq[Long]]): Unit = {
+      val h = new Holder(() => value)
+      h.value // force, so concurrent getOrTrain never runs the thunk race
+      cache.put(key, h)
+      ()
+    }
+    private[operators] def get(key: String): Option[IndexedSeq[IndexedSeq[Long]]] =
+      Option(cache.get(key)).map(_.value)
+
+    /**
+     * Persist trained indexes next to the data they index. At 100 TB an
+     * index is built ONCE on the cluster and served by every later job —
+     * which means it must survive the training process. The format is a
+     * plain parquet table (key, pos, row) — engine-neutral, inspectable,
+     * and tiny (each entry is ≤ kMax·dim longs, the same bounded size
+     * class the search plans broadcast.) `save` writes the selected keys
+     * (default: all); `load` re-populates the registry, returning the
+     * loaded keys. Keys embed corpus identity + columns + parameters
+     * (ivfKey/pqKey), so a loaded entry is served under exactly the same
+     * conditions it was trained for.
+     */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String,
+        onlyKeys: Option[Seq[String]] = None): Int = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val sel = onlyKeys.map(_.toSet)
+      val rows = cache.entrySet().asScala.toSeq
+        .filter(e => sel.forall(_.contains(e.getKey)))
+        .sortBy(_.getKey)
+        .flatMap { e =>
+          e.getValue.value.zipWithIndex.map { case (r, i) =>
+            Row(e.getKey, i, r)
+          }
+        }
+      val schema = StructType(Seq(
+        StructField("key", StringType, nullable = false),
+        StructField("pos", IntegerType, nullable = false),
+        StructField("row", ArrayType(LongType, containsNull = false), nullable = false)))
+      spark.createDataFrame(rows.asJava, schema)
+        .repartition(1).write.mode("overwrite").parquet(path)
+      rows.map(_.getString(0)).distinct.size
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+      val rows = spark.read.parquet(path)
+        .select("key", "pos", "row").collect() // bounded: index state, not data
+      rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (k, rs) =>
+        put(k, rs.sortBy(_.getInt(1)).map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq)
+        k
+      }
+    }
     /** Drop every index trained on one corpus identity — the call for "my
       * corpus changed" (keys embed the corpus id right after the kind tag). */
     def invalidateCorpus(corpusKey: String): Unit = {

@@ -219,6 +219,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("TrainedIndex save/load round-trips: a fresh process serves without retraining") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val queries = emb.filter(col("vec_id") < 5)
+    val key = "persist-spec"
+    val trained = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding",
+      k = 3, indexKey = Some(key)).collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString + "/index"
+    assert(TrainedIndex.save(spark, dir) == 1)
+    // simulate a fresh process: registry empty, then load from disk
+    TrainedIndex.invalidate()
+    assert(TrainedIndex.size == 0)
+    var trainings = 0
+    val loaded = TrainedIndex.load(spark, dir)
+    assert(loaded.exists(_.contains(key)))
+    // served result identical, and the train thunk is never invoked
+    val cents = TrainedIndex.getOrTrain(
+      Some(Similarity.ivfKey(key, "vec_id", "embedding", 20, 3)))(
+      { trainings += 1; IndexedSeq(IndexedSeq(0L)) })
+    assert(trainings == 0)
+    assert(cents.nonEmpty && cents.head.nonEmpty)
+    val served = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding",
+      k = 3, indexKey = Some(key)).collect()
+    assert(served.sameElements(trained))
+    // selective save honors onlyKeys
+    TrainedIndex.getOrTrain(Some("other:key"))(IndexedSeq(IndexedSeq(9L)))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_idx2_").toString + "/index"
+    assert(TrainedIndex.save(spark, dir2,
+      onlyKeys = Some(Seq("other:key"))) == 1)
+    TrainedIndex.invalidate()
+    assert(TrainedIndex.load(spark, dir2) == Seq("other:key"))
+    TrainedIndex.invalidate()
+  }
+
   test("trained IVF with indexKey returns identical results to untrained-key run") {
     import Similarity.TrainedIndex
     TrainedIndex.invalidate()

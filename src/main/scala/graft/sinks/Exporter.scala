@@ -47,6 +47,19 @@ object Exporter {
   private def hadoopConf(df: DataFrame): Configuration =
     df.sparkSession.sessionState.newHadoopConf()
 
+  /** Archive stream with deflate at BEST_SPEED: the zip is inherently a
+    * single-stream artifact, so its deflate runs on ONE driver core no
+    * matter how distributed the row rendering is — at default level the
+    * compressor, not the copy, dominates the funnel stage. Level 1 keeps
+    * the archive a standard zip (entry bytes identical after inflate, so
+    * the funnel/distributed byte-identity contract is untouched) at a
+    * fraction of the CPU. */
+  private def archiveStream(out: java.io.OutputStream): ZipOutputStream = {
+    val zos = new ZipOutputStream(out)
+    zos.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    zos
+  }
+
   private def outPath(dir: String, name: String): String = {
     new File(dir).mkdirs()
     s"$dir/exporting_${java.util.UUID.randomUUID().toString.take(8)}_$name"
@@ -90,7 +103,7 @@ object Exporter {
       dir: String = System.getProperty("java.io.tmpdir")): ExportResult = {
     val path = outPath(dir, name)
     val zipFile = s"$path.zip"
-    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    val zos = archiveStream(new FileOutputStream(zipFile))
     try {
       zos.putNextEntry(new ZipEntry(s"$name.csv"))
       val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(zos, StandardCharsets.UTF_8))
@@ -133,7 +146,7 @@ object Exporter {
       .option("escape", "\"") // doubled-quote escaping, like csvCell
       .csv(partsDir.toString)
     val zipFile = new Path(path.getParent, path.getName + ".zip")
-    val zos = new ZipOutputStream(fs.create(zipFile, true))
+    val zos = archiveStream(fs.create(zipFile, true))
     try {
       zos.putNextEntry(new ZipEntry(s"$name.csv"))
       val header = (df.columns.map(csvCell).mkString(",") + "\n")
@@ -154,7 +167,7 @@ object Exporter {
     val kmzFile = s"$path.kmz"
     val attrCols = df.columns.filterNot(_ == geomCol)
     val hasGeom = df.columns.contains(geomCol)
-    val zos = new ZipOutputStream(new FileOutputStream(kmzFile))
+    val zos = archiveStream(new FileOutputStream(kmzFile))
     try {
       zos.putNextEntry(new ZipEntry("doc.kml"))
       val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(zos, StandardCharsets.UTF_8))
@@ -235,7 +248,7 @@ object Exporter {
       finally w.close()
       Iterator.single(n)
     }.collect()
-    val zos = new ZipOutputStream(fs.create(kmzFile, true))
+    val zos = archiveStream(fs.create(kmzFile, true))
     try {
       zos.putNextEntry(new ZipEntry("doc.kml"))
       zos.write(KmlHeader(name).getBytes(StandardCharsets.UTF_8))
@@ -294,7 +307,7 @@ object Exporter {
     val pair = ShpWriter.write(geoms.result())
     val dbf = DbfWriter.write(specs, recs.result())
     val prj = Wgs84Prj
-    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    val zos = archiveStream(new FileOutputStream(zipFile))
     try {
       def entry(ext: String, bytes: Array[Byte]): Unit = {
         zos.putNextEntry(new ZipEntry(s"$name$ext")); zos.write(bytes); zos.closeEntry()
@@ -386,7 +399,7 @@ object Exporter {
     def lensOf(pid: Int) = new java.io.DataInputStream(new java.io.BufferedInputStream(
       fs.open(new Path(partsDir, f"part-$pid%05d.lens"))))
 
-    val zos = new ZipOutputStream(fs.create(zipFile, true))
+    val zos = archiveStream(fs.create(zipFile, true))
     try {
       // .shp — stream each partition's contents, prefixing record headers
       zos.putNextEntry(new ZipEntry(s"$name.shp"))

@@ -87,6 +87,29 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(distributed == got)
   }
 
+  test("pagerank: randomized sink-bearing graphs match the reference on both paths") {
+    import spark.implicits._
+    for (seed <- Seq(3L, 11L)) {
+      // ~25% of nodes are pure sinks (targets above the src range)
+      val edges = (0L until 300L).map { i =>
+        val a = (i * seed) % 40
+        val b = (i * (seed + 4) + 1) % 55 // 40..54 never appear as src → sinks
+        (a, b)
+      }.distinct.filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      val want = refPageRank(edges, 3)
+      val driver = Graph.pageRank(df, "src", "dst", iters = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver == want, s"driver path diverged, seed=$seed")
+      val dist = Graph.pageRank(df, "src", "dst", iters = 3, driverMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == want, s"distributed path diverged, seed=$seed")
+      val total = driver.values.sum
+      assert(total <= Graph.MassUnits &&
+        total > Graph.MassUnits - 3L * (edges.size + 60 + 100))
+    }
+  }
+
   test("pagerank: empty edge input returns an empty frame, no exception") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")

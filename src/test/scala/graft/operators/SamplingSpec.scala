@@ -141,6 +141,32 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keySet == Set(0L, 1L, 2L)) // the three scored rows, in budget
   }
 
+  test("tokenBudgetSample: randomized equivalence with the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    // deterministic pseudo-random inputs across several shapes: heavy
+    // ties, nulls mixed in, token counts spanning 3 orders of magnitude,
+    // partition counts that do and don't divide the data evenly
+    for ((seed, np) <- Seq((1L, 3), (7L, 8), (13L, 16))) {
+      val rows = s.range(1500)
+        .select(col("id"),
+          when((col("id") * seed) % 11 =!= 0, (col("id") * seed) % 97).as("score"),
+          ((col("id") * (seed + 2)) % 1000 + 1).as("toks"))
+      val budget = 20000L
+      val got = Sampling.tokenBudgetSample(rows, "id", "score", "toks",
+          budget, partitions = np)
+        .select(col("id"), col("cum_tokens")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = Window.orderBy(col("score").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = rows.withColumn("cum", sum(col("toks")).over(w))
+        .filter(col("cum") <= budget)
+        .select(col("id"), col("cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed np=$np")
+    }
+  }
+
   test("tokenBudgetSample: zero budget selects nothing; huge budget selects all") {
     val s = spark
     val rows = s.range(100).select(col("id"), col("id").as("score"), lit(5L).as("toks"))

@@ -1222,6 +1222,29 @@ object SparkEntry {
           sum(col("l_suppkey") * col("l_linenumber")).cast("long").as("sum_mix"))
     }),
 
+    // co-located join via bucketed tables (§2.3 scale path): both sides
+    // written bucketed by the join key, so the join itself is
+    // SHUFFLE-FREE — bucket i of lineitem joins bucket i of orders in
+    // place (PlanAuditSpec pins the Exchange-free join). The one-time
+    // bucketed write is the amortized cost: bucket fact tables at
+    // ingest, join for free on every later query
+    "bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      graft.sources.BucketedTable.write(s,
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "graft_li_bucketed", "l_orderkey", 8, s"$tmp/li")
+      graft.sources.BucketedTable.write(s,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_o_bucketed", "o_orderkey", 8, s"$tmp/o")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S12 distributed sink, measured per round (VERDICT r6 task #7): geo
     // sample → distributed KMZ (Hadoop-FS part IO) → re-import through
     // the engine's own KML reader → aggregate parity with the source
@@ -2410,6 +2433,16 @@ object SparkEntry {
         |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
         |  CAST(sum(l_suppkey * l_linenumber) AS BIGINT) AS sum_mix
         |FROM lineitem""".stripMargin,
+
+    // bucketed co-located join: bucketing changes the physical plan, not
+    // the result — the oracle is the plain join over the raw tables
+    "bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // distributed KMZ / SHP sink round trips: the re-imported archive must
     // aggregate identically to the source rows that were exported (lon/lat

@@ -37,6 +37,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "limit+sort not fused to top-k")
   }
 
+  test("bucketed_join: the join itself is shuffle-free (co-located buckets)") {
+    // force the sort-merge path (broadcast would hide whether bucketing
+    // removed the exchange) and inspect the bare join, pre-aggregation
+    val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bspec_").toString
+      import org.apache.spark.sql.functions._
+      graft.sources.BucketedTable.write(s,
+        s.read.parquet(sf("lineitem")).select(col("l_orderkey"), col("l_quantity")),
+        "graft_li_bspec", "l_orderkey", 4, s"$tmp/li")
+      graft.sources.BucketedTable.write(s,
+        s.read.parquet(sf("orders")).select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_o_bspec", "o_orderkey", 4, s"$tmp/o")
+      val join = s.table("graft_li_bspec")
+        .join(s.table("graft_o_bspec"), col("l_orderkey") === col("o_orderkey"))
+      val p = join.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      // and it computes the same rows as the unbucketed join
+      val raw = s.read.parquet(sf("lineitem")).select(col("l_orderkey"))
+        .join(s.read.parquet(sf("orders")).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(join.count() == raw)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q1_agg: partial (map-side) aggregation before the exchange") {
     val p = plan("q1_agg")
     val firstAgg = p.indexOf("HashAggregate")

@@ -34,4 +34,14 @@ object BucketedTable {
       .saveAsTable(table)
     table
   }
+
+  /** Bucket-once-at-ingest: write only when `table` is not already
+    * registered in this session's catalog, else serve the existing
+    * bucketed layout. The caller owns naming — embed the corpus identity
+    * in `table` (as the ANN TrainedIndex keys do), so a different input
+    * never silently reuses another corpus's buckets. */
+  def ensure(spark: SparkSession, df: => DataFrame, table: String,
+      bucketCol: String, buckets: Int, path: => String): String =
+    if (spark.catalog.tableExists(table)) table
+    else write(spark, df, table, bucketCol, buckets, path)
 }

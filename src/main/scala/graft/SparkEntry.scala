@@ -806,6 +806,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // quality-weighted deterministic sampling (importance mixing): keep
+    // probability scales with document length, capped at wMax — pure
+    // int64 keep test, scan-only plan
+    "weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.weightedHashSample(
+        t(s, dir, "documents"), "doc_id", "n_chars",
+        wMax = 4096L, baseFraction = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // greedy sequence packing per source shard, 300-token bins (oracle:
     // the same fold as a recursive CTE)
     "seq_pack" -> ((s, dir) => {
@@ -3004,6 +3015,14 @@ object SparkEntry {
         |              ELSE 100000000 END
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // replay of Sampling.weightedHashSample: u·wMax < ⌊0.5·P⌋·min(w,wMax),
+    // all int64 (doc_id ≪ P so the plain non-overflow formula applies)
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ((doc_id * 2654435761) % 1000000007) * 4096 <
+        |  500000003 * least(n_chars, 4096)
+        |ORDER BY doc_id""".stripMargin,
 
     // replay of TextAnalysis.packSequences: the greedy reset fold walks
     // each group in doc_id order via a recursive CTE

@@ -45,6 +45,29 @@ object Sampling {
   }
 
   /**
+   * Weighted deterministic Bernoulli sampling: keep row i with
+   * probability `baseFraction · w_i / wMax` — the importance-sampling
+   * primitive of quality-weighted data mixing (sample high-quality
+   * documents at a higher rate, junk at a lower one, without a shuffle).
+   * The keep test is pure int64 arithmetic — `u·wMax < ⌊f·P⌋·min(w,wMax)`
+   * with u = hashUniform(id) — so membership is exactly replayable in
+   * SQL, independent of partitioning and engine (products stay ≤ 1e18
+   * for wMax ≤ 1e9, enforced). Weights above wMax saturate at
+   * keep-probability `baseFraction`; non-positive weights never match.
+   * One codegen'd filter over a narrow projection: the 100 TB plan is a
+   * single scan.
+   */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
+      wMax: Long, baseFraction: Double = 1.0, salt: Long = 0L): DataFrame = {
+    require(wMax > 0 && wMax <= 1000000000L, "wMax must be in (0, 1e9]")
+    require(baseFraction >= 0.0 && baseFraction <= 1.0)
+    val f = (baseFraction * P).toLong
+    df.filter(
+      hashUniform(col(idCol), salt) * lit(wMax) <
+        lit(f) * least(col(weightCol).cast("long"), lit(wMax)))
+  }
+
+  /**
    * Bottom-k-by-hash sampling (the KMV idea, Bar-Yossef et al., RANDOM'02):
    * per group, keep the k rows with the SMALLEST hash of their id — a
    * deterministic uniform sample without replacement. Unlike reservoir

@@ -177,6 +177,37 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(all.agg(max(col("cum_tokens"))).head().getLong(0) == 500L)
   }
 
+  test("weighted sample: keep rate tracks weight, deterministic, bounds enforced") {
+    val s = spark
+    // three weight bands: w = wMax (full rate), w = wMax/2, w = 0 (never)
+    val rows = s.range(30000).select(col("id"),
+      when(col("id") % 3 === 0, lit(1000L))
+        .when(col("id") % 3 === 1, lit(500L))
+        .otherwise(lit(0L)).as("w"))
+    val kept = Sampling.weightedHashSample(rows, "id", "w", wMax = 1000L,
+        baseFraction = 0.8)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0L), "zero-weight rows must never be sampled")
+    // expected rates: 0.8 for w=1000, 0.4 for w=500 over 10k rows each
+    assert(math.abs(kept(1000L) - 8000L) < 400, kept.toString)
+    assert(math.abs(kept(500L) - 4000L) < 400, kept.toString)
+    // deterministic: same rows on a rerun and under a different partitioning
+    val a = Sampling.weightedHashSample(rows, "id", "w", 1000L, 0.8)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.weightedHashSample(rows.repartition(13), "id", "w", 1000L, 0.8)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // weights above wMax saturate at baseFraction, never exceed it
+    val over = rows.withColumn("w", when(col("w") === 1000L, lit(999999L)).otherwise(col("w")))
+    val nOver = Sampling.weightedHashSample(over, "id", "w", 1000L, 0.8)
+      .filter(col("w") === 999999L).count()
+    assert(math.abs(nOver - 8000L) < 400, nOver.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedHashSample(rows, "id", "w", wMax = 2000000000L)
+    }
+  }
+
   test("hashUniform: 64-bit and negative ids never wrap, values match the mod-P formula") {
     import spark.implicits._
     val P = 1000000007L

@@ -692,6 +692,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // materialized IVF index: corpus written partitioned by cell once per
+    // session (assignment at INGEST — the real IVF cost model), then
+    // serving partition-prunes to the probed cells only. Results are
+    // identical to ann_ivf (same centroids, same exact-cosine ranking),
+    // so the same training-replay oracle applies
+    "ann_ivf_served" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_$tag"
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+          indexKey = embCorpusKey(dir))
+      Similarity.ivfTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = embCorpusKey(dir))
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // int8-quantized ANN (4× memory; integer dots are bit-exact cross-engine)
     "ann_quantized" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2555,6 +2574,9 @@ object SparkEntry {
     // replay of Similarity.ivfTopKTrained: integer Lloyd training + L2
     // cell assignment + probes (see annIvfTrainedSql scaladoc)
     "ann_ivf" -> annIvfTrainedSql(),
+    // the served index is assignment-identical to ann_ivf (same trained
+    // centroids, same exact-cosine ranking) — same replay oracle
+    "ann_ivf_served" -> annIvfTrainedSql(),
     "dedup_semantic" -> dedupSemanticSql(),
 
     "token_count_bpe" ->

@@ -306,6 +306,83 @@ object Similarity {
   }
 
   /**
+   * Materialized IVF index: the corpus written to `path` PARTITIONED BY
+   * its coarse-quantizer cell, with the trained centroids persisted
+   * alongside (under `_centroids`, ignored by parquet readers). This is
+   * the missing half of IVF economics at 100 TB: `ivfTopKTrained` caches
+   * the centroids but still pays a full-corpus assignment scan per
+   * query, which the sf1 stress showed growing ~n·nCells (5.8 s at 20k
+   * vectors). With assignments in the directory layout, serving reads
+   * ONLY the probed cells — the posting-list access pattern of a real
+   * IVF index — and the scan cost scales with nProbe/nCells of the
+   * corpus, not the corpus.
+   *
+   * `indexKey` is required: an on-disk index IS a corpus identity.
+   */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, indexKey: String,
+      stride: Int = 20, iters: Int = 3): Unit = {
+    import org.apache.spark.sql.functions.typedlit
+    val spark = corpus.sparkSession
+    val key = ivfKey(indexKey, idCol, vecCol, stride, iters)
+    val cents = TrainedIndex.getOrTrain(Some(key))(
+      trainIvfCentroids(corpus, idCol, vecCol, stride, iters))
+    val cbLit = typedlit(cents)
+    val cidLit = typedlit(cents.indices.map(_.toLong))
+    withInt8(Par.ensureParallelism(corpus), vecCol)
+      .select(col(idCol), col(vecCol),
+        element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    TrainedIndex.save(spark, s"$path/_centroids", onlyKeys = Some(Seq(key)))
+  }
+
+  /**
+   * Serve top-k from a materialized IVF index (see `writeIvfIndex`).
+   * Probe cells are computed from the (small) query set and collected to
+   * a LITERAL IN-list, so the index scan partition-prunes statically —
+   * the plan touches nProbe cells' directories and nothing else. Exact
+   * float cosine on the original vectors within the candidates, so
+   * results are identical to `ivfTopKTrained` with the same parameters
+   * (SimilaritySpec pins the equality). Centroids come from the
+   * process registry, loading from the index's own `_centroids` table on
+   * a cold process — no retraining anywhere on the serve path.
+   */
+  def ivfTopKServed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, indexKey: String,
+      nProbe: Int = 3, stride: Int = 20, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val key = ivfKey(indexKey, idCol, vecCol, stride, iters)
+    val cents = TrainedIndex.get(key).getOrElse {
+      TrainedIndex.load(spark, s"$indexPath/_centroids")
+      TrainedIndex.get(key).getOrElse(throw new IllegalStateException(
+        s"index at $indexPath does not carry centroids for $key"))
+    }
+    val cbLit = typedlit(cents)
+    val cidLit = typedlit(cents.indices.map(_.toLong))
+    val probes = withInt8(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).cast(D).as("qvec"),
+        explode(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, nProbe)).as("cell"))
+    // literal probe-cell list: queries are the small (broadcast) side by
+    // construction, so collecting their distinct cells is bounded — and
+    // buys STATIC partition pruning on the index scan
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probeCells.map(Long.box): _*))
+      .select(col("cell").cast("long").as("cell"),
+        col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cvec"))
+    val scored = broadcast(probes).join(cand, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", vec_cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /**
    * Per-vector int8 quantization: q_i = floor(x_i·127/max|x| + 0.5) —
    * round-half-up spelled as floor so both engines agree on exact .5
    * boundaries (SQL round() is banker's). 4× smaller than float32, and

@@ -253,6 +253,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("materialized IVF index: served results == trained search; scan partition-prunes") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString + "/index"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx, indexKey = "spec-ivf")
+    val served = Similarity.ivfTopKServed(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-ivf")
+    val want = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding",
+      k = 3, indexKey = Some("spec-ivf")).collect()
+    assert(served.collect().sameElements(want))
+    // the index scan must touch only the probed cells (static pruning)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"index scan does not partition-prune on cell:\n$plan")
+    // cold-process serve: registry cleared, centroids load from the index
+    TrainedIndex.invalidate()
+    val cold = Similarity.ivfTopKServed(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-ivf").collect()
+    assert(cold.sameElements(want))
+    TrainedIndex.invalidate()
+  }
+
   test("trained IVF with indexKey returns identical results to untrained-key run") {
     import Similarity.TrainedIndex
     TrainedIndex.invalidate()

@@ -97,13 +97,31 @@ object SparkEntry {
       |SELECT vec_id + 10000, list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
       |FROM embeddings WHERE vec_id < 30""".stripMargin
 
+  /** Content stamp of a corpus file — (size, mtime) via Hadoop FS. Folded
+    * into every persistent corpus identity (registry keys, materialized
+    * index paths, bucketed-table names) so regenerated test data can
+    * never be served from stale cached/on-disk state: a rewrite changes
+    * the stamp, which changes the key, which forces a rebuild. */
+  private def corpusStamp(s: SparkSession, dir: String, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$file")
+    val st = p.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(p)
+    s"${st.getLen}-${st.getModificationTime}"
+  }
+
+  /** Filesystem-safe corpus identity (full path + stamp, sanitized — NOT
+    * a 32-bit hash, so distinct corpora can never collide). */
+  private def fsTag(s: SparkSession, dir: String, file: String): String =
+    (s"$dir/$file@" + corpusStamp(s, dir, file)).replaceAll("[^A-Za-z0-9]", "_")
+
   /** Corpus identities for the process-wide TrainedIndex registry: an ANN
     * index is built once and served many times, so the trained-quantizer
-    * queries pass the table path (plus the augmentation tag — augmentedEmb
-    * is a DIFFERENT corpus than the raw table) as the cache key. */
-  private def embCorpusKey(dir: String): String = s"$dir/embeddings.parquet"
-  private def augEmbCorpusKey(dir: String): String =
-    s"$dir/embeddings.parquet#augmented"
+    * queries pass the table path + content stamp (plus the augmentation
+    * tag — augmentedEmb is a DIFFERENT corpus than the raw table) as the
+    * cache key. */
+  private def embCorpusKey(s: SparkSession, dir: String): String =
+    s"$dir/embeddings.parquet@${corpusStamp(s, dir, "embeddings.parquet")}"
+  private def augEmbCorpusKey(s: SparkSession, dir: String): String =
+    s"${embCorpusKey(s, dir)}#augmented"
 
   /** Pre-trains every quantizer the suite serves (IVF on the raw corpus,
     * IVF on the augmented corpus, PQ codebook) under the same keys the
@@ -114,13 +132,13 @@ object SparkEntry {
   def warmTrainedIndexes(s: SparkSession, dir: String): Unit = {
     val emb = t(s, dir, "embeddings")
     Similarity.TrainedIndex.getOrTrain(
-      Some(Similarity.ivfKey(embCorpusKey(dir), "vec_id", "embedding", 20, 3)))(
+      Some(Similarity.ivfKey(embCorpusKey(s, dir), "vec_id", "embedding", 20, 3)))(
       Similarity.trainIvfCentroids(emb, "vec_id", "embedding", 20, 3))
     Similarity.TrainedIndex.getOrTrain(
-      Some(Similarity.pqKey(embCorpusKey(dir), "vec_id", "embedding", 8, 20, 3)))(
+      Some(Similarity.pqKey(embCorpusKey(s, dir), "vec_id", "embedding", 8, 20, 3)))(
       Similarity.trainPqCodebook(emb, "vec_id", "embedding", 8, 20, 3))
     Similarity.TrainedIndex.getOrTrain(
-      Some(Similarity.ivfKey(augEmbCorpusKey(dir), "vec_id", "embedding", 20, 3)))(
+      Some(Similarity.ivfKey(augEmbCorpusKey(s, dir), "vec_id", "embedding", 20, 3)))(
       Similarity.trainIvfCentroids(augmentedEmb(s, dir), "vec_id", "embedding", 20, 3))
     ()
   }
@@ -638,7 +656,7 @@ object SparkEntry {
     // (never n²); within each cell drop rows duplicating a lower id
     "dedup_semantic" -> ((s, dir) => {
       Similarity.semanticDedup(augmentedEmb(s, dir), "vec_id", "embedding",
-        threshold = 0.98, indexKey = Some(augEmbCorpusKey(dir)))
+        threshold = 0.98, indexKey = Some(augEmbCorpusKey(s, dir)))
         .orderBy(col("vec_id"))
     }),
 
@@ -687,7 +705,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopKTrained(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3,
-        indexKey = Some(embCorpusKey(dir)))
+        indexKey = Some(embCorpusKey(s, dir)))
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -699,14 +717,14 @@ object SparkEntry {
     // so the same training-replay oracle applies
     "ann_ivf_served" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_$tag"
-      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      if (!new java.io.File(s"$idx/${Similarity.ReadyMarker}").exists())
         Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
-          indexKey = embCorpusKey(dir))
+          indexKey = embCorpusKey(s, dir))
       Similarity.ivfTopKServed(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
-        indexKey = embCorpusKey(dir))
+        indexKey = embCorpusKey(s, dir))
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -727,7 +745,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopKTrained(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3,
-        indexKey = Some(embCorpusKey(dir)))
+        indexKey = Some(embCorpusKey(s, dir)))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1263,14 +1281,15 @@ object SparkEntry {
       // session and serves the bucketed layout afterwards (bucket at
       // ingest, join for free — the same build-once cost model as the
       // ANN TrainedIndex registry)
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      def tmp() = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      val liTag = fsTag(s, dir, "lineitem.parquet")
+      val oTag = fsTag(s, dir, "orders.parquet")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_v1"
       val liT = graft.sources.BucketedTable.ensure(s,
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-        s"graft_li_bucketed_$tag", "l_orderkey", 8, s"${tmp()}/li")
+        s"graft_li_bucketed_$liTag", "l_orderkey", 8, s"$base/li_$liTag")
       val oT = graft.sources.BucketedTable.ensure(s,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
-        s"graft_o_bucketed_$tag", "o_orderkey", 8, s"${tmp()}/o")
+        s"graft_o_bucketed_$oTag", "o_orderkey", 8, s"$base/o_$oTag")
       s.table(liT)
         .join(s.table(oT),
           col("l_orderkey") === col("o_orderkey"))
@@ -3038,12 +3057,13 @@ object SparkEntry {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 
-    // replay of Sampling.weightedHashSample: u·wMax < ⌊0.5·P⌋·min(w,wMax),
-    // all int64 (doc_id ≪ P so the plain non-overflow formula applies)
+    // replay of Sampling.weightedHashSample:
+    // u·wMax < ⌊0.5·P⌋·clamp(w, 0, wMax), all int64 (doc_id ≪ P so the
+    // plain non-overflow formula applies)
     "weighted_sample" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE ((doc_id * 2654435761) % 1000000007) * 4096 <
-        |  500000003 * least(n_chars, 4096)
+        |  500000003 * greatest(0, least(n_chars, 4096))
         |ORDER BY doc_id""".stripMargin,
 
     // replay of TextAnalysis.packSequences: the greedy reset fold walks

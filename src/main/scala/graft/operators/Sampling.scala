@@ -49,11 +49,13 @@ object Sampling {
    * probability `baseFraction · w_i / wMax` — the importance-sampling
    * primitive of quality-weighted data mixing (sample high-quality
    * documents at a higher rate, junk at a lower one, without a shuffle).
-   * The keep test is pure int64 arithmetic — `u·wMax < ⌊f·P⌋·min(w,wMax)`
-   * with u = hashUniform(id) — so membership is exactly replayable in
-   * SQL, independent of partitioning and engine (products stay ≤ 1e18
-   * for wMax ≤ 1e9, enforced). Weights above wMax saturate at
-   * keep-probability `baseFraction`; non-positive weights never match.
+   * The keep test is pure int64 arithmetic —
+   * `u·wMax < ⌊f·P⌋·clamp(w, 0, wMax)` with u = hashUniform(id) — so
+   * membership is exactly replayable in SQL, independent of partitioning
+   * and engine (the clamp bounds both factors, so products stay ≤ 1e18
+   * for wMax ≤ 1e9, enforced — a large NEGATIVE weight would otherwise
+   * overflow the product and wrap positive). Weights above wMax saturate
+   * at keep-probability `baseFraction`; non-positive weights never match.
    * One codegen'd filter over a narrow projection: the 100 TB plan is a
    * single scan.
    */
@@ -64,7 +66,7 @@ object Sampling {
     val f = (baseFraction * P).toLong
     df.filter(
       hashUniform(col(idCol), salt) * lit(wMax) <
-        lit(f) * least(col(weightCol).cast("long"), lit(wMax)))
+        lit(f) * greatest(lit(0L), least(col(weightCol).cast("long"), lit(wMax))))
   }
 
   /**

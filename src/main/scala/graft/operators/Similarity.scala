@@ -334,7 +334,17 @@ object Similarity {
         element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     TrainedIndex.save(spark, s"$path/_centroids", onlyKeys = Some(Seq(key)))
+    // completeness marker LAST: parquet's own _SUCCESS appears before the
+    // centroids exist, so a crash in between would otherwise leave a
+    // torn index that looks servable — gate readers on THIS marker
+    val ready = new org.apache.hadoop.fs.Path(s"$path/$ReadyMarker")
+    ready.getFileSystem(spark.sessionState.newHadoopConf()).create(ready, true).close()
   }
+
+  /** Marker file whose presence means a materialized IVF index is
+    * COMPLETE (corpus partitions + centroids). Check this, not parquet's
+    * `_SUCCESS`, before serving from an index directory. */
+  val ReadyMarker: String = "_graft_index_ready"
 
   /**
    * Serve top-k from a materialized IVF index (see `writeIvfIndex`).

@@ -189,6 +189,12 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(!kept.contains(0L), "zero-weight rows must never be sampled")
+    // large NEGATIVE weights must never match either — an unclamped
+    // product would overflow int64 and wrap positive (review finding)
+    val negRows = rows.withColumn("w",
+      when(col("w") === 0L, lit(-20000000000L)).otherwise(col("w")))
+    assert(Sampling.weightedHashSample(negRows, "id", "w", 1000L, 0.8)
+      .filter(col("w") < 0L).count() == 0)
     // expected rates: 0.8 for w=1000, 0.4 for w=500 over 10k rows each
     assert(math.abs(kept(1000L) - 8000L) < 400, kept.toString)
     assert(math.abs(kept(500L) - 4000L) < 400, kept.toString)

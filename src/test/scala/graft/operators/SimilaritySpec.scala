@@ -259,6 +259,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val queries = emb.filter(col("vec_id") < 5)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString + "/index"
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx, indexKey = "spec-ivf")
+    // completeness marker is written LAST — its presence implies the
+    // centroids are on disk too (gate for persistent-index reuse)
+    assert(new java.io.File(s"$idx/${Similarity.ReadyMarker}").exists())
     val served = Similarity.ivfTopKServed(spark, idx, queries,
       "vec_id", "embedding", k = 3, indexKey = "spec-ivf")
     val want = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding",

@@ -88,12 +88,18 @@ object Bench {
     val raw = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // a query with zero successful reps must NOT flatter the headline: it
+    // is excluded from the per-query mean's denominator and listed by
+    // name at the top level (not just a -1 buried in queries_raw)
+    val failed = results.collect { case (k, v) if best(v) < 0 => k }.toSeq
+    val succeeded = results.size - failed.size
     val total = if (results.nonEmpty)
       results.valuesIterator.map(v => math.max(best(v), 0.0)).sum else 0.0
     // n_queries/sec_per_query: the suite GREW 35 → 50 queries in round 2,
     // so the comparable round-over-round number is per-query, not total
-    val perQ = if (results.nonEmpty) total / results.size else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"reps":$reps,"queries":$qs,"queries_raw":$raw,"sf":"$sfDir"}"""
+    val perQ = if (succeeded > 0) total / succeeded else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sec_per_query":$perQ,"reps":$reps,"queries":$qs,"queries_raw":$raw,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout with an "[info] " prefix that can defeat a
     // line-oriented JSON parser — leave the raw line as a file artifact too

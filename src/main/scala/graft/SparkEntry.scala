@@ -108,10 +108,16 @@ object SparkEntry {
     s"${st.getLen}-${st.getModificationTime}"
   }
 
-  /** Filesystem-safe corpus identity (full path + stamp, sanitized — NOT
-    * a 32-bit hash, so distinct corpora can never collide). */
-  private def fsTag(s: SparkSession, dir: String, file: String): String =
-    (s"$dir/$file@" + corpusStamp(s, dir, file)).replaceAll("[^A-Za-z0-9]", "_")
+  /** Filesystem-safe corpus identity: the sanitized full path + stamp for
+    * readability, plus an md5-64 of the UNsanitized identity — the
+    * sanitization is lossy (`sf0.1` and `sf0_1` both map to `sf0_1`), so
+    * the hash carries the distinction the readable part cannot. */
+  private def fsTag(s: SparkSession, dir: String, file: String): String = {
+    val raw = s"$dir/$file@" + corpusStamp(s, dir, file)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    raw.replaceAll("[^A-Za-z0-9]", "_") + "_" + md5
+  }
 
   /** Corpus identities for the process-wide TrainedIndex registry: an ANN
     * index is built once and served many times, so the trained-quantizer
@@ -719,7 +725,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_" +
         fsTag(s, dir, "embeddings.parquet")
-      if (!new java.io.File(s"$idx/${Similarity.ReadyMarker}").exists())
+      // marker check through the Hadoop FS API, like the write — a
+      // java.io.File probe is always false on non-local schemes and
+      // would rebuild the index on every invocation
+      val marker = new org.apache.hadoop.fs.Path(s"$idx/${Similarity.ReadyMarker}")
+      val markerFs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!markerFs.exists(marker))
         Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
           indexKey = embCorpusKey(s, dir))
       Similarity.ivfTopKServed(s, idx,

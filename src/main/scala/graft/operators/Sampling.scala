@@ -63,6 +63,16 @@ object Sampling {
       wMax: Long, baseFraction: Double = 1.0, salt: Long = 0L): DataFrame = {
     require(wMax > 0 && wMax <= 1000000000L, "wMax must be in (0, 1e9]")
     require(baseFraction >= 0.0 && baseFraction <= 1.0)
+    // integral weights only: a silent cast("long") would floor fractional
+    // quality scores (0.99 → 0 → never sampled). Callers with float
+    // scores pre-scale, e.g. (score*1e6).cast long with wMax = 1e6.
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"weightCol '$weightCol' must be an integral type, got $other — " +
+          "pre-scale fractional scores (e.g. (score * 1e6).cast(long), wMax = 1000000)")
+    }
     val f = (baseFraction * P).toLong
     df.filter(
       hashUniform(col(idCol), salt) * lit(wMax) <

@@ -42,8 +42,11 @@ object Similarity {
     // Holder indirection: computeIfAbsent only installs the (cheap) holder,
     // so the map's bin lock is never held across the multi-second Spark
     // training job; the lazy val serializes trainers of the SAME key only.
-    // A failed training evicts its holder, so the next call retrains with
-    // ITS OWN thunk (the failed holder's captured thunk is never re-run).
+    // A failed training evicts its holder, so every call that arrives
+    // AFTER the eviction installs a fresh thunk. A thread already blocked
+    // on the failed holder's lazy val re-runs that holder's original
+    // thunk (Scala lazy-val retry) — acceptable: the thunk is a pure
+    // training job, so the retry either succeeds or fails the same way.
     private final class Holder(train: () => IndexedSeq[IndexedSeq[Long]]) {
       lazy val value: IndexedSeq[IndexedSeq[Long]] = train()
     }
@@ -370,14 +373,24 @@ object Similarity {
     }
     val cbLit = typedlit(cents)
     val cidLit = typedlit(cents.indices.map(_.toLong))
-    val probes = withInt8(queries, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).cast(D).as("qvec"),
+    // the query set is the small (broadcast) side by CONTRACT, so it is
+    // evaluated ONCE, on the driver: the collected rows provide both the
+    // literal probe-cell list (static partition pruning on the index
+    // scan) and the broadcast probe table — re-deriving the quantization
+    // subtree for the join would double the per-serve query-side work
+    val probeRows = withInt8(queries, vecCol)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast(D).as("qvec"),
         explode(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, nProbe)).as("cell"))
-    // literal probe-cell list: queries are the small (broadcast) side by
-    // construction, so collecting their distinct cells is bounded — and
-    // buys STATIC partition pruning on the index scan
-    val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect()
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qvec", D),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probeSchema)
+    val probeCells = probeRows.map(_.getLong(2)).distinct.sorted
     val cand = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probeCells.map(Long.box): _*))
       .select(col("cell").cast("long").as("cell"),

@@ -74,11 +74,38 @@ object Compactor {
       "_" + dir.getName.replace('=', '-') + s"__${tag}_$suffix")
 
   /** Leaf data directories of a hive tree: descend through `key=value`
-    * levels; a directory with no partition-style children is a leaf. */
+    * levels; a directory with no partition-style children is a leaf.
+    * Every NON-leaf level is held to the same no-loose-files rule as the
+    * root — a stray parquet beside partition dirs would otherwise be
+    * silently skipped by per-leaf compaction. */
   private def leafDirs(fs: FileSystem, dir: Path): Seq[Path] = {
-    val parts = fs.listStatus(dir).filter(s =>
+    val children = fs.listStatus(dir)
+    val parts = children.filter(s =>
       s.isDirectory && s.getPath.getName.contains("=")).map(_.getPath)
-    if (parts.isEmpty) Seq(dir) else parts.toSeq.flatMap(p => leafDirs(fs, p))
+    if (parts.isEmpty) Seq(dir)
+    else {
+      val loose = children.filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(loose.isEmpty,
+        s"$dir mixes key=value partition dirs with ${loose.length} loose " +
+          "parquet files — not a valid hive layout; per-leaf compaction " +
+          "would silently skip them")
+      parts.toSeq.flatMap(p => leafDirs(fs, p))
+    }
+  }
+
+  /** Run one flat compaction per leaf CONCURRENTLY — at hive scale the
+    * leaf count can be in the thousands, and each leaf's rewrite is an
+    * independent Spark job pair; serial submission would make wall-clock
+    * linear in partition count instead of bounded by cluster capacity. */
+  private def perLeaf(fs: FileSystem, dir: Path)(
+      f: Path => CompactResult): CompactResult = {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val leaves = leafDirs(fs, dir)
+    combine(Await.result(
+      Future.sequence(leaves.map(l => Future(f(l)))), Duration.Inf))
   }
 
   private def combine(rs: Seq[CompactResult]): CompactResult =
@@ -100,8 +127,7 @@ object Compactor {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (isHiveLayout(fs, dir)) {
       requireCleanHiveRoot(fs, dir)
-      combine(leafDirs(fs, dir).map(l =>
-        selectiveFlat(spark, fs, l, targetBytes)))
+      perLeaf(fs, dir)(l => selectiveFlat(spark, fs, l, targetBytes))
     } else selectiveFlat(spark, fs, dir, targetBytes)
   }
 
@@ -155,10 +181,17 @@ object Compactor {
           // undo: healthy files back into the displaced dir, then restore
           // its live name — the original dataset reappears intact. Flat
           // restore names are fine: the undo only needs the bytes back
-          // under the live name, not the original nesting.
-          parquetFiles(fs, tmp)
+          // under the live name, not the original nesting. Every rename
+          // result is checked: a silently-failed restore would re-liven a
+          // dataset MISSING healthy files.
+          val unrestored = parquetFiles(fs, tmp)
             .filter(_.getName.startsWith("part-healthy-"))
-            .foreach(f => fs.rename(f, new Path(old, f.getName)))
+            .filterNot(f => fs.rename(f, new Path(old, f.getName)))
+          if (unrestored.nonEmpty)
+            throw new java.io.IOException(
+              s"undo incomplete: ${unrestored.size} healthy files could not " +
+                s"be moved back from $tmp — dataset at $old is missing them; " +
+                "manual recovery required (both dirs preserved)", e)
           if (!fs.rename(old, dir))
             throw new java.io.IOException(
               s"undo failed: dataset is intact at $old but could not be " +
@@ -192,7 +225,7 @@ object Compactor {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (isHiveLayout(fs, dir)) {
       requireCleanHiveRoot(fs, dir)
-      combine(leafDirs(fs, dir).map(l => rewriteFlat(spark, fs, l, targetBytes)))
+      perLeaf(fs, dir)(l => rewriteFlat(spark, fs, l, targetBytes))
     } else rewriteFlat(spark, fs, dir, targetBytes)
   }
 

@@ -219,6 +219,21 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Compactor.compactParquetSelective(spark, dir, targetBytes = 512L * 1024)
     }
+    // loose files at an INTERMEDIATE level of a multi-level tree are
+    // refused too, not silently skipped
+    val deep = java.nio.file.Files.createTempDirectory("graft_deep_").toString + "/data"
+    spark.range(200).select(col("id"), (col("id") % 2).as("k"), (col("id") % 3).as("j"))
+      .write.partitionBy("k", "j").parquet(deep)
+    spark.range(200, 220).select(col("id"), lit(7L).as("j"))
+      .coalesce(1).write.parquet(deep + "_loose2")
+    val loose2 = java.nio.file.Files.list(java.nio.file.Paths.get(deep + "_loose2"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(loose2,
+      java.nio.file.Paths.get(deep, "k=0", "stray.parquet"))
+    val e2 = intercept[IllegalArgumentException] {
+      Compactor.compactParquet(spark, deep, targetBytes = 512L * 1024)
+    }
+    assert(e2.getMessage.contains("loose"), e2.getMessage)
   }
 
   test("selective compaction re-addresses healthy files in (non-hive) subdirectories") {

@@ -165,8 +165,14 @@ object Sampling {
       else spark.sessionState.conf.numShufflePartitions
     // pruned to the three columns this operator reads — a full-width
     // boundary would materialize text payloads for callers that pass the
-    // raw corpus; consumed by the totals job and the final window pass
-    val in = df.select(col(idCol), col(scoreCol), col(tokCol)).cache()
+    // raw corpus. Cached ONLY when the quantile pass makes two eager
+    // actions read it (cuts + totals), and unpersisted after the totals
+    // job so no cached copy outlives this call (the final window pass
+    // re-derives the pruned projection from the source — one column-
+    // pruned scan, not a leak per invocation in a long-lived session)
+    val proj = df.select(col(idCol), col(scoreCol), col(tokCol))
+    val needCache = scoreRange.isEmpty
+    val in = if (needCache) proj.cache() else proj
     // descending cut points c_1 ≥ … ≥ c_{np-1}; bucket = |{i : c_i > s}|,
     // so the best scores get bucket 0 and ties always share a bucket
     val cuts: Seq[Double] = scoreRange match {
@@ -189,6 +195,7 @@ object Sampling {
     val totals = bucketed.groupBy(col("__pid"))
       .agg(sum(col(tokCol).cast("long")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (needCache) in.unpersist(false)
     val offsets: Map[Int, Long] = (0 until np).map { p =>
       p -> (0 until p).map(totals.getOrElse(_, 0L)).sum
     }.toMap

@@ -324,7 +324,7 @@ object Similarity {
    */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, indexKey: String,
-      stride: Int = 20, iters: Int = 3): Unit = {
+      stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions.typedlit
     val spark = corpus.sparkSession
     val key = ivfKey(indexKey, idCol, vecCol, stride, iters)
@@ -332,11 +332,29 @@ object Similarity {
       trainIvfCentroids(corpus, idCol, vecCol, stride, iters))
     val cbLit = typedlit(cents)
     val cidLit = typedlit(cents.indices.map(_.toLong))
-    withInt8(Par.ensureParallelism(corpus), vecCol)
-      .select(col(idCol), col(vecCol),
-        element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    TrainedIndex.save(spark, s"$path/_centroids", onlyKeys = Some(Seq(key)))
+    val base = withInt8(Par.ensureParallelism(corpus), vecCol)
+    // pqM: ALSO store each row's m int8-subspace PQ codes in the layout —
+    // the serve-time ADC (pqTopKServed) then reads codes from the pruned
+    // cells and never re-encodes the corpus (VERDICT r8 next #1: pqTopK
+    // re-encoded per query run, the economics that cost ann_ivf 4.5× at
+    // sf1 before ITS materialized index). One index dir serves both
+    // modes: exact-cosine (vecCol) and ADC (codes).
+    val (assigned, keys) = pqM match {
+      case Some(m) =>
+        val pk = pqKey(indexKey, idCol, vecCol, m, stride, iters)
+        val cb = TrainedIndex.getOrTrain(Some(pk))(
+          trainPqCodebook(corpus, idCol, vecCol, m, stride, iters))
+        (base.select(col(idCol), col(vecCol),
+          vec_pq_encode(col("__q"), typedlit(cb), m).as("codes"),
+          element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell")),
+          Seq(key, pk))
+      case None =>
+        (base.select(col(idCol), col(vecCol),
+          element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell")),
+          Seq(key))
+    }
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    TrainedIndex.save(spark, s"$path/_centroids", onlyKeys = Some(keys))
     // completeness marker LAST: parquet's own _SUCCESS appears before the
     // centroids exist, so a crash in between would otherwise leave a
     // torn index that looks servable — gate readers on THIS marker
@@ -344,10 +362,73 @@ object Similarity {
     ready.getFileSystem(spark.sessionState.newHadoopConf()).create(ready, true).close()
   }
 
+  /**
+   * Incremental index append — the ingest-side twin of
+   * `dedup_incremental` (VERDICT r8 next #2). The batch is assigned to
+   * the EXISTING centroids (loaded from the registry or the index's own
+   * `_centroids`; never retrained) and appended as new cell-partitioned
+   * files — no rebuild, so ingest cost is one batch pass instead of the
+   * full-corpus training + rewrite (22.6 s at sf1). When the index was
+   * built with `pqM`, pass the same value so appended rows carry codes.
+   *
+   * Crash safety: the append goes through Spark's file committer (a
+   * failed job leaves only `_temporary` debris, which readers ignore),
+   * and the index's centroids/marker are untouched — an interrupted
+   * append leaves the PREVIOUS index fully servable.
+   *
+   * Semantics note: append-then-serve is EXACTLY rebuild-then-serve with
+   * the same centroids (IvfAppendSpec pins it). Centroid QUALITY drifts
+   * as the appended distribution diverges from the training corpus —
+   * recall, not correctness; rebuild on a drift budget, like any IVF
+   * deployment.
+   */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, indexKey: String,
+      stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.typedlit
+    val spark = batch.sparkSession
+    requireIndexReady(spark, path)
+    def served(key: String): IndexedSeq[IndexedSeq[Long]] =
+      TrainedIndex.get(key).getOrElse {
+        TrainedIndex.load(spark, s"$path/_centroids")
+        TrainedIndex.get(key).getOrElse(throw new IllegalStateException(
+          s"index at $path does not carry trained state for $key"))
+      }
+    val cents = served(ivfKey(indexKey, idCol, vecCol, stride, iters))
+    val cbLit = typedlit(cents)
+    val cidLit = typedlit(cents.indices.map(_.toLong))
+    val base = withInt8(Par.ensureParallelism(batch), vecCol)
+    val assigned = pqM match {
+      case Some(m) =>
+        val cb = served(pqKey(indexKey, idCol, vecCol, m, stride, iters))
+        base.select(col(idCol), col(vecCol),
+          vec_pq_encode(col("__q"), typedlit(cb), m).as("codes"),
+          element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
+      case None =>
+        base.select(col(idCol), col(vecCol),
+          element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
+    }
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Marker file whose presence means a materialized IVF index is
     * COMPLETE (corpus partitions + centroids). Check this, not parquet's
     * `_SUCCESS`, before serving from an index directory. */
   val ReadyMarker: String = "_graft_index_ready"
+
+  /** Fail fast (and clearly) on a torn index — a crash between the corpus
+    * write and the `_centroids` write leaves a directory that parquet's
+    * own `_SUCCESS` calls complete; every serve/append entry point gates
+    * on the engine's marker instead. */
+  private def requireIndexReady(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$ReadyMarker")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"index at $indexPath is incomplete: no $ReadyMarker — " +
+          "writeIvfIndex did not finish (or the path is not an index)")
+  }
 
   /**
    * Serve top-k from a materialized IVF index (see `writeIvfIndex`).
@@ -365,6 +446,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, indexKey: String,
       nProbe: Int = 3, stride: Int = 20, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
+    requireIndexReady(spark, indexPath)
     val key = ivfKey(indexKey, idCol, vecCol, stride, iters)
     val cents = TrainedIndex.get(key).getOrElse {
       TrainedIndex.load(spark, s"$indexPath/_centroids")
@@ -403,6 +485,79 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /**
+   * Serve PQ top-k from a materialized index written with
+   * `writeIvfIndex(..., pqM = Some(m))` — the ADC twin of
+   * `ivfTopKServed`, and the missing half of the PQ economics at 100 TB:
+   * `pqTopKTrained` caches the codebook but still re-encodes the whole
+   * corpus per query run; here the codes were computed ONCE at
+   * write/append time and live in the cell-partitioned layout, so a
+   * serve reads only the probed cells' (id, codes) columns — no vector
+   * column, no encode pass, candidate bytes = m longs per row.
+   *
+   * Plan: probe cells + per-query integer distance tables are both
+   * derived from the (small, by contract) query set on the driver; the
+   * cell list becomes a literal IN-filter (static partition pruning on
+   * the index scan) and the tables broadcast. ADC is the native PqAdc
+   * expression over the stored codes. Ranking ascends (pq_dist,
+   * neighbor_id) — all integers, so results replay exactly in SQL.
+   */
+  def pqTopKServed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, indexKey: String,
+      nProbe: Int = 3, m: Int = 8, stride: Int = 20, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    requireIndexReady(spark, indexPath)
+    def served(key: String): IndexedSeq[IndexedSeq[Long]] =
+      TrainedIndex.get(key).getOrElse {
+        TrainedIndex.load(spark, s"$indexPath/_centroids")
+        TrainedIndex.get(key).getOrElse(throw new IllegalStateException(
+          s"index at $indexPath does not carry trained state for $key"))
+      }
+    val cents = served(ivfKey(indexKey, idCol, vecCol, stride, iters))
+    val cb = served(pqKey(indexKey, idCol, vecCol, m, stride, iters))
+    val ksub = cb.length / m
+    val sub = cb.head.length
+    val cbIvf = typedlit(cents)
+    val cidLit = typedlit(cents.indices.map(_.toLong))
+    // query side evaluated ONCE on the driver (broadcast side by
+    // contract): each collected row carries the query's integer
+    // sub-distance table plus one probed cell
+    val qRows = withInt8(queries, vecCol)
+      .withColumn("__cb", typedlit(cb))
+      .select(col(idCol).cast("long").as("query_id"),
+        expr(
+          s"""transform(__cb, (cv, idx) ->
+             |  aggregate(zip_with(slice(__q, (idx div $ksub) * $sub + 1, $sub), cv,
+             |    (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v))""".stripMargin)
+          .as("dtable"),
+        explode(vec_ivf_cells_l2(col("__q"), cbIvf, cidLit, nProbe)).as("cell"))
+      .collect()
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dtable",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows.toIndexedSeq, 1), qSchema)
+    val probeCells = qRows.map(_.getLong(2)).distinct.sorted
+    val cand = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probeCells.map(Long.box): _*))
+      .select(col("cell").cast("long").as("cell"),
+        col(idCol).as("neighbor_id"), col("codes"))
+    val scored = broadcast(probes).join(cand, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pq_dist", vec_pq_adc(col("codes"), col("dtable"), ksub))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("pq_dist"))
   }
 
   /**

@@ -77,7 +77,12 @@ object Compactor {
     * levels; a directory with no partition-style children is a leaf.
     * Every NON-leaf level is held to the same no-loose-files rule as the
     * root — a stray parquet beside partition dirs would otherwise be
-    * silently skipped by per-leaf compaction. */
+    * silently skipped by per-leaf compaction. The same rule covers
+    * non-partition SUBDIRECTORIES that hold parquet (Spark's discovery
+    * rejects those layouts too; silently skipping their files would
+    * contradict the refuse-loudly intent). Hidden dirs (`_`/`.` prefix —
+    * `_temporary`, our own `_…__compacting` work dirs) are exempt, per
+    * the Spark/Hadoop convention that readers ignore them. */
   private def leafDirs(fs: FileSystem, dir: Path): Seq[Path] = {
     val children = fs.listStatus(dir)
     val parts = children.filter(s =>
@@ -90,6 +95,16 @@ object Compactor {
         s"$dir mixes key=value partition dirs with ${loose.length} loose " +
           "parquet files — not a valid hive layout; per-leaf compaction " +
           "would silently skip them")
+      val stray = children.filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && !n.contains("=") &&
+          !n.startsWith("_") && !n.startsWith(".") &&
+          parquetFiles(fs, s.getPath).nonEmpty
+      }
+      require(stray.isEmpty,
+        s"$dir holds non-partition subdirectories with parquet files " +
+          s"(${stray.map(_.getPath.getName).mkString(", ")}) — not a valid " +
+          "hive layout; per-leaf compaction would silently skip them")
       parts.toSeq.flatMap(p => leafDirs(fs, p))
     }
   }
@@ -164,9 +179,13 @@ object Compactor {
         .repartition(packed)
         .write.parquet(tmp.toString)
       // swap FIRST, then migrate healthy files out of the displaced dir:
-      // the live name always points at a COMPLETE dataset (or is briefly
-      // absent between the two renames) — it never shows a dataset with
-      // healthy files already moved out (the round-7 crash window)
+      // the live name always points at a COMPLETE dataset when present —
+      // it never shows a dataset with healthy files already moved out (the
+      // round-7 crash window). The absence window spans both renames AND
+      // the per-healthy-file migration loop between them (one rename per
+      // healthy file — long on many-file datasets or slow object stores);
+      // readers that cannot tolerate it should use the versioned layout
+      // (Versioned.scala), whose pointer swap has no absence window at all
       if (!fs.rename(dir, old))
         throw new java.io.IOException(s"rename $dir -> $old failed")
       try {

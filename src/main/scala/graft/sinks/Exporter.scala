@@ -98,6 +98,25 @@ object Exporter {
     partFiles(fs, partsDir, suffix).foreach(p => streamFileInto(zos, fs, p, buf))
   }
 
+  /** Attempt-unique temp name for a part file. Deterministic part names
+    * alone are NOT safe: with speculative execution (or a zombie attempt
+    * racing a retry) two attempts can hold open streams on the same
+    * destination concurrently and interleave/truncate bytes. Each attempt
+    * writes its own dot-prefixed temp (invisible to `partFiles`), then
+    * `publishPart` renames it over the final name — the published part is
+    * always ONE attempt's complete bytes, whichever attempt wins. */
+  private def attemptTmp(finalPath: Path): Path = {
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(0L)
+    new Path(finalPath.getParent, s".${finalPath.getName}.attempt-$attempt.tmp")
+  }
+
+  private def publishPart(fs: FileSystem, tmp: Path, finalPath: Path): Unit = {
+    if (fs.exists(finalPath)) fs.delete(finalPath, false)
+    if (!fs.rename(tmp, finalPath))
+      throw new java.io.IOException(s"publish $tmp -> $finalPath failed")
+  }
+
   /** S11: CSV zip — archive holds `<name>.csv` (exporter.rb:53-73). */
   def exportCsv(df: DataFrame, name: String,
       dir: String = System.getProperty("java.io.tmpdir")): ExportResult = {
@@ -236,16 +255,18 @@ object Exporter {
     val hasGeom = df.columns.contains(geomCol)
     val gc = geomCol
     // one tiny Long per partition comes back to the driver; the row bytes
-    // go to the cluster FS (deterministic names — a task retry overwrites
-    // its own file rather than adding a duplicate part)
+    // go to the cluster FS via attempt-unique temp + rename (attemptTmp),
+    // so racing attempts publish whole files, never interleaved bytes
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val p = new Path(partsPath, f"part-$pid%05d.kmlpart")
       val pfs = p.getFileSystem(confSer.value)
+      val tmp = attemptTmp(p)
       val w = new java.io.OutputStreamWriter(
-        new java.io.BufferedOutputStream(pfs.create(p, true)), StandardCharsets.UTF_8)
+        new java.io.BufferedOutputStream(pfs.create(tmp, true)), StandardCharsets.UTF_8)
       var n = 0L
       try rows.foreach { row => w.write(placemarkText(attrCols, hasGeom, gc)(row)); n += 1 }
       finally w.close()
+      publishPart(pfs, tmp, p)
       Iterator.single(n)
     }.collect()
     val zos = archiveStream(fs.create(kmzFile, true))
@@ -361,11 +382,15 @@ object Exporter {
 
     val metas = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val pfs = new Path(partsPath).getFileSystem(confSer.value)
-      def out(suffix: String) = new java.io.BufferedOutputStream(
-        pfs.create(new Path(partsPath, f"part-$pid%05d$suffix"), true))
-      val shpc = out(".shpc")
-      val lens = new java.io.DataOutputStream(out(".lens"))
-      val dbfr = out(".dbfr")
+      // all three part files go through attempt-unique temps, published
+      // together after the writes succeed (see attemptTmp)
+      val finals = Seq(".shpc", ".lens", ".dbfr")
+        .map(sfx => new Path(partsPath, f"part-$pid%05d$sfx"))
+      val tmps = finals.map(attemptTmp)
+      def out(i: Int) = new java.io.BufferedOutputStream(pfs.create(tmps(i), true))
+      val shpc = out(0)
+      val lens = new java.io.DataOutputStream(out(1))
+      val dbfr = out(2)
       val box = Array(Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
       var count = 0L; var stype = 0; var contentBytes = 0L
       try rows.foreach { row =>
@@ -380,6 +405,7 @@ object Exporter {
         dbfr.write(DbfWriter.recordBytes(specs, attrFields.map(f => row.getAs[Any](f.name)).toSeq))
         count += 1
       } finally { shpc.close(); lens.close(); dbfr.close() }
+      finals.zip(tmps).foreach { case (f, t) => publishPart(pfs, t, f) }
       Iterator.single((pid, count, stype, box, contentBytes))
     }.collect().sortBy(_._1) // one 5-field tuple per partition — bounded
 

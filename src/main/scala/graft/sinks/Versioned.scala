@@ -1,0 +1,175 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Versioned dataset layout: object-store-safe commits for the maintenance
+ * path (VERDICT r8 next #3). The in-place two-rename swap Compactor and
+ * CatalogTableSink use is atomic on HDFS but rename-as-copy on S3-style
+ * object stores — the real 100 TB deployment — where the swap window
+ * widens to a full byte copy and a crash strands a half-renamed dataset.
+ *
+ * This layout removes the rename of data entirely:
+ *
+ * ```
+ * root/
+ *   _current            <- tiny pointer file naming the live version dir
+ *   v-<uuid>/           <- immutable, fully-written dataset versions
+ *   v-<uuid>/
+ * ```
+ *
+ * A writer materializes a NEW version directory (any number of part
+ * files, any duration, crash-safe because nothing references it yet),
+ * then commits by swapping the pointer — a single small-file operation:
+ * `FileContext.rename(tmp, _current, OVERWRITE)` where the store supports
+ * it (atomic on HDFS and local POSIX), else a single-object PUT
+ * (`create(overwrite = true)`), which object stores make atomic at the
+ * key level (readers see the old or the new content, never a torn mix —
+ * the pointer is one small write, not a multipart copy). A crash BEFORE
+ * the commit leaves the pointer naming the old version: readers are
+ * unaffected and the orphan version dir is garbage, reclaimed by
+ * `vacuum`. There is no window in which the live name is absent — the
+ * property the two-rename swap cannot offer (Compactor.scala scaladoc).
+ *
+ * This is the manifest/version-pointer core of the table-format pattern
+ * (Delta/Iceberg commit logs); one pointer (not a log) is enough here
+ * because the engine's maintenance operations replace whole datasets.
+ */
+object Versioned {
+
+  val Pointer = "_current"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Name of the live version under `root`, if a commit ever happened. */
+  def currentVersion(spark: SparkSession, root: String): Option[String] = {
+    val ptr = new Path(root, Pointer)
+    val fs = fsOf(spark, ptr)
+    if (!fs.exists(ptr)) None
+    else {
+      val len = fs.getFileStatus(ptr).getLen.toInt
+      val in = fs.open(ptr)
+      try {
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        Some(new String(bytes, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Path of the live version dir — what readers scan. */
+  def resolve(spark: SparkSession, root: String): String =
+    currentVersion(spark, root) match {
+      case Some(v) => s"$root/$v"
+      case None => throw new IllegalStateException(
+        s"$root has no $Pointer pointer — not a versioned dataset (or no " +
+          "version was ever committed)")
+    }
+
+  /** Read the live version as a DataFrame. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(resolve(spark, root))
+
+  /**
+   * Commit the pointer to `version`. The swap is a rename of a freshly
+   * written temp pointer with OVERWRITE where the filesystem's
+   * FileContext supports it (atomic on HDFS/POSIX); filesystems without
+   * a FileContext binding fall back to a direct single-object overwrite
+   * — on object stores a one-key PUT, atomic at the key level.
+   */
+  def commit(spark: SparkSession, root: String, version: String): Unit = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    fs.mkdirs(rootP)
+    require(fs.exists(new Path(rootP, version)),
+      s"cannot commit $version: $root/$version does not exist")
+    val ptr = new Path(rootP, Pointer)
+    val bytes = (version + "\n").getBytes(StandardCharsets.UTF_8)
+    val tmp = new Path(rootP,
+      s".$Pointer.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try {
+      val fc = FileContext.getFileContext(rootP.toUri,
+        spark.sessionState.newHadoopConf())
+      fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        // no FileContext for this scheme (typical for object-store
+        // connectors): single-key PUT of the pointer, atomic per object
+        fs.delete(tmp, false)
+        val direct = fs.create(ptr, true)
+        try direct.write(bytes) finally direct.close()
+    }
+  }
+
+  /** Write a new version via `write(versionDir)` and commit it. Returns
+    * the version name. A crash (or exception) before the commit leaves
+    * the old version live and the fresh dir orphaned for `vacuum`. */
+  def publish(spark: SparkSession, root: String)(
+      write: String => Unit): String = {
+    val version = s"v-${java.util.UUID.randomUUID().toString.take(12)}"
+    write(s"$root/$version")
+    commit(spark, root, version)
+    version
+  }
+
+  /** Convenience: publish a DataFrame as the next version. */
+  def writeVersioned(df: DataFrame, root: String): String =
+    publish(df.sparkSession, root)(dir => df.write.parquet(dir))
+
+  /**
+   * Compact the live version into a NEW version (Compactor's rewrite,
+   * minus every data rename): read current, write
+   * ⌈bytes/targetBytes⌉ balanced files into a fresh version dir, swap the
+   * pointer. Old versions are retained until `vacuum` — time-travel for
+   * free, and the crash story is the pointer's.
+   */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Compactor.CompactResult = {
+    val live = resolve(spark, root)
+    val fs = fsOf(spark, new Path(root))
+    def files(dir: String) = {
+      val it = fs.listFiles(new Path(dir), true)
+      val out = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f.getPath
+      }
+      out.result()
+    }
+    val before = files(live)
+    val bytes = before.map(fs.getFileStatus(_).getLen).sum
+    val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (before.size <= targetFiles) {
+      val rows = spark.read.parquet(live).count()
+      return Compactor.CompactResult(before.size, before.size, bytes, rows)
+    }
+    val v = publish(spark, root) { dir =>
+      spark.read.parquet(live).repartition(targetFiles).write.parquet(dir)
+    }
+    val after = files(s"$root/$v")
+    Compactor.CompactResult(before.size, after.size, bytes,
+      spark.read.parquet(s"$root/$v").count())
+  }
+
+  /** Delete every version dir except the live one (and any in `keep`).
+    * Run AFTER readers of old versions have drained — the versioned
+    * layout itself never deletes at commit time. */
+  def vacuum(spark: SparkSession, root: String,
+      keep: Set[String] = Set.empty): Seq[String] = {
+    val live = currentVersion(spark, root)
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    if (!fs.exists(rootP)) return Seq.empty
+    fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .map(_.getPath)
+      .filterNot(p => live.contains(p.getName) || keep.contains(p.getName))
+      .map { p => fs.delete(p, true); p.getName }
+  }
+}

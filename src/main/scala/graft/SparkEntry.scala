@@ -760,6 +760,55 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // materialized IVF+PQ index: PQ codes computed ONCE at write time and
+    // stored in the cell-partitioned layout; serving is ADC over the
+    // partition-pruned probe cells — no corpus re-encode per query run
+    // (finishes build-once/serve-many for the PQ family, VERDICT r8 #1)
+    "ann_pq_served" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val marker = new org.apache.hadoop.fs.Path(s"$idx/${Similarity.ReadyMarker}")
+      val markerFs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!markerFs.exists(marker))
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+          indexKey = embCorpusKey(s, dir), pqM = Some(8))
+      Similarity.pqTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = embCorpusKey(s, dir))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // incremental index append: the index is built on the pre-existing
+    // corpus (vec_id < 400) and the new batch is assigned to the EXISTING
+    // centroids and appended — batch-cost ingest, not full-rebuild cost.
+    // The oracle trains on the pre-append rows only (trainWhere) and
+    // assigns everything, exactly mirroring append semantics.
+    "ann_ivf_appended" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ik = embCorpusKey(s, dir) + ":lt400"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfapp_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      // gate on an append-DONE marker, not ReadyMarker: writeIvfIndex
+      // sets Ready before the append runs, so a crash between the two
+      // must force a clean rebuild, not serve the half-ingested index
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_append_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") < 400), "vec_id",
+          "embedding", idx, indexKey = ik)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 400), "vec_id",
+          "embedding", idx, indexKey = ik)
+        fs.create(done, true).close()
+      }
+      Similarity.ivfTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = ik)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus)
     "lang_id_counts" -> ((s, dir) => {
@@ -1711,11 +1760,15 @@ object SparkEntry {
   private def ivfDistSql(q: String, c: String): String =
     s"list_inner_product($q, $q) + list_inner_product($c, $c) - 2 * list_inner_product($q, $c)"
 
-  /** CTEs `emb, sc, q, se, c0, a1..c$iters` replaying
+  /** CTEs `emb, sc, q, qt, se, c0, a1..c$iters` replaying
     * Similarity.trainIvfCentroids' integer Lloyd over `embSql` (which must
-    * project vec_id + DOUBLE[] v). Shared by the trained-IVF ANN oracle
-    * and the SemDeDup oracle. */
-  private def ivfTrainCtes(embSql: String, stride: Int, iters: Int): String = {
+    * project vec_id + DOUBLE[] v). Shared by the trained-IVF ANN oracle,
+    * the SemDeDup oracle, and the served-PQ oracle. `trainWhere` narrows
+    * the TRAINING corpus (`qt`) without narrowing the assignable corpus
+    * (`q`) — the appended-index oracle trains on the pre-append rows only,
+    * exactly as appendToIvfIndex assigns new batches to old centroids. */
+  private def ivfTrainCtes(embSql: String, stride: Int, iters: Int,
+      trainWhere: String = "TRUE"): String = {
     val iterCtes = (1 to iters).map { it =>
       val prev = if (it == 1) "c0" else s"c${it - 1}"
       s"""a$it AS (
@@ -1723,10 +1776,10 @@ object SparkEntry {
          |    SELECT x.vec_id, ci.c,
          |      row_number() OVER (PARTITION BY x.vec_id
          |        ORDER BY ${ivfDistSql("x.qv", "ci.cv")}, ci.c) AS rn
-         |    FROM q x CROSS JOIN $prev ci) WHERE rn = 1),
+         |    FROM qt x CROSS JOIN $prev ci) WHERE rn = 1),
          |s$it AS (
          |  SELECT a.c, dims.i, CAST(sum(x.qv[CAST(dims.i AS INT)]) AS BIGINT) AS s, count(*) AS n
-         |  FROM q x JOIN a$it a USING (vec_id)
+         |  FROM qt x JOIN a$it a USING (vec_id)
          |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
          |  GROUP BY a.c, dims.i),
          |c$it AS (
@@ -1743,21 +1796,22 @@ object SparkEntry {
        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
        |  FROM sc),
+       |qt AS (SELECT * FROM q WHERE $trainWhere),
        |se AS (
        |  SELECT $stride * greatest(1, CAST(ceil(count(*) / ($stride * 256.0)) AS BIGINT)) AS v
-       |  FROM q),
+       |  FROM qt),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
-       |  FROM q WHERE vec_id % (SELECT v FROM se) = 0),
+       |  FROM qt WHERE vec_id % (SELECT v FROM se) = 0),
        |$iterCtes""".stripMargin
   }
 
   private def annIvfTrainedSql(stride: Int = 20, iters: Int = 3,
-      nProbe: Int = 3, k: Int = 3): String = {
+      nProbe: Int = 3, k: Int = 3, trainWhere: String = "TRUE"): String = {
     val dist = (q: String, c: String) => ivfDistSql(q, c)
     s"""WITH ${ivfTrainCtes(
           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
-          stride, iters)},
+          stride, iters, trainWhere)},
        |fa AS (
        |  SELECT x.vec_id, ci.c,
        |    row_number() OVER (PARTITION BY x.vec_id
@@ -1873,6 +1927,81 @@ object SparkEntry {
        |    CAST(sum(qs.d) AS BIGINT) AS pq_dist
        |  FROM codes co JOIN subd qs ON qs.j = co.j AND qs.c = co.c
        |  WHERE qs.vec_id < 20 AND co.vec_id <> qs.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, pq_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pq_dist, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, neighbor_id, pq_dist FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /**
+   * Served IVF+PQ oracle (`ann_pq_served`): both quantizers train over
+   * the SAME int8 corpus — the IVF CTEs (`ivfTrainCtes`) give the cell
+   * layout + probes (identical to annIvfTrainedSql's fa/cells/qa), the
+   * PQ CTEs (seeded from the same `c0` stride rows, per-subspace integer
+   * Lloyd) give codes + sub-distance tables, and ADC runs over ONLY the
+   * probed cells' rows — replaying pqTopKServed over an index written
+   * with writeIvfIndex(pqM = Some(m)) exactly.
+   */
+  private def annPqServedSql(stride: Int = 20, iters: Int = 3,
+      m: Int = 8, sub: Int = 8, nProbe: Int = 3, k: Int = 3): String = {
+    def sl(e: String, j: String) = s"$e[CAST($j * $sub + 1 AS INT) : CAST($j * $sub + $sub AS INT)]"
+    def pdist(x: String, cv: String, j: String) = {
+      val xs = sl(x, j)
+      s"list_inner_product($xs, $xs) + list_inner_product($cv, $cv) - 2 * list_inner_product($xs, $cv)"
+    }
+    val pqIterCtes = (1 to iters).map { it =>
+      val prev = if (it == 1) "cb0" else s"cb${it - 1}"
+      s"""co$it AS (
+         |  SELECT vec_id, j, c FROM (
+         |    SELECT x.vec_id, cb.j, cb.c,
+         |      row_number() OVER (PARTITION BY x.vec_id, cb.j
+         |        ORDER BY ${pdist("x.qv", "cb.cv", "cb.j")}, cb.c) AS rn
+         |    FROM qt x CROSS JOIN $prev cb) WHERE rn = 1),
+         |u$it AS (
+         |  SELECT co.j, co.c, dims.i,
+         |    CAST(sum(x.qv[CAST(co.j * $sub + dims.i AS INT)]) AS BIGINT) AS s, count(*) AS n
+         |  FROM qt x JOIN co$it co USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) dims
+         |  GROUP BY co.j, co.c, dims.i),
+         |cb$it AS (
+         |  SELECT p.j, p.c,
+         |    CASE WHEN count(u.s) = 0 THEN p.cv
+         |         ELSE list(u.s // u.n ORDER BY u.i) END AS cv
+         |  FROM $prev p LEFT JOIN u$it u USING (j, c)
+         |  GROUP BY p.j, p.c, p.cv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfTrainCtes(
+          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+          stride, iters)},
+       |fa AS (
+       |  SELECT x.vec_id, ci.c,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${ivfDistSql("x.qv", "ci.cv")}, ci.c) AS rn
+       |  FROM q x CROSS JOIN c$iters ci),
+       |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND vec_id < 20),
+       |cb0 AS (
+       |  SELECT js.j, sd.c, ${sl("sd.cv", "js.j")} AS cv
+       |  FROM c0 sd CROSS JOIN (SELECT unnest(range($m)) AS j) js),
+       |$pqIterCtes,
+       |subd AS (
+       |  SELECT x.vec_id, cb.j, cb.c,
+       |    CAST(${pdist("x.qv", "cb.cv", "cb.j")} AS BIGINT) AS d
+       |  FROM q x CROSS JOIN cb$iters cb),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+       |    FROM subd) WHERE rn = 1),
+       |adc AS (
+       |  SELECT qa.query_id, ce.neighbor_id, CAST(sum(qs.d) AS BIGINT) AS pq_dist
+       |  FROM qa JOIN cells ce ON qa.cell = ce.cell AND ce.neighbor_id <> qa.query_id
+       |  JOIN codes co ON co.vec_id = ce.neighbor_id
+       |  JOIN subd qs ON qs.vec_id = qa.query_id AND qs.j = co.j AND qs.c = co.c
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT query_id, neighbor_id, pq_dist,
@@ -2822,6 +2951,8 @@ object SparkEntry {
     // replay of Similarity.pqTopKTrained: per-subspace integer Lloyd
     // training + encode + ADC (see annPqTrainedSql scaladoc)
     "ann_pq" -> annPqTrainedSql(),
+    "ann_pq_served" -> annPqServedSql(),
+    "ann_ivf_appended" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
 
     "vocab_top" ->
       """SELECT token, count(*) AS n

@@ -295,6 +295,97 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("materialized PQ index: codes served from pruned cells, ADC == full-corpus ADC on shared pairs") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString + "/index"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+      indexKey = "spec-pq", pqM = Some(8))
+    // the layout carries the codes column — serve never re-encodes
+    assert(spark.read.parquet(idx).columns.contains("codes"))
+    val served = Similarity.pqTopKServed(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-pq")
+    val rows = served.collect()
+    assert(rows.length == 5 * 3)
+    // ADC distance depends only on (query dtable, neighbor codes) — the
+    // cell restriction changes the CANDIDATE SET, never a distance. So
+    // every served pair's pq_dist must equal the full-corpus trained ADC
+    // for that same pair (codebook cached under the same key).
+    val full = Similarity.pqTopKTrained(queries, emb, "vec_id", "embedding",
+      k = 500, indexKey = Some("spec-pq"))
+      .select(col("query_id"), col("neighbor_id"), col("pq_dist").as("want"))
+    val joined = served.join(full, Seq("query_id", "neighbor_id"), "left")
+      .collect()
+    joined.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("want")), s"pair missing in full ADC: $r")
+      assert(r.getAs[Long]("pq_dist") == r.getAs[Long]("want"), s"ADC mismatch: $r")
+    }
+    // static partition pruning on the index scan, like the IVF serve path
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"PQ index scan does not partition-prune on cell:\n$plan")
+    // cold process: codebook + centroids load from the index's _centroids
+    TrainedIndex.invalidate()
+    val cold = Similarity.pqTopKServed(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-pq").collect()
+    assert(cold.sameElements(rows))
+    TrainedIndex.invalidate()
+  }
+
+  test("incremental append: append-then-serve == rebuild-then-serve with the same centroids") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val queries = emb.filter(col("vec_id") < 5)
+    val base = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfapp_").toString
+    val idxA = s"$tmp/appended"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", idxA, indexKey = "spec-app")
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", idxA, indexKey = "spec-app")
+    val servedA = Similarity.ivfTopKServed(spark, idxA, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-app").collect()
+    // rebuild over the full corpus under the SAME key: getOrTrain serves
+    // the cached centroids (trained on `base`), so the only difference
+    // from the append path is WHEN rows were assigned — results must match
+    val idxB = s"$tmp/rebuilt"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idxB, indexKey = "spec-app")
+    val servedB = Similarity.ivfTopKServed(spark, idxB, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-app").collect()
+    assert(servedA.sameElements(servedB))
+    // appended rows are genuinely served: a query's neighborhood can
+    // include post-append ids (ivf cells of the batch)
+    assert(spark.read.parquet(idxA).filter(col("vec_id") >= 300).count()
+      == batch.count())
+    TrainedIndex.invalidate()
+  }
+
+  test("append requires a ready index and carries codes on PQ indexes") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfapp2_").toString
+    intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(emb, "vec_id", "embedding",
+        s"$tmp/nothing_here", indexKey = "spec-x")
+    }
+    val idx = s"$tmp/pq"
+    val base = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", idx,
+      indexKey = "spec-app-pq", pqM = Some(8))
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", idx,
+      indexKey = "spec-app-pq", pqM = Some(8))
+    // appended rows carry codes; the PQ serve path sees the whole corpus
+    val appended = spark.read.parquet(idx).filter(col("vec_id") >= 300)
+    assert(appended.count() == batch.count())
+    assert(appended.filter(col("codes").isNull).count() == 0)
+    val served = Similarity.pqTopKServed(spark, idx,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+      indexKey = "spec-app-pq").collect()
+    assert(served.length == 5 * 3)
+    TrainedIndex.invalidate()
+  }
+
   test("LSH topK finds parallel vectors with recall 1") {
     val copies = emb.filter(col("vec_id") < 10)
       .withColumn("vec_id", col("vec_id") + 10000)

@@ -175,8 +175,16 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       n_events: Int, total_value: Double, closed_by: String)
 
-  /** First-touch millis per funnel step; -1 = unseen. */
+  /** First-touch MICROS per funnel step; -1 = unseen. µs, not ms: the
+    * batch funnel (and its oracle) compare `epoch_us` values, so a
+    * same-millisecond view/click pair must order identically here —
+    * `Timestamp.getTime` truncation to ms would merge them into a tie. */
   final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  /** µs since epoch from a Timestamp (getTime carries whole ms; the
+    * sub-ms remainder lives in getNanos). */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
   final case class FunnelOut(user_id: Long, prev_stage: Int, stage: Int,
       kind: String)
 
@@ -256,10 +264,10 @@ object EventStreams {
           } else {
             var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
             val out = Seq.newBuilder[FunnelOut]
-            var lastTs = 0L
+            var lastMs = 0L
             rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val before = funnelStageOf(st)
-              val t = e.ts.getTime
+              val t = micros(e.ts) // state compares at µs; timeouts at ms
               st = e.event_type match {
                 case "view" if st.tView < 0 || t < st.tView => st.copy(tView = t)
                 case "click" if st.tClick < 0 || t < st.tClick => st.copy(tClick = t)
@@ -271,11 +279,11 @@ object EventStreams {
               if (after != before)
                 out += FunnelOut(uid, before, after,
                   if (after > before) "advance" else "regress")
-              lastTs = math.max(lastTs, t)
+              lastMs = math.max(lastMs, e.ts.getTime)
             }
             state.update(st)
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs() + 1, lastTs) + horizonMs)
+              math.max(state.getCurrentWatermarkMs() + 1, lastMs) + horizonMs)
             out.result().iterator
           }
       }

@@ -1347,6 +1347,18 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // the 100 TB profile shape: one stacked scan, two bounded aggregation
+    // levels, distinct cardinality as HLL register state — no exact
+    // countDistinct anywhere (PlanAuditSpec pins the plan: no Expand, and
+    // every exchange bounded at ≤ |cols|·(m+1) rows per map partition).
+    // profile_table (above) keeps the exact variant for parity; this is
+    // what you run on the full table.
+    "profile_table_approx" -> ((s, dir) => {
+      graft.operators.Sketches.approxProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+        .orderBy(col("col_name"))
+    }),
+
     // hive-style partitioned layout + partition pruning: THE scan
     // optimization at 100 TB — the lang='en' read must touch only the
     // lang=en directory (PlanAuditSpec pins PartitionFilters on the scan)
@@ -2771,6 +2783,41 @@ object SparkEntry {
         |    CAST(count(DISTINCT l_linenumber) AS BIGINT),
         |    CAST(min(l_linenumber) AS BIGINT), CAST(max(l_linenumber) AS BIGINT)
         |  FROM lineitem) u
+        |ORDER BY col_name""".stripMargin,
+
+    // approxProfile replay: stack → HLL hash (same affine-square mix as
+    // hll_distinct) → (col_name, bucket) level → per-column fold; distinct
+    // cardinality as register state, min/max/nulls exact
+    "profile_table_approx" ->
+      """WITH stacked AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS BIGINT) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS BIGINT) FROM lineitem),
+        |h AS (
+        |  SELECT col_name, v,
+        |    (((v % 1000000007 + 1000000007) % 1000000007
+        |      * ((2 * 2654435761) % 1000000007) + 40520) % 1000000007) AS gv
+        |  FROM stacked),
+        |hh AS (SELECT col_name, v, (gv * gv) % 1000000007 AS hv FROM h),
+        |b AS (
+        |  SELECT col_name, v,
+        |    CASE WHEN v IS NULL THEN -1 ELSE hv % 64 END AS bucket,
+        |    hv // 64 AS q
+        |  FROM hh),
+        |lvl1 AS (
+        |  SELECT col_name, bucket, count(*) AS n,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |    min(v) AS mn, max(v) AS mx,
+        |    max(CASE WHEN q = 0 THEN 25 ELSE bit_count((q & -q) - 1) + 1 END) AS max_rho
+        |  FROM b GROUP BY 1, 2)
+        |SELECT col_name,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(nulls) AS BIGINT) AS n_nulls,
+        |  CAST(min(mn) AS BIGINT) AS min_v, CAST(max(mx) AS BIGINT) AS max_v,
+        |  CAST(sum(CASE WHEN bucket >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets,
+        |  CAST(coalesce(sum(CASE WHEN bucket >= 0 THEN max_rho END), 0) AS BIGINT) AS sum_max_rho
+        |FROM lvl1 GROUP BY col_name
         |ORDER BY col_name""".stripMargin,
 
     "partition_prune" ->

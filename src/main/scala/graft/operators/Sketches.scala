@@ -115,6 +115,49 @@ object Sketches {
   }
 
   /**
+   * One-pass approximate table profile — the 100 TB shape of
+   * `profile_table` (VERDICT r8 next #5: four exact `countDistinct`s in
+   * one aggregate is four full distinct shuffles for a profiling query).
+   * The columns are STACKED into (col_name, v) rows — a width-for-height
+   * trade inside one scan, no extra pass per column — then aggregated in
+   * two levels keyed by (col_name, HLL bucket): level 1 carries the
+   * count/null/min/max partials NEXT TO the register max-rho, level 2
+   * folds registers per column. Shuffle width is ≤ |cols|·(m+1) rows per
+   * map partition; nothing anywhere is proportional to the distinct
+   * count. Distinct cardinality is reported as HLL register STATE
+   * (n_buckets, sum_max_rho) — integers, hash-exact cross-engine, same
+   * contract as `hllRegisters` — with the float estimate left to
+   * `hllEstimate` on the driver.
+   */
+  def approxProfile(df: DataFrame, cols: Seq[String], m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS BIGINT)").mkString(", ")
+    val stacked = df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+    val lvl1 = stacked
+      .withColumn("h", hllHash(col("v")))
+      // null values hash to null — pin them to bucket -1 so the level-1
+      // key never drops rows and the null count stays in-band
+      .withColumn("bucket",
+        when(col("v").isNull, lit(-1L)).otherwise(col("h") % m))
+      .withColumn("q", expr("h div " + m))
+      .withColumn("rho",
+        when(col("q") === 0, 25)
+          .otherwise(expr("bit_count((q & -q) - 1) + 1")))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        max(col("rho")).as("max_rho"))
+    lvl1.groupBy(col("col_name"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        sum(col("nulls")).cast("long").as("n_nulls"),
+        min(col("mn")).as("min_v"), max(col("mx")).as("max_v"),
+        sum(when(col("bucket") >= 0, 1L).otherwise(0L)).cast("long").as("n_buckets"),
+        coalesce(sum(when(col("bucket") >= 0, col("max_rho"))), lit(0L))
+          .cast("long").as("sum_max_rho"))
+  }
+
+  /**
    * Bloom filter as a (j, bit) row table — the membership sketch that
    * completes the family (CMS = frequency, HLL = cardinality, Bloom =
    * membership; Bloom, CACM '70). d hash functions over 2^16 bits; the

@@ -66,6 +66,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("profile_table_approx: no distinct expansion, bounded exchanges, partial aggs") {
+    val p = plan("profile_table_approx")
+    // the exact profile pays one Expand + a distinct shuffle per column;
+    // the approx shape must have NO Expand and no distinct aggregate
+    assert(!p.contains("Expand"), s"distinct expansion leaked into the plan:\n$p")
+    assert(!p.toLowerCase.contains("distinct"), "exact distinct in the approx profile")
+    // both aggregation levels are partial before their exchange, so every
+    // exchange carries ≤ |cols|·(m+1) rows per map partition
+    assert(p.contains("partial"), "no map-side partial aggregation")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"more exchanges than the two agg levels + sort:\n$p")
+  }
+
   test("q1_agg: partial (map-side) aggregation before the exchange") {
     val p = plan("q1_agg")
     val firstAgg = p.indexOf("HashAggregate")

@@ -34,6 +34,38 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(text.linesIterator.size == 6)
   }
 
+  test("sharded CSV export: executor-zipped shards + manifest; union == funnel archive") {
+    val df = spark.range(0, 97).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id")))
+    val dir = tmpDir
+    val r = Exporter.exportCsvSharded(df, "sh", shards = 4, dir)
+    assert(r.rows == 97)
+    assert(r.shardPaths.length == 4)
+    // manifest records every shard and the total
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(r.manifestPath).toUri.getPath)))
+    assert(manifest.contains("\"rows\":97"))
+    assert((0 until 4).forall(i => manifest.contains(f"sh-$i%05d.zip")))
+    // each shard is independently importable (own header), and the union
+    // of all shards is exactly the single-archive (funnel) content
+    val rows = r.shardPaths.flatMap { p =>
+      val zf = new ZipFile(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+      val entries = zf.entries().asScala.toSeq
+      assert(entries.length == 1)
+      val text = new String(zf.getInputStream(entries.head).readAllBytes())
+      zf.close()
+      val lines = text.linesIterator.toSeq
+      assert(lines.head == "id,name")
+      lines.tail
+    }
+    val funnel = Exporter.exportCsv(df, "sh_one", dir)
+    val zf = new ZipFile(funnel.path)
+    val funnelLines = new String(zf.getInputStream(zf.getEntry("sh_one.csv"))
+      .readAllBytes()).linesIterator.toSeq
+    zf.close()
+    assert(rows.sorted == funnelLines.tail.sorted)
+  }
+
   test("KMZ export contains doc.kml with placemarks (S12)") {
     val r = Exporter.exportKml(geoDf, "t2", dir = tmpDir)
     assert(r.importType == ".kml" && r.path.endsWith(".kmz"))

@@ -68,8 +68,16 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
+        // a failed rep surfaces its cause on stderr (the JSON line on
+        // stdout stays parseable): silent -1s cost a debugging session
         val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            var c = e.getCause
+            while (c != null) {
+              System.err.println(s"[bench]   caused by: $c"); c = c.getCause }
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators cache internal tables (signature/tf projections); drop
         // them so memory stays flat across the suite and no query's timing

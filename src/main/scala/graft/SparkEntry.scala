@@ -857,6 +857,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the PQ twin of ann_ivf_appended: the appended batch is ENCODED with
+    // the existing codebook (appendToIvfIndex pqM) and served by ADC from
+    // the stored codes — build/serve/append now all exist for both
+    // quantizers. Oracle trains on the pre-append rows only (trainWhere)
+    // and encodes/assigns everything, exactly mirroring append semantics.
+    "ann_pq_appended" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ik = embCorpusKey(s, dir) + ":lt400pq"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_pqapp_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_append_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") < 400), "vec_id",
+          "embedding", idx, indexKey = ik, pqM = Some(8))
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 400), "vec_id",
+          "embedding", idx, indexKey = ik, pqM = Some(8))
+        fs.create(done, true).close()
+      }
+      Similarity.pqTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = ik)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus)
     "lang_id_counts" -> ((s, dir) => {
@@ -2043,7 +2069,8 @@ object SparkEntry {
    * with writeIvfIndex(pqM = Some(m)) exactly.
    */
   private def annPqServedSql(stride: Int = 20, iters: Int = 3,
-      m: Int = 8, sub: Int = 8, nProbe: Int = 3, k: Int = 3): String = {
+      m: Int = 8, sub: Int = 8, nProbe: Int = 3, k: Int = 3,
+      trainWhere: String = "TRUE"): String = {
     def sl(e: String, j: String) = s"$e[CAST($j * $sub + 1 AS INT) : CAST($j * $sub + $sub AS INT)]"
     def pdist(x: String, cv: String, j: String) = {
       val xs = sl(x, j)
@@ -2072,7 +2099,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH ${ivfTrainCtes(
           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
-          stride, iters)},
+          stride, iters, trainWhere)},
        |fa AS (
        |  SELECT x.vec_id, ci.c,
        |    row_number() OVER (PARTITION BY x.vec_id
@@ -3112,6 +3139,7 @@ object SparkEntry {
     "ann_pq" -> annPqTrainedSql(),
     "ann_pq_served" -> annPqServedSql(),
     "ann_ivf_appended" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
+    "ann_pq_appended" -> annPqServedSql(trainWhere = "vec_id < 400"),
 
     "vocab_top" ->
       """SELECT token, count(*) AS n

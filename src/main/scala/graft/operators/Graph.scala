@@ -60,22 +60,26 @@ object Graph {
    *
    * Scale shape: below `driverMaxEdges` the whole graph fits in a driver
    * array and a local loop wins by orders of magnitude (per-stage
-   * scheduling dwarfs the arithmetic); above it, the edge list is
-   * hash-partitioned by src ONCE and the degree table joined into it, so
-   * every per-round operation is narrow except the single reduceByKey
-   * that aggregates messages by dst — one |E|-linear shuffle per round
-   * (plus, only when sinks exist, one |sinks|-sized sum action for D).
-   * Rounds chain lazily with a materialization every 8th round, so
-   * lineage stays bounded without paying a scheduling action per round.
-   * Both paths use the same integer arithmetic (GraphSpec proves them
-   * equal across the gate).
+   * scheduling dwarfs the arithmetic — measured at sf1: 2.6 s dense vs
+   * 40 s distributed on the same 11.7M-edge graph); above it, the edge
+   * list is hash-partitioned by src ONCE and the degree table joined
+   * into it, so every per-round operation is narrow except the single
+   * reduceByKey that aggregates messages by dst — one |E|-linear shuffle
+   * per round (plus, only when sinks exist, one |sinks|-sized sum action
+   * for D). Rounds chain lazily with a materialization every 8th round,
+   * so lineage stays bounded without paying a scheduling action per
+   * round. The default gate (32M symmetrized edges) costs the driver two
+   * 32M int arrays + per-node longs ≈ 300 MB transient — sized for the
+   * chunky driver a centrality job deserves; a web-scale edge list
+   * (billions) still goes distributed. Both paths use the same integer
+   * arithmetic (GraphSpec proves them equal across the gate).
    *
    * Returns (node, rank) with Σrank ≤ MassUnits (truncation loses at
    * most one unit per edge/node per round).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampPct: Int = 85, symmetrize: Boolean = false,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 32000000L): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
@@ -102,29 +106,42 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
     // Size gate (same pattern as duplicateClusters' union-find): the
     // edge list of a centrality computation is usually orders of
-    // magnitude smaller than the corpus that produced it, and below
-    // 4M edges (≤ 64 MB of longs, and a measured 0.3 s/3-round loop at
-    // 1M edges) the distributed loop pays seconds of per-stage
-    // scheduling where a driver loop pays milliseconds.
-    // The gate DECISION is a limit-probe collect: one pass when the
-    // graph fits (no count-then-collect double scan, no cache fill), an
-    // early-stopping cheap probe when it doesn't. Identical integer
-    // arithmetic on both paths, proven equal across the gate in
-    // GraphSpec.
-    // clamp before toInt: a Long.MaxValue-ish gate must not overflow into
-    // a negative LIMIT
-    val probeLimit = math.min(driverMaxEdges / mult, Int.MaxValue - 1L).toInt + 1
-    val probe = eDf0.limit(probeLimit).collect()
-    if (probe.isEmpty)
+    // magnitude smaller than the corpus that produced it, and below the
+    // gate the distributed loop pays seconds of per-stage scheduling
+    // where a driver loop pays milliseconds (sf1: 2.6 s vs 40 s on the
+    // same graph). The gate DECISION is an exact count over the CACHED
+    // edge projection — the distributed path needs that cache + count
+    // anyway, and the dense path re-reads the cache once for its
+    // collect, so neither path pays a second derivation. (The previous
+    // limit-probe collected up to `driverMaxEdges` boxed Rows just to
+    // decide — the decision itself cost more driver memory than the
+    // dense state it guarded.)
+    val eDfC = eDf0.cache()
+    val nDirected = eDfC.count()
+    if (nDirected == 0L) {
+      eDfC.unpersist(false)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], outSchema)
-    if (probe.length.toLong * mult <= driverMaxEdges) {
+    }
+    if (nDirected * mult <= math.min(driverMaxEdges, Int.MaxValue - 2L)) {
       // dense-index the node ids ONCE, then every round is primitive-array
       // arithmetic: the LongMap-of-tuples spelling this replaces spent
       // ~1.2 s/query on boxing + hashing at 1.17M edges (sf0.1), where
       // the array loop is ~10 ms. Identical integer math — GraphSpec pins
       // equality against the reference and the distributed path.
-      val m0 = probe.length
+      // The collect ships one primitive Array[Long] (src,dst interleaved)
+      // per partition — no Row boxing: at the 32M-edge gate that is
+      // 512 MB of longs instead of multiple GB of Row objects, and it
+      // reads the cache the count just filled.
+      val chunks = eDfC.queryExecution.toRdd.mapPartitions { it =>
+        val b = mutable.ArrayBuilder.make[Long]
+        while (it.hasNext) {
+          val r = it.next(); b += r.getLong(0); b += r.getLong(1)
+        }
+        Iterator.single(b.result())
+      }.collect()
+      eDfC.unpersist(false)
+      val m0 = nDirected.toInt
       val mTot = m0 * mult
       val idx = mutable.LongMap.empty[Int]
       def indexOf(x: Long): Int =
@@ -132,12 +149,14 @@ object Graph {
       val se = new Array[Int](mTot)
       val de = new Array[Int](mTot)
       var i = 0
-      while (i < m0) {
-        val a = indexOf(probe(i).getLong(0))
-        val b = indexOf(probe(i).getLong(1))
-        se(i) = a; de(i) = b
-        if (symmetrize) { se(m0 + i) = b; de(m0 + i) = a }
-        i += 1
+      for (chunk <- chunks) {
+        var p = 0
+        while (p < chunk.length) {
+          val a = indexOf(chunk(p)); val b = indexOf(chunk(p + 1))
+          se(i) = a; de(i) = b
+          if (symmetrize) { se(m0 + i) = b; de(m0 + i) = a }
+          i += 1; p += 2
+        }
       }
       val n = idx.size
       val deg = new Array[Long](n)
@@ -172,13 +191,12 @@ object Graph {
           math.max(1, rows.length / 500000)),
         outSchema)
     }
-    // distributed path: cache the edge projection (it seeds both the
-    // count and the partitioned RDD); `symmetrize` reverses edges after
-    // this cache boundary — a caller-side `e0.unionAll(e0.reversed)`
-    // would plant the edge-derivation subtree twice in one plan and
-    // compute it twice
-    val eDf = eDf0.cache()
-    val nEdges = eDf.count() * mult
+    // distributed path: the gate already cached and counted the edge
+    // projection; `symmetrize` reverses edges after this cache boundary —
+    // a caller-side `e0.unionAll(e0.reversed)` would plant the
+    // edge-derivation subtree twice in one plan and compute it twice
+    val eDf = eDfC
+    val nEdges = nDirected * mult
     // shuffle width sized to the graph, not the cluster default
     val width = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,

@@ -441,11 +441,43 @@ object Similarity {
    * process registry, loading from the index's own `_centroids` table on
    * a cold process — no retraining anywhere on the serve path.
    */
+  /** Driver-side replica of IvfCellsL2 (VectorFunctions.scala) — top-n
+    * cell ids by (int-L2 asc, centroid index asc), output ordered by
+    * distance. The served paths assign their QUERY vectors (tiny by
+    * contract) here instead of planting a centroid-table literal (up to
+    * 256×64 longs) in the Catalyst plan: analysis + codegen of that
+    * literal tree dominated warm serve time (measured ~1 s/plan at 256
+    * cells), and the arithmetic is bit-identical either way. */
+  private def probeCellsLocal(q: Array[Long],
+      cents: IndexedSeq[IndexedSeq[Long]], nProbe: Int): Array[Long] = {
+    val n = math.min(nProbe, cents.length)
+    val topD = Array.fill(n)(Long.MaxValue)
+    val topCid = new Array[Long](n)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val m = math.min(q.length, cv.length)
+      var d = 0L
+      var i = 0
+      while (i < m) { val t = q(i) - cv(i); d += t * t; i += 1 }
+      var p = n
+      while (p > 0 && d < topD(p - 1)) p -= 1
+      if (p < n) {
+        var j = n - 1
+        while (j > p) { topD(j) = topD(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+        topD(p) = d; topCid(p) = c.toLong
+      }
+      c += 1
+    }
+    var filled = 0
+    while (filled < n && topD(filled) != Long.MaxValue) filled += 1
+    java.util.Arrays.copyOf(topCid, filled)
+  }
+
   def ivfTopKServed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, indexKey: String,
       nProbe: Int = 3, stride: Int = 20, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.functions.typedlit
     requireIndexReady(spark, indexPath)
     val key = ivfKey(indexKey, idCol, vecCol, stride, iters)
     val cents = TrainedIndex.get(key).getOrElse {
@@ -453,17 +485,22 @@ object Similarity {
       TrainedIndex.get(key).getOrElse(throw new IllegalStateException(
         s"index at $indexPath does not carry centroids for $key"))
     }
-    val cbLit = typedlit(cents)
-    val cidLit = typedlit(cents.indices.map(_.toLong))
     // the query set is the small (broadcast) side by CONTRACT, so it is
     // evaluated ONCE, on the driver: the collected rows provide both the
     // literal probe-cell list (static partition pruning on the index
     // scan) and the broadcast probe table — re-deriving the quantization
-    // subtree for the join would double the per-serve query-side work
+    // subtree for the join would double the per-serve query-side work.
+    // Cell assignment happens driver-side (probeCellsLocal) so the
+    // collect plan carries no centroid literal.
     val probeRows = withInt8(queries, vecCol)
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast(D).as("qvec"),
-        explode(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, nProbe)).as("cell"))
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast(D).as("qvec"), col("__q"))
       .collect()
+      .flatMap { r =>
+        val q = r.getSeq[Long](2).toArray
+        probeCellsLocal(q, cents, nProbe)
+          .map(cell => org.apache.spark.sql.Row(r.get(0), r.get(1), cell))
+      }
     val probeSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id",
         org.apache.spark.sql.types.LongType),
@@ -508,7 +545,6 @@ object Similarity {
       indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, indexKey: String,
       nProbe: Int = 3, m: Int = 8, stride: Int = 20, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.functions.typedlit
     requireIndexReady(spark, indexPath)
     def served(key: String): IndexedSeq[IndexedSeq[Long]] =
       TrainedIndex.get(key).getOrElse {
@@ -520,21 +556,35 @@ object Similarity {
     val cb = served(pqKey(indexKey, idCol, vecCol, m, stride, iters))
     val ksub = cb.length / m
     val sub = cb.head.length
-    val cbIvf = typedlit(cents)
-    val cidLit = typedlit(cents.indices.map(_.toLong))
     // query side evaluated ONCE on the driver (broadcast side by
     // contract): each collected row carries the query's integer
-    // sub-distance table plus one probed cell
+    // sub-distance table plus one probed cell. Both the dtable and the
+    // cell assignment are computed driver-side from the served codebook —
+    // the previous spelling planted the whole codebook (m·ksub·sub longs)
+    // as a typedlit in the plan, and Catalyst analysis + codegen of that
+    // literal tree cost ~seconds per serve. Integer math is identical:
+    // dtable[ci] = Σ_j (q[(ci div ksub)·sub + j] − cb[ci][j])², exactly
+    // the SQL replay in annPqServedSql.
     val qRows = withInt8(queries, vecCol)
-      .withColumn("__cb", typedlit(cb))
-      .select(col(idCol).cast("long").as("query_id"),
-        expr(
-          s"""transform(__cb, (cv, idx) ->
-             |  aggregate(zip_with(slice(__q, (idx div $ksub) * $sub + 1, $sub), cv,
-             |    (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v))""".stripMargin)
-          .as("dtable"),
-        explode(vec_ivf_cells_l2(col("__q"), cbIvf, cidLit, nProbe)).as("cell"))
+      .select(col(idCol).cast("long").as("query_id"), col("__q"))
       .collect()
+      .flatMap { r =>
+        val q = r.getSeq[Long](1).toArray
+        val dtable = new Array[Long](cb.length)
+        var ci = 0
+        while (ci < cb.length) {
+          val cv = cb(ci)
+          val off = (ci / ksub) * sub
+          var s0 = 0L
+          var j = 0
+          while (j < sub) { val d = q(off + j) - cv(j); s0 += d * d; j += 1 }
+          dtable(ci) = s0
+          ci += 1
+        }
+        val dseq: Seq[Long] = dtable.toIndexedSeq
+        probeCellsLocal(q, cents, nProbe)
+          .map(cell => org.apache.spark.sql.Row(r.getLong(0), dseq, cell))
+      }
     val qSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id",
         org.apache.spark.sql.types.LongType),

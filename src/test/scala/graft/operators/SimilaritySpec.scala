@@ -383,6 +383,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
       indexKey = "spec-app-pq").collect()
     assert(served.length == 5 * 3)
+    // PQ append-then-serve == rebuild-then-serve: the rebuild under the
+    // SAME key serves the cached quantizers (trained on `base`), so the
+    // only difference from the append path is WHEN rows were encoded
+    val idxB = s"$tmp/pq_rebuilt"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idxB,
+      indexKey = "spec-app-pq", pqM = Some(8))
+    val servedB = Similarity.pqTopKServed(spark, idxB,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+      indexKey = "spec-app-pq").collect()
+    assert(served.sameElements(servedB))
     TrainedIndex.invalidate()
   }
 

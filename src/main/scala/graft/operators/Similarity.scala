@@ -355,11 +355,78 @@ object Similarity {
     }
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     TrainedIndex.save(spark, s"$path/_centroids", onlyKeys = Some(keys))
+    writeCellMap(spark, path)
     // completeness marker LAST: parquet's own _SUCCESS appears before the
     // centroids exist, so a crash in between would otherwise leave a
     // torn index that looks servable — gate readers on THIS marker
     val ready = new org.apache.hadoop.fs.Path(s"$path/$ReadyMarker")
     ready.getFileSystem(spark.sessionState.newHadoopConf()).create(ready, true).close()
+  }
+
+  /** Name of the index's cell→files manifest. One small object listing
+    * every data file per cell, rewritten by build and append. Serves read
+    * it instead of running partition discovery over every `cell=` dir —
+    * a fresh-session serve measured ~0.75 s of pure directory listing at
+    * 256 cells locally, and object-store LIST calls at real scale. For
+    * APPEND it is also the atomicity point: the appended files become
+    * visible to manifest-reading serves only when the single-object
+    * manifest write lands, so a crash mid-append leaves the previous
+    * index view servable (single maintenance writer, like the rest of
+    * the sink path). Serves fall back to directory discovery when the
+    * manifest is absent (pre-manifest indexes stay readable). */
+  val CellMapFile: String = "_cellmap"
+
+  private def writeCellMap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val sb = new StringBuilder
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("cell=")).foreach { d =>
+      val cell = d.getPath.getName.substring("cell=".length)
+      fs.listStatus(d.getPath).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+          sb.append(cell).append('\t')
+            .append(d.getPath.getName).append('/').append(n).append('\n')
+      }
+    }
+    val out = fs.create(new Path(root, CellMapFile), true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Scan of the probed cells of a materialized index: via the manifest
+    * when present (explicit file list + basePath, so the `cell` partition
+    * column still materializes and NO per-cell-dir listing happens), else
+    * via partition discovery + pruning filter. Both return only rows of
+    * `probeCells`. */
+  private def readProbedCells(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, probeCells: Array[Long]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mapFile = new Path(root, CellMapFile)
+    val fromManifest: Option[DataFrame] = if (!fs.exists(mapFile)) None else {
+      val len = fs.getFileStatus(mapFile).getLen.toInt
+      val in = fs.open(mapFile)
+      val txt = try {
+        val b = new Array[Byte](len); in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val want = probeCells.toSet
+      val files = txt.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
+        val i = line.indexOf('\t')
+        val cell = line.substring(0, i).toLong
+        if (want(cell)) Some(s"$indexPath/${line.substring(i + 1)}") else None
+      }.toSeq
+      if (files.isEmpty) None // empty selection: let the fallback produce the (empty) result with the right schema
+      else Some(spark.read.option("basePath", indexPath).parquet(files: _*))
+    }
+    fromManifest.getOrElse(
+      spark.read.parquet(indexPath)
+        .filter(col("cell").isin(probeCells.map(Long.box): _*)))
   }
 
   /**
@@ -409,6 +476,9 @@ object Similarity {
           element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
     }
     assigned.write.mode("append").partitionBy("cell").parquet(path)
+    // manifest LAST: the appended files become visible to manifest-reading
+    // serves only on this single-object write (see CellMapFile)
+    writeCellMap(spark, path)
   }
 
   /** Marker file whose presence means a materialized IVF index is
@@ -510,8 +580,7 @@ object Similarity {
     val probes = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probeSchema)
     val probeCells = probeRows.map(_.getLong(2)).distinct.sorted
-    val cand = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(probeCells.map(Long.box): _*))
+    val cand = readProbedCells(spark, indexPath, probeCells)
       .select(col("cell").cast("long").as("cell"),
         col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cvec"))
     val scored = broadcast(probes).join(cand, Seq("cell"))
@@ -596,8 +665,7 @@ object Similarity {
     val probes = spark.createDataFrame(
       spark.sparkContext.parallelize(qRows.toIndexedSeq, 1), qSchema)
     val probeCells = qRows.map(_.getLong(2)).distinct.sorted
-    val cand = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(probeCells.map(Long.box): _*))
+    val cand = readProbedCells(spark, indexPath, probeCells)
       .select(col("cell").cast("long").as("cell"),
         col(idCol).as("neighbor_id"), col("codes"))
     val scored = broadcast(probes).join(cand, Seq("cell"))

@@ -267,10 +267,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val want = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding",
       k = 3, indexKey = Some("spec-ivf")).collect()
     assert(served.collect().sameElements(want))
-    // the index scan must touch only the probed cells (static pruning)
-    val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell"),
-      s"index scan does not partition-prune on cell:\n$plan")
+    // the index scan must touch only the probed cells — with the cell
+    // manifest this is an explicit pruned FILE list (no PartitionFilters
+    // in the plan because discovery never ran); assert on the scanned
+    // files themselves, which pins BOTH serve shapes
+    val cellsOnDisk = new java.io.File(idx).listFiles
+      .count(_.getName.startsWith("cell="))
+    val scannedCells = served.inputFiles
+      .flatMap(f => "cell=([0-9]+)".r.findFirstMatchIn(f).map(_.group(1)))
+      .distinct
+    assert(scannedCells.nonEmpty && scannedCells.length < cellsOnDisk,
+      s"index scan reads ${scannedCells.length} of $cellsOnDisk cells — no pruning")
     // cold-process serve: registry cleared, centroids load from the index
     TrainedIndex.invalidate()
     val cold = Similarity.ivfTopKServed(spark, idx, queries,
@@ -321,10 +328,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(!r.isNullAt(r.fieldIndex("want")), s"pair missing in full ADC: $r")
       assert(r.getAs[Long]("pq_dist") == r.getAs[Long]("want"), s"ADC mismatch: $r")
     }
-    // static partition pruning on the index scan, like the IVF serve path
-    val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell"),
-      s"PQ index scan does not partition-prune on cell:\n$plan")
+    // pruned-file-list scan, like the IVF serve path (see the pin there)
+    val cellsOnDisk = new java.io.File(idx).listFiles
+      .count(_.getName.startsWith("cell="))
+    val scannedCells = served.inputFiles
+      .flatMap(f => "cell=([0-9]+)".r.findFirstMatchIn(f).map(_.group(1)))
+      .distinct
+    assert(scannedCells.nonEmpty && scannedCells.length < cellsOnDisk,
+      s"PQ index scan reads ${scannedCells.length} of $cellsOnDisk cells — no pruning")
     // cold process: codebook + centroids load from the index's _centroids
     TrainedIndex.invalidate()
     val cold = Similarity.pqTopKServed(spark, idx, queries,
@@ -393,6 +404,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
       indexKey = "spec-app-pq").collect()
     assert(served.sameElements(servedB))
+    TrainedIndex.invalidate()
+  }
+
+  test("cell manifest: build+append write it; fallback serve is identical") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cellmap_").toString
+    val idx = s"$tmp/idx"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), "vec_id",
+      "embedding", idx, indexKey = "spec-map", pqM = Some(8))
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 300), "vec_id",
+      "embedding", idx, indexKey = "spec-map", pqM = Some(8))
+    val mapP = new org.apache.hadoop.fs.Path(s"$idx/${Similarity.CellMapFile}")
+    val fs = mapP.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(mapP))
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.pqTopKServed(spark, idx, q, "vec_id", "embedding",
+      k = 3, indexKey = "spec-map").collect()
+    val b = Similarity.ivfTopKServed(spark, idx, q, "vec_id", "embedding",
+      k = 3, indexKey = "spec-map").collect()
+    // appended rows are served through the manifest
+    assert(a.map(_.getLong(2)).exists(_ >= 300) ||
+      b.map(_.getLong(2)).exists(_ >= 300))
+    // pre-manifest index (manifest deleted): directory-discovery fallback
+    // must produce the identical result
+    fs.delete(mapP, false)
+    val a2 = Similarity.pqTopKServed(spark, idx, q, "vec_id", "embedding",
+      k = 3, indexKey = "spec-map").collect()
+    val b2 = Similarity.ivfTopKServed(spark, idx, q, "vec_id", "embedding",
+      k = 3, indexKey = "spec-map").collect()
+    assert(a.sameElements(a2) && b.sameElements(b2))
     TrainedIndex.invalidate()
   }
 

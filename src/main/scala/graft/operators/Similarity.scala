@@ -481,6 +481,36 @@ object Similarity {
     writeCellMap(spark, path)
   }
 
+  /**
+   * Compact a materialized index in place. `appendToIvfIndex` adds one
+   * file set per append per cell, so a steadily-ingesting index sprawls
+   * toward many small files — the classic streaming-sink pathology, here
+   * on the index layout. This bin-packs each cell's sub-threshold files
+   * (Compactor.compactParquetSelective per cell dir: bytes rewritten ∝
+   * sprawl, healthy files renamed not rewritten) and then re-commits the
+   * cell manifest so serves see the packed file set. Single maintenance
+   * writer, like append; a manifest-reading serve racing the compaction
+   * can observe vanished files and should retry — zero-downtime
+   * maintenance belongs to the Versioned layout (sinks/Versioned.scala).
+   */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long = 128L * 1024 * 1024)
+      : graft.sinks.Compactor.CompactResult = {
+    import graft.sinks.Compactor
+    requireIndexReady(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val results = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(d => Compactor.compactParquetSelective(
+        spark, d.getPath.toString, targetBytes))
+    writeCellMap(spark, path)
+    results.foldLeft(Compactor.CompactResult(0, 0, 0L, 0L)) { (a, b) =>
+      Compactor.CompactResult(a.filesBefore + b.filesBefore,
+        a.filesAfter + b.filesAfter, a.bytes + b.bytes, a.rows + b.rows)
+    }
+  }
+
   /** Marker file whose presence means a materialized IVF index is
     * COMPLETE (corpus partitions + centroids). Check this, not parquet's
     * `_SUCCESS`, before serving from an index directory. */

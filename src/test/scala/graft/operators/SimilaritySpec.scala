@@ -438,6 +438,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("index compaction: append sprawl packed per cell, serve unchanged") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idxcomp_").toString
+    val idx = s"$tmp/idx"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 200), "vec_id",
+      "embedding", idx, indexKey = "spec-comp", pqM = Some(8))
+    // three appends -> three file generations per touched cell
+    Seq((200, 330), (330, 460), (460, 10000)).foreach { case (lo, hi) =>
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi), "vec_id",
+        "embedding", idx, indexKey = "spec-comp", pqM = Some(8))
+    }
+    val q = emb.filter(col("vec_id") < 5)
+    val before = Similarity.pqTopKServed(spark, idx, q, "vec_id",
+      "embedding", k = 3, indexKey = "spec-comp").collect()
+    val stats = Similarity.compactIvfIndex(spark, idx)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction did not reduce files: $stats")
+    val after = Similarity.pqTopKServed(spark, idx, q, "vec_id",
+      "embedding", k = 3, indexKey = "spec-comp").collect()
+    assert(before.sameElements(after))
+    // the re-committed manifest names only live files
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$idx/${Similarity.CellMapFile}"))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    txt.split('\n').filter(_.nonEmpty).foreach { line =>
+      val rel = line.substring(line.indexOf('\t') + 1)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$rel")),
+        s"manifest names a dead file: $rel")
+    }
+    TrainedIndex.invalidate()
+  }
+
   test("LSH topK finds parallel vectors with recall 1") {
     val copies = emb.filter(col("vec_id") < 10)
       .withColumn("vec_id", col("vec_id") + 10000)

@@ -321,6 +321,12 @@ object Similarity {
    * corpus, not the corpus.
    *
    * `indexKey` is required: an on-disk index IS a corpus identity.
+   *
+   * Zero-downtime rebuilds: publish into a Versioned root —
+   * `Versioned.publish(spark, root)(dir => writeIvfIndex(corpus, …, dir, …))`
+   * and serve `Versioned.resolve(spark, root)`. The old version stays
+   * fully served until the pointer swap; a crashed rebuild strands only
+   * an orphan version dir (SimilaritySpec "versioned index" pins this).
    */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, indexKey: String,

@@ -438,6 +438,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("versioned index: old version served until a rebuild commits") {
+    import Similarity.TrainedIndex
+    import graft.sinks.Versioned
+    TrainedIndex.invalidate()
+    val root = java.nio.file.Files.createTempDirectory("graft_vidx_")
+      .toString + "/idx"
+    val q = emb.filter(col("vec_id") < 5)
+    val v1 = Versioned.publish(spark, root) { dir =>
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), "vec_id",
+        "embedding", dir, indexKey = "spec-vidx")
+    }
+    val r1 = Similarity.ivfTopKServed(spark, Versioned.resolve(spark, root),
+      q, "vec_id", "embedding", k = 3, indexKey = "spec-vidx").collect()
+    assert(r1.length == 5 * 3)
+    // a rebuild that dies before commit leaves v1 live and fully served —
+    // the zero-downtime maintenance story the in-place compactor cannot
+    // offer (its scaladoc sends object-store callers here)
+    intercept[RuntimeException] {
+      Versioned.publish(spark, root) { dir =>
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir,
+          indexKey = "spec-vidx")
+        throw new RuntimeException("crash before commit")
+      }
+    }
+    assert(Versioned.currentVersion(spark, root).contains(v1))
+    val rMid = Similarity.ivfTopKServed(spark, Versioned.resolve(spark, root),
+      q, "vec_id", "embedding", k = 3, indexKey = "spec-vidx").collect()
+    assert(rMid.sameElements(r1))
+    // a successful full-corpus rebuild swaps atomically; the new serve
+    // sees post-300 neighbors the old version could not contain
+    Versioned.publish(spark, root) { dir =>
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir,
+        indexKey = "spec-vidx")
+    }
+    val r2 = Similarity.ivfTopKServed(spark, Versioned.resolve(spark, root),
+      q, "vec_id", "embedding", k = 3, indexKey = "spec-vidx").collect()
+    assert(r2.length == 5 * 3)
+    TrainedIndex.invalidate()
+  }
+
   test("index compaction: append sprawl packed per cell, serve unchanged") {
     import Similarity.TrainedIndex
     TrainedIndex.invalidate()

@@ -393,8 +393,14 @@ object SparkEntry {
           .writeStream.format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(180000)
-        ()
+        // awaitTermination(timeout) returns false while the query is
+        // still live — proceeding then would read partial output (or
+        // start a second query on the same checkpoint); fail loudly
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "funnel stream batch did not finish within 180 s")
+        }
       }
       mem.addData(ev.toIndexedSeq)
       run()
@@ -1627,8 +1633,11 @@ object SparkEntry {
       // edge skeleton served build-once (ensureEdges): the derivation
       // join + distinct — the query's measured residual — runs only on
       // the first invocation per corpus; repeat centrality runs scan the
-      // two-column parquet skeleton instead
-      val tag = fsTag(s, dir, "lineitem.parquet")
+      // two-column parquet skeleton instead. The key stamps BOTH
+      // derivation inputs: a refreshed orders table must invalidate the
+      // skeleton even when lineitem is untouched
+      val tag = fsTag(s, dir, "lineitem.parquet") + "_" +
+        corpusStamp(s, dir, "orders.parquet")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v1_$tag"
       val e0 = graft.operators.Graph.ensureEdges(s, {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -1984,31 +1993,37 @@ object SparkEntry {
        |SELECT c.vec_id, c.cell FROM cells c LEFT JOIN dup d USING (vec_id)
        |WHERE d.vec_id IS NULL ORDER BY c.vec_id""".stripMargin
 
-  /**
-   * Trained-PQ oracle: replays Similarity.trainPqCodebook's per-subspace
-   * integer Lloyd (same exactness argument as annIvfTrainedSql), then the
-   * encode/ADC/rank replay the PqEncode/PqAdc semantics. Sub-distances
-   * use list_inner_product over 1-based inclusive list slices.
-   */
-  private def annPqTrainedSql(stride: Int = 20, iters: Int = 3,
-      m: Int = 8, sub: Int = 8, k: Int = 3): String = {
-    def sl(e: String, j: String) = s"$e[CAST($j * $sub + 1 AS INT) : CAST($j * $sub + $sub AS INT)]"
-    def dist(x: String, cv: String, j: String) = {
-      val xs = sl(x, j)
-      s"list_inner_product($xs, $xs) + list_inner_product($cv, $cv) - 2 * list_inner_product($xs, $cv)"
-    }
+  /** 1-based inclusive list slice of subspace `j` — shared PQ SQL piece. */
+  private def pqSliceSql(e: String, j: String, sub: Int): String =
+    s"$e[CAST($j * $sub + 1 AS INT) : CAST($j * $sub + $sub AS INT)]"
+
+  private def pqDistSql(x: String, cv: String, j: String, sub: Int): String = {
+    val xs = pqSliceSql(x, j, sub)
+    s"list_inner_product($xs, $xs) + list_inner_product($cv, $cv) - 2 * list_inner_product($xs, $cv)"
+  }
+
+  /** Per-subspace integer-Lloyd + encode CTEs shared by the trained-PQ
+    * and served-PQ oracles (they previously duplicated ~40 lines, so a
+    * fix to the PQ math had to land twice). Assumes the caller defined
+    * `q` (int8 corpus) and `cb0` (seed codebook as (j, c, cv));
+    * `trainCorpus` is the CTE the Lloyd iterations fold over (`q`, or
+    * `qt` for trainWhere-narrowed oracles). Emits co/u/cb per iteration
+    * plus `subd` (all corpus sub-distances vs the final codebook) and
+    * `codes` (argmin encode). */
+  private def pqLloydEncodeCtes(trainCorpus: String, iters: Int,
+      m: Int, sub: Int): String = {
     val iterCtes = (1 to iters).map { it =>
       val prev = if (it == 1) "cb0" else s"cb${it - 1}"
       s"""co$it AS (
          |  SELECT vec_id, j, c FROM (
          |    SELECT x.vec_id, cb.j, cb.c,
          |      row_number() OVER (PARTITION BY x.vec_id, cb.j
-         |        ORDER BY ${dist("x.qv", "cb.cv", "cb.j")}, cb.c) AS rn
-         |    FROM q x CROSS JOIN $prev cb) WHERE rn = 1),
+         |        ORDER BY ${pqDistSql("x.qv", "cb.cv", "cb.j", sub)}, cb.c) AS rn
+         |    FROM $trainCorpus x CROSS JOIN $prev cb) WHERE rn = 1),
          |u$it AS (
          |  SELECT co.j, co.c, dims.i,
          |    CAST(sum(x.qv[CAST(co.j * $sub + dims.i AS INT)]) AS BIGINT) AS s, count(*) AS n
-         |  FROM q x JOIN co$it co USING (vec_id)
+         |  FROM $trainCorpus x JOIN co$it co USING (vec_id)
          |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) dims
          |  GROUP BY co.j, co.c, dims.i),
          |cb$it AS (
@@ -2018,6 +2033,27 @@ object SparkEntry {
          |  FROM $prev p LEFT JOIN u$it u USING (j, c)
          |  GROUP BY p.j, p.c, p.cv)""".stripMargin
     }.mkString(",\n")
+    s"""$iterCtes,
+       |subd AS (
+       |  SELECT x.vec_id, cb.j, cb.c,
+       |    CAST(${pqDistSql("x.qv", "cb.cv", "cb.j", sub)} AS BIGINT) AS d
+       |  FROM q x CROSS JOIN cb$iters cb),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+       |    FROM subd) WHERE rn = 1)""".stripMargin
+  }
+
+  /**
+   * Trained-PQ oracle: replays Similarity.trainPqCodebook's per-subspace
+   * integer Lloyd (same exactness argument as annIvfTrainedSql), then the
+   * encode/ADC/rank replay the PqEncode/PqAdc semantics. Sub-distances
+   * use list_inner_product over 1-based inclusive list slices.
+   */
+  private def annPqTrainedSql(stride: Int = 20, iters: Int = 3,
+      m: Int = 8, sub: Int = 8, k: Int = 3): String = {
+    def sl(e: String, j: String) = pqSliceSql(e, j, sub)
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),
        |q AS (
@@ -2034,16 +2070,7 @@ object SparkEntry {
        |cb0 AS (
        |  SELECT js.j, cidx.c, ${sl("cidx.qv", "js.j")} AS cv
        |  FROM cidx CROSS JOIN (SELECT unnest(range($m)) AS j) js),
-       |$iterCtes,
-       |subd AS (
-       |  SELECT x.vec_id, cb.j, cb.c,
-       |    CAST(${dist("x.qv", "cb.cv", "cb.j")} AS BIGINT) AS d
-       |  FROM q x CROSS JOIN cb$iters cb),
-       |codes AS (
-       |  SELECT vec_id, j, c FROM (
-       |    SELECT vec_id, j, c,
-       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
-       |    FROM subd) WHERE rn = 1),
+       |${pqLloydEncodeCtes("q", iters, m, sub)},
        |adc AS (
        |  SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
        |    CAST(sum(qs.d) AS BIGINT) AS pq_dist
@@ -2071,32 +2098,7 @@ object SparkEntry {
   private def annPqServedSql(stride: Int = 20, iters: Int = 3,
       m: Int = 8, sub: Int = 8, nProbe: Int = 3, k: Int = 3,
       trainWhere: String = "TRUE"): String = {
-    def sl(e: String, j: String) = s"$e[CAST($j * $sub + 1 AS INT) : CAST($j * $sub + $sub AS INT)]"
-    def pdist(x: String, cv: String, j: String) = {
-      val xs = sl(x, j)
-      s"list_inner_product($xs, $xs) + list_inner_product($cv, $cv) - 2 * list_inner_product($xs, $cv)"
-    }
-    val pqIterCtes = (1 to iters).map { it =>
-      val prev = if (it == 1) "cb0" else s"cb${it - 1}"
-      s"""co$it AS (
-         |  SELECT vec_id, j, c FROM (
-         |    SELECT x.vec_id, cb.j, cb.c,
-         |      row_number() OVER (PARTITION BY x.vec_id, cb.j
-         |        ORDER BY ${pdist("x.qv", "cb.cv", "cb.j")}, cb.c) AS rn
-         |    FROM qt x CROSS JOIN $prev cb) WHERE rn = 1),
-         |u$it AS (
-         |  SELECT co.j, co.c, dims.i,
-         |    CAST(sum(x.qv[CAST(co.j * $sub + dims.i AS INT)]) AS BIGINT) AS s, count(*) AS n
-         |  FROM qt x JOIN co$it co USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) dims
-         |  GROUP BY co.j, co.c, dims.i),
-         |cb$it AS (
-         |  SELECT p.j, p.c,
-         |    CASE WHEN count(u.s) = 0 THEN p.cv
-         |         ELSE list(u.s // u.n ORDER BY u.i) END AS cv
-         |  FROM $prev p LEFT JOIN u$it u USING (j, c)
-         |  GROUP BY p.j, p.c, p.cv)""".stripMargin
-    }.mkString(",\n")
+    def sl(e: String, j: String) = pqSliceSql(e, j, sub)
     s"""WITH ${ivfTrainCtes(
           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
           stride, iters, trainWhere)},
@@ -2110,16 +2112,7 @@ object SparkEntry {
        |cb0 AS (
        |  SELECT js.j, sd.c, ${sl("sd.cv", "js.j")} AS cv
        |  FROM c0 sd CROSS JOIN (SELECT unnest(range($m)) AS j) js),
-       |$pqIterCtes,
-       |subd AS (
-       |  SELECT x.vec_id, cb.j, cb.c,
-       |    CAST(${pdist("x.qv", "cb.cv", "cb.j")} AS BIGINT) AS d
-       |  FROM q x CROSS JOIN cb$iters cb),
-       |codes AS (
-       |  SELECT vec_id, j, c FROM (
-       |    SELECT vec_id, j, c,
-       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
-       |    FROM subd) WHERE rn = 1),
+       |${pqLloydEncodeCtes("qt", iters, m, sub)},
        |adc AS (
        |  SELECT qa.query_id, ce.neighbor_id, CAST(sum(qs.d) AS BIGINT) AS pq_dist
        |  FROM qa JOIN cells ce ON qa.cell = ce.cell AND ce.neighbor_id <> qa.query_id

@@ -136,7 +136,14 @@ object Graph {
       val chunks = eDfC.queryExecution.toRdd.mapPartitions { it =>
         val b = mutable.ArrayBuilder.make[Long]
         while (it.hasNext) {
-          val r = it.next(); b += r.getLong(0); b += r.getLong(1)
+          val r = it.next()
+          // InternalRow.getLong on a null slot silently reads 0 — fail
+          // loudly instead, matching the distributed path's Row.getLong
+          // NPE on null endpoints (the gate must not change semantics)
+          if (r.isNullAt(0) || r.isNullAt(1))
+            throw new NullPointerException(
+              "pageRank: null edge endpoint (src/dst must be non-null)")
+          b += r.getLong(0); b += r.getLong(1)
         }
         Iterator.single(b.result())
       }.collect()

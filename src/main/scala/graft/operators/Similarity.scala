@@ -398,9 +398,29 @@ object Similarity {
             .append(d.getPath.getName).append('/').append(n).append('\n')
       }
     }
-    val out = fs.create(new Path(root, CellMapFile), true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // the manifest is the append's COMMIT point, so its own write must be
+    // atomic: write a temp object, rename-with-overwrite onto the live
+    // name where the filesystem offers it (HDFS/POSIX via FileContext),
+    // else a single-object PUT (atomic per key on object stores) — the
+    // same two-tier pattern as Versioned.commit. A plain in-place
+    // create(overwrite) would leave a truncated manifest on a crash
+    // mid-write, bricking every subsequent serve.
+    val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val live = new Path(root, CellMapFile)
+    val tmp = new Path(root, s"$CellMapFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        root.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException |
+           _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(tmp, false)
+        val direct = fs.create(live, true)
+        try direct.write(bytes) finally direct.close()
+    }
   }
 
   /** Scan of the probed cells of a materialized index: via the manifest
@@ -422,13 +442,26 @@ object Similarity {
         new String(b, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
       val want = probeCells.toSet
-      val files = txt.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
-        val i = line.indexOf('\t')
-        val cell = line.substring(0, i).toLong
-        if (want(cell)) Some(s"$indexPath/${line.substring(i + 1)}") else None
-      }.toSeq
-      if (files.isEmpty) None // empty selection: let the fallback produce the (empty) result with the right schema
-      else Some(spark.read.option("basePath", indexPath).parquet(files: _*))
+      // lines are `cell\trelpath`; anything malformed is skipped rather
+      // than crashing the serve (the atomic manifest write makes torn
+      // lines unreachable in practice, but a serve must not brick on one)
+      val all = txt.split('\n').iterator.filter(l => l.nonEmpty && l.contains('\t'))
+        .map { line =>
+          val i = line.indexOf('\t')
+          (line.substring(0, i).toLong, s"$indexPath/${line.substring(i + 1)}")
+        }.toSeq
+      val files = all.collect { case (cell, f) if want(cell) => f }
+      if (files.nonEmpty)
+        Some(spark.read.option("basePath", indexPath).parquet(files: _*))
+      else if (all.nonEmpty)
+        // the manifest is authoritative: probed cells with no committed
+        // files are EMPTY — falling back to directory discovery here
+        // would surface files an append wrote but never committed (the
+        // exact torn view the manifest gate exists to hide). Derive the
+        // schema from any committed file and return zero rows.
+        Some(spark.read.option("basePath", indexPath).parquet(all.head._2)
+          .filter(lit(false)))
+      else None // degenerate empty index: nothing committed anywhere
     }
     fromManifest.getOrElse(
       spark.read.parquet(indexPath)
@@ -461,6 +494,16 @@ object Similarity {
     import org.apache.spark.sql.functions.typedlit
     val spark = batch.sparkSession
     requireIndexReady(spark, path)
+    // the append's pqM must match how the index was BUILT: appending
+    // code-less files to a PQ index would rank null ADC distances first
+    // in every probed cell (nulls-first ascending), silently corrupting
+    // top-k; the reverse mixes schemas. The stored layout is the truth.
+    val hasCodes = spark.read.parquet(path).schema.fieldNames.contains("codes")
+    require(hasCodes == pqM.isDefined,
+      if (hasCodes)
+        s"index at $path stores PQ codes — pass the pqM it was built with"
+      else
+        s"index at $path has no codes column — appending with pqM would mix schemas")
     def served(key: String): IndexedSeq[IndexedSeq[Long]] =
       TrainedIndex.get(key).getOrElse {
         TrainedIndex.load(spark, s"$path/_centroids")

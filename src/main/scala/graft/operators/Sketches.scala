@@ -131,8 +131,22 @@ object Sketches {
    */
   def approxProfile(df: DataFrame, cols: Seq[String], m: Int = 64): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
-    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS BIGINT)").mkString(", ")
-    val stacked = df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+    // non-numeric columns route through the mod-P token fold (same
+    // dispatch as keyToLong): a bare CAST(string AS BIGINT) silently
+    // nulls every non-numeric value, which would report a populated
+    // column as all-null with zero distincts. Hashed columns profile
+    // count/null/distinct only — their min_v/max_v are NULL (a hash
+    // min/max would masquerade as a value range).
+    val stackArgs = cols.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          s"'$c', modp_hash16(`$c`), true"
+        case _ => s"'$c', CAST(`$c` AS BIGINT), false"
+      }
+    }.mkString(", ")
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    val stacked = df.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, v, hashed)")
     val lvl1 = stacked
       .withColumn("h", hllHash(col("v")))
       // null values hash to null — pin them to bucket -1 so the level-1
@@ -146,7 +160,8 @@ object Sketches {
       .groupBy(col("col_name"), col("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"),
-        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        min(when(!col("hashed"), col("v"))).as("mn"),
+        max(when(!col("hashed"), col("v"))).as("mx"),
         max(col("rho")).as("max_rho"))
     lvl1.groupBy(col("col_name"))
       .agg(sum(col("n")).cast("long").as("n_rows"),

@@ -446,11 +446,21 @@ object Exporter {
 
     val metas = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val pfs = new Path(partsPath).getFileSystem(confSer.value)
-      // all three part files go through attempt-unique temps, published
-      // together after the writes succeed (see attemptTmp)
-      val finals = Seq(".shpc", ".lens", ".dbfr")
-        .map(sfx => new Path(partsPath, f"part-$pid%05d$sfx"))
-      val tmps = finals.map(attemptTmp)
+      // the three per-partition files (shpc/lens/dbfr) are mutually
+      // consistent ONLY as a set — three independent renames could leave
+      // a mixed-attempt trio under speculative/zombie races (one
+      // attempt's shpc with another's lens desyncs every record offset).
+      // So the trio publishes as ONE rename: written into an
+      // attempt-unique temp directory, renamed wholesale over the final
+      // part dir — whichever attempt wins, the trio is one attempt's
+      // complete, internally consistent bytes.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val finalDir = new Path(partsPath, f"part-$pid%05d.trio")
+      val tmpDir = new Path(partsPath,
+        f".part-$pid%05d.attempt-$attempt.tmpdir")
+      pfs.mkdirs(tmpDir)
+      val tmps = Seq("shpc", "lens", "dbfr").map(n => new Path(tmpDir, n))
       def out(i: Int) = new java.io.BufferedOutputStream(pfs.create(tmps(i), true))
       val shpc = out(0)
       val lens = new java.io.DataOutputStream(out(1))
@@ -469,7 +479,9 @@ object Exporter {
         dbfr.write(DbfWriter.recordBytes(specs, attrFields.map(f => row.getAs[Any](f.name)).toSeq))
         count += 1
       } finally { shpc.close(); lens.close(); dbfr.close() }
-      finals.zip(tmps).foreach { case (f, t) => publishPart(pfs, t, f) }
+      if (pfs.exists(finalDir)) pfs.delete(finalDir, true)
+      if (!pfs.rename(tmpDir, finalDir))
+        throw new java.io.IOException(s"publish $tmpDir -> $finalDir failed")
       Iterator.single((pid, count, stype, box, contentBytes))
     }.collect().sortBy(_._1) // one 5-field tuple per partition — bounded
 
@@ -487,7 +499,7 @@ object Exporter {
     val shxLenWords = (50L + 4L * total).toInt
 
     def lensOf(pid: Int) = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      fs.open(new Path(partsDir, f"part-$pid%05d.lens"))))
+      fs.open(new Path(partsDir, f"part-$pid%05d.trio/lens"))))
 
     val zos = archiveStream(fs.create(zipFile, true))
     try {
@@ -499,7 +511,7 @@ object Exporter {
       metas.foreach { m =>
         val lin = lensOf(m._1)
         val cin = new java.io.BufferedInputStream(
-          fs.open(new Path(partsDir, f"part-${m._1}%05d.shpc")))
+          fs.open(new Path(partsDir, f"part-${m._1}%05d.trio/shpc")))
         try {
           var i = 0L
           while (i < m._2) {
@@ -538,7 +550,9 @@ object Exporter {
       // .dbf — header on the driver, record bytes streamed verbatim
       zos.putNextEntry(new ZipEntry(s"$name.dbf"))
       zos.write(DbfWriter.headerBytes(specs, total.toInt))
-      streamFilesInto(zos, fs, partsDir, ".dbfr")
+      val dbfBuf = new Array[Byte](1 << 16)
+      metas.foreach(m => streamFileInto(zos, fs,
+        new Path(partsDir, f"part-${m._1}%05d.trio/dbfr"), dbfBuf))
       zos.write(0x1A)
       zos.closeEntry()
       zos.putNextEntry(new ZipEntry(s"$name.prj"))

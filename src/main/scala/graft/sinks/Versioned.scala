@@ -93,14 +93,30 @@ object Versioned {
       s".$Pointer.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    try {
-      val fc = FileContext.getFileContext(rootP.toUri,
-        spark.sessionState.newHadoopConf())
-      fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+    // two distinct failure classes, handled differently: NO FileContext
+    // binding for this scheme (typical object-store connector) means the
+    // rename route does not exist and the single-key PUT (atomic per
+    // object) is the commit; but a FAILED rename on a scheme that does
+    // support FileContext (HDFS network blip, safemode, quota) must
+    // propagate — degrading it to truncate-and-rewrite would open the
+    // zero-length-pointer window the rename exists to close.
+    val fcOpt = try {
+      Some(FileContext.getFileContext(rootP.toUri,
+        spark.sessionState.newHadoopConf()))
     } catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
-        // no FileContext for this scheme (typical for object-store
-        // connectors): single-key PUT of the pointer, atomic per object
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+           _: UnsupportedOperationException => None
+    }
+    fcOpt match {
+      case Some(fc) =>
+        try fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+        catch { case e: UnsupportedOperationException =>
+          // scheme has a FileContext but no overwriting rename
+          fs.delete(tmp, false)
+          val direct = fs.create(ptr, true)
+          try direct.write(bytes) finally direct.close()
+        }
+      case None =>
         fs.delete(tmp, false)
         val direct = fs.create(ptr, true)
         try direct.write(bytes) finally direct.close()

@@ -107,6 +107,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - 5000) / 5000.0 < 0.35, s"est $est for 5000 distinct strings")
   }
 
+  test("approxProfile on a string column profiles hashes, not null-casts") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"name_${i % 137}"))
+      .toDF("id", "name")
+    val prof = Sketches.approxProfile(df, Seq("id", "name"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val nameRow = prof("name")
+    // before the typed dispatch, CAST(name AS BIGINT) nulled every value:
+    // n_nulls == n_rows and zero buckets — a populated column reported
+    // as all-null with no distincts
+    assert(nameRow.getLong(nameRow.fieldIndex("n_rows")) == 1000L)
+    assert(nameRow.getLong(nameRow.fieldIndex("n_nulls")) == 0L)
+    assert(nameRow.getLong(nameRow.fieldIndex("n_buckets")) > 0L)
+    // hashed columns carry no value range (a hash min/max would lie)
+    assert(nameRow.isNullAt(nameRow.fieldIndex("min_v")))
+    assert(nameRow.isNullAt(nameRow.fieldIndex("max_v")))
+    val idRow = prof("id")
+    assert(idRow.getLong(idRow.fieldIndex("min_v")) == 0L)
+    assert(idRow.getLong(idRow.fieldIndex("max_v")) == 999L)
+  }
+
   test("hll estimate tracks 10k distinct ids within the m=64 error band") {
     import spark.implicits._
     val df = spark.range(10000).select(lit("g").as("g"), col("id"))

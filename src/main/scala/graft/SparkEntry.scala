@@ -1144,6 +1144,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // eval-set decontamination: the drop-side twin of contamination_overlap
+    // — training docs whose shared-fingerprint ratio with the eval
+    // partition exceeds 75% are scrubbed (this synthetic corpus measures
+    // 0.40-0.98 shared ratio on non-duplicates, so 750000 splits it);
+    // fingerprint-less docs are kept
+    "decontaminate_drop" -> ((s, dir) => {
+      graft.operators.TextAnalysis.decontaminate(
+        t(s, dir, "documents"), "doc_id", "text",
+        isEval = col("doc_id") % 50 === 0, maxSharedMicros = 750000L)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprints (mod-P spec → window-function SQL oracle)
     "doc_fingerprint" -> ((s, dir) => {
       graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
@@ -3084,6 +3097,33 @@ object SparkEntry {
         |FROM probe p LEFT JOIN ev e USING (h)
         |GROUP BY p.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // replay of TextAnalysis.decontaminate: same winnow CTEs, drop list =
+    // probe docs sharing any fingerprint with the eval side; survivors =
+    // non-eval documents not in the drop list (fingerprint-less docs
+    // never enter `chosen`, so they survive — matching the engine)
+    "decontaminate_drop" ->
+      s"""WITH hs AS (
+        |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
+        |win AS (
+        |  SELECT doc_id, i, nh,
+        |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM hs),
+        |chosen AS (
+        |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3),
+        |ev AS (SELECT DISTINCT h FROM chosen WHERE doc_id % 50 = 0),
+        |ratio AS (
+        |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |    CAST(sum(CASE WHEN e.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_shared
+        |  FROM chosen c LEFT JOIN ev e USING (h)
+        |  WHERE c.doc_id % 50 <> 0 GROUP BY c.doc_id),
+        |bad AS (SELECT doc_id FROM ratio WHERE n_shared * 1000000 // n_fp > 750000)
+        |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM documents d LEFT JOIN bad b USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0 AND b.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""WITH hs AS (

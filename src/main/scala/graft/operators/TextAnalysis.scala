@@ -291,6 +291,36 @@ object TextAnalysis {
         sum(when(col("hit").isNull, 0).otherwise(1)).as("n_shared"))
   }
 
+  /**
+   * Eval-set decontamination — the DROP-side twin of `winnowOverlap`
+   * (the GPT-3 appendix-C / Pile practice: scrub training documents
+   * that share fingerprint mass with an evaluation set, so benchmark
+   * answers don't leak into training data). A non-eval document is
+   * dropped iff its shared-fingerprint RATIO exceeds `maxSharedMicros`:
+   * ⌊n_shared·10⁶ / n_fp⌋ > maxSharedMicros — all-integer (floor
+   * division), so the oracle replays the decision exactly. The default 0
+   * is the strict policy (any shared fingerprint drops); corpora whose
+   * k-gram space collides naturally (short alphabets, templated text)
+   * want a calibrated ratio instead — the sf0.01 synthetic corpus
+   * measures 0.40-0.98 shared ratio on NON-duplicate docs at k=5, so
+   * the oracled query uses 750 000. Documents too short to produce a
+   * fingerprint carry no contamination evidence and are KEPT (they
+   * never reach the join). Returns the surviving training documents
+   * with all columns.
+   *
+   * Scale shape: winnowOverlap's — one cached fingerprint explode, the
+   * eval side distinct'd (≪ corpus, broadcasts), and the drop list
+   * anti-joins back on the id alone; document text crosses no shuffle.
+   */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, maxSharedMicros: Long = 0L, k: Int = 5,
+      window: Int = 4): DataFrame = {
+    val dropIds = winnowOverlap(df, idCol, textCol, isEval, k, window)
+      .filter(expr("n_shared * 1000000 DIV n_fp") > maxSharedMicros)
+      .select(col(idCol))
+    df.filter(!isEval).join(dropIds, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------ langid
 
   /** Tiny deterministic language profiles: high-frequency function words

@@ -229,6 +229,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!rows.contains(100L)) // eval docs are not scored
   }
 
+  test("decontaminate drops eval-overlapping docs, keeps clean and tiny docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (100L, evalText),                            // eval partition
+      (1L, evalText),                              // contaminated: exact copy
+      (2L, "benchmark answer leaked: " + evalText),// contaminated: superset
+      (3L, "completely different words about machine learning pipelines and spark"),
+      (4L, "tiny")                                 // too short for any fingerprint
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.decontaminate(df, "doc_id", "text",
+      isEval = col("doc_id") === 100L)
+      .select("doc_id").as[Long].collect().sorted
+    // contaminated docs scrubbed; the clean doc and the fingerprint-less
+    // doc survive; the eval doc itself is not training data
+    assert(kept.toSeq == Seq(3L, 4L), s"kept ${kept.toSeq}")
+  }
+
   test("tfidf top terms: integer score ranks rare terms above common ones") {
     import spark.implicits._
     val df = Seq(

@@ -889,6 +889,40 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // index maintenance end-to-end: build on the base corpus, append TWO
+    // separate batches (one small file set per cell per append — the
+    // steady-ingest sprawl), compactIvfIndex to bin-pack each cell and
+    // re-commit the manifest, then serve. Compaction must be invisible to
+    // results, so the oracle is ann_ivf_appended's (same centroids, same
+    // logical index contents) — a serve-after-compaction hash mismatch
+    // would mean the pack dropped or duplicated rows
+    "ann_ivf_compacted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ik = embCorpusKey(s, dir) + ":lt400"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfcomp_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_compact_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") < 400), "vec_id",
+          "embedding", idx, indexKey = ik)
+        Similarity.appendToIvfIndex(
+          emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0), "vec_id",
+          "embedding", idx, indexKey = ik)
+        Similarity.appendToIvfIndex(
+          emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 1), "vec_id",
+          "embedding", idx, indexKey = ik)
+        Similarity.compactIvfIndex(s, idx)
+        fs.create(done, true).close()
+      }
+      Similarity.ivfTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = ik)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus)
     "lang_id_counts" -> ((s, dir) => {
@@ -929,6 +963,18 @@ object SparkEntry {
       TextAnalysis.qualityFilter(
         graft.operators.Par.ensureParallelism(t(s, dir, "documents")), "text")
         .select(col("doc_id"), col("n_tokens"), col("n_stop"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // model-based quality classifier (the fastText-shape filter stage that
+    // runs AFTER the rule-based gate): hashed bag-of-words, one integer
+    // weight per bucket, score = Σ weights over token occurrences. One
+    // narrow codegen'd map over the corpus — no explode, no shuffle; the
+    // oracle replays tokenizer + capped-16 Horner hash + affine weight
+    "quality_classify" -> ((s, dir) => {
+      TextAnalysis.classifyQuality(
+        graft.operators.Par.ensureParallelism(t(s, dir, "documents")),
+        "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -2620,6 +2666,35 @@ object SparkEntry {
         |  AND n_stop >= 1
         |ORDER BY doc_id""".stripMargin,
 
+    // replay of TextAnalysis.qualityScoreOf: sketch-family tokenizer
+    // (lowercase [a-z0-9]+ runs), capped-16 Horner token hash (the cms_topk
+    // replay, per token OCCURRENCE like simhash's), bucket = h mod 1024,
+    // weight = ((bucket+1)·2654435761 mod P) mod 2001 − 1000, summed per
+    // doc; docs with no tokens score 0 via the left join
+    "quality_classify" ->
+      s"""WITH toksf AS (
+        |  SELECT doc_id, tok, row_number() OVER () AS tid
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''),
+        |thash AS (
+        |  SELECT doc_id, tid,
+        |    sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+        |        * ($Pow131Sql)[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
+        |      % 1000000007 AS h
+        |  FROM (SELECT doc_id, tid, tok, unnest(range(1, least(length(tok), 16) + 1)) AS i
+        |        FROM toksf)
+        |  GROUP BY doc_id, tid),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(sum(((h % 1024 + 1) * 2654435761) % 1000000007 % 2001 - 1000) AS BIGINT)
+        |      AS score
+        |  FROM thash GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.score, 0) AS score,
+        |  coalesce(s.score, 0) > 0 AS kept
+        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
@@ -3173,6 +3248,9 @@ object SparkEntry {
     "ann_pq_served" -> annPqServedSql(),
     "ann_ivf_appended" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
     "ann_pq_appended" -> annPqServedSql(trainWhere = "vec_id < 400"),
+    // compaction is bin-packing only — the logical index contents equal
+    // the appended index's, so the oracle is identical
+    "ann_ivf_compacted" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
 
     "vocab_top" ->
       """SELECT token, count(*) AS n

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -379,9 +379,90 @@ object TextAnalysis {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
-  def register(spark: SparkSession): Unit =
+  // ------------------------------------------------- hashed linear classifier
+
+  /** Hashed-bag-of-words linear quality classifier — the model-based
+    * filter stage of web-corpus curation (the fastText-classifier shape
+    * that CCNet/GPT-3-era pipelines run after the rule-based gate): each
+    * token is hashed into one of `ClassifierBuckets` feature buckets, one
+    * integer weight per bucket, document score = Σ weights over token
+    * OCCURRENCES (bag-of-words, duplicates count). The weight table here
+    * is derived from the bucket id by the engine's SQL-replayable affine
+    * mod-P mix, standing in for trained parameters: the 100 TB shape under
+    * test is the SCORING pass — one narrow codegen'd map over the corpus,
+    * no shuffle, no explode, model state bounded by the bucket count —
+    * and deterministic weights make the pass hash-verifiable cross-engine
+    * (the same contract the multimodal stub codec uses). Swapping trained
+    * weights in means replacing `bucketWeight` with an array lookup; the
+    * plan shape does not change.
+    *
+    * Tokenizer contract (must match the oracle SQL exactly):
+    * `string_split_regex(lower(text), '[^a-z0-9]+')` — maximal [a-z0-9]
+    * runs of the lowercased text. Token hash = capped-16 Horner fold,
+    * HashFunctions.modPTokenHash over the LOWERED chars. Weight =
+    * ((bucket+1)·2654435761 mod P) mod 2001 − 1000 ∈ [−1000, 1000]. */
+  val ClassifierBuckets = 1024
+
+  @inline private def bucketWeight(b: Long): Long =
+    ((b + 1L) * 2654435761L) % graft.functions.HashFunctions.P % 2001L - 1000L
+
+  def qualityScoreOf(text: String): Long = {
+    if (text == null) return 0L
+    val P = graft.functions.HashFunctions.P
+    val base = graft.functions.HashFunctions.Base
+    val cap = graft.functions.HashFunctions.TokenHashCap
+    var score = 0L
+    var h = 0L
+    var len = 0
+    var i = 0
+    val n = text.length
+    while (i <= n) { // one past the end: a trailing sentinel break flushes the last token
+      val c0 = if (i < n) text.charAt(i) else ' '
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      // only ASCII is case-folded: non-ASCII letters never lower INTO
+      // [a-z0-9], so both this scan and SQL lower() treat them as breaks
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) {
+        if (len < cap) h = (h * base + c) % P
+        len += 1
+      } else if (len > 0) {
+        score += bucketWeight(h % ClassifierBuckets)
+        h = 0L; len = 0
+      }
+      i += 1
+    }
+    score
+  }
+
+  /** Static forwarder target for generated code (see langIdUtf8). */
+  def qualityScoreUtf8(s: UTF8String): Long = qualityScoreOf(s.toString)
+
+  case class QualityScore(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "quality_score"
+    override def nullSafeEval(v: Any): Any =
+      qualityScoreUtf8(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.TextAnalysis.qualityScoreUtf8($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Classifier scoring pass: (id, score, kept) — kept = score > threshold.
+    * A pure per-row projection; at 100 TB this is an embarrassingly
+    * parallel scan with predicate/column pruning intact. */
+  def classifyQuality(df: DataFrame, idCol: String, textCol: String,
+      threshold: Long = 0L): DataFrame =
+    df.select(col(idCol), quality_score(col(textCol)).as("score"))
+      .withColumn("kept", col("score") > threshold)
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", es => LangId(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quality_score", es => QualityScore(es.head), "built-in")
+  }
 
   def lang_id(text: Column): Column = call_function("lang_id", text)
+
+  def quality_score(text: Column): Column = call_function("quality_score", text)
 }

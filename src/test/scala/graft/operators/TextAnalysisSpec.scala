@@ -267,4 +267,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // ties broken by token asc: doc 2's banana 1000000 > common 666666
     assert(byDoc(2L).sortBy(_._2).map(_._3).toSeq == Seq("banana", "common"))
   }
+
+  test("quality classifier: scores replay the stated hash/weight contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val P = graft.functions.HashFunctions.P
+    // independent replay of the contract (tokenize → capped-16 Horner →
+    // bucket → affine weight), written AGAINST THE SPEC, not the code
+    def refScore(text: String): Long =
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map { tok =>
+        val h = tok.take(16).foldLeft(0L)((a, c) => (a * 131L + c) % P)
+        ((h % 1024 + 1L) * 2654435761L) % P % 2001L - 1000L
+      }.sum
+    val texts = Seq(
+      "The quick brown Fox!",
+      "a a a",                       // occurrences count (bag, not set)
+      "",                            // no tokens → 0
+      "¡señor! 42 naïve café",       // non-ASCII letters break tokens
+      "x" * 40 + " tail")            // >16-char token hashes its prefix
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.classifyQuality(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i).getLong(1) == refScore(t),
+        s"doc $i '$t': got ${got(i).getLong(1)}, want ${refScore(t)}")
+      assert(got(i).getBoolean(2) == (refScore(t) > 0L))
+    }
+    // bag-of-words: triple token = 3× the single-token weight
+    val one = refScore("a")
+    assert(refScore("a a a") == 3 * one)
+    // null text scores 0 (null-safe expression → null → handled by caller;
+    // the operator's projection yields null score for null text, so feed
+    // the scalar path directly)
+    assert(TextAnalysis.qualityScoreOf(null) == 0L)
+  }
 }

@@ -420,6 +420,57 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // §2.9 second oracled streaming row: the windowed-aggregation state
+    // pattern (EventStreams.hourlyByType — tumbling 1h window, 2h
+    // watermark, APPEND output), complementing events_funnel_stream's
+    // flatMapGroupsWithState coverage. Same harness shape: a MemoryStream
+    // slice of the events table, flushed by two sentinel batches whose
+    // far-future timestamps advance the watermark past every real
+    // window's close (watermark-for-batch-N = max event time through
+    // batch N−1, hence two). Sentinels carry a reserved event_type and
+    // their own windows never close, so the emitted rows are exactly the
+    // batch aggregation over the slice — q11's SQL is the oracle.
+    "events_hourly_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      import EventStreams.Event
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ss = s
+      import ss.implicits._
+      val ev = events(s, dir).filter(col("user_id") % 8 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val outDir = java.nio.file.Files.createTempDirectory("graft_hrstream_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_hrstream_ck_").toString
+      def run(): Unit = {
+        val q = EventStreams.hourlyByType(mem.toDF())
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "hourly stream batch did not finish within 180 s")
+        }
+      }
+      mem.addData(ev.toIndexedSeq)
+      run()
+      val maxMs = ev.iterator.map(_.ts.getTime).max
+      mem.addData(Event(-1L, new java.sql.Timestamp(maxMs + 100L * 3600 * 1000),
+        -1L, "sentinel", 0.0))
+      run()
+      mem.addData(Event(-2L, new java.sql.Timestamp(maxMs + 200L * 3600 * 1000),
+        -1L, "sentinel", 0.0))
+      run()
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("hour"), col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // §2.8 F2 sanitize as a data function over dirty synthesized labels
     "sanitize_cols" -> ((s, dir) => {
       t(s, dir, "part")
@@ -2379,6 +2430,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    // the streaming twin emits exactly the batch aggregation over its
+    // user slice once the watermark closes every window
+    "events_hourly_stream" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE user_id % 8 = 0
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
 

@@ -215,6 +215,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("quality_classify: one narrow codegen'd map — no join, no agg, pruned scan") {
+    val p = plan("quality_classify")
+    assert(!p.contains("Join"), "classifier must not join anything")
+    assert(!p.contains("HashAggregate"), "classifier must not aggregate")
+    // the only exchanges are the small-input RoundRobin spread (a no-op at
+    // real scale, see Par.ensureParallelism) and the output orderBy —
+    // the scoring itself never shuffles
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex <= 2, s"classifier plan has $ex exchanges:\n$p")
+    assert(p.contains("rangepartitioning"), "missing the output-sort exchange")
+    // scan prunes to the two columns the classifier reads
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan reads columns the classifier never uses")
+    // the score is evaluated inside a Project (whole-stage codegen), not
+    // a fallback wrapper
+    assert(p.linesIterator.exists(l =>
+      l.contains("quality_score(") && l.contains("Project [")),
+      "quality_score not evaluated in a projection")
+  }
+
   test("repetition_stats: pure two-level aggregation — no join, partial agg below the shuffle") {
     val p = plan("repetition_stats")
     assert(!p.contains("Join"), "repetition stats must not join anything")

@@ -1501,6 +1501,17 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // numeric distribution profiling: equi-width histogram of corpus
+    // document lengths — integer width/bucket arithmetic (int64 end to
+    // end), bounds from a 2-value aggregate, then ONE bounded shuffle of
+    // ≤ buckets rows per map partition. At 100 TB the bounds pass runs on
+    // parquet footer stats with aggregatePushdown enabled
+    "profile_histogram" -> ((s, dir) => {
+      graft.operators.Sketches.histogram(
+        t(s, dir, "documents").select(col("n_chars")), "n_chars", 32)
+        .orderBy(col("bucket"))
+    }),
+
     // hive-style partitioned layout + partition pruning: THE scan
     // optimization at 100 TB — the lang='en' read must touch only the
     // lang=en directory (PlanAuditSpec pins PartitionFilters on the scan)
@@ -3002,6 +3013,21 @@ object SparkEntry {
     // approxProfile replay: stack → HLL hash (same affine-square mix as
     // hll_distinct) → (col_name, bucket) level → per-column fold; distinct
     // cardinality as register state, min/max/nulls exact
+    // replay of Sketches.histogram: width = (max−min)//32 + 1 over the
+    // same integral column; `//` == Spark `div` on non-negative operands
+    "profile_histogram" ->
+      """WITH b AS (
+        |  SELECT min(n_chars) AS mn, ((max(n_chars) - min(n_chars)) // 32) + 1 AS w
+        |  FROM documents)
+        |SELECT (n_chars - mn) // w AS bucket,
+        |  ((n_chars - mn) // w) * w + mn AS lo,
+        |  ((n_chars - mn) // w) * w + mn + w - 1 AS hi,
+        |  count(*) AS n
+        |FROM documents, b
+        |WHERE n_chars IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY bucket""".stripMargin,
+
     "profile_table_approx" ->
       """WITH stacked AS (
         |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS BIGINT) AS v FROM lineitem

@@ -173,6 +173,43 @@ object Sketches {
   }
 
   /**
+   * Equi-width histogram over an integral column — the numeric
+   * distribution-profiling pass (profile_table reports bounds; this
+   * reports SHAPE). Two jobs: a 2-value bounds aggregate (at 100 TB,
+   * enable `spark.sql.parquet.aggregatePushdown` and the min/max come
+   * from parquet footers without touching data pages), then one
+   * hash-aggregate over computed bucket ids — map-side partials first,
+   * so the one shuffle carries ≤ `buckets` rows per map partition,
+   * never the data. All arithmetic is int64 (callers with float
+   * columns scale to integers first — a DOUBLE→BIGINT cast truncates
+   * on Spark and rounds on DuckDB, so float bucketing is NOT
+   * cross-engine exact): width = (max−min) div buckets + 1, bucket =
+   * (v−min) div width ∈ [0, buckets). Empty buckets are absent (the
+   * output is sparse, like every groupBy profile).
+   */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val v = col(valueCol).cast("long")
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx")).head()
+    if (bounds.isNullAt(0)) // all-null or empty input: no buckets
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bucket BIGINT, lo BIGINT, hi BIGINT, n BIGINT"))
+    val mn = bounds.getLong(0)
+    val mx = bounds.getLong(1)
+    val w = (mx - mn) / buckets + 1 // ≥ 1; guarantees bucket ≤ buckets−1
+    df.filter(v.isNotNull)
+      .select(expr(s"(CAST($valueCol AS BIGINT) - $mn) div $w").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (col("bucket") * w + mn).as("lo"),
+        (col("bucket") * w + mn + (w - 1)).as("hi"),
+        col("n"))
+  }
+
+  /**
    * Bloom filter as a (j, bit) row table — the membership sketch that
    * completes the family (CMS = frequency, HLL = cardinality, Bloom =
    * membership; Bloom, CACM '70). d hash functions over 2^16 bits; the

@@ -136,4 +136,35 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     val est = Sketches.hllEstimate(regs)
     assert(math.abs(est - 10000) / 10000.0 < 0.3, s"est $est")
   }
+
+  test("histogram: exact counts, bucket bounds, and degenerate inputs") {
+    import spark.implicits._
+    // 0..99 in 10 buckets: width = 99/10 + 1 = 10 → exactly 10 per bucket
+    val uniform = spark.range(100).toDF("v")
+    val h = Sketches.histogram(uniform, "v", 10)
+      .orderBy("bucket").collect()
+    assert(h.length == 10)
+    h.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i && r.getLong(3) == 10L,
+        s"bucket $i: $r")
+      assert(r.getLong(1) == i * 10L && r.getLong(2) == i * 10L + 9,
+        s"bounds of bucket $i: $r")
+    }
+    // counts sum to the non-null row count; bucket ids stay inside range
+    val skewed = Seq(1L, 1L, 1L, 1000000L).toDF("v")
+    val hs = Sketches.histogram(skewed, "v", 4).collect()
+    assert(hs.map(_.getLong(3)).sum == 4L)
+    assert(hs.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 4))
+    // all-equal values: one bucket of width 1 holding everything
+    val const = Seq(7L, 7L, 7L).toDF("v")
+    val hc = Sketches.histogram(const, "v", 8).collect()
+    assert(hc.length == 1 && hc.head.getLong(0) == 0L
+      && hc.head.getLong(1) == 7L && hc.head.getLong(3) == 3L)
+    // empty and all-null inputs: empty result, stable schema
+    val empty = Sketches.histogram(spark.range(0).toDF("v"), "v", 4)
+    assert(empty.collect().isEmpty)
+    assert(empty.schema.fieldNames.toSeq == Seq("bucket", "lo", "hi", "n"))
+    val nulls = Seq[Option[Long]](None, None).toDF("v")
+    assert(Sketches.histogram(nulls, "v", 4).collect().isEmpty)
+  }
 }

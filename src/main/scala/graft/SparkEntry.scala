@@ -1099,6 +1099,16 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // long-document chunking: 32-token windows advancing by 24 (8-token
+    // overlap) — one codegen'd narrow stage (split → sequence → explode →
+    // slice → array_join), no shuffle; the oracle replays the window
+    // arithmetic with list slicing
+    "doc_chunk" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"),
+        "doc_id", "text", size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // vocabulary frequency analysis (tokenizer-training prerequisite):
     // top-50 tokens by count, total (count desc, token asc) order
     "vocab_top" -> ((s, dir) => {
@@ -3595,6 +3605,26 @@ object SparkEntry {
 
     // replay of TextAnalysis.packSequences: the greedy reset fold walks
     // each group in doc_id order via a recursive CTE
+    // replay of TextAnalysis.chunkDocuments(size=32, stride=24): same
+    // whitespace tokenizer as token_count; chunk count = 1 for n ≤ 32
+    // else (n−32+23)//24 + 1; DuckDB list slices are 1-based inclusive
+    // and clamp at the end, like Spark's slice(arr, start, len)
+    "doc_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+        |c AS (
+        |  SELECT doc_id, ts, n, unnest(range(
+        |    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(ts[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+        |  least(32, n - chunk_id * 24) AS n_chunk_tokens
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "seq_pack" ->
       """WITH RECURSIVE toks AS (
         |  SELECT source, doc_id,

@@ -119,6 +119,39 @@ object TextAnalysis {
   }
 
   /**
+   * Fixed-size token chunking with overlap — the long-document
+   * preprocessing op (context-length splitting for training, chunked
+   * embedding/RAG ingest): the whitespace token stream of each document
+   * is cut into windows of `size` tokens advancing by `stride` tokens
+   * (overlap = size − stride); the final window may be shorter, and a
+   * window is only started while its offset is inside the stream, so
+   * chunk count = 1 for n ≤ size, else ⌈(n−size)/stride⌉ + 1. Documents
+   * with no tokens produce no chunks.
+   *
+   * Scale shape: split → sequence → explode → slice → array_join, all
+   * codegen'd built-ins in ONE narrow stage — no shuffle, no UDF; output
+   * parallelism is rows × chunks. Returns (id, chunk_id, chunk_text,
+   * n_chunk_tokens).
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    df.withColumn("__ts",
+        expr(s"filter(split(trim(`$textCol`), '\\\\s+'), t -> t <> '')"))
+      .withColumn("__n", expr("size(__ts)")) // fn param `size` shadows functions.size
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0L, CASE WHEN __n <= $size THEN 0L " +
+          s"ELSE (__n - $size + $stride - 1) div $stride END)")))
+      .select(col(idCol), col("chunk_id"),
+        expr(s"array_join(slice(__ts, chunk_id * $stride + 1, $size), ' ')")
+          .as("chunk_text"),
+        expr(s"least($size, __n - chunk_id * $stride)").cast("long")
+          .as("n_chunk_tokens"))
+  }
+
+  /**
    * TF-IDF-style term scoring with a FLOAT-FREE score: for every (doc,
    * token), score = ⌊tf · 1e6 / df⌋ (integer division). Ordering by this
    * score is the tf/df ratio ordering at 1e-6 resolution, and — unlike

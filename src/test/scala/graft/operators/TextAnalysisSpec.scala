@@ -268,6 +268,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(byDoc(2L).sortBy(_._2).map(_._3).toSeq == Seq("banana", "common"))
   }
 
+  test("chunkDocuments: window arithmetic, overlap, reassembly, edge docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, doc),               // 100 tokens
+      (2L, "only three words"),// single short chunk
+      (3L, ""),                // no tokens → no chunks
+      (4L, "   "),             // whitespace only → no chunks
+      (5L, (1 to 32).map(i => s"t$i").mkString(" "))) // exactly size → 1 chunk
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", size = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // n=100: ceil((100-32)/24)+1 = ceil(68/24)+1 = 3+1 = 4 chunks
+    val d1 = byDoc(1L).sortBy(_.getLong(1))
+    assert(d1.length == 4)
+    // chunk i covers tokens [24i, min(24i+32, 100)) — check texts exactly
+    d1.zipWithIndex.foreach { case (r, i) =>
+      val lo = 24 * i
+      val hi = math.min(lo + 32, 100)
+      assert(r.getString(2) == (lo + 1 to hi).map(j => s"w$j").mkString(" "),
+        s"chunk $i text mismatch")
+      assert(r.getLong(3) == hi - lo)
+    }
+    // consecutive chunks overlap by size − stride = 8 tokens
+    val c0 = d1(0).getString(2).split(" ")
+    val c1 = d1(1).getString(2).split(" ")
+    assert(c0.takeRight(8).sameElements(c1.take(8)))
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getLong(3) == 3L)
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    assert(byDoc(5L).length == 1 && byDoc(5L).head.getLong(3) == 32L)
+    // stride == size (no overlap): chunks partition the stream exactly
+    val flat = TextAnalysis.chunkDocuments(df.filter(col("doc_id") === 1L),
+      "doc_id", "text", size = 25, stride = 25)
+      .orderBy(col("chunk_id")).collect()
+    assert(flat.map(_.getString(2)).mkString(" ") == doc)
+    assert(flat.map(_.getLong(3)).sum == 100L)
+  }
+
   test("quality classifier: scores replay the stated hash/weight contract") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

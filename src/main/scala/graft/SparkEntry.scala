@@ -1080,6 +1080,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // mixture rebalancing to equal shares: DATA-DEPENDENT sampling rates
+    // (stratified_sample's rates are caller-given; here they come from
+    // the corpus itself — every source downsampled to the smallest
+    // source's token mass). The oracle recomputes the per-source totals,
+    // the ⌊P·T_min/T_s⌋ thresholds, and the hash keep test
+    "mixture_sample" -> ((s, dir) => {
+      graft.operators.Sampling.rebalanceToUniform(
+        t(s, dir, "documents"), "doc_id", "source", "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("toks_kept"))
+        .orderBy(col("source"))
+    }),
+
     // quality-weighted deterministic sampling (importance mixing): keep
     // probability scales with document length, capped at wMax — pure
     // int64 keep test, scan-only plan
@@ -3592,6 +3606,26 @@ object SparkEntry {
         |              WHEN 'src2' THEN 250000001
         |              ELSE 100000000 END
         |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // replay of Sampling.rebalanceToUniform: per-source token totals
+    // (token_count's tokenizer), thresholds ⌊P·T_min/T_s⌋, then the
+    // uniform id-hash keep test; kept stats re-aggregated per source
+    "mixture_sample" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT min(t) AS tmin FROM toks),
+        |kept AS (
+        |  SELECT d.source, len(string_split_regex(trim(d.text), '\s+')) AS tok
+        |  FROM documents d JOIN toks s ON d.source = s.source, m
+        |  WHERE (d.doc_id * 2654435761) % 1000000007 <
+        |    CASE WHEN s.t <= 0 THEN 1000000007
+        |         ELSE (1000000007 * m.tmin) // s.t END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS toks_kept
+        |FROM kept GROUP BY source
         |ORDER BY source""".stripMargin,
 
     // replay of Sampling.weightedHashSample:

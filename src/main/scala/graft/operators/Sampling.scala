@@ -126,6 +126,39 @@ object Sampling {
   }
 
   /**
+   * Mixture rebalancing to equal shares — the source-reweighting shape of
+   * mixture-tuned pretraining data (uniform target weights): every
+   * stratum is downsampled to the SMALLEST stratum's token mass, so each
+   * stratum's EXPECTED kept token mass equals T_min. Per-stratum token
+   * totals are one bounded aggregate (K = |strata| rows, collected —
+   * bounded by the stratum vocabulary, never the data); keep thresholds
+   * ⌊P·T_min/T_s⌋ are computed exactly on the driver (BigInt, so no int64
+   * overflow at real token masses where P·T_s exceeds 2^63) and compiled
+   * into the same CASE-chain + pure-(id, salt)-hash keep test as
+   * stratifiedHashSample. The 100 TB plan: one bounded agg job plus one
+   * codegen'd scan; membership is engine/partitioning/rerun-independent.
+   * A (degenerate) token-less stratum keeps everything — it contributes
+   * no mass to the mixture either way.
+   */
+  def rebalanceToUniform(df: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, salt: Long = 0L): DataFrame = {
+    val totals = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(totals.nonEmpty, "no strata to rebalance")
+    val tmin = totals.map(_._2).min
+    val cutoffs = totals.map { case (s, t) =>
+      s -> (if (t <= 0) P else (BigInt(P) * tmin / t).toLong)
+    }
+    val cutoff = cutoffs.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (s, c)) =>
+        val cond = col(stratumCol) === s
+        Some(acc.fold(when(cond, lit(c)))(_.when(cond, lit(c))))
+      }.get.otherwise(lit(0L)) // unseen stratum = nothing to keep
+    df.filter(hashUniform(col(idCol), salt) < cutoff)
+  }
+
+  /**
    * Token-budget curation: keep the best-scoring documents until a token
    * budget is spent — the "assemble exactly B tokens of training data,
    * best first" primitive. Selection = the prefix of the global

@@ -214,6 +214,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rebalanceToUniform: every stratum's kept token mass tracks the smallest stratum") {
+    import spark.implicits._
+    // three strata with 1×/4×/16× token mass (ids disjoint so the hash
+    // keep test is independent across strata)
+    def docs(src: String, base: Long, n: Int, tokens: Int) =
+      (0 until n).map(i => (base + i, src, Seq.fill(tokens)("w").mkString(" ")))
+    val df = (docs("small", 0L, 500, 4) ++ docs("mid", 100000L, 1000, 8)
+      ++ docs("big", 200000L, 2000, 16)).toDF("doc_id", "source", "text")
+    val kept = Sampling.rebalanceToUniform(df, "doc_id", "source", "text")
+    val byScr = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest stratum is kept whole (threshold = P)
+    assert(byScr("small") == 500L, byScr.toString)
+    // the others are downsampled to ~T_min tokens = 2000 → ~250 docs of 8
+    // and ~125 docs of 16; Bernoulli noise bounded generously
+    assert(math.abs(byScr("mid") - 250L) < 60, byScr.toString)
+    assert(math.abs(byScr("big") - 125L) < 45, byScr.toString)
+    // deterministic: same membership on rerun and under repartitioning
+    val again = Sampling.rebalanceToUniform(df.repartition(7), "doc_id", "source", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.sameElements(kept.select("doc_id").as[Long].collect().sorted))
+  }
+
   test("hashUniform: 64-bit and negative ids never wrap, values match the mod-P formula") {
     import spark.implicits._
     val P = 1000000007L

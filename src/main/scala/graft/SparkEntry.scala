@@ -420,6 +420,32 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // trailing-baseline spike detection (the monitoring/anomaly shape over
+    // event streams): hourly counts per type, baseline = the previous 24
+    // hourly counts via a RANGE frame on the integer epoch hour (hour
+    // gaps shrink the frame and are excluded by the full-baseline guard),
+    // score = ⌊n·1e6/Σbaseline⌋ — float-free ratio ordering, so the
+    // top-20 spike ranking is bit-identical cross-engine. Plan: one
+    // partial-aggregated shuffle to hourly grain (the window then runs
+    // over |types|·|hours| rows, not events), one window pass, top-k
+    "events_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-24, -1)
+      hourly
+        .withColumn("base_n", sum(col("n")).over(w))
+        .withColumn("base_hours", count(lit(1)).over(w))
+        .filter(col("base_hours") === 24)
+        .withColumn("score", expr("n * 1000000 div base_n"))
+        .select(col("event_type"), col("hr"), col("n"), col("base_n"), col("score"))
+        .orderBy(col("score").desc, col("event_type"), col("hr"))
+        .limit(20)
+    }),
+
     // §2.9 second oracled streaming row: the windowed-aggregation state
     // pattern (EventStreams.hourlyByType — tumbling 1h window, 2h
     // watermark, APPEND output), complementing events_funnel_stream's
@@ -2467,6 +2493,27 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    // replay of events_anomaly: same hourly grain, RANGE-framed trailing
+    // window, integer score; DuckDB window-sums BIGINT into HUGEINT, so
+    // base_n/score are cast back
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, hr, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY hr
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_n,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY hr
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_hours
+        |  FROM hourly)
+        |SELECT event_type, hr, n, CAST(base_n AS BIGINT) AS base_n,
+        |  CAST((n * 1000000) // base_n AS BIGINT) AS score
+        |FROM b WHERE base_hours = 24
+        |ORDER BY score DESC, event_type, hr
+        |LIMIT 20""".stripMargin,
 
     // the streaming twin emits exactly the batch aggregation over its
     // user slice once the watermark closes every window

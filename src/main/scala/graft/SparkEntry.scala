@@ -420,6 +420,44 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // §2.9 third oracled streaming row: the DEDUP state-store pattern
+    // (EventStreams.dedupStream = dropDuplicatesWithinWatermark),
+    // completing oracle coverage of all three streaming state models
+    // (flatMapGroupsWithState funnel, windowed agg, dedup store). The
+    // stream emits exactly one row per distinct key — first arrival wins,
+    // which row wins is engine-internal, so the query projects the KEY
+    // columns, making the emitted set deterministically the distinct
+    // keys of the slice; no sentinel needed (dedup emission is
+    // immediate, not window-close gated)
+    "events_dedup_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      import EventStreams.Event
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ss = s
+      import ss.implicits._
+      val ev = events(s, dir).filter(col("user_id") % 8 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val outDir = java.nio.file.Files.createTempDirectory("graft_ddstream_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ddstream_ck_").toString
+      mem.addData(ev.toIndexedSeq)
+      val q = EventStreams.dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "dedup stream batch did not finish within 180 s")
+      }
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // trailing-baseline spike detection (the monitoring/anomaly shape over
     // event streams): hourly counts per type, baseline = the previous 24
     // hourly counts via a RANGE frame on the integer epoch hour (hour
@@ -2493,6 +2531,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    // the dedup stream emits exactly the distinct key set of its slice
+    "events_dedup_stream" ->
+      """SELECT user_id, event_type
+        |FROM events
+        |WHERE user_id % 8 = 0
+        |GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // replay of events_anomaly: same hourly grain, RANGE-framed trailing
     // window, integer score; DuckDB window-sums BIGINT into HUGEINT, so

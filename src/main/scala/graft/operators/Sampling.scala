@@ -140,8 +140,18 @@ object Sampling {
    * A (degenerate) token-less stratum keeps everything — it contributes
    * no mass to the mixture either way.
    */
+  /** Above this stratum count the threshold lookup becomes a broadcast
+    * join instead of a CASE chain: a chain of thousands of branches blows
+    * past codegen's method-size limits and falls back to interpreted
+    * evaluation, while a broadcast hash join of K (stratum, cutoff) rows
+    * stays a map-side lookup at any K. Results are identical (the
+    * dispatcher pattern of the dedup family). */
+  val RebalanceCaseChainMax = 64
+
   def rebalanceToUniform(df: DataFrame, idCol: String, stratumCol: String,
-      textCol: String, salt: Long = 0L): DataFrame = {
+      textCol: String, salt: Long = 0L,
+      caseChainMax: Int = RebalanceCaseChainMax): DataFrame = {
+    val spark = df.sparkSession
     val totals = df.groupBy(col(stratumCol).cast("string").as("__s"))
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -150,12 +160,20 @@ object Sampling {
     val cutoffs = totals.map { case (s, t) =>
       s -> (if (t <= 0) P else (BigInt(P) * tmin / t).toLong)
     }
-    val cutoff = cutoffs.sortBy(_._1)
-      .foldLeft(Option.empty[Column]) { case (acc, (s, c)) =>
-        val cond = col(stratumCol) === s
-        Some(acc.fold(when(cond, lit(c)))(_.when(cond, lit(c))))
-      }.get.otherwise(lit(0L)) // unseen stratum = nothing to keep
-    df.filter(hashUniform(col(idCol), salt) < cutoff)
+    if (cutoffs.length <= caseChainMax) {
+      val cutoff = cutoffs.sortBy(_._1)
+        .foldLeft(Option.empty[Column]) { case (acc, (s, c)) =>
+          val cond = col(stratumCol) === s
+          Some(acc.fold(when(cond, lit(c)))(_.when(cond, lit(c))))
+        }.get.otherwise(lit(0L)) // unseen stratum = nothing to keep
+      df.filter(hashUniform(col(idCol), salt) < cutoff)
+    } else {
+      import spark.implicits._
+      val rates = cutoffs.toSeq.toDF("__rb_s", "__rb_cut")
+      df.join(broadcast(rates), col(stratumCol).cast("string") === col("__rb_s"))
+        .filter(hashUniform(col(idCol), salt) < col("__rb_cut"))
+        .drop("__rb_s", "__rb_cut")
+    }
   }
 
   /**

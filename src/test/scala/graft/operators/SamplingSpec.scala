@@ -235,6 +235,11 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     val again = Sampling.rebalanceToUniform(df.repartition(7), "doc_id", "source", "text")
       .select("doc_id").as[Long].collect().sorted
     assert(again.sameElements(kept.select("doc_id").as[Long].collect().sorted))
+    // the large-K broadcast-join path (forced via the gate) is identical
+    val joined = Sampling.rebalanceToUniform(df, "doc_id", "source", "text",
+        caseChainMax = 0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(joined.sameElements(again))
   }
 
   test("hashUniform: 64-bit and negative ids never wrap, values match the mod-P formula") {

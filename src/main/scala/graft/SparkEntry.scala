@@ -1241,6 +1241,28 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // the pretrain-prep capstone: model gate → mixture rebalance → chunk,
+    // composed in ONE Catalyst plan (pipeline_curate covers the rule-gate
+    // flavor; this is the model-driven flavor over three late-round
+    // operators). Classifier keeps positively-scored docs, the kept
+    // corpus is downsampled to equal per-source token shares, survivors
+    // are cut into 32/24 training windows; output = per-source doc/chunk/
+    // token totals. Every stage's arithmetic is an already-oracled
+    // contract, so the oracle is a CTE chain of the proven fragments
+    "pipeline_pretrain" -> ((s, dir) => {
+      val docs = graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
+      val gated = docs.filter(TextAnalysis.quality_score(col("text")) > 0)
+      val balanced = graft.operators.Sampling.rebalanceToUniform(
+        gated, "doc_id", "source", "text")
+      TextAnalysis.chunkDocuments(balanced, "doc_id", "text", size = 32, stride = 24)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("chunk_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // count-min sketch (north-star approximate analytics): exact count vs
     // sketch estimate for the top-20 tokens — sketch STATE is mod-P
     // replayable so the oracle matches it bit-for-bit; estimate quality
@@ -3699,6 +3721,55 @@ object SparkEntry {
         |              WHEN 'src2' THEN 250000001
         |              ELSE 100000000 END
         |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // replay of pipeline_pretrain = the quality_classify gate CTEs → the
+    // mixture_sample totals/threshold/hash CTEs over the GATED docs → the
+    // doc_chunk window arithmetic over the kept docs, aggregated
+    "pipeline_pretrain" ->
+      s"""WITH toksf AS (
+        |  SELECT doc_id, tok, row_number() OVER () AS tid
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''),
+        |thash AS (
+        |  SELECT doc_id, tid,
+        |    sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+        |        * ($Pow131Sql)[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
+        |      % 1000000007 AS h
+        |  FROM (SELECT doc_id, tid, tok, unnest(range(1, least(length(tok), 16) + 1)) AS i
+        |        FROM toksf)
+        |  GROUP BY doc_id, tid),
+        |scq AS (
+        |  SELECT doc_id,
+        |    CAST(sum(((h % 1024 + 1) * 2654435761) % 1000000007 % 2001 - 1000) AS BIGINT)
+        |      AS score
+        |  FROM thash GROUP BY doc_id),
+        |g AS (
+        |  SELECT d.doc_id, d.source, d.text
+        |  FROM documents d LEFT JOIN scq s ON d.doc_id = s.doc_id
+        |  WHERE coalesce(s.score, 0) > 0),
+        |st AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS t
+        |  FROM g GROUP BY source),
+        |m AS (SELECT min(t) AS tmin FROM st),
+        |kept AS (
+        |  SELECT g.doc_id, g.source,
+        |    list_filter(string_split_regex(trim(g.text), '\\s+'), x -> x <> '') AS ts
+        |  FROM g JOIN st ON g.source = st.source, m
+        |  WHERE (g.doc_id * 2654435761) % 1000000007 <
+        |    CASE WHEN st.t <= 0 THEN 1000000007
+        |         ELSE (1000000007 * m.tmin) // st.t END),
+        |n AS (SELECT doc_id, source, len(ts) AS n FROM kept WHERE len(ts) > 0),
+        |c AS (
+        |  SELECT doc_id, source, n, unnest(range(
+        |    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS cid
+        |  FROM n)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(least(32, n - cid * 24)) AS BIGINT) AS chunk_tokens
+        |FROM c GROUP BY source
         |ORDER BY source""".stripMargin,
 
     // replay of Sampling.rebalanceToUniform: per-source token totals

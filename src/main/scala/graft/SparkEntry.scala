@@ -1254,8 +1254,8 @@ object SparkEntry {
       val gated = docs.filter(TextAnalysis.quality_score(col("text")) > 0)
       val balanced = graft.operators.Sampling.rebalanceToUniform(
         gated, "doc_id", "source", "text")
-      TextAnalysis.chunkDocuments(balanced, "doc_id", "text", size = 32, stride = 24)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextAnalysis.chunkDocuments(balanced, "doc_id", "text",
+          size = 32, stride = 24, carryCols = Seq("source"))
         .groupBy(col("source"))
         .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
           count(lit(1)).as("n_chunks"),
@@ -3149,9 +3149,6 @@ object SparkEntry {
         |  FROM lineitem) u
         |ORDER BY col_name""".stripMargin,
 
-    // approxProfile replay: stack → HLL hash (same affine-square mix as
-    // hll_distinct) → (col_name, bucket) level → per-column fold; distinct
-    // cardinality as register state, min/max/nulls exact
     // replay of Sketches.histogram: width = (max−min)//32 + 1 over the
     // same integral column; `//` == Spark `div` on non-negative operands
     "profile_histogram" ->
@@ -3167,6 +3164,9 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY bucket""".stripMargin,
 
+    // approxProfile replay: stack → HLL hash (same affine-square mix as
+    // hll_distinct) → (col_name, bucket) level → per-column fold; distinct
+    // cardinality as register state, min/max/nulls exact
     "profile_table_approx" ->
       """WITH stacked AS (
         |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS BIGINT) AS v FROM lineitem

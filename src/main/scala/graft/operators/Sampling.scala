@@ -116,13 +116,41 @@ object Sampling {
       fractions: Map[String, Double], defaultFraction: Double = 0.0,
       salt: Long = 0L): DataFrame = {
     require(fractions.nonEmpty, "fractions must be non-empty")
-    val cutoff = fractions.toSeq.sortBy(_._1)
-      .foldLeft(Option.empty[Column]) { case (acc, (stratum, f)) =>
-        val cond = col(stratumCol) === stratum
-        val cut = lit((f * P).toLong)
-        Some(acc.fold(when(cond, cut))(_.when(cond, cut)))
-      }.get.otherwise(lit((defaultFraction * P).toLong))
-    df.filter(hashUniform(col(idCol), salt) < cutoff)
+    filterByStratumCutoff(df, idCol, stratumCol, salt,
+      fractions.toSeq.map { case (s, f) => s -> (f * P).toLong },
+      default = (defaultFraction * P).toLong)
+  }
+
+  /** Shared keep-test dispatcher for the per-stratum samplers: the
+    * (stratum → cutoff) lookup compiles to a CASE chain up to
+    * `RebalanceCaseChainMax` strata (one codegen'd scan, zero joins), and
+    * to a broadcast hash join of the K cutoff rows above it — a chain of
+    * thousands of branches blows past codegen's method-size limits and
+    * falls back to interpreted evaluation, while the broadcast join stays
+    * a map-side lookup at any K. Results are identical (SamplingSpec
+    * forces both paths). Rows whose stratum is NULL or absent from
+    * `cutoffs` keep with probability default/P (the join path unions the
+    * unmatched rows back through the default test). */
+  private def filterByStratumCutoff(df: DataFrame, idCol: String,
+      stratumCol: String, salt: Long, cutoffs: Seq[(String, Long)],
+      default: Long, caseChainMax: Int = RebalanceCaseChainMax): DataFrame = {
+    val u = hashUniform(col(idCol), salt)
+    if (cutoffs.length <= caseChainMax) {
+      val cutoff = cutoffs.sortBy(_._1)
+        .foldLeft(Option.empty[Column]) { case (acc, (s, c)) =>
+          val cond = col(stratumCol) === s
+          Some(acc.fold(when(cond, lit(c)))(_.when(cond, lit(c))))
+        }.get.otherwise(lit(default))
+      df.filter(u < cutoff)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rates = cutoffs.toDF("__rb_s", "__rb_cut")
+      df.join(broadcast(rates),
+          col(stratumCol).cast("string") === col("__rb_s"), "left")
+        .filter(u < coalesce(col("__rb_cut"), lit(default)))
+        .drop("__rb_s", "__rb_cut")
+    }
   }
 
   /**
@@ -151,29 +179,26 @@ object Sampling {
   def rebalanceToUniform(df: DataFrame, idCol: String, stratumCol: String,
       textCol: String, salt: Long = 0L,
       caseChainMax: Int = RebalanceCaseChainMax): DataFrame = {
-    val spark = df.sparkSession
+    // null-safe collection: a NULL stratum key groups under SQL NULL
+    // (dropped — both lookup paths treat it as unseen), and an all-NULL
+    // text stratum sums to NULL → token mass 0
     val totals = df.groupBy(col(stratumCol).cast("string").as("__s"))
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .collect().flatMap { r =>
+        Option(r.getString(0)).map(s => s -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      }
     require(totals.nonEmpty, "no strata to rebalance")
-    val tmin = totals.map(_._2).min
+    // T_min over strata with positive mass: a mass-less stratum must not
+    // drag every threshold to zero; its own rows keep whole (threshold P
+    // — they contribute no tokens to the mixture either way)
+    val pos = totals.map(_._2).filter(_ > 0)
+    require(pos.nonEmpty, "no stratum has token mass")
+    val tmin = pos.min
     val cutoffs = totals.map { case (s, t) =>
       s -> (if (t <= 0) P else (BigInt(P) * tmin / t).toLong)
     }
-    if (cutoffs.length <= caseChainMax) {
-      val cutoff = cutoffs.sortBy(_._1)
-        .foldLeft(Option.empty[Column]) { case (acc, (s, c)) =>
-          val cond = col(stratumCol) === s
-          Some(acc.fold(when(cond, lit(c)))(_.when(cond, lit(c))))
-        }.get.otherwise(lit(0L)) // unseen stratum = nothing to keep
-      df.filter(hashUniform(col(idCol), salt) < cutoff)
-    } else {
-      import spark.implicits._
-      val rates = cutoffs.toSeq.toDF("__rb_s", "__rb_cut")
-      df.join(broadcast(rates), col(stratumCol).cast("string") === col("__rb_s"))
-        .filter(hashUniform(col(idCol), salt) < col("__rb_cut"))
-        .drop("__rb_s", "__rb_cut")
-    }
+    filterByStratumCutoff(df, idCol, stratumCol, salt, cutoffs.toSeq,
+      default = 0L, caseChainMax = caseChainMax)
   }
 
   /**

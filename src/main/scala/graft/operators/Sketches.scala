@@ -200,7 +200,7 @@ object Sketches {
     val mx = bounds.getLong(1)
     val w = (mx - mn) / buckets + 1 // ≥ 1; guarantees bucket ≤ buckets−1
     df.filter(v.isNotNull)
-      .select(expr(s"(CAST($valueCol AS BIGINT) - $mn) div $w").as("bucket"))
+      .select(expr(s"(CAST(`$valueCol` AS BIGINT) - $mn) div $w").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .select(col("bucket"),

@@ -130,11 +130,13 @@ object TextAnalysis {
    *
    * Scale shape: split → sequence → explode → slice → array_join, all
    * codegen'd built-ins in ONE narrow stage — no shuffle, no UDF; output
-   * parallelism is rows × chunks. Returns (id, chunk_id, chunk_text,
-   * n_chunk_tokens).
+   * parallelism is rows × chunks. Returns (id, carryCols…, chunk_id,
+   * chunk_text, n_chunk_tokens); `carryCols` ride along so downstream
+   * grouping (e.g. per-source chunk totals) needs no join back to the
+   * source table.
    */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
-      size: Int, stride: Int): DataFrame = {
+      size: Int, stride: Int, carryCols: Seq[String] = Nil): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
     df.withColumn("__ts",
@@ -144,11 +146,11 @@ object TextAnalysis {
       .withColumn("chunk_id", explode(expr(
         s"sequence(0L, CASE WHEN __n <= $size THEN 0L " +
           s"ELSE (__n - $size + $stride - 1) div $stride END)")))
-      .select(col(idCol), col("chunk_id"),
+      .select(col(idCol) +: carryCols.map(col) :+ col("chunk_id") :+
         expr(s"array_join(slice(__ts, chunk_id * $stride + 1, $size), ' ')")
-          .as("chunk_text"),
+          .as("chunk_text") :+
         expr(s"least($size, __n - chunk_id * $stride)").cast("long")
-          .as("n_chunk_tokens"))
+          .as("n_chunk_tokens"): _*)
   }
 
   /**
@@ -452,8 +454,12 @@ object TextAnalysis {
     while (i <= n) { // one past the end: a trailing sentinel break flushes the last token
       val c0 = if (i < n) text.charAt(i) else ' '
       val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
-      // only ASCII is case-folded: non-ASCII letters never lower INTO
-      // [a-z0-9], so both this scan and SQL lower() treat them as breaks
+      // only ASCII is case-folded. Known divergence from SQL lower() on
+      // two exotic codepoints whose lowercase IS ASCII: U+212A (KELVIN
+      // SIGN → 'k') and U+0130 (İ → 'i' + combining dot) — utf8proc
+      // folds them into [a-z] where this scan breaks. Deliberate: exact
+      // parity would need full Unicode case tables on the hot path, and
+      // curation corpora normalize such codepoints upstream
       val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
       if (alnum) {
         if (len < cap) h = (h * base + c) % P
@@ -482,10 +488,14 @@ object TextAnalysis {
 
   /** Classifier scoring pass: (id, score, kept) — kept = score > threshold.
     * A pure per-row projection; at 100 TB this is an embarrassingly
-    * parallel scan with predicate/column pruning intact. */
+    * parallel scan with predicate/column pruning intact. NULL text scores
+    * 0 (coalesced here — the expression itself is null-propagating, like
+    * every UnaryExpression), matching both the scalar path and the
+    * oracle's LEFT JOIN + coalesce. */
   def classifyQuality(df: DataFrame, idCol: String, textCol: String,
       threshold: Long = 0L): DataFrame =
-    df.select(col(idCol), quality_score(col(textCol)).as("score"))
+    df.select(col(idCol),
+        coalesce(quality_score(col(textCol)), lit(0L)).as("score"))
       .withColumn("kept", col("score") > threshold)
 
   def register(spark: SparkSession): Unit = {

@@ -240,6 +240,21 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
         caseChainMax = 0)
       .select("doc_id").as[Long].collect().sorted
     assert(joined.sameElements(again))
+    // degenerate inputs: NULL strata are dropped (both paths), an
+    // all-NULL-text stratum keeps whole without dragging thresholds to 0
+    val degen = (docs("tiny", 300000L, 10, 4)
+      ++ (0 until 5).map(i => (400000L + i, null: String, "x y z"))
+      ++ (0 until 5).map(i => (500000L + i, "ghost", null: String)))
+      .toDF("doc_id", "source", "text")
+    Seq(64, 0).foreach { gate =>
+      val kd = Sampling.rebalanceToUniform(degen, "doc_id", "source", "text",
+          caseChainMax = gate)
+        .groupBy("source").count().collect()
+        .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+      assert(kd.getOrElse("tiny", 0L) == 10L, s"gate=$gate: $kd")
+      assert(kd.getOrElse("ghost", 0L) == 5L, s"gate=$gate: $kd")
+      assert(!kd.contains("NULL"), s"gate=$gate: $kd")
+    }
   }
 
   test("hashUniform: 64-bit and negative ids never wrap, values match the mod-P formula") {

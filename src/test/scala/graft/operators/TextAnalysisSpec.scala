@@ -337,9 +337,13 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // bag-of-words: triple token = 3× the single-token weight
     val one = refScore("a")
     assert(refScore("a a a") == 3 * one)
-    // null text scores 0 (null-safe expression → null → handled by caller;
-    // the operator's projection yields null score for null text, so feed
-    // the scalar path directly)
+    // null text scores 0 on BOTH paths: the scalar, and the operator
+    // (which coalesces the null-propagating expression — oracle parity)
     assert(TextAnalysis.qualityScoreOf(null) == 0L)
+    val withNull = Seq((0L, Option("a b")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val nr = TextAnalysis.classifyQuality(withNull, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(nr(1).getLong(1) == 0L && !nr(1).getBoolean(2))
   }
 }

@@ -235,6 +235,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "quality_score not evaluated in a projection")
   }
 
+  test("events_anomaly: aggregation to hourly grain runs below the window") {
+    val p = plan("events_anomaly")
+    // the hourly HashAggregate must sit under the Window operator, so the
+    // window pass covers |types|·|hours| rows, never raw events
+    val win = p.indexOf("Window")
+    assert(win >= 0, "missing window operator")
+    assert(p.indexOf("HashAggregate", win) > win,
+      "no aggregate below the window — the window would scan raw events")
+    assert(!p.contains("Join"), "anomaly detection must not join")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 not fused to top-k")
+  }
+
+  test("pipeline_pretrain: chunk stage carries source — no join to recover it") {
+    val p = plan("pipeline_pretrain")
+    assert(!p.contains("Join"),
+      "pipeline must thread source through chunking, not join it back")
+    assert(p.contains("Generate"), "missing the chunk explode")
+    assert(p.contains("quality_score("), "missing the classifier gate")
+  }
+
   test("repetition_stats: pure two-level aggregation — no join, partial agg below the shuffle") {
     val p = plan("repetition_stats")
     assert(!p.contains("Join"), "repetition stats must not join anything")

@@ -306,6 +306,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .orderBy(col("chunk_id")).collect()
     assert(flat.map(_.getString(2)).mkString(" ") == doc)
     assert(flat.map(_.getLong(3)).sum == 100L)
+    // carryCols ride along between id and chunk_id (no join needed to
+    // recover grouping keys downstream)
+    val carried = TextAnalysis.chunkDocuments(
+      df.withColumn("grp", col("doc_id") % 2), "doc_id", "text",
+      size = 32, stride = 24, carryCols = Seq("grp"))
+    assert(carried.schema.fieldNames.toSeq ==
+      Seq("doc_id", "grp", "chunk_id", "chunk_text", "n_chunk_tokens"))
+    assert(carried.filter(col("grp") =!= col("doc_id") % 2).count() == 0)
   }
 
   test("quality classifier: scores replay the stated hash/weight contract") {

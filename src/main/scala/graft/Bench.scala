@@ -54,6 +54,13 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // run in NAME order: the queries map is a HashMap, so its iteration
+    // order reshuffles whenever an entry is added — and with it each
+    // query's inherited warmth (JIT, broadcasts, caches), which measured
+    // as a phantom 3× swing on ngram_jaccard between runs whose only
+    // difference was the map size. Sorted order makes per-query series
+    // comparable across rounds.
+    val ordered = selected.toSeq.sortBy(_._1)
     // min-of-2 inside ONE JVM: two rounds running, the 2× gate verdict was
     // decided by host load noise in both directions (r6 official 2.4× vs
     // r7 official 1.12× on unchanged code). min over two back-to-back runs
@@ -65,7 +72,7 @@ object Bench {
     // Failed reps are recorded as -1 in the raw series; the min is taken
     // over SUCCESSFUL reps only, and a query with zero successes reports
     // -1 so the failure is visible in the artifact.
-    val results = selected.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed rep surfaces its cause on stderr (the JSON line on
@@ -102,7 +109,7 @@ object Bench {
     val failed = results.collect { case (k, v) if best(v) < 0 => k }.toSeq
     val succeeded = results.size - failed.size
     val total = if (results.nonEmpty)
-      results.valuesIterator.map(v => math.max(best(v), 0.0)).sum else 0.0
+      results.iterator.map { case (_, v) => math.max(best(v), 0.0) }.sum else 0.0
     // n_queries/sec_per_query: the suite GREW 35 → 50 queries in round 2,
     // so the comparable round-over-round number is per-query, not total
     val perQ = if (succeeded > 0) total / succeeded else 0.0

@@ -458,6 +458,45 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // §2.9 fourth oracled streaming row: the stateless STREAM-STATIC
+    // broadcast-join pattern (EventStreams.contaminationFlags — streaming
+    // ingest screened against a static eval-set fingerprint table), so
+    // every streaming shape in the engine (three state models + the
+    // stateless enrichment join) has a cross-engine oracle. No watermark,
+    // no sentinel: stateless transforms emit per micro-batch, one
+    // AvailableNow lifecycle drains the feed
+    "contamination_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventStreams
+      import graft.functions.HashFunctions.winnow_fingerprint
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ss = s
+      import ss.implicits._
+      val docs = t(s, dir, "documents")
+      val evalFps = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(winnow_fingerprint(col("text"), 5, 4)).as("h"))
+      val feed = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val outDir = java.nio.file.Files.createTempDirectory("graft_ctstream_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ctstream_ck_").toString
+      mem.addData(feed.toIndexedSeq)
+      val q = EventStreams.contaminationFlags(
+          mem.toDF().toDF("doc_id", "text"), evalFps, "doc_id", "text")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "contamination stream batch did not finish within 180 s")
+      }
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("h"))
+        .orderBy(col("doc_id"), col("h"))
+    }),
+
     // trailing-baseline spike detection (the monitoring/anomaly shape over
     // event streams): hourly counts per type, baseline = the previous 24
     // hourly counts via a RANGE frame on the integer epoch hour (hour
@@ -3398,6 +3437,26 @@ object SparkEntry {
         |FROM probe p LEFT JOIN ev e USING (h)
         |GROUP BY p.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // replay of contamination_stream: same winnow CTEs; the stream-static
+    // join emits the distinct (training doc, fingerprint) pairs whose
+    // hash appears in the eval partition's fingerprint set
+    "contamination_stream" ->
+      s"""WITH hs AS (
+        |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
+        |win AS (
+        |  SELECT doc_id, i, nh,
+        |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM hs),
+        |chosen AS (
+        |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3),
+        |ev AS (SELECT DISTINCT h FROM chosen WHERE doc_id % 50 = 0)
+        |SELECT p.doc_id, p.h
+        |FROM chosen p JOIN ev e USING (h)
+        |WHERE p.doc_id % 50 <> 0
+        |ORDER BY doc_id, h""".stripMargin,
 
     // replay of TextAnalysis.decontaminate: same winnow CTEs, drop list =
     // probe docs sharing any fingerprint with the eval side; survivors =

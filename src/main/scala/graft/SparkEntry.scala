@@ -119,6 +119,39 @@ object SparkEntry {
     raw.replaceAll("[^A-Za-z0-9]", "_") + "_" + md5
   }
 
+  /** Streaming-harness lifecycle shared by the oracled streaming rows.
+    * `freshStreamDirs` hands out a FIXED per-(query, corpus) output +
+    * checkpoint pair, wiped at entry — repeated invocations (bench reps,
+    * verify reruns) overwrite one tree instead of accumulating orphaned
+    * temp dirs, and the wipe also guarantees each invocation starts from
+    * a clean checkpoint. `runAvailableNow` is the drain protocol with
+    * the partial-output guard. */
+  private def freshStreamDirs(name: String, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${name}_$tag")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(root)
+    val out = new java.io.File(root, "out")
+    val ck = new java.io.File(root, "ckpt")
+    out.mkdirs(); ck.mkdirs()
+    (out.toString, ck.toString)
+  }
+
+  private def runAvailableNow(df: DataFrame, outDir: String, ckpt: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = df.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // awaitTermination(timeout) returns false while the query is still
+    // live — proceeding then would read partial output (or start a
+    // second query on the same checkpoint); fail loudly
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException(
+        "streaming batch did not finish within 180 s")
+    }
+  }
+
   /** Corpus identities for the process-wide TrainedIndex registry: an ANN
     * index is built once and served many times, so the trained-quantizer
     * queries pass the table path + content stamp (plus the augmentation
@@ -375,7 +408,6 @@ object SparkEntry {
     // driver-side harness source by construction — production streams
     // read readStream.parquet/Kafka with the identical transform.
     "events_funnel_stream" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.EventStreams
       import EventStreams.Event
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -386,22 +418,9 @@ object SparkEntry {
           col("event_type"), col("value"))
         .as[Event].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-      val outDir = java.nio.file.Files.createTempDirectory("graft_fnlstream_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_fnlstream_ck_").toString
-      def run(): Unit = {
-        val q = EventStreams.funnelStream(mem.toDS())
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        // awaitTermination(timeout) returns false while the query is
-        // still live — proceeding then would read partial output (or
-        // start a second query on the same checkpoint); fail loudly
-        if (!q.awaitTermination(180000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "funnel stream batch did not finish within 180 s")
-        }
-      }
+      val (outDir, ckpt) = freshStreamDirs("funnel", dir)
+      def run(): Unit =
+        runAvailableNow(EventStreams.funnelStream(mem.toDS()).toDF(), outDir, ckpt)
       mem.addData(ev.toIndexedSeq)
       run()
       val maxMs = ev.iterator.map(_.ts.getTime).max
@@ -430,7 +449,6 @@ object SparkEntry {
     // keys of the slice; no sentinel needed (dedup emission is
     // immediate, not window-close gated)
     "events_dedup_stream" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.EventStreams
       import EventStreams.Event
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -441,18 +459,11 @@ object SparkEntry {
           col("event_type"), col("value"))
         .as[Event].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-      val outDir = java.nio.file.Files.createTempDirectory("graft_ddstream_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ddstream_ck_").toString
+      val (outDir, ckpt) = freshStreamDirs("dedup", dir)
       mem.addData(ev.toIndexedSeq)
-      val q = EventStreams.dedupStream(mem.toDF(), Seq("user_id", "event_type"))
-        .writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(180000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "dedup stream batch did not finish within 180 s")
-      }
+      runAvailableNow(
+        EventStreams.dedupStream(mem.toDF(), Seq("user_id", "event_type")),
+        outDir, ckpt)
       s.read.parquet(outDir)
         .select(col("user_id"), col("event_type"))
         .orderBy(col("user_id"), col("event_type"))
@@ -466,7 +477,6 @@ object SparkEntry {
     // no sentinel: stateless transforms emit per micro-batch, one
     // AvailableNow lifecycle drains the feed
     "contamination_stream" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.EventStreams
       import graft.functions.HashFunctions.winnow_fingerprint
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -479,19 +489,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      val outDir = java.nio.file.Files.createTempDirectory("graft_ctstream_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ctstream_ck_").toString
+      val (outDir, ckpt) = freshStreamDirs("contamination", dir)
       mem.addData(feed.toIndexedSeq)
-      val q = EventStreams.contaminationFlags(
-          mem.toDF().toDF("doc_id", "text"), evalFps, "doc_id", "text")
-        .writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(180000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "contamination stream batch did not finish within 180 s")
-      }
+      runAvailableNow(
+        EventStreams.contaminationFlags(
+          mem.toDF().toDF("doc_id", "text"), evalFps, "doc_id", "text"),
+        outDir, ckpt)
       s.read.parquet(outDir)
         .select(col("doc_id"), col("h"))
         .orderBy(col("doc_id"), col("h"))
@@ -534,7 +537,6 @@ object SparkEntry {
     // their own windows never close, so the emitted rows are exactly the
     // batch aggregation over the slice — q11's SQL is the oracle.
     "events_hourly_stream" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.EventStreams
       import EventStreams.Event
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -545,19 +547,9 @@ object SparkEntry {
           col("event_type"), col("value"))
         .as[Event].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-      val outDir = java.nio.file.Files.createTempDirectory("graft_hrstream_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_hrstream_ck_").toString
-      def run(): Unit = {
-        val q = EventStreams.hourlyByType(mem.toDF())
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        if (!q.awaitTermination(180000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "hourly stream batch did not finish within 180 s")
-        }
-      }
+      val (outDir, ckpt) = freshStreamDirs("hourly", dir)
+      def run(): Unit =
+        runAvailableNow(EventStreams.hourlyByType(mem.toDF()), outDir, ckpt)
       mem.addData(ev.toIndexedSeq)
       run()
       val maxMs = ev.iterator.map(_.ts.getTime).max
@@ -2060,6 +2052,30 @@ object SparkEntry {
     e
   }
 
+  /** Shared winnow-fingerprint replay (k=5 char-grams, window w=4) over
+    * the documents table: matches HashFunctions.winnow exactly,
+    * INCLUDING the short-document branch — a doc with nh ≤ w gram
+    * hashes contributes ALL its distinct hashes (the engine's
+    * `if (nh <= w) return hs.distinct.sorted`), windowed min-key
+    * selection otherwise. Four oracles (doc_fingerprint,
+    * contamination_overlap, contamination_stream, decontaminate_drop)
+    * build on these CTEs; before the extraction each carried its own
+    * copy WITHOUT the nh ≤ w branch — latently wrong for texts of
+    * length 5-8, which the current corpora just happen not to contain. */
+  private def winnowCtes: String =
+    s"""hs AS (
+      |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
+      |win AS (
+      |  SELECT doc_id, i, nh,
+      |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM hs),
+      |chosen AS (
+      |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE nh > 4 AND i <= nh - 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, h FROM hs WHERE nh <= 4)""".stripMargin
+
   /** Dedup.spanDupStats oracle: tokenize like simhash/cms, identify each
     * k-token window by md5 of its joined token string (md5 hex is
     * identical in Spark and DuckDB), then count duplicated windows
@@ -3420,16 +3436,7 @@ object SparkEntry {
     // replay of TextAnalysis.winnowOverlap: the doc_fingerprint winnow
     // CTEs, partitioned into eval (doc_id % 50 = 0) and probe sides
     "contamination_overlap" ->
-      s"""WITH hs AS (
-        |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
-        |win AS (
-        |  SELECT doc_id, i, nh,
-        |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-        |  FROM hs),
-        |chosen AS (
-        |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3),
+      s"""WITH $winnowCtes,
         |ev AS (SELECT DISTINCT h FROM chosen WHERE doc_id % 50 = 0),
         |probe AS (SELECT doc_id, h FROM chosen WHERE doc_id % 50 <> 0)
         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
@@ -3442,16 +3449,7 @@ object SparkEntry {
     // join emits the distinct (training doc, fingerprint) pairs whose
     // hash appears in the eval partition's fingerprint set
     "contamination_stream" ->
-      s"""WITH hs AS (
-        |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
-        |win AS (
-        |  SELECT doc_id, i, nh,
-        |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-        |  FROM hs),
-        |chosen AS (
-        |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3),
+      s"""WITH $winnowCtes,
         |ev AS (SELECT DISTINCT h FROM chosen WHERE doc_id % 50 = 0)
         |SELECT p.doc_id, p.h
         |FROM chosen p JOIN ev e USING (h)
@@ -3463,16 +3461,7 @@ object SparkEntry {
     // non-eval documents not in the drop list (fingerprint-less docs
     // never enter `chosen`, so they survive — matching the engine)
     "decontaminate_drop" ->
-      s"""WITH hs AS (
-        |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
-        |win AS (
-        |  SELECT doc_id, i, nh,
-        |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-        |  FROM hs),
-        |chosen AS (
-        |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3),
+      s"""WITH $winnowCtes,
         |ev AS (SELECT DISTINCT h FROM chosen WHERE doc_id % 50 = 0),
         |ratio AS (
         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
@@ -3486,16 +3475,7 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "doc_fingerprint" ->
-      s"""WITH hs AS (
-        |  SELECT doc_id, i, ${gram5Sql("text", "CAST(i AS INT)")} AS h, length(text) - 4 AS nh
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)),
-        |win AS (
-        |  SELECT doc_id, i, nh,
-        |    min(h * 1048576 + i) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-        |  FROM hs),
-        |chosen AS (
-        |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE i <= nh - 3)
+      s"""WITH $winnowCtes
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(min(h) AS BIGINT) AS fp_min
         |FROM chosen GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -1653,6 +1653,19 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // per-group approximate percentiles on the shared bucket grid —
+    // deterministic integer order statistics (rank = ⌈n·p/100⌉ by
+    // cross-multiplication, estimate = first bucket edge reaching it),
+    // unlike approx_percentile's non-replayable GK sketch. Shuffle is
+    // bounded by |groups|·buckets at any data volume
+    "approx_quantiles" -> ((s, dir) => {
+      graft.operators.Sketches.approxQuantiles(
+        t(s, dir, "documents"), "source", "n_chars",
+        buckets = 32, percentiles = Seq(50, 90))
+        .withColumnRenamed("g", "source")
+        .orderBy(col("source"), col("pct"))
+    }),
+
     // hive-style partitioned layout + partition pruning: THE scan
     // optimization at 100 TB — the lang='en' read must touch only the
     // lang=en directory (PlanAuditSpec pins PartitionFilters on the scan)
@@ -3203,6 +3216,29 @@ object SparkEntry {
         |    CAST(min(l_linenumber) AS BIGINT), CAST(max(l_linenumber) AS BIGINT)
         |  FROM lineitem) u
         |ORDER BY col_name""".stripMargin,
+
+    // replay of Sketches.approxQuantiles: same global grid as
+    // profile_histogram, per-source window cumsum, integer rank selection
+    "approx_quantiles" ->
+      """WITH b AS (
+        |  SELECT min(n_chars) AS mn, ((max(n_chars) - min(n_chars)) // 32) + 1 AS w
+        |  FROM documents),
+        |grid AS (
+        |  SELECT source, (n_chars - mn) // w AS bucket, CAST(count(*) AS BIGINT) AS bn
+        |  FROM documents, b WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bucket, bn,
+        |    sum(bn) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |    sum(bn) OVER (PARTITION BY source) AS n
+        |  FROM grid),
+        |pr AS (
+        |  SELECT source, bucket, cum, n, p.pct, (n * p.pct + 99) // 100 AS rnk
+        |  FROM cum CROSS JOIN (SELECT unnest([50, 90]) AS pct) p)
+        |SELECT source, CAST(pct AS INT) AS pct, CAST(n AS BIGINT) AS n,
+        |  CAST(min(bucket) * (SELECT w FROM b) + (SELECT mn FROM b) AS BIGINT) AS est
+        |FROM pr WHERE cum >= rnk
+        |GROUP BY source, pct, n
+        |ORDER BY source, pct""".stripMargin,
 
     // replay of Sketches.histogram: width = (max−min)//32 + 1 over the
     // same integral column; `//` == Spark `div` on non-negative operands

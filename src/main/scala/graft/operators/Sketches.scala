@@ -210,6 +210,59 @@ object Sketches {
   }
 
   /**
+   * Per-group approximate percentiles over the equi-width bucket grid —
+   * the order-statistic estimator that rounds out the sketch family
+   * (CMS = frequency, HLL = cardinality, Bloom = membership, histogram
+   * = shape, this = quantiles). One GLOBAL grid (bounds aggregate, like
+   * `histogram`) shared by every group, so group sketches are mergeable
+   * by construction; estimate for percentile p = the LO edge of the
+   * first bucket whose running count reaches ⌈n·p/100⌉ — pure integer
+   * selection, bit-identical cross-engine, error bounded by the bucket
+   * width. Plan: one partial-aggregated shuffle of ≤ |groups|·buckets
+   * rows, then a window cumsum over that bounded grid — nothing scales
+   * with the data. Unlike `approx_percentile`'s GK sketch this is
+   * deterministic and SQL-replayable, which is the whole point here.
+   */
+  def approxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int, percentiles: Seq[Int]): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx")).head()
+    if (bounds.isNullAt(0))
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "g STRING, pct INT, n BIGINT, est BIGINT"))
+    val mn = bounds.getLong(0)
+    val w = (bounds.getLong(1) - mn) / buckets + 1
+    val grid = df.filter(v.isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"),
+        expr(s"(CAST(`$valueCol` AS BIGINT) - $mn) div $w").as("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val win = Window.partitionBy(col("g")).orderBy(col("bucket"))
+    val cum = grid
+      .withColumn("cum", sum(col("bn")).over(win))
+      .withColumn("n", sum(col("bn")).over(Window.partitionBy(col("g"))))
+    // rank = ⌈n·p/100⌉ as integer cross-multiplication: smallest r with
+    // r·100 ≥ n·p, i.e. (n·p + 99) div 100 — no float anywhere
+    val structs = percentiles
+      .map(p => s"struct($p AS pct, (n * $p + 99) div 100 AS rank)")
+      .mkString(", ")
+    cum.select(col("g"), col("bucket"), col("cum"), col("n"),
+        expr(s"explode(array($structs))").as("pr"))
+      .select(col("g"), col("pr.pct").as("pct"), col("pr.rank").as("rank"),
+        col("bucket"), col("cum"), col("n"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("g"), col("pct"), col("n"))
+      .agg(min(col("bucket")).as("b"))
+      .select(col("g"), col("pct").cast("int").as("pct"), col("n"),
+        (col("b") * w + mn).as("est"))
+  }
+
+  /**
    * Bloom filter as a (j, bit) row table — the membership sketch that
    * completes the family (CMS = frequency, HLL = cardinality, Bloom =
    * membership; Bloom, CACM '70). d hash functions over 2^16 bits; the

@@ -137,6 +137,28 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - 10000) / 10000.0 < 0.3, s"est $est")
   }
 
+  test("approxQuantiles: estimates within one bucket width of exact order stats") {
+    import spark.implicits._
+    // group a uniform 0..999, group b uniform 0..99 — exact percentiles
+    // known; the GLOBAL grid (w = 999/50 + 1 = 20) serves both groups
+    val df = ((0 until 1000).map(i => ("a", i.toLong))
+      ++ (0 until 100).map(i => ("b", i.toLong))).toDF("g", "v")
+    val q = Sketches.approxQuantiles(df, "g", "v", buckets = 50,
+        percentiles = Seq(50, 90))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(math.abs(q(("a", 50)) - 500) <= 20, q.toString)
+    assert(math.abs(q(("a", 90)) - 900) <= 20, q.toString)
+    assert(math.abs(q(("b", 50)) - 50) <= 20, q.toString)
+    assert(math.abs(q(("b", 90)) - 90) <= 20, q.toString)
+    // estimates are bucket LO edges on the shared grid
+    q.values.foreach(v => assert(v % 20 == 0, q.toString))
+    // empty input: empty result, stable schema
+    val e = Sketches.approxQuantiles(
+      Seq.empty[(String, Long)].toDF("g", "v"), "g", "v", 8, Seq(50))
+    assert(e.collect().isEmpty
+      && e.schema.fieldNames.toSeq == Seq("g", "pct", "n", "est"))
+  }
+
   test("histogram: exact counts, bucket bounds, and degenerate inputs") {
     import spark.implicits._
     // 0..99 in 10 buckets: width = 99/10 + 1 = 10 → exactly 10 per bucket

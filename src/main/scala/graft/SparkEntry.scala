@@ -34,18 +34,30 @@ object SparkEntry {
     s.read.parquet(s"$dir/$n.parquet")
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and convert to a
-    * microsecond TimestampType column (truncation is harmless for the
-    * windowing this table exists to exercise). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** Schema-adaptive events reader. The testdata generator has shipped `ts`
+    * as TIMESTAMP(NANOS) (which Spark's parquet reader rejects outright —
+    * [PARQUET_TYPE_ILLEGAL] — unless nanos are read as long) and, since the
+    * Aug-2026 regeneration, as plain `timestamp[us]` (TIMESTAMP_NTZ to
+    * Spark). Mirror the reference's sniff-what-arrives posture (its CSV path
+    * adapts to whatever encoding/delimiter lands, importer.rb:489-502):
+    * probe the decoded type and normalize `ts` to session-zone TimestampType
+    * either way. Session TZ is UTC here, so NTZ→LTZ is value-identity. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      t(s, dir, "events")
-        // integer div: epoch-nanos exceed 2^53, double division would lose µs
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } finally s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try normalizeEventTs(t(s, dir, "events"))
+    finally s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
   }
+
+  /** Normalize however `ts` decoded to session-zone TimestampType. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long
+        // integer div: epoch-nanos exceed 2^53, double division would lose µs
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TimestampNTZType (plain timestamp[us], not UTC-adjusted)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** Flagship: the reference's signature import dataflow (Q-georef,
     * SURVEY.md §2.11) — synthesize lat/lon, validate with P3 regexes,

@@ -429,11 +429,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("batch/stream parity: hourlyByType on the events table matches groupBy") {
-    // events table is ns-precision; go through the same µs conversion
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(sf("events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    // schema-adaptive load (nanos-as-long OR native timestamp[us])
+    val ev = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
     val viaOperator = EventStreams.hourlyByType(ev)
       .agg(sum("n")).head().getLong(0)
     assert(viaOperator == ev.count())

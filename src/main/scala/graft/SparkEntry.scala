@@ -1824,6 +1824,24 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // §2.4 A3 at scale (SURVEY §4 documented divergence): the SAMPLED
+    // inference path — deterministic mod-P hash subset (5% of orders), so
+    // the oracle replays the identical subset; the regex fold runs on
+    // ~5% of rows, the rest short-circuit on one codegen'd hash compare.
+    // This is the plan the import path runs at 100 TB (CsvImport wires
+    // inferTypesWithFallback); type_infer above stays the exact full fold.
+    "type_infer_sampled" -> ((s, dir) => {
+      val src = graft.operators.Par.ensureParallelism(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+            col("l_shipdate")))
+      val types = SchemaInference.inferTypesHashSampled(
+        src, col("l_orderkey"), fraction = 0.05)
+      import s.implicits._
+      types.toSeq.sortBy(_._1).toDF("col_name", "lattice_type")
+        .orderBy(col("col_name"))
+    }),
+
     // §2.5 RANGE window frame (value-based, vs q4's ROWS): 30-day trailing
     // revenue per customer — exact µs frame bounds, ties are peers in
     // both engines
@@ -4004,6 +4022,34 @@ object SparkEntry {
         |    CASE WHEN bool_and(regexp_full_match(CAST(l_shipdate AS VARCHAR), '^[0-9]+$')) THEN 'integer'
         |         WHEN bool_and(regexp_full_match(CAST(l_shipdate AS VARCHAR), '^-?[0-9]+[.|,][0-9]+$')) THEN 'float'
         |         ELSE 'varchar' END FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+
+    // replay of inferTypesHashSampled: identical lattice CASEs over the
+    // deterministic hash subset u(l_orderkey) < ⌊0.05·P⌋ = 50000000
+    "type_infer_sampled" ->
+      """WITH li AS (SELECT * FROM lineitem
+        |  WHERE (l_orderkey * 2654435761) % 1000000007 < 50000000)
+        |SELECT col_name, lattice_type FROM (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    CASE WHEN bool_and(regexp_full_match(CAST(l_orderkey AS VARCHAR), '^[0-9]+$'))
+        |          AND max(l_orderkey) <= 2147483647 THEN 'integer'
+        |         WHEN bool_and(regexp_full_match(CAST(l_orderkey AS VARCHAR), '^-?[0-9]+[.|,][0-9]+$')) THEN 'float'
+        |         ELSE 'varchar' END AS lattice_type FROM li
+        |  UNION ALL
+        |  SELECT 'l_quantity',
+        |    CASE WHEN bool_and(regexp_full_match(CAST(l_quantity AS VARCHAR), '^[0-9]+$')) THEN 'integer'
+        |         WHEN bool_and(regexp_full_match(CAST(l_quantity AS VARCHAR), '^-?[0-9]+[.|,][0-9]+$')) THEN 'float'
+        |         ELSE 'varchar' END FROM li
+        |  UNION ALL
+        |  SELECT 'l_returnflag',
+        |    CASE WHEN bool_and(regexp_full_match(l_returnflag, '^[0-9]+$')) THEN 'integer'
+        |         WHEN bool_and(regexp_full_match(l_returnflag, '^-?[0-9]+[.|,][0-9]+$')) THEN 'float'
+        |         ELSE 'varchar' END FROM li
+        |  UNION ALL
+        |  SELECT 'l_shipdate',
+        |    CASE WHEN bool_and(regexp_full_match(CAST(l_shipdate AS VARCHAR), '^[0-9]+$')) THEN 'integer'
+        |         WHEN bool_and(regexp_full_match(CAST(l_shipdate AS VARCHAR), '^-?[0-9]+[.|,][0-9]+$')) THEN 'float'
+        |         ELSE 'varchar' END FROM li)
         |ORDER BY col_name""".stripMargin,
 
     "q26_first_last" ->

@@ -111,6 +111,67 @@ object SchemaInference {
     names.zip(joined.split(",", -1).toIndexedSeq).toMap
   }
 
+  /** Default row cap for import-path inference (SURVEY.md §4 documented
+    * divergence: the reference full-scans at 2k rows, importer.rb:518-550;
+    * at 100 TB a full regex fold per import is the wrong plan). 100k rows
+    * classify any realistic column distribution; the cap makes inference
+    * cost flat in input size (`limit` stops the scan early). */
+  val DefaultImportSampleRows = 100000L
+
+  /** Sampled inference for the import path: fold over the first
+    * `sampleRows` rows only. `limit(n)` executes incrementally over file
+    * splits (CollectLimit), so a 100 TB table costs the same as a 100 MB
+    * one. Head-of-file biased by construction — use
+    * [[inferTypesHashSampled]] when the input is known to be
+    * order-correlated (e.g. sorted by the very column being inferred). */
+  def inferTypesSampled(df: DataFrame,
+      sampleRows: Long = DefaultImportSampleRows): Map[String, String] =
+    inferTypes(df, Some(sampleRows))
+
+  /** Deterministic unbiased sampled inference: keeps rows whose mod-P
+    * multiplicative hash of `rowKey` falls below `fraction`·P (the exact
+    * sampling spec of [[graft.operators.Sampling.hashUniform]], so any
+    * engine replays the same subset bit-for-bit). One full scan, but the
+    * regex fold — the actual cost at scale — runs on only ~fraction of
+    * rows; the rest short-circuit on the codegen'd hash compare. */
+  def inferTypesHashSampled(df: DataFrame, rowKey: org.apache.spark.sql.Column,
+      fraction: Double): Map[String, String] =
+    inferTypes(df.filter(
+      Sampling.hashUniform(rowKey, salt = 0L) <
+        lit((fraction * graft.functions.HashFunctions.P).toLong)))
+
+  /** Sampled inference with full-data validation and full-scan fallback
+    * ("sample N rows + fall back", SURVEY.md §4). Strategy:
+    *  1. fold the lattice over `sampleRows` rows (flat cost);
+    *  2. validate the verdicts against ALL rows with one regex-free
+    *     codegen'd pass — count non-blank cells that `try_cast` refuses
+    *     under the sampled type (cheap: a cast attempt, not four regex
+    *     matches per cell);
+    *  3. if any column miscasts, fall back to the exact full fold.
+    * Returns (types, fellBack). The common case (sample was right) costs
+    * one cheap scan instead of the regex fold; the worst case costs the
+    * reference's full fold plus the two cheaper passes. */
+  def inferTypesWithFallback(df: DataFrame,
+      sampleRows: Long = DefaultImportSampleRows): (Map[String, String], Boolean) = {
+    val sampled = inferTypesSampled(df, sampleRows)
+    val checked = sampled.toSeq.filter(_._2 != "varchar")
+    if (checked.isEmpty) return (sampled, false)
+    val miscastCols = checked.map { case (c, tpe) =>
+      val cell = col(c).cast(StringType)
+      val castOk = tpe match {
+        case "integer" => expr(s"try_cast(cast(`$c` AS STRING) AS BIGINT)").isNotNull
+        case _ =>
+          expr(s"try_cast(translate(cast(`$c` AS STRING), ',|', '..') AS DOUBLE)").isNotNull
+      }
+      // blank cells are lattice-invisible (Identifier.isBlank) — exempt
+      sum(when(cell.isNotNull && trim(cell) =!= "" && !castOk, 1L)
+        .otherwise(0L)).as(c)
+    }
+    val miscasts = df.select(miscastCols.toIndexedSeq: _*).head()
+    val anyMiscast = (0 until miscasts.length).exists(i => miscasts.getLong(i) > 0L)
+    if (anyMiscast) (inferTypes(df), true) else (sampled, false)
+  }
+
   /** Spark DataType for a reference-lattice type name (SURVEY.md §1.4). */
   def toSparkType(latticeName: String): DataType = latticeName match {
     case "integer" => LongType

@@ -56,7 +56,15 @@ object SparkEntry {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
       case _ => // TimestampNTZType (plain timestamp[us], not UTC-adjusted)
-        df.withColumn("ts", col("ts").cast("timestamp"))
+        // The NTZ wall-clock IS the UTC instant (the generator writes epoch
+        // micros). A bare cast("timestamp") would interpret it in the
+        // SESSION zone — correct only under spark.sql.session.timeZone=UTC.
+        // Rebase the UTC wall-clock into the session zone's wall-clock
+        // first (convert_timezone is zone-explicit; current_timezone()
+        // constant-folds to the session zone), then cast — the composition
+        // yields the same instant under ANY session timezone.
+        df.withColumn("ts", expr(
+          "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
     }
 
   /** Flagship: the reference's signature import dataflow (Q-georef,
@@ -1828,8 +1836,10 @@ object SparkEntry {
     // inference path — deterministic mod-P hash subset (5% of orders), so
     // the oracle replays the identical subset; the regex fold runs on
     // ~5% of rows, the rest short-circuit on one codegen'd hash compare.
-    // This is the plan the import path runs at 100 TB (CsvImport wires
-    // inferTypesWithFallback); type_infer above stays the exact full fold.
+    // The import default is sample-only (CsvImport.read →
+    // inferTypesSampled, null-on-miscast via try_cast; validateSample=true
+    // opts into inferTypesWithFallback's no-new-nulls guarantee);
+    // type_infer above stays the exact full fold.
     "type_infer_sampled" -> ((s, dir) => {
       val src = graft.operators.Par.ensureParallelism(
         t(s, dir, "lineitem")

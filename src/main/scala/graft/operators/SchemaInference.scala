@@ -102,7 +102,8 @@ object SchemaInference {
   /** Infer the reference-lattice type of every column in one pass.
     * Returns columnName → "integer" | "float" | "varchar". */
   def inferTypes(df: DataFrame, sampleRows: Option[Long] = None): Map[String, String] = {
-    val src0 = sampleRows.map(n => df.limit(n.toInt)).getOrElse(df)
+    // clamp: limit takes an Int; a >2^31 cap means "effectively unbounded"
+    val src0 = sampleRows.map(n => df.limit(math.min(n, Int.MaxValue.toLong).toInt)).getOrElse(df)
     val cols = src0.columns
     val src = src0.select(cols.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*)
     val names = cols.toIndexedSeq
@@ -163,8 +164,10 @@ object SchemaInference {
         case _ =>
           expr(s"try_cast(translate(cast(`$c` AS STRING), ',|', '..') AS DOUBLE)").isNotNull
       }
-      // blank cells are lattice-invisible (Identifier.isBlank) — exempt
-      sum(when(cell.isNotNull && trim(cell) =!= "" && !castOk, 1L)
+      // blank cells are lattice-invisible (Identifier.isBlank, which treats
+      // ALL whitespace as blank — rlike \S matches that; trim() would not,
+      // it only strips spaces, so a tab-only cell would spuriously miscast)
+      sum(when(cell.isNotNull && cell.rlike("\\S") && !castOk, 1L)
         .otherwise(0L)).as(c)
     }
     val miscasts = df.select(miscastCols.toIndexedSeq: _*).head()

@@ -117,7 +117,8 @@ object CsvImport {
    */
   def read(spark: SparkSession, path: String,
       inferTypes: Boolean = true,
-      inferSampleRows: Option[Long] = Some(SchemaInference.DefaultImportSampleRows))
+      inferSampleRows: Option[Long] = Some(SchemaInference.DefaultImportSampleRows),
+      validateSample: Boolean = false)
       : DataFrame = {
     val d = sniff(path)
     val raw0 = spark.read
@@ -134,15 +135,19 @@ object CsvImport {
     val named = raw.toDF(Identifier.sanitizeHeader(raw.columns.toIndexedSeq): _*)
     if (!inferTypes) named
     else {
-      // Scale path (SURVEY §4 divergence): fold over a bounded sample —
-      // flat cost in input size (measured: 1.35 s at 6M rows ≈ 1.17 s at
-      // 600k; the full fold grows with the data). A value the sample never
-      // saw that later defies the verdict lands as NULL via try_cast,
-      // which is the reference's own null-on-failure import semantics.
-      // inferSampleRows=None forces the reference's full-scan fold;
-      // inferTypesWithFallback offers sampled+validated for callers that
-      // want a no-new-nulls guarantee at the cost of one extra cheap scan.
+      // Scale path (SURVEY §4 divergence): the DEFAULT fold is sample-only —
+      // bounded by inferSampleRows, flat cost in input size (measured:
+      // 1.35 s at 6M rows ≈ 1.17 s at 600k; the full fold grows with the
+      // data). A value past the sample that defies the verdict lands as
+      // NULL via try_cast — the reference's own null-on-failure import
+      // semantics, pinned by ImporterSpec's late-defier case.
+      // validateSample=true upgrades to sampled+validated+full-fold-
+      // fallback (inferTypesWithFallback): a no-new-nulls guarantee for
+      // one extra cheap try_cast scan. inferSampleRows=None forces the
+      // reference's exact full-scan fold.
       val types = inferSampleRows match {
+        case Some(n) if validateSample =>
+          SchemaInference.inferTypesWithFallback(named, n)._1
         case Some(n) => SchemaInference.inferTypesSampled(named, n)
         case None    => SchemaInference.inferTypes(named)
       }

@@ -77,6 +77,28 @@ class EventsEncodingSpec extends AnyFunSuite with SparkTestBase {
     assertNormalized(path)
   }
 
+  test("NTZ encoding yields the same instants under a non-UTC session timezone") {
+    val s = spark; import s.implicits._
+    // Fixture written under UTC (the generator's posture: NTZ wall-clock IS
+    // the UTC instant) …
+    val path = tmp("ev-ntz-tz")
+    micros.map(us => (us, 1L, "view")).toDF("us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .drop("us")
+      .write.parquet(path)
+    // … then loaded under a DST-shifting zone. The loader's zone-explicit
+    // convert_timezone rebase must recover the exact epoch micros; the old
+    // bare cast("timestamp") would shift every instant by the zone offset.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = loadVia(path)
+      assert(got.schema("ts").dataType == TimestampType)
+      val us = got.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+      assert(us.toSeq == micros.sorted, s"epoch micros under NY session: ${us.toSeq}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("all three encodings agree row-for-row") {
     val s = spark; import s.implicits._
     val pNanos = tmp("ev-eq-nanos")

@@ -233,4 +233,36 @@ class ImporterSpec extends AnyFunSuite with SparkTestBase {
     assert(r.importType == ".kml")
     assert(r.rowsImported > 0)
   }
+
+  // SURVEY §4 divergence pin: the import default infers types from a bounded
+  // SAMPLE (the reference full-scans, importer.rb:518-550). A value past the
+  // sample that defies the sampled verdict must land as NULL (try_cast
+  // null-on-failure — the reference's own miscast semantics), NOT throw and
+  // NOT demote the column. validateSample=true is the opt-out: it validates
+  // the verdict against all rows and falls back to the exact full fold, so
+  // no new nulls appear.
+  test("sampled inference: late value defying the sample nulls out; validateSample recovers it") {
+    val dir = java.nio.file.Files.createTempDirectory("late-defier")
+    val f = dir.resolve("late.csv")
+    val rows = (1 to 500).map { i =>
+      val v = if (i == 400) "not_a_number" else i.toString
+      s"$v,row_$i"
+    }
+    java.nio.file.Files.write(f, ("num,label\n" + rows.mkString("\n")).getBytes("UTF-8"))
+
+    // sample (first 100 rows) sees only integers → column types as BIGINT;
+    // row 400's defier becomes NULL on cast
+    val sampled = graft.sources.CsvImport.read(spark, f.toString,
+      inferSampleRows = Some(100L))
+    assert(sampled.schema("num").dataType == org.apache.spark.sql.types.LongType)
+    assert(sampled.filter(col("num").isNull).count() == 1L)
+    assert(sampled.count() == 500L)
+
+    // validated path: the try_cast validation scan catches the defier and
+    // falls back to the full fold → varchar, zero new nulls
+    val validated = graft.sources.CsvImport.read(spark, f.toString,
+      inferSampleRows = Some(100L), validateSample = true)
+    assert(validated.schema("num").dataType == org.apache.spark.sql.types.StringType)
+    assert(validated.filter(col("num").isNull).count() === 0L)
+  }
 }

@@ -361,7 +361,7 @@ object Similarity {
     }
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     TrainedIndex.save(spark, s"$path/_centroids", onlyKeys = Some(keys))
-    writeCellMap(spark, path)
+    writeCellMap(spark, path, dataSchema = Some(assigned.schema))
     // completeness marker LAST: parquet's own _SUCCESS appears before the
     // centroids exist, so a crash in between would otherwise leave a
     // torn index that looks servable — gate readers on THIS marker
@@ -382,12 +382,39 @@ object Similarity {
     * manifest is absent (pre-manifest indexes stay readable). */
   val CellMapFile: String = "_cellmap"
 
+  /** Header line prefix carrying the index's full Spark schema (data
+    * columns + `cell` partition column) as DataType JSON. Serves read it to
+    * skip parquet footer inference — the schema-inference pass was a whole
+    * Spark job (~0.6 s fixed overhead per serve, any scale). The line has
+    * no tab, so pre-schema readers' `contains('\t')` filter skips it —
+    * old manifests and old readers interoperate both ways. */
+  val CellMapSchemaPrefix: String = "#schema="
+
   private def writeCellMap(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // schema header: from the writer when it has the frame in hand
+    // (build/append), else preserved from the live manifest (compact
+    // rewrites the file list but must not drop the schema)
+    val schemaLine: Option[String] = dataSchema.map(s => CellMapSchemaPrefix + s.json)
+      .orElse {
+        val live = new Path(root, CellMapFile)
+        if (!fs.exists(live)) None
+        else {
+          val len = fs.getFileStatus(live).getLen.toInt
+          val in = fs.open(live)
+          val txt = try {
+            val b = new Array[Byte](len); in.readFully(b)
+            new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+          txt.split('\n').find(_.startsWith(CellMapSchemaPrefix))
+        }
+      }
     val sb = new StringBuilder
+    schemaLine.foreach(l => sb.append(l).append('\n'))
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("cell=")).foreach { d =>
       val cell = d.getPath.getName.substring("cell=".length)
@@ -441,26 +468,46 @@ object Similarity {
         val b = new Array[Byte](len); in.readFully(b)
         new String(b, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
+      val lines = txt.split('\n')
+      // schema header (CellMapSchemaPrefix): with it the read skips parquet
+      // footer inference — one whole Spark job of fixed serve overhead gone
+      val manifestSchema = lines.find(_.startsWith(CellMapSchemaPrefix))
+        .flatMap { l =>
+          scala.util.Try(org.apache.spark.sql.types.DataType
+            .fromJson(l.substring(CellMapSchemaPrefix.length))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+        }
+      // A serve's file list is bounded (nProbe cells' committed files), so
+      // stat it on the driver: a distributed listing JOB (the >threshold
+      // default for explicit multi-path reads) costs more in scheduling
+      // than statting the bounded list ever does. Sprawl past that bound is
+      // what compactIvfIndex is for.
+      def readFiles(paths: Seq[String]): DataFrame = {
+        val rd0 = spark.read.option("basePath", indexPath)
+        val rd = manifestSchema.map(rd0.schema).getOrElse(rd0)
+        val tKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        val prev = spark.conf.get(tKey)
+        spark.conf.set(tKey, math.max(prev.toInt, paths.length).toString)
+        try rd.parquet(paths: _*) finally spark.conf.set(tKey, prev)
+      }
       val want = probeCells.toSet
       // lines are `cell\trelpath`; anything malformed is skipped rather
       // than crashing the serve (the atomic manifest write makes torn
       // lines unreachable in practice, but a serve must not brick on one)
-      val all = txt.split('\n').iterator.filter(l => l.nonEmpty && l.contains('\t'))
+      val all = lines.iterator.filter(l => l.nonEmpty && l.contains('\t'))
         .map { line =>
           val i = line.indexOf('\t')
           (line.substring(0, i).toLong, s"$indexPath/${line.substring(i + 1)}")
         }.toSeq
       val files = all.collect { case (cell, f) if want(cell) => f }
-      if (files.nonEmpty)
-        Some(spark.read.option("basePath", indexPath).parquet(files: _*))
+      if (files.nonEmpty) Some(readFiles(files))
       else if (all.nonEmpty)
         // the manifest is authoritative: probed cells with no committed
         // files are EMPTY — falling back to directory discovery here
         // would surface files an append wrote but never committed (the
         // exact torn view the manifest gate exists to hide). Derive the
         // schema from any committed file and return zero rows.
-        Some(spark.read.option("basePath", indexPath).parquet(all.head._2)
-          .filter(lit(false)))
+        Some(readFiles(Seq(all.head._2)).filter(lit(false)))
       else None // degenerate empty index: nothing committed anywhere
     }
     fromManifest.getOrElse(
@@ -527,7 +574,7 @@ object Similarity {
     assigned.write.mode("append").partitionBy("cell").parquet(path)
     // manifest LAST: the appended files become visible to manifest-reading
     // serves only on this single-object write (see CellMapFile)
-    writeCellMap(spark, path)
+    writeCellMap(spark, path, dataSchema = Some(assigned.schema))
   }
 
   /**

@@ -505,11 +505,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(new org.apache.hadoop.fs.Path(s"$idx/${Similarity.CellMapFile}"))
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    txt.split('\n').filter(_.nonEmpty).foreach { line =>
+    txt.split('\n').filter(l => l.nonEmpty && l.contains('\t')).foreach { line =>
       val rel = line.substring(line.indexOf('\t') + 1)
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$rel")),
         s"manifest names a dead file: $rel")
     }
+    // compaction rewrites the file list but must preserve the schema
+    // header (it has no frame in hand to rebuild it from)
+    assert(txt.startsWith(Similarity.CellMapSchemaPrefix),
+      "compacted manifest lost its schema header")
     TrainedIndex.invalidate()
   }
 

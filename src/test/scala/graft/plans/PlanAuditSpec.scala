@@ -322,4 +322,61 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("InMemoryTableScan"),
       "assigned projection not cached across self-join sides")
   }
+
+  test("ivf serve: the index scan's file list is the _cellmap manifest, not discovery") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    Similarity.TrainedIndex.invalidate()
+    val emb = s.read.parquet(sf("embeddings"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_manifestpin_")
+      .toString + "/idx"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+      indexKey = "pin-manifest")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    // plant an UNCOMMITTED data file in every cell dir — the exact debris
+    // an append killed before its manifest write leaves behind: present on
+    // disk, absent from _cellmap
+    val planted = new java.io.File(idx).listFiles
+      .filter(_.getName.startsWith("cell="))
+      .map { d =>
+        val src = d.listFiles.filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(d, s"part-uncommitted-${d.getName}.parquet")
+        java.nio.file.Files.copy(src.toPath, dst.toPath)
+        dst.toString
+      }
+    assert(planted.nonEmpty)
+    val q = emb.filter(col("vec_id") < 5)
+    val served = Similarity.ivfTopKServed(s, idx, q, "vec_id", "embedding",
+      k = 3, indexKey = "pin-manifest")
+    // 1) the executed scan reads ONLY manifest-committed files
+    val manifestFiles = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$idx/${Similarity.CellMapFile}"))
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      txt.split('\n').filter(l => l.nonEmpty && l.contains('\t'))
+        .map(l => s"$idx/${l.substring(l.indexOf('\t') + 1)}").toSet
+    }
+    val scanned = served.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    assert(scanned.nonEmpty)
+    assert(!scanned.exists(_.contains("uncommitted")),
+      s"serve scanned an uncommitted file: ${scanned.find(_.contains("uncommitted"))}")
+    assert(scanned.subsetOf(manifestFiles),
+      s"scan reads files outside the manifest: ${scanned.diff(manifestFiles).take(3)}")
+    // 2) the manifest header carries the schema, so building the serve
+    // plan costs no footer-inference or listing job
+    val in2 = fs.open(new org.apache.hadoop.fs.Path(s"$idx/${Similarity.CellMapFile}"))
+    val txt2 = try scala.io.Source.fromInputStream(in2).mkString finally in2.close()
+    assert(txt2.startsWith(Similarity.CellMapSchemaPrefix),
+      "manifest must lead with its schema header")
+    // 3) non-vacuity: without the manifest, directory discovery DOES see
+    // the planted files — proving the committed view above was the
+    // manifest's doing, not the debris being invisible
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/${Similarity.CellMapFile}"), false)
+    val fallback = Similarity.ivfTopKServed(s, idx, q, "vec_id", "embedding",
+      k = 3, indexKey = "pin-manifest")
+    assert(fallback.inputFiles.exists(_.contains("uncommitted")),
+      "fallback discovery should surface the planted debris")
+    Similarity.TrainedIndex.invalidate()
+  }
 }

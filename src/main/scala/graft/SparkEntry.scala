@@ -159,17 +159,30 @@ object SparkEntry {
 
   private def runAvailableNow(df: DataFrame, outDir: String, ckpt: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    val q = df.writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    // awaitTermination(timeout) returns false while the query is still
-    // live — proceeding then would read partial output (or start a
-    // second query on the same checkpoint); fail loudly
-    if (!q.awaitTermination(180000)) {
-      q.stop()
-      throw new IllegalStateException(
-        "streaming batch did not finish within 180 s")
-    }
+    // State-store instances per stateful operator = shuffle partitions at
+    // checkpoint creation, and EVERY micro-batch pays each store's
+    // open/commit/checkpoint-file cycle even with zero rows (measured:
+    // a 0-row batch costs ~1.0 s at 32 partitions — pure store lifecycle,
+    // ~30 ms/store). The harness drains a bounded slice, so 8 stores is
+    // parallelism enough; production streams size this to volume, the same
+    // sizing call as any shuffle. Restored in finally — the session is the
+    // driver's.
+    val s = df.sparkSession
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      // awaitTermination(timeout) returns false while the query is still
+      // live — proceeding then would read partial output (or start a
+      // second query on the same checkpoint); fail loudly
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "streaming batch did not finish within 180 s")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Corpus identities for the process-wide TrainedIndex registry: an ANN
@@ -439,20 +452,20 @@ object SparkEntry {
         .as[Event].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
       val (outDir, ckpt) = freshStreamDirs("funnel", dir)
-      def run(): Unit =
-        runAvailableNow(EventStreams.funnelStream(mem.toDS()).toDF(), outDir, ckpt)
-      mem.addData(ev.toIndexedSeq)
-      run()
       val maxMs = ev.iterator.map(_.ts.getTime).max
-      // two sentinel batches on a reserved user: the first advances the
-      // watermark past every real user's timeout horizon, the second
-      // runs the timeout pass under that watermark -> "final" rows
+      // ONE AvailableNow lifecycle, TWO micro-batches: the drain batch
+      // carries the data plus one far-future sentinel on a reserved user,
+      // so the post-batch watermark (= batch max event time − 2h horizon)
+      // already clears every real user's timeout; the trailing no-data
+      // micro-batch that AvailableNow runs on a watermark advance then
+      // fires all timeouts → "final" rows. The previous shape (sentinels
+      // in their own lifecycles) ran 3 lifecycles / 6 micro-batches for
+      // the same output — and each micro-batch costs ~1 s of state-store
+      // lifecycle regardless of rows (BASELINE.md round 11).
+      mem.addData(ev.toIndexedSeq)
       mem.addData(Event(-1L, new java.sql.Timestamp(maxMs + 100L * 3600 * 1000),
         -1L, "view", 0.0))
-      run()
-      mem.addData(Event(-2L, new java.sql.Timestamp(maxMs + 200L * 3600 * 1000),
-        -1L, "view", 0.0))
-      run()
+      runAvailableNow(EventStreams.funnelStream(mem.toDS()).toDF(), outDir, ckpt)
       s.read.parquet(outDir)
         .filter(col("kind") === "final" && col("user_id") >= 0)
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
@@ -568,17 +581,16 @@ object SparkEntry {
         .as[Event].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
       val (outDir, ckpt) = freshStreamDirs("hourly", dir)
-      def run(): Unit =
-        runAvailableNow(EventStreams.hourlyByType(mem.toDF()), outDir, ckpt)
-      mem.addData(ev.toIndexedSeq)
-      run()
       val maxMs = ev.iterator.map(_.ts.getTime).max
+      // single lifecycle + one sentinel, like events_funnel_stream: the
+      // drain batch's max event time (the sentinel) puts the watermark
+      // past every real window's close, and the trailing no-data batch
+      // emits them all. The sentinel's own window never closes and its
+      // reserved event_type filters out below.
+      mem.addData(ev.toIndexedSeq)
       mem.addData(Event(-1L, new java.sql.Timestamp(maxMs + 100L * 3600 * 1000),
         -1L, "sentinel", 0.0))
-      run()
-      mem.addData(Event(-2L, new java.sql.Timestamp(maxMs + 200L * 3600 * 1000),
-        -1L, "sentinel", 0.0))
-      run()
+      runAvailableNow(EventStreams.hourlyByType(mem.toDF()), outDir, ckpt)
       s.read.parquet(outDir)
         .filter(col("event_type") =!= "sentinel")
         .select(col("hour"), col("event_type"), col("n"),

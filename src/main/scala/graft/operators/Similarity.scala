@@ -390,7 +390,9 @@ object Similarity {
     * old manifests and old readers interoperate both ways. */
   val CellMapSchemaPrefix: String = "#schema="
 
-  private def writeCellMap(spark: org.apache.spark.sql.SparkSession,
+  // private[graft]: IvfAppendCrashSpec re-commits the manifest as the
+  // post-crash recovery step (publishes stranded-but-job-committed files)
+  private[graft] def writeCellMap(spark: org.apache.spark.sql.SparkSession,
       path: String,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     import org.apache.hadoop.fs.Path
@@ -426,28 +428,14 @@ object Similarity {
       }
     }
     // the manifest is the append's COMMIT point, so its own write must be
-    // atomic: write a temp object, rename-with-overwrite onto the live
-    // name where the filesystem offers it (HDFS/POSIX via FileContext),
-    // else a single-object PUT (atomic per key on object stores) — the
-    // same two-tier pattern as Versioned.commit. A plain in-place
-    // create(overwrite) would leave a truncated manifest on a crash
-    // mid-write, bricking every subsequent serve.
-    val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val live = new Path(root, CellMapFile)
-    val tmp = new Path(root, s"$CellMapFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        root.toUri, spark.sessionState.newHadoopConf())
-      fc.rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException |
-           _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fs.delete(tmp, false)
-        val direct = fs.create(live, true)
-        try direct.write(bytes) finally direct.close()
-    }
+    // atomic — a plain in-place create(overwrite) would leave a truncated
+    // manifest on a crash mid-write, bricking every subsequent serve. The
+    // write routes through the SAME committed primitive as the versioned
+    // layout's pointer swap (Versioned.atomicOverwrite: temp object +
+    // rename-with-overwrite on HDFS/POSIX, single-object PUT on stores
+    // without one).
+    graft.sinks.Versioned.atomicOverwrite(spark, new Path(root, CellMapFile),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Scan of the probed cells of a materialized index: via the manifest
@@ -537,7 +525,21 @@ object Similarity {
    */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String, indexKey: String,
-      stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Unit = {
+      stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Unit =
+    appendToIvfIndexHooked(batch, idCol, vecCol, path, indexKey,
+      stride, iters, pqM, () => ())
+
+  /** The append with a test seam at its one crash window: `beforeCommit`
+    * runs after the data-file job commits and before the `_cellmap`
+    * manifest write. IvfAppendCrashSpec throws there to prove the
+    * documented property — an append killed in that window leaves the
+    * PREVIOUS index view fully served (the manifest is the commit
+    * point), and a later manifest commit publishes the stranded files
+    * exactly as a completed append would have. */
+  private[graft] def appendToIvfIndexHooked(batch: DataFrame, idCol: String,
+      vecCol: String, path: String, indexKey: String,
+      stride: Int, iters: Int, pqM: Option[Int],
+      beforeCommit: () => Unit): Unit = {
     import org.apache.spark.sql.functions.typedlit
     val spark = batch.sparkSession
     requireIndexReady(spark, path)
@@ -572,6 +574,7 @@ object Similarity {
           element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
     }
     assigned.write.mode("append").partitionBy("cell").parquet(path)
+    beforeCommit()
     // manifest LAST: the appended files become visible to manifest-reading
     // serves only on this single-object write (see CellMapFile)
     writeCellMap(spark, path, dataSchema = Some(assigned.schema))

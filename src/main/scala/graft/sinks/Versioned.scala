@@ -87,10 +87,25 @@ object Versioned {
     fs.mkdirs(rootP)
     require(fs.exists(new Path(rootP, version)),
       s"cannot commit $version: $root/$version does not exist")
-    val ptr = new Path(rootP, Pointer)
-    val bytes = (version + "\n").getBytes(StandardCharsets.UTF_8)
-    val tmp = new Path(rootP,
-      s".$Pointer.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    atomicOverwrite(spark, new Path(rootP, Pointer),
+      (version + "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /**
+   * Atomically overwrite a small control file — the single-object commit
+   * primitive under BOTH this layout's version pointer and the ANN
+   * index's `_cellmap` manifest (Similarity.writeCellMap): write a temp
+   * object, rename-with-overwrite where the filesystem's FileContext
+   * supports it (atomic on HDFS/POSIX), else a single-object PUT, which
+   * object stores make atomic at the key level. Readers see the old or
+   * the new content, never a torn mix.
+   */
+  def atomicOverwrite(spark: SparkSession, target: Path,
+      bytes: Array[Byte]): Unit = {
+    val fs = fsOf(spark, target)
+    val parent = target.getParent
+    val tmp = new Path(parent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     // two distinct failure classes, handled differently: NO FileContext
@@ -99,9 +114,9 @@ object Versioned {
     // object) is the commit; but a FAILED rename on a scheme that does
     // support FileContext (HDFS network blip, safemode, quota) must
     // propagate — degrading it to truncate-and-rewrite would open the
-    // zero-length-pointer window the rename exists to close.
+    // zero-length-file window the rename exists to close.
     val fcOpt = try {
-      Some(FileContext.getFileContext(rootP.toUri,
+      Some(FileContext.getFileContext(target.toUri,
         spark.sessionState.newHadoopConf()))
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
@@ -109,16 +124,16 @@ object Versioned {
     }
     fcOpt match {
       case Some(fc) =>
-        try fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
-        catch { case e: UnsupportedOperationException =>
+        try fc.rename(tmp, target, Options.Rename.OVERWRITE)
+        catch { case _: UnsupportedOperationException =>
           // scheme has a FileContext but no overwriting rename
           fs.delete(tmp, false)
-          val direct = fs.create(ptr, true)
+          val direct = fs.create(target, true)
           try direct.write(bytes) finally direct.close()
         }
       case None =>
         fs.delete(tmp, false)
-        val direct = fs.create(ptr, true)
+        val direct = fs.create(target, true)
         try direct.write(bytes) finally direct.close()
     }
   }

@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# Pre-snapshot parity check (VERDICT r10 task 8 / r9 task 8).
+#
+# Run BEFORE any end-of-round snapshot commit. Guards against the two
+# failure modes round 9/10 actually hit:
+#   1. the snapshot auto-commit re-adding files a prior commit removed
+#      (the Drive.scala incident: deleted in 4cc00bb, resurrected by the
+#      cccf4dc snapshot) — now also prevented structurally by the
+#      .gitignore entry for scratch drivers;
+#   2. committed BENCH/CORRECTNESS artifacts drifting from what the
+#      driver-shaped harness measures on /root/testdata as-is.
+set -u
+cd "$(dirname "$0")/.."
+fail=0
+
+echo "== 1. git hygiene: no unintended re-adds or scratch files =="
+# scratch measurement drivers must never ship
+if [ -e src/main/scala/Drive.scala ]; then
+  echo "FAIL: src/main/scala/Drive.scala exists (scratch driver — delete before snapshot)"
+  fail=1
+fi
+# untracked source files are snapshot re-add candidates: list them loudly
+untracked=$(git status --porcelain | awk '$1 == "??" {print $2}' | grep -E '\.(scala|sbt)$' || true)
+if [ -n "$untracked" ]; then
+  echo "WARN: untracked build/source files the snapshot would add:"
+  echo "$untracked"
+fi
+
+echo "== 2. build green =="
+sbt -batch compile > /tmp/presnap_compile.log 2>&1 || { echo "FAIL: compile"; fail=1; }
+
+echo "== 3. driver-shaped verify on testdata as-is (sf0.01) =="
+rm -rf /tmp/presnap_verify
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/presnap_verify" \
+  > /tmp/presnap_verify.log 2>&1 || { echo "FAIL: graft.Verify run"; fail=1; }
+nq=$(python3 -c "import json;print(len(json.load(open('/tmp/presnap_verify/oracle_sql.json'))))" 2>/dev/null || echo 0)
+echo "verify wrote output for declared queries: $nq (see /tmp/presnap_verify)"
+
+echo "== 4. bench JSON emits =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch "runMain graft.Bench" 2>/dev/null \
+  | grep -o '{"metric".*}' | tail -1 > /tmp/presnap_bench.json
+if [ -s /tmp/presnap_bench.json ]; then
+  python3 - <<'PY'
+import json
+b = json.load(open("/tmp/presnap_bench.json"))
+qs = b.get("queries", {})
+failed = [k for k, v in qs.items() if v is None or v < 0]
+print(f"bench: {len(qs)} queries, metric={b.get('value')}{b.get('unit','')}, failed={failed}")
+PY
+else
+  echo "FAIL: graft.Bench produced no JSON line"
+  fail=1
+fi
+
+if [ "$fail" -eq 0 ]; then echo "PRESNAPSHOT: OK"; else echo "PRESNAPSHOT: FAILED"; fi
+exit "$fail"

@@ -212,13 +212,24 @@ object Dedup {
             val (na, nb) = (ga.length, gb.length)
             if (math.min(na, nb) < math.max(na, nb) * minJaccard) None
             else {
+              // J ≥ t ⟺ inter ≥ t(na+nb)/(1+t); floor makes the bound an
+              // UNDER-estimate, so the early exit below can only fire on
+              // pairs that provably miss the threshold — the emitted pair
+              // set is bit-identical to the full merge (final check is
+              // still the exact ratio). Disjoint-ish pairs — the vast
+              // majority under all-pairs — now abort after ~⅓ of the
+              // merge instead of walking na+nb steps.
+              val req = math.floor(minJaccard * (na + nb) / (1.0 + minJaccard)).toInt
               var x = 0; var y = 0; var inter = 0
-              while (x < na && y < nb) {
+              var live = true
+              while (live && x < na && y < nb) {
                 if (ga(x) == gb(y)) { inter += 1; x += 1; y += 1 }
-                else if (ga(x) < gb(y)) x += 1
-                else y += 1
+                else {
+                  if (ga(x) < gb(y)) x += 1 else y += 1
+                  if (inter + math.min(na - x, nb - y) < req) live = false
+                }
               }
-              if (inter.toDouble / (na + nb - inter) >= minJaccard)
+              if (live && inter.toDouble / (na + nb - inter) >= minJaccard)
                 Some(Row(ida, idb, inter.toLong, na.toLong, nb.toLong))
               else None
             }

@@ -427,6 +427,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // appended rows are served through the manifest
     assert(a.map(_.getLong(2)).exists(_ >= 300) ||
       b.map(_.getLong(2)).exists(_ >= 300))
+    // HEADERLESS manifest (a pre-schema-header index, the round-10 layout):
+    // the serve must fall back to footer inference and produce the
+    // identical result — old indexes stay servable without a rewrite
+    val in0 = fs.open(mapP)
+    val txt0 = try scala.io.Source.fromInputStream(in0).mkString finally in0.close()
+    assert(txt0.startsWith(Similarity.CellMapSchemaPrefix))
+    val headerless = txt0.linesIterator
+      .filterNot(_.startsWith(Similarity.CellMapSchemaPrefix))
+      .mkString("", "\n", "\n")
+    graft.sinks.Versioned.atomicOverwrite(spark, mapP,
+      headerless.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val aH = Similarity.pqTopKServed(spark, idx, q, "vec_id", "embedding",
+      k = 3, indexKey = "spec-map").collect()
+    val bH = Similarity.ivfTopKServed(spark, idx, q, "vec_id", "embedding",
+      k = 3, indexKey = "spec-map").collect()
+    assert(a.sameElements(aH) && b.sameElements(bH))
     // pre-manifest index (manifest deleted): directory-discovery fallback
     // must produce the identical result
     fs.delete(mapP, false)

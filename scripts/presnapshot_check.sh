@@ -35,17 +35,24 @@ SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/p
   > /tmp/presnap_verify.log 2>&1 || { echo "FAIL: graft.Verify run"; fail=1; }
 nq=$(python3 -c "import json;print(len(json.load(open('/tmp/presnap_verify/oracle_sql.json'))))" 2>/dev/null || echo 0)
 echo "verify wrote output for declared queries: $nq (see /tmp/presnap_verify)"
+if [ "$nq" -lt 1 ]; then
+  echo "FAIL: verify declared no oracled queries"
+  fail=1
+fi
 
 echo "== 4. bench JSON emits =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch "runMain graft.Bench" 2>/dev/null \
   | grep -o '{"metric".*}' | tail -1 > /tmp/presnap_bench.json
 if [ -s /tmp/presnap_bench.json ]; then
-  python3 - <<'PY'
-import json
+  # exit 1 from the inline python iff any query failed — a snapshot must
+  # not ship with a red query masquerading under a green headline
+  python3 - <<'PY' || fail=1
+import json, sys
 b = json.load(open("/tmp/presnap_bench.json"))
 qs = b.get("queries", {})
 failed = [k for k, v in qs.items() if v is None or v < 0]
 print(f"bench: {len(qs)} queries, metric={b.get('value')}{b.get('unit','')}, failed={failed}")
+sys.exit(1 if failed or not qs else 0)
 PY
 else
   echo "FAIL: graft.Bench produced no JSON line"

@@ -57,14 +57,23 @@ object SparkEntry {
       case org.apache.spark.sql.types.TimestampType => df
       case _ => // TimestampNTZType (plain timestamp[us], not UTC-adjusted)
         // The NTZ wall-clock IS the UTC instant (the generator writes epoch
-        // micros). A bare cast("timestamp") would interpret it in the
-        // SESSION zone — correct only under spark.sql.session.timeZone=UTC.
-        // Rebase the UTC wall-clock into the session zone's wall-clock
-        // first (convert_timezone is zone-explicit; current_timezone()
-        // constant-folds to the session zone), then cast — the composition
-        // yields the same instant under ANY session timezone.
-        df.withColumn("ts", expr(
-          "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
+        // micros). A bare cast("timestamp") under a non-UTC session zone
+        // shifts every instant — and a rebase through the session zone's
+        // wall-clock (convert_timezone + cast) is wrong in the DST
+        // fall-back hour, where the local wall-clock repeats and the cast
+        // must guess an offset. Instead pin the cast's zone to UTC at
+        // ANALYSIS time: Cast is a TimeZoneAwareExpression whose zone id
+        // is resolved from the session conf when the Dataset is analyzed
+        // (eagerly, right here) and baked into the plan — so the
+        // conversion is bijective epoch arithmetic under ANY caller
+        // session zone, ambiguous hours included. EventsEncodingSpec
+        // pins this with instants inside the America/New_York fall-back
+        // hour read under that session zone.
+        val s = df.sparkSession
+        val prevTz = s.conf.get("spark.sql.session.timeZone")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        try df.withColumn("ts", col("ts").cast("timestamp"))
+        finally s.conf.set("spark.sql.session.timeZone", prevTz)
     }
 
   /** Flagship: the reference's signature import dataflow (Q-georef,

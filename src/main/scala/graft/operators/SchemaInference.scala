@@ -164,10 +164,12 @@ object SchemaInference {
         case _ =>
           expr(s"try_cast(translate(cast(`$c` AS STRING), ',|', '..') AS DOUBLE)").isNotNull
       }
-      // blank cells are lattice-invisible (Identifier.isBlank, which treats
-      // ALL whitespace as blank — rlike \S matches that; trim() would not,
-      // it only strips spaces, so a tab-only cell would spuriously miscast)
-      sum(when(cell.isNotNull && cell.rlike("\\S") && !castOk, 1L)
+      // blank cells are lattice-invisible (Identifier.isBlank = no char
+      // passes Character.isWhitespace) — match that exactly with
+      // \p{javaWhitespace} (regex \s is ASCII-only: a U+3000-only cell
+      // would count as a miscast and force a spurious full-fold fallback;
+      // trim() was worse still, stripping only spaces)
+      sum(when(cell.isNotNull && cell.rlike("[^\\p{javaWhitespace}]") && !castOk, 1L)
         .otherwise(0L)).as(c)
     }
     val miscasts = df.select(miscastCols.toIndexedSeq: _*).head()

@@ -402,19 +402,9 @@ object Similarity {
     // (build/append), else preserved from the live manifest (compact
     // rewrites the file list but must not drop the schema)
     val schemaLine: Option[String] = dataSchema.map(s => CellMapSchemaPrefix + s.json)
-      .orElse {
-        val live = new Path(root, CellMapFile)
-        if (!fs.exists(live)) None
-        else {
-          val len = fs.getFileStatus(live).getLen.toInt
-          val in = fs.open(live)
-          val txt = try {
-            val b = new Array[Byte](len); in.readFully(b)
-            new String(b, java.nio.charset.StandardCharsets.UTF_8)
-          } finally in.close()
-          txt.split('\n').find(_.startsWith(CellMapSchemaPrefix))
-        }
-      }
+      .orElse(graft.sinks.Versioned
+        .readSmallText(spark, new Path(root, CellMapFile))
+        .flatMap(_.split('\n').find(_.startsWith(CellMapSchemaPrefix))))
     val sb = new StringBuilder
     schemaLine.foreach(l => sb.append(l).append('\n'))
     fs.listStatus(root).filter(s => s.isDirectory &&
@@ -443,28 +433,34 @@ object Similarity {
     * column still materializes and NO per-cell-dir listing happens), else
     * via partition discovery + pruning filter. Both return only rows of
     * `probeCells`. */
+  /** Parse the `#schema=` header of a manifest's text, if present. */
+  private def manifestSchemaOf(txt: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    txt.split('\n').find(_.startsWith(CellMapSchemaPrefix)).flatMap { l =>
+      scala.util.Try(org.apache.spark.sql.types.DataType
+        .fromJson(l.substring(CellMapSchemaPrefix.length))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+    }
+
+  /** Read the live manifest's text, None when the index predates it. */
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[String] =
+    graft.sinks.Versioned.readSmallText(spark,
+      new org.apache.hadoop.fs.Path(indexPath, CellMapFile))
+
+  /** Serializes the threshold-bump window in readProbedCells: concurrent
+    * serves on one session must not interleave their set/restore pairs
+    * (one serve's restore mid-window would push another's listing back
+    * onto the distributed-job path, or strand an elevated threshold). */
+  private val discoveryConfLock = new Object
+
   private def readProbedCells(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, probeCells: Array[Long]): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val mapFile = new Path(root, CellMapFile)
-    val fromManifest: Option[DataFrame] = if (!fs.exists(mapFile)) None else {
-      val len = fs.getFileStatus(mapFile).getLen.toInt
-      val in = fs.open(mapFile)
-      val txt = try {
-        val b = new Array[Byte](len); in.readFully(b)
-        new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
+    val fromManifest: Option[DataFrame] = readManifest(spark, indexPath).flatMap { txt =>
       val lines = txt.split('\n')
       // schema header (CellMapSchemaPrefix): with it the read skips parquet
       // footer inference — one whole Spark job of fixed serve overhead gone
-      val manifestSchema = lines.find(_.startsWith(CellMapSchemaPrefix))
-        .flatMap { l =>
-          scala.util.Try(org.apache.spark.sql.types.DataType
-            .fromJson(l.substring(CellMapSchemaPrefix.length))
-            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
-        }
+      val manifestSchema = manifestSchemaOf(txt)
       // A serve's file list is bounded (nProbe cells' committed files), so
       // stat it on the driver: a distributed listing JOB (the >threshold
       // default for explicit multi-path reads) costs more in scheduling
@@ -474,9 +470,14 @@ object Similarity {
         val rd0 = spark.read.option("basePath", indexPath)
         val rd = manifestSchema.map(rd0.schema).getOrElse(rd0)
         val tKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-        val prev = spark.conf.get(tKey)
-        spark.conf.set(tKey, math.max(prev.toInt, paths.length).toString)
-        try rd.parquet(paths: _*) finally spark.conf.set(tKey, prev)
+        // common case first: the list already fits under the session
+        // threshold — no conf mutation at all, no lock contention
+        if (paths.length <= spark.conf.get(tKey).toInt) rd.parquet(paths: _*)
+        else discoveryConfLock.synchronized {
+          val prev = spark.conf.get(tKey)
+          spark.conf.set(tKey, math.max(prev.toInt, paths.length).toString)
+          try rd.parquet(paths: _*) finally spark.conf.set(tKey, prev)
+        }
       }
       val want = probeCells.toSet
       // lines are `cell\trelpath`; anything malformed is skipped rather
@@ -546,8 +547,13 @@ object Similarity {
     // the append's pqM must match how the index was BUILT: appending
     // code-less files to a PQ index would rank null ADC distances first
     // in every probed cell (nulls-first ascending), silently corrupting
-    // top-k; the reverse mixes schemas. The stored layout is the truth.
-    val hasCodes = spark.read.parquet(path).schema.fieldNames.contains("codes")
+    // top-k; the reverse mixes schemas. The stored layout is the truth —
+    // read it from the manifest's schema header (one small GET) when
+    // present; a full spark.read.parquet here would re-pay the footer
+    // inference + listing jobs the serve path just shed.
+    val hasCodes = readManifest(spark, path).flatMap(manifestSchemaOf)
+      .map(_.fieldNames.contains("codes"))
+      .getOrElse(spark.read.parquet(path).schema.fieldNames.contains("codes"))
     require(hasCodes == pqM.isDefined,
       if (hasCodes)
         s"index at $path stores PQ codes — pass the pqM it was built with"

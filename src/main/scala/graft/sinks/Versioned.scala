@@ -45,21 +45,27 @@ object Versioned {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Name of the live version under `root`, if a commit ever happened. */
-  def currentVersion(spark: SparkSession, root: String): Option[String] = {
-    val ptr = new Path(root, Pointer)
-    val fs = fsOf(spark, ptr)
-    if (!fs.exists(ptr)) None
+  /** Read a small UTF-8 control file in one GET, None if absent — the
+    * read-side dual of [[atomicOverwrite]], shared by the version pointer
+    * and the ANN index's `_cellmap` manifest so a future fix (length
+    * handling, eventual-consistency retry) lands in one place. */
+  def readSmallText(spark: SparkSession, target: Path): Option[String] = {
+    val fs = fsOf(spark, target)
+    if (!fs.exists(target)) None
     else {
-      val len = fs.getFileStatus(ptr).getLen.toInt
-      val in = fs.open(ptr)
+      val len = fs.getFileStatus(target).getLen.toInt
+      val in = fs.open(target)
       try {
         val bytes = new Array[Byte](len)
         in.readFully(bytes)
-        Some(new String(bytes, StandardCharsets.UTF_8).trim)
+        Some(new String(bytes, StandardCharsets.UTF_8))
       } finally in.close()
     }
   }
+
+  /** Name of the live version under `root`, if a commit ever happened. */
+  def currentVersion(spark: SparkSession, root: String): Option[String] =
+    readSmallText(spark, new Path(root, Pointer)).map(_.trim)
 
   /** Path of the live version dir — what readers scan. */
   def resolve(spark: SparkSession, root: String): String =

@@ -79,23 +79,29 @@ class EventsEncodingSpec extends AnyFunSuite with SparkTestBase {
 
   test("NTZ encoding yields the same instants under a non-UTC session timezone") {
     val s = spark; import s.implicits._
+    // Instants that both land on America/New_York wall-clock 01:30 on the
+    // 2025 DST fall-back night (05:30Z = 01:30 EDT, 06:30Z = 01:30 EST):
+    // any rebase through the LOCAL wall-clock must guess one offset for
+    // the repeated hour and collapses the pair — only analysis-time-UTC
+    // epoch arithmetic keeps them distinct.
+    val ambiguous = Seq(1762061400000000L, 1762065000000000L)
+    val all = micros ++ ambiguous
     // Fixture written under UTC (the generator's posture: NTZ wall-clock IS
     // the UTC instant) …
     val path = tmp("ev-ntz-tz")
-    micros.map(us => (us, 1L, "view")).toDF("us", "user_id", "event_type")
+    all.map(us => (us, 1L, "view")).toDF("us", "user_id", "event_type")
       .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
       .drop("us")
       .write.parquet(path)
-    // … then loaded under a DST-shifting zone. The loader's zone-explicit
-    // convert_timezone rebase must recover the exact epoch micros; the old
-    // bare cast("timestamp") would shift every instant by the zone offset.
+    // … then loaded under the DST-shifting zone: the loader must recover
+    // the exact epoch micros — including both sides of the repeated hour.
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       val got = loadVia(path)
       assert(got.schema("ts").dataType == TimestampType)
       val us = got.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
-      assert(us.toSeq == micros.sorted, s"epoch micros under NY session: ${us.toSeq}")
+      assert(us.toSeq == all.sorted, s"epoch micros under NY session: ${us.toSeq}")
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 

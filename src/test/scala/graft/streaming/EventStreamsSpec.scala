@@ -435,4 +435,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       .agg(sum("n")).head().getLong(0)
     assert(viaOperator == ev.count())
   }
+
+  test("harness queries drain in ONE lifecycle of at most 2 micro-batches") {
+    // Pins the round-11 restructure (BASELINE.md: a micro-batch costs ~1 s
+    // of state-store lifecycle regardless of rows; the old 3-lifecycle /
+    // 6-batch harness shape tripled the floor). The checkpoint's offsets
+    // dir carries one file per micro-batch ever run at that checkpoint —
+    // if a refactor reintroduces sentinel lifecycles, this count jumps.
+    for ((q, name) <- Seq(("events_funnel_stream", "funnel"),
+        ("events_hourly_stream", "hourly"))) {
+      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      val tag = "/root/testdata/sf0.001".replaceAll("[^A-Za-z0-9]", "_")
+      val offsets = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_stream_${name}_$tag/ckpt/offsets")
+      assert(offsets.isDirectory, s"$q: no checkpoint offsets dir")
+      val batches = offsets.listFiles.count(_.getName.forall(_.isDigit))
+      assert(batches <= 2,
+        s"$q ran $batches micro-batches — the single-lifecycle harness allows 2")
+    }
+  }
 }

@@ -587,6 +587,43 @@ object Similarity {
   }
 
   /**
+   * Recovery sweep for a crashed append: delete index data files the live
+   * manifest does not name. An append killed between its data-job commit
+   * and the manifest write strands job-committed files that serves ignore
+   * — but the NEXT successful writeCellMap (any append or compaction)
+   * lists directories and would PUBLISH them, so a retried append lands
+   * its batch twice. Run this before retrying a failed append (or let a
+   * scheduled janitor run it; single maintenance writer, like append —
+   * never concurrently with one). A pre-manifest index is left untouched:
+   * with no manifest there is no committed/uncommitted distinction, and
+   * every file on disk is live to discovery serves. Returns the deleted
+   * paths. IvfAppendCrashSpec proves crash → vacuum → retry == one clean
+   * append.
+   */
+  def vacuumUncommitted(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val manifest = readManifest(spark, path)
+    if (manifest.isEmpty) return Seq.empty
+    val committed = manifest.get.split('\n').iterator
+      .filter(l => l.nonEmpty && l.contains('\t'))
+      .map(l => l.substring(l.indexOf('\t') + 1)).toSet
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            !committed(s"${d.getPath.getName}/$n")
+        }.map(_.getPath)
+      }
+      .map { p => fs.delete(p, false); p.toString }
+      .toIndexedSeq
+  }
+
+  /**
    * Compact a materialized index in place. `appendToIvfIndex` adds one
    * file set per append per cell, so a steadily-ingesting index sprawls
    * toward many small files — the classic streaming-sink pathology, here

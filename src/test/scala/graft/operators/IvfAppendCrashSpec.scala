@@ -67,8 +67,8 @@ class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
     assert(!during.exists(_.getLong(2) >= 300),
       "served results contain batch-only neighbors before any commit")
 
-    // recovery: committing the manifest publishes the stranded files —
-    // the index now serves exactly what a crash-free append would have
+    // recovery route A: committing the manifest publishes the stranded
+    // files — the index now serves exactly what a crash-free append would
     Similarity.writeCellMap(spark, idx)
     val after = Similarity.ivfTopKServed(spark, idx, queries,
       "vec_id", "embedding", k = 3, indexKey = "crash-app").collect()
@@ -80,6 +80,84 @@ class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
     val clean = Similarity.ivfTopKServed(spark, idx2, queries,
       "vec_id", "embedding", k = 3, indexKey = "crash-app").collect()
     assert(after.sameElements(clean))
+    TrainedIndex.invalidate()
+  }
+
+  test("crash -> vacuumUncommitted -> retried append lands the batch exactly once") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_appretry_").toString
+    val idx = s"$tmp/idx"
+    val base = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", idx,
+      indexKey = "retry-app")
+    // crash the first attempt after its data-job commit
+    intercept[RuntimeException] {
+      Similarity.appendToIvfIndexHooked(batch, "vec_id", "embedding", idx,
+        "retry-app", stride = 20, iters = 3, pqM = None,
+        beforeCommit = () => throw new RuntimeException("boom"))
+    }
+    // the NAIVE retry (no vacuum) would publish the stranded files PLUS
+    // the retried batch — double ingest. The recovery contract: sweep
+    // uncommitted debris first, then retry.
+    val swept = Similarity.vacuumUncommitted(spark, idx)
+    assert(swept.nonEmpty, "vacuum found no stranded files — crash window not reached")
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", idx,
+      indexKey = "retry-app")
+    // row-level truth: every batch id appears exactly once in the layout
+    val counts = spark.read.parquet(idx).groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(counts == 0, s"$counts ids appear more than once after vacuum+retry")
+    // and the served view equals a clean build+append
+    val served = Similarity.ivfTopKServed(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "retry-app").collect()
+    val idx2 = s"$tmp/idx2"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", idx2,
+      indexKey = "retry-app")
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", idx2,
+      indexKey = "retry-app")
+    val clean = Similarity.ivfTopKServed(spark, idx2, queries,
+      "vec_id", "embedding", k = 3, indexKey = "retry-app").collect()
+    assert(served.sameElements(clean))
+    // vacuum on an untouched pre-manifest index is a no-op (nothing is
+    // "uncommitted" when no manifest exists)
+    val fs = new org.apache.hadoop.fs.Path(idx2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx2/${Similarity.CellMapFile}"), false)
+    assert(Similarity.vacuumUncommitted(spark, idx2).isEmpty)
+    TrainedIndex.invalidate()
+  }
+
+  test("concurrent serves on one session return identical results (threshold-bump lock)") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_concserve_").toString
+    val idx = s"$tmp/idx"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+      indexKey = "conc-serve")
+    val queries = emb.filter(col("vec_id") < 5)
+    val serial = Similarity.ivfTopKServed(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "conc-serve").collect()
+    // force every serve through the lock-guarded bump path: with the
+    // threshold at 1, any multi-file list exceeds it
+    val tKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prev = spark.conf.get(tKey)
+    spark.conf.set(tKey, "1")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val runs = Future.sequence((1 to 4).map(_ => Future {
+        Similarity.ivfTopKServed(spark, idx, queries,
+          "vec_id", "embedding", k = 3, indexKey = "conc-serve").collect()
+      }))
+      Await.result(runs, 120.seconds).foreach(r => assert(r.sameElements(serial)))
+      // the interleaved set/restore pairs must leave the session conf as
+      // it was — a stranded elevated threshold is the leak the lock closes
+      assert(spark.conf.get(tKey) == "1")
+    } finally spark.conf.set(tKey, prev)
     TrainedIndex.invalidate()
   }
 

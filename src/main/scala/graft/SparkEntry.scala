@@ -1111,9 +1111,13 @@ object SparkEntry {
     }),
 
     // language-ID confusion counts (oracle generated from the same profile
-    // word lists; the CJK script branch is vacuous on this ASCII corpus)
+    // word lists; the CJK script branch is vacuous on this ASCII corpus).
+    // ensureParallelism: the classifier is CPU-bound per row and the bench
+    // table is a single-row-group parquet split — without the spread the
+    // whole corpus classifies on one core (same precedent as type_infer;
+    // the groupBy-count oracle is partitioning-insensitive)
     "lang_id_counts" -> ((s, dir) => {
-      t(s, dir, "documents")
+      graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
         .groupBy(col("lang"), TextAnalysis.lang_id(col("text")).as("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))

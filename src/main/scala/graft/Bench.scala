@@ -16,24 +16,43 @@ object Bench {
     // the signature pipelines costs ~3 s and was being charged to the
     // first minhash-family query each round (measured: dedup_clusters
     // 4.6 s first run vs 1.4 s steady in one JVM)
-    try {
+    // each warmup piece fault-isolated: one shared try-block let a single
+    // failure silently skip EVERY later warmup (found r12: the signature
+    // sums overflowed Long under ANSI mode, so the signature-join codegen
+    // and trained-index builds never warmed — their full first-in-JVM cost
+    // landed on the alphabetically-first suite queries, i.e. the ann_*
+    // family, which is where the unexplained in-suite ann_ivf outlier
+    // came from). A failed piece now prints and the rest still run.
+    def warm(name: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup '$name' failed: $e") }
+    warm("base") {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
       Seq("lineitem", "documents", "embeddings").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet").count()
       }
       graft.functions.GraftFunctions.registerAll(spark)
+    }
+    warm("signatures") {
+      // sums go through DOUBLE: the signatures are full-range 64-bit
+      // values, whose Long sum overflows (an error under ANSI mode)
       spark.range(2000).selectExpr(
           "minhash_sig(concat('warm ', id), 5, 64) AS ms",
           "simhash64(concat('warm ', id)) AS sh",
           "winnow_fingerprint(concat('warm ', id), 5, 4) AS wf",
           "modp_hash16(concat('w', id)) AS mh")
-        .selectExpr("sum(ms[0])", "sum(sh)", "sum(wf[0])", "sum(mh)").collect()
+        .selectExpr("sum(CAST(ms[0] AS DOUBLE))", "sum(CAST(sh AS DOUBLE))",
+          "sum(CAST(wf[0] AS DOUBLE))", "sum(CAST(mh AS DOUBLE))").collect()
+    }
+    warm("minhash-join") {
       // whole-stage codegen of the banded signature join: the generated
       // stages are shape-keyed in Janino's cache, so one tiny-corpus run
       // compiles them for every minhash-family query
       val warmDocs = spark.range(30).selectExpr(
         "id AS doc_id", "concat('warm up corpus text number ', id, ' padded') AS text")
       graft.operators.Dedup.minHashPairs(warmDocs, "doc_id", "text").count()
+    }
+    warm("trained-ann") {
       // trained-quantizer shapes: int8-quantize HOFs, vec_ivf_cells_l2
       // assignment, and the Lloyd per-iteration aggregate compile here
       // instead of inside whichever trained-ANN query runs first
@@ -41,12 +60,14 @@ object Bench {
         "transform(sequence(0, 63), j -> CAST((id * 7 + j) % 13 AS FLOAT)) AS embedding")
       graft.operators.Similarity.ivfTopKTrained(
         warmEmb.filter("vec_id < 3"), warmEmb, "vec_id", "embedding", k = 2).count()
+    }
+    warm("suite-indexes") {
       // build the suite's REAL indexes once (IVF centroids / PQ codebook
       // under the same keys ann_ivf/ann_pq/dedup_semantic pass): at 100 TB
       // an index is built once and served many times, so per-query numbers
       // should measure serving, not rebuilding
       SparkEntry.warmTrainedIndexes(spark, sfDir)
-    } catch { case _: Throwable => () }
+    }
     // SPARK_GRAFT_ONLY=q1_agg,vocab_top — iterate on a subset while tuning
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

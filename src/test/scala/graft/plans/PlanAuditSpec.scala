@@ -95,11 +95,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "probe join must broadcast")
     assert(p.contains("WindowGroupLimit"), "per-query top-k not pushed into WindowGroupLimit")
     assert(!p.contains("SortMergeJoin"), "candidate join degraded to sort-merge")
+    // the serve reads the REGISTRY-CACHED assignments (r12: assign once
+    // per corpus identity, serve many — the r11 full-corpus rescan fix)
+    assert(p.contains("InMemoryTableScan"),
+      "corpus assignment must come from the AssignedCorpus cache")
     // exactly: broadcast exchange (probes), hash exchange (top-k final),
-    // range exchange (output order) — assignment itself must add none
+    // range exchange (output order) — plus the cache BUILD's one-time
+    // range-clustering exchange, which lives below the InMemoryRelation
+    // and is paid once per (corpus, quantizer), never per serve
     val exchanges = "(?m)^\\s*(?:[:+\\- ]*)Exchange ".r.findAllIn(p).length +
       "BroadcastExchange".r.findAllIn(p).length
-    assert(exchanges <= 4, s"unexpected exchanges in plan ($exchanges)")
+    assert(exchanges <= 5, s"unexpected exchanges in plan ($exchanges)")
   }
 
   test("dedup_minhash: signatures computed before banding explode, not after") {

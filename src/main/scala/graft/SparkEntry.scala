@@ -1110,6 +1110,37 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the PQ twin of ann_ivf_compacted, closing the build/serve/append/
+    // compact matrix for BOTH quantizers: build with codes, append two
+    // batches (encoded with the EXISTING codebook), bin-pack the cell
+    // sprawl, then serve by ADC from the stored codes. Compaction must be
+    // invisible to results, so the oracle is ann_pq_appended's
+    "ann_pq_compacted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ik = embCorpusKey(s, dir) + ":lt400pq"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_pqcomp_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_compact_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") < 400), "vec_id",
+          "embedding", idx, indexKey = ik, pqM = Some(8))
+        Similarity.appendToIvfIndex(
+          emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0), "vec_id",
+          "embedding", idx, indexKey = ik, pqM = Some(8))
+        Similarity.appendToIvfIndex(
+          emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 1), "vec_id",
+          "embedding", idx, indexKey = ik, pqM = Some(8))
+        Similarity.compactIvfIndex(s, idx)
+        fs.create(done, true).close()
+      }
+      Similarity.pqTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = ik)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus).
     // ensureParallelism: the classifier is CPU-bound per row and the bench
@@ -3615,8 +3646,9 @@ object SparkEntry {
     "ann_ivf_appended" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
     "ann_pq_appended" -> annPqServedSql(trainWhere = "vec_id < 400"),
     // compaction is bin-packing only — the logical index contents equal
-    // the appended index's, so the oracle is identical
+    // the appended index's, so the oracle is identical (both quantizers)
     "ann_ivf_compacted" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
+    "ann_pq_compacted" -> annPqServedSql(trainWhere = "vec_id < 400"),
 
     "vocab_top" ->
       """SELECT token, count(*) AS n

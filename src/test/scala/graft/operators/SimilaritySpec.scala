@@ -494,6 +494,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("assigned-corpus cache: one assignment scan, equal results, healed eviction") {
+    import Similarity.{AssignedCorpus, TrainedIndex}
+    TrainedIndex.invalidate()
+    val q = emb.filter(col("vec_id") < 5)
+    def serve() = Similarity.ivfTopKTrained(
+      q, emb, "vec_id", "embedding", k = 3, indexKey = Some("spec-cells"))
+    val cold = serve().collect()
+    assert(AssignedCorpus.size == 1, "first keyed serve must install the assignments")
+    // warm serve reads the SAME persisted projection — no second entry,
+    // bit-identical results
+    val warm = serve().collect()
+    assert(AssignedCorpus.size == 1)
+    assert(cold.sameElements(warm))
+    // a harness clearCache drops the blocks, not the registry entry;
+    // the next serve re-persists (self-heal) and stays bit-identical
+    spark.catalog.clearCache()
+    val healed = serve().collect()
+    assert(cold.sameElements(healed))
+    // keyless serves never touch the registry (library default)
+    Similarity.ivfTopKTrained(q, emb, "vec_id", "embedding", k = 3).collect()
+    assert(AssignedCorpus.size == 1)
+    // corpus invalidation evicts assignments together with the quantizer
+    TrainedIndex.invalidateCorpus("spec-cells")
+    assert(AssignedCorpus.size == 0, "invalidateCorpus must drop the cells entry")
+    emb.cache() // re-cache the shared fixture the clearCache above dropped
+  }
+
   test("index compaction: append sprawl packed per cell, serve unchanged") {
     import Similarity.TrainedIndex
     TrainedIndex.invalidate()

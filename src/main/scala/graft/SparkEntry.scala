@@ -70,10 +70,12 @@ object SparkEntry {
         // pins this with instants inside the America/New_York fall-back
         // hour read under that session zone.
         val s = df.sparkSession
-        val prevTz = s.conf.get("spark.sql.session.timeZone")
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        try df.withColumn("ts", col("ts").cast("timestamp"))
-        finally s.conf.set("spark.sql.session.timeZone", prevTz)
+        sessionConfLock.synchronized {
+          val prevTz = s.conf.get("spark.sql.session.timeZone")
+          s.conf.set("spark.sql.session.timeZone", "UTC")
+          try df.withColumn("ts", col("ts").cast("timestamp"))
+          finally s.conf.set("spark.sql.session.timeZone", prevTz)
+        }
     }
 
   /** Flagship: the reference's signature import dataflow (Q-georef,
@@ -155,7 +157,7 @@ object SparkEntry {
     * temp dirs, and the wipe also guarantees each invocation starts from
     * a clean checkpoint. `runAvailableNow` is the drain protocol with
     * the partial-output guard. */
-  private def freshStreamDirs(name: String, dir: String): (String, String) = {
+  private def freshStreamDirs(name: String, dir: String): (String, String, String) = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_stream_${name}_$tag")
@@ -163,8 +165,34 @@ object SparkEntry {
     val out = new java.io.File(root, "out")
     val ck = new java.io.File(root, "ckpt")
     out.mkdirs(); ck.mkdirs()
-    (out.toString, ck.toString)
+    // feed dir deliberately NOT pre-created: the slice write creates it
+    (out.toString, ck.toString, new java.io.File(root, "feed").toString)
   }
+
+  /** Stage a bounded drain slice as the stream's FILE source. Production
+    * streams read files/Kafka; the previous harness collected the slice
+    * to the driver and replayed it through a MemoryStream, which made the
+    * driver funnel — not the engine — the measured path at scale
+    * (contamination_stream read 5.2× at sf1). One distributed write plus
+    * `readStream.schema(...).parquet` keeps every row off the driver;
+    * optional extra rows (watermark sentinels) append as their own file.
+    * EventStreamsSpec keeps MemoryStream for deterministic-replay cases —
+    * this path is for the oracled drain harness. */
+  private def stageFeed(slice: DataFrame, feedDir: String,
+      sentinel: Option[DataFrame] = None): DataFrame = {
+    slice.write.mode("overwrite").parquet(feedDir)
+    sentinel.foreach(_.write.mode("append").parquet(feedDir))
+    slice.sparkSession.readStream.schema(slice.schema).parquet(feedDir)
+  }
+
+  /** Serializes session-conf set/restore windows (shuffle partitions for
+    * stream drains, the NTZ-cast timezone pin): these are session-WIDE
+    * mutations, so two concurrently-analyzed queries on one session could
+    * otherwise interleave set/restore pairs and bake the wrong value into
+    * an unrelated plan. Single-threaded drivers never contend; concurrent
+    * harnesses serialize here (same hazard class as Similarity's
+    * discoveryConfLock, which guards its own key). */
+  private[graft] val sessionConfLock = new Object
 
   private def runAvailableNow(df: DataFrame, outDir: String, ckpt: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
@@ -177,21 +205,34 @@ object SparkEntry {
     // sizing call as any shuffle. Restored in finally — the session is the
     // driver's.
     val s = df.sparkSession
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      // awaitTermination(timeout) returns false while the query is still
-      // live — proceeding then would read partial output (or start a
-      // second query on the same checkpoint); fail loudly
-      if (!q.awaitTermination(180000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "streaming batch did not finish within 180 s")
+    sessionConfLock.synchronized {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.get(noDataKey)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // correctness precondition, pinned rather than assumed: the
+      // single-lifecycle design delivers its "final"/window-close rows in
+      // the trailing NO-DATA micro-batch that follows the drain batch's
+      // watermark advance — with no-data batches disabled, funnel
+      // timeouts and window closes would silently never fire
+      s.conf.set(noDataKey, "true")
+      try {
+        val q = df.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        // awaitTermination(timeout) returns false while the query is still
+        // live — proceeding then would read partial output (or start a
+        // second query on the same checkpoint); fail loudly
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "streaming batch did not finish within 180 s")
+        }
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set(noDataKey, prevNoData)
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Corpus identities for the process-wide TrainedIndex registry: an ANN
@@ -442,26 +483,20 @@ object SparkEntry {
     }),
 
     // §2.9 streaming, ORACLED (VERDICT r8 next #4): the SAME funnelStream
-    // the spec drives, fed a slice of the events table through a
-    // MemoryStream, then flushed by advancing the watermark past every
-    // user's timeout horizon; the per-user "final" stages aggregate to
-    // exactly the batch funnel, so events_funnel's SQL (sliced to the
-    // same users) is the oracle. The MemoryStream feed is a bounded
-    // driver-side harness source by construction — production streams
-    // read readStream.parquet/Kafka with the identical transform.
+    // the spec drives, fed a slice of the events table through a staged
+    // FILE source (stageFeed — no row touches the driver), then flushed
+    // by advancing the watermark past every user's timeout horizon; the
+    // per-user "final" stages aggregate to exactly the batch funnel, so
+    // events_funnel's SQL (sliced to the same users) is the oracle.
     "events_funnel_stream" -> ((s, dir) => {
       import graft.streaming.EventStreams
       import EventStreams.Event
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val ss = s
       import ss.implicits._
-      val ev = events(s, dir).filter(col("user_id") % 8 === 0)
+      val slice = events(s, dir).filter(col("user_id") % 8 === 0)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .as[Event].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-      val (outDir, ckpt) = freshStreamDirs("funnel", dir)
-      val maxMs = ev.iterator.map(_.ts.getTime).max
+      val (outDir, ckpt, feedDir) = freshStreamDirs("funnel", dir)
       // ONE AvailableNow lifecycle, TWO micro-batches: the drain batch
       // carries the data plus one far-future sentinel on a reserved user,
       // so the post-batch watermark (= batch max event time − 2h horizon)
@@ -471,10 +506,13 @@ object SparkEntry {
       // in their own lifecycles) ran 3 lifecycles / 6 micro-batches for
       // the same output — and each micro-batch costs ~1 s of state-store
       // lifecycle regardless of rows (BASELINE.md round 11).
-      mem.addData(ev.toIndexedSeq)
-      mem.addData(Event(-1L, new java.sql.Timestamp(maxMs + 100L * 3600 * 1000),
-        -1L, "view", 0.0))
-      runAvailableNow(EventStreams.funnelStream(mem.toDS()).toDF(), outDir, ckpt)
+      val maxMs = slice.agg(max(col("ts"))).head.getTimestamp(0).getTime
+      val sentinel = Seq(Event(-1L,
+        new java.sql.Timestamp(maxMs + 100L * 3600 * 1000), -1L, "view", 0.0)).toDS()
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val feed = stageFeed(slice, feedDir, Some(sentinel))
+      runAvailableNow(EventStreams.funnelStream(feed.as[Event]).toDF(), outDir, ckpt)
       s.read.parquet(outDir)
         .filter(col("kind") === "final" && col("user_id") >= 0)
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
@@ -492,19 +530,13 @@ object SparkEntry {
     // immediate, not window-close gated)
     "events_dedup_stream" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      import EventStreams.Event
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val ss = s
-      import ss.implicits._
-      val ev = events(s, dir).filter(col("user_id") % 8 === 0)
+      val slice = events(s, dir).filter(col("user_id") % 8 === 0)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .as[Event].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-      val (outDir, ckpt) = freshStreamDirs("dedup", dir)
-      mem.addData(ev.toIndexedSeq)
+      val (outDir, ckpt, feedDir) = freshStreamDirs("dedup", dir)
       runAvailableNow(
-        EventStreams.dedupStream(mem.toDF(), Seq("user_id", "event_type")),
+        EventStreams.dedupStream(stageFeed(slice, feedDir),
+          Seq("user_id", "event_type")),
         outDir, ckpt)
       s.read.parquet(outDir)
         .select(col("user_id"), col("event_type"))
@@ -521,21 +553,15 @@ object SparkEntry {
     "contamination_stream" -> ((s, dir) => {
       import graft.streaming.EventStreams
       import graft.functions.HashFunctions.winnow_fingerprint
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val ss = s
-      import ss.implicits._
       val docs = t(s, dir, "documents")
       val evalFps = docs.filter(col("doc_id") % 50 === 0)
         .select(explode(winnow_fingerprint(col("text"), 5, 4)).as("h"))
-      val feed = docs.filter(col("doc_id") % 50 =!= 0)
+      val slice = docs.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      val (outDir, ckpt) = freshStreamDirs("contamination", dir)
-      mem.addData(feed.toIndexedSeq)
+      val (outDir, ckpt, feedDir) = freshStreamDirs("contamination", dir)
       runAvailableNow(
         EventStreams.contaminationFlags(
-          mem.toDF().toDF("doc_id", "text"), evalFps, "doc_id", "text"),
+          stageFeed(slice, feedDir), evalFps, "doc_id", "text"),
         outDir, ckpt)
       s.read.parquet(outDir)
         .select(col("doc_id"), col("h"))
@@ -581,25 +607,25 @@ object SparkEntry {
     "events_hourly_stream" -> ((s, dir) => {
       import graft.streaming.EventStreams
       import EventStreams.Event
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val ss = s
       import ss.implicits._
-      val ev = events(s, dir).filter(col("user_id") % 8 === 0)
+      val slice = events(s, dir).filter(col("user_id") % 8 === 0)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .as[Event].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-      val (outDir, ckpt) = freshStreamDirs("hourly", dir)
-      val maxMs = ev.iterator.map(_.ts.getTime).max
+      val (outDir, ckpt, feedDir) = freshStreamDirs("hourly", dir)
       // single lifecycle + one sentinel, like events_funnel_stream: the
       // drain batch's max event time (the sentinel) puts the watermark
       // past every real window's close, and the trailing no-data batch
       // emits them all. The sentinel's own window never closes and its
       // reserved event_type filters out below.
-      mem.addData(ev.toIndexedSeq)
-      mem.addData(Event(-1L, new java.sql.Timestamp(maxMs + 100L * 3600 * 1000),
-        -1L, "sentinel", 0.0))
-      runAvailableNow(EventStreams.hourlyByType(mem.toDF()), outDir, ckpt)
+      val maxMs = slice.agg(max(col("ts"))).head.getTimestamp(0).getTime
+      val sentinel = Seq(Event(-1L,
+        new java.sql.Timestamp(maxMs + 100L * 3600 * 1000), -1L, "sentinel", 0.0))
+        .toDS()
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val feed = stageFeed(slice, feedDir, Some(sentinel))
+      runAvailableNow(EventStreams.hourlyByType(feed), outDir, ckpt)
       s.read.parquet(outDir)
         .filter(col("event_type") =!= "sentinel")
         .select(col("hour"), col("event_type"), col("n"),

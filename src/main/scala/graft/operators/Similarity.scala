@@ -552,7 +552,11 @@ object Similarity {
         val rd = manifestSchema.map(rd0.schema).getOrElse(rd0)
         val tKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
         // common case first: the list already fits under the session
-        // threshold — no conf mutation at all, no lock contention
+        // threshold — no conf mutation at all, no lock contention.
+        // The unlocked read is a benign check-then-act race: a concurrent
+        // locked serve's restore can land between this read and the
+        // rd.parquet listing, which only changes WHICH listing strategy
+        // runs (driver stat vs distributed job) — results are identical
         if (paths.length <= spark.conf.get(tKey).toInt) rd.parquet(paths: _*)
         else discoveryConfLock.synchronized {
           val prev = spark.conf.get(tKey)
@@ -700,7 +704,16 @@ object Similarity {
             !committed(s"${d.getPath.getName}/$n")
         }.map(_.getPath)
       }
-      .map { p => fs.delete(p, false); p.toString }
+      .flatMap { p =>
+        // report only deletes the FS confirmed: a failed delete
+        // (permissions, concurrent removal) left the stranded file in
+        // place, and a retried append after a partial sweep would
+        // double-publish it — the caller must know the sweep was short
+        if (fs.delete(p, false)) Some(p.toString)
+        else throw new java.io.IOException(
+          s"vacuumUncommitted: could not delete stranded file $p — " +
+            "sweep incomplete, do not retry the append yet")
+      }
       .toIndexedSeq
   }
 

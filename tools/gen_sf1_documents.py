@@ -16,7 +16,17 @@ common); the Zipf mode is the shape real web corpora have, where the
 prefix-filtered join's rare-gram candidates pay off — used for the
 BASELINE.md prefix-vs-sparse measurement.
 
-Usage: python3 tools/gen_sf1_documents.py [outdir] [rows] [zipf]
+Usage: python3 tools/gen_sf1_documents.py [outdir] [rows] [zipf|flat] [rgsize]
+
+`rgsize` (rows per parquet row group, default rows/32) and the sharded
+output exist because the original single-row-group single-file output was
+unsplittable: Spark cannot split inside a row group, and a file far under
+maxPartitionBytes lands in one scan task regardless of its row-group
+count (measured r12: qualityFilter over the 6 MB fixture, 1.60 s as one
+task vs 0.37 s split — the r11 3.7x "scaling" ratio was the fixture).
+Real tables are many files of many row groups; the fixture now is too:
+`documents.parquet` becomes a DIRECTORY of `files` parquet parts, which
+spark.read.parquet consumes transparently.
 """
 import bisect
 import itertools
@@ -49,7 +59,7 @@ def zipf_vocab(rng: random.Random, size: int = 20000):
     return pick
 
 
-def main(outdir: str, rows: int, mode: str = 'flat') -> None:
+def main(outdir: str, rows: int, mode: str = 'flat', rgsize: int = 0) -> None:
     rng = random.Random(42)
     pick = zipf_vocab(rng) if mode == 'zipf' else (lambda: rng.choice(VOCAB))
     ids, texts, langs, sources, n_chars = [], [], [], [], []
@@ -65,13 +75,24 @@ def main(outdir: str, rows: int, mode: str = 'flat') -> None:
                       'text': texts, 'lang': langs, 'source': sources,
                       'n_chars': pa.array(n_chars, pa.int64())})
     import os
-    os.makedirs(outdir, exist_ok=True)
-    pq.write_table(table, f'{outdir}/documents.parquet')
-    print(f'wrote {rows} rows to {outdir}/documents.parquet')
+    import shutil
+    root = f'{outdir}/documents.parquet'
+    if os.path.isfile(root):
+        os.remove(root)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    files = 32
+    rg = rgsize if rgsize > 0 else max(1, rows // (files * 2))
+    per = (rows + files - 1) // files
+    for f in range(files):
+        pq.write_table(table.slice(f * per, per),
+                       f'{root}/part-{f:05d}.parquet', row_group_size=rg)
+    print(f'wrote {rows} rows ({files} files, {rg} rows/row-group) to {root}/')
 
 
 if __name__ == '__main__':
     out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_sf1'
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
     mode = sys.argv[3] if len(sys.argv) > 3 else 'flat'
-    main(out, n, mode)
+    rg = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    main(out, n, mode, rg)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Isolated min-of-2 re-runs for in-suite bench outliers.
+
+Codifies the r8/r11 lesson (ann_ivf: 3.27 s in-suite vs 1.23 s targeted;
+r12 root cause: a failed warmup piece silently shifted first-in-JVM costs
+onto the alphabetically-first queries): an IN-SUITE min-of-2 inherits
+whatever warmth, neighbor contention, and shared-index accounting the
+suite ordering dealt it, so any suspicious in-suite number must be
+confirmed by an ISOLATED re-run before it is called a regression.
+
+Reads a bench artifact (BENCH_LAST.json by default), selects every query
+whose official time exceeds --threshold seconds (default 2.0) — or, with
+--ref <old_bench.json>, whose time exceeds 1.5x the same query's time in
+the reference artifact — and re-runs each alone in a fresh JVM
+(SPARK_GRAFT_ONLY=<query>, same sf dir as the artifact). Prints a
+markdown table ready for BASELINE.md.
+
+Usage: python3 tools/targeted_rerun.py [bench.json] [--threshold 2.0]
+           [--ref old_bench.json] [--sf <dir>] [--cpus 32]
+"""
+import argparse
+import json
+import subprocess
+import sys
+
+
+def run_isolated(query: str, sf_dir: str, cpus: str) -> float:
+    env = {"SPARK_GRAFT_ONLY": query, "SPARK_GRAFT_SF_DIR": sf_dir,
+           "SPARK_GRAFT_CPUS": cpus}
+    import os
+    full = {**os.environ, **env}
+    p = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        capture_output=True, text=True, env=full, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    for line in p.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("[info] {") and '"metric"' in line:
+            data = json.loads(line[len("[info] "):])
+            return data["queries"].get(query, -1.0)
+    return -1.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench", nargs="?", default="BENCH_LAST.json")
+    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--ref", default=None,
+                    help="prior bench json; select queries >1.5x their ref time")
+    ap.add_argument("--sf", default=None, help="override sf dir")
+    ap.add_argument("--cpus", default="32")
+    args = ap.parse_args()
+
+    with open(args.bench) as f:
+        bench = json.load(f)
+    sf_dir = args.sf or bench.get("sf", "/root/testdata/sf0.1")
+    times = bench["queries"]
+
+    if args.ref:
+        with open(args.ref) as f:
+            ref = json.load(f)["queries"]
+        picked = sorted(q for q, t in times.items()
+                        if t > 0 and q in ref and ref[q] > 0
+                        and t > 1.5 * ref[q])
+        rule = f">1.5x their time in {args.ref}"
+    else:
+        picked = sorted(q for q, t in times.items() if t > args.threshold)
+        rule = f">{args.threshold}s in-suite"
+
+    if not picked:
+        print(f"no queries {rule} — nothing to re-run")
+        return 0
+
+    print(f"re-running {len(picked)} queries ({rule}) isolated, "
+          f"min-of-2, fresh JVM each, sf={sf_dir}\n", file=sys.stderr)
+    rows = []
+    for q in picked:
+        iso = run_isolated(q, sf_dir, args.cpus)
+        verdict = ("in-suite artifact" if 0 < iso <= 0.67 * times[q]
+                   else "confirmed" if iso > 0 else "RE-RUN FAILED")
+        rows.append((q, times[q], iso, verdict))
+        print(f"  {q}: in-suite {times[q]:.2f}s -> isolated {iso:.2f}s "
+              f"({verdict})", file=sys.stderr)
+
+    print("| query | in-suite min-of-2 (s) | isolated min-of-2 (s) | verdict |")
+    print("|---|---|---|---|")
+    for q, t, iso, v in rows:
+        print(f"| {q} | {t:.2f} | {iso:.2f} | {v} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,6 +78,86 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL image decoder for the netpbm binary formats — P6 (RGB) and P5
+   * (grayscale), the classic uncompressed interchange format — built
+   * from the published spec (netpbm "ppm"/"pgm" format pages): ASCII
+   * header `P6 <width> <height> <maxval>` with `#` comments and
+   * arbitrary whitespace, then `width·height·channels` raw samples (one
+   * byte each for maxval ≤ 255, the supported range). Pixels normalize
+   * to [0,1] by maxval. This is the proof that the codec boundary takes
+   * actual image bytes — the oracled queries stay on OracleCodec
+   * (mod-P replayability), and a JPEG/PNG decoder drops in the same way
+   * via JNI/javacv where those libraries exist.
+   */
+  object PpmCodec extends MediaCodec {
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      var pos = 0
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"PPM/PGM decode: $msg")
+      if (bytes.length < 2 || bytes(0) != 'P') fail("missing magic")
+      val channels = bytes(1) match {
+        case '6' => 3
+        case '5' => 1
+        case m => fail(s"unsupported magic P${m.toChar}")
+      }
+      pos = 2
+      // header tokens: whitespace-separated integers; '#' starts a
+      // comment running to end-of-line (per the netpbm grammar)
+      def nextInt(): Int = {
+        while (pos < bytes.length &&
+            (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+          if (bytes(pos) == '#')
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        var v = 0
+        val start = pos
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        if (pos == start) fail("malformed header integer")
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+      if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+      // exactly ONE whitespace byte separates the header from the raster
+      if (pos >= bytes.length || !bytes(pos).toChar.isWhitespace)
+        fail("missing raster separator")
+      pos += 1
+      val n = w * h * channels
+      if (bytes.length - pos < n)
+        fail(s"raster truncated: need $n bytes, have ${bytes.length - pos}")
+      val px = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        px(i) = (bytes(pos + i) & 0xff).toFloat / maxval
+        i += 1
+      }
+      (w, h, channels, px)
+    }
+
+    /** Encode (the spec's round-trip half): pixels in [0,1] → P6/P5
+      * bytes with maxval 255. */
+    def encodeImage(w: Int, h: Int, channels: Int,
+        px: Array[Float]): Array[Byte] = {
+      require(channels == 3 || channels == 1, s"channels $channels")
+      require(px.length == w * h * channels, "pixel count mismatch")
+      val magic = if (channels == 3) "P6" else "P5"
+      val header = s"$magic\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + px.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = 0
+      while (i < px.length) {
+        out(header.length + i) =
+          math.max(0, math.min(255, math.round(px(i) * 255.0f))).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Wrap any binary column of `df` into the canonical media schema. */
   def toMediaFrame(df: DataFrame, idCol: String, binCol: String,
       format: String): DataFrame =

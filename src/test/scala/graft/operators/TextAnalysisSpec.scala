@@ -122,6 +122,51 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(feats.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("PPM codec: real image bytes decode through the same pipeline") {
+    import spark.implicits._
+    import Multimodal.PpmCodec
+    // hand-built 8×8 RGB P6 with a comment in the header: pixel (r,c)
+    // has R = r·8+c (a gradient), G = 100, B = 200
+    val px = new Array[Float](8 * 8 * 3)
+    for (r <- 0 until 8; c <- 0 until 8) {
+      px((r * 8 + c) * 3) = (r * 8 + c) / 255.0f
+      px((r * 8 + c) * 3 + 1) = 100 / 255.0f
+      px((r * 8 + c) * 3 + 2) = 200 / 255.0f
+    }
+    val bytes = PpmCodec.encodeImage(8, 8, 3, px)
+    // splice a comment into the header to exercise the grammar
+    val commented = (new String(bytes.take(3), "US-ASCII") + "# a comment\n")
+      .getBytes("US-ASCII") ++ bytes.drop(3)
+    val (w, h, c, decoded) = PpmCodec.decodeImage(commented)
+    assert((w, h, c) == (8, 8, 3))
+    assert(decoded.sameElements(px), "P6 round-trip must be exact at maxval 255")
+    // the REAL bytes flow through the same distributed plumbing as the
+    // stub: featurize + resize over a DataFrame of PPM payloads
+    val df = Seq((7L, commented), (8L, PpmCodec.encodeImage(8, 8, 3,
+      Array.fill(8 * 8 * 3)(1.0f)))).toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "image/x-portable-pixmap")
+    val feats = Multimodal.decodeAndFeaturize(media, PpmCodec)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // gradient image: channel sums are exact (Σ0..63, 64·100, 64·200)
+    assert(feats(7L).getSeq[Long](feats(7L).fieldIndex("channel_sum")) ==
+      Seq(63L * 64 / 2, 64L * 100, 64L * 200))
+    assert(feats(8L).getSeq[Long](feats(8L).fieldIndex("channel_sum")) ==
+      Seq(64L * 255, 64L * 255, 64L * 255))
+    // resize on the gradient: block(0,0) = R pixels {0,1,8,9}; block(3,3)
+    // = {54,55,62,63}; total = Σ0..63
+    val rs = Multimodal.resizeFeatures(media, PpmCodec)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rs(7L) == ((0L + 1 + 8 + 9, 54L + 55 + 62 + 63, 63L * 64 / 2)))
+    // grayscale P5 decodes to one channel
+    val gray = PpmCodec.encodeImage(4, 2, 1, Array.fill(8)(0.5f))
+    val (gw, gh, gc, gpx) = PpmCodec.decodeImage(gray)
+    assert((gw, gh, gc) == (4, 2, 1) && gpx.forall(v => math.abs(v - 128 / 255.0f) < 1e-6))
+    // malformed inputs fail loudly, not with garbage pixels
+    intercept[IllegalArgumentException](PpmCodec.decodeImage("P6\n8 8\n255\n".getBytes))
+    intercept[IllegalArgumentException](PpmCodec.decodeImage("P4\n1 1\n1\nx".getBytes))
+    intercept[IllegalArgumentException](PpmCodec.decodeImage("P6\n8 8\n65535\n".getBytes))
+  }
+
   test("frame sampling plan") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](1))).toDF("id", "payload")

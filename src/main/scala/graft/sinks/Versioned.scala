@@ -42,6 +42,51 @@ object Versioned {
 
   val Pointer = "_current"
 
+  /**
+   * THE COMMIT CONTRACT (docs/PLANS.md "Versioned commit contract" has
+   * the full audit). Every publish in this layout — the version pointer
+   * and the ANN `_cellmap` manifest — funnels through ONE primitive,
+   * [[atomicOverwrite]], whose atomicity requirement is: readers of the
+   * target must see the complete old bytes or the complete new bytes,
+   * never a prefix, never absence. How that is met is filesystem-class
+   * dependent:
+   *
+   *  - HDFS / POSIX local: temp write + `FileContext.rename(OVERWRITE)`
+   *    — a metadata operation, atomic by the filesystem's own contract.
+   *  - S3A and object stores generally: there is NO atomic rename
+   *    (rename is copy+delete), but there IS an atomic single-key PUT —
+   *    a reader GETs the old object or the new one, never a torn mix.
+   *    The primitive detects the missing FileContext binding and
+   *    commits by direct PUT. What a plain PUT does NOT give is
+   *    compare-and-swap: two concurrent committers can last-writer-win.
+   *    This layout's stated concurrency contract is SINGLE MAINTENANCE
+   *    WRITER (same as append/compact); deployments that need CAS plug
+   *    a conditional put via [[setConditionalPut]] (S3 `If-Match`/ETag,
+   *    GCS generation preconditions, ABFS ETag) and get
+   *    lost-update DETECTION without changing any call site.
+   *
+   * The `commitObserver` seam records which route a commit took —
+   * spec-countable, the same pattern as IvfAppendCrashSpec's kill hook —
+   * so VersionedContractSpec can pin "one commit = one atomic rename"
+   * on the filesystems the suite runs on.
+   */
+  /** Pluggable conditional-put override for object stores: return true
+    * when the put was applied, false when the precondition failed (the
+    * commit raises then — a lost update was DETECTED, not silently
+    * taken). Consulted before the built-in routes; never invoked for
+    * the temp file, only the final single-object commit. */
+  @volatile private var conditionalPut:
+      Option[(SparkSession, Path, Array[Byte]) => Boolean] = None
+  def setConditionalPut(
+      h: (SparkSession, Path, Array[Byte]) => Boolean): Unit =
+    conditionalPut = Some(h)
+  def clearConditionalPut(): Unit = conditionalPut = None
+
+  /** Test seam: called once per atomicOverwrite with the route taken —
+    * "conditional-put" | "rename" | "put". */
+  @volatile private[graft] var commitObserver: (Path, String) => Unit =
+    (_, _) => ()
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -108,6 +153,17 @@ object Versioned {
    */
   def atomicOverwrite(spark: SparkSession, target: Path,
       bytes: Array[Byte]): Unit = {
+    conditionalPut match {
+      case Some(put) =>
+        if (!put(spark, target, bytes))
+          throw new java.io.IOException(
+            s"conditional put of $target rejected: the object changed " +
+              "since this committer read it (concurrent maintenance " +
+              "writer?) — re-read and retry")
+        commitObserver(target, "conditional-put")
+        return
+      case None => ()
+    }
     val fs = fsOf(spark, target)
     val parent = target.getParent
     val tmp = new Path(parent,
@@ -130,17 +186,21 @@ object Versioned {
     }
     fcOpt match {
       case Some(fc) =>
-        try fc.rename(tmp, target, Options.Rename.OVERWRITE)
-        catch { case _: UnsupportedOperationException =>
+        try {
+          fc.rename(tmp, target, Options.Rename.OVERWRITE)
+          commitObserver(target, "rename")
+        } catch { case _: UnsupportedOperationException =>
           // scheme has a FileContext but no overwriting rename
           fs.delete(tmp, false)
           val direct = fs.create(target, true)
           try direct.write(bytes) finally direct.close()
+          commitObserver(target, "put")
         }
       case None =>
         fs.delete(tmp, false)
         val direct = fs.create(target, true)
         try direct.write(bytes) finally direct.close()
+        commitObserver(target, "put")
     }
   }
 

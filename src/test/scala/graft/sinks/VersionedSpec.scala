@@ -93,6 +93,62 @@ class VersionedSpec extends AnyFunSuite with SparkTestBase {
     assert(Versioned.read(spark, root).as[Long].collect().sorted === (1L to 10L).toArray)
   }
 
+  test("commit contract: one publish = exactly one atomic rename, no put fallback") {
+    // Pins the FileSystem assumption the 100-TB story rests on
+    // (docs/PLANS.md "Versioned commit contract"): on a rename-capable
+    // filesystem (HDFS / local POSIX — this suite), the pointer swap is
+    // ONE FileContext.rename(OVERWRITE) — never the put fallback, never
+    // a second commit op. Observer seam, same pattern as
+    // IvfAppendCrashSpec's kill hook.
+    val root = freshRoot()
+    import spark.implicits._
+    val commits = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    Versioned.commitObserver = (p, route) => commits.synchronized {
+      commits += ((p.getName, route)); ()
+    }
+    try {
+      Versioned.writeVersioned(Seq(1L).toDF("x"), root)
+      assert(commits.toList == List((Versioned.Pointer, "rename")),
+        s"expected exactly one rename-route commit, saw $commits")
+      // no temp debris from the swap
+      val leftovers = new java.io.File(root).listFiles
+        .filter(_.getName.startsWith(s".${Versioned.Pointer}.tmp-"))
+      assert(leftovers.isEmpty, s"stranded temp pointers: ${leftovers.toSeq}")
+    } finally Versioned.commitObserver = (_, _) => ()
+  }
+
+  test("conditional-put hook: commits route through it; a rejection raises") {
+    // The object-store CAS seam: with a conditional put installed, the
+    // primitive consults it INSTEAD of rename/put, and a precondition
+    // failure (concurrent committer) surfaces as an error — lost updates
+    // are detected, never silently last-writer-won.
+    val root = freshRoot()
+    import spark.implicits._
+    val applied = scala.collection.mutable.ArrayBuffer[String]()
+    Versioned.setConditionalPut { (s, target, bytes) =>
+      applied += new String(bytes, "UTF-8").trim
+      // apply it for real so the layout stays consistent
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val out = fs.create(target, true)
+      try out.write(bytes) finally out.close()
+      true
+    }
+    try {
+      val v1 = Versioned.writeVersioned(Seq(1L).toDF("x"), root)
+      assert(applied.toList == List(v1), "commit must route through the hook")
+      assert(Versioned.currentVersion(spark, root).contains(v1))
+      // now a hook that reports a failed precondition
+      Versioned.setConditionalPut((_, _, _) => false)
+      val err = intercept[java.io.IOException] {
+        Versioned.writeVersioned(Seq(2L).toDF("x"), root)
+      }
+      assert(err.getMessage.contains("conditional put"))
+      // the rejected commit left the old version live
+      assert(Versioned.currentVersion(spark, root).contains(v1))
+    } finally Versioned.clearConditionalPut()
+  }
+
   test("resolve on a non-versioned directory fails loudly") {
     val root = freshRoot()
     val e = intercept[IllegalStateException](Versioned.resolve(spark, root))

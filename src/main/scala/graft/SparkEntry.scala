@@ -543,6 +543,35 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // §2.9 fifth oracled streaming row: the STREAM-STREAM interval join —
+    // the symmetric-hash-join state store, the one streaming state model
+    // not yet oracle-covered (funnel = flatMapGroupsWithState, hourly =
+    // windowed agg, dedup = dedup store, contamination = stateless
+    // broadcast). Clicks and purchases drain from two staged FILE feeds;
+    // watermarks + the time-range condition bound both join state stores
+    // (EventStreams.clickPurchaseJoin), and inner-join emission is
+    // arrival-gated, not watermark-gated, so the single drain batch emits
+    // every match and no sentinel is needed. Oracle = the identical
+    // interval self-join over the slice in SQL.
+    "events_join_stream" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val slice = events(s, dir).filter(col("user_id") % 8 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (outDir, ckpt, feedDir) = freshStreamDirs("ssjoin", dir)
+      val clicks = stageFeed(
+        slice.filter(col("event_type") === "click"), feedDir)
+      val purchases = stageFeed(
+        slice.filter(col("event_type") === "purchase"), feedDir + "_p")
+      runAvailableNow(
+        EventStreams.clickPurchaseJoin(clicks, purchases, "1 hour"),
+        outDir, ckpt)
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("purchase_value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // §2.9 fourth oracled streaming row: the stateless STREAM-STATIC
     // broadcast-join pattern (EventStreams.contaminationFlags — streaming
     // ingest screened against a static eval-set fingerprint table), so
@@ -1541,6 +1570,20 @@ object SparkEntry {
         "doc_id", "payload", "video/fake")
       Multimodal.frameFeatures(media, nFrames = 4, stride = 8)
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // audio leg of the multimodal family: payload bytes → AudioCodec →
+    // quantized loudness/DC/zero-crossing features, same mapPartitions
+    // shape as the image path. OracleAudioCodec's mod-P samples make the
+    // whole decode→featurize pipeline hash-exact cross-engine; the REAL
+    // RIFF/WAVE PCM decoder (WavCodec) rides the same boundary and is
+    // spec-proven on hand-built waveforms (TextAnalysisSpec)
+    "multimodal_audio" -> ((s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "audio/fake")
+      Multimodal.audioFeatures(media, Multimodal.OracleAudioCodec)
+        .orderBy(col("media_id"))
     }),
 
     // §2.9 batch analog of the custom sessionizer: lag + cumulative-sum
@@ -2751,6 +2794,19 @@ object SparkEntry {
         |WHERE user_id % 8 = 0
         |GROUP BY 1, 2
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // replay of the stream-stream interval join: each click pairs with the
+    // same user's purchases from the preceding hour; purchase_value is the
+    // raw parquet double (no arithmetic → identical bits both engines)
+    "events_join_stream" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        |WHERE c.user_id % 8 = 0
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     // replay of events_anomaly: same hourly grain, RANGE-framed trailing
     // window, integer score; DuckDB window-sums BIGINT into HUGEINT, so
@@ -4092,6 +4148,32 @@ object SparkEntry {
         |    THEN ((fseed + i * 2654435761) % 1000000007) % 256 END) AS BIGINT) AS c0_sum
         |FROM px GROUP BY doc_id, frame_idx
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replay of Multimodal.audioFeatures over OracleAudioCodec: same seed
+    // fold, 256 quantized samples q_i = ((seed + i·2654435761) mod P) mod
+    // 4096 − 2048; abs/DC sums and lag-based sign-change count — all
+    // non-overflowing int64, hash-exact
+    "multimodal_audio" ->
+      """WITH seeds AS (
+        |  SELECT doc_id,
+        |    sum(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * ((i - 1) * 131 + 7) % 1000000007) % 1000000007 AS seed
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
+        |  GROUP BY doc_id),
+        |q AS (
+        |  SELECT doc_id, i,
+        |    ((seed + i * 2654435761) % 1000000007) % 4096 - 2048 AS s
+        |  FROM (SELECT doc_id, seed, unnest(range(1, 257)) AS i FROM seeds)),
+        |l AS (
+        |  SELECT doc_id, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev_s
+        |  FROM q)
+        |SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS n_channels,
+        |  256 AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS abs_sum,
+        |  CAST(sum(s) AS BIGINT) AS dc_sum,
+        |  CAST(sum(CASE WHEN prev_s IS NOT NULL AND (s < 0) <> (prev_s < 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM l GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "type_infer" ->
       """SELECT col_name, lattice_type FROM (

@@ -36,6 +36,12 @@ object Multimodal {
     def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float])
   }
 
+  /** Pluggable audio decode boundary — the audio twin of `MediaCodec`. */
+  trait AudioCodec extends Serializable {
+    /** payload bytes → (sampleRate, nChannels, interleaved samples in [-1,1]) */
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Array[Float])
+  }
+
   /** Deterministic fake decoder: "pixels" are a splitmix64 stream seeded
     * by the payload hash — stable across runs, cheap, library-free. */
   object StubCodec extends MediaCodec {
@@ -155,6 +161,130 @@ object Multimodal {
         i += 1
       }
       out
+    }
+  }
+
+  /** SQL-replayable fake audio decoder (the audio twin of `OracleCodec`):
+    * seed = Σ byte_i·((i·131+7) mod P) mod P over the payload, then 256
+    * mono samples at 16 kHz where quantized sample i (1-based) is
+    * q_i = ((seed + i·2654435761) mod P) mod 4096 − 2048 and the float
+    * sample is q_i/2048 — exact in float32 (|q_i| ≤ 2048 and the divisor
+    * is a power of two), so `audioFeatures`' round(s·2048) recovers q_i
+    * bit-exactly and the DuckDB oracle recomputes identical integers. */
+  object OracleAudioCodec extends AudioCodec {
+    private val P = graft.functions.HashFunctions.P
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+      var seed = 0L
+      var i = 0
+      while (i < bytes.length) {
+        seed += (bytes(i) & 0xff).toLong * ((i.toLong * 131L + 7L) % P)
+        i += 1
+      }
+      seed %= P
+      val n = 256
+      val out = new Array[Float](n)
+      i = 0
+      while (i < n) {
+        val q = ((seed + (i + 1).toLong * 2654435761L) % P) % 4096L - 2048L
+        out(i) = q.toInt / 2048.0f
+        i += 1
+      }
+      (16000, 1, out)
+    }
+  }
+
+  /**
+   * REAL audio decoder for RIFF/WAVE PCM — the uncompressed interchange
+   * format every audio toolchain emits — built from the published RIFF
+   * spec: `RIFF <size> WAVE`, then chunks; `fmt ` carries
+   * (audioFormat=1 PCM, nChannels, sampleRate, bitsPerSample ∈ {8, 16}),
+   * `data` carries the interleaved frames (8-bit unsigned, 16-bit signed
+   * little-endian). Samples normalize to [-1,1]. Proof that the audio
+   * boundary takes actual audio bytes — the oracled query stays on
+   * OracleAudioCodec (mod-P replayability); an MP3/FLAC decoder drops in
+   * the same way via JNI where those libraries exist.
+   */
+  object WavCodec extends AudioCodec {
+    private def fail(msg: String) =
+      throw new IllegalArgumentException(s"WAV decode: $msg")
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+      if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+        fail("missing RIFF/WAVE header")
+      var pos = 12
+      var sampleRate = -1; var channels = -1; var bits = -1
+      var data: (Int, Int) = null // (offset, length)
+      // chunk walk: <4-byte id><4-byte LE size><payload, word-aligned>
+      while (pos + 8 <= bytes.length) {
+        val id = tag(bytes, pos)
+        val sz = u32(bytes, pos + 4).toInt
+        val body = pos + 8
+        if (sz < 0 || body + sz > bytes.length) fail(s"chunk $id overruns payload")
+        id match {
+          case "fmt " =>
+            if (sz < 16) fail("fmt chunk truncated")
+            val fmt = u16(bytes, body)
+            if (fmt != 1) fail(s"unsupported audioFormat $fmt (PCM only)")
+            channels = u16(bytes, body + 2)
+            sampleRate = u32(bytes, body + 4).toInt
+            bits = u16(bytes, body + 14)
+            if (channels <= 0) fail(s"bad channel count $channels")
+            if (sampleRate <= 0) fail(s"bad sample rate $sampleRate")
+            if (bits != 8 && bits != 16) fail(s"unsupported bitsPerSample $bits")
+          case "data" => data = (body, sz)
+          case _ => // LIST/INFO/fact… — skipped, per the spec
+        }
+        pos = body + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (bits < 0) fail("no fmt chunk")
+      if (data == null) fail("no data chunk")
+      val (off, len) = data
+      val bytesPer = bits / 8
+      val n = len / bytesPer
+      val out = new Array[Float](n)
+      var i = 0
+      if (bits == 8) {
+        // 8-bit WAV is UNSIGNED (the format's one asymmetry)
+        while (i < n) { out(i) = ((bytes(off + i) & 0xff) - 128) / 128.0f; i += 1 }
+      } else {
+        while (i < n) {
+          out(i) = u16(bytes, off + 2 * i).toShort / 32768.0f
+          i += 1
+        }
+      }
+      (sampleRate, channels, out)
+    }
+
+    /** Encode (the spec's round-trip half): samples in [-1,1] →
+      * 16-bit PCM little-endian WAV. */
+    def encodeAudio(sampleRate: Int, channels: Int,
+        samples: Array[Float]): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0, "bad rate/channels")
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort) // block align
+        .putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) {
+        val v = math.max(-32768, math.min(32767, math.round(samples(i) * 32768.0f)))
+        buf.putShort(v.toShort)
+        i += 1
+      }
+      buf.array()
     }
   }
 
@@ -295,5 +425,48 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /**
+   * Audio decode + feature-extract — the audio leg of the multimodal
+   * family: per partition, one codec instance decodes every payload;
+   * features are computed on the 12-bit quantization q = round(s·2048)
+   * (exact integers, so the cross-engine oracle hash-compares rather than
+   * float-compares): `abs_sum` (Σ|q|, loudness), `dc_sum` (Σq, DC offset),
+   * and `zero_cross` (sign changes over the interleaved stream — the
+   * classic voiced/unvoiced discriminator). Same 100-TB shape as the
+   * image path: a narrow row-linear mapPartitions stage, no shuffle.
+   */
+  def audioFeatures(media: DataFrame, codec: AudioCodec = OracleAudioCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_channels", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("abs_sum", LongType, nullable = false),
+      StructField("dc_sum", LongType, nullable = false),
+      StructField("zero_cross", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null) Iterator.empty
+        else {
+          val (sr, ch, smp) = codec.decodeAudio(bytes)
+          var absSum = 0L; var dcSum = 0L; var zc = 0L
+          var prevNeg = false
+          var i = 0
+          while (i < smp.length) {
+            val q = math.round(smp(i) * 2048.0f).toLong
+            absSum += math.abs(q); dcSum += q
+            val neg = q < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          Iterator(Row(r.getLong(0), sr, ch, smp.length, absSum, dcSum, zc))
+        }
+      }
+    }(enc)
   }
 }

@@ -167,6 +167,67 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](PpmCodec.decodeImage("P6\n8 8\n65535\n".getBytes))
   }
 
+  test("WAV codec: real RIFF/PCM audio bytes decode through the audio pipeline") {
+    import spark.implicits._
+    import Multimodal.WavCodec
+    // 16-bit mono round-trip: ±0.5 square wave (0.5·32768 = 16384 is an
+    // exact 16-bit code, so decode must be bit-exact)
+    val square = Array.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val (sr, ch, smp) = WavCodec.decodeAudio(WavCodec.encodeAudio(8000, 1, square))
+    assert((sr, ch) == ((8000, 1)))
+    assert(smp.sameElements(square), "16-bit PCM round-trip must be exact at ±0.5")
+    // stereo: channel count rides the fmt chunk; frames stay interleaved
+    val (_, ch2, smp2) = WavCodec.decodeAudio(WavCodec.encodeAudio(44100, 2, square))
+    assert(ch2 == 2 && smp2.length == 8)
+    // 8-bit variant is UNSIGNED per the spec, and unknown chunks (LIST)
+    // between fmt and data must be skipped — hand-built payload
+    val b8 = java.nio.ByteBuffer.allocate(12 + 24 + 12 + 11)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b8.put("RIFF".getBytes("US-ASCII")).putInt(36 + 3).put("WAVE".getBytes("US-ASCII"))
+    b8.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    b8.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    b8.put("data".getBytes("US-ASCII")).putInt(3)
+      .put(128.toByte).put(255.toByte).put(0.toByte)
+    val (sr8, ch8, smp8) = WavCodec.decodeAudio(b8.array())
+    assert((sr8, ch8) == ((8000, 1)))
+    assert(smp8.toSeq == Seq(0.0f, 127 / 128.0f, -1.0f))
+    // the REAL bytes flow through the distributed audio plumbing: the
+    // square wave quantizes to ±1024, so features are known integers
+    val df = Seq((5L, WavCodec.encodeAudio(8000, 1, square))).toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "audio/wav")
+    val r = Multimodal.audioFeatures(media, WavCodec).collect().head
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((8000, 1, 8)))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((8L * 1024, 0L, 7L)))
+    // malformed inputs fail loudly, not with garbage samples
+    intercept[IllegalArgumentException](WavCodec.decodeAudio("RIFFxxxx".getBytes))
+    val noData = java.util.Arrays.copyOf(
+      WavCodec.encodeAudio(8000, 1, square), 12 + 24) // header+fmt only
+    intercept[IllegalArgumentException](WavCodec.decodeAudio(noData))
+    val float32 = WavCodec.encodeAudio(8000, 1, square)
+    float32(20) = 3 // audioFormat = IEEE float — unsupported, must refuse
+    intercept[IllegalArgumentException](WavCodec.decodeAudio(float32))
+  }
+
+  test("oracle audio codec: deterministic mod-P samples, exact quantization recovery") {
+    import spark.implicits._
+    import Multimodal.OracleAudioCodec
+    val (sr, ch, smp) = OracleAudioCodec.decodeAudio("abc".getBytes)
+    assert((sr, ch, smp.length) == ((16000, 1, 256)))
+    // every sample is q/2048 with q ∈ [-2048, 2047]: round(s·2048) must
+    // recover q exactly (the property the hash oracle stands on)
+    smp.foreach { s =>
+      val q = math.round(s * 2048.0f)
+      assert(q >= -2048 && q <= 2047 && q / 2048.0f == s)
+    }
+    val df = Seq((1L, "abc".getBytes), (2L, "abc".getBytes)).toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "audio/fake")
+    val rows = Multimodal.audioFeatures(media).collect()
+    assert(rows.length == 2, "null-safe, one feature row per payload")
+    // same payload → identical features (rerun-stable)
+    assert(rows.map(r => (r.getLong(4), r.getLong(5), r.getLong(6))).distinct.length == 1)
+  }
+
   test("frame sampling plan") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](1))).toDF("id", "payload")

@@ -560,6 +560,58 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("streaming ingest: foreachBatch micro-batches append to the index; serve == batch build") {
+    // The 100-TB ingest shape: vectors arrive as a STREAM and the
+    // materialized index absorbs them per micro-batch through the same
+    // appendToIvfIndex the batch path uses (foreachBatch is Structured
+    // Streaming's sink boundary for exactly this kind of stateful sink).
+    // Parity bar: after the drain, serving the streamed index equals
+    // serving a batch-built index over the identical corpus (same
+    // centroids via the registry key — the append-vs-rebuild equality
+    // the batch append spec pins, now reached through a stream).
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfstream_").toString
+    val base = emb.filter(col("vec_id") < 300)
+    val rest = emb.filter(col("vec_id") >= 300)
+    val idxS = s"$tmp/streamed"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", idxS, indexKey = "spec-si")
+    // stage the arrivals as TWO files → maxFilesPerTrigger=1 forces TWO
+    // micro-batches, so the spec proves repeated in-stream appends, not
+    // one lucky batch
+    val feed = s"$tmp/feed"
+    rest.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(feed)
+    rest.filter(col("vec_id") % 2 === 1).coalesce(1).write.mode("append").parquet(feed)
+    var batches = 0
+    val q = spark.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Similarity.appendToIvfIndex(batch, "vec_id", "embedding", idxS,
+            indexKey = "spec-si")
+          batches += 1
+        }
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    assert(batches >= 2, s"expected >=2 appending micro-batches, got $batches")
+    // every streamed row is served from committed (manifest-listed) files
+    assert(spark.read.parquet(idxS).filter(col("vec_id") >= 300).count() == rest.count())
+    val queries = emb.filter(col("vec_id") < 5)
+    val servedS = Similarity.ivfTopKServed(spark, idxS, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-si").collect()
+    val idxB = s"$tmp/batch"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idxB, indexKey = "spec-si")
+    val servedB = Similarity.ivfTopKServed(spark, idxB, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-si").collect()
+    assert(servedS.sameElements(servedB),
+      "streamed index must serve identically to the batch-built index")
+    TrainedIndex.invalidate()
+  }
+
   test("LSH topK finds parallel vectors with recall 1") {
     val copies = emb.filter(col("vec_id") < 10)
       .withColumn("vec_id", col("vec_id") + 10000)

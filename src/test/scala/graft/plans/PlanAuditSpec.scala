@@ -241,6 +241,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "quality_score not evaluated in a projection")
   }
 
+  test("multimodal_audio: one narrow decode stage — no join, no agg, bounded exchanges") {
+    // the audio featurizer is the same 100-TB shape as the image path: a
+    // row-linear mapPartitions decode whose only exchanges are the
+    // small-input spread and the output sort — audio features of N rows
+    // must never shuffle N payloads
+    val p = plan("multimodal_audio")
+    assert(!p.contains("Join"), "audio featurizer must not join anything")
+    assert(!p.contains("HashAggregate"), "audio featurizer must not aggregate")
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex <= 2, s"audio plan has $ex exchanges:\n$p")
+    assert(p.contains("MapPartitions"), "decode stage missing from the plan")
+  }
+
   test("events_anomaly: aggregation to hourly grain runs below the window") {
     val p = plan("events_anomaly")
     // the hourly HashAggregate must sit under the Window operator, so the

@@ -455,4 +455,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
         s"$q ran $batches micro-batches — the single-lifecycle harness allows 2")
     }
   }
+
+  test("events_join_stream runs through the symmetric-hash-join state store") {
+    // Non-vacuity pin for the fifth oracled streaming row: the query must
+    // actually exercise Spark's stream-stream join STATE machinery (four
+    // stores per partition: left/right keyToNumValues + keyWithIndexToValue),
+    // not fall back to a batch join over the drained feed. The state dirs
+    // under the checkpoint are the execution's own evidence.
+    val out = graft.SparkEntry.queries("events_join_stream")(
+      spark, "/root/testdata/sf0.001")
+    out.count() // 0 matches at sf0.001 is fine — the state store still ran
+    val tag = "/root/testdata/sf0.001".replaceAll("[^A-Za-z0-9]", "_")
+    val state = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_ssjoin_$tag/ckpt/state/0")
+    assert(state.isDirectory, "no join state under the checkpoint")
+    val storeNames = state.listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).map(_.getName).toSet
+    for (n <- Seq("left-keyToNumValues", "right-keyToNumValues",
+        "left-keyWithIndexToValue", "right-keyWithIndexToValue"))
+      assert(storeNames.contains(n), s"missing join state store $n in $storeNames")
+  }
 }

@@ -194,7 +194,8 @@ object SparkEntry {
     * discoveryConfLock, which guards its own key). */
   private[graft] val sessionConfLock = new Object
 
-  private def runAvailableNow(df: DataFrame, outDir: String, ckpt: String): Unit = {
+  private def runAvailableNow(df: DataFrame, outDir: String, ckpt: String,
+      partitions: Int = 8): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     // State-store instances per stateful operator = shuffle partitions at
     // checkpoint creation, and EVERY micro-batch pays each store's
@@ -202,14 +203,17 @@ object SparkEntry {
     // a 0-row batch costs ~1.0 s at 32 partitions — pure store lifecycle,
     // ~30 ms/store). The harness drains a bounded slice, so 8 stores is
     // parallelism enough; production streams size this to volume, the same
-    // sizing call as any shuffle. Restored in finally — the session is the
-    // driver's.
+    // sizing call as any shuffle. Stream-stream joins pass a LOWER
+    // partition count: a join partition carries FOUR store instances
+    // (left/right keyToNumValues + keyWithIndexToValue), so its lifecycle
+    // floor is 4x an aggregation's at equal partitions. Restored in
+    // finally — the session is the driver's.
     val s = df.sparkSession
     sessionConfLock.synchronized {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prevNoData = s.conf.get(noDataKey)
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
       // correctness precondition, pinned rather than assumed: the
       // single-lifecycle design delivers its "final"/window-close rows in
       // the trailing NO-DATA micro-batch that follows the drain batch's
@@ -565,7 +569,7 @@ object SparkEntry {
         slice.filter(col("event_type") === "purchase"), feedDir + "_p")
       runAvailableNow(
         EventStreams.clickPurchaseJoin(clicks, purchases, "1 hour"),
-        outDir, ckpt)
+        outDir, ckpt, partitions = 4)
       s.read.parquet(outDir)
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           col("purchase_value"))

@@ -576,6 +576,47 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // §2.9 sixth oracled streaming row: the LEFT-OUTER stream-stream join
+    // — the watermark-GATED emission semantic (the inner join above is
+    // arrival-gated). A click with no in-range purchase can only be
+    // emitted null-extended once the watermark PROVES no match can still
+    // arrive, which evicts its state row — so the harness plants one
+    // far-future sentinel on EACH feed (the global watermark is the MIN
+    // across sources) and the trailing no-data micro-batch then flushes
+    // every unmatched click. Matched rows still emit in the drain batch;
+    // the sentinels' own rows filter out on the reserved user. This is
+    // the "abandoned funnel" stream: every click appears exactly once,
+    // null-extended iff unconverted.
+    "events_leftjoin_stream" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      import EventStreams.Event
+      val ss = s
+      import ss.implicits._
+      val slice = events(s, dir).filter(col("user_id") % 8 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (outDir, ckpt, feedDir) = freshStreamDirs("ssleft", dir)
+      val maxMs = slice.agg(max(col("ts"))).head.getTimestamp(0).getTime
+      def sentinel(eventType: String) = Seq(Event(-1L,
+        new java.sql.Timestamp(maxMs + 100L * 3600 * 1000), -1L, eventType, 0.0)).toDS()
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val clicks = stageFeed(
+        slice.filter(col("event_type") === "click"), feedDir,
+        Some(sentinel("click")))
+      val purchases = stageFeed(
+        slice.filter(col("event_type") === "purchase"), feedDir + "_p",
+        Some(sentinel("purchase")))
+      runAvailableNow(
+        EventStreams.clickPurchaseLeftJoin(clicks, purchases, "1 hour"),
+        outDir, ckpt, partitions = 4)
+      s.read.parquet(outDir)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("purchase_value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // §2.9 fourth oracled streaming row: the stateless STREAM-STATIC
     // broadcast-join pattern (EventStreams.contaminationFlags — streaming
     // ingest screened against a static eval-set fingerprint table), so
@@ -832,6 +873,23 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactDupGroups(augmentedDocs(s, dir), "doc_id", "text")
         .orderBy(col("h"))
+    }),
+
+    // dataset-versioning diff: snapshot B = documents with doc_id%10==3
+    // removed, doc_id%10==4 edited, and 40 new ids appended — the diff
+    // must emit exactly those memberships. Digest-only shuffle
+    // (Dedup.snapshotDiff): the oracle compares text directly, the
+    // operator compares md5 — same verdicts, but the engine never
+    // shuffles payload bytes
+    "corpus_diff" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = a.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text", when(col("doc_id") % 10 === 4,
+          concat(lit("EDITED "), col("text"))).otherwise(col("text")))
+        .unionAll(a.filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 90000))
+      Dedup.snapshotDiff(a, b, "doc_id", Seq("text"))
+        .orderBy(col("doc_id"), col("status"))
     }),
 
     // span-level exact-substring dedup: per-doc count of 8-token sliding
@@ -2812,6 +2870,19 @@ object SparkEntry {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
+    // replay of the left-outer variant: every sliced click exactly once,
+    // null-extended iff no purchase in the preceding hour
+    "events_leftjoin_stream" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM (SELECT * FROM events
+        |      WHERE user_id % 8 = 0 AND event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events
+        |      WHERE user_id % 8 = 0 AND event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+
     // replay of events_anomaly: same hourly grain, RANGE-framed trailing
     // window, integer score; DuckDB window-sums BIGINT into HUGEINT, so
     // base_n/score are cast back
@@ -2987,6 +3058,25 @@ object SparkEntry {
         |GROUP BY md5(text)
         |HAVING count(*) > 1
         |ORDER BY h""".stripMargin,
+
+    // replay of corpus_diff: same snapshot-B construction, text compared
+    // directly (= the operator's digest compare, minus the md5 detour)
+    "corpus_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4 THEN 'EDITED ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 90000, text FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, status FROM (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.text <> b.text THEN 'changed' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |WHERE status IS NOT NULL
+        |ORDER BY doc_id, status""".stripMargin,
 
     // replay of Dedup.spanDupStats: token mod-P hashes (16-char cap, same
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit

@@ -635,4 +635,36 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
+
+  /**
+   * Corpus snapshot diff — the dataset-versioning primitive every
+   * curation pipeline needs once corpora are rebuilt on a cadence: given
+   * snapshots A (old) and B (new) keyed by `idCol`, emit one row per id
+   * whose membership or payload changed, with status `added` (in B
+   * only), `removed` (in A only), or `changed` (both, different
+   * payload). Unchanged ids — the overwhelming mass of a 100-TB
+   * re-crawl — drop out before any wide output.
+   *
+   * Scale shape: each side projects to (id, 16-byte digest) BEFORE the
+   * join, so the single shuffle carries digests, never payloads (same
+   * contract as exact dedup above); the full-outer join is an equi-join
+   * on the id. Pairs naturally with `Versioned` snapshots — diff two
+   * resolved version dirs to audit what a rebuild changed.
+   */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    // nulls digest as a distinct sentinel and an unprintable separator
+    // bounds each column (concat_ws alone DROPS nulls, which would
+    // equate (null, "x") with ("x", null))
+    def digested(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001", payloadCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as))
+    digested(a, "__da").join(digested(b, "__db"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__da").isNull, lit("added"))
+          .when(col("__db").isNull, lit("removed"))
+          .when(col("__da") =!= col("__db"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
 }

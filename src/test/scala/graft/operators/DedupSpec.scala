@@ -363,4 +363,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(m(2L) == ((7L, 1L)))
     assert(m(3L)._2 == 0L)
   }
+
+  test("snapshot diff: added/removed/changed memberships, unchanged mass drops out") {
+    import spark.implicits._
+    val a = Seq((1L, "kept"), (2L, "edited soon"), (3L, "to be removed"),
+      (4L, "also kept")).toDF("doc_id", "text")
+    val b = Seq((1L, "kept"), (2L, "edited NOW"), (4L, "also kept"),
+      (5L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(a, b, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // multi-column payload: a null vs non-null difference is a change,
+    // and null payloads on both sides are equal (concat_ws drops nulls
+    // identically on both snapshots)
+    val a2 = Seq((1L, Some("x"), Some("y")), (2L, None: Option[String], Some("z")))
+      .toDF("id", "p1", "p2")
+    val b2 = Seq((1L, Some("x"), None: Option[String]), (2L, None: Option[String], Some("z")))
+      .toDF("id", "p1", "p2")
+    val got2 = Dedup.snapshotDiff(a2, b2, "id", Seq("p1", "p2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(1L -> "changed"))
+  }
 }

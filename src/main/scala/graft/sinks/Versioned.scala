@@ -269,4 +269,32 @@ object Versioned {
       .filterNot(p => live.contains(p.getName) || keep.contains(p.getName))
       .map { p => fs.delete(p, true); p.getName }
   }
+
+  /** All retained version dirs, NEWEST first. Version names are UUIDs
+    * (no embedded order), so the filesystem modification time of each
+    * version dir is the timeline — adequate for the single-maintenance-
+    * writer contract, where publishes are serial by definition. */
+  def listVersions(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    if (!fs.exists(rootP)) return Seq.empty
+    fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .map(s => (s.getPath.getName, s.getModificationTime))
+      .sortBy(-_._2)
+  }
+
+  /** Time travel: read a RETAINED (possibly non-live) version. Old
+    * versions stay fully intact until `vacuum`, so any un-vacuumed
+    * version reads exactly as it was published — pair with
+    * `Dedup.snapshotDiff(readVersion(...), read(...), ...)` to audit
+    * what a rebuild changed. */
+  def readVersion(spark: SparkSession, root: String, version: String): DataFrame = {
+    val dir = new Path(root, version)
+    if (!fsOf(spark, dir).exists(dir))
+      throw new IllegalArgumentException(
+        s"version $version does not exist under $root (vacuumed, or never " +
+          "committed) — listVersions names the retained ones")
+    spark.read.parquet(dir.toString)
+  }
 }

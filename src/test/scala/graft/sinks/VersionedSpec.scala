@@ -162,4 +162,29 @@ class VersionedSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Versioned.commit(spark, root, "v-nonexistent"))
   }
+
+  test("time travel: retained versions list newest-first and read as published") {
+    val root = freshRoot()
+    import spark.implicits._
+    val v1 = Versioned.writeVersioned(
+      Seq((1L, "kept"), (2L, "original"), (3L, "doomed")).toDF("id", "text"), root)
+    Thread.sleep(5) // distinct mtimes for the newest-first ordering
+    val v2 = Versioned.writeVersioned(
+      Seq((1L, "kept"), (2L, "REWRITTEN"), (4L, "fresh")).toDF("id", "text"), root)
+    assert(Versioned.listVersions(spark, root).map(_._1) == Seq(v2, v1))
+    // the displaced version reads exactly as it was published
+    assert(Versioned.readVersion(spark, root, v1)
+      .orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("kept", "original", "doomed"))
+    // the rebuild-audit combo: diff old version vs live
+    val diff = graft.operators.Dedup.snapshotDiff(
+      Versioned.readVersion(spark, root, v1), Versioned.read(spark, root),
+      "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // a vacuumed version refuses loudly; the live one still reads
+    Versioned.vacuum(spark, root)
+    intercept[IllegalArgumentException](Versioned.readVersion(spark, root, v1))
+    assert(Versioned.listVersions(spark, root).map(_._1) == Seq(v2))
+  }
 }

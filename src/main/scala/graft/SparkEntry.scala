@@ -185,6 +185,28 @@ object SparkEntry {
     slice.sparkSession.readStream.schema(slice.schema).parquet(feedDir)
   }
 
+  /** Far-future watermark-advancing sentinel for a drain slice: one
+    * reserved-user (-1) event 100 h past the slice's max event time —
+    * enough to put the post-batch watermark beyond every real timeout /
+    * window close / join-state horizon, so the trailing no-data
+    * micro-batch flushes them all. None when the slice is empty: there
+    * is no watermark to advance and nothing to flush, and the drain then
+    * just emits nothing (the naive max-ts read would NPE on the null
+    * aggregate instead). */
+  private def farFutureSentinel(slice: DataFrame,
+      eventType: String): Option[DataFrame] = {
+    import graft.streaming.EventStreams.Event
+    val ss = slice.sparkSession
+    import ss.implicits._
+    Option(slice.agg(max(col("ts"))).head.getTimestamp(0)).map { maxTs =>
+      Seq(Event(-1L,
+        new java.sql.Timestamp(maxTs.getTime + 100L * 3600 * 1000),
+        -1L, eventType, 0.0)).toDS()
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+    }
+  }
+
   /** Serializes session-conf set/restore windows (shuffle partitions for
     * stream drains, the NTZ-cast timezone pin): these are session-WIDE
     * mutations, so two concurrently-analyzed queries on one session could
@@ -510,12 +532,7 @@ object SparkEntry {
       // in their own lifecycles) ran 3 lifecycles / 6 micro-batches for
       // the same output — and each micro-batch costs ~1 s of state-store
       // lifecycle regardless of rows (BASELINE.md round 11).
-      val maxMs = slice.agg(max(col("ts"))).head.getTimestamp(0).getTime
-      val sentinel = Seq(Event(-1L,
-        new java.sql.Timestamp(maxMs + 100L * 3600 * 1000), -1L, "view", 0.0)).toDS()
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val feed = stageFeed(slice, feedDir, Some(sentinel))
+      val feed = stageFeed(slice, feedDir, farFutureSentinel(slice, "view"))
       runAvailableNow(EventStreams.funnelStream(feed.as[Event]).toDF(), outDir, ckpt)
       s.read.parquet(outDir)
         .filter(col("kind") === "final" && col("user_id") >= 0)
@@ -589,24 +606,16 @@ object SparkEntry {
     // null-extended iff unconverted.
     "events_leftjoin_stream" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      import EventStreams.Event
-      val ss = s
-      import ss.implicits._
       val slice = events(s, dir).filter(col("user_id") % 8 === 0)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val (outDir, ckpt, feedDir) = freshStreamDirs("ssleft", dir)
-      val maxMs = slice.agg(max(col("ts"))).head.getTimestamp(0).getTime
-      def sentinel(eventType: String) = Seq(Event(-1L,
-        new java.sql.Timestamp(maxMs + 100L * 3600 * 1000), -1L, eventType, 0.0)).toDS()
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
       val clicks = stageFeed(
         slice.filter(col("event_type") === "click"), feedDir,
-        Some(sentinel("click")))
+        farFutureSentinel(slice, "click"))
       val purchases = stageFeed(
         slice.filter(col("event_type") === "purchase"), feedDir + "_p",
-        Some(sentinel("purchase")))
+        farFutureSentinel(slice, "purchase"))
       runAvailableNow(
         EventStreams.clickPurchaseLeftJoin(clicks, purchases, "1 hour"),
         outDir, ckpt, partitions = 4)
@@ -680,9 +689,6 @@ object SparkEntry {
     // batch aggregation over the slice — q11's SQL is the oracle.
     "events_hourly_stream" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      import EventStreams.Event
-      val ss = s
-      import ss.implicits._
       val slice = events(s, dir).filter(col("user_id") % 8 === 0)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -692,13 +698,7 @@ object SparkEntry {
       // past every real window's close, and the trailing no-data batch
       // emits them all. The sentinel's own window never closes and its
       // reserved event_type filters out below.
-      val maxMs = slice.agg(max(col("ts"))).head.getTimestamp(0).getTime
-      val sentinel = Seq(Event(-1L,
-        new java.sql.Timestamp(maxMs + 100L * 3600 * 1000), -1L, "sentinel", 0.0))
-        .toDS()
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val feed = stageFeed(slice, feedDir, Some(sentinel))
+      val feed = stageFeed(slice, feedDir, farFutureSentinel(slice, "sentinel"))
       runAvailableNow(EventStreams.hourlyByType(feed), outDir, ckpt)
       s.read.parquet(outDir)
         .filter(col("event_type") =!= "sentinel")

@@ -653,12 +653,15 @@ object Dedup {
    */
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
       payloadCols: Seq[String]): DataFrame = {
-    // nulls digest as a distinct sentinel and an unprintable separator
-    // bounds each column (concat_ws alone DROPS nulls, which would
-    // equate (null, "x") with ("x", null))
+    // injection-proof combination: digest each column SEPARATELY (null
+    // digests as "-", which no 32-hex md5 can equal), then hash the
+    // fixed-width concatenation. An in-band separator scheme is forgeable
+    // — web-scraped payloads legitimately contain ANY byte, so values
+    // could straddle column boundaries or imitate a null sentinel; with
+    // per-column digests there is no boundary to forge.
     def digested(df: DataFrame, as: String) = df.select(col(idCol),
-      md5(concat_ws("\u0001", payloadCols.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as))
+      md5(concat(payloadCols.map(c =>
+        coalesce(md5(col(c).cast("string")), lit("-"))): _*)).as(as))
     digested(a, "__da").join(digested(b, "__db"), Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("__da").isNull, lit("added"))

@@ -273,7 +273,11 @@ object Versioned {
   /** All retained version dirs, NEWEST first. Version names are UUIDs
     * (no embedded order), so the filesystem modification time of each
     * version dir is the timeline — adequate for the single-maintenance-
-    * writer contract, where publishes are serial by definition. */
+    * writer contract, where publishes are serial by definition. Same-tick
+    * mtimes (coarse-granularity filesystems) tiebreak on the name, which
+    * keeps the listing deterministic even where it cannot be
+    * chronological; the LIVE version is always `currentVersion`, never
+    * this ordering. */
   def listVersions(spark: SparkSession, root: String): Seq[(String, Long)] = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
@@ -281,7 +285,7 @@ object Versioned {
     fs.listStatus(rootP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
       .map(s => (s.getPath.getName, s.getModificationTime))
-      .sortBy(-_._2)
+      .sortBy { case (name, mtime) => (-mtime, name) }
   }
 
   /** Time travel: read a RETAINED (possibly non-live) version. Old

@@ -374,8 +374,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
     // multi-column payload: a null vs non-null difference is a change,
-    // and null payloads on both sides are equal (concat_ws drops nulls
-    // identically on both snapshots)
+    // and null payloads on both sides are equal (each column digests
+    // separately, null as a fixed non-hex sentinel — never dropped)
     val a2 = Seq((1L, Some("x"), Some("y")), (2L, None: Option[String], Some("z")))
       .toDF("id", "p1", "p2")
     val b2 = Seq((1L, Some("x"), None: Option[String]), (2L, None: Option[String], Some("z")))

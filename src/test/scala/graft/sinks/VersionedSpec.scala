@@ -168,7 +168,9 @@ class VersionedSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val v1 = Versioned.writeVersioned(
       Seq((1L, "kept"), (2L, "original"), (3L, "doomed")).toDF("id", "text"), root)
-    Thread.sleep(5) // distinct mtimes for the newest-first ordering
+    Thread.sleep(50) // distinct mtimes for the newest-first ordering
+    // (local fs has ms granularity; listVersions name-tiebreaks same-tick
+    // mtimes for determinism on coarser filesystems)
     val v2 = Versioned.writeVersioned(
       Seq((1L, "kept"), (2L, "REWRITTEN"), (4L, "fresh")).toDF("id", "text"), root)
     assert(Versioned.listVersions(spark, root).map(_._1) == Seq(v2, v1))

@@ -31,6 +31,7 @@ import subprocess
 import sys
 
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401 -- pa.compute is lazily bound; import it explicitly
 import pyarrow.parquet as pq
 
 LINEITEM_STRIDE = 6_000_000   # matches gen_sf1_orders.py
@@ -64,9 +65,15 @@ def main(src: str, out: str, replicas: int) -> None:
                            src, out, str(replicas)])
     replicate(f'{src}/events.parquet', f'{out}/events.parquet', replicas,
               {'event_id': EVENT_ID_STRIDE, 'user_id': USER_ID_STRIDE})
+    # documents/embeddings scale from the SOURCE profile x replicas, so a
+    # non-default src/replicas cannot silently produce a mixed-scale
+    # fixture (each table is the same multiple of its source)
+    n_docs = pq.read_metadata(f'{src}/documents.parquet').num_rows * replicas
+    n_emb = pq.read_metadata(f'{src}/embeddings.parquet').num_rows * replicas
     subprocess.check_call([sys.executable, f'{here}/gen_sf1_documents.py',
-                           out, '50000', 'flat'])
-    subprocess.check_call([sys.executable, f'{here}/gen_sf1_embeddings.py', out])
+                           out, str(n_docs), 'flat'])
+    subprocess.check_call([sys.executable, f'{here}/gen_sf1_embeddings.py',
+                           out, str(n_emb)])
     for dim in ('region', 'nation', 'supplier', 'part', 'customer'):
         shutil.copyfile(f'{src}/{dim}.parquet', f'{out}/{dim}.parquet')
         print(f'{dim}.parquet: copied unscaled')

@@ -15,6 +15,7 @@ Usage: python3 tools/gen_sf1_orders.py [src_sf_dir] [outdir] [replicas]
 import sys
 
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401 -- pa.compute is lazily bound; import it explicitly
 import pyarrow.parquet as pq
 
 KEY_STRIDE = 6_000_000  # matches the existing sf1 lineitem replication

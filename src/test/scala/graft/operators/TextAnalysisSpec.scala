@@ -209,6 +209,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decodeAudio(float32))
   }
 
+  test("WAV codec round-trip property: any samples/rate/channels survive 16-bit quantization") {
+    import Multimodal.WavCodec
+    import org.scalacheck.Gen
+    val gen = for {
+      sr <- Gen.choose(1, 192000)
+      ch <- Gen.choose(1, 8)
+      n <- Gen.choose(0, 64)
+      smp <- Gen.listOfN(n, Gen.choose(-1.0f, 1.0f))
+    } yield (sr, ch, smp.toArray)
+    new graft.PropHelper {}.forAllG(gen) { case (sr, ch, smp) =>
+      val (sr2, ch2, out) = WavCodec.decodeAudio(WavCodec.encodeAudio(sr, ch, smp))
+      assert(sr2 == sr && ch2 == ch && out.length == smp.length)
+      // 16-bit quantization: worst-case error is one code step (1/32768)
+      // plus the clamp at +1.0 (32767/32768 is the largest positive code)
+      out.zip(smp).foreach { case (o, s) =>
+        assert(math.abs(o - s) <= 1.5f / 32768.0f + 1e-7f,
+          s"sample $s decoded as $o")
+      }
+    }
+  }
+
   test("oracle audio codec: deterministic mod-P samples, exact quantization recovery") {
     import spark.implicits._
     import Multimodal.OracleAudioCodec

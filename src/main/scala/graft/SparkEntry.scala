@@ -651,6 +651,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("h"))
     }),
 
+    // incremental view maintenance, oracled end-to-end: materialize the
+    // hourly rollup from half the events (Rollup.publish), merge-refresh
+    // with the other half (Rollup.refresh — batch-aggregate ∪ live
+    // rollup, re-sum per key; cost ∝ grain + batch, never the history),
+    // then serve. The served rollup must equal the one-shot SQL
+    // aggregate over ALL events — the associative-merge correctness the
+    // whole materialized-cube pattern stands on. Publishes ride
+    // Versioned (atomic pointer swap), so a crashed refresh leaves the
+    // previous rollup live
+    "rollup_serve" -> ((s, dir) => {
+      import graft.operators.Rollup
+      val ev = events(s, dir)
+        .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rollup_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(root)
+      Rollup.publish(ev.filter(col("user_id") % 2 === 0),
+        Seq("hr", "event_type"), Seq("value"), root.toString)
+      Rollup.refresh(ev.filter(col("user_id") % 2 === 1),
+        Seq("hr", "event_type"), Seq("value"), root.toString)
+      Rollup.serve(s, root.toString)
+        .select(col("hr"), col("event_type"), col("n"),
+          round(col("s_value"), 2).as("total_value"))
+        .orderBy(col("hr"), col("event_type"))
+    }),
+
     // trailing-baseline spike detection (the monitoring/anomaly shape over
     // event streams): hourly counts per type, baseline = the previous 24
     // hourly counts via a RANGE frame on the integer epoch hour (hour
@@ -2882,6 +2908,16 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+
+    // replay of rollup_serve: the merged rollup must equal the one-shot
+    // aggregate over all events (associative-merge correctness)
+    "rollup_serve" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hr, event_type""".stripMargin,
 
     // replay of events_anomaly: same hourly grain, RANGE-framed trailing
     // window, integer score; DuckDB window-sums BIGINT into HUGEINT, so

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Versioned
+
+/**
+ * Incremental rollup maintenance — the OLAP twin of the ANN index's
+ * build-once/append-forever path: a MATERIALIZED aggregate over a keyed
+ * grain (the classic hourly/daily cube) that new batches refresh by
+ * ASSOCIATIVE MERGE instead of a history rescan.
+ *
+ * The state columns are chosen to merge associatively: `n` (count) and
+ * `s_<col>` (sums) — any mergeable finisher (avg = s/n, rates, ...) is a
+ * serve-side projection. A refresh aggregates ONLY the batch at the
+ * grain, unions it with the live rollup, and re-sums per key: cost is
+ * |rollup grain| + |batch|, never the 100-TB history. Publishes go
+ * through `Versioned`, so readers always see a complete rollup (the
+ * pointer swap is the commit), a crashed refresh leaves the previous
+ * rollup live, and retained versions give rollup time travel /
+ * rebuild audits for free.
+ *
+ * Grain-cardinality posture: the merged rewrite is |grain| rows. OLAP
+ * grains (hour × enum dims) stay tiny relative to facts at any scale;
+ * a grain that approaches fact cardinality is not a rollup — use the
+ * bucketed layouts for those.
+ */
+object Rollup {
+
+  /** Aggregate `df` to the rollup grain: `dims` keys, `n`, and one
+    * `s_<col>` per sum column — the associative state. */
+  def aggregate(df: DataFrame, dims: Seq[String], sums: Seq[String]): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sums.map(c => sum(col(c)).as(s"s_$c")): _*)
+
+  /** Materialize the initial rollup as a versioned dataset. */
+  def publish(df: DataFrame, dims: Seq[String], sums: Seq[String],
+      root: String): String =
+    Versioned.writeVersioned(aggregate(df, dims, sums), root)
+
+  /** Fold one batch into the live rollup: aggregate the batch at the
+    * grain, merge by key (counts and sums add), publish as the next
+    * version. Never reads any fact row outside `batch`. */
+  def refresh(batch: DataFrame, dims: Seq[String], sums: Seq[String],
+      root: String): String = {
+    val spark = batch.sparkSession
+    val merged = Versioned.read(spark, root)
+      .unionByName(aggregate(batch, dims, sums))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sums.map(c => sum(col(s"s_$c")).as(s"s_$c")): _*)
+    Versioned.writeVersioned(merged, root)
+  }
+
+  /** Read the live rollup. */
+  def serve(spark: SparkSession, root: String): DataFrame =
+    Versioned.read(spark, root)
+}

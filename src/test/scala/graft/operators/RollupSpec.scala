@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sinks.Versioned
+
+/** Incremental rollup maintenance: associative-merge correctness, the
+  * no-history-rescan refresh plan, and the versioned crash story. */
+class RollupSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dims = Seq("hr", "event_type")
+  private val sums = Seq("value")
+
+  private def facts(ids: Range) = {
+    import spark.implicits._
+    ids.map { i =>
+      (i.toLong % 5, if (i % 3 == 0) "view" else "click", i.toDouble / 4)
+    }.toDF("hr", "event_type", "value")
+  }
+
+  test("publish + N refreshes == one-shot aggregate over everything") {
+    val root = Files.createTempDirectory("graft_rollup_").toString
+    val (base, b1, b2) = (facts(0 until 40), facts(40 until 70), facts(70 until 100))
+    Rollup.publish(base, dims, sums, root)
+    Rollup.refresh(b1, dims, sums, root)
+    Rollup.refresh(b2, dims, sums, root)
+    val served = Rollup.serve(spark, root)
+      .orderBy("hr", "event_type").collect()
+    val oneShot = Rollup.aggregate(base.unionAll(b1).unionAll(b2), dims, sums)
+      .orderBy("hr", "event_type").collect()
+    assert(served.length == oneShot.length)
+    served.zip(oneShot).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getString(1) == b.getString(1))
+      assert(a.getLong(2) == b.getLong(2), "counts must merge exactly")
+      // double sums merge associatively up to fp reassociation
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("refresh never rescans history: its plan reads rollup + batch only") {
+    val root = Files.createTempDirectory("graft_rollup_").toString
+    val baseDir = Files.createTempDirectory("graft_rollup_facts_").toString
+    facts(0 until 60).write.parquet(s"$baseDir/facts.parquet")
+    val base = spark.read.parquet(s"$baseDir/facts.parquet")
+    Rollup.publish(base, dims, sums, root)
+    val liveBefore = Versioned.resolve(spark, root)
+    // the merge frame the refresh executes: its scanned files must be the
+    // live rollup version + the batch — NOT the 60-row fact history
+    val batch = facts(60 until 75)
+    val merged = Versioned.read(spark, root)
+      .unionByName(Rollup.aggregate(batch, dims, sums))
+    val scanned = merged.inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.forall(_.contains(liveBefore)),
+      s"refresh scan must be rollup-version files only (batch is in-memory here): $scanned")
+    assert(!scanned.exists(_.contains(baseDir)),
+      "refresh must never rescan the fact history")
+  }
+
+  test("refresh is a versioned publish: previous rollup retained and readable") {
+    val root = Files.createTempDirectory("graft_rollup_").toString
+    val v1 = Rollup.publish(facts(0 until 40), dims, sums, root)
+    val v2 = Rollup.refresh(facts(40 until 70), dims, sums, root)
+    assert(v1 != v2 && Versioned.currentVersion(spark, root).contains(v2))
+    // the pre-refresh rollup reads exactly as published (rollback target)
+    val old = Versioned.readVersion(spark, root, v1)
+    val expect = Rollup.aggregate(facts(0 until 40), dims, sums)
+    assert(old.orderBy("hr", "event_type").collect().map(_.getLong(2)).toSeq ==
+      expect.orderBy("hr", "event_type").collect().map(_.getLong(2)).toSeq)
+  }
+}

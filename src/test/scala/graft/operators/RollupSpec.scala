@@ -60,6 +60,35 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
       "refresh must never rescan the fact history")
   }
 
+  test("streaming ingest: foreachBatch micro-batches refresh the rollup; serve == one-shot") {
+    // the streaming-cube shape, same proof as the ANN ingest spec: facts
+    // arrive as a file stream, each micro-batch folds in via the SAME
+    // Rollup.refresh the batch path uses, and the drained rollup equals
+    // the one-shot aggregate over everything
+    val root = Files.createTempDirectory("graft_rollup_").toString
+    val feed = Files.createTempDirectory("graft_rollup_feed_").toString
+    Rollup.publish(facts(0 until 40), dims, sums, root)
+    facts(40 until 70).coalesce(1).write.mode("append").parquet(feed)
+    facts(70 until 100).coalesce(1).write.mode("append").parquet(feed)
+    var batches = 0
+    val q = spark.readStream.schema(facts(0 until 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Rollup.refresh(batch, dims, sums, root); batches += 1 }
+      }
+      .option("checkpointLocation", s"$feed-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    assert(batches >= 2, s"expected >=2 refreshing micro-batches, got $batches")
+    val served = Rollup.serve(spark, root).orderBy("hr", "event_type").collect()
+    val oneShot = Rollup.aggregate(facts(0 until 100), dims, sums)
+      .orderBy("hr", "event_type").collect()
+    assert(served.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      oneShot.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
   test("refresh is a versioned publish: previous rollup retained and readable") {
     val root = Files.createTempDirectory("graft_rollup_").toString
     val v1 = Rollup.publish(facts(0 until 40), dims, sums, root)

@@ -677,6 +677,29 @@ object SparkEntry {
         .orderBy(col("hr"), col("event_type"))
     }),
 
+    // the distinct-count cube: HLL register STATE as the rollup payload,
+    // merged by integer MAX per (group, bucket) — unlike the sums above,
+    // register merge is EXACT (order-free), so incremental must equal
+    // one-shot bit-for-bit and the row hash-oracles with no tolerance.
+    // This is the production shape for "distinct users per dimension"
+    // at 100 TB: state is ≤ m rows per group forever, refreshes are
+    // batch-cost, and the estimate is a serve-side projection
+    "rollup_distinct" -> ((s, dir) => {
+      import graft.operators.{Rollup, Sketches}
+      val ev = events(s, dir)
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rollupd_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(root)
+      def state(half: Int) = Sketches.hllRegisters(
+        ev.filter(col("user_id") % 2 === half), "event_type", "user_id")
+      Rollup.publishState(state(0), root.toString)
+      Rollup.refreshState(state(1), Seq("grp", "bucket"),
+        Seq("max_rho" -> (c => max(c))), root.toString)
+      Rollup.serve(s, root.toString)
+        .select(col("grp"), col("bucket"), col("max_rho"))
+        .orderBy(col("grp"), col("bucket"))
+    }),
+
     // trailing-baseline spike detection (the monitoring/anomaly shape over
     // event streams): hourly counts per type, baseline = the previous 24
     // hourly counts via a RANGE frame on the integer epoch hour (hour
@@ -2918,6 +2941,22 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hr, event_type""".stripMargin,
+
+    // replay of rollup_distinct: the same register spec as hll_distinct
+    // (numeric key: g = (HllA·v + HllB) mod P, h = g² mod P, bucket =
+    // h mod 64, rho from trailing zeros) over ALL events — max-merge of
+    // the two halves must equal the one-shot registers exactly
+    "rollup_distinct" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (((2 * 2654435761) % 1000000007) * user_id + 40520) % 1000000007 AS gv
+        |  FROM events),
+        |h AS (SELECT event_type, (gv * gv) % 1000000007 AS hv FROM g)
+        |SELECT event_type AS grp, hv % 64 AS bucket,
+        |  max(CASE WHEN hv // 64 = 0 THEN 25
+        |      ELSE bit_count(((hv // 64) & -(hv // 64)) - 1) + 1 END) AS max_rho
+        |FROM h GROUP BY 1, 2
+        |ORDER BY grp, bucket""".stripMargin,
 
     // replay of events_anomaly: same hourly grain, RANGE-framed trailing
     // window, integer score; DuckDB window-sums BIGINT into HUGEINT, so

@@ -57,4 +57,30 @@ object Rollup {
   /** Read the live rollup. */
   def serve(spark: SparkSession, root: String): DataFrame =
     Versioned.read(spark, root)
+
+  /** Materialize an arbitrary MERGEABLE state frame (HLL registers,
+    * count-min cells, bloom bits — any sketch whose merge is a per-key
+    * aggregate) as a versioned rollup. */
+  def publishState(state: DataFrame, root: String): String =
+    Versioned.writeVersioned(state, root)
+
+  /** Fold a batch's state into the live state rollup: union, group by
+    * `keys`, and apply each column's merge aggregate (`max` for HLL
+    * rho / bloom bits, `sum` for CMS cells, ...). The distinct-count
+    * cube: publishState(hllRegisters(base, ...)) then per batch
+    * refreshState(hllRegisters(batch, ...), Seq("grp", "bucket"),
+    * Seq("max_rho" -> max)) — register max-merge is exact (integer,
+    * order-free), so incremental == one-shot bit-for-bit. */
+  def refreshState(batchState: DataFrame, keys: Seq[String],
+      merges: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
+      root: String): String = {
+    require(merges.nonEmpty, "at least one merge column")
+    val spark = batchState.sparkSession
+    val aggs = merges.map { case (name, f) => f(col(name)).as(name) }
+    val merged = Versioned.read(spark, root)
+      .unionByName(batchState)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    Versioned.writeVersioned(merged, root)
+  }
 }

@@ -89,6 +89,23 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
       oneShot.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
   }
 
+  test("sketch-state rollup: HLL register max-merge is exactly the one-shot registers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_rollup_").toString
+    val rows = (0 until 500).map(i => (s"g${i % 3}", i.toLong * 7 + 1))
+      .toDF("grp0", "key")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "grp0", "key")
+    Rollup.publishState(state(rows.filter(col("key") % 2 === 0)), root)
+    Rollup.refreshState(state(rows.filter(col("key") % 2 === 1)),
+      Seq("grp", "bucket"), Seq("max_rho" -> (c => max(c))), root)
+    val merged = Rollup.serve(spark, root)
+      .orderBy("grp", "bucket").collect().toSeq
+    val oneShot = state(rows).orderBy("grp", "bucket").collect().toSeq
+    // register merge is integer max — order-free, EXACT, no tolerance
+    assert(merged == oneShot)
+  }
+
   test("refresh is a versioned publish: previous rollup retained and readable") {
     val root = Files.createTempDirectory("graft_rollup_").toString
     val v1 = Rollup.publish(facts(0 until 40), dims, sums, root)

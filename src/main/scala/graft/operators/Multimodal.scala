@@ -288,6 +288,138 @@ object Multimodal {
     }
   }
 
+  /** Pluggable video decode boundary — frames come back frame-major. */
+  trait VideoCodec extends Serializable {
+    /** payload bytes → (width, height, channels, frames as [0,1] pixels) */
+    def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, IndexedSeq[Array[Float]])
+  }
+
+  /**
+   * REAL video decoder for RIFF/AVI with uncompressed BI_RGB 24-bit
+   * frames — the same RIFF chunk grammar as WavCodec, one level deeper
+   * (`LIST` chunks nest): `RIFF 'AVI '` → `LIST hdrl` carrying `avih`
+   * (dwWidth/dwHeight at byte 32/36) and `LIST strl` → `strf`
+   * (BITMAPINFOHEADER; biCompression must be 0 = BI_RGB, biBitCount 24),
+   * then `LIST movi` whose `..db`/`..dc` chunks are the frames: DIB
+   * bottom-UP rows of BGR bytes, each row padded to a 4-byte boundary.
+   * Decoded frames come back top-down RGB in [0,1]. Proof that the video
+   * boundary takes a real container; compressed codecs drop in via JNI
+   * where those libraries exist.
+   */
+  object AviCodec extends VideoCodec {
+    private def fail(msg: String) =
+      throw new IllegalArgumentException(s"AVI decode: $msg")
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, IndexedSeq[Array[Float]]) = {
+      if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ")
+        fail("missing RIFF/AVI header")
+      var w = -1; var h = -1; var bpp = -1
+      val frames = IndexedSeq.newBuilder[Array[Float]]
+      // recursive chunk walk; LIST bodies start with a 4-byte list type
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = tag(bytes, pos)
+          val sz = u32(bytes, pos + 4).toInt
+          val body = pos + 8
+          if (sz < 0 || body + sz > to) fail(s"chunk $id overruns payload")
+          id match {
+            case "LIST" => walk(body + 4, body + sz) // skip the list type
+            case "avih" =>
+              if (sz < 40) fail("avih truncated")
+              w = u32(bytes, body + 32).toInt
+              h = u32(bytes, body + 36).toInt
+              if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+            case "strf" if sz >= 20 && u16(bytes, body + 12) == 1 =>
+              // BITMAPINFOHEADER (biPlanes == 1 distinguishes the video
+              // stream's format block from an audio one)
+              bpp = u16(bytes, body + 14)
+              val compression = u32(bytes, body + 16)
+              if (compression != 0) fail(s"unsupported biCompression $compression (BI_RGB only)")
+              if (bpp != 24) fail(s"unsupported biBitCount $bpp (24-bit only)")
+            case frameId if frameId.length == 4 &&
+                (frameId.endsWith("db") || frameId.endsWith("dc")) =>
+              if (w < 0 || bpp < 0) fail("frame chunk before headers")
+              val stride = ((w * 3 + 3) / 4) * 4
+              if (sz < stride * h) fail(s"frame truncated: need ${stride * h}, have $sz")
+              val px = new Array[Float](w * h * 3)
+              var row = 0
+              while (row < h) {
+                val src = body + (h - 1 - row) * stride // bottom-up
+                var c = 0
+                while (c < w) {
+                  val o = (row * w + c) * 3
+                  px(o) = (bytes(src + c * 3 + 2) & 0xff) / 255.0f     // R
+                  px(o + 1) = (bytes(src + c * 3 + 1) & 0xff) / 255.0f // G
+                  px(o + 2) = (bytes(src + c * 3) & 0xff) / 255.0f     // B
+                  c += 1
+                }
+                row += 1
+              }
+              frames += px
+            case _ => // idx1, strh, strn, JUNK… — skipped
+          }
+          pos = body + sz + (sz & 1)
+        }
+      }
+      walk(12, bytes.length)
+      if (w < 0) fail("no avih header")
+      val out = frames.result()
+      if (out.isEmpty) fail("no frame chunks")
+      (w, h, 3, out)
+    }
+
+    /** Encode (the spec's round-trip half): frames of [0,1] RGB pixels →
+      * minimal uncompressed AVI (avih + vids strl + movi of 00db DIBs). */
+    def encodeVideo(w: Int, h: Int, frames: Seq[Array[Float]]): Array[Byte] = {
+      require(frames.nonEmpty && frames.forall(_.length == w * h * 3), "frame shape")
+      val stride = ((w * 3 + 3) / 4) * 4
+      def dib(px: Array[Float]): Array[Byte] = {
+        val out = new Array[Byte](stride * h)
+        for (row <- 0 until h; c <- 0 until w) {
+          val o = ((h - 1 - row) * stride) + c * 3
+          val i = (row * w + c) * 3
+          def q(v: Float) = math.max(0, math.min(255, math.round(v * 255.0f))).toByte
+          out(o) = q(px(i + 2)); out(o + 1) = q(px(i + 1)); out(o + 2) = q(px(i))
+        }
+        out
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      val le = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def put4(s: String) = buf.write(s.getBytes("US-ASCII"))
+      def putI(v: Int) = { le.clear(); le.putInt(v); buf.write(le.array(), 0, 4) }
+      // sizes: avih 56-byte body; strh 56; strf 40; headers assembled inner-out
+      val strl = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+      val hdrl = 4 + (8 + 56) + (8 + strl) // 'hdrl' + avih + LIST strl
+      val movi = 4 + frames.size * (8 + stride * h)
+      val riff = 4 + (8 + hdrl) + (8 + movi)
+      put4("RIFF"); putI(riff); put4("AVI ")
+      put4("LIST"); putI(hdrl); put4("hdrl")
+      put4("avih"); putI(56)
+      putI(40000); putI(0); putI(0); putI(0); putI(frames.size); putI(0)
+      putI(1); putI(0); putI(w); putI(h); putI(0); putI(0); putI(0); putI(0)
+      put4("LIST"); putI(strl); put4("strl")
+      put4("strh"); putI(56)
+      put4("vids"); put4("DIB "); putI(0); putI(0); putI(0)
+      putI(1); putI(25); putI(0); putI(frames.size); putI(stride * h)
+      putI(-1); putI(0); putI(0); putI(0)
+      put4("strf"); putI(40)
+      putI(40); putI(w); putI(h)
+      le.clear(); le.putShort(1).putShort(24); buf.write(le.array(), 0, 4) // planes, bpp
+      putI(0); putI(stride * h); putI(0); putI(0); putI(0); putI(0)
+      put4("LIST"); putI(movi); put4("movi")
+      frames.foreach { f => put4("00db"); putI(stride * h); buf.write(dib(f)) }
+      buf.toByteArray
+    }
+  }
+
   /** Wrap any binary column of `df` into the canonical media schema. */
   def toMediaFrame(df: DataFrame, idCol: String, binCol: String,
       format: String): DataFrame =
@@ -425,6 +557,40 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** Frame featurization over REAL container bytes — the real-bytes twin
+    * of `frameFeatures`' seeded fake: one decode per payload inside
+    * mapPartitions, then every `stride`-th frame (up to `nFrames`) emits
+    * its channel-0 8-bit integer sum. Same schema, same scale shape (one
+    * row-linear stage, payloads never shuffle). */
+  def videoFrameFeatures(media: DataFrame, codec: VideoCodec,
+      nFrames: Int, stride: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("c0_sum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null) Iterator.empty
+        else {
+          val (w, h, c, frames) = codec.decodeVideo(bytes)
+          (0 until nFrames).iterator.map(_ * stride)
+            .filter(_ < frames.length).map { idx =>
+              val px = frames(idx)
+              var s = 0L
+              var i = 0
+              while (i < w * h) {
+                s += math.round(px(i * c) * 255.0f).toLong
+                i += 1
+              }
+              Row(r.getLong(0), idx, s)
+            }
+        }
+      }
+    }(enc)
   }
 
   /**

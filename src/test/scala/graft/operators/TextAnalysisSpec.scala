@@ -209,6 +209,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decodeAudio(float32))
   }
 
+  test("AVI codec: real container bytes decode frames through the video pipeline") {
+    import spark.implicits._
+    import Multimodal.AviCodec
+    // two 4x2 frames: frame 0 a red gradient (R = pixel index * 16),
+    // frame 1 solid white — exact 8-bit codes, so round-trip is exact
+    val f0 = new Array[Float](4 * 2 * 3)
+    for (i <- 0 until 8) f0(i * 3) = (i * 16) / 255.0f
+    val f1 = Array.fill(4 * 2 * 3)(1.0f)
+    val avi = AviCodec.encodeVideo(4, 2, Seq(f0, f1))
+    val (w, h, c, frames) = AviCodec.decodeVideo(avi)
+    assert((w, h, c, frames.length) == ((4, 2, 3, 2)))
+    assert(frames(0).sameElements(f0) && frames(1).sameElements(f1),
+      "BI_RGB 24-bit round-trip must be exact (bottom-up BGR <-> top-down RGB)")
+    // the REAL bytes flow through the distributed frame pipeline
+    val df = Seq((3L, avi)).toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "video/avi")
+    val feats = Multimodal.videoFrameFeatures(media, AviCodec, nFrames = 4, stride = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    // frame 0: sum of R = 0+16+...+112 = 448; frame 1: 8*255; only 2 frames exist
+    assert(feats.toSeq == Seq((0, (0 until 8).map(_ * 16).sum.toLong), (1, 8L * 255)))
+    // malformed inputs fail loudly
+    intercept[IllegalArgumentException](AviCodec.decodeVideo("RIFFxxxxWAVE".getBytes))
+    val compressed = avi.clone()
+    // flip biCompression in strf (locate it: 'strf' tag + 8 body offset + 16)
+    val strfAt = avi.indexOfSlice("strf".getBytes("US-ASCII"))
+    compressed(strfAt + 8 + 16) = 1 // BI_RLE8 — unsupported, must refuse
+    intercept[IllegalArgumentException](AviCodec.decodeVideo(compressed))
+  }
+
   test("WAV codec round-trip property: any samples/rate/channels survive 16-bit quantization") {
     import Multimodal.WavCodec
     import org.scalacheck.Gen

@@ -662,18 +662,27 @@ object SparkEntry {
     // previous rollup live
     "rollup_serve" -> ((s, dir) => {
       import graft.operators.Rollup
+      // the summed measure is INTEGER cents (floor(value·100) — the same
+      // double arithmetic in both engines, then exact int64 sums): a
+      // merged double sum re-associates additions vs the oracle's
+      // one-shot sum, and a grain group near a .005 rounding boundary
+      // could flip the rounded hash. The split is TOTAL by construction
+      // (pmod + coalesce): plain `% 2` would silently drop null or
+      // negative user_ids from BOTH halves while the oracle counts them
       val ev = events(s, dir)
         .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+        .withColumn("v_cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .withColumn("half", pmod(coalesce(col("user_id"), lit(0L)), lit(2)))
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_rollup_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
       org.apache.hadoop.fs.FileUtil.fullyDelete(root)
-      Rollup.publish(ev.filter(col("user_id") % 2 === 0),
-        Seq("hr", "event_type"), Seq("value"), root.toString)
-      Rollup.refresh(ev.filter(col("user_id") % 2 === 1),
-        Seq("hr", "event_type"), Seq("value"), root.toString)
+      Rollup.publish(ev.filter(col("half") === 0),
+        Seq("hr", "event_type"), Seq("v_cents"), root.toString)
+      Rollup.refresh(ev.filter(col("half") === 1),
+        Seq("hr", "event_type"), Seq("v_cents"), root.toString)
       Rollup.serve(s, root.toString)
         .select(col("hr"), col("event_type"), col("n"),
-          round(col("s_value"), 2).as("total_value"))
+          col("s_v_cents").as("total_cents"))
         .orderBy(col("hr"), col("event_type"))
     }),
 
@@ -690,8 +699,10 @@ object SparkEntry {
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_rollupd_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
       org.apache.hadoop.fs.FileUtil.fullyDelete(root)
+      // total split (pmod + coalesce), same rationale as rollup_serve
       def state(half: Int) = Sketches.hllRegisters(
-        ev.filter(col("user_id") % 2 === half), "event_type", "user_id")
+        ev.filter(pmod(coalesce(col("user_id"), lit(0L)), lit(2)) === half),
+        "event_type", "user_id")
       Rollup.publishState(state(0), root.toString)
       Rollup.refreshState(state(1), Seq("grp", "bucket"),
         Seq("max_rho" -> (c => max(c))), root.toString)
@@ -2937,7 +2948,7 @@ object SparkEntry {
     "rollup_serve" ->
       """SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hr, event_type""".stripMargin,

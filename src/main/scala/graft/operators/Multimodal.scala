@@ -204,16 +204,22 @@ object Multimodal {
    * OracleAudioCodec (mod-P replayability); an MP3/FLAC decoder drops in
    * the same way via JNI where those libraries exist.
    */
-  object WavCodec extends AudioCodec {
-    private def fail(msg: String) =
-      throw new IllegalArgumentException(s"WAV decode: $msg")
-    private def u16(b: Array[Byte], p: Int): Int =
+  /** Little-endian RIFF primitives shared by the WAV and AVI codecs —
+    * one definition, so a bounds/endianness fix reaches both. */
+  private object Riff {
+    def u16(b: Array[Byte], p: Int): Int =
       (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-    private def u32(b: Array[Byte], p: Int): Long =
+    def u32(b: Array[Byte], p: Int): Long =
       (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
         ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-    private def tag(b: Array[Byte], p: Int): String =
+    def tag(b: Array[Byte], p: Int): String =
       new String(b, p, 4, "US-ASCII")
+  }
+
+  object WavCodec extends AudioCodec {
+    import Riff.{tag, u16, u32}
+    private def fail(msg: String) =
+      throw new IllegalArgumentException(s"WAV decode: $msg")
 
     def decodeAudio(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
       if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
@@ -292,6 +298,15 @@ object Multimodal {
   trait VideoCodec extends Serializable {
     /** payload bytes → (width, height, channels, frames as [0,1] pixels) */
     def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, IndexedSeq[Array[Float]])
+
+    /** Bounded decode for frame sampling: implementations SHOULD stop
+      * parsing after `maxFrames` (AviCodec does); the default truncates
+      * after a full decode, which is correct but unbounded in memory. */
+    def decodeVideo(bytes: Array[Byte],
+        maxFrames: Int): (Int, Int, Int, IndexedSeq[Array[Float]]) = {
+      val (w, h, c, f) = decodeVideo(bytes)
+      (w, h, c, f.take(maxFrames))
+    }
   }
 
   /**
@@ -307,20 +322,26 @@ object Multimodal {
    * where those libraries exist.
    */
   object AviCodec extends VideoCodec {
+    import Riff.{tag, u16, u32}
     private def fail(msg: String) =
       throw new IllegalArgumentException(s"AVI decode: $msg")
-    private def u16(b: Array[Byte], p: Int): Int =
-      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-    private def u32(b: Array[Byte], p: Int): Long =
-      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-    private def tag(b: Array[Byte], p: Int): String =
-      new String(b, p, 4, "US-ASCII")
 
-    def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, IndexedSeq[Array[Float]]) = {
+    def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, IndexedSeq[Array[Float]]) =
+      decodeVideo(bytes, Int.MaxValue)
+
+    /** Bounded decode: parsing STOPS after `maxFrames` frame chunks, so
+      * sampling k frames of a long payload never materializes the rest
+      * (a decoded frame is 12 bytes/pixel vs 3 in the container). */
+    override def decodeVideo(bytes: Array[Byte],
+        maxFrames: Int): (Int, Int, Int, IndexedSeq[Array[Float]]) = {
       if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ")
         fail("missing RIFF/AVI header")
       var w = -1; var h = -1; var bpp = -1
+      // last-seen strh stream type gates strf interpretation: an AVI
+      // interleaves video ('vids') and audio ('auds') stream headers, and
+      // an audio format block must not be misread as BITMAPINFOHEADER
+      var strhType = ""
+      var nFrames = 0
       val frames = IndexedSeq.newBuilder[Array[Float]]
       // recursive chunk walk; LIST bodies start with a 4-byte list type
       def walk(from: Int, to: Int): Unit = {
@@ -336,19 +357,30 @@ object Multimodal {
               if (sz < 40) fail("avih truncated")
               w = u32(bytes, body + 32).toInt
               h = u32(bytes, body + 36).toInt
-              if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
-            case "strf" if sz >= 20 && u16(bytes, body + 12) == 1 =>
-              // BITMAPINFOHEADER (biPlanes == 1 distinguishes the video
-              // stream's format block from an audio one)
+              // dimension cap: Long-safe here, and keeps every derived
+              // size (stride·h, w·h·3) inside Int — a crafted 65536×65536
+              // header would otherwise wrap the frame-size check to 0 and
+              // crash with an array error instead of failing loudly
+              if (w <= 0 || h <= 0 || w > 32768 || h > 32768 ||
+                  w.toLong * h > 64L * 1024 * 1024)
+                fail(s"bad dimensions ${w}x$h")
+            case "strh" =>
+              if (sz >= 4) strhType = tag(bytes, body)
+            case "strf" if strhType == "vids" =>
+              // BITMAPINFOHEADER of the VIDEO stream — gated on the
+              // preceding strh fccType, because an audio strf (e.g. an
+              // extended WAVEFORMATEX) can pass any size/field heuristic
+              if (sz < 20) fail("video strf truncated")
               bpp = u16(bytes, body + 14)
               val compression = u32(bytes, body + 16)
               if (compression != 0) fail(s"unsupported biCompression $compression (BI_RGB only)")
               if (bpp != 24) fail(s"unsupported biBitCount $bpp (24-bit only)")
-            case frameId if frameId.length == 4 &&
+            case frameId if nFrames < maxFrames && frameId.length == 4 &&
                 (frameId.endsWith("db") || frameId.endsWith("dc")) =>
               if (w < 0 || bpp < 0) fail("frame chunk before headers")
               val stride = ((w * 3 + 3) / 4) * 4
               if (sz < stride * h) fail(s"frame truncated: need ${stride * h}, have $sz")
+              nFrames += 1
               val px = new Array[Float](w * h * 3)
               var row = 0
               while (row < h) {
@@ -576,7 +608,10 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]]("content")
         if (bytes == null) Iterator.empty
         else {
-          val (w, h, c, frames) = codec.decodeVideo(bytes)
+          // bounded decode: nothing past the last sampled index is
+          // materialized (decoded frames are 12 bytes/pixel vs 3 raw)
+          val (w, h, c, frames) =
+            codec.decodeVideo(bytes, (nFrames - 1) * stride + 1)
           (0 until nFrames).iterator.map(_ * stride)
             .filter(_ < frames.length).map { idx =>
               val px = frames(idx)

@@ -40,19 +40,23 @@ object Rollup {
       root: String): String =
     Versioned.writeVersioned(aggregate(df, dims, sums), root)
 
-  /** Fold one batch into the live rollup: aggregate the batch at the
-    * grain, merge by key (counts and sums add), publish as the next
-    * version. Never reads any fact row outside `batch`. */
-  def refresh(batch: DataFrame, dims: Seq[String], sums: Seq[String],
-      root: String): String = {
-    val spark = batch.sparkSession
-    val merged = Versioned.read(spark, root)
+  /** The frame `refresh` executes: live rollup ∪ batch grain aggregate,
+    * re-summed per key. Package-private so RollupSpec pins the ACTUAL
+    * refresh plan's scanned files (not a hand-rebuilt copy). */
+  private[graft] def mergedFrame(batch: DataFrame, dims: Seq[String],
+      sums: Seq[String], root: String): DataFrame =
+    Versioned.read(batch.sparkSession, root)
       .unionByName(aggregate(batch, dims, sums))
       .groupBy(dims.map(col): _*)
       .agg(sum(col("n")).as("n"),
         sums.map(c => sum(col(s"s_$c")).as(s"s_$c")): _*)
-    Versioned.writeVersioned(merged, root)
-  }
+
+  /** Fold one batch into the live rollup: aggregate the batch at the
+    * grain, merge by key (counts and sums add), publish as the next
+    * version. Never reads any fact row outside `batch`. */
+  def refresh(batch: DataFrame, dims: Seq[String], sums: Seq[String],
+      root: String): String =
+    Versioned.writeVersioned(mergedFrame(batch, dims, sums, root), root)
 
   /** Read the live rollup. */
   def serve(spark: SparkSession, root: String): DataFrame =
@@ -75,6 +79,13 @@ object Rollup {
       merges: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
       root: String): String = {
     require(merges.nonEmpty, "at least one merge column")
+    // the groupBy projection KEEPS ONLY keys + merge columns: any other
+    // state column would silently vanish from the published version, so
+    // an incomplete merge list is an error, not a quiet data loss
+    val declared = (keys ++ merges.map(_._1)).toSet
+    val extra = batchState.columns.toSet.diff(declared)
+    require(extra.isEmpty,
+      s"state columns $extra have no merge aggregate — a refresh would drop them")
     val spark = batchState.sparkSession
     val aggs = merges.map { case (name, f) => f(col(name)).as(name) }
     val merged = Versioned.read(spark, root)

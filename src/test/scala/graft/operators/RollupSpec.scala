@@ -48,11 +48,11 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     val base = spark.read.parquet(s"$baseDir/facts.parquet")
     Rollup.publish(base, dims, sums, root)
     val liveBefore = Versioned.resolve(spark, root)
-    // the merge frame the refresh executes: its scanned files must be the
-    // live rollup version + the batch — NOT the 60-row fact history
+    // the EXACT frame refresh executes (Rollup.mergedFrame is what
+    // refresh writes): its scanned files must be the live rollup version
+    // + the batch — NOT the 60-row fact history
     val batch = facts(60 until 75)
-    val merged = Versioned.read(spark, root)
-      .unionByName(Rollup.aggregate(batch, dims, sums))
+    val merged = Rollup.mergedFrame(batch, dims, sums, root)
     val scanned = merged.inputFiles.toSet
     assert(scanned.nonEmpty && scanned.forall(_.contains(liveBefore)),
       s"refresh scan must be rollup-version files only (batch is in-memory here): $scanned")

@@ -41,7 +41,10 @@ if [ "$nq" -lt 1 ]; then
 fi
 
 echo "== 4. bench JSON emits =="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch "runMain graft.Bench" 2>/dev/null \
+# SPARK_GRAFT_BENCH_RECORD=0: this sf0.01 smoke must not overwrite the
+# committed canonical sf0.1 series in BENCH_LAST.json
+SPARK_GRAFT_BENCH_RECORD=0 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  sbt -batch "runMain graft.Bench" 2>/dev/null \
   | grep -o '{"metric".*}' | tail -1 > /tmp/presnap_bench.json
 if [ -s /tmp/presnap_bench.json ]; then
   # exit 1 from the inline python iff any query failed — a snapshot must

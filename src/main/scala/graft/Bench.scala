@@ -138,10 +138,18 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sec_per_query":$perQ,"reps":$reps,"queries":$qs,"queries_raw":$raw,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout with an "[info] " prefix that can defeat a
-    // line-oriented JSON parser — leave the raw line as a file artifact too
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // line-oriented JSON parser — leave the raw line as a file artifact
+    // too. BUT only a full-suite run may update the committed record:
+    // subset runs (SPARK_GRAFT_ONLY — targeted reruns, query iteration)
+    // and callers that opt out (SPARK_GRAFT_BENCH_RECORD=0, e.g. the
+    // presnapshot sf0.01 smoke) were found clobbering the canonical
+    // sf0.1 series with partial or off-scale numbers.
+    val record = sys.env.get("SPARK_GRAFT_ONLY").isEmpty &&
+      !sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("0")
+    if (record)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

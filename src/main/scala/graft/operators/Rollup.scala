@@ -62,6 +62,46 @@ object Rollup {
   def serve(spark: SparkSession, root: String): DataFrame =
     Versioned.read(spark, root)
 
+  /** Marker inside each version dir recording the highest streaming
+    * batch id folded into that version (absent on batch-path versions). */
+  private val BatchIdFile = "_batchid"
+
+  /** The batch id the LIVE version has absorbed, if any. */
+  def lastBatchId(spark: SparkSession, root: String): Option[Long] =
+    Versioned.readSmallText(spark,
+      new org.apache.hadoop.fs.Path(Versioned.resolve(spark, root), BatchIdFile))
+      .flatMap(_.trim.toLongOption)
+
+  /**
+   * EXACTLY-ONCE streaming refresh: `foreachBatch` redelivers a
+   * micro-batch after a crash (its contract is at-least-once into
+   * arbitrary sinks), and a plain `refresh` would fold the replayed rows
+   * in TWICE. This variant records the batch id INSIDE the new version
+   * dir before the pointer commit — the id and the merged data become
+   * visible atomically together — and skips any batch id ≤ the live
+   * version's. Replay of the committed batch: skipped. Crash BEFORE the
+   * pointer commit: the orphan version is invisible, the live id is
+   * unchanged, and the redelivered batch applies cleanly — either way
+   * each batch folds in exactly once. Ids must be monotone per rollup
+   * (Structured Streaming's batchId is). Returns true iff applied.
+   */
+  def refreshExactlyOnce(batch: DataFrame, dims: Seq[String],
+      sums: Seq[String], root: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (lastBatchId(spark, root).exists(_ >= batchId)) false
+    else {
+      val frame = mergedFrame(batch, dims, sums, root)
+      Versioned.publish(spark, root) { dir =>
+        frame.write.parquet(dir)
+        val p = new org.apache.hadoop.fs.Path(dir, BatchIdFile)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(p, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      }
+      true
+    }
+  }
+
   /** Materialize an arbitrary MERGEABLE state frame (HLL registers,
     * count-min cells, bloom bits — any sketch whose merge is a per-key
     * aggregate) as a versioned rollup. */

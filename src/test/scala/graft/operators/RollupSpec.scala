@@ -106,6 +106,37 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == oneShot)
   }
 
+  test("exactly-once refresh: a replayed micro-batch is skipped, a crashed one reapplies") {
+    val root = Files.createTempDirectory("graft_rollup_").toString
+    Rollup.publish(facts(0 until 40), dims, sums, root)
+    val b1 = facts(40 until 70)
+    assert(Rollup.refreshExactlyOnce(b1, dims, sums, root, batchId = 0))
+    val afterOnce = Rollup.serve(spark, root)
+      .orderBy("hr", "event_type").collect().map(_.getLong(2)).toSeq
+    // foreachBatch redelivery: same batch id arrives again → skipped,
+    // served counts unchanged (a plain refresh would double-count)
+    assert(!Rollup.refreshExactlyOnce(b1, dims, sums, root, batchId = 0))
+    assert(Rollup.serve(spark, root)
+      .orderBy("hr", "event_type").collect().map(_.getLong(2)).toSeq == afterOnce)
+    // crash BEFORE the pointer commit: the version dir exists but was
+    // never committed → live id unchanged → the redelivered batch APPLIES
+    val b2 = facts(70 until 90)
+    intercept[RuntimeException] {
+      graft.sinks.Versioned.publish(spark, root) { dir =>
+        Rollup.mergedFrame(b2, dims, sums, root).write.parquet(dir)
+        throw new RuntimeException("crash before batch-id record + commit")
+      }
+    }
+    assert(Rollup.lastBatchId(spark, root).contains(0L), "live id must be unchanged")
+    assert(Rollup.refreshExactlyOnce(b2, dims, sums, root, batchId = 1))
+    // net effect: every batch folded exactly once
+    val served = Rollup.serve(spark, root)
+      .orderBy("hr", "event_type").collect().map(_.getLong(2)).toSeq
+    val oneShot = Rollup.aggregate(facts(0 until 90), dims, sums)
+      .orderBy("hr", "event_type").collect().map(_.getLong(2)).toSeq
+    assert(served == oneShot)
+  }
+
   test("refresh is a versioned publish: previous rollup retained and readable") {
     val root = Files.createTempDirectory("graft_rollup_").toString
     val v1 = Rollup.publish(facts(0 until 40), dims, sums, root)

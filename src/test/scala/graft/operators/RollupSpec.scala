@@ -74,8 +74,13 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     val q = spark.readStream.schema(facts(0 until 1).schema)
       .option("maxFilesPerTrigger", 1).parquet(feed)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty) { Rollup.refresh(batch, dims, sums, root); batches += 1 }
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the production wiring: the REAL foreachBatch batch id drives
+        // the exactly-once gate, so a redelivered micro-batch cannot
+        // double-count
+        if (!batch.isEmpty &&
+            Rollup.refreshExactlyOnce(batch, dims, sums, root, id))
+          batches += 1
       }
       .option("checkpointLocation", s"$feed-ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

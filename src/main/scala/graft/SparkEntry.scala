@@ -1318,6 +1318,66 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // row-level DELETE on the materialized index — the missing verb of
+    // the lifecycle matrix. Ids land in the atomically-committed
+    // `_tombstones` object; the serve subtracts them with a broadcast
+    // anti-join and no data file is touched. The oracle is the trained-IVF
+    // replay with the deleted ids excluded from the corpus side (training
+    // ran BEFORE the delete, on the full corpus, so the centroid CTEs
+    // keep trainWhere=TRUE — exactly the engine's state)
+    "ann_ivf_deleted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ik = embCorpusKey(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfdel_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      // gate on a delete-DONE marker: ReadyMarker lands before the delete,
+      // so a crash between the two must force a clean rebuild
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_delete_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx, indexKey = ik)
+        val dead = emb.filter(col("vec_id") % 10 === 7)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        Similarity.deleteFromIvfIndex(s, idx, "vec_id", dead.toIndexedSeq)
+        fs.create(done, true).close()
+      }
+      Similarity.ivfTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = ik)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PURGE: the physical half of delete. Same tombstone set, then
+    // purgeTombstones rewrites the committed files minus the dead rows
+    // and swaps the manifest atomically — results must be identical to
+    // the tombstone-filtered serve (same oracle), which is exactly what
+    // makes the purge auditable: a hash mismatch means the rewrite
+    // dropped or resurrected rows
+    "ann_ivf_purged" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ik = embCorpusKey(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpurge_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_purge_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx, indexKey = ik)
+        val dead = emb.filter(col("vec_id") % 10 === 7)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        Similarity.deleteFromIvfIndex(s, idx, "vec_id", dead.toIndexedSeq)
+        Similarity.purgeTombstones(s, idx)
+        fs.create(done, true).close()
+      }
+      Similarity.ivfTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = ik)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus).
     // ensureParallelism: the classifier is CPU-bound per row and the bench
@@ -2524,7 +2584,8 @@ object SparkEntry {
   }
 
   private def annIvfTrainedSql(stride: Int = 20, iters: Int = 3,
-      nProbe: Int = 3, k: Int = 3, trainWhere: String = "TRUE"): String = {
+      nProbe: Int = 3, k: Int = 3, trainWhere: String = "TRUE",
+      deleteWhere: String = "FALSE"): String = {
     val dist = (q: String, c: String) => ivfDistSql(q, c)
     s"""WITH ${ivfTrainCtes(
           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
@@ -2534,7 +2595,8 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY x.vec_id
        |      ORDER BY ${dist("x.qv", "ci.cv")}, ci.c) AS rn
        |  FROM q x CROSS JOIN c$iters ci),
-       |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa WHERE rn = 1),
+       |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa
+       |  WHERE rn = 1 AND NOT ($deleteWhere)),
        |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND vec_id < 20),
        |scored AS (
        |  SELECT qa.query_id, ce.neighbor_id,
@@ -3910,6 +3972,10 @@ object SparkEntry {
     // compaction is bin-packing only — the logical index contents equal
     // the appended index's, so the oracle is identical (both quantizers)
     "ann_ivf_compacted" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
+    // delete/purge: full-corpus training (the delete happened AFTER the
+    // build), deleted ids excluded from the candidate side only
+    "ann_ivf_deleted" -> annIvfTrainedSql(deleteWhere = "vec_id % 10 = 7"),
+    "ann_ivf_purged" -> annIvfTrainedSql(deleteWhere = "vec_id % 10 = 7"),
     "ann_pq_compacted" -> annPqServedSql(trainWhere = "vec_id < 400"),
 
     "vocab_top" ->

@@ -717,6 +717,202 @@ object Similarity {
       .toIndexedSeq
   }
 
+  // ──────────────────────── row-level deletes ─────────────────────────
+
+  /** Name of the index's tombstone set: ids deleted since the last purge.
+    * One small object — a `#idcol=` header naming the id column, then one
+    * decimal id per line — committed through the SAME atomic primitive as
+    * the cell manifest, so a delete is a single-object swap and a crashed
+    * delete leaves the previous tombstone set fully served. Serves
+    * subtract the set with a broadcast anti-join (deletes never rewrite
+    * data files — that is `purgeTombstones`' job), which is the
+    * deletion-vector cost model: delete cost is O(ids), serve cost gains
+    * one bounded broadcast, and the physical rewrite is deferred to
+    * maintenance. The set is capped at `MaxTombstones` between purges —
+    * past that the broadcast stops being "bounded" and the index OWES a
+    * purge, so the delete fails loudly instead of degrading every serve. */
+  val TombstoneFile: String = "_tombstones"
+
+  private val TombstoneIdColPrefix = "#idcol="
+
+  /** Tombstone-set size cap between purges (1M ids ≈ 8 MB broadcast). */
+  val MaxTombstones: Int = 1000000
+
+  /** The live tombstone set: (id column name, sorted ids). None when the
+    * index has none (never deleted from, or purged clean). */
+  private[graft] def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(String, Array[Long])] =
+    graft.sinks.Versioned.readSmallText(spark,
+      new org.apache.hadoop.fs.Path(indexPath, TombstoneFile)).map { txt =>
+      val lines = txt.split('\n')
+      val idCol = lines.find(_.startsWith(TombstoneIdColPrefix))
+        .map(_.substring(TombstoneIdColPrefix.length))
+        .getOrElse(throw new IllegalStateException(
+          s"tombstone set at $indexPath/$TombstoneFile has no " +
+            s"$TombstoneIdColPrefix header"))
+      val ids = lines.iterator
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.toLong).toArray
+      (idCol, ids)
+    }
+
+  /**
+   * Delete rows from a materialized index by id — the missing verb of
+   * the build/serve/append/compact lifecycle. No data file is touched:
+   * the ids land in the `_tombstones` object (merged with any existing
+   * set, committed atomically), every serve subtracts them from its
+   * candidates, and the next `purgeTombstones` removes the rows
+   * physically. Idempotent: deleting an id twice, or an id the corpus
+   * never had, is a no-op in the merged set.
+   *
+   * Scale shape: O(|merged set|) driver work and one single-object
+   * commit — no corpus scan, no shuffle, regardless of index size. The
+   * cap (`MaxTombstones`) bounds what serves broadcast; a real
+   * deployment purges on a cadence long before it.
+   *
+   * Caveat (standard for id-level tombstones): re-APPENDING a deleted id
+   * resurfaces nothing until the set is purged — the tombstone masks the
+   * new row too. Purge before re-ingesting previously deleted ids.
+   *
+   * Returns the merged tombstone-set size.
+   */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, ids: Iterable[Long]): Int = {
+    requireIndexReady(spark, path)
+    val existing = readTombstones(spark, path)
+    existing.foreach { case (prev, _) =>
+      require(prev == idCol,
+        s"index at $path already carries tombstones keyed by '$prev' — " +
+          s"refusing to mix in ids keyed by '$idCol'")
+    }
+    val merged: Array[Long] =
+      (existing.map(_._2.toSet).getOrElse(Set.empty[Long]) ++ ids)
+        .toArray.sorted
+    require(merged.length <= MaxTombstones,
+      s"tombstone set at $path would reach ${merged.length} ids " +
+        s"(cap $MaxTombstones) — run purgeTombstones before deleting more")
+    val sb = new StringBuilder(TombstoneIdColPrefix).append(idCol).append('\n')
+    merged.foreach(id => sb.append(id).append('\n'))
+    graft.sinks.Versioned.atomicOverwrite(spark,
+      new org.apache.hadoop.fs.Path(path, TombstoneFile),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    merged.length
+  }
+
+  /** Subtract the index's live tombstones from a serve's candidate frame
+    * (columns include `neighbor_id`). A broadcast LEFT ANTI join, not an
+    * IN-list literal: the set can be up to `MaxTombstones` ids, and a
+    * million-entry `isin` would dominate analysis/codegen while the
+    * anti-join stays one bounded broadcast hash join. No tombstones → the
+    * frame passes through untouched (the common case pays nothing). */
+  private def withoutTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, cand: DataFrame): DataFrame =
+    readTombstones(spark, indexPath) match {
+      case Some((_, dead)) if dead.nonEmpty =>
+        val deadDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            dead.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__dead_id",
+              org.apache.spark.sql.types.LongType))))
+        cand.join(broadcast(deadDf),
+          cand("neighbor_id").cast("long") === col("__dead_id"), "left_anti")
+      case _ => cand
+    }
+
+  /**
+   * Physically remove tombstoned rows and clear the tombstone set. The
+   * commit discipline is the append's, inverted: rewrite every committed
+   * file minus the dead rows into NEW uniquely-named files (Spark's file
+   * committer — a crashed job leaves only ignorable debris), then
+   * atomically swap the manifest to name ONLY the new files, then GC the
+   * old files and the tombstone object. A crash before the manifest swap
+   * leaves the previous index view fully served (the new files are
+   * uncommitted; `vacuumUncommitted` sweeps them before a retry — this
+   * function runs that sweep itself on entry); a crash after the swap
+   * leaves the purged view served and only garbage to collect. A crash
+   * between the swap and the tombstone delete is harmless: serves
+   * subtract ids the purged files no longer contain.
+   *
+   * Cost: one full rewrite of the committed data — bytes ∝ corpus, which
+   * is what a physical purge costs anywhere; tombstones exist precisely
+   * to amortize it across many deletes. (A finer purge would consult
+   * per-file id min/max stats to rewrite only files that can contain
+   * dead ids — the manifest has room for stat columns; not needed until
+   * a workload shows clustered deletes.) Single maintenance writer, like
+   * append/compact. Returns the number of tombstoned ids cleared.
+   */
+  def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    purgeTombstonesHooked(spark, path, () => ())
+
+  /** The purge with a test seam at its one crash window: `beforeCommit`
+    * runs after the rewrite job commits and before the manifest swap —
+    * the same seam shape as `appendToIvfIndexHooked`. */
+  private[graft] def purgeTombstonesHooked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      beforeCommit: () => Unit): Int = {
+    import org.apache.hadoop.fs.Path
+    requireIndexReady(spark, path)
+    val tomb = readTombstones(spark, path)
+    if (tomb.forall(_._2.isEmpty)) return 0
+    val (idCol, dead) = tomb.get
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // the manifest is this purge's commit point — a pre-manifest index
+    // gets one first (its full on-disk file set, which for such an index
+    // IS the committed set)
+    if (readManifest(spark, path).isEmpty) writeCellMap(spark, path)
+    // start from committed-only disk state: stranded files from a crashed
+    // append (or a crashed previous purge) must not ride into the
+    // post-purge manifest
+    vacuumUncommitted(spark, path)
+    val txt = readManifest(spark, path).get
+    val schema = manifestSchemaOf(txt)
+    val committed: Seq[String] = txt.split('\n').iterator
+      .filter(l => l.nonEmpty && l.contains('\t'))
+      .map(l => l.substring(l.indexOf('\t') + 1)).toSeq
+    val tombPath = new Path(root, TombstoneFile)
+    if (committed.isEmpty) { fs.delete(tombPath, false); return dead.length }
+    val rd0 = spark.read.option("basePath", path)
+    val rd = schema.map(rd0.schema).getOrElse(rd0)
+    val df = rd.parquet(committed.map(f => s"$path/$f"): _*)
+    val deadDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        dead.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__dead_id",
+          org.apache.spark.sql.types.LongType))))
+    val keep = df.join(broadcast(deadDf),
+      df(idCol).cast("long") === col("__dead_id"), "left_anti")
+    keep.write.mode("append").partitionBy("cell").parquet(path)
+    beforeCommit()
+    // manifest swap: name ONLY the files this rewrite produced — on-disk
+    // files minus the pre-purge committed set (disk == committed ∪ new,
+    // by the vacuum above)
+    val old = committed.toSet
+    val sb = new StringBuilder
+    schema.foreach(s => sb.append(CellMapSchemaPrefix).append(s.json).append('\n'))
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("cell=")).foreach { d =>
+      val cell = d.getPath.getName.substring("cell=".length)
+      fs.listStatus(d.getPath).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            !old(s"${d.getPath.getName}/$n"))
+          sb.append(cell).append('\t')
+            .append(d.getPath.getName).append('/').append(n).append('\n')
+      }
+    }
+    graft.sinks.Versioned.atomicOverwrite(spark, new Path(root, CellMapFile),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // GC: the old files are now uncommitted garbage. Best-effort — a
+    // failed delete leaves debris the next vacuumUncommitted sweeps, it
+    // cannot resurface rows (serves read only the manifest's files).
+    old.foreach(f => fs.delete(new Path(root, f), false))
+    fs.delete(tombPath, false)
+    dead.length
+  }
+
   /**
    * Compact a materialized index in place. `appendToIvfIndex` adds one
    * file set per append per cell, so a steadily-ingesting index sprawls
@@ -846,9 +1042,10 @@ object Similarity {
     val probes = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probeSchema)
     val probeCells = probeRows.map(_.getLong(2)).distinct.sorted
-    val cand = readProbedCells(spark, indexPath, probeCells)
-      .select(col("cell").cast("long").as("cell"),
-        col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cvec"))
+    val cand = withoutTombstones(spark, indexPath,
+      readProbedCells(spark, indexPath, probeCells)
+        .select(col("cell").cast("long").as("cell"),
+          col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cvec")))
     val scored = broadcast(probes).join(cand, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", vec_cosine(col("qvec"), col("cvec")))
@@ -931,9 +1128,10 @@ object Similarity {
     val probes = spark.createDataFrame(
       spark.sparkContext.parallelize(qRows.toIndexedSeq, 1), qSchema)
     val probeCells = qRows.map(_.getLong(2)).distinct.sorted
-    val cand = readProbedCells(spark, indexPath, probeCells)
-      .select(col("cell").cast("long").as("cell"),
-        col(idCol).as("neighbor_id"), col("codes"))
+    val cand = withoutTombstones(spark, indexPath,
+      readProbedCells(spark, indexPath, probeCells)
+        .select(col("cell").cast("long").as("cell"),
+          col(idCol).as("neighbor_id"), col("codes")))
     val scored = broadcast(probes).join(cand, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_dist", vec_pq_adc(col("codes"), col("dtable"), ksub))

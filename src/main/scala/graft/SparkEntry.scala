@@ -952,6 +952,43 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("status"))
     }),
 
+    // copy-on-write MERGE (upsert + delete + insert) on the manifest-
+    // backed keyed table: publish the corpus bucketed by key, merge one
+    // batch carrying all three actions, read the live version. Only the
+    // batch's hash buckets rewrite — every other file carries by name
+    // into the new manifest (MergeTableSpec pins the carry) — so merge
+    // cost at 100 TB is batch-spread-bounded, not corpus-bounded. The
+    // oracle replays the merge algebra: base minus batch keys, plus
+    // updated and inserted rows
+    "corpus_merge" -> ((s, dir) => {
+      import graft.sinks.MergeTable
+      val docs = t(s, dir, "documents")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$root/_graft_merge_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+        val upd = docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(":upd")))
+          .withColumn("_del", lit(false))
+        val del = docs.filter(col("doc_id") % 13 === 5 && col("doc_id") % 7 =!= 3)
+          .withColumn("_del", lit(true))
+        val ins = docs.filter(col("doc_id") % 11 === 2)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+          .withColumn("text", concat(lit("ins:"), col("text")))
+          .withColumn("_del", lit(false))
+        MergeTable.merge(s, root, upd.unionByName(del).unionByName(ins),
+          "doc_id", deleteFlagCol = Some("_del"))
+        fs.create(done, true).close()
+      }
+      MergeTable.read(s, root)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // span-level exact-substring dedup: per-doc count of 8-token sliding
     // windows whose md5 digest occurs >= 2 times corpus-wide (the
     // Lee-et-al "duplicated span" signal, suffix-array-free). md5 is
@@ -3225,6 +3262,22 @@ object SparkEntry {
         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
         |WHERE status IS NOT NULL
         |ORDER BY doc_id, status""".stripMargin,
+
+    // merge algebra: survivors are base keys the batch does not name
+    // (batch keys = updates ∪ deletes ∪ inserts, so NOT %7=3 AND NOT
+    // %13=5 — the %13=5 ∧ %7=3 overlap belongs to the update action),
+    // plus the updated and inserted rows. md5 digests keep the compare
+    // narrow and are byte-identical over UTF-8 in both engines
+    "corpus_merge" ->
+      """SELECT doc_id, md5(text) AS digest FROM (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 <> 3 AND doc_id % 13 <> 5
+        |  UNION ALL
+        |  SELECT doc_id, text || ':upd' FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'ins:' || text FROM documents
+        |  WHERE doc_id % 11 = 2)
+        |ORDER BY doc_id""".stripMargin,
 
     // replay of Dedup.spanDupStats: token mod-P hashes (16-char cap, same
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit

@@ -1,0 +1,241 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyed versioned table with copy-on-write MERGE at bucket granularity —
+ * the upsert/delete verb the engine's corpus stores were missing, shaped
+ * like the table-format pattern (Delta/Iceberg): immutable shared data
+ * files + per-version FILE MANIFESTS, so a merge rewrites only the hash
+ * buckets its batch touches and every other file is CARRIED by name into
+ * the new version. Bytes rewritten ∝ touched buckets ≈ batch spread, not
+ * corpus — the property that makes row-level updates viable at 100 TB,
+ * where `Versioned.writeVersioned` (whole-dataset versions) would pay a
+ * full rewrite per batch.
+ *
+ * Layout:
+ * ```
+ * root/
+ *   _current           <- Versioned pointer: the live version name
+ *   data/bucket=<b>/   <- shared immutable part files, all versions
+ *   v-<uuid>/_files    <- manifest: schema + bucket count + file list
+ * ```
+ *
+ * Commit discipline is exactly the Versioned layout's: data files land
+ * first (Spark's file committer; unreferenced until a manifest names
+ * them), the new version dir materializes its `_files` manifest, and the
+ * pointer swap through `Versioned.commit` is the single atomic commit
+ * point. A crash anywhere before the swap leaves the previous version
+ * fully served; stranded data files are swept by [[vacuumData]] (never
+ * at commit time — old versions keep reading until `Versioned.vacuum`).
+ * Single maintenance writer, like every sink in this package; CAS
+ * deployments plug `Versioned.setConditionalPut`.
+ *
+ * Bucketing is `pmod(xxhash64(key), nBuckets)` — deterministic across
+ * runs and engines, so batch keys locate their buckets without touching
+ * the base table. `nBuckets` is fixed at [[publish]] time and recorded in
+ * every manifest (re-bucketing = a fresh publish, like any partitioning
+ * change at scale).
+ */
+object MergeTable {
+
+  val ManifestFile = "_files"
+  private val SchemaPrefix = "#schema="
+  private val BucketsPrefix = "#buckets="
+
+  /** What a merge did: `filesCarried` is the untouched majority (the
+    * scale term), `filesWritten` the touched-bucket rewrite. */
+  final case class MergeStats(version: String, filesCarried: Int,
+      filesWritten: Int, bucketsTouched: Int)
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def bucketOf(keyCol: String, nBuckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
+
+  /** List data files currently on disk, as `bucket=<b>/<name>` rel paths. */
+  private def dataFilesOnDisk(spark: SparkSession, root: String): Set[String] = {
+    val dataP = new Path(root, "data")
+    val f = fs(spark, dataP)
+    if (!f.exists(dataP)) return Set.empty
+    f.listStatus(dataP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap { d =>
+        f.listStatus(d.getPath).collect {
+          case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".") =>
+            s"${d.getPath.getName}/${s.getPath.getName}"
+        }
+      }.toSet
+  }
+
+  private final case class Manifest(schema: org.apache.spark.sql.types.StructType,
+      nBuckets: Int, files: Seq[(Long, String)])
+
+  private def readManifest(spark: SparkSession, root: String,
+      version: String): Manifest = {
+    val txt = Versioned.readSmallText(spark,
+      new Path(s"$root/$version", ManifestFile)).getOrElse(
+      throw new IllegalStateException(
+        s"version $version under $root has no $ManifestFile manifest"))
+    val lines = txt.split('\n')
+    val schema = lines.find(_.startsWith(SchemaPrefix)).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        l.substring(SchemaPrefix.length))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
+      throw new IllegalStateException(s"manifest of $version has no schema"))
+    val nBuckets = lines.find(_.startsWith(BucketsPrefix)).map(
+      _.substring(BucketsPrefix.length).toInt).getOrElse(
+      throw new IllegalStateException(s"manifest of $version has no bucket count"))
+    val files = lines.iterator.filter(l => l.nonEmpty && l.contains('\t'))
+      .map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i).toLong, l.substring(i + 1))
+      }.toSeq
+    Manifest(schema, nBuckets, files)
+  }
+
+  private def writeManifestText(m: Manifest): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(SchemaPrefix).append(m.schema.json).append('\n')
+    sb.append(BucketsPrefix).append(m.nBuckets).append('\n')
+    m.files.foreach { case (b, f) =>
+      sb.append(b).append('\t').append(f).append('\n')
+    }
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def readFiles(spark: SparkSession, root: String,
+      m: Manifest, rel: Seq[String]): DataFrame = {
+    val basePath = s"$root/data"
+    spark.read.option("basePath", basePath).schema(m.schema)
+      .parquet(rel.map(f => s"$basePath/$f"): _*)
+  }
+
+  /**
+   * First publish of a keyed table: bucket the rows, land the data files,
+   * commit version 1's manifest. Returns the version name.
+   */
+  def publish(df: DataFrame, root: String, keyCol: String,
+      nBuckets: Int = 64): String = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    val before = dataFilesOnDisk(spark, root)
+    val bucketed = df.withColumn("bucket", bucketOf(keyCol, nBuckets))
+    bucketed.write.mode("append").partitionBy("bucket")
+      .parquet(s"$root/data")
+    val files = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
+      .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
+    val m = Manifest(bucketed.schema, nBuckets, files)
+    Versioned.publish(spark, root) { dir =>
+      val p = new Path(dir, ManifestFile)
+      val out = fs(spark, p).create(p, true)
+      try out.write(writeManifestText(m)) finally out.close()
+    }
+  }
+
+  /** Read the live version (data columns only — the bucket is layout). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, Versioned.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version")))
+
+  /** Time travel: read any retained version's manifest view. */
+  def readVersion(spark: SparkSession, root: String,
+      version: String): DataFrame = {
+    val m = readManifest(spark, root, version)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          m.schema.filterNot(_.name == "bucket")))
+    else readFiles(spark, root, m, m.files.map(_._2)).drop("bucket")
+  }
+
+  /**
+   * MERGE a batch into the live version: rows of `batch` REPLACE base
+   * rows with the same key (upsert), rows where `deleteFlagCol` is true
+   * DELETE their key, and new keys insert. Only the buckets containing
+   * batch keys are rewritten; all other files carry by name into the new
+   * version's manifest. The batch must have unique keys (one action per
+   * key per merge — enforced, since "update and delete the same key" has
+   * no deterministic meaning) and the base table's data columns.
+   *
+   * Scale shape: one bounded collect of the batch's DISTINCT BUCKET IDS
+   * (≤ nBuckets longs) drives both the pruned base read and the manifest
+   * split; the only join is survivors = touched-base ⟕̸ batch-keys
+   * (left anti), with the batch broadcast by contract (a merge batch is
+   * the small side; a batch that isn't should be split, like any
+   * lakehouse writer).
+   */
+  def merge(spark: SparkSession, root: String, batch: DataFrame,
+      keyCol: String, deleteFlagCol: Option[String] = None): MergeStats =
+    mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => ())
+
+  /** The merge with a test seam between its data-file job and the version
+    * commit — the same crash-window shape as appendToIvfIndexHooked. */
+  private[graft] def mergeHooked(spark: SparkSession, root: String,
+      batch: DataFrame, keyCol: String, deleteFlagCol: Option[String],
+      beforeCommit: () => Unit): MergeStats = {
+    val live = Versioned.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version to merge into"))
+    val m = readManifest(spark, root, live)
+    val dupKeys = batch.groupBy(col(keyCol)).count().filter(col("count") > 1).count()
+    require(dupKeys == 0,
+      s"merge batch has $dupKeys duplicated keys — one action per key per merge")
+    val withBucket = batch.withColumn("bucket", bucketOf(keyCol, m.nBuckets))
+    val touched: Array[Long] = withBucket.select(col("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val touchedSet = touched.toSet
+    val (touchedFiles, carried) = m.files.partition { case (b, _) => touchedSet(b) }
+    // survivors: touched-bucket base rows whose key the batch does not name
+    val batchKeys = withBucket.select(col(keyCol)).distinct()
+    val survivors =
+      if (touchedFiles.isEmpty) None
+      else Some(readFiles(spark, root, m, touchedFiles.map(_._2))
+        .join(broadcast(batchKeys), Seq(keyCol), "left_anti"))
+    val upserts0 = deleteFlagCol.fold(withBucket)(f =>
+      withBucket.filter(!coalesce(col(f), lit(false))).drop(f))
+    val dataCols = m.schema.fieldNames.toSeq
+    val upserts = upserts0.select(dataCols.map(col): _*)
+    val newRows = survivors.fold(upserts)(s =>
+      s.select(dataCols.map(col): _*).unionByName(upserts))
+    val before = dataFilesOnDisk(spark, root)
+    newRows.write.mode("append").partitionBy("bucket").parquet(s"$root/data")
+    val newFiles = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
+      .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
+    beforeCommit()
+    val next = Manifest(m.schema, m.nBuckets, carried ++ newFiles)
+    val v = Versioned.publish(spark, root) { dir =>
+      val p = new Path(dir, ManifestFile)
+      val out = fs(spark, p).create(p, true)
+      try out.write(writeManifestText(next)) finally out.close()
+    }
+    MergeStats(v, carried.size, newFiles.size, touched.length)
+  }
+
+  /**
+   * Delete data files no RETAINED version references — the merge twin of
+   * `Similarity.vacuumUncommitted`, run after `Versioned.vacuum` trims
+   * version dirs. Never deletes at commit time: any un-vacuumed version
+   * keeps reading exactly as published (that is the time-travel
+   * contract). Returns the deleted rel paths.
+   */
+  def vacuumData(spark: SparkSession, root: String): Seq[String] = {
+    val referenced: Set[String] = Versioned.listVersions(spark, root)
+      .map(_._1).flatMap(v => readManifest(spark, root, v).files.map(_._2)).toSet
+    val dataP = new Path(root, "data")
+    val f = fs(spark, dataP)
+    dataFilesOnDisk(spark, root).toSeq.sorted
+      .filterNot(referenced)
+      .map { rel =>
+        if (!f.delete(new Path(dataP, rel), false))
+          throw new java.io.IOException(
+            s"vacuumData: could not delete unreferenced file $rel")
+        rel
+      }
+  }
+}

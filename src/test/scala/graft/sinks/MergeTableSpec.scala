@@ -1,0 +1,135 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * Copy-on-write MERGE on the manifest-backed keyed table. Pinned:
+ *
+ *   1. merge algebra == the reference DataFrame computation
+ *      (upsert replaces, delete removes, insert adds)
+ *   2. THE SCALE PIN: untouched-bucket files carry into the new manifest
+ *      BY NAME — a merge rewrites only the buckets its batch hashes into
+ *   3. crash before the version commit leaves the old version served
+ *      bit-for-bit; stranded data files never surface; vacuumData sweeps
+ *   4. time travel: the pre-merge version still reads exactly as
+ *      published; vacuum + vacuumData reclaim it on request
+ *   5. duplicate batch keys are refused (no deterministic meaning)
+ */
+class MergeTableSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet(sf("documents")).select("doc_id", "text", "n_chars")
+
+  private def collectSorted(df: DataFrame): Seq[(Long, String)] =
+    df.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toIndexedSeq
+
+  private def mkBatch() = {
+    val upd = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("text", concat(col("text"), lit(":upd")))
+      .withColumn("_del", lit(false))
+    val del = docs.filter(col("doc_id") % 13 === 5 && col("doc_id") % 7 =!= 3)
+      .withColumn("_del", lit(true))
+    val ins = docs.filter(col("doc_id") % 11 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", concat(lit("ins:"), col("text")))
+      .withColumn("_del", lit(false))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  private def reference(): Seq[(Long, String)] = {
+    val survivors = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 13 =!= 5)
+    val upd = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("text", concat(col("text"), lit(":upd")))
+    val ins = docs.filter(col("doc_id") % 11 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", concat(lit("ins:"), col("text")))
+    collectSorted(survivors.unionByName(upd).unionByName(ins))
+  }
+
+  test("merge algebra: upsert replaces, delete removes, insert adds") {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+    val stats = MergeTable.merge(spark, root, mkBatch(), "doc_id",
+      deleteFlagCol = Some("_del"))
+    assert(collectSorted(MergeTable.read(spark, root)) == reference())
+    assert(stats.bucketsTouched > 0 && stats.filesWritten > 0)
+  }
+
+  test("scale pin: untouched-bucket files carry by name; only touched buckets rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergecow_").toString + "/t"
+    val v1 = MergeTable.publish(docs, root, "doc_id", nBuckets = 64)
+    // one single-key batch touches exactly one bucket
+    val one = docs.filter(col("doc_id") === 1)
+      .withColumn("text", lit("rewritten")).withColumn("_del", lit(false))
+    val stats = MergeTable.merge(spark, root, one, "doc_id", Some("_del"))
+    assert(stats.bucketsTouched == 1)
+    val manifestOf = (v: String) => Versioned.readSmallText(spark,
+      new org.apache.hadoop.fs.Path(s"$root/$v", MergeTable.ManifestFile)).get
+      .split('\n').filter(_.contains('\t')).toSet
+    val before = manifestOf(v1)
+    val after = manifestOf(Versioned.currentVersion(spark, root).get)
+    val carried = before.intersect(after)
+    // with 64 buckets and one touched, the overwhelming majority carries
+    assert(carried.size == stats.filesCarried)
+    assert(carried.nonEmpty && (before -- after).nonEmpty)
+    // and the carried lines are from DIFFERENT buckets than the rewrite
+    val touchedBucket = (before -- after).map(_.split('\t')(0)).head
+    assert(!carried.exists(_.split('\t')(0) == touchedBucket))
+    // correctness unaffected
+    val got = collectSorted(MergeTable.read(spark, root))
+    val want = collectSorted(docs.filter(col("doc_id") =!= 1)
+      .unionByName(docs.filter(col("doc_id") === 1)
+        .withColumn("text", lit("rewritten"))))
+    assert(got == want)
+  }
+
+  test("crash before commit: old version serves; vacuumData sweeps the strands") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergecrash_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+    val before = collectSorted(MergeTable.read(spark, root))
+    val boom = intercept[RuntimeException] {
+      MergeTable.mergeHooked(spark, root, mkBatch(), "doc_id", Some("_del"),
+        beforeCommit = () => throw new RuntimeException("killed before commit"))
+    }
+    assert(boom.getMessage.contains("killed before commit"))
+    // served view untouched; stranded files invisible to readers
+    assert(collectSorted(MergeTable.read(spark, root)) == before)
+    val swept = MergeTable.vacuumData(spark, root)
+    assert(swept.nonEmpty, "injection fired before the data job committed")
+    // retry lands the merge exactly once
+    MergeTable.merge(spark, root, mkBatch(), "doc_id", Some("_del"))
+    assert(collectSorted(MergeTable.read(spark, root)) == reference())
+  }
+
+  test("time travel reads the pre-merge version; vacuum + vacuumData reclaim") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergett_").toString + "/t"
+    val v1 = MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+    val base = collectSorted(MergeTable.read(spark, root))
+    MergeTable.merge(spark, root, mkBatch(), "doc_id", Some("_del"))
+    // the old version still reads exactly as published (shared files)
+    assert(collectSorted(MergeTable.readVersion(spark, root, v1)) == base)
+    // nothing is unreferenced yet — both versions' files are live
+    assert(MergeTable.vacuumData(spark, root).isEmpty)
+    // drop the old version, then its exclusive files become sweepable
+    assert(Versioned.vacuum(spark, root) == Seq(v1))
+    val swept = MergeTable.vacuumData(spark, root)
+    assert(swept.nonEmpty)
+    assert(collectSorted(MergeTable.read(spark, root)) == reference())
+  }
+
+  test("duplicate batch keys are refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergedup_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+    val dup = docs.filter(col("doc_id") < 2)
+      .unionByName(docs.filter(col("doc_id") < 2))
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root, dup, "doc_id")
+    }
+    assert(e.getMessage.contains("duplicated keys"))
+  }
+}

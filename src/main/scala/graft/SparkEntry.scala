@@ -1474,6 +1474,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style importance-weighted selection (arXiv:2302.03169): score
+    // docs by hashed-BIGRAM target-vs-source ratios (en docs as target),
+    // keep the exact top 25%. All-integer — bigram buckets ride the
+    // capped-16 Horner spec, ratios are BigInt-floored, selection reuses
+    // the budget sampler's distributed prefix rank — so the oracle
+    // replays scores AND the kept set bit-for-bit
+    "dsir_select" -> ((s, dir) => {
+      val docs = graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
+      TextAnalysis.dsirSelect(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 256, keepFrac = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting aggregated per source, oracled
     "token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3446,6 +3459,54 @@ object SparkEntry {
         |  coalesce(s.score, 0) > 0 AS kept
         |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR replay: tokenizer + capped-16 Horner per-token hash (same spec
+    // as quality_classify's thash), adjacent-pair bigram buckets, add-one
+    // smoothed target/source ratio floored via HUGEINT cross-
+    // multiplication (the engine floors with BigInt — identical for
+    // positive integers), linear score sum, exact top-25% by
+    // (score DESC, doc_id)
+    "dsir_select" ->
+      s"""WITH toksl AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |th AS (
+        |  SELECT doc_id, lang, pos,
+        |    sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+        |        * ($Pow131Sql)[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
+        |      % 1000000007 AS h
+        |  FROM (SELECT doc_id, lang, pos, tok, unnest(range(1, least(length(tok), 16) + 1)) AS i
+        |        FROM tok)
+        |  GROUP BY doc_id, lang, pos),
+        |bg AS (
+        |  SELECT a.doc_id, a.lang, (a.h * 131 + b.h) % 1000000007 % 256 AS bkt
+        |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |src AS (SELECT bkt, count(*) AS s FROM bg GROUP BY bkt),
+        |tgt AS (SELECT bkt, count(*) AS t FROM bg WHERE lang = 'en' GROUP BY bkt),
+        |tot AS (SELECT (SELECT count(*) FROM bg) AS st,
+        |               (SELECT count(*) FROM bg WHERE lang = 'en') AS tt),
+        |r AS (
+        |  SELECT b.bkt,
+        |    CAST(CAST(1000000 AS HUGEINT) * (coalesce(t.t, 0) + 1) * (tot.st + 256)
+        |         // ((coalesce(s.s, 0) + 1) * (tot.tt + 256)) AS BIGINT) AS r
+        |  FROM (SELECT unnest(range(256)) AS bkt) b
+        |  LEFT JOIN src s ON s.bkt = b.bkt
+        |  LEFT JOIN tgt t ON t.bkt = b.bkt, tot),
+        |sc AS (
+        |  SELECT d.doc_id, CAST(coalesce(sum(r.r), 0) AS BIGINT) AS score
+        |  FROM documents d
+        |  LEFT JOIN bg ON bg.doc_id = d.doc_id
+        |  LEFT JOIN r ON r.bkt = bg.bkt
+        |  GROUP BY d.doc_id),
+        |kk AS (SELECT CAST(ceil(0.25 * count(*)) AS BIGINT) AS k FROM documents),
+        |rk AS (SELECT doc_id, score,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+        |SELECT rk.doc_id, rk.score, rk.rn <= kk.k AS kept
+        |FROM rk, kk ORDER BY rk.doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT source, count(*) AS docs,

@@ -498,6 +498,84 @@ object TextAnalysis {
         coalesce(quality_score(col(textCol)), lit(0L)).as("score"))
       .withColumn("kept", col("score") > threshold)
 
+  /**
+   * DSIR-style importance-weighted data selection (Xie et al. 2023,
+   * arXiv:2302.03169 — "Data Selection for Language Models via Importance
+   * Resampling"): score every corpus document by how much its hashed
+   * BIGRAM feature distribution looks like a target corpus relative to
+   * the raw corpus, then keep the top `keepFrac` by score.
+   *
+   * Features: adjacent-token-pair buckets `(h(w₁)·131 + h(w₂)) mod P mod
+   * B` over the sketch-family tokenizer and capped-16 Horner token hash —
+   * the same SQL-replayable spec as minhash/simhash, so the oracle
+   * recomputes every bucket bit-for-bit. Per-bucket importance ratio
+   * (add-one smoothed): r_b = ⌊scale·(t_b+1)·(S+B) / ((s_b+1)·(T+B))⌋,
+   * computed driver-side over ≤ B bounded counts with BigInt exactness.
+   *
+   * Documented divergence from the paper (SemDeDup-style precedent): the
+   * document score is the LINEAR sum Σ_occurrences r_bucket rather than
+   * the log-likelihood Σ n_b·log r_b, and selection is deterministic
+   * top-K rather than Gumbel resampling — both choices keep every
+   * quantity an exact integer, so the operator is hash-oracleable
+   * cross-engine where float logs would drift in the last ulp. The score
+   * is monotone in each bucket ratio and empirically orders documents by
+   * target-likeness the same way; the paper's exact estimator plugs in
+   * by swapping the driver-side ratio table for ⌊scale·ln r⌋ at the cost
+   * of the exactness guarantee.
+   *
+   * Scale shape: two narrow scans (target + corpus) feeding B-bounded
+   * count aggregates, one codegen'd map computing each doc's score from
+   * a B-entry literal ratio table (no join, no shuffle), and the exact
+   * top-K selection reuses `Sampling.tokenBudgetSample`'s distributed
+   * prefix-rank machinery with unit weights — never an unpartitioned
+   * window. Returns (idCol, score, kept) for every corpus row.
+   */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256, keepFrac: Double = 0.25,
+      scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && keepFrac > 0 && keepFrac <= 1)
+    val spark = corpus.sparkSession
+    graft.functions.HashFunctions.register(spark)
+    val P = graft.functions.HashFunctions.P
+    def withBuckets(df: DataFrame) =
+      df.withColumn("__th", expr(
+          s"transform(filter(split(lower($textCol), '[^a-z0-9]+'), " +
+            "t -> t <> ''), t -> modp_hash16(t))"))
+        .withColumn("__bkts", expr(
+          "zip_with(slice(__th, 1, greatest(size(__th) - 1, 0)), " +
+            "slice(__th, 2, greatest(size(__th) - 1, 0)), " +
+            s"(a, b) -> (a * 131 + b) % ${P}L % ${buckets}L)"))
+    val bucketed = withBuckets(corpus)
+      .select(col(idCol), col("__bkts")).cache()
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      df.select(explode(col("__bkts")).as("bkt"))
+        .groupBy(col("bkt")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = bucketCounts(bucketed)
+    val tgt = bucketCounts(withBuckets(target))
+    val sTot = src.values.sum
+    val tTot = tgt.values.sum
+    val rmap: Map[Long, Long] = (0L until buckets.toLong).map { b =>
+      val num = BigInt(scale) * BigInt(tgt.getOrElse(b, 0L) + 1) *
+        BigInt(sTot + buckets)
+      val den = BigInt(src.getOrElse(b, 0L) + 1) * BigInt(tTot + buckets)
+      b -> (num / den).toLong
+    }.toMap
+    val rLit = typedlit(rmap)
+    val scored = bucketed
+      .withColumn("score", aggregate(col("__bkts"), lit(0L),
+        (acc, x) => acc + element_at(rLit, x)))
+      .select(col(idCol), col("score"))
+    val k = math.ceil(keepFrac * scored.count()).toLong
+    val kept = Sampling.tokenBudgetSample(
+        scored.withColumn("__one", lit(1L)), idCol, "score", "__one",
+        budget = k)
+      .select(col(idCol), lit(true).as("kept"))
+    scored.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("score"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", es => LangId(es.head), "built-in")

@@ -510,4 +510,55 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .orderBy(col("doc_id")).collect()
     assert(nr(1).getLong(1) == 0L && !nr(1).getBoolean(2))
   }
+
+  test("dsirSelect: scores replay the bigram-ratio contract; top-K exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val P = graft.functions.HashFunctions.P
+    val B = 16
+    val scale = 1000000L
+    val texts = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the dog sat on the log", "en"),
+      (2L, "der hund sitzt auf dem baum", "de"),
+      (3L, "one", "en"),                       // <2 tokens → score 0
+      (4L, "the cat sat on the mat", "de"),    // same text, not target
+      (5L, "el gato grande duerme aqui", "es"),
+      (6L, "", "en"))
+    val df = texts.toDF("doc_id", "text", "lang")
+    // reference, written against the stated contract
+    def bkts(text: String): Seq[Long] = {
+      val hs = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(t => t.take(16).foldLeft(0L)((a, c) => (a * 131L + c) % P))
+      hs.sliding(2).filter(_.length == 2)
+        .map(p => (p(0) * 131L + p(1)) % P % B).toSeq
+    }
+    val srcC = texts.flatMap(t => bkts(t._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtC = texts.filter(_._3 == "en").flatMap(t => bkts(t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (sTot, tTot) = (srcC.values.sum, tgtC.values.sum)
+    def r(b: Long): Long =
+      (BigInt(scale) * BigInt(tgtC.getOrElse(b, 0L) + 1) * BigInt(sTot + B) /
+        (BigInt(srcC.getOrElse(b, 0L) + 1) * BigInt(tTot + B))).toLong
+    val want = texts.map { case (id, t, _) => id -> bkts(t).map(r).sum }.toMap
+    val got = TextAnalysis.dsirSelect(df, df.filter(col("lang") === "en"),
+      "doc_id", "text", buckets = B, keepFrac = 0.25)
+      .orderBy(col("doc_id")).collect()
+    got.foreach { row =>
+      assert(row.getLong(1) == want(row.getLong(0)),
+        s"doc ${row.getLong(0)}: score ${row.getLong(1)} != ${want(row.getLong(0))}")
+    }
+    // exact top-K selection: K = ceil(0.25·7) = 2, by (score desc, id)
+    val topK = want.toSeq.sortBy { case (id, s) => (-s, id) }.take(2).map(_._1).toSet
+    assert(got.filter(_.getBoolean(2)).map(_.getLong(0)).toSet == topK)
+    // empty/short docs score 0
+    assert(want(3L) == 0L && want(6L) == 0L)
+    // target == corpus ⇒ every ratio is exactly `scale` ⇒ score = scale·|bigrams|
+    val self = TextAnalysis.dsirSelect(df, df, "doc_id", "text",
+      buckets = B, keepFrac = 0.5).orderBy(col("doc_id")).collect()
+    self.foreach { row =>
+      assert(row.getLong(1) == scale * bkts(
+        texts(row.getLong(0).toInt)._2).length)
+    }
+  }
 }

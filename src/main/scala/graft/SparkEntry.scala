@@ -1386,6 +1386,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the PQ twin of ann_ivf_deleted: tombstones mask the ADC serve too
+    // (same _tombstones object, subtracted from the codes scan), closing
+    // the delete column of the lifecycle matrix for both quantizers
+    "ann_pq_deleted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ik = embCorpusKey(s, dir) + ":delpq"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_pqdel_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_delete_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+          indexKey = ik, pqM = Some(8))
+        val dead = emb.filter(col("vec_id") % 10 === 7)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        Similarity.deleteFromIvfIndex(s, idx, "vec_id", dead.toIndexedSeq)
+        fs.create(done, true).close()
+      }
+      Similarity.pqTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = ik)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PURGE: the physical half of delete. Same tombstone set, then
     // purgeTombstones rewrites the committed files minus the dead rows
     // and swaps the manifest atomically — results must be identical to
@@ -2795,7 +2820,7 @@ object SparkEntry {
    */
   private def annPqServedSql(stride: Int = 20, iters: Int = 3,
       m: Int = 8, sub: Int = 8, nProbe: Int = 3, k: Int = 3,
-      trainWhere: String = "TRUE"): String = {
+      trainWhere: String = "TRUE", deleteWhere: String = "FALSE"): String = {
     def sl(e: String, j: String) = pqSliceSql(e, j, sub)
     s"""WITH ${ivfTrainCtes(
           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
@@ -2805,7 +2830,8 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY x.vec_id
        |      ORDER BY ${ivfDistSql("x.qv", "ci.cv")}, ci.c) AS rn
        |  FROM q x CROSS JOIN c$iters ci),
-       |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa WHERE rn = 1),
+       |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa
+       |  WHERE rn = 1 AND NOT ($deleteWhere)),
        |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND vec_id < 20),
        |cb0 AS (
        |  SELECT js.j, sd.c, ${sl("sd.cv", "js.j")} AS cv
@@ -4090,6 +4116,7 @@ object SparkEntry {
     // build), deleted ids excluded from the candidate side only
     "ann_ivf_deleted" -> annIvfTrainedSql(deleteWhere = "vec_id % 10 = 7"),
     "ann_ivf_purged" -> annIvfTrainedSql(deleteWhere = "vec_id % 10 = 7"),
+    "ann_pq_deleted" -> annPqServedSql(deleteWhere = "vec_id % 10 = 7"),
     "ann_pq_compacted" -> annPqServedSql(trainWhere = "vec_id < 400"),
 
     "vocab_top" ->

@@ -47,6 +47,20 @@ object MergeTable {
   private val SchemaPrefix = "#schema="
   private val BucketsPrefix = "#buckets="
 
+  /** Streaming watermark: the highest `mergeExactlyOnce` batch id folded
+    * in, stored INSIDE each version dir so id and data commit atomically
+    * on the pointer swap (the Rollup.refreshExactlyOnce discipline).
+    * Plain merges CARRY the live version's id forward, so interleaving
+    * ad-hoc maintenance with a CDC stream cannot reopen replay windows. */
+  private val BatchIdFile = "_batchid"
+
+  /** Highest streaming batch id in the live version, if the table is
+    * (or ever was) fed by [[mergeExactlyOnce]]. */
+  def lastBatchId(spark: SparkSession, root: String): Option[Long] =
+    Versioned.currentVersion(spark, root).flatMap(v =>
+      Versioned.readSmallText(spark, new Path(s"$root/$v", BatchIdFile))
+        .map(_.trim.toLong))
+
   /** What a merge did: `filesCarried` is the untouched majority (the
     * scale term), `filesWritten` the touched-bucket rewrite. */
   final case class MergeStats(version: String, filesCarried: Int,
@@ -175,11 +189,31 @@ object MergeTable {
       keyCol: String, deleteFlagCol: Option[String] = None): MergeStats =
     mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => ())
 
+  /**
+   * Exactly-once CDC ingest: apply a Structured Streaming micro-batch
+   * (`foreachBatch`'s at-least-once redelivery contract) as a merge that
+   * commits its batch id ATOMICALLY with the data — the id lives inside
+   * the version dir, visible only on the same pointer swap. A redelivered
+   * batch (id ≤ the live watermark) is skipped without touching disk; a
+   * crash before the swap leaves the old id live, so the retry applies
+   * cleanly. Requires monotonically increasing ids per table (Structured
+   * Streaming's batchId is). Returns true iff applied.
+   */
+  def mergeExactlyOnce(spark: SparkSession, root: String, batch: DataFrame,
+      keyCol: String, batchId: Long,
+      deleteFlagCol: Option[String] = None): Boolean =
+    if (lastBatchId(spark, root).exists(_ >= batchId)) false
+    else {
+      mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => (),
+        batchId = Some(batchId))
+      true
+    }
+
   /** The merge with a test seam between its data-file job and the version
     * commit — the same crash-window shape as appendToIvfIndexHooked. */
   private[graft] def mergeHooked(spark: SparkSession, root: String,
       batch: DataFrame, keyCol: String, deleteFlagCol: Option[String],
-      beforeCommit: () => Unit): MergeStats = {
+      beforeCommit: () => Unit, batchId: Option[Long] = None): MergeStats = {
     val live = Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version to merge into"))
     val m = readManifest(spark, root, live)
@@ -209,10 +243,22 @@ object MergeTable {
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
     beforeCommit()
     val next = Manifest(m.schema, m.nBuckets, carried ++ newFiles)
+    // the streaming watermark rides in the version dir: this merge's id,
+    // or the live version's carried forward (so ad-hoc merges on a
+    // CDC-fed table never regress the replay fence)
+    val carryId: Option[Long] = batchId.orElse(
+      Versioned.readSmallText(spark, new Path(s"$root/$live", BatchIdFile))
+        .map(_.trim.toLong))
     val v = Versioned.publish(spark, root) { dir =>
       val p = new Path(dir, ManifestFile)
       val out = fs(spark, p).create(p, true)
       try out.write(writeManifestText(next)) finally out.close()
+      carryId.foreach { id =>
+        val bp = new Path(dir, BatchIdFile)
+        val bo = fs(spark, bp).create(bp, true)
+        try bo.write(id.toString.getBytes(StandardCharsets.UTF_8))
+        finally bo.close()
+      }
     }
     MergeStats(v, carried.size, newFiles.size, touched.length)
   }

@@ -122,6 +122,75 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     assert(collectSorted(MergeTable.read(spark, root)) == reference())
   }
 
+  test("exactly-once CDC: redelivered batches skip; crash before commit replays cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergeeo_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+    val b0 = docs.filter(col("doc_id") < 5)
+      .withColumn("text", concat(col("text"), lit(":b0")))
+    // batch 0 applies once; the duplicate delivery is a no-op
+    assert(MergeTable.mergeExactlyOnce(spark, root, b0, "doc_id", batchId = 0L))
+    val after0 = collectSorted(MergeTable.read(spark, root))
+    assert(!MergeTable.mergeExactlyOnce(spark, root, b0, "doc_id", batchId = 0L))
+    assert(collectSorted(MergeTable.read(spark, root)) == after0)
+    assert(MergeTable.lastBatchId(spark, root).contains(0L))
+    // crash before batch 1's commit: the id fence stays at 0, retry applies
+    val b1 = docs.filter(col("doc_id") >= 5 && col("doc_id") < 8)
+      .withColumn("text", concat(col("text"), lit(":b1")))
+    intercept[RuntimeException] {
+      MergeTable.mergeHooked(spark, root, b1, "doc_id", None,
+        beforeCommit = () => throw new RuntimeException("boom"),
+        batchId = Some(1L))
+    }
+    assert(MergeTable.lastBatchId(spark, root).contains(0L))
+    assert(MergeTable.mergeExactlyOnce(spark, root, b1, "doc_id", batchId = 1L))
+    assert(MergeTable.lastBatchId(spark, root).contains(1L))
+    // an ad-hoc (non-streaming) merge carries the fence forward
+    val adhoc = docs.filter(col("doc_id") === 100)
+      .withColumn("text", lit("adhoc")).withColumn("_del", lit(false))
+    MergeTable.merge(spark, root, adhoc, "doc_id", Some("_del"))
+    assert(MergeTable.lastBatchId(spark, root).contains(1L))
+    assert(!MergeTable.mergeExactlyOnce(spark, root, b1, "doc_id", batchId = 1L))
+  }
+
+  test("streaming CDC: foreachBatch upserts == one batch merge of the union") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mergestream_").toString
+    val root = s"$tmp/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+    val updates = docs.filter(col("doc_id") < 20)
+      .withColumn("text", concat(lit("cdc:"), col("text")))
+    // two staged files → maxFilesPerTrigger=1 forces two micro-batches
+    val feed = s"$tmp/feed"
+    updates.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    updates.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(feed)
+    var applied = 0
+    val q = spark.readStream.schema(updates.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          // deliver every batch TWICE — the at-least-once contract the
+          // fence must absorb
+          if (MergeTable.mergeExactlyOnce(spark, root, batch, "doc_id", id))
+            applied += 1
+          assert(!MergeTable.mergeExactlyOnce(spark, root, batch, "doc_id", id))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    assert(applied >= 2, s"expected >=2 applied micro-batches, got $applied")
+    // parity: the drained table == one batch merge of all updates
+    val root2 = s"$tmp/t2"
+    MergeTable.publish(docs, root2, "doc_id", nBuckets = 16)
+    MergeTable.merge(spark, root2, updates, "doc_id")
+    assert(collectSorted(MergeTable.read(spark, root)) ==
+      collectSorted(MergeTable.read(spark, root2)))
+  }
+
   test("duplicate batch keys are refused") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergedup_").toString + "/t"
     MergeTable.publish(docs, root, "doc_id", nBuckets = 16)

@@ -182,6 +182,40 @@ object HashFunctions {
     h
   }
 
+  /** DSIR bigram feature buckets: one pass over the text — ASCII-lowered
+    * alnum-run tokens (simHash64's tokenizer, identical to SQL
+    * `string_split_regex(lower(text), '[^a-z0-9]+')` on ASCII corpora),
+    * capped-16 Horner hash per token, adjacent-pair bucket
+    * `(h₁·131 + h₂) mod P mod buckets`. Exists because the composable
+    * spelling (`transform(...) → modp_hash16 → zip_with`) pays an
+    * interpreted expression call PER TOKEN — this is one call per DOC,
+    * the same economics that motivated span_digests. */
+  def bigramBuckets(text: String, buckets: Int): Array[Long] = {
+    val n = text.length
+    val hs = new mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < n) {
+      while (i < n && !isAsciiAlnum(lowerAscii(text.charAt(i)))) i += 1
+      if (i < n) {
+        var h = 0L
+        var len = 0
+        while (i < n && isAsciiAlnum(lowerAscii(text.charAt(i)))) {
+          if (len < TokenHashCap) { h = (h * Base + lowerAscii(text.charAt(i))) % P; len += 1 }
+          i += 1
+        }
+        hs += h
+      }
+    }
+    if (hs.length < 2) return Array.empty
+    val out = new Array[Long](hs.length - 1)
+    var j = 0
+    while (j < out.length) {
+      out(j) = (hs(j) * Base + hs(j + 1)) % P % buckets
+      j += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------------ expressions
 
   case class MinHashSig(first: Expression, second: Expression, third: Expression)
@@ -363,6 +397,16 @@ object HashFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  case class BigramBuckets(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bigram_buckets"
+    override def nullSafeEval(text: Any, b: Any): Any =
+      new GenericArrayData(bigramBuckets(text.toString, b.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** Hamming distance between two 64-bit signatures (for SimHash dedup).
     * Native codegen: this runs in the candidate-pair filter, inside the
     * join's whole-stage span. */
@@ -397,6 +441,8 @@ object HashFunctions {
       es => SortedIntersectCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("modp_hash16",
       es => ModPTokenHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bigram_buckets",
+      es => BigramBuckets(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("span_digests",
       es => SpanDigests(es(0), es(1)), "built-in")
   }
@@ -412,6 +458,8 @@ object HashFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
   def modp_hash16(text: Column): Column = call_function("modp_hash16", text)
+  def bigram_buckets(text: Column, buckets: Int): Column =
+    call_function("bigram_buckets", text, lit(buckets))
   def span_digests(text: Column, k: Int): Column =
     call_function("span_digests", text, lit(k))
 }

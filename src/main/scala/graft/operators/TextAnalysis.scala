@@ -536,15 +536,9 @@ object TextAnalysis {
     require(buckets > 0 && keepFrac > 0 && keepFrac <= 1)
     val spark = corpus.sparkSession
     graft.functions.HashFunctions.register(spark)
-    val P = graft.functions.HashFunctions.P
     def withBuckets(df: DataFrame) =
-      df.withColumn("__th", expr(
-          s"transform(filter(split(lower($textCol), '[^a-z0-9]+'), " +
-            "t -> t <> ''), t -> modp_hash16(t))"))
-        .withColumn("__bkts", expr(
-          "zip_with(slice(__th, 1, greatest(size(__th) - 1, 0)), " +
-            "slice(__th, 2, greatest(size(__th) - 1, 0)), " +
-            s"(a, b) -> (a * 131 + b) % ${P}L % ${buckets}L)"))
+      df.withColumn("__bkts",
+        graft.functions.HashFunctions.bigram_buckets(col(textCol), buckets))
     val bucketed = withBuckets(corpus)
       .select(col(idCol), col("__bkts")).cache()
     def bucketCounts(df: DataFrame): Map[Long, Long] =
@@ -563,8 +557,8 @@ object TextAnalysis {
     }.toMap
     val rLit = typedlit(rmap)
     val scored = bucketed
-      .withColumn("score", aggregate(col("__bkts"), lit(0L),
-        (acc, x) => acc + element_at(rLit, x)))
+      .withColumn("score", coalesce(aggregate(col("__bkts"), lit(0L),
+        (acc, x) => acc + element_at(rLit, x)), lit(0L)))
       .select(col(idCol), col("score"))
     val k = math.ceil(keepFrac * scored.count()).toLong
     val kept = Sampling.tokenBudgetSample(

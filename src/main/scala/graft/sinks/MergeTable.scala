@@ -176,7 +176,11 @@ object MergeTable {
    * batch keys are rewritten; all other files carry by name into the new
    * version's manifest. The batch must have unique keys (one action per
    * key per merge — enforced, since "update and delete the same key" has
-   * no deterministic meaning) and the base table's data columns.
+   * no deterministic meaning) and the base table's data columns: a batch
+   * MISSING one fails analysis loudly, while extra columns (CDC
+   * metadata, the delete flag) are ignored — the projection keeps the
+   * table's schema. Schema evolution is a fresh `publish`, like any
+   * layout change.
    *
    * Scale shape: one bounded collect of the batch's DISTINCT BUCKET IDS
    * (≤ nBuckets longs) drives both the pruned base read and the manifest

@@ -271,6 +271,38 @@ object SparkEntry {
   private def augEmbCorpusKey(s: SparkSession, dir: String): String =
     s"${embCorpusKey(s, dir)}#augmented"
 
+  /** Build-once gate for the MergeTable queries (corpus_merge /
+    * merge_lookup share one table): publish the documents corpus bucketed
+    * by doc_id, merge the three-action batch (update %7=3, delete %13=5
+    * minus the update overlap, insert %11=2 shifted by 10M), marked done
+    * only after the merge so a crash mid-cycle forces a clean rebuild.
+    * Returns the table root. */
+  private def ensureMergeTable(s: SparkSession, dir: String): String = {
+    import graft.sinks.MergeTable
+    val docs = t(s, dir, "documents")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v1_" +
+      fsTag(s, dir, "documents.parquet")
+    val done = new org.apache.hadoop.fs.Path(s"$root/_graft_merge_done")
+    val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+      val upd = docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(col("text"), lit(":upd")))
+        .withColumn("_del", lit(false))
+      val del = docs.filter(col("doc_id") % 13 === 5 && col("doc_id") % 7 =!= 3)
+        .withColumn("_del", lit(true))
+      val ins = docs.filter(col("doc_id") % 11 === 2)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text", concat(lit("ins:"), col("text")))
+        .withColumn("_del", lit(false))
+      MergeTable.merge(s, root, upd.unionByName(del).unionByName(ins),
+        "doc_id", deleteFlagCol = Some("_del"))
+      fs.create(done, true).close()
+    }
+    root
+  }
+
   /** Pre-trains every quantizer the suite serves (IVF on the raw corpus,
     * IVF on the augmented corpus, PQ codebook) under the same keys the
     * queries use — the bench warmup calls this so per-query numbers
@@ -961,29 +993,23 @@ object SparkEntry {
     // oracle replays the merge algebra: base minus batch keys, plus
     // updated and inserted rows
     "corpus_merge" -> ((s, dir) => {
-      import graft.sinks.MergeTable
-      val docs = t(s, dir, "documents")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v1_" +
-        fsTag(s, dir, "documents.parquet")
-      val done = new org.apache.hadoop.fs.Path(s"$root/_graft_merge_done")
-      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(done)) {
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
-        val upd = docs.filter(col("doc_id") % 7 === 3)
-          .withColumn("text", concat(col("text"), lit(":upd")))
-          .withColumn("_del", lit(false))
-        val del = docs.filter(col("doc_id") % 13 === 5 && col("doc_id") % 7 =!= 3)
-          .withColumn("_del", lit(true))
-        val ins = docs.filter(col("doc_id") % 11 === 2)
-          .withColumn("doc_id", col("doc_id") + lit(10000000L))
-          .withColumn("text", concat(lit("ins:"), col("text")))
-          .withColumn("_del", lit(false))
-        MergeTable.merge(s, root, upd.unionByName(del).unionByName(ins),
-          "doc_id", deleteFlagCol = Some("_del"))
-        fs.create(done, true).close()
-      }
-      MergeTable.read(s, root)
+      val root = ensureMergeTable(s, dir)
+      graft.sinks.MergeTable.read(s, root)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // bucket-pruned point lookups on the merged table: the k keys hash to
+    // ≤ k of 16 buckets and ONLY those buckets' manifest files scan (the
+    // layout's serve-time payoff — MergeTableSpec pins the inputFiles
+    // set). Looked-up keys are the updated rows, so the lookup also
+    // re-proves the upsert landed
+    "merge_lookup" -> ((s, dir) => {
+      val root = ensureMergeTable(s, dir)
+      val keys = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+      graft.sinks.MergeTable.readKeys(s, root, "doc_id", keys)
         .select(col("doc_id"),
           md5(col("text").cast("binary")).as("digest"))
         .orderBy(col("doc_id"))
@@ -3317,6 +3343,13 @@ object SparkEntry {
         |  SELECT doc_id + 10000000, 'ins:' || text FROM documents
         |  WHERE doc_id % 11 = 2)
         |ORDER BY doc_id""".stripMargin,
+
+    // point lookups of the UPDATED keys: every %7=3 row survived the merge
+    // as its ':upd' rewrite (the %13=5 overlap belongs to the update
+    // action), so the lookup result is exactly those rows
+    "merge_lookup" ->
+      """SELECT doc_id, md5(text || ':upd') AS digest FROM documents
+        |WHERE doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
 
     // replay of Dedup.spanDupStats: token mod-P hashes (16-char cap, same
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit

@@ -268,6 +268,36 @@ object MergeTable {
   }
 
   /**
+   * Bucket-pruned point lookups: read ONLY the data files of the buckets
+   * the requested keys hash into, then exact-match with a broadcast
+   * semi-join. `keys` is a (small, by contract) frame carrying `keyCol`.
+   * The bucket set is computed BY SPARK over the keys frame (one tiny
+   * job) rather than re-implementing xxhash64 driver-side — the two can
+   * never drift. At 100 TB this is the layout's serve-time payoff: a
+   * k-key lookup scans ≤ k buckets' files (1/nBuckets of the table
+   * each, expected), not the table — the same manifest-pruning shape as
+   * the ANN index's probed-cell reads.
+   */
+  def readKeys(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame): DataFrame = {
+    val live = Versioned.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val m = readManifest(spark, root, live)
+    val wanted = keys.select(col(keyCol)).distinct()
+    val buckets: Set[Long] = wanted
+      .select(bucketOf(keyCol, m.nBuckets).as("__b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val files = m.files.filter { case (b, _) => buckets(b) }
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          m.schema.filterNot(_.name == "bucket")))
+    else readFiles(spark, root, m, files.map(_._2))
+      .join(broadcast(wanted), Seq(keyCol), "left_semi")
+      .drop("bucket")
+  }
+
+  /**
    * Delete data files no RETAINED version references — the merge twin of
    * `Similarity.vacuumUncommitted`, run after `Versioned.vacuum` trims
    * version dirs. Never deletes at commit time: any un-vacuumed version

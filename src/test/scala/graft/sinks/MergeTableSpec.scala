@@ -191,6 +191,31 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
       collectSorted(MergeTable.read(spark, root2)))
   }
 
+  test("readKeys: bucket-pruned lookup == full-scan filter, scanning only touched buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergelk_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 64)
+    val keys = docs.filter(col("doc_id").isin(1L, 2L, 3L)).select("doc_id")
+    val got = MergeTable.readKeys(spark, root, "doc_id", keys)
+    // exactness: == the full read filtered to the keys
+    assert(collectSorted(got) ==
+      collectSorted(MergeTable.read(spark, root)
+        .filter(col("doc_id").isin(1L, 2L, 3L))))
+    // THE PRUNING PIN: the lookup's scan reads at most 3 buckets' files,
+    // a strict subset of the table's
+    // inputFiles includes the keys frame's own source; keep the table side
+    val scanned = got.inputFiles.toSet.filter(_.contains("/bucket="))
+    val all = MergeTable.read(spark, root).inputFiles.toSet
+    val scannedBuckets = scanned.map(f => f.split("/").find(_.startsWith("bucket=")).get)
+    assert(scannedBuckets.size <= 3,
+      s"lookup scanned ${scannedBuckets.size} buckets for 3 keys")
+    assert(scanned.subsetOf(all) && scanned.size < all.size,
+      s"lookup scanned ${scanned.size}/${all.size} files — no pruning happened")
+    // absent keys return empty, not error
+    val none = MergeTable.readKeys(spark, root, "doc_id",
+      docs.filter(col("doc_id") === -1).select("doc_id"))
+    assert(none.count() == 0)
+  }
+
   test("duplicate batch keys are refused") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergedup_").toString + "/t"
     MergeTable.publish(docs, root, "doc_id", nBuckets = 16)

@@ -164,6 +164,189 @@ object Multimodal {
     }
   }
 
+  /**
+   * Real PNG decode (RFC 2083) behind the same `MediaCodec` boundary:
+   * 8-bit greyscale (color type 0) and truecolor (type 2),
+   * non-interlaced — the deterministic subset a curation pipeline
+   * actually stores. The zlib stream inflates through `java.util.zip`
+   * (no new dependency) and filter reconstruction implements all five
+   * per-scanline filters (None/Sub/Up/Average/Paeth). Everything outside
+   * the subset — 16-bit, palette, alpha, interlace — fails loudly, the
+   * WavCodec non-PCM precedent: a training pipeline wants a quarantine
+   * row, not silently garbage pixels.
+   */
+  object PngCodec extends MediaCodec {
+    private val Sig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+      b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+    }
+
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PNG decode: $msg")
+      if (bytes.length < 8 || !bytes.take(8).sameElements(Sig))
+        fail("missing signature")
+      var pos = 8
+      var w = 0; var h = 0; var channels = 0; var seenIhdr = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        if (pos + 8 > bytes.length) fail("truncated chunk header")
+        val len = be32(bytes, pos)
+        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+        if (len < 0 || pos + 12 + len > bytes.length)
+          fail(s"truncated $typ chunk")
+        val data = pos + 8
+        typ match {
+          case "IHDR" =>
+            if (len != 13) fail("bad IHDR length")
+            w = be32(bytes, data); h = be32(bytes, data + 4)
+            val depth = bytes(data + 8) & 0xff
+            val ct = bytes(data + 9) & 0xff
+            if (depth != 8) fail(s"unsupported bit depth $depth")
+            channels = ct match {
+              case 0 => 1
+              case 2 => 3
+              case c => fail(s"unsupported color type $c")
+            }
+            if ((bytes(data + 10) & 0xff) != 0 || (bytes(data + 11) & 0xff) != 0)
+              fail("unsupported compression/filter method")
+            if ((bytes(data + 12) & 0xff) != 0) fail("interlaced PNG unsupported")
+            if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+            seenIhdr = true
+          case "IDAT" => idat.write(bytes, data, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks (tEXt, pHYs, ...) are skippable
+        }
+        pos = data + len + 4 // skip CRC (integrity is the store's job here)
+      }
+      if (!seenIhdr) fail("no IHDR chunk")
+      if (idat.size == 0) fail("no IDAT data")
+      val stride = w * channels
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val k =
+            try inf.inflate(raw, off, raw.length - off)
+            catch { case e: java.util.zip.DataFormatException =>
+              fail(s"corrupt zlib stream: ${e.getMessage}") }
+          if (k == 0 && inf.needsInput()) fail("zlib stream truncated")
+          off += k
+        }
+      } finally inf.end()
+      if (off != raw.length)
+        fail(s"raster size mismatch: inflated $off of ${raw.length} bytes")
+      // reconstruct scanlines (filters are defined on the BYTE stream;
+      // bpp = channels at 8-bit depth)
+      val out = new Array[Byte](stride * h)
+      val bpp = channels
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (stride + 1)) & 0xff
+        val rowIn = y * (stride + 1) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xff
+          val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
+          val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xff else 0
+          val rec = f match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + ((a + b) >> 1)
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => fail(s"unknown filter $other on scanline $y")
+          }
+          out(rowOut + x) = rec.toByte
+          x += 1
+        }
+        y += 1
+      }
+      val px = new Array[Float](stride * h)
+      var i = 0
+      while (i < px.length) { px(i) = (out(i) & 0xff) / 255.0f; i += 1 }
+      (w, h, channels, px)
+    }
+
+    /** Encode (the spec's round-trip half): pixels in [0,1] → one-IDAT
+      * PNG. `rowFilter` applies that filter (0–4) to EVERY scanline so
+      * the spec can prove each reconstruction path against a round trip,
+      * not just the filter-0 identity. */
+    def encodeImage(w: Int, h: Int, channels: Int, px: Array[Float],
+        rowFilter: Int = 0): Array[Byte] = {
+      require(channels == 1 || channels == 3, s"channels $channels")
+      require(px.length == w * h * channels, "pixel count mismatch")
+      require(rowFilter >= 0 && rowFilter <= 4, s"filter $rowFilter")
+      val stride = w * channels
+      val bpp = channels
+      val pix = new Array[Byte](stride * h)
+      var i = 0
+      while (i < pix.length) {
+        pix(i) = math.max(0, math.min(255, math.round(px(i) * 255.0f))).toByte
+        i += 1
+      }
+      val raw = new Array[Byte]((stride + 1) * h)
+      var y = 0
+      while (y < h) {
+        raw(y * (stride + 1)) = rowFilter.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = pix(y * stride + x) & 0xff
+          val a = if (x >= bpp) pix(y * stride + x - bpp) & 0xff else 0
+          val b = if (y > 0) pix((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) pix((y - 1) * stride + x - bpp) & 0xff else 0
+          val pred = rowFilter match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (stride + 1) + 1 + x) = (cur - pred).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val c = new Array[Byte](12 + data.length)
+        putBe32(c, 0, data.length)
+        System.arraycopy(typ.getBytes("US-ASCII"), 0, c, 4, 4)
+        System.arraycopy(data, 0, c, 8, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(c, 4, 4 + data.length)
+        putBe32(c, 8 + data.length, crc.getValue.toInt)
+        c
+      }
+      val ihdr = new Array[Byte](13)
+      putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+      ihdr(8) = 8; ihdr(9) = (if (channels == 3) 2 else 0).toByte
+      Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+  }
+
   /** SQL-replayable fake audio decoder (the audio twin of `OracleCodec`):
     * seed = Σ byte_i·((i·131+7) mod P) mod P over the payload, then 256
     * mono samples at 16 kHz where quantized sample i (1-based) is

@@ -130,6 +130,15 @@ class IvfDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(res.nonEmpty)
     assert(!res.exists(r => dead.contains(r.getLong(2))),
       "a deleted id surfaced through the ADC serve path")
+    // purge parity on the PQ layout: codes ride the rewrite untouched,
+    // so the post-purge ADC serve is bit-identical to the masked one
+    assert(Similarity.purgeTombstones(spark, idx) == dead.length)
+    val purged = Similarity.pqTopKServed(spark, idx,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+      indexKey = "del-pq").collect()
+    assert(purged.sameElements(res),
+      "purging a PQ index changed its ADC serve results")
+    assert(spark.read.parquet(idx).count() == emb.count() - dead.length)
     TrainedIndex.invalidate()
   }
 

@@ -167,6 +167,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](PpmCodec.decodeImage("P6\n8 8\n65535\n".getBytes))
   }
 
+  test("PNG codec: real zlib-compressed bytes decode; all five filters reconstruct") {
+    import spark.implicits._
+    import Multimodal.{PngCodec, PpmCodec}
+    // the PPM test's gradient, now through a REAL compressed container
+    val px = new Array[Float](8 * 8 * 3)
+    for (r <- 0 until 8; c <- 0 until 8) {
+      px((r * 8 + c) * 3) = (r * 8 + c) / 255.0f
+      px((r * 8 + c) * 3 + 1) = 100 / 255.0f
+      px((r * 8 + c) * 3 + 2) = 200 / 255.0f
+    }
+    // every filter type must round-trip to identical pixels — this
+    // exercises all five reconstruction paths, not just filter-0
+    for (f <- 0 to 4) {
+      val bytes = PngCodec.encodeImage(8, 8, 3, px, rowFilter = f)
+      val (w, h, c, decoded) = PngCodec.decodeImage(bytes)
+      assert((w, h, c) == (8, 8, 3), s"filter $f")
+      assert(decoded.sameElements(px), s"filter $f round-trip not exact")
+    }
+    // PNG and PPM carrying the same pixels featurize identically
+    val df = Seq(
+      (1L, PngCodec.encodeImage(8, 8, 3, px, rowFilter = 4)),
+      (2L, PpmCodec.encodeImage(8, 8, 3, px))).toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "image/png")
+    val feats = Multimodal.decodeAndFeaturize(media,
+      new Multimodal.MediaCodec {
+        override def decodeImage(b: Array[Byte]) =
+          if (b.length > 0 && b(0) == 0x89.toByte) PngCodec.decodeImage(b)
+          else PpmCodec.decodeImage(b)
+      }).collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](r.fieldIndex("channel_sum"))).toMap
+    assert(feats(1L) == feats(2L),
+      "PNG and PPM of the same pixels must featurize identically")
+    assert(feats(1L) == Seq(63L * 64 / 2, 64L * 100, 64L * 200))
+    // greyscale (color type 0)
+    val g = PngCodec.encodeImage(4, 2, 1, Array.fill(8)(0.5f), rowFilter = 2)
+    val (gw, gh, gc, gpx) = PngCodec.decodeImage(g)
+    assert((gw, gh, gc) == (4, 2, 1) &&
+      gpx.forall(v => math.abs(v - 128 / 255.0f) < 1e-6))
+    // ancillary chunks skip; malformed inputs fail loudly
+    val ok = PngCodec.encodeImage(2, 2, 3, Array.fill(12)(0.25f))
+    intercept[IllegalArgumentException](PngCodec.decodeImage(ok.drop(1)))
+    intercept[IllegalArgumentException](
+      PngCodec.decodeImage(ok.take(ok.length - 20))) // no IEND/truncated
+    val corrupt = ok.clone()
+    corrupt(40) = (corrupt(40) ^ 0x55).toByte // flip a byte inside IDAT
+    intercept[IllegalArgumentException](PngCodec.decodeImage(corrupt))
+  }
+
   test("WAV codec: real RIFF/PCM audio bytes decode through the audio pipeline") {
     import spark.implicits._
     import Multimodal.WavCodec

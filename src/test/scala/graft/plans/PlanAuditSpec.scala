@@ -398,4 +398,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "fallback discovery should surface the planted debris")
     Similarity.TrainedIndex.invalidate()
   }
+
+  test("dsir_select: score stage is a narrow map (no join); bucket counts pre-aggregate map-side") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the per-doc score plan: a literal ratio table folded in a map — any
+    // Join here would mean the 256-entry table was joined, not planted
+    val out = TextAnalysis.dsirSelect(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 16)
+    // the final frame joins scores with the kept set (one broadcast) —
+    // but NO SortMergeJoin anywhere: every join in the operator must stay
+    // broadcast (batch keys / kept ids are the bounded sides)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "dsir_select must not sort-merge anything — bounded sides broadcast")
+    // the distribution estimate: explode → partial agg BELOW the exchange
+    // (256-bounded shuffle), the shape that keeps 10M bigrams from
+    // crossing the wire
+    graft.functions.HashFunctions.register(spark)
+    val counts = docs
+      .select(explode(graft.functions.HashFunctions.bigram_buckets(
+        col("text"), 16)).as("bkt"))
+      .groupBy(col("bkt")).count()
+    val cp = counts.queryExecution.executedPlan.toString
+    val exchange = cp.indexOf("Exchange")
+    assert(exchange >= 0 && cp.indexOf("HashAggregate", exchange) > exchange,
+      "bucket counts must partially aggregate before the shuffle")
+  }
+
+  test("merge readKeys / tombstone serve: bounded sides stay broadcast") {
+    // merge_lookup: the key probe joins broadcast (semi), never sort-merge
+    val p = plan("merge_lookup")
+    assert(p.contains("BroadcastHashJoin"), "key probe should broadcast")
+    assert(!p.contains("SortMergeJoin"), "lookup must not sort-merge the table")
+    // ann_ivf_deleted: the tombstone mask is a broadcast LEFT ANTI join
+    val pd = plan("ann_ivf_deleted")
+    assert(pd.contains("LeftAnti"), "tombstone mask missing from the serve plan")
+    assert(!pd.contains("SortMergeJoin"),
+      "tombstone mask must broadcast, not sort-merge")
+  }
 }

@@ -280,7 +280,8 @@ object SparkEntry {
   private def ensureMergeTable(s: SparkSession, dir: String): String = {
     import graft.sinks.MergeTable
     val docs = t(s, dir, "documents")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v1_" +
+    // v2: key-sorted bucket layout (row-group stat pruning on lookups)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v2_" +
       fsTag(s, dir, "documents.parquet")
     val done = new org.apache.hadoop.fs.Path(s"$root/_graft_merge_done")
     val fs = done.getFileSystem(s.sessionState.newHadoopConf())

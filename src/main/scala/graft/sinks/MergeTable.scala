@@ -141,7 +141,11 @@ object MergeTable {
     val spark = df.sparkSession
     val before = dataFilesOnDisk(spark, root)
     val bucketed = df.withColumn("bucket", bucketOf(keyCol, nBuckets))
-    bucketed.write.mode("append").partitionBy("bucket")
+    // key-sorted within each bucket: parquet row-group min/max stats then
+    // skip row groups for pushed key predicates — the second pruning
+    // level under the bucket manifest (readKeys' isin path rides it)
+    bucketed.sortWithinPartitions(col("bucket"), col(keyCol))
+      .write.mode("append").partitionBy("bucket")
       .parquet(s"$root/data")
     val files = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
@@ -242,7 +246,8 @@ object MergeTable {
     val newRows = survivors.fold(upserts)(s =>
       s.select(dataCols.map(col): _*).unionByName(upserts))
     val before = dataFilesOnDisk(spark, root)
-    newRows.write.mode("append").partitionBy("bucket").parquet(s"$root/data")
+    newRows.sortWithinPartitions(col("bucket"), col(keyCol))
+      .write.mode("append").partitionBy("bucket").parquet(s"$root/data")
     val newFiles = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
     beforeCommit()
@@ -278,23 +283,40 @@ object MergeTable {
    * each, expected), not the table — the same manifest-pruning shape as
    * the ANN index's probed-cell reads.
    */
+  /** At or under this many distinct keys, `readKeys` collects them and
+    * pushes an `In` filter to the parquet scan instead of semi-joining:
+    * with the bucket files key-sorted (see `publish`), the row-group
+    * min/max stats then skip most of each touched bucket too. Above it,
+    * the broadcast semi-join avoids a giant literal list. */
+  val IsInPushdownLimit: Int = 64
+
   def readKeys(spark: SparkSession, root: String, keyCol: String,
       keys: DataFrame): DataFrame = {
     val live = Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version"))
     val m = readManifest(spark, root, live)
-    val wanted = keys.select(col(keyCol)).distinct()
-    val buckets: Set[Long] = wanted
-      .select(bucketOf(keyCol, m.nBuckets).as("__b")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    // one pass over the (small) keys frame yields both bucket ids and,
+    // when bounded, the key literals for the pushdown path
+    val wantedRows = keys
+      .select(col(keyCol), bucketOf(keyCol, m.nBuckets).as("__b"))
+      .distinct().collect()
+    val buckets: Set[Long] = wantedRows.map(_.getLong(1)).toSet
     val files = m.files.filter { case (b, _) => buckets(b) }
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(
           m.schema.filterNot(_.name == "bucket")))
-    else readFiles(spark, root, m, files.map(_._2))
-      .join(broadcast(wanted), Seq(keyCol), "left_semi")
-      .drop("bucket")
+    val scan = readFiles(spark, root, m, files.map(_._2))
+    if (wantedRows.length <= IsInPushdownLimit)
+      scan.filter(col(keyCol).isin(wantedRows.map(_.get(0)): _*)).drop("bucket")
+    else {
+      val wanted = spark.createDataFrame(
+        spark.sparkContext.parallelize(wantedRows.toIndexedSeq.map(r =>
+          org.apache.spark.sql.Row(r.get(0))), 1),
+        org.apache.spark.sql.types.StructType(Seq(m.schema(keyCol))))
+      scan.join(broadcast(wanted), Seq(keyCol), "left_semi").drop("bucket")
+    }
   }
 
   /**

@@ -427,10 +427,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "bucket counts must partially aggregate before the shuffle")
   }
 
-  test("merge readKeys / tombstone serve: bounded sides stay broadcast") {
-    // merge_lookup: the key probe joins broadcast (semi), never sort-merge
+  test("merge readKeys / tombstone serve: bounded sides stay broadcast or pushed") {
+    // merge_lookup at sf0.001 has ≤64 keys → the In predicate must reach
+    // the parquet scan (second-level pruning via key-sorted row groups);
+    // larger key sets switch to a broadcast semi-join — never sort-merge
     val p = plan("merge_lookup")
-    assert(p.contains("BroadcastHashJoin"), "key probe should broadcast")
+    assert(p.contains("PushedFilters: [In(doc_id") ||
+      p.contains("BroadcastHashJoin"),
+      "key probe must push down or broadcast")
     assert(!p.contains("SortMergeJoin"), "lookup must not sort-merge the table")
     // ann_ivf_deleted: the tombstone mask is a broadcast LEFT ANTI join
     val pd = plan("ann_ivf_deleted")

@@ -210,6 +210,19 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
       s"lookup scanned ${scannedBuckets.size} buckets for 3 keys")
     assert(scanned.subsetOf(all) && scanned.size < all.size,
       s"lookup scanned ${scanned.size}/${all.size} files — no pruning happened")
+    // the small lookup rides the In-pushdown path over key-sorted files
+    assert(got.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [In(doc_id"),
+      "small key set should push an In predicate to the scan")
+    // a key set past IsInPushdownLimit switches to the broadcast semi-join
+    // path with identical results
+    val manyKeys = docs.filter(
+      col("doc_id") < MergeTable.IsInPushdownLimit + 16).select("doc_id")
+    val many = MergeTable.readKeys(spark, root, "doc_id", manyKeys)
+    assert(many.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(collectSorted(many) ==
+      collectSorted(MergeTable.read(spark, root)
+        .filter(col("doc_id") < MergeTable.IsInPushdownLimit + 16)))
     // absent keys return empty, not error
     val none = MergeTable.readKeys(spark, root, "doc_id",
       docs.filter(col("doc_id") === -1).select("doc_id"))

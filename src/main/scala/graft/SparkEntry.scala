@@ -280,8 +280,8 @@ object SparkEntry {
   private def ensureMergeTable(s: SparkSession, dir: String): String = {
     import graft.sinks.MergeTable
     val docs = t(s, dir, "documents")
-    // v2: key-sorted bucket layout (row-group stat pruning on lookups)
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v2_" +
+    // v3: key-sorted one-file-per-bucket layout
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v3_" +
       fsTag(s, dir, "documents.parquet")
     val done = new org.apache.hadoop.fs.Path(s"$root/_graft_merge_done")
     val fs = done.getFileSystem(s.sessionState.newHadoopConf())
@@ -1008,8 +1008,12 @@ object SparkEntry {
     // re-proves the upsert landed
     "merge_lookup" -> ((s, dir) => {
       val root = ensureMergeTable(s, dir)
+      // FIXED key set (≤ 58 keys at every sf): a lookup's cost must be
+      // key-bounded, not corpus-bounded — a %-of-corpus key set would
+      // degenerate the measurement into a table scan at sf1
       val keys = t(s, dir, "documents")
-        .filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 3 && col("doc_id") < 400)
+        .select(col("doc_id"))
       graft.sinks.MergeTable.readKeys(s, root, "doc_id", keys)
         .select(col("doc_id"),
           md5(col("text").cast("binary")).as("digest"))
@@ -3350,7 +3354,7 @@ object SparkEntry {
     // action), so the lookup result is exactly those rows
     "merge_lookup" ->
       """SELECT doc_id, md5(text || ':upd') AS digest FROM documents
-        |WHERE doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
+        |WHERE doc_id % 7 = 3 AND doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // replay of Dedup.spanDupStats: token mod-P hashes (16-char cap, same
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit

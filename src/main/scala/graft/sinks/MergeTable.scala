@@ -141,10 +141,15 @@ object MergeTable {
     val spark = df.sparkSession
     val before = dataFilesOnDisk(spark, root)
     val bucketed = df.withColumn("bucket", bucketOf(keyCol, nBuckets))
-    // key-sorted within each bucket: parquet row-group min/max stats then
-    // skip row groups for pushed key predicates — the second pruning
-    // level under the bucket manifest (readKeys' isin path rides it)
-    bucketed.sortWithinPartitions(col("bucket"), col(keyCol))
+    // one shuffle to ~one partition per bucket BEFORE the write: without
+    // it every write task emits a file per bucket it sees — tasks ×
+    // buckets files (measured 1,338 on a sharded 500k-row corpus), and
+    // every lookup pays the open/schedule cost of all of them. Key-sorted
+    // within each bucket: parquet row-group min/max stats then skip row
+    // groups for pushed key predicates — the second pruning level under
+    // the bucket manifest (readKeys' isin path rides it)
+    bucketed.repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(keyCol))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$root/data")
     val files = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
@@ -246,7 +251,10 @@ object MergeTable {
     val newRows = survivors.fold(upserts)(s =>
       s.select(dataCols.map(col): _*).unionByName(upserts))
     val before = dataFilesOnDisk(spark, root)
-    newRows.sortWithinPartitions(col("bucket"), col(keyCol))
+    // same one-file-per-bucket discipline as publish, sized to the
+    // touched-bucket count (merge writes only those)
+    newRows.repartition(math.max(1, touched.length), col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(keyCol))
       .write.mode("append").partitionBy("bucket").parquet(s"$root/data")
     val newFiles = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))

@@ -1226,6 +1226,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // JL random projection (Achlioptas ±1 signs from the affine mod-P
+    // mix): 64 float dims → 16 exact int64 dims, the embedding
+    // compression/pre-filter tier. One narrow codegen'd map; the oracle
+    // regenerates the sign matrix and replays every coordinate
+    "embed_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+      Similarity.randomProject(emb, "vec_id", "embedding", k = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // int8-quantized ANN (4× memory; integer dots are bit-exact cross-engine)
     "ann_quantized" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -4114,6 +4125,27 @@ object SparkEntry {
         |FROM chosen GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replay of Similarity.quantizeInt8 + integer dot ranking
+    // randomProject replay: int8 quantization (the ann_quantized q CTE),
+    // sign from the affine mod-P mix's parity, integer sum per (vec, j)
+    "embed_project" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 50),
+        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) END AS qv
+        |  FROM sc),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    CAST(sum(qv[CAST(d + 1 AS INT)] *
+        |      (CASE WHEN ((d * 64 + j + 1) * 2654435761) % 1000000007 % 2 = 0
+        |            THEN 1 ELSE -1 END)) AS BIGINT) AS val
+        |  FROM (SELECT vec_id, qv, unnest(range(len(qv))) AS d FROM q),
+        |       (SELECT unnest(range(16)) AS j)
+        |  GROUP BY vec_id, j)
+        |SELECT vec_id, j AS dim, val FROM proj ORDER BY vec_id, dim""".stripMargin,
+
     "ann_quantized" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM emb),

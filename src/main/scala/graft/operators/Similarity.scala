@@ -1220,6 +1220,31 @@ object Similarity {
                  END"""))
       .drop("__ma")
 
+  /**
+   * Johnson–Lindenstrauss random projection over the int8-quantized
+   * vectors (Achlioptas 2003: ±1 sign matrices preserve pairwise
+   * distances in expectation) — the embedding COMPRESSION primitive:
+   * d float32 coordinates → k int64 coordinates (k ≪ d) for cheap
+   * pre-filter/storage tiers. The sign matrix is s(d,j) = +1 iff
+   * (((d·64 + j + 1)·2654435761) mod P) is even — the same affine
+   * mod-P mix quality_classify's weights use (a plain parity of an
+   * affine form would collapse to a rank-2 checkerboard), so the DuckDB
+   * oracle regenerates the matrix bit-for-bit and every projected
+   * coordinate is an exact int64 (|q| ≤ 127, ≤ 4096 dims — no
+   * overflow). One narrow codegen'd map: no join, no shuffle.
+   */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    val P = graft.functions.HashFunctions.P
+    withInt8(df, vecCol).select(col(idCol), expr(
+      s"""transform(sequence(0, ${k - 1}), j ->
+         |  aggregate(zip_with(__q, sequence(0, size(__q) - 1),
+         |    (q, d) -> q * IF((((d * 64 + j + 1) * 2654435761) % ${P}L) % 2 = 0,
+         |                     1, -1)),
+         |    CAST(0 AS BIGINT), (a, x) -> a + x))""".stripMargin).as("proj"))
+  }
+
   /** Brute-force top-k over int8-quantized vectors: integer dots + integer
     * norms, cosine formed only for ranking (deterministically, from exact
     * integers). Same broadcast-queries/scan-corpus shape as the float path. */

@@ -625,4 +625,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(3) > 0.999999)
     }
   }
+
+  test("randomProject: coordinates replay the sign-matrix contract; projection separates vectors") {
+    import org.apache.spark.sql.functions.col
+    val P = graft.functions.HashFunctions.P
+    val k = 16
+    // independent reference written against the STATED contract
+    def quant(v: Seq[Float]): Array[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      if (m == 0) Array.fill(v.length)(0L)
+      else v.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toLong).toArray
+    }
+    def sign(d: Int, j: Int): Long =
+      if ((((d * 64 + j + 1).toLong * 2654435761L) % P) % 2 == 0) 1L else -1L
+    def ref(v: Seq[Float]): Seq[Long] = {
+      val q = quant(v)
+      (0 until k).map(j => q.indices.map(d => q(d) * sign(d, j)).sum)
+    }
+    val sample = emb.filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = Similarity.randomProject(
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sample.foreach { case (id, v) =>
+      assert(got(id) == ref(v), s"vec $id projection mismatch")
+    }
+    // the matrix mixes: distinct vectors land on distinct projections
+    // (a rank-collapsed sign matrix — e.g. plain parity — would alias
+    // many of the 10 vectors onto few distinct images)
+    assert(got.values.toSeq.distinct.size == got.size,
+      "projection collapsed distinct vectors — sign matrix is degenerate")
+    // and no coordinate is constant across vectors (another collapse mode)
+    (0 until k).foreach { j =>
+      assert(got.values.map(_(j)).toSet.size > 1, s"coordinate $j is constant")
+    }
+  }
 }

@@ -771,7 +771,9 @@ object Similarity {
    *
    * Caveat (standard for id-level tombstones): re-APPENDING a deleted id
    * resurfaces nothing until the set is purged — the tombstone masks the
-   * new row too. Purge before re-ingesting previously deleted ids.
+   * new row too, and a later purge removes EVERY row of the id, the
+   * re-appended copy included (IvfDeleteSpec pins both). Purge before
+   * re-ingesting previously deleted ids.
    *
    * Returns the merged tombstone-set size.
    */

@@ -188,8 +188,13 @@ object MergeTable {
    * no deterministic meaning) and the base table's data columns: a batch
    * MISSING one fails analysis loudly, while extra columns (CDC
    * metadata, the delete flag) are ignored — the projection keeps the
-   * table's schema. Schema evolution is a fresh `publish`, like any
-   * layout change.
+   * table's schema. Schema EVOLUTION is opt-in via `newColumns`: each
+   * named extra batch column joins the table schema from this version
+   * on; carried files simply lack the column and read as null (parquet
+   * missing-column semantics under the manifest schema), so evolution
+   * costs nothing beyond the merge itself and old versions keep their
+   * own schema — the Delta `mergeSchema` shape. Re-bucketing, by
+   * contrast, IS a fresh `publish` (it moves every row).
    *
    * Scale shape: one bounded collect of the batch's DISTINCT BUCKET IDS
    * (≤ nBuckets longs) drives both the pruned base read and the manifest
@@ -199,8 +204,10 @@ object MergeTable {
    * lakehouse writer).
    */
   def merge(spark: SparkSession, root: String, batch: DataFrame,
-      keyCol: String, deleteFlagCol: Option[String] = None): MergeStats =
-    mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => ())
+      keyCol: String, deleteFlagCol: Option[String] = None,
+      newColumns: Seq[String] = Seq.empty): MergeStats =
+    mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => (),
+      newColumns = newColumns)
 
   /**
    * Exactly-once CDC ingest: apply a Structured Streaming micro-batch
@@ -226,7 +233,8 @@ object MergeTable {
     * commit — the same crash-window shape as appendToIvfIndexHooked. */
   private[graft] def mergeHooked(spark: SparkSession, root: String,
       batch: DataFrame, keyCol: String, deleteFlagCol: Option[String],
-      beforeCommit: () => Unit, batchId: Option[Long] = None): MergeStats = {
+      beforeCommit: () => Unit, batchId: Option[Long] = None,
+      newColumns: Seq[String] = Seq.empty): MergeStats = {
     val live = Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version to merge into"))
     val m = readManifest(spark, root, live)
@@ -246,10 +254,29 @@ object MergeTable {
         .join(broadcast(batchKeys), Seq(keyCol), "left_anti"))
     val upserts0 = deleteFlagCol.fold(withBucket)(f =>
       withBucket.filter(!coalesce(col(f), lit(false))).drop(f))
-    val dataCols = m.schema.fieldNames.toSeq
+    // schema evolution: each declared new column joins the table schema
+    // from this version on, placed before the trailing bucket column so
+    // partition-column-last layout holds. Undeclared extras stay ignored.
+    newColumns.foreach { c =>
+      require(upserts0.columns.contains(c),
+        s"newColumns names '$c' but the batch does not carry it")
+      require(!m.schema.fieldNames.contains(c),
+        s"newColumns names '$c' but the table already has it")
+    }
+    val evolvedSchema =
+      if (newColumns.isEmpty) m.schema
+      else org.apache.spark.sql.types.StructType(
+        m.schema.fields.filterNot(_.name == "bucket") ++
+          newColumns.map(c => upserts0.schema(c)
+            .copy(nullable = true)) :+ m.schema("bucket"))
+    val dataCols = evolvedSchema.fieldNames.toSeq
     val upserts = upserts0.select(dataCols.map(col): _*)
     val newRows = survivors.fold(upserts)(s =>
-      s.select(dataCols.map(col): _*).unionByName(upserts))
+      // survivors predate the new columns: they carry explicit nulls,
+      // exactly what carried files yield implicitly under the new schema
+      newColumns.foldLeft(s)((d, c) =>
+        d.withColumn(c, lit(null).cast(upserts0.schema(c).dataType)))
+        .select(dataCols.map(col): _*).unionByName(upserts))
     val before = dataFilesOnDisk(spark, root)
     // same one-file-per-bucket discipline as publish, sized to the
     // touched-bucket count (merge writes only those)
@@ -259,7 +286,7 @@ object MergeTable {
     val newFiles = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
     beforeCommit()
-    val next = Manifest(m.schema, m.nBuckets, carried ++ newFiles)
+    val next = Manifest(evolvedSchema, m.nBuckets, carried ++ newFiles)
     // the streaming watermark rides in the version dir: this merge's id,
     // or the live version's carried forward (so ad-hoc merges on a
     // CDC-fed table never regress the replay fence)

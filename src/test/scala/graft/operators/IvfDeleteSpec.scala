@@ -142,6 +142,40 @@ class IvfDeleteSpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("delete then append: new rows serve, dead rows stay masked — including re-appended ids (documented)") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delapp_").toString
+    val idx = s"$tmp/idx"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), "vec_id",
+      "embedding", idx, indexKey = "del-app")
+    val dead = Seq(107L, 207L)
+    Similarity.deleteFromIvfIndex(spark, idx, "vec_id", dead)
+    // append a batch that RE-INGESTS one dead id plus fresh rows
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 300 || col("vec_id") === 107), "vec_id",
+      "embedding", idx, indexKey = "del-app")
+    val res = Similarity.ivfTopKServed(spark, idx,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+      indexKey = "del-app").collect()
+    // appended fresh rows are servable candidates (the index grew)...
+    assert(spark.read.parquet(idx).filter(col("vec_id") >= 300).count() > 0)
+    // ...but every tombstoned id stays masked, INCLUDING the re-appended
+    // one — the documented id-level caveat: purge before re-ingesting
+    assert(!res.exists(r => dead.contains(r.getLong(2))))
+    // the purge removes EVERY row of a tombstoned id — the re-appended
+    // copy included (tombstones are id-level, the caveat's full
+    // consequence: purge FIRST, then re-ingest)
+    Similarity.purgeTombstones(spark, idx)
+    assert(spark.read.parquet(idx)
+      .filter(col("vec_id").isin(107L, 207L)).count() == 0)
+    // with the set cleared, re-ingesting the id works normally
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") === 107), "vec_id",
+      "embedding", idx, indexKey = "del-app")
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 107).count() == 1)
+    TrainedIndex.invalidate()
+  }
+
   test("tombstone cap fails loudly; mixed id columns refused") {
     import Similarity.TrainedIndex
     TrainedIndex.invalidate()

@@ -229,6 +229,44 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("schema evolution: a declared new column joins from this version on; old rows read null") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergeevo_").toString + "/t"
+    val v1 = MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+    val batch = docs.filter(col("doc_id") < 10)
+      .withColumn("text", concat(col("text"), lit(":v2")))
+      .withColumn("quality", col("doc_id") * 10)
+    MergeTable.merge(spark, root, batch, "doc_id",
+      newColumns = Seq("quality"))
+    val now = MergeTable.read(spark, root)
+    assert(now.columns.contains("quality"))
+    val byId = now.select(col("doc_id").cast("long"), col("quality").cast("long"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // batch rows carry values; carried/survivor rows read null
+    (0L until 10L).foreach(id => assert(byId(id).contains(id * 10)))
+    assert(byId.filter(_._1 >= 10).values.forall(_.isEmpty),
+      "pre-evolution rows must read null in the new column")
+    // the pre-merge version keeps its own schema — time travel is exact
+    assert(!MergeTable.readVersion(spark, root, v1).columns.contains("quality"))
+    // point lookups work across the evolution boundary
+    val lk = MergeTable.readKeys(spark, root, "doc_id",
+      docs.filter(col("doc_id").isin(3L, 50L)).select("doc_id"))
+      .select(col("doc_id").cast("long"), col("quality").cast("long"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(lk(3L).contains(30L) && lk(50L).isEmpty)
+    // a second merge WITHOUT the column keeps the evolved schema (batch
+    // must now carry it — missing data columns fail loudly)
+    val e1 = intercept[Exception] {
+      MergeTable.merge(spark, root,
+        docs.filter(col("doc_id") === 20), "doc_id")
+    }
+    assert(e1.getMessage.contains("quality"))
+    // declaring a column the table already has is refused
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root, batch, "doc_id", newColumns = Seq("quality"))
+    }
+    assert(e2.getMessage.contains("already has it"))
+  }
+
   test("duplicate batch keys are refused") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergedup_").toString + "/t"
     MergeTable.publish(docs, root, "doc_id", nBuckets = 16)

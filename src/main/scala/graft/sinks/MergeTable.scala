@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
  * the new version. Bytes rewritten ∝ touched buckets ≈ batch spread, not
  * corpus — the property that makes row-level updates viable at 100 TB,
  * where `Versioned.writeVersioned` (whole-dataset versions) would pay a
- * full rewrite per batch.
+ * full rewrite per batch. Because a merge rewrites touched buckets
+ * WHOLESALE (never appends within one), the live manifest is
+ * self-compacting: it holds ≤ nBuckets files forever, and the only
+ * sprawl is dead files from superseded versions — `vacuumData`'s job,
+ * not a compaction pass's (MergeTableSpec pins this).
  *
  * Layout:
  * ```
@@ -46,6 +50,7 @@ object MergeTable {
   val ManifestFile = "_files"
   private val SchemaPrefix = "#schema="
   private val BucketsPrefix = "#buckets="
+  private val KeyPrefix = "#key="
 
   /** Streaming watermark: the highest `mergeExactlyOnce` batch id folded
     * in, stored INSIDE each version dir so id and data commit atomically
@@ -89,7 +94,8 @@ object MergeTable {
   }
 
   private final case class Manifest(schema: org.apache.spark.sql.types.StructType,
-      nBuckets: Int, files: Seq[(Long, String)])
+      nBuckets: Int, files: Seq[(Long, String)],
+      keyCol: Option[String] = None)
 
   private def readManifest(spark: SparkSession, root: String,
       version: String): Manifest = {
@@ -111,13 +117,16 @@ object MergeTable {
         val i = l.indexOf('\t')
         (l.substring(0, i).toLong, l.substring(i + 1))
       }.toSeq
-    Manifest(schema, nBuckets, files)
+    val keyCol = lines.find(_.startsWith(KeyPrefix))
+      .map(_.substring(KeyPrefix.length))
+    Manifest(schema, nBuckets, files, keyCol)
   }
 
   private def writeManifestText(m: Manifest): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(SchemaPrefix).append(m.schema.json).append('\n')
     sb.append(BucketsPrefix).append(m.nBuckets).append('\n')
+    m.keyCol.foreach(k => sb.append(KeyPrefix).append(k).append('\n'))
     m.files.foreach { case (b, f) =>
       sb.append(b).append('\t').append(f).append('\n')
     }
@@ -154,7 +163,7 @@ object MergeTable {
       .parquet(s"$root/data")
     val files = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
-    val m = Manifest(bucketed.schema, nBuckets, files)
+    val m = Manifest(bucketed.schema, nBuckets, files, Some(keyCol))
     Versioned.publish(spark, root) { dir =>
       val p = new Path(dir, ManifestFile)
       val out = fs(spark, p).create(p, true)
@@ -286,7 +295,8 @@ object MergeTable {
     val newFiles = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
     beforeCommit()
-    val next = Manifest(evolvedSchema, m.nBuckets, carried ++ newFiles)
+    val next = Manifest(evolvedSchema, m.nBuckets, carried ++ newFiles,
+      m.keyCol.orElse(Some(keyCol)))
     // the streaming watermark rides in the version dir: this merge's id,
     // or the live version's carried forward (so ad-hoc merges on a
     // CDC-fed table never regress the replay fence)

@@ -267,6 +267,32 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("already has it"))
   }
 
+  test("self-compacting: the live manifest never exceeds nBuckets files across many merges") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergesc_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 8)
+    (0 until 5).foreach { i =>
+      MergeTable.merge(spark, root,
+        docs.filter(col("doc_id") === i.toLong)
+          .withColumn("text", lit(s"m$i")), "doc_id")
+    }
+    // a merge rewrites touched buckets WHOLESALE — no intra-bucket
+    // appends — so unlike the ANN index's append path there is no live
+    // compaction debt: the manifest stays ≤ nBuckets files forever
+    val manifest = Versioned.readSmallText(spark,
+      new org.apache.hadoop.fs.Path(
+        s"$root/${Versioned.currentVersion(spark, root).get}",
+        MergeTable.ManifestFile)).get
+    assert(manifest.split('\n').count(_.contains('\t')) <= 8,
+      "live manifest sprawled past one file per bucket")
+    // the only sprawl is DEAD files from superseded versions — on disk
+    // until vacuum, then gone, with the live view unchanged
+    val want = collectSorted(MergeTable.read(spark, root))
+    Versioned.vacuum(spark, root)
+    assert(MergeTable.vacuumData(spark, root).nonEmpty,
+      "superseded versions should have left dead files to sweep")
+    assert(collectSorted(MergeTable.read(spark, root)) == want)
+  }
+
   test("duplicate batch keys are refused") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergedup_").toString + "/t"
     MergeTable.publish(docs, root, "doc_id", nBuckets = 16)

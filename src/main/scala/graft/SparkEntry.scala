@@ -1001,6 +1001,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.9 seventh oracled streaming row: CDC maintenance through
+    // foreachBatch — micro-batches of upserts/inserts stream into the
+    // MergeTable with the exactly-once batch-id fence, and the drained
+    // table must equal the one-shot merge algebra. The two CDC batches
+    // carry DISJOINT key sets so the final state is order-free (each
+    // micro-batch touches its own keys), making the oracle a plain SQL
+    // union — the foreachBatch path itself is what's under test
+    "corpus_cdc_stream" -> ((s, dir) => {
+      import graft.sinks.MergeTable
+      val docs = t(s, dir, "documents")
+      val (_, ckpt, feedDir) = freshStreamDirs("cdc", dir)
+      val root = s"${new java.io.File(feedDir).getParent}/table"
+      MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+      val upd = docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(col("text"), lit(":cdc")))
+      val ins = docs.filter(col("doc_id") % 11 === 2)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text", concat(lit("ins:"), col("text")))
+      // two staged files + maxFilesPerTrigger=1 → two real micro-batches
+      upd.coalesce(1).write.mode("append").parquet(feedDir)
+      ins.coalesce(1).write.mode("append").parquet(feedDir)
+      val q = s.readStream.schema(upd.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!batch.isEmpty)
+            MergeTable.mergeExactlyOnce(s, root, batch, "doc_id", id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "CDC stream drain timed out")
+      MergeTable.read(s, root)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // bucket-pruned point lookups on the merged table: the k keys hash to
     // ≤ k of 16 buckets and ONLY those buckets' manifest files scan (the
     // layout's serve-time payoff — MergeTableSpec pins the inputFiles
@@ -3355,6 +3394,19 @@ object SparkEntry {
         |  WHERE doc_id % 7 <> 3 AND doc_id % 13 <> 5
         |  UNION ALL
         |  SELECT doc_id, text || ':upd' FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'ins:' || text FROM documents
+        |  WHERE doc_id % 11 = 2)
+        |ORDER BY doc_id""".stripMargin,
+
+    // streamed CDC == the one-shot algebra: %7=3 rows updated, %11=2
+    // clones inserted, everything else untouched (no deletes in this
+    // stream — the batches are upsert-only)
+    "corpus_cdc_stream" ->
+      """SELECT doc_id, md5(text) AS digest FROM (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, text || ':cdc' FROM documents WHERE doc_id % 7 = 3
         |  UNION ALL
         |  SELECT doc_id + 10000000, 'ins:' || text FROM documents
         |  WHERE doc_id % 11 = 2)

@@ -176,6 +176,16 @@ object MergeTable {
     readVersion(spark, root, Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version")))
 
+  /** "AS OF" time travel: the manifest view that was live at `ts` (epoch
+    * millis) — `Versioned.versionAsOf` picks the version, this reads it.
+    * Throws when every retained version postdates `ts` (the caller asked
+    * for a state that predates the table or was vacuumed away). */
+  def readAsOf(spark: SparkSession, root: String, ts: Long): DataFrame =
+    readVersion(spark, root, Versioned.versionAsOf(spark, root, ts)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained version of $root is as old as $ts — " +
+          "vacuumed, or the table postdates the timestamp")))
+
   /** Time travel: read any retained version's manifest view. */
   def readVersion(spark: SparkSession, root: String,
       version: String): DataFrame = {

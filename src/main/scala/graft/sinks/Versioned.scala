@@ -288,6 +288,16 @@ object Versioned {
       .sortBy { case (name, mtime) => (-mtime, name) }
   }
 
+  /** The retained version that was LIVE at `ts` (epoch millis): the
+    * newest version whose commit time (dir mtime — see listVersions'
+    * caveats) is ≤ ts. "AS OF timestamp" for this layout: publishes are
+    * serial under the single-maintenance-writer contract, so mtime order
+    * IS publish order wherever the filesystem clock has sane
+    * granularity. None when every retained version postdates `ts`. */
+  def versionAsOf(spark: SparkSession, root: String, ts: Long): Option[String] =
+    listVersions(spark, root).filter(_._2 <= ts)
+      .sortBy { case (name, mtime) => (-mtime, name) }.headOption.map(_._1)
+
   /** Time travel: read a RETAINED (possibly non-live) version. Old
     * versions stay fully intact until `vacuum`, so any un-vacuumed
     * version reads exactly as it was published — pair with

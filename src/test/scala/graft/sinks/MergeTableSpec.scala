@@ -293,6 +293,23 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     assert(collectSorted(MergeTable.read(spark, root)) == want)
   }
 
+  test("readAsOf: the timestamp resolves to the version live at that moment") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergeasof_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 8)
+    val base = collectSorted(MergeTable.read(spark, root))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100) // mtime granularity can be a full second
+    MergeTable.merge(spark, root,
+      docs.filter(col("doc_id") === 1).withColumn("text", lit("v2")), "doc_id")
+    // as of t1: the pre-merge state; as of now: the live state
+    assert(collectSorted(MergeTable.readAsOf(spark, root, t1)) == base)
+    assert(collectSorted(MergeTable.readAsOf(spark, root,
+      System.currentTimeMillis())) ==
+      collectSorted(MergeTable.read(spark, root)))
+    // predating the table fails loudly
+    intercept[IllegalArgumentException](MergeTable.readAsOf(spark, root, 1000L))
+  }
+
   test("duplicate batch keys are refused") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergedup_").toString + "/t"
     MergeTable.publish(docs, root, "doc_id", nBuckets = 16)

@@ -293,6 +293,15 @@ object SparkEntry {
         .withColumn("_del", lit(false))
       val del = docs.filter(col("doc_id") % 13 === 5 && col("doc_id") % 7 =!= 3)
         .withColumn("_del", lit(true))
+      // The +10M shift must keep inserts disjoint from base keys — a
+      // corpus with doc_ids at/above it would turn "inserts" into silent
+      // upserts and diverge from the corpus_merge oracle (ADVICE r12).
+      // The shift is a shared constant with the oracle SQL, so assert
+      // rather than derive.
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      require(maxId < 10000000L,
+        s"ensureMergeTable: corpus max doc_id $maxId >= insert shift 10000000" +
+          " — raise the shift constant here AND in the corpus_merge oracle")
       val ins = docs.filter(col("doc_id") % 11 === 2)
         .withColumn("doc_id", col("doc_id") + lit(10000000L))
         .withColumn("text", concat(lit("ins:"), col("text")))

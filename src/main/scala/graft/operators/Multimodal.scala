@@ -12,11 +12,16 @@ import org.apache.spark.sql.types._
  * `mapPartitions` stages (the Scala analog of arrow-batched UDFs) so one
  * decoder instance amortizes across a whole partition.
  *
- * The codec step itself is STUBBED (this container ships no image/audio
- * libraries): `StubCodec` derives deterministic fake pixels/samples from
- * the payload bytes. Everything around it — schema, batching, partition
- * sizing, null handling — is real and tested, so swapping in a JNI/javacv
- * decoder is a one-class change.
+ * The codec boundary ships FIVE codecs, four of them real decoders built
+ * on the JDK alone (no image/audio libraries in this container): `PngCodec`
+ * (RFC 2083 — zlib inflate via `java.util.zip`, all five scanline
+ * filters, greyscale + truecolor), `PpmCodec` (binary P5/P6 netpbm),
+ * `WavCodec` (RIFF PCM), `AviCodec` (RIFF/AVI frame walk), plus the
+ * deterministic `StubCodec`/`OracleCodec` (mod-P fake pixels, kept for
+ * cross-engine oracle replayability — the one codec DuckDB can re-derive
+ * in SQL). Everything around the boundary — schema, batching, partition
+ * sizing, null handling — is codec-agnostic, so a JNI/javacv decoder for
+ * formats beyond this subset remains a one-class change.
  */
 object Multimodal {
 
@@ -238,7 +243,15 @@ object Multimodal {
             try inf.inflate(raw, off, raw.length - off)
             catch { case e: java.util.zip.DataFormatException =>
               fail(s"corrupt zlib stream: ${e.getMessage}") }
-          if (k == 0 && inf.needsInput()) fail("zlib stream truncated")
+          if (k == 0) {
+            // zero progress with the stream unfinished: fail loudly, never
+            // spin (ADVICE r12 — an FDICT preset-dictionary stream returns
+            // 0 with needsInput()==false forever)
+            if (inf.needsDictionary())
+              fail("zlib preset dictionary (FDICT) unsupported")
+            if (inf.needsInput()) fail("zlib stream truncated")
+            fail("corrupt zlib stream: inflate made no progress")
+          }
           off += k
         }
       } finally inf.end()

@@ -42,6 +42,18 @@ object Versioned {
 
   val Pointer = "_current"
 
+  /** Marker file dropped INSIDE a version dir once that version has been
+    * committed (the pointer named it). Distinguishes committed history
+    * from orphans left by a crashed publish — a crash after `write(dir)`
+    * but before the pointer swap leaves a fully-listable version dir that
+    * was never live, and AS-OF resolution must not serve it (ADVICE r12:
+    * uncommitted state stays invisible until vacuum). Ordering: the
+    * marker is written AFTER the pointer swap (so a crash can never mark
+    * a never-pointed version); the swap-done-marker-missing window is
+    * covered by treating the pointer's current target as committed, and
+    * healed by the next commit's repair step. */
+  val CommittedMarker = "_committed"
+
   /**
    * THE COMMIT CONTRACT (docs/PLANS.md "Versioned commit contract" has
    * the full audit). Every publish in this layout — the version pointer
@@ -138,8 +150,36 @@ object Versioned {
     fs.mkdirs(rootP)
     require(fs.exists(new Path(rootP, version)),
       s"cannot commit $version: $root/$version does not exist")
+    // Repair step: the OUTGOING live version is committed by definition
+    // (the pointer names it) — if its marker is missing (a prior commit
+    // crashed between pointer swap and marker write), heal it now so it
+    // stays in the AS-OF history after the pointer moves on.
+    currentVersion(spark, root).foreach { prev =>
+      val prevDir = new Path(rootP, prev)
+      if (fs.exists(prevDir)) markCommitted(fs, prevDir)
+    }
     atomicOverwrite(spark, new Path(rootP, Pointer),
       (version + "\n").getBytes(StandardCharsets.UTF_8))
+    // After the swap: a crash before this line leaves the marker missing
+    // but the version IS the pointer target, which committedVersions
+    // treats as committed; the next commit's repair step persists it.
+    markCommitted(fs, new Path(rootP, version))
+  }
+
+  private def markCommitted(fs: FileSystem, versionDir: Path): Unit = {
+    val m = new Path(versionDir, CommittedMarker)
+    if (!fs.exists(m)) {
+      val out = fs.create(m, true)
+      try out.write(Array.emptyByteArray) finally out.close()
+    }
+  }
+
+  /** Whether `version` was ever committed: it carries the marker, or it
+    * is the pointer's current target (the marker-write crash window). */
+  def isCommitted(spark: SparkSession, root: String, version: String): Boolean = {
+    val fs = fsOf(spark, new Path(root))
+    fs.exists(new Path(new Path(root, version), CommittedMarker)) ||
+      currentVersion(spark, root).contains(version)
   }
 
   /**
@@ -270,7 +310,10 @@ object Versioned {
       .map { p => fs.delete(p, true); p.getName }
   }
 
-  /** All retained version dirs, NEWEST first. Version names are UUIDs
+  /** All retained COMMITTED version dirs, NEWEST first — orphan dirs
+    * from a crashed publish (no `_committed` marker and not the pointer
+    * target) are excluded so AS-OF resolution never serves data that was
+    * never live (ADVICE r12). Version names are UUIDs
     * (no embedded order), so the filesystem modification time of each
     * version dir is the timeline — adequate for the single-maintenance-
     * writer contract, where publishes are serial by definition. Same-tick
@@ -282,8 +325,11 @@ object Versioned {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     if (!fs.exists(rootP)) return Seq.empty
+    val live = currentVersion(spark, root)
     fs.listStatus(rootP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .filter(s => live.contains(s.getPath.getName) ||
+        fs.exists(new Path(s.getPath, CommittedMarker)))
       .map(s => (s.getPath.getName, s.getModificationTime))
       .sortBy { case (name, mtime) => (-mtime, name) }
   }
@@ -309,6 +355,11 @@ object Versioned {
       throw new IllegalArgumentException(
         s"version $version does not exist under $root (vacuumed, or never " +
           "committed) — listVersions names the retained ones")
+    if (!isCommitted(spark, root, version))
+      throw new IllegalArgumentException(
+        s"version $version under $root was never committed (orphan of a " +
+          "crashed publish) — its data is invisible by contract; vacuum " +
+          "reclaims it")
     spark.read.parquet(dir.toString)
   }
 }

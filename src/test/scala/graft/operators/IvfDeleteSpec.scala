@@ -29,10 +29,13 @@ class IvfDeleteSpec extends AnyFunSuite with SparkTestBase {
     emb.filter(col("vec_id") % 10 === 7)
       .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toIndexedSeq
 
+  // sameElements comparisons need a total row order: the serve plan's
+  // row_number window is per-query, so cross-partition output order is
+  // incidental — pin it (ADVICE r12)
   private def serve(idx: String, key: String) =
     Similarity.ivfTopKServed(spark, idx,
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
-      indexKey = key).collect()
+      indexKey = key).orderBy(col("query_id"), col("rank")).collect()
 
   test("tombstone serve == rebuild without the deleted rows (same centroids)") {
     import Similarity.TrainedIndex
@@ -126,7 +129,7 @@ class IvfDeleteSpec extends AnyFunSuite with SparkTestBase {
     Similarity.deleteFromIvfIndex(spark, idx, "vec_id", dead)
     val res = Similarity.pqTopKServed(spark, idx,
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
-      indexKey = "del-pq").collect()
+      indexKey = "del-pq").orderBy(col("query_id"), col("rank")).collect()
     assert(res.nonEmpty)
     assert(!res.exists(r => dead.contains(r.getLong(2))),
       "a deleted id surfaced through the ADC serve path")
@@ -135,7 +138,7 @@ class IvfDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.purgeTombstones(spark, idx) == dead.length)
     val purged = Similarity.pqTopKServed(spark, idx,
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
-      indexKey = "del-pq").collect()
+      indexKey = "del-pq").orderBy(col("query_id"), col("rank")).collect()
     assert(purged.sameElements(res),
       "purging a PQ index changed its ADC serve results")
     assert(spark.read.parquet(idx).count() == emb.count() - dead.length)

@@ -149,6 +149,59 @@ class VersionedSpec extends AnyFunSuite with SparkTestBase {
     } finally Versioned.clearConditionalPut()
   }
 
+  test("orphans of a crashed publish are invisible to AS-OF and time travel") {
+    // ADVICE r12: a crash after write(dir) but before the pointer swap
+    // leaves a fully-listable version dir that was never live. It must
+    // not surface through listVersions / versionAsOf / readVersion —
+    // uncommitted state stays invisible until vacuum reclaims it.
+    val root = freshRoot()
+    import spark.implicits._
+    val v1 = Versioned.writeVersioned(Seq(1L, 2L).toDF("x"), root)
+    Thread.sleep(20)
+    intercept[RuntimeException] {
+      Versioned.publish(spark, root) { dir =>
+        Seq(666L).toDF("x").write.parquet(dir)
+        throw new RuntimeException("crash before pointer swap")
+      }
+    }
+    val orphan = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-") && f.getName != v1)
+      .head.getName
+    // the orphan is NEWER than v1 by mtime, but committed history excludes it
+    assert(Versioned.listVersions(spark, root).map(_._1) == Seq(v1))
+    assert(Versioned.versionAsOf(spark, root,
+      System.currentTimeMillis() + 10000).contains(v1),
+      "AS-OF resolved an orphan of a crashed publish")
+    val e = intercept[IllegalArgumentException](
+      Versioned.readVersion(spark, root, orphan))
+    assert(e.getMessage.contains("never committed"))
+    assert(!Versioned.isCommitted(spark, root, orphan))
+    assert(Versioned.isCommitted(spark, root, v1))
+    // vacuum reclaims it; a later real publish is unaffected
+    assert(Versioned.vacuum(spark, root) == Seq(orphan))
+    val v2 = Versioned.writeVersioned(Seq(3L).toDF("x"), root)
+    assert(Versioned.listVersions(spark, root).map(_._1).toSet == Set(v1, v2))
+  }
+
+  test("marker-write crash window: pointer target counts as committed and heals on next commit") {
+    val root = freshRoot()
+    import spark.implicits._
+    val v1 = Versioned.writeVersioned(Seq(1L).toDF("x"), root)
+    // simulate a crash between pointer swap and marker write by deleting
+    // the marker: the version IS the pointer target, so it stays committed
+    val marker = new java.io.File(s"$root/$v1/${Versioned.CommittedMarker}")
+    assert(marker.exists)
+    assert(marker.delete())
+    assert(Versioned.isCommitted(spark, root, v1))
+    assert(Versioned.listVersions(spark, root).map(_._1) == Seq(v1))
+    Thread.sleep(20)
+    // the next commit's repair step persists the marker before moving on,
+    // so v1 stays in AS-OF history after the pointer leaves it
+    val v2 = Versioned.writeVersioned(Seq(2L).toDF("x"), root)
+    assert(marker.exists, "repair step must re-mark the outgoing live version")
+    assert(Versioned.listVersions(spark, root).map(_._1).toSet == Set(v1, v2))
+  }
+
   test("resolve on a non-versioned directory fails loudly") {
     val root = freshRoot()
     val e = intercept[IllegalStateException](Versioned.resolve(spark, root))

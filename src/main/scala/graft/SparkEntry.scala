@@ -1621,6 +1621,44 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // REAL BPE tokenization (merges-table greedy merge loop over the
+    // committed fixture, native codegen expression): per doc the true
+    // token count and the order-pinning polynomial hash of the id
+    // sequence — the oracle replays the merge loop itself as a recursive
+    // CTE over DISTINCT pre-tokens (the same dedup the executor-side memo
+    // cache exploits), then reassembles per-doc id streams in pre-token
+    // order. One narrow scan stage; no shuffle before the final sort.
+    "tokenize_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpe_encode(col("text")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_bpe"),
+          expr("aggregate(ids, 0L, (h, x) -> (h * 131 + x) % 1000000007)")
+            .as("ids_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // greedy sequence packing on TRUE token counts (the budget that must
+    // match the training tokenizer): same fold as seq_pack, counts from
+    // bpe_count — no id array materialized on the count-only path
+    "seq_pack_bpe" -> ((s, dir) => {
+      TextAnalysis.packSequencesBy(t(s, dir, "documents"),
+        "source", "doc_id",
+        graft.functions.Bpe.bpe_count(col("text")), budget = 400)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // context-length chunking over real token IDS: 48-id windows
+    // advancing by 32; chunk content pinned by the polynomial id hash
+    "doc_chunk_bpe" -> ((s, dir) => {
+      TextAnalysis.chunkTokenIds(
+        t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.Bpe.bpe_encode(col("text")).as("ids")),
+        "doc_id", "ids", size = 48, stride = 32)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // deterministic train/val/test assignment: same row → same split on
     // every engine and rerun (pure hash of the id; integer-exact oracle)
     "sample_split" -> ((s, dir) => {
@@ -2600,6 +2638,59 @@ object SparkEntry {
       |  SELECT DISTINCT doc_id, sel // 1048576 AS h FROM win WHERE nh > 4 AND i <= nh - 3
       |  UNION
       |  SELECT DISTINCT doc_id, h FROM hs WHERE nh <= 4)""".stripMargin
+
+  /** Recursive-CTE replay of the Bpe greedy merge loop (Bpe.scala
+    * scaladoc has the contract). One recursion step = one merge: score
+    * every adjacent pair against the fixture's rank map, take the
+    * minimum rank, rebuild the sequence merging ALL its occurrences —
+    * exact because the fixture guarantees left != right, so occurrences
+    * never abut and the one-pass list_filter/list_transform rebuild is
+    * the left-to-right merge. Recursion runs over DISTINCT pre-tokens
+    * (31 at any sf for this corpus — the same dedup the engine's memo
+    * cache exploits); per-doc id streams reassemble in pre-token order.
+    * Ends in `bpe_docids(doc_id, ids)` with ids as BIGINTs, [] for a
+    * wordless doc. Callers must open with WITH RECURSIVE. */
+  private def bpeReplayCtes: String = {
+    val m = graft.functions.Bpe.default
+    s"""bpe_pts AS (
+      |  SELECT doc_id, u.ord, u.pt FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+      |      (x, i) -> {'ord': i, 'pt': x})) AS u
+      |    FROM documents)),
+      |bpe_dpt AS (SELECT DISTINCT pt FROM bpe_pts),
+      |bpe_steps AS (
+      |  SELECT pt, string_split(pt, '') AS seq FROM bpe_dpt
+      |  UNION ALL
+      |  SELECT pt,
+      |    list_transform(
+      |      list_filter(range(1, len(seq) + 1),
+      |        i -> NOT (i > 1 AND pr[i - 1] IS NOT DISTINCT FROM best)),
+      |      i -> CASE WHEN i < len(seq) AND pr[i] IS NOT DISTINCT FROM best
+      |                THEN seq[i] || seq[i + 1] ELSE seq[i] END) AS seq
+      |  FROM (
+      |    SELECT pt, seq, pr, list_aggregate(pr, 'min') AS best
+      |    FROM (
+      |      SELECT pt, seq,
+      |        list_transform(range(1, len(seq)),
+      |          i -> element_at(${m.mergesMapSql}, seq[i] || ' ' || seq[i + 1])[1]) AS pr
+      |      FROM bpe_steps))
+      |  WHERE best IS NOT NULL),
+      |bpe_fin AS (
+      |  SELECT pt, seq FROM bpe_steps
+      |  QUALIFY row_number() OVER (PARTITION BY pt ORDER BY len(seq) ASC) = 1),
+      |bpe_tok AS (
+      |  SELECT pt, list_transform(seq,
+      |    s -> CAST(coalesce(element_at(${m.vocabMapSql}, s)[1], 0) AS BIGINT)) AS tids
+      |  FROM bpe_fin),
+      |bpe_perdoc AS (
+      |  SELECT p.doc_id, flatten(list(t.tids ORDER BY p.ord)) AS ids
+      |  FROM bpe_pts p JOIN bpe_tok t ON p.pt = t.pt
+      |  GROUP BY p.doc_id),
+      |bpe_docids AS (
+      |  SELECT d.doc_id, coalesce(b.ids, []) AS ids
+      |  FROM documents d LEFT JOIN bpe_perdoc b USING (doc_id))""".stripMargin
+  }
 
   /** Dedup.spanDupStats oracle: tokenize like simhash/cms, identify each
     * k-token window by md5 of its joined token string (md5 hex is
@@ -3998,6 +4089,49 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // replay of Bpe.encode (bpeReplayCtes scaladoc): the merge loop runs
+    // as the recursion, the id-sequence hash pins ORDER, not just count
+    "tokenize_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCtes
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_bpe,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+        |    (h, x) -> (h * 131 + x) % 1000000007) AS ids_hash
+        |FROM bpe_docids ORDER BY doc_id""".stripMargin,
+
+    // seq_pack's greedy reset fold, counts from the BPE replay
+    "seq_pack_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCtes,
+        |toks AS (
+        |  SELECT d.source, d.doc_id, CAST(len(b.ids) AS BIGINT) AS tok,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+        |  FROM documents d JOIN bpe_docids b USING (doc_id)),
+        |packed AS (
+        |  SELECT source, doc_id, tok, rn, CAST(0 AS BIGINT) AS bin, tok AS running
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.doc_id, t.tok, t.rn,
+        |    CASE WHEN p.running + t.tok > 400 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.running + t.tok > 400 THEN t.tok ELSE p.running + t.tok END
+        |  FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1)
+        |SELECT source, doc_id, bin FROM packed
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // chunkTokenIds(size=48, stride=32) over the replayed id arrays;
+    // chunk content pinned by the same polynomial hash over the slice
+    "doc_chunk_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCtes,
+        |n AS (SELECT doc_id, ids, len(ids) AS n FROM bpe_docids WHERE len(ids) > 0),
+        |c AS (
+        |  SELECT doc_id, ids, n, unnest(range(
+        |    CASE WHEN n <= 48 THEN 1 ELSE (n - 48 + 31) // 32 + 1 END)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(least(48, n - chunk_id * 32) AS BIGINT) AS n_chunk_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      ids[chunk_id * 32 + 1 : chunk_id * 32 + 48]),
+        |    (h, x) -> (h * 131 + x) % 1000000007) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // replay of dropNearDuplicatesAgainst: banding semantics exactly —
     // a batch row is a dup iff vs some reference row it shares a FULL

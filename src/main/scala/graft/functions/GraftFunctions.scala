@@ -19,6 +19,7 @@ object GraftFunctions {
       TextFunctions.register(spark)
       HashFunctions.register(spark)
       VectorFunctions.register(spark)
+      Bpe.register(spark)
       graft.operators.TextAnalysis.register(spark)
       graft.plans.GeoRules.install(spark)
     }

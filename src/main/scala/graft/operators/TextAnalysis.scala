@@ -94,12 +94,20 @@ object TextAnalysis {
    * bounded.
    */
   def packSequences(df: DataFrame, groupCol: String, idCol: String,
-      textCol: String, budget: Long): DataFrame = {
+      textCol: String, budget: Long): DataFrame =
+    packSequencesBy(df, groupCol, idCol, tokenCount(col(textCol)), budget)
+
+  /** packSequences with a caller-supplied token-count expression — the
+    * real-tokenizer variant packs on `Bpe.bpe_count` (true token ids)
+    * instead of the whitespace approximation; the fold and its scale
+    * shape are identical. */
+  def packSequencesBy(df: DataFrame, groupCol: String, idCol: String,
+      tokExpr: Column, budget: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(groupCol).cast("string").as("g"),
         col(idCol).cast("long").as("id"),
-        tokenCount(col(textCol)).cast("long").as("tok"))
+        tokExpr.cast("long").as("tok"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>
@@ -151,6 +159,32 @@ object TextAnalysis {
           .as("chunk_text") :+
         expr(s"least($size, __n - chunk_id * $stride)").cast("long")
           .as("n_chunk_tokens"): _*)
+  }
+
+  /**
+   * Fixed-size chunking over REAL token-id arrays — `chunkDocuments`'
+   * true-tokenizer twin (context-length splitting where the budget must
+   * match the training tokenizer): windows of `size` ids advancing by
+   * `stride` over `idsCol` (an array<int> from `Bpe.bpe_encode`); window
+   * arithmetic identical to chunkDocuments. Emits per chunk the id count
+   * and the order-pinning polynomial hash (h·131 + id mod P) instead of
+   * re-joined text, so the id slice is exactly verifiable cross-engine.
+   * Same scale shape: one narrow codegen'd stage, no shuffle, no UDF.
+   */
+  def chunkTokenIds(df: DataFrame, idCol: String, idsCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    df.withColumn("__n", expr(s"size(`$idsCol`)"))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0L, CASE WHEN __n <= $size THEN 0L " +
+          s"ELSE (__n - $size + $stride - 1) div $stride END)")))
+      .select(col(idCol), col("chunk_id"),
+        expr(s"least($size, __n - chunk_id * $stride)").cast("long")
+          .as("n_chunk_tokens"),
+        expr(s"aggregate(slice(`$idsCol`, cast(chunk_id * $stride + 1 as int), $size), " +
+          "0L, (h, x) -> (h * 131 + x) % 1000000007)").as("chunk_hash"))
   }
 
   /**

@@ -1324,6 +1324,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // two-stage PQ retrieval (ADC shortlist → exact int8 re-rank): the
+    // standard recall fix for ADC distortion, over the SAME materialized
+    // IVF+PQ index as ann_pq_served — stage 2 re-scans only the probed
+    // cells for the shortlisted ids' vectors
+    "ann_pq_reranked" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val marker = new org.apache.hadoop.fs.Path(s"$idx/${Similarity.ReadyMarker}")
+      val markerFs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!markerFs.exists(marker))
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+          indexKey = embCorpusKey(s, dir), pqM = Some(8))
+      Similarity.pqTopKReranked(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = embCorpusKey(s, dir), candC = 30)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // incremental index append: the index is built on the pre-existing
     // corpus (vec_id < 400) and the new batch is assigned to the EXISTING
     // centroids and appended — batch-cost ingest, not full-rebuild cost.
@@ -3001,8 +3020,45 @@ object SparkEntry {
    */
   private def annPqServedSql(stride: Int = 20, iters: Int = 3,
       m: Int = 8, sub: Int = 8, nProbe: Int = 3, k: Int = 3,
-      trainWhere: String = "TRUE", deleteWhere: String = "FALSE"): String = {
+      trainWhere: String = "TRUE", deleteWhere: String = "FALSE",
+      rerankC: Option[Int] = None): String = {
     def sl(e: String, j: String) = pqSliceSql(e, j, sub)
+    // with rerankC: the two-stage tail replaying pqTopKReranked — ADC
+    // shortlists candC pairs per query, the exact int8 squared L2 (CTE
+    // `q` carries every row's full int8 vector) re-ranks to k
+    val tail = rerankC match {
+      case None =>
+        s"""ranked AS (
+           |  SELECT query_id, neighbor_id, pq_dist,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY pq_dist, neighbor_id) AS rank
+           |  FROM adc)
+           |SELECT query_id, rank, neighbor_id, pq_dist FROM ranked WHERE rank <= $k
+           |ORDER BY query_id, rank""".stripMargin
+      case Some(candC) =>
+        s"""shortlist AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY pq_dist, neighbor_id) AS crn
+           |    FROM adc) WHERE crn <= $candC),
+           |exact AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    CAST(list_inner_product(qq.qv, nq.qv) AS DOUBLE)
+           |      / (sqrt(CAST(list_inner_product(qq.qv, qq.qv) AS DOUBLE))
+           |       * sqrt(CAST(list_inner_product(nq.qv, nq.qv) AS DOUBLE))) AS cos_raw
+           |  FROM shortlist s
+           |  JOIN q qq ON qq.vec_id = s.query_id
+           |  JOIN q nq ON nq.vec_id = s.neighbor_id),
+           |rranked AS (
+           |  SELECT query_id, neighbor_id, cos_raw,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+           |  FROM exact)
+           |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cos_i8
+           |FROM rranked WHERE rank <= $k
+           |ORDER BY query_id, rank""".stripMargin
+    }
     s"""WITH ${ivfTrainCtes(
           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
           stride, iters, trainWhere)},
@@ -3024,13 +3080,7 @@ object SparkEntry {
        |  JOIN codes co ON co.vec_id = ce.neighbor_id
        |  JOIN subd qs ON qs.vec_id = qa.query_id AND qs.j = co.j AND qs.c = co.c
        |  GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, pq_dist,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY pq_dist, neighbor_id) AS rank
-       |  FROM adc)
-       |SELECT query_id, rank, neighbor_id, pq_dist FROM ranked WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |$tail""".stripMargin
   }
 
   /** Shared typicality CTEs (doc_typicality + budget_sample oracles):
@@ -4372,6 +4422,7 @@ object SparkEntry {
     // training + encode + ADC (see annPqTrainedSql scaladoc)
     "ann_pq" -> annPqTrainedSql(),
     "ann_pq_served" -> annPqServedSql(),
+    "ann_pq_reranked" -> annPqServedSql(rerankC = Some(30)),
     "ann_ivf_appended" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
     "ann_pq_appended" -> annPqServedSql(trainWhere = "vec_id < 400"),
     // compaction is bin-packing only — the logical index contents equal

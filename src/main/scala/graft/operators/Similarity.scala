@@ -1079,6 +1079,22 @@ object Similarity {
       indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, indexKey: String,
       nProbe: Int = 3, m: Int = 8, stride: Int = 20, iters: Int = 3): DataFrame = {
+    val (scored, _) = pqAdcScored(spark, indexPath, queries, idCol, vecCol,
+      indexKey, nProbe, m, stride, iters)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("pq_dist"))
+  }
+
+  /** The shared ADC stage of pqTopKServed / pqTopKReranked: (per-pair
+    * frame with `query_id, neighbor_id, pq_dist`, the probed cell list —
+    * the reranker's exact pass scans exactly those cells again). */
+  private def pqAdcScored(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, indexKey: String,
+      nProbe: Int, m: Int, stride: Int, iters: Int): (DataFrame, Array[Long]) = {
     requireIndexReady(spark, indexPath)
     def served(key: String): IndexedSeq[IndexedSeq[Long]] =
       TrainedIndex.get(key).getOrElse {
@@ -1137,11 +1153,75 @@ object Similarity {
     val scored = broadcast(probes).join(cand, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_dist", vec_pq_adc(col("codes"), col("dtable"), ksub))
-    val w = Window.partitionBy(col("query_id"))
+    (scored, probeCells)
+  }
+
+  /**
+   * Two-stage PQ retrieval: ADC shortlists, EXACT int8 cosine re-ranks
+   * (VERDICT r12 next #2 — the standard fix for ADC distortion; the r12
+   * recall table measured PQ-ADC recall@10 = 0.168 vs IVF 0.486 at
+   * nProbe=16 on the random-vector worst case). Stage 1 is
+   * `pqTopKServed`'s plan verbatim — codes-only scan of the probed
+   * cells, broadcast dtables, integer ADC — but keeps the top `candC`
+   * candidates per query instead of k. Stage 2 recomputes the exact
+   * int8 cosine for just those candidates (the index rows carry the raw
+   * vector beside the codes, so the exact pass re-quantizes
+   * candC·|queries| vectors — bounded, never a corpus scan) and
+   * re-ranks to k.
+   *
+   * Why cosine and not int8 L2: the int8 representation is PER-VECTOR
+   * scaled (qᵢ = xᵢ·127/max|x|), so ‖q_a − q_b‖² = s_a² + s_b² −
+   * 2·s_a·s_b·cosθ is dominated by the scale spread — measured on the
+   * sf1 random-vector corpus, exact int8 L2 re-ranking plateaued at
+   * recall@10 ≈ 0.23 while the scale-invariant cosine reaches the IVF
+   * exact line. Dot and both norms are INTEGER (exact, ≤ d·127² —
+   * double-representable), so the final cos = dot/(√na·√nb) is the
+   * same IEEE double in any engine and the rank order replays exactly
+   * in SQL (`ann_pq_reranked` oracle: served-PQ CTEs + this re-rank).
+   *
+   * The economics at 100 TB: ADC reads m bytes/row over the probed
+   * cells; the exact pass touches only candC rows/query. candC trades
+   * recall against that second-stage cost — the BASELINE.md recall
+   * table records the measured ADC→reranked lift.
+   */
+  def pqTopKReranked(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, indexKey: String, candC: Int,
+      nProbe: Int = 3, m: Int = 8, stride: Int = 20, iters: Int = 3): DataFrame = {
+    require(candC >= k, s"shortlist candC=$candC must be >= k=$k")
+    val (scored, probeCells) = pqAdcScored(spark, indexPath, queries,
+      idCol, vecCol, indexKey, nProbe, m, stride, iters)
+    val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_dist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    // the shortlist is pairs only — ids, no vectors; tombstones were
+    // already subtracted inside the ADC stage
+    val shortlist = scored.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= candC)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact pass: re-scan the SAME probed cells (partition-pruned — never
+    // the whole index) for id+vector only, keep the shortlisted rows via
+    // a broadcast join, re-quantize those candC·|queries| vectors to int8
+    // and compute the true squared L2 — all integers
+    val candVecs = withInt8(
+      readProbedCells(spark, indexPath, probeCells)
+        .select(col(idCol).as(idCol), col(vecCol)), vecCol)
+      .select(col(idCol).cast("long").as("neighbor_id"), col("__q").as("nvec"))
+    val queryQ = withInt8(queries, vecCol)
+      .select(col(idCol).cast("long").as("query_id"), col("__q").as("qvec"))
+    val exact = candVecs.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(queryQ), Seq("query_id"))
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(qvec, nvec, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
+      .withColumn("__qn", expr("aggregate(qvec, 0L, (s, v) -> s + v * v)"))
+      .withColumn("__nn", expr("aggregate(nvec, 0L, (s, v) -> s + v * v)"))
+      .withColumn("cos_i8", col("__dot").cast("double") /
+        (sqrt(col("__qn").cast("double")) * sqrt(col("__nn").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_i8").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("pq_dist"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_i8"), 4).as("cos_i8"))
   }
 
   /**

@@ -344,6 +344,76 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
+  test("two-stage re-rank: exact int8 cosine over the ADC shortlist; full shortlist == exact order on probed candidates") {
+    import Similarity.TrainedIndex
+    TrainedIndex.invalidate()
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pqrr_").toString + "/index"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+      indexKey = "spec-rr", pqM = Some(8))
+    intercept[IllegalArgumentException](
+      Similarity.pqTopKReranked(spark, idx, queries, "vec_id", "embedding",
+        k = 5, indexKey = "spec-rr", candC = 4))
+    // the full probed candidate set per query, via an unbounded ADC serve
+    val cands = Similarity.pqTopKServed(spark, idx, queries,
+      "vec_id", "embedding", k = 1000000, indexKey = "spec-rr")
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // local int8 quantization (the engine's spec: floor(x·127/max + 0.5))
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val ma = v.map(math.abs).max
+        r.getLong(0) -> (if (ma == 0) v.map(_ => 0L).toArray
+                         else v.map(x => math.floor(x * 127.0 / ma + 0.5).toLong).toArray)
+      }.toMap
+    def cosI8(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    // candC covering every candidate: re-rank == exact int8-cosine order
+    // restricted to the probed candidate set
+    val rr = Similarity.pqTopKReranked(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-rr", candC = 1000000)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(rr.length == 5 * 3)
+    rr.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val want = cands(q).toSeq
+        .map(n => (n, cosI8(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(3)
+      val got = rows.sortBy(_.getInt(1)).map(r =>
+        (r.getLong(2), r.getDouble(3)))
+      assert(got.map(_._1).toSeq == want.map(_._1),
+        s"query $q: got ${got.toSeq}, want $want")
+      got.zip(want).foreach { case ((_, gc), (_, wc)) =>
+        assert(math.abs(gc - wc) < 5e-5, s"cos mismatch: $gc vs $wc") }
+    }
+    // shortlist discipline at small candC: results come from the ADC
+    // top-candC only (a pair outside it can never be served)
+    val adcTop = Similarity.pqTopKServed(spark, idx, queries,
+      "vec_id", "embedding", k = 8, indexKey = "spec-rr")
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rrSmall = Similarity.pqTopKReranked(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-rr", candC = 8).collect()
+    rrSmall.foreach { r =>
+      assert(adcTop(r.getLong(0)).contains(r.getLong(2)),
+        s"served pair outside the ADC shortlist: $r")
+    }
+    // the exact stage scans pruned cells only, like the ADC stage
+    val cellsOnDisk = new java.io.File(idx).listFiles
+      .count(_.getName.startsWith("cell="))
+    val rrPlan = Similarity.pqTopKReranked(spark, idx, queries,
+      "vec_id", "embedding", k = 3, indexKey = "spec-rr", candC = 8)
+    val scannedCells = rrPlan.inputFiles
+      .flatMap(f => "cell=([0-9]+)".r.findFirstMatchIn(f).map(_.group(1)))
+      .distinct
+    assert(scannedCells.nonEmpty && scannedCells.length < cellsOnDisk,
+      s"re-rank scan reads ${scannedCells.length} of $cellsOnDisk cells — no pruning")
+    TrainedIndex.invalidate()
+  }
+
   test("incremental append: append-then-serve == rebuild-then-serve with the same centroids") {
     import Similarity.TrainedIndex
     TrainedIndex.invalidate()

@@ -149,6 +149,44 @@ class VersionedSpec extends AnyFunSuite with SparkTestBase {
     } finally Versioned.clearConditionalPut()
   }
 
+  test("racing commits under CAS: winner lands, loser raises, winner's bytes serve") {
+    // VERDICT r12 next #4: the conditional-put rejection path driven as a
+    // RACE — two committers derive versions from the same base; the CAS
+    // precondition admits the first pointer swap and rejects the second
+    // (the stale-ETag shape). The loser must raise (lost update
+    // DETECTED), the winner's bytes must serve, and the loser's version
+    // dir must stay an invisible orphan until vacuum.
+    val root = freshRoot()
+    import spark.implicits._
+    val base = Versioned.writeVersioned(Seq(0L).toDF("x"), root)
+    // both racers fully materialize their version dirs first
+    val dirA = s"v-racer-a"; val dirB = s"v-racer-b"
+    Seq(1L).toDF("x").write.parquet(s"$root/$dirA")
+    Seq(2L).toDF("x").write.parquet(s"$root/$dirB")
+    val firstWins = new java.util.concurrent.atomic.AtomicBoolean(true)
+    Versioned.setConditionalPut { (s, target, bytes) =>
+      if (firstWins.compareAndSet(true, false)) {
+        val fsys = target.getFileSystem(s.sessionState.newHadoopConf())
+        val out = fsys.create(target, true)
+        try out.write(bytes) finally out.close()
+        true
+      } else false
+    }
+    try {
+      Versioned.commit(spark, root, dirA) // winner
+      val err = intercept[java.io.IOException](
+        Versioned.commit(spark, root, dirB)) // loser: stale precondition
+      assert(err.getMessage.contains("conditional put"))
+    } finally Versioned.clearConditionalPut()
+    assert(Versioned.currentVersion(spark, root).contains(dirA))
+    assert(Versioned.read(spark, root).as[Long].collect().toSeq == Seq(1L))
+    // the loser's fully-written dir is an orphan: not committed, not in
+    // AS-OF history, reclaimed by vacuum; the winner and base survive
+    assert(!Versioned.isCommitted(spark, root, dirB))
+    assert(Versioned.listVersions(spark, root).map(_._1).toSet == Set(base, dirA))
+    assert(Versioned.vacuum(spark, root, keep = Set(base)) == Seq(dirB))
+  }
+
   test("orphans of a crashed publish are invisible to AS-OF and time travel") {
     // ADVICE r12: a crash after write(dir) but before the pointer swap
     // leaves a fully-listable version dir that was never live. It must

@@ -41,9 +41,10 @@ import org.apache.spark.sql.functions._
  *
  * Bucketing is `pmod(xxhash64(key), nBuckets)` — deterministic across
  * runs and engines, so batch keys locate their buckets without touching
- * the base table. `nBuckets` is fixed at [[publish]] time and recorded in
- * every manifest (re-bucketing = a fresh publish, like any partitioning
- * change at scale).
+ * the base table. `nBuckets` is set at [[publish]] time and recorded in
+ * every manifest; a table that outgrows it is re-laid-out in place by
+ * [[rebucket]] (a full rewrite under the same manifest-swap commit — the
+ * old bucketing stays servable through any crash).
  */
 object MergeTable {
 
@@ -213,7 +214,7 @@ object MergeTable {
    * missing-column semantics under the manifest schema), so evolution
    * costs nothing beyond the merge itself and old versions keep their
    * own schema — the Delta `mergeSchema` shape. Re-bucketing, by
-   * contrast, IS a fresh `publish` (it moves every row).
+   * contrast, moves every row — that is [[rebucket]]'s full rewrite.
    *
    * Scale shape: one bounded collect of the batch's DISTINCT BUCKET IDS
    * (≤ nBuckets longs) drives both the pruned base read and the manifest
@@ -371,6 +372,68 @@ object MergeTable {
           org.apache.spark.sql.Row(r.get(0))), 1),
         org.apache.spark.sql.types.StructType(Seq(m.schema(keyCol))))
       scan.join(broadcast(wanted), Seq(keyCol), "left_semi").drop("bucket")
+    }
+  }
+
+  /**
+   * Change the table's bucket count (VERDICT r12 next #5): a table that
+   * outgrows its publish-time `nBuckets` degrades every merge (each
+   * touched bucket rewrites ~n/nBuckets rows) and every lookup (a probe
+   * scans ~n/nBuckets rows). Rebucketing is a FULL REWRITE by design —
+   * `pmod(xxhash64(key), n)` assignments don't nest across arbitrary n,
+   * so every row moves — executed under the exact commit discipline of
+   * merge: new files land beside the old (names never collide), the new
+   * manifest (with the new bucket count) commits on the version-pointer
+   * swap, and a crash anywhere before that leaves the OLD bucketing
+   * servable bit-for-bit. Old versions keep reading their own layout
+   * until `vacuum` + `vacuumData` (time travel across a rebucket works).
+   * The CDC watermark carries forward like any merge. Doubling-only
+   * schemes (consistent-hash splitting one bucket at a time) would avoid
+   * the full move but leak the bucket function into every reader;
+   * at 100 TB a rebucket is a rare, planned, one-shuffle job — the same
+   * cost class as the initial publish. Returns the new version name.
+   */
+  def rebucket(spark: SparkSession, root: String, newBuckets: Int): String =
+    rebucketHooked(spark, root, newBuckets, () => ())
+
+  /** Rebucket with the merge family's crash seam before the commit. */
+  private[graft] def rebucketHooked(spark: SparkSession, root: String,
+      newBuckets: Int, beforeCommit: () => Unit): String = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val live = Versioned.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version to rebucket"))
+    val m = readManifest(spark, root, live)
+    val keyCol = m.keyCol.getOrElse(throw new IllegalStateException(
+      s"manifest of $root/$live records no key column — cannot rebucket"))
+    require(newBuckets != m.nBuckets,
+      s"table already has $newBuckets buckets")
+    val before = dataFilesOnDisk(spark, root)
+    val rows =
+      if (m.files.isEmpty) None
+      else Some(readFiles(spark, root, m, m.files.map(_._2)).drop("bucket")
+        .withColumn("bucket", bucketOf(keyCol, newBuckets)))
+    rows.foreach {
+      _.repartition(newBuckets, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col(keyCol))
+        .write.mode("append").partitionBy("bucket").parquet(s"$root/data")
+    }
+    val newFiles = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
+      .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
+    beforeCommit()
+    val carryId: Option[Long] =
+      Versioned.readSmallText(spark, new Path(s"$root/$live", BatchIdFile))
+        .map(_.trim.toLong)
+    Versioned.publish(spark, root) { dir =>
+      val p = new Path(dir, ManifestFile)
+      val out = fs(spark, p).create(p, true)
+      try out.write(writeManifestText(
+        Manifest(m.schema, newBuckets, newFiles, m.keyCol))) finally out.close()
+      carryId.foreach { id =>
+        val bp = new Path(dir, BatchIdFile)
+        val bo = fs(spark, bp).create(bp, true)
+        try bo.write(id.toString.getBytes(StandardCharsets.UTF_8))
+        finally bo.close()
+      }
     }
   }
 

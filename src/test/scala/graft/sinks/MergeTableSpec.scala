@@ -102,6 +102,52 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     assert(collectSorted(MergeTable.read(spark, root)).toMap == afterRetry)
   }
 
+  test("rebucket: full rewrite restores lookup and merge economics; crash leaves old bucketing servable; time travel crosses it") {
+    // VERDICT r12 next #5: an under-bucketed table (2 buckets for 500
+    // rows) pays ~n/2 rows per lookup probe and per touched-bucket merge.
+    val root = java.nio.file.Files.createTempDirectory("graft_rebkt_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 2)
+    val contentBefore = collectSorted(MergeTable.read(spark, root))
+    def lookupBytes(): Long = {
+      val files = MergeTable.readKeys(spark, root, "doc_id",
+        docs.filter(col("doc_id") === 7L).select("doc_id")).inputFiles
+      assert(files.nonEmpty)
+      files.map(f => new java.io.File(new java.net.URI(f)).length).sum
+    }
+    val bytesBefore = lookupBytes()
+
+    // crash injection: the rewrite lands its files, the commit never
+    // happens — the 2-bucket manifest stays live and serves bit-for-bit
+    intercept[RuntimeException](MergeTable.rebucketHooked(spark, root, 32,
+      () => throw new RuntimeException("killed before manifest swap")))
+    assert(collectSorted(MergeTable.read(spark, root)) == contentBefore)
+    assert(MergeTable.vacuumData(spark, root).nonEmpty,
+      "the crashed rewrite left no strands to sweep?")
+    assert(collectSorted(MergeTable.read(spark, root)) == contentBefore)
+
+    // the real rebucket: content identical, lookups scan ~16× fewer bytes
+    val t0 = System.currentTimeMillis()
+    MergeTable.rebucket(spark, root, 32)
+    assert(collectSorted(MergeTable.read(spark, root)) == contentBefore)
+    val bytesAfter = lookupBytes()
+    assert(bytesAfter * 4 < bytesBefore,
+      s"lookup scans $bytesAfter bytes after rebucket vs $bytesBefore before — no improvement")
+    // a single-key merge now touches 1-of-32, not 1-of-2
+    val one = docs.filter(col("doc_id") === 9)
+      .withColumn("text", lit("post-rebucket")).withColumn("_del", lit(false))
+    val stats = MergeTable.merge(spark, root, one, "doc_id", Some("_del"))
+    assert(stats.bucketsTouched == 1)
+    assert(stats.filesCarried == 31,
+      s"expected 31 carried single-file buckets, got ${stats.filesCarried}")
+    // time travel: the pre-rebucket 2-bucket version still reads whole
+    val preVersion = Versioned.versionAsOf(spark, root, t0 - 1).get
+    assert(collectSorted(MergeTable.readVersion(spark, root, preVersion)) == contentBefore)
+    // merges after the rebucket land correctly
+    assert(collectSorted(MergeTable.read(spark, root)).toMap.get(9L).contains("post-rebucket"))
+    // a no-op rebucket is refused
+    intercept[IllegalArgumentException](MergeTable.rebucket(spark, root, 32))
+  }
+
   test("scale pin: untouched-bucket files carry by name; only touched buckets rewrite") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergecow_").toString + "/t"
     val v1 = MergeTable.publish(docs, root, "doc_id", nBuckets = 64)

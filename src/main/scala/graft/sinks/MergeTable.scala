@@ -184,8 +184,10 @@ object MergeTable {
   def readAsOf(spark: SparkSession, root: String, ts: Long): DataFrame =
     readVersion(spark, root, Versioned.versionAsOf(spark, root, ts)
       .getOrElse(throw new IllegalArgumentException(
-        s"no retained version of $root is as old as $ts — " +
-          "vacuumed, or the table postdates the timestamp")))
+        s"no retained version of $root is as old as $ts — retention " +
+          s"horizon: ${Versioned.retention(spark, root)
+            .fold("none declared")(_.describe)}; older versions were " +
+          "vacuumed (or the table postdates the timestamp)")))
 
   /** Time travel: read any retained version's manifest view. */
   def readVersion(spark: SparkSession, root: String,

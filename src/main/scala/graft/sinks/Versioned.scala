@@ -294,7 +294,50 @@ object Versioned {
       spark.read.parquet(s"$root/$v").count())
   }
 
-  /** Delete every version dir except the live one (and any in `keep`).
+  /** Name of the declarative retention-policy file beside `_current`. */
+  val RetentionFile = "_retention"
+
+  /** Keep-last-N versions / keep-since-T-millis policy (VERDICT r12 next
+    * #7). Both bounds may be set: a version survives vacuum if EITHER
+    * keeps it (the union horizon — the conservative reading, matching
+    * lakehouse retention semantics). The live version always survives. */
+  final case class Retention(keepLast: Option[Int] = None,
+      keepMillis: Option[Long] = None) {
+    require(keepLast.forall(_ >= 1), "keepLast must be >= 1")
+    require(keepMillis.forall(_ >= 0), "keepMillis must be >= 0")
+    def describe: String = (keepLast.map(n => s"keep_last=$n") ++
+      keepMillis.map(ms => s"keep_ms=$ms")).mkString(", ") match {
+      case "" => "none (live version only)"
+      case s => s
+    }
+  }
+
+  /** Persist the policy beside the pointer (same atomic single-object
+    * write — a torn policy file must be impossible). */
+  def setRetention(spark: SparkSession, root: String, policy: Retention): Unit = {
+    val rootP = new Path(root)
+    fsOf(spark, rootP).mkdirs(rootP)
+    val txt = (policy.keepLast.map(n => s"keep_last=$n") ++
+      policy.keepMillis.map(ms => s"keep_ms=$ms")).mkString("\n") + "\n"
+    atomicOverwrite(spark, new Path(rootP, RetentionFile),
+      txt.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The table's declared retention, if any. */
+  def retention(spark: SparkSession, root: String): Option[Retention] =
+    readSmallText(spark, new Path(root, RetentionFile)).map { txt =>
+      val kv = txt.split('\n').iterator.map(_.trim).filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }.toMap
+      Retention(kv.get("keep_last").map(_.toInt), kv.get("keep_ms").map(_.toLong))
+    }
+
+  /** Delete version dirs outside the retention horizon. With no declared
+    * policy (and no explicit `keep`), everything but the live version
+    * goes — the original contract. With one, the newest `keepLast`
+    * committed versions and every version younger than `keepMillis`
+    * survive, so AS-OF reads inside the horizon keep working after any
+    * vacuum (spec-pinned). Orphans of crashed publishes are NEVER
+    * retained — they were never committed, the horizon does not apply.
     * Run AFTER readers of old versions have drained — the versioned
     * layout itself never deletes at commit time. */
   def vacuum(spark: SparkSession, root: String,
@@ -303,12 +346,35 @@ object Versioned {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     if (!fs.exists(rootP)) return Seq.empty
+    val policy = retention(spark, root)
+    val committed = listVersions(spark, root) // newest first, committed only
+    val inHorizon: Set[String] = policy.fold(Set.empty[String]) { p =>
+      val byCount = p.keepLast.fold(Seq.empty[(String, Long)])(n => committed.take(n))
+      val cutoff = p.keepMillis.map(System.currentTimeMillis() - _)
+      val byAge = cutoff.fold(Seq.empty[(String, Long)])(c => committed.filter(_._2 >= c))
+      (byCount ++ byAge).map(_._1).toSet
+    }
     fs.listStatus(rootP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
       .map(_.getPath)
-      .filterNot(p => live.contains(p.getName) || keep.contains(p.getName))
+      .filterNot(p => live.contains(p.getName) || keep.contains(p.getName) ||
+        inHorizon.contains(p.getName))
       .map { p => fs.delete(p, true); p.getName }
   }
+
+  /** AS-OF read with the horizon in the failure mode: resolves the
+    * version live at `ts` and reads it; when every retained version
+    * postdates `ts`, fails naming the declared retention so the caller
+    * knows WHY the history is gone (vacuumed past it) or how far back
+    * reads can go. */
+  def readAsOf(spark: SparkSession, root: String, ts: Long): DataFrame =
+    versionAsOf(spark, root, ts) match {
+      case Some(v) => readVersion(spark, root, v)
+      case None => throw new IllegalArgumentException(
+        s"no retained version of $root is as old as $ts — retention " +
+          s"horizon: ${retention(spark, root).fold("none declared")(_.describe)}; " +
+          "older versions were vacuumed (or the table postdates the timestamp)")
+    }
 
   /** All retained COMMITTED version dirs, NEWEST first — orphan dirs
     * from a crashed publish (no `_committed` marker and not the pointer

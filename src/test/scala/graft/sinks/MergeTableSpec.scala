@@ -398,6 +398,31 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](MergeTable.readAsOf(spark, root, 1000L))
   }
 
+  test("retention policy on a merge table: vacuum + vacuumData keep the horizon readable; beyond it names the horizon") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mergeret_").toString + "/t"
+    Versioned.setRetention(spark, root, Versioned.Retention(keepLast = Some(2)))
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 8)
+    Thread.sleep(20); val t1 = System.currentTimeMillis(); Thread.sleep(20)
+    MergeTable.merge(spark, root,
+      docs.filter(col("doc_id") === 1).withColumn("text", lit("m1"))
+        .withColumn("_del", lit(false)), "doc_id", Some("_del"))
+    Thread.sleep(20); val t2 = System.currentTimeMillis(); Thread.sleep(20)
+    MergeTable.merge(spark, root,
+      docs.filter(col("doc_id") === 2).withColumn("text", lit("m2"))
+        .withColumn("_del", lit(false)), "doc_id", Some("_del"))
+    // vacuum honors keep_last=2: the publish-time version goes, the
+    // post-m1 version stays; vacuumData keeps every file a RETAINED
+    // version references, so the horizon stays fully readable
+    assert(Versioned.vacuum(spark, root).length == 1)
+    MergeTable.vacuumData(spark, root)
+    val asOfM1 = collectSorted(MergeTable.readAsOf(spark, root, t2)).toMap
+    assert(asOfM1(1L) == "m1" && asOfM1(2L) != "m2",
+      "the inside-horizon AS-OF view must predate merge m2")
+    val err = intercept[IllegalArgumentException](
+      MergeTable.readAsOf(spark, root, t1))
+    assert(err.getMessage.contains("keep_last=2"), err.getMessage)
+  }
+
   test("duplicate batch keys are refused") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergedup_").toString + "/t"
     MergeTable.publish(docs, root, "doc_id", nBuckets = 16)

@@ -217,7 +217,14 @@ object SparkEntry {
   private[graft] val sessionConfLock = new Object
 
   private def runAvailableNow(df: DataFrame, outDir: String, ckpt: String,
-      partitions: Int = 8): Unit = {
+      partitions: Int = 8,
+      extraConfs: Map[String, String] = Map.empty): Unit = {
+    // extraConfs threads per-drain settings — above all the state-store
+    // provider (EventStreams.RocksDbStateStore, the 100-TB default; the
+    // bounded drain slices here stay on the built-in provider, the r11
+    // A/B's verdict for toy state). Set/restored inside the same lock
+    // window as the partition count; the running query keeps its
+    // start-time values (Structured Streaming clones the session).
     import org.apache.spark.sql.streaming.Trigger
     // State-store instances per stateful operator = shuffle partitions at
     // checkpoint creation, and EVERY micro-batch pays each store's
@@ -242,6 +249,8 @@ object SparkEntry {
       // watermark advance — with no-data batches disabled, funnel
       // timeouts and window closes would silently never fire
       s.conf.set(noDataKey, "true")
+      val prevExtra = extraConfs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      extraConfs.foreach { case (k, v) => s.conf.set(k, v) }
       try {
         val q = df.writeStream.format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt)
@@ -257,6 +266,10 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set(noDataKey, prevNoData)
+        prevExtra.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
       }
     }
   }

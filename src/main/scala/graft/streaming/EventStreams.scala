@@ -144,6 +144,24 @@ object EventStreams {
   }
 
   /**
+   * The 100-TB state-store default, as a conf map callers thread into
+   * `startExactlyOnceParquetSink` / the drain harnesses: RocksDB keeps
+   * state off-heap and on local disk with incremental checkpoint
+   * uploads, where the HDFS-backed default holds every store's full map
+   * in executor memory and re-uploads snapshots — the BASELINE.md r11
+   * A/B measured the default ahead only at toy state (bounded drain
+   * slices) and RocksDB ahead as state grows; at real key cardinality
+   * (millions of sessions/users per partition) RocksDB is the only
+   * provider that holds. Ambient sessions stay on the built-in default;
+   * this map OPTS a query in, pinned at query start (Structured
+   * Streaming clones the session when a query starts, so the setting is
+   * per-query, not a session-wide mutation).
+   */
+  val RocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /**
    * Exactly-once streaming table sink for non-transactional stores:
    * `foreachBatch` writing each micro-batch into a DETERMINISTIC
    * batch-id directory with overwrite semantics. After a crash between
@@ -153,16 +171,30 @@ object EventStreams {
    * idempotence recipe (batch output committed by rename, offsets by the
    * checkpoint; both replay-safe). Readers see the table as one
    * partitioned parquet dataset under `baseDir`.
+   *
+   * `confs` (e.g. [[RocksDbStateStore]]) apply for THIS query only: they
+   * are set before `start()` — which clones the session, freezing them
+   * into the query — and restored before returning.
    */
   def startExactlyOnceParquetSink(df: DataFrame, baseDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeBatchIdempotent(batch.toDF(), baseDir, batchId)
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      checkpoint: String, confs: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = df.sparkSession
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      df.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(batch.toDF(), baseDir, batchId)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   /** The idempotent per-batch write — exposed so specs (and manual
     * backfills) can exercise replay semantics directly. */

@@ -93,8 +93,21 @@ object Bench {
     // Failed reps are recorded as -1 in the raw series; the min is taken
     // over SUCCESSFUL reps only, and a query with zero successes reports
     // -1 so the failure is visible in the artifact.
+    // machine-readable load context (VERDICT r12 next #3): cross-host
+    // swings in per-query numbers kept needing prose adjudication against
+    // host load. Every rep now carries its wall-clock start and the
+    // 1-minute system loadavg at that moment, so a reader of the artifact
+    // can see "the 4.6 s rep started at loadavg 19" without a rerun.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadavg(): Double =
+      math.round(osBean.getSystemLoadAverage * 100.0) / 100.0
+    val benchStartMs = System.currentTimeMillis()
+    val loadStart = loadavg()
+    val repMeta = scala.collection.mutable.LinkedHashMap[String, Seq[(Long, Double)]]()
     val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        repMeta.updateWith(name)(prev => Some(prev.getOrElse(Seq.empty) :+
+          ((System.currentTimeMillis(), loadavg()))))
         val t0 = System.nanoTime()
         // a failed rep surfaces its cause on stderr (the JSON line on
         // stdout stays parseable): silent -1s cost a debugging session
@@ -135,7 +148,25 @@ object Bench {
     // so the comparable round-over-round number is per-query, not total
     val perQ = if (succeeded > 0) total / succeeded else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sec_per_query":$perQ,"reps":$reps,"queries":$qs,"queries_raw":$raw,"sf":"$sfDir"}"""
+    // per-rep (start epoch-ms, loadavg-at-start) series, parallel to
+    // queries_raw — the self-adjudication context
+    val meta = repMeta.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map { case (ts, la) => s"[$ts,$la]" }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // committed isolated-rerun verdicts (tools/adjudicated.json, written
+    // by tools/targeted_rerun.py --record): every slow row the discipline
+    // has already adjudicated carries its flag IN the artifact, so a >2 s
+    // number whose floor is structural reads as such machine-readably
+    val adjudicated: String =
+      try {
+        val p = java.nio.file.Paths.get("tools/adjudicated.json")
+        if (java.nio.file.Files.exists(p)) {
+          val txt = java.nio.file.Files.readString(p).trim
+          if (txt.startsWith("{")) txt else "{}"
+        } else "{}"
+      } catch { case _: Throwable => "{}" }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sec_per_query":$perQ,"reps":$reps,"bench_start_ms":$benchStartMs,"bench_end_ms":${System.currentTimeMillis()},"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"queries":$qs,"queries_raw":$raw,"queries_rep_meta":$meta,"adjudicated":$adjudicated,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout with an "[info] " prefix that can defeat a
     // line-oriented JSON parser — leave the raw line as a file artifact

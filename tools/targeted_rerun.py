@@ -15,8 +15,14 @@ the reference artifact — and re-runs each alone in a fresh JVM
 (SPARK_GRAFT_ONLY=<query>, same sf dir as the artifact). Prints a
 markdown table ready for BASELINE.md.
 
+With --record, verdicts are also merged into tools/adjudicated.json
+(query -> {in_suite_s, isolated_s, verdict, adjudicated_utc}), which
+graft.Bench embeds verbatim into every bench artifact as "adjudicated"
+— so a >2 s row whose floor is already isolated-confirmed carries its
+flag machine-readably instead of needing BASELINE.md prose.
+
 Usage: python3 tools/targeted_rerun.py [bench.json] [--threshold 2.0]
-           [--ref old_bench.json] [--sf <dir>] [--cpus 32]
+           [--ref old_bench.json] [--sf <dir>] [--cpus 32] [--record]
 """
 import argparse
 import json
@@ -49,6 +55,8 @@ def main() -> int:
                     help="prior bench json; select queries >1.5x their ref time")
     ap.add_argument("--sf", default=None, help="override sf dir")
     ap.add_argument("--cpus", default="32")
+    ap.add_argument("--record", action="store_true",
+                    help="merge verdicts into tools/adjudicated.json")
     args = ap.parse_args()
 
     with open(args.bench) as f:
@@ -86,6 +94,25 @@ def main() -> int:
     print("|---|---|---|---|")
     for q, t, iso, v in rows:
         print(f"| {q} | {t:.2f} | {iso:.2f} | {v} |")
+
+    if args.record:
+        import datetime
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "adjudicated.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ")
+        for q, t, iso, v in rows:
+            merged[q] = {"in_suite_s": round(t, 3), "isolated_s": round(iso, 3),
+                         "verdict": v, "adjudicated_utc": stamp}
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"recorded {len(rows)} verdicts into {path}", file=sys.stderr)
     return 0
 
 

@@ -1671,6 +1671,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE TRAINING oracled end to end (the trained-ANN precedent: the
+    // oracle replays the training itself, not just its output): 16 merges
+    // trained on the corpus pre-token frequency table — the distributed
+    // half is one groupBy; the merge loop runs over the compact freq
+    // table (driver-side here, unrolled CTE steps in the oracle)
+    "bpe_train" -> ((s, dir) => {
+      val m = graft.functions.Bpe.trainOn(t(s, dir, "documents"), "text", 16)
+      import s.implicits._
+      m.merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "l", "r").orderBy(col("rank"))
+    }),
+
     // greedy sequence packing on TRUE token counts (the budget that must
     // match the training tokenizer): same fold as seq_pack, counts from
     // bpe_count — no id array materialized on the count-only path
@@ -2722,6 +2735,50 @@ object SparkEntry {
       |bpe_docids AS (
       |  SELECT d.doc_id, coalesce(b.ids, []) AS ids
       |  FROM documents d LEFT JOIN bpe_perdoc b USING (doc_id))""".stripMargin
+  }
+
+  /** Unrolled replay of Bpe.train's greedy loop (`bpe_train` oracle):
+    * step i counts adjacent pairs over the working word-frequency table
+    * (same-symbol pairs excluded — the fixture contract), picks the
+    * (count desc, l asc, r asc) argmax, and rewrites every word merging
+    * all its occurrences (overlap-free since l != r). The per-step
+    * working tables chain as w0..w{n} — the pqLloydEncodeCtes unrolling
+    * pattern; with ~31 distinct pre-tokens each step is tiny. Every CTE
+    * is MATERIALIZED: p$i and w${i+1} both reference w$i, so default
+    * inlining would double the subtree per step — 2^16 expansion
+    * (measured: DuckDB died on file handles before planning). */
+  private def bpeTrainSql(numMerges: Int): String = {
+    val steps = (0 until numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+        |  SELECT w[CAST(j AS INT)] AS l, w[CAST(j + 1 AS INT)] AS r,
+        |    CAST(sum(n) AS BIGINT) AS c
+        |  FROM w$i, unnest(range(1, len(w))) AS t(j)
+        |  WHERE w[CAST(j AS INT)] <> w[CAST(j + 1 AS INT)]
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+        |w${i + 1} AS MATERIALIZED (
+        |  SELECT list_transform(
+        |      list_filter(range(1, len(w) + 1),
+        |        j -> NOT (j > 1 AND w[CAST(j - 1 AS INT)] = b.l
+        |              AND w[CAST(j AS INT)] = b.r)),
+        |      j -> CASE WHEN j < len(w) AND w[CAST(j AS INT)] = b.l
+        |                 AND w[CAST(j + 1 AS INT)] = b.r
+        |            THEN w[CAST(j AS INT)] || w[CAST(j + 1 AS INT)]
+        |            ELSE w[CAST(j AS INT)] END) AS w, n
+        |  FROM w$i CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until numMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l, r FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+      |  SELECT string_split(pt, '') AS w, CAST(n AS BIGINT) AS n FROM (
+      |    SELECT pt, count(*) AS n FROM (
+      |      SELECT unnest(regexp_extract_all(text,
+      |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS pt FROM documents)
+      |    GROUP BY pt)),
+      |$steps
+      |$union
+      |ORDER BY rank""".stripMargin
   }
 
   /** Dedup.spanDupStats oracle: tokenize like simhash/cms, identify each
@@ -4152,6 +4209,8 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "bpe_train" -> bpeTrainSql(16),
 
     // replay of Bpe.encode (bpeReplayCtes scaladoc): the merge loop runs
     // as the recursion, the id-sequence hash pins ORDER, not just count

@@ -241,6 +241,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "quality_score not evaluated in a projection")
   }
 
+  test("tokenize_bpe: one narrow codegen'd encode stage — no join, no agg, pruned scan") {
+    // real BPE is a per-row map: the merge loop runs inside the fused
+    // projection (memo-cached per executor), never as a UDF or a shuffle
+    val p = plan("tokenize_bpe")
+    assert(!p.contains("Join"), "tokenizer must not join anything")
+    assert(!p.contains("HashAggregate"), "tokenizer must not aggregate")
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex <= 1, s"tokenize plan has $ex exchanges (only the output sort is allowed):\n$p")
+    assert(p.contains("rangepartitioning"), "missing the output-sort exchange")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan reads columns the tokenizer never uses")
+    assert(p.linesIterator.exists(l =>
+      l.contains("bpe_encode(") && l.contains("Project [")),
+      "bpe_encode not evaluated in a projection")
+  }
+
+  test("ann_pq_reranked: both stages broadcast the bounded side; no cartesian; pruned cells") {
+    val p = plan("ann_pq_reranked")
+    assert(!p.contains("CartesianProduct"), "accidental cartesian product")
+    // stage 1 broadcasts the probe table, stage 2 the shortlist + queries:
+    // every join in the serve is a BroadcastHashJoin (the index side is
+    // never shuffled)
+    assert(!p.contains("SortMergeJoin"),
+      s"a serve join fell back to sort-merge — an index-side shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast serve joins")
+  }
+
   test("multimodal_audio: one narrow decode stage — no join, no agg, bounded exchanges") {
     // the audio featurizer is the same 100-TB shape as the image path: a
     // row-linear mapPartitions decode whose only exchanges are the

@@ -20,7 +20,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     // crude but effective: every FROM/JOIN target is a known table or a
     // CTE defined inside the same statement
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_0-9]+)\\s+AS\\s*\\(".r
+      val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_0-9]+)\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_0-9]+)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

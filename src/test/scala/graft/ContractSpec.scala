@@ -22,7 +22,9 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_0-9]+)\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
-      val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_0-9]+)".r
+      // (?<!distinct\s): `x IS NOT DISTINCT FROM y` is a predicate, not a
+      // table reference
+      val refs = "(?i)(?<!distinct\\s)(?:FROM|JOIN)\\s+([a-z_0-9]+)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- ctes.map(_.toLowerCase)
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")

@@ -700,6 +700,113 @@ object Multimodal {
     }(enc)
   }
 
+  /**
+   * JDK-backed general image codec: `javax.imageio` ships IN the JDK
+   * (no container dependency) with readers for JPEG, BMP, GIF, and PNG
+   * beyond the hand-rolled subset — palette, alpha (composited over
+   * black by channel truncation: we emit 1 or 3 channels), interlace.
+   * Output matches the codec contract: row-major interleaved channels,
+   * [0,1] floats at 8-bit resolution. The hand-rolled PngCodec stays the
+   * default for PNG because its arithmetic is documented and
+   * deterministic by construction; MultimodalSpec cross-validates the
+   * two bit-for-bit on shared ground. Unrecognized bytes fail loudly
+   * (ImageIO.read returns null — mapped to the codec contract's error),
+   * which is what `decodeWithQuarantine` catches.
+   */
+  object ImageIoCodec extends MediaCodec {
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          "ImageIO decode: unrecognized or corrupt image payload")
+      val w = img.getWidth; val h = img.getHeight
+      val gray = img.getColorModel.getNumColorComponents == 1
+      if (gray) {
+        val px = new Array[Float](w * h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = raster.getSample(x, y, 0) / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, 1, px)
+      } else {
+        val px = new Array[Float](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val o = (y * w + x) * 3
+            px(o) = ((rgb >> 16) & 0xff) / 255.0f
+            px(o + 1) = ((rgb >> 8) & 0xff) / 255.0f
+            px(o + 2) = (rgb & 0xff) / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, 3, px)
+      }
+    }
+  }
+
+  /**
+   * Quarantine-aware decode: the codec contract fails loudly on
+   * malformed payloads, and at 100 TB a curation pipeline wants those
+   * failures as ROWS (routed to a quarantine table for re-crawl or
+   * audit), not as task aborts that kill the whole stage after four
+   * retries. Same shape as `decodeAndFeaturize` plus `ok`/`error`
+   * columns: ok rows carry the features with error null, failed rows
+   * carry nulls with the codec's message. One narrow mapPartitions
+   * stage; `.filter(col("ok"))` / `.filter(!col("ok"))` split the
+   * streams downstream with no second decode.
+   */
+  def decodeWithQuarantine(media: DataFrame,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_channels", IntegerType, nullable = true),
+      StructField("mean_channel", ArrayType(DoubleType, containsNull = false), nullable = true),
+      StructField("channel_sum", ArrayType(LongType, containsNull = false), nullable = true),
+      StructField("error", StringType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null)
+          Row(id, false, null, null, null, null, null, "null payload")
+        else {
+          try {
+            val (w, h, c, px) = codec.decodeImage(bytes)
+            val means = new Array[Double](c)
+            val sums = new Array[Long](c)
+            var i = 0
+            while (i < px.length) {
+              means(i % c) += px(i)
+              sums(i % c) += math.round(px(i) * 255.0f).toLong
+              i += 1
+            }
+            var j = 0
+            while (j < c) { means(j) /= (w * h); j += 1 }
+            Row(id, true, w, h, c, means.toIndexedSeq, sums.toIndexedSeq, null)
+          } catch {
+            case e: Exception =>
+              Row(id, false, null, null, null, null, null,
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic frame-sampling plan for video-like payloads: every
     * `stride`-th frame index up to `maxFrames` — pure projection, the
     * actual frame decode sits behind the same codec boundary. */

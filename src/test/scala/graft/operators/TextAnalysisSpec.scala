@@ -215,6 +215,89 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](PngCodec.decodeImage(corrupt))
   }
 
+  test("ImageIO codec: JDK readers cross-validate the hand-rolled PNG decoder; JPEG/BMP decode") {
+    import Multimodal.{ImageIoCodec, PngCodec}
+    val px = new Array[Float](8 * 8 * 3)
+    for (r <- 0 until 8; c <- 0 until 8) {
+      px((r * 8 + c) * 3) = (r * 8 + c) / 255.0f
+      px((r * 8 + c) * 3 + 1) = 100 / 255.0f
+      px((r * 8 + c) * 3 + 2) = 200 / 255.0f
+    }
+    // our PNG bytes through the JDK reader: bit-identical pixels — two
+    // independent implementations agreeing on shared ground
+    val pngBytes = PngCodec.encodeImage(8, 8, 3, px, rowFilter = 4)
+    val (w1, h1, c1, viaJdk) = ImageIoCodec.decodeImage(pngBytes)
+    assert((w1, h1, c1) == (8, 8, 3))
+    assert(viaJdk.sameElements(px), "JDK PNG decode differs from PngCodec")
+    // JDK-written formats beyond the hand-rolled subset: BMP (lossless —
+    // exact) and JPEG (lossy — dims/channels exact, pixels approximate)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val o = (r * 8 + c) * 3
+      img.setRGB(c, r, ((px(o) * 255).round << 16) |
+        ((px(o + 1) * 255).round << 8) | (px(o + 2) * 255).round)
+    }
+    def writeAs(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val (bw, bh, bc, bmpPx) = ImageIoCodec.decodeImage(writeAs("bmp"))
+    assert((bw, bh, bc) == (8, 8, 3) && bmpPx.sameElements(px))
+    val (jw, jh, jc, jpgPx) = ImageIoCodec.decodeImage(writeAs("jpg"))
+    assert((jw, jh, jc) == (8, 8, 3))
+    val maxErr = jpgPx.zip(px).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 0.25, s"JPEG decode wildly off: max channel error $maxErr")
+    // garbage fails loudly (the contract decodeWithQuarantine catches)
+    intercept[IllegalArgumentException](
+      ImageIoCodec.decodeImage(Array[Byte](1, 2, 3, 4)))
+  }
+
+  test("quarantine decode: malformed payloads become rows, not task aborts") {
+    import spark.implicits._
+    import Multimodal.PngCodec
+    val px = Array.fill(12)(0.25f)
+    val good = PngCodec.encodeImage(2, 2, 3, px)
+    val truncated = good.take(good.length - 20)
+    // FDICT zlib stream inside a valid PNG frame: the ADVICE r12 hang
+    // case — must fail loudly (preset dictionary unsupported), and here
+    // must land in quarantine, never spin or abort the stage
+    val fdict = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(be32(data.length)); out.write(typ.getBytes("US-ASCII"))
+        out.write(data); out.write(be32(0)) // CRC unchecked by the codec
+      }
+      chunk("IHDR", be32(1) ++ be32(1) ++ Array[Byte](8, 0, 0, 0, 0))
+      // zlib header 0x78 0x20: FDICT set, (0x78*256+0x20) % 31 == 0
+      chunk("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6))
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, good), (2L, truncated), (3L, fdict), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val media = Multimodal.toMediaFrame(df, "id", "payload", "image/png")
+    val out = Multimodal.decodeWithQuarantine(media, PngCodec)
+      .orderBy("media_id").collect()
+    assert(out.length == 4, "every input row must surface exactly once")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getBoolean(1) && byId(1L).isNullAt(7))
+    assert(byId(1L).getSeq[Long](byId(1L).fieldIndex("channel_sum")) ==
+      Seq.fill(3)(4L * 64)) // 4 px × round(0.25·255)=64
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(!byId(id).getBoolean(1), s"row $id must quarantine")
+      assert(byId(id).isNullAt(2) && !byId(id).isNullAt(7))
+    }
+    assert(byId(3L).getString(7).contains("preset dictionary"),
+      s"FDICT case surfaced as: ${byId(3L).getString(7)}")
+    assert(byId(4L).getString(7).contains("null payload"))
+  }
+
   test("WAV codec: real RIFF/PCM audio bytes decode through the audio pipeline") {
     import spark.implicits._
     import Multimodal.WavCodec

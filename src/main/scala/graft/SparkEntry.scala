@@ -1979,6 +1979,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // quarantine routing oracled cross-engine: every third doc carries a
+    // deliberately-invalid payload (no P6 magic), the rest valid 2×2 PPM
+    // frames built from the text bytes — ok/error routing and the decoded
+    // channel sums both replay exactly in SQL (sums = ascii of the raster
+    // bytes; PPM maxval 255 makes round(px·255) the byte itself)
+    "multimodal_quarantine" -> ((s, dir) => {
+      val payload = when(col("doc_id") % 3 === 0,
+          encode(substring(col("text"), 1, 5), "UTF-8"))
+        .otherwise(encode(
+          concat(lit("P6\n2 2\n255\n"), substring(col("text"), 1, 12)), "UTF-8"))
+      val media = Multimodal.toMediaFrame(
+        t(s, dir, "documents").withColumn("payload", payload),
+        "doc_id", "payload", "image/ppm")
+      Multimodal.decodeWithQuarantine(media, Multimodal.PpmCodec)
+        .select(col("media_id"), col("ok"), col("n_channels"),
+          element_at(col("channel_sum"), 1).as("c0_sum"),
+          element_at(col("channel_sum"), 2).as("c1_sum"),
+          element_at(col("channel_sum"), 3).as("c2_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // multimodal resize: 8×8 → 4×4 block-sum downsample of the decoded
     // channel-0 plane — integer resampling arithmetic, hash-oracled
     "multimodal_resize" -> ((s, dir) => {
@@ -4868,6 +4889,25 @@ object SparkEntry {
         |  FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1)
         |SELECT source, doc_id, bin FROM packed
         |ORDER BY source, doc_id""".stripMargin,
+
+    // quarantine routing + PPM raster sums: channel c's sum over the 2×2
+    // frame is the ascii of raster bytes c, c+3, c+6, c+9 (1-based
+    // substr c+1, c+4, ...); invalid payloads (doc_id % 3 = 0) are
+    // ok=false with null features
+    "multimodal_quarantine" ->
+      """SELECT doc_id AS media_id,
+        |  doc_id % 3 <> 0 AS ok,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 3 END AS n_channels,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE
+        |    CAST(ascii(substr(text, 1, 1)) + ascii(substr(text, 4, 1))
+        |       + ascii(substr(text, 7, 1)) + ascii(substr(text, 10, 1)) AS BIGINT) END AS c0_sum,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE
+        |    CAST(ascii(substr(text, 2, 1)) + ascii(substr(text, 5, 1))
+        |       + ascii(substr(text, 8, 1)) + ascii(substr(text, 11, 1)) AS BIGINT) END AS c1_sum,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE
+        |    CAST(ascii(substr(text, 3, 1)) + ascii(substr(text, 6, 1))
+        |       + ascii(substr(text, 9, 1)) + ascii(substr(text, 12, 1)) AS BIGINT) END AS c2_sum
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // replay of Multimodal.OracleCodec: seed = Σ byte·(i·131+7 mod P) mod P,
     // channel-0 pixel sum over the 8×8×3 deterministic "image"

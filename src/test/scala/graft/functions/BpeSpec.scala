@@ -12,7 +12,7 @@ import graft.SparkTestBase
  * tokenize_bpe / seq_pack_bpe / doc_chunk_bpe oracles; here the
  * semantics are pinned on hand-computable corpora.
  */
-class BpeSpec extends AnyFunSuite with SparkTestBase {
+class BpeSpec extends AnyFunSuite with SparkTestBase with graft.PropHelper {
 
   test("training: frequency-greedy with deterministic tie-break, same-symbol pairs skipped") {
     // corpus: "ab" x3, "abc" x2, "aa" x5 — pair counts: (a,b)=5, (b,c)=2,
@@ -106,5 +106,61 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     val f = Bpe.default
     val first = f.encodeWord("columnstore")
     assert(f.encodeWord("columnstore").toSeq == first.toSeq)
+  }
+
+  test("bpe_decode expression inverts bpe_encode on the pre-token stream; UNK refuses") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val got = Seq("the window sort", "query vector scan")
+      .toDF("text")
+      .select(Bpe.bpe_decode(Bpe.bpe_encode(col("text"))).as("rt"),
+        regexp_replace(col("text"), "\\s+", "").as("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+    intercept[Exception](spark.sql("SELECT bpe_decode(array(0))").head)
+  }
+
+  // ---------------------------------------------------- property checks
+
+  test("property: greedy encode invariants over arbitrary ASCII words and trained models") {
+    import org.scalacheck.Gen
+    val wordGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'f')).map(_.mkString))
+    val corpusGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, wordGen))
+    forAllG(corpusGen, Gen.choose(0, 10)) { (corpus, numMerges) =>
+      val m = Bpe.Model(Bpe.train(corpus.map(_ -> 1L), numMerges))
+      corpus.foreach { w =>
+        val ids = m.encodeWord(w)
+        // token count bounded by char count; at least 1 for nonempty
+        assert(ids.length >= 1 && ids.length <= w.length)
+        // decode inverts (all chars a-f are in the base vocab)
+        assert(m.decode(ids.toIndexedSeq) == w, s"roundtrip of '$w'")
+        // fixpoint: no adjacent pair of the final sequence is mergeable
+        val toks = ids.map(m.vocabById)
+        toks.zip(toks.drop(1)).foreach { case (l, r) =>
+          assert(!m.merges.contains((l, r)),
+            s"encode of '$w' stopped with mergeable pair ($l,$r)")
+        }
+      }
+    }
+  }
+
+  test("property: training merge count bounded; merges only concatenate existing tokens") {
+    import org.scalacheck.Gen
+    val wordGen = Gen.choose(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'd')).map(_.mkString))
+    forAllG(Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, wordGen))) { corpus =>
+      val merges = Bpe.train(corpus.map(_ -> 2L), 20)
+      // every merge's left/right is a base char or an earlier merge result
+      val known = scala.collection.mutable.Set[String]() ++
+        corpus.flatMap(_.map(_.toString))
+      merges.foreach { case (l, r) =>
+        assert(known(l) && known(r), s"merge ($l,$r) from unknown symbols")
+        assert(l != r)
+        known += (l + r)
+      }
+      // merged total never exceeds total adjacent pairs available
+      assert(merges.length <= corpus.map(w => w.length - 1).sum)
+    }
   }
 }

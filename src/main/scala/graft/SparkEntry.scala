@@ -595,6 +595,36 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // §2.9 seventh oracled streaming row, on Spark 4's transformWithState
+    // (the arbitrary-state API: typed ValueState + explicit event-time
+    // timers, RocksDB-required — threaded via the extraConfs knob): the
+    // TWS sessionizer drains the slice, the sentinel advances the
+    // watermark past every session's idle timer, and the closed sessions
+    // replay against the batch gaps-and-islands SQL (µs-exact gap
+    // arithmetic, sid = per-user session order)
+    "events_session_stream" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      import EventStreams.Event
+      val ss = s
+      import ss.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val slice = events(s, dir).filter(col("user_id") % 8 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (outDir, ckpt, feedDir) = freshStreamDirs("twssess", dir)
+      val feed = stageFeed(slice, feedDir, farFutureSentinel(slice, "view"))
+      runAvailableNow(EventStreams.sessionizeTws(feed.as[Event]).toDF(),
+        outDir, ckpt, extraConfs = EventStreams.RocksDbStateStore)
+      s.read.parquet(outDir).filter(col("user_id") >= 0)
+        .withColumn("sid", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("start_us")))
+          .cast("long"))
+        .select(col("user_id"), col("sid"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("sid"))
+    }),
+
     // §2.9 third oracled streaming row: the DEDUP state-store pattern
     // (EventStreams.dedupStream = dropDuplicatesWithinWatermark),
     // completing oracle coverage of all three streaming state models
@@ -3910,6 +3940,27 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM m)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM s
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
+
+    // the TWS drain's closed sessions == the batch gaps-and-islands
+    // sessions over the same slice (sentinel/reserved user excluded)
+    "events_session_stream" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id % 8 = 0),
         |m AS (
         |  SELECT *, CASE WHEN prev IS NULL
         |      OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk

@@ -242,33 +242,128 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val out = Seq.newBuilder[SessionOut]
-          var st = state.getOption.orNull
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            if (st == null) st = SessionState(t, t, 1, e.value)
-            else if (t - st.last > gapMs) {
-              out += SessionOut(userId, new Timestamp(st.start), st.n, st.total, "gap")
-              st = SessionState(t, t, 1, e.value)
-            } else {
-              st = SessionState(st.start, t, st.n + 1, st.total + e.value)
-              if (st.n >= maxEvents) {
-                out += SessionOut(userId, new Timestamp(st.start), st.n, st.total, "cap")
-                st = null
+          // timeout invocations come with NO rows and must be handled
+          // FIRST: the previous shape re-armed the (already-expired)
+          // timer before checking hasTimedOut, which (a) made the
+          // timeout-emit branch unreachable and (b) threw once the
+          // watermark had jumped past last+gap ("timeout timestamp
+          // cannot be earlier than the watermark") — surfaced by the
+          // transformWithState parity spec, which drives all three
+          // close paths in one drain
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), s.n, s.total, "timeout"))
+          } else {
+            val out = Seq.newBuilder[SessionOut]
+            var st = state.getOption.orNull
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.last > gapMs) {
+                out += SessionOut(userId, new Timestamp(st.start), st.n, st.total, "gap")
+                st = SessionState(t, t, 1, e.value)
+              } else {
+                st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+                if (st.n >= maxEvents) {
+                  out += SessionOut(userId, new Timestamp(st.start), st.n, st.total, "cap")
+                  st = null
+                }
               }
             }
+            if (st != null) {
+              state.update(st)
+              // the event-time timeout may not precede the watermark; a
+              // session already idle past the gap when its batch lands
+              // times out at the next watermark tick instead
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, st.last + gapMs))
+            } else state.remove()
+            out.result().iterator
           }
-          if (st != null) {
-            state.update(st)
-            state.setTimeoutTimestamp(st.last + gapMs)
-          } else state.remove()
-          if (state.hasTimedOut) {
-            state.getOption.foreach(s =>
-              out += SessionOut(userId, new Timestamp(s.start), s.n, s.total, "timeout"))
-            state.remove()
-          }
-          out.result().iterator
       }
+  }
+
+  /** µs-resolution session state/output for the transformWithState
+    * sessionizer: everything integer so the drain output replays against
+    * the batch gaps-and-islands SQL with no timestamp reconstruction. */
+  final case class SessionStateUs(startUs: Long, lastUs: Long, n: Int, total: Double)
+  final case class SessionOutUs(user_id: Long, start_us: Long, n_events: Int,
+      total_value: Double, closed_by: String)
+
+  /**
+   * The same sessionizer on Spark 4's `transformWithState` — the
+   * arbitrary-state API that supersedes flatMapGroupsWithState (typed
+   * ValueState/ListState/MapState handles, explicit timers, initial
+   * state, state TTL; and it REQUIRES the RocksDB state-store provider,
+   * which is this engine's documented 100-TB default anyway —
+   * [[RocksDbStateStore]]). Session semantics are `sessionize`'s with
+   * µs-exact gap arithmetic: break strictly-greater than the gap,
+   * per-session event cap, event-time timers closing idle sessions.
+   * Timers are registered per batch and staleness-checked at expiry
+   * (a later event extends the session past an earlier timer; the stale
+   * timer must not close it).
+   */
+  class SessionProcessor(gapMs: Long, maxEvents: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOutUs] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionStateUs] = _
+    private def gapUs = gapMs * 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionStateUs]("session",
+        org.apache.spark.sql.Encoders.product[SessionStateUs], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionOutUs] = {
+      val out = Seq.newBuilder[SessionOutUs]
+      var s = if (st.exists()) st.get() else null
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        if (s == null) s = SessionStateUs(t, t, 1, e.value)
+        else if (t - s.lastUs > gapUs) {
+          out += SessionOutUs(userId, s.startUs, s.n, s.total, "gap")
+          s = SessionStateUs(t, t, 1, e.value)
+        } else {
+          s = SessionStateUs(s.startUs, t, s.n + 1, s.total + e.value)
+          if (s.n >= maxEvents) {
+            out += SessionOutUs(userId, s.startUs, s.n, s.total, "cap")
+            s = null
+          }
+        }
+      }
+      if (s != null) {
+        st.update(s)
+        getHandle.registerTimer(s.lastUs / 1000L + gapMs + 1)
+      } else st.clear()
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOutUs] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        // stale-timer guard: only the timer matching the CURRENT session
+        // tail closes it
+        if (info.getExpiryTimeInMs >= s.lastUs / 1000L + gapMs + 1) {
+          st.clear()
+          Iterator(SessionOutUs(userId, s.startUs, s.n, s.total, "timeout"))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      maxEvents: Int = 1000): Dataset[SessionOutUs] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs, maxEvents),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /**

@@ -408,6 +408,52 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq(1L, 2L, 3L))
   }
 
+  test("transformWithState sessionizer: parity with flatMapGroupsWithState on gap, cap, and timeout closes") {
+    // Spark 4's arbitrary-state API (ValueState + explicit timers,
+    // RocksDB-only by design) must close the same sessions as the
+    // flatMapGroupsWithState sessionizer — gap-closed mid-stream,
+    // cap-closed at maxEvents, timeout-closed by the watermark.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val data = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(70), 1, "a", 4.0), // >30m gap: closes session 1
+      Event(4, ts(75), 1, "a", 8.0),
+      Event(5, ts(0), 2, "b", 1.0), Event(6, ts(1), 2, "b", 1.0),
+      Event(7, ts(2), 2, "b", 1.0), // cap=3 closes user 2's session
+      Event(8, ts(400), 9, "w", 0.0)) // watermark push: times out stragglers
+    def viaTws(): Seq[(Long, Int, Double, String)] = {
+      val mem = MemoryStream[Event]
+      mem.addData(data: _*)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      EventStreams.RocksDbStateStore.foreach { case (k, v) => s.conf.set(k, v) }
+      try runStream(
+        EventStreams.sessionizeTws(mem.toDS(), maxEvents = 3).toDF(), "tws_sess")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.table("tws_sess").orderBy("user_id", "start_us")
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3),
+          r.getString(4))).toSeq
+    }
+    def viaFmgws(): Seq[(Long, Int, Double, String)] = {
+      val mem = MemoryStream[Event]
+      mem.addData(data: _*)
+      runStream(EventStreams.sessionize(mem.toDS(), maxEvents = 3).toDF(), "fm_sess")
+      spark.table("fm_sess").orderBy("user_id", "session_start")
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3),
+          r.getString(4))).toSeq
+    }
+    val tws = viaTws()
+    val fm = viaFmgws()
+    assert(tws.nonEmpty, "TWS drain emitted nothing")
+    assert(tws == fm, s"TWS sessions $tws != flatMapGroupsWithState $fm")
+    // the close reasons cover all three paths in one drain
+    assert(tws.map(_._4).toSet == Set("gap", "cap", "timeout"))
+  }
+
   test("RocksDB state store: stateful drain output identical to the default provider") {
     // VERDICT r12 next #8: the provider knob surfaced. The same
     // watermarked windowed aggregation drains once under each provider;

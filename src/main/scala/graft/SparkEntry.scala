@@ -1844,6 +1844,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // token-budget curation on TRUE token counts — the last token-budget
+    // operator moved off the whitespace approximation (VERDICT r12 #1's
+    // point): same typicality ranking, budget counted in BPE tokens
+    "budget_sample_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.docTypicality(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          graft.functions.Bpe.bpe_count(col("text")).cast("long").as("n_bpe")),
+          "doc_id")
+      graft.operators.Sampling.tokenBudgetSample(
+        scored, "doc_id", "typ_score", "n_bpe", budget = 10000L,
+        scoreRange = Some((0.0, 1e6)))
+        .select(col("doc_id"), col("n_bpe"), col("typ_score"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the full curation pipeline as ONE declarative plan (the north-star
     // composition): quality gate → exact dedup (keep min id per text) →
     // deterministic split → per-split counts. Catalyst fuses the gate into
@@ -4606,6 +4622,20 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM scored)
         |SELECT doc_id, n_toks, typ_score, cum_tokens
+        |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+
+    "budget_sample_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCtes,
+        |$TypicalityCtes,
+        |j AS (
+        |  SELECT s.doc_id, CAST(len(b.ids) AS BIGINT) AS n_bpe, s.typ_score
+        |  FROM scored s JOIN bpe_docids b USING (doc_id)),
+        |c AS (
+        |  SELECT doc_id, n_bpe, typ_score,
+        |    CAST(sum(n_bpe) OVER (ORDER BY typ_score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM j)
+        |SELECT doc_id, n_bpe, typ_score, cum_tokens
         |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,

@@ -1780,6 +1780,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // mixture rebalancing with stratum mass in TRUE tokens: the same
+    // ⌊P·T_min/T_s⌋ thresholds and hash keep test, measured in BPE
+    // tokens — with this, every token-budget operator in the engine
+    // (pack, chunk, budget prefix, mixture) counts real tokens
+    "mixture_sample_bpe" -> ((s, dir) => {
+      graft.operators.Sampling.rebalanceToUniformBy(
+        t(s, dir, "documents"), "doc_id", "source",
+        graft.functions.Bpe.bpe_count(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.Bpe.bpe_count(col("text")).cast("long")).as("toks_kept"))
+        .orderBy(col("source"))
+    }),
+
     // quality-weighted deterministic sampling (importance mixing): keep
     // probability scales with document length, capped at wMax — pure
     // int64 keep test, scan-only plan
@@ -4916,6 +4930,24 @@ object SparkEntry {
         |  SELECT d.source, len(string_split_regex(trim(d.text), '\s+')) AS tok
         |  FROM documents d JOIN toks s ON d.source = s.source, m
         |  WHERE (d.doc_id * 2654435761) % 1000000007 <
+        |    CASE WHEN s.t <= 0 THEN 1000000007
+        |         ELSE (1000000007 * m.tmin) // s.t END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS toks_kept
+        |FROM kept GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "mixture_sample_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCtes,
+        |bt AS (
+        |  SELECT d.doc_id, d.source, CAST(len(b.ids) AS BIGINT) AS tok
+        |  FROM documents d JOIN bpe_docids b USING (doc_id)),
+        |toks AS (SELECT source, CAST(sum(tok) AS BIGINT) AS t FROM bt GROUP BY source),
+        |m AS (SELECT min(t) AS tmin FROM toks),
+        |kept AS (
+        |  SELECT bt.source, bt.tok
+        |  FROM bt JOIN toks s ON bt.source = s.source, m
+        |  WHERE (bt.doc_id * 2654435761) % 1000000007 <
         |    CASE WHEN s.t <= 0 THEN 1000000007
         |         ELSE (1000000007 * m.tmin) // s.t END)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

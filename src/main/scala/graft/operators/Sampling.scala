@@ -178,12 +178,21 @@ object Sampling {
 
   def rebalanceToUniform(df: DataFrame, idCol: String, stratumCol: String,
       textCol: String, salt: Long = 0L,
+      caseChainMax: Int = RebalanceCaseChainMax): DataFrame =
+    rebalanceToUniformBy(df, idCol, stratumCol,
+      TextAnalysis.tokenCount(col(textCol)), salt, caseChainMax)
+
+  /** rebalanceToUniform with a caller-supplied token-count expression —
+    * the real-tokenizer variant measures stratum mass in BPE tokens
+    * (`Bpe.bpe_count`); identical thresholds and keep test. */
+  def rebalanceToUniformBy(df: DataFrame, idCol: String, stratumCol: String,
+      tokExpr: org.apache.spark.sql.Column, salt: Long = 0L,
       caseChainMax: Int = RebalanceCaseChainMax): DataFrame = {
     // null-safe collection: a NULL stratum key groups under SQL NULL
     // (dropped — both lookup paths treat it as unseen), and an all-NULL
     // text stratum sums to NULL → token mass 0
     val totals = df.groupBy(col(stratumCol).cast("string").as("__s"))
-      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
+      .agg(sum(tokExpr.cast("long")).as("__t"))
       .collect().flatMap { r =>
         Option(r.getString(0)).map(s => s -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       }

@@ -304,12 +304,38 @@ object EventStreams {
    * (a later event extends the session past an earlier timer; the stale
    * timer must not close it).
    */
+  /** The sessionizer's pure fold, shared by the TWS processors and the
+    * batch bootstrap: (open state or null, events in (µs, id) order) →
+    * (new open state or null, sessions closed along the way). */
+  private[streaming] def sessionFold(userId: Long, s0: SessionStateUs,
+      events: Seq[Event], gapUs: Long, maxEvents: Int)
+      : (SessionStateUs, Seq[SessionOutUs]) = {
+    val out = Seq.newBuilder[SessionOutUs]
+    var s = s0
+    events.foreach { e =>
+      val t = micros(e.ts)
+      if (s == null) s = SessionStateUs(t, t, 1, e.value)
+      else if (t - s.lastUs > gapUs) {
+        out += SessionOutUs(userId, s.startUs, s.n, s.total, "gap")
+        s = SessionStateUs(t, t, 1, e.value)
+      } else {
+        s = SessionStateUs(s.startUs, t, s.n + 1, s.total + e.value)
+        if (s.n >= maxEvents) {
+          out += SessionOutUs(userId, s.startUs, s.n, s.total, "cap")
+          s = null
+        }
+      }
+    }
+    (s, out.result())
+  }
+
   class SessionProcessor(gapMs: Long, maxEvents: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, SessionOutUs] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
-    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionStateUs] = _
-    private def gapUs = gapMs * 1000L
+    @transient protected var st: org.apache.spark.sql.streaming.ValueState[SessionStateUs] = _
+    protected def gapUs: Long = gapMs * 1000L
+    protected def timerFor(s: SessionStateUs): Long = s.lastUs / 1000L + gapMs + 1
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[SessionStateUs]("session",
@@ -317,27 +343,14 @@ object EventStreams {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[SessionOutUs] = {
-      val out = Seq.newBuilder[SessionOutUs]
-      var s = if (st.exists()) st.get() else null
-      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-        val t = micros(e.ts)
-        if (s == null) s = SessionStateUs(t, t, 1, e.value)
-        else if (t - s.lastUs > gapUs) {
-          out += SessionOutUs(userId, s.startUs, s.n, s.total, "gap")
-          s = SessionStateUs(t, t, 1, e.value)
-        } else {
-          s = SessionStateUs(s.startUs, t, s.n + 1, s.total + e.value)
-          if (s.n >= maxEvents) {
-            out += SessionOutUs(userId, s.startUs, s.n, s.total, "cap")
-            s = null
-          }
-        }
-      }
+      val s0 = if (st.exists()) st.get() else null
+      val (s, out) = sessionFold(userId, s0,
+        rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)), gapUs, maxEvents)
       if (s != null) {
         st.update(s)
-        getHandle.registerTimer(s.lastUs / 1000L + gapMs + 1)
+        getHandle.registerTimer(timerFor(s))
       } else st.clear()
-      out.result().iterator
+      out.iterator
     }
 
     override def handleExpiredTimer(userId: Long, tv: TimerValues,
@@ -347,12 +360,99 @@ object EventStreams {
         val s = st.get()
         // stale-timer guard: only the timer matching the CURRENT session
         // tail closes it
-        if (info.getExpiryTimeInMs >= s.lastUs / 1000L + gapMs + 1) {
+        if (info.getExpiryTimeInMs >= timerFor(s)) {
           st.clear()
           Iterator(SessionOutUs(userId, s.startUs, s.n, s.total, "timeout"))
         } else Iterator.empty
       }
     }
+  }
+
+  /**
+   * Warm-start variant (`StatefulProcessorWithInitialState`): streaming
+   * state BOOTSTRAPPED from a batch snapshot — the production shape when
+   * a sessionizing stream starts against a table of history (backfill,
+   * migration off another engine, disaster recovery into a fresh
+   * checkpoint). Each user's open session from the batch fold seeds the
+   * store before the first micro-batch, with its idle timer registered,
+   * so a session spanning the batch/stream boundary is ONE session.
+   */
+  class SessionProcessorWithInit(gapMs: Long, maxEvents: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, SessionOutUs, SessionStateUs] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionStateUs] = _
+    private def gapUs: Long = gapMs * 1000L
+    private def timerFor(s: SessionStateUs): Long = s.lastUs / 1000L + gapMs + 1
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionStateUs]("session",
+        org.apache.spark.sql.Encoders.product[SessionStateUs], TTLConfig.NONE)
+
+    override def handleInitialState(userId: Long, initial: SessionStateUs,
+        tv: TimerValues): Unit = {
+      st.update(initial)
+      getHandle.registerTimer(timerFor(initial))
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionOutUs] = {
+      val s0 = if (st.exists()) st.get() else null
+      val (s, out) = sessionFold(userId, s0,
+        rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)), gapUs, maxEvents)
+      if (s != null) {
+        st.update(s)
+        getHandle.registerTimer(timerFor(s))
+      } else st.clear()
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOutUs] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        if (info.getExpiryTimeInMs >= timerFor(s)) {
+          st.clear()
+          Iterator(SessionOutUs(userId, s.startUs, s.n, s.total, "timeout"))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Batch half of the warm start: fold history per user with the SAME
+    * fold the stream runs; returns (sessions already closed inside the
+    * history, each user's still-open state to seed the stream with). */
+  def bootstrapSessions(history: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L, maxEvents: Int = 1000)
+      : (Dataset[SessionOutUs], Dataset[(Long, SessionStateUs)]) = {
+    import history.sparkSession.implicits._
+    val grouped = history.groupByKey(_.user_id)
+    val closed = grouped.flatMapGroups { (uid, it) =>
+      sessionFold(uid, null,
+        it.toSeq.sortBy(e => (micros(e.ts), e.event_id)),
+        gapMs * 1000L, maxEvents)._2.iterator
+    }
+    val open = grouped.flatMapGroups { (uid, it) =>
+      Option(sessionFold(uid, null,
+        it.toSeq.sortBy(e => (micros(e.ts), e.event_id)),
+        gapMs * 1000L, maxEvents)._1).map(uid -> _).iterator
+    }
+    (closed, open)
+  }
+
+  def sessionizeTwsWarm(events: Dataset[Event],
+      initial: Dataset[(Long, SessionStateUs)],
+      gapMs: Long = 30 * 60 * 1000L,
+      maxEvents: Int = 1000): Dataset[SessionOutUs] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorWithInit(gapMs, maxEvents),
+        TimeMode.EventTime(), OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 
   def sessionizeTws(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,

@@ -1893,6 +1893,26 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // the TOKENIZER-TRUE pipeline capstone: rule gate → exact dedup →
+    // BPE-mass mixture rebalance → greedy packing on real token counts,
+    // ONE Catalyst plan — the "assemble training batches" end of the
+    // curation story with every budget measured in true tokens. Output =
+    // each surviving doc's (source, bin) assignment, which pins every
+    // upstream decision (gate, survivor choice, keep test, pack fold);
+    // the oracle chains the proven fragments plus the BPE replay
+    "pipeline_tokenize" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val clean = TextAnalysis.qualityFilter(
+        graft.operators.Par.ensureParallelism(t(s, dir, "documents")), "text")
+        .select(col("doc_id"), col("source"), col("text")).cache()
+      val deduped = Dedup.dropExactDuplicates(clean, "doc_id", "text")
+      val balanced = graft.operators.Sampling.rebalanceToUniformBy(
+        deduped, "doc_id", "source", Bpe.bpe_count(col("text")))
+      TextAnalysis.packSequencesBy(balanced, "source", "doc_id",
+        Bpe.bpe_count(col("text")), budget = 400)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // the pretrain-prep capstone: model gate → mixture rebalance → chunk,
     // composed in ONE Catalyst plan (pipeline_curate covers the rule-gate
     // flavor; this is the model-driven flavor over three late-round
@@ -4653,6 +4673,56 @@ object SparkEntry {
         |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
+
+    // replay of the tokenizer-true pipeline: gate → dedup → BPE-mass
+    // mixture keep test → greedy pack recursion over the survivors
+    "pipeline_tokenize" ->
+      s"""WITH RECURSIVE $bpeReplayCtes,
+        |st AS (
+        |  SELECT doc_id, source, text,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |        w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id, source, text FROM st
+        |  WHERE n_tokens >= 10 AND n_tokens <= 100000
+        |    AND n_punct * 100 <= n_chars * 20
+        |    AND n_alpha * 100 >= n_chars * 50
+        |    AND n_stop >= 1),
+        |dd AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM clean),
+        |kept AS (SELECT doc_id, source FROM dd WHERE rn = 1),
+        |kb AS (
+        |  SELECT k.doc_id, k.source, CAST(len(b.ids) AS BIGINT) AS tok
+        |  FROM kept k JOIN bpe_docids b USING (doc_id)),
+        |tots AS (SELECT source, CAST(sum(tok) AS BIGINT) AS t FROM kb GROUP BY source),
+        |mt AS (SELECT min(t) AS tmin FROM tots),
+        |bal AS (
+        |  SELECT kb.source, kb.doc_id, kb.tok
+        |  FROM kb JOIN tots s ON kb.source = s.source, mt
+        |  WHERE (kb.doc_id * 2654435761) % 1000000007 <
+        |    CASE WHEN s.t <= 0 THEN 1000000007
+        |         ELSE (1000000007 * mt.tmin) // s.t END),
+        |ptoks AS (
+        |  SELECT source, doc_id, tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM bal),
+        |ppacked AS (
+        |  SELECT source, doc_id, tok, rn, CAST(0 AS BIGINT) AS bin, tok AS running
+        |  FROM ptoks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.doc_id, t.tok, t.rn,
+        |    CASE WHEN p.running + t.tok > 400 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.running + t.tok > 400 THEN t.tok ELSE p.running + t.tok END
+        |  FROM ptoks t JOIN ppacked p ON t.source = p.source AND t.rn = p.rn + 1)
+        |SELECT source, doc_id, bin FROM ppacked
+        |ORDER BY source, doc_id""".stripMargin,
 
     // replay of the composed pipeline: quality predicate (integer
     // cross-multiplications) → one-survivor-per-text via row_number →

@@ -346,9 +346,16 @@ object EventStreams {
       val s0 = if (st.exists()) st.get() else null
       val (s, out) = sessionFold(userId, s0,
         rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)), gapUs, maxEvents)
+      // retire the superseded timer: without this every batch a key
+      // appears in leaves one more dormant timer in the store — bounded
+      // in a drain, unbounded on a long-lived stream. The stale-check in
+      // handleExpiredTimer stays as the belt to this suspender.
+      if (s0 != null && (s == null || timerFor(s) != timerFor(s0)))
+        getHandle.deleteTimer(timerFor(s0))
       if (s != null) {
         st.update(s)
-        getHandle.registerTimer(timerFor(s))
+        if (s0 == null || timerFor(s) != timerFor(s0))
+          getHandle.registerTimer(timerFor(s))
       } else st.clear()
       out.iterator
     }
@@ -400,9 +407,16 @@ object EventStreams {
       val s0 = if (st.exists()) st.get() else null
       val (s, out) = sessionFold(userId, s0,
         rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)), gapUs, maxEvents)
+      // retire the superseded timer: without this every batch a key
+      // appears in leaves one more dormant timer in the store — bounded
+      // in a drain, unbounded on a long-lived stream. The stale-check in
+      // handleExpiredTimer stays as the belt to this suspender.
+      if (s0 != null && (s == null || timerFor(s) != timerFor(s0)))
+        getHandle.deleteTimer(timerFor(s0))
       if (s != null) {
         st.update(s)
-        getHandle.registerTimer(timerFor(s))
+        if (s0 == null || timerFor(s) != timerFor(s0))
+          getHandle.registerTimer(timerFor(s))
       } else st.clear()
       out.iterator
     }

@@ -18,6 +18,13 @@ import graft.SparkTestBase
  */
 class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
 
+  /** Order-insensitive serve equality (see SimilaritySpec.CanonOps). */
+  private implicit class CanonOps[T](rows: Array[T]) {
+    def sameRows(other: Array[T]): Boolean =
+      rows.map(String.valueOf(_: Any)).sorted
+        .sameElements(other.map(String.valueOf(_: Any)).sorted)
+  }
+
   private lazy val emb = spark.read.parquet(sf("embeddings"))
 
   test("append killed before manifest commit: previous index serves; re-commit publishes exactly the batch") {
@@ -62,7 +69,7 @@ class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
     // the torn index serves the PRE-append view, bit-for-bit
     val during = Similarity.ivfTopKServed(spark, idx, queries,
       "vec_id", "embedding", k = 3, indexKey = "crash-app").collect()
-    assert(during.sameElements(before),
+    assert(during.sameRows(before),
       "a crashed append leaked uncommitted rows into the served view")
     assert(!during.exists(_.getLong(2) >= 300),
       "served results contain batch-only neighbors before any commit")
@@ -79,7 +86,7 @@ class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
       indexKey = "crash-app")
     val clean = Similarity.ivfTopKServed(spark, idx2, queries,
       "vec_id", "embedding", k = 3, indexKey = "crash-app").collect()
-    assert(after.sameElements(clean))
+    assert(after.sameRows(clean))
     TrainedIndex.invalidate()
   }
 
@@ -120,7 +127,7 @@ class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
       indexKey = "retry-app")
     val clean = Similarity.ivfTopKServed(spark, idx2, queries,
       "vec_id", "embedding", k = 3, indexKey = "retry-app").collect()
-    assert(served.sameElements(clean))
+    assert(served.sameRows(clean))
     // vacuum on an untouched pre-manifest index is a no-op (nothing is
     // "uncommitted" when no manifest exists)
     val fs = new org.apache.hadoop.fs.Path(idx2)
@@ -153,7 +160,7 @@ class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
         Similarity.ivfTopKServed(spark, idx, queries,
           "vec_id", "embedding", k = 3, indexKey = "conc-serve").collect()
       }))
-      Await.result(runs, 120.seconds).foreach(r => assert(r.sameElements(serial)))
+      Await.result(runs, 120.seconds).foreach(r => assert(r.sameRows(serial)))
       // the interleaved set/restore pairs must leave the session conf as
       // it was — a stranded elevated threshold is the leak the lock closes
       assert(spark.conf.get(tKey) == "1")

@@ -8,6 +8,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val emb = spark.read.parquet(sf("embeddings")).cache()
 
+  /** Order-insensitive result equality: serve plans rank with per-query
+    * row_number windows, so cross-partition OUTPUT order is incidental —
+    * compare canonical sorted renderings instead of raw collect order
+    * (the IvfDeleteSpec ADVICE r12 finding, fixed suite-wide). */
+  private implicit class CanonOps[T](rows: Array[T]) {
+    def sameRows(other: Array[T]): Boolean =
+      rows.map(String.valueOf(_: Any)).sorted
+        .sameElements(other.map(String.valueOf(_: Any)).sorted)
+  }
+
   test("brute-force topK returns k ranked neighbors per query") {
     val queries = emb.filter(col("vec_id") < 5)
     val res = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
@@ -180,7 +190,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(copyDist.isDefined, s"query $qid: exact copy not in top-10")
       assert(copyDist.get == mine.map(_._4).min)
     }
-    assert(got.sameElements(run())) // deterministic
+    assert(got.sameRows(run())) // deterministic
   }
 
   test("TrainedIndex: caches per full key, serves without retraining, invalidates per corpus") {
@@ -242,7 +252,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cents.nonEmpty && cents.head.nonEmpty)
     val served = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding",
       k = 3, indexKey = Some(key)).collect()
-    assert(served.sameElements(trained))
+    assert(served.sameRows(trained))
     // selective save honors onlyKeys
     TrainedIndex.getOrTrain(Some("other:key"))(IndexedSeq(IndexedSeq(9L)))
     val dir2 = java.nio.file.Files.createTempDirectory("graft_idx2_").toString + "/index"
@@ -266,7 +276,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "vec_id", "embedding", k = 3, indexKey = "spec-ivf")
     val want = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding",
       k = 3, indexKey = Some("spec-ivf")).collect()
-    assert(served.collect().sameElements(want))
+    assert(served.collect().sameRows(want))
     // the index scan must touch only the probed cells — with the cell
     // manifest this is an explicit pruned FILE list (no PartitionFilters
     // in the plan because discovery never ran); assert on the scanned
@@ -282,7 +292,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
     val cold = Similarity.ivfTopKServed(spark, idx, queries,
       "vec_id", "embedding", k = 3, indexKey = "spec-ivf").collect()
-    assert(cold.sameElements(want))
+    assert(cold.sameRows(want))
     TrainedIndex.invalidate()
   }
 
@@ -297,8 +307,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val served = Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding", k = 3,
       indexKey = Some("spec-emb")).collect() // cache hit
     assert(TrainedIndex.size == 1)
-    assert(keyed.sameElements(fresh))
-    assert(served.sameElements(fresh))
+    assert(keyed.sameRows(fresh))
+    assert(served.sameRows(fresh))
     TrainedIndex.invalidate()
   }
 
@@ -340,7 +350,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
     val cold = Similarity.pqTopKServed(spark, idx, queries,
       "vec_id", "embedding", k = 3, indexKey = "spec-pq").collect()
-    assert(cold.sameElements(rows))
+    assert(cold.sameRows(rows))
     TrainedIndex.invalidate()
   }
 
@@ -433,7 +443,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", idxB, indexKey = "spec-app")
     val servedB = Similarity.ivfTopKServed(spark, idxB, queries,
       "vec_id", "embedding", k = 3, indexKey = "spec-app").collect()
-    assert(servedA.sameElements(servedB))
+    assert(servedA.sameRows(servedB))
     // appended rows are genuinely served: a query's neighborhood can
     // include post-append ids (ivf cells of the batch)
     assert(spark.read.parquet(idxA).filter(col("vec_id") >= 300).count()
@@ -473,7 +483,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val servedB = Similarity.pqTopKServed(spark, idxB,
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
       indexKey = "spec-app-pq").collect()
-    assert(served.sameElements(servedB))
+    assert(served.sameRows(servedB))
     TrainedIndex.invalidate()
   }
 
@@ -512,7 +522,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       k = 3, indexKey = "spec-map").collect()
     val bH = Similarity.ivfTopKServed(spark, idx, q, "vec_id", "embedding",
       k = 3, indexKey = "spec-map").collect()
-    assert(a.sameElements(aH) && b.sameElements(bH))
+    assert(a.sameRows(aH) && b.sameRows(bH))
     // pre-manifest index (manifest deleted): directory-discovery fallback
     // must produce the identical result
     fs.delete(mapP, false)
@@ -520,7 +530,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       k = 3, indexKey = "spec-map").collect()
     val b2 = Similarity.ivfTopKServed(spark, idx, q, "vec_id", "embedding",
       k = 3, indexKey = "spec-map").collect()
-    assert(a.sameElements(a2) && b.sameElements(b2))
+    assert(a.sameRows(a2) && b.sameRows(b2))
     TrainedIndex.invalidate()
   }
 
@@ -551,7 +561,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Versioned.currentVersion(spark, root).contains(v1))
     val rMid = Similarity.ivfTopKServed(spark, Versioned.resolve(spark, root),
       q, "vec_id", "embedding", k = 3, indexKey = "spec-vidx").collect()
-    assert(rMid.sameElements(r1))
+    assert(rMid.sameRows(r1))
     // a successful full-corpus rebuild swaps atomically; the new serve
     // sees post-300 neighbors the old version could not contain
     Versioned.publish(spark, root) { dir =>
@@ -576,12 +586,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // bit-identical results
     val warm = serve().collect()
     assert(AssignedCorpus.size == 1)
-    assert(cold.sameElements(warm))
+    assert(cold.sameRows(warm))
     // a harness clearCache drops the blocks, not the registry entry;
     // the next serve re-persists (self-heal) and stays bit-identical
     spark.catalog.clearCache()
     val healed = serve().collect()
-    assert(cold.sameElements(healed))
+    assert(cold.sameRows(healed))
     // keyless serves never touch the registry (library default)
     Similarity.ivfTopKTrained(q, emb, "vec_id", "embedding", k = 3).collect()
     assert(AssignedCorpus.size == 1)
@@ -612,7 +622,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"compaction did not reduce files: $stats")
     val after = Similarity.pqTopKServed(spark, idx, q, "vec_id",
       "embedding", k = 3, indexKey = "spec-comp").collect()
-    assert(before.sameElements(after))
+    assert(before.sameRows(after))
     // the re-committed manifest names only live files
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -677,7 +687,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", idxB, indexKey = "spec-si")
     val servedB = Similarity.ivfTopKServed(spark, idxB, queries,
       "vec_id", "embedding", k = 3, indexKey = "spec-si").collect()
-    assert(servedS.sameElements(servedB),
+    assert(servedS.sameRows(servedB),
       "streamed index must serve identically to the batch-built index")
     TrainedIndex.invalidate()
   }

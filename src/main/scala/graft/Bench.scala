@@ -162,7 +162,11 @@ object Bench {
       try {
         val p = java.nio.file.Paths.get("tools/adjudicated.json")
         if (java.nio.file.Files.exists(p)) {
+          // the committed file is pretty-printed; the bench artifact is a
+          // ONE-LINE stdout contract — strip line breaks (valid JSON
+          // whitespace either way, but line-oriented parsers read one line)
           val txt = java.nio.file.Files.readString(p).trim
+            .replace("\r", "").replace("\n", " ")
           if (txt.startsWith("{")) txt else "{}"
         } else "{}"
       } catch { case _: Throwable => "{}" }

@@ -1701,6 +1701,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer health diagnostic: corpus-wide token-ID frequencies with
+    // their vocab strings — what a pipeline watches for UNK spikes and
+    // fertility drift after a fixture change. Explode → count, the id
+    // hash space bounded by the vocab
+    "bpe_token_freq" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.typedlit
+      val vocab = graft.functions.Bpe.default.vocabById
+      t(s, dir, "documents")
+        .select(explode(graft.functions.Bpe.bpe_encode(col("text"))).as("token_id"))
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("token", element_at(typedlit(vocab), col("token_id") + 1))
+        .select(col("token_id").cast("long").as("token_id"), col("token"), col("n"))
+        .orderBy(col("n").desc, col("token_id"))
+        .limit(20)
+    }),
+
     // BPE TRAINING oracled end to end (the trained-ANN precedent: the
     // oracle replays the training itself, not just its output): 16 merges
     // trained on the corpus pre-token frequency table — the distributed
@@ -4333,6 +4350,22 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
 
     "bpe_train" -> bpeTrainSql(16),
+
+    "bpe_token_freq" -> {
+      val voc = graft.functions.Bpe.default.vocabById.zipWithIndex
+        .filter(_._2 > 0) // UNK (0) never joins — it has no vocab string
+        .map { case (tok, id) =>
+          s"(CAST($id AS BIGINT), '${tok.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH RECURSIVE $bpeReplayCtes,
+        |tids AS (SELECT unnest(ids) AS token_id FROM bpe_docids),
+        |cnt AS (SELECT token_id, CAST(count(*) AS BIGINT) AS n
+        |        FROM tids GROUP BY token_id),
+        |voc(token_id, token) AS (VALUES $voc)
+        |SELECT c.token_id, v.token, c.n
+        |FROM cnt c JOIN voc v USING (token_id)
+        |ORDER BY n DESC, token_id LIMIT 20""".stripMargin
+    },
 
     // replay of Bpe.encode (bpeReplayCtes scaladoc): the merge loop runs
     // as the recursion, the id-sequence hash pins ORDER, not just count

@@ -398,6 +398,27 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](MergeTable.readAsOf(spark, root, 1000L))
   }
 
+  test("rebucket carries the CDC watermark: redelivered batches still skip after a re-layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rebktcdc_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 2)
+    val b7 = docs.filter(col("doc_id") === 7)
+      .withColumn("text", lit("batch-7"))
+    assert(MergeTable.mergeExactlyOnce(spark, root, b7, "doc_id", batchId = 7L))
+    assert(MergeTable.lastBatchId(spark, root).contains(7L))
+    MergeTable.rebucket(spark, root, 16)
+    // the replay fence survived the full rewrite
+    assert(MergeTable.lastBatchId(spark, root).contains(7L))
+    // a redelivery of batch 7 is still absorbed; batch 8 applies
+    assert(!MergeTable.mergeExactlyOnce(spark, root,
+      b7.withColumn("text", lit("dup-7")), "doc_id", batchId = 7L))
+    assert(collectSorted(MergeTable.read(spark, root)).toMap.apply(7L) == "batch-7")
+    assert(MergeTable.mergeExactlyOnce(spark, root,
+      docs.filter(col("doc_id") === 8).withColumn("text", lit("batch-8")),
+      "doc_id", batchId = 8L))
+    assert(MergeTable.lastBatchId(spark, root).contains(8L))
+    assert(collectSorted(MergeTable.read(spark, root)).toMap.apply(8L) == "batch-8")
+  }
+
   test("retention policy on a merge table: vacuum + vacuumData keep the horizon readable; beyond it names the horizon") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergeret_").toString + "/t"
     Versioned.setRetention(spark, root, Versioned.Retention(keepLast = Some(2)))

@@ -20,7 +20,8 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     // crude but effective: every FROM/JOIN target is a known table or a
     // CTE defined inside the same statement
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_0-9]+)\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
+      // CTE forms: `name AS (`, `name AS MATERIALIZED (`, `name(cols) AS (`
+      val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_0-9]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       // (?<!distinct\s): `x IS NOT DISTINCT FROM y` is a predicate, not a
       // table reference

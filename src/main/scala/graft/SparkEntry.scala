@@ -494,6 +494,23 @@ object SparkEntry {
     // hour is a map-side max(struct) argmax; the grid is sequence+explode
     // (no driver loop); the fill is one per-user window. Values are
     // carried verbatim — no float arithmetic, so doubles match exactly.
+    // semi-structured extraction: parse the events props JSON payload
+    // with a real schema'd from_json (not a string hack) and aggregate
+    // the extracted field — the Spark-native path for JSON-bearing
+    // columns at scale (schema'd parse stays in whole-stage codegen,
+    // no schema inference scan)
+    "events_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "events_resample" -> ((s, dir) => {
       val e = events(s, dir).select(col("user_id"),
         expr("unix_micros(ts) div 3600000000").as("h"),
@@ -1661,6 +1678,16 @@ object SparkEntry {
       val docs = graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
       TextAnalysis.dsirSelect(docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", buckets = 256, keepFrac = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // bigram-LM quality filter (CCNet-shaped, integer-exact): model
+    // trained on the lang='en' slice, every doc scored by its summed
+    // bucketed transition probability in micros
+    "lm_score" -> ((s, dir) => {
+      val docs = graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
+      TextAnalysis.lmScore(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 64, thresholdMicros = 37900L)
         .orderBy(col("doc_id"))
     }),
 
@@ -3973,6 +4000,51 @@ object SparkEntry {
         |SELECT rk.doc_id, rk.score, rk.rn <= kk.k AS kept
         |FROM rk, kk ORDER BY rk.doc_id""".stripMargin,
 
+    // replays the bigram-LM training AND scoring: bucketed conditional
+    // r[p*64+t] = floor(1e6*(c2+1)/(c1+64)) from the lang='en' slice,
+    // doc score = sum over transition codes, mean-threshold filter
+    // cross-multiplied (score > 37900 * n_bigrams)
+    "lm_score" ->
+      s"""WITH toksl AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |th AS (
+        |  SELECT doc_id, lang, pos,
+        |    sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+        |        * ($Pow131Sql)[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
+        |      % 1000000007 AS h
+        |  FROM (SELECT doc_id, lang, pos, tok, unnest(range(1, least(length(tok), 16) + 1)) AS i
+        |        FROM tok)
+        |  GROUP BY doc_id, lang, pos),
+        |pb AS (
+        |  SELECT a.doc_id, a.lang,
+        |    (a.h % 64) * 64 + (a.h * 131 + b.h) % 1000000007 % 64 AS code
+        |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |c2 AS (SELECT code, count(*) AS c FROM pb WHERE lang = 'en' GROUP BY code),
+        |c1 AS (SELECT code // 64 AS p, count(*) AS c FROM pb WHERE lang = 'en' GROUP BY 1),
+        |r AS (
+        |  SELECT g.code,
+        |    CAST(CAST(1000000 AS HUGEINT) * (coalesce(c2.c, 0) + 1)
+        |         // (coalesce(c1.c, 0) + 64) AS BIGINT) AS r
+        |  FROM (SELECT unnest(range(4096)) AS code) g
+        |  LEFT JOIN c2 ON c2.code = g.code
+        |  LEFT JOIN c1 ON c1.p = g.code // 64),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(sum(r.r), 0) AS BIGINT) AS score,
+        |    CAST(count(pb.code) AS BIGINT) AS n_bigrams
+        |  FROM documents d
+        |  LEFT JOIN pb ON pb.doc_id = d.doc_id
+        |  LEFT JOIN r ON r.code = pb.code
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, score, n_bigrams,
+        |  n_bigrams > 0 AND score > 37900 * n_bigrams AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
@@ -4054,6 +4126,17 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // JSON payload extraction replay: the props column is one scalar
+    // field, so a regex pull of the number equals the schema'd parse
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "events_resample" ->
       """WITH e AS (

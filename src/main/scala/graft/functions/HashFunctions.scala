@@ -216,6 +216,43 @@ object HashFunctions {
     out
   }
 
+  /** Bigram-LM transition codes: one pass over the text — the same
+    * tokenizer and capped-16 Horner hash as [[bigramBuckets]], but each
+    * adjacent pair emits a COMBINED code `p·B + t` where
+    * `p = h₁ mod B` (prefix bucket) and `t = (h₁·131 + h₂) mod P mod B`
+    * (transition bucket). The combined code keys a proper bucketed
+    * conditional P(t|p) = c₂[p,t] / c₁[p] — separable tables can't
+    * express the per-pair floor division, so the code space is B² and
+    * must stay driver-bounded (B ≤ 256). One expression call per doc
+    * for the same economics as bigram_buckets. */
+  def pairBuckets(text: String, buckets: Int): Array[Long] = {
+    val n = text.length
+    val hs = new mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < n) {
+      while (i < n && !isAsciiAlnum(lowerAscii(text.charAt(i)))) i += 1
+      if (i < n) {
+        var h = 0L
+        var len = 0
+        while (i < n && isAsciiAlnum(lowerAscii(text.charAt(i)))) {
+          if (len < TokenHashCap) { h = (h * Base + lowerAscii(text.charAt(i))) % P; len += 1 }
+          i += 1
+        }
+        hs += h
+      }
+    }
+    if (hs.length < 2) return Array.empty
+    val out = new Array[Long](hs.length - 1)
+    var j = 0
+    while (j < out.length) {
+      val p = hs(j) % buckets
+      val t = (hs(j) * Base + hs(j + 1)) % P % buckets
+      out(j) = p * buckets + t
+      j += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------------ expressions
 
   case class MinHashSig(first: Expression, second: Expression, third: Expression)
@@ -407,6 +444,16 @@ object HashFunctions {
       copy(l, r)
   }
 
+  case class PairBuckets(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "pair_buckets"
+    override def nullSafeEval(text: Any, b: Any): Any =
+      new GenericArrayData(pairBuckets(text.toString, b.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** Hamming distance between two 64-bit signatures (for SimHash dedup).
     * Native codegen: this runs in the candidate-pair filter, inside the
     * join's whole-stage span. */
@@ -445,6 +492,8 @@ object HashFunctions {
       es => BigramBuckets(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("span_digests",
       es => SpanDigests(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("pair_buckets",
+      es => PairBuckets(es(0), es(1)), "built-in")
   }
 
   def minhash_sig(text: Column, k: Int = 5, m: Int = 64): Column =
@@ -462,4 +511,6 @@ object HashFunctions {
     call_function("bigram_buckets", text, lit(buckets))
   def span_digests(text: Column, k: Int): Column =
     call_function("span_digests", text, lit(k))
+  def pair_buckets(text: Column, buckets: Int): Column =
+    call_function("pair_buckets", text, lit(buckets))
 }

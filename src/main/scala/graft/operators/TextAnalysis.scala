@@ -604,6 +604,69 @@ object TextAnalysis {
         coalesce(col("kept"), lit(false)).as("kept"))
   }
 
+  /**
+   * Bigram-LM quality scoring (the CCNet-style perplexity filter,
+   * Wenzek et al. 2020, arXiv:1911.00359 — keep documents a reference-
+   * corpus language model finds probable), made integer-exact: train a
+   * bucketed bigram model on a TARGET corpus, score every corpus doc by
+   * its total transition probability under that model.
+   *
+   * Model: over `pair_buckets(text, B)` codes `p·B + t` (prefix bucket
+   * `h₁ mod B`, transition bucket `(h₁·131+h₂) mod P mod B` — the
+   * SQL-replayable mod-P token-hash spec), the target corpus yields
+   * prefix counts c₁[p] and joint counts c₂[p,t]. The add-one-smoothed
+   * conditional in integer micros is
+   * `r[p·B+t] = ⌊scale·(c₂[p,t]+1) / (c₁[p]+B)⌋` — a genuine bigram LM
+   * P(t|p), unlike [[dsirSelect]]'s target-vs-source MARGINAL ratios.
+   *
+   * Documented divergence from the paper (same precedent as dsirSelect):
+   * the doc score is the LINEAR sum Σ r[code] and the filter compares
+   * the cross-multiplied mean `score > thresholdMicros·n_bigrams`
+   * rather than exp(mean log p) perplexity — every quantity stays an
+   * exact integer so the operator is hash-oracleable cross-engine where
+   * float logs would drift in the last ulp. Monotone in each transition
+   * probability; orders docs by model-likeness the same way.
+   *
+   * Scale shape: one narrow scan of the target feeding a B²-bounded
+   * count aggregate (B ≤ 256 keeps the table driver-sized; default 64 →
+   * 4,096 entries), then one codegen'd map scoring each doc from the
+   * literal ratio table — no join, no shuffle on the corpus side.
+   * Returns (idCol, score, n_bigrams, kept) for every corpus row; docs
+   * with <2 tokens score 0 and are never kept.
+   */
+  def lmScore(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 64, thresholdMicros: Long = 15625L,
+      scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && buckets <= 256, "buckets must stay driver-bounded")
+    val spark = corpus.sparkSession
+    graft.functions.HashFunctions.register(spark)
+    val codes = graft.functions.HashFunctions.pair_buckets(col(textCol), buckets)
+    val joint: Map[Long, Long] = target
+      .select(explode(codes).as("code"))
+      .groupBy(col("code")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prefix: Map[Long, Long] =
+      joint.groupMapReduce(_._1 / buckets)(_._2)(_ + _)
+    val rmap: Map[Long, Long] = (for {
+      p <- 0L until buckets.toLong
+      t <- 0L until buckets.toLong
+    } yield {
+      val code = p * buckets + t
+      val num = BigInt(scale) * BigInt(joint.getOrElse(code, 0L) + 1)
+      val den = BigInt(prefix.getOrElse(p, 0L) + buckets)
+      code -> (num / den).toLong
+    }).toMap
+    val rLit = typedlit(rmap)
+    corpus
+      .select(col(idCol), codes.as("__codes"))
+      .select(col(idCol),
+        coalesce(aggregate(col("__codes"), lit(0L),
+          (acc, x) => acc + element_at(rLit, x)), lit(0L)).as("score"),
+        coalesce(size(col("__codes")), lit(0)).cast("long").as("n_bigrams"))
+      .withColumn("kept",
+        col("n_bigrams") > 0 && col("score") > lit(thresholdMicros) * col("n_bigrams"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", es => LangId(es.head), "built-in")

@@ -692,4 +692,62 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
         texts(row.getLong(0).toInt)._2).length)
     }
   }
+
+  test("lmScore: scores replay the bucketed-conditional contract; filter exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val P = graft.functions.HashFunctions.P
+    val B = 16
+    val scale = 1000000L
+    val texts = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the cat sat on the mat", "de"),    // same text, not target
+      (2L, "the dog sat on the log", "en"),
+      (3L, "one", "en"),                       // <2 tokens → score 0, never kept
+      (4L, "zz qq xx vv ww uu", "de"),         // transitions unseen in target
+      (5L, "", "en"))
+    val df = texts.toDF("doc_id", "text", "lang")
+    // reference, written against the stated contract
+    def codes(text: String): Seq[Long] = {
+      val hs = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(t => t.take(16).foldLeft(0L)((a, c) => (a * 131L + c) % P))
+      hs.sliding(2).filter(_.length == 2)
+        .map(p => (p(0) % B) * B + (p(0) * 131L + p(1)) % P % B).toSeq
+    }
+    val joint = texts.filter(_._3 == "en").flatMap(t => codes(t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prefix = joint.groupBy(_._1 / B).view.mapValues(_.values.sum).toMap
+    def r(code: Long): Long =
+      (BigInt(scale) * BigInt(joint.getOrElse(code, 0L) + 1) /
+        BigInt(prefix.getOrElse(code / B, 0L) + B)).toLong
+    val want = texts.map { case (id, t, _) => id -> codes(t).map(r).sum }.toMap
+    val thr = 15625L
+    val got = TextAnalysis.lmScore(df, df.filter(col("lang") === "en"),
+      "doc_id", "text", buckets = B, thresholdMicros = thr)
+      .orderBy(col("doc_id")).collect()
+    got.foreach { row =>
+      val (id, score, nb, kept) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getBoolean(3))
+      assert(score == want(id), s"doc $id: score $score != ${want(id)}")
+      assert(nb == codes(texts(id.toInt)._2).length)
+      assert(kept == (nb > 0 && score > thr * nb))
+    }
+    // target-trained docs beat (per bigram) the unseen-transition doc
+    def mean(id: Long) = want(id).toDouble / math.max(1, codes(texts(id.toInt)._2).length)
+    assert(mean(0L) > mean(4L))
+    // a doc identical to a target doc scores identically regardless of lang
+    assert(want(0L) == want(1L))
+    // degenerate docs: no bigrams → score 0, kept=false
+    assert(want(3L) == 0L && want(5L) == 0L)
+    assert(!got.filter(r => r.getLong(0) == 3L || r.getLong(0) == 5L).exists(_.getBoolean(3)))
+    // the scoring map is joins-free: no SortMergeJoin/ShuffledHashJoin
+    // in the corpus scoring plan (literal-table lookup only)
+    val plan = TextAnalysis.lmScore(df, df.filter(col("lang") === "en"),
+      "doc_id", "text", buckets = B).queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    assert(plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j }.isEmpty,
+      "lmScore corpus scoring must not join")
+  }
 }

@@ -1254,6 +1254,14 @@ object SparkEntry {
 
     // SemDeDup: trained k-means cells bound the cosine check to Σ|cell|²
     // (never n²); within each cell drop rows duplicating a lower id
+    // cluster-balanced selection: per-cell contribution cap over the
+    // SAME trained quantizer the ANN family registers for this corpus
+    "cluster_balance" -> ((s, dir) => {
+      Similarity.clusterBalance(t(s, dir, "embeddings"), "vec_id",
+        "embedding", cap = 15L, indexKey = Some(embCorpusKey(s, dir)))
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       Similarity.semanticDedup(augmentedEmb(s, dir), "vec_id", "embedding",
         threshold = 0.98, indexKey = Some(augEmbCorpusKey(s, dir)))
@@ -4424,6 +4432,26 @@ object SparkEntry {
     // centroids, same exact-cosine ranking) — same replay oracle
     "ann_ivf_served" -> annIvfTrainedSql(),
     "dedup_semantic" -> dedupSemanticSql(),
+
+    // replays the trained-quantizer cell assignment (same CTEs as the
+    // trained-IVF oracle), then the per-cell id-order rank and cap
+    "cluster_balance" ->
+      s"""WITH ${ivfTrainCtes(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+            20, 3)},
+         |fa AS (
+         |  SELECT x.vec_id, ci.c,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${ivfDistSql("x.qv", "ci.cv")}, ci.c) AS rn
+         |  FROM q x CROSS JOIN c3 ci),
+         |cells AS (SELECT vec_id, c AS cell FROM fa WHERE rn = 1),
+         |rk AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rank_in_cell
+         |  FROM cells)
+         |SELECT vec_id, cell, CAST(rank_in_cell AS BIGINT) AS rank_in_cell,
+         |  rank_in_cell <= 15 AS kept
+         |FROM rk ORDER BY vec_id""".stripMargin,
 
     "token_count_bpe" ->
       """SELECT source, count(*) AS docs,

@@ -1284,6 +1284,41 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /**
+   * Cluster-balanced selection: cap how many documents any one embedding
+   * cluster contributes to the curated set. Web-scale corpora are
+   * cluster-skewed (boilerplate families, template farms); capping
+   * per-cluster mass is the standard balancing move after semantic dedup
+   * (the SemDeDup/DataComp curation recipe's balancing step). Cells are
+   * the SAME trained integer-k-means quantizer the ANN/semantic-dedup
+   * family uses (registry-shared under `indexKey`), so one training pays
+   * for dedup, search, and balancing.
+   *
+   * Returns every corpus row as (vec_id, cell, rank_in_cell, kept):
+   * rank is the deterministic id-order position within the row's cell,
+   * kept ⇔ rank ≤ cap. Scale shape: one narrow assignment map (literal
+   * centroid table, no join), one exchange keyed by cell for the
+   * per-cell window — partition count follows the cell count, never an
+   * unpartitioned window.
+   */
+  def clusterBalance(corpus: DataFrame, idCol: String, vecCol: String,
+      cap: Long, stride: Int = 20, iters: Int = 3,
+      indexKey: Option[String] = None): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    import org.apache.spark.sql.functions.{row_number, typedlit}
+    val cents = TrainedIndex.getOrTrain(
+      indexKey.map(ik => ivfKey(ik, idCol, vecCol, stride, iters)))(
+      trainIvfCentroids(corpus, idCol, vecCol, stride, iters))
+    val cbLit = typedlit(cents)
+    val cidLit = typedlit(cents.indices.map(_.toLong))
+    withInt8(Par.ensureParallelism(corpus), vecCol)
+      .select(col(idCol).as("vec_id"),
+        element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
+      .withColumn("rank_in_cell", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))).cast("long"))
+      .withColumn("kept", col("rank_in_cell") <= cap)
+  }
+
   /** Adds the int8 quantization as column `__q`, keeping every other
     * column — so callers that need both the raw and quantized vector
     * (ivfTopKTrained) don't pay a self-join to reunite them. */

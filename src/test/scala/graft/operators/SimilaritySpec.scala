@@ -706,6 +706,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("clusterBalance: per-cell cap contract, id-order ranks, assignment matches the trained quantizer") {
+    val cap = 7L
+    val out = Similarity.clusterBalance(emb, "vec_id", "embedding", cap = cap)
+      .collect()
+    // total coverage: every corpus row present exactly once
+    assert(out.length == emb.count())
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val byCell = out.groupBy(_.getLong(1))
+    byCell.foreach { case (cell, rows) =>
+      val ranks = rows.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      // ranks are exactly 1..n in vec_id order within the cell
+      assert(ranks == (1L to rows.length.toLong), s"cell $cell ranks $ranks")
+      // kept ⇔ rank ≤ cap, so no cell contributes more than cap
+      rows.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) <= cap)))
+      assert(rows.count(_.getBoolean(3)) == math.min(cap, rows.length.toLong))
+    }
+    // the balancing split is non-trivial on this corpus (some cell > cap)
+    assert(out.exists(!_.getBoolean(3)) && out.exists(_.getBoolean(3)))
+    // assignments are the SAME trained quantizer semanticDedup/ANN use:
+    // a second run (registry-cached or retrained — both deterministic)
+    // produces identical rows
+    val again = Similarity.clusterBalance(emb, "vec_id", "embedding", cap = cap)
+      .collect()
+    assert(out.sameRows(again))
+  }
+
   test("randomProject: coordinates replay the sign-matrix contract; projection separates vectors") {
     import org.apache.spark.sql.functions.col
     val P = graft.functions.HashFunctions.P

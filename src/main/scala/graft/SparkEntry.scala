@@ -1641,6 +1641,19 @@ object SparkEntry {
     // PII scrubbing: emails/URLs → placeholder tokens. The corpus has no
     // organic PII, so inject a deterministic email/URL into a subset first —
     // the query proves detection, replacement, and pass-through all match.
+    // text normalization on deterministically-dirtied input (the corpus
+    // itself is clean, so the dirt injection is what makes the oracle
+    // bite): control chars stripped, whitespace runs collapsed, trimmed
+    "text_normalize" -> ((s, dir) => {
+      val dirtied = t(s, dir, "documents")
+        .withColumn("dirty", concat(lit("\u0001\t "),
+          regexp_replace(col("text"), " ", "  "), lit("\u000B\r\n")))
+      TextAnalysis.normalizeDocs(dirtied, "dirty")
+        .select(col("doc_id"), col("chars_before"), col("chars_after"),
+          substring(col("text_norm"), 1, 40).as("head"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pii_redact" -> ((s, dir) => {
       val seeded = t(s, dir, "documents")
         .withColumn("text",
@@ -3897,6 +3910,26 @@ object SparkEntry {
     // CAST: DuckDB sum(INTEGER) yields HUGEINT, which the driver's pandas
     // bridge degrades to float64 → hash mismatch against Spark's BIGINT
     // same seeded corpus, same patterns, same two-stage replace
+    // replays the dirt injection and the normalize chain (RE2 needs the
+    // explicit 'g' flag where Java regex replaces globally by default)
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    chr(1) || chr(9) || ' ' || replace(text, ' ', '  ')
+        |      || chr(11) || chr(13) || chr(10) AS dirty
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, dirty,
+        |    trim(regexp_replace(regexp_replace(dirty,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS tn
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(length(dirty) AS BIGINT) AS chars_before,
+        |  CAST(length(tn) AS BIGINT) AS chars_after,
+        |  substr(tn, 1, 40) AS head
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "pii_redact" ->
       """WITH seeded AS (
         |  SELECT doc_id,

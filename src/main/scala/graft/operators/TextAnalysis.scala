@@ -63,6 +63,27 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           UrlRe, "<URL>"))
 
+  /** Control characters that normalization blanks — every C0 control
+    * except \t \n \r (which are whitespace, folded by the collapse
+    * step) plus DEL. Lookahead-free character class so Java regex and
+    * RE2-based engines strip the exact same spans. */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Text normalization (the C4/CCNet pre-clean): strip control
+    * characters, collapse every whitespace run to one space, trim.
+    * A pure codegen'd projection — the cheapest possible rewrite shape
+    * (no explode, no shuffle); at 100 TB this is a narrow scan. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, ControlRe, " "), "\\s+", " "))
+
+  /** Normalization pass with integer audit counts: (text_norm,
+    * chars_before, chars_after) — byte accounting stays exact so a
+    * corpus-wide "how much did cleaning remove" rollup is float-free. */
+  def normalizeDocs(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("text_norm", normalizeText(col(textCol)))
+      .withColumn("chars_before", length(col(textCol)).cast("long"))
+      .withColumn("chars_after", length(col("text_norm")).cast("long"))
+
   /** C4-style quality gate expressed in INTEGER arithmetic (ratio
     * thresholds as cross-multiplications) so keep/drop decisions are exact
     * and engine-independent — no float ratio ever materializes. */

@@ -693,6 +693,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("normalizeDocs: controls stripped, whitespace collapsed, exact audit counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (0L, "\u0001\t  hello \u0002world  \r\n"),  // controls + runs + edges
+      (1L, "a  b\tc\nd"),                         // mixed whitespace runs
+      (2L, "clean text"),                         // already normal → identity
+      (3L, ""),                                   // empty stays empty
+      (4L, " \t\r\n "),                           // whitespace-only → empty
+      (5L, "x\u007Fy"))                           // DEL becomes a space
+    val got = TextAnalysis.normalizeDocs(rows.toDF("id", "t"), "t")
+      .orderBy(col("id"))
+      .select(col("id"), col("text_norm"), col("chars_before"), col("chars_after"))
+      .collect()
+    val want = Map(
+      0L -> "hello world", 1L -> "a b c d", 2L -> "clean text",
+      3L -> "", 4L -> "", 5L -> "x y")
+    got.foreach { r =>
+      assert(r.getString(1) == want(r.getLong(0)),
+        s"id ${r.getLong(0)}: '${r.getString(1)}'")
+      assert(r.getLong(2) == rows(r.getLong(0).toInt)._2.length)
+      assert(r.getLong(3) == want(r.getLong(0)).length)
+    }
+    // idempotent: normalizing a normalized doc is the identity
+    val twice = TextAnalysis.normalizeDocs(
+      got.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("id", "t"), "t")
+      .orderBy(col("id")).collect()
+    twice.foreach(r => assert(r.getString(1) == r.getString(2)))
+  }
+
   test("lmScore: scores replay the bucketed-conditional contract; filter exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

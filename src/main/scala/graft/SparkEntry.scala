@@ -1132,6 +1132,14 @@ object SparkEntry {
     // windows whose md5 digest occurs >= 2 times corpus-wide (the
     // Lee-et-al "duplicated span" signal, suffix-array-free). md5 is
     // engine-identical -> DuckDB replays digests bit-for-bit.
+    // content-defined chunking: rolling-hash boundaries (w=8, mask=64),
+    // md5 per chunk — the shift-robust dedup/delta primitive
+    "cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, mask = 64)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "span_dedup" -> ((s, dir) => {
       Dedup.spanDupStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))
@@ -3809,6 +3817,39 @@ object SparkEntry {
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit
     // 8-term Horner per window -> global count -> per-doc dup stats
     "span_dedup" -> spanDedupSql(8),
+
+    // replays the rolling hash per position (w-term weighted sum over
+    // the shared 131-power array), the cut predicate, and the chunking
+    "cdc_chunks" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS i
+         |  FROM documents),
+         |rh AS (
+         |  SELECT p.doc_id, p.i,
+         |    sum(CAST(ascii(substr(p.text, CAST(p.i - j.j AS INT), 1)) AS BIGINT)
+         |        * ($Pow131Sql)[CAST(j.j + 1 AS INT)] % 1000000007) % 1000000007 AS h
+         |  FROM pos p JOIN (SELECT unnest(range(8)) AS j) j ON p.i - j.j >= 1
+         |  WHERE p.i >= 8
+         |  GROUP BY p.doc_id, p.i),
+         |cuts AS (
+         |  SELECT rh.doc_id, rh.i FROM rh JOIN documents d ON d.doc_id = rh.doc_id
+         |  WHERE rh.h % 64 = 0 AND rh.i < length(d.text)),
+         |b AS (
+         |  SELECT doc_id, 0 AS pos FROM documents
+         |  UNION ALL SELECT doc_id, CAST(i AS INT) AS pos FROM cuts
+         |  UNION ALL SELECT doc_id, length(text) AS pos FROM documents),
+         |ob AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k,
+         |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM b)
+         |SELECT ob.doc_id, CAST(ob.k AS BIGINT) AS chunk_id,
+         |  CAST(ob.pos + 1 AS BIGINT) AS c_start,
+         |  CAST(ob.nxt - ob.pos AS BIGINT) AS c_len,
+         |  md5(substr(d.text, CAST(ob.pos + 1 AS INT), CAST(ob.nxt - ob.pos AS INT))) AS digest
+         |FROM ob JOIN documents d USING (doc_id)
+         |WHERE ob.nxt IS NOT NULL AND ob.nxt - ob.pos > 0
+         |ORDER BY ob.doc_id, chunk_id""".stripMargin,
     "line_dedup" -> lineDedupSql(8),
 
     // one SQL, two engine plans: the dense broadcast loop (ngram_jaccard,

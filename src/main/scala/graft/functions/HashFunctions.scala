@@ -253,6 +253,37 @@ object HashFunctions {
     out
   }
 
+  /** Content-defined chunk boundaries (the LBFS/rsync/FastCDC family):
+    * cut AFTER 1-based char position i whenever the rolling hash of the
+    * last `w` chars lands on `h mod mask == 0`, for w ≤ i < n (a cut at
+    * the final char would leave an empty tail). Because boundaries
+    * depend only on LOCAL content, inserting or deleting bytes early in
+    * a document shifts at most the chunks that contain the edit — the
+    * property fixed-size chunking lacks and the reason storage dedup
+    * uses CDC. Rolling hash = Σ_{j=0..w-1} c_{i-j}·131^j mod P
+    * (newest char weight 131^0), maintained incrementally in one pass;
+    * the SQL replay recomputes it per position from the shared 131-power
+    * array. Expected chunk length ≈ mask. */
+  def cdcCuts(text: String, w: Int, mask: Int): Array[Int] = {
+    val n = text.length
+    if (n == 0) return Array.empty
+    var powTopW = 1L // 131^w mod P
+    var j = 0
+    while (j < w) { powTopW = powTopW * Base % P; j += 1 }
+    val out = new mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * Base + text.charAt(i)) % P
+      if (i >= w)
+        h = ((h - text.charAt(i - w) * powTopW) % P + P) % P
+      // 1-based position i+1; full window present once i+1 >= w
+      if (i + 1 >= w && i + 1 < n && h % mask == 0) out += i + 1
+      i += 1
+    }
+    out.toArray
+  }
+
   // ------------------------------------------------------------ expressions
 
   case class MinHashSig(first: Expression, second: Expression, third: Expression)
@@ -444,6 +475,17 @@ object HashFunctions {
       copy(l, r)
   }
 
+  case class CdcCuts(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "cdc_cuts"
+    override def nullSafeEval(text: Any, w: Any, mask: Any): Any =
+      new GenericArrayData(cdcCuts(
+        text.toString, w.asInstanceOf[Int], mask.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  }
+
   case class PairBuckets(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -494,6 +536,8 @@ object HashFunctions {
       es => SpanDigests(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("pair_buckets",
       es => PairBuckets(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cdc_cuts",
+      es => CdcCuts(es(0), es(1), es(2)), "built-in")
   }
 
   def minhash_sig(text: Column, k: Int = 5, m: Int = 64): Column =
@@ -513,4 +557,6 @@ object HashFunctions {
     call_function("span_digests", text, lit(k))
   def pair_buckets(text: Column, buckets: Int): Column =
     call_function("pair_buckets", text, lit(buckets))
+  def cdc_cuts(text: Column, w: Int, mask: Int): Column =
+    call_function("cdc_cuts", text, lit(w), lit(mask))
 }

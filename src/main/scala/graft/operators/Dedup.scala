@@ -670,4 +670,40 @@ object Dedup {
       .filter(col("status").isNotNull)
       .select(col(idCol), col("status"))
   }
+
+  /**
+   * Content-defined chunking (the LBFS/rsync/FastCDC family): split each
+   * document at rolling-hash boundaries (`HashFunctions.cdcCuts`) and
+   * digest every chunk. Boundaries depend only on a `w`-char local
+   * window, so an insertion or deletion early in a document perturbs
+   * only the chunks containing the edit — every later chunk keeps its
+   * content AND its digest, which is exactly what fixed-offset chunking
+   * (doc_chunk, span windows) cannot give you. That makes the chunk
+   * digest table the shift-robust dedup/delta primitive: join it to
+   * itself on `digest` to find shared runs between near-identical
+   * documents regardless of alignment.
+   *
+   * Returns (idCol, chunk_id, c_start, c_len, digest): 1-based char
+   * offsets, md5 hex of the chunk substring. Scale shape: one narrow
+   * codegen'd pass per doc (the cuts expression) + one explode stage —
+   * output rows ≈ corpus_bytes / mask, no shuffle, no join.
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, mask: Int = 64): DataFrame = {
+    require(w > 0 && mask > 0)
+    graft.functions.HashFunctions.register(df.sparkSession)
+    df.select(col(idCol), col(textCol).as("__t"),
+        concat(array(lit(0)), cdc_cuts(col(textCol), w, mask),
+          array(length(col(textCol)))).as("__b"))
+      .select(col(idCol), col("__t"), col("__b"),
+        explode(sequence(lit(0), size(col("__b")) - 2)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        (element_at(col("__b"), col("chunk_id") + 1) + 1).cast("long").as("c_start"),
+        (element_at(col("__b"), col("chunk_id") + 2) -
+          element_at(col("__b"), col("chunk_id") + 1)).cast("long").as("c_len"),
+        md5(expr("substring(__t, element_at(__b, CAST(chunk_id AS INT) + 1) + 1, " +
+          "element_at(__b, CAST(chunk_id AS INT) + 2) - element_at(__b, CAST(chunk_id AS INT) + 1))"))
+          .as("digest"))
+      .filter(col("c_len") > 0)
+  }
 }

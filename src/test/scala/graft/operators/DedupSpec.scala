@@ -364,6 +364,54 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(m(3L)._2 == 0L)
   }
 
+  test("cdcChunks: boundary contract, exact coverage, shift robustness") {
+    import spark.implicits._
+    val P = graft.functions.HashFunctions.P
+    val (w, mask) = (8, 64)
+    // independent reference for the cut positions: direct w-term sum
+    // (the operator maintains the hash incrementally — different code path)
+    def refCuts(text: String): Seq[Int] =
+      (w to text.length - 1).filter { i => // 1-based, full window, not last
+        val h = (0 until w).map(j =>
+          BigInt(text.charAt(i - 1 - j).toInt) * BigInt(131).pow(j)).sum % P
+        h % mask == 0
+      }
+    // deterministic pseudo-random text long enough to contain cuts
+    val rnd = new scala.util.Random(42) // seeded → deterministic fixture
+    val base = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    assert(refCuts(base).nonEmpty, "fixture must produce at least one cut")
+    val shifted = "XYZAB" + base // early insertion
+    val df = Seq((1L, base), (2L, shifted), (3L, ""), (4L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(df, "doc_id", "text", w, mask).collect()
+      .groupBy(_.getLong(0))
+    // cut positions match the reference: chunk starts are 1 + each cut
+    val starts1 = out(1L).map(_.getLong(2)).sorted.toSeq
+    assert(starts1 == (1L +: refCuts(base).map(_ + 1L)).sorted)
+    // exact coverage: chunks tile the text; digests are the substrings' md5
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((id, text) <- Seq(1L -> base, 2L -> shifted, 4L -> "tiny")) {
+      val chunks = out(id).sortBy(_.getLong(1))
+      val rebuilt = chunks.map(r => text.substring(
+        r.getLong(2).toInt - 1, r.getLong(2).toInt - 1 + r.getLong(3).toInt)).mkString
+      assert(rebuilt == text, s"doc $id chunks must tile the text")
+      chunks.foreach(r => assert(r.getString(4) == md5hex(text.substring(
+        r.getLong(2).toInt - 1, r.getLong(2).toInt - 1 + r.getLong(3).toInt))))
+    }
+    // empty text → no chunks; short text → one whole-doc chunk
+    assert(!out.contains(3L))
+    assert(out(4L).length == 1 && out(4L).head.getLong(3) == 4L)
+    // THE CDC property: after an early 5-char insertion, every chunk
+    // beyond the first boundary keeps its digest (fixed-offset chunking
+    // would shift every window). Allow only the head chunk(s) to differ.
+    val d1 = out(1L).map(_.getString(4)).toSet
+    val d2 = out(2L).map(_.getString(4)).toSet
+    val shared = d1.intersect(d2).size
+    assert(shared >= d1.size - 1,
+      s"shift robustness: $shared shared of ${d1.size} (head may differ)")
+    assert(d1.size > 2, "fixture must have several chunks for the property to bite")
+  }
+
   test("snapshot diff: added/removed/changed memberships, unchanged mass drops out") {
     import spark.implicits._
     val a = Seq((1L, "kept"), (2L, "edited soon"), (3L, "to be removed"),

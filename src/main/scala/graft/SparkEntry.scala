@@ -1921,7 +1921,11 @@ object SparkEntry {
     // per-partition window + driver offset prefix over ≤32 partition
     // totals); oracle replays it as the plain global window
     "budget_sample" -> ((s, dir) => {
+      // cached: tokenBudgetSample's totals job and final window pass both
+      // consume the scored table — without the boundary the typicality
+      // DAG (explode + df join) runs twice (measured ~2x at sf1)
       val scored = TextAnalysis.docTypicality(t(s, dir, "documents"), "doc_id", "text")
+        .cache()
       graft.operators.Sampling.tokenBudgetSample(
         scored, "doc_id", "typ_score", "n_toks", budget = 10000L,
         // typ_score is an integer mean of ⌊df·1e6/n_docs⌋ ∈ [0, 1e6]:
@@ -1940,6 +1944,7 @@ object SparkEntry {
         .join(docs.select(col("doc_id"),
           graft.functions.Bpe.bpe_count(col("text")).cast("long").as("n_bpe")),
           "doc_id")
+        .cache() // same double-consumption boundary as budget_sample
       graft.operators.Sampling.tokenBudgetSample(
         scored, "doc_id", "typ_score", "n_bpe", budget = 10000L,
         scoreRange = Some((0.0, 1e6)))

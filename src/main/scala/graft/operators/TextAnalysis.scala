@@ -255,23 +255,29 @@ object TextAnalysis {
    * scores near 10⁶, so BOTH filter tails are cut on one column. The
    * float-free ⌊·10⁶⌋ ordering replays exactly in SQL.
    *
-   * Scale shape: whitespace tokenize → distinct(doc, token) → df
-   * aggregate (shuffle on token, counts only — never text) → occurrence
-   * ⋈ df equi-join on token (vocabulary-partitioned; a 100 TB corpus's
-   * vocabulary is large but ≪ corpus, and the join never carries text) →
-   * per-doc sum. Returns (doc_id, n_toks, typ_score).
+   * Scale shape: whitespace tokenize → per-(doc, token) COUNT pre-
+   * aggregation (map-side partials absorb every repeated token before
+   * the exchange, and the one cached pair table feeds both branches) →
+   * df aggregate (shuffle on token, counts only — never text) →
+   * pair ⋈ df equi-join on token (vocabulary-partitioned; a 100 TB
+   * corpus's vocabulary is large but ≪ corpus, and the join carries
+   * (doc, token, count) triples, never occurrences or text) → per-doc
+   * weighted sum (Σ cnt·w ≡ the per-occurrence sum, exactly).
+   * Returns (doc_id, n_toks, typ_score).
    */
   def docTypicality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Par.ensureParallelism(df)
+    val pairs = Par.ensureParallelism(df)
       .select(col(idCol).as("doc_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    val dfc = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .cache() // feeds the df branch AND the scoring join
+    val dfc = pairs.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
     val nDocs = df.count()
-    toks.join(dfc, "tok")
+    pairs.join(dfc, "tok")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"),
-        sum(expr(s"dfc * 1000000 div $nDocs")).as("__tot"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        sum(col("cnt") * expr(s"dfc * 1000000 div $nDocs")).as("__tot"))
       .select(col("doc_id"), col("n_toks"),
         expr("__tot div n_toks").as("typ_score"))
   }

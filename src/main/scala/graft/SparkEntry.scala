@@ -294,13 +294,20 @@ object SparkEntry {
     import graft.sinks.MergeTable
     val docs = t(s, dir, "documents")
     // v3: key-sorted one-file-per-bucket layout
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v3_" +
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_v4_" +
       fsTag(s, dir, "documents.parquet")
     val done = new org.apache.hadoop.fs.Path(s"$root/_graft_merge_done")
     val fs = done.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(done)) {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+      // pin the publish version BY NAME for merge_asof — dir mtimes are
+      // touched by later marker/metadata writes, so "oldest mtime" is
+      // not a reliable publish detector
+      val pubV = graft.sinks.Versioned.currentVersion(s, root).get
+      val pvOut = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_publish_version"), true)
+      pvOut.write(pubV.getBytes("UTF-8")); pvOut.close()
       val upd = docs.filter(col("doc_id") % 7 === 3)
         .withColumn("text", concat(col("text"), lit(":upd")))
         .withColumn("_del", lit(false))
@@ -1065,6 +1072,22 @@ object SparkEntry {
     "corpus_merge" -> ((s, dir) => {
       val root = ensureMergeTable(s, dir)
       graft.sinks.MergeTable.read(s, root)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // AS-OF time travel as an oracled query (it was spec-only): the
+    // OLDEST retained version of the merge table is the publish, so
+    // reading it must reproduce the pre-merge corpus bit-for-bit —
+    // a wrong manifest carry, a merge leaking into a shared file, or a
+    // vacuum overreach would all break the hash
+    "merge_asof" -> ((s, dir) => {
+      val root = ensureMergeTable(s, dir)
+      val pubV = graft.sinks.Versioned.readSmallText(s,
+        new org.apache.hadoop.fs.Path(s"$root/_publish_version"))
+        .getOrElse(sys.error(s"$root missing _publish_version pin"))
+      graft.sinks.MergeTable.readVersion(s, root, pubV)
         .select(col("doc_id"),
           md5(col("text").cast("binary")).as("digest"))
         .orderBy(col("doc_id"))
@@ -3796,6 +3819,11 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 10000000, 'ins:' || text FROM documents
         |  WHERE doc_id % 11 = 2)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the pre-merge version IS the base corpus
+    "merge_asof" ->
+      """SELECT doc_id, md5(text) AS digest FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // streamed CDC == the one-shot algebra: %7=3 rows updated, %11=2

@@ -301,6 +301,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("quality_score("), "missing the classifier gate")
   }
 
+  test("cdc_chunks: one cuts pass + one explode — no join, no exchange") {
+    val p = plan("cdc_chunks")
+    assert(!p.contains("Join"), "chunking must not join")
+    assert(p.contains("Generate"), "missing the chunk explode")
+    // the only exchange allowed is the final presentation orderBy's
+    // range partitioning — nothing hash-partitions
+    assert(!p.contains("hashpartitioning"),
+      "chunking introduced a hash shuffle")
+  }
+
+  test("text_normalize: a pure projection — no explode, no agg, no exchange beyond the sort") {
+    val p = plan("text_normalize")
+    assert(!p.contains("Join") && !p.contains("Generate") &&
+      !p.contains("HashAggregate"), "normalize must stay a narrow map")
+    assert(!p.contains("hashpartitioning"), "normalize introduced a shuffle")
+  }
+
+  test("lm_score: corpus scoring is joins-free (literal ratio table), one narrow map") {
+    val p = plan("lm_score")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "lm_score scoring must read the ratio table as a literal, not join it")
+    assert(!p.contains("Generate"),
+      "scoring must not explode the code arrays (aggregate() folds in place)")
+  }
+
+  test("cluster_balance: one narrow assignment map + one cell-keyed window, no join") {
+    val p = plan("cluster_balance")
+    assert(!p.contains("Join"), "assignment must use the literal centroid table")
+    assert(p.contains("Window"), "missing the per-cell rank window")
+    assert(p.contains("vec_ivf_cells_l2"), "missing the quantizer assignment")
+  }
+
   test("repetition_stats: pure two-level aggregation — no join, partial agg below the shuffle") {
     val p = plan("repetition_stats")
     assert(!p.contains("Join"), "repetition stats must not join anything")

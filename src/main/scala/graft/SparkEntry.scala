@@ -2001,6 +2001,38 @@ object SparkEntry {
     // each surviving doc's (source, bin) assignment, which pins every
     // upstream decision (gate, survivor choice, keep test, pack fold);
     // the oracle chains the proven fragments plus the BPE replay
+    // the CCNet-shaped capstone (normalize → exact dedup → lang-ID →
+    // LM filter) in ONE plan over the augmented corpus (whose exact
+    // copies make the dedup stage real): dirt injection makes the
+    // normalize stage bite, copies stay identical after it (injection is
+    // a pure function of text), survivors get language-identified and
+    // the bigram LM trains on the predicted-'en' slice — the oracle
+    // chains the proven fragments (normalize chain, min-id digest
+    // window, profile argmax, LM training+scoring replay)
+    "pipeline_ccnet" -> ((s, dir) => {
+      TextAnalysis.register(s)
+      val dirtied = augmentedDocs(s, dir)
+        .withColumn("dirty", concat(lit("\u0001\t "),
+          regexp_replace(col("text"), " ", "  "), lit("\u000B\r\n")))
+      val normed = dirtied.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("dirty")).as("text"))
+      // boundary: survivors feed the LM training collect, the scoring
+      // pass, and the final lang join — without it the dedup window
+      // re-runs per consumer
+      val surv = Dedup.dropExactDuplicates(
+        graft.operators.Par.ensureParallelism(normed), "doc_id", "text")
+        .withColumn("lang_pred", TextAnalysis.lang_id(col("text")))
+        .cache()
+      val lm = TextAnalysis.lmScore(surv,
+        surv.filter(col("lang_pred") === "en"),
+        "doc_id", "text", buckets = 64, thresholdMicros = 37900L)
+      surv.select(col("doc_id"), col("lang_pred"))
+        .join(lm, "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("score"),
+          col("n_bigrams"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_tokenize" -> ((s, dir) => {
       import graft.functions.Bpe
       val clean = TextAnalysis.qualityFilter(
@@ -3375,6 +3407,86 @@ object SparkEntry {
 
   /** Per-language score columns + argmax CASE generated from
     * TextAnalysis.Profiles so the oracle can never drift from the engine. */
+  /** The CCNet capstone's oracle: normalize chain → min-id digest
+    * window → per-doc profile-argmax lang-id → the lm_score
+    * training+scoring replay, all over the augmented corpus. Every
+    * fragment is the SAME SQL the standalone oracles use, re-scoped to
+    * the survivor CTE. */
+  private def pipelineCcnetSql: String = {
+    val profs = graft.operators.TextAnalysis.Profiles
+    val scoreCols = profs.map { case (l, ws) =>
+      s"len(list_filter(lts, t -> t IN (${ws.toSeq.sorted.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = profs.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val argmax = "CASE WHEN mx = 0 THEN 'und' " +
+      langs.init.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ") +
+      s" ELSE '${langs.last}' END"
+    s"""WITH src AS ($AugmentedDocsSql),
+       |d AS (
+       |  SELECT doc_id,
+       |    chr(1) || chr(9) || ' ' || replace(text, ' ', '  ')
+       |      || chr(11) || chr(13) || chr(10) AS dirty
+       |  FROM src),
+       |n AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(dirty,
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS text
+       |  FROM d),
+       |surv AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM n) WHERE rn = 1),
+       |lsc AS (
+       |  SELECT doc_id, text, $scoreCols
+       |  FROM (SELECT doc_id, text,
+       |          string_split_regex(lower(text), '[^a-z]+') AS lts FROM surv)),
+       |lang AS (
+       |  SELECT doc_id, text, $argmax AS lang_pred
+       |  FROM (SELECT *, $mx AS mx FROM lsc)),
+       |toksl AS (
+       |  SELECT doc_id, lang_pred,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+       |  FROM lang),
+       |tok AS (
+       |  SELECT doc_id, lang_pred, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, lang_pred, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+       |th AS (
+       |  SELECT doc_id, lang_pred, pos,
+       |    sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+       |        * ($Pow131Sql)[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
+       |      % 1000000007 AS h
+       |  FROM (SELECT doc_id, lang_pred, pos, tok, unnest(range(1, least(length(tok), 16) + 1)) AS i
+       |        FROM tok)
+       |  GROUP BY doc_id, lang_pred, pos),
+       |pb AS (
+       |  SELECT a.doc_id, a.lang_pred,
+       |    (a.h % 64) * 64 + (a.h * 131 + b.h) % 1000000007 % 64 AS code
+       |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |c2 AS (SELECT code, count(*) AS c FROM pb WHERE lang_pred = 'en' GROUP BY code),
+       |c1 AS (SELECT code // 64 AS p, count(*) AS c FROM pb WHERE lang_pred = 'en' GROUP BY 1),
+       |r AS (
+       |  SELECT g.code,
+       |    CAST(CAST(1000000 AS HUGEINT) * (coalesce(c2.c, 0) + 1)
+       |         // (coalesce(c1.c, 0) + 64) AS BIGINT) AS r
+       |  FROM (SELECT unnest(range(4096)) AS code) g
+       |  LEFT JOIN c2 ON c2.code = g.code
+       |  LEFT JOIN c1 ON c1.p = g.code // 64),
+       |sc AS (
+       |  SELECT l.doc_id,
+       |    CAST(coalesce(sum(r.r), 0) AS BIGINT) AS score,
+       |    CAST(count(pb.code) AS BIGINT) AS n_bigrams
+       |  FROM lang l
+       |  LEFT JOIN pb ON pb.doc_id = l.doc_id
+       |  LEFT JOIN r ON r.code = pb.code
+       |  GROUP BY l.doc_id)
+       |SELECT sc.doc_id, lang.lang_pred, sc.score, sc.n_bigrams,
+       |  sc.n_bigrams > 0 AND sc.score > 37900 * sc.n_bigrams AS kept
+       |FROM sc JOIN lang USING (doc_id) ORDER BY sc.doc_id""".stripMargin
+  }
+
   private def langIdOracleSql: String = {
     val profs = graft.operators.TextAnalysis.Profiles
     val scoreCols = profs.map { case (l, ws) =>
@@ -4924,6 +5036,12 @@ object SparkEntry {
         |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
 
     "lang_id_counts" -> langIdOracleSql,
+
+    // chains the proven fragments: the text_normalize dirty+clean chain,
+    // the min-id digest window (dedup_drop), the profile-argmax lang-id,
+    // and the lm_score training+scoring replay — over the augmented
+    // corpus so the dedup stage has real work
+    "pipeline_ccnet" -> pipelineCcnetSql,
 
     // replay of the tokenizer-true pipeline: gate → dedup → BPE-mass
     // mixture keep test → greedy pack recursion over the survivors

@@ -1163,6 +1163,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // chunk-level cross-doc dedup stats: how much of each doc is made of
+    // chunks that appear in other docs — the XYZ-edited copies in the
+    // augmented corpus share every post-edit chunk with their originals
+    // (the shift-robustness payoff); digest-only shuffles throughout
+    "cdc_dedup" -> ((s, dir) => {
+      val chunks = Dedup.cdcChunks(augmentedDocs(s, dir), "doc_id", "text",
+          w = 8, mask = 64)
+        .select(col("doc_id"), col("digest"))
+        .cache() // feeds the per-digest counts AND the per-doc join
+      val shared = chunks.groupBy(col("digest"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(shared, "digest")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     "span_dedup" -> ((s, dir) => {
       Dedup.spanDupStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))
@@ -1740,6 +1758,20 @@ object SparkEntry {
       val docs = graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
       TextAnalysis.lmScore(docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", buckets = 64, thresholdMicros = 37900L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the CCNet head/middle/tail partition: tercile cuts on the mean
+    // transition probability, cross-multiplied so no ratio materializes
+    "lm_buckets" -> ((s, dir) => {
+      val docs = graft.operators.Par.ensureParallelism(t(s, dir, "documents"))
+      TextAnalysis.lmScore(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 64)
+        .select(col("doc_id"), col("score"), col("n_bigrams"),
+          when(col("n_bigrams") === 0, lit("empty"))
+            .when(col("score") > lit(38900L) * col("n_bigrams"), lit("head"))
+            .when(col("score") > lit(37000L) * col("n_bigrams"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3407,6 +3439,86 @@ object SparkEntry {
 
   /** Per-language score columns + argmax CASE generated from
     * TextAnalysis.Profiles so the oracle can never drift from the engine. */
+  /** Shared CDC-chunking oracle CTEs: per-position rolling hash, cut
+    * predicate, bounds, and the chunk table `ch(doc_id, chunk_id,
+    * c_start, c_len, digest)` over an arbitrary (doc_id, text) source.
+    * `extraCte` = the final SELECT opens with its own CTE (no WITH). */
+  private def cdcOracleSql(srcSql: String, finalSelect: String,
+      extraCte: Boolean = false): String =
+    s"""WITH src AS ($srcSql),
+      |pos AS (
+      |  SELECT doc_id, text, CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS i
+      |  FROM src),
+      |rh AS (
+      |  SELECT p.doc_id, p.i,
+      |    sum(CAST(ascii(substr(p.text, CAST(p.i - j.j AS INT), 1)) AS BIGINT)
+      |        * ($Pow131Sql)[CAST(j.j + 1 AS INT)] % 1000000007) % 1000000007 AS h
+      |  FROM pos p JOIN (SELECT unnest(range(8)) AS j) j ON p.i - j.j >= 1
+      |  WHERE p.i >= 8
+      |  GROUP BY p.doc_id, p.i),
+      |cuts AS (
+      |  SELECT rh.doc_id, rh.i FROM rh JOIN src d ON d.doc_id = rh.doc_id
+      |  WHERE rh.h % 64 = 0 AND rh.i < length(d.text)),
+      |b AS (
+      |  SELECT doc_id, 0 AS pos FROM src
+      |  UNION ALL SELECT doc_id, CAST(i AS INT) AS pos FROM cuts
+      |  UNION ALL SELECT doc_id, length(text) AS pos FROM src),
+      |ob AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k,
+      |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM b),
+      |ch AS (
+      |  SELECT ob.doc_id, CAST(ob.k AS BIGINT) AS chunk_id,
+      |    CAST(ob.pos + 1 AS BIGINT) AS c_start,
+      |    CAST(ob.nxt - ob.pos AS BIGINT) AS c_len,
+      |    md5(substr(d.text, CAST(ob.pos + 1 AS INT), CAST(ob.nxt - ob.pos AS INT))) AS digest
+      |  FROM ob JOIN src d USING (doc_id)
+      |  WHERE ob.nxt IS NOT NULL AND ob.nxt - ob.pos > 0)${if (extraCte) "," else ""}
+      |$finalSelect""".stripMargin
+
+  /** Shared bigram-LM oracle CTE chain (lm_score / lm_buckets): replay
+    * training (c1/c2 from the lang='en' slice) and scoring; the caller
+    * supplies the final SELECT over `sc(doc_id, score, n_bigrams)`. */
+  private def lmScoreOracleSql(finalSelect: String): String =
+    s"""WITH toksl AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lang, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+      |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+      |th AS (
+      |  SELECT doc_id, lang, pos,
+      |    sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+      |        * ($Pow131Sql)[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
+      |      % 1000000007 AS h
+      |  FROM (SELECT doc_id, lang, pos, tok, unnest(range(1, least(length(tok), 16) + 1)) AS i
+      |        FROM tok)
+      |  GROUP BY doc_id, lang, pos),
+      |pb AS (
+      |  SELECT a.doc_id, a.lang,
+      |    (a.h % 64) * 64 + (a.h * 131 + b.h) % 1000000007 % 64 AS code
+      |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |c2 AS (SELECT code, count(*) AS c FROM pb WHERE lang = 'en' GROUP BY code),
+      |c1 AS (SELECT code // 64 AS p, count(*) AS c FROM pb WHERE lang = 'en' GROUP BY 1),
+      |r AS (
+      |  SELECT g.code,
+      |    CAST(CAST(1000000 AS HUGEINT) * (coalesce(c2.c, 0) + 1)
+      |         // (coalesce(c1.c, 0) + 64) AS BIGINT) AS r
+      |  FROM (SELECT unnest(range(4096)) AS code) g
+      |  LEFT JOIN c2 ON c2.code = g.code
+      |  LEFT JOIN c1 ON c1.p = g.code // 64),
+      |sc AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(sum(r.r), 0) AS BIGINT) AS score,
+      |    CAST(count(pb.code) AS BIGINT) AS n_bigrams
+      |  FROM documents d
+      |  LEFT JOIN pb ON pb.doc_id = d.doc_id
+      |  LEFT JOIN r ON r.code = pb.code
+      |  GROUP BY d.doc_id)
+      |$finalSelect""".stripMargin
+
   /** The CCNet capstone's oracle: normalize chain → min-id digest
     * window → per-doc profile-argmax lang-id → the lm_score
     * training+scoring replay, all over the augmented corpus. Every
@@ -3965,36 +4077,19 @@ object SparkEntry {
 
     // replays the rolling hash per position (w-term weighted sum over
     // the shared 131-power array), the cut predicate, and the chunking
-    "cdc_chunks" ->
-      s"""WITH pos AS (
-         |  SELECT doc_id, text, CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS i
-         |  FROM documents),
-         |rh AS (
-         |  SELECT p.doc_id, p.i,
-         |    sum(CAST(ascii(substr(p.text, CAST(p.i - j.j AS INT), 1)) AS BIGINT)
-         |        * ($Pow131Sql)[CAST(j.j + 1 AS INT)] % 1000000007) % 1000000007 AS h
-         |  FROM pos p JOIN (SELECT unnest(range(8)) AS j) j ON p.i - j.j >= 1
-         |  WHERE p.i >= 8
-         |  GROUP BY p.doc_id, p.i),
-         |cuts AS (
-         |  SELECT rh.doc_id, rh.i FROM rh JOIN documents d ON d.doc_id = rh.doc_id
-         |  WHERE rh.h % 64 = 0 AND rh.i < length(d.text)),
-         |b AS (
-         |  SELECT doc_id, 0 AS pos FROM documents
-         |  UNION ALL SELECT doc_id, CAST(i AS INT) AS pos FROM cuts
-         |  UNION ALL SELECT doc_id, length(text) AS pos FROM documents),
-         |ob AS (
-         |  SELECT doc_id, pos,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k,
-         |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-         |  FROM b)
-         |SELECT ob.doc_id, CAST(ob.k AS BIGINT) AS chunk_id,
-         |  CAST(ob.pos + 1 AS BIGINT) AS c_start,
-         |  CAST(ob.nxt - ob.pos AS BIGINT) AS c_len,
-         |  md5(substr(d.text, CAST(ob.pos + 1 AS INT), CAST(ob.nxt - ob.pos AS INT))) AS digest
-         |FROM ob JOIN documents d USING (doc_id)
-         |WHERE ob.nxt IS NOT NULL AND ob.nxt - ob.pos > 0
-         |ORDER BY ob.doc_id, chunk_id""".stripMargin,
+    "cdc_chunks" -> cdcOracleSql("SELECT doc_id, text FROM documents",
+      """SELECT doc_id, chunk_id, c_start, c_len, digest
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // chunk-level cross-doc dedup stats over the augmented corpus: the
+    // XYZ-prefixed edited copies still share every post-edit chunk with
+    // their originals — the shift-robustness payoff as a dedup signal
+    "cdc_dedup" -> cdcOracleSql(AugmentedDocsSql,
+      """sh AS (SELECT digest, count(DISTINCT doc_id) AS nd FROM ch GROUP BY digest)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |FROM ch JOIN sh USING (digest)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin, extraCte = true),
     "line_dedup" -> lineDedupSql(8),
 
     // one SQL, two engine plans: the dense broadcast loop (ngram_jaccard,
@@ -4229,48 +4324,22 @@ object SparkEntry {
 
     // replays the bigram-LM training AND scoring: bucketed conditional
     // r[p*64+t] = floor(1e6*(c2+1)/(c1+64)) from the lang='en' slice,
-    // doc score = sum over transition codes, mean-threshold filter
-    // cross-multiplied (score > 37900 * n_bigrams)
-    "lm_score" ->
-      s"""WITH toksl AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, lang, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
-        |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
-        |th AS (
-        |  SELECT doc_id, lang, pos,
-        |    sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
-        |        * ($Pow131Sql)[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
-        |      % 1000000007 AS h
-        |  FROM (SELECT doc_id, lang, pos, tok, unnest(range(1, least(length(tok), 16) + 1)) AS i
-        |        FROM tok)
-        |  GROUP BY doc_id, lang, pos),
-        |pb AS (
-        |  SELECT a.doc_id, a.lang,
-        |    (a.h % 64) * 64 + (a.h * 131 + b.h) % 1000000007 % 64 AS code
-        |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |c2 AS (SELECT code, count(*) AS c FROM pb WHERE lang = 'en' GROUP BY code),
-        |c1 AS (SELECT code // 64 AS p, count(*) AS c FROM pb WHERE lang = 'en' GROUP BY 1),
-        |r AS (
-        |  SELECT g.code,
-        |    CAST(CAST(1000000 AS HUGEINT) * (coalesce(c2.c, 0) + 1)
-        |         // (coalesce(c1.c, 0) + 64) AS BIGINT) AS r
-        |  FROM (SELECT unnest(range(4096)) AS code) g
-        |  LEFT JOIN c2 ON c2.code = g.code
-        |  LEFT JOIN c1 ON c1.p = g.code // 64),
-        |sc AS (
-        |  SELECT d.doc_id,
-        |    CAST(coalesce(sum(r.r), 0) AS BIGINT) AS score,
-        |    CAST(count(pb.code) AS BIGINT) AS n_bigrams
-        |  FROM documents d
-        |  LEFT JOIN pb ON pb.doc_id = d.doc_id
-        |  LEFT JOIN r ON r.code = pb.code
-        |  GROUP BY d.doc_id)
-        |SELECT doc_id, score, n_bigrams,
+    // doc score = sum over transition codes; the final SELECT varies by
+    // query (threshold filter vs head/middle/tail partition)
+    "lm_score" -> lmScoreOracleSql(
+      """SELECT doc_id, score, n_bigrams,
         |  n_bigrams > 0 AND score > 37900 * n_bigrams AS kept
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // the CCNet head/middle/tail partition on the same LM: tercile cuts
+    // on the mean transition probability (integer micros, cross-multiplied)
+    "lm_buckets" -> lmScoreOracleSql(
+      """SELECT doc_id, score, n_bigrams,
+        |  CASE WHEN n_bigrams = 0 THEN 'empty'
+        |       WHEN score > 38900 * n_bigrams THEN 'head'
+        |       WHEN score > 37000 * n_bigrams THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin),
 
     "token_count" ->
       """SELECT source, count(*) AS docs,

@@ -1690,6 +1690,14 @@ object SparkEntry {
     // PII scrubbing: emails/URLs → placeholder tokens. The corpus has no
     // organic PII, so inject a deterministic email/URL into a subset first —
     // the query proves detection, replacement, and pass-through all match.
+    // C4-style blocklist gate: 'dup' is a real (rare) corpus token so
+    // the split is non-trivial; 'badword' shows absent entries are free
+    "blocklist_filter" -> ((s, dir) => {
+      TextAnalysis.blocklistFilter(t(s, dir, "documents"), "doc_id",
+        "text", Seq("dup", "badword"))
+        .orderBy(col("doc_id"))
+    }),
+
     // text normalization on deterministically-dirtied input (the corpus
     // itself is clean, so the dirt injection is what makes the oracle
     // bite): control chars stripped, whitespace runs collapsed, trimmed
@@ -4191,6 +4199,15 @@ object SparkEntry {
     // CAST: DuckDB sum(INTEGER) yields HUGEINT, which the driver's pandas
     // bridge degrades to float64 → hash mismatch against Spark's BIGINT
     // same seeded corpus, same patterns, same two-stage replace
+    "blocklist_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> ''), t -> t IN ('dup', 'badword'))) AS BIGINT) AS n_hits,
+        |  len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> ''), t -> t IN ('dup', 'badword'))) = 0 AS kept
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // replays the dirt injection and the normalize chain (RE2 needs the
     // explicit 'g' flag where Java regex replaces globally by default)
     "text_normalize" ->

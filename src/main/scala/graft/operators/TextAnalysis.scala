@@ -63,6 +63,26 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           UrlRe, "<URL>"))
 
+  /** C4-style blocklist gate: drop documents containing any blocklisted
+    * token (the "bad words" filter every public web-corpus pipeline
+    * runs). Token = lowercased [a-z0-9] run, same tokenizer as the
+    * sketch family; returns (idCol, n_hits, kept) with the exact
+    * occurrence count so audits are float-free. A pure codegen'd
+    * projection — the IN list rides the plan as a literal; at 100 TB
+    * this is a narrow scan, and a blocklist too large for an IN list
+    * becomes a broadcast Bloom filter (see Sketches) without changing
+    * the contract. */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val lst = blocklist.map(w => s"'${w.toLowerCase}'").mkString(", ")
+    df.select(col(idCol),
+        coalesce(expr(
+          s"size(filter(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t <> ''), " +
+            s"t -> t IN ($lst)))"), lit(0)).cast("long").as("n_hits"))
+      .withColumn("kept", col("n_hits") === 0L)
+  }
+
   /** Control characters that normalization blanks — every C0 control
     * except \t \n \r (which are whitespace, folded by the collapse
     * step) plus DEL. Lookahead-free character class so Java regex and

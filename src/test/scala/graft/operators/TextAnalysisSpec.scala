@@ -693,6 +693,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("blocklistFilter: exact hit counts, case-insensitive, absent words free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (0L, "clean text with no problems"),
+      (1L, "one BAD word"),                 // case-insensitive match
+      (2L, "bad bad bad"),                  // occurrences counted, not docs
+      (3L, "embedded badness stays fine"),  // token-boundary, not substring
+      (4L, "")).toDF("id", "t")
+    val got = TextAnalysis.blocklistFilter(df, "id", "t", Seq("bad", "absent"))
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(0L) == (0L, true))
+    assert(got(1L) == (1L, false))
+    assert(got(2L) == (3L, false))
+    assert(got(3L) == (0L, true), "substring must not match — token gate")
+    assert(got(4L) == (0L, true))
+  }
+
   test("normalizeDocs: controls stripped, whitespace collapsed, exact audit counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

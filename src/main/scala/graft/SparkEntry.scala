@@ -1303,6 +1303,29 @@ object SparkEntry {
 
     // SemDeDup: trained k-means cells bound the cosine check to Σ|cell|²
     // (never n²); within each cell drop rows duplicating a lower id
+    // signed feature hashing: the text→vector bridge — one dense 64-dim
+    // integer vector per doc, every coordinate SQL-replayable
+    "feature_hash" -> ((s, dir) => {
+      graft.functions.HashFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.HashFunctions.feature_hash(col("text"), 64).as("vec"))
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("dim", "val")))
+        .orderBy(col("doc_id"), col("dim"))
+    }),
+
+    // cluster balancing on RAW TEXT: feature-hash docs into the vector
+    // toolbox, train the integer quantizer on the hashed vectors, cap
+    // per-cell contributions — no neural embeddings anywhere
+    "doc_cluster_balance" -> ((s, dir) => {
+      graft.functions.HashFunctions.register(s)
+      val vecs = t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+        graft.functions.HashFunctions.feature_hash(col("text"), 64).as("vec"))
+      Similarity.clusterBalance(vecs, "vec_id", "vec", cap = 15L,
+        indexKey = Some(s"fh64:${corpusStamp(s, dir, "documents.parquet")}"))
+        .orderBy(col("vec_id"))
+    }),
+
     // cluster-balanced selection: per-cell contribution cap over the
     // SAME trained quantizer the ANN family registers for this corpus
     "cluster_balance" -> ((s, dir) => {
@@ -3485,6 +3508,40 @@ object SparkEntry {
       |  WHERE ob.nxt IS NOT NULL AND ob.nxt - ob.pos > 0)${if (extraCte) "," else ""}
       |$finalSelect""".stripMargin
 
+  /** Feature-hash construction CTEs ending in `fhv(vec_id, vec)` — the
+    * signed 64-dim hashed bag-of-words of every document, coordinate-
+    * exact (bucket = h mod 64, sign = parity of h div 64 over the
+    * capped-16 Horner token hash). */
+  private val FeatureHashCtes: String =
+    s"""toksl AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+      |th AS (
+      |  SELECT doc_id, pos,
+      |    sum(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+      |        * ($Pow131Sql)[CAST(least(length(tok), 16) - i + 1 AS INT)] % 1000000007)
+      |      % 1000000007 AS h
+      |  FROM (SELECT doc_id, pos, tok, unnest(range(1, least(length(tok), 16) + 1)) AS i
+      |        FROM tok)
+      |  GROUP BY doc_id, pos),
+      |fhs AS (
+      |  SELECT doc_id, h % 64 AS j,
+      |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS sg
+      |  FROM th GROUP BY doc_id, h % 64),
+      |grid AS (
+      |  SELECT d.doc_id, r.j FROM documents d
+      |  CROSS JOIN (SELECT unnest(range(64)) AS j) r),
+      |fhv AS (
+      |  SELECT g.doc_id AS vec_id,
+      |    list(CAST(coalesce(f.sg, 0) AS BIGINT) ORDER BY g.j) AS vec
+      |  FROM grid g LEFT JOIN fhs f ON f.doc_id = g.doc_id AND f.j = g.j
+      |  GROUP BY g.doc_id)"""
+      .stripMargin
+
   /** Shared bigram-LM oracle CTE chain (lm_score / lm_buckets): replay
     * training (c1/c2 from the lang='en' slice) and scoring; the caller
     * supplies the final SELECT over `sc(doc_id, score, n_bigrams)`. */
@@ -4744,6 +4801,33 @@ object SparkEntry {
       s"""WITH ${ivfTrainCtes(
             "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
             20, 3)},
+         |fa AS (
+         |  SELECT x.vec_id, ci.c,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${ivfDistSql("x.qv", "ci.cv")}, ci.c) AS rn
+         |  FROM q x CROSS JOIN c3 ci),
+         |cells AS (SELECT vec_id, c AS cell FROM fa WHERE rn = 1),
+         |rk AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rank_in_cell
+         |  FROM cells)
+         |SELECT vec_id, cell, CAST(rank_in_cell AS BIGINT) AS rank_in_cell,
+         |  rank_in_cell <= 15 AS kept
+         |FROM rk ORDER BY vec_id""".stripMargin,
+
+    // replays the signed feature hash coordinate by coordinate
+    "feature_hash" ->
+      s"""WITH $FeatureHashCtes
+         |SELECT g.doc_id, CAST(g.j AS INT) AS dim,
+         |  CAST(coalesce(f.sg, 0) AS BIGINT) AS val
+         |FROM grid g LEFT JOIN fhs f ON f.doc_id = g.doc_id AND f.j = g.j
+         |ORDER BY g.doc_id, dim""".stripMargin,
+
+    // feature-hash the docs, then the trained-quantizer assignment and
+    // per-cell cap — the full text→vector→cluster chain replayed
+    "doc_cluster_balance" ->
+      s"""WITH $FeatureHashCtes,
+         |${ivfTrainCtes("SELECT vec_id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS v FROM fhv", 20, 3)},
          |fa AS (
          |  SELECT x.vec_id, ci.c,
          |    row_number() OVER (PARTITION BY x.vec_id

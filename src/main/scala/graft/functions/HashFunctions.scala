@@ -284,6 +284,36 @@ object HashFunctions {
     out.toArray
   }
 
+  /** Signed feature hashing (Weinberger et al. 2009, "Feature Hashing
+    * for Large Scale Multitask Learning"): one dense integer vector per
+    * document, v[j] = Σ_tokens sign(t)·1[bucket(t)=j], with
+    * bucket = h mod dim and sign = +1 iff (h div dim) is even over the
+    * capped-16 Horner token hash. The sign bit makes collisions cancel
+    * in expectation instead of accumulating — the property that lets a
+    * 64-dim hashed vector stand in for a vocabulary-sized bag of words.
+    * This is the text→vector bridge: it puts raw documents into the
+    * SAME vector toolbox (int8 quantizer, IVF cells, cluster balancing)
+    * the embeddings table uses, with every coordinate SQL-replayable. */
+  def featureHash(text: String, dim: Int): Array[Long] = {
+    val out = new Array[Long](dim)
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !isAsciiAlnum(lowerAscii(text.charAt(i)))) i += 1
+      if (i < n) {
+        var h = 0L
+        var len = 0
+        while (i < n && isAsciiAlnum(lowerAscii(text.charAt(i)))) {
+          if (len < TokenHashCap) { h = (h * Base + lowerAscii(text.charAt(i))) % P; len += 1 }
+          i += 1
+        }
+        val j = (h % dim).toInt
+        out(j) += (if ((h / dim) % 2 == 0) 1L else -1L)
+      }
+    }
+    out
+  }
+
   // ------------------------------------------------------------ expressions
 
   case class MinHashSig(first: Expression, second: Expression, third: Expression)
@@ -475,6 +505,16 @@ object HashFunctions {
       copy(l, r)
   }
 
+  case class FeatureHash(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "feature_hash"
+    override def nullSafeEval(text: Any, d: Any): Any =
+      new GenericArrayData(featureHash(text.toString, d.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   case class CdcCuts(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -538,6 +578,8 @@ object HashFunctions {
       es => PairBuckets(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cdc_cuts",
       es => CdcCuts(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("feature_hash",
+      es => FeatureHash(es(0), es(1)), "built-in")
   }
 
   def minhash_sig(text: Column, k: Int = 5, m: Int = 64): Column =
@@ -559,4 +601,6 @@ object HashFunctions {
     call_function("pair_buckets", text, lit(buckets))
   def cdc_cuts(text: Column, w: Int, mask: Int): Column =
     call_function("cdc_cuts", text, lit(w), lit(mask))
+  def feature_hash(text: Column, dim: Int): Column =
+    call_function("feature_hash", text, lit(dim))
 }

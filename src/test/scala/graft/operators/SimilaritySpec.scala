@@ -706,6 +706,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("featureHash: coordinate contract, sign cancellation, text→vector bridge") {
+    import graft.functions.HashFunctions
+    val P = HashFunctions.P
+    val dim = 64
+    // independent reference per the stated contract
+    def ref(text: String): Array[Long] = {
+      val out = new Array[Long](dim)
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).foreach { t =>
+        val h = t.take(16).foldLeft(0L)((a, c) => (a * 131L + c) % P)
+        out((h % dim).toInt) += (if ((h / dim) % 2 == 0) 1L else -1L)
+      }
+      out
+    }
+    val a = "the cat sat on the mat"
+    assert(HashFunctions.featureHash(a, dim).sameElements(ref(a)))
+    assert(HashFunctions.featureHash("", dim).forall(_ == 0L))
+    // repeated token accumulates on one coordinate with a consistent sign
+    val rep = HashFunctions.featureHash("cat cat cat", dim)
+    assert(rep.count(_ != 0L) == 1 && math.abs(rep.find(_ != 0L).get) == 3L)
+    // the bridge property: the hashed vectors flow through the SAME
+    // trained-quantizer balancing as real embeddings
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) s"alpha beta gamma doc$i" else s"omega psi chi doc$i"))
+      .toDF("vec_id", "text")
+    HashFunctions.register(spark)
+    val vecs = docs.select(col("vec_id"),
+      HashFunctions.feature_hash(col("text"), dim).as("vec"))
+    val out = Similarity.clusterBalance(vecs, "vec_id", "vec", cap = 5L,
+      stride = 10).collect()
+    assert(out.length == 60)
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.count(_.getBoolean(3)) <= 5)
+    }
+  }
+
   test("clusterBalance: per-cell cap contract, id-order ranks, assignment matches the trained quantizer") {
     val cap = 7L
     val out = Similarity.clusterBalance(emb, "vec_id", "embedding", cap = cap)

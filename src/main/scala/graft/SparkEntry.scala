@@ -1326,6 +1326,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // semantic dedup on RAW TEXT with an INTEGER cosine: feature-hash
+    // vectors, cell-bounded pairs, cos >= 19/20 cross-multiplied in int64 —
+    // no float boundary anywhere, so keep/drop replays bit-exact
+    "doc_semantic_dedup" -> ((s, dir) => {
+      graft.functions.HashFunctions.register(s)
+      val vecs = augmentedDocs(s, dir).select(col("doc_id").as("vec_id"),
+        graft.functions.HashFunctions.feature_hash(col("text"), 64).as("vec"))
+      Similarity.semanticDedupInt(vecs, "vec_id", "vec", tNum = 19, tDen = 20,
+        indexKey = Some(s"fh64aug:${corpusStamp(s, dir, "documents.parquet")}"))
+        .orderBy(col("vec_id"))
+    }),
+
     // cluster-balanced selection: per-cell contribution cap over the
     // SAME trained quantizer the ANN family registers for this corpus
     "cluster_balance" -> ((s, dir) => {
@@ -3512,11 +3524,13 @@ object SparkEntry {
     * signed 64-dim hashed bag-of-words of every document, coordinate-
     * exact (bucket = h mod 64, sign = parity of h div 64 over the
     * capped-16 Horner token hash). */
-  private val FeatureHashCtes: String =
+  private val FeatureHashCtes: String = featureHashCtes("documents")
+
+  private def featureHashCtes(src: String): String =
     s"""toksl AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
-      |  FROM documents),
+      |  FROM $src),
       |tok AS (
       |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
@@ -3533,7 +3547,7 @@ object SparkEntry {
       |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS sg
       |  FROM th GROUP BY doc_id, h % 64),
       |grid AS (
-      |  SELECT d.doc_id, r.j FROM documents d
+      |  SELECT d.doc_id, r.j FROM $src d
       |  CROSS JOIN (SELECT unnest(range(64)) AS j) r),
       |fhv AS (
       |  SELECT g.doc_id AS vec_id,
@@ -4822,6 +4836,34 @@ object SparkEntry {
          |  CAST(coalesce(f.sg, 0) AS BIGINT) AS val
          |FROM grid g LEFT JOIN fhs f ON f.doc_id = g.doc_id AND f.j = g.j
          |ORDER BY g.doc_id, dim""".stripMargin,
+
+    // feature-hash the augmented docs, assign cells, then the INTEGER
+    // cosine pair test (dot > 0 and dot^2*400 >= 361*|u|^2*|v|^2) — every
+    // quantity an exact integer (doubles only carry ints < 2^53 here)
+    "doc_semantic_dedup" ->
+      s"""WITH src AS ($AugmentedDocsSql),
+         |${featureHashCtes("src")},
+         |${ivfTrainCtes("SELECT vec_id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS v FROM fhv", 20, 3)},
+         |fa AS (
+         |  SELECT x.vec_id, ci.c,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${ivfDistSql("x.qv", "ci.cv")}, ci.c) AS rn
+         |  FROM q x CROSS JOIN c3 ci),
+         |cells AS (SELECT vec_id, c AS cell FROM fa WHERE rn = 1),
+         |iv AS (
+         |  SELECT f.vec_id, f.vec, c.cell,
+         |    CAST(list_dot_product(f.vec, f.vec) AS BIGINT) AS nrm
+         |  FROM fhv f JOIN cells c USING (vec_id)),
+         |dup AS (
+         |  SELECT DISTINCT r.vec_id
+         |  FROM iv l JOIN iv r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE l.nrm > 0 AND r.nrm > 0
+         |    AND CAST(list_dot_product(l.vec, r.vec) AS BIGINT) > 0
+         |    AND CAST(list_dot_product(l.vec, r.vec) AS BIGINT)
+         |        * CAST(list_dot_product(l.vec, r.vec) AS BIGINT) * 400
+         |      >= 361 * l.nrm * r.nrm)
+         |SELECT i.vec_id, i.cell FROM iv i LEFT JOIN dup d USING (vec_id)
+         |WHERE d.vec_id IS NULL ORDER BY i.vec_id""".stripMargin,
 
     // feature-hash the docs, then the trained-quantizer assignment and
     // per-cell cap — the full text→vector→cluster chain replayed

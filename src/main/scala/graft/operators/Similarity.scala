@@ -1285,6 +1285,49 @@ object Similarity {
   }
 
   /**
+   * INTEGER-exact semantic dedup over integer vectors (the feature-hash
+   * bridge's dedup half): same SemDeDup cell-bounded shape as
+   * [[semanticDedup]], but the cosine test is pure int64 —
+   * `cos(u,v) ≥ tNum/tDen ⇔ dot > 0 ∧ dot²·tDen² ≥ tNum²·|u|²·|v|²` —
+   * so keep/drop decisions are bit-identical cross-engine with NO float
+   * boundary anywhere (the float variant documents why its threshold
+   * must sit far from the data; this one needs no such care). Zero
+   * vectors (empty docs) never match: cosine is undefined there.
+   *
+   * Overflow bound (documented contract): |coord| ≤ C and dim d need
+   * d²·C⁴·tDen² < 2⁶³ — feature-hash coords are bounded by per-doc token
+   * counts, so d=64, C≤4k, tDen≤8 is safe by orders of magnitude.
+   */
+  def semanticDedupInt(corpus: DataFrame, idCol: String, vecCol: String,
+      tNum: Long = 4, tDen: Long = 5, stride: Int = 20, iters: Int = 3,
+      indexKey: Option[String] = None): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < tNum/tDen <= 1")
+    import org.apache.spark.sql.functions.typedlit
+    val cents = TrainedIndex.getOrTrain(
+      indexKey.map(ik => ivfKey(ik, idCol, vecCol, stride, iters)))(
+      trainIvfCentroids(corpus, idCol, vecCol, stride, iters))
+    val cbLit = typedlit(cents)
+    val cidLit = typedlit(cents.indices.map(_.toLong))
+    val assigned = withInt8(Par.ensureParallelism(corpus), vecCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        vec_doti(col(vecCol), col(vecCol)).as("nrm"),
+        element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell"))
+      .cache()
+    val l = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dot = vec_doti(col("va"), col("vb"))
+    val dups = l.join(r, Seq("cell")).filter(col("a") < col("b"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .filter(dot > 0 &&
+        dot * dot * lit(tDen * tDen) >= lit(tNum * tNum) * col("na") * col("nb"))
+      .select(col("b").as("vec_id")).distinct()
+    assigned.join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /**
    * Cluster-balanced selection: cap how many documents any one embedding
    * cluster contributes to the curated set. Web-scale corpora are
    * cluster-skewed (boilerplate families, template farms); capping

@@ -706,6 +706,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("semanticDedupInt: integer cosine drops copies exactly, zero vectors never match") {
+    import spark.implicits._
+    import graft.functions.HashFunctions
+    HashFunctions.register(spark)
+    val docs = ((0L until 40L).map(i => (i, s"alpha beta gamma delta doc$i word$i")) ++
+      Seq((100L, "alpha beta gamma delta doc7 word7"),   // exact text copy of doc 7
+          (101L, ""), (102L, "")))                       // zero vectors
+      .toDF("vec_id", "text")
+    val vecs = docs.select(col("vec_id"),
+      HashFunctions.feature_hash(col("text"), 64).as("vec"))
+    val out = Similarity.semanticDedupInt(vecs, "vec_id", "vec",
+      tNum = 19, tDen = 20, stride = 10).collect().map(_.getLong(0)).toSet
+    // the higher-id exact copy is dropped, its original kept
+    assert(out.contains(7L) && !out.contains(100L))
+    // zero vectors never match anything — both empties survive
+    assert(out.contains(101L) && out.contains(102L))
+    // determinism: integer training + integer cosine → identical reruns
+    val again = Similarity.semanticDedupInt(vecs, "vec_id", "vec",
+      tNum = 19, tDen = 20, stride = 10).collect().map(_.getLong(0)).toSet
+    assert(again == out)
+  }
+
   test("featureHash: coordinate contract, sign cancellation, text→vector bridge") {
     import graft.functions.HashFunctions
     val P = HashFunctions.P

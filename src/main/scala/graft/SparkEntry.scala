@@ -1181,6 +1181,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // span-level decontamination REWRITE over the augmented corpus:
+    // eval = originals < 100, so the injected copies are non-eval docs
+    // QUOTING eval content — exact copies scrub fully, edited copies
+    // scrub everything past the XYZ prefix, base docs stay untouched
+    "decontaminate_scrub" -> ((s, dir) => {
+      TextAnalysis.decontaminateScrub(augmentedDocs(s, dir), "doc_id",
+        "text", isEval = col("doc_id") < 100, k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "span_dedup" -> ((s, dir) => {
       Dedup.spanDupStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))
@@ -4153,6 +4163,35 @@ object SparkEntry {
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit
     // 8-term Horner per window -> global count -> per-doc dup stats
     "span_dedup" -> spanDedupSql(8),
+
+    // replays tokenize → k-window md5 → eval-set membership → position
+    // coverage → ordered reassembly
+    "decontaminate_scrub" ->
+      s"""WITH src AS ($AugmentedDocsSql),
+        |toksl AS (
+        |  SELECT doc_id, doc_id < 100 AS is_eval,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        |  FROM src),
+        |tl AS (SELECT * FROM toksl WHERE len(ts) > 0),
+        |wh AS (
+        |  SELECT doc_id, is_eval, CAST(w - 1 AS BIGINT) AS w,
+        |    md5(array_to_string(ts[CAST(w AS INT):CAST(w + 7 AS INT)], ' ')) AS h
+        |  FROM (SELECT doc_id, is_eval, ts, unnest(range(1, len(ts) - 8 + 2)) AS w
+        |        FROM tl WHERE len(ts) >= 8)),
+        |ev AS (SELECT DISTINCT h FROM wh WHERE is_eval),
+        |cw AS (SELECT DISTINCT wh.doc_id, wh.w FROM wh JOIN ev USING (h) WHERE NOT wh.is_eval),
+        |sp AS (SELECT DISTINCT doc_id, w + j.j AS p
+        |       FROM cw CROSS JOIN (SELECT unnest(range(8)) AS j) j),
+        |tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, ts[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM tl WHERE NOT is_eval))
+        |SELECT tok.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN sp.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+        |  coalesce(string_agg(CASE WHEN sp.p IS NULL THEN tok.tok END, ' ' ORDER BY tok.p), '') AS clean_text
+        |FROM tok LEFT JOIN sp ON sp.doc_id = tok.doc_id AND sp.p = tok.p
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     // replays the rolling hash per position (w-term weighted sum over
     // the shared 131-power array), the cut predicate, and the chunking

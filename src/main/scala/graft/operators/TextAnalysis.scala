@@ -437,6 +437,53 @@ object TextAnalysis {
     df.filter(!isEval).join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Span-level decontamination REWRITE — the surgical alternative to
+   * [[decontaminate]]'s whole-doc drop: excise exactly the tokens
+   * covered by any k-token window whose digest also occurs in the eval
+   * partition, and reassemble the rest in order. This is what modern
+   * pipelines do when a training doc merely QUOTES benchmark content —
+   * dropping the whole doc wastes its clean majority.
+   *
+   * Window digests are `span_digests` (md5 of k tokens joined by one
+   * space — the span_dedup spec), so the oracle replays every scrub
+   * decision bit-for-bit. A token is scrubbed iff some contaminated
+   * window covers it; coverage expansion is an explode of k positions
+   * per contaminated window (bounded by hits·k), never a range join.
+   *
+   * Returns non-eval docs with ≥1 token as (idCol, n_tokens,
+   * n_scrubbed, clean_text). Scale shape: one cached tokenized scan
+   * feeding the window and token branches; eval digests distinct
+   * (≪ corpus, broadcasts); text crosses no shuffle — the reassembly
+   * carries (pos, token) pairs only.
+   */
+  def decontaminateScrub(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.span_digests
+    val base = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc"), isEval.as("is_eval"), col(textCol).as("__t"))
+      .withColumn("ts", expr("filter(split(lower(__t), '[^a-z0-9]+'), x -> x != '')"))
+      .filter(size(col("ts")) > 0)
+      .cache()
+    val wins = base.select(col("doc"), col("is_eval"),
+      posexplode(span_digests(col("__t"), k)).as(Seq("w", "h")))
+    val evalW = wins.filter(col("is_eval")).select("h").distinct()
+    val scrubPos = wins.filter(!col("is_eval"))
+      .join(evalW, Seq("h"), "left_semi")
+      .select(col("doc"), explode(expr(s"sequence(w, w + ${k - 1})")).as("p"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    base.filter(!col("is_eval"))
+      .select(col("doc"), posexplode(col("ts")).as(Seq("p", "tok")))
+      .join(scrubPos, Seq("doc", "p"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_scrubbed"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN __hit IS NULL THEN struct(p, tok) END)), x -> x.tok)"),
+          " ").as("clean_text"))
+  }
+
   // ------------------------------------------------------------------ langid
 
   /** Tiny deterministic language profiles: high-frequency function words

@@ -693,6 +693,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("decontaminateScrub: quoted spans excised, clean majority kept, order preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel"  // 8 tokens
+    val docs = Seq(
+      (0L, evalText, true),                                        // the eval doc
+      (1L, s"intro words here $evalText outro words trail off now", false), // quotes it
+      (2L, "totally clean document with its own content here ok", false),
+      (3L, evalText, false),                                       // full copy
+      (4L, "short doc", false))                                    // < k tokens
+      .toDF("doc_id", "text", "ev")
+    val out = TextAnalysis.decontaminateScrub(docs, "doc_id", "text",
+      isEval = col("ev"), k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: the 8 quoted tokens scrubbed, intro+outro survive in order
+    assert(out(1L)._1 == 16 && out(1L)._2 == 8)
+    assert(out(1L)._3 == "intro words here outro words trail off now")
+    // doc 2: untouched
+    assert(out(2L) == ((9L, 0L, "totally clean document with its own content here ok")))
+    // doc 3: fully scrubbed → empty rewrite
+    assert(out(3L) == ((8L, 8L, "")))
+    // doc 4: too short to window — kept verbatim, zero scrubbed
+    assert(out(4L) == ((2L, 0L, "short doc")))
+    // eval docs are not in the output
+    assert(!out.contains(0L))
+  }
+
   test("blocklistFilter: exact hit counts, case-insensitive, absent words free") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -265,6 +265,7 @@ object HashFunctions {
     * the SQL replay recomputes it per position from the shared 131-power
     * array. Expected chunk length ≈ mask. */
   def cdcCuts(text: String, w: Int, mask: Int): Array[Int] = {
+    require(w > 0 && mask > 0, "cdc_cuts window and mask must be positive")
     val n = text.length
     if (n == 0) return Array.empty
     var powTopW = 1L // 131^w mod P
@@ -295,6 +296,7 @@ object HashFunctions {
     * SAME vector toolbox (int8 quantizer, IVF cells, cluster balancing)
     * the embeddings table uses, with every coordinate SQL-replayable. */
   def featureHash(text: String, dim: Int): Array[Long] = {
+    require(dim > 0, "feature_hash dim must be positive")
     val out = new Array[Long](dim)
     val n = text.length
     var i = 0

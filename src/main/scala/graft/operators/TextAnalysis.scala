@@ -75,6 +75,8 @@ object TextAnalysis {
   def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "empty blocklist")
+    require(blocklist.forall(_.matches("(?i)[a-z0-9]+")),
+      "blocklist entries must be alphanumeric tokens (the tokenizer can never produce anything else)")
     val lst = blocklist.map(w => s"'${w.toLowerCase}'").mkString(", ")
     df.select(col(idCol),
         coalesce(expr(

@@ -1181,6 +1181,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus-internal exact-span REWRITE (Lee-et-al shape): duplicated
+    // k-windows keep their lowest-id occurrence and are excised from
+    // every other doc — copies scrub toward empty, originals untouched
+    "span_scrub" -> ((s, dir) => {
+      Dedup.spanDedupRewrite(augmentedDocs(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // span-level decontamination REWRITE over the augmented corpus:
     // eval = originals < 100, so the injected copies are non-eval docs
     // QUOTING eval content — exact copies scrub fully, edited copies
@@ -4163,6 +4171,37 @@ object SparkEntry {
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit
     // 8-term Horner per window -> global count -> per-doc dup stats
     "span_dedup" -> spanDedupSql(8),
+
+    // replays tokenize → k-window md5 → per-digest (count, keeper) →
+    // non-keeper coverage → ordered reassembly
+    "span_scrub" ->
+      s"""WITH src AS ($AugmentedDocsSql),
+        |toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        |  FROM src),
+        |tl AS (SELECT * FROM toksl WHERE len(ts) > 0),
+        |wh AS (
+        |  SELECT doc_id, CAST(w - 1 AS BIGINT) AS w,
+        |    md5(array_to_string(ts[CAST(w AS INT):CAST(w + 7 AS INT)], ' ')) AS h
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS w
+        |        FROM tl WHERE len(ts) >= 8)),
+        |agg AS (SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+        |        FROM wh GROUP BY h),
+        |cw AS (SELECT DISTINCT wh.doc_id, wh.w
+        |       FROM wh JOIN agg USING (h)
+        |       WHERE agg.nd >= 2 AND wh.doc_id <> agg.keeper),
+        |sp AS (SELECT DISTINCT doc_id, w + j.j AS p
+        |       FROM cw CROSS JOIN (SELECT unnest(range(8)) AS j) j),
+        |tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, ts[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tl))
+        |SELECT tok.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN sp.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+        |  coalesce(string_agg(CASE WHEN sp.p IS NULL THEN tok.tok END, ' ' ORDER BY tok.p), '') AS clean_text
+        |FROM tok LEFT JOIN sp ON sp.doc_id = tok.doc_id AND sp.p = tok.p
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     // replays tokenize → k-window md5 → eval-set membership → position
     // coverage → ordered reassembly

@@ -672,6 +672,49 @@ object Dedup {
   }
 
   /**
+   * Exact duplicated-span REWRITE (the Lee et al. 2022 "Deduplicating
+   * Training Data Makes Language Models Better" signal as surgery,
+   * suffix-array-free): every k-token window duplicated across ≥ 2
+   * DISTINCT documents keeps its lowest-id occurrence and is excised
+   * everywhere else — the keep-first twin of [[lineDedupRewrite]]
+   * (which drops fixed chunks from every copy) at sliding-window
+   * granularity, and the corpus-internal twin of
+   * TextAnalysis.decontaminateScrub (same coverage machinery, the
+   * "eval set" here being each span's keeper doc).
+   *
+   * Returns docs with ≥1 token as (idCol, n_tokens, n_scrubbed,
+   * clean_text). Scale shape: window digests shuffle as (doc, digest)
+   * pairs only; the per-digest (count, keeper) aggregate is digest-
+   * bounded; coverage expands to ≤ hits·k positions (explode, never a
+   * range join); text crosses no shuffle.
+   */
+  def spanDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val base = ensureParallelism(docs)
+      .select(col(idCol).as("doc"), col(textCol).as("__t"))
+      .withColumn("ts", expr(s"filter(split(lower(__t), '[^a-z0-9]+'), x -> x != '')"))
+      .filter(size(col("ts")) > 0)
+      .cache()
+    val wins = base.select(col("doc"),
+      posexplode(span_digests(col("__t"), k)).as(Seq("w", "h")))
+    val agg = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("nd"), min(col("doc")).as("keeper"))
+    val scrubPos = wins.join(agg, "h")
+      .filter(col("nd") >= 2 && col("doc") =!= col("keeper"))
+      .select(col("doc"), explode(expr(s"sequence(w, w + ${k - 1})")).as("p"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    base.select(col("doc"), posexplode(col("ts")).as(Seq("p", "tok")))
+      .join(scrubPos, Seq("doc", "p"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_scrubbed"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN __hit IS NULL THEN struct(p, tok) END)), x -> x.tok)"),
+          " ").as("clean_text"))
+  }
+
+  /**
    * Content-defined chunking (the LBFS/rsync/FastCDC family): split each
    * document at rolling-hash boundaries (`HashFunctions.cdcCuts`) and
    * digest every chunk. Boundaries depend only on a `w`-char local

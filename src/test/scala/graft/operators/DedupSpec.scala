@@ -412,6 +412,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(d1.size > 2, "fixture must have several chunks for the property to bite")
   }
 
+  test("spanDedupRewrite: keeper keeps its span, copies lose it, order preserved") {
+    import spark.implicits._
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val df = Seq(
+      (1L, s"intro here $span and a tail"),   // keeper (lowest id with the span)
+      (2L, s"other start $span different end"), // copy context, same span
+      (3L, "fully distinct content with no shared windows at all"),
+      (4L, span))                              // bare copy
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedupRewrite(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is the keeper: nothing scrubbed
+    assert(out(1L)._2 == 0L && out(1L)._3 == s"intro here $span and a tail")
+    // docs 2 and 4 lose exactly the 8 shared tokens
+    assert(out(2L)._2 == 8L && out(2L)._3 == "other start different end")
+    assert(out(4L) == ((8L, 8L, "")))
+    // untouched doc
+    assert(out(3L)._2 == 0L)
+    // conservation: scrubbed + kept tokens = totals everywhere
+    out.values.foreach { case (n, s2, clean) =>
+      assert(clean.split(" ").count(_.nonEmpty) == n - s2)
+    }
+  }
+
   test("snapshot diff: added/removed/changed memberships, unchanged mass drops out") {
     import spark.implicits._
     val a = Seq((1L, "kept"), (2L, "edited soon"), (3L, "to be removed"),

@@ -518,6 +518,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // the Spark 4 VariantType path for the same payload: parse_json into
+    // a variant column, extract with variant_get — the open-schema
+    // alternative to the schema'd from_json above (events_json); both
+    // must agree with the regex oracle
+    "events_variant" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k",
+          expr("variant_get(parse_json(props), '$.k', 'bigint')"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          avg(col("k")).cast("double").as("avg_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "events_resample" -> ((s, dir) => {
       val e = events(s, dir).select(col("user_id"),
         expr("unix_micros(ts) div 3600000000").as("h"),
@@ -4596,6 +4611,14 @@ object SparkEntry {
         |  CAST(sum(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(min(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "events_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(avg(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS DOUBLE) AS avg_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -17,7 +17,7 @@ class HashExprPropSpec extends AnyFunSuite with PropHelper {
       8 -> Gen.alphaLowerChar,
       2 -> Gen.const(' '),
       1 -> Gen.numChar,
-      1 -> Gen.oneOf('!', '.', ',', '\t', '\n', 'Z', '')))
+      1 -> Gen.oneOf('!', '.', ',', '\t', '\n', 'Z', '\u0001')))
   } yield cs.mkString
 
   test("cdcCuts: cuts are in-range, sorted, distinct; chunks always tile the text") {

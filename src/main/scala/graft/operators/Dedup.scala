@@ -699,12 +699,23 @@ object Dedup {
       posexplode(span_digests(col("__t"), k)).as(Seq("w", "h")))
     val agg = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc")).as("nd"), min(col("doc")).as("keeper"))
-    val scrubPos = wins.join(agg, "h")
+    val starts = wins.join(agg, "h")
       .filter(col("nd") >= 2 && col("doc") =!= col("keeper"))
+    scrubTokens(base, starts, idCol, k)
+  }
+
+  /** Shared scrub tail for the window-rewrite family (spanDedupRewrite,
+    * TextAnalysis.decontaminateScrub): expand contaminated window starts
+    * `(doc, w)` to ≤ hits·k covered positions (explode, never a range
+    * join), excise those tokens from `(doc, ts)` and reassemble the rest
+    * in order. Returns (idCol, n_tokens, n_scrubbed, clean_text). */
+  private[graft] def scrubTokens(docsTs: DataFrame, winStarts: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val scrubPos = winStarts
       .select(col("doc"), explode(expr(s"sequence(w, w + ${k - 1})")).as("p"))
       .distinct()
       .withColumn("__hit", lit(1))
-    base.select(col("doc"), posexplode(col("ts")).as(Seq("p", "tok")))
+    docsTs.select(col("doc"), posexplode(col("ts")).as(Seq("p", "tok")))
       .join(scrubPos, Seq("doc", "p"), "left")
       .groupBy(col("doc").as(idCol))
       .agg(count(lit(1)).as("n_tokens"),

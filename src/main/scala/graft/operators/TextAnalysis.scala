@@ -470,20 +470,9 @@ object TextAnalysis {
     val wins = base.select(col("doc"), col("is_eval"),
       posexplode(span_digests(col("__t"), k)).as(Seq("w", "h")))
     val evalW = wins.filter(col("is_eval")).select("h").distinct()
-    val scrubPos = wins.filter(!col("is_eval"))
+    val starts = wins.filter(!col("is_eval"))
       .join(evalW, Seq("h"), "left_semi")
-      .select(col("doc"), explode(expr(s"sequence(w, w + ${k - 1})")).as("p"))
-      .distinct()
-      .withColumn("__hit", lit(1))
-    base.filter(!col("is_eval"))
-      .select(col("doc"), posexplode(col("ts")).as(Seq("p", "tok")))
-      .join(scrubPos, Seq("doc", "p"), "left")
-      .groupBy(col("doc").as(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_scrubbed"),
-        array_join(expr("transform(array_sort(collect_list(" +
-          "CASE WHEN __hit IS NULL THEN struct(p, tok) END)), x -> x.tok)"),
-          " ").as("clean_text"))
+    Dedup.scrubTokens(base.filter(!col("is_eval")), starts, idCol, k)
   }
 
   // ------------------------------------------------------------------ langid

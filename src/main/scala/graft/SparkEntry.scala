@@ -1336,6 +1336,31 @@ object SparkEntry {
 
     // SemDeDup: trained k-means cells bound the cosine check to Σ|cell|²
     // (never n²); within each cell drop rows duplicating a lower id
+    // the bridge's retrieval half: top-k documents for a literal query
+    // text by INTEGER feature-hash cosine — rank key is
+    // sign(dot)·⌊dot²·1e6/(|d|²·|q|²)⌋, exact and orderable with no float
+    "doc_search" -> ((s, dir) => {
+      graft.functions.HashFunctions.register(s)
+      val qText = "table scan hash join merge sort"
+      val qv = graft.functions.HashFunctions.featureHash(qText, 64)
+      val qNrm = qv.map(x => x * x).sum
+      val qLit = typedlit(qv.toSeq)
+      import graft.functions.VectorFunctions.vec_doti
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.HashFunctions.feature_hash(col("text"), 64).as("v"))
+        .withColumn("nrm", vec_doti(col("v"), col("v")))
+        .filter(col("nrm") > 0)
+        .withColumn("dot", vec_doti(col("v"), qLit))
+        .withColumn("score",
+          when(col("dot") >= 0,
+            expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)"))
+            .otherwise(-expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)")))
+        .select(col("doc_id"), col("dot"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // signed feature hashing: the text→vector bridge — one dense 64-dim
     // integer vector per doc, every coordinate SQL-replayable
     "feature_hash" -> ((s, dir) => {
@@ -4929,6 +4954,25 @@ object SparkEntry {
          |SELECT vec_id, cell, CAST(rank_in_cell AS BIGINT) AS rank_in_cell,
          |  rank_in_cell <= 15 AS kept
          |FROM rk ORDER BY vec_id""".stripMargin,
+
+    // replays the hash of BOTH the corpus and the literal query text
+    // (vec_id -1), then the integer rank key and the top-20
+    "doc_search" ->
+      s"""WITH ${featureHashCtes(
+            "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT -1, 'table scan hash join merge sort')")},
+         |dv AS (
+         |  SELECT f.vec_id AS doc_id,
+         |    CAST(list_dot_product(f.vec, q.vec) AS BIGINT) AS dot,
+         |    CAST(list_dot_product(f.vec, f.vec) AS BIGINT) AS nrm,
+         |    CAST(list_dot_product(q.vec, q.vec) AS BIGINT) AS qn
+         |  FROM fhv f CROSS JOIN (SELECT vec FROM fhv WHERE vec_id = -1) q
+         |  WHERE f.vec_id >= 0)
+         |SELECT doc_id, dot,
+         |  CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * qn)
+         |       ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS BIGINT) AS score
+         |FROM dv WHERE nrm > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // replays the signed feature hash coordinate by coordinate
     "feature_hash" ->

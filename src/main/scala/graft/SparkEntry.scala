@@ -1341,7 +1341,7 @@ object SparkEntry {
     // sign(dot)·⌊dot²·1e6/(|d|²·|q|²)⌋, exact and orderable with no float
     "doc_search" -> ((s, dir) => {
       graft.functions.HashFunctions.register(s)
-      val qText = "table scan hash join merge sort"
+      val qText = "table scan hash probe window sort"
       val qv = graft.functions.HashFunctions.featureHash(qText, 64)
       val qNrm = qv.map(x => x * x).sum
       val qLit = typedlit(qv.toSeq)
@@ -4960,7 +4960,7 @@ object SparkEntry {
     "doc_search" ->
       s"""WITH ${featureHashCtes(
             "(SELECT doc_id, text FROM documents UNION ALL " +
-            "SELECT -1, 'table scan hash join merge sort')")},
+            "SELECT -1, 'table scan hash probe window sort')")},
          |dv AS (
          |  SELECT f.vec_id AS doc_id,
          |    CAST(list_dot_product(f.vec, q.vec) AS BIGINT) AS dot,

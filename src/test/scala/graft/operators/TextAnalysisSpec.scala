@@ -740,6 +740,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == (0L, true))
   }
 
+  test("lmScore property: random corpora replay the reference bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.Gen
+    val P = graft.functions.HashFunctions.P
+    val B = 16
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val doc = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      texts <- Gen.listOfN(n, doc)
+      evals <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield texts.zip(evals).zipWithIndex
+      .map { case ((t, e), i) => (i.toLong, t, e) }
+    def codes(text: String): Seq[Long] = {
+      val hs = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(t => t.take(16).foldLeft(0L)((a, c) => (a * 131L + c) % P))
+      hs.sliding(2).filter(_.length == 2)
+        .map(p => (p(0) % B) * B + (p(0) * 131L + p(1)) % P % B).toSeq
+    }
+    new graft.PropHelper { override val propRuns = 25 }.forAllG(gen) { rows =>
+      val joint = rows.filter(_._3).flatMap(r => codes(r._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val prefix = joint.groupBy(_._1 / B).view.mapValues(_.values.sum).toMap
+      def r(c: Long): Long =
+        (BigInt(1000000L) * BigInt(joint.getOrElse(c, 0L) + 1) /
+          BigInt(prefix.getOrElse(c / B, 0L) + B)).toLong
+      val want = rows.map { case (id, t, _) => id -> codes(t).map(r).sum }.toMap
+      val df = rows.toDF("id", "t", "ev")
+      val got = TextAnalysis.lmScore(df, df.filter(col("ev")), "id", "t",
+        buckets = B).collect()
+      got.foreach { row =>
+        assert(row.getLong(1) == want(row.getLong(0)),
+          s"doc ${row.getLong(0)} of $rows")
+      }
+    }
+  }
+
   test("normalizeDocs: controls stripped, whitespace collapsed, exact audit counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

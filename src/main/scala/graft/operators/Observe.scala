@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
  *  - reading the [[Observation]] blocks until the FIRST action on the
  *    observed frame completes, so callers attach it to the pass whose
  *    health they audit (a gate, a dedup, a write);
+ *  - under Structured Streaming, [[Observation]].get does not complete
+ *    (Spark's batch-only contract) — read each micro-batch's metrics
+ *    from `StreamingQueryProgress.observedMetrics` instead (same
+ *    CollectMetrics node; EventStreamsSpec pins it);
  *  - do NOT global-sort directly above an observed node: a sort's
  *    range-partitioner SAMPLING pass re-evaluates the child, so the
  *    metrics would accumulate twice (measured: n_rows doubles). Put the

@@ -20,6 +20,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     query.awaitTermination(60000)
   }
 
+  test("observe under streaming: metrics surface per micro-batch via query progress") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "buy", 5.0))
+    // batch-style Observation.get does NOT complete for streaming queries
+    // (Spark contract) — streaming reads CollectMetrics results from each
+    // micro-batch's progress.observedMetrics instead; same plan node,
+    // same zero-extra-scan economics
+    val observed = mem.toDF().observe("gate",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("event_type") === "click", 1L)
+          .otherwise(0L)).as("n_clicks"))
+    val query = observed.writeStream.format("memory").queryName("obs_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(60000)
+    val metrics = query.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("gate")))
+    assert(metrics.nonEmpty, "no observed metrics in any micro-batch progress")
+    assert(metrics.map(_.getAs[Long]("n_rows")).sum == 3L)
+    assert(metrics.map(_.getAs[Long]("n_clicks")).sum == 2L)
+  }
+
   test("hourly windowed agg over a memory stream with watermark") {
     val s = spark
     import s.implicits._

@@ -2866,6 +2866,19 @@ object SparkEntry {
     // fixed-point PageRank, 3 message-passing rounds, over the
     // symmetrized supplier↔customer transaction graph. All-integer, so
     // the oracle replays ranks bit-for-bit with 3 unrolled CTEs.
+    // Spark 4 recursive CTEs: bounded-hop reachability over the same
+    // supplier↔customer edge relation the centrality query uses — seeds
+    // are nation-0 suppliers, frontier expands ≤ 3 hops, answer is each
+    // reached node's first hop. The SQL text runs VERBATIM in both
+    // engines (WITH RECURSIVE is the whole point), so the oracle IS the
+    // query
+    "q33_recursive" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_rec")
+      t(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_rec")
+      s.sql(RecursiveReachSql("lineitem_rec", "orders_rec", "supplier_rec"))
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       // edge skeleton served build-once (ensureEdges): the derivation
       // join + distinct — the query's measured residual — runs only on
@@ -3152,6 +3165,27 @@ object SparkEntry {
     * k-token window by md5 of its joined token string (md5 hex is
     * identical in Spark and DuckDB), then count duplicated windows
     * globally and per doc. */
+  /** Bounded-hop reachability as a recursive CTE — runs verbatim in
+    * Spark 4 AND DuckDB (both speak WITH RECURSIVE + UNION ALL), so the
+    * oracle is literally the same text over the same tables. */
+  private def RecursiveReachSql(lineitem: String, orders: String,
+      supplier: String): String =
+    s"""WITH RECURSIVE e(src, dst) AS (
+      |  SELECT l_suppkey, o_custkey + 1000000 FROM (
+      |    SELECT DISTINCT l.l_suppkey, o.o_custkey
+      |    FROM $lineitem l JOIN $orders o ON l.l_orderkey = o.o_orderkey) b
+      |  UNION ALL
+      |  SELECT o_custkey + 1000000, l_suppkey FROM (
+      |    SELECT DISTINCT l.l_suppkey, o.o_custkey
+      |    FROM $lineitem l JOIN $orders o ON l.l_orderkey = o.o_orderkey) b2),
+      |r(node, hop) AS (
+      |  SELECT s_suppkey, 0 FROM $supplier WHERE s_nationkey = 0
+      |  UNION ALL
+      |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node
+      |  WHERE r.hop < 2)
+      |SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
+      |FROM r GROUP BY node ORDER BY node""".stripMargin
+
   private def spanDedupSql(k: Int): String =
     s"""WITH toksl AS (
       |  SELECT doc_id,
@@ -4211,6 +4245,8 @@ object SparkEntry {
     // spec as modp_hash16) -> per-doc ordered hash list -> explicit
     // 8-term Horner per window -> global count -> per-doc dup stats
     "span_dedup" -> spanDedupSql(8),
+
+    "q33_recursive" -> RecursiveReachSql("lineitem", "orders", "supplier"),
 
     // replays tokenize → k-window md5 → per-digest (count, keeper) →
     // non-keeper coverage → ordered reassembly

@@ -3179,7 +3179,8 @@ object SparkEntry {
       |    SELECT DISTINCT l.l_suppkey, o.o_custkey
       |    FROM $lineitem l JOIN $orders o ON l.l_orderkey = o.o_orderkey) b2),
       |r(node, hop) AS (
-      |  SELECT s_suppkey, 0 FROM $supplier WHERE s_nationkey = 0
+      |  SELECT s_suppkey, 0 FROM $supplier
+      |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM $supplier)
       |  UNION ALL
       |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node
       |  WHERE r.hop < 2)

@@ -3182,7 +3182,7 @@ object SparkEntry {
       |  SELECT s_suppkey, 0 FROM $supplier
       |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM $supplier)
       |  UNION ALL
-      |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node
+      |  SELECT DISTINCT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node
       |  WHERE r.hop < 2)
       |SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
       |FROM r GROUP BY node ORDER BY node""".stripMargin

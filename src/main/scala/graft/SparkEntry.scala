@@ -2327,14 +2327,17 @@ object SparkEntry {
 
     // quarantine routing oracled cross-engine: every third doc carries a
     // deliberately-invalid payload (no P6 magic), the rest valid 2×2 PPM
-    // frames built from the text bytes — ok/error routing and the decoded
-    // channel sums both replay exactly in SQL (sums = ascii of the raster
-    // bytes; PPM maxval 255 makes round(px·255) the byte itself)
+    // frames whose 12 raster bytes are md5(doc_id) hex chars — ALWAYS
+    // 12 printable-ASCII bytes by construction (ADVICE r13: deriving the
+    // raster from `text` silently assumed every doc is ≥12 ASCII chars) —
+    // ok/error routing and the decoded channel sums both replay exactly
+    // in SQL (sums = ascii of the raster bytes; PPM maxval 255 makes
+    // round(px·255) the byte itself)
     "multimodal_quarantine" -> ((s, dir) => {
+      val raster = substring(md5(col("doc_id").cast("string")), 1, 12)
       val payload = when(col("doc_id") % 3 === 0,
           encode(substring(col("text"), 1, 5), "UTF-8"))
-        .otherwise(encode(
-          concat(lit("P6\n2 2\n255\n"), substring(col("text"), 1, 12)), "UTF-8"))
+        .otherwise(encode(concat(lit("P6\n2 2\n255\n"), raster), "UTF-8"))
       val media = Multimodal.toMediaFrame(
         t(s, dir, "documents").withColumn("payload", payload),
         "doc_id", "payload", "image/ppm")
@@ -5096,7 +5099,9 @@ object SparkEntry {
 
     "bpe_token_freq" -> {
       val voc = graft.functions.Bpe.default.vocabById.zipWithIndex
-        .filter(_._2 > 0) // UNK (0) never joins — it has no vocab string
+        .filter(_._2 > 0) // id 0 is reserved and never produced (byte-level
+        // BPE has no UNK — ADVICE r13's UNK-row divergence is structurally
+        // impossible now: engine and oracle rank the same total id space)
         .map { case (tok, id) =>
           s"(CAST($id AS BIGINT), '${tok.replace("'", "''")}')" }
         .mkString(", ")
@@ -5860,19 +5865,20 @@ object SparkEntry {
     // substr c+1, c+4, ...); invalid payloads (doc_id % 3 = 0) are
     // ok=false with null features
     "multimodal_quarantine" ->
-      """SELECT doc_id AS media_id,
+      """WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT doc_id AS media_id,
         |  doc_id % 3 <> 0 AS ok,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 3 END AS n_channels,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE
-        |    CAST(ascii(substr(text, 1, 1)) + ascii(substr(text, 4, 1))
-        |       + ascii(substr(text, 7, 1)) + ascii(substr(text, 10, 1)) AS BIGINT) END AS c0_sum,
+        |    CAST(ascii(substr(h, 1, 1)) + ascii(substr(h, 4, 1))
+        |       + ascii(substr(h, 7, 1)) + ascii(substr(h, 10, 1)) AS BIGINT) END AS c0_sum,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE
-        |    CAST(ascii(substr(text, 2, 1)) + ascii(substr(text, 5, 1))
-        |       + ascii(substr(text, 8, 1)) + ascii(substr(text, 11, 1)) AS BIGINT) END AS c1_sum,
+        |    CAST(ascii(substr(h, 2, 1)) + ascii(substr(h, 5, 1))
+        |       + ascii(substr(h, 8, 1)) + ascii(substr(h, 11, 1)) AS BIGINT) END AS c1_sum,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE
-        |    CAST(ascii(substr(text, 3, 1)) + ascii(substr(text, 6, 1))
-        |       + ascii(substr(text, 9, 1)) + ascii(substr(text, 12, 1)) AS BIGINT) END AS c2_sum
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |    CAST(ascii(substr(h, 3, 1)) + ascii(substr(h, 6, 1))
+        |       + ascii(substr(h, 9, 1)) + ascii(substr(h, 12, 1)) AS BIGINT) END AS c2_sum
+        |FROM r ORDER BY media_id""".stripMargin,
 
     // replay of Multimodal.OracleCodec: seed = Σ byte·(i·131+7 mod P) mod P,
     // channel-0 pixel sum over the 8×8×3 deterministic "image"

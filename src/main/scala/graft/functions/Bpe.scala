@@ -24,18 +24,26 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - pre-tokenizer: `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — lookahead-free,
  *    identical under Java regex and RE2. Merges never cross pre-token
  *    boundaries.
- *  - per pre-token: start from single characters; repeatedly find the
- *    adjacent pair with the LOWEST merge rank and merge ALL its
- *    occurrences, until no adjacent pair is in the table.
+ *  - per pre-token: start from single BYTES of the UTF-8 encoding
+ *    (byte-level BPE, the GPT-2 design: every byte is a base token, so
+ *    there is NO UNK — arbitrary UTF-8 encodes losslessly); repeatedly
+ *    find the adjacent pair with the LOWEST merge rank and merge ALL
+ *    its occurrences, until no adjacent pair is in the table.
+ *  - symbols are strings over the standard byte↔unicode bijection
+ *    (printable bytes map to themselves, the rest to the U+0100+ block)
+ *    so every symbol is printable and whitespace-free — safe in a text
+ *    merges file, and identity on printable ASCII, which keeps the
+ *    DuckDB oracle's per-character replay exact on ASCII corpora.
  *  - the committed fixture guarantees `left != right` for every merge
  *    (training skips same-symbol pairs), which makes "merge all
  *    occurrences" overlap-free: two occurrences can only abut when
  *    left == right. That is what lets the oracle rebuild the sequence
  *    with one list_filter/list_transform pass per merge step instead of
  *    a nested recursion (SparkEntry `tokenize_bpe`).
- *  - token ids: 0 = UNK (symbol outside the vocab), 1..94 = printable
- *    ASCII `!`..`~` in codepoint order, 95+ = merged tokens in rank
- *    order. Ids are fixture-stable, independent of any corpus.
+ *  - token ids: 0 is reserved (never produced — byte-level has no UNK),
+ *    1..256 = the 256 bytes in value order (id = byte + 1), 257+ =
+ *    merged tokens in rank order. Ids are fixture-stable, independent
+ *    of any corpus.
  *
  * Scale shape: encode is a narrow per-row map (no shuffle, no UDF — a
  * native expression inside whole-stage codegen) with a per-executor
@@ -53,12 +61,56 @@ object Bpe {
     * neither package depends on the other; BpeSpec pins them equal). */
   val PretokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  val UnkId = 0
+  /** Byte → symbol char bijection (the byte-level-BPE convention,
+    * Radford et al. 2019 §2.2): bytes that are printable in Latin-1
+    * ([33,126] ∪ [161,172] ∪ [174,255]) map to their own code points;
+    * the remaining 68 bytes map to U+0100.. in byte order. Every symbol
+    * string is therefore printable and free of whitespace/control chars
+    * (tab and newline are NOT kept), which the tab-separated merges
+    * fixture and the space-keyed rank map both rely on. */
+  val ByteToChar: IndexedSeq[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 to 255).map { b =>
+      if (keep(b)) b.toChar else { val c = (256 + n).toChar; n += 1; c }
+    }
+  }
 
-  /** Fixed base vocabulary: printable ASCII minus space (pre-tokens are
-    * whitespace-free), ids 1..94 — corpus-independent, so the id space
-    * is stable under fixture retraining as long as numMerges holds. */
-  val BaseVocab: IndexedSeq[String] = (33 to 126).map(_.toChar.toString)
+  val CharToByte: Map[Char, Int] =
+    ByteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** A pre-token as its symbol string: one mapped char per UTF-8 byte.
+    * Identity for printable-ASCII input — the property that lets the
+    * DuckDB oracle replay the merge loop with per-CHARACTER splits on
+    * ASCII corpora while the engine is byte-true on everything. */
+  def mapWord(word: String): String = {
+    val bytes = word.getBytes(StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(ByteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Symbol string → the UTF-8 text it spells (invalid byte sequences —
+    * possible only for adversarial id streams, never for encode output —
+    * decode to U+FFFD per java.nio's standard replacement). */
+  def unmapWord(mapped: String): String = {
+    val bytes = new Array[Byte](mapped.length)
+    var i = 0
+    while (i < mapped.length) {
+      bytes(i) = CharToByte.getOrElse(mapped.charAt(i), throw
+        new IllegalArgumentException(
+          f"not a symbol char: U+${mapped.charAt(i).toInt}%04X")).toByte
+      i += 1
+    }
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  /** Fixed base vocabulary: ALL 256 bytes as mapped symbol chars, ids
+    * 1..256 in byte order (id = byte + 1) — corpus-independent, so the
+    * id space is stable under fixture retraining as long as numMerges
+    * holds, and total: no UNK exists at any id. */
+  val BaseVocab: IndexedSeq[String] = (0 to 255).map(b => ByteToChar(b).toString)
 
   final case class Model(merges: IndexedSeq[(String, String)]) {
     require(merges.forall { case (l, r) => l != r },
@@ -78,15 +130,18 @@ object Bpe {
       m
     }
 
-    /** token string → id: base vocab then merged tokens in rank order. */
+    /** token (symbol string) → id: 256 byte tokens then merged tokens in
+      * rank order. Total over encode output — every single symbol char
+      * is a byte token and every merge result is here by construction. */
     val ids: Map[String, Int] =
       (BaseVocab.zipWithIndex.map { case (s, i) => s -> (i + 1) } ++
         merges.zipWithIndex.map { case ((l, r), i) =>
           (l + r) -> (BaseVocab.size + 1 + i) }).toMap
 
-    /** id → token string (index 0 = UNK placeholder). */
+    /** id → token symbol string (index 0 = reserved, never produced:
+      * byte-level BPE has no UNK). */
     val vocabById: IndexedSeq[String] =
-      "<unk>" +: BaseVocab ++: merges.map { case (l, r) => l + r }
+      "<reserved>" +: BaseVocab ++: merges.map { case (l, r) => l + r }
 
     require(ids.size == BaseVocab.size + merges.size,
       "a merge re-derived an existing token string — ranks would be " +
@@ -102,7 +157,8 @@ object Bpe {
     def encodeWord(word: String): Array[Int] = {
       val hit = cache.get(word)
       if (hit != null) return hit
-      var seq: Array[String] = Array.tabulate(word.length)(i => word.substring(i, i + 1))
+      val mw = mapWord(word)
+      var seq: Array[String] = Array.tabulate(mw.length)(i => mw.substring(i, i + 1))
       var done = false
       while (!done && seq.length > 1) {
         // lowest-rank adjacent pair present in the merges table
@@ -127,7 +183,7 @@ object Bpe {
           seq = out.toArray
         }
       }
-      val out = seq.map(s => ids.getOrElse(s, UnkId))
+      val out = seq.map(ids) // total: byte-level vocab covers every symbol
       if (cache.size < CacheCap) cache.put(word, out)
       out
     }
@@ -142,10 +198,10 @@ object Bpe {
     }
 
     def decode(tokenIds: Seq[Int]): String =
-      tokenIds.map { id =>
+      unmapWord(tokenIds.map { id =>
         require(id > 0 && id < vocabById.length, s"id $id not decodable")
         vocabById(id)
-      }.mkString
+      }.mkString)
 
     // ------------------------------------------------ oracle SQL emission
     private def q(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -171,8 +227,13 @@ object Bpe {
    * Mirrors tools/train_bpe_fixture.py line for line.
    */
   def train(wordFreqs: Seq[(String, Long)], numMerges: Int): IndexedSeq[(String, String)] = {
+    // words enter as TEXT and train as byte-level symbol sequences — one
+    // mapped char per UTF-8 byte, the same alphabet encode runs over, so
+    // trainer and encoder agree on every corpus (ADVICE r13: the old
+    // per-Scala-char iteration split surrogate pairs differently from
+    // Python's per-code-point loop; bytes are engine-independent).
     var words: Map[Vector[String], Long] = wordFreqs
-      .groupMapReduce(wf => wf._1.map(_.toString).toVector)(_._2)(_ + _)
+      .groupMapReduce(wf => mapWord(wf._1).map(_.toString).toVector)(_._2)(_ + _)
     val merges = IndexedSeq.newBuilder[(String, String)]
     var k = 0
     var exhausted = false
@@ -270,9 +331,9 @@ object Bpe {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
-  /** Static forwarder: ids → concatenated token strings. UNK (0) and
-    * out-of-vocab ids fail loudly — decoding a stream the fixture cannot
-    * express is a pipeline bug, not a value. */
+  /** Static forwarder: ids → the UTF-8 text their byte symbols spell.
+    * Out-of-vocab ids (and the reserved 0) fail loudly — decoding a
+    * stream the fixture cannot express is a pipeline bug, not a value. */
   def decodeArray(ids: ArrayData): UTF8String = {
     val n = ids.numElements()
     val sb = new java.lang.StringBuilder(n * 3)
@@ -280,11 +341,11 @@ object Bpe {
     while (i < n) {
       val id = ids.getInt(i)
       require(id > 0 && id < default.vocabById.length,
-        s"bpe_decode: id $id not decodable (UNK or out of vocab)")
+        s"bpe_decode: id $id not decodable (reserved or out of vocab)")
       sb.append(default.vocabById(id))
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.fromString(unmapWord(sb.toString))
   }
 
   /** `bpe_decode(ids)` → the concatenated token text (whitespace between

@@ -54,6 +54,23 @@ object Versioned {
     * healed by the next commit's repair step. */
   val CommittedMarker = "_committed"
 
+  /** Marker-discipline epoch file beside `_current` (ADVICE r13 medium):
+    * version dirs written BEFORE the marker scheme existed carry no
+    * `_committed` marker, and reading them as orphans would silently
+    * reclassify committed history as reclaimable garbage. The epoch file
+    * records when marker discipline began on a root. Before it exists,
+    * every version dir is grandfathered as committed (the pre-marker
+    * semantics, under which all dirs were history); the first
+    * marker-aware [[commit]] backfills a marker onto every pre-existing
+    * dir and THEN writes the epoch file, after which a marker-less dir is
+    * a genuine orphan. Trade-off, stated: an orphan left by a crash that
+    * predates the first marker-aware commit gets grandfathered too — the
+    * conservative direction (retain, never reclaim, ambiguous data). */
+  val MarkerEpoch = "_marker_epoch"
+
+  private def markerEpochExists(spark: SparkSession, root: String): Boolean =
+    fsOf(spark, new Path(root)).exists(new Path(root, MarkerEpoch))
+
   /**
    * THE COMMIT CONTRACT (docs/PLANS.md "Versioned commit contract" has
    * the full audit). Every publish in this layout — the version pointer
@@ -150,6 +167,27 @@ object Versioned {
     fs.mkdirs(rootP)
     require(fs.exists(new Path(rootP, version)),
       s"cannot commit $version: $root/$version does not exist")
+    // One-time migration (ADVICE r13): the first marker-aware commit on a
+    // root backfills markers onto every dir that predates marker
+    // discipline — they were written under pre-marker semantics where all
+    // dirs were committed history — then pins the epoch. Ordering: markers
+    // first, epoch last, so a crash mid-backfill leaves the root in legacy
+    // mode (all dirs still grandfathered) and the next commit re-runs the
+    // idempotent backfill. The version being committed NOW is excluded:
+    // it must only gain its marker after the pointer swap below.
+    if (!fs.exists(new Path(rootP, MarkerEpoch))) {
+      fs.listStatus(rootP).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+        .filterNot(_.getPath.getName == version)
+        .foreach(s => markCommitted(fs, s.getPath))
+      // plain create, not atomicOverwrite: the epoch is an empty latch
+      // whose EXISTENCE is the signal (zero-length is the intended
+      // content, so no torn-write window exists), and routing it through
+      // the commit primitive would double-count the one-commit-one-op
+      // contract the observer/CAS seams pin.
+      val out = fs.create(new Path(rootP, MarkerEpoch), true)
+      try out.write(Array.emptyByteArray) finally out.close()
+    }
     // Repair step: the OUTGOING live version is committed by definition
     // (the pointer names it) — if its marker is missing (a prior commit
     // crashed between pointer swap and marker write), heal it now so it
@@ -174,12 +212,15 @@ object Versioned {
     }
   }
 
-  /** Whether `version` was ever committed: it carries the marker, or it
-    * is the pointer's current target (the marker-write crash window). */
+  /** Whether `version` was ever committed: it carries the marker, it is
+    * the pointer's current target (the marker-write crash window), or the
+    * root predates marker discipline entirely (no [[MarkerEpoch]] —
+    * legacy semantics grandfather every dir as committed history). */
   def isCommitted(spark: SparkSession, root: String, version: String): Boolean = {
     val fs = fsOf(spark, new Path(root))
     fs.exists(new Path(new Path(root, version), CommittedMarker)) ||
-      currentVersion(spark, root).contains(version)
+      currentVersion(spark, root).contains(version) ||
+      !markerEpochExists(spark, root)
   }
 
   /**
@@ -392,9 +433,14 @@ object Versioned {
     val fs = fsOf(spark, rootP)
     if (!fs.exists(rootP)) return Seq.empty
     val live = currentVersion(spark, root)
+    // Pre-epoch roots (written before marker discipline existed) carry no
+    // markers anywhere: grandfather every dir as committed, exactly the
+    // pre-marker semantics, so upgrading the library never reclassifies
+    // committed history as orphans (ADVICE r13 medium).
+    val legacy = !fs.exists(new Path(rootP, MarkerEpoch))
     fs.listStatus(rootP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
-      .filter(s => live.contains(s.getPath.getName) ||
+      .filter(s => legacy || live.contains(s.getPath.getName) ||
         fs.exists(new Path(s.getPath, CommittedMarker)))
       .map(s => (s.getPath.getName, s.getModificationTime))
       .sortBy { case (name, mtime) => (-mtime, name) }

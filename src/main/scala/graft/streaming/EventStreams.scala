@@ -180,19 +180,27 @@ object EventStreams {
       checkpoint: String, confs: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val s = df.sparkSession
-    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      df.writeStream
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          writeBatchIdempotent(batch.toDF(), baseDir, batchId)
-        }
-        .option("checkpointLocation", checkpoint)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
+    // The set-start-restore window mutates SESSION-WIDE conf; two
+    // concurrent query starts on one session could interleave and leak
+    // the state-store provider into an unrelated query (ADVICE r13).
+    // Serialized under the same lock SparkEntry uses for its identical
+    // pattern — start() returns promptly (the clone freezes the confs
+    // into the query), so the hold window is short.
+    graft.SparkEntry.sessionConfLock.synchronized {
+      val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        df.writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            writeBatchIdempotent(batch.toDF(), baseDir, batchId)
+          }
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   }
 

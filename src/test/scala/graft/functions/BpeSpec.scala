@@ -40,12 +40,44 @@ class BpeSpec extends AnyFunSuite with SparkTestBase with graft.PropHelper {
     assert(m.encodeWord("bcbc").toSeq == Seq(m.ids("bc"), m.ids("bc")))
   }
 
-  test("encode: merges chain through multi-symbol tokens; unknown symbols map to UNK") {
+  test("encode: merges chain through multi-symbol tokens; non-ASCII falls back to byte tokens") {
     val m = Bpe.Model(IndexedSeq(("a", "b"), ("ab", "c")))
     assert(m.encodeWord("abc").toSeq == Seq(m.ids("abc")))
     assert(m.encodeWord("abd").toSeq == Seq(m.ids("ab"), m.ids("d")))
-    // 'é' is outside the printable-ASCII base vocab → UNK (id 0)
-    assert(m.encodeWord("é").toSeq == Seq(Bpe.UnkId))
+    // 'é' is U+00E9 = UTF-8 bytes 0xC3 0xA9 → the two byte tokens
+    // (id = byte + 1) — byte-level BPE has NO UNK (VERDICT r13 next #2)
+    assert(m.encodeWord("é").toSeq == Seq(0xC3 + 1, 0xA9 + 1))
+    assert(m.decode(m.encodeWord("é").toIndexedSeq) == "é")
+  }
+
+  test("byte mapping: bijective over all 256 bytes; printable ASCII is identity") {
+    assert(Bpe.ByteToChar.distinct.length == 256)
+    (33 to 126).foreach(b => assert(Bpe.ByteToChar(b) == b.toChar))
+    (0 to 255).foreach(b => assert(Bpe.CharToByte(Bpe.ByteToChar(b)) == b))
+    // no symbol char is whitespace or a control char (the merges file is
+    // tab-separated; the rank map is space-keyed)
+    Bpe.ByteToChar.foreach(c => assert(!c.isWhitespace && !c.isControl))
+  }
+
+  test("lossless encode→decode on arbitrary UTF-8: emoji, CJK, accents, surrogate pairs") {
+    val f = Bpe.default
+    // decode(encode(w)) == w for any single pre-token, including symbols
+    // far outside ASCII — the byte fallback guarantees totality. (Full
+    // texts lose inter-pre-token whitespace by documented contract.)
+    val words = Seq("naïve", "日本語", "🚀", "Ω", "Ñandú", "a🚀b",
+      "é́", new String(Character.toChars(0x1F9EA)) * 3)
+    words.foreach { w =>
+      val ids = f.encode(w)
+      assert(ids.nonEmpty && ids.forall(_ > 0), s"reserved/invalid id for '$w'")
+      // encode runs per pre-token; rebuild what the pre-tokenizer kept
+      val kept = {
+        val m = java.util.regex.Pattern.compile(Bpe.PretokenPattern).matcher(w)
+        val sb = new StringBuilder
+        while (m.find()) sb.append(m.group())
+        sb.toString
+      }
+      assert(f.decode(ids.toIndexedSeq) == kept, s"roundtrip of '$w'")
+    }
   }
 
   test("pre-tokenizer boundaries: merges never cross them; pattern matches TextAnalysis") {
@@ -63,9 +95,10 @@ class BpeSpec extends AnyFunSuite with SparkTestBase with graft.PropHelper {
     val f = Bpe.default
     assert(f.merges.nonEmpty)
     assert(f.merges.forall { case (l, r) => l != r })
-    // id layout: UNK=0, '!'=1 .. '~'=94, merges from 95 in rank order
-    assert(f.ids("!") == 1 && f.ids("~") == 94)
-    assert(f.ids(f.merges.head._1 + f.merges.head._2) == 95)
+    // id layout: 0 reserved, byte b = b+1 (so '!'=34, '~'=127), merges
+    // from 257 in rank order
+    assert(f.ids("!") == '!'.toInt + 1 && f.ids("~") == '~'.toInt + 1)
+    assert(f.ids(f.merges.head._1 + f.merges.head._2) == 257)
     intercept[IllegalArgumentException](
       Bpe.Model(IndexedSeq(("a", "a"))))
   }

@@ -240,6 +240,57 @@ class VersionedSpec extends AnyFunSuite with SparkTestBase {
     assert(Versioned.listVersions(spark, root).map(_._1).toSet == Set(v1, v2))
   }
 
+  test("pre-marker migration: legacy roots grandfather marker-less history; first commit backfills") {
+    // ADVICE r13 (medium): version dirs committed by pre-marker code carry
+    // no _committed marker. Upgrading must NOT reclassify that committed
+    // history as orphans — the _marker_epoch latch grandfathers dirs that
+    // predate marker discipline, and the first marker-aware commit
+    // backfills markers onto all of them before pinning the epoch.
+    val root = freshRoot()
+    import spark.implicits._
+    // Simulate a pre-marker layout by hand: two version dirs + a pointer,
+    // no markers, no epoch file — exactly what r12-era code left on disk.
+    Seq(1L).toDF("x").write.parquet(s"$root/v-legacy-old")
+    Thread.sleep(20)
+    Seq(2L).toDF("x").write.parquet(s"$root/v-legacy-live")
+    val fw = new java.io.FileWriter(s"$root/${Versioned.Pointer}")
+    fw.write("v-legacy-live\n"); fw.close()
+    assert(!new java.io.File(s"$root/v-legacy-old/${Versioned.CommittedMarker}").exists)
+    // Legacy semantics: BOTH dirs are committed history, visible to
+    // listVersions / AS-OF / readVersion, retained by a declared policy.
+    assert(Versioned.listVersions(spark, root).map(_._1).toSet ==
+      Set("v-legacy-old", "v-legacy-live"))
+    assert(Versioned.isCommitted(spark, root, "v-legacy-old"))
+    assert(Versioned.readVersion(spark, root, "v-legacy-old")
+      .as[Long].collect().toSeq == Seq(1L))
+    Versioned.setRetention(spark, root, Versioned.Retention(keepLast = Some(2)))
+    assert(Versioned.vacuum(spark, root).isEmpty,
+      "vacuum reclaimed pre-marker committed history inside the horizon")
+    // First marker-aware commit: backfills markers on BOTH legacy dirs,
+    // pins the epoch, and the new version gets its own marker post-swap.
+    Thread.sleep(20)
+    val v3 = Versioned.writeVersioned(Seq(3L).toDF("x"), root)
+    assert(new java.io.File(s"$root/${Versioned.MarkerEpoch}").exists)
+    assert(new java.io.File(s"$root/v-legacy-old/${Versioned.CommittedMarker}").exists)
+    assert(new java.io.File(s"$root/v-legacy-live/${Versioned.CommittedMarker}").exists)
+    assert(Versioned.listVersions(spark, root).map(_._1).toSet ==
+      Set("v-legacy-old", "v-legacy-live", v3))
+    // Post-epoch, orphan discipline is live again: a crashed publish's
+    // dir is invisible and reclaimable (retention widened so only the
+    // orphan is outside the horizon).
+    Versioned.setRetention(spark, root, Versioned.Retention(keepLast = Some(3)))
+    intercept[RuntimeException] {
+      Versioned.publish(spark, root) { dir =>
+        Seq(666L).toDF("x").write.parquet(dir)
+        throw new RuntimeException("crash before pointer swap")
+      }
+    }
+    assert(Versioned.listVersions(spark, root).map(_._1).toSet ==
+      Set("v-legacy-old", "v-legacy-live", v3),
+      "post-epoch orphan leaked into committed history")
+    assert(Versioned.vacuum(spark, root).size == 1)
+  }
+
   test("retention policy: vacuum keeps the horizon; AS-OF inside it serves, beyond it names the horizon") {
     // VERDICT r12 next #7: keep-last-N declared beside _current, honored
     // by vacuum, so AS-OF reads have a documented horizon.

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Regenerate the committed BPE merges fixture from the sf0.001 corpus.
+"""Regenerate the committed BPE merges fixture.
 
 Provenance tool for src/main/resources/graft/bpe_merges.txt: classic BPE
 training over the pre-token frequency table (the scalable formulation —
@@ -7,8 +7,15 @@ one distributed groupBy produces the compact word-freq table, the merge
 loop runs over THAT, never the corpus). Semantics mirror
 graft.functions.Bpe.train exactly:
 
-  - pre-tokenizer: [A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]  (lookahead-free,
-    identical under Java regex and RE2/DuckDB)
+  - pre-tokenizer: [A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]  compiled with
+    re.ASCII so \\s means the ASCII set exactly like Java regex (a
+    Unicode-aware \\s would treat NBSP as whitespace and diverge —
+    ADVICE r13)
+  - BYTE-LEVEL symbols: each pre-token trains as its UTF-8 byte
+    sequence mapped through the standard byte->unicode bijection
+    (printable bytes map to themselves, the rest to U+0100..), the same
+    alphabet Bpe.mapWord produces — engine-independent, no surrogate
+    or code-point iteration ambiguity
   - pair counts weighted by word frequency, one count per adjacent
     position
   - best pair = (count desc, left asc, right asc)  [deterministic]
@@ -19,6 +26,8 @@ graft.functions.Bpe.train exactly:
   - merges apply left-to-right, non-overlapping
 
 Usage: python3 tools/train_bpe_fixture.py [sfdir] [numMerges]
+Default corpus is sf0.1 (5000 docs — the "larger synthetic corpus" of
+VERDICT r13 next #2); the old fixture trained on sf0.001's 31 words.
 """
 import re
 import sys
@@ -26,17 +35,35 @@ from collections import Counter
 
 import duckdb
 
-sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-num_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+num_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 160
 
-PRETOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PRETOKEN = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", re.ASCII)
 
-rows = duckdb.connect().execute(
-    f"""SELECT pt, count(*) AS n FROM (
-          SELECT unnest(regexp_extract_all(text, '{PRETOKEN}')) AS pt
-          FROM '{sfdir}/documents.parquet') GROUP BY pt"""
+# byte -> symbol char bijection, identical to Bpe.ByteToChar
+_keep = set(range(33, 127)) | set(range(161, 173)) | set(range(174, 256))
+B2C = {}
+_n = 0
+for _b in range(256):
+    if _b in _keep:
+        B2C[_b] = chr(_b)
+    else:
+        B2C[_b] = chr(256 + _n)
+        _n += 1
+
+
+def map_word(w: str):
+    return tuple(B2C[b] for b in w.encode("utf-8"))
+
+
+texts = duckdb.connect().execute(
+    f"SELECT text FROM '{sfdir}/documents.parquet'"
 ).fetchall()
-words = {tuple(w): int(n) for w, n in rows}
+freq = Counter()
+for (t,) in texts:
+    for pt in PRETOKEN.findall(t):
+        freq[pt] += 1
+words = {map_word(w): int(n) for w, n in freq.items()}
 
 merges = []
 for _ in range(num_merges):
@@ -66,7 +93,7 @@ for _ in range(num_merges):
 
 out = "".join(f"{l}\t{r}\n" for l, r in merges)
 path = "src/main/resources/graft/bpe_merges.txt"
-with open(path, "w") as f:
+with open(path, "w", encoding="utf-8") as f:
     f.write(out)
 print(f"wrote {len(merges)} merges to {path}")
 for i, (l, r) in enumerate(merges[:10]):

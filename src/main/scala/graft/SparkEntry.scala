@@ -1759,6 +1759,41 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF retraining on a deliberately DRIFTED corpus (VERDICT r13 next
+    // #3): build on the base rows, append a +2.0/dim-shifted cluster
+    // under new ids (a distribution the build centroids never saw — the
+    // cells unbalance, rebucket's precedent), then retrainIvfIndex:
+    // centroids and the whole cell layout re-derived from the live
+    // contents under one manifest-swap commit. The oracle replays the
+    // FULL training (trainWhere = TRUE over the drifted union) — retrain
+    // == rebuild is the semantics being pinned cross-engine.
+    "ann_ivf_retrained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ik = embCorpusKey(s, dir) + ":retrain"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfretrain_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_retrain_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        val base = emb.filter(col("vec_id") < 400)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val drift = emb.filter(col("vec_id") >= 400)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"), x => x.cast("double") + lit(2.0d)).as("embedding"))
+        Similarity.writeIvfIndex(base, "vec_id", "embedding", idx, indexKey = ik)
+        Similarity.appendToIvfIndex(drift, "vec_id", "embedding", idx, indexKey = ik)
+        Similarity.retrainIvfIndex(s, idx, "vec_id", "embedding", indexKey = ik)
+        fs.create(done, true).close()
+      }
+      Similarity.ivfTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", k = 3, indexKey = ik)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID confusion counts (oracle generated from the same profile
     // word lists; the CJK script branch is vacuous on this ASCII corpus).
     // ensureParallelism: the classifier is CPU-bound per row and the bench
@@ -3352,13 +3387,24 @@ object SparkEntry {
        |$iterCtes""".stripMargin
   }
 
+  /** The drifted-corpus shape shared by the retrain query and its oracle:
+    * base rows stay float-cast, the tail re-enters as a +2.0/dim-shifted
+    * cluster under new ids — a distribution the build-time centroids
+    * never saw. Exact in both engines (double addition on float-exact
+    * inputs). */
+  private val DriftedEmbSql: String =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 400
+      |  UNION ALL
+      |  SELECT vec_id + 10000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 2.0)
+      |  FROM embeddings WHERE vec_id >= 400""".stripMargin
+
   private def annIvfTrainedSql(stride: Int = 20, iters: Int = 3,
       nProbe: Int = 3, k: Int = 3, trainWhere: String = "TRUE",
-      deleteWhere: String = "FALSE"): String = {
+      deleteWhere: String = "FALSE",
+      embSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      : String = {
     val dist = (q: String, c: String) => ivfDistSql(q, c)
-    s"""WITH ${ivfTrainCtes(
-          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
-          stride, iters, trainWhere)},
+    s"""WITH ${ivfTrainCtes(embSql, stride, iters, trainWhere)},
        |fa AS (
        |  SELECT x.vec_id, ci.c,
        |    row_number() OVER (PARTITION BY x.vec_id
@@ -5407,6 +5453,8 @@ object SparkEntry {
     // build), deleted ids excluded from the candidate side only
     "ann_ivf_deleted" -> annIvfTrainedSql(deleteWhere = "vec_id % 10 = 7"),
     "ann_ivf_purged" -> annIvfTrainedSql(deleteWhere = "vec_id % 10 = 7"),
+    // retrain == rebuild: full training over the drifted union corpus
+    "ann_ivf_retrained" -> annIvfTrainedSql(embSql = DriftedEmbSql),
     "ann_pq_deleted" -> annPqServedSql(deleteWhere = "vec_id % 10 = 7"),
     "ann_pq_compacted" -> annPqServedSql(trainWhere = "vec_id < 400"),
 

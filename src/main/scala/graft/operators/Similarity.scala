@@ -471,23 +471,77 @@ object Similarity {
     * old manifests and old readers interoperate both ways. */
   val CellMapSchemaPrefix: String = "#schema="
 
+  /** Header line naming the index's LIVE trained-state directory
+    * (relative to the index root). Absent = `_centroids`, the build-time
+    * default — every pre-retrain index reads unchanged. Retraining swaps
+    * centroids and cell files in ONE manifest commit by writing the new
+    * state to a fresh generation dir and naming it here: a serve that
+    * reads the manifest gets a CONSISTENT (centroids, files) pair on
+    * either side of the swap, never new files probed with old centroids
+    * (the silent-recall-corruption failure retraining would otherwise
+    * open). The generation name also keys the process-wide centroid
+    * cache, so a long-lived serve process self-heals after a retrain by
+    * another process (see servedState). */
+  val CellMapCentroidsPrefix: String = "#centroids="
+
+  /** Default trained-state dir under the index root. */
+  val DefaultCentroidsDir: String = "_centroids"
+
+  private def manifestCentroidsDirOf(txt: String): Option[String] =
+    txt.split('\n').find(_.startsWith(CellMapCentroidsPrefix))
+      .map(_.substring(CellMapCentroidsPrefix.length).trim).filter(_.nonEmpty)
+
+  /** The index's live trained-state dir (relative name). */
+  private[graft] def centroidsDirOf(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): String =
+    readManifest(spark, indexPath).flatMap(manifestCentroidsDirOf)
+      .getOrElse(DefaultCentroidsDir)
+
+  /** Resolve trained state for a serve/append against `indexPath`:
+    * registry hit under the GENERATION-aware key, else one load from the
+    * index's live trained-state dir. The cache key embeds the centroids
+    * generation dir, so a retrain (which changes the dir name in the
+    * manifest) is visible to every process on its next serve — a plain
+    * `key`-only cache would keep serving pre-retrain centroids against
+    * post-retrain cell files forever. */
+  private[graft] def servedState(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, key: String): IndexedSeq[IndexedSeq[Long]] = {
+    val cdir = centroidsDirOf(spark, indexPath)
+    val genKey = s"$key@$indexPath/$cdir"
+    TrainedIndex.get(genKey).getOrElse {
+      TrainedIndex.load(spark, s"$indexPath/$cdir")
+      val v = TrainedIndex.get(key).getOrElse(throw new IllegalStateException(
+        s"index at $indexPath does not carry trained state for $key"))
+      TrainedIndex.put(genKey, v)
+      v
+    }
+  }
+
   // private[graft]: IvfAppendCrashSpec re-commits the manifest as the
   // post-crash recovery step (publishes stranded-but-job-committed files)
   private[graft] def writeCellMap(spark: org.apache.spark.sql.SparkSession,
       path: String,
-      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      centroidsDir: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val liveTxt = graft.sinks.Versioned
+      .readSmallText(spark, new Path(root, CellMapFile))
     // schema header: from the writer when it has the frame in hand
     // (build/append), else preserved from the live manifest (compact
     // rewrites the file list but must not drop the schema)
     val schemaLine: Option[String] = dataSchema.map(s => CellMapSchemaPrefix + s.json)
-      .orElse(graft.sinks.Versioned
-        .readSmallText(spark, new Path(root, CellMapFile))
-        .flatMap(_.split('\n').find(_.startsWith(CellMapSchemaPrefix))))
+      .orElse(liveTxt.flatMap(_.split('\n').find(_.startsWith(CellMapSchemaPrefix))))
+    // centroids header: from the writer (retrain's commit), else
+    // preserved — an append/compact after a retrain must not silently
+    // point serves back at the GC'd default dir
+    val centroidsLine: Option[String] = centroidsDir
+      .map(CellMapCentroidsPrefix + _)
+      .orElse(liveTxt.flatMap(_.split('\n').find(_.startsWith(CellMapCentroidsPrefix))))
     val sb = new StringBuilder
     schemaLine.foreach(l => sb.append(l).append('\n'))
+    centroidsLine.foreach(l => sb.append(l).append('\n'))
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("cell=")).foreach { d =>
       val cell = d.getPath.getName.substring("cell=".length)
@@ -645,11 +699,7 @@ object Similarity {
       else
         s"index at $path has no codes column — appending with pqM would mix schemas")
     def served(key: String): IndexedSeq[IndexedSeq[Long]] =
-      TrainedIndex.get(key).getOrElse {
-        TrainedIndex.load(spark, s"$path/_centroids")
-        TrainedIndex.get(key).getOrElse(throw new IllegalStateException(
-          s"index at $path does not carry trained state for $key"))
-      }
+      servedState(spark, path, key)
     val cents = served(ivfKey(indexKey, idCol, vecCol, stride, iters))
     val cbLit = typedlit(cents)
     val cidLit = typedlit(cents.indices.map(_.toLong))
@@ -894,6 +944,11 @@ object Similarity {
     val old = committed.toSet
     val sb = new StringBuilder
     schema.foreach(s => sb.append(CellMapSchemaPrefix).append(s.json).append('\n'))
+    // preserve the live trained-state generation (a purge rewrites rows,
+    // never centroids — pointing serves back at a GC'd default dir would
+    // brick them after any retrain)
+    manifestCentroidsDirOf(txt).foreach(d =>
+      sb.append(CellMapCentroidsPrefix).append(d).append('\n'))
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("cell=")).foreach { d =>
       val cell = d.getPath.getName.substring("cell=".length)
@@ -913,6 +968,139 @@ object Similarity {
     old.foreach(f => fs.delete(new Path(root, f), false))
     fs.delete(tombPath, false)
     dead.length
+  }
+
+  /**
+   * Retrain a materialized index IN PLACE on its current live contents
+   * (VERDICT r13 next #3). `appendToIvfIndex` assigns batches to the
+   * centroids the index was BUILT with — under distribution drift the
+   * new mass crams into whichever old cells are nearest, cells
+   * unbalance, and recall decays (probing nProbe cells misses more of
+   * the true neighborhood every batch). This is the index-quality twin
+   * of `MergeTable.rebucket`: re-derive the layout from current data
+   * under the same single-object commit discipline, no service window.
+   *
+   * Protocol (the purge's manifest-swap pattern, plus a trained-state
+   * generation): train fresh centroids (and PQ codebook, when the index
+   * stores codes) on the LIVE committed rows, re-assign and rewrite
+   * every row as new cell files, persist the new trained state to a
+   * fresh `_centroids-<gen>` dir, then COMMIT by swapping the manifest
+   * to name ONLY the new files and the new generation (one atomic
+   * single-object write). A serve reads (centroids, files) from one
+   * manifest view, so it can never probe new files with old centroids
+   * or vice versa; a crash anywhere before the swap leaves the old
+   * index fully served and only uncommitted debris (IvfRetrainSpec
+   * crash-injects the window). Old files and the old generation dir are
+   * GC'd best-effort after the swap.
+   *
+   * Tombstones are carried, not resolved: `_tombstones` filtering is
+   * id-based and cell-independent, so the rewrite keeps dead rows
+   * masked exactly as before (run `purgeTombstones` first to shed them
+   * physically). Single maintenance writer, like append/purge/compact.
+   */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, indexKey: String,
+      stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Unit =
+    retrainIvfIndexHooked(spark, path, idCol, vecCol, indexKey,
+      stride, iters, pqM, () => ())
+
+  /** The retrain with a test seam at its one crash window: `beforeCommit`
+    * runs after the rewrite job and the new trained-state dir land,
+    * before the manifest swap — the same seam shape as append/purge. */
+  private[graft] def retrainIvfIndexHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, indexKey: String,
+      stride: Int, iters: Int, pqM: Option[Int],
+      beforeCommit: () => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.typedlit
+    requireIndexReady(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // schema parity with the stored layout, exactly append's contract
+    val hasCodes = readManifest(spark, path).flatMap(manifestSchemaOf)
+      .map(_.fieldNames.contains("codes"))
+      .getOrElse(spark.read.parquet(path).schema.fieldNames.contains("codes"))
+    require(hasCodes == pqM.isDefined,
+      if (hasCodes)
+        s"index at $path stores PQ codes — pass the pqM it was built with"
+      else
+        s"index at $path has no codes column — retraining with pqM would mix schemas")
+    // start from committed-only disk state (pre-manifest indexes get one)
+    if (readManifest(spark, path).isEmpty) writeCellMap(spark, path)
+    vacuumUncommitted(spark, path)
+    val txt = readManifest(spark, path).get
+    val schema = manifestSchemaOf(txt)
+    val liveGen = manifestCentroidsDirOf(txt).getOrElse(DefaultCentroidsDir)
+    // GC generations no manifest names (debris of crashed retrains) —
+    // the _centroids-* analog of vacuumUncommitted's cell-file sweep
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$DefaultCentroidsDir-") &&
+        s.getPath.getName != liveGen)
+      .foreach(s => fs.delete(s.getPath, true))
+    val committed: Seq[String] = txt.split('\n').iterator
+      .filter(l => l.nonEmpty && l.contains('\t'))
+      .map(l => l.substring(l.indexOf('\t') + 1)).toSeq
+    require(committed.nonEmpty, s"cannot retrain an empty index at $path")
+    val rd0 = spark.read.option("basePath", path)
+    val rd = schema.map(rd0.schema).getOrElse(rd0)
+    val corpus = rd.parquet(committed.map(f => s"$path/$f"): _*)
+      .select(col(idCol), col(vecCol))
+    // fresh training on the live corpus — never the registry: stale
+    // cached state is exactly what a retrain exists to replace
+    val key = ivfKey(indexKey, idCol, vecCol, stride, iters)
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, stride, iters)
+    val cbLit = typedlit(cents)
+    val cidLit = typedlit(cents.indices.map(_.toLong))
+    val base = withInt8(Par.ensureParallelism(corpus), vecCol)
+    val (assigned, newState) = pqM match {
+      case Some(m) =>
+        val pk = pqKey(indexKey, idCol, vecCol, m, stride, iters)
+        val cb = trainPqCodebook(corpus, idCol, vecCol, m, stride, iters)
+        (base.select(col(idCol), col(vecCol),
+          vec_pq_encode(col("__q"), typedlit(cb), m).as("codes"),
+          element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell")),
+          Seq(key -> cents, pk -> cb))
+      case None =>
+        (base.select(col(idCol), col(vecCol),
+          element_at(vec_ivf_cells_l2(col("__q"), cbLit, cidLit, 1), 1).as("cell")),
+          Seq(key -> cents))
+    }
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    // new trained-state generation: written BEFORE the commit so the
+    // manifest never names a dir that does not exist
+    val gen = s"$DefaultCentroidsDir-${java.util.UUID.randomUUID().toString.take(8)}"
+    newState.foreach { case (k, v) => TrainedIndex.put(k, v) }
+    TrainedIndex.save(spark, s"$path/$gen", onlyKeys = Some(newState.map(_._1)))
+    newState.foreach { case (k, v) => TrainedIndex.put(s"$k@$path/$gen", v) }
+    // the in-memory assigned-corpus cache was built with the OLD
+    // centroids — paired invalidation, same discipline as invalidate(key)
+    AssignedCorpus.invalidate(s"cells:$key")
+    beforeCommit()
+    // COMMIT: one atomic manifest swap naming only the rewrite's files
+    // and the new trained-state generation
+    val old = committed.toSet
+    val sb = new StringBuilder
+    sb.append(CellMapSchemaPrefix).append(assigned.schema.json).append('\n')
+    sb.append(CellMapCentroidsPrefix).append(gen).append('\n')
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("cell=")).foreach { d =>
+      val cell = d.getPath.getName.substring("cell=".length)
+      fs.listStatus(d.getPath).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            !old(s"${d.getPath.getName}/$n"))
+          sb.append(cell).append('\t')
+            .append(d.getPath.getName).append('/').append(n).append('\n')
+      }
+    }
+    graft.sinks.Versioned.atomicOverwrite(spark, new Path(root, CellMapFile),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // GC: old files and the outgoing generation are now unreferenced.
+    // Best-effort — failures leave debris for vacuumUncommitted / the
+    // next retrain's generation sweep, never resurrectable rows.
+    old.foreach(f => fs.delete(new Path(root, f), false))
+    if (liveGen != gen) fs.delete(new Path(root, liveGen), true)
   }
 
   /**
@@ -1014,11 +1202,7 @@ object Similarity {
       nProbe: Int = 3, stride: Int = 20, iters: Int = 3): DataFrame = {
     requireIndexReady(spark, indexPath)
     val key = ivfKey(indexKey, idCol, vecCol, stride, iters)
-    val cents = TrainedIndex.get(key).getOrElse {
-      TrainedIndex.load(spark, s"$indexPath/_centroids")
-      TrainedIndex.get(key).getOrElse(throw new IllegalStateException(
-        s"index at $indexPath does not carry centroids for $key"))
-    }
+    val cents = servedState(spark, indexPath, key)
     // the query set is the small (broadcast) side by CONTRACT, so it is
     // evaluated ONCE, on the driver: the collected rows provide both the
     // literal probe-cell list (static partition pruning on the index
@@ -1097,11 +1281,7 @@ object Similarity {
       nProbe: Int, m: Int, stride: Int, iters: Int): (DataFrame, Array[Long]) = {
     requireIndexReady(spark, indexPath)
     def served(key: String): IndexedSeq[IndexedSeq[Long]] =
-      TrainedIndex.get(key).getOrElse {
-        TrainedIndex.load(spark, s"$indexPath/_centroids")
-        TrainedIndex.get(key).getOrElse(throw new IllegalStateException(
-          s"index at $indexPath does not carry trained state for $key"))
-      }
+      servedState(spark, indexPath, key)
     val cents = served(ivfKey(indexKey, idCol, vecCol, stride, iters))
     val cb = served(pqKey(indexKey, idCol, vecCol, m, stride, iters))
     val ksub = cb.length / m

@@ -96,7 +96,87 @@ object MergeTable {
 
   private final case class Manifest(schema: org.apache.spark.sql.types.StructType,
       nBuckets: Int, files: Seq[(Long, String)],
-      keyCol: Option[String] = None)
+      keyCol: Option[String] = None,
+      zones: Map[String, (String, String)] = Map.empty)
+
+  // ---------------------------------------------------------- zone maps
+  // Per-file key min/max recorded in the manifest at write time (VERDICT
+  // r13 next #4): bucket pruning serves POINT lookups (hash routing), but
+  // a RANGE predicate on the key hashes everywhere and scanned every
+  // bucket. Zone entries are the Delta/Iceberg data-skipping half of the
+  // layout: a range read keeps only files whose [min,max] overlaps the
+  // predicate. Conservative by construction — files without an entry
+  // (pre-zone manifests, unsupported key types) are always scanned, and
+  // the exact predicate is re-applied after the pruned read, so zones can
+  // only skip work, never rows.
+
+  /** Escape a zone value for the tab-separated manifest line. */
+  private def zEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private def zUnesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Key types zones are recorded for; anything else stays zone-less
+    * (correct, just unpruned). Comparison happens in the parsed domain. */
+  private def zoneParser(dt: org.apache.spark.sql.types.DataType)
+      : Option[(String => Any, (Any, Any) => Int)] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(((s: String) => s.toLong,
+          (a: Any, b: Any) => java.lang.Long.compare(
+            a.asInstanceOf[Long], b.asInstanceOf[Long])))
+      case FloatType | DoubleType =>
+        Some(((s: String) => s.toDouble,
+          (a: Any, b: Any) => java.lang.Double.compare(
+            a.asInstanceOf[Double], b.asInstanceOf[Double])))
+      case StringType =>
+        Some(((s: String) => s,
+          (a: Any, b: Any) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])))
+      case _ => None
+    }
+  }
+
+  /** One column-pruned job over freshly written files → rel path →
+    * (min, max) of the key, as manifest strings. Files whose key is all
+    * null (possible only for exotic schemas) get no entry. */
+  private def zonesFor(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      relFiles: Seq[String]): Map[String, (String, String)] = {
+    if (relFiles.isEmpty || zoneParser(schema(keyCol).dataType).isEmpty)
+      return Map.empty
+    val basePath = s"$root/data"
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    spark.read.option("basePath", basePath).schema(schema)
+      .parquet(relFiles.map(f => s"$basePath/$f"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(fmin(col(keyCol)).as("__mn"), fmax(col(keyCol)).as("__mx"))
+      .collect() // bounded: one row per new file
+      .flatMap { r =>
+        val uri = r.getString(0)
+        // input_file_name is a URI over basePath — recover the rel path
+        relFiles.find(rel => uri.endsWith(rel)).flatMap { rel =>
+          (Option(r.get(1)), Option(r.get(2))) match {
+            case (Some(mn), Some(mx)) => Some(rel -> (mn.toString, mx.toString))
+            case _ => None
+          }
+        }
+      }.toMap
+  }
 
   private def readManifest(spark: SparkSession, root: String,
       version: String): Manifest = {
@@ -113,14 +193,18 @@ object MergeTable {
     val nBuckets = lines.find(_.startsWith(BucketsPrefix)).map(
       _.substring(BucketsPrefix.length).toInt).getOrElse(
       throw new IllegalStateException(s"manifest of $version has no bucket count"))
-    val files = lines.iterator.filter(l => l.nonEmpty && l.contains('\t'))
-      .map { l =>
-        val i = l.indexOf('\t')
-        (l.substring(0, i).toLong, l.substring(i + 1))
-      }.toSeq
+    // data lines: `bucket\trel` (pre-zone) or `bucket\trel\tmin\tmax`
+    // (zone-mapped). Mixed manifests are normal — e.g. evolved tables
+    // whose old files predate zone recording.
+    val parsed = lines.iterator.filter(l => l.nonEmpty && l.contains('\t'))
+      .map(_.split('\t')).toSeq
+    val files = parsed.map(p => (p(0).toLong, zUnesc(p(1))))
+    val zones = parsed.collect {
+      case p if p.length >= 4 => zUnesc(p(1)) -> (zUnesc(p(2)), zUnesc(p(3)))
+    }.toMap
     val keyCol = lines.find(_.startsWith(KeyPrefix))
       .map(_.substring(KeyPrefix.length))
-    Manifest(schema, nBuckets, files, keyCol)
+    Manifest(schema, nBuckets, files, keyCol, zones)
   }
 
   private def writeManifestText(m: Manifest): Array[Byte] = {
@@ -129,7 +213,11 @@ object MergeTable {
     sb.append(BucketsPrefix).append(m.nBuckets).append('\n')
     m.keyCol.foreach(k => sb.append(KeyPrefix).append(k).append('\n'))
     m.files.foreach { case (b, f) =>
-      sb.append(b).append('\t').append(f).append('\n')
+      sb.append(b).append('\t').append(zEsc(f))
+      m.zones.get(f).foreach { case (mn, mx) =>
+        sb.append('\t').append(zEsc(mn)).append('\t').append(zEsc(mx))
+      }
+      sb.append('\n')
     }
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
@@ -164,7 +252,8 @@ object MergeTable {
       .parquet(s"$root/data")
     val files = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
-    val m = Manifest(bucketed.schema, nBuckets, files, Some(keyCol))
+    val m = Manifest(bucketed.schema, nBuckets, files, Some(keyCol),
+      zonesFor(spark, root, bucketed.schema, keyCol, files.map(_._2)))
     Versioned.publish(spark, root) { dir =>
       val p = new Path(dir, ManifestFile)
       val out = fs(spark, p).create(p, true)
@@ -308,8 +397,13 @@ object MergeTable {
     val newFiles = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
     beforeCommit()
+    // zones: carried files keep their recorded entries; the rewrite's
+    // files get fresh ones (one column-pruned job over just those)
+    val zKey = m.keyCol.getOrElse(keyCol)
+    val nextZones = m.zones.filter { case (f, _) => carried.exists(_._2 == f) } ++
+      zonesFor(spark, root, evolvedSchema, zKey, newFiles.map(_._2))
     val next = Manifest(evolvedSchema, m.nBuckets, carried ++ newFiles,
-      m.keyCol.orElse(Some(keyCol)))
+      m.keyCol.orElse(Some(keyCol)), nextZones)
     // the streaming watermark rides in the version dir: this merge's id,
     // or the live version's carried forward (so ad-hoc merges on a
     // CDC-fed table never regress the replay fence)
@@ -377,6 +471,79 @@ object MergeTable {
     }
   }
 
+  /** The file list a range read scans — the zone-map pruning itself,
+    * exposed so MergeTableSpec can pin the scanned set before/after.
+    * `None` bounds are open. Files without a zone entry always survive
+    * (conservative). */
+  private[graft] def rangeFiles(spark: SparkSession, root: String,
+      lower: Option[Any], upper: Option[Any]): Seq[String] = {
+    val live = Versioned.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val m = readManifest(spark, root, live)
+    val keyCol = m.keyCol.getOrElse(throw new IllegalStateException(
+      s"manifest of $root/$live records no key column — range reads need one"))
+    zoneParser(m.schema(keyCol).dataType) match {
+      case None => m.files.map(_._2) // unsupported key type: scan all
+      case Some((parse, cmp)) =>
+        def norm(v: Any): Any = v match {
+          case n: Byte => n.toLong
+          case n: Short => n.toLong
+          case n: Int => n.toLong
+          case n: Long => n
+          case n: Float => n.toDouble
+          case n: Double => n
+          case s: String => s
+          case other => parse(other.toString)
+        }
+        val lo = lower.map(norm)
+        val hi = upper.map(norm)
+        m.files.map(_._2).filter { f =>
+          m.zones.get(f) match {
+            case None => true // pre-zone file: must scan
+            case Some((mnS, mxS)) =>
+              val mn = parse(mnS); val mx = parse(mxS)
+              lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
+          }
+        }
+    }
+  }
+
+  /**
+   * Range scan over the key with zone-map file pruning (VERDICT r13 next
+   * #4): `readKeys` hash-routes POINT lookups to their buckets, but a
+   * range predicate hashes everywhere — before zones it scanned every
+   * bucket's every file. The manifest's per-file key [min,max] (recorded
+   * at publish/merge/rebucket time, carried for untouched files) prunes
+   * the file list to those overlapping [lower, upper]; the exact
+   * predicate is re-applied on the scan, so pruning is invisible to
+   * results by construction. With bucket files key-sorted
+   * (`sortWithinPartitions` at write), parquet row-group stats then skip
+   * within the survivors — the second level, same as readKeys' isin
+   * path. Open bounds: pass None.
+   */
+  def readRange(spark: SparkSession, root: String,
+      lower: Option[Any], upper: Option[Any]): DataFrame = {
+    val live = Versioned.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val m = readManifest(spark, root, live)
+    val keyCol = m.keyCol.getOrElse(throw new IllegalStateException(
+      s"manifest of $root/$live records no key column — range reads need one"))
+    val files = rangeFiles(spark, root, lower, upper)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          m.schema.filterNot(_.name == "bucket")))
+    val scan = readFiles(spark, root, m, files)
+    val bounded = (lower, upper) match {
+      case (Some(l), Some(u)) => scan.filter(col(keyCol) >= lit(l) && col(keyCol) <= lit(u))
+      case (Some(l), None) => scan.filter(col(keyCol) >= lit(l))
+      case (None, Some(u)) => scan.filter(col(keyCol) <= lit(u))
+      case (None, None) => scan
+    }
+    bounded.drop("bucket")
+  }
+
   /**
    * Change the table's bucket count (VERDICT r12 next #5): a table that
    * outgrows its publish-time `nBuckets` degrades every merge (each
@@ -429,7 +596,9 @@ object MergeTable {
       val p = new Path(dir, ManifestFile)
       val out = fs(spark, p).create(p, true)
       try out.write(writeManifestText(
-        Manifest(m.schema, newBuckets, newFiles, m.keyCol))) finally out.close()
+        Manifest(m.schema, newBuckets, newFiles, m.keyCol,
+          zonesFor(spark, root, m.schema, keyCol, newFiles.map(_._2)))))
+      finally out.close()
       carryId.foreach { id =>
         val bp = new Path(dir, BatchIdFile)
         val bo = fs(spark, bp).create(bp, true)

@@ -454,4 +454,80 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("duplicated keys"))
   }
+
+  test("zone maps: a range read scans only overlapping files; results equal the full-scan filter") {
+    // VERDICT r13 next #4: bucket routing serves point lookups, but a
+    // range predicate on the key hashes everywhere — per-file key
+    // [min,max] in the manifest is the data-skipping half of the layout.
+    val root = java.nio.file.Files.createTempDirectory("graft_zone_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+    val all = MergeTable.rangeFiles(spark, root, None, None)
+    assert(all.size >= 16, s"expected ~one file per bucket, saw ${all.size}")
+    // doc_ids are 0..499 hashed across 16 buckets: every bucket's file
+    // spans most of the id range, so a WIDE range prunes nothing…
+    val wide = MergeTable.rangeFiles(spark, root, Some(0L), Some(10000L))
+    assert(wide.toSet == all.toSet)
+    // …but after a merge INSERTS a small distant key range (1M+), those
+    // rows land in the few rewritten buckets whose zones disclose them; a
+    // range read in the new region must scan ONLY those files
+    val inserts = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", concat(lit("ins:"), col("text")))
+    MergeTable.merge(spark, root, inserts, "doc_id")
+    val allAfter = MergeTable.rangeFiles(spark, root, None, None)
+    val highOnly = MergeTable.rangeFiles(spark, root, Some(1000000L), None)
+    assert(highOnly.nonEmpty && highOnly.size < allAfter.size,
+      s"range read did not prune: ${highOnly.size} of ${allAfter.size} files")
+    // pruned high-range files are exactly those whose zones reach 1M —
+    // i.e. only rewritten (merge-touched) files can appear
+    val stats2 = MergeTable.read(spark, root)
+      .filter(col("doc_id") >= 1000000L).count()
+    val ranged = MergeTable.readRange(spark, root, Some(1000000L), None)
+    assert(ranged.count() == stats2)
+    // correctness: a mid-corpus range equals the unpruned filter, column
+    // for column
+    val lo = 100L; val hi = 260L
+    val expect = MergeTable.read(spark, root)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = MergeTable.readRange(spark, root, Some(lo), Some(hi))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == expect)
+    // open bounds
+    assert(MergeTable.readRange(spark, root, None, Some(5L)).count() ==
+      MergeTable.read(spark, root).filter(col("doc_id") <= 5L).count())
+  }
+
+  test("zone maps survive merge carry and rebucket; pre-zone manifests scan everything") {
+    val root = java.nio.file.Files.createTempDirectory("graft_zone2_").toString + "/t"
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 8)
+    MergeTable.merge(spark, root, mkBatch(), "doc_id", deleteFlagCol = Some("_del"))
+    // carried (untouched-bucket) files keep their zone entries: a range
+    // read over the whole space still names every file — no entry was
+    // dropped by the merge's manifest rewrite
+    val after = MergeTable.readRange(spark, root, Some(0L), None)
+    assert(collectSorted(after) == reference())
+    // rebucket recomputes zones for the full re-layout
+    MergeTable.rebucket(spark, root, 32)
+    val high = MergeTable.rangeFiles(spark, root, Some(1000000L), None)
+    val all = MergeTable.rangeFiles(spark, root, None, None)
+    assert(high.size < all.size, "rebucket lost the zone map")
+    assert(collectSorted(MergeTable.readRange(spark, root, Some(0L), None)) == reference())
+    // pre-zone manifest compatibility: strip the zone fields from the
+    // live manifest by hand; reads must degrade to scan-everything, not
+    // fail or drop rows
+    val live = Versioned.currentVersion(spark, root).get
+    val mPath = s"$root/$live/${MergeTable.ManifestFile}"
+    val txt = scala.io.Source.fromFile(mPath).mkString
+    val stripped = txt.split('\n').map { l =>
+      if (l.nonEmpty && l.contains('\t')) l.split('\t').take(2).mkString("\t") else l
+    }.mkString("\n")
+    val fw = new java.io.FileWriter(mPath); fw.write(stripped); fw.close()
+    // the hand edit invalidates hadoop's local-fs sidecar checksum
+    new java.io.File(s"$root/$live/.${MergeTable.ManifestFile}.crc").delete()
+    assert(MergeTable.rangeFiles(spark, root, Some(1000000L), None).toSet ==
+      MergeTable.rangeFiles(spark, root, None, None).toSet,
+      "zone-less manifest must scan everything")
+    assert(collectSorted(MergeTable.readRange(spark, root, Some(0L), None)) == reference())
+  }
 }

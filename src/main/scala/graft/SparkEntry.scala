@@ -1147,6 +1147,61 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // THE PRODUCTION COMPOSITION (VERDICT r13 next #6): file-feed CDC
+    // stream → mergeExactlyOnce into the keyed table → delta-rollup
+    // refresh → served aggregate, in ONE foreachBatch. The rollup delta
+    // is NOT read from the live table (gone after the merge on a crash
+    // replay) — it is derived idempotently from the version pair the
+    // batch id committed (versionForBatch + versionDelta: signed rows
+    // from only the touched buckets' files), so the two exactly-once
+    // fences compose: crash between them → merge skips on redelivery,
+    // the SAME delta recomputes, the rollup folds it once
+    // (CdcRollupCapstoneSpec crash-injects the window). Oracle: the
+    // one-shot aggregate of the final merged state.
+    "corpus_cdc_rollup_stream" -> ((s, dir) => {
+      import graft.sinks.MergeTable
+      import graft.operators.Rollup
+      val docs = t(s, dir, "documents")
+      val (_, ckpt, feedDir) = freshStreamDirs("cdcroll", dir)
+      val base = new java.io.File(feedDir).getParent
+      val root = s"$base/table"
+      val rollRoot = s"$base/rollup"
+      MergeTable.publish(docs, root, "doc_id", nBuckets = 16)
+      Rollup.publish(docs, Seq("source"), Seq("n_chars"), rollRoot)
+      val upd = docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(col("text"), lit(":cdc")))
+        .withColumn("n_chars", col("n_chars") + lit(5L))
+      val ins = docs.filter(col("doc_id") % 11 === 2)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text", concat(lit("ins:"), col("text")))
+      upd.coalesce(1).write.mode("append").parquet(feedDir)
+      ins.coalesce(1).write.mode("append").parquet(feedDir)
+      val q = s.readStream.schema(upd.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            MergeTable.mergeExactlyOnce(s, root, batch, "doc_id", id)
+            MergeTable.versionForBatch(s, root, id).foreach {
+              case (Some(prev), v) =>
+                Rollup.refreshDeltaExactlyOnce(
+                  MergeTable.versionDelta(s, root, prev, v),
+                  Seq("source"), Seq("n_chars"), rollRoot, id)
+              case _ => ()
+            }
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "CDC rollup stream drain timed out")
+      Rollup.serve(s, rollRoot)
+        .select(col("source"), col("n").cast("long").as("n"),
+          col("s_n_chars").cast("long").as("s_n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // bucket-pruned point lookups on the merged table: the k keys hash to
     // ≤ k of 16 buckets and ONLY those buckets' manifest files scan (the
     // layout's serve-time payoff — MergeTableSpec pins the inputFiles
@@ -4315,6 +4370,20 @@ object SparkEntry {
         |  SELECT doc_id + 10000000, 'ins:' || text FROM documents
         |  WHERE doc_id % 11 = 2)
         |ORDER BY doc_id""".stripMargin,
+
+    // the rollup that followed the CDC stream == the one-shot aggregate
+    // of the final merged state (updates add 5 to n_chars; inserts add
+    // their rows; no deletes in this stream)
+    "corpus_cdc_rollup_stream" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS s_n_chars
+        |FROM (
+        |  SELECT source, n_chars FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT source, n_chars + 5 FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT source, n_chars FROM documents WHERE doc_id % 11 = 2)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // point lookups of the UPDATED keys: every %7=3 row survived the merge
     // as its ':upd' rewrite (the %13=5 overlap belongs to the update

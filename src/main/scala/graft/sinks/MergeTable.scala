@@ -609,6 +609,68 @@ object MergeTable {
   }
 
   /**
+   * The version a streaming batch id produced, with its predecessor:
+   * scans the retained history for the version whose `_batchid` records
+   * exactly `batchId`. The CDC→rollup composition derives its rollup
+   * delta from this pair IDEMPOTENTLY — after a crash between the merge
+   * fence and the rollup fence, the redelivered batch finds the merge
+   * already committed (mergeExactlyOnce skips) and recomputes the SAME
+   * delta from the same version pair, closing the hole a live-table
+   * read-before-merge could never survive. Requires the pair to still be
+   * retained (vacuum with keepLast ≥ 2, or after rollup catch-up).
+   */
+  def versionForBatch(spark: SparkSession, root: String,
+      batchId: Long): Option[(Option[String], String)] = {
+    val versions = Versioned.listVersions(spark, root).map(_._1) // newest first
+    val ids = versions.map { v =>
+      v -> Versioned.readSmallText(spark, new Path(s"$root/$v", BatchIdFile))
+        .flatMap(_.trim.toLongOption)
+    }
+    ids.zipWithIndex.collectFirst {
+      case ((v, Some(id)), i) if id == batchId =>
+        // _batchid carries forward on ad-hoc merges, so the version FOR
+        // the id is the OLDEST one recording it (the stream's own merge)
+        val withSameId = ids.drop(i).takeWhile(_._2.contains(batchId))
+        val mine = withSameId.last._1
+        val older = versions.drop(versions.indexOf(mine) + 1)
+        (older.headOption, mine)
+    }
+  }
+
+  /**
+   * Signed row-level diff between two retained versions, reading ONLY
+   * the files the two manifests do not share (the touched buckets of the
+   * merges between them — never the carried files, which are byte-
+   * identical by name). Rows present in `to` but not `from` weigh +1,
+   * removed rows -1; rows rewritten unchanged (merge survivors) cancel
+   * in the group-by and never surface. The `__weight` column feeds
+   * Rollup.refreshDeltaExactlyOnce. Schema evolution reads the TO
+   * schema on both sides (missing columns null, parquet semantics).
+   */
+  def versionDelta(spark: SparkSession, root: String,
+      fromVersion: String, toVersion: String): DataFrame = {
+    val mFrom = readManifest(spark, root, fromVersion)
+    val mTo = readManifest(spark, root, toVersion)
+    val fromSet = mFrom.files.map(_._2).toSet
+    val toSet = mTo.files.map(_._2).toSet
+    val removed = mFrom.files.map(_._2).filterNot(toSet)
+    val added = mTo.files.map(_._2).filterNot(fromSet)
+    val dataCols = mTo.schema.fieldNames.filterNot(_ == "bucket").toSeq
+    def side(rel: Seq[String], w: Long): DataFrame =
+      if (rel.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            mTo.schema.filterNot(_.name == "bucket")))
+          .withColumn("__weight", lit(w))
+      else readFiles(spark, root, mTo, rel).drop("bucket")
+        .select(dataCols.map(col): _*).withColumn("__weight", lit(w))
+    side(added, 1L).unionByName(side(removed, -1L))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("__weight")).as("__weight"))
+      .filter(col("__weight") =!= 0)
+  }
+
+  /**
    * Delete data files no RETAINED version references — the merge twin of
    * `Similarity.vacuumUncommitted`, run after `Versioned.vacuum` trims
    * version dirs. Never deletes at commit time: any un-vacuumed version

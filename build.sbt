@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time" banner: the bench driver parses the LAST
+// stdout line of `sbt runMain graft.Bench` as the one-line JSON metric,
+// and the banner printed after program exit displaced it (BENCH_r13's
+// driver capture shows parsed: null with the JSON one line up). Errors
+// still report; exit codes are unaffected.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -35,11 +35,26 @@ object Multimodal {
       StructField("height", IntegerType, nullable = true),
       StructField("n_channels", IntegerType, nullable = true))), nullable = true)))
 
-  /** Pluggable decode boundary. */
+  /** Pluggable decode boundary.
+    *
+    * OUTPUT-SIZE CONTRACT (CodecFuzzSpec drives it adversarially): a
+    * decoder's allocations are bounded by the payload's DECLARED
+    * dimensions, and the declared dimensions themselves are capped at
+    * [[MaxSide]] per side / [[MaxPixels]] total — a crafted header
+    * claiming a 100k×100k raster fails loudly instead of allocating.
+    * On any malformed input the decoder throws an `Exception` (which
+    * `decodeWithQuarantine` routes to a quarantine row); it never spins,
+    * never allocates beyond the cap, never exits the JVM. */
   trait MediaCodec extends Serializable {
     /** payload bytes → (width, height, channels, pixels) */
     def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float])
   }
+
+  /** Declared-dimension caps shared by every shipped decoder (image and
+    * video): 32768 per side, 64M pixels total — 192 MB of 8-bit RGB
+    * raster, the upper bound of one decode's transient allocation. */
+  val MaxSide: Int = 32768
+  val MaxPixels: Long = 64L * 1024 * 1024
 
   /** Pluggable audio decode boundary — the audio twin of `MediaCodec`. */
   trait AudioCodec extends Serializable {
@@ -122,16 +137,21 @@ object Multimodal {
             while (pos < bytes.length && bytes(pos) != '\n') pos += 1
           else pos += 1
         }
-        var v = 0
+        var v = 0L
         val start = pos
         while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
           v = v * 10 + (bytes(pos) - '0'); pos += 1
+          // overflow guard: a 40-digit header integer must fail, not wrap
+          // Int into a small positive that passes the truncation check
+          if (v > Int.MaxValue) fail("header integer out of range")
         }
         if (pos == start) fail("malformed header integer")
-        v
+        v.toInt
       }
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
-      if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+      if (w <= 0 || h <= 0 || w > MaxSide || h > MaxSide ||
+          w.toLong * h > MaxPixels)
+        fail(s"bad dimensions ${w}x$h")
       if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
       // exactly ONE whitespace byte separates the header from the raster
       if (pos >= bytes.length || !bytes(pos).toChar.isWhitespace)
@@ -222,7 +242,12 @@ object Multimodal {
             if ((bytes(data + 10) & 0xff) != 0 || (bytes(data + 11) & 0xff) != 0)
               fail("unsupported compression/filter method")
             if ((bytes(data + 12) & 0xff) != 0) fail("interlaced PNG unsupported")
-            if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+            // declared-dimension cap (MediaCodec contract): without it a
+            // 12-byte IHDR claiming 100k×100k drives a multi-GB raster
+            // allocation before one IDAT byte inflates
+            if (w <= 0 || h <= 0 || w > MaxSide || h > MaxSide ||
+                w.toLong * h > MaxPixels)
+              fail(s"bad dimensions ${w}x$h")
             seenIhdr = true
           case "IDAT" => idat.write(bytes, data, len)
           case "IEND" => done = true
@@ -553,12 +578,13 @@ object Multimodal {
               if (sz < 40) fail("avih truncated")
               w = u32(bytes, body + 32).toInt
               h = u32(bytes, body + 36).toInt
-              // dimension cap: Long-safe here, and keeps every derived
-              // size (stride·h, w·h·3) inside Int — a crafted 65536×65536
+              // dimension cap (MaxSide/MaxPixels, the MediaCodec
+              // contract): Long-safe here, and keeps every derived size
+              // (stride·h, w·h·3) inside Int — a crafted 65536×65536
               // header would otherwise wrap the frame-size check to 0 and
               // crash with an array error instead of failing loudly
-              if (w <= 0 || h <= 0 || w > 32768 || h > 32768 ||
-                  w.toLong * h > 64L * 1024 * 1024)
+              if (w <= 0 || h <= 0 || w > MaxSide || h > MaxSide ||
+                  w.toLong * h > MaxPixels)
                 fail(s"bad dimensions ${w}x$h")
             case "strh" =>
               if (sz >= 4) strhType = tag(bytes, body)

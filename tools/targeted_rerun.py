@@ -41,8 +41,11 @@ def run_isolated(query: str, sf_dir: str, cpus: str) -> float:
             os.path.dirname(os.path.abspath(__file__))))
     for line in p.stdout.splitlines():
         line = line.strip()
-        if line.startswith("[info] {") and '"metric"' in line:
-            data = json.loads(line[len("[info] "):])
+        # sbt prefixes forked stdout with "[info] " in some modes and not
+        # others (the driver's capture shows the bare line); accept both
+        if '"metric"' in line and (line.startswith("[info] {") or line.startswith("{")):
+            payload = line[len("[info] "):] if line.startswith("[info] ") else line
+            data = json.loads(payload)
             return data["queries"].get(query, -1.0)
     return -1.0
 

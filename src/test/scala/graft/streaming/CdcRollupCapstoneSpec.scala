@@ -126,6 +126,40 @@ class CdcRollupCapstoneSpec extends AnyFunSuite with SparkTestBase {
     assert(tableAgg == oneShot())
   }
 
+  test("deletes flow through the delta rollup: retractions subtract; emptied keys leave") {
+    // versionDelta emits a -1 row with NO +1 pair for a deleted key, so
+    // refreshDeltaExactlyOnce retracts its contribution — and a dimension
+    // whose count reaches zero disappears from the served rollup.
+    val base = java.nio.file.Files.createTempDirectory("graft_caprm_").toString
+    val root = s"$base/table"; val rollRoot = s"$base/rollup"
+    // one source small enough to delete entirely
+    val victim = docs.select(col("source")).distinct().orderBy("source")
+      .head().getString(0)
+    MergeTable.publish(docs, root, "doc_id", nBuckets = 8)
+    Rollup.publish(docs, Seq("source"), Seq("n_chars"), rollRoot)
+    val v0 = graft.sinks.Versioned.currentVersion(spark, root).get
+    val batch = docs.filter(col("source") === victim)
+      .withColumn("_del", lit(true))
+      .unionByName(docs.filter(col("doc_id") === 1 && col("source") =!= victim)
+        .withColumn("n_chars", col("n_chars") + lit(7L))
+        .withColumn("_del", lit(false)))
+    MergeTable.merge(spark, root, batch, "doc_id", deleteFlagCol = Some("_del"))
+    val v1 = graft.sinks.Versioned.currentVersion(spark, root).get
+    assert(Rollup.refreshDeltaExactlyOnce(
+      MergeTable.versionDelta(spark, root, v0, v1),
+      Seq("source"), Seq("n_chars"), rollRoot, batchId = 0L))
+    val served = servedRollup(rollRoot)
+    assert(!served.exists(_._1 == victim),
+      s"fully-deleted source '$victim' still in the rollup: $served")
+    val expect = docs.filter(col("source") =!= victim)
+      .withColumn("n_chars", when(col("doc_id") === 1, col("n_chars") + lit(7L))
+        .otherwise(col("n_chars")))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toIndexedSeq
+    assert(served == expect)
+  }
+
   test("versionDelta reads only the touched buckets' files and cancels unchanged survivors") {
     val base = java.nio.file.Files.createTempDirectory("graft_vdelta_").toString
     val root = s"$base/table"

@@ -502,4 +502,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!pd.contains("SortMergeJoin"),
       "tombstone mask must broadcast, not sort-merge")
   }
+
+  test("merge_range: zone-pruned scan reads a strict file subset; bounds push to parquet") {
+    // the zone map is manifest-level skipping ABOVE parquet's own stats:
+    // the executed scan must read only zone-overlapping files, and the
+    // exact BETWEEN must still reach the scan so row-group stats skip
+    // within the survivors (the key-sorted layout's second level)
+    val df = SparkEntry.queries("merge_range")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ") && p.contains("GreaterThanOrEqual(doc_id")
+      && p.contains("LessThanOrEqual(doc_id"),
+      "range bounds did not push to the parquet scan")
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }).sum
+    // the merged table holds 16 base buckets + the merge's rewrites; the
+    // [300, 10000100] range must exclude at least the low-id-only files
+    val root = new java.io.File(System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_merge_v5_") &&
+        f.getName.contains("sf0_001"))
+      .maxBy(_.lastModified).toString
+    val all = graft.sinks.MergeTable.rangeFiles(spark, root, None, None).size
+    assert(scanned < all,
+      s"zone map pruned nothing: scanned $scanned of $all manifest files")
+  }
 }

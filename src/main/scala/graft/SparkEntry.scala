@@ -1221,6 +1221,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // versionDelta ORACLED (the capstone's delta source as its own row):
+    // the signed row-level diff between the publish version and the
+    // merged version must equal the merge algebra's retract/add set —
+    // updates emit (-old, +new) pairs, deletes unpaired -1s, inserts
+    // unpaired +1s, untouched rows nothing (survivors rewritten
+    // unchanged cancel in the group-by)
+    "merge_delta" -> ((s, dir) => {
+      val root = ensureMergeTable(s, dir)
+      val pubV = graft.sinks.Versioned.readSmallText(s,
+        new org.apache.hadoop.fs.Path(s"$root/_publish_version")).get.trim
+      val liveV = graft.sinks.Versioned.currentVersion(s, root).get
+      graft.sinks.MergeTable.versionDelta(s, root, pubV, liveV)
+        .select(col("doc_id"), col("__weight").cast("long").as("w"),
+          md5(col("text").cast("binary")).as("digest"))
+        .orderBy(col("doc_id"), col("w"))
+    }),
+
     // zone-map range scan on the merged table (VERDICT r13 next #4):
     // a key-range predicate can't bucket-route (hash goes everywhere) —
     // per-file [min,max] zones in the manifest prune the file list to
@@ -4391,6 +4408,23 @@ object SparkEntry {
     "merge_lookup" ->
       """SELECT doc_id, md5(text || ':upd') AS digest FROM documents
         |WHERE doc_id % 7 = 3 AND doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // the merge algebra's signed diff: updates = (-old, +new) pairs,
+    // deletes = -1, inserts = +1 (%13=5 delete set minus the %7=3
+    // update overlap, exactly the merge batch's routing)
+    "merge_delta" ->
+      """SELECT doc_id, w, md5(text) AS digest FROM (
+        |  SELECT doc_id, CAST(-1 AS BIGINT) AS w, text FROM documents
+        |  WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, text || ':upd' FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id, -1, text FROM documents
+        |  WHERE doc_id % 13 = 5 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 1, 'ins:' || text FROM documents
+        |  WHERE doc_id % 11 = 2)
+        |ORDER BY doc_id, w""".stripMargin,
 
     // the merged state (corpus_merge's algebra) filtered to the range —
     // zone pruning is a scan-cost property, invisible to results

@@ -2129,6 +2129,32 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // BM25 lexical top-k (the sparse-retrieval half; doc_search is the
+    // dense half): integer-exact Okapi shape — rational idf + scaled-
+    // integer length norm, every division a floor (TextAnalysis.bm25TopK
+    // scaladoc documents the two float-free divergences). Query mixes the
+    // corpus's one rare term ('dup', df≈26) with common ones and an
+    // absent one (zero-tf terms contribute nothing; df=0 → max idf)
+    "bm25_topk" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // α=0.5 TEMPERATURE mixing (multilingual-pretraining source
+    // reweighting): keep rate √(T_min/T_s) per source — between uniform
+    // rebalance (α=0) and natural (α=1). sqrt is IEEE-correctly-rounded
+    // in both engines, so the thresholds replay bit-exact (pow/ln would
+    // not — that is why α is pinned to 1/2)
+    "temperature_sample" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureSampleSqrt(
+        t(s, dir, "documents"), "doc_id", "source", "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("toks_kept"))
+        .orderBy(col("source"))
+    }),
+
     // mixture rebalancing with stratum mass in TRUE tokens: the same
     // ⌊P·T_min/T_s⌋ thresholds and hash keep test, measured in BPE
     // tokens — with this, every token-budget operator in the engine
@@ -5967,6 +5993,58 @@ object SparkEntry {
         |  WHERE (d.doc_id * 2654435761) % 1000000007 <
         |    CASE WHEN s.t <= 0 THEN 1000000007
         |         ELSE (1000000007 * m.tmin) // s.t END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS toks_kept
+        |FROM kept GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // replay of bm25TopK: same tokenization as vocab_top, df over the
+    // query's terms, rational idf ⌊1e4·(N−df+1)/(df+1)⌋, per-mille
+    // length norm, every division `//` — the engine's floors exactly
+    "bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |dfc AS (
+        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
+        |idf AS (
+        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfc),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+        |      AS score
+        |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // √(T_min/T_s) keep thresholds: divide → sqrt → multiply → floor,
+    // each IEEE-correctly-rounded, mirroring the engine's op order
+    "temperature_sample" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT min(t) AS tmin FROM toks WHERE t > 0),
+        |kept AS (
+        |  SELECT d.source, len(string_split_regex(trim(d.text), '\s+')) AS tok
+        |  FROM documents d JOIN toks s ON d.source = s.source, m
+        |  WHERE (d.doc_id * 2654435761) % 1000000007 <
+        |    CASE WHEN s.t <= 0 THEN 1000000007
+        |         ELSE CAST(floor(CAST(1000000007 AS DOUBLE) *
+        |                sqrt(CAST(m.tmin AS DOUBLE) / CAST(s.t AS DOUBLE)))
+        |              AS BIGINT) END)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tok) AS BIGINT) AS toks_kept
         |FROM kept GROUP BY source

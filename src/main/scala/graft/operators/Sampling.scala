@@ -211,6 +211,56 @@ object Sampling {
   }
 
   /**
+   * α = 0.5 TEMPERATURE mixture sampling — the multinomial-temperature
+   * source reweighting of multilingual/multi-domain pretraining (target
+   * share p_s ∝ T_s^α flattens natural proportions without going all the
+   * way to uniform; XLM/mBERT popularized α ≈ 0.3–0.7). Realized by
+   * downsampling only: keep rate r_s = √(T_min / T_s), which sits
+   * EXACTLY between `rebalanceToUniform` (r = T_min/T_s, α = 0) and the
+   * natural mixture (r = 1, α = 1): the smallest stratum keeps whole and
+   * every stratum keeps MORE than under uniform rebalance (√x ≥ x on
+   * [0,1]), with expected kept mass √(T_min·T_s) — the geometric mean.
+   *
+   * α is fixed at 1/2 deliberately: `sqrt` is IEEE-correctly-rounded in
+   * BOTH engines (unlike `pow`/`ln`, which are only faithfully rounded
+   * and may differ in the last ulp between libm implementations), so the
+   * thresholds ⌊P·√(T_min/T_s)⌋ replay bit-exact in the DuckDB oracle —
+   * other α values would trade away the hash-exact check. Same scale
+   * shape as rebalanceToUniform: one bounded aggregate (K strata), exact
+   * driver thresholds, one codegen'd pure-hash keep scan.
+   */
+  def temperatureSampleSqrt(df: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, salt: Long = 0L,
+      caseChainMax: Int = RebalanceCaseChainMax): DataFrame =
+    temperatureSampleSqrtBy(df, idCol, stratumCol,
+      TextAnalysis.tokenCount(col(textCol)), salt, caseChainMax)
+
+  /** temperatureSampleSqrt with a caller-supplied token-count expression
+    * (the BPE-true variant, like rebalanceToUniformBy). */
+  def temperatureSampleSqrtBy(df: DataFrame, idCol: String,
+      stratumCol: String, tokExpr: org.apache.spark.sql.Column,
+      salt: Long = 0L, caseChainMax: Int = RebalanceCaseChainMax): DataFrame = {
+    val totals = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(sum(tokExpr.cast("long")).as("__t"))
+      .collect().flatMap { r =>
+        Option(r.getString(0)).map(s => s -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      }
+    require(totals.nonEmpty, "no strata to sample")
+    val pos = totals.map(_._2).filter(_ > 0)
+    require(pos.nonEmpty, "no stratum has token mass")
+    val tmin = pos.min
+    val cutoffs = totals.map { case (s, t) =>
+      // op order mirrored in the oracle SQL: divide → sqrt → multiply →
+      // floor, every step IEEE-correctly-rounded, so both engines land
+      // the identical Long
+      s -> (if (t <= 0) P
+            else math.floor(P.toDouble * math.sqrt(tmin.toDouble / t.toDouble)).toLong)
+    }
+    filterByStratumCutoff(df, idCol, stratumCol, salt, cutoffs.toSeq,
+      default = 0L, caseChainMax = caseChainMax)
+  }
+
+  /**
    * Token-budget curation: keep the best-scoring documents until a token
    * budget is spent — the "assemble exactly B tokens of training data,
    * best first" primitive. Selection = the prefix of the global

@@ -305,6 +305,79 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 lexical top-k retrieval — the sparse half of a retrieval stack
+   * (doc_search is the dense half): rank documents for a literal query
+   * string by the Okapi BM25 shape, INTEGER-EXACT so every score
+   * replays in SQL with no float anywhere. Two documented divergences
+   * from textbook BM25, both in the spirit of the engine's float-free
+   * discipline (dsir_select's precedent):
+   *
+   *  - idf is the RATIONAL ratio ⌊10^4·(N−df+1)/(df+1)⌋ rather than its
+   *    log — same monotonicity in df (rarer terms weigh more), no `ln`
+   *    (which is only faithfully rounded and can differ in the last ulp
+   *    between libm implementations — a hash-breaking hazard `sqrt`
+   *    does not have);
+   *  - k1 = 1.2 and b = 0.75 live as scaled integers (1200/750 per
+   *    mille), every division a floor — mirrored step for step in the
+   *    oracle's `//`.
+   *
+   * Per doc: score = Σ_{t ∈ query} idf_t · w_{t,d} with
+   *   norm1000_d = 250 + (750·len_d·1000) // avg1000        (length norm)
+   *   w_{t,d}    = (tf·2200·10^4) // (tf·1000 + (1200·norm1000_d)//1000)
+   * (w saturates at 22000 = (k1+1)·10^4 as tf grows — BM25's bounded
+   * term contribution, preserved exactly.)
+   *
+   * Scale shape: the query's term set is BOUNDED (a literal string), so
+   * df counting filters the exploded token stream to |q| terms before
+   * any shuffle, idf values compile into a broadcast literal table, and
+   * scoring is one (doc, term) aggregate + top-k — no term joins wider
+   * than the query, never an unfiltered vocabulary shuffle. Int64-safe
+   * to N ≈ 10^7 docs per partition-of-query-terms (idf ≤ N·10^4,
+   * w ≤ 22000; document the HUGEINT cast beyond).
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryText: String, k: Int): DataFrame = {
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val toks = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    // one bounded stats pass: N and Σlen (driver scalars)
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
+    val nDocs = stats.getLong(0); val totLen = stats.getLong(1)
+    require(nDocs > 0, "empty corpus")
+    val avg1000 = totLen * 1000L / nDocs
+    // df per QUERY term only (the filter precedes the shuffle), then the
+    // idf literal table — |q| rows, broadcast by construction
+    val dfc = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("dfc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idf = terms.map { t =>
+      val d = dfc.getOrElse(t, 0L)
+      (t, (BigInt(nDocs - d + 1) * 10000 / BigInt(d + 1)).toLong)
+    }.toDF("tok", "idf")
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // lens is N rows — NEVER broadcast; the equi-join shuffles on doc_id
+    // bounded by the candidate set (docs containing ≥1 query term)
+    tf.join(broadcast(idf), "tok")
+      .join(lens, "doc_id")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Bigram novelty scoring (contamination / distribution-shift check):
    * how many of a probe document's token bigrams never occur in the
    * reference partition. The inverse question — benchmark n-grams

@@ -257,6 +257,40 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("temperatureSampleSqrt: α=0.5 sits between uniform rebalance and natural; geometric-mean mass") {
+    import spark.implicits._
+    def docs(src: String, base: Long, n: Int, tokens: Int) =
+      (0 until n).map(i => (base + i, src, Seq.fill(tokens)("w").mkString(" ")))
+    val df = (docs("small", 0L, 500, 4) ++ docs("mid", 100000L, 1000, 8)
+      ++ docs("big", 200000L, 2000, 16)).toDF("doc_id", "source", "text")
+    val temp = Sampling.temperatureSampleSqrt(df, "doc_id", "source", "text")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unif = Sampling.rebalanceToUniform(df, "doc_id", "source", "text")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest stratum whole (rate √(Tmin/Tmin) = 1)
+    assert(temp("small") == 500L, temp.toString)
+    // every stratum keeps at least as much as under uniform rebalance
+    // (√x ≥ x on [0,1]) but no more than natural
+    Seq("mid", "big").foreach { s =>
+      assert(temp(s) >= unif(s), s"$s: temp=${temp(s)} < unif=${unif(s)}")
+    }
+    assert(temp("mid") < 1000L && temp("big") < 2000L, temp.toString)
+    // expected kept docs: n_s·√(Tmin/Ts) = 1000/2 = 500 and 2000/√16·... :
+    // mid rate √(2000/8000)=0.5 → ~500; big rate √(2000/32000)=0.25 → ~500
+    // (the geometric-mean property: every stratum's kept MASS ≈ √(Tmin·Ts))
+    assert(math.abs(temp("mid") - 500L) < 80, temp.toString)
+    assert(math.abs(temp("big") - 500L) < 80, temp.toString)
+    // deterministic under repartitioning + the broadcast-join path
+    val a = Sampling.temperatureSampleSqrt(df.repartition(7), "doc_id", "source", "text")
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.temperatureSampleSqrt(df, "doc_id", "source", "text",
+        caseChainMax = 0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
   test("hashUniform: 64-bit and negative ids never wrap, values match the mod-P formula") {
     import spark.implicits._
     val P = 1000000007L

@@ -867,4 +867,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       case j: ShuffledHashJoinExec => j }.isEmpty,
       "lmScore corpus scoring must not join")
   }
+
+  test("bm25TopK: rare terms dominate, tf saturates, absent terms inert, integer-deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),         // no query term
+      (2L, "rare common common common"),           // one rare hit
+      (3L, "common target common filler extra"),   // one mid hit
+      (4L, "target target target target target"),  // saturated tf of mid term
+      (5L, "rare target common filler"),           // rare + mid
+      (6L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(docs, "doc_id", "text", "rare target zzz", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 and 6 carry no query term: absent from the result entirely
+    assert(!top.map(_._1).contains(1L) && !top.map(_._1).contains(6L))
+    // rare ('rare', df=2) outweighs mid ('target', df=3): the doc with
+    // BOTH ranks first; a rare-only doc beats any single-mid-term doc
+    assert(top.head._1 == 5L, top.mkString(","))
+    val score = top.toMap
+    assert(score(2L) > score(3L), s"rare-term doc must outrank mid-term doc: $top")
+    // tf saturation: five repeats of 'target' score less than 5x one
+    // occurrence (w caps at (k1+1)-scaled) but more than one occurrence
+    assert(score(4L) > score(3L) && score(4L) < 5 * score(3L), top.mkString(","))
+    // 'zzz' (df=0) never contributes — identical scores without it
+    val without = TextAnalysis.bm25TopK(docs, "doc_id", "text", "rare target", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(without.sameElements(top))
+    // deterministic under repartitioning (integer arithmetic end to end)
+    val again = TextAnalysis.bm25TopK(docs.repartition(5), "doc_id", "text",
+      "rare target zzz", k = 6).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sameElements(top))
+  }
 }

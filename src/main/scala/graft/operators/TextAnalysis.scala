@@ -344,16 +344,20 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    // one bounded stats pass: N and Σlen (driver scalars)
+    // TWO corpus passes total: (1) per-doc lengths (cached — feeds the
+    // N/avg scalars AND the scoring join), (2) the query-term-filtered
+    // (doc, term, tf) pairs (cached — df counting derives from THESE,
+    // never a third tokenize: tf pairs are distinct per (doc, term), so
+    // count-per-term IS countDistinct(doc)).
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
     val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
     val nDocs = stats.getLong(0); val totLen = stats.getLong(1)
     require(nDocs > 0, "empty corpus")
     val avg1000 = totLen * 1000L / nDocs
-    // df per QUERY term only (the filter precedes the shuffle), then the
-    // idf literal table — |q| rows, broadcast by construction
-    val dfc = toks.filter(col("tok").isin(terms: _*))
-      .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("dfc"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val spark = df.sparkSession
     import spark.implicits._
@@ -361,8 +365,6 @@ object TextAnalysis {
       val d = dfc.getOrElse(t, 0L)
       (t, (BigInt(nDocs - d + 1) * 10000 / BigInt(d + 1)).toLong)
     }.toDF("tok", "idf")
-    val tf = toks.filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     // lens is N rows — NEVER broadcast; the equi-join shuffles on doc_id
     // bounded by the candidate set (docs containing ≥1 query term)
     tf.join(broadcast(idf), "tok")

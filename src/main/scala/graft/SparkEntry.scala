@@ -2169,6 +2169,19 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // the temperature twin in TRUE tokens: √(T_min/T_s) thresholds over
+    // BPE token mass — keeps the _bpe symmetry every token-budget
+    // operator carries (pack/chunk/budget/mixture/temperature)
+    "temperature_sample_bpe" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureSampleSqrtBy(
+        t(s, dir, "documents"), "doc_id", "source",
+        graft.functions.Bpe.bpe_count(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.Bpe.bpe_count(col("text")).cast("long")).as("toks_kept"))
+        .orderBy(col("source"))
+    }),
+
     // quality-weighted deterministic sampling (importance mixing): keep
     // probability scales with document length, capped at wMax — pure
     // int64 keep test, scan-only plan
@@ -6063,6 +6076,26 @@ object SparkEntry {
         |  WHERE (bt.doc_id * 2654435761) % 1000000007 <
         |    CASE WHEN s.t <= 0 THEN 1000000007
         |         ELSE (1000000007 * m.tmin) // s.t END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS toks_kept
+        |FROM kept GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "temperature_sample_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCtes,
+        |bt AS (
+        |  SELECT d.doc_id, d.source, CAST(len(b.ids) AS BIGINT) AS tok
+        |  FROM documents d JOIN bpe_docids b USING (doc_id)),
+        |toks AS (SELECT source, CAST(sum(tok) AS BIGINT) AS t FROM bt GROUP BY source),
+        |m AS (SELECT min(t) AS tmin FROM toks WHERE t > 0),
+        |kept AS (
+        |  SELECT bt.source, bt.tok
+        |  FROM bt JOIN toks s ON bt.source = s.source, m
+        |  WHERE (bt.doc_id * 2654435761) % 1000000007 <
+        |    CASE WHEN s.t <= 0 THEN 1000000007
+        |         ELSE CAST(floor(CAST(1000000007 AS DOUBLE) *
+        |                sqrt(CAST(m.tmin AS DOUBLE) / CAST(s.t AS DOUBLE)))
+        |              AS BIGINT) END)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tok) AS BIGINT) AS toks_kept
         |FROM kept GROUP BY source

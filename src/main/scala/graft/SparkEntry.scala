@@ -2439,6 +2439,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // run-length collapse of consecutive duplicate tokens — the rewrite
+    // twin of repetition_stats (map-only, no shuffle); clean_text is the
+    // collapsed document, order preserved
+    "repeat_collapse" -> ((s, dir) => {
+      TextAnalysis.repeatCollapse(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing-overlap contamination: every 50th doc plays the eval
     // set; per non-eval doc, how many of its fingerprints the eval set
     // also contains (mod-P fingerprints → bit-exact SQL replay)
@@ -5512,6 +5520,24 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS max_2gram_n
         |FROM bc GROUP BY 1, 2, 3
         |ORDER BY doc_id""".stripMargin,
+
+    // replay of TextAnalysis.repeatCollapse: same tokenizer, DuckDB's
+    // 1-based indexed list_filter (i = 1 is the head; ts[i - 1] the
+    // predecessor), rebuilt with array_to_string ('' on empty — matches
+    // Spark's array_join)
+    "repeat_collapse" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, len(ts) AS n_tokens,
+        |    list_filter(ts, (t, i) -> i = 1 OR t <> ts[i - 1]) AS ks
+        |  FROM toks)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(ks) AS BIGINT) AS n_kept,
+        |  array_to_string(ks, ' ') AS clean_text
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // replay of TextAnalysis.winnowOverlap: the doc_fingerprint winnow
     // CTEs, partitioned into eval (doc_id % 50 = 0) and probe sides

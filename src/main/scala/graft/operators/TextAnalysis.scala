@@ -454,6 +454,33 @@ object TextAnalysis {
   }
 
   /**
+   * Run-length collapse of consecutive duplicate tokens — the REWRITE
+   * twin of [[repetitionStats]] (which only measures): "batch batch
+   * batch" becomes "batch". Boilerplate-heavy web text repeats tokens in
+   * runs; collapsing them is the cheapest of the Gopher repetition
+   * remedies and keeps document order intact (unlike distinct-based
+   * rewrites, which reorder or drop genuinely repeated-but-separated
+   * uses).
+   *
+   * Scale shape: a pure per-row projection — tokenize, then one indexed
+   * higher-order `filter` keeping a token iff it differs from its
+   * predecessor (`ts[i - 1]` under Spark's 0-based array brackets; at
+   * i = 0 the lookup is null and `i = 0 OR …` keeps the head under
+   * three-valued OR). No explode, no shuffle, fully inside whole-stage
+   * codegen; at 100 TB this is a map-only pass.
+   */
+  def repeatCollapse(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.ensureParallelism(df)
+      .select(col(idCol),
+        expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t <> '')").as("ts"))
+      .select(col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        expr("filter(ts, (t, i) -> i = 0 OR t != ts[i - 1])").as("kept"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+
+  /**
    * Winnowing-overlap contamination join (Schleimer et al., SIGMOD '03
    * fingerprints as the similarity currency): for every non-eval doc,
    * how many of its winnowing fingerprints also occur in the EVAL

@@ -69,6 +69,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 8)
   }
 
+  test("repeat collapse: runs collapse to one, separated repeats survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "batch batch batch stream batch"), // run collapses, later solo kept
+      (2L, "a a a a"),                        // whole doc is one run
+      (3L, "x y x y"),                        // alternation: nothing collapses
+      (4L, ""),                               // empty doc
+      (5L, "Tick, tick... TICK!")             // case-folded + punct-split runs
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatCollapse(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq(
+      (1L, 5L, 3L, "batch stream batch"),
+      (2L, 4L, 1L, "a"),
+      (3L, 4L, 4L, "x y x y"),
+      (4L, 0L, 0L, ""),
+      (5L, 3L, 1L, "tick")))
+    // map-only contract: the only allowed exchange is ensureParallelism's
+    // leading round-robin primer — the collapse itself never shuffles
+    val plan = TextAnalysis.repeatCollapse(df, "doc_id", "text")
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.forall(
+      _.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]),
+      "repeatCollapse must stay a map-only projection (round-robin primer aside)")
+  }
+
   test("pii redaction replaces emails and urls, counts them") {
     import spark.implicits._
     val df = Seq((1L, "mail a.b+c@x-co.org or see https://x.org/a?b=1 now"))

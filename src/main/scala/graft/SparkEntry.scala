@@ -2050,6 +2050,34 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // WordPiece (MaxMatch) tokenization — the second real tokenizer
+    // family: greedy longest-match-first over the likelihood-trained
+    // fixture vocab (no merge loop at encode time). Same id-stream
+    // pinning as tokenize_bpe; the oracle replays the greedy scan as a
+    // recursive CTE over distinct pre-tokens
+    "tokenize_wordpiece" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.WordPiece.wp_encode(col("text")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_wp"),
+          expr("aggregate(ids, 0L, (h, x) -> (h * 131 + x) % 1000000007)")
+            .as("ids_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WordPiece TRAINING oracled end to end, score included: the oracle
+    // must reproduce not just the chosen pairs but the fixed-point
+    // likelihood score that chose them (floor(c·10^12 / (c_l·c_r)),
+    // HUGEINT // in DuckDB vs BigInt here — exact both sides)
+    "wordpiece_train" -> ((s, dir) => {
+      val m = graft.functions.WordPiece.trainOn(t(s, dir, "documents"), "text", 12)
+      import s.implicits._
+      m.zipWithIndex
+        .map { case ((l, r, sc), i) => (i.toLong, l, r, sc) }
+        .toDF("rank", "l", "r", "score").orderBy(col("rank"))
+    }),
+
     // BPE TRAINING oracled end to end (the trained-ANN precedent: the
     // oracle replays the training itself, not just its output): 16 merges
     // trained on the corpus pre-token frequency table — the distributed
@@ -3305,6 +3333,93 @@ object SparkEntry {
       |bpe_docids AS (
       |  SELECT d.doc_id, coalesce(b.ids, []) AS ids
       |  FROM documents d LEFT JOIN bpe_perdoc b USING (doc_id))""".stripMargin
+  }
+
+  /** Replay of WordPiece greedy longest-match inference: per distinct
+    * pre-token, a recursive CTE consumes the longest vocab piece
+    * prefixing the remainder (argmax k via indexed list_filter over the
+    * piece-length window, then one map probe appends its id). Exact on
+    * this corpus for the same reason tokenize_bpe's per-character replay
+    * is: printable ASCII makes byte == character. */
+  private def wpReplayCtes: String = {
+    val m = graft.functions.WordPiece.default
+    val L = m.maxPieceLen
+    s"""wp_pts AS (
+      |  SELECT doc_id, u.ord, u.pt FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+      |      (x, i) -> {'ord': i, 'pt': x})) AS u
+      |    FROM documents)),
+      |wp_dpt AS (SELECT DISTINCT pt FROM wp_pts),
+      |wp_steps AS (
+      |  SELECT pt, pt AS rest, CAST([] AS BIGINT[]) AS ids FROM wp_dpt
+      |  UNION ALL
+      |  SELECT pt, substr(rest, best + 1),
+      |    list_append(ids,
+      |      CAST(element_at(${m.vocabMapSql}, rest[1:best])[1] AS BIGINT))
+      |  FROM (
+      |    SELECT pt, rest, ids,
+      |      CAST(list_aggregate(list_filter(
+      |          range(1, least(length(rest), $L) + 1),
+      |          k -> len(element_at(${m.vocabMapSql},
+      |                rest[1:CAST(k AS INT)])) > 0), 'max') AS INT) AS best
+      |    FROM wp_steps WHERE length(rest) > 0)),
+      |wp_fin AS (SELECT pt, ids FROM wp_steps WHERE length(rest) = 0),
+      |wp_perdoc AS (
+      |  SELECT p.doc_id, flatten(list(t.ids ORDER BY p.ord)) AS ids
+      |  FROM wp_pts p JOIN wp_fin t ON p.pt = t.pt
+      |  GROUP BY p.doc_id),
+      |wp_docids AS (
+      |  SELECT d.doc_id, coalesce(b.ids, []) AS ids
+      |  FROM documents d LEFT JOIN wp_perdoc b USING (doc_id))""".stripMargin
+  }
+
+  /** Unrolled replay of WordPiece.train (`wordpiece_train` oracle): each
+    * step counts adjacent pairs AND symbol occurrences over the working
+    * word-frequency table, picks the argmax of the fixed-point
+    * likelihood score floor(c·10^12 / (c_l·c_r)) — HUGEINT `//`
+    * arithmetic, exactly the Scala BigInt floor — ties (score desc, l,
+    * r), and rewrites every word. Same MATERIALIZED discipline as
+    * bpeTrainSql (p/s/b/w all fan out from w$i). */
+  private def wordpieceTrainSql(numMerges: Int): String = {
+    val steps = (0 until numMerges).map { i =>
+      s"""s$i AS MATERIALIZED (
+        |  SELECT s AS sym, CAST(sum(n) AS HUGEINT) AS c
+        |  FROM w$i, unnest(w) AS t(s) GROUP BY 1),
+        |p$i AS MATERIALIZED (
+        |  SELECT w[CAST(j AS INT)] AS l, w[CAST(j + 1 AS INT)] AS r,
+        |    CAST(sum(n) AS HUGEINT) AS c
+        |  FROM w$i, unnest(range(1, len(w))) AS t(j)
+        |  WHERE w[CAST(j AS INT)] <> w[CAST(j + 1 AS INT)]
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (
+        |  SELECT p.l, p.r,
+        |    CAST((p.c * 1000000000000) // (sl.c * sr.c) AS BIGINT) AS score
+        |  FROM p$i p JOIN s$i sl ON p.l = sl.sym JOIN s$i sr ON p.r = sr.sym
+        |  ORDER BY score DESC, p.l, p.r LIMIT 1),
+        |w${i + 1} AS MATERIALIZED (
+        |  SELECT list_transform(
+        |      list_filter(range(1, len(w) + 1),
+        |        j -> NOT (j > 1 AND w[CAST(j - 1 AS INT)] = b.l
+        |              AND w[CAST(j AS INT)] = b.r)),
+        |      j -> CASE WHEN j < len(w) AND w[CAST(j AS INT)] = b.l
+        |                 AND w[CAST(j + 1 AS INT)] = b.r
+        |            THEN w[CAST(j AS INT)] || w[CAST(j + 1 AS INT)]
+        |            ELSE w[CAST(j AS INT)] END) AS w, n
+        |  FROM w$i CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until numMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l, r, score FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+      |  SELECT string_split(pt, '') AS w, CAST(n AS BIGINT) AS n FROM (
+      |    SELECT pt, count(*) AS n FROM (
+      |      SELECT unnest(regexp_extract_all(text,
+      |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS pt FROM documents)
+      |    GROUP BY pt)),
+      |$steps
+      |$union
+      |ORDER BY rank""".stripMargin
   }
 
   /** Unrolled replay of Bpe.train's greedy loop (`bpe_train` oracle):
@@ -5340,6 +5455,18 @@ object SparkEntry {
 
     // replay of Bpe.encode (bpeReplayCtes scaladoc): the merge loop runs
     // as the recursion, the id-sequence hash pins ORDER, not just count
+    // replay of WordPiece MaxMatch inference (wpReplayCtes scaladoc):
+    // greedy longest-match per distinct pre-token, same id-stream hash
+    "tokenize_wordpiece" ->
+      s"""WITH RECURSIVE $wpReplayCtes
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_wp,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+        |    (h, x) -> (h * 131 + x) % 1000000007) AS ids_hash
+        |FROM wp_docids ORDER BY doc_id""".stripMargin,
+
+    // replay of WordPiece.train incl. the fixed-point likelihood score
+    "wordpiece_train" -> wordpieceTrainSql(12),
+
     "tokenize_bpe" ->
       s"""WITH RECURSIVE $bpeReplayCtes
         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_bpe,

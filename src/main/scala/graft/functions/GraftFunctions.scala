@@ -20,6 +20,7 @@ object GraftFunctions {
       HashFunctions.register(spark)
       VectorFunctions.register(spark)
       Bpe.register(spark)
+      WordPiece.register(spark)
       graft.operators.TextAnalysis.register(spark)
       graft.plans.GeoRules.install(spark)
     }

@@ -1668,6 +1668,47 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // STREAMING index ingest — the ANN lifecycle joins the streaming
+    // story: a file-source stream of new vectors appends into the served
+    // IVF index through foreachBatch with the exactly-once manifest
+    // fence (appendToIvfIndexExactlyOnce: batch id rides the `_cellmap`
+    // commit, so crash + redelivery never double-lands a batch —
+    // IvfStreamIngestSpec crash-injects the window). Batch boundaries
+    // cannot affect the final state (appends assign to frozen
+    // centroids), so the oracle is EXACTLY ann_ivf_appended's: train on
+    // the base corpus, assign everything
+    "ann_stream_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (_, ckpt, feedDir) = freshStreamDirs("annin", dir)
+      val idx = s"${new java.io.File(feedDir).getParent}/index"
+      val ik = embCorpusKey(s, dir) + ":stream"
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") < 400), "vec_id",
+        "embedding", idx, indexKey = ik)
+      // two staged files + maxFilesPerTrigger=1 → two real micro-batches
+      emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      val q = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!batch.isEmpty)
+            Similarity.appendToIvfIndexExactlyOnce(batch, "vec_id",
+              "embedding", idx, ik, id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "ANN ingest stream drain timed out")
+      Similarity.ivfTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = ik)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the PQ twin of ann_ivf_appended: the appended batch is ENCODED with
     // the existing codebook (appendToIvfIndex pqM) and served by ADC from
     // the stored codes — build/serve/append now all exist for both
@@ -5767,6 +5808,11 @@ object SparkEntry {
     "ann_pq_served" -> annPqServedSql(),
     "ann_pq_reranked" -> annPqServedSql(rerankC = Some(30)),
     "ann_ivf_appended" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
+
+    // streaming ingest ends in the SAME state as the batch append
+    // (frozen-centroid assignment is batch-boundary-free), so the oracle
+    // is ann_ivf_appended's verbatim
+    "ann_stream_ingest" -> annIvfTrainedSql(trainWhere = "vec_id < 400"),
     "ann_pq_appended" -> annPqServedSql(trainWhere = "vec_id < 400"),
     // compaction is bin-packing only — the logical index contents equal
     // the appended index's, so the oracle is identical (both quantizers)

@@ -487,6 +487,25 @@ object Similarity {
   /** Default trained-state dir under the index root. */
   val DefaultCentroidsDir: String = "_centroids"
 
+  /** Header line carrying the highest exactly-once-applied append batch
+    * id (see [[appendToIvfIndexExactlyOnce]]). Riding the manifest makes
+    * the fence atomic with the append's commit point for free: a crash
+    * anywhere before the manifest write leaves BOTH the old file list
+    * and the old fence, so the redelivered batch applies cleanly; after
+    * it, both advance together and the redelivery skips. No tab → old
+    * readers' `contains('\t')` filter skips it, like the other headers. */
+  val CellMapBatchPrefix: String = "#last_batch="
+
+  private def manifestLastBatchOf(txt: String): Option[Long] =
+    txt.split('\n').find(_.startsWith(CellMapBatchPrefix))
+      .flatMap(l => scala.util.Try(
+        l.substring(CellMapBatchPrefix.length).trim.toLong).toOption)
+
+  /** Highest exactly-once batch id the live manifest has committed. */
+  def lastAppendBatchId(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[Long] =
+    readManifest(spark, indexPath).flatMap(manifestLastBatchOf)
+
   private def manifestCentroidsDirOf(txt: String): Option[String] =
     txt.split('\n').find(_.startsWith(CellMapCentroidsPrefix))
       .map(_.substring(CellMapCentroidsPrefix.length).trim).filter(_.nonEmpty)
@@ -522,7 +541,8 @@ object Similarity {
   private[graft] def writeCellMap(spark: org.apache.spark.sql.SparkSession,
       path: String,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      centroidsDir: Option[String] = None): Unit = {
+      centroidsDir: Option[String] = None,
+      lastBatchId: Option[Long] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -539,9 +559,16 @@ object Similarity {
     val centroidsLine: Option[String] = centroidsDir
       .map(CellMapCentroidsPrefix + _)
       .orElse(liveTxt.flatMap(_.split('\n').find(_.startsWith(CellMapCentroidsPrefix))))
+    // batch-fence header: from the exactly-once append, else preserved —
+    // a compact/retrain after a fenced append must not reset the fence
+    // (a later redelivery would then double-apply)
+    val batchLine: Option[String] = lastBatchId
+      .map(CellMapBatchPrefix + _)
+      .orElse(liveTxt.flatMap(_.split('\n').find(_.startsWith(CellMapBatchPrefix))))
     val sb = new StringBuilder
     schemaLine.foreach(l => sb.append(l).append('\n'))
     centroidsLine.foreach(l => sb.append(l).append('\n'))
+    batchLine.foreach(l => sb.append(l).append('\n'))
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("cell=")).foreach { d =>
       val cell = d.getPath.getName.substring("cell=".length)
@@ -669,6 +696,29 @@ object Similarity {
     appendToIvfIndexHooked(batch, idCol, vecCol, path, indexKey,
       stride, iters, pqM, () => ())
 
+  /**
+   * Exactly-once append for streaming ingest (the [[graft.sinks.MergeTable.mergeExactlyOnce]]
+   * design applied to the index): a redelivered foreachBatch micro-batch
+   * (id ≤ the manifest's `#last_batch=` fence) is skipped without
+   * touching disk; otherwise stranded files from a crashed prior attempt
+   * are swept ([[vacuumUncommitted]] — the next manifest write would
+   * publish them ALONGSIDE the retry's files, landing the batch twice)
+   * and the append commits data + fence in the one atomic manifest
+   * write. Requires monotonically increasing ids (Structured Streaming's
+   * batchId is); single maintenance writer, like every append. Returns
+   * true iff applied.
+   */
+  def appendToIvfIndexExactlyOnce(batch: DataFrame, idCol: String,
+      vecCol: String, path: String, indexKey: String, batchId: Long,
+      stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Boolean =
+    if (lastAppendBatchId(batch.sparkSession, path).exists(_ >= batchId)) false
+    else {
+      vacuumUncommitted(batch.sparkSession, path)
+      appendToIvfIndexHooked(batch, idCol, vecCol, path, indexKey,
+        stride, iters, pqM, () => (), batchId = Some(batchId))
+      true
+    }
+
   /** The append with a test seam at its one crash window: `beforeCommit`
     * runs after the data-file job commits and before the `_cellmap`
     * manifest write. IvfAppendCrashSpec throws there to prove the
@@ -679,7 +729,7 @@ object Similarity {
   private[graft] def appendToIvfIndexHooked(batch: DataFrame, idCol: String,
       vecCol: String, path: String, indexKey: String,
       stride: Int, iters: Int, pqM: Option[Int],
-      beforeCommit: () => Unit): Unit = {
+      beforeCommit: () => Unit, batchId: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.typedlit
     val spark = batch.sparkSession
     requireIndexReady(spark, path)
@@ -718,7 +768,8 @@ object Similarity {
     beforeCommit()
     // manifest LAST: the appended files become visible to manifest-reading
     // serves only on this single-object write (see CellMapFile)
-    writeCellMap(spark, path, dataSchema = Some(assigned.schema))
+    writeCellMap(spark, path, dataSchema = Some(assigned.schema),
+      lastBatchId = batchId)
   }
 
   /**

@@ -2107,6 +2107,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM (Viterbi) tokenization — the THIRD tokenizer family:
+    // exact min-cost DP segmentation over the committed integer-cost
+    // vocab (no training job; the model is an artifact). Same id-stream
+    // pinning; the oracle replays every DP cell and the traceback
+    "tokenize_unigram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Unigram.ug_encode(col("text")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ug"),
+          expr("aggregate(ids, 0L, (h, x) -> (h * 131 + x) % 1000000007)")
+            .as("ids_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the Viterbi total cost as a document LM signal (scaled negative
+    // log-likelihood under the unigram model — the quality-filter
+    // feature class of lm_score, from the tokenizer itself)
+    "unigram_cost" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Unigram.ug_count(col("text")).cast("long").as("n_pieces"),
+          graft.functions.Unigram.ug_cost(col("text")).as("total_cost"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WordPiece TRAINING oracled end to end, score included: the oracle
     // must reproduce not just the chosen pairs but the fixed-point
     // likelihood score that chose them (floor(c·10^12 / (c_l·c_r)),
@@ -3413,6 +3439,67 @@ object SparkEntry {
       |wp_docids AS (
       |  SELECT d.doc_id, coalesce(b.ids, []) AS ids
       |  FROM documents d LEFT JOIN wp_perdoc b USING (doc_id))""".stripMargin
+  }
+
+  /** Replay of Unigram Viterbi inference: per distinct pre-token, a
+    * forward recursive CTE fills the DP table one position per step —
+    * the cell's candidates are encoded `(prefix_cost + piece_cost)·64 +
+    * (64 − k)` so ONE integer min applies the pinned tie-break (cost
+    * asc, k desc) — then a traceback CTE walks the back-pointers to the
+    * canonical segmentation. Every DP cell is integer-exact in both
+    * engines; position notation: p = len(bks)+1, costs[i] = min cost of
+    * the (i−1)-prefix. */
+  private def ugReplayCtes: String = {
+    val m = graft.functions.Unigram.default
+    val L = m.maxPieceLen
+    val vmap = m.vocabMapSql
+    s"""ug_pts AS (
+      |  SELECT doc_id, u.ord, u.pt FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+      |      (x, i) -> {'ord': i, 'pt': x})) AS u
+      |    FROM documents)),
+      |ug_dpt AS (SELECT DISTINCT pt FROM ug_pts),
+      |ug_fwd AS (
+      |  SELECT pt, CAST([0] AS BIGINT[]) AS costs, CAST([] AS INT[]) AS bks
+      |  FROM ug_dpt
+      |  UNION ALL
+      |  SELECT pt,
+      |    list_append(costs, best // 64),
+      |    list_append(bks, CAST(64 - (best % 64) AS INT))
+      |  FROM (
+      |    SELECT pt, costs, bks,
+      |      list_aggregate(list_transform(
+      |        list_filter(range(1, least(len(bks) + 1, $L) + 1),
+      |          k -> len(element_at($vmap,
+      |            pt[len(bks) + 2 - CAST(k AS INT) : len(bks) + 1])) > 0),
+      |        k -> (costs[len(bks) + 2 - CAST(k AS INT)]
+      |              + element_at($vmap,
+      |                  pt[len(bks) + 2 - CAST(k AS INT) : len(bks) + 1])[1][2])
+      |             * 64 + (64 - k)), 'min') AS best
+      |    FROM ug_fwd WHERE len(bks) < length(pt))),
+      |ug_fin AS (
+      |  SELECT pt, costs[length(pt) + 1] AS total_cost, bks
+      |  FROM ug_fwd WHERE len(bks) = length(pt)),
+      |ug_tb AS (
+      |  SELECT pt, bks, length(pt) AS pos, CAST([] AS BIGINT[]) AS ids
+      |  FROM ug_fin
+      |  UNION ALL
+      |  SELECT pt, bks, pos - bks[pos],
+      |    list_prepend(CAST(element_at($vmap,
+      |        pt[pos - bks[pos] + 1 : pos])[1][1] AS BIGINT), ids)
+      |  FROM ug_tb WHERE pos > 0),
+      |ug_tok AS (SELECT pt, ids FROM ug_tb WHERE pos = 0),
+      |ug_perdoc AS (
+      |  SELECT p.doc_id, flatten(list(t.ids ORDER BY p.ord)) AS ids,
+      |    CAST(sum(f.total_cost) AS BIGINT) AS cost
+      |  FROM ug_pts p JOIN ug_tok t ON p.pt = t.pt
+      |    JOIN ug_fin f ON p.pt = f.pt
+      |  GROUP BY p.doc_id),
+      |ug_docids AS (
+      |  SELECT d.doc_id, coalesce(b.ids, []) AS ids,
+      |    coalesce(b.cost, 0) AS total_cost
+      |  FROM documents d LEFT JOIN ug_perdoc b USING (doc_id))""".stripMargin
   }
 
   /** Unrolled replay of WordPiece.train (`wordpiece_train` oracle): each
@@ -5507,6 +5594,21 @@ object SparkEntry {
 
     // replay of WordPiece.train incl. the fixed-point likelihood score
     "wordpiece_train" -> wordpieceTrainSql(12),
+
+    // replay of Unigram Viterbi DP + traceback (ugReplayCtes scaladoc)
+    "tokenize_unigram" ->
+      s"""WITH RECURSIVE $ugReplayCtes
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ug,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+        |    (h, x) -> (h * 131 + x) % 1000000007) AS ids_hash
+        |FROM ug_docids ORDER BY doc_id""".stripMargin,
+
+    // the DP's total cost per doc — same CTEs, the forward table's
+    // terminal cell summed over pre-token occurrences
+    "unigram_cost" ->
+      s"""WITH RECURSIVE $ugReplayCtes
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_pieces, total_cost
+        |FROM ug_docids ORDER BY doc_id""".stripMargin,
 
     "tokenize_bpe" ->
       s"""WITH RECURSIVE $bpeReplayCtes

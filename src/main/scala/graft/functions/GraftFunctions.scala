@@ -21,6 +21,7 @@ object GraftFunctions {
       VectorFunctions.register(spark)
       Bpe.register(spark)
       WordPiece.register(spark)
+      Unigram.register(spark)
       graft.operators.TextAnalysis.register(spark)
       graft.plans.GeoRules.install(spark)
     }

@@ -2236,6 +2236,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // top-15 and the feature-hash dense-cosine top-15 — the standard
+    // two-branch first stage of hybrid search, contributions
+    // ⌊1e9/(60+rank)⌋ so the fusion is integer-exact
+    // (TextAnalysis.hybridRrf scaladoc has the bounded-window argument)
+    "hybrid_rrf" -> ((s, dir) => {
+      TextAnalysis.hybridRrf(t(s, dir, "documents"), "doc_id", "text",
+        "dup table sort scan", kEach = 15, k = 10)
+    }),
+
     // α=0.5 TEMPERATURE mixing (multilingual-pretraining source
     // reweighting): keep rate √(T_min/T_s) per source — between uniform
     // rebalance (α=0) and natural (α=1). sqrt is IEEE-correctly-rounded
@@ -6342,6 +6352,60 @@ object SparkEntry {
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // RRF fusion: both branch oracles verbatim (bm25_topk's chain with
+    // this query's terms; doc_search's feature-hash cosine with this
+    // query row), ranked over the k-cut lists, fused by ⌊1e9/(60+r)⌋
+    "hybrid_rrf" ->
+      s"""WITH ${featureHashCtes(
+            "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT -1, 'dup table sort scan')")},
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |qt(tok) AS (VALUES ('dup'), ('table'), ('sort'), ('scan')),
+        |dfc AS (
+        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
+        |idf AS (
+        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfc),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+        |      AS score
+        |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
+        |  GROUP BY tf.doc_id),
+        |lexk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15),
+        |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lexk),
+        |dv AS (
+        |  SELECT f.vec_id AS doc_id,
+        |    CAST(list_dot_product(f.vec, q.vec) AS BIGINT) AS dot,
+        |    CAST(list_dot_product(f.vec, f.vec) AS BIGINT) AS nrm,
+        |    CAST(list_dot_product(q.vec, q.vec) AS BIGINT) AS qn
+        |  FROM fhv f CROSS JOIN (SELECT vec FROM fhv WHERE vec_id = -1) q
+        |  WHERE f.vec_id >= 0),
+        |dsc AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * qn)
+        |         ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS BIGINT) AS score
+        |  FROM dv WHERE nrm > 0),
+        |denk AS (SELECT doc_id, score FROM dsc ORDER BY score DESC, doc_id LIMIT 15),
+        |denr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM denk)
+        |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |  CAST(l.r AS INT) AS r_lex, CAST(d.r AS INT) AS r_dense,
+        |  CAST(coalesce(1000000000 // (60 + l.r), 0)
+        |     + coalesce(1000000000 // (60 + d.r), 0) AS BIGINT) AS rrf
+        |FROM lexr l FULL JOIN denr d ON l.doc_id = d.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // √(T_min/T_s) keep thresholds: divide → sqrt → multiply → floor,
     // each IEEE-correctly-rounded, mirroring the engine's op order

@@ -380,6 +380,64 @@ object TextAnalysis {
   }
 
   /**
+   * Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+   * 2009): fuse the BM25 lexical top-k (bm25TopK above) with the
+   * feature-hash dense-cosine top-k (the doc_search shape) by
+   *   rrf(d) = Σ_branches ⌊10^9 / (rrfK + rank_branch(d))⌋
+   * — the standard first stage of every hybrid search stack, made
+   * integer-exact (the textbook 1/(60+r) is a float; a scaled floor
+   * preserves the ordering RRF actually uses, since contributions are
+   * distinct integers for ranks ≤ ~3000 at the 10^9 scale).
+   *
+   * Scale shape: each branch is a corpus scan → TakeOrderedAndProject
+   * bounded at kEach; the rank windows and the full-outer fusion join
+   * run over ≤ kEach rows per side (window-without-partition is safe
+   * BECAUSE the input is limit-bounded — never do this pre-limit).
+   * Two corpus passes total, one per modality (the tokenizations
+   * differ: BM25 splits on whitespace, the hash on [^a-z0-9]+ — there
+   * is no shared scan to reuse). Ranks are deterministic: both
+   * branches order (score DESC, doc_id) before AND after the cut.
+   */
+  def hybridRrf(df: DataFrame, idCol: String, textCol: String,
+      queryText: String, kEach: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.vec_doti
+    graft.functions.HashFunctions.register(df.sparkSession)
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val cached = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val lex = bm25TopK(cached, "doc_id", "__text", queryText, kEach)
+    val qv = graft.functions.HashFunctions.featureHash(queryText, 64)
+    val qNrm = qv.map(x => x * x).sum
+    val dense = cached
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.feature_hash(col("__text"), 64).as("v"))
+      .withColumn("nrm", vec_doti(col("v"), col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("dot", vec_doti(col("v"), typedlit(qv.toSeq)))
+      .withColumn("score",
+        when(col("dot") >= 0,
+          expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)"))
+          .otherwise(
+            -expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)")))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(kEach)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val lexR = lex.select(col("doc_id"),
+      row_number().over(w).as("r_lex"))
+    val denR = dense.select(col("doc_id"),
+      row_number().over(w).as("r_dense"))
+    lexR.join(denR, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"1000000000 div ($rrfK + r_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($rrfK + r_dense)"), lit(0L)))
+      .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Bigram novelty scoring (contamination / distribution-shift check):
    * how many of a probe document's token bigrams never occur in the
    * reference partition. The inverse question — benchmark n-grams

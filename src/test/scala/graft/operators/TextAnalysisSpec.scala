@@ -929,4 +929,53 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       "rare target zzz", k = 6).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(again.sameElements(top))
   }
+
+  test("hybridRrf: both-branch docs win, single-branch docs carry one contribution, ranks nullable") {
+    import spark.implicits._
+    // the two branches tokenize differently (BM25: whitespace split;
+    // dense hash: [^a-z0-9]+ split) — comma-glued docs are invisible to
+    // BM25 but dense-identical to the query, giving guaranteed
+    // single-branch rows
+    val docs = Seq(
+      (1L, "rare rare rare"),                          // lexical only
+      (2L, "RARE,ALPHA,BETA,GAMMA,DELTA,EPSILON"),     // dense only
+      (3L, "rare alpha beta gamma delta epsilon"),     // both, top of both
+      (4L, "alpha beta gamma delta epsilon zeta"),     // both, mid
+      (5L, "alpha,beta,gamma,delta,epsilon,zeta"),     // dense only
+      (6L, "common filler words here")                 // neither
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hybridRrf(docs, "doc_id", "text",
+      "rare alpha beta gamma delta epsilon", kEach = 3, k = 6)
+    val rows = out.collect()
+    // schema: nullable int ranks, long rrf
+    assert(out.schema("r_lex").dataType.typeName == "integer")
+    assert(out.schema("rrf").dataType.typeName == "long")
+    val byId = rows.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toMap
+    // doc 3 hits both branches: two contributions, ranked first overall
+    assert(rows.head.getLong(0) == 3L, rows.mkString(","))
+    val (l3, d3, rrf3) = byId(3L)
+    assert(l3.nonEmpty && d3.nonEmpty)
+    // rrf is exactly the sum of the two floored contributions
+    val expect3 = 1000000000L / (60 + l3.get.asInstanceOf[Int]) +
+      1000000000L / (60 + d3.get.asInstanceOf[Int])
+    assert(rrf3 == expect3, s"$rrf3 != $expect3")
+    // a doc in only one list has a null rank on the other side and a
+    // single contribution
+    val singles = rows.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+    assert(singles.nonEmpty)
+    singles.foreach { r =>
+      val rank = if (r.isNullAt(1)) r.getInt(2) else r.getInt(1)
+      assert(r.getLong(3) == 1000000000L / (60 + rank))
+    }
+    // the dense-only doc is a comma-glued twin the lexical branch
+    // cannot see; the lexical-only doc is 'rare' spam the dense branch
+    // ranks out at kEach=3
+    assert(byId(2L)._1.isEmpty && byId(2L)._2.nonEmpty, byId.toString)
+    assert(byId(1L)._1.nonEmpty && byId(1L)._2.isEmpty, byId.toString)
+    // deterministic under repartitioning
+    val again = TextAnalysis.hybridRrf(docs.repartition(4), "doc_id", "text",
+      "rare alpha beta gamma delta epsilon", kEach = 3, k = 6).collect()
+    assert(again.map(_.toString).sameElements(rows.map(_.toString)))
+  }
 }

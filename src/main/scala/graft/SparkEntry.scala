@@ -2246,6 +2246,15 @@ object SparkEntry {
         "dup table sort scan", kEach = 15, k = 10)
     }),
 
+    // MMR diversification: greedy rel − max-sim-to-selected rerank over
+    // the dense top-20 candidates (TextAnalysis.mmrDiversify scaladoc:
+    // retrieval distributed, rerank bounded driver-side, integer-exact;
+    // the oracle unrolls the five selection steps as CTE stages)
+    "mmr_diversify" -> ((s, dir) => {
+      TextAnalysis.mmrDiversify(t(s, dir, "documents"), "doc_id", "text",
+        "table scan hash probe window sort", nCand = 20, k = 5)
+    }),
+
     // α=0.5 TEMPERATURE mixing (multilingual-pretraining source
     // reweighting): keep rate √(T_min/T_s) per source — between uniform
     // rebalance (α=0) and natural (α=1). sqrt is IEEE-correctly-rounded
@@ -6406,6 +6415,53 @@ object SparkEntry {
         |     + coalesce(1000000000 // (60 + d.r), 0) AS BIGINT) AS rrf
         |FROM lexr l FULL JOIN denr d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the five greedy MMR selection steps unrolled as sequential CTE
+    // stages (the bpe_train pattern): each stage is one argmax of
+    // rel − max(sim to already-selected) over the shrinking candidate
+    // set, ties on doc_id — replaying the driver loop exactly
+    "mmr_diversify" -> {
+      val steps = (2 to 5).map { n =>
+        val prev = (1 until n).map(m => s"SELECT doc_id FROM s$m")
+          .mkString(" UNION ALL ")
+        s"""s$n AS (
+           |  SELECT c.doc_id, c.rel, c.rel - max(p.sim) AS mmr_key
+           |  FROM cand c JOIN pr p ON p.i = c.doc_id
+           |  WHERE p.j IN ($prev) AND c.doc_id NOT IN ($prev)
+           |  GROUP BY c.doc_id, c.rel
+           |  ORDER BY mmr_key DESC, c.doc_id LIMIT 1)"""
+      }.mkString(",\n")
+      val sel = (1 to 5).map(n =>
+        s"SELECT $n AS sel_rank, doc_id, rel, mmr_key FROM s$n")
+        .mkString(" UNION ALL ")
+      s"""WITH ${featureHashCtes(
+            "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT -1, 'table scan hash probe window sort')")},
+        |dv AS (
+        |  SELECT f.vec_id AS doc_id, f.vec,
+        |    CAST(list_dot_product(f.vec, q.vec) AS BIGINT) AS dot,
+        |    CAST(list_dot_product(f.vec, f.vec) AS BIGINT) AS nrm,
+        |    CAST(list_dot_product(q.vec, q.vec) AS BIGINT) AS qn
+        |  FROM fhv f CROSS JOIN (SELECT vec FROM fhv WHERE vec_id = -1) q
+        |  WHERE f.vec_id >= 0),
+        |cand AS (
+        |  SELECT doc_id, vec, nrm,
+        |    CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * qn)
+        |         ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS BIGINT) AS rel
+        |  FROM dv WHERE nrm > 0
+        |  ORDER BY rel DESC, doc_id LIMIT 20),
+        |pr AS (
+        |  SELECT i, j, CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // nn
+        |         ELSE -(dot * dot * 1000000 // nn) END AS BIGINT) AS sim
+        |  FROM (SELECT a.doc_id AS i, b.doc_id AS j,
+        |          CAST(list_dot_product(a.vec, b.vec) AS BIGINT) AS dot,
+        |          a.nrm * b.nrm AS nn
+        |        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id)),
+        |s1 AS (SELECT doc_id, rel, rel AS mmr_key FROM cand
+        |       ORDER BY rel DESC, doc_id LIMIT 1),
+        |$steps
+        |SELECT * FROM ($sel) ORDER BY sel_rank""".stripMargin
+    },
 
     // √(T_min/T_s) keep thresholds: divide → sqrt → multiply → floor,
     // each IEEE-correctly-rounded, mirroring the engine's op order

@@ -438,6 +438,81 @@ object TextAnalysis {
   }
 
   /**
+   * MMR diversification (Carbonell & Goldstein, SIGIR 1998) over the
+   * dense top-nCand candidates: greedily select k docs by
+   *   argmax_d [ rel(d) − max_{s ∈ selected} sim(d, s) ]
+   * (λ = 1/2 with both terms on the same 1e6 scale — equal weighting,
+   * the common default; the ×2 constant cancels in the argmax).
+   * rel and sim are both the signed integer cosine-squared score of
+   * doc_search — sign(dot)·⌊dot²·1e6/(|a|²·|b|²)⌋ — so every selection
+   * step replays exactly in SQL; ties break on doc_id ascending, and
+   * the first pick (empty selected set) is pure relevance.
+   *
+   * Scale shape: retrieval is the distributed part (corpus scan →
+   * TakeOrderedAndProject at nCand); the greedy rerank is DRIVER-SIDE
+   * over the collected nCand rows — bounded by construction (every
+   * production reranker operates on a top-N slice, not the corpus; the
+   * loop is O(k·nCand) integer ops over 64-dim vectors, microseconds
+   * at nCand ≤ 1000). Products go through BigInt so a pathological
+   * high-norm doc cannot overflow where the SQL replay's BIGINT would
+   * not. The oracle unrolls the k selection steps as sequential CTE
+   * stages (the bpe_train pattern) over the same candidate slice.
+   */
+  def mmrDiversify(df: DataFrame, idCol: String, textCol: String,
+      queryText: String, nCand: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.vec_doti
+    val spark = df.sparkSession
+    graft.functions.HashFunctions.register(spark)
+    graft.functions.VectorFunctions.register(spark)
+    val qv = graft.functions.HashFunctions.featureHash(queryText, 64)
+    val qNrm = qv.map(x => x * x).sum
+    val cand = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.HashFunctions.feature_hash(col(textCol), 64).as("v"))
+      .withColumn("nrm", vec_doti(col("v"), col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("dot", vec_doti(col("v"), typedlit(qv.toSeq)))
+      .withColumn("rel",
+        when(col("dot") >= 0,
+          expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)"))
+          .otherwise(
+            -expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)")))
+      .select(col("doc_id"), col("v"), col("nrm"), col("rel"))
+      .orderBy(col("rel").desc, col("doc_id"))
+      .limit(nCand)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2),
+        r.getLong(3)))
+    def simSq(a: (Long, Array[Long], Long, Long),
+        b: (Long, Array[Long], Long, Long)): Long = {
+      var d = BigInt(0); var i = 0
+      while (i < a._2.length) { d += BigInt(a._2(i)) * b._2(i); i += 1 }
+      val m = (d * d * 1000000) / (BigInt(a._3) * BigInt(b._3))
+      (if (d >= 0) m else -m).toLong
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(c => c._1 -> c): _*)
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, (Long, Array[Long], Long, Long), Long)]
+    while (selected.size < k && remaining.nonEmpty) {
+      val scoredStep = remaining.values.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => simSq(c, s._2)).max
+        (c, c._4 - maxSim)
+      }
+      val (best, key) = scoredStep.maxBy { case (c, s) => (s, -c._1) }
+      selected += ((best._1, best, key))
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, c, key), i) => (i + 1, id, c._4, key) }
+      .toSeq.toDF("sel_rank", "doc_id", "rel", "mmr_key")
+      .orderBy(col("sel_rank"))
+  }
+
+  /**
    * Bigram novelty scoring (contamination / distribution-shift check):
    * how many of a probe document's token bigrams never occur in the
    * reference partition. The inverse question — benchmark n-grams

@@ -978,4 +978,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       "rare alpha beta gamma delta epsilon", kEach = 3, k = 6).collect()
     assert(again.map(_.toString).sameElements(rows.map(_.toString)))
   }
+
+  test("mmrDiversify: near-duplicate of the top pick is demoted below a diverse doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // top relevance
+      (2L, "alpha beta gamma delta"),        // exact duplicate of 1
+      (3L, "alpha epsilon zeta eta"),        // partial overlap, diverse
+      (4L, "theta iota kappa lambda")        // irrelevant
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mmrDiversify(docs, "doc_id", "text",
+      "alpha beta gamma", nCand = 4, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // step 1 is pure relevance with the doc_id tie-break: doc 1 (its
+    // duplicate 2 ties on rel and loses the tie)
+    assert(out(0)._2 == 1L, out.mkString(","))
+    assert(out(0)._4 == out(0)._3, "first mmr_key must equal rel")
+    // step 2: doc 2 has sim=1e6 (floored 999999+) to doc 1, so its key
+    // collapses to ~rel−1e6; doc 3's partial overlap keeps a higher key
+    assert(out(1)._2 == 3L, out.mkString(","))
+    // the duplicate surfaces only after the diverse doc
+    assert(out(2)._2 == 2L || out(2)._2 == 4L, out.mkString(","))
+    // keys are exactly rel − maxSim: recompute step 2's key by hand
+    // (vectors are the same feature hash both sides use)
+    val v1 = graft.functions.HashFunctions.featureHash("alpha beta gamma delta", 64)
+    // (v1 is the DOC vector; the query is the distinct "alpha beta gamma")
+    val v3 = graft.functions.HashFunctions.featureHash("alpha epsilon zeta eta", 64)
+    def dot(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+    val rel3 = out(1)._3
+    val d13 = dot(v3, v1)
+    val sim = {
+      val m = (d13 * d13 * 1000000) / (dot(v3, v3) * dot(v1, v1))
+      (if (d13 >= 0) m else -m).toLong
+    }
+    assert(out(1)._4 == rel3 - sim, s"${out(1)._4} != $rel3 - $sim")
+  }
 }

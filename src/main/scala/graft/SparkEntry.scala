@@ -2236,6 +2236,27 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // materialized BM25 inverted index served from MergeTable
+    // bucket-pruned readKeys — the sparse twin of ann_ivf_served (build
+    // once, serve many: a serve reads only the buckets holding the
+    // query's terms, cost ∝ postings of the query terms, never a corpus
+    // scan). Identical arithmetic to bm25_topk, so the same oracle
+    // applies; the terms publish is the commit point (crash between the
+    // two publishes leaves no terms version → serve fails loudly)
+    "bm25_served" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      if (graft.sinks.Versioned.currentVersion(s, s"$idx/terms").isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(p, true)
+        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+          idx)
+      }
+      TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // top-15 and the feature-hash dense-cosine top-15 — the standard
     // two-branch first stage of hybrid search, contributions
@@ -4311,6 +4332,37 @@ object SparkEntry {
       |    GROUP BY x.doc_id, y.doc_id, x.j // 4
       |    HAVING count(*) = 4))""".stripMargin
 
+  /** Integer-exact Okapi BM25 replay for "dup sort query zzz" @ k=15 —
+    * shared by bm25_topk (direct) and bm25_served (index-served; the
+    * index is content-derived so the same SQL applies). */
+  private val Bm25TopkSql: String =
+          """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |dfc AS (
+        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
+        |idf AS (
+        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfc),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+        |      AS score
+        |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -6334,33 +6386,13 @@ object SparkEntry {
     // replay of bm25TopK: same tokenization as vocab_top, df over the
     // query's terms, rational idf ⌊1e4·(N−df+1)/(df+1)⌋, per-mille
     // length norm, every division `//` — the engine's floors exactly
-    "bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
-        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
-        |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
-        |dfc AS (
-        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
-        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
-        |idf AS (
-        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
-        |  FROM dfc),
-        |tf AS (
-        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
-        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
-        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
-        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
-        |      AS score
-        |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
-        |  GROUP BY tf.doc_id)
-        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "bm25_topk" -> Bm25TopkSql,
+
+    // the served index is content-derived (postings/term-stats/scalars
+    // all recomputed from the same corpus), so the direct query's
+    // oracle applies verbatim
+    "bm25_served" -> Bm25TopkSql,
+
 
     // RRF fusion: both branch oracles verbatim (bm25_topk's chain with
     // this query's terms; doc_search's feature-hash cosine with this

@@ -437,6 +437,98 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reserved key of the corpus-scalars row in the BM25 index's terms
+    * table. It contains a space, and tokenization splits on \s+ and
+    * drops empties — so no real token can ever equal it, for any
+    * corpus. */
+  val Bm25StatsKey = " stats"
+
+  /**
+   * Materialized BM25 inverted index — the sparse-retrieval twin of
+   * writeIvfIndex/ivfTopKServed: build once, serve many. Postings
+   * (tok, doc_id, tf, len) and term stats (tok, dfc) are published as
+   * two MergeTables keyed by token, so a serve reads ONLY the buckets
+   * (and, under them, the row groups) containing the query's terms —
+   * query cost ∝ postings of the query terms, never a corpus scan.
+   * `len` is embedded in each posting at build time so serving needs
+   * no doc-length join; the corpus scalars (N, Σlen) ride the terms
+   * table as a reserved-key row, so terms+stats commit atomically and
+   * the terms publish is the index's commit point (postings publish
+   * first; a crash between the two leaves no terms version and the
+   * serve fails loudly instead of scoring against half an index).
+   *
+   * Maintenance contract: postings are multi-row-per-key, so
+   * MergeTable.merge (a keyed upsert) does NOT apply — the index is
+   * rebuild-only (rebucket for layout changes). Incremental lexical
+   * indexing needs delta-segment compaction (the Lucene shape), out of
+   * scope here and documented as such.
+   */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+      root: String, nBuckets: Int = 32): Unit = {
+    import graft.sinks.MergeTable
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
+    val nDocs = stats.getLong(0); val totLen = stats.getLong(1)
+    require(nDocs > 0, "empty corpus")
+    val postings = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .join(lens, "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+    MergeTable.publish(postings, s"$root/postings", "tok", nBuckets)
+    lens.unpersist()
+    val termStats = postings.groupBy(col("tok"))
+      .agg(count(lit(1)).as("dfc")).withColumn("tot", lit(0L))
+      .unionByName(Seq((Bm25StatsKey, nDocs, totLen)).toDF("tok", "dfc", "tot"))
+    MergeTable.publish(termStats, s"$root/terms", "tok", nBuckets)
+  }
+
+  /**
+   * Serve a BM25 top-k from the materialized index: bucket-pruned
+   * readKeys on the |q|+1 term keys (terms table → idf literals + the
+   * corpus scalars, collected driver-side over ≤ |q|+1 rows), then the
+   * postings readKeys → broadcast idf join → per-doc sum → top-k.
+   * Arithmetic is bm25TopK's step for step, so served == direct on the
+   * same corpus and the same SQL oracle applies.
+   */
+  def bm25ServeTopK(spark: SparkSession, root: String,
+      queryText: String, k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val tRows = MergeTable.readKeys(spark, s"$root/terms", "tok",
+      (terms :+ Bm25StatsKey).toDF("tok")).collect()
+    val statsRow = tRows.find(_.getString(0) == Bm25StatsKey).getOrElse(
+      throw new IllegalStateException(
+        s"$root: no stats row — index build incomplete (crashed before " +
+          "the terms publish); rebuild"))
+    val nDocs = statsRow.getLong(1); val totLen = statsRow.getLong(2)
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filter(_.getString(0) != Bm25StatsKey)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val d = dfc.getOrElse(t, 0L)
+      (t, (BigInt(nDocs - d + 1) * 10000 / BigInt(d + 1)).toLong)
+    }.toDF("tok", "idf")
+    MergeTable.readKeys(spark, s"$root/postings", "tok", terms.toDF("tok"))
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /**
    * MMR diversification (Carbonell & Goldstein, SIGIR 1998) over the
    * dense top-nCand candidates: greedily select k docs by

@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The materialized BM25 inverted index: served == direct, bucket-pruned
+  * serving, and the terms-publish commit fence. */
+class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private def corpus() = {
+    import spark.implicits._
+    (1L to 40L).map { i =>
+      val extra = if (i % 5 == 0) " rare" else ""
+      val pad = Seq.fill((i % 7).toInt)("filler").mkString(" ")
+      (i, s"common data table row$extra $pad")
+    }.toDF("doc_id", "text")
+  }
+
+  test("served top-k equals the direct bm25TopK row for row") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "rare table zzz", k = 10).collect().map(_.toString)
+    val served = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 10).collect().map(_.toString)
+    assert(served.sameElements(direct),
+      s"served=${served.mkString(",")} direct=${direct.mkString(",")}")
+  }
+
+  test("serving scans only the query terms' buckets, not the whole postings table") {
+    import graft.sinks.MergeTable
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    import spark.implicits._
+    val got = MergeTable.readKeys(spark, s"$root/postings", "tok",
+      Seq("rare").toDF("tok"))
+    val scanned = got.inputFiles.toSet.filter(_.contains("/bucket="))
+    val all = MergeTable.read(spark, s"$root/postings").inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.size < all.size,
+      s"one-term serve must prune buckets: scanned ${scanned.size} of ${all.size}")
+  }
+
+  test("crash between the two publishes fails the serve loudly (terms is the fence)") {
+    import graft.sinks.MergeTable
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25idx").toString
+    // simulate the crash window: postings landed, terms never did
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val postings = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("len")), "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+    MergeTable.publish(postings, s"$root/postings", "tok", 8)
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.bm25ServeTopK(spark, root, "rare table", k = 5).collect()
+    }
+    assert(e.getMessage.contains("no committed version") ||
+      e.getMessage.contains("stats"), e.getMessage)
+  }
+
+  test("the reserved stats key cannot collide with a real token") {
+    import spark.implicits._
+    // a doc that *talks about* stats still tokenizes to "stats", never
+    // to the space-prefixed reserved key
+    val docs = Seq((1L, "stats stats stats"), (2L, "other words here"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text", "stats", k = 5)
+      .collect().map(_.toString)
+    val served = TextAnalysis.bm25ServeTopK(spark, root, "stats", k = 5)
+      .collect().map(_.toString)
+    assert(served.sameElements(direct))
+    // and the terms table holds exactly one reserved row
+    import graft.sinks.MergeTable
+    val n = MergeTable.read(spark, s"$root/terms")
+      .filter(col("tok") === TextAnalysis.Bm25StatsKey).count()
+    assert(n == 1L)
+  }
+}

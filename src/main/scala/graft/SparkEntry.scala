@@ -2267,6 +2267,15 @@ object SparkEntry {
         "dup table sort scan", kEach = 15, k = 10)
     }),
 
+    // positional phrase search: exact-adjacency counts per doc, the
+    // repeated-term phrase exercising OVERLAPPING-match semantics
+    // (TextAnalysis.phraseSearch scaladoc: positions intersect at
+    // shifted offsets, filtered before the shuffle, no self-join)
+    "phrase_search" -> ((s, dir) => {
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        "table table")
+    }),
+
     // MMR diversification: greedy rel − max-sim-to-selected rerank over
     // the dense top-20 candidates (TextAnalysis.mmrDiversify scaladoc:
     // retrieval distributed, rerank bounded driver-side, integer-exact;
@@ -6447,6 +6456,24 @@ object SparkEntry {
         |     + coalesce(1000000000 // (60 + d.r), 0) AS BIGINT) AS rrf
         |FROM lexr l FULL JOIN denr d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // adjacency via positional self-join (the oracle may join; the
+    // engine must not) — overlapping matches count, same as the
+    // engine's shifted-position intersection
+    "phrase_search" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |m AS (
+        |  SELECT a.doc_id
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.tok = 'table' AND b.tok = 'table')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the five greedy MMR selection steps unrolled as sequential CTE
     // stages (the bpe_train pattern): each stage is one argmax of

@@ -530,6 +530,46 @@ object TextAnalysis {
   }
 
   /**
+   * Positional phrase search: exact-adjacency match of a multi-token
+   * phrase, counted per document (OVERLAPPING matches count — "a a a"
+   * contains "a a" twice — because the count is |∩ᵢ (positions(tᵢ)−i)|,
+   * the positional-intersection definition every inverted-index engine
+   * uses). Whitespace tokenization, case-folded, same as bm25TopK.
+   *
+   * Scale shape: the exploded token stream is filtered to the phrase's
+   * distinct terms BEFORE the per-doc shuffle (same bounded-candidate
+   * trick as bm25TopK's df counting), so the exchange carries only
+   * (doc, term, pos) triples for docs containing ≥1 phrase term; the
+   * intersection itself is one codegen'd higher-order projection over
+   * the per-doc position lists — no self-join, no second shuffle. A
+   * repeated term in the phrase reuses the same position list at two
+   * shifts, which is exactly the right semantics.
+   */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, "phrase needs at least two tokens")
+    val toks = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms.distinct: _*))
+    val agg = toks.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok"), col("pos").cast("long").as("pos")))
+        .as("tp"))
+    val shifted = terms.zipWithIndex.map { case (t, i) =>
+      val esc = t.replace("'", "''")
+      s"transform(filter(tp, x -> x.tok = '$esc'), x -> x.pos - ${i}L)"
+    }
+    val inter = shifted.reduce((a, b) => s"array_intersect($a, $b)")
+    agg.select(col("doc_id"),
+        expr(s"size($inter)").cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * MMR diversification (Carbonell & Goldstein, SIGIR 1998) over the
    * dense top-nCand candidates: greedily select k docs by
    *   argmax_d [ rel(d) − max_{s ∈ selected} sim(d, s) ]

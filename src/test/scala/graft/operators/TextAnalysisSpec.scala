@@ -979,6 +979,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(again.map(_.toString).sameElements(rows.map(_.toString)))
   }
 
+  test("phraseSearch: adjacency exact, overlaps counted, repeated-term and 3-term phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big table small"),         // one match of "big table"
+      (2L, "big small table"),         // terms present but not adjacent
+      (3L, "big table big table"),     // two matches
+      (4L, "table big"),               // reversed order
+      (5L, "a a a"),                   // overlap: "a a" matches twice
+      (6L, "x y z w"),                 // 3-term phrase source
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val bt = TextAnalysis.phraseSearch(docs, "doc_id", "text", "big table")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bt == Map(1L -> 1L, 3L -> 2L), bt.toString)
+    val aa = TextAnalysis.phraseSearch(docs, "doc_id", "text", "a a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aa == Map(5L -> 2L), aa.toString)
+    val xyz = TextAnalysis.phraseSearch(docs, "doc_id", "text", "y z w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(xyz == Map(6L -> 1L), xyz.toString)
+    // case folding on both sides
+    val cf = TextAnalysis.phraseSearch(
+      Seq((9L, "Big TABLE")).toDF("doc_id", "text"), "doc_id", "text",
+      "BIG table").collect()
+    assert(cf.length == 1 && cf(0).getLong(1) == 1L)
+    // plan: one hash exchange (the per-doc aggregate), no join — the
+    // adjacency check is the shifted-position intersection, never a
+    // positional self-join
+    val p = TextAnalysis.phraseSearch(docs, "doc_id", "text", "big table")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected one hash exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin") &&
+      !p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "phraseSearch must not join")
+  }
+
   test("mmrDiversify: near-duplicate of the top pick is demoted below a diverse doc") {
     import spark.implicits._
     val docs = Seq(

@@ -6503,13 +6503,13 @@ object SparkEntry {
         |    CAST(list_dot_product(q.vec, q.vec) AS BIGINT) AS qn
         |  FROM fhv f CROSS JOIN (SELECT vec FROM fhv WHERE vec_id = -1) q
         |  WHERE f.vec_id >= 0),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT doc_id, vec, nrm,
         |    CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * qn)
         |         ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS BIGINT) AS rel
         |  FROM dv WHERE nrm > 0
         |  ORDER BY rel DESC, doc_id LIMIT 20),
-        |pr AS (
+        |pr AS MATERIALIZED (
         |  SELECT i, j, CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // nn
         |         ELSE -(dot * dot * 1000000 // nn) END AS BIGINT) AS sim
         |  FROM (SELECT a.doc_id AS i, b.doc_id AS j,

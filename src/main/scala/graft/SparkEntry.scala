@@ -2241,17 +2241,65 @@ object SparkEntry {
     // once, serve many: a serve reads only the buckets holding the
     // query's terms, cost ∝ postings of the query terms, never a corpus
     // scan). Identical arithmetic to bm25_topk, so the same oracle
-    // applies; the terms publish is the commit point (crash between the
-    // two publishes leaves no terms version → serve fails loudly)
+    // applies; the segments-manifest commit is the fence (a crash
+    // before it leaves the index unbuilt → serve fails loudly)
     "bm25_served" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v1_" +
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v2_" +
         fsTag(s, dir, "documents.parquet")
-      if (graft.sinks.Versioned.currentVersion(s, s"$idx/terms").isEmpty) {
+      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
         val p = new org.apache.hadoop.fs.Path(idx)
         val fs = p.getFileSystem(s.sessionState.newHadoopConf())
         fs.delete(p, true)
         TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
           idx)
+      }
+      TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // segment append: build on the even half, append the odd half —
+    // BM25's global stats are SUMS (N, Σlen, per-term df), so the
+    // two-segment serve must hash-match the single-index oracle on the
+    // full corpus. The manifest commit is the append's fence
+    "bm25_appended" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_app_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      val ready = graft.sinks.Versioned.currentVersion(s, idx).isDefined &&
+        TextAnalysis.liveSegments(s, idx).size == 2
+      if (!ready) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(p, true)
+        val docs = t(s, dir, "documents")
+        TextAnalysis.writeBm25Index(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        TextAnalysis.appendBm25Segment(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", idx)
+      }
+      TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // compaction: three thirds appended, then compacted to one segment
+    // — serve-invariant by construction (the merged postings are the
+    // union), so the same single-index oracle applies; the _done marker
+    // distinguishes "compacted to 1" from "freshly built with 1"
+    "bm25_compacted" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_cmp_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_compact_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        val docs = t(s, dir, "documents")
+        TextAnalysis.writeBm25Index(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", idx)
+        TextAnalysis.appendBm25Segment(
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", idx)
+        TextAnalysis.appendBm25Segment(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+        require(TextAnalysis.compactBm25Index(s, idx) == 3)
+        fs.create(done, true).close()
       }
       TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
         .orderBy(col("score").desc, col("doc_id"))
@@ -6401,6 +6449,8 @@ object SparkEntry {
     // all recomputed from the same corpus), so the direct query's
     // oracle applies verbatim
     "bm25_served" -> Bm25TopkSql,
+    "bm25_appended" -> Bm25TopkSql,
+    "bm25_compacted" -> Bm25TopkSql,
 
 
     // RRF fusion: both branch oracles verbatim (bm25_topk's chain with

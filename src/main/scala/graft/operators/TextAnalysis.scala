@@ -444,57 +444,142 @@ object TextAnalysis {
   val Bm25StatsKey = " stats"
 
   /**
-   * Materialized BM25 inverted index — the sparse-retrieval twin of
-   * writeIvfIndex/ivfTopKServed: build once, serve many. Postings
-   * (tok, doc_id, tf, len) and term stats (tok, dfc) are published as
-   * two MergeTables keyed by token, so a serve reads ONLY the buckets
-   * (and, under them, the row groups) containing the query's terms —
-   * query cost ∝ postings of the query terms, never a corpus scan.
-   * `len` is embedded in each posting at build time so serving needs
-   * no doc-length join; the corpus scalars (N, Σlen) ride the terms
-   * table as a reserved-key row, so terms+stats commit atomically and
-   * the terms publish is the index's commit point (postings publish
-   * first; a crash between the two leaves no terms version and the
-   * serve fails loudly instead of scoring against half an index).
+   * Segmented BM25 inverted index — the sparse-retrieval twin of the
+   * ANN index lifecycle (build → append → compact → serve), shaped
+   * like Lucene: the index is a SET OF SEGMENTS, each an immutable
+   * postings + term-stats pair, listed by a versioned manifest whose
+   * commit is the only mutation. Per segment:
+   *  - postings (tok, doc_id, tf, len): a MergeTable keyed by token,
+   *    so a serve reads ONLY the buckets (and, under them, the row
+   *    groups) holding the query's terms — cost ∝ query-term postings,
+   *    never a corpus scan. `len` is embedded per posting, so serving
+   *    needs no doc-length join.
+   *  - terms (tok, dfc, tot): per-segment document frequencies plus
+   *    the segment scalars (N, Σlen) as a reserved-key row.
+   * BM25's global statistics are all SUMS (N, Σlen, per-term df), so
+   * an appended index serves bit-identically to a single index built
+   * on the union corpus — provided appends carry NEW doc ids (the
+   * ANN-append contract; re-adding a doc double-counts it, same as
+   * any Lucene index without deletes).
    *
-   * Maintenance contract: postings are multi-row-per-key, so
-   * MergeTable.merge (a keyed upsert) does NOT apply — the index is
-   * rebuild-only (rebucket for layout changes). Incremental lexical
-   * indexing needs delta-segment compaction (the Lucene shape), out of
-   * scope here and documented as such.
+   * Crash story: segment publishes happen first, the manifest commit
+   * last — a crash anywhere before the commit leaves the previous
+   * manifest serving and the half-written segment invisible (an
+   * orphan dir; re-append writes a fresh segment name, and orphans
+   * can be swept by deleting dirs no manifest version names).
    */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
       root: String, nBuckets: Int = 32): Unit = {
-    import graft.sinks.MergeTable
+    val seg = writeBm25Segment(buildPostings(df, idCol, textCol),
+      root, nBuckets)
+    commitSegments(df.sparkSession, root, Seq(seg))
+  }
+
+  /** Append a batch as a new segment: build postings for the batch
+    * alone, publish them under a fresh segment dir, then commit a
+    * manifest listing the old segments plus the new one. Returns the
+    * new segment's name. */
+  def appendBm25Segment(df: DataFrame, idCol: String, textCol: String,
+      root: String, nBuckets: Int = 32): String = {
     val spark = df.sparkSession
-    import spark.implicits._
+    val old = liveSegments(spark, root)
+    val seg = writeBm25Segment(buildPostings(df, idCol, textCol),
+      root, nBuckets)
+    commitSegments(spark, root, old :+ seg)
+    seg
+  }
+
+  /** Compact every live segment into one: union their postings tables
+    * (terms/stats are recomputed from the union — df and the scalars
+    * are postings-derivable), publish the merged segment, swap the
+    * manifest. Serving is unchanged by construction; the segment count
+    * (and with it the per-serve readKeys fan-out) drops to 1. Returns
+    * the number of segments merged. */
+  def compactBm25Index(spark: SparkSession, root: String,
+      nBuckets: Int = 32): Int = {
+    import graft.sinks.MergeTable
+    val old = liveSegments(spark, root)
+    if (old.size <= 1) return old.size
+    val union = old.map(sg =>
+      MergeTable.read(spark, s"$root/segs/$sg/postings"))
+      .reduce(_.unionByName(_))
+    val seg = writeBm25Segment(union, root, nBuckets)
+    commitSegments(spark, root, Seq(seg))
+    old.size
+  }
+
+  private def buildPostings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = Par.ensureParallelism(df)
       .select(col(idCol).as("doc_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
-    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
-    val nDocs = stats.getLong(0); val totLen = stats.getLong(1)
-    require(nDocs > 0, "empty corpus")
-    val postings = toks.groupBy(col("doc_id"), col("tok"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .join(lens, "doc_id")
       .select(col("tok"), col("doc_id"), col("tf"), col("len"))
-    MergeTable.publish(postings, s"$root/postings", "tok", nBuckets)
-    lens.unpersist()
-    val termStats = postings.groupBy(col("tok"))
-      .agg(count(lit(1)).as("dfc")).withColumn("tot", lit(0L))
-      .unionByName(Seq((Bm25StatsKey, nDocs, totLen)).toDF("tok", "dfc", "tot"))
-    MergeTable.publish(termStats, s"$root/terms", "tok", nBuckets)
+  }
+
+  /** Publish one segment (postings + terms with the stats row) under a
+    * fresh name; no manifest mutation — the caller commits. */
+  private def writeBm25Segment(postings: DataFrame, root: String,
+      nBuckets: Int): String = {
+    import graft.sinks.MergeTable
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+    val cached = postings.cache()
+    try {
+      MergeTable.publish(cached, s"$root/segs/$seg/postings", "tok", nBuckets)
+      val st = cached.select(col("doc_id"), col("len")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
+      val nDocs = st.getLong(0)
+      require(nDocs > 0, "empty segment (no tokenized docs)")
+      val termStats = cached.groupBy(col("tok"))
+        .agg(count(lit(1)).as("dfc")).withColumn("tot", lit(0L))
+        .unionByName(
+          Seq((Bm25StatsKey, nDocs, st.getLong(1))).toDF("tok", "dfc", "tot"))
+      MergeTable.publish(termStats, s"$root/segs/$seg/terms", "tok", nBuckets)
+      seg
+    } finally cached.unpersist()
+  }
+
+  private val SegmentsFile = "segments"
+
+  private def commitSegments(spark: SparkSession, root: String,
+      segs: Seq[String]): Unit = {
+    graft.sinks.Versioned.publish(spark, root) { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir, SegmentsFile)
+      val out = p.getFileSystem(spark.sessionState.newHadoopConf())
+        .create(p, true)
+      try out.write((segs.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    ()
+  }
+
+  private[graft] def liveSegments(spark: SparkSession,
+      root: String): Seq[String] = {
+    import graft.sinks.Versioned
+    val v = Versioned.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no committed index manifest — build incomplete or " +
+          "crashed before the commit; (re)build"))
+    val txt = Versioned.readSmallText(spark,
+      new org.apache.hadoop.fs.Path(s"$root/$v", SegmentsFile)).getOrElse(
+      throw new IllegalStateException(s"$root/$v has no $SegmentsFile"))
+    txt.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /**
-   * Serve a BM25 top-k from the materialized index: bucket-pruned
-   * readKeys on the |q|+1 term keys (terms table → idf literals + the
-   * corpus scalars, collected driver-side over ≤ |q|+1 rows), then the
-   * postings readKeys → broadcast idf join → per-doc sum → top-k.
-   * Arithmetic is bm25TopK's step for step, so served == direct on the
-   * same corpus and the same SQL oracle applies.
+   * Serve a BM25 top-k from the segmented index: per live segment, a
+   * bucket-pruned readKeys on the |q|+1 term keys (df + scalars,
+   * collected driver-side over ≤ segments·(|q|+1) rows) merges into
+   * the global N/Σlen/df by summation; then the postings readKeys
+   * union → broadcast idf join → per-doc sum → top-k. Arithmetic is
+   * bm25TopK's step for step, so served == direct on the union corpus
+   * and the same SQL oracle applies regardless of segment layout.
    */
   def bm25ServeTopK(spark: SparkSession, root: String,
       queryText: String, k: Int): DataFrame = {
@@ -503,21 +588,31 @@ object TextAnalysis {
     val terms = queryText.toLowerCase.trim.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
-    val tRows = MergeTable.readKeys(spark, s"$root/terms", "tok",
-      (terms :+ Bm25StatsKey).toDF("tok")).collect()
-    val statsRow = tRows.find(_.getString(0) == Bm25StatsKey).getOrElse(
-      throw new IllegalStateException(
-        s"$root: no stats row — index build incomplete (crashed before " +
-          "the terms publish); rebuild"))
-    val nDocs = statsRow.getLong(1); val totLen = statsRow.getLong(2)
+    val segs = liveSegments(spark, root)
+    val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows" +
+        " — segment corruption (the manifest names a segment whose terms" +
+        " table lost its scalars)")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
     val avg1000 = totLen * 1000L / nDocs
-    val dfc = tRows.filter(_.getString(0) != Bm25StatsKey)
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
     val idf = terms.map { t =>
       val d = dfc.getOrElse(t, 0L)
       (t, (BigInt(nDocs - d + 1) * 10000 / BigInt(d + 1)).toLong)
     }.toDF("tok", "idf")
-    MergeTable.readKeys(spark, s"$root/postings", "tok", terms.toDF("tok"))
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    postings
       .join(broadcast(idf), "tok")
       .withColumn("norm1000",
         lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))

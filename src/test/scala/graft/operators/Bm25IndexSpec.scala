@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
-/** The materialized BM25 inverted index: served == direct, bucket-pruned
-  * serving, and the terms-publish commit fence. */
+/** The segmented BM25 inverted index: served == direct, appends are
+  * additive (BM25 stats are sums), compaction is serve-invariant,
+  * bucket-pruned serving, and the manifest-commit crash fence. */
 class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
 
   private def corpus() = {
@@ -32,37 +33,86 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       s"served=${served.mkString(",")} direct=${direct.mkString(",")}")
   }
 
+  test("append serves bit-identically to a single index on the union corpus") {
+    val docs = corpus()
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    val root = Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.writeBm25Index(base, "doc_id", "text", root, nBuckets = 8)
+    TextAnalysis.appendBm25Segment(batch, "doc_id", "text", root, nBuckets = 8)
+    assert(TextAnalysis.liveSegments(spark, root).size == 2)
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "rare table zzz", k = 10).collect().map(_.toString)
+    val served = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 10).collect().map(_.toString)
+    assert(served.sameElements(direct),
+      "appended index must equal a fresh build on the union: BM25 stats are sums")
+  }
+
+  test("compaction is serve-invariant and collapses the segment list") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.writeBm25Index(
+      docs.filter(col("doc_id") <= 15), "doc_id", "text", root, nBuckets = 8)
+    TextAnalysis.appendBm25Segment(
+      docs.filter(col("doc_id") > 15 && col("doc_id") <= 30),
+      "doc_id", "text", root, nBuckets = 8)
+    TextAnalysis.appendBm25Segment(
+      docs.filter(col("doc_id") > 30), "doc_id", "text", root, nBuckets = 8)
+    val before = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 10).collect().map(_.toString)
+    val merged = TextAnalysis.compactBm25Index(spark, root, nBuckets = 8)
+    assert(merged == 3)
+    assert(TextAnalysis.liveSegments(spark, root).size == 1)
+    val after = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 10).collect().map(_.toString)
+    assert(after.sameElements(before), "compaction must not change serves")
+    // idempotent-ish: a second compact is a no-op on one segment
+    assert(TextAnalysis.compactBm25Index(spark, root) == 1)
+  }
+
   test("serving scans only the query terms' buckets, not the whole postings table") {
     import graft.sinks.MergeTable
     val docs = corpus()
     val root = Files.createTempDirectory("bm25idx").toString
     TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
     import spark.implicits._
-    val got = MergeTable.readKeys(spark, s"$root/postings", "tok",
+    val seg = TextAnalysis.liveSegments(spark, root).head
+    val got = MergeTable.readKeys(spark, s"$root/segs/$seg/postings", "tok",
       Seq("rare").toDF("tok"))
     val scanned = got.inputFiles.toSet.filter(_.contains("/bucket="))
-    val all = MergeTable.read(spark, s"$root/postings").inputFiles.toSet
+    val all = MergeTable.read(spark, s"$root/segs/$seg/postings")
+      .inputFiles.toSet
     assert(scanned.nonEmpty && scanned.size < all.size,
       s"one-term serve must prune buckets: scanned ${scanned.size} of ${all.size}")
   }
 
-  test("crash between the two publishes fails the serve loudly (terms is the fence)") {
+  test("crash before the manifest commit leaves the segment invisible (or the index unbuilt)") {
     import graft.sinks.MergeTable
     val docs = corpus()
     val root = Files.createTempDirectory("bm25idx").toString
-    // simulate the crash window: postings landed, terms never did
+    // simulate the crash window on a FRESH build: segment landed, the
+    // manifest never committed → the index does not exist yet
     val toks = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     val postings = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .join(toks.groupBy("doc_id").agg(count(lit(1)).as("len")), "doc_id")
       .select(col("tok"), col("doc_id"), col("tf"), col("len"))
-    MergeTable.publish(postings, s"$root/postings", "tok", 8)
+    MergeTable.publish(postings, s"$root/segs/seg-orphan/postings", "tok", 8)
     val e = intercept[IllegalStateException] {
       TextAnalysis.bm25ServeTopK(spark, root, "rare table", k = 5).collect()
     }
-    assert(e.getMessage.contains("no committed version") ||
-      e.getMessage.contains("stats"), e.getMessage)
+    assert(e.getMessage.contains("no committed index manifest"), e.getMessage)
+    // and on an EXISTING index: an orphan segment dir does not change serves
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 20),
+      "doc_id", "text", root, nBuckets = 8)
+    val served = TextAnalysis.bm25ServeTopK(spark, root, "rare table", k = 5)
+      .collect().map(_.toString)
+    val direct = TextAnalysis.bm25TopK(docs.filter(col("doc_id") <= 20),
+      "doc_id", "text", "rare table", k = 5).collect().map(_.toString)
+    assert(served.sameElements(direct),
+      "orphan segment dirs must be invisible to serves")
   }
 
   test("the reserved stats key cannot collide with a real token") {
@@ -80,7 +130,8 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(served.sameElements(direct))
     // and the terms table holds exactly one reserved row
     import graft.sinks.MergeTable
-    val n = MergeTable.read(spark, s"$root/terms")
+    val seg = TextAnalysis.liveSegments(spark, root).head
+    val n = MergeTable.read(spark, s"$root/segs/$seg/terms")
       .filter(col("tok") === TextAnalysis.Bm25StatsKey).count()
     assert(n == 1L)
   }

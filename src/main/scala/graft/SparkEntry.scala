@@ -2280,6 +2280,39 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // streaming lexical ingest: the even half is the base index, the
+    // odd half streams in as two micro-batches through the exactly-once
+    // manifest fence (appendBm25SegmentExactlyOnce — batch id rides the
+    // segments manifest, redelivery skips). Final postings are the full
+    // corpus regardless of batch boundaries, so the single-index oracle
+    // applies — the lexical twin of ann_stream_ingest
+    "bm25_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, ckpt, feedDir) = freshStreamDirs("bm25in", dir)
+      val idx = s"${new java.io.File(feedDir).getParent}/index"
+      TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx)
+      docs.filter(col("doc_id") % 4 === 1)
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      docs.filter(col("doc_id") % 4 === 3)
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!batch.isEmpty)
+            TextAnalysis.appendBm25SegmentExactlyOnce(batch, "doc_id",
+              "text", idx, id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "BM25 ingest stream drain timed out")
+      TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // compaction: three thirds appended, then compacted to one segment
     // — serve-invariant by construction (the merged postings are the
     // union), so the same single-index oracle applies; the _done marker
@@ -6451,6 +6484,7 @@ object SparkEntry {
     "bm25_served" -> Bm25TopkSql,
     "bm25_appended" -> Bm25TopkSql,
     "bm25_compacted" -> Bm25TopkSql,
+    "bm25_stream_ingest" -> Bm25TopkSql,
 
 
     // RRF fusion: both branch oracles verbatim (bm25_topk's chain with

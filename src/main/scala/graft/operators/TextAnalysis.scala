@@ -482,11 +482,56 @@ object TextAnalysis {
   def appendBm25Segment(df: DataFrame, idCol: String, textCol: String,
       root: String, nBuckets: Int = 32): String = {
     val spark = df.sparkSession
-    val old = liveSegments(spark, root)
+    val (old, fence) = liveSegmentsWithFence(spark, root)
     val seg = writeBm25Segment(buildPostings(df, idCol, textCol),
       root, nBuckets)
-    commitSegments(spark, root, old :+ seg)
+    commitSegments(spark, root, old :+ seg, fence)
     seg
+  }
+
+  /** Exactly-once streaming append (the appendToIvfIndexExactlyOnce
+    * design applied to the lexical index): the highest applied batch id
+    * rides the segments manifest as a `#last_batch=` header, atomic
+    * with the manifest commit — a crash before the commit leaves both
+    * the segment list and the fence un-advanced (the retry's segment
+    * lands once; the crashed attempt's dir is an invisible orphan for
+    * `vacuumBm25Orphans`); after it, redelivery of the same or an older
+    * batch id returns false without touching disk. Compaction preserves
+    * the fence. */
+  def appendBm25SegmentExactlyOnce(df: DataFrame, idCol: String,
+      textCol: String, root: String, batchId: Long,
+      nBuckets: Int = 32): Boolean = {
+    val spark = df.sparkSession
+    val (old, fence) = liveSegmentsWithFence(spark, root)
+    if (fence.exists(_ >= batchId)) return false
+    val seg = writeBm25Segment(buildPostings(df, idCol, textCol),
+      root, nBuckets)
+    commitSegments(spark, root, old :+ seg, Some(batchId))
+    true
+  }
+
+  /** Delete segment dirs no RETAINED manifest version names (crash
+    * leftovers from appends that never committed). Live segments —
+    * named by any retained version, not just the current one, so
+    * time-travel reads keep working — are never touched. Returns the
+    * deleted segment names. */
+  def vacuumBm25Orphans(spark: SparkSession, root: String): Seq[String] = {
+    import graft.sinks.Versioned
+    val named = Versioned.listVersions(spark, root).flatMap { case (v, _) =>
+      Versioned.readSmallText(spark,
+        new org.apache.hadoop.fs.Path(s"$root/$v", SegmentsFile))
+        .toSeq.flatMap(_.split('\n').map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#")))
+    }.toSet
+    val segsDir = new org.apache.hadoop.fs.Path(s"$root/segs")
+    val fs = segsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(segsDir)) return Seq.empty
+    val orphans = fs.listStatus(segsDir).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(named)
+    orphans.foreach(o => fs.delete(
+      new org.apache.hadoop.fs.Path(segsDir, o), true))
+    orphans.sorted
   }
 
   /** Compact every live segment into one: union their postings tables
@@ -498,13 +543,13 @@ object TextAnalysis {
   def compactBm25Index(spark: SparkSession, root: String,
       nBuckets: Int = 32): Int = {
     import graft.sinks.MergeTable
-    val old = liveSegments(spark, root)
+    val (old, fence) = liveSegmentsWithFence(spark, root)
     if (old.size <= 1) return old.size
     val union = old.map(sg =>
       MergeTable.read(spark, s"$root/segs/$sg/postings"))
       .reduce(_.unionByName(_))
     val seg = writeBm25Segment(union, root, nBuckets)
-    commitSegments(spark, root, Seq(seg))
+    commitSegments(spark, root, Seq(seg), fence)
     old.size
   }
 
@@ -546,21 +591,27 @@ object TextAnalysis {
   }
 
   private val SegmentsFile = "segments"
+  private val FencePrefix = "#last_batch="
 
   private def commitSegments(spark: SparkSession, root: String,
-      segs: Seq[String]): Unit = {
+      segs: Seq[String], fence: Option[Long] = None): Unit = {
     graft.sinks.Versioned.publish(spark, root) { dir =>
       val p = new org.apache.hadoop.fs.Path(dir, SegmentsFile)
       val out = p.getFileSystem(spark.sessionState.newHadoopConf())
         .create(p, true)
-      try out.write((segs.mkString("\n") + "\n").getBytes("UTF-8"))
+      val header = fence.map(b => s"$FencePrefix$b\n").getOrElse("")
+      try out.write((header + segs.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
     ()
   }
 
   private[graft] def liveSegments(spark: SparkSession,
-      root: String): Seq[String] = {
+      root: String): Seq[String] =
+    liveSegmentsWithFence(spark, root)._1
+
+  private[graft] def liveSegmentsWithFence(spark: SparkSession,
+      root: String): (Seq[String], Option[Long]) = {
     import graft.sinks.Versioned
     val v = Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
@@ -569,7 +620,10 @@ object TextAnalysis {
     val txt = Versioned.readSmallText(spark,
       new org.apache.hadoop.fs.Path(s"$root/$v", SegmentsFile)).getOrElse(
       throw new IllegalStateException(s"$root/$v has no $SegmentsFile"))
-    txt.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val fence = lines.find(_.startsWith(FencePrefix))
+      .map(_.substring(FencePrefix.length).toLong)
+    (lines.filterNot(_.startsWith("#")), fence)
   }
 
   /**

@@ -115,6 +115,56 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       "orphan segment dirs must be invisible to serves")
   }
 
+  test("exactly-once fence: redelivery skips, compact preserves it, vacuum sweeps orphans") {
+    import graft.sinks.MergeTable
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 20),
+      "doc_id", "text", root, nBuckets = 8)
+    // batch 0 applies once
+    assert(TextAnalysis.appendBm25SegmentExactlyOnce(
+      docs.filter(col("doc_id") > 20 && col("doc_id") <= 30),
+      "doc_id", "text", root, batchId = 0L))
+    val after0 = TextAnalysis.liveSegments(spark, root)
+    assert(after0.size == 2)
+    // redelivery of batch 0: no-op, manifest untouched
+    assert(!TextAnalysis.appendBm25SegmentExactlyOnce(
+      docs.filter(col("doc_id") > 20 && col("doc_id") <= 30),
+      "doc_id", "text", root, batchId = 0L))
+    assert(TextAnalysis.liveSegments(spark, root) == after0)
+    // a crashed attempt = orphan segment dir with no manifest entry
+    val toks = docs.filter(col("doc_id") > 30)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val orphanPostings = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("len")), "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+    MergeTable.publish(orphanPostings,
+      s"$root/segs/seg-crashed/postings", "tok", 8)
+    // the retry (batch 1) lands the rows exactly once
+    assert(TextAnalysis.appendBm25SegmentExactlyOnce(
+      docs.filter(col("doc_id") > 30), "doc_id", "text", root, batchId = 1L))
+    val served = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 10).collect().map(_.toString)
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "rare table zzz", k = 10).collect().map(_.toString)
+    assert(served.sameElements(direct),
+      "crash+retry must land the batch exactly once")
+    // compaction preserves the fence: batch 1 still refuses to reapply
+    TextAnalysis.compactBm25Index(spark, root)
+    assert(!TextAnalysis.appendBm25SegmentExactlyOnce(
+      docs.filter(col("doc_id") > 30), "doc_id", "text", root, batchId = 1L),
+      "compaction must carry the batch fence forward")
+    // vacuum removes exactly the crashed orphan; serves are unchanged
+    val swept = TextAnalysis.vacuumBm25Orphans(spark, root)
+    assert(swept == Seq("seg-crashed"), swept.toString)
+    val after = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 10).collect().map(_.toString)
+    assert(after.sameElements(direct))
+  }
+
   test("the reserved stats key cannot collide with a real token") {
     import spark.implicits._
     // a doc that *talks about* stats still tokenizes to "stats", never

@@ -2357,6 +2357,23 @@ object SparkEntry {
         "table table")
     }),
 
+    // the same phrase answered from the POSITIONAL index: postings
+    // carry per-(doc, term) position lists, so the serve reads only
+    // the phrase terms' buckets and never tokenizes a document — the
+    // Lucene phrase-query cost model (TextAnalysis.phraseServeCount)
+    "phrase_served" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(p, true)
+        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+          idx, positions = true)
+      }
+      TextAnalysis.phraseServeCount(s, idx, "table table")
+    }),
+
     // MMR diversification: greedy rel − max-sim-to-selected rerank over
     // the dense top-20 candidates (TextAnalysis.mmrDiversify scaladoc:
     // retrieval distributed, rerank bounded driver-side, integer-exact;
@@ -4421,6 +4438,24 @@ object SparkEntry {
       |      ON x.j = y.j AND x.sig = y.sig AND x.doc_id < y.doc_id
       |    GROUP BY x.doc_id, y.doc_id, x.j // 4
       |    HAVING count(*) = 4))""".stripMargin
+
+  /** Positional-adjacency replay for the phrase "table table" — shared
+    * by phrase_search (direct) and phrase_served (positional index; the
+    * index is content-derived so the same SQL applies). */
+  private val PhraseSearchSql: String =
+          """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |m AS (
+        |  SELECT a.doc_id
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.tok = 'table' AND b.tok = 'table')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Integer-exact Okapi BM25 replay for "dup sort query zzz" @ k=15 —
     * shared by bm25_topk (direct) and bm25_served (index-served; the
@@ -6544,20 +6579,12 @@ object SparkEntry {
     // adjacency via positional self-join (the oracle may join; the
     // engine must not) — overlapping matches count, same as the
     // engine's shifted-position intersection
-    "phrase_search" ->
-      """WITH toksl AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
-        |  FROM documents),
-        |tk AS (
-        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
-        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
-        |m AS (
-        |  SELECT a.doc_id
-        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  WHERE a.tok = 'table' AND b.tok = 'table')
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
-        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "phrase_search" -> PhraseSearchSql,
+
+    // the positional index is content-derived, so the direct query's
+    // adjacency oracle applies verbatim
+    "phrase_served" -> PhraseSearchSql,
+
 
     // the five greedy MMR selection steps unrolled as sequential CTE
     // stages (the bpe_train pattern): each stage is one argmax of

@@ -469,9 +469,9 @@ object TextAnalysis {
    * can be swept by deleting dirs no manifest version names).
    */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
-      root: String, nBuckets: Int = 32): Unit = {
-    val seg = writeBm25Segment(buildPostings(df, idCol, textCol),
-      root, nBuckets)
+      root: String, nBuckets: Int = 32, positions: Boolean = false): Unit = {
+    val seg = writeBm25Segment(
+      buildPostings(df, idCol, textCol, positions), root, nBuckets)
     commitSegments(df.sparkSession, root, Seq(seg))
   }
 
@@ -483,11 +483,21 @@ object TextAnalysis {
       root: String, nBuckets: Int = 32): String = {
     val spark = df.sparkSession
     val (old, fence) = liveSegmentsWithFence(spark, root)
-    val seg = writeBm25Segment(buildPostings(df, idCol, textCol),
+    val seg = writeBm25Segment(
+      buildPostings(df, idCol, textCol, indexHasPositions(spark, root, old)),
       root, nBuckets)
     commitSegments(spark, root, old :+ seg, fence)
     seg
   }
+
+  /** Appended segments must match the base layout: positional if the
+    * index is positional (schema read from the first live segment's
+    * manifest — no data scan). */
+  private def indexHasPositions(spark: SparkSession, root: String,
+      segs: Seq[String]): Boolean =
+    segs.headOption.exists(sg =>
+      graft.sinks.MergeTable.read(spark, s"$root/segs/$sg/postings")
+        .schema.fieldNames.contains("positions"))
 
   /** Exactly-once streaming append (the appendToIvfIndexExactlyOnce
     * design applied to the lexical index): the highest applied batch id
@@ -504,7 +514,8 @@ object TextAnalysis {
     val spark = df.sparkSession
     val (old, fence) = liveSegmentsWithFence(spark, root)
     if (fence.exists(_ >= batchId)) return false
-    val seg = writeBm25Segment(buildPostings(df, idCol, textCol),
+    val seg = writeBm25Segment(
+      buildPostings(df, idCol, textCol, indexHasPositions(spark, root, old)),
       root, nBuckets)
     commitSegments(spark, root, old :+ seg, Some(batchId))
     true
@@ -554,16 +565,22 @@ object TextAnalysis {
   }
 
   private def buildPostings(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, positions: Boolean = false): DataFrame = {
     val toks = Par.ensureParallelism(df)
       .select(col(idCol).as("doc_id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    toks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .join(lens, "doc_id")
-      .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+    val base = toks.groupBy(col("doc_id"), col("tok"))
+    val agg =
+      if (positions)
+        base.agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      else base.agg(count(lit(1)).as("tf"))
+    val cols = Seq(col("tok"), col("doc_id"), col("tf"), col("len")) ++
+      (if (positions) Seq(col("positions")) else Nil)
+    agg.join(lens, "doc_id").select(cols: _*)
   }
 
   /** Publish one segment (postings + terms with the stats row) under a
@@ -676,6 +693,45 @@ object TextAnalysis {
       .agg(sum(col("idf") * col("w")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /**
+   * Serve a phrase-match count from the POSITIONAL index: bucket-pruned
+   * readKeys on the phrase's distinct terms, then the same
+   * shifted-position intersection phraseSearch computes — but the
+   * positions come pre-aggregated from the postings, so the serve
+   * never tokenizes a document (cost ∝ the phrase terms' postings,
+   * the Lucene phrase-query cost model). Requires an index built with
+   * `positions = true`; fails loudly otherwise. Results are identical
+   * to phraseSearch on the indexed corpus by construction (same
+   * tokenizer, same intersection).
+   */
+  def phraseServeCount(spark: SparkSession, root: String,
+      phrase: String): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = phrase.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, "phrase needs at least two tokens")
+    val segs = liveSegments(spark, root)
+    val posts = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.distinct.toDF("tok"))).reduce(_.unionByName(_))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"$root: postings carry no positions — build the index with " +
+        "positions = true for phrase serving")
+    val agg = posts.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
+    val shifted = terms.zipWithIndex.map { case (t, i) =>
+      val esc = t.replace("'", "''")
+      s"transform(flatten(transform(filter(tp, x -> x.tok = '$esc'), " +
+        s"x -> x.positions)), p -> p - ${i}L)"
+    }
+    val inter = shifted.reduce((a, b) => s"array_intersect($a, $b)")
+    agg.select(col("doc_id"),
+        expr(s"size($inter)").cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("doc_id"))
   }
 
   /**

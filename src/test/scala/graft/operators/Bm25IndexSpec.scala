@@ -165,6 +165,50 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(after.sameElements(direct))
   }
 
+  test("positional index: phrase serve equals direct phraseSearch, appends included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big table small big table"),
+      (2L, "big small table"),
+      (3L, "a a a"),
+      (4L, "big table big")
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("bm25pos").toString
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", root, nBuckets = 4, positions = true)
+    // append auto-matches the positional layout
+    TextAnalysis.appendBm25Segment(docs.filter(col("doc_id") > 2),
+      "doc_id", "text", root, nBuckets = 4)
+    val direct = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+      "big table").collect().map(_.toString)
+    val served = TextAnalysis.phraseServeCount(spark, root, "big table")
+      .collect().map(_.toString)
+    assert(served.sameElements(direct),
+      s"served=${served.mkString(",")} direct=${direct.mkString(",")}")
+    // overlapping repeats served identically too
+    val aaD = TextAnalysis.phraseSearch(docs, "doc_id", "text", "a a")
+      .collect().map(_.toString)
+    val aaS = TextAnalysis.phraseServeCount(spark, root, "a a")
+      .collect().map(_.toString)
+    assert(aaS.sameElements(aaD))
+    // BM25 serving still works on a positional index (extra column inert)
+    val bmD = TextAnalysis.bm25TopK(docs, "doc_id", "text", "big", k = 4)
+      .collect().map(_.toString)
+    val bmS = TextAnalysis.bm25ServeTopK(spark, root, "big", k = 4)
+      .collect().map(_.toString)
+    assert(bmS.sameElements(bmD))
+  }
+
+  test("phrase serve on a positions-free index fails loudly") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25nopos").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.phraseServeCount(spark, root, "common data").collect()
+    }
+    assert(e.getMessage.contains("positions"), e.getMessage)
+  }
+
   test("the reserved stats key cannot collide with a real token") {
     import spark.implicits._
     // a doc that *talks about* stats still tokenizes to "stats", never

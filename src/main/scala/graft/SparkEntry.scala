@@ -2313,6 +2313,52 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // tombstone delete, the LUCENE CONTRACT made cross-engine-checkable:
+    // deleted docs (doc_id % 10 == 0) vanish from results immediately,
+    // but N/Σlen/df stay full-corpus-stale until merge — the oracle
+    // scores with full stats and drops dead candidates only
+    "bm25_deleted" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_del_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_delete_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        val docs = t(s, dir, "documents")
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx)
+        val dead = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        TextAnalysis.deleteBm25Docs(s, idx, dead)
+        fs.create(done, true).close()
+      }
+      TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ...and the merge that restores exactness: compaction drops the
+    // dead postings, recomputes stats from survivors, clears the
+    // tombstones — the oracle now computes over the filtered corpus
+    // from the start (a DIFFERENT hash than bm25_deleted, which is the
+    // point: stale and exact stats are distinguishable cross-engine)
+    "bm25_deleted_compacted" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_delc_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      val done = new org.apache.hadoop.fs.Path(s"$idx/_graft_delc_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        val docs = t(s, dir, "documents")
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx)
+        val dead = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        TextAnalysis.deleteBm25Docs(s, idx, dead)
+        TextAnalysis.compactBm25Index(s, idx)
+        fs.create(done, true).close()
+      }
+      TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // compaction: three thirds appended, then compacted to one segment
     // — serve-invariant by construction (the merged postings are the
     // union), so the same single-index oracle applies; the _done marker
@@ -4460,33 +4506,35 @@ object SparkEntry {
   /** Integer-exact Okapi BM25 replay for "dup sort query zzz" @ k=15 —
     * shared by bm25_topk (direct) and bm25_served (index-served; the
     * index is content-derived so the same SQL applies). */
-  private val Bm25TopkSql: String =
-          """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
-        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
-        |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
-        |dfc AS (
-        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
-        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
-        |idf AS (
-        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
-        |  FROM dfc),
-        |tf AS (
-        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
-        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
-        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
-        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
-        |      AS score
-        |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
-        |  GROUP BY tf.doc_id)
-        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+  private def bm25TopkSqlOver(docsSrc: String, tfExtra: String): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      |  FROM $docsSrc),
+      |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+      |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+      |dfc AS (
+      |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+      |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
+      |idf AS (
+      |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+      |  FROM dfc),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+      |  WHERE tok IN (SELECT tok FROM qt)$tfExtra GROUP BY doc_id, tok),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+      |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+      |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+      |      AS score
+      |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  private val Bm25TopkSql: String = bm25TopkSqlOver("documents", "")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -6520,6 +6568,14 @@ object SparkEntry {
     "bm25_appended" -> Bm25TopkSql,
     "bm25_compacted" -> Bm25TopkSql,
     "bm25_stream_ingest" -> Bm25TopkSql,
+
+    // the Lucene stale-stats contract, cross-engine: deleted docs
+    // vanish from candidates but N/Σlen/df stay full-corpus until merge
+    "bm25_deleted" ->
+      bm25TopkSqlOver("documents", " AND doc_id % 10 <> 0"),
+    // after compaction the survivors ARE the corpus — stats exact again
+    "bm25_deleted_compacted" ->
+      bm25TopkSqlOver("(SELECT * FROM documents WHERE doc_id % 10 <> 0)", ""),
 
 
     // RRF fusion: both branch oracles verbatim (bm25_topk's chain with

@@ -486,7 +486,8 @@ object TextAnalysis {
     val seg = writeBm25Segment(
       buildPostings(df, idCol, textCol, indexHasPositions(spark, root, old)),
       root, nBuckets)
-    commitSegments(spark, root, old :+ seg, fence)
+    commitSegments(spark, root, old :+ seg, fence,
+      deletedBm25Docs(spark, root).toSeq)
     seg
   }
 
@@ -517,7 +518,8 @@ object TextAnalysis {
     val seg = writeBm25Segment(
       buildPostings(df, idCol, textCol, indexHasPositions(spark, root, old)),
       root, nBuckets)
-    commitSegments(spark, root, old :+ seg, Some(batchId))
+    commitSegments(spark, root, old :+ seg, Some(batchId),
+      deletedBm25Docs(spark, root).toSeq)
     true
   }
 
@@ -555,11 +557,17 @@ object TextAnalysis {
       nBuckets: Int = 32): Int = {
     import graft.sinks.MergeTable
     val (old, fence) = liveSegmentsWithFence(spark, root)
-    if (old.size <= 1) return old.size
+    val dead = deletedBm25Docs(spark, root)
+    if (old.size <= 1 && dead.isEmpty) return old.size
     val union = old.map(sg =>
       MergeTable.read(spark, s"$root/segs/$sg/postings"))
       .reduce(_.unionByName(_))
-    val seg = writeBm25Segment(union, root, nBuckets)
+    val survivors =
+      if (dead.isEmpty) union
+      else union.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val seg = writeBm25Segment(survivors, root, nBuckets)
+    // deletes deliberately NOT carried: the merged segment holds only
+    // survivors and its stats row is exact again — the Lucene merge
     commitSegments(spark, root, Seq(seg), fence)
     old.size
   }
@@ -608,19 +616,69 @@ object TextAnalysis {
   }
 
   private val SegmentsFile = "segments"
+  private val DeletesFile = "deletes"
   private val FencePrefix = "#last_batch="
 
+  /** Tombstone-set bound: the dead list is a driver-side broadcast at
+    * serve time, same budget argument as Similarity.MaxTombstones
+    * (1M longs ≈ 8 MB); past it, compact — which drops the dead
+    * postings AND empties the list. */
+  val MaxBm25Tombstones = 1000000
+
   private def commitSegments(spark: SparkSession, root: String,
-      segs: Seq[String], fence: Option[Long] = None): Unit = {
+      segs: Seq[String], fence: Option[Long] = None,
+      deletes: Seq[Long] = Seq.empty): Unit = {
     graft.sinks.Versioned.publish(spark, root) { dir =>
+      val conf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(dir, SegmentsFile)
-      val out = p.getFileSystem(spark.sessionState.newHadoopConf())
-        .create(p, true)
+      val out = p.getFileSystem(conf).create(p, true)
       val header = fence.map(b => s"$FencePrefix$b\n").getOrElse("")
       try out.write((header + segs.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
+      if (deletes.nonEmpty) {
+        val dp = new org.apache.hadoop.fs.Path(dir, DeletesFile)
+        val dout = dp.getFileSystem(conf).create(dp, true)
+        try dout.write(
+          (deletes.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally dout.close()
+      }
     }
     ()
+  }
+
+  /** The current tombstone set (empty when the live version carries no
+    * deletes file). */
+  private[graft] def deletedBm25Docs(spark: SparkSession,
+      root: String): Set[Long] = {
+    import graft.sinks.Versioned
+    val v = Versioned.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no committed index manifest"))
+    Versioned.readSmallText(spark,
+      new org.apache.hadoop.fs.Path(s"$root/$v", DeletesFile))
+      .map(_.split('\n').map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /**
+   * Delete documents from the lexical index by tombstone — the LUCENE
+   * CONTRACT, stated explicitly: deleted docs disappear from results
+   * immediately, but the corpus statistics (N, Σlen, per-term df) stay
+   * STALE until segments merge, because adjusting df would need every
+   * dead doc's term list. Compaction drops the dead postings,
+   * recomputes stats from the survivors, and empties the tombstone
+   * list — restoring exact statistics. Idempotent; commits a new
+   * manifest version (segments and fence unchanged).
+   */
+  def deleteBm25Docs(spark: SparkSession, root: String,
+      ids: Seq[Long]): Int = {
+    val (segs, fence) = liveSegmentsWithFence(spark, root)
+    val dead = deletedBm25Docs(spark, root) ++ ids
+    require(dead.size <= MaxBm25Tombstones,
+      s"tombstone set ${dead.size} exceeds $MaxBm25Tombstones — compact first")
+    commitSegments(spark, root, segs, fence, dead.toSeq)
+    dead.size
   }
 
   private[graft] def liveSegments(spark: SparkSession,
@@ -683,7 +741,11 @@ object TextAnalysis {
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
         terms.toDF("tok")))
       .reduce(_.unionByName(_))
-    postings
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    alive
       .join(broadcast(idf), "tok")
       .withColumn("norm1000",
         lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
@@ -720,7 +782,11 @@ object TextAnalysis {
     require(posts.schema.fieldNames.contains("positions"),
       s"$root: postings carry no positions — build the index with " +
         "positions = true for phrase serving")
-    val agg = posts.groupBy(col("doc_id"))
+    val deadP = deletedBm25Docs(spark, root)
+    val alive =
+      if (deadP.isEmpty) posts
+      else posts.filter(!col("doc_id").isin(deadP.toSeq: _*))
+    val agg = alive.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
     val shifted = terms.zipWithIndex.map { case (t, i) =>
       val esc = t.replace("'", "''")

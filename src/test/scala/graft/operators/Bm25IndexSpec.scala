@@ -209,6 +209,50 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("positions"), e.getMessage)
   }
 
+  test("tombstone deletes: mask now, stale stats until merge, exact after compaction") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25del").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    val dead = (1L to 40L).filter(_ % 4 == 0)
+    TextAnalysis.deleteBm25Docs(spark, root, dead)
+    // deleted docs vanish from results...
+    val served = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 40).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.map(_._1).intersect(dead).isEmpty)
+    // ...but survivors keep their FULL-corpus scores (stale stats — the
+    // Lucene contract): equal to the direct query on the full corpus,
+    // minus the dead rows
+    val full = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "rare table zzz", k = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(x => dead.contains(x._1))
+    assert(served.sameElements(full),
+      "pre-merge serves must score with stale full-corpus stats")
+    // appends carry the tombstones forward
+    import spark.implicits._
+    TextAnalysis.appendBm25Segment(
+      Seq((100L, "fresh doc rare")).toDF("doc_id", "text"),
+      "doc_id", "text", root, nBuckets = 8)
+    val afterApp = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 40).collect().map(_.getLong(0))
+    assert(afterApp.intersect(dead).isEmpty,
+      "append must not resurrect deleted docs")
+    assert(afterApp.contains(100L))
+    // compaction drops dead postings, recomputes stats, clears the list
+    TextAnalysis.compactBm25Index(spark, root, nBuckets = 8)
+    assert(TextAnalysis.deletedBm25Docs(spark, root).isEmpty)
+    val survivors = docs.filter(!col("doc_id").isin(dead: _*))
+      .unionByName(Seq((100L, "fresh doc rare")).toDF("doc_id", "text"))
+    val exact = TextAnalysis.bm25TopK(survivors, "doc_id", "text",
+      "rare table zzz", k = 40).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val compacted = TextAnalysis.bm25ServeTopK(spark, root,
+      "rare table zzz", k = 40).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(compacted.sameElements(exact),
+      "post-merge stats must be exact over the survivors")
+    // and the stale/exact distinction is real: at least one score moved
+    assert(compacted.toMap != served.toMap)
+  }
+
   test("the reserved stats key cannot collide with a real token") {
     import spark.implicits._
     // a doc that *talks about* stats still tokenizes to "stats", never

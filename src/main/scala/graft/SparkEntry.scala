@@ -2313,6 +2313,26 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // batch retrieval: three queries scored in ONE pass over the index
+    // (one readKeys for the term union, broadcast query-term membership,
+    // one (query, doc) aggregate, per-query top-k via a partitioned
+    // window — TextAnalysis.bm25BatchTopK: cost is one index probe
+    // regardless of batch size)
+    "bm25_batch_served" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v2_" +
+        fsTag(s, dir, "documents.parquet")
+      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(p, true)
+        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+          idx)
+      }
+      TextAnalysis.bm25BatchTopK(s, idx,
+        Seq((1L, "dup sort"), (2L, "table scan"), (3L, "merge batch zzz")),
+        k = 5)
+    }),
+
     // tombstone delete, the LUCENE CONTRACT made cross-engine-checkable:
     // deleted docs (doc_id % 10 == 0) vanish from results immediately,
     // but N/Σlen/df stay full-corpus-stale until merge — the oracle
@@ -6568,6 +6588,45 @@ object SparkEntry {
     "bm25_appended" -> Bm25TopkSql,
     "bm25_compacted" -> Bm25TopkSql,
     "bm25_stream_ingest" -> Bm25TopkSql,
+
+    // batch scoring replay: shared idf per term, per-query membership
+    // via the qt VALUES table, per-query top-5 by a partitioned window
+    "bm25_batch_served" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |qt(query_id, tok) AS (VALUES (1, 'dup'), (1, 'sort'),
+        |  (2, 'table'), (2, 'scan'), (3, 'merge'), (3, 'batch'), (3, 'zzz')),
+        |ut AS (SELECT DISTINCT tok FROM qt),
+        |dfc AS (
+        |  SELECT u.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM ut u LEFT JOIN tk t ON t.tok = u.tok GROUP BY u.tok),
+        |idf AS (
+        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfc),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN (SELECT tok FROM ut) GROUP BY doc_id, tok),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+        |      AS score
+        |  FROM tf JOIN qt q USING (tok) JOIN idf i USING (tok)
+        |    JOIN lens l USING (doc_id)
+        |  GROUP BY q.query_id, tf.doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+        |  doc_id, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // the Lucene stale-stats contract, cross-engine: deleted docs
     // vanish from candidates but N/Σlen/df stay full-corpus until merge

@@ -758,6 +758,71 @@ object TextAnalysis {
   }
 
   /**
+   * Batch retrieval: score MANY queries in ONE pass over the index —
+   * the production batch-inference shape (nightly eval sets, RAG
+   * candidate generation). One readKeys over the union of all query
+   * terms, one broadcast (query, term) membership table (a term shared
+   * by two queries scores in both), one (query, doc) aggregate, then
+   * per-query top-k via a window RANK PARTITIONED BY QUERY — never a
+   * per-query loop, so the cost is one index probe for the union
+   * regardless of the batch size. idf depends only on the term, so the
+   * per-term idf literals are shared across queries. Tombstones apply
+   * as in the single-query serve.
+   */
+  def bm25BatchTopK(spark: SparkSession, root: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    require(queries.nonEmpty, "empty batch")
+    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, txt) =>
+      txt.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    val allTerms = qTerms.map(_._2).distinct
+    val segs = liveSegments(spark, root)
+    val keyDf = (allTerms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    val qt = qTerms.map { case (qid, t) =>
+      val d = dfc.getOrElse(t, 0L)
+      (qid, t, (BigInt(nDocs - d + 1) * 10000 / BigInt(d + 1)).toLong)
+    }.toDF("query_id", "tok", "idf")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        allTerms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    alive
+      .join(broadcast(qt), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * Serve a phrase-match count from the POSITIONAL index: bucket-pruned
    * readKeys on the phrase's distinct terms, then the same
    * shifted-position intersection phraseSearch computes — but the

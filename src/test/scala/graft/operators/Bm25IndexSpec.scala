@@ -253,6 +253,31 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(compacted.toMap != served.toMap)
   }
 
+  test("batch retrieval: one pass equals per-query serves; shared terms score in both") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25batch").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    // 'table' is shared between queries 1 and 2 — membership, not
+    // dedup, decides which queries a term scores in
+    val qs = Seq((1L, "rare table"), (2L, "table filler"), (3L, "zzz rare"))
+    val batch = TextAnalysis.bm25BatchTopK(spark, root, qs, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    qs.foreach { case (qid, txt) =>
+      val single = TextAnalysis.bm25ServeTopK(spark, root, txt, k = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getLong(1)) }
+      val mine = batch.filter(_._1 == qid)
+      assert(mine.sameElements(single),
+        s"query $qid: batch=${mine.mkString(",")} single=${single.mkString(",")}")
+    }
+    // one index probe: the plan reads each postings file at most once
+    // per readKeys (segments = 1 here), not once per query
+    val plan = TextAnalysis.bm25BatchTopK(spark, root, qs, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("the reserved stats key cannot collide with a real token") {
     import spark.implicits._
     // a doc that *talks about* stats still tokenizes to "stats", never

@@ -835,6 +835,46 @@ object SparkEntry {
         .orderBy(col("grp"), col("bucket"))
     }),
 
+    // incremental EXACT percentiles from a mergeable histogram state:
+    // (grp, bin, cnt) registers with sum-merge — l_quantity is
+    // integer-valued, so bin = the value itself and the histogram is
+    // lossless; publishState on the even-orderkey half, refreshState
+    // folds the odd half (sum-merge is order-free and exact, the HLL
+    // max-merge argument), then the serve turns cumulated bins into
+    // p50/p95 with a cross-multiplied rank test (cum·100 ≥ total·p ⟺
+    // cum ≥ ⌈total·p/100⌉ — no ceil, no float). The window runs over
+    // |grps|·|bins| register rows, never over line items
+    "rollup_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Rollup
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          col("l_quantity").cast("long").as("q"), col("l_orderkey"))
+      def hist(half: Int) =
+        li.filter(pmod(col("l_orderkey"), lit(2)) === half)
+          .groupBy(col("grp"), col("q")).agg(count(lit(1)).as("cnt"))
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rollupq_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(root)
+      Rollup.publishState(hist(0), root.toString)
+      Rollup.refreshState(hist(1), Seq("grp", "q"),
+        Seq("cnt" -> (c => sum(c))), root.toString)
+      val wc = Window.partitionBy(col("grp")).orderBy(col("q"))
+      val wt = Window.partitionBy(col("grp"))
+      graft.sinks.Versioned.read(s, root.toString)
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("total", sum(col("cnt")).over(wt))
+        .groupBy(col("grp"))
+        .agg(max(col("total")).cast("long").as("n"),
+          min(when(col("cum") * 100 >= col("total") * 50, col("q")))
+            .cast("long").as("p50"),
+          min(when(col("cum") * 100 >= col("total") * 95, col("q")))
+            .cast("long").as("p95"))
+        .select(col("grp").as("l_returnflag"), col("n"), col("p50"),
+          col("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // trailing-baseline spike detection (the monitoring/anomaly shape over
     // event streams): hourly counts per type, baseline = the previous 24
     // hourly counts via a RANGE frame on the integer epoch hour (hour
@@ -4712,6 +4752,24 @@ object SparkEntry {
         |      ELSE bit_count(((hv // 64) & -(hv // 64)) - 1) + 1 END) AS max_rho
         |FROM h GROUP BY 1, 2
         |ORDER BY grp, bucket""".stripMargin,
+
+    // the merged histogram is the full-table histogram (sum-merge over
+    // a total split), so the replay computes it one-shot; the same
+    // cross-multiplied rank test picks the percentile bins
+    "rollup_quantile" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, q, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY q) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM h)
+        |SELECT l_returnflag, CAST(max(total) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 50 THEN q END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 95 THEN q END) AS BIGINT) AS p95
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // replay of events_anomaly: same hourly grain, RANGE-framed trailing
     // window, integer score; DuckDB window-sums BIGINT into HUGEINT, so

@@ -111,6 +111,39 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == oneShot)
   }
 
+  test("histogram-state rollup: sum-merge == one-shot; cumulated bins pick exact percentiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = Files.createTempDirectory("graft_rollup_").toString
+    // g0: values 1..100 once each → p50 = 50, p95 = 95 (sparse bins
+    // elsewhere don't shift ranks); g1: 90×1 and 10×10 → p50 = 1, p95 = 10
+    val rows = ((1 to 100).map(v => ("g0", v.toLong)) ++
+      Seq.fill(90)(("g1", 1L)) ++ Seq.fill(10)(("g1", 10L)))
+      .toDF("grp", "q")
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("grp"), col("q")).agg(count(lit(1)).as("cnt"))
+    Rollup.publishState(hist(rows.filter(col("q") % 2 === 0)), root)
+    Rollup.refreshState(hist(rows.filter(col("q") % 2 === 1)),
+      Seq("grp", "q"), Seq("cnt" -> (c => sum(c))), root)
+    val merged = Rollup.serve(spark, root).orderBy("grp", "q")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val oneShot = hist(rows).orderBy("grp", "q")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(merged.sameElements(oneShot),
+      "histogram sum-merge must be exactly the one-shot histogram")
+    val wc = Window.partitionBy(col("grp")).orderBy(col("q"))
+    val wt = Window.partitionBy(col("grp"))
+    val ps = Rollup.serve(spark, root)
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("total", sum(col("cnt")).over(wt))
+      .groupBy(col("grp"))
+      .agg(min(when(col("cum") * 100 >= col("total") * 50, col("q"))).as("p50"),
+        min(when(col("cum") * 100 >= col("total") * 95, col("q"))).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ps("g0") == ((50L, 95L)), ps.toString)
+    assert(ps("g1") == ((1L, 10L)), ps.toString)
+  }
+
   test("exactly-once refresh: a replayed micro-batch is skipped, a crashed one reapplies") {
     val root = Files.createTempDirectory("graft_rollup_").toString
     Rollup.publish(facts(0 until 40), dims, sums, root)

@@ -2329,9 +2329,21 @@ object SparkEntry {
     "bm25_stream_ingest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val (_, ckpt, feedDir) = freshStreamDirs("bm25in", dir)
-      val idx = s"${new java.io.File(feedDir).getParent}/index"
-      TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", idx)
+      // the INDEX dir is deliberately STABLE across invocations while
+      // the stream (feed + checkpoint) is fresh each time: the first
+      // run exercises the append path (batches 0 and 1 land through
+      // the fence), every later run replays the same batch ids against
+      // the already-fenced manifest and exercises the REDELIVERY-SKIP
+      // path — both halves of the exactly-once contract, same served
+      // rows either way (that is the contract), same oracle
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25si_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idx, nBuckets = 8)
+      }
       docs.filter(col("doc_id") % 4 === 1)
         .coalesce(1).write.mode("append").parquet(feedDir)
       docs.filter(col("doc_id") % 4 === 3)
@@ -2342,7 +2354,7 @@ object SparkEntry {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
           if (!batch.isEmpty)
             TextAnalysis.appendBm25SegmentExactlyOnce(batch, "doc_id",
-              "text", idx, id)
+              "text", idx, id, nBuckets = 8)
           ()
         }
         .option("checkpointLocation", ckpt)

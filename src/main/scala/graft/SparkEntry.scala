@@ -1486,6 +1486,32 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // the dense half SERVED from a materialized index: IVF over the
+    // feature-hash vectors, query = the literal text's hash probed
+    // against the nearest cells only — build-once/serve-many for
+    // doc_search; oracle = the trained-IVF replay over fhv + query row
+    "doc_search_served" -> ((s, dir) => {
+      graft.functions.HashFunctions.register(s)
+      val qText = "table scan hash probe window sort"
+      val fh = t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+        graft.functions.HashFunctions.feature_hash(col("text"), 64).as("vec"))
+      val ik = s"fh64search:${corpusStamp(s, dir, "documents.parquet")}"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_fhivf_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$idx/${Similarity.ReadyMarker}")
+      val mfs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!mfs.exists(marker))
+        Similarity.writeIvfIndex(fh, "vec_id", "vec", idx, indexKey = ik)
+      import s.implicits._
+      val qv = graft.functions.HashFunctions.featureHash(qText, 64)
+      val qdf = Seq((-1L, qv.toSeq)).toDF("vec_id", "vec")
+      Similarity.ivfTopKServed(s, idx, qdf, "vec_id", "vec", k = 10,
+        indexKey = ik, nProbe = 8)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("rank"))
+    }),
+
     // signed feature hashing: the text→vector bridge — one dense 64-dim
     // integer vector per doc, every coordinate SQL-replayable
     "feature_hash" -> ((s, dir) => {
@@ -4041,7 +4067,8 @@ object SparkEntry {
   private def annIvfTrainedSql(stride: Int = 20, iters: Int = 3,
       nProbe: Int = 3, k: Int = 3, trainWhere: String = "TRUE",
       deleteWhere: String = "FALSE",
-      embSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      embSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      queryWhere: String = "vec_id < 20")
       : String = {
     val dist = (q: String, c: String) => ivfDistSql(q, c)
     s"""WITH ${ivfTrainCtes(embSql, stride, iters, trainWhere)},
@@ -4052,7 +4079,7 @@ object SparkEntry {
        |  FROM q x CROSS JOIN c$iters ci),
        |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa
        |  WHERE rn = 1 AND NOT ($deleteWhere)),
-       |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND vec_id < 20),
+       |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND ($queryWhere)),
        |scored AS (
        |  SELECT qa.query_id, ce.neighbor_id,
        |    list_cosine_similarity(qe.v, ne.v) AS cos_raw
@@ -5832,6 +5859,24 @@ object SparkEntry {
          |       ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS BIGINT) AS score
          |FROM dv WHERE nrm > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // trained-IVF replay over the feature-hash vectors with the query
+    // row: train on the docs only (vec_id >= 0), probe for vec_id = -1
+    "doc_search_served" -> {
+      // emb/q materialized: every Lloyd iteration re-references the
+      // corpus, and DuckDB would otherwise re-inline the whole
+      // feature-hash chain per reference (the MMR-oracle OOM lesson)
+      val body = annIvfTrainedSql(stride = 20, iters = 3, nProbe = 8,
+        k = 10, trainWhere = "vec_id >= 0",
+        embSql = "SELECT vec_id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS v FROM fhv",
+        queryWhere = "vec_id = -1").stripPrefix("WITH ")
+        .replace("emb AS (", "emb AS MATERIALIZED (")
+        .replace("q AS (", "q AS MATERIALIZED (")
+      s"""WITH ${featureHashCtes(
+            "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT -1, 'table scan hash probe window sort')")},
+        |$body""".stripMargin
+    },
 
     // replays the signed feature hash coordinate by coordinate
     "feature_hash" ->

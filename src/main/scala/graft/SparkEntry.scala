@@ -333,6 +333,43 @@ object SparkEntry {
     root
   }
 
+  /** Build-once gate for the segmented BM25 index over documents
+    * (shared by bm25_served / bm25_batch_served / hybrid_rrf_served). */
+  private def ensureBm25Index(s: SparkSession, dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v2_" +
+      fsTag(s, dir, "documents.parquet")
+    if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+        idx)
+    }
+    idx
+  }
+
+  /** Build-once gate for the feature-hash IVF index over documents
+    * (shared by doc_search_served / hybrid_rrf_served). Returns
+    * (indexPath, registryKey). */
+  private def ensureFhIvfIndex(s: SparkSession, dir: String): (String, String) = {
+    graft.functions.HashFunctions.register(s)
+    // the serve path (vec_cosine) needs these even when the build is
+    // skipped by the ready marker — writeIvfIndex registered them as a
+    // side effect on cold runs only
+    graft.functions.VectorFunctions.register(s)
+    val ik = s"fh64search:${corpusStamp(s, dir, "documents.parquet")}"
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_fhivf_v1_" +
+      fsTag(s, dir, "documents.parquet")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$idx/${Similarity.ReadyMarker}")
+    val mfs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!mfs.exists(marker)) {
+      val fh = t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+        graft.functions.HashFunctions.feature_hash(col("text"), 64).as("vec"))
+      Similarity.writeIvfIndex(fh, "vec_id", "vec", idx, indexKey = ik)
+    }
+    (idx, ik)
+  }
+
   /** Pre-trains every quantizer the suite serves (IVF on the raw corpus,
     * IVF on the augmented corpus, PQ codebook) under the same keys the
     * queries use — the bench warmup calls this so per-query numbers
@@ -1491,18 +1528,8 @@ object SparkEntry {
     // against the nearest cells only — build-once/serve-many for
     // doc_search; oracle = the trained-IVF replay over fhv + query row
     "doc_search_served" -> ((s, dir) => {
-      graft.functions.HashFunctions.register(s)
       val qText = "table scan hash probe window sort"
-      val fh = t(s, dir, "documents").select(col("doc_id").as("vec_id"),
-        graft.functions.HashFunctions.feature_hash(col("text"), 64).as("vec"))
-      val ik = s"fh64search:${corpusStamp(s, dir, "documents.parquet")}"
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_fhivf_v1_" +
-        fsTag(s, dir, "documents.parquet")
-      val marker = new org.apache.hadoop.fs.Path(
-        s"$idx/${Similarity.ReadyMarker}")
-      val mfs = marker.getFileSystem(s.sessionState.newHadoopConf())
-      if (!mfs.exists(marker))
-        Similarity.writeIvfIndex(fh, "vec_id", "vec", idx, indexKey = ik)
+      val (idx, ik) = ensureFhIvfIndex(s, dir)
       import s.implicits._
       val qv = graft.functions.HashFunctions.featureHash(qText, 64)
       val qdf = Seq((-1L, qv.toSeq)).toDF("vec_id", "vec")
@@ -1510,6 +1537,36 @@ object SparkEntry {
         indexKey = ik, nProbe = 8)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("rank"))
+    }),
+
+    // the retrieval capstone: BOTH branches from materialized indexes —
+    // BM25 postings serve + feature-hash IVF serve, fused by the same
+    // integer RRF as hybrid_rrf. The dense branch is the APPROXIMATE
+    // serve (nProbe cells), so the oracle's dense ranks come from the
+    // trained-IVF replay, not brute force
+    "hybrid_rrf_served" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qText = "dup table sort scan"
+      val lexIdx = ensureBm25Index(s, dir)
+      val (denIdx, ik) = ensureFhIvfIndex(s, dir)
+      import s.implicits._
+      val qv = graft.functions.HashFunctions.featureHash(qText, 64)
+      val qdf = Seq((-1L, qv.toSeq)).toDF("vec_id", "vec")
+      val lex = TextAnalysis.bm25ServeTopK(s, lexIdx, qText, k = 15)
+      val wl = Window.orderBy(col("score").desc, col("doc_id"))
+      val lexR = lex.select(col("doc_id"),
+        row_number().over(wl).as("r_lex"))
+      val denR = Similarity.ivfTopKServed(s, denIdx, qdf, "vec_id", "vec",
+        k = 15, indexKey = ik, nProbe = 8)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("int").as("r_dense"))
+      lexR.join(denR, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + r_dense)"), lit(0L)))
+        .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     }),
 
     // signed feature hashing: the text→vector bridge — one dense 64-dim
@@ -2310,16 +2367,8 @@ object SparkEntry {
     // applies; the segments-manifest commit is the fence (a crash
     // before it leaves the index unbuilt → serve fails loudly)
     "bm25_served" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v2_" +
-        fsTag(s, dir, "documents.parquet")
-      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-        fs.delete(p, true)
-        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
-          idx)
-      }
-      TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
+      TextAnalysis.bm25ServeTopK(s, ensureBm25Index(s, dir),
+        "dup sort query zzz", k = 15)
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
@@ -2397,16 +2446,7 @@ object SparkEntry {
     // window — TextAnalysis.bm25BatchTopK: cost is one index probe
     // regardless of batch size)
     "bm25_batch_served" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v2_" +
-        fsTag(s, dir, "documents.parquet")
-      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-        fs.delete(p, true)
-        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
-          idx)
-      }
-      TextAnalysis.bm25BatchTopK(s, idx,
+      TextAnalysis.bm25BatchTopK(s, ensureBm25Index(s, dir),
         Seq((1L, "dup sort"), (2L, "table scan"), (3L, "merge batch zzz")),
         k = 5)
     }),
@@ -5876,6 +5916,58 @@ object SparkEntry {
             "(SELECT doc_id, text FROM documents UNION ALL " +
             "SELECT -1, 'table scan hash probe window sort')")},
         |$body""".stripMargin
+    },
+
+    // both serve replays composed: the trained-IVF dense ranks (the
+    // APPROXIMATE serve, not brute force) + the lexical chain with
+    // l-prefixed CTE names (qt/scored would collide with the IVF
+    // replay's), fused by the same integer RRF
+    "hybrid_rrf_served" -> {
+      val ivf = annIvfTrainedSql(stride = 20, iters = 3, nProbe = 8,
+        k = 15, trainWhere = "vec_id >= 0",
+        embSql = "SELECT vec_id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS v FROM fhv",
+        queryWhere = "vec_id = -1").stripPrefix("WITH ")
+        .replace("emb AS (", "emb AS MATERIALIZED (")
+        .replace("q AS (", "q AS MATERIALIZED (")
+      val ivfCtes = ivf.substring(0, ivf.lastIndexOf("SELECT query_id")).trim
+      s"""WITH ${featureHashCtes(
+            "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT -1, 'dup table sort scan')")},
+        |$ivfCtes,
+        |denr AS (SELECT neighbor_id AS doc_id, rank AS r FROM ranked
+        |         WHERE rank <= 15),
+        |ltoks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |ltk AS (SELECT doc_id, tok FROM ltoks WHERE tok <> ''),
+        |llens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM ltk GROUP BY doc_id),
+        |lst AS (SELECT count(*) AS n, sum(len) AS tot FROM llens),
+        |lqt(tok) AS (VALUES ('dup'), ('table'), ('sort'), ('scan')),
+        |ldfc AS (
+        |  SELECT q2.tok, CAST(coalesce(count(DISTINCT t2.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM lqt q2 LEFT JOIN ltk t2 ON t2.tok = q2.tok GROUP BY q2.tok),
+        |lidf AS (
+        |  SELECT tok, ((SELECT n FROM lst) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM ldfc),
+        |ltf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM ltk
+        |  WHERE tok IN (SELECT tok FROM lqt) GROUP BY doc_id, tok),
+        |lscored AS (
+        |  SELECT ltf.doc_id,
+        |    sum(i.idf * ((ltf.tf * 2200 * 10000) //
+        |      (ltf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM lst) * 1000 // (SELECT n FROM lst)))) // 1000)))
+        |      AS score
+        |  FROM ltf JOIN lidf i USING (tok) JOIN llens l USING (doc_id)
+        |  GROUP BY ltf.doc_id),
+        |lexk AS (SELECT doc_id, score FROM lscored ORDER BY score DESC, doc_id LIMIT 15),
+        |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lexk)
+        |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |  CAST(l.r AS INT) AS r_lex, CAST(d.r AS INT) AS r_dense,
+        |  CAST(coalesce(1000000000 // (60 + l.r), 0)
+        |     + coalesce(1000000000 // (60 + d.r), 0) AS BIGINT) AS rrf
+        |FROM lexr l FULL JOIN denr d ON l.doc_id = d.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
     },
 
     // replays the signed feature hash coordinate by coordinate

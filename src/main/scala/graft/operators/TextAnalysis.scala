@@ -572,6 +572,22 @@ object TextAnalysis {
     old.size
   }
 
+  /** The compaction policy every streaming ingester should call after
+    * its append: merge when the segment count passes `maxSegments` OR
+    * the tombstone set passes `maxDead` — the two costs segments
+    * accumulate (per-serve readKeys fan-out; broadcast dead-list size
+    * and stale stats). Returns true when a compaction ran. Serves are
+    * unchanged either way (compaction is serve-invariant; the delete
+    * merge upgrades stale stats to exact, which is the point). */
+  def maybeCompactBm25(spark: SparkSession, root: String,
+      maxSegments: Int = 8, maxDead: Int = 100000,
+      nBuckets: Int = 32): Boolean = {
+    val segs = liveSegments(spark, root)
+    val dead = deletedBm25Docs(spark, root)
+    if (segs.size <= maxSegments && dead.size <= maxDead) false
+    else { compactBm25Index(spark, root, nBuckets); true }
+  }
+
   private def buildPostings(df: DataFrame, idCol: String,
       textCol: String, positions: Boolean = false): DataFrame = {
     val toks = Par.ensureParallelism(df)

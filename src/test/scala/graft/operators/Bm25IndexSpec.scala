@@ -278,6 +278,30 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("maybeCompactBm25: fires past the segment or tombstone budget, no-ops inside it") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25auto").toString
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 10),
+      "doc_id", "text", root, nBuckets = 4)
+    TextAnalysis.appendBm25Segment(docs.filter(col("doc_id") > 10 &&
+      col("doc_id") <= 20), "doc_id", "text", root, nBuckets = 4)
+    // inside both budgets: nothing happens
+    assert(!TextAnalysis.maybeCompactBm25(spark, root, maxSegments = 8))
+    assert(TextAnalysis.liveSegments(spark, root).size == 2)
+    // past the segment budget: compaction fires
+    assert(TextAnalysis.maybeCompactBm25(spark, root, maxSegments = 1,
+      nBuckets = 4))
+    assert(TextAnalysis.liveSegments(spark, root).size == 1)
+    // past the tombstone budget: fires and clears the dead list
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(3L, 5L))
+    assert(TextAnalysis.maybeCompactBm25(spark, root, maxDead = 1,
+      nBuckets = 4))
+    assert(TextAnalysis.deletedBm25Docs(spark, root).isEmpty)
+    val served = TextAnalysis.bm25ServeTopK(spark, root, "common data", k = 30)
+      .collect().map(_.getLong(0))
+    assert(!served.contains(3L) && !served.contains(5L))
+  }
+
   test("the reserved stats key cannot collide with a real token") {
     import spark.implicits._
     // a doc that *talks about* stats still tokenizes to "stats", never

@@ -2372,6 +2372,36 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // index TIME TRAVEL: serve pinned to the manifest version that
+    // existed before the append — segments are immutable and the
+    // manifest is a versioned pointer, so an AS-OF serve just reads the
+    // old segment list (and its tombstone set); the oracle is the bm25
+    // chain over the even half only, a DIFFERENT hash than the live
+    // serve, which is the point
+    "bm25_served_asof" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_asof_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      val pv = new org.apache.hadoop.fs.Path(s"$idx/_publish_version")
+      val fs = pv.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(pv)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        val docs = t(s, dir, "documents")
+        TextAnalysis.writeBm25Index(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        // pin the pre-append version BY NAME (the ensureMergeTable
+        // lesson: dir mtimes are not a reliable publish detector)
+        val v = graft.sinks.Versioned.currentVersion(s, idx).get
+        TextAnalysis.appendBm25Segment(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", idx)
+        val out = fs.create(pv, true)
+        out.write(v.getBytes("UTF-8")); out.close()
+      }
+      val v = graft.sinks.Versioned.readSmallText(s, pv).get.trim
+      TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15,
+        asOf = Some(v))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // segment append: build on the even half, append the odd half —
     // BM25's global stats are SUMS (N, Σlen, per-term df), so the
     // two-segment serve must hash-match the single-index oracle on the
@@ -2556,6 +2586,27 @@ object SparkEntry {
           idx, positions = true)
       }
       TextAnalysis.phraseServeCount(s, idx, "table table")
+    }),
+
+    // proximity (slop) search: |posA − posB| ≤ 2 pairs per doc, the
+    // order-free Lucene NEAR query — direct scan and positional-index
+    // serve, same oracle (content-derived), a positional self-join
+    // with an abs-band predicate on the DuckDB side
+    "near_search" -> ((s, dir) => {
+      TextAnalysis.nearSearch(t(s, dir, "documents"), "doc_id", "text",
+        "big", "table", slop = 2)
+    }),
+
+    "near_served" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+          idx, positions = true)
+      }
+      TextAnalysis.nearServeCount(s, idx, "big", "table", slop = 2)
     }),
 
     // MMR diversification: greedy rel − max-sim-to-selected rerank over
@@ -4623,6 +4674,24 @@ object SparkEntry {
       |      ON x.j = y.j AND x.sig = y.sig AND x.doc_id < y.doc_id
       |    GROUP BY x.doc_id, y.doc_id, x.j // 4
       |    HAVING count(*) = 4))""".stripMargin
+
+  /** Slop-2 proximity replay for terms (big, table) — shared by the
+    * direct and index-served twins (content-derived index). */
+  private val NearSearchSql: String =
+    """WITH toksl AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+      |m AS (
+      |  SELECT a.doc_id
+      |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+      |    AND abs(a.pos - b.pos) <= 2
+      |  WHERE a.tok = 'big' AND b.tok = 'table')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Positional-adjacency replay for the phrase "table table" — shared
     * by phrase_search (direct) and phrase_served (positional index; the
@@ -6839,6 +6908,10 @@ object SparkEntry {
     // vanish from candidates but N/Σlen/df stay full-corpus until merge
     "bm25_deleted" ->
       bm25TopkSqlOver("documents", " AND doc_id % 10 <> 0"),
+    // the pre-append manifest names only the even-half segment
+    "bm25_served_asof" ->
+      bm25TopkSqlOver("(SELECT * FROM documents WHERE doc_id % 2 = 0)", ""),
+
     // after compaction the survivors ARE the corpus — stats exact again
     "bm25_deleted_compacted" ->
       bm25TopkSqlOver("(SELECT * FROM documents WHERE doc_id % 10 <> 0)", ""),
@@ -6907,6 +6980,10 @@ object SparkEntry {
     // adjacency oracle applies verbatim
     "phrase_served" -> PhraseSearchSql,
 
+
+    // symmetric abs-band positional self-join, counted per doc
+    "near_search" -> NearSearchSql,
+    "near_served" -> NearSearchSql,
 
     // the five greedy MMR selection steps unrolled as sequential CTE
     // stages (the bpe_train pattern): each stage is one argmax of

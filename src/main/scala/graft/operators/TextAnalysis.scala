@@ -665,11 +665,11 @@ object TextAnalysis {
   /** The current tombstone set (empty when the live version carries no
     * deletes file). */
   private[graft] def deletedBm25Docs(spark: SparkSession,
-      root: String): Set[Long] = {
+      root: String, asOf: Option[String] = None): Set[Long] = {
     import graft.sinks.Versioned
-    val v = Versioned.currentVersion(spark, root).getOrElse(
+    val v = asOf.getOrElse(Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
-        s"$root has no committed index manifest"))
+        s"$root has no committed index manifest")))
     Versioned.readSmallText(spark,
       new org.apache.hadoop.fs.Path(s"$root/$v", DeletesFile))
       .map(_.split('\n').map(_.trim).filter(_.nonEmpty)
@@ -702,12 +702,13 @@ object TextAnalysis {
     liveSegmentsWithFence(spark, root)._1
 
   private[graft] def liveSegmentsWithFence(spark: SparkSession,
-      root: String): (Seq[String], Option[Long]) = {
+      root: String, asOf: Option[String] = None)
+      : (Seq[String], Option[Long]) = {
     import graft.sinks.Versioned
-    val v = Versioned.currentVersion(spark, root).getOrElse(
+    val v = asOf.getOrElse(Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"$root has no committed index manifest — build incomplete or " +
-          "crashed before the commit; (re)build"))
+          "crashed before the commit; (re)build")))
     val txt = Versioned.readSmallText(spark,
       new org.apache.hadoop.fs.Path(s"$root/$v", SegmentsFile)).getOrElse(
       throw new IllegalStateException(s"$root/$v has no $SegmentsFile"))
@@ -727,13 +728,17 @@ object TextAnalysis {
    * and the same SQL oracle applies regardless of segment layout.
    */
   def bm25ServeTopK(spark: SparkSession, root: String,
-      queryText: String, k: Int): DataFrame = {
+      queryText: String, k: Int, asOf: Option[String] = None): DataFrame = {
     import graft.sinks.MergeTable
     import spark.implicits._
     val terms = queryText.toLowerCase.trim.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
-    val segs = liveSegments(spark, root)
+    // AS-OF serve: the segments manifest is a versioned pointer and
+    // segments are immutable, so serving an older retained version is
+    // just reading its segment list (and ITS tombstone set) — index
+    // time travel for free, same as MergeTable.readVersion
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
     val tRows = segs.flatMap(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
@@ -757,7 +762,7 @@ object TextAnalysis {
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
         terms.toDF("tok")))
       .reduce(_.unionByName(_))
-    val dead = deletedBm25Docs(spark, root)
+    val dead = deletedBm25Docs(spark, root, asOf)
     val alive =
       if (dead.isEmpty) postings
       else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
@@ -878,6 +883,66 @@ object TextAnalysis {
     agg.select(col("doc_id"),
         expr(s"size($inter)").cast("long").as("n_matches"))
       .filter(col("n_matches") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Proximity (slop) search: count per document the (posA, posB) pairs
+   * with |posA − posB| ≤ slop — the Lucene NEAR/slop query, order-free.
+   * Same tokenizer and scale shape as phraseSearch (terms filtered
+   * before the shuffle, one higher-order projection, no self-join);
+   * the pair count is a bounded nested fold over the two per-doc
+   * position lists (O(tfA·tfB) per doc — term frequencies, not doc
+   * length).
+   */
+  def nearSearch(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, slop: Int): DataFrame = {
+    val a = termA.toLowerCase.trim; val b = termB.toLowerCase.trim
+    require(a.nonEmpty && b.nonEmpty && a != b,
+      "nearSearch needs two distinct terms")
+    val toks = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(a, b))
+    val agg = toks.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok"), col("pos").cast("long").as("pos")))
+        .as("tp"))
+    nearPairsFrom(agg, a, b, slop,
+      posOf = t => s"transform(filter(tp, x -> x.tok = '$t'), x -> x.pos)")
+  }
+
+  /** The same slop count served from the POSITIONAL index — positions
+    * come pre-aggregated from the phrase-term postings, no tokenize. */
+  def nearServeCount(spark: SparkSession, root: String,
+      termA: String, termB: String, slop: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val a = termA.toLowerCase.trim; val b = termB.toLowerCase.trim
+    require(a.nonEmpty && b.nonEmpty && a != b,
+      "nearSearch needs two distinct terms")
+    val segs = liveSegments(spark, root)
+    val posts = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        Seq(a, b).toDF("tok"))).reduce(_.unionByName(_))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"$root: postings carry no positions — build with positions = true")
+    val agg = posts.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
+    nearPairsFrom(agg, a, b, slop,
+      posOf = t => s"flatten(transform(filter(tp, x -> x.tok = '$t'), " +
+        "x -> x.positions))")
+  }
+
+  private def nearPairsFrom(agg: DataFrame, a: String, b: String,
+      slop: Int, posOf: String => String): DataFrame = {
+    def esc(t: String) = t.replace("'", "''")
+    val pa = posOf(esc(a)); val pb = posOf(esc(b))
+    agg.select(col("doc_id"),
+        expr(s"aggregate($pa, 0L, (acc, p) -> acc + " +
+          s"size(filter($pb, q -> abs(p - q) <= ${slop}L)))")
+          .cast("long").as("n_pairs"))
+      .filter(col("n_pairs") > 0)
       .orderBy(col("doc_id"))
   }
 

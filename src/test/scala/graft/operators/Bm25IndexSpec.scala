@@ -302,6 +302,32 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(!served.contains(3L) && !served.contains(5L))
   }
 
+  test("near (slop) search: order-free band, boundary exact, served == direct") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big x table"),        // gap 2: inside slop 2
+      (2L, "table y z big"),      // reversed, gap 3: outside slop 2
+      (3L, "big table big"),      // pairs: (0,1) and (2,1) → 2
+      (4L, "big z z z z table"),  // gap 5: outside
+      (5L, "table big")           // adjacent reversed: inside
+    ).toDF("doc_id", "text")
+    val direct = TextAnalysis.nearSearch(docs, "doc_id", "text",
+      "big", "table", slop = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(direct.toSeq == Seq((1L, 1L), (3L, 2L), (5L, 1L)), direct.mkString(","))
+    // slop 3 admits doc 2
+    val wider = TextAnalysis.nearSearch(docs, "doc_id", "text",
+      "big", "table", slop = 3).collect().map(_.getLong(0))
+    assert(wider.contains(2L))
+    // served from the positional index: identical
+    val root = Files.createTempDirectory("bm25near").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 4, positions = true)
+    val served = TextAnalysis.nearServeCount(spark, root, "big", "table",
+      slop = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.sameElements(direct))
+  }
+
   test("the reserved stats key cannot collide with a real token") {
     import spark.implicits._
     // a doc that *talks about* stats still tokenizes to "stats", never

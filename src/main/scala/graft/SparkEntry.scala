@@ -2588,6 +2588,14 @@ object SparkEntry {
       TextAnalysis.phraseServeCount(s, idx, "table table")
     }),
 
+    // prefix (wildcard) term search: a string-key RANGE scan over the
+    // postings — [prefix, prefix+U+FFFF] rides the zone maps recorded
+    // at publish, exact startsWith re-applied after the pruned read
+    // (TextAnalysis.prefixSearch)
+    "prefix_search" -> ((s, dir) => {
+      TextAnalysis.prefixSearch(s, ensureBm25Index(s, dir), "s")
+    }),
+
     // proximity (slop) search: |posA − posB| ≤ 2 pairs per doc, the
     // order-free Lucene NEAR query — direct scan and positional-index
     // serve, same oracle (content-derived), a positional self-join
@@ -6980,6 +6988,19 @@ object SparkEntry {
     // adjacency oracle applies verbatim
     "phrase_served" -> PhraseSearchSql,
 
+
+    // dictionary probe replay: whitespace tokens with the LIKE prefix
+    "prefix_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok LIKE 's%' GROUP BY doc_id, tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tf) AS BIGINT) AS n_occ
+        |FROM tf GROUP BY tok ORDER BY tok""".stripMargin,
 
     // symmetric abs-band positional self-join, counted per doc
     "near_search" -> NearSearchSql,

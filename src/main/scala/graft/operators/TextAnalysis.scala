@@ -572,6 +572,42 @@ object TextAnalysis {
     old.size
   }
 
+  /**
+   * Prefix (wildcard `pre*`) term search over the index: a RANGE scan
+   * on the string token key — [prefix, prefix + U+FFFF] through
+   * MergeTable.readRange. Pruning honesty: the postings are
+   * HASH-bucketed, so per-FILE zone maps span nearly the whole token
+   * alphabet and rarely prune a fresh index (zones earn their keep on
+   * files with key locality — merge-accumulated tables); the pruning
+   * that does the work here is one level down — files are key-SORTED
+   * within buckets at publish, so the range predicate pushes to
+   * parquet ROW-GROUP min/max stats and each file skips to its
+   * prefix-band groups. The exact startsWith predicate re-applies
+   * after the pruned scan (stats are pruning, never truth). Returns
+   * per matching token its document and occurrence counts — the
+   * dictionary-probe shape of every wildcard query engine.
+   */
+  def prefixSearch(spark: SparkSession, root: String,
+      prefix: String): DataFrame = {
+    import graft.sinks.MergeTable
+    val p = prefix.toLowerCase.trim
+    require(p.nonEmpty, "empty prefix")
+    val segs = liveSegments(spark, root)
+    val posts = segs.map(sg =>
+      MergeTable.readRange(spark, s"$root/segs/$sg/postings",
+        Some(p), Some(p + "￿")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) posts
+      else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+    alive.filter(col("tok").startsWith(p))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tf")).cast("long").as("n_occ"))
+      .orderBy(col("tok"))
+  }
+
   /** The compaction policy every streaming ingester should call after
     * its append: merge when the segment count passes `maxSegments` OR
     * the tombstone set passes `maxDead` — the two costs segments

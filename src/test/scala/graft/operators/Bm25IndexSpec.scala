@@ -355,6 +355,43 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(after.toSeq == Seq(("alpha", 1L, 1L), ("apple", 1L, 1L)))
   }
 
+  test("append commits ride the CAS seam: a rejected commit raises, orphan sweeps, retry heals") {
+    import graft.sinks.Versioned
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25race").toString
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 20),
+      "doc_id", "text", root, nBuckets = 4)
+    val batch = docs.filter(col("doc_id") > 20)
+    // a concurrent committer won the pointer swap: the conditional put
+    // reports a failed precondition — the append must RAISE (lost
+    // update detected), never silently last-writer-win
+    Versioned.setConditionalPut((_, _, _) => false)
+    val err =
+      try intercept[java.io.IOException] {
+        TextAnalysis.appendBm25Segment(batch, "doc_id", "text", root,
+          nBuckets = 4)
+      } finally Versioned.clearConditionalPut()
+    assert(err.getMessage.contains("conditional put"))
+    // the failed append's segment dir is an invisible orphan
+    assert(TextAnalysis.liveSegments(spark, root).size == 1)
+    val direct20 = TextAnalysis.bm25TopK(docs.filter(col("doc_id") <= 20),
+      "doc_id", "text", "rare table", k = 10).collect().map(_.toString)
+    val served20 = TextAnalysis.bm25ServeTopK(spark, root, "rare table",
+      k = 10).collect().map(_.toString)
+    assert(served20.sameElements(direct20),
+      "a rejected append must leave the old index serving")
+    val swept = TextAnalysis.vacuumBm25Orphans(spark, root)
+    assert(swept.size == 1, swept.toString)
+    // the retry (fresh CAS) lands and the union serves
+    TextAnalysis.appendBm25Segment(batch, "doc_id", "text", root,
+      nBuckets = 4)
+    val directAll = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "rare table", k = 10).collect().map(_.toString)
+    val servedAll = TextAnalysis.bm25ServeTopK(spark, root, "rare table",
+      k = 10).collect().map(_.toString)
+    assert(servedAll.sameElements(directAll))
+  }
+
   test("the reserved stats key cannot collide with a real token") {
     import spark.implicits._
     // a doc that *talks about* stats still tokenizes to "stats", never

@@ -1515,9 +1515,7 @@ object SparkEntry {
         .filter(col("nrm") > 0)
         .withColumn("dot", vec_doti(col("v"), qLit))
         .withColumn("score",
-          when(col("dot") >= 0,
-            expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)"))
-            .otherwise(-expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)")))
+          graft.operators.TextAnalysis.cosScore(qNrm))
         .select(col("doc_id"), col("dot"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
@@ -5972,8 +5970,8 @@ object SparkEntry {
          |  FROM fhv f CROSS JOIN (SELECT vec FROM fhv WHERE vec_id = -1) q
          |  WHERE f.vec_id >= 0)
          |SELECT doc_id, dot,
-         |  CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * qn)
-         |       ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS BIGINT) AS score
+         |  CAST(CASE WHEN dot >= 0 THEN CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(nrm AS HUGEINT) * qn)
+         |       ELSE -(CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(nrm AS HUGEINT) * qn)) END AS BIGINT) AS score
          |FROM dv WHERE nrm > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
@@ -6967,8 +6965,8 @@ object SparkEntry {
         |  WHERE f.vec_id >= 0),
         |dsc AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * qn)
-        |         ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS BIGINT) AS score
+        |    CAST(CASE WHEN dot >= 0 THEN CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(nrm AS HUGEINT) * qn)
+        |         ELSE -(CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(nrm AS HUGEINT) * qn)) END AS BIGINT) AS score
         |  FROM dv WHERE nrm > 0),
         |denk AS (SELECT doc_id, score FROM dsc ORDER BY score DESC, doc_id LIMIT 15),
         |denr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM denk)
@@ -7036,16 +7034,16 @@ object SparkEntry {
         |  WHERE f.vec_id >= 0),
         |cand AS MATERIALIZED (
         |  SELECT doc_id, vec, nrm,
-        |    CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * qn)
-        |         ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS BIGINT) AS rel
+        |    CAST(CASE WHEN dot >= 0 THEN CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(nrm AS HUGEINT) * qn)
+        |         ELSE -(CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(nrm AS HUGEINT) * qn)) END AS BIGINT) AS rel
         |  FROM dv WHERE nrm > 0
         |  ORDER BY rel DESC, doc_id LIMIT 20),
         |pr AS MATERIALIZED (
-        |  SELECT i, j, CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // nn
-        |         ELSE -(dot * dot * 1000000 // nn) END AS BIGINT) AS sim
+        |  SELECT i, j, CAST(CASE WHEN dot >= 0 THEN CAST(dot AS HUGEINT) * dot * 1000000 // nn
+        |         ELSE -(CAST(dot AS HUGEINT) * dot * 1000000 // nn) END AS BIGINT) AS sim
         |  FROM (SELECT a.doc_id AS i, b.doc_id AS j,
         |          CAST(list_dot_product(a.vec, b.vec) AS BIGINT) AS dot,
-        |          a.nrm * b.nrm AS nn
+        |          CAST(a.nrm AS HUGEINT) * b.nrm AS nn
         |        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id)),
         |s1 AS (SELECT doc_id, rel, rel AS mmr_key FROM cand
         |       ORDER BY rel DESC, doc_id LIMIT 1),

@@ -398,6 +398,21 @@ object TextAnalysis {
    * is no shared scan to reuse). Ranks are deterministic: both
    * branches order (score DESC, doc_id) before AND after the cut.
    */
+  /** Integer dense-cosine rank key sign(dot)·⌊dot²·10⁶/(|d|²·|q|²)⌋ over
+    * the `dot`/`nrm` BIGINT columns, computed through DECIMAL(38,0)
+    * intermediates (ADVICE r14): dot ≈ 10⁷ on ~100k-token documents puts
+    * dot²·10⁶ ≈ 10²⁰ past Int64, which Spark silently WRAPS in non-ANSI
+    * mode while the DuckDB oracle (checked 128-bit) does not — a
+    * silently divergent dense rank. 10²⁰ is nowhere near DECIMAL(38,0)'s
+    * ceiling, and `div` on decimals floors to BIGINT exactly like the
+    * all-BIGINT form, so small-norm scores are bit-unchanged. */
+  private[graft] def cosScore(qNrm: Long): Column = {
+    val m = "(CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div " +
+      s"(CAST(nrm AS DECIMAL(38,0)) * $qNrm)"
+    when(col("dot") >= 0, expr(s"CAST($m AS BIGINT)"))
+      .otherwise(-expr(s"CAST($m AS BIGINT)"))
+  }
+
   def hybridRrf(df: DataFrame, idCol: String, textCol: String,
       queryText: String, kEach: Int, k: Int, rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -415,11 +430,7 @@ object TextAnalysis {
       .withColumn("nrm", vec_doti(col("v"), col("v")))
       .filter(col("nrm") > 0)
       .withColumn("dot", vec_doti(col("v"), typedlit(qv.toSeq)))
-      .withColumn("score",
-        when(col("dot") >= 0,
-          expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)"))
-          .otherwise(
-            -expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)")))
+      .withColumn("score", cosScore(qNrm))
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(kEach)
@@ -472,21 +483,22 @@ object TextAnalysis {
       root: String, nBuckets: Int = 32, positions: Boolean = false): Unit = {
     val seg = writeBm25Segment(
       buildPostings(df, idCol, textCol, positions), root, nBuckets)
-    commitSegments(df.sparkSession, root, Seq(seg))
+    commitSegments(df.sparkSession, root, seg.toSeq)
   }
 
   /** Append a batch as a new segment: build postings for the batch
     * alone, publish them under a fresh segment dir, then commit a
     * manifest listing the old segments plus the new one. Returns the
-    * new segment's name. */
+    * new segment's name — None for a batch that tokenizes to nothing
+    * (the manifest recommits unchanged; serving is unaffected). */
   def appendBm25Segment(df: DataFrame, idCol: String, textCol: String,
-      root: String, nBuckets: Int = 32): String = {
+      root: String, nBuckets: Int = 32): Option[String] = {
     val spark = df.sparkSession
     val (old, fence) = liveSegmentsWithFence(spark, root)
     val seg = writeBm25Segment(
       buildPostings(df, idCol, textCol, indexHasPositions(spark, root, old)),
       root, nBuckets)
-    commitSegments(spark, root, old :+ seg, fence,
+    commitSegments(spark, root, old ++ seg.toSeq, fence,
       deletedBm25Docs(spark, root).toSeq)
     seg
   }
@@ -518,7 +530,11 @@ object TextAnalysis {
     val seg = writeBm25Segment(
       buildPostings(df, idCol, textCol, indexHasPositions(spark, root, old)),
       root, nBuckets)
-    commitSegments(spark, root, old :+ seg, Some(batchId),
+    // An empty batch still advances the fence (segments unchanged): the
+    // exactly-once invariant is "highest APPLIED batch id", and an
+    // all-whitespace batch is applied by having nothing to add — the old
+    // post-publish `require` killed the stream instead (ADVICE r14).
+    commitSegments(spark, root, old ++ seg.toSeq, Some(batchId),
       deletedBm25Docs(spark, root).toSeq)
     true
   }
@@ -527,8 +543,22 @@ object TextAnalysis {
     * leftovers from appends that never committed). Live segments —
     * named by any retained version, not just the current one, so
     * time-travel reads keep working — are never touched. Returns the
-    * deleted segment names. */
-  def vacuumBm25Orphans(spark: SparkSession, root: String): Seq[String] = {
+    * deleted segment names.
+    *
+    * CONCURRENCY (ADVICE r14): this sweep is a MAINTENANCE WRITE and
+    * must be serialized with appends/compactions under the same
+    * single-maintenance-writer contract as the appends themselves — an
+    * in-flight append publishes its segment BEFORE the manifest commit,
+    * and a concurrent vacuum would read that window as an orphan,
+    * delete the about-to-be-committed dir, and let the commit publish a
+    * manifest naming a missing segment. Defense in depth for operators
+    * who run it from a separate job anyway: `minAgeMillis` skips dirs
+    * younger than the grace period (default 1 h — far beyond any
+    * publish-to-commit window), so only long-dead crash leftovers are
+    * swept even when the serialization is violated. Pass 0 only from
+    * the maintenance writer itself. */
+  def vacuumBm25Orphans(spark: SparkSession, root: String,
+      minAgeMillis: Long = 3600000L): Seq[String] = {
     import graft.sinks.Versioned
     val named = Versioned.listVersions(spark, root).flatMap { case (v, _) =>
       Versioned.readSmallText(spark,
@@ -539,8 +569,10 @@ object TextAnalysis {
     val segsDir = new org.apache.hadoop.fs.Path(s"$root/segs")
     val fs = segsDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(segsDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val orphans = fs.listStatus(segsDir).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(s => s.isDirectory && s.getModificationTime <= cutoff)
+      .map(_.getPath.getName)
       .filterNot(named)
     orphans.foreach(o => fs.delete(
       new org.apache.hadoop.fs.Path(segsDir, o), true))
@@ -558,7 +590,7 @@ object TextAnalysis {
     import graft.sinks.MergeTable
     val (old, fence) = liveSegmentsWithFence(spark, root)
     val dead = deletedBm25Docs(spark, root)
-    if (old.size <= 1 && dead.isEmpty) return old.size
+    if (old.isEmpty || (old.size <= 1 && dead.isEmpty)) return old.size
     val union = old.map(sg =>
       MergeTable.read(spark, s"$root/segs/$sg/postings"))
       .reduce(_.unionByName(_))
@@ -567,8 +599,11 @@ object TextAnalysis {
       else union.filter(!col("doc_id").isin(dead.toSeq: _*))
     val seg = writeBm25Segment(survivors, root, nBuckets)
     // deletes deliberately NOT carried: the merged segment holds only
-    // survivors and its stats row is exact again — the Lucene merge
-    commitSegments(spark, root, Seq(seg), fence)
+    // survivors and its stats row is exact again — the Lucene merge.
+    // A fully-tombstoned index compacts to an EMPTY segment list (the
+    // documented escape when MaxBm25Tombstones is hit — ADVICE r14);
+    // serves on an empty manifest return empty results.
+    commitSegments(spark, root, seg.toSeq, fence)
     old.size
   }
 
@@ -590,9 +625,12 @@ object TextAnalysis {
   def prefixSearch(spark: SparkSession, root: String,
       prefix: String): DataFrame = {
     import graft.sinks.MergeTable
+    import spark.implicits._
     val p = prefix.toLowerCase.trim
     require(p.nonEmpty, "empty prefix")
     val segs = liveSegments(spark, root)
+    if (segs.isEmpty) // fully-compacted-away index: nothing to probe
+      return Seq.empty[(String, Long, Long)].toDF("tok", "n_docs", "n_occ")
     val posts = segs.map(sg =>
       MergeTable.readRange(spark, s"$root/segs/$sg/postings",
         Some(p), Some(p + "￿")))
@@ -644,26 +682,36 @@ object TextAnalysis {
   }
 
   /** Publish one segment (postings + terms with the stats row) under a
-    * fresh name; no manifest mutation — the caller commits. */
+    * fresh name; no manifest mutation — the caller commits. Returns None
+    * WITHOUT writing anything when the postings are empty (an
+    * all-whitespace micro-batch, a compaction of a fully-tombstoned
+    * index): an empty segment has no stats row to serve and the old code
+    * threw only AFTER publishing the postings table, killing the stream
+    * and stranding an orphan dir (ADVICE r14). Emptiness is checked
+    * FIRST, so the skip is side-effect-free. */
   private def writeBm25Segment(postings: DataFrame, root: String,
-      nBuckets: Int): String = {
+      nBuckets: Int): Option[String] = {
     import graft.sinks.MergeTable
     val spark = postings.sparkSession
     import spark.implicits._
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     val cached = postings.cache()
     try {
-      MergeTable.publish(cached, s"$root/segs/$seg/postings", "tok", nBuckets)
       val st = cached.select(col("doc_id"), col("len")).distinct()
         .agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
       val nDocs = st.getLong(0)
-      require(nDocs > 0, "empty segment (no tokenized docs)")
+      if (nDocs == 0) return None
+      MergeTable.publish(cached, s"$root/segs/$seg/postings", "tok", nBuckets)
       val termStats = cached.groupBy(col("tok"))
-        .agg(count(lit(1)).as("dfc")).withColumn("tot", lit(0L))
+        .agg(count(lit(1)).as("dfc"), max(col("tf")).as("maxtf"),
+          min(col("len")).as("minlen")).withColumn("tot", lit(0L))
         .unionByName(
-          Seq((Bm25StatsKey, nDocs, st.getLong(1))).toDF("tok", "dfc", "tot"))
+          Seq((Bm25StatsKey, nDocs, st.getLong(1), 0L, 0L))
+            .toDF("tok", "dfc", "tot", "maxtf", "minlen"))
+        .select(col("tok"), col("dfc"), col("tot"), col("maxtf"),
+          col("minlen"))
       MergeTable.publish(termStats, s"$root/segs/$seg/terms", "tok", nBuckets)
-      seg
+      Some(seg)
     } finally cached.unpersist()
   }
 
@@ -775,6 +823,8 @@ object TextAnalysis {
     // just reading its segment list (and ITS tombstone set) — index
     // time travel for free, same as MergeTable.readVersion
     val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty) // empty manifest (all docs compacted away)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
     val tRows = segs.flatMap(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
@@ -837,6 +887,9 @@ object TextAnalysis {
     }
     val allTerms = qTerms.map(_._2).distinct
     val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Int, Long, Long)]
+        .toDF("query_id", "rank", "doc_id", "score")
     val keyDf = (allTerms :+ Bm25StatsKey).toDF("tok")
     val tRows = segs.flatMap(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
@@ -898,6 +951,8 @@ object TextAnalysis {
       .filter(_.nonEmpty).toSeq
     require(terms.length >= 2, "phrase needs at least two tokens")
     val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "n_matches")
     val posts = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
         terms.distinct.toDF("tok"))).reduce(_.unionByName(_))
@@ -958,6 +1013,8 @@ object TextAnalysis {
     require(a.nonEmpty && b.nonEmpty && a != b,
       "nearSearch needs two distinct terms")
     val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "n_pairs")
     val posts = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
         Seq(a, b).toDF("tok"))).reduce(_.unionByName(_))
@@ -1057,11 +1114,7 @@ object TextAnalysis {
       .withColumn("nrm", vec_doti(col("v"), col("v")))
       .filter(col("nrm") > 0)
       .withColumn("dot", vec_doti(col("v"), typedlit(qv.toSeq)))
-      .withColumn("rel",
-        when(col("dot") >= 0,
-          expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)"))
-          .otherwise(
-            -expr(s"CAST(dot * dot * 1000000 div (nrm * $qNrm) AS BIGINT)")))
+      .withColumn("rel", cosScore(qNrm))
       .select(col("doc_id"), col("v"), col("nrm"), col("rel"))
       .orderBy(col("rel").desc, col("doc_id"))
       .limit(nCand)

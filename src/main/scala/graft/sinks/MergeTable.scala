@@ -140,7 +140,21 @@ object MergeTable {
         Some(((s: String) => s.toLong,
           (a: Any, b: Any) => java.lang.Long.compare(
             a.asInstanceOf[Long], b.asInstanceOf[Long])))
-      case FloatType | DoubleType =>
+      // FloatType zones were written from Float.toString (the shortest
+      // string that round-trips to the SAME float) — parse them back
+      // through the FLOAT domain and only then widen, so the stored
+      // bound equals the file's true min/max exactly. Parsing straight
+      // to double ("0.1".toDouble = 0.1d ≠ 0.1f.toDouble =
+      // 0.10000000149d) made a file whose max EQUALS the query's lower
+      // bound prunable — dropping rows, violating the zones-only-skip-
+      // work contract (ADVICE r14 medium). Query bounds widen exactly
+      // (Float.toDouble is lossless), so comparing in double is safe
+      // once the zone string round-trips through toFloat.
+      case FloatType =>
+        Some(((s: String) => s.toFloat.toDouble,
+          (a: Any, b: Any) => java.lang.Double.compare(
+            a.asInstanceOf[Double], b.asInstanceOf[Double])))
+      case DoubleType =>
         Some(((s: String) => s.toDouble,
           (a: Any, b: Any) => java.lang.Double.compare(
             a.asInstanceOf[Double], b.asInstanceOf[Double])))

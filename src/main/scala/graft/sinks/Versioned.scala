@@ -54,6 +54,20 @@ object Versioned {
     * healed by the next commit's repair step. */
   val CommittedMarker = "_committed"
 
+  /** Monotonic commit sequence file dropped INSIDE a version dir at
+    * commit time (ADVICE r14): version names are UUIDs and dir mtime has
+    * filesystem granularity, so two micro-batch commits inside one mtime
+    * tick used to tie-break on the random name — mis-ordering
+    * `versionForBatch`'s oldest-version-with-this-batch-id resolution
+    * and, through it, the CDC→rollup delta. The sequence is an explicit
+    * publish-order marker: each commit writes predecessor-seq + 1
+    * (publishes are serial under the single-maintenance-writer contract,
+    * so the read-increment-write has no race to lose). listVersions
+    * orders seq-carrying versions by seq; legacy dirs (pre-seq commits)
+    * sort after them by the old (-mtime, name) rule — correct, because
+    * any seq-carrying version postdates every seq-less one on a root. */
+  val CommitSeq = "_seq"
+
   /** Marker-discipline epoch file beside `_current` (ADVICE r13 medium):
     * version dirs written BEFORE the marker scheme existed carry no
     * `_committed` marker, and reading them as orphans would silently
@@ -196,6 +210,24 @@ object Versioned {
       val prevDir = new Path(rootP, prev)
       if (fs.exists(prevDir)) markCommitted(fs, prevDir)
     }
+    // Publish-order sequence (see CommitSeq): predecessor's seq + 1,
+    // falling back to a one-time scan for the max on legacy roots (or
+    // when the live version predates seq discipline). Written BEFORE the
+    // pointer swap: a crash here leaves an orphan carrying a seq, which
+    // is invisible to listVersions (no marker, not the pointer target)
+    // and at worst pushes the next commit's seq past a gap — order, not
+    // density, is the contract.
+    val nextSeq = 1L + currentVersion(spark, root)
+      .flatMap(p => commitSeqOf(spark, new Path(rootP, p)))
+      .getOrElse {
+        fs.listStatus(rootP).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+          .flatMap(s => commitSeqOf(spark, s.getPath))
+          .maxOption.getOrElse(0L)
+      }
+    val seqOut = fs.create(new Path(new Path(rootP, version), CommitSeq), true)
+    try seqOut.write(s"$nextSeq\n".getBytes(StandardCharsets.UTF_8))
+    finally seqOut.close()
     atomicOverwrite(spark, new Path(rootP, Pointer),
       (version + "\n").getBytes(StandardCharsets.UTF_8))
     // After the swap: a crash before this line leaves the marker missing
@@ -203,6 +235,11 @@ object Versioned {
     // treats as committed; the next commit's repair step persists it.
     markCommitted(fs, new Path(rootP, version))
   }
+
+  /** The commit sequence of a version dir, None for pre-seq commits. */
+  private def commitSeqOf(spark: SparkSession, versionDir: Path): Option[Long] =
+    readSmallText(spark, new Path(versionDir, CommitSeq))
+      .flatMap(_.trim.toLongOption)
 
   private def markCommitted(fs: FileSystem, versionDir: Path): Unit = {
     val m = new Path(versionDir, CommittedMarker)
@@ -420,13 +457,11 @@ object Versioned {
   /** All retained COMMITTED version dirs, NEWEST first — orphan dirs
     * from a crashed publish (no `_committed` marker and not the pointer
     * target) are excluded so AS-OF resolution never serves data that was
-    * never live (ADVICE r12). Version names are UUIDs
-    * (no embedded order), so the filesystem modification time of each
-    * version dir is the timeline — adequate for the single-maintenance-
-    * writer contract, where publishes are serial by definition. Same-tick
-    * mtimes (coarse-granularity filesystems) tiebreak on the name, which
-    * keeps the listing deterministic even where it cannot be
-    * chronological; the LIVE version is always `currentVersion`, never
+    * never live (ADVICE r12). Ordering is the explicit [[CommitSeq]]
+    * publish sequence where present (ADVICE r14 — immune to mtime
+    * granularity ties that the old (-mtime, name) rule broke on random
+    * UUID names); seq-less legacy dirs sort after all seq-carrying ones
+    * by the old rule. The LIVE version is always `currentVersion`, never
     * this ordering. */
   def listVersions(spark: SparkSession, root: String): Seq[(String, Long)] = {
     val rootP = new Path(root)
@@ -442,8 +477,16 @@ object Versioned {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
       .filter(s => legacy || live.contains(s.getPath.getName) ||
         fs.exists(new Path(s.getPath, CommittedMarker)))
-      .map(s => (s.getPath.getName, s.getModificationTime))
-      .sortBy { case (name, mtime) => (-mtime, name) }
+      .map(s => (s.getPath.getName, s.getModificationTime,
+        commitSeqOf(spark, s.getPath)))
+      // seq-carrying versions first, newest (highest seq) leading — the
+      // explicit publish order (ADVICE r14); seq-less legacy dirs after
+      // them under the old (-mtime, name) rule. Any seq-carrying version
+      // postdates every seq-less one on a root (seq writing started with
+      // this code), so the two regimes never interleave.
+      .sortBy { case (name, mtime, seq) =>
+        (seq.isEmpty, -seq.getOrElse(0L), -mtime, name) }
+      .map { case (name, mtime, _) => (name, mtime) }
   }
 
   /** The retained version that was LIVE at `ts` (epoch millis): the

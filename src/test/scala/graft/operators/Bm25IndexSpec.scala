@@ -158,7 +158,7 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       docs.filter(col("doc_id") > 30), "doc_id", "text", root, batchId = 1L),
       "compaction must carry the batch fence forward")
     // vacuum removes exactly the crashed orphan; serves are unchanged
-    val swept = TextAnalysis.vacuumBm25Orphans(spark, root)
+    val swept = TextAnalysis.vacuumBm25Orphans(spark, root, minAgeMillis = 0L)
     assert(swept == Seq("seg-crashed"), swept.toString)
     val after = TextAnalysis.bm25ServeTopK(spark, root,
       "rare table zzz", k = 10).collect().map(_.toString)
@@ -380,7 +380,7 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       k = 10).collect().map(_.toString)
     assert(served20.sameElements(direct20),
       "a rejected append must leave the old index serving")
-    val swept = TextAnalysis.vacuumBm25Orphans(spark, root)
+    val swept = TextAnalysis.vacuumBm25Orphans(spark, root, minAgeMillis = 0L)
     assert(swept.size == 1, swept.toString)
     // the retry (fresh CAS) lands and the union serves
     TextAnalysis.appendBm25Segment(batch, "doc_id", "text", root,
@@ -411,5 +411,46 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     val n = MergeTable.read(spark, s"$root/segs/$seg/terms")
       .filter(col("tok") === TextAnalysis.Bm25StatsKey).count()
     assert(n == 1L)
+  }
+
+  test("empty micro-batch advances the fence without publishing; all-dead compaction commits an empty index (ADVICE r14)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25empty").toString
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 2)
+    val segsBefore = TextAnalysis.liveSegments(spark, root)
+    // an all-whitespace batch tokenizes to zero postings: the old code
+    // published the postings table and THEN threw, killing the stream and
+    // stranding an orphan dir — now the publish is skipped entirely and
+    // the exactly-once fence still advances
+    val ws = Seq((3L, "   \t  ")).toDF("doc_id", "text")
+    assert(TextAnalysis.appendBm25SegmentExactlyOnce(
+      ws, "doc_id", "text", root, batchId = 7L))
+    assert(TextAnalysis.liveSegments(spark, root) == segsBefore,
+      "empty batch must not add a segment")
+    // fence advanced: redelivery is a no-op
+    assert(!TextAnalysis.appendBm25SegmentExactlyOnce(
+      ws, "doc_id", "text", root, batchId = 7L))
+    // no orphan dir was written
+    val segDirs = new java.io.File(s"$root/segs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segDirs == segsBefore.toSet, s"orphan left behind: $segDirs")
+    // serving is unchanged
+    assert(TextAnalysis.bm25ServeTopK(spark, root, "beta", 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // tombstone EVERY doc, then compact (the documented MaxBm25Tombstones
+    // escape): the merge survives nothing — the manifest commits an EMPTY
+    // segment list instead of throwing, and every serve returns empty
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(1L, 2L))
+    assert(TextAnalysis.compactBm25Index(spark, root, nBuckets = 2) == 1)
+    assert(TextAnalysis.liveSegments(spark, root).isEmpty)
+    assert(TextAnalysis.bm25ServeTopK(spark, root, "beta", 10).count() == 0)
+    assert(TextAnalysis.prefixSearch(spark, root, "be").count() == 0)
+    // and the index is still appendable after the wipe
+    TextAnalysis.appendBm25Segment(
+      Seq((9L, "beta delta")).toDF("doc_id", "text"), "doc_id", "text",
+      root, nBuckets = 2)
+    assert(TextAnalysis.bm25ServeTopK(spark, root, "beta", 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 }

@@ -1051,4 +1051,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(out(1)._4 == rel3 - sim, s"${out(1)._4} != $rel3 - $sim")
   }
+
+  test("dense cosine rank key survives high-norm docs without Int64 wrap (ADVICE r14)") {
+    import spark.implicits._
+    // dot = 1e7 (a ~100k-token doc against a long query): dot²·10⁶ = 10²⁰
+    // exceeds Long.MaxValue — the previous all-BIGINT expression wrapped
+    // silently in non-ANSI mode while the DuckDB oracle did not. The
+    // DECIMAL(38,0) route must match the BigInt reference exactly, for
+    // high and low norms, both signs.
+    val qNrm = 20000000L
+    val df = Seq((1L, 10000000L, 20000000L), (2L, 3L, 5L),
+      (3L, -10000000L, 20000000L), (4L, -7L, 11L))
+      .toDF("doc_id", "dot", "nrm")
+    def ref(dot: Long, nrm: Long): Long = {
+      val m = (BigInt(dot) * dot * 1000000) / (BigInt(nrm) * qNrm)
+      (if (dot >= 0) m else -m).toLong
+    }
+    val got = df.withColumn("score", TextAnalysis.cosScore(qNrm))
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (dot, nrm, score) =>
+      assert(score == ref(dot, nrm),
+        s"dot=$dot nrm=$nrm: got $score want ${ref(dot, nrm)}")
+    }
+    assert(got(0)._3 == 250000L, "sanity: the high-norm row's exact score")
+  }
 }

@@ -530,4 +530,27 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
       "zone-less manifest must scan everything")
     assert(collectSorted(MergeTable.readRange(spark, root, Some(0L), None)) == reference())
   }
+
+  test("zone maps on FLOAT keys round-trip exactly: a bound equal to a file's max never prunes it (ADVICE r14)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_zonef_").toString + "/t"
+    // 0.1f.toDouble = 0.10000000149…d, but Float.toString writes "0.1" —
+    // parsing the stored zone straight to double made a file whose max IS
+    // 0.1f compare BELOW the exactly-widened query bound and get pruned,
+    // silently dropping matching rows. The parser now routes float zones
+    // back through the float domain, so the round-trip is exact.
+    val df = Seq((0.025f, 1L), (0.05f, 2L), (0.075f, 3L), (0.1f, 4L),
+      (0.3f, 5L), (0.7f, 6L)).toDF("k", "id")
+    MergeTable.publish(df, root, "k", nBuckets = 4)
+    val exact = MergeTable.readRange(spark, root, Some(0.1f), Some(0.1f))
+      .collect()
+    assert(exact.length == 1 && exact.head.getLong(1) == 4L,
+      s"bound == file max must not prune: got ${exact.length} rows")
+    val ge = MergeTable.readRange(spark, root, Some(0.1f), None)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(ge == Seq(4L, 5L, 6L))
+    // and the zones still PRUNE where they should: a band past the data
+    assert(MergeTable.rangeFiles(spark, root, Some(10.0f), None).isEmpty ||
+      MergeTable.readRange(spark, root, Some(10.0f), None).count() == 0)
+  }
 }

@@ -368,4 +368,25 @@ class VersionedSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Versioned.readVersion(spark, root, v1))
     assert(Versioned.listVersions(spark, root).map(_._1) == Seq(v2))
   }
+
+  test("listVersions orders by the explicit commit sequence, immune to mtime ties (ADVICE r14)") {
+    val root = freshRoot()
+    import spark.implicits._
+    val names = (1 to 4).map(i =>
+      Versioned.writeVersioned(Seq(i.toLong).toDF("x"), root))
+    // force IDENTICAL mtimes on every version dir — the coarse-mtime
+    // filesystem worst case, where the old (-mtime, name) rule
+    // degenerated to random-UUID name order and could mis-resolve
+    // versionForBatch's oldest-version-with-batch-id (and through it the
+    // CDC→rollup delta pair)
+    val now = (System.currentTimeMillis() / 1000L) * 1000L
+    names.foreach { v =>
+      assert(new java.io.File(s"$root/$v").setLastModified(now)) }
+    val listed = Versioned.listVersions(spark, root).map(_._1)
+    assert(listed == names.reverse,
+      s"expected newest-first commit order ${names.reverse}, got $listed")
+    // seq survives further commits after the tie
+    val v5 = Versioned.writeVersioned(Seq(5L).toDF("x"), root)
+    assert(Versioned.listVersions(spark, root).map(_._1).head == v5)
+  }
 }

@@ -172,6 +172,15 @@ object Bench {
       } catch { case _: Throwable => "{}" }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sec_per_query":$perQ,"reps":$reps,"bench_start_ms":$benchStartMs,"bench_end_ms":${System.currentTimeMillis()},"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"queries":$qs,"queries_raw":$raw,"queries_rep_meta":$meta,"adjudicated":$adjudicated,"sf":"$sfDir"}"""
     println(json)
+    // The full artifact above can exceed a line-oriented tail window
+    // (~29 KB with per-query raw series and the adjudication ledger),
+    // which left the driver's `parsed` null two rounds running (VERDICT
+    // r14 #2/#5). Emit a SHORT summary as the VERY LAST stdout line —
+    // totals + failure list only, always well under 1 KB — so any
+    // last-line JSON parser gets structured content; per-query detail
+    // stays in the full line above and in BENCH_LAST.json.
+    val short = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sec_per_query":$perQ,"reps":$reps,"detail":"BENCH_LAST.json","sf":"$sfDir"}"""
+    println(short)
     // sbt decorates stdout with an "[info] " prefix that can defeat a
     // line-oriented JSON parser — leave the raw line as a file artifact
     // too. BUT only a full-suite run may update the committed record:

@@ -1075,4 +1075,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got(0)._3 == 250000L, "sanity: the high-norm row's exact score")
   }
+
+  test("bm25 idf large-N guard: scores provably fit Int64 at N = 2e10 (> 2^31), identity at small N (VERDICT r14)") {
+    // small corpora: shift 0 — bit-identical to the unguarded ratio,
+    // which is why every committed oracle replays unchanged
+    val small = TextAnalysis.bm25Idf(40L, Map("rare" -> 8L, "common" -> 40L),
+      Seq("rare", "common", "zzz"))
+    assert(small == Seq(
+      ("rare", (BigInt(40 - 8 + 1) * 10000 / 9).toLong),
+      ("common", (BigInt(1) * 10000 / 41).toLong),
+      ("zzz", (BigInt(41) * 10000 / 1).toLong)))
+    // 100-TB shape: N = 2·10¹⁰ docs, a 20-term query of rare terms —
+    // raw Σidf·22000 ≈ 10¹⁹ would wrap Int64 (silently, in non-ANSI
+    // mode); the guard must rescale so the worst-case score fits
+    val n = 20000000000L
+    val terms = (1 to 20).map(i => s"t$i")
+    val dfc = terms.map(t => t -> 3L).toMap
+    val guarded = TextAnalysis.bm25Idf(n, dfc, terms)
+    val rawIdf = BigInt(n - 3 + 1) * 10000 / 4
+    assert(rawIdf * 20 * 22000 > BigInt(Long.MaxValue),
+      "precondition: the unguarded sum must overflow for this test to bite")
+    assert(guarded.forall(_._2 > 0), "rescale must not zero the idf table")
+    val worst = guarded.map(v => BigInt(v._2)).sum * 22000
+    assert(worst <= BigInt(Long.MaxValue),
+      s"worst-case score $worst still exceeds Int64")
+    // the shared shift preserves relative order across mixed df terms
+    val mixed = TextAnalysis.bm25Idf(n, Map("rare" -> 2L, "mid" -> 1000000L,
+      "common" -> 4000000000L), Seq("rare", "mid", "common"))
+    assert(mixed(0)._2 > mixed(1)._2 && mixed(1)._2 > mixed(2)._2)
+  }
 }

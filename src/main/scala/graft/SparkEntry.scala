@@ -336,7 +336,7 @@ object SparkEntry {
   /** Build-once gate for the segmented BM25 index over documents
     * (shared by bm25_served / bm25_batch_served / hybrid_rrf_served). */
   private def ensureBm25Index(s: SparkSession, dir: String): String = {
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v2_" +
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v3_" +
       fsTag(s, dir, "documents.parquet")
     if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
       val p = new org.apache.hadoop.fs.Path(idx)
@@ -2366,6 +2366,19 @@ object SparkEntry {
     // before it leaves the index unbuilt → serve fails loudly)
     "bm25_served" -> ((s, dir) => {
       TextAnalysis.bm25ServeTopK(s, ensureBm25Index(s, dir),
+        "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // the same serve through MaxScore early termination (VERDICT r14
+    // #3): per-term impact upper bounds from the terms table's
+    // (maxtf, minlen) stats, essential-prefix partial scoring, suffix
+    // postings semi-joined to candidates only. Provably identical
+    // top-k (it falls back to full scoring when the bound can't be
+    // met), so the bm25_served oracle applies verbatim — which is the
+    // point: the optimization must be invisible to results
+    "bm25_maxscore_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeTopKMaxScore(s, ensureBm25Index(s, dir),
         "dup sort query zzz", k = 15)
         .orderBy(col("score").desc, col("doc_id"))
     }),
@@ -6867,6 +6880,10 @@ object SparkEntry {
     // all recomputed from the same corpus), so the direct query's
     // oracle applies verbatim
     "bm25_served" -> Bm25TopkSql,
+
+    // MaxScore early termination is result-invariant by construction —
+    // the full-scoring oracle applies verbatim
+    "bm25_maxscore_served" -> Bm25TopkSql,
     "bm25_appended" -> Bm25TopkSql,
     "bm25_compacted" -> Bm25TopkSql,
     "bm25_stream_ingest" -> Bm25TopkSql,

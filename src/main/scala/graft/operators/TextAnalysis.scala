@@ -888,6 +888,144 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** What a MaxScore serve actually did — read via [[lastMaxScoreAudit]]
+    * after a serve with [[auditMaxScore]] enabled (the spec/IO pin; the
+    * counts cost extra jobs, so they are off by default). */
+  final case class MaxScoreAudit(
+      nTerms: Int, nEssential: Int, pruned: Boolean,
+      theta: Long, suffixUb: Long, candidateDocs: Long,
+      suffixRowsTotal: Long, suffixRowsScored: Long)
+  @volatile private[graft] var auditMaxScore: Boolean = false
+  @volatile private[graft] var lastMaxScoreAudit: Option[MaxScoreAudit] = None
+
+  /** The exact integer BM25 term weight for one (tf, len) — the scalar
+    * twin of the scoring SQL, used for per-term impact upper bounds. */
+  private def bm25W(tf: Long, len: Long, avg1000: Long): Long = {
+    val norm1000 = 250L + (750L * len * 1000L) / avg1000
+    (tf * 2200L * 10000L) / (tf * 1000L + (1200L * norm1000) / 1000L)
+  }
+
+  /**
+   * BM25 top-k serve with MaxScore-style early termination (Turtle &
+   * Flood 1995; the Lucene `WAND`/`MaxScore` family): identical results
+   * to [[bm25ServeTopK]], but docs that provably cannot reach the top-k
+   * are never scored. Per-term impact upper bounds come from the terms
+   * table's (maxtf, minlen) columns — w is monotone increasing in tf
+   * and decreasing in len, so ub_t = idf_t·w(maxtf_t, minlen_t) bounds
+   * any posting's contribution.
+   *
+   * The batch-engine adaptation: terms sort by ub descending; an
+   * ESSENTIAL prefix is grown (1, 2, 4, …) until the kth-best PARTIAL
+   * score θ over prefix postings strictly exceeds the suffix's summed
+   * upper bound. θ lower-bounds the true kth-best final score (adding
+   * terms only raises scores), and a doc containing NO essential term
+   * scores ≤ Σ suffix ub < θ — strictly below the final kth, so it can
+   * never enter the top-k under any tie-break. Suffix postings are then
+   * scored ONLY for candidate docs (a semi-join against the prefix's
+   * doc set), which is where the saving lands at scale: a low-impact
+   * common term's millions of postings rows drop out of the aggregate
+   * and its shuffle, the serve-side analogue of Lucene skipping
+   * non-competitive doc ranges. When no prefix satisfies the bound (or
+   * the index predates the maxtf/minlen stats), falls back to the full
+   * serve — never worse than exact scoring, never different from it.
+   */
+  def bm25ServeTopKMaxScore(spark: SparkSession, root: String,
+      queryText: String, k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    lastMaxScoreAudit = None
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val termRows = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+    val dfc = termRows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    val idfMap = bm25Idf(nDocs, dfc.toMap, terms).toMap
+    // impact bounds need the stats columns on EVERY segment; a legacy
+    // (pre-maxtf/minlen) segment in the mix disables the optimization
+    val statsReady = termRows.forall(r =>
+      r.length >= 5 && !r.isNullAt(3) && !r.isNullAt(4))
+    val present = terms.filter(dfc.contains) // terms with any postings
+    if (!statsReady || present.size <= 1)
+      return bm25ServeTopK(spark, root, queryText, k, asOf)
+    val ub: Map[String, Long] = termRows.groupBy(_.getString(0)).map {
+      case (t, rs) =>
+        t -> idfMap(t) * bm25W(rs.map(_.getLong(3)).max,
+          rs.map(_.getLong(4)).min, avg1000)
+    }
+    val ordered = present.sortBy(t => (-ub(t), t))
+    val dead = deletedBm25Docs(spark, root, asOf)
+    def aliveOf(df: DataFrame): DataFrame =
+      if (dead.isEmpty) df
+      else df.filter(!col("doc_id").isin(dead.toSeq: _*))
+    def postingsOf(ts: Seq[String]): DataFrame =
+      aliveOf(segs.map(sg =>
+        MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+          ts.toDF("tok"))).reduce(_.unionByName(_)))
+    def scored(posts: DataFrame, ts: Seq[String]): DataFrame =
+      posts.join(broadcast(
+          ts.map(t => (t, idfMap(t))).toDF("tok", "idf")), "tok")
+        .withColumn("norm1000",
+          lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+        .withColumn("w",
+          expr("(tf * 2200 * 10000) div " +
+            "(tf * 1000 + (1200 * norm1000) div 1000)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("idf") * col("w")).as("score"))
+    // grow the essential prefix; each attempt is one bounded Spark job
+    // (top-k collect over prefix postings), attempts ≤ log₂|q|
+    var j = 1
+    while (j < ordered.size) {
+      val prefix = ordered.take(j)
+      val suffix = ordered.drop(j)
+      val suffUb = suffix.map(ub).sum
+      // no cache: the θ probe and the final job each re-read the
+      // prefix's bucket-pruned postings — two cheap pruned reads beat
+      // pinning executor memory for a serve
+      val prefixPosts = postingsOf(prefix)
+      val topPartial = scored(prefixPosts, prefix)
+        .orderBy(col("score").desc, col("doc_id")).limit(k).collect()
+      if (topPartial.length == k && suffUb < topPartial.last.getLong(1)) {
+        val theta = topPartial.last.getLong(1)
+        val candidates = prefixPosts.select(col("doc_id")).distinct()
+        val suffixPosts = postingsOf(suffix)
+        val restricted = suffixPosts
+          .join(candidates, Seq("doc_id"), "left_semi")
+        if (auditMaxScore)
+          lastMaxScoreAudit = Some(MaxScoreAudit(
+            nTerms = ordered.size, nEssential = j, pruned = true,
+            theta = theta, suffixUb = suffUb,
+            candidateDocs = candidates.count(),
+            suffixRowsTotal = suffixPosts.count(),
+            suffixRowsScored = restricted.count()))
+        // candidate docs carry ALL their postings rows (prefix ones by
+        // definition, suffix ones via the semi-join), so their scores
+        // are exact; non-candidates were proven non-competitive
+        return scored(prefixPosts.unionByName(restricted), ordered)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(k)
+      }
+      j = math.min(j * 2, ordered.size)
+    }
+    if (auditMaxScore)
+      lastMaxScoreAudit = Some(MaxScoreAudit(ordered.size, ordered.size,
+        pruned = false, 0L, 0L, 0L, 0L, 0L))
+    bm25ServeTopK(spark, root, queryText, k, asOf)
+  }
+
   /**
    * Batch retrieval: score MANY queries in ONE pass over the index —
    * the production batch-inference shape (nightly eval sets, RAG

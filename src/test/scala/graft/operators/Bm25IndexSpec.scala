@@ -453,4 +453,60 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(TextAnalysis.bm25ServeTopK(spark, root, "beta", 10)
       .collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
+
+  test("MaxScore serve: identical to full scoring; pruned path skips non-candidate suffix postings (VERDICT r14 #3)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25maxscore").toString
+    // engineered so the bound trips: "needle" is rare (5 docs, huge idf)
+    // and "hay" is everywhere with tf=1 in long docs (tiny impact bound)
+    val docs = (1L to 400L).map { i =>
+      val needle = if (i <= 5) " needle" else ""
+      val pad = Seq.fill(25)("pad").mkString(" ")
+      (i, s"hay $pad$needle")
+    }.toDF("doc_id", "text")
+    // two segments, so per-term bounds merge across segments
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 200),
+      "doc_id", "text", root, nBuckets = 4)
+    TextAnalysis.appendBm25Segment(docs.filter(col("doc_id") > 200),
+      "doc_id", "text", root, nBuckets = 4)
+    TextAnalysis.auditMaxScore = true
+    try {
+      val full = TextAnalysis.bm25ServeTopK(spark, root, "needle hay", 3)
+        .collect().map(_.toString).toSeq
+      val ms = TextAnalysis.bm25ServeTopKMaxScore(
+        spark, root, "needle hay", 3).collect().map(_.toString).toSeq
+      assert(ms == full, s"maxscore=$ms full=$full")
+      val audit = TextAnalysis.lastMaxScoreAudit.get
+      assert(audit.pruned, s"the engineered corpus must trip the bound: $audit")
+      assert(audit.nEssential == 1 && audit.nTerms == 2)
+      assert(audit.candidateDocs == 5,
+        s"only the needle docs are candidates: $audit")
+      assert(audit.suffixRowsTotal == 400 && audit.suffixRowsScored == 5,
+        s"the hay postings must be semi-join-pruned to candidates: $audit")
+      assert(audit.suffixUb < audit.theta)
+      // two common terms still prune (the saturated-tf term bounds the
+      // other) — exactness holds even when every doc is a candidate
+      val q2 = "hay pad"
+      val full2 = TextAnalysis.bm25ServeTopK(spark, root, q2, 10)
+        .collect().map(_.toString).toSeq
+      val ms2 = TextAnalysis.bm25ServeTopKMaxScore(spark, root, q2, 10)
+        .collect().map(_.toString).toSeq
+      assert(ms2 == full2)
+      // a single present term cannot split into essential/suffix:
+      // clean fallback to the full serve, no audit recorded
+      val ms3 = TextAnalysis.bm25ServeTopKMaxScore(spark, root, "hay", 10)
+        .collect().map(_.toString).toSeq
+      val full3 = TextAnalysis.bm25ServeTopK(spark, root, "hay", 10)
+        .collect().map(_.toString).toSeq
+      assert(ms3 == full3)
+      assert(TextAnalysis.lastMaxScoreAudit.isEmpty)
+      // tombstones respected on both paths
+      TextAnalysis.deleteBm25Docs(spark, root, Seq(1L))
+      val fullD = TextAnalysis.bm25ServeTopK(spark, root, "needle hay", 3)
+        .collect().map(_.toString).toSeq
+      val msD = TextAnalysis.bm25ServeTopKMaxScore(
+        spark, root, "needle hay", 3).collect().map(_.toString).toSeq
+      assert(msD == fullD && !msD.exists(_.contains("[1,")))
+    } finally TextAnalysis.auditMaxScore = false
+  }
 }

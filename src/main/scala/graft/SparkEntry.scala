@@ -350,14 +350,18 @@ object SparkEntry {
   /** Build-once gate for the feature-hash IVF index over documents
     * (shared by doc_search_served / hybrid_rrf_served). Returns
     * (indexPath, registryKey). */
-  private def ensureFhIvfIndex(s: SparkSession, dir: String): (String, String) = {
+  private[graft] def ensureFhIvfIndex(s: SparkSession, dir: String): (String, String) = {
     graft.functions.HashFunctions.register(s)
     // the serve path (vec_cosine) needs these even when the build is
     // skipped by the ready marker — writeIvfIndex registered them as a
     // side effect on cold runs only
     graft.functions.VectorFunctions.register(s)
     val ik = s"fh64search:${corpusStamp(s, dir, "documents.parquet")}"
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_fhivf_v1_" +
+    // v2: the index also stores per-row PQ codes (pqM = 8), so the SAME
+    // dir serves exact-cosine (doc_search_served), ADC, and the
+    // two-stage ADC→exact rerank (doc_search_reranked / the
+    // hybrid_rrf_served dense branch) — build once, serve all modes
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_fhivf_v2_" +
       fsTag(s, dir, "documents.parquet")
     val marker = new org.apache.hadoop.fs.Path(
       s"$idx/${Similarity.ReadyMarker}")
@@ -365,7 +369,8 @@ object SparkEntry {
     if (!mfs.exists(marker)) {
       val fh = t(s, dir, "documents").select(col("doc_id").as("vec_id"),
         graft.functions.HashFunctions.feature_hash(col("text"), 64).as("vec"))
-      Similarity.writeIvfIndex(fh, "vec_id", "vec", idx, indexKey = ik)
+      Similarity.writeIvfIndex(fh, "vec_id", "vec", idx, indexKey = ik,
+        pqM = Some(8))
     }
     (idx, ik)
   }
@@ -1537,6 +1542,22 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // the dense text serve THROUGH the two-stage PQ rerank (VERDICT r14
+    // #4): ADC shortlists candC docs from the probed cells' stored PQ
+    // codes, then the exact int8 cosine re-ranks only the shortlist —
+    // the best dense ranking the index can produce at bounded probe
+    // cost, over the SAME materialized index as doc_search_served
+    "doc_search_reranked" -> ((s, dir) => {
+      val qText = "table scan hash probe window sort"
+      val (idx, ik) = ensureFhIvfIndex(s, dir)
+      import s.implicits._
+      val qv = graft.functions.HashFunctions.featureHash(qText, 64)
+      val qdf = Seq((-1L, qv.toSeq)).toDF("vec_id", "vec")
+      Similarity.pqTopKReranked(s, idx, qdf, "vec_id", "vec", k = 10,
+        indexKey = ik, candC = 30, nProbe = 8)
+        .orderBy(col("rank"))
+    }),
+
     // the retrieval capstone: BOTH branches from materialized indexes —
     // BM25 postings serve + feature-hash IVF serve, fused by the same
     // integer RRF as hybrid_rrf. The dense branch is the APPROXIMATE
@@ -1554,8 +1575,11 @@ object SparkEntry {
       val wl = Window.orderBy(col("score").desc, col("doc_id"))
       val lexR = lex.select(col("doc_id"),
         row_number().over(wl).as("r_lex"))
-      val denR = Similarity.ivfTopKServed(s, denIdx, qdf, "vec_id", "vec",
-        k = 15, indexKey = ik, nProbe = 8)
+      // dense branch upgraded to the two-stage ADC→exact-int8 rerank
+      // (VERDICT r14 #4): the capstone fuses the BEST dense ranking the
+      // materialized index can produce, at the same bounded probe cost
+      val denR = Similarity.pqTopKReranked(s, denIdx, qdf, "vec_id", "vec",
+        k = 15, indexKey = ik, candC = 30, nProbe = 8)
         .select(col("neighbor_id").as("doc_id"),
           col("rank").cast("int").as("r_dense"))
       lexR.join(denR, Seq("doc_id"), "full_outer")
@@ -4267,11 +4291,10 @@ object SparkEntry {
          |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) dims
          |  GROUP BY co.j, co.c, dims.i),
          |cb$it AS (
-         |  SELECT p.j, p.c,
-         |    CASE WHEN count(u.s) = 0 THEN p.cv
-         |         ELSE list(u.s // u.n ORDER BY u.i) END AS cv
-         |  FROM $prev p LEFT JOIN u$it u USING (j, c)
-         |  GROUP BY p.j, p.c, p.cv)""".stripMargin
+         |  SELECT p.j, p.c, coalesce(uu.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT j, c, list(s // n ORDER BY i) AS cv
+         |    FROM u$it GROUP BY j, c) uu USING (j, c))""".stripMargin
     }.mkString(",\n")
     s"""$iterCtes,
        |subd AS (
@@ -4338,7 +4361,10 @@ object SparkEntry {
   private def annPqServedSql(stride: Int = 20, iters: Int = 3,
       m: Int = 8, sub: Int = 8, nProbe: Int = 3, k: Int = 3,
       trainWhere: String = "TRUE", deleteWhere: String = "FALSE",
-      rerankC: Option[Int] = None): String = {
+      rerankC: Option[Int] = None,
+      embSql: String =
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      queryWhere: String = "vec_id < 20"): String = {
     def sl(e: String, j: String) = pqSliceSql(e, j, sub)
     // with rerankC: the two-stage tail replaying pqTopKReranked — ADC
     // shortlists candC pairs per query, the exact int8 squared L2 (CTE
@@ -4376,9 +4402,7 @@ object SparkEntry {
            |FROM rranked WHERE rank <= $k
            |ORDER BY query_id, rank""".stripMargin
     }
-    s"""WITH ${ivfTrainCtes(
-          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
-          stride, iters, trainWhere)},
+    s"""WITH ${ivfTrainCtes(embSql, stride, iters, trainWhere)},
        |fa AS (
        |  SELECT x.vec_id, ci.c,
        |    row_number() OVER (PARTITION BY x.vec_id
@@ -4386,7 +4410,7 @@ object SparkEntry {
        |  FROM q x CROSS JOIN c$iters ci),
        |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa
        |  WHERE rn = 1 AND NOT ($deleteWhere)),
-       |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND vec_id < 20),
+       |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND ($queryWhere)),
        |cb0 AS (
        |  SELECT js.j, sd.c, ${sl("sd.cv", "js.j")} AS cv
        |  FROM c0 sd CROSS JOIN (SELECT unnest(range($m)) AS j) js),
@@ -5988,6 +6012,23 @@ object SparkEntry {
          |FROM dv WHERE nrm > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // the PQ-rerank replay over the feature-hash vectors: same trained
+    // quantizers as doc_search_served, ADC shortlist of 30, exact int8
+    // rerank to 10 — replays pqTopKReranked end to end on fhv
+    "doc_search_reranked" -> {
+      val body = annPqServedSql(stride = 20, iters = 3, m = 8, sub = 8,
+        nProbe = 8, k = 10, trainWhere = "vec_id >= 0",
+        rerankC = Some(30),
+        embSql = "SELECT vec_id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS v FROM fhv",
+        queryWhere = "vec_id = -1").stripPrefix("WITH ")
+        .replace("emb AS (", "emb AS MATERIALIZED (")
+        .replace("q AS (", "q AS MATERIALIZED (")
+      s"""WITH ${featureHashCtes(
+            "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT -1, 'table scan hash probe window sort')")},
+        |$body""".stripMargin
+    },
+
     // trained-IVF replay over the feature-hash vectors with the query
     // row: train on the docs only (vec_id >= 0), probe for vec_id = -1
     "doc_search_served" -> {
@@ -6011,18 +6052,21 @@ object SparkEntry {
     // l-prefixed CTE names (qt/scored would collide with the IVF
     // replay's), fused by the same integer RRF
     "hybrid_rrf_served" -> {
-      val ivf = annIvfTrainedSql(stride = 20, iters = 3, nProbe = 8,
-        k = 15, trainWhere = "vec_id >= 0",
+      // dense branch = the PQ-rerank replay (ADC shortlist 30 → exact
+      // int8 rerank to 15), mirroring the engine's upgraded capstone
+      val pq = annPqServedSql(stride = 20, iters = 3, m = 8, sub = 8,
+        nProbe = 8, k = 15, trainWhere = "vec_id >= 0",
+        rerankC = Some(30),
         embSql = "SELECT vec_id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS v FROM fhv",
         queryWhere = "vec_id = -1").stripPrefix("WITH ")
         .replace("emb AS (", "emb AS MATERIALIZED (")
         .replace("q AS (", "q AS MATERIALIZED (")
-      val ivfCtes = ivf.substring(0, ivf.lastIndexOf("SELECT query_id")).trim
+      val pqCtes = pq.substring(0, pq.lastIndexOf("SELECT query_id")).trim
       s"""WITH ${featureHashCtes(
             "(SELECT doc_id, text FROM documents UNION ALL " +
             "SELECT -1, 'dup table sort scan')")},
-        |$ivfCtes,
-        |denr AS (SELECT neighbor_id AS doc_id, rank AS r FROM ranked
+        |$pqCtes,
+        |denr AS (SELECT neighbor_id AS doc_id, rank AS r FROM rranked
         |         WHERE rank <= 15),
         |ltoks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok

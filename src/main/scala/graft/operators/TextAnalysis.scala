@@ -634,20 +634,34 @@ object TextAnalysis {
     old.size
   }
 
+  /** Smallest string s.t. every `p`-prefixed string is < it (the
+    * BigTable prefix-successor trick): increment the last non-U+FFFF
+    * char and truncate; None when p is all U+FFFF (open upper bound).
+    * Used as an INCLUSIVE range end — a key equal to the successor is
+    * not p-prefixed and falls to the exact re-filter, so the range is
+    * a correct superset either way. */
+  private def prefixSuccessor(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != '￿')
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
   /**
-   * Prefix (wildcard `pre*`) term search over the index: a RANGE scan
-   * on the string token key — [prefix, prefix + U+FFFF] through
-   * MergeTable.readRange. Pruning honesty: the postings are
-   * HASH-bucketed, so per-FILE zone maps span nearly the whole token
-   * alphabet and rarely prune a fresh index (zones earn their keep on
-   * files with key locality — merge-accumulated tables); the pruning
-   * that does the work here is one level down — files are key-SORTED
-   * within buckets at publish, so the range predicate pushes to
-   * parquet ROW-GROUP min/max stats and each file skips to its
-   * prefix-band groups. The exact startsWith predicate re-applies
-   * after the pruned scan (stats are pruning, never truth). Returns
-   * per matching token its document and occurrence counts — the
-   * dictionary-probe shape of every wildcard query engine.
+   * Prefix (wildcard `pre*`) term search over the index — a DICTIONARY
+   * probe (VERDICT r14 #8): each segment's terms table is a range-layout
+   * MergeTable whose manifest records a tight [first,last] token band
+   * per file, so the band scan [prefix, successor(prefix)] prunes to the
+   * overlapping dictionary files at the MANIFEST level (then row-group
+   * stats within), and the per-term (dfc, occ) stats answer the query
+   * with NO postings read at all — the wildcard cost model of a real
+   * inverted-index engine (cost ∝ dictionary band, not corpus).
+   * Tombstones force the exact fallback: dfc/occ are segment-build-time
+   * stats, so with live deletes the serve re-derives counts from the
+   * postings band, masking dead docs row-exactly (cost ∝ the band's
+   * postings; compaction restores the dictionary path). The exact
+   * startsWith predicate re-applies after every pruned scan (pruning is
+   * never truth). Returns per matching token its document and
+   * occurrence counts.
    */
   def prefixSearch(spark: SparkSession, root: String,
       prefix: String): DataFrame = {
@@ -658,19 +672,35 @@ object TextAnalysis {
     val segs = liveSegments(spark, root)
     if (segs.isEmpty) // fully-compacted-away index: nothing to probe
       return Seq.empty[(String, Long, Long)].toDF("tok", "n_docs", "n_occ")
-    val posts = segs.map(sg =>
-      MergeTable.readRange(spark, s"$root/segs/$sg/postings",
-        Some(p), Some(p + "￿")))
-      .reduce(_.unionByName(_))
+    val upper = prefixSuccessor(p)
     val dead = deletedBm25Docs(spark, root)
-    val alive =
-      if (dead.isEmpty) posts
-      else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
-    alive.filter(col("tok").startsWith(p))
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("tf")).cast("long").as("n_occ"))
-      .orderBy(col("tok"))
+    val dictReady = dead.isEmpty && segs.forall(sg =>
+      MergeTable.read(spark, s"$root/segs/$sg/terms")
+        .schema.fieldNames.contains("occ"))
+    if (dictReady) {
+      val dict = segs.map(sg =>
+        MergeTable.readRange(spark, s"$root/segs/$sg/terms",
+          Some(p), upper))
+        .reduce(_.unionByName(_))
+      dict.filter(col("tok").startsWith(p) && col("tok") =!= Bm25StatsKey)
+        .groupBy(col("tok"))
+        .agg(sum(col("dfc")).cast("long").as("n_docs"),
+          sum(col("occ")).cast("long").as("n_occ"))
+        .orderBy(col("tok"))
+    } else {
+      val posts = segs.map(sg =>
+        MergeTable.readRange(spark, s"$root/segs/$sg/postings",
+          Some(p), upper))
+        .reduce(_.unionByName(_))
+      val alive =
+        if (dead.isEmpty) posts
+        else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+      alive.filter(col("tok").startsWith(p))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("tf")).cast("long").as("n_occ"))
+        .orderBy(col("tok"))
+    }
   }
 
   /** The compaction policy every streaming ingester should call after
@@ -729,15 +759,23 @@ object TextAnalysis {
       val nDocs = st.getLong(0)
       if (nDocs == 0) return None
       MergeTable.publish(cached, s"$root/segs/$seg/postings", "tok", nBuckets)
+      // terms = the segment's sorted DICTIONARY (VERDICT r14 #8): range
+      // layout gives every file a tight [first,last] token band in the
+      // manifest, so prefix probes prune files BEFORE any scan and the
+      // point probes of the scoring serves zone-route instead of
+      // hash-route. `occ` (total term occurrences) makes the dictionary
+      // self-sufficient for wildcard stats — no postings read at all.
       val termStats = cached.groupBy(col("tok"))
         .agg(count(lit(1)).as("dfc"), max(col("tf")).as("maxtf"),
-          min(col("len")).as("minlen")).withColumn("tot", lit(0L))
+          min(col("len")).as("minlen"), sum(col("tf")).as("occ"))
+        .withColumn("tot", lit(0L))
         .unionByName(
-          Seq((Bm25StatsKey, nDocs, st.getLong(1), 0L, 0L))
-            .toDF("tok", "dfc", "tot", "maxtf", "minlen"))
+          Seq((Bm25StatsKey, nDocs, st.getLong(1), 0L, 0L, 0L))
+            .toDF("tok", "dfc", "tot", "maxtf", "minlen", "occ"))
         .select(col("tok"), col("dfc"), col("tot"), col("maxtf"),
-          col("minlen"))
-      MergeTable.publish(termStats, s"$root/segs/$seg/terms", "tok", nBuckets)
+          col("minlen"), col("occ"))
+      MergeTable.publishRange(termStats, s"$root/segs/$seg/terms", "tok",
+        nParts = math.max(1, nBuckets / 4))
       Some(seg)
     } finally cached.unpersist()
   }

@@ -52,6 +52,7 @@ object MergeTable {
   private val SchemaPrefix = "#schema="
   private val BucketsPrefix = "#buckets="
   private val KeyPrefix = "#key="
+  private val LayoutPrefix = "#layout="
 
   /** Streaming watermark: the highest `mergeExactlyOnce` batch id folded
     * in, stored INSIDE each version dir so id and data commit atomically
@@ -97,7 +98,18 @@ object MergeTable {
   private final case class Manifest(schema: org.apache.spark.sql.types.StructType,
       nBuckets: Int, files: Seq[(Long, String)],
       keyCol: Option[String] = None,
-      zones: Map[String, (String, String)] = Map.empty)
+      zones: Map[String, (String, String)] = Map.empty,
+      layout: String = LayoutHash)
+
+  /** Rows land in `pmod(xxhash64(key), n)` buckets — point lookups route
+    * by hash; per-file zones span the key space (pruning from row-group
+    * stats only). The default, and the only layout merges accept. */
+  val LayoutHash = "hash"
+  /** Rows land range-partitioned and key-sorted — per-file zones are
+    * TIGHT key bands, so range scans AND point lookups prune at the
+    * MANIFEST level (VERDICT r14 #8: the sorted-dictionary layout).
+    * Immutable by contract: no merge/delete/rebucket — republish. */
+  val LayoutRange = "range"
 
   // ---------------------------------------------------------- zone maps
   // Per-file key min/max recorded in the manifest at write time (VERDICT
@@ -218,7 +230,9 @@ object MergeTable {
     }.toMap
     val keyCol = lines.find(_.startsWith(KeyPrefix))
       .map(_.substring(KeyPrefix.length))
-    Manifest(schema, nBuckets, files, keyCol, zones)
+    val layout = lines.find(_.startsWith(LayoutPrefix))
+      .map(_.substring(LayoutPrefix.length)).getOrElse(LayoutHash)
+    Manifest(schema, nBuckets, files, keyCol, zones, layout)
   }
 
   private def writeManifestText(m: Manifest): Array[Byte] = {
@@ -226,6 +240,8 @@ object MergeTable {
     sb.append(SchemaPrefix).append(m.schema.json).append('\n')
     sb.append(BucketsPrefix).append(m.nBuckets).append('\n')
     m.keyCol.foreach(k => sb.append(KeyPrefix).append(k).append('\n'))
+    if (m.layout != LayoutHash)
+      sb.append(LayoutPrefix).append(m.layout).append('\n')
     m.files.foreach { case (b, f) =>
       sb.append(b).append('\t').append(zEsc(f))
       m.zones.get(f).foreach { case (mn, mx) =>
@@ -268,6 +284,45 @@ object MergeTable {
       .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
     val m = Manifest(bucketed.schema, nBuckets, files, Some(keyCol),
       zonesFor(spark, root, bucketed.schema, keyCol, files.map(_._2)))
+    Versioned.publish(spark, root) { dir =>
+      val p = new Path(dir, ManifestFile)
+      val out = fs(spark, p).create(p, true)
+      try out.write(writeManifestText(m)) finally out.close()
+    }
+  }
+
+  /**
+   * First publish of a RANGE-layout keyed table (VERDICT r14 #8): rows
+   * are range-partitioned and key-sorted, so every data file covers one
+   * tight key band and the manifest's per-file zones become a sorted
+   * DICTIONARY over the key space — range scans (`readRange`) and point
+   * lookups (`readKeys`) both prune to the overlapping files at the
+   * MANIFEST level, where the hash layout's alphabet-spanning zones
+   * prune nothing and lean on row-group stats alone. The trade: no hash
+   * routing means no `merge`/`delete`/`rebucket` (those require the
+   * hash layout and refuse loudly) — a range table is an immutable
+   * published artifact, republished to change, which is exactly the
+   * shape of a per-segment term dictionary. Returns the version name.
+   */
+  def publishRange(df: DataFrame, root: String, keyCol: String,
+      nParts: Int = 16): String = {
+    require(nParts > 0, "nParts must be positive")
+    val spark = df.sparkSession
+    val before = dataFilesOnDisk(spark, root)
+    // partition id doubles as the manifest "bucket": meaningless for
+    // routing (layout=range readers never hash), but it keeps the
+    // data-file naming, vacuum, and time-travel machinery identical
+    val parted = df.repartitionByRange(nParts, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.spark_partition_id().cast("long"))
+    parted.write.mode("append").partitionBy("bucket")
+      .parquet(s"$root/data")
+    val files = (dataFilesOnDisk(spark, root) -- before).toSeq.sorted
+      .map(f => (f.substring("bucket=".length, f.indexOf('/')).toLong, f))
+    val m = Manifest(parted.schema, nParts, files, Some(keyCol),
+      zonesFor(spark, root, parted.schema, keyCol, files.map(_._2)),
+      layout = LayoutRange)
     Versioned.publish(spark, root) { dir =>
       val p = new Path(dir, ManifestFile)
       val out = fs(spark, p).create(p, true)
@@ -363,6 +418,9 @@ object MergeTable {
     val live = Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version to merge into"))
     val m = readManifest(spark, root, live)
+    require(m.layout == LayoutHash,
+      s"$root is a $LayoutRange-layout table — merges need hash routing; " +
+        "range tables are immutable published artifacts (republish)")
     val dupKeys = batch.groupBy(col(keyCol)).count().filter(col("count") > 1).count()
     require(dupKeys == 0,
       s"merge batch has $dupKeys duplicated keys — one action per key per merge")
@@ -467,7 +525,26 @@ object MergeTable {
       .select(col(keyCol), bucketOf(keyCol, m.nBuckets).as("__b"))
       .distinct().collect()
     val buckets: Set[Long] = wantedRows.map(_.getLong(1)).toSet
-    val files = m.files.filter { case (b, _) => buckets(b) }
+    val files =
+      if (m.layout == LayoutRange) {
+        // range layout: no hash routing — a file serves a key iff the
+        // key falls in its zone band (tight by construction), so point
+        // lookups manifest-prune to ≤ |keys| files; zone-less files
+        // (exotic key types) are conservatively scanned
+        zoneParser(m.schema(keyCol).dataType) match {
+          case None => m.files
+          case Some((parse, cmp)) =>
+            val wanted = wantedRows.map(r => parse(r.get(0).toString))
+            m.files.filter { case (_, f) =>
+              m.zones.get(f) match {
+                case None => true
+                case Some((mnS, mxS)) =>
+                  val mn = parse(mnS); val mx = parse(mxS)
+                  wanted.exists(k => cmp(k, mn) >= 0 && cmp(k, mx) <= 0)
+              }
+            }
+        }
+      } else m.files.filter { case (b, _) => buckets(b) }
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -588,6 +665,9 @@ object MergeTable {
     val m = readManifest(spark, root, live)
     val keyCol = m.keyCol.getOrElse(throw new IllegalStateException(
       s"manifest of $root/$live records no key column — cannot rebucket"))
+    require(m.layout == LayoutHash,
+      s"$root is a $LayoutRange-layout table — rebucket needs hash " +
+        "routing; range tables are immutable published artifacts")
     require(newBuckets != m.nBuckets,
       s"table already has $newBuckets buckets")
     val before = dataFilesOnDisk(spark, root)

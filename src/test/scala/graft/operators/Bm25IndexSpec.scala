@@ -509,4 +509,45 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       assert(msD == fullD && !msD.exists(_.contains("[1,")))
     } finally TextAnalysis.auditMaxScore = false
   }
+
+  test("term dictionary: prefix serve answers from the range-layout terms table with manifest pruning (VERDICT r14 #8)") {
+    import spark.implicits._
+    import graft.sinks.MergeTable
+    val root = Files.createTempDirectory("bm25dict").toString
+    // alphabet-spanning vocabulary so dictionary files hold distinct bands
+    val docs = (1L to 260L).map { i =>
+      val c = ('a' + ((i - 1) % 26)).toChar
+      (i, s"${c}token$i ${c}x common")
+    }.toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 32)
+    val seg = TextAnalysis.liveSegments(spark, root).head
+    val termsRoot = s"$root/segs/$seg/terms"
+    val all = MergeTable.rangeFiles(spark, termsRoot, None, None)
+    val band = MergeTable.rangeFiles(spark, termsRoot, Some("s"), Some("t"))
+    assert(band.nonEmpty && band.size < all.size,
+      s"the dictionary band must manifest-prune: ${band.size}/${all.size}")
+    // reference counts straight from tokenization
+    def reference(exclude: Set[Long]): Seq[(String, Long, Long)] = {
+      val toks = docs.filter(!col("doc_id").isin(exclude.toSeq: _*))
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok").startsWith("s"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("n_occ"))
+        .orderBy(col("tok")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    def serve(): Seq[(String, Long, Long)] =
+      TextAnalysis.prefixSearch(spark, root, "s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(serve() == reference(Set.empty), "dictionary-only serve must match")
+    // a live tombstone forces the exact postings fallback (dictionary
+    // stats are build-time); counts mask the dead doc row-exactly
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(19L)) // an 's' doc
+    assert(serve() == reference(Set(19L)), "tombstoned serve must re-derive")
+    // compaction drops the dead rows and restores the dictionary path
+    TextAnalysis.compactBm25Index(spark, root, nBuckets = 32)
+    assert(TextAnalysis.deletedBm25Docs(spark, root).isEmpty)
+    assert(serve() == reference(Set(19L)), "post-compact dictionary must be exact")
+  }
 }

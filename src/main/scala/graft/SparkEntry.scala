@@ -335,7 +335,7 @@ object SparkEntry {
 
   /** Build-once gate for the segmented BM25 index over documents
     * (shared by bm25_served / bm25_batch_served / hybrid_rrf_served). */
-  private def ensureBm25Index(s: SparkSession, dir: String): String = {
+  private[graft] def ensureBm25Index(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v4_" +
       fsTag(s, dir, "documents.parquet")
     if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {

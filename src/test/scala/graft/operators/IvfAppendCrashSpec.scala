@@ -137,7 +137,7 @@ class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
     TrainedIndex.invalidate()
   }
 
-  test("concurrent serves on one session return identical results (threshold-bump lock)") {
+  test("concurrent serves on one session return identical results (monotonic threshold raise)") {
     import Similarity.TrainedIndex
     TrainedIndex.invalidate()
     val tmp = java.nio.file.Files.createTempDirectory("graft_concserve_").toString
@@ -161,9 +161,14 @@ class IvfAppendCrashSpec extends AnyFunSuite with SparkTestBase {
           "vec_id", "embedding", k = 3, indexKey = "conc-serve").collect()
       }))
       Await.result(runs, 120.seconds).foreach(r => assert(r.sameRows(serial)))
-      // the interleaved set/restore pairs must leave the session conf as
-      // it was — a stranded elevated threshold is the leak the lock closes
-      assert(spark.conf.get(tKey) == "1")
+      // the raise is MONOTONIC and never restored (VERDICT r14 #7: the
+      // old set/restore pair held a lock across the whole listing,
+      // serializing concurrent serves — the throughput series measured
+      // the dense serve collapsing under it). The session-wide elevated
+      // threshold is the documented contract: ≥ the probed file-list
+      // size, never lowered by a serve.
+      assert(spark.conf.get(tKey).toInt > 1,
+        "the bump path must have raised the threshold monotonically")
     } finally spark.conf.set(tKey, prev)
     TrainedIndex.invalidate()
   }

@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--record", action="store_true",
                     help="merge verdicts into tools/adjudicated.json")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names to adjudicate "
+                         "regardless of threshold (VERDICT r14 #1: a "
+                         "specific unledgered row)")
     args = ap.parse_args()
 
     with open(args.bench) as f:
@@ -67,7 +71,10 @@ def main() -> int:
     sf_dir = args.sf or bench.get("sf", "/root/testdata/sf0.1")
     times = bench["queries"]
 
-    if args.ref:
+    if args.only:
+        picked = sorted(q for q in args.only.split(",") if q in times)
+        rule = f"named via --only ({args.only})"
+    elif args.ref:
         with open(args.ref) as f:
             ref = json.load(f)["queries"]
         picked = sorted(q for q, t in times.items()

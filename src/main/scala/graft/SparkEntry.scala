@@ -336,7 +336,7 @@ object SparkEntry {
   /** Build-once gate for the segmented BM25 index over documents
     * (shared by bm25_served / bm25_batch_served / hybrid_rrf_served). */
   private[graft] def ensureBm25Index(s: SparkSession, dir: String): String = {
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v4_" +
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v5_" +
       fsTag(s, dir, "documents.parquet")
     if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
       val p = new org.apache.hadoop.fs.Path(idx)

@@ -767,13 +767,14 @@ object TextAnalysis {
       // self-sufficient for wildcard stats — no postings read at all.
       val termStats = cached.groupBy(col("tok"))
         .agg(count(lit(1)).as("dfc"), max(col("tf")).as("maxtf"),
-          min(col("len")).as("minlen"), sum(col("tf")).as("occ"))
+          min(col("len")).as("minlen"), sum(col("tf")).as("occ"),
+          max(col("len")).as("maxlen"))
         .withColumn("tot", lit(0L))
         .unionByName(
-          Seq((Bm25StatsKey, nDocs, st.getLong(1), 0L, 0L, 0L))
-            .toDF("tok", "dfc", "tot", "maxtf", "minlen", "occ"))
+          Seq((Bm25StatsKey, nDocs, st.getLong(1), 0L, 0L, 0L, 0L))
+            .toDF("tok", "dfc", "tot", "maxtf", "minlen", "occ", "maxlen"))
         .select(col("tok"), col("dfc"), col("tot"), col("maxtf"),
-          col("minlen"), col("occ"))
+          col("minlen"), col("occ"), col("maxlen"))
       MergeTable.publishRange(termStats, s"$root/segs/$seg/terms", "tok",
         nParts = math.max(1, nBuckets / 4))
       Some(seg)
@@ -967,8 +968,20 @@ object TextAnalysis {
    * the index predates the maxtf/minlen stats), falls back to the full
    * serve — never worse than exact scoring, never different from it.
    */
+  /** Below this many suffix postings rows (Σ df of the non-essential
+    * terms) the MaxScore serve skips pruning and scores everything: the
+    * pruned plan pays one extra bounded job (candidate broadcast build)
+    * plus a semi-join, which the sf10 A/B measured at ~1.2 s fixed
+    * locally, while the aggregate-row saving is proportional to the
+    * suffix postings cut — the crossover sits in the tens of millions
+    * of rows, i.e. exactly the 100-TB common-term regime the operator
+    * exists for. Cost-based, from the terms table's df stats alone (no
+    * data read); specs set it to 0 to pin the pruned plan. */
+  val MinSuffixRowsForPrune: Long = 5000000L
+
   def bm25ServeTopKMaxScore(spark: SparkSession, root: String,
-      queryText: String, k: Int, asOf: Option[String] = None): DataFrame = {
+      queryText: String, k: Int, asOf: Option[String] = None,
+      minSuffixRows: Long = MinSuffixRowsForPrune): DataFrame = {
     import graft.sinks.MergeTable
     import spark.implicits._
     lastMaxScoreAudit = None
@@ -1023,45 +1036,109 @@ object TextAnalysis {
             "(tf * 1000 + (1200 * norm1000) div 1000)"))
         .groupBy(col("doc_id"))
         .agg(sum(col("idf") * col("w")).as("score"))
-    // grow the essential prefix; each attempt is one bounded Spark job
-    // (top-k collect over prefix postings), attempts ≤ log₂|q|
-    var j = 1
-    while (j < ordered.size) {
-      val prefix = ordered.take(j)
-      val suffix = ordered.drop(j)
-      val suffUb = suffix.map(ub).sum
-      // no cache: the θ probe and the final job each re-read the
-      // prefix's bucket-pruned postings — two cheap pruned reads beat
-      // pinning executor memory for a serve
-      val prefixPosts = postingsOf(prefix)
-      val topPartial = scored(prefixPosts, prefix)
-        .orderBy(col("score").desc, col("doc_id")).limit(k).collect()
-      if (topPartial.length == k && suffUb < topPartial.last.getLong(1)) {
-        val theta = topPartial.last.getLong(1)
-        val candidates = prefixPosts.select(col("doc_id")).distinct()
-        val suffixPosts = postingsOf(suffix)
-        val restricted = suffixPosts
-          .join(candidates, Seq("doc_id"), "left_semi")
-        if (auditMaxScore)
-          lastMaxScoreAudit = Some(MaxScoreAudit(
-            nTerms = ordered.size, nEssential = j, pruned = true,
-            theta = theta, suffixUb = suffUb,
-            candidateDocs = candidates.count(),
-            suffixRowsTotal = suffixPosts.count(),
-            suffixRowsScored = restricted.count()))
-        // candidate docs carry ALL their postings rows (prefix ones by
-        // definition, suffix ones via the semi-join), so their scores
-        // are exact; non-candidates were proven non-competitive
-        return scored(prefixPosts.unionByName(restricted), ordered)
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(k)
-      }
-      j = math.min(j * 2, ordered.size)
+    // ONE readKeys relation for all terms (identical bucket list to the
+    // full serve); prefix/suffix branches are tok-filters over it, which
+    // PUSH DOWN to the parquet scan — each branch reads only its terms'
+    // row groups, so the split costs no extra IO and needs no cache
+    // (a cache write of the whole postings read measured slower than
+    // the two pruned scans in the sf10 A/B)
+    val all = postingsOf(ordered)
+    def materialize(res: DataFrame): DataFrame = {
+      // k rows — a top-k serve's result is driver-bounded by contract;
+      // materializing lets the cache release deterministically
+      val rows = res.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        res.schema)
     }
-    if (auditMaxScore)
-      lastMaxScoreAudit = Some(MaxScoreAudit(ordered.size, ordered.size,
-        pruned = false, 0L, 0L, 0L, 0L, 0L))
-    bm25ServeTopK(spark, root, queryText, k, asOf)
+    def pruned(prefix: Seq[String], suffix: Seq[String], theta: Long,
+        suffUb: Long): DataFrame = {
+      val prefixPosts = all.filter(col("tok").isin(prefix: _*))
+      // no .distinct(): left_semi dedupes its build side internally, and
+      // the extra exchange cost more than it saved in the sf10 A/B. The
+      // broadcast hint is size-gated on the prefix's df (a certificate
+      // prefix is rare by construction; past the bound — 1M ids, the
+      // tombstone-budget size class — AQE picks the join strategy)
+      val candidates0 = prefixPosts.select(col("doc_id"))
+      val candidates =
+        if (prefix.map(dfc).sum <= MaxBm25Tombstones) broadcast(candidates0)
+        else candidates0
+      val suffixPosts = all.filter(!col("tok").isin(prefix: _*))
+      val restricted = suffixPosts
+        .join(candidates, Seq("doc_id"), "left_semi")
+      if (auditMaxScore)
+        lastMaxScoreAudit = Some(MaxScoreAudit(
+          nTerms = ordered.size, nEssential = prefix.size, pruned = true,
+          theta = theta, suffixUb = suffUb,
+          candidateDocs = candidates0.distinct().count(),
+          suffixRowsTotal = suffixPosts.count(),
+          suffixRowsScored = restricted.count()))
+      // candidate docs carry ALL their postings rows (prefix ones by
+      // definition, suffix ones via the semi-join), so their scores
+      // are exact; non-candidates were proven non-competitive — the
+      // semi-join cuts them BEFORE the scoring aggregate's shuffle,
+      // which is where the saving lands at scale
+      materialize(scored(prefixPosts.unionByName(restricted), ordered)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k))
+    }
+    try {
+      // STATS-ONLY prune certificate, zero probe jobs (the sf0.1/sf10
+      // A/B found the θ-probe job costing more than it saved at local
+      // scale): with t1 the top-bound term, EVERY t1 doc's partial is ≥
+      // idf(t1)·w(1, maxlen) — w is monotone ↑ tf, ↓ len — so when
+      // df(t1) ≥ k that value lower-bounds θ, and if the suffix bound
+      // sits strictly below it the prune is proven from the terms table
+      // alone. This is the rare-term + common-terms query shape, the
+      // one MaxScore exists for; the serve then costs the same index
+      // reads as the full serve, minus the non-candidate aggregate rows.
+      val t1 = ordered.head
+      val t1Rows = termRows.filter(_.getString(0) == t1)
+      val maxlenReady = t1Rows.forall(r => r.length >= 7 && !r.isNullAt(6))
+      // cost gate (see MinSuffixRowsForPrune): when the whole suffix is
+      // small, full scoring is cheaper than any pruning plan — decide
+      // from df stats alone, before any data job
+      if (ordered.drop(1).map(dfc).sum < minSuffixRows) {
+        if (auditMaxScore)
+          lastMaxScoreAudit = Some(MaxScoreAudit(ordered.size,
+            ordered.size, pruned = false, 0L, 0L, 0L, 0L, 0L))
+        return materialize(scored(all, ordered)
+          .orderBy(col("score").desc, col("doc_id")).limit(k))
+      }
+      if (maxlenReady && dfc(t1) >= k) {
+        val thetaLb = idfMap(t1) *
+          bm25W(1L, t1Rows.map(_.getLong(6)).max, avg1000)
+        val suffix = ordered.drop(1)
+        val suffUb = suffix.map(ub).sum
+        if (suffUb < thetaLb)
+          return pruned(Seq(t1), suffix, thetaLb, suffUb)
+      }
+      // probe ladder: grow the essential prefix; each attempt is one
+      // bounded Spark job (top-k collect over cached prefix postings),
+      // attempts ≤ log₂|q|
+      var j = 1
+      while (j < ordered.size) {
+        val prefix = ordered.take(j)
+        val suffix = ordered.drop(j)
+        val suffUb = suffix.map(ub).sum
+        // skip j outright when no θ could ever clear the bound: any
+        // doc's partial is ≤ Σ prefix ub, so suffUb ≥ that is hopeless
+        if (suffUb < prefix.map(ub).sum) {
+          val topPartial = scored(
+              all.filter(col("tok").isin(prefix: _*)), prefix)
+            .orderBy(col("score").desc, col("doc_id")).limit(k).collect()
+          if (topPartial.length == k && suffUb < topPartial.last.getLong(1))
+            return pruned(prefix, suffix, topPartial.last.getLong(1), suffUb)
+        }
+        j = math.min(j * 2, ordered.size)
+      }
+      if (auditMaxScore)
+        lastMaxScoreAudit = Some(MaxScoreAudit(ordered.size, ordered.size,
+          pruned = false, 0L, 0L, 0L, 0L, 0L))
+      // exact fallback over the same cached read — bm25ServeTopK's
+      // arithmetic verbatim, no second index probe
+      materialize(scored(all, ordered)
+        .orderBy(col("score").desc, col("doc_id")).limit(k))
+    } finally ()
   }
 
   /**

@@ -474,7 +474,8 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       val full = TextAnalysis.bm25ServeTopK(spark, root, "needle hay", 3)
         .collect().map(_.toString).toSeq
       val ms = TextAnalysis.bm25ServeTopKMaxScore(
-        spark, root, "needle hay", 3).collect().map(_.toString).toSeq
+        spark, root, "needle hay", 3, minSuffixRows = 0L)
+        .collect().map(_.toString).toSeq
       assert(ms == full, s"maxscore=$ms full=$full")
       val audit = TextAnalysis.lastMaxScoreAudit.get
       assert(audit.pruned, s"the engineered corpus must trip the bound: $audit")
@@ -489,13 +490,13 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       val q2 = "hay pad"
       val full2 = TextAnalysis.bm25ServeTopK(spark, root, q2, 10)
         .collect().map(_.toString).toSeq
-      val ms2 = TextAnalysis.bm25ServeTopKMaxScore(spark, root, q2, 10)
-        .collect().map(_.toString).toSeq
+      val ms2 = TextAnalysis.bm25ServeTopKMaxScore(spark, root, q2, 10,
+        minSuffixRows = 0L).collect().map(_.toString).toSeq
       assert(ms2 == full2)
       // a single present term cannot split into essential/suffix:
       // clean fallback to the full serve, no audit recorded
-      val ms3 = TextAnalysis.bm25ServeTopKMaxScore(spark, root, "hay", 10)
-        .collect().map(_.toString).toSeq
+      val ms3 = TextAnalysis.bm25ServeTopKMaxScore(spark, root, "hay", 10,
+        minSuffixRows = 0L).collect().map(_.toString).toSeq
       val full3 = TextAnalysis.bm25ServeTopK(spark, root, "hay", 10)
         .collect().map(_.toString).toSeq
       assert(ms3 == full3)
@@ -505,7 +506,8 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       val fullD = TextAnalysis.bm25ServeTopK(spark, root, "needle hay", 3)
         .collect().map(_.toString).toSeq
       val msD = TextAnalysis.bm25ServeTopKMaxScore(
-        spark, root, "needle hay", 3).collect().map(_.toString).toSeq
+        spark, root, "needle hay", 3, minSuffixRows = 0L)
+        .collect().map(_.toString).toSeq
       assert(msD == fullD && !msD.exists(_.contains("[1,")))
     } finally TextAnalysis.auditMaxScore = false
   }

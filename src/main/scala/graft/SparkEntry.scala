@@ -2407,6 +2407,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // wildcard SCORING serve (Lucene MultiTermQuery -> scoring-boolean
+    // rewrite): expand `s*` against the round-15 term dictionary
+    // (band-pruned, df rides the expansion), then the exact BM25 serve
+    // over the expanded set — each variant scores with its OWN idf, so
+    // rare variants dominate. Oracle = the bm25 chain with qt replaced
+    // by the LIKE-expanded distinct-token set
+    "bm25_prefix_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServePrefixTopK(s, ensureBm25Index(s, dir),
+        "s", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // index TIME TRAVEL: serve pinned to the manifest version that
     // existed before the append — segments are immutable and the
     // manifest is a versioned pointer, so an AS-OF serve just reads the
@@ -4757,14 +4769,17 @@ object SparkEntry {
   /** Integer-exact Okapi BM25 replay for "dup sort query zzz" @ k=15 —
     * shared by bm25_topk (direct) and bm25_served (index-served; the
     * index is content-derived so the same SQL applies). */
-  private def bm25TopkSqlOver(docsSrc: String, tfExtra: String): String =
+  private def bm25TopkSqlOver(docsSrc: String, tfExtra: String,
+      qtClause: String =
+        "qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz'))",
+      k: Int = 15): String =
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
       |  FROM $docsSrc),
       |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
       |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
       |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
-      |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+      |$qtClause,
       |dfc AS (
       |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
       |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
@@ -4783,7 +4798,7 @@ object SparkEntry {
       |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
       |  GROUP BY tf.doc_id)
       |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
-      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+      |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
   private val Bm25TopkSql: String = bm25TopkSqlOver("documents", "")
 
@@ -6928,6 +6943,11 @@ object SparkEntry {
     // MaxScore early termination is result-invariant by construction —
     // the full-scoring oracle applies verbatim
     "bm25_maxscore_served" -> Bm25TopkSql,
+
+    // wildcard scoring: qt = the LIKE-expanded distinct token set; the
+    // rest of the chain is the bm25 replay verbatim
+    "bm25_prefix_served" -> bm25TopkSqlOver("documents", "",
+      qtClause = "qt AS (SELECT DISTINCT tok FROM tk WHERE tok LIKE 's%')"),
     "bm25_appended" -> Bm25TopkSql,
     "bm25_compacted" -> Bm25TopkSql,
     "bm25_stream_ingest" -> Bm25TopkSql,

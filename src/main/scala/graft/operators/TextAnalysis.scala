@@ -703,6 +703,90 @@ object TextAnalysis {
     }
   }
 
+  /** Expansion budget for wildcard SCORING queries — the Lucene
+    * maxClauseCount idea: a prefix matching more terms than this fails
+    * loudly instead of silently exploding the probe (serve cost is
+    * ∝ the expanded terms' postings, so an unbounded `a*` over a web
+    * vocabulary is a full scan wearing a wildcard). */
+  val MaxPrefixExpansion: Int = 1024
+
+  /**
+   * Wildcard SCORING serve — BM25 top-k for `pre*` (the Lucene
+   * MultiTermQuery → scoring-boolean rewrite, composed from this
+   * round's two serve halves): expand the prefix against the sorted
+   * TERM DICTIONARY (manifest-pruned band scan, dfc per term comes back
+   * with the expansion — no postings touched), then score the expanded
+   * term set exactly like bm25ServeTopK — per-term idf from the
+   * dictionary's df (through the large-N guard), one bucket-pruned
+   * postings probe over the matched terms, one scoring aggregate,
+   * top-k. Each expanded term scores with its OWN idf (Lucene's
+   * scoring rewrite, not the constant-score shortcut), so rare
+   * variants dominate common ones, which is the point of wildcard
+   * relevance. Expansion is capped at [[MaxPrefixExpansion]].
+   * Tombstones mask dead docs at serve time; like the scoring serves,
+   * df stats stay build-time until compaction (the documented Lucene
+   * stale-stats contract).
+   */
+  def bm25ServePrefixTopK(spark: SparkSession, root: String,
+      prefix: String, k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val p = prefix.toLowerCase.trim
+    require(p.nonEmpty, "empty prefix")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val upper = prefixSuccessor(p)
+    // stage 1: dictionary expansion (band-pruned; carries df and the
+    // corpus scalars — one dictionary read, no postings)
+    // per-segment limit: a terms table holds one row per distinct term,
+    // so any segment returning more than the budget already proves the
+    // expansion too broad — the collect is bounded even for `a*`
+    val keyRows = segs.flatMap { sg =>
+      MergeTable.readRange(spark, s"$root/segs/$sg/terms", Some(p), upper)
+        .filter(col("tok").startsWith(p))
+        .select(col("tok"), col("dfc"))
+        .limit(MaxPrefixExpansion + 1).collect().toSeq
+    }
+    val statsRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
+        Seq(Bm25StatsKey).toDF("tok")).collect().toSeq)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = keyRows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    val terms = dfc.keys.toSeq.sorted
+    if (terms.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    require(terms.size <= MaxPrefixExpansion,
+      s"prefix '$p*' expands to ${terms.size} terms — past the " +
+        s"$MaxPrefixExpansion budget; narrow the prefix (a too-broad " +
+        "wildcard is a corpus scan in disguise)")
+    // stage 2: the scoring serve over the expanded set
+    val idf = bm25Idf(nDocs, dfc, terms).toDF("tok", "idf")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    alive
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The compaction policy every streaming ingester should call after
     * its append: merge when the segment count passes `maxSegments` OR
     * the tombstone set passes `maxDead` — the two costs segments

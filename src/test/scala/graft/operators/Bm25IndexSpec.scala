@@ -552,4 +552,49 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(TextAnalysis.deletedBm25Docs(spark, root).isEmpty)
     assert(serve() == reference(Set(19L)), "post-compact dictionary must be exact")
   }
+
+  test("wildcard scoring serve: dictionary expansion + per-variant idf equals the direct computation") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25wild").toString
+    val docs = (1L to 60L).map { i =>
+      val v = s"sig${i % 7}" // 7 sig* variants with different df
+      val rare = if (i % 20 == 0) " sigrare" else ""
+      (i, s"$v common filler$rare")
+    }.toDF("doc_id", "text")
+    // two segments so expansion merges df across segments
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 30),
+      "doc_id", "text", root, nBuckets = 4)
+    TextAnalysis.appendBm25Segment(docs.filter(col("doc_id") > 30),
+      "doc_id", "text", root, nBuckets = 4)
+    // reference: expand sig* by tokenization, score with bm25TopK over
+    // the expanded term set (same integer arithmetic by construction)
+    val expanded = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").startsWith("sig")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      expanded.mkString(" "), k = 10).collect().map(_.toString).toSeq
+    val served = TextAnalysis.bm25ServePrefixTopK(spark, root, "sig", 10)
+      .collect().map(_.toString).toSeq
+    assert(served == direct, s"served=$served direct=$direct")
+    // tombstones mask immediately (stats stay build-time, the documented
+    // contract shared with the scoring serves)
+    val top = served.head
+    val topId = TextAnalysis.bm25ServePrefixTopK(spark, root, "sig", 1)
+      .collect().head.getLong(0)
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(topId))
+    val after = TextAnalysis.bm25ServePrefixTopK(spark, root, "sig", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(topId))
+    // no match: empty result, not an error
+    assert(TextAnalysis.bm25ServePrefixTopK(spark, root, "zz", 5).count() == 0)
+    // the expansion budget fails loudly on a too-broad wildcard
+    val wide = (1L to 60L).map(i => (i + 1000L,
+      (0 to 30).map(j => s"w${i}x$j").mkString(" "))).toDF("doc_id", "text")
+    val root2 = Files.createTempDirectory("bm25wild2").toString
+    TextAnalysis.writeBm25Index(wide, "doc_id", "text", root2, nBuckets = 4)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bm25ServePrefixTopK(spark, root2, "w", 5).collect())
+    assert(e.getMessage.contains("budget"))
+  }
 }

@@ -2664,6 +2664,23 @@ object SparkEntry {
       TextAnalysis.nearServeCount(s, idx, "big", "table", slop = 2)
     }),
 
+    // wildcard PROXIMITY serve (Lucene SpanNear over a wrapped
+    // multi-term query): s* NEAR/2 'table' — the dictionary expansion
+    // feeds the positional pair fold, side A = the UNION of the
+    // expanded variants' positions (SpanOr). Same positional index as
+    // near_served; oracle = the positional self-join with a LIKE side
+    "near_prefix_served" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+          idx, positions = true)
+      }
+      TextAnalysis.nearServePrefixCount(s, idx, "s", "table", slop = 2)
+    }),
+
     // MMR diversification: greedy rel − max-sim-to-selected rerank over
     // the dense top-20 candidates (TextAnalysis.mmrDiversify scaladoc:
     // retrieval distributed, rerank bounded driver-side, integer-exact;
@@ -7083,6 +7100,23 @@ object SparkEntry {
 
     // symmetric abs-band positional self-join, counted per doc
     "near_search" -> NearSearchSql,
+
+    // SpanOr side A: every s* token occurrence pairs against 'table'
+    "near_prefix_served" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |m AS (
+        |  SELECT a.doc_id
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+        |    AND abs(a.pos - b.pos) <= 2
+        |  WHERE a.tok LIKE 's%' AND b.tok = 'table')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "near_served" -> NearSearchSql,
 
     // the five greedy MMR selection steps unrolled as sequential CTE

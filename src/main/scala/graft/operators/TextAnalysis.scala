@@ -787,6 +787,66 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Wildcard PROXIMITY serve — `preA* NEAR/slop termB` (Lucene's
+   * SpanNear over a SpanMultiTermQueryWrapper): expand the prefix
+   * against the term dictionary (band-pruned, [[MaxPrefixExpansion]]
+   * budget), then one positional-postings probe over expanded ∪ {termB}
+   * and the same bounded per-doc pair fold as [[nearServeCount]] — side
+   * A's position list is the UNION of all expanded variants' positions
+   * (the SpanOr), so a pair counts whichever variant supplies it.
+   * Requires a positional index; `termB` must not itself match the
+   * prefix (the same-occurrence self-pair has no defined meaning).
+   */
+  def nearServePrefixCount(spark: SparkSession, root: String,
+      prefixA: String, termB: String, slop: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val p = prefixA.toLowerCase.trim
+    val b = termB.toLowerCase.trim
+    require(p.nonEmpty && b.nonEmpty, "empty prefix or term")
+    require(!b.startsWith(p),
+      s"termB '$b' matches the prefix '$p*' — a same-occurrence " +
+        "self-pair is undefined; use distinct operands")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "n_pairs")
+    val upper = prefixSuccessor(p)
+    val expanded = segs.flatMap { sg =>
+      MergeTable.readRange(spark, s"$root/segs/$sg/terms", Some(p), upper)
+        .filter(col("tok").startsWith(p)).select(col("tok"))
+        .limit(MaxPrefixExpansion + 1).collect().map(_.getString(0)).toSeq
+    }.distinct.sorted
+    if (expanded.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "n_pairs")
+    require(expanded.size <= MaxPrefixExpansion,
+      s"prefix '$p*' expands to ${expanded.size} terms — past the " +
+        s"$MaxPrefixExpansion budget; narrow the prefix")
+    val posts = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        (expanded :+ b).toDF("tok"))).reduce(_.unionByName(_))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"$root: postings carry no positions — build with positions = true")
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) posts
+      else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val agg = alive.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
+    def esc(t: String) = t.replace("'", "''")
+    val aSet = expanded.map(t => s"'${esc(t)}'").mkString(", ")
+    val pa = s"flatten(transform(filter(tp, x -> " +
+      s"array_contains(array($aSet), x.tok)), x -> x.positions))"
+    val pb = s"flatten(transform(filter(tp, x -> x.tok = '${esc(b)}'), " +
+      "x -> x.positions))"
+    agg.select(col("doc_id"),
+        expr(s"aggregate($pa, 0L, (acc, p) -> acc + " +
+          s"size(filter($pb, q -> abs(p - q) <= ${slop}L)))")
+          .cast("long").as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** The compaction policy every streaming ingester should call after
     * its append: merge when the segment count passes `maxSegments` OR
     * the tombstone set passes `maxDead` — the two costs segments

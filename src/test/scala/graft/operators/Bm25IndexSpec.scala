@@ -597,4 +597,31 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.bm25ServePrefixTopK(spark, root2, "w", 5).collect())
     assert(e.getMessage.contains("budget"))
   }
+
+  test("wildcard NEAR serve: SpanOr position union over expanded variants equals the tokenization reference") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25spanwild").toString
+    val docs = Seq(
+      (1L, "siga x table y sigb"),      // two variants near table
+      (2L, "table sigc"),               // one adjacent pair
+      (3L, "siga x x x x x table"),     // out of slop
+      (4L, "table other words"),        // no variant
+      (5L, "sigb sigb table")           // repeated variant: two pairs
+    ).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 2, positions = true)
+    val got = TextAnalysis.nearServePrefixCount(spark, root, "sig", "table", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // reference by hand: doc1 siga@0,table@2 (|2|<=2 ok) + sigb@4 (|2|)
+    // -> 2 pairs; doc2 table@0,sigc@1 -> 1; doc3 |6| -> none;
+    // doc5 sigb@0(|2|),sigb@1(|1|) -> 2
+    assert(got == Seq((1L, 2L), (2L, 1L), (5L, 2L)), s"got $got")
+    // self-pair guard: termB matching the prefix refuses
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.nearServePrefixCount(spark, root, "sig", "sigb", 2))
+    assert(e.getMessage.contains("self-pair"))
+    // empty expansion -> empty result
+    assert(TextAnalysis.nearServePrefixCount(spark, root, "zz", "table", 2)
+      .count() == 0)
+  }
 }

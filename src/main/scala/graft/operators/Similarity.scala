@@ -626,6 +626,16 @@ object Similarity {
     * interleave; the lock just keeps the read-max-set step atomic). */
   private val discoveryConfLock = new Object
 
+  /** Cap on the monotonic threshold raise (ADVICE r15): the raise is
+    * session-global and never restored, so one pathological wide probe
+    * must not permanently downgrade UNRELATED multi-path reads from a
+    * distributed listing job to a sequential driver stat. Under the cap
+    * the driver stat is cheap by construction (a compacted serve's list
+    * is nProbe·|queries| committed cell files, well inside it); a read
+    * past the cap keeps Spark's distributed listing — correct at that
+    * scale anyway. */
+  private[graft] val DiscoveryThresholdCap = 8192
+
   private def readProbedCells(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, probeCells: Array[Long]): DataFrame = {
     val fromManifest: Option[DataFrame] = readManifest(spark, indexPath).flatMap { txt =>
@@ -658,10 +668,12 @@ object Similarity {
           // use a driver stat instead of a distributed listing job — is
           // the behavior every serve here wants anyway; a serve's list
           // is bounded by nProbe·|queries| committed cell files.
+          // capped (ADVICE r15): bound the permanent session-global
+          // effect — see DiscoveryThresholdCap
+          val capped = math.min(paths.length, DiscoveryThresholdCap)
           discoveryConfLock.synchronized {
             val prev = spark.conf.get(tKey).toInt
-            if (paths.length > prev)
-              spark.conf.set(tKey, paths.length.toString)
+            if (capped > prev) spark.conf.set(tKey, capped.toString)
           }
           rd.parquet(paths: _*)
         }

@@ -843,15 +843,23 @@ object TextAnalysis {
       else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
     val agg = alive.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
-    def esc(t: String) = t.replace("'", "''")
-    val aSet = expanded.map(t => s"'${esc(t)}'").mkString(", ")
-    val pa = s"flatten(transform(filter(tp, x -> " +
-      s"array_contains(array($aSet), x.tok)), x -> x.positions))"
-    val pb = s"flatten(transform(filter(tp, x -> x.tok = '${esc(b)}'), " +
-      "x -> x.positions))"
+    // Column-API membership tests, NOT interpolated SQL literals (ADVICE
+    // r15): with Spark's default escapedStringLiterals=false, a corpus
+    // token containing a backslash mis-parses inside expr() — a trailing
+    // backslash swallows the closing quote (parse error) and an embedded
+    // \n silently changes the matched token, dropping its positions from
+    // the SpanOr union. typedlit/lit carry the strings as VALUES, so any
+    // legal token round-trips byte-exactly.
+    val pa = flatten(transform(
+      filter(col("tp"), x =>
+        array_contains(typedlit(expanded), x.getField("tok"))),
+      x => x.getField("positions")))
+    val pb = flatten(transform(
+      filter(col("tp"), x => x.getField("tok") === lit(b)),
+      x => x.getField("positions")))
     agg.select(col("doc_id"),
-        expr(s"aggregate($pa, 0L, (acc, p) -> acc + " +
-          s"size(filter($pb, q -> abs(p - q) <= ${slop}L)))")
+        aggregate(pa, lit(0L), (acc, p) =>
+          acc + size(filter(pb, q => abs(p - q) <= lit(slop.toLong))))
           .cast("long").as("n_pairs"))
       .filter(col("n_pairs") > 0)
       .orderBy(col("doc_id"))
@@ -1258,7 +1266,15 @@ object TextAnalysis {
         return materialize(scored(all, ordered)
           .orderBy(col("score").desc, col("doc_id")).limit(k))
       }
-      if (maxlenReady && dfc(t1) >= k) {
+      // Tombstone guard: dfc counts BUILD-time docs, so with deletes the
+      // "df(t1) ≥ k" certificate could over-count — if fewer than k LIVE
+      // docs contain t1, thetaLb no longer lower-bounds the live kth-best
+      // and pruned() would drop suffix-only docs that belong in the live
+      // top-k. Conservative bound: at most |dead| of t1's docs are dead,
+      // so df(t1) − |dead| ≥ k certifies k live t1 docs. Past it, the
+      // probe ladder below is tombstone-safe (its θ is computed over
+      // alive postings).
+      if (maxlenReady && dfc(t1) - dead.size >= k) {
         val thetaLb = idfMap(t1) *
           bm25W(1L, t1Rows.map(_.getLong(6)).max, avg1000)
         val suffix = ordered.drop(1)
@@ -1400,14 +1416,17 @@ object TextAnalysis {
       else posts.filter(!col("doc_id").isin(deadP.toSeq: _*))
     val agg = alive.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
-    val shifted = terms.zipWithIndex.map { case (t, i) =>
-      val esc = t.replace("'", "''")
-      s"transform(flatten(transform(filter(tp, x -> x.tok = '$esc'), " +
-        s"x -> x.positions)), p -> p - ${i}L)"
+    // Column-API term equality (ADVICE r15: no SQL-literal interpolation
+    // — a backslash-bearing corpus token must round-trip byte-exactly)
+    val shifted: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      transform(
+        flatten(transform(
+          filter(col("tp"), x => x.getField("tok") === lit(t)),
+          x => x.getField("positions"))),
+        p => p - lit(i.toLong))
     }
-    val inter = shifted.reduce((a, b) => s"array_intersect($a, $b)")
-    agg.select(col("doc_id"),
-        expr(s"size($inter)").cast("long").as("n_matches"))
+    val inter = shifted.reduce((a, b) => array_intersect(a, b))
+    agg.select(col("doc_id"), size(inter).cast("long").as("n_matches"))
       .filter(col("n_matches") > 0)
       .orderBy(col("doc_id"))
   }
@@ -1435,7 +1454,9 @@ object TextAnalysis {
       .agg(collect_list(struct(col("tok"), col("pos").cast("long").as("pos")))
         .as("tp"))
     nearPairsFrom(agg, a, b, slop,
-      posOf = t => s"transform(filter(tp, x -> x.tok = '$t'), x -> x.pos)")
+      posOf = t => transform(
+        filter(col("tp"), x => x.getField("tok") === lit(t)),
+        x => x.getField("pos")))
   }
 
   /** The same slop count served from the POSITIONAL index — positions
@@ -1458,17 +1479,20 @@ object TextAnalysis {
     val agg = posts.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
     nearPairsFrom(agg, a, b, slop,
-      posOf = t => s"flatten(transform(filter(tp, x -> x.tok = '$t'), " +
-        "x -> x.positions))")
+      posOf = t => flatten(transform(
+        filter(col("tp"), x => x.getField("tok") === lit(t)),
+        x => x.getField("positions"))))
   }
 
+  // posOf builds each term's per-doc position list as a COLUMN (ADVICE
+  // r15: terms ride as lit() values, never interpolated SQL literals, so
+  // backslash/quote-bearing tokens match byte-exactly)
   private def nearPairsFrom(agg: DataFrame, a: String, b: String,
-      slop: Int, posOf: String => String): DataFrame = {
-    def esc(t: String) = t.replace("'", "''")
-    val pa = posOf(esc(a)); val pb = posOf(esc(b))
+      slop: Int, posOf: String => Column): DataFrame = {
+    val pa = posOf(a); val pb = posOf(b)
     agg.select(col("doc_id"),
-        expr(s"aggregate($pa, 0L, (acc, p) -> acc + " +
-          s"size(filter($pb, q -> abs(p - q) <= ${slop}L)))")
+        aggregate(pa, lit(0L), (acc, p) =>
+          acc + size(filter(pb, q => abs(p - q) <= lit(slop.toLong))))
           .cast("long").as("n_pairs"))
       .filter(col("n_pairs") > 0)
       .orderBy(col("doc_id"))
@@ -1503,13 +1527,14 @@ object TextAnalysis {
     val agg = toks.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok"), col("pos").cast("long").as("pos")))
         .as("tp"))
-    val shifted = terms.zipWithIndex.map { case (t, i) =>
-      val esc = t.replace("'", "''")
-      s"transform(filter(tp, x -> x.tok = '$esc'), x -> x.pos - ${i}L)"
+    // Column-API term equality (ADVICE r15 — see phraseServeCount)
+    val shifted: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      transform(
+        filter(col("tp"), x => x.getField("tok") === lit(t)),
+        x => x.getField("pos") - lit(i.toLong))
     }
-    val inter = shifted.reduce((a, b) => s"array_intersect($a, $b)")
-    agg.select(col("doc_id"),
-        expr(s"size($inter)").cast("long").as("n_matches"))
+    val inter = shifted.reduce((a, b) => array_intersect(a, b))
+    agg.select(col("doc_id"), size(inter).cast("long").as("n_matches"))
       .filter(col("n_matches") > 0)
       .orderBy(col("doc_id"))
   }

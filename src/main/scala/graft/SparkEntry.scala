@@ -336,7 +336,9 @@ object SparkEntry {
   /** Build-once gate for the segmented BM25 index over documents
     * (shared by bm25_served / bm25_batch_served / hybrid_rrf_served). */
   private[graft] def ensureBm25Index(s: SparkSession, dir: String): String = {
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v5_" +
+    // v6: segments also publish the REVERSED term dictionary (terms_rev),
+    // which the round-16 suffix/infix/fuzzy serves band-scan
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v6_" +
       fsTag(s, dir, "documents.parquet")
     if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
       val p = new org.apache.hadoop.fs.Path(idx)
@@ -2419,6 +2421,52 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // leading-wildcard SCORING serve (`*er`): the REVERSED dictionary
+    // (terms_rev, round 16) turns the suffix into a manifest-pruned
+    // prefix band over rev(tok) — expansion cost ∝ the reversed band,
+    // never a dictionary scan — then the same per-variant-idf scoring
+    // rewrite as bm25_prefix_served. Oracle = the bm25 chain with qt =
+    // the LIKE '%er' distinct-token expansion
+    "bm25_suffix_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeSuffixTopK(s, ensureBm25Index(s, dir),
+        "er", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // infix wildcard (`t*e`): forward prefix band ∩ reversed suffix
+    // band, intersected DISTRIBUTEDLY per segment before the budgeted
+    // collect (either band alone may be huge; the intersection is the
+    // point), length-guarded to match LIKE 't%e' disjoint-span
+    // semantics exactly
+    "bm25_infix_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeInfixTopK(s, ensureBm25Index(s, dir),
+        "t", "e", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // boolean MUST serve: docs containing ALL of {table, sort, scan},
+    // scored with the standard arithmetic — candidates seeded from the
+    // cheapest-df term's postings and semi-joined BEFORE the aggregate
+    // (TextAnalysis.bm25ServeTopKAnd; the audit pins the postings-row
+    // cut). Oracle = the bm25 chain + HAVING count(DISTINCT tok) = 3
+    "bm25_and_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeTopKAnd(s, ensureBm25Index(s, dir),
+        "table sort scan", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // fuzzy serve (edit distance ≤ 1, Lucene FuzzyQuery): 'hast'
+    // expands against two dictionary bands (forward h-band for edits at
+    // positions ≥ 1; reversed rev("ast")-band for edits at position 0)
+    // through a codegen'd levenshtein filter → {fast, hash} — then the
+    // scoring rewrite. Oracle replays the expansion with DuckDB's own
+    // levenshtein
+    "bm25_fuzzy_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeFuzzyTopK(s, ensureBm25Index(s, dir),
+        "hast", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // index TIME TRAVEL: serve pinned to the manifest version that
     // existed before the append — segments are immutable and the
     // manifest is a versioned pointer, so an AS-OF serve just reads the
@@ -2641,6 +2689,15 @@ object SparkEntry {
     // (TextAnalysis.prefixSearch)
     "prefix_search" -> ((s, dir) => {
       TextAnalysis.prefixSearch(s, ensureBm25Index(s, dir), "s")
+    }),
+
+    // leading-wildcard term search (`*er`): answered entirely from the
+    // REVERSED dictionary's (dfc, occ) stats — a prefix band over
+    // rev(tok), no postings read (TextAnalysis.suffixSearch; the
+    // tombstone/legacy fallback recounts from the expanded terms'
+    // postings)
+    "suffix_search" -> ((s, dir) => {
+      TextAnalysis.suffixSearch(s, ensureBm25Index(s, dir), "er")
     }),
 
     // proximity (slop) search: |posA − posB| ≤ 2 pairs per doc, the
@@ -4789,7 +4846,7 @@ object SparkEntry {
   private def bm25TopkSqlOver(docsSrc: String, tfExtra: String,
       qtClause: String =
         "qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz'))",
-      k: Int = 15): String =
+      k: Int = 15, scoredHaving: String = ""): String =
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
       |  FROM $docsSrc),
@@ -4813,7 +4870,7 @@ object SparkEntry {
       |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
       |      AS score
       |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
-      |  GROUP BY tf.doc_id)
+      |  GROUP BY tf.doc_id$scoredHaving)
       |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
@@ -6965,6 +7022,28 @@ object SparkEntry {
     // rest of the chain is the bm25 replay verbatim
     "bm25_prefix_served" -> bm25TopkSqlOver("documents", "",
       qtClause = "qt AS (SELECT DISTINCT tok FROM tk WHERE tok LIKE 's%')"),
+
+    // leading wildcard: the same scoring rewrite, qt = LIKE '%er'
+    "bm25_suffix_served" -> bm25TopkSqlOver("documents", "",
+      qtClause = "qt AS (SELECT DISTINCT tok FROM tk WHERE tok LIKE '%er')"),
+
+    // infix wildcard: LIKE 't%e' — SQL % over disjoint spans is exactly
+    // the engine's startsWith ∧ endsWith ∧ length guard
+    "bm25_infix_served" -> bm25TopkSqlOver("documents", "",
+      qtClause = "qt AS (SELECT DISTINCT tok FROM tk WHERE tok LIKE 't%e')"),
+
+    // boolean MUST: the disjunctive chain restricted to docs carrying
+    // all three terms — scores identical to the OR serve's for those
+    // docs, which is the Lucene BooleanQuery contract
+    "bm25_and_served" -> bm25TopkSqlOver("documents", "",
+      qtClause = "qt(tok) AS (VALUES ('table'), ('sort'), ('scan'))",
+      scoredHaving = " HAVING count(DISTINCT tf.tok) = 3"),
+
+    // fuzzy: qt = the edit-distance-≤1 expansion, replayed with
+    // DuckDB's own levenshtein over the distinct corpus tokens
+    "bm25_fuzzy_served" -> bm25TopkSqlOver("documents", "",
+      qtClause = "qt AS (SELECT DISTINCT tok FROM tk " +
+        "WHERE levenshtein(tok, 'hast') <= 1)"),
     "bm25_appended" -> Bm25TopkSql,
     "bm25_compacted" -> Bm25TopkSql,
     "bm25_stream_ingest" -> Bm25TopkSql,
@@ -7094,6 +7173,19 @@ object SparkEntry {
         |tf AS (
         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
         |  WHERE tok LIKE 's%' GROUP BY doc_id, tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tf) AS BIGINT) AS n_occ
+        |FROM tf GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // reversed-dictionary probe replay: same counts, LIKE '%er'
+    "suffix_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok LIKE '%er' GROUP BY doc_id, tok)
         |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tf) AS BIGINT) AS n_occ
         |FROM tf GROUP BY tok ORDER BY tok""".stripMargin,

@@ -758,6 +758,32 @@ object TextAnalysis {
         .select(col("tok"), col("dfc"))
         .limit(MaxPrefixExpansion + 1).collect().toSeq
     }
+    val dfc = keyRows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    require(dfc.size <= MaxPrefixExpansion,
+      s"prefix '$p*' expands to ${dfc.size} terms — past the " +
+        s"$MaxPrefixExpansion budget; narrow the prefix (a too-broad " +
+        "wildcard is a corpus scan in disguise)")
+    // stage 2: the scoring serve over the expanded set
+    scoreExpandedTerms(spark, root, segs, dfc, k)
+  }
+
+  /** Stage 2 shared by every MultiTermQuery SCORING serve (prefix /
+    * suffix / infix / fuzzy rewrites): exact BM25 over an expanded term
+    * set — per-variant idf from the dictionary's build-time df (the
+    * documented Lucene stale-stats contract) through the large-N guard,
+    * ONE bucket-pruned postings probe over the matched terms, the
+    * tombstone mask, one scoring aggregate, top-k. Splitting expansion
+    * from scoring keeps every wildcard flavor's cost model identical:
+    * expansion ∝ its dictionary band, scoring ∝ the expanded terms'
+    * postings. */
+  private def scoreExpandedTerms(spark: SparkSession, root: String,
+      segs: Seq[String], dfc: Map[String, Long], k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = dfc.keys.toSeq.sorted
+    if (terms.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val statsRows = segs.flatMap(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
         Seq(Bm25StatsKey).toDF("tok")).collect().toSeq)
@@ -766,16 +792,6 @@ object TextAnalysis {
     val nDocs = statsRows.map(_.getLong(1)).sum
     val totLen = statsRows.map(_.getLong(2)).sum
     val avg1000 = totLen * 1000L / nDocs
-    val dfc = keyRows.groupBy(_.getString(0))
-      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
-    val terms = dfc.keys.toSeq.sorted
-    if (terms.isEmpty)
-      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
-    require(terms.size <= MaxPrefixExpansion,
-      s"prefix '$p*' expands to ${terms.size} terms — past the " +
-        s"$MaxPrefixExpansion budget; narrow the prefix (a too-broad " +
-        "wildcard is a corpus scan in disguise)")
-    // stage 2: the scoring serve over the expanded set
     val idf = bm25Idf(nDocs, dfc, terms).toDF("tok", "idf")
     val postings = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
@@ -793,6 +809,317 @@ object TextAnalysis {
         expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("idf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Whether a segment carries the reversed dictionary twin (segments
+    * written before round 16 lack it; mixed manifests are normal after
+    * appends to an old index — each segment falls back independently). */
+  private def segHasRevDict(spark: SparkSession, root: String,
+      sg: String): Boolean =
+    graft.sinks.Versioned.currentVersion(spark,
+      s"$root/segs/$sg/terms_rev").isDefined
+
+  /** Per-segment suffix expansion rows (tok, dfc, occ) for `*suf`: a
+    * PREFIX band scan [rev(suf), successor) over the REVERSED dictionary
+    * when the segment has one — manifest-zone pruned, the whole point —
+    * else a full forward-dictionary scan with an endsWith filter (legacy
+    * segments: a dictionary scan, but still never a postings read).
+    * `occ` is null on pre-occ legacy segments (callers needing counts
+    * fall back to a postings recount). Bounded per segment by the
+    * expansion budget. */
+  private def suffixBandRows(spark: SparkSession, root: String, sg: String,
+      suffix: String): Seq[org.apache.spark.sql.Row] = {
+    import graft.sinks.MergeTable
+    if (segHasRevDict(spark, root, sg)) {
+      val rp = suffix.reverse
+      MergeTable.readRange(spark, s"$root/segs/$sg/terms_rev",
+          Some(rp), prefixSuccessor(rp))
+        .filter(col("rtok").startsWith(rp))
+        .select(col("tok"), col("dfc"), col("occ"))
+        .limit(MaxPrefixExpansion + 1).collect().toSeq
+    } else {
+      val t = MergeTable.read(spark, s"$root/segs/$sg/terms")
+      val occCol =
+        if (t.schema.fieldNames.contains("occ")) col("occ")
+        else lit(null).cast("long")
+      t.filter(col("tok").endsWith(suffix) && col("tok") =!= Bm25StatsKey)
+        .select(col("tok"), col("dfc"), occCol.as("occ"))
+        .limit(MaxPrefixExpansion + 1).collect().toSeq
+    }
+  }
+
+  /**
+   * Suffix (leading-wildcard `*suf`) term search — the reversed twin of
+   * [[prefixSearch]] (VERDICT r15 #2, Lucene's ReversedWildcardFilter):
+   * each segment's `terms_rev` table keys the dictionary by
+   * reverse(tok) in range layout, so the leading wildcard becomes a
+   * manifest-pruned PREFIX band scan and the per-term (dfc, occ) stats
+   * answer with NO postings read. Tombstones (or legacy segments
+   * without `occ`) force the exact fallback: expand the token set from
+   * the dictionary, recount from those tokens' bucket-pruned postings
+   * with dead docs masked row-exactly — cost ∝ expanded-term postings
+   * (compaction restores the dictionary path). Returns per matching
+   * token its live document and occurrence counts.
+   */
+  def suffixSearch(spark: SparkSession, root: String,
+      suffix: String): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val sx = suffix.toLowerCase.trim
+    require(sx.nonEmpty, "empty suffix")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(String, Long, Long)].toDF("tok", "n_docs", "n_occ")
+    val rows = segs.flatMap(sg => suffixBandRows(spark, root, sg, sx))
+    val expanded = rows.map(_.getString(0)).distinct.sorted
+    require(expanded.size <= MaxPrefixExpansion,
+      s"suffix '*$sx' expands to ${expanded.size} terms — past the " +
+        s"$MaxPrefixExpansion budget; narrow the suffix")
+    if (expanded.isEmpty)
+      return Seq.empty[(String, Long, Long)].toDF("tok", "n_docs", "n_occ")
+    val dead = deletedBm25Docs(spark, root)
+    if (dead.isEmpty && rows.forall(r => !r.isNullAt(2))) {
+      // dictionary path: the band rows ARE the answer (driver fold is
+      // expansion-budget-bounded by construction)
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (t, rs) =>
+          (t, rs.map(_._2).sum, rs.map(_._3).sum)
+        }.toSeq.sortBy(_._1).toDF("tok", "n_docs", "n_occ")
+    } else {
+      val posts = segs.map(sg =>
+        MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+          expanded.toDF("tok"))).reduce(_.unionByName(_))
+      val alive =
+        if (dead.isEmpty) posts
+        else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+      alive.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("tf")).cast("long").as("n_occ"))
+        .orderBy(col("tok"))
+    }
+  }
+
+  /**
+   * Suffix-wildcard SCORING serve — BM25 top-k for `*suf`: expand via
+   * the reversed dictionary's band scan (df rides the expansion), then
+   * the shared exact scoring stage. Same Lucene scoring rewrite as
+   * [[bm25ServePrefixTopK]] — each variant scores with its OWN idf.
+   */
+  def bm25ServeSuffixTopK(spark: SparkSession, root: String,
+      suffix: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val sx = suffix.toLowerCase.trim
+    require(sx.nonEmpty, "empty suffix")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val rows = segs.flatMap(sg => suffixBandRows(spark, root, sg, sx))
+    val dfc = rows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    require(dfc.size <= MaxPrefixExpansion,
+      s"suffix '*$sx' expands to ${dfc.size} terms — past the " +
+        s"$MaxPrefixExpansion budget; narrow the suffix")
+    scoreExpandedTerms(spark, root, segs, dfc, k)
+  }
+
+  /**
+   * Infix-wildcard SCORING serve — BM25 top-k for `pre*suf` (the third
+   * MultiTermQuery shape): per segment, the forward dictionary's prefix
+   * band is INTERSECTED with the reversed dictionary's suffix band
+   * DISTRIBUTEDLY, before any collect — either band alone may blow the
+   * expansion budget while the intersection is tiny (the `a*b` point).
+   * The length guard `|tok| ≥ |pre| + |suf|` rejects overlapping spans,
+   * matching SQL `LIKE 'pre%suf'` exactly (the `%` matches zero or more
+   * chars over DISJOINT prefix/suffix occurrences). Segments without a
+   * reversed dictionary filter the prefix band by endsWith instead —
+   * same result, prefix-band pruned only.
+   */
+  def bm25ServeInfixTopK(spark: SparkSession, root: String,
+      prefix: String, suffix: String, k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val p = prefix.toLowerCase.trim
+    val sx = suffix.toLowerCase.trim
+    require(p.nonEmpty && sx.nonEmpty,
+      "infix wildcard needs a non-empty prefix AND suffix (use the " +
+        "prefix/suffix serves for one-sided patterns)")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val rows = segs.flatMap { sg =>
+      val a = MergeTable.readRange(spark, s"$root/segs/$sg/terms",
+          Some(p), prefixSuccessor(p))
+        .filter(col("tok").startsWith(p) && col("tok") =!= Bm25StatsKey)
+        .select(col("tok"), col("dfc"))
+      val matched =
+        if (segHasRevDict(spark, root, sg)) {
+          val rp = sx.reverse
+          val b = MergeTable.readRange(spark, s"$root/segs/$sg/terms_rev",
+              Some(rp), prefixSuccessor(rp))
+            .filter(col("rtok").startsWith(rp))
+            .select(col("tok"))
+          a.join(b, "tok")
+        } else a.filter(col("tok").endsWith(sx))
+      matched.filter(length(col("tok")) >= p.length + sx.length)
+        .limit(MaxPrefixExpansion + 1).collect().toSeq
+    }
+    val dfc = rows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    require(dfc.size <= MaxPrefixExpansion,
+      s"pattern '$p*$sx' expands to ${dfc.size} terms — past the " +
+        s"$MaxPrefixExpansion budget; narrow the pattern")
+    scoreExpandedTerms(spark, root, segs, dfc, k)
+  }
+
+  /**
+   * Fuzzy SCORING serve — BM25 top-k for a single term at edit distance
+   * ≤ 1 (Lucene FuzzyQuery, maxEdits = 1): candidates come from TWO
+   * dictionary bands instead of a Levenshtein-automaton walk —
+   *  - edits at positions ≥ 1 preserve the first char → the forward
+   *    dictionary's q[0] prefix band;
+   *  - edits AT position 0 leave the candidate ending with q[1:]
+   *    (substitution/deletion) or with q itself (insertion), and
+   *    rev(q) = rev(q[1:]) + q[0], so ONE reversed band on rev(q[1:])
+   *    covers both.
+   * Band rows then pass a codegen'd `levenshtein ≤ 1` filter and the
+   * [[MaxPrefixExpansion]] budget before the shared scoring stage; each
+   * variant scores with its OWN idf (no distance boost — rarity, not
+   * proximity, ranks variants; the SQL-replayable choice). A length-1
+   * query degenerates the reversed band to a full dictionary scan
+   * (correct; its edit-1 neighborhood is alphabet-wide by definition),
+   * as does a legacy segment without `terms_rev`.
+   */
+  def bm25ServeFuzzyTopK(spark: SparkSession, root: String,
+      term: String, k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val q = term.toLowerCase.trim
+    require(q.nonEmpty && !q.exists(_.isWhitespace),
+      "fuzzy serve takes a single term")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val rows = segs.flatMap { sg =>
+      val a = MergeTable.readRange(spark, s"$root/segs/$sg/terms",
+          Some(q.take(1)), prefixSuccessor(q.take(1)))
+        .filter(col("tok") =!= Bm25StatsKey)
+        .select(col("tok"), col("dfc"))
+      val b =
+        if (segHasRevDict(spark, root, sg)) {
+          val rp = q.drop(1).reverse
+          val (lo, hi) =
+            if (rp.isEmpty) (None, None)
+            else (Some(rp), prefixSuccessor(rp))
+          MergeTable.readRange(spark, s"$root/segs/$sg/terms_rev", lo, hi)
+            .select(col("tok"), col("dfc"))
+        } else
+          MergeTable.read(spark, s"$root/segs/$sg/terms")
+            .filter(col("tok") =!= Bm25StatsKey)
+            .select(col("tok"), col("dfc"))
+      // a candidate sitting in BOTH bands carries the same (tok, dfc)
+      // row twice within this segment — distinct() dedupes it before
+      // the cross-segment df summation
+      a.unionByName(b)
+        .filter(levenshtein(col("tok"), lit(q)) <= 1)
+        .distinct()
+        .limit(MaxPrefixExpansion + 1).collect().toSeq
+    }
+    val dfc = rows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    require(dfc.size <= MaxPrefixExpansion,
+      s"fuzzy '$q~1' expands to ${dfc.size} terms — past the " +
+        s"$MaxPrefixExpansion budget")
+    scoreExpandedTerms(spark, root, segs, dfc, k)
+  }
+
+  /** What an AND serve actually did — read via [[lastAndServeAudit]]
+    * after a serve with [[auditAndServe]] enabled (the spec/IO pin; the
+    * counts cost extra jobs, so they are off by default). */
+  final case class AndServeAudit(nTerms: Int, seedTerm: String,
+      seedDf: Long, candidateDocs: Long, postingsRowsTotal: Long,
+      postingsRowsScored: Long)
+  @volatile private[graft] var auditAndServe: Boolean = false
+  @volatile private[graft] var lastAndServeAudit: Option[AndServeAudit] = None
+
+  /**
+   * Boolean CONJUNCTIVE serve — BM25 top-k over docs containing ALL
+   * query terms (the Lucene BooleanQuery MUST clause, the other half of
+   * the disjunctive [[bm25ServeTopK]]): candidates are the intersection
+   * of the terms' posting lists, seeded from the CHEAPEST-df term — its
+   * doc set bounds the candidates, so every other term's postings are
+   * semi-joined down to it BEFORE the scoring aggregate's shuffle
+   * (df(t_min) rows instead of Σdf; at 100 TB the rare term turns a
+   * common term's millions of aggregate rows into thousands). The
+   * aggregate then keeps docs whose distinct-term count equals |q| —
+   * the intersection itself — and scores them with the standard
+   * arithmetic, so AND results carry the same scores the OR serve gives
+   * those docs. A required term with NO postings anywhere returns empty
+   * (MUST semantics). Tombstones mask as in every serve.
+   */
+  def bm25ServeTopKAnd(spark: SparkSession, root: String,
+      queryText: String, k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    lastAndServeAudit = None
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    // MUST: a required term absent from the index ⇒ no doc can qualify —
+    // decided from the dictionary alone, zero postings read
+    if (!terms.forall(dfc.contains))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val idf = bm25Idf(nDocs, dfc.toMap, terms).toDF("tok", "idf")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val tMin = terms.minBy(t => (dfc(t), t))
+    val cand0 = alive.filter(col("tok") === tMin).select(col("doc_id"))
+    // broadcast gate: same size class as the MaxScore candidate build
+    val cand =
+      if (dfc(tMin) <= MaxBm25Tombstones) broadcast(cand0) else cand0
+    val restricted =
+      if (terms.size == 1) alive
+      else alive.join(cand, Seq("doc_id"), "left_semi")
+    if (auditAndServe)
+      lastAndServeAudit = Some(AndServeAudit(
+        nTerms = terms.size, seedTerm = tMin, seedDf = dfc(tMin),
+        candidateDocs = cand0.distinct().count(),
+        postingsRowsTotal = alive.count(),
+        postingsRowsScored = restricted.count()))
+    restricted
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"),
+        countDistinct(col("tok")).as("nt"))
+      .filter(col("nt") === terms.size)
+      .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -938,6 +1265,21 @@ object TextAnalysis {
         .select(col("tok"), col("dfc"), col("tot"), col("maxtf"),
           col("minlen"), col("occ"), col("maxlen"))
       MergeTable.publishRange(termStats, s"$root/segs/$seg/terms", "tok",
+        nParts = math.max(1, nBuckets / 4))
+      // terms_rev = the REVERSED dictionary twin (VERDICT r15 #2, the
+      // Lucene ReversedWildcardFilter idea): the same per-term stats
+      // keyed by reverse(tok) in range layout, so a suffix wildcard
+      // `*fix` becomes a PREFIX band scan [rev(fix), successor) over
+      // tight manifest zones — leading wildcards stop being dictionary
+      // scans. Carries (tok, dfc, occ) so suffix COUNT serves answer
+      // from this table alone, no postings read (suffixSearch); scoring
+      // serves take dfc for per-variant idf. Published after `terms`:
+      // a crash between the two leaves an uncommitted orphan segment
+      // either way (the manifest commit is the fence).
+      val revStats = termStats.filter(col("tok") =!= Bm25StatsKey)
+        .select(reverse(col("tok")).as("rtok"), col("tok"), col("dfc"),
+          col("occ"))
+      MergeTable.publishRange(revStats, s"$root/segs/$seg/terms_rev", "rtok",
         nParts = math.max(1, nBuckets / 4))
       Some(seg)
     } finally cached.unpersist()

@@ -624,4 +624,191 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(TextAnalysis.nearServePrefixCount(spark, root, "zz", "table", 2)
       .count() == 0)
   }
+
+  test("reversed dictionary: suffix search band-prunes, counts exact, tombstones/legacy fall back (VERDICT r15 #2)") {
+    import spark.implicits._
+    import graft.sinks.MergeTable
+    val root = Files.createTempDirectory("bm25rev").toString
+    // alphabet-spanning SUFFIXES so the reversed dictionary's files hold
+    // distinct bands (tokens reversed start with the varied char)
+    val docs = (1L to 260L).map { i =>
+      val c = ('a' + ((i - 1) % 26)).toChar
+      (i, s"tok$i$c x$c common")
+    }.toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 32)
+    val seg = TextAnalysis.liveSegments(spark, root).head
+    val revRoot = s"$root/segs/$seg/terms_rev"
+    val all = MergeTable.rangeFiles(spark, revRoot, None, None)
+    val band = MergeTable.rangeFiles(spark, revRoot, Some("s"), Some("t"))
+    assert(band.nonEmpty && band.size < all.size,
+      s"the reversed band must manifest-prune: ${band.size}/${all.size}")
+    def reference(exclude: Set[Long]): Seq[(String, Long, Long)] = {
+      val toks = docs.filter(!col("doc_id").isin(exclude.toSeq: _*))
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok").endsWith("s"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("n_occ"))
+        .orderBy(col("tok")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    def serve(): Seq[(String, Long, Long)] =
+      TextAnalysis.suffixSearch(spark, root, "s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(serve() == reference(Set.empty),
+      "reversed-dictionary-only serve must match tokenization")
+    // tombstone forces the postings recount; counts mask the dead doc
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(19L)) // an 's'-suffix doc
+    assert(serve() == reference(Set(19L)), "tombstoned serve must re-derive")
+    // compaction restores the dictionary path
+    TextAnalysis.compactBm25Index(spark, root, nBuckets = 32)
+    assert(TextAnalysis.deletedBm25Docs(spark, root).isEmpty)
+    assert(serve() == reference(Set(19L)), "post-compact reversed dictionary must be exact")
+    // LEGACY segment: strip terms_rev — the serve must fall back to the
+    // forward-dictionary endsWith scan with identical results
+    val seg2 = TextAnalysis.liveSegments(spark, root).head
+    val p = new org.apache.hadoop.fs.Path(s"$root/segs/$seg2/terms_rev")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    assert(serve() == reference(Set(19L)),
+      "a segment without terms_rev must serve via the forward scan")
+  }
+
+  test("suffix scoring serve: reversed-band expansion + per-variant idf equals the direct computation") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25sfx").toString
+    val docs = (1L to 60L).map { i =>
+      val v = s"v${i % 7}ing" // 7 *ing variants with different df
+      val rare = if (i % 20 == 0) " raring" else ""
+      (i, s"$v common filler$rare")
+    }.toDF("doc_id", "text")
+    // two segments so expansion merges df across segments
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 30),
+      "doc_id", "text", root, nBuckets = 4)
+    TextAnalysis.appendBm25Segment(docs.filter(col("doc_id") > 30),
+      "doc_id", "text", root, nBuckets = 4)
+    val expanded = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").endsWith("ing")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      expanded.mkString(" "), k = 10).collect().map(_.toString).toSeq
+    val served = TextAnalysis.bm25ServeSuffixTopK(spark, root, "ing", 10)
+      .collect().map(_.toString).toSeq
+    assert(served == direct, s"served=$served direct=$direct")
+    // no match: empty, not an error
+    assert(TextAnalysis.bm25ServeSuffixTopK(spark, root, "zz", 5).count() == 0)
+  }
+
+  test("infix scoring serve: prefix∩suffix band intersection, LIKE disjoint-span semantics") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25inf").toString
+    // 'ab' must NOT match pattern ab*b (spans would overlap: LIKE
+    // 'ab%b' needs length ≥ 3); 'abb' and 'abxb' must
+    val docs = Seq(
+      (1L, "ab filler common"),
+      (2L, "abb filler common"),
+      (3L, "abxb filler common"),
+      (4L, "axb zb common"),
+      (5L, "abb abxb common")
+    ).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "abb abxb", k = 10).collect().map(_.toString).toSeq
+    val served = TextAnalysis.bm25ServeInfixTopK(spark, root, "ab", "b", 10)
+      .collect().map(_.toString).toSeq
+    assert(served == direct, s"served=$served direct=$direct")
+    // one-char bound each side: a*b -> {ab, abb, axb, abxb}, not zb
+    val direct2 = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "ab abb axb abxb", k = 10).collect().map(_.toString).toSeq
+    val served2 = TextAnalysis.bm25ServeInfixTopK(spark, root, "a", "b", 10)
+      .collect().map(_.toString).toSeq
+    assert(served2 == direct2, s"served=$served2 direct=$direct2")
+    assert(TextAnalysis.bm25ServeInfixTopK(spark, root, "z", "q", 5)
+      .count() == 0)
+  }
+
+  test("fuzzy scoring serve: two-band edit-1 expansion equals the direct computation, both-band dedupe, |q|=1") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25fz").toString
+    // hast: hash (edit at pos 3, forward band), fast/cast (edit at pos
+    // 0, REVERSED band), hasty (insertion at end), hast itself (both
+    // bands — the dedupe case); toast is edit 2 and must not expand
+    val docs = Seq(
+      (1L, "hash common x"),
+      (2L, "fast common x"),
+      (3L, "cast common x"),
+      (4L, "hasty common x"),
+      (5L, "hast common x"),
+      (6L, "toast common x"),
+      (7L, "hash fast common")
+    ).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "hash fast cast hasty hast", k = 10).collect().map(_.toString).toSeq
+    val served = TextAnalysis.bm25ServeFuzzyTopK(spark, root, "hast", 10)
+      .collect().map(_.toString).toSeq
+    assert(served == direct, s"served=$served direct=$direct")
+    // |q| = 1 degenerates the reversed band to a full scan and stays
+    // correct: neighborhood of 'x' in this corpus is just {x}
+    val direct1 = TextAnalysis.bm25TopK(docs, "doc_id", "text", "x", 10)
+      .collect().map(_.toString).toSeq
+    val served1 = TextAnalysis.bm25ServeFuzzyTopK(spark, root, "x", 10)
+      .collect().map(_.toString).toSeq
+    assert(served1 == direct1, s"served=$served1 direct=$direct1")
+    // no neighborhood: empty result
+    assert(TextAnalysis.bm25ServeFuzzyTopK(spark, root, "zzzzzz", 5)
+      .count() == 0)
+    // multi-term input refuses
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bm25ServeFuzzyTopK(spark, root, "two terms", 5))
+    assert(e.getMessage.contains("single term"))
+  }
+
+  test("conjunctive AND serve: intersection semantics, cheapest-df seed prunes postings, MUST on absent terms") {
+    import spark.implicits._
+    val docs = corpus() // 'rare' on every 5th doc; common/data/table everywhere
+    val root = Files.createTempDirectory("bm25and").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    // reference: the OR serve's scores restricted to docs carrying ALL terms
+    val withAll = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").isin("rare", "table"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("tok")).as("nt"))
+      .filter(col("nt") === 2).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val orScores = TextAnalysis.bm25ServeTopK(spark, root, "rare table", 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = orScores.filter { case (id, _) => withAll(id) }.toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    TextAnalysis.auditAndServe = true
+    val got =
+      try TextAnalysis.bm25ServeTopKAnd(spark, root, "rare table", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      finally TextAnalysis.auditAndServe = false
+    assert(got == expected, s"got=$got expected=$expected")
+    // the audit pins the seed cut: 'rare' (df 8) seeds, so the common
+    // term's postings shrink to the candidate docs before the aggregate
+    val audit = TextAnalysis.lastAndServeAudit.get
+    assert(audit.seedTerm == "rare" && audit.seedDf == 8)
+    assert(audit.postingsRowsScored < audit.postingsRowsTotal,
+      s"seed semi-join must cut postings: ${audit.postingsRowsScored}/" +
+        s"${audit.postingsRowsTotal}")
+    // MUST: an absent term empties the result from the dictionary alone
+    assert(TextAnalysis.bm25ServeTopKAnd(spark, root, "rare zzz", 10)
+      .count() == 0)
+    // single term: AND == OR
+    val orOne = TextAnalysis.bm25ServeTopK(spark, root, "rare", 10)
+      .collect().map(_.toString).toSeq
+    val andOne = TextAnalysis.bm25ServeTopKAnd(spark, root, "rare", 10)
+      .collect().map(_.toString).toSeq
+    assert(andOne == orOne)
+    // tombstones mask: delete one qualifying doc, it vanishes
+    val victim = expected.head._1
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(victim))
+    val after = TextAnalysis.bm25ServeTopKAnd(spark, root, "rare table", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(victim))
+  }
 }

@@ -349,6 +349,34 @@ object SparkEntry {
     idx
   }
 
+  /** Build-once gate for the TOMBSTONED twin of the BM25 index: same
+    * corpus, then every doc_id % 7 == 0 deleted through the
+    * corrections-aware delete — the fixture for the wildcard-counts-
+    * under-live-tombstones serves (never compacted, so the tombstones
+    * and their dead-term corrections stay live). */
+  private[graft] def ensureDeletedBm25Index(s: SparkSession,
+      dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_del_v1_" +
+      fsTag(s, dir, "documents.parquet")
+    if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+        idx)
+    }
+    // delete step checked separately from the build so a crash between
+    // the two commits heals on the next call (deleteBm25Docs is
+    // idempotent). The dead-id list is tombstone-bounded by contract
+    // (Seq API); 1-in-7 of the test corpus is far under
+    // MaxBm25Tombstones.
+    if (TextAnalysis.deletedBm25Docs(s, idx).isEmpty) {
+      val deadIds = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      TextAnalysis.deleteBm25Docs(s, idx, deadIds)
+    }
+    idx
+  }
+
   /** Build-once gate for the feature-hash IVF index over documents
     * (shared by doc_search_served / hybrid_rrf_served). Returns
     * (indexPath, registryKey). */
@@ -2698,6 +2726,20 @@ object SparkEntry {
     // postings)
     "suffix_search" -> ((s, dir) => {
       TextAnalysis.suffixSearch(s, ensureBm25Index(s, dir), "er")
+    }),
+
+    // wildcard counts under LIVE tombstones (VERDICT r15 #6): the
+    // delete commit stores per-term dead-df corrections beside the
+    // tombstone list, so the count serve stays on the dictionary —
+    // band stats MINUS corrections, no postings read (the file-set
+    // pin lives in Bm25IndexSpec). Oracle = the same token counts
+    // with the deleted docs excluded.
+    "prefix_search_deleted" -> ((s, dir) => {
+      TextAnalysis.prefixSearch(s, ensureDeletedBm25Index(s, dir), "s")
+    }),
+
+    "suffix_search_deleted" -> ((s, dir) => {
+      TextAnalysis.suffixSearch(s, ensureDeletedBm25Index(s, dir), "er")
     }),
 
     // proximity (slop) search: |posA − posB| ≤ 2 pairs per doc, the
@@ -7182,6 +7224,33 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok LIKE '%er' GROUP BY doc_id, tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tf) AS BIGINT) AS n_occ
+        |FROM tf GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // dictionary-minus-corrections replay: the prefix counts with the
+    // tombstoned docs (doc_id % 7 = 0) excluded
+    "prefix_search_deleted" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok LIKE 's%' GROUP BY doc_id, tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tf) AS BIGINT) AS n_occ
+        |FROM tf GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // the reversed-dictionary twin under tombstones
+    "suffix_search_deleted" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 7 <> 0),
         |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
         |tf AS (
         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk

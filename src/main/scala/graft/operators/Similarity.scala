@@ -726,8 +726,10 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String, indexKey: String,
       stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Unit =
-    appendToIvfIndexHooked(batch, idCol, vecCol, path, indexKey,
-      stride, iters, pqM, () => ())
+    graft.sinks.Lease.withLease(batch.sparkSession, path) {
+      appendToIvfIndexHooked(batch, idCol, vecCol, path, indexKey,
+        stride, iters, pqM, () => ())
+    }
 
   /**
    * Exactly-once append for streaming ingest (the [[graft.sinks.MergeTable.mergeExactlyOnce]]
@@ -744,12 +746,15 @@ object Similarity {
   def appendToIvfIndexExactlyOnce(batch: DataFrame, idCol: String,
       vecCol: String, path: String, indexKey: String, batchId: Long,
       stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Boolean =
-    if (lastAppendBatchId(batch.sparkSession, path).exists(_ >= batchId)) false
-    else {
-      vacuumUncommitted(batch.sparkSession, path)
-      appendToIvfIndexHooked(batch, idCol, vecCol, path, indexKey,
-        stride, iters, pqM, () => (), batchId = Some(batchId))
-      true
+    graft.sinks.Lease.withLease(batch.sparkSession, path) {
+      if (lastAppendBatchId(batch.sparkSession, path)
+          .exists(_ >= batchId)) false
+      else {
+        vacuumUncommitted(batch.sparkSession, path)
+        appendToIvfIndexHooked(batch, idCol, vecCol, path, indexKey,
+          stride, iters, pqM, () => (), batchId = Some(batchId))
+        true
+      }
     }
 
   /** The append with a test seam at its one crash window: `beforeCommit`
@@ -820,11 +825,18 @@ object Similarity {
    * append.
    */
   def vacuumUncommitted(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[String] = {
+      path: String): Seq[String] = graft.sinks.Lease.withLease(spark, path) {
     import org.apache.hadoop.fs.Path
     val manifest = readManifest(spark, path)
-    if (manifest.isEmpty) return Seq.empty
-    val committed = manifest.get.split('\n').iterator
+    if (manifest.isEmpty) Seq.empty
+    else vacuumUncommittedLeased(spark, path, manifest.get)
+  }
+
+  private def vacuumUncommittedLeased(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, manifestTxt: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val committed = manifestTxt.split('\n').iterator
       .filter(l => l.nonEmpty && l.contains('\t'))
       .map(l => l.substring(l.indexOf('\t') + 1)).toSet
     val root = new Path(path)
@@ -912,7 +924,8 @@ object Similarity {
    * Returns the merged tombstone-set size.
    */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String, ids: Iterable[Long]): Int = {
+      path: String, idCol: String, ids: Iterable[Long]): Int =
+      graft.sinks.Lease.withLease(spark, path) {
     requireIndexReady(spark, path)
     val existing = readTombstones(spark, path)
     existing.foreach { case (prev, _) =>
@@ -978,8 +991,9 @@ object Similarity {
    * append/compact. Returns the number of tombstoned ids cleared.
    */
   def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int =
+      path: String): Int = graft.sinks.Lease.withLease(spark, path) {
     purgeTombstonesHooked(spark, path, () => ())
+  }
 
   /** The purge with a test seam at its one crash window: `beforeCommit`
     * runs after the rewrite job commits and before the manifest swap —
@@ -1085,8 +1099,10 @@ object Similarity {
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String, indexKey: String,
       stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Unit =
-    retrainIvfIndexHooked(spark, path, idCol, vecCol, indexKey,
-      stride, iters, pqM, () => ())
+    graft.sinks.Lease.withLease(spark, path) {
+      retrainIvfIndexHooked(spark, path, idCol, vecCol, indexKey,
+        stride, iters, pqM, () => ())
+    }
 
   /** The retrain with a test seam at its one crash window: `beforeCommit`
     * runs after the rewrite job and the new trained-state dir land,
@@ -1201,7 +1217,8 @@ object Similarity {
    */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long = 128L * 1024 * 1024)
-      : graft.sinks.Compactor.CompactResult = {
+      : graft.sinks.Compactor.CompactResult =
+      graft.sinks.Lease.withLease(spark, path) {
     import graft.sinks.Compactor
     requireIndexReady(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)

@@ -531,13 +531,17 @@ object TextAnalysis {
   def appendBm25Segment(df: DataFrame, idCol: String, textCol: String,
       root: String, nBuckets: Int = 32): Option[String] = {
     val spark = df.sparkSession
-    val (old, fence) = liveSegmentsWithFence(spark, root)
-    val seg = writeBm25Segment(
-      buildPostings(df, idCol, textCol, indexHasPositions(spark, root, old)),
-      root, nBuckets)
-    commitSegments(spark, root, old ++ seg.toSeq, fence,
-      deletedBm25Docs(spark, root).toSeq)
-    seg
+    graft.sinks.Lease.withLease(spark, root) {
+      val (old, fence) = liveSegmentsWithFence(spark, root)
+      val seg = writeBm25Segment(
+        buildPostings(df, idCol, textCol,
+          indexHasPositions(spark, root, old)),
+        root, nBuckets)
+      commitSegments(spark, root, old ++ seg.toSeq, fence,
+        deletedBm25Docs(spark, root).toSeq,
+        deadBm25TermCorrections(spark, root))
+      seg
+    }
   }
 
   /** Appended segments must match the base layout: positional if the
@@ -562,18 +566,24 @@ object TextAnalysis {
       textCol: String, root: String, batchId: Long,
       nBuckets: Int = 32): Boolean = {
     val spark = df.sparkSession
-    val (old, fence) = liveSegmentsWithFence(spark, root)
-    if (fence.exists(_ >= batchId)) return false
-    val seg = writeBm25Segment(
-      buildPostings(df, idCol, textCol, indexHasPositions(spark, root, old)),
-      root, nBuckets)
-    // An empty batch still advances the fence (segments unchanged): the
-    // exactly-once invariant is "highest APPLIED batch id", and an
-    // all-whitespace batch is applied by having nothing to add — the old
-    // post-publish `require` killed the stream instead (ADVICE r14).
-    commitSegments(spark, root, old ++ seg.toSeq, Some(batchId),
-      deletedBm25Docs(spark, root).toSeq)
-    true
+    graft.sinks.Lease.withLease(spark, root) {
+      val (old, fence) = liveSegmentsWithFence(spark, root)
+      if (fence.exists(_ >= batchId)) false
+      else {
+        val seg = writeBm25Segment(
+          buildPostings(df, idCol, textCol,
+            indexHasPositions(spark, root, old)),
+          root, nBuckets)
+        // An empty batch still advances the fence (segments unchanged):
+        // the exactly-once invariant is "highest APPLIED batch id", and
+        // an all-whitespace batch is applied by having nothing to add —
+        // the old post-publish `require` killed the stream (ADVICE r14).
+        commitSegments(spark, root, old ++ seg.toSeq, Some(batchId),
+          deletedBm25Docs(spark, root).toSeq,
+          deadBm25TermCorrections(spark, root))
+        true
+      }
+    }
   }
 
   /** Delete segment dirs no RETAINED manifest version names (crash
@@ -595,26 +605,29 @@ object TextAnalysis {
     * swept even when the serialization is violated. Pass 0 only from
     * the maintenance writer itself. */
   def vacuumBm25Orphans(spark: SparkSession, root: String,
-      minAgeMillis: Long = 3600000L): Seq[String] = {
-    import graft.sinks.Versioned
-    val named = Versioned.listVersions(spark, root).flatMap { case (v, _) =>
-      Versioned.readSmallText(spark,
-        new org.apache.hadoop.fs.Path(s"$root/$v", SegmentsFile))
-        .toSeq.flatMap(_.split('\n').map(_.trim)
-          .filter(l => l.nonEmpty && !l.startsWith("#")))
-    }.toSet
-    val segsDir = new org.apache.hadoop.fs.Path(s"$root/segs")
-    val fs = segsDir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(segsDir)) return Seq.empty
-    val cutoff = System.currentTimeMillis() - minAgeMillis
-    val orphans = fs.listStatus(segsDir).toSeq
-      .filter(s => s.isDirectory && s.getModificationTime <= cutoff)
-      .map(_.getPath.getName)
-      .filterNot(named)
-    orphans.foreach(o => fs.delete(
-      new org.apache.hadoop.fs.Path(segsDir, o), true))
-    orphans.sorted
-  }
+      minAgeMillis: Long = 3600000L): Seq[String] =
+    graft.sinks.Lease.withLease(spark, root) {
+      import graft.sinks.Versioned
+      val named = Versioned.listVersions(spark, root).flatMap { case (v, _) =>
+        Versioned.readSmallText(spark,
+          new org.apache.hadoop.fs.Path(s"$root/$v", SegmentsFile))
+          .toSeq.flatMap(_.split('\n').map(_.trim)
+            .filter(l => l.nonEmpty && !l.startsWith("#")))
+      }.toSet
+      val segsDir = new org.apache.hadoop.fs.Path(s"$root/segs")
+      val fs = segsDir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(segsDir)) Seq.empty
+      else {
+        val cutoff = System.currentTimeMillis() - minAgeMillis
+        val orphans = fs.listStatus(segsDir).toSeq
+          .filter(s => s.isDirectory && s.getModificationTime <= cutoff)
+          .map(_.getPath.getName)
+          .filterNot(named)
+        orphans.foreach(o => fs.delete(
+          new org.apache.hadoop.fs.Path(segsDir, o), true))
+        orphans.sorted
+      }
+    }
 
   /** Compact every live segment into one: union their postings tables
     * (terms/stats are recomputed from the union — df and the scalars
@@ -623,25 +636,27 @@ object TextAnalysis {
     * (and with it the per-serve readKeys fan-out) drops to 1. Returns
     * the number of segments merged. */
   def compactBm25Index(spark: SparkSession, root: String,
-      nBuckets: Int = 32): Int = {
+      nBuckets: Int = 32): Int = graft.sinks.Lease.withLease(spark, root) {
     import graft.sinks.MergeTable
     val (old, fence) = liveSegmentsWithFence(spark, root)
     val dead = deletedBm25Docs(spark, root)
-    if (old.isEmpty || (old.size <= 1 && dead.isEmpty)) return old.size
-    val union = old.map(sg =>
-      MergeTable.read(spark, s"$root/segs/$sg/postings"))
-      .reduce(_.unionByName(_))
-    val survivors =
-      if (dead.isEmpty) union
-      else union.filter(!col("doc_id").isin(dead.toSeq: _*))
-    val seg = writeBm25Segment(survivors, root, nBuckets)
-    // deletes deliberately NOT carried: the merged segment holds only
-    // survivors and its stats row is exact again — the Lucene merge.
-    // A fully-tombstoned index compacts to an EMPTY segment list (the
-    // documented escape when MaxBm25Tombstones is hit — ADVICE r14);
-    // serves on an empty manifest return empty results.
-    commitSegments(spark, root, seg.toSeq, fence)
-    old.size
+    if (old.isEmpty || (old.size <= 1 && dead.isEmpty)) old.size
+    else {
+      val union = old.map(sg =>
+        MergeTable.read(spark, s"$root/segs/$sg/postings"))
+        .reduce(_.unionByName(_))
+      val survivors =
+        if (dead.isEmpty) union
+        else union.filter(!col("doc_id").isin(dead.toSeq: _*))
+      val seg = writeBm25Segment(survivors, root, nBuckets)
+      // deletes deliberately NOT carried: the merged segment holds only
+      // survivors and its stats row is exact again — the Lucene merge.
+      // A fully-tombstoned index compacts to an EMPTY segment list (the
+      // documented escape when MaxBm25Tombstones is hit — ADVICE r14);
+      // serves on an empty manifest return empty results.
+      commitSegments(spark, root, seg.toSeq, fence)
+      old.size
+    }
   }
 
   /** Smallest string s.t. every `p`-prefixed string is < it (the
@@ -684,7 +699,14 @@ object TextAnalysis {
       return Seq.empty[(String, Long, Long)].toDF("tok", "n_docs", "n_occ")
     val upper = prefixSuccessor(p)
     val dead = deletedBm25Docs(spark, root)
-    val dictReady = dead.isEmpty && segs.forall(sg =>
+    // live tombstones no longer force the postings fallback (VERDICT
+    // r15 #6): when the delete committed per-term dead-df corrections,
+    // the dictionary band MINUS the corrections band is row-exact, and
+    // the serve still reads no postings at all. Only legacy deletes
+    // (no corrections) or a pre-`occ` dictionary degrade to recounts.
+    val corr =
+      if (dead.isEmpty) None else deadBm25TermCorrections(spark, root)
+    val dictReady = (dead.isEmpty || corr.isDefined) && segs.forall(sg =>
       MergeTable.read(spark, s"$root/segs/$sg/terms")
         .schema.fieldNames.contains("occ"))
     if (dictReady) {
@@ -692,11 +714,28 @@ object TextAnalysis {
         MergeTable.readRange(spark, s"$root/segs/$sg/terms",
           Some(p), upper))
         .reduce(_.unionByName(_))
-      dict.filter(col("tok").startsWith(p) && col("tok") =!= Bm25StatsKey)
+      val counts = dict
+        .filter(col("tok").startsWith(p) && col("tok") =!= Bm25StatsKey)
         .groupBy(col("tok"))
         .agg(sum(col("dfc")).cast("long").as("n_docs"),
           sum(col("occ")).cast("long").as("n_occ"))
-        .orderBy(col("tok"))
+      val corrected = corr match {
+        case None => counts
+        case Some(c) =>
+          // the corrections table is tombstone-bounded and the band
+          // filter shrinks it to the query's prefix — broadcast side
+          counts.join(
+            broadcast(c.filter(col("tok").startsWith(p))
+              .select(col("tok"), col("dfc_dead"), col("occ_dead"))),
+            Seq("tok"), "left")
+            .select(col("tok"),
+              (col("n_docs") - coalesce(col("dfc_dead"), lit(0L)))
+                .cast("long").as("n_docs"),
+              (col("n_occ") - coalesce(col("occ_dead"), lit(0L)))
+                .cast("long").as("n_occ"))
+            .filter(col("n_docs") > 0)
+      }
+      corrected.orderBy(col("tok"))
     } else {
       val posts = segs.map(sg =>
         MergeTable.readRange(spark, s"$root/segs/$sg/postings",
@@ -880,13 +919,26 @@ object TextAnalysis {
     if (expanded.isEmpty)
       return Seq.empty[(String, Long, Long)].toDF("tok", "n_docs", "n_occ")
     val dead = deletedBm25Docs(spark, root)
-    if (dead.isEmpty && rows.forall(r => !r.isNullAt(2))) {
+    val corr =
+      if (dead.isEmpty) None else deadBm25TermCorrections(spark, root)
+    if ((dead.isEmpty || corr.isDefined) &&
+        rows.forall(r => !r.isNullAt(2))) {
       // dictionary path: the band rows ARE the answer (driver fold is
-      // expansion-budget-bounded by construction)
+      // expansion-budget-bounded by construction); with live tombstones
+      // the committed dead-df corrections for the ≤budget expanded
+      // terms subtract exactly (VERDICT r15 #6) — still no postings
+      val corrMap: Map[String, (Long, Long)] = corr match {
+        case None => Map.empty
+        case Some(c) => c.filter(col("tok").isin(expanded: _*))
+          .select("tok", "dfc_dead", "occ_dead").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
       rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1).map { case (t, rs) =>
-          (t, rs.map(_._2).sum, rs.map(_._3).sum)
-        }.toSeq.sortBy(_._1).toDF("tok", "n_docs", "n_occ")
+          val (dd, od) = corrMap.getOrElse(t, (0L, 0L))
+          (t, rs.map(_._2).sum - dd, rs.map(_._3).sum - od)
+        }.filter(_._2 > 0)
+        .toSeq.sortBy(_._1).toDF("tok", "n_docs", "n_occ")
     } else {
       val posts = segs.map(sg =>
         MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
@@ -1287,6 +1339,7 @@ object TextAnalysis {
 
   private val SegmentsFile = "segments"
   private val DeletesFile = "deletes"
+  private val DeadTermsDir = "dead_terms"
   private val FencePrefix = "#last_batch="
 
   /** Tombstone-set bound: the dead list is a driver-side broadcast at
@@ -1297,7 +1350,8 @@ object TextAnalysis {
 
   private def commitSegments(spark: SparkSession, root: String,
       segs: Seq[String], fence: Option[Long] = None,
-      deletes: Seq[Long] = Seq.empty): Unit = {
+      deletes: Seq[Long] = Seq.empty,
+      deadTerms: Option[DataFrame] = None): Unit = {
     graft.sinks.Versioned.publish(spark, root) { dir =>
       val conf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(dir, SegmentsFile)
@@ -1312,6 +1366,14 @@ object TextAnalysis {
           (deletes.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
         finally dout.close()
       }
+      // per-term dead-df corrections ride the SAME version commit as the
+      // tombstone list they correct for — atomic by the publish's
+      // pointer swap, gone with the deletes after compaction. Written
+      // distributed (rows bounded by the dead docs' combined distinct
+      // vocabulary); a handful of files, it is a dictionary-band-sized
+      // side table at serve time.
+      deadTerms.foreach(dt => dt.coalesce(4).write
+        .mode("overwrite").parquet(s"$dir/$DeadTermsDir"))
     }
     ()
   }
@@ -1331,23 +1393,81 @@ object TextAnalysis {
       .getOrElse(Set.empty)
   }
 
+  /** The per-term dead-df corrections committed with the live version's
+    * tombstone set (VERDICT r15 #6), if the deletes went through a
+    * corrections-aware [[deleteBm25Docs]]: (tok, dfc_dead, occ_dead) —
+    * how many tombstoned docs contain each term and their summed tf.
+    * None on a correction-less version (legacy deletes, or no deletes);
+    * the wildcard COUNT serves then fall back to postings recounts. */
+  private[graft] def deadBm25TermCorrections(spark: SparkSession,
+      root: String, asOf: Option[String] = None): Option[DataFrame] = {
+    import graft.sinks.Versioned
+    val v = asOf.orElse(Versioned.currentVersion(spark, root))
+      .getOrElse(return None)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$v", DeadTermsDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
   /**
    * Delete documents from the lexical index by tombstone — the LUCENE
    * CONTRACT, stated explicitly: deleted docs disappear from results
-   * immediately, but the corpus statistics (N, Σlen, per-term df) stay
-   * STALE until segments merge, because adjusting df would need every
-   * dead doc's term list. Compaction drops the dead postings,
-   * recomputes stats from the survivors, and empties the tombstone
-   * list — restoring exact statistics. Idempotent; commits a new
-   * manifest version (segments and fence unchanged).
+   * immediately, but the corpus statistics (N, Σlen, per-term df) used
+   * by SCORING stay STALE until segments merge (adjusting every score's
+   * idf per delete is not worth a distributed job; Lucene makes the
+   * same call). Compaction drops the dead postings, recomputes stats
+   * from the survivors, and empties the tombstone list — restoring
+   * exact statistics. Idempotent; commits a new manifest version
+   * (segments and fence unchanged).
+   *
+   * What this DOES pay for at delete time (VERDICT r15 #6): one
+   * distributed scan of the live postings filtered to the NEWLY dead
+   * ids, aggregated to per-term (dfc_dead, occ_dead) corrections and
+   * committed beside the tombstone list. The scan is index-proportional
+   * but runs once per delete BATCH — amortized across every subsequent
+   * wildcard COUNT serve, which would otherwise re-read the postings
+   * band on every query until compaction. With the corrections in
+   * place, [[prefixSearch]]/[[suffixSearch]] keep their dictionary-only
+   * cost model (counts = band stats − corrections), exact because each
+   * dead doc's contribution lives in exactly one segment's build-time
+   * stats.
    */
   def deleteBm25Docs(spark: SparkSession, root: String,
-      ids: Seq[Long]): Int = {
+      ids: Seq[Long]): Int = graft.sinks.Lease.withLease(spark, root) {
+    import graft.sinks.MergeTable
+    import spark.implicits._
     val (segs, fence) = liveSegmentsWithFence(spark, root)
-    val dead = deletedBm25Docs(spark, root) ++ ids
+    val prevDead = deletedBm25Docs(spark, root)
+    val dead = prevDead ++ ids
     require(dead.size <= MaxBm25Tombstones,
       s"tombstone set ${dead.size} exceeds $MaxBm25Tombstones — compact first")
-    commitSegments(spark, root, segs, fence, dead.toSeq)
+    val newIds = ids.toSet -- prevDead
+    val prev = deadBm25TermCorrections(spark, root)
+    val corrections: Option[DataFrame] =
+      if (newIds.isEmpty) prev.map(_.select("tok", "dfc_dead", "occ_dead"))
+      else {
+        val hit = segs.map(sg =>
+          MergeTable.read(spark, s"$root/segs/$sg/postings"))
+          .reduce(_.unionByName(_))
+          .filter(col("doc_id").isin(newIds.toSeq: _*))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).cast("long").as("dfc_dead"),
+            sum(col("tf")).cast("long").as("occ_dead"))
+        val merged = prev match {
+          case Some(p) => p.select("tok", "dfc_dead", "occ_dead")
+            .unionByName(hit)
+            .groupBy(col("tok"))
+            .agg(sum(col("dfc_dead")).cast("long").as("dfc_dead"),
+              sum(col("occ_dead")).cast("long").as("occ_dead"))
+          case None => hit
+        }
+        Some(merged)
+      }
+    // the lazy plan evaluates inside the publish callback; that is safe
+    // — the previous version's dead_terms parquet stays on disk until a
+    // separate vacuum, segments are immutable, and the lease serializes
+    // every other maintenance writer
+    commitSegments(spark, root, segs, fence, dead.toSeq, corrections)
     dead.size
   }
 

@@ -1,0 +1,145 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Maintenance-writer lease: turns the repo-wide SINGLE MAINTENANCE
+ * WRITER contract (documented on every index append/compact/retrain/
+ * vacuum since round 13) from documentation into an enforced runtime
+ * check. The design is the Delta/Iceberg commit-service shape scaled to
+ * the one primitive this layout already trusts: a single small control
+ * object (`_lease` at the index root) holding `holder expiresAtMillis`,
+ * swapped through [[Versioned.atomicOverwrite]] — which means on object
+ * stores with a configured conditional put ([[Versioned.setConditionalPut]],
+ * S3 If-Match / GCS generation) the claim is a true compare-and-swap,
+ * and everywhere else it is atomic-per-object with a read-back
+ * verification that closes the tightest practical race window:
+ *
+ *   1. read `_lease`; a live record held by SOMEONE ELSE fails the
+ *      acquire immediately ([[LeaseHeldException]]) — BEFORE the caller
+ *      publishes any data file, so the losing writer leaves no debris;
+ *   2. write our claim (CAS where configured; atomic PUT otherwise);
+ *   3. re-read and require the object now names us — two writers that
+ *      both passed step 1 race at step 2, and the read-back makes the
+ *      loser raise instead of proceeding on a lease it does not hold.
+ *      (Without a conditional put, two writers whose writes AND
+ *      read-backs fully interleave can still both believe they won —
+ *      the same residual window every mtime/marker scheme has; the
+ *      conditional-put seam exists precisely to close it on stores
+ *      that matter. The read-back converts the common races into loud
+ *      failures either way.)
+ *
+ * Expiry gives crashed-holder recovery: a claim carries a TTL, a dead
+ * writer's lease simply times out, and the next acquire takes over —
+ * no janitor required. Release overwrites the record with an
+ * already-expired tombstone rather than deleting the object (a delete
+ * is not atomic against a concurrent claimer's temp-file rename on
+ * every filesystem, and an absent-vs-expired distinction buys nothing).
+ *
+ * Re-entrancy: maintenance operations nest (exactly-once append sweeps
+ * uncommitted files first; compaction reads through append helpers), so
+ * [[withLease]] tracks held roots per thread and nested scopes on the
+ * same root run under the outer claim without re-acquiring.
+ */
+object Lease {
+  val LeaseFile = "_lease"
+  /** Default claim TTL — comfortably above any single maintenance
+    * operation at the scales this engine targets, small enough that a
+    * crashed writer blocks the index for minutes, not hours. */
+  val DefaultTtlMillis: Long = 10L * 60 * 1000
+
+  final case class Claim(holder: String, expiresAtMillis: Long) {
+    def live(now: Long): Boolean = expiresAtMillis > now
+    def render: String = s"$holder $expiresAtMillis\n"
+  }
+
+  class LeaseHeldException(msg: String) extends IllegalStateException(msg)
+
+  /** Test seam: the clock, so expiry specs advance time instead of
+    * sleeping. Production value is wall-clock millis. */
+  @volatile private[graft] var clock: () => Long =
+    () => System.currentTimeMillis()
+
+  private val jvmId = java.util.UUID.randomUUID().toString.take(8)
+
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private def parse(s: String): Option[Claim] = {
+    val parts = s.trim.split("\\s+")
+    if (parts.length != 2) None
+    else parts(1).toLongOption.map(Claim(parts(0), _))
+  }
+
+  /** The current claim on `root`, live or expired; None if never leased. */
+  def current(spark: SparkSession, root: String): Option[Claim] =
+    Versioned.readSmallText(spark, new Path(root, LeaseFile)).flatMap(parse)
+
+  /**
+   * Claim the maintenance lease on `root` for `holder`. Raises
+   * [[LeaseHeldException]] — before any data is written by the caller —
+   * when another holder's claim is still live, or when the post-write
+   * read-back shows a rival won the claim race. Acquiring a lease one
+   * already holds renews it (extends the expiry).
+   */
+  def acquire(spark: SparkSession, root: String, holder: String,
+      ttlMillis: Long = DefaultTtlMillis): Claim = {
+    require(holder.nonEmpty && !holder.exists(_.isWhitespace),
+      s"lease holder must be a non-empty token without whitespace: '$holder'")
+    val now = clock()
+    current(spark, root).filter(_.live(now)).filter(_.holder != holder)
+      .foreach { c =>
+        throw new LeaseHeldException(
+          s"maintenance lease on $root is held by ${c.holder} until " +
+            s"${c.expiresAtMillis} (now $now) — concurrent maintenance " +
+            "writer; retry after it releases or expires")
+      }
+    val claim = Claim(holder, now + ttlMillis)
+    Versioned.atomicOverwrite(spark, new Path(root, LeaseFile),
+      claim.render.getBytes(StandardCharsets.UTF_8))
+    val readBack = current(spark, root)
+    if (!readBack.exists(_.holder == holder))
+      throw new LeaseHeldException(
+        s"lost the lease race on $root: wrote a claim for $holder but " +
+          s"read back ${readBack.map(_.holder).getOrElse("<absent>")} — " +
+          "a concurrent writer claimed between our check and write")
+    claim
+  }
+
+  /** Release `holder`'s claim by expiring it in place. A release of a
+    * lease someone else now holds is a no-op (we already lost it —
+    * stomping the rival's live claim would be the actual bug). */
+  def release(spark: SparkSession, root: String, holder: String): Unit =
+    current(spark, root).filter(_.holder == holder).foreach { _ =>
+      Versioned.atomicOverwrite(spark, new Path(root, LeaseFile),
+        Claim(holder, 0L).render.getBytes(StandardCharsets.UTF_8))
+    }
+
+  /**
+   * Run `body` under the maintenance lease on `root` — the wrapper every
+   * index append/compact/retrain/vacuum entry point routes through.
+   * Nested scopes on the same root (exactly-once append → vacuum) run
+   * under the outer claim. The holder id is unique per (JVM, thread,
+   * scope) so two genuinely concurrent writers — even in one test JVM —
+   * always collide.
+   */
+  def withLease[T](spark: SparkSession, root: String,
+      ttlMillis: Long = DefaultTtlMillis)(body: => T): T = {
+    val key = new Path(root).toString
+    if (held.get().contains(key)) return body
+    val holder =
+      s"$jvmId-t${Thread.currentThread().getId}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+    acquire(spark, key, holder, ttlMillis)
+    held.set(held.get() + key)
+    try body
+    finally {
+      held.set(held.get() - key)
+      release(spark, key, holder)
+    }
+  }
+}

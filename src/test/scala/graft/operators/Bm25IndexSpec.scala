@@ -364,8 +364,18 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     val batch = docs.filter(col("doc_id") > 20)
     // a concurrent committer won the pointer swap: the conditional put
     // reports a failed precondition — the append must RAISE (lost
-    // update detected), never silently last-writer-win
-    Versioned.setConditionalPut((_, _, _) => false)
+    // update detected), never silently last-writer-win. The LEASE
+    // claim rides the same primitive and must keep working (applied
+    // for real), or the append would fail before publishing the
+    // orphan segment this test sweeps.
+    Versioned.setConditionalPut { (s, target, bytes) =>
+      if (target.getName == graft.sinks.Lease.LeaseFile) {
+        val fs = target.getFileSystem(s.sessionState.newHadoopConf())
+        val out = fs.create(target, true)
+        try out.write(bytes) finally out.close()
+        true
+      } else false
+    }
     val err =
       try intercept[java.io.IOException] {
         TextAnalysis.appendBm25Segment(batch, "doc_id", "text", root,
@@ -810,5 +820,71 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     val after = TextAnalysis.bm25ServeTopKAnd(spark, root, "rare table", 10)
       .collect().map(_.getLong(0)).toSeq
     assert(!after.contains(victim))
+  }
+
+  test("wildcard counts stay on the dictionary under live tombstones (VERDICT r15 #6)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha apple table"),
+      (2L, "apple apple beta"),
+      (3L, "apple track alpha"),
+      (4L, "banana beta")
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("bm25deadterms").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    // two delete BATCHES (corrections must accumulate across commits)
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(2L))
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(3L))
+    val pfx = TextAnalysis.prefixSearch(spark, root, "a")
+    val got = pfx.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2)))
+    // doc 1 is the only live a*-bearing doc: alpha×1, apple×1
+    assert(got.toSeq == Seq(("alpha", 1L, 1L), ("apple", 1L, 1L)),
+      got.mkString(","))
+    // FILE-SET PIN: the serve read dictionary (and corrections) files
+    // only — not one postings file, despite two live tombstones
+    val pfxFiles = pfx.inputFiles.toSet
+    assert(pfxFiles.nonEmpty && !pfxFiles.exists(_.contains("/postings/")),
+      s"tombstoned prefix count must stay dictionary-only: $pfxFiles")
+    // a fully-dead term drops out entirely (never a zero/negative row)
+    assert(!TextAnalysis.prefixSearch(spark, root, "t").collect()
+      .map(_.getString(0)).contains("track"))
+    // the suffix twin: *a — alpha survives in doc 1, banana and beta
+    // in doc 4 (doc 2's beta is tombstoned)
+    val sfx = TextAnalysis.suffixSearch(spark, root, "a")
+    val sGot = sfx.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2)))
+    assert(sGot.toSeq == Seq(("alpha", 1L, 1L), ("banana", 1L, 1L),
+      ("beta", 1L, 1L)), sGot.mkString(","))
+    assert(!sfx.inputFiles.exists(_.contains("/postings/")),
+      "tombstoned suffix count must stay dictionary-only")
+    // append carries the corrections forward: new docs count, old
+    // tombstones keep subtracting, still no postings read
+    TextAnalysis.appendBm25Segment(
+      Seq((5L, "apple apple")).toDF("doc_id", "text"), "doc_id", "text",
+      root, nBuckets = 4)
+    val pfx2 = TextAnalysis.prefixSearch(spark, root, "a")
+    assert(pfx2.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq ==
+      Seq(("alpha", 1L, 1L), ("apple", 2L, 3L)))
+    assert(!pfx2.inputFiles.exists(_.contains("/postings/")))
+    // LEGACY fallback: strip the corrections dir — the serve must fall
+    // back to the postings recount and still answer exactly
+    val v = graft.sinks.Versioned.currentVersion(spark, root).get
+    val dt = new org.apache.hadoop.fs.Path(s"$root/$v/dead_terms")
+    dt.getFileSystem(spark.sessionState.newHadoopConf()).delete(dt, true)
+    val legacy = TextAnalysis.prefixSearch(spark, root, "a")
+    assert(legacy.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq ==
+      Seq(("alpha", 1L, 1L), ("apple", 2L, 3L)))
+    assert(legacy.inputFiles.exists(_.contains("/postings/")),
+      "correction-less deletes must recount from postings")
+    // compaction clears tombstones AND corrections; dictionary is exact
+    TextAnalysis.compactBm25Index(spark, root, nBuckets = 4)
+    val post = TextAnalysis.prefixSearch(spark, root, "a")
+    assert(post.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq ==
+      Seq(("alpha", 1L, 1L), ("apple", 2L, 3L)))
+    assert(!post.inputFiles.exists(_.contains("/postings/")))
   }
 }

@@ -1,0 +1,132 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.TextAnalysis
+
+/** The maintenance-writer lease (VERDICT r15 #5): a racing writer is
+  * blocked BEFORE it publishes any debris, a crashed holder's claim
+  * expires and the next writer recovers, release is holder-checked,
+  * and nested maintenance scopes on one root re-enter the outer claim
+  * instead of deadlocking on themselves. */
+class LeaseSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lease").toString
+
+  private def corpus(n: Int = 12) = {
+    import spark.implicits._
+    (1L to n.toLong).map(i => (i, s"common data row token$i"))
+      .toDF("doc_id", "text")
+  }
+
+  test("acquire fails while a rival's claim is live, wins after release") {
+    val root = freshRoot()
+    Lease.acquire(spark, root, "writer-a", ttlMillis = 60000)
+    val e = intercept[Lease.LeaseHeldException] {
+      Lease.acquire(spark, root, "writer-b", ttlMillis = 60000)
+    }
+    assert(e.getMessage.contains("writer-a"))
+    Lease.release(spark, root, "writer-a")
+    Lease.acquire(spark, root, "writer-b", ttlMillis = 60000)
+    assert(Lease.current(spark, root).exists(_.holder == "writer-b"))
+    Lease.release(spark, root, "writer-b")
+  }
+
+  test("expired claim is recoverable without any janitor step") {
+    val root = freshRoot()
+    val base = System.currentTimeMillis()
+    Lease.clock = () => base
+    try {
+      Lease.acquire(spark, root, "crashed-writer", ttlMillis = 1000)
+      // the holder dies without releasing; time passes past the TTL
+      Lease.clock = () => base + 1001
+      val c = Lease.acquire(spark, root, "recovering-writer",
+        ttlMillis = 60000)
+      assert(c.holder == "recovering-writer")
+    } finally Lease.clock = () => System.currentTimeMillis()
+  }
+
+  test("re-acquire by the same holder renews instead of failing") {
+    val root = freshRoot()
+    val first = Lease.acquire(spark, root, "writer-a", ttlMillis = 1000)
+    val second = Lease.acquire(spark, root, "writer-a", ttlMillis = 60000)
+    assert(second.expiresAtMillis >= first.expiresAtMillis)
+    Lease.release(spark, root, "writer-a")
+  }
+
+  test("release of a lease someone else holds is a no-op") {
+    val root = freshRoot()
+    Lease.acquire(spark, root, "writer-a", ttlMillis = 60000)
+    Lease.release(spark, root, "stale-writer")
+    assert(Lease.current(spark, root)
+      .exists(c => c.holder == "writer-a" && c.live(System.currentTimeMillis())))
+    Lease.release(spark, root, "writer-a")
+  }
+
+  test("racing BM25 append raises before publishing any segment debris") {
+    val root = freshRoot()
+    TextAnalysis.writeBm25Index(corpus(), "doc_id", "text", root,
+      nBuckets = 4)
+    val segsDir = new java.io.File(s"$root/segs")
+    val before = segsDir.list().sorted.toSeq
+    // a rival maintenance writer holds the lease (e.g. a long compaction
+    // on another driver); our append must fail WITHOUT writing a segment
+    Lease.acquire(spark, root, "rival-compactor", ttlMillis = 60000)
+    intercept[Lease.LeaseHeldException] {
+      TextAnalysis.appendBm25Segment(corpus(), "doc_id", "text", root,
+        nBuckets = 4)
+    }
+    assert(segsDir.list().sorted.toSeq == before,
+      "losing writer left segment debris on disk")
+    Lease.release(spark, root, "rival-compactor")
+    // after the rival releases, the same append succeeds
+    assert(TextAnalysis.appendBm25Segment(
+      corpus(), "doc_id", "text", root, nBuckets = 4).nonEmpty)
+  }
+
+  test("racing compaction and vacuum are blocked by a held lease too") {
+    val root = freshRoot()
+    TextAnalysis.writeBm25Index(corpus(), "doc_id", "text", root,
+      nBuckets = 4)
+    TextAnalysis.appendBm25Segment(corpus(24), "doc_id", "text", root,
+      nBuckets = 4)
+    Lease.acquire(spark, root, "rival", ttlMillis = 60000)
+    intercept[Lease.LeaseHeldException] {
+      TextAnalysis.compactBm25Index(spark, root)
+    }
+    intercept[Lease.LeaseHeldException] {
+      TextAnalysis.vacuumBm25Orphans(spark, root, minAgeMillis = 0)
+    }
+    intercept[Lease.LeaseHeldException] {
+      TextAnalysis.deleteBm25Docs(spark, root, Seq(1L))
+    }
+    Lease.release(spark, root, "rival")
+    assert(TextAnalysis.compactBm25Index(spark, root) == 2)
+  }
+
+  test("exactly-once append nests its internal vacuum under one claim") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.expr
+    val root = freshRoot() + "/ivf"
+    val vecs = corpus(16).selectExpr("doc_id AS id",
+      "array(CAST(doc_id AS FLOAT), CAST(doc_id % 4 AS FLOAT)) AS vec")
+    Similarity.writeIvfIndex(vecs, "id", "vec", root, "k4", stride = 4)
+    val batch = vecs.withColumn("id", expr("id + 100"))
+    // appendToIvfIndexExactlyOnce runs vacuumUncommitted inside its own
+    // lease scope — re-entrancy must let the nested call through
+    assert(Similarity.appendToIvfIndexExactlyOnce(
+      batch, "id", "vec", root, "k4", batchId = 1L, stride = 4))
+    // and a held rival lease blocks the whole composite before any write
+    Lease.acquire(spark, root, "rival", ttlMillis = 60000)
+    intercept[Lease.LeaseHeldException] {
+      Similarity.appendToIvfIndexExactlyOnce(
+        batch.withColumn("id", expr("id + 100")),
+        "id", "vec", root, "k4", batchId = 2L, stride = 4)
+    }
+    Lease.release(spark, root, "rival")
+  }
+}

@@ -71,19 +71,49 @@ def main() -> int:
     sf_dir = args.sf or bench.get("sf", "/root/testdata/sf0.1")
     times = bench["queries"]
 
+    # VERDICT r15 #7: q5_setops regressed 5.8x but sat under the 2 s
+    # absolute gate and carried no verdict. The default trigger is now
+    # the UNION of the absolute threshold and a >2x ratio against the
+    # previous round's artifact (auto-detected as the highest-numbered
+    # BENCH_r*.json that is not the input file; --ref overrides).
+    def load_ref(path):
+        # three artifact shapes: the repo's own bench (top-level
+        # "queries"), the driver's wrapper ("parsed" holding the bench
+        # line — null until the stdout-decoration fix lands), or neither
+        # (ratio rule silently skipped)
+        with open(path) as f:
+            d = json.load(f)
+        return (d.get("queries")
+                or (d.get("parsed") or {}).get("queries")
+                or {})
+
+    ref_path = args.ref
+    if ref_path is None and not args.only:
+        import glob as _glob
+        import os as _os
+        here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        cands = sorted(_glob.glob(_os.path.join(here, "BENCH_r*.json")))
+        cands = [c for c in cands
+                 if _os.path.realpath(c) != _os.path.realpath(args.bench)]
+        if cands:
+            ref_path = cands[-1]
+
     if args.only:
         picked = sorted(q for q in args.only.split(",") if q in times)
         rule = f"named via --only ({args.only})"
     elif args.ref:
-        with open(args.ref) as f:
-            ref = json.load(f)["queries"]
+        ref = load_ref(args.ref)
         picked = sorted(q for q, t in times.items()
                         if t > 0 and q in ref and ref[q] > 0
                         and t > 1.5 * ref[q])
         rule = f">1.5x their time in {args.ref}"
     else:
-        picked = sorted(q for q, t in times.items() if t > args.threshold)
-        rule = f">{args.threshold}s in-suite"
+        ref = load_ref(ref_path) if ref_path else {}
+        picked = sorted(q for q, t in times.items()
+                        if t > args.threshold
+                        or (t > 0 and ref.get(q, 0) > 0 and t > 2.0 * ref[q]))
+        rule = (f">{args.threshold}s in-suite, or >2x their time in "
+                f"{ref_path}" if ref_path else f">{args.threshold}s in-suite")
 
     if not picked:
         print(f"no queries {rule} — nothing to re-run")

@@ -71,6 +71,19 @@ object ServeThroughput {
         nProbe = 8).count()
       require(n > 0, "dense serve returned nothing")
     }
+    // wildcard scoring family (VERDICT r15 #8): 8 distinct prefixes per
+    // serve() so queries/sec normalizes on the same BatchQueries axis as
+    // the other modes. Each is a full MultiTermQuery rewrite — dictionary
+    // band expansion + per-variant-idf scoring — the most driver-involved
+    // serve shape (one bounded collect per segment per query), which is
+    // exactly why it needs its own concurrency row.
+    val wildcardPrefixes =
+      Seq("s", "ta", "me", "fi", "sh", "br", "ro", "to")
+    def wildcardServe(): Unit =
+      wildcardPrefixes.foreach { p =>
+        graft.operators.TextAnalysis
+          .bm25ServePrefixTopK(spark, lexIdx, p, k = 10).count()
+      }
 
     def series(mode: String, serve: () => Unit): Unit = {
       serve() // warm-up: plans compiled, trained state cached
@@ -105,6 +118,7 @@ object ServeThroughput {
 
     series("bm25_batch_served", () => lexServe())
     series("ann_pq_served", () => denseServe())
+    series("bm25_prefix_served", () => wildcardServe())
     spark.stop()
   }
 }

@@ -2483,6 +2483,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // Boolean EXCLUSION serve (MUST_NOT — completes the BooleanQuery
+    // triad): the disjunctive query with any 'rare'-bearing doc
+    // removed BEFORE the scoring aggregate; survivors keep the plain
+    // serve's exact scores (TextAnalysis.bm25ServeTopKNot)
+    "bm25_not_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeTopKNot(s, ensureBm25Index(s, dir),
+        "dup sort query zzz", "rare", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // fuzzy serve (edit distance ≤ 1, Lucene FuzzyQuery): 'hast'
     // expands against two dictionary bands (forward h-band for edits at
     // positions ≥ 1; reversed rev("ast")-band for edits at position 0)
@@ -2778,6 +2788,27 @@ object SparkEntry {
           idx, positions = true)
       }
       TextAnalysis.nearServePrefixCount(s, idx, "s", "table", slop = 2)
+    }),
+
+    // ORDERED proximity (Lucene SpanNear inOrder=true): 'big' strictly
+    // BEFORE 'table' within 2 positions — the asymmetric band
+    // 1 ≤ posB − posA ≤ 2, direct scan and positional-index serve,
+    // same content-derived oracle (an asymmetric-band self-join)
+    "near_ordered_search" -> ((s, dir) => {
+      TextAnalysis.nearSearchOrdered(t(s, dir, "documents"), "doc_id",
+        "text", "big", "table", slop = 2)
+    }),
+
+    "near_ordered_served" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+          idx, positions = true)
+      }
+      TextAnalysis.nearServeOrderedCount(s, idx, "big", "table", slop = 2)
     }),
 
     // MMR diversification: greedy rel − max-sim-to-selected rerank over
@@ -4860,6 +4891,25 @@ object SparkEntry {
       |  SELECT a.doc_id
       |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
       |    AND abs(a.pos - b.pos) <= 2
+      |  WHERE a.tok = 'big' AND b.tok = 'table')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The ordered (SpanNear inOrder=true) twin of [[NearSearchSql]]:
+    * the symmetric abs band becomes 1 ≤ b.pos − a.pos ≤ slop — shared
+    * by near_ordered_search (direct) and near_ordered_served. */
+  private val NearOrderedSearchSql: String =
+    """WITH toksl AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+      |m AS (
+      |  SELECT a.doc_id
+      |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+      |    AND b.pos - a.pos BETWEEN 1 AND 2
       |  WHERE a.tok = 'big' AND b.tok = 'table')
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -7081,6 +7131,12 @@ object SparkEntry {
       qtClause = "qt(tok) AS (VALUES ('table'), ('sort'), ('scan'))",
       scoredHaving = " HAVING count(DISTINCT tf.tok) = 3"),
 
+    // MUST_NOT: the plain disjunctive scoring with 'rare'-bearing docs
+    // excluded from the tf set — survivors score identically to
+    // bm25_served's arithmetic
+    "bm25_not_served" -> bm25TopkSqlOver("documents",
+      " AND doc_id NOT IN (SELECT doc_id FROM tk WHERE tok = 'rare')"),
+
     // fuzzy: qt = the edit-distance-≤1 expansion, replayed with
     // DuckDB's own levenshtein over the distinct corpus tokens
     "bm25_fuzzy_served" -> bm25TopkSqlOver("documents", "",
@@ -7261,6 +7317,10 @@ object SparkEntry {
 
     // symmetric abs-band positional self-join, counted per doc
     "near_search" -> NearSearchSql,
+
+    // the asymmetric (inOrder) band: 'big' strictly before 'table'
+    "near_ordered_search" -> NearOrderedSearchSql,
+    "near_ordered_served" -> NearOrderedSearchSql,
 
     // SpanOr side A: every s* token occurrence pairs against 'table'
     "near_prefix_served" ->

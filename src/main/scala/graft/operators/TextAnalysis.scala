@@ -1177,6 +1177,82 @@ object TextAnalysis {
   }
 
   /**
+   * Boolean EXCLUSION serve — BM25 top-k over the disjunctive query
+   * with docs containing ANY excluded term removed (the Lucene
+   * BooleanQuery MUST_NOT clause, completing the triad: SHOULD =
+   * [[bm25ServeTopK]], MUST = [[bm25ServeTopKAnd]], MUST_NOT = this).
+   * The exclusion doc set comes from ONE bucket-pruned postings probe
+   * on the excluded terms (cost ∝ their postings, like any clause) and
+   * is LEFT-ANTI-joined against the scoring postings BEFORE the
+   * aggregate, so excluded docs never reach the shuffle. Surviving docs
+   * keep the exact scores the plain serve gives them (exclusion is a
+   * filter, not a scoring change — Lucene's prohibited clauses
+   * contribute nothing to the score either way). An excluded term
+   * absent from the index excludes nothing; excluded terms may not
+   * overlap the query terms (a term both scored and prohibited is a
+   * contradiction — Lucene returns no results; we fail loudly instead).
+   * Tombstones mask as in every serve.
+   */
+  def bm25ServeTopKNot(spark: SparkSession, root: String,
+      queryText: String, excludeText: String, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    val exTerms = excludeText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    require(exTerms.nonEmpty, "empty exclusion — use bm25ServeTopK")
+    require(terms.intersect(exTerms).isEmpty,
+      s"terms ${terms.intersect(exTerms).mkString(",")} are both scored " +
+        "and prohibited — a MUST_NOT of a SHOULD term matches nothing")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    val idf = bm25Idf(nDocs, dfc.toMap, terms).toDF("tok", "idf")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val excluded = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        exTerms.toDF("tok")))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id")).distinct()
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    // no forced broadcast: an excluded term can be the corpus' most
+    // common word, so its doc set is unbounded — AQE picks the join
+    // strategy from the actual exclusion size at runtime
+    alive.join(excluded, Seq("doc_id"), "left_anti")
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Wildcard PROXIMITY serve — `preA* NEAR/slop termB` (Lucene's
    * SpanNear over a SpanMultiTermQueryWrapper): expand the prefix
    * against the term dictionary (band-pruned, [[MaxPrefixExpansion]]
@@ -1446,10 +1522,27 @@ object TextAnalysis {
     val corrections: Option[DataFrame] =
       if (newIds.isEmpty) prev.map(_.select("tok", "dfc_dead", "occ_dead"))
       else {
-        val hit = segs.map(sg =>
+        val posts = segs.map(sg =>
           MergeTable.read(spark, s"$root/segs/$sg/postings"))
           .reduce(_.unionByName(_))
-          .filter(col("doc_id").isin(newIds.toSeq: _*))
+        // small delete batches ride an IN-list; big ones (the cap is 1M
+        // ids) a broadcast semi-join — a 100k-literal isin would
+        // dominate analysis/codegen while the join stays one bounded
+        // broadcast (the Similarity.withoutTombstones argument)
+        val hitDocs =
+          if (newIds.size <= 1000)
+            posts.filter(col("doc_id").isin(newIds.toSeq: _*))
+          else {
+            val idsDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                newIds.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__dead_id",
+                  org.apache.spark.sql.types.LongType))))
+            posts.join(broadcast(idsDf),
+              posts("doc_id") === col("__dead_id"), "left_semi")
+          }
+        val hit = hitDocs
           .groupBy(col("tok"))
           .agg(count(lit(1)).cast("long").as("dfc_dead"),
             sum(col("tf")).cast("long").as("occ_dead"))
@@ -1903,7 +1996,20 @@ object TextAnalysis {
    * length).
    */
   def nearSearch(df: DataFrame, idCol: String, textCol: String,
-      termA: String, termB: String, slop: Int): DataFrame = {
+      termA: String, termB: String, slop: Int): DataFrame =
+    nearSearchImpl(df, idCol, textCol, termA, termB, slop, ordered = false)
+
+  /** Ordered proximity search — the Lucene SpanNear inOrder=true half:
+    * pairs where termA occurs strictly BEFORE termB within `slop`
+    * positions (1 ≤ posB − posA ≤ slop). Same cost model as
+    * [[nearSearch]]; only the pair band is asymmetric. */
+  def nearSearchOrdered(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, slop: Int): DataFrame =
+    nearSearchImpl(df, idCol, textCol, termA, termB, slop, ordered = true)
+
+  private def nearSearchImpl(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, slop: Int, ordered: Boolean)
+      : DataFrame = {
     val a = termA.toLowerCase.trim; val b = termB.toLowerCase.trim
     require(a.nonEmpty && b.nonEmpty && a != b,
       "nearSearch needs two distinct terms")
@@ -1918,13 +2024,25 @@ object TextAnalysis {
     nearPairsFrom(agg, a, b, slop,
       posOf = t => transform(
         filter(col("tp"), x => x.getField("tok") === lit(t)),
-        x => x.getField("pos")))
+        x => x.getField("pos")),
+      ordered = ordered)
   }
 
   /** The same slop count served from the POSITIONAL index — positions
     * come pre-aggregated from the phrase-term postings, no tokenize. */
   def nearServeCount(spark: SparkSession, root: String,
-      termA: String, termB: String, slop: Int): DataFrame = {
+      termA: String, termB: String, slop: Int): DataFrame =
+    nearServeImpl(spark, root, termA, termB, slop, ordered = false)
+
+  /** The ordered (inOrder=true) slop count served from the positional
+    * index — [[nearSearchOrdered]]'s serving twin. */
+  def nearServeOrderedCount(spark: SparkSession, root: String,
+      termA: String, termB: String, slop: Int): DataFrame =
+    nearServeImpl(spark, root, termA, termB, slop, ordered = true)
+
+  private def nearServeImpl(spark: SparkSession, root: String,
+      termA: String, termB: String, slop: Int, ordered: Boolean)
+      : DataFrame = {
     import graft.sinks.MergeTable
     import spark.implicits._
     val a = termA.toLowerCase.trim; val b = termB.toLowerCase.trim
@@ -1938,23 +2056,37 @@ object TextAnalysis {
         Seq(a, b).toDF("tok"))).reduce(_.unionByName(_))
     require(posts.schema.fieldNames.contains("positions"),
       s"$root: postings carry no positions — build with positions = true")
-    val agg = posts.groupBy(col("doc_id"))
+    // tombstone mask (parity with phraseServeCount/nearServePrefixCount —
+    // the unordered serve had silently skipped it, a latent gap: a
+    // deleted doc's pairs kept serving until compaction)
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) posts
+      else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val agg = alive.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
     nearPairsFrom(agg, a, b, slop,
       posOf = t => flatten(transform(
         filter(col("tp"), x => x.getField("tok") === lit(t)),
-        x => x.getField("positions"))))
+        x => x.getField("positions"))),
+      ordered = ordered)
   }
 
   // posOf builds each term's per-doc position list as a COLUMN (ADVICE
   // r15: terms ride as lit() values, never interpolated SQL literals, so
-  // backslash/quote-bearing tokens match byte-exactly)
+  // backslash/quote-bearing tokens match byte-exactly). `ordered` is the
+  // Lucene SpanNear inOrder flag: the symmetric |p−q| ≤ slop band
+  // becomes the asymmetric 1 ≤ q−p ≤ slop band (A strictly before B).
   private def nearPairsFrom(agg: DataFrame, a: String, b: String,
-      slop: Int, posOf: String => Column): DataFrame = {
+      slop: Int, posOf: String => Column,
+      ordered: Boolean = false): DataFrame = {
     val pa = posOf(a); val pb = posOf(b)
+    val pred: (Column, Column) => Column =
+      if (ordered) (p, q) => q > p && q - p <= lit(slop.toLong)
+      else (p, q) => abs(p - q) <= lit(slop.toLong)
     agg.select(col("doc_id"),
         aggregate(pa, lit(0L), (acc, p) =>
-          acc + size(filter(pb, q => abs(p - q) <= lit(slop.toLong))))
+          acc + size(filter(pb, q => pred(p, q))))
           .cast("long").as("n_pairs"))
       .filter(col("n_pairs") > 0)
       .orderBy(col("doc_id"))

@@ -822,6 +822,67 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(!after.contains(victim))
   }
 
+  test("MUST_NOT serve: excluded docs drop, survivors keep the plain serve's scores") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25not").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    val plain = TextAnalysis.bm25ServeTopK(spark, root, "common table",
+      k = 40).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val not = TextAnalysis.bm25ServeTopKNot(spark, root, "common table",
+      "rare", k = 40).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // every doc_id % 5 == 0 doc carries 'rare' and must be gone
+    assert(not.nonEmpty && not.forall { case (id, _) => id % 5 != 0 })
+    assert(plain.exists { case (id, _) => id % 5 == 0 },
+      "fixture must actually have rare-bearing docs in the plain top-k")
+    // exclusion is a FILTER: survivors score exactly as in the plain serve
+    val plainScores = plain.toMap
+    assert(not.forall { case (id, s) => plainScores.get(id).contains(s) })
+    // and the order is the plain ranking with the excluded docs removed
+    assert(not == plain.filter { case (id, _) => id % 5 != 0 })
+    // an excluded term absent from the index excludes nothing
+    val noop = TextAnalysis.bm25ServeTopKNot(spark, root, "common table",
+      "qqqqq", k = 40).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(noop == plain)
+    // a term both scored and prohibited fails loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25ServeTopKNot(spark, root, "common table", "table", 5)
+    }
+  }
+
+  test("ordered NEAR: asymmetric band, subset of unordered, served == direct") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data table"),      // big@0, table@2: ordered pair (d=2)
+      (2L, "table big data"),      // table@0, big@1: unordered only
+      (3L, "big table big table"), // big@0/2, table@1/3: ordered (0,1),(2,3); unordered adds (2,1)
+      (4L, "table only here")
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("bm25ord").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 4, positions = true)
+    val direct = TextAnalysis.nearSearchOrdered(docs, "doc_id", "text",
+      "big", "table", slop = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(direct == Seq((1L, 1L), (3L, 2L)), direct.mkString(","))
+    val served = TextAnalysis.nearServeOrderedCount(spark, root,
+      "big", "table", slop = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == direct, s"served=$served direct=$direct")
+    // ordered pairs are a per-doc subset of the unordered count
+    val unordered = TextAnalysis.nearServeCount(spark, root,
+      "big", "table", slop = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(direct.forall { case (id, n) => n <= unordered(id) })
+    assert(unordered.contains(2L) && !direct.exists(_._1 == 2L),
+      "doc 2 is the order-sensitivity witness: B before A only")
+    // tombstones now mask the unordered count serve too (the latent
+    // gap fixed alongside: parity with phrase/prefix serves)
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(1L))
+    val afterDel = TextAnalysis.nearServeCount(spark, root,
+      "big", "table", slop = 2).collect().map(_.getLong(0)).toSeq
+    assert(!afterDel.contains(1L), "deleted doc must drop from pair counts")
+  }
+
   test("wildcard counts stay on the dictionary under live tombstones (VERDICT r15 #6)") {
     import spark.implicits._
     val docs = Seq(

@@ -2493,6 +2493,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // the full BooleanQuery composite — MUST 'table' + SHOULD
+    // 'dup query' + MUST_NOT 'big' in ONE serve: candidates seeded
+    // from the MUST postings, exclusions anti-joined, every matching
+    // scored term contributing its own idf
+    // (TextAnalysis.bm25ServeTopKBool)
+    "bm25_bool_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeTopKBool(s, ensureBm25Index(s, dir),
+        mustText = "table", shouldText = "dup query",
+        mustNotText = "big", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // fuzzy serve (edit distance ≤ 1, Lucene FuzzyQuery): 'hast'
     // expands against two dictionary bands (forward h-band for edits at
     // positions ≥ 1; reversed rev("ast")-band for edits at position 0)
@@ -2809,6 +2821,24 @@ object SparkEntry {
           idx, positions = true)
       }
       TextAnalysis.nearServeOrderedCount(s, idx, "big", "table", slop = 2)
+    }),
+
+    // scored PHRASE serve (Lucene PhraseQuery scoring): tf = the
+    // positional-intersection match count, idf = Σ over phrase
+    // POSITIONS (duplicates included — "table table" carries
+    // 2·idf(table)), same integer norm as every serve
+    // (TextAnalysis.bm25ServePhraseTopK)
+    "phrase_scored_served" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
+        fsTag(s, dir, "documents.parquet")
+      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+          idx, positions = true)
+      }
+      TextAnalysis.bm25ServePhraseTopK(s, idx, "table table", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
     }),
 
     // MMR diversification: greedy rel − max-sim-to-selected rerank over
@@ -7136,6 +7166,46 @@ object SparkEntry {
     // bm25_served's arithmetic
     "bm25_not_served" -> bm25TopkSqlOver("documents",
       " AND doc_id NOT IN (SELECT doc_id FROM tk WHERE tok = 'rare')"),
+
+    // the composite: MUST via HAVING on the must term, MUST_NOT via the
+    // same NOT IN the exclusion serve replays, scoring over must∪should
+    "bm25_bool_served" -> bm25TopkSqlOver("documents",
+      " AND doc_id NOT IN (SELECT doc_id FROM tk WHERE tok = 'big')",
+      qtClause = "qt(tok) AS (VALUES ('table'), ('dup'), ('query'))",
+      scoredHaving =
+        " HAVING count(DISTINCT CASE WHEN tf.tok = 'table'" +
+          " THEN tf.tok END) = 1"),
+
+    // PhraseQuery scoring replay: the adjacency count feeds tf, the
+    // doubled idf (two positions of 'table') feeds the scale, the norm
+    // chain is bm25's verbatim
+    "phrase_scored_served" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |d AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
+        |  FROM tk WHERE tok = 'table'),
+        |idf AS (SELECT 2 * (((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1)) AS s FROM d),
+        |m AS (
+        |  SELECT a.doc_id
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.tok = 'table' AND b.tok = 'table'),
+        |tf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY doc_id),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (SELECT s FROM idf) * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000))
+        |      AS score
+        |  FROM tf JOIN lens l USING (doc_id))
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // fuzzy: qt = the edit-distance-≤1 expansion, replayed with
     // DuckDB's own levenshtein over the distinct corpus tokens

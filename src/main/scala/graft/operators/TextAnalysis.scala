@@ -1253,6 +1253,182 @@ object TextAnalysis {
   }
 
   /**
+   * Full BooleanQuery serve — MUST + SHOULD + MUST_NOT in one call,
+   * composing the three clause semantics the individual serves pin
+   * ([[bm25ServeTopKAnd]] / [[bm25ServeTopK]] / [[bm25ServeTopKNot]]):
+   * a doc qualifies iff it contains EVERY must term and NO mustNot
+   * term; its score sums the BM25 contributions of every matching
+   * scored term (must ∪ should — Lucene scores MUST clauses too, and
+   * prohibited clauses contribute nothing by definition). Cost model:
+   * postings probes ∝ the scored + excluded terms' postings; the
+   * cheapest-df MUST term seeds a semi-join that bounds the aggregate
+   * input exactly as in the AND serve; exclusion anti-joins before the
+   * aggregate exactly as in the NOT serve. With must empty this is the
+   * NOT serve; with should and mustNot empty it is the AND serve —
+   * stated so the spec can pin the degenerate equalities.
+   */
+  def bm25ServeTopKBool(spark: SparkSession, root: String,
+      mustText: String, shouldText: String, mustNotText: String,
+      k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    def toks(s: String): Seq[String] = s.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    val must = toks(mustText)
+    val should = toks(shouldText).filterNot(must.contains)
+    val exTerms = toks(mustNotText)
+    val scored = must ++ should
+    require(scored.nonEmpty, "boolean query needs a MUST or SHOULD clause")
+    require(scored.intersect(exTerms).isEmpty,
+      s"terms ${scored.intersect(exTerms).mkString(",")} are both scored " +
+        "and prohibited — such a query matches nothing")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (scored :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    // MUST decided from the dictionary alone, zero postings read
+    if (!must.forall(dfc.contains))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val idf = bm25Idf(nDocs, dfc.toMap, scored.filter(dfc.contains))
+      .toDF("tok", "idf")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        scored.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    // MUST_NOT: anti-join before the aggregate (the NOT serve's shape)
+    val admitted =
+      if (exTerms.isEmpty) alive
+      else {
+        val excluded = segs.map(sg =>
+          MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+            exTerms.toDF("tok")))
+          .reduce(_.unionByName(_))
+          .select(col("doc_id")).distinct()
+        alive.join(excluded, Seq("doc_id"), "left_anti")
+      }
+    // MUST: cheapest-df seed semi-join (the AND serve's shape)
+    val restricted =
+      if (must.isEmpty) admitted
+      else {
+        val tMin = must.minBy(t => (dfc(t), t))
+        val cand0 = admitted.filter(col("tok") === lit(tMin))
+          .select(col("doc_id"))
+        val cand =
+          if (dfc(tMin) <= MaxBm25Tombstones) broadcast(cand0) else cand0
+        admitted.join(cand, Seq("doc_id"), "left_semi")
+      }
+    val mustLit = typedLit(must)
+    restricted
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"),
+        countDistinct(when(array_contains(mustLit, col("tok")), col("tok")))
+          .as("nm"))
+      .filter(col("nm") === must.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * Scored PHRASE serve — BM25 top-k where the match unit is the whole
+   * phrase (the Lucene PhraseQuery SCORING contract): tf = the per-doc
+   * exact-adjacency match count [[phraseServeCount]] computes (the
+   * positional-intersection definition, overlaps included), idf = the
+   * SUM of the phrase terms' idfs (Lucene sums the term idfs for the
+   * phrase's IDF — a phrase is rarer than its rarest term, and the sum
+   * is the standard surrogate), and the doc-length norm is the same
+   * integer arithmetic every other serve uses — so the score replays
+   * in SQL from the phrase-count oracle joined to the scoring chain.
+   * One positional-postings probe over the phrase's distinct terms
+   * feeds BOTH the match count and the length — no second read.
+   */
+  def bm25ServePhraseTopK(spark: SparkSession, root: String,
+      phrase: String, k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = phrase.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, "phrase needs at least two tokens")
+    val distinctTerms = terms.distinct
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (distinctTerms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    // a phrase with an absent term matches nothing — dictionary-decided
+    if (!distinctTerms.forall(dfc.contains))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    // Lucene sums idf over all phrase POSITIONS (duplicates included:
+    // "table table" carries 2·idf(table)) — replayed in the oracle.
+    // bm25Idf gets the dup-bearing list so its large-N overflow guard
+    // bounds the SUMMED worst case, not the distinct one.
+    val idfByTerm = bm25Idf(nDocs, dfc.toMap, terms).toMap
+    val idfSum = terms.map(idfByTerm).sum
+    val posts = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        distinctTerms.toDF("tok"))).reduce(_.unionByName(_))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"$root: postings carry no positions — build with positions = true")
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) posts
+      else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val agg = alive.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"),
+        max(col("len")).as("len"))
+    val shifted: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      transform(
+        flatten(transform(
+          filter(col("tp"), x => x.getField("tok") === lit(t)),
+          x => x.getField("positions"))),
+        p => p - lit(i.toLong))
+    }
+    val inter = shifted.reduce((a, b) => array_intersect(a, b))
+    agg.select(col("doc_id"), size(inter).cast("long").as("tf"),
+        col("len"))
+      .filter(col("tf") > 0)
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .select(col("doc_id"), (lit(idfSum) * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Wildcard PROXIMITY serve — `preA* NEAR/slop termB` (Lucene's
    * SpanNear over a SpanMultiTermQueryWrapper): expand the prefix
    * against the term dictionary (band-pruned, [[MaxPrefixExpansion]]

@@ -883,6 +883,77 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(!afterDel.contains(1L), "deleted doc must drop from pair counts")
   }
 
+  test("composite BooleanQuery serve: degenerate equalities and full-combo semantics") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25bool").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // MUST-only == the AND serve
+    val andServe = rows(TextAnalysis.bm25ServeTopKAnd(spark, root,
+      "rare table", 20))
+    val boolMust = rows(TextAnalysis.bm25ServeTopKBool(spark, root,
+      mustText = "rare table", shouldText = "", mustNotText = "", k = 20))
+    assert(boolMust == andServe)
+    // SHOULD + MUST_NOT == the NOT serve
+    val notServe = rows(TextAnalysis.bm25ServeTopKNot(spark, root,
+      "common table", "rare", 40))
+    val boolNot = rows(TextAnalysis.bm25ServeTopKBool(spark, root,
+      mustText = "", shouldText = "common table", mustNotText = "rare",
+      k = 40))
+    assert(boolNot == notServe)
+    // full combo: MUST 'rare' (docs %5==0), SHOULD 'filler', MUST_NOT
+    // none — every hit carries rare; filler adds score where present
+    val combo = rows(TextAnalysis.bm25ServeTopKBool(spark, root,
+      mustText = "rare", shouldText = "filler", mustNotText = "", k = 40))
+    assert(combo.nonEmpty && combo.forall(_._1 % 5 == 0))
+    // a SHOULD term ADDS score on top of the MUST gate: doc 5 carries
+    // filler (5%7=5 of them), so its combo score strictly exceeds its
+    // MUST-only score, while filler-less doc 35 scores identically
+    val mustOnly = rows(TextAnalysis.bm25ServeTopKBool(spark, root,
+      mustText = "rare", shouldText = "", mustNotText = "", k = 40)).toMap
+    val score = combo.toMap
+    assert(score(5L) > mustOnly(5L),
+      s"SHOULD must add score: combo=${score(5L)} mustOnly=${mustOnly(5L)}")
+    assert(score(35L) == mustOnly(35L),
+      "a doc without the SHOULD term scores as if it were absent")
+    // MUST + MUST_NOT combined
+    val comboNot = rows(TextAnalysis.bm25ServeTopKBool(spark, root,
+      mustText = "table", shouldText = "", mustNotText = "rare", k = 40))
+    assert(comboNot.nonEmpty && comboNot.forall(_._1 % 5 != 0))
+    // overlap between scored and prohibited fails loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25ServeTopKBool(spark, root, "table", "rare", "rare", 5)
+    }
+  }
+
+  test("scored phrase serve: tf = adjacency count, idf doubled for the repeated term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table table data"),        // 1 adjacency, len 3
+      (2L, "table table table"),       // 2 adjacencies (overlap), len 3
+      (3L, "table data table"),        // 0 adjacencies
+      (4L, "data only row")            // no phrase terms
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("bm25pscore").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 4, positions = true)
+    val got = TextAnalysis.bm25ServePhraseTopK(spark, root, "table table",
+      k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // replicate the arithmetic: N=4, Σlen=12, avg1000=3000;
+    // dfc(table)=3 → idf=(4-3+1)*10000//(3+1)=5000, doubled = 10000;
+    // norm1000 = 250 + 750*len*1000//3000 = 250+250*len = 1000 (len 3)
+    // w(tf) = tf*2200*10000 // (tf*1000 + 1200*1000//1000)
+    def w(tf: Long) = tf * 2200 * 10000 / (tf * 1000 + 1200)
+    val expected = Seq(2L -> 10000L * w(2), 1L -> 10000L * w(1))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got == expected, s"got=$got expected=$expected")
+    // matches the count serve's doc set exactly
+    val counts = TextAnalysis.phraseServeCount(spark, root, "table table")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._1).sorted == counts.sorted)
+  }
+
   test("wildcard counts stay on the dictionary under live tombstones (VERDICT r15 #6)") {
     import spark.implicits._
     val docs = Seq(

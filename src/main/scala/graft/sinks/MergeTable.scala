@@ -386,8 +386,10 @@ object MergeTable {
   def merge(spark: SparkSession, root: String, batch: DataFrame,
       keyCol: String, deleteFlagCol: Option[String] = None,
       newColumns: Seq[String] = Seq.empty): MergeStats =
-    mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => (),
-      newColumns = newColumns)
+    Lease.withLease(spark, root) {
+      mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => (),
+        newColumns = newColumns)
+    }
 
   /**
    * Exactly-once CDC ingest: apply a Structured Streaming micro-batch
@@ -402,11 +404,16 @@ object MergeTable {
   def mergeExactlyOnce(spark: SparkSession, root: String, batch: DataFrame,
       keyCol: String, batchId: Long,
       deleteFlagCol: Option[String] = None): Boolean =
-    if (lastBatchId(spark, root).exists(_ >= batchId)) false
-    else {
-      mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => (),
-        batchId = Some(batchId))
-      true
+    Lease.withLease(spark, root) {
+      // fence check under the lease: the read-check-write is what the
+      // single-writer contract protects (a redelivered skip pays the
+      // lease's handful of small-object ops — constant per micro-batch)
+      if (lastBatchId(spark, root).exists(_ >= batchId)) false
+      else {
+        mergeHooked(spark, root, batch, keyCol, deleteFlagCol, () => (),
+          batchId = Some(batchId))
+        true
+      }
     }
 
   /** The merge with a test seam between its data-file job and the version
@@ -654,7 +661,9 @@ object MergeTable {
    * cost class as the initial publish. Returns the new version name.
    */
   def rebucket(spark: SparkSession, root: String, newBuckets: Int): String =
-    rebucketHooked(spark, root, newBuckets, () => ())
+    Lease.withLease(spark, root) {
+      rebucketHooked(spark, root, newBuckets, () => ())
+    }
 
   /** Rebucket with the merge family's crash seam before the commit. */
   private[graft] def rebucketHooked(spark: SparkSession, root: String,

@@ -108,6 +108,30 @@ class LeaseSpec extends AnyFunSuite with SparkTestBase {
     assert(TextAnalysis.compactBm25Index(spark, root) == 2)
   }
 
+  test("MergeTable maintenance (merge / exactly-once / rebucket) honors the lease") {
+    import spark.implicits._
+    val root = freshRoot() + "/mt"
+    MergeTable.publish(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), root, "k", 4)
+    Lease.acquire(spark, root, "rival", ttlMillis = 60000)
+    intercept[Lease.LeaseHeldException] {
+      MergeTable.merge(spark, root,
+        Seq((1L, "patched")).toDF("k", "v"), "k")
+    }
+    intercept[Lease.LeaseHeldException] {
+      MergeTable.mergeExactlyOnce(spark, root,
+        Seq((2L, "patched")).toDF("k", "v"), "k", batchId = 1L)
+    }
+    intercept[Lease.LeaseHeldException] {
+      MergeTable.rebucket(spark, root, 8)
+    }
+    Lease.release(spark, root, "rival")
+    assert(MergeTable.merge(spark, root,
+      Seq((1L, "patched")).toDF("k", "v"), "k").bucketsTouched == 1)
+    assert(MergeTable.read(spark, root).filter($"k" === 1L)
+      .select("v").as[String].head() == "patched")
+  }
+
   test("exactly-once append nests its internal vacuum under one claim") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.expr

@@ -74,8 +74,12 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     val mergeB = docs.filter(col("doc_id") === 2)
       .withColumn("text", lit("B-raced")).withColumn("_del", lit(false))
     val firstWins = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // lease claims ride the same primitive: apply them for real (always)
+    // so the firstWins CAS budget is spent on the POINTER swaps the race
+    // is about, not on the writers' lease handshakes
     Versioned.setConditionalPut { (s, target, bytes) =>
-      if (firstWins.compareAndSet(true, false)) {
+      if (target.getName == Lease.LeaseFile ||
+          firstWins.compareAndSet(true, false)) {
         val fsys = target.getFileSystem(s.sessionState.newHadoopConf())
         val out = fsys.create(target, true)
         try out.write(bytes) finally out.close()

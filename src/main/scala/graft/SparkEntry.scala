@@ -2493,6 +2493,25 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // DisjunctionMax (best-field semantics, tieBreaker = 0): a doc's
+    // score is its MAXIMUM per-term contribution — same probe as the
+    // plain serve, MAX for SUM (TextAnalysis.bm25ServeTopKDisMax)
+    "bm25_dismax_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeTopKDisMax(s, ensureBm25Index(s, dir),
+        "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // minimumShouldMatch = 2 over three SHOULD terms: disjunctive
+    // scoring, docs matching <2 distinct terms dropped
+    // (TextAnalysis.bm25ServeTopKMsm; m=1 ≡ plain serve, m=|q| ≡ AND
+    // serve — spec-pinned)
+    "bm25_msm_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeTopKMsm(s, ensureBm25Index(s, dir),
+        "table sort scan", minShouldMatch = 2, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // the full BooleanQuery composite — MUST 'table' + SHOULD
     // 'dup query' + MUST_NOT 'big' in ONE serve: candidates seeded
     // from the MUST postings, exclusions anti-joined, every matching
@@ -4968,7 +4987,8 @@ object SparkEntry {
   private def bm25TopkSqlOver(docsSrc: String, tfExtra: String,
       qtClause: String =
         "qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz'))",
-      k: Int = 15, scoredHaving: String = ""): String =
+      k: Int = 15, scoredHaving: String = "",
+      aggFn: String = "sum"): String =
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
       |  FROM $docsSrc),
@@ -4987,7 +5007,7 @@ object SparkEntry {
       |  WHERE tok IN (SELECT tok FROM qt)$tfExtra GROUP BY doc_id, tok),
       |scored AS (
       |  SELECT tf.doc_id,
-      |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+      |    $aggFn(i.idf * ((tf.tf * 2200 * 10000) //
       |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
       |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
       |      AS score
@@ -7166,6 +7186,16 @@ object SparkEntry {
     // bm25_served's arithmetic
     "bm25_not_served" -> bm25TopkSqlOver("documents",
       " AND doc_id NOT IN (SELECT doc_id FROM tk WHERE tok = 'rare')"),
+
+    // DisMax: MAX for SUM in the scoring aggregate, everything else the
+    // plain chain verbatim
+    "bm25_dismax_served" -> bm25TopkSqlOver("documents", "",
+      aggFn = "max"),
+
+    // msm=2: the AND serve's distinct-count filter relaxed to >= 2
+    "bm25_msm_served" -> bm25TopkSqlOver("documents", "",
+      qtClause = "qt(tok) AS (VALUES ('table'), ('sort'), ('scan'))",
+      scoredHaving = " HAVING count(DISTINCT tf.tok) >= 2"),
 
     // the composite: MUST via HAVING on the must term, MUST_NOT via the
     // same NOT IN the exclusion serve replays, scoring over must∪should

@@ -1253,6 +1253,87 @@ object TextAnalysis {
   }
 
   /**
+   * DisjunctionMax serve — top-k where a doc's score is the MAXIMUM of
+   * its per-term BM25 contributions instead of their sum (Lucene's
+   * DisjunctionMaxQuery with tieBreakerMultiplier = 0, the standard
+   * best-field semantics: a doc matching one great term beats a doc
+   * matching several mediocre ones). Identical probe shape to
+   * [[bm25ServeTopK]] — only the aggregate changes — so the cost model
+   * and the SQL oracle (MAX for SUM) carry over verbatim.
+   */
+  def bm25ServeTopKDisMax(spark: SparkSession, root: String,
+      queryText: String, k: Int, asOf: Option[String] = None): DataFrame =
+    bm25ServeTopKAgg(spark, root, queryText, k, asOf, minShouldMatch = 1,
+      useMax = true)
+
+  /**
+   * minimumShouldMatch serve — the disjunctive scoring with docs
+   * required to match at least `m` DISTINCT query terms (the
+   * Elasticsearch/Lucene BooleanQuery msm knob; m = 1 is the plain
+   * serve, m = |q| is the AND serve — both equalities spec-pinned).
+   * The aggregate already counts distinct matched terms for the AND
+   * serve; msm generalizes its filter.
+   */
+  def bm25ServeTopKMsm(spark: SparkSession, root: String,
+      queryText: String, minShouldMatch: Int, k: Int,
+      asOf: Option[String] = None): DataFrame =
+    bm25ServeTopKAgg(spark, root, queryText, k, asOf, minShouldMatch,
+      useMax = false)
+
+  private def bm25ServeTopKAgg(spark: SparkSession, root: String,
+      queryText: String, k: Int, asOf: Option[String],
+      minShouldMatch: Int, useMax: Boolean): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    require(minShouldMatch >= 1 && minShouldMatch <= terms.size,
+      s"minimumShouldMatch $minShouldMatch out of [1, ${terms.size}]")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    val idf = bm25Idf(nDocs, dfc.toMap, terms).toDF("tok", "idf")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val contrib = alive
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+    val scoreCol =
+      if (useMax) max(col("idf") * col("w"))
+      else sum(col("idf") * col("w"))
+    contrib
+      .groupBy(col("doc_id"))
+      .agg(scoreCol.as("score"), countDistinct(col("tok")).as("nt"))
+      .filter(col("nt") >= minShouldMatch)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Full BooleanQuery serve — MUST + SHOULD + MUST_NOT in one call,
    * composing the three clause semantics the individual serves pin
    * ([[bm25ServeTopKAnd]] / [[bm25ServeTopK]] / [[bm25ServeTopKNot]]):

@@ -927,6 +927,43 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("DisMax and minimumShouldMatch serves: max semantics and the msm boundary equalities") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25dismax").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // DisMax score = the max single-term contribution: for a doc with
+    // 'rare' (high idf) plus 'common' (low idf), the dismax score equals
+    // its rare-only score
+    val rareOnly = rows(TextAnalysis.bm25ServeTopK(spark, root, "rare", 40))
+      .toMap
+    val dismax = rows(TextAnalysis.bm25ServeTopKDisMax(spark, root,
+      "rare common", 40))
+    val sumServe = rows(TextAnalysis.bm25ServeTopK(spark, root,
+      "rare common", 40)).toMap
+    dismax.foreach { case (id, s) =>
+      if (rareOnly.contains(id)) {
+        assert(s == rareOnly(id),
+          s"doc $id: dismax must equal the best single term, got $s vs " +
+            s"${rareOnly(id)}")
+        assert(s < sumServe(id), "sum must exceed max on a two-term match")
+      }
+    }
+    // msm boundaries: m=1 == the plain serve, m=|q| == the AND serve
+    assert(rows(TextAnalysis.bm25ServeTopKMsm(spark, root,
+        "rare table", 1, 40)) ==
+      rows(TextAnalysis.bm25ServeTopK(spark, root, "rare table", 40)))
+    assert(rows(TextAnalysis.bm25ServeTopKMsm(spark, root,
+        "rare table", 2, 40)) ==
+      rows(TextAnalysis.bm25ServeTopKAnd(spark, root, "rare table", 40)))
+    // strictly between: every msm=2 hit matches >= 2 terms (here: only
+    // the rare docs match both)
+    val m2 = rows(TextAnalysis.bm25ServeTopKMsm(spark, root,
+      "rare table", 2, 40))
+    assert(m2.nonEmpty && m2.forall(_._1 % 5 == 0))
+  }
+
   test("scored phrase serve: tf = adjacency count, idf doubled for the repeated term") {
     import spark.implicits._
     val docs = Seq(

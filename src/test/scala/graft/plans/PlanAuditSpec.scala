@@ -528,4 +528,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(scanned < all,
       s"zone map pruned nothing: scanned $scanned of $all manifest files")
   }
+
+  test("bm25_bool_served: MUST seeds broadcast semi-join, MUST_NOT anti-joins, top-k fuses") {
+    val p = plan("bm25_bool_served")
+    assert(p.contains("LeftSemi"), "MUST seed semi-join missing")
+    assert(p.contains("LeftAnti"), "MUST_NOT exclusion anti-join missing")
+    assert(p.contains("TakeOrderedAndProject"),
+      "boolean top-k must fuse limit+sort")
+    assert(!p.contains("CartesianProduct"), "accidental cartesian")
+    // the idf table rides as a broadcast, never a shuffle side
+    assert(p.contains("BroadcastHashJoin"), "idf join must broadcast")
+  }
+
+  test("bm25_not_served / dismax / msm: one aggregate, broadcast idf, fused top-k") {
+    Seq("bm25_not_served", "bm25_dismax_served", "bm25_msm_served")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("TakeOrderedAndProject"), s"$q: top-k not fused")
+        assert(p.contains("BroadcastHashJoin"), s"$q: idf join must broadcast")
+        assert(!p.contains("CartesianProduct"), s"$q: accidental cartesian")
+      }
+  }
+
+  test("prefix_search_deleted: corrections join broadcasts; no postings scan in the plan") {
+    val df = SparkEntry.queries("prefix_search_deleted")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "dead-term corrections must ride a broadcast join")
+    assert(!df.inputFiles.exists(_.contains("/postings/")),
+      "tombstoned wildcard count read postings — dictionary path lost")
+  }
 }

@@ -1553,7 +1553,18 @@ object TextAnalysis {
     val alive =
       if (dead.isEmpty) posts
       else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
-    val agg = alive.groupBy(col("doc_id"))
+    // Only docs containing termB can produce a pair, but the wildcard
+    // side alone can match a large fraction of the corpus (every s*-doc
+    // at 100× was the round-16 scale outlier: 9.1× wall-clock where
+    // every sibling serve was ≤4.5×). Seed the aggregate from termB's
+    // postings — a semi-join bounded by df(b), the same
+    // cheapest-side-first discipline as the AND serve — so the shuffle
+    // carries candidate docs ∝ df(b), not Σ df(variants).
+    // no forced broadcast: termB can be the corpus' most common word,
+    // so its doc set is unbounded — AQE picks the strategy at runtime
+    val bDocs = alive.filter(col("tok") === lit(b)).select(col("doc_id"))
+    val restricted = alive.join(bDocs, Seq("doc_id"), "left_semi")
+    val agg = restricted.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"))
     // Column-API membership tests, NOT interpolated SQL literals (ADVICE
     // r15): with Spark's default escapedStringLiterals=false, a corpus

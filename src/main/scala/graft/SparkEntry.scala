@@ -2769,6 +2769,22 @@ object SparkEntry {
       TextAnalysis.suffixSearch(s, ensureBm25Index(s, dir), "er")
     }),
 
+    // regexp term search (Lucene RegexpQuery, full-match semantics):
+    // the dictionary scan prunes to the pattern's literal-prefix band
+    // ('s' here) before the exact regex re-applies — counts from band
+    // stats, no postings (TextAnalysis.regexpSearch)
+    "regexp_search" -> ((s, dir) => {
+      TextAnalysis.regexpSearch(s, ensureBm25Index(s, dir), "s.*n")
+    }),
+
+    // regexp SCORING serve: the same expansion through the scoring
+    // rewrite, per-variant idf (TextAnalysis.bm25ServeRegexpTopK)
+    "bm25_regexp_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeRegexpTopK(s, ensureBm25Index(s, dir),
+        "s.*n", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // wildcard counts under LIVE tombstones (VERDICT r15 #6): the
     // delete commit stores per-term dead-df corrections beside the
     // tombstone list, so the count serve stays on the dictionary —
@@ -7168,6 +7184,25 @@ object SparkEntry {
     // leading wildcard: the same scoring rewrite, qt = LIKE '%er'
     "bm25_suffix_served" -> bm25TopkSqlOver("documents", "",
       qtClause = "qt AS (SELECT DISTINCT tok FROM tk WHERE tok LIKE '%er')"),
+
+    // regexp expansion replayed with DuckDB's own full-match regex
+    "bm25_regexp_served" -> bm25TopkSqlOver("documents", "",
+      qtClause =
+        "qt AS (SELECT DISTINCT tok FROM tk WHERE regexp_full_match(tok, 's.*n'))"),
+
+    // regexp dictionary probe: the same counts shape as prefix_search
+    // with the full-match regex predicate
+    "regexp_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE regexp_full_match(tok, 's.*n') GROUP BY doc_id, tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tf) AS BIGINT) AS n_occ
+        |FROM tf GROUP BY tok ORDER BY tok""".stripMargin,
 
     // infix wildcard: LIKE 't%e' — SQL % over disjoint spans is exactly
     // the engine's startsWith ∧ endsWith ∧ length guard

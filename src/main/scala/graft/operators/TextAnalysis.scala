@@ -690,20 +690,65 @@ object TextAnalysis {
    */
   def prefixSearch(spark: SparkSession, root: String,
       prefix: String): DataFrame = {
-    import graft.sinks.MergeTable
-    import spark.implicits._
     val p = prefix.toLowerCase.trim
     require(p.nonEmpty, "empty prefix")
+    dictCountSearch(spark, root, Some(p), prefixSuccessor(p),
+      _.startsWith(p))
+  }
+
+  /** Extract a regex's leading LITERAL — the Lucene RegexpQuery trick
+    * (CompiledAutomaton.commonPrefix): every match of `^pattern$` must
+    * start with these characters, so the dictionary scan prunes to
+    * their band before the exact regex applies. Empty when the pattern
+    * opens with a metacharacter (the scan is then the whole dictionary,
+    * the same worst case Lucene has). */
+  private[graft] def regexLiteralPrefix(pattern: String): String = {
+    val metas = ".*+?[](){}|\\^$"
+    val lit = pattern.takeWhile(c => !metas.contains(c))
+    // a literal directly before a quantifier is OPTIONAL/repeatable
+    // ("ab*" matches "a") — it cannot anchor the band; drop it
+    if (lit.nonEmpty && pattern.length > lit.length &&
+        "*+?{".contains(pattern.charAt(lit.length)))
+      lit.dropRight(1)
+    else lit
+  }
+
+  /**
+   * Regexp term search — the last MultiTermQuery member (Lucene
+   * RegexpQuery): per matching token its document and occurrence
+   * counts, FULL-match semantics (`^pattern$`, Lucene's contract — use
+   * `.*fix.*` for contains). The dictionary scan prunes to the
+   * pattern's literal-prefix band when one exists; the exact regex
+   * re-applies after the pruned read. Tombstone corrections and the
+   * legacy fallback behave exactly as [[prefixSearch]] — shared
+   * machinery.
+   */
+  def regexpSearch(spark: SparkSession, root: String,
+      pattern: String): DataFrame = {
+    val pat = pattern.trim
+    require(pat.nonEmpty, "empty pattern")
+    val pre = regexLiteralPrefix(pat)
+    val (lo, hi) =
+      if (pre.isEmpty) (None, None)
+      else (Some(pre), prefixSuccessor(pre))
+    dictCountSearch(spark, root, lo, hi, _.rlike(s"^(?:$pat)$$"))
+  }
+
+  /** Shared dictionary COUNT machinery for term-pattern queries
+    * (prefix, regexp): band-pruned dictionary scan when the stats
+    * columns exist, per-term dead-df corrections subtracted under live
+    * tombstones (VERDICT r15 #6 — no postings read), exact postings
+    * recount fallback otherwise (legacy deletes, pre-`occ` segments).
+    * `pred` is the exact token predicate — pruning is never truth. */
+  private def dictCountSearch(spark: SparkSession, root: String,
+      lower: Option[String], upper: Option[String],
+      pred: Column => Column): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
     val segs = liveSegments(spark, root)
     if (segs.isEmpty) // fully-compacted-away index: nothing to probe
       return Seq.empty[(String, Long, Long)].toDF("tok", "n_docs", "n_occ")
-    val upper = prefixSuccessor(p)
     val dead = deletedBm25Docs(spark, root)
-    // live tombstones no longer force the postings fallback (VERDICT
-    // r15 #6): when the delete committed per-term dead-df corrections,
-    // the dictionary band MINUS the corrections band is row-exact, and
-    // the serve still reads no postings at all. Only legacy deletes
-    // (no corrections) or a pre-`occ` dictionary degrade to recounts.
     val corr =
       if (dead.isEmpty) None else deadBm25TermCorrections(spark, root)
     val dictReady = (dead.isEmpty || corr.isDefined) && segs.forall(sg =>
@@ -711,21 +756,19 @@ object TextAnalysis {
         .schema.fieldNames.contains("occ"))
     if (dictReady) {
       val dict = segs.map(sg =>
-        MergeTable.readRange(spark, s"$root/segs/$sg/terms",
-          Some(p), upper))
+        MergeTable.readRange(spark, s"$root/segs/$sg/terms", lower, upper))
         .reduce(_.unionByName(_))
       val counts = dict
-        .filter(col("tok").startsWith(p) && col("tok") =!= Bm25StatsKey)
+        .filter(pred(col("tok")) && col("tok") =!= Bm25StatsKey)
         .groupBy(col("tok"))
         .agg(sum(col("dfc")).cast("long").as("n_docs"),
           sum(col("occ")).cast("long").as("n_occ"))
       val corrected = corr match {
         case None => counts
         case Some(c) =>
-          // the corrections table is tombstone-bounded and the band
-          // filter shrinks it to the query's prefix — broadcast side
+          // tombstone-bounded and predicate-shrunk — broadcast side
           counts.join(
-            broadcast(c.filter(col("tok").startsWith(p))
+            broadcast(c.filter(pred(col("tok")))
               .select(col("tok"), col("dfc_dead"), col("occ_dead"))),
             Seq("tok"), "left")
             .select(col("tok"),
@@ -739,17 +782,52 @@ object TextAnalysis {
     } else {
       val posts = segs.map(sg =>
         MergeTable.readRange(spark, s"$root/segs/$sg/postings",
-          Some(p), upper))
+          lower, upper))
         .reduce(_.unionByName(_))
       val alive =
         if (dead.isEmpty) posts
         else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
-      alive.filter(col("tok").startsWith(p))
+      alive.filter(pred(col("tok")))
         .groupBy(col("tok"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("tf")).cast("long").as("n_occ"))
         .orderBy(col("tok"))
     }
+  }
+
+  /**
+   * Regexp SCORING serve — BM25 top-k over the regex's dictionary
+   * expansion (the MultiTermQuery scoring rewrite, same as the
+   * prefix/suffix/fuzzy serves): literal-prefix band scan + exact
+   * regex → (term, df) expansion under the [[MaxPrefixExpansion]]
+   * budget, then the shared exact scoring stage with per-variant idf.
+   */
+  def bm25ServeRegexpTopK(spark: SparkSession, root: String,
+      pattern: String, k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val pat = pattern.trim
+    require(pat.nonEmpty, "empty pattern")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val pre = regexLiteralPrefix(pat)
+    val (lo, hi) =
+      if (pre.isEmpty) (None, None)
+      else (Some(pre), prefixSuccessor(pre))
+    val rx = s"^(?:$pat)$$"
+    val keyRows = segs.flatMap { sg =>
+      MergeTable.readRange(spark, s"$root/segs/$sg/terms", lo, hi)
+        .filter(col("tok").rlike(rx) && col("tok") =!= Bm25StatsKey)
+        .select(col("tok"), col("dfc"))
+        .limit(MaxPrefixExpansion + 1).collect().toSeq
+    }
+    val dfc = keyRows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    require(dfc.size <= MaxPrefixExpansion,
+      s"regexp '$pat' expands to ${dfc.size} terms — past the " +
+        s"$MaxPrefixExpansion budget; tighten the pattern")
+    scoreExpandedTerms(spark, root, segs, dfc, k)
   }
 
   /** Expansion budget for wildcard SCORING queries — the Lucene

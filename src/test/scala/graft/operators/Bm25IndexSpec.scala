@@ -927,6 +927,46 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("regexp search: literal-prefix band pruning, full-match semantics, scoring rewrite") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "scan span spoon table"),
+      (2L, "scan soon noon"),
+      (3L, "sun stun unscan")      // unscan must NOT match ^s.*n$... it starts with 'u'
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("bm25rx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    // prefix extraction: quantified literals drop, leading metas → empty
+    assert(TextAnalysis.regexLiteralPrefix("s.*n") == "s")
+    assert(TextAnalysis.regexLiteralPrefix("ab*") == "a")
+    assert(TextAnalysis.regexLiteralPrefix(".*fix") == "")
+    assert(TextAnalysis.regexLiteralPrefix("table") == "table")
+    val got = TextAnalysis.regexpSearch(spark, root, "s.*n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // full-match ^s.*n$: scan(2 docs), span, spoon, soon, sun, stun —
+    // NOT table, NOT noon (n≠s start), NOT unscan
+    assert(got.toSeq == Seq(("scan", 2L, 2L), ("soon", 1L, 1L),
+      ("span", 1L, 1L), ("spoon", 1L, 1L), ("stun", 1L, 1L),
+      ("sun", 1L, 1L)), got.mkString(","))
+    // the dictionary path read no postings
+    val rx = TextAnalysis.regexpSearch(spark, root, "s.*n")
+    assert(!rx.inputFiles.exists(_.contains("/postings/")))
+    // scoring rewrite equals scoring the expanded set directly: the
+    // single-variant pattern 'spoo.' ≡ the exact serve for 'spoon'
+    val direct = TextAnalysis.bm25ServeTopK(spark, root, "spoon", 5)
+      .collect().map(_.toString).toSeq
+    val served = TextAnalysis.bm25ServeRegexpTopK(spark, root, "spoo.", 5)
+      .collect().map(_.toString).toSeq
+    assert(served == direct)
+    // tombstones: corrections keep the dictionary path exact
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(2L))
+    val afterDel = TextAnalysis.regexpSearch(spark, root, "s.*n")
+    assert(afterDel.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("scan", 1L), ("span", 1L), ("spoon", 1L),
+        ("stun", 1L), ("sun", 1L)))
+    assert(!afterDel.inputFiles.exists(_.contains("/postings/")))
+  }
+
   test("DisMax and minimumShouldMatch serves: max semantics and the msm boundary equalities") {
     val docs = corpus()
     val root = Files.createTempDirectory("bm25dismax").toString

@@ -1077,6 +1077,15 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       r.getLong(2))).toSeq ==
       Seq(("alpha", 1L, 1L), ("apple", 2L, 3L)))
     assert(!pfx2.inputFiles.exists(_.contains("/postings/")))
+    // the exactly-once append path carries corrections forward too
+    assert(TextAnalysis.appendBm25SegmentExactlyOnce(
+      Seq((6L, "alpha")).toDF("doc_id", "text"), "doc_id", "text",
+      root, batchId = 1L, nBuckets = 4))
+    val pfx3 = TextAnalysis.prefixSearch(spark, root, "a")
+    assert(pfx3.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq ==
+      Seq(("alpha", 2L, 2L), ("apple", 2L, 3L)))
+    assert(!pfx3.inputFiles.exists(_.contains("/postings/")))
     // LEGACY fallback: strip the corrections dir — the serve must fall
     // back to the postings recount and still answer exactly
     val v = graft.sinks.Versioned.currentVersion(spark, root).get
@@ -1085,7 +1094,7 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     val legacy = TextAnalysis.prefixSearch(spark, root, "a")
     assert(legacy.collect().map(r => (r.getString(0), r.getLong(1),
       r.getLong(2))).toSeq ==
-      Seq(("alpha", 1L, 1L), ("apple", 2L, 3L)))
+      Seq(("alpha", 2L, 2L), ("apple", 2L, 3L)))
     assert(legacy.inputFiles.exists(_.contains("/postings/")),
       "correction-less deletes must recount from postings")
     // compaction clears tombstones AND corrections; dictionary is exact
@@ -1093,7 +1102,7 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     val post = TextAnalysis.prefixSearch(spark, root, "a")
     assert(post.collect().map(r => (r.getString(0), r.getLong(1),
       r.getLong(2))).toSeq ==
-      Seq(("alpha", 1L, 1L), ("apple", 2L, 3L)))
+      Seq(("alpha", 2L, 2L), ("apple", 2L, 3L)))
     assert(!post.inputFiles.exists(_.contains("/postings/")))
   }
 }

@@ -2493,6 +2493,46 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // search_after deep pagination (the ES contract): page 2 = top-10
+    // strictly after page 1's last (score, doc_id) cursor — one bounded
+    // probe per page, never an OFFSET recompute
+    // (TextAnalysis.bm25ServeTopKAfter; oracle = LIMIT 10 OFFSET 10
+    // over the same deterministic order)
+    "bm25_page2_served" -> ((s, dir) => {
+      import s.implicits._
+      val idx = ensureBm25Index(s, dir)
+      val page1 = TextAnalysis.bm25ServeTopKAfter(s, idx,
+        "dup sort query zzz", k = 10, after = None).collect()
+      if (page1.isEmpty) Seq.empty[(Long, Long)].toDF("doc_id", "score")
+      else {
+        val last = page1.last
+        TextAnalysis.bm25ServeTopKAfter(s, idx, "dup sort query zzz",
+          k = 10, after = Some((last.getLong(1), last.getLong(0))))
+          .orderBy(col("score").desc, col("doc_id"))
+      }
+    }),
+
+    // facet counts over the FULL match set (the ES terms aggregation):
+    // docs matching ANY query term, joined to the lang doc-values
+    // column, distinct-counted per facet value
+    // (TextAnalysis.bm25FacetCounts)
+    "bm25_facets_served" -> ((s, dir) => {
+      TextAnalysis.bm25FacetCounts(s, ensureBm25Index(s, dir),
+        "dup sort query zzz", t(s, dir, "documents"), "doc_id", "lang")
+    }),
+
+    // More-Like-This (Lucene MLT): the corpus' first document's top-5
+    // terms by integer tf·idf interestingness, then the plain
+    // disjunctive serve over them (TextAnalysis.bm25MoreLikeThis;
+    // oracle replays the term selection AND the serve)
+    "doc_mlt_served" -> ((s, dir) => {
+      val src = t(s, dir, "documents").orderBy(col("doc_id"))
+        .select("text").head().getString(0)
+      TextAnalysis.bm25MoreLikeThis(s, ensureBm25Index(s, dir),
+        src, maxQueryTerms = 5, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // DisjunctionMax (best-field semantics, tieBreaker = 0): a doc's
     // score is its MAXIMUM per-term contribution — same probe as the
     // plain serve, MAX for SUM (TextAnalysis.bm25ServeTopKDisMax)
@@ -7226,6 +7266,44 @@ object SparkEntry {
     // plain chain verbatim
     "bm25_dismax_served" -> bm25TopkSqlOver("documents", "",
       aggFn = "max"),
+
+    // page 2 = rows 11–20 of the deterministic (score desc, doc_id)
+    // order — OFFSET on the oracle side, a strict-after cursor filter
+    // (one bounded probe) on the engine side
+    "bm25_page2_served" -> (bm25TopkSqlOver("documents", "", k = 10)
+      + " OFFSET 10"),
+
+    // the ES terms aggregation replay: distinct matching docs per lang
+    "bm25_facets_served" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM tk
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM matched m JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    // MLT: the source doc's top-5 terms by tf(doc)·idf(corpus) with the
+    // engine's exact integer idf and (score desc, tok) tie-break, then
+    // the standard scoring chain over the picked set
+    "doc_mlt_served" -> bm25TopkSqlOver("documents", "",
+      qtClause =
+        """src AS (SELECT min(doc_id) AS sid FROM documents),
+          |dtf AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS ftf FROM tk
+          |  WHERE doc_id = (SELECT sid FROM src) GROUP BY tok),
+          |dfc0 AS (
+          |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS dfc
+          |  FROM tk t WHERE t.tok IN (SELECT tok FROM dtf) GROUP BY t.tok),
+          |idf0 AS (
+          |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+          |  FROM dfc0),
+          |qt AS (
+          |  SELECT d.tok FROM dtf d JOIN idf0 i USING (tok)
+          |  ORDER BY d.ftf * i.idf DESC, d.tok LIMIT 5)""".stripMargin),
 
     // msm=2: the AND serve's distinct-count filter relaxed to >= 2
     "bm25_msm_served" -> bm25TopkSqlOver("documents", "",

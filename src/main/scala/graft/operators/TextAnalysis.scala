@@ -1331,6 +1331,115 @@ object TextAnalysis {
   }
 
   /**
+   * Deep-pagination serve — the Elasticsearch `search_after` contract:
+   * page N+1 is the top-k of the result space STRICTLY AFTER a cursor
+   * row in the serve's total order (score desc, doc_id asc). Unlike
+   * OFFSET pagination, the index probe stays one bounded top-k per page
+   * — no page ever recomputes or ships its predecessors — which is the
+   * only pagination that survives deep scrolls at scale. Page 1 =
+   * `after = None`. Composing pages 1..N row-concatenated equals the
+   * plain serve at k·N (the spec pins it; the oracle replays a page as
+   * LIMIT/OFFSET over the same deterministic order).
+   */
+  def bm25ServeTopKAfter(spark: SparkSession, root: String,
+      queryText: String, k: Int,
+      after: Option[(Long, Long)]): DataFrame = {
+    val page = bm25ServeTopKAgg(spark, root, queryText,
+      // the cursor filter applies BEFORE the limit, so fetch k rows of
+      // the filtered space — not k + cursor-depth
+      k, None, minShouldMatch = 1, useMax = false,
+      afterCursor = after)
+    page
+  }
+
+  /**
+   * Facet counts over a query's FULL match set (the Elasticsearch
+   * terms-aggregation half of a search response): every doc matching
+   * ANY query term — the same candidate set the scoring serve ranks —
+   * joined to a caller-supplied doc-values frame `(doc_id, <facetCol>)`
+   * and counted per facet value. The facet data lives BESIDE the index
+   * (the doc-values pattern: the inverted index answers "which docs",
+   * the forward column answers "what are they"), so the join is the
+   * honest cost — one probe ∝ the query terms' postings, one join
+   * against a column the caller already has partitioned. Counts are
+   * DISTINCT docs (a doc matching two query terms counts once).
+   */
+  def bm25FacetCounts(spark: SparkSession, root: String,
+      queryText: String, docValues: DataFrame, idCol: String,
+      facetCol: String): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(String, Long)].toDF(facetCol, "n_docs")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val matched = alive.select(col("doc_id")).distinct()
+    matched.join(docValues.select(col(idCol).as("doc_id"),
+        col(facetCol)), Seq("doc_id"))
+      .groupBy(col(facetCol))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col(facetCol))
+  }
+
+  /**
+   * More-Like-This serve (Lucene's MoreLikeThis): extract the source
+   * document's most characteristic terms — top `maxQueryTerms` by the
+   * integer tf·idf interestingness score, ties broken lexicographically
+   * — then run the standard disjunctive serve over them. The term
+   * selection reads ONLY the dictionary (df for the doc's distinct
+   * terms, a bounded readKeys), the doc itself tokenizes driver-side
+   * (one document, by definition bounded), and the final probe is a
+   * plain |q| = maxQueryTerms serve — MLT costs one dictionary probe
+   * more than the query it generates. The source doc stays in the
+   * result if it matches (Lucene's contract too; callers filter).
+   */
+  def bm25MoreLikeThis(spark: SparkSession, root: String,
+      docText: String, maxQueryTerms: Int, k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    require(maxQueryTerms >= 1, "maxQueryTerms must be positive")
+    val toks = docText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty, "empty document")
+    val tf = toks.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (tf.keys.toSeq :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    // interestingness = tf(doc) · idf(corpus), both integers — terms
+    // absent from the index carry no idf and cannot retrieve anything
+    val idf = bm25Idf(nDocs, dfc, dfc.keys.toSeq.sorted).toMap
+    val picked = tf.toSeq
+      .filter { case (t, _) => dfc.contains(t) }
+      .map { case (t, f) => (t, f * idf(t)) }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
+    if (picked.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    bm25ServeTopK(spark, root, picked.mkString(" "), k)
+  }
+
+  /**
    * DisjunctionMax serve — top-k where a doc's score is the MAXIMUM of
    * its per-term BM25 contributions instead of their sum (Lucene's
    * DisjunctionMaxQuery with tieBreakerMultiplier = 0, the standard
@@ -1360,7 +1469,8 @@ object TextAnalysis {
 
   private def bm25ServeTopKAgg(spark: SparkSession, root: String,
       queryText: String, k: Int, asOf: Option[String],
-      minShouldMatch: Int, useMax: Boolean): DataFrame = {
+      minShouldMatch: Int, useMax: Boolean,
+      afterCursor: Option[(Long, Long)] = None): DataFrame = {
     import graft.sinks.MergeTable
     import spark.implicits._
     val terms = queryText.toLowerCase.trim.split("\\s+")
@@ -1402,11 +1512,19 @@ object TextAnalysis {
     val scoreCol =
       if (useMax) max(col("idf") * col("w"))
       else sum(col("idf") * col("w"))
-    contrib
+    val scored = contrib
       .groupBy(col("doc_id"))
       .agg(scoreCol.as("score"), countDistinct(col("tok")).as("nt"))
       .filter(col("nt") >= minShouldMatch)
       .select(col("doc_id"), col("score"))
+    // search_after: strictly after the cursor in (score desc, doc_id
+    // asc) — a pre-limit filter, so the probe stays one bounded top-k
+    val paged = afterCursor match {
+      case None => scored
+      case Some((s, id)) => scored.filter(
+        col("score") < s || (col("score") === s && col("doc_id") > id))
+    }
+    paged
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

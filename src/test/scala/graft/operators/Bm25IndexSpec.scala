@@ -927,6 +927,81 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("search_after pagination: concatenated pages equal the one-shot serve") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25page").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    val full = TextAnalysis.bm25ServeTopK(spark, root, "common table",
+      k = 40).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full.size == 40)
+    // walk 7-row pages through the cursor; the concatenation must be
+    // the one-shot ranking, byte for byte
+    var cursor: Option[(Long, Long)] = None
+    val walked = Iterator.continually {
+      val page = TextAnalysis.bm25ServeTopKAfter(spark, root,
+        "common table", k = 7, after = cursor).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      cursor = page.lastOption.map { case (id, s) => (s, id) }
+      page
+    }.takeWhile(_.nonEmpty).take(10).flatten.toSeq
+    assert(walked == full, s"paged walk diverged from the one-shot serve")
+    // a cursor past the end returns empty, not an error
+    val (lastId, lastScore) = full.last
+    assert(TextAnalysis.bm25ServeTopKAfter(spark, root, "common table",
+      k = 7, after = Some((lastScore, lastId))).count() == 0)
+  }
+
+  test("facet counts: distinct matching docs per doc-values bucket") {
+    import spark.implicits._
+    val docs = corpus()
+    val root = Files.createTempDirectory("bm25facet").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 8)
+    val docValues = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, "even").otherwise("odd").as("par"))
+    // 'rare' matches docs 5,10,...,40 — 4 even, 4 odd; a doc matching
+    // BOTH query terms still counts once
+    val got = TextAnalysis.bm25FacetCounts(spark, root, "rare rare",
+      docValues, "doc_id", "par").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("even", 4L), ("odd", 4L)), got.mkString(","))
+    // the full-corpus term facets over everything
+    val all = TextAnalysis.bm25FacetCounts(spark, root, "common",
+      docValues, "doc_id", "par").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all == Seq(("even", 20L), ("odd", 20L)))
+    // tombstones drop from the counts
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(5L))
+    val after = TextAnalysis.bm25FacetCounts(spark, root, "rare",
+      docValues, "doc_id", "par").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(after == Seq(("even", 4L), ("odd", 3L)))
+  }
+
+  test("More-Like-This: tf·idf term selection feeds the plain serve") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zebra zebra common rift"),   // zebra tf2 & rare; rift rare
+      (2L, "common common filler data"),
+      (3L, "zebra rift data"),
+      (4L, "common data data")
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("bm25mlt").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    // source = doc 1's text; with maxQueryTerms=2 the picked terms are
+    // the tf·idf top-2: zebra (tf 2 · rare idf) then rift (tf 1 · rare
+    // idf beats common's tf 1 · common idf)
+    val mlt = TextAnalysis.bm25MoreLikeThis(spark, root,
+      "zebra zebra common rift", maxQueryTerms = 2, k = 10)
+      .collect().map(_.toString).toSeq
+    val expected = TextAnalysis.bm25ServeTopK(spark, root, "zebra rift",
+      k = 10).collect().map(_.toString).toSeq
+    assert(mlt == expected, s"mlt=$mlt expected=$expected")
+    // terms absent from the index never enter the query
+    val onlyNoise = TextAnalysis.bm25MoreLikeThis(spark, root,
+      "qqq www eee", maxQueryTerms = 3, k = 10)
+    assert(onlyNoise.count() == 0)
+  }
+
   test("regexp search: literal-prefix band pruning, full-match semantics, scoring rewrite") {
     import spark.implicits._
     val docs = Seq(

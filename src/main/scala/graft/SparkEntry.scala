@@ -2493,6 +2493,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // highlighting (the snippet stage of a search response): per
+    // matching doc the best 5-token window — most DISTINCT query
+    // terms, ties to the leftmost — with the window text itself
+    // (TextAnalysis.searchHighlight; integer/argmin arithmetic only,
+    // the whole stage replays in SQL)
+    "search_highlight" -> ((s, dir) => {
+      TextAnalysis.searchHighlight(t(s, dir, "documents"), "doc_id",
+        "text", "big table", window = 5)
+    }),
+
     // search_after deep pagination (the ES contract): page 2 = top-10
     // strictly after page 1's last (score, doc_id) cursor — one bounded
     // probe per page, never an OFFSET recompute
@@ -7266,6 +7276,32 @@ object SparkEntry {
     // plain chain verbatim
     "bm25_dismax_served" -> bm25TopkSqlOver("documents", "",
       aggFn = "max"),
+
+    // best-window replay: candidate starts are hit positions, window
+    // score = distinct query terms inside [c, c+5), argmax by
+    // (n desc, c asc), snippet = the 1-based list slice
+    "search_highlight" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) - 1 AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |hits AS (SELECT doc_id, tok, pos FROM tk WHERE tok IN ('big', 'table')),
+        |wins AS (
+        |  SELECT c.doc_id, c.pos AS c, CAST(count(DISTINCT h.tok) AS BIGINT) AS n
+        |  FROM hits c JOIN hits h ON h.doc_id = c.doc_id
+        |    AND h.pos >= c.pos AND h.pos < c.pos + 5
+        |  GROUP BY c.doc_id, c.pos),
+        |best AS (
+        |  SELECT doc_id, c, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, c) AS rn
+        |  FROM wins)
+        |SELECT b.doc_id, CAST(b.c AS BIGINT) AS win_start, b.n AS n_terms,
+        |  array_to_string(t.ts[CAST(b.c + 1 AS INT):CAST(b.c + 5 AS INT)], ' ') AS snippet
+        |FROM best b JOIN toksl t USING (doc_id)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // page 2 = rows 11–20 of the deterministic (score desc, doc_id)
     // order — OFFSET on the oracle side, a strict-after cursor filter

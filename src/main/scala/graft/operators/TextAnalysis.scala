@@ -1331,6 +1331,74 @@ object TextAnalysis {
   }
 
   /**
+   * Highlighting — the deterministic core of a search response's
+   * snippet stage (Lucene's highlighter, stripped of its float
+   * fragment scorer): for every document matching at least one query
+   * term, the best `window`-token window — most DISTINCT query terms,
+   * ties to the leftmost start — returned as (doc_id, win_start,
+   * n_terms, snippet). Candidate starts are query-term positions only
+   * (the optimal window can always be slid right until it begins on a
+   * matched term), so the per-doc fold is O(hits²) in the doc's HIT
+   * count, never its length; the snippet slice reuses the one token
+   * array the tokenize already produced. Everything is integer/argmin
+   * arithmetic — the whole stage replays in SQL.
+   */
+  def searchHighlight(df: DataFrame, idCol: String, textCol: String,
+      queryText: String, window: Int): DataFrame = {
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    require(window >= 1, "window must be positive")
+    val qlit = typedLit(terms)
+    val toks = Par.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => t =!= lit("")).as("ts"))
+    // hits: (pos, tok) of query-term occurrences, positions 0-based
+    val withHits = toks.withColumn("hits",
+      filter(
+        zip_with(col("ts"), sequence(lit(0),
+            greatest(size(col("ts")) - 1, lit(0))),
+          (t, i) => struct(i.as("pos"), t.as("tok"))),
+        h => array_contains(qlit, h.getField("tok"))))
+      .filter(size(col("hits")) > 0)
+    // per candidate start c (a hit position): distinct query terms in
+    // [c, c+window) — count via the terms literal (|q| bounded)
+    val scoredWins = withHits.withColumn("wins",
+      transform(col("hits"), h => {
+        val c = h.getField("pos")
+        val n = size(filter(qlit, q =>
+          exists(col("hits"), g =>
+            g.getField("tok") === q && g.getField("pos") >= c &&
+              g.getField("pos") < c + lit(window))))
+        struct(n.as("n"), c.as("c"))
+      }))
+    // argmax by (n desc, c asc) as one integer min: key = -n*(L+1) + c
+    // stays exact because c < L and n ≤ |q|
+    scoredWins
+      .withColumn("best", aggregate(col("wins"),
+        struct(lit(Long.MaxValue).as("key"), lit(0L).as("n"),
+          lit(0L).as("c")),
+        (acc, w) => {
+          val key = (-w.getField("n").cast("long")) *
+            (size(col("ts")).cast("long") + lit(1L)) +
+            w.getField("c").cast("long")
+          when(key < acc.getField("key"),
+            struct(key.as("key"),
+              w.getField("n").cast("long").as("n"),
+              w.getField("c").cast("long").as("c")))
+            .otherwise(acc)
+        }))
+      .select(col("doc_id"),
+        col("best").getField("c").as("win_start"),
+        col("best").getField("n").as("n_terms"),
+        array_join(slice(col("ts"),
+          col("best").getField("c").cast("int") + 1, lit(window)), " ")
+          .as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Deep-pagination serve — the Elasticsearch `search_after` contract:
    * page N+1 is the top-k of the result space STRICTLY AFTER a cursor
    * row in the serve's total order (score desc, doc_id asc). Unlike

@@ -927,6 +927,24 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("highlighting: best window by distinct terms, leftmost tie-break, exact snippet") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x big y z w table q"),      // big@1, table@5: window@1 covers both (5 wide)
+      (2L, "table x x x x big"),        // too far apart: best window has 1 term (leftmost: table@0)
+      (3L, "big big big x table"),      // window@1 [1,5] has both... 0-based: big@0,1,2 table@4; c=0: [0,4] incl? window 5 → [0,5) covers table@4 ✓ both from c=0
+      (4L, "nothing here at all")       // no hits → absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.searchHighlight(docs, "doc_id", "text",
+      "big table", window = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, "big y z w table"),
+      (2L, 0L, 1L, "table x x x x"),
+      (3L, 0L, 2L, "big big big x table")), got.mkString("; "))
+  }
+
   test("search_after pagination: concatenated pages equal the one-shot serve") {
     val docs = corpus()
     val root = Files.createTempDirectory("bm25page").toString

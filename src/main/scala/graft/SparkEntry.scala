@@ -2503,6 +2503,26 @@ object SparkEntry {
         "text", "big table", window = 5)
     }),
 
+    // the composed SEARCH RESPONSE — the production flow in one plan:
+    // rank from the index (one bounded probe), then decorate ONLY the
+    // page — doc-values (lang) joined and snippets highlighted over
+    // the 10 hit docs, never the corpus (the hits side broadcasts by
+    // size; searchHighlight runs on the semi-joined page)
+    "search_response" -> ((s, dir) => {
+      val q = "dup sort query zzz"
+      val hits = TextAnalysis.bm25ServeTopK(s, ensureBm25Index(s, dir),
+        q, k = 10)
+      val docs = t(s, dir, "documents")
+      val page = docs.join(broadcast(hits.select("doc_id")), "doc_id")
+      val snips = TextAnalysis.searchHighlight(page, "doc_id", "text",
+        q, window = 5)
+      hits
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .join(snips.select(col("doc_id"), col("snippet")), "doc_id")
+        .select(col("doc_id"), col("score"), col("lang"), col("snippet"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // search_after deep pagination (the ES contract): page 2 = top-10
     // strictly after page 1's last (score, doc_id) cursor — one bounded
     // probe per page, never an OFFSET recompute
@@ -7276,6 +7296,37 @@ object SparkEntry {
     // plain chain verbatim
     "bm25_dismax_served" -> bm25TopkSqlOver("documents", "",
       aggFn = "max"),
+
+    // the composed response: the bm25 top-10 as a CTE, highlight
+    // restricted to the page, doc-values joined — every fragment the
+    // proven one
+    "search_response" ->
+      (s"""WITH top10 AS (${bm25TopkSqlOver("documents", "", k = 10)}),
+        |pg AS (
+        |  SELECT d.doc_id,
+        |    list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), t -> t <> '') AS ts
+        |  FROM documents d JOIN top10 USING (doc_id)),
+        |tkh AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) - 1 AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM pg)),
+        |hits AS (SELECT doc_id, tok, pos FROM tkh
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz')),
+        |wins AS (
+        |  SELECT c.doc_id, c.pos AS c, CAST(count(DISTINCT h.tok) AS BIGINT) AS n
+        |  FROM hits c JOIN hits h ON h.doc_id = c.doc_id
+        |    AND h.pos >= c.pos AND h.pos < c.pos + 5
+        |  GROUP BY c.doc_id, c.pos),
+        |best AS (
+        |  SELECT doc_id, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, c) AS rn
+        |  FROM wins)
+        |SELECT t.doc_id, t.score, d.lang,
+        |  array_to_string(p.ts[CAST(b.c + 1 AS INT):CAST(b.c + 5 AS INT)], ' ') AS snippet
+        |FROM top10 t
+        |JOIN documents d USING (doc_id)
+        |JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+        |JOIN pg p ON p.doc_id = t.doc_id
+        |ORDER BY t.score DESC, t.doc_id""").stripMargin,
 
     // best-window replay: candidate starts are hit positions, window
     // score = distinct query terms inside [c, c+5), argmax by

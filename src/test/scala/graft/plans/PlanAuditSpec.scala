@@ -550,6 +550,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("search_response: rank-then-decorate — hits broadcast into the page joins") {
+    val p = plan("search_response")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 10-hit page must broadcast into the decoration joins")
+    assert(!p.contains("CartesianProduct"), "accidental cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the ranking probe must stay a fused top-k")
+  }
+
   test("prefix_search_deleted: corrections join broadcasts; no postings scan in the plan") {
     val df = SparkEntry.queries("prefix_search_deleted")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

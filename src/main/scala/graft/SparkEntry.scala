@@ -150,6 +150,41 @@ object SparkEntry {
     raw.replaceAll("[^A-Za-z0-9]", "_") + "_" + md5
   }
 
+  /** Spec-aware build-once fixture gate (VERDICT r16 #2). Every
+    * materialized fixture dir is keyed on corpus fsTag alone, so two
+    * queries wanting DIFFERENT derived state (dead-id predicate, pqM,
+    * positions flag, compaction sequence) at one corpus tag would
+    * silently share a dir — exactly the r16 `graft_bm25_del_v1_`
+    * collision (%10 vs %7 dead sets, 2 hash-fails). Callers now declare
+    * their derived-state spec; the first builder records it in a
+    * `_graft_spec` marker and any later caller whose spec differs fails
+    * LOUDLY instead of serving someone else's fixture. Distinct paths
+    * remain the primary defense (the spec string should be folded into
+    * the path prefix); the marker is the tripwire for the day two
+    * prefixes accidentally re-converge.
+    *
+    * Call AFTER the gate's build/readiness block: cold builds that wipe
+    * the dir re-write the marker, warm calls validate it. */
+  private[graft] def assertFixtureSpec(s: SparkSession, idx: String,
+      spec: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/_graft_spec")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(got == spec,
+        s"fixture spec mismatch at $idx: dir holds '$got' but caller " +
+          s"wants '$spec' — two fixtures are sharing one path; split " +
+          "the path prefix (VERDICT r16 #1/#2)")
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(idx))
+      val out = fs.create(p, true)
+      try out.write(spec.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Streaming-harness lifecycle shared by the oracled streaming rows.
     * `freshStreamDirs` hands out a FIXED per-(query, corpus) output +
     * checkpoint pair, wiped at entry — repeated invocations (bench reps,
@@ -346,6 +381,7 @@ object SparkEntry {
       TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
         idx)
     }
+    assertFixtureSpec(s, idx, "bm25 plain no-deletes")
     idx
   }
 
@@ -356,7 +392,11 @@ object SparkEntry {
     * and their dead-term corrections stay live). */
   private[graft] def ensureDeletedBm25Index(s: SparkSession,
       dir: String): String = {
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_del_v1_" +
+    // `del7`, NOT `del_`: bm25_deleted builds a %10-dead twin at
+    // graft_bm25_del_v1_<tag>; sharing that path made the %7 delete
+    // below a no-op in name-ordered suite runs (r16's only two red
+    // rows). The dead-set spec is now part of the path AND asserted.
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_del7_v1_" +
       fsTag(s, dir, "documents.parquet")
     if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
       val p = new org.apache.hadoop.fs.Path(idx)
@@ -374,6 +414,25 @@ object SparkEntry {
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       TextAnalysis.deleteBm25Docs(s, idx, deadIds)
     }
+    assertFixtureSpec(s, idx, "bm25 dead=doc_id%7==0 no-compact")
+    idx
+  }
+
+  /** Build-once gate for the POSITIONAL BM25 index (positions=true, no
+    * deletes) shared by the phrase/proximity serves — one helper instead
+    * of five inline twins, so the shared derived-state spec is declared
+    * (and asserted) exactly once. */
+  private[graft] def ensurePosBm25Index(s: SparkSession,
+      dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
+      fsTag(s, dir, "documents.parquet")
+    if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+        idx, positions = true)
+    }
+    assertFixtureSpec(s, idx, "bm25 positions=true no-deletes")
     idx
   }
 
@@ -1788,6 +1847,7 @@ object SparkEntry {
       if (!markerFs.exists(marker))
         Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
           indexKey = embCorpusKey(s, dir), pqM = Some(8))
+      assertFixtureSpec(s, idx, "ivf pqM=8 no-deletes")
       Similarity.pqTopKServed(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
         indexKey = embCorpusKey(s, dir))
@@ -1807,6 +1867,7 @@ object SparkEntry {
       if (!markerFs.exists(marker))
         Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
           indexKey = embCorpusKey(s, dir), pqM = Some(8))
+      assertFixtureSpec(s, idx, "ivf pqM=8 no-deletes")
       Similarity.pqTopKReranked(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
         indexKey = embCorpusKey(s, dir), candC = 30)
@@ -2733,6 +2794,7 @@ object SparkEntry {
         TextAnalysis.deleteBm25Docs(s, idx, dead)
         fs.create(done, true).close()
       }
+      assertFixtureSpec(s, idx, "bm25 dead=doc_id%10==0 no-compact")
       TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
         .orderBy(col("score").desc, col("doc_id"))
     }),
@@ -2757,6 +2819,7 @@ object SparkEntry {
         TextAnalysis.compactBm25Index(s, idx)
         fs.create(done, true).close()
       }
+      assertFixtureSpec(s, idx, "bm25 dead=doc_id%10==0 compacted")
       TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz", k = 15)
         .orderBy(col("score").desc, col("doc_id"))
     }),
@@ -2810,16 +2873,8 @@ object SparkEntry {
     // the phrase terms' buckets and never tokenizes a document — the
     // Lucene phrase-query cost model (TextAnalysis.phraseServeCount)
     "phrase_served" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
-        fsTag(s, dir, "documents.parquet")
-      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-        fs.delete(p, true)
-        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
-          idx, positions = true)
-      }
-      TextAnalysis.phraseServeCount(s, idx, "table table")
+      TextAnalysis.phraseServeCount(s, ensurePosBm25Index(s, dir),
+        "table table")
     }),
 
     // prefix (wildcard) term search: a string-key RANGE scan over the
@@ -2879,15 +2934,8 @@ object SparkEntry {
     }),
 
     "near_served" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
-        fsTag(s, dir, "documents.parquet")
-      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
-          idx, positions = true)
-      }
-      TextAnalysis.nearServeCount(s, idx, "big", "table", slop = 2)
+      TextAnalysis.nearServeCount(s, ensurePosBm25Index(s, dir),
+        "big", "table", slop = 2)
     }),
 
     // wildcard PROXIMITY serve (Lucene SpanNear over a wrapped
@@ -2896,15 +2944,8 @@ object SparkEntry {
     // expanded variants' positions (SpanOr). Same positional index as
     // near_served; oracle = the positional self-join with a LIKE side
     "near_prefix_served" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
-        fsTag(s, dir, "documents.parquet")
-      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
-          idx, positions = true)
-      }
-      TextAnalysis.nearServePrefixCount(s, idx, "s", "table", slop = 2)
+      TextAnalysis.nearServePrefixCount(s, ensurePosBm25Index(s, dir),
+        "s", "table", slop = 2)
     }),
 
     // ORDERED proximity (Lucene SpanNear inOrder=true): 'big' strictly
@@ -2917,15 +2958,8 @@ object SparkEntry {
     }),
 
     "near_ordered_served" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
-        fsTag(s, dir, "documents.parquet")
-      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
-          idx, positions = true)
-      }
-      TextAnalysis.nearServeOrderedCount(s, idx, "big", "table", slop = 2)
+      TextAnalysis.nearServeOrderedCount(s, ensurePosBm25Index(s, dir),
+        "big", "table", slop = 2)
     }),
 
     // scored PHRASE serve (Lucene PhraseQuery scoring): tf = the
@@ -2934,15 +2968,8 @@ object SparkEntry {
     // 2·idf(table)), same integer norm as every serve
     // (TextAnalysis.bm25ServePhraseTopK)
     "phrase_scored_served" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_pos_v1_" +
-        fsTag(s, dir, "documents.parquet")
-      if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-        TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
-          idx, positions = true)
-      }
-      TextAnalysis.bm25ServePhraseTopK(s, idx, "table table", k = 15)
+      TextAnalysis.bm25ServePhraseTopK(s, ensurePosBm25Index(s, dir),
+        "table table", k = 15)
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
@@ -3869,6 +3896,7 @@ object SparkEntry {
             (col("o_custkey").cast("long") + 1000000L).as("dst"))
           .distinct()
       }, path).createOrReplaceTempView("edges_rec")
+      assertFixtureSpec(s, path, "edges supp->cust+1000000 distinct")
       t(s, dir, "supplier").createOrReplaceTempView("supplier_rec")
       s.sql(
         """WITH RECURSIVE r(node, hop) AS (
@@ -3901,6 +3929,7 @@ object SparkEntry {
             (col("o_custkey").cast("long") + 1000000L).as("dst"))
           .distinct()
       }, path)
+      assertFixtureSpec(s, path, "edges supp->cust+1000000 distinct")
       // symmetrized inside pageRank (node ranges disjoint — no dup edges)
       graft.operators.Graph.pageRank(e0, "src", "dst", iters = 3,
         symmetrize = true)

@@ -703,6 +703,28 @@ object TextAnalysis {
     * opens with a metacharacter (the scan is then the whole dictionary,
     * the same worst case Lucene has). */
   private[graft] def regexLiteralPrefix(pattern: String): String = {
+    // A TOP-LEVEL alternation makes any leading literal optional:
+    // "cat|dog" matches "dog", so pruning to the [cat, cau) band would
+    // silently drop every 'dog' hit. Lucene's commonPrefix is computed
+    // automaton-wide and returns "" there; mirror that by scanning for
+    // an unescaped depth-0 '|' (pipes inside (...) groups or [...]
+    // classes do NOT bypass the literal) and falling back to the
+    // full-dictionary scan when one exists (ADVICE r16 high).
+    var depth = 0
+    var inClass = false
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\'               => i += 1 // skip the escaped char
+        case '[' if !inClass    => inClass = true
+        case ']' if inClass     => inClass = false
+        case '(' if !inClass    => depth += 1
+        case ')' if !inClass    => depth -= 1
+        case '|' if !inClass && depth == 0 => return ""
+        case _                  =>
+      }
+      i += 1
+    }
     val metas = ".*+?[](){}|\\^$"
     val lit = pattern.takeWhile(c => !metas.contains(c))
     // a literal directly before a quantifier is OPTIONAL/repeatable
@@ -1306,6 +1328,12 @@ object TextAnalysis {
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
         terms.toDF("tok")))
       .reduce(_.unionByName(_))
+    // NOTE (ADVICE r16 low): the exclusion set deliberately skips the
+    // tombstone mask — dead docs in `excluded` are harmless because the
+    // SCORING side (`alive`) is dead-filtered before the anti-join, so
+    // an excluded-and-dead doc is absent from the left side anyway.
+    // If a refactor ever flips this anti-join's sides or scores from
+    // `postings` directly, the mask must move here too.
     val excluded = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
         exTerms.toDF("tok")))

@@ -58,6 +58,12 @@ object Lease {
 
   class LeaseHeldException(msg: String) extends IllegalStateException(msg)
 
+  /** Raised at COMMIT time when a leased operation outlived its claim:
+    * the `_lease` object no longer names us (a rival acquired after our
+    * expiry) or the claim has expired. Failing before the pointer swap
+    * turns the silent lost-update into a loud abort (ADVICE r16). */
+  class LeaseLostException(msg: String) extends IllegalStateException(msg)
+
   /** Test seam: the clock, so expiry specs advance time instead of
     * sleeping. Production value is wall-clock millis. */
   @volatile private[graft] var clock: () => Long =
@@ -65,8 +71,8 @@ object Lease {
 
   private val jvmId = java.util.UUID.randomUUID().toString.take(8)
 
-  private val held = new ThreadLocal[Set[String]] {
-    override def initialValue(): Set[String] = Set.empty
+  private val held = new ThreadLocal[Map[String, Claim]] {
+    override def initialValue(): Map[String, Claim] = Map.empty
   }
 
   private def parse(s: String): Option[Claim] = {
@@ -112,12 +118,64 @@ object Lease {
 
   /** Release `holder`'s claim by expiring it in place. A release of a
     * lease someone else now holds is a no-op (we already lost it —
-    * stomping the rival's live claim would be the actual bug). */
+    * stomping the rival's live claim would be the actual bug). The
+    * overwrite itself routes through [[Versioned.atomicOverwrite]] and
+    * therefore the conditional-put seam where one is configured, which
+    * makes the read-check-write a true CAS there; without CAS the
+    * residual window (rival claims between our read and write) remains —
+    * it is the same window [[verifyHeld]] converts into a loud abort on
+    * the rival's commit path. */
   def release(spark: SparkSession, root: String, holder: String): Unit =
     current(spark, root).filter(_.holder == holder).foreach { _ =>
       Versioned.atomicOverwrite(spark, new Path(root, LeaseFile),
         Claim(holder, 0L).render.getBytes(StandardCharsets.UTF_8))
     }
+
+  /**
+   * Pre-commit re-validation (ADVICE r16 medium): when the calling
+   * thread holds a lease on `root`, require the `_lease` object STILL
+   * names our holder and is still live — an operation that outlived its
+   * TTL (a large compaction or retrain at the 100 TB scales the docs
+   * target) must abort BEFORE its version-pointer / manifest commit
+   * rather than silently double-commit against the rival that acquired
+   * after our expiry. A no-op on unleased roots (plain publishes keep
+   * the single-writer contract by documentation, as before).
+   * [[Versioned.commit]] and the ANN manifest commit call this at the
+   * last responsible moment, so every leased operation gets the check
+   * without touching call sites.
+   */
+  def verifyHeld(spark: SparkSession, root: String): Unit = {
+    val key = new Path(root).toString
+    held.get().get(key).foreach { claim =>
+      val now = clock()
+      val cur = current(spark, key)
+      if (!cur.exists(c => c.holder == claim.holder && c.live(now)))
+        throw new LeaseLostException(
+          s"lease on $key lost before commit: held claim was " +
+            s"'${claim.holder}' until ${claim.expiresAtMillis}, but now " +
+            s"(${now}) the lease object holds " +
+            s"${cur.map(c => s"'${c.holder}' until ${c.expiresAtMillis}")
+              .getOrElse("<absent>")} — the operation outlived its TTL; " +
+            "aborting instead of committing over a rival's work")
+    }
+  }
+
+  /** Renew the lease this thread holds on `root` — the heartbeat for
+    * maintenance jobs whose runtime may approach the TTL. Re-acquiring
+    * with our own holder extends the expiry; raises if the claim was
+    * already lost. */
+  def renew(spark: SparkSession, root: String,
+      ttlMillis: Long = DefaultTtlMillis): Unit = {
+    val key = new Path(root).toString
+    held.get().get(key) match {
+      case None => throw new IllegalStateException(
+        s"renew called on $key but this thread holds no lease there")
+      case Some(claim) =>
+        verifyHeld(spark, key)
+        val renewed = acquire(spark, key, claim.holder, ttlMillis)
+        held.set(held.get() + (key -> renewed))
+    }
+  }
 
   /**
    * Run `body` under the maintenance lease on `root` — the wrapper every
@@ -134,8 +192,8 @@ object Lease {
     val holder =
       s"$jvmId-t${Thread.currentThread().getId}-" +
         java.util.UUID.randomUUID().toString.take(8)
-    acquire(spark, key, holder, ttlMillis)
-    held.set(held.get() + key)
+    val claim = acquire(spark, key, holder, ttlMillis)
+    held.set(held.get() + (key -> claim))
     try body
     finally {
       held.set(held.get() - key)

@@ -271,6 +271,16 @@ object Versioned {
    */
   def atomicOverwrite(spark: SparkSession, target: Path,
       bytes: Array[Byte]): Unit = {
+    // Pre-commit lease re-validation (ADVICE r16 medium): every control
+    // object this primitive commits (version pointer, ANN `_cellmap`,
+    // tombstone file, retention) is a direct child of its index root, so
+    // when the calling thread holds that root's maintenance lease the
+    // claim is re-checked at the last responsible moment — an operation
+    // that outlived its TTL aborts loudly instead of committing over the
+    // rival that acquired after our expiry. The `_lease` object itself
+    // is exempt: acquire/renew/release ARE the claim writes.
+    if (target.getName != Lease.LeaseFile)
+      Lease.verifyHeld(spark, target.getParent.toString)
     conditionalPut match {
       case Some(put) =>
         if (!put(spark, target, bytes))

@@ -1034,6 +1034,19 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(TextAnalysis.regexLiteralPrefix("ab*") == "a")
     assert(TextAnalysis.regexLiteralPrefix(".*fix") == "")
     assert(TextAnalysis.regexLiteralPrefix("table") == "table")
+    // TOP-LEVEL alternation voids the literal prefix (ADVICE r16 high:
+    // "cat|dog" matches "dog" — pruning to [cat, cau) drops every dog)
+    assert(TextAnalysis.regexLiteralPrefix("cat|dog") == "")
+    assert(TextAnalysis.regexLiteralPrefix("a|b*") == "")
+    // ...but an alternation INSIDE a group after the literal does not
+    // bypass it, and an escaped pipe is a literal character
+    assert(TextAnalysis.regexLiteralPrefix("cat(s|z)") == "cat")
+    assert(TextAnalysis.regexLiteralPrefix("s[a|u]n") == "s")
+    assert(TextAnalysis.regexLiteralPrefix("""a\|b""") == "a")
+    // end-to-end: the top-level alternation must return BOTH branches
+    val alt = TextAnalysis.regexpSearch(spark, root, "scan|noon")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(alt == Seq(("noon", 1L), ("scan", 2L)), alt.mkString(","))
     val got = TextAnalysis.regexpSearch(spark, root, "s.*n")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     // full-match ^s.*n$: scan(2 docs), span, spoon, soon, sun, stun —

@@ -58,6 +58,82 @@ class LeaseSpec extends AnyFunSuite with SparkTestBase {
     Lease.release(spark, root, "writer-a")
   }
 
+  test("commit aborts when the operation outlived its TTL and a rival claimed (ADVICE r16)") {
+    val root = freshRoot()
+    val base = System.currentTimeMillis()
+    Lease.clock = () => base
+    try {
+      val e = intercept[Lease.LeaseLostException] {
+        Lease.withLease(spark, root, ttlMillis = 1000) {
+          // the job runs long: the clock passes our TTL and a rival
+          // legitimately acquires the now-expired lease
+          Lease.clock = () => base + 1001
+          Lease.acquire(spark, root, "rival", ttlMillis = 60000)
+          // our pointer commit must abort BEFORE the swap, not stomp
+          // the rival's work (the lost-update the lease exists to stop)
+          Versioned.atomicOverwrite(spark,
+            new org.apache.hadoop.fs.Path(root, Versioned.Pointer),
+            "v-stale\n".getBytes("UTF-8"))
+        }
+      }
+      assert(e.getMessage.contains("outlived"))
+      // the rival's claim survives our abort (release is holder-checked)
+      assert(Lease.current(spark, root).exists(_.holder == "rival"))
+      // ...and the stale pointer was never written
+      assert(Versioned.currentVersion(spark, root).isEmpty)
+    } finally Lease.clock = () => System.currentTimeMillis()
+  }
+
+  test("commit aborts after TTL expiry even with no rival (expired claim is not ours)") {
+    val root = freshRoot()
+    val base = System.currentTimeMillis()
+    Lease.clock = () => base
+    try {
+      intercept[Lease.LeaseLostException] {
+        Lease.withLease(spark, root, ttlMillis = 1000) {
+          Lease.clock = () => base + 1001
+          Versioned.atomicOverwrite(spark,
+            new org.apache.hadoop.fs.Path(root, Versioned.Pointer),
+            "v-stale\n".getBytes("UTF-8"))
+        }
+      }
+      assert(Versioned.currentVersion(spark, root).isEmpty)
+    } finally Lease.clock = () => System.currentTimeMillis()
+  }
+
+  test("renew extends a live claim so a long job can heartbeat past the TTL") {
+    val root = freshRoot()
+    val base = System.currentTimeMillis()
+    Lease.clock = () => base
+    try {
+      Lease.withLease(spark, root, ttlMillis = 1000) {
+        Lease.clock = () => base + 800 // near expiry, still live
+        Lease.renew(spark, root, ttlMillis = 60000)
+        Lease.clock = () => base + 5000 // far past the ORIGINAL ttl
+        // commit now succeeds under the renewed claim
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v-a"))
+        Versioned.commit(spark, root, "v-a")
+      }
+      assert(Versioned.currentVersion(spark, root).contains("v-a"))
+    } finally Lease.clock = () => System.currentTimeMillis()
+  }
+
+  test("renew outside a lease scope raises; unleased roots commit freely") {
+    val root = freshRoot()
+    intercept[IllegalStateException] {
+      Lease.renew(spark, root)
+    }
+    // no lease held on this thread → verifyHeld is a no-op and plain
+    // publishes keep working exactly as before
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v-b"))
+    Versioned.commit(spark, root, "v-b")
+    assert(Versioned.currentVersion(spark, root).contains("v-b"))
+  }
+
   test("release of a lease someone else holds is a no-op") {
     val root = freshRoot()
     Lease.acquire(spark, root, "writer-a", ttlMillis = 60000)

@@ -92,7 +92,16 @@ def main() -> int:
         import glob as _glob
         import os as _os
         here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        cands = sorted(_glob.glob(_os.path.join(here, "BENCH_r*.json")))
+        import re as _re
+
+        def _round_num(p):
+            m = _re.search(r"BENCH_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        # numeric round sort, not lexicographic: BENCH_r9 < BENCH_r16
+        # (ADVICE r16 low — lexicographic picked r9 as "latest")
+        cands = sorted(_glob.glob(_os.path.join(here, "BENCH_r*.json")),
+                       key=_round_num)
         cands = [c for c in cands
                  if _os.path.realpath(c) != _os.path.realpath(args.bench)]
         if cands:

@@ -436,6 +436,44 @@ object SparkEntry {
     idx
   }
 
+  /** Build-once gate for the TITLE-field BM25 index (the multi-field
+    * fixture): the title is a derived field — the first 8 tokens of the
+    * document text — indexed under its OWN root with its own N/avgdl/df
+    * statistics, the Lucene per-field model. The body field of the
+    * multi_match pair is the plain index (ensureBm25Index), reused. */
+  private[graft] def ensureTitleBm25Index(s: SparkSession,
+      dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_title_v1_" +
+      fsTag(s, dir, "documents.parquet")
+    if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val titled = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ",
+          slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("title"))
+      TextAnalysis.writeBm25Index(titled, "doc_id", "title", idx)
+    }
+    assertFixtureSpec(s, idx, "bm25 field=title(first8tokens) no-deletes")
+    idx
+  }
+
+  /** Build-once gate for the DOC-VALUES twin of the BM25 index: same
+    * corpus and postings, plus the (lang, n_chars) sidecar — the
+    * fixture for the ES filter-context serve. */
+  private[graft] def ensureDocValsBm25Index(s: SparkSession,
+      dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_dv_v1_" +
+      fsTag(s, dir, "documents.parquet")
+    if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      TextAnalysis.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+        idx, docValueCols = Seq("lang", "n_chars"))
+    }
+    assertFixtureSpec(s, idx, "bm25 docvals=lang,n_chars no-deletes")
+    idx
+  }
+
   /** Build-once gate for the feature-hash IVF index over documents
     * (shared by doc_search_served / hybrid_rrf_served). Returns
     * (indexPath, registryKey). */
@@ -2774,6 +2812,42 @@ object SparkEntry {
       TextAnalysis.bm25BatchTopK(s, ensureBm25Index(s, dir),
         Seq((1L, "dup sort"), (2L, "table scan"), (3L, "merge batch zzz")),
         k = 5)
+    }),
+
+    // multi-field search (ES multi_match best_fields; Lucene DisMax over
+    // per-field indexes): title = the derived first-8-tokens field with
+    // ITS OWN index and statistics at title^2, body = the plain index at
+    // ^1, combiner = best field + 0.3 × the rest — all integer, so the
+    // oracle replays both field chains and the combine bit-for-bit
+    "bm25_multifield_served" -> ((s, dir) => {
+      TextAnalysis.bm25MultiFieldTopK(s,
+        Seq((ensureTitleBm25Index(s, dir), 2000L),
+          (ensureBm25Index(s, dir), 1000L)),
+        "dup sort query zzz", k = 15,
+        mode = "best_fields", tieBreaker1000 = 300L)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ...and the most_fields twin: the boosted per-field SUM (the ES
+    // "same text analyzed different ways" combiner), same two indexes
+    "bm25_multifield_most_served" -> ((s, dir) => {
+      TextAnalysis.bm25MultiFieldTopK(s,
+        Seq((ensureTitleBm25Index(s, dir), 2000L),
+          (ensureBm25Index(s, dir), 1000L)),
+        "dup sort query zzz", k = 15, mode = "most_fields")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // filtered search (ES bool filter context): the structured predicate
+    // over the index's doc-values sidecar intersects the candidates
+    // BEFORE top-k — filtered-out docs are never scored, scoring stats
+    // stay full-corpus (a filter restricts the doc set, not the
+    // statistics). The predicate pushes down to the docvals parquet
+    // scan; the corpus text is never read (plan-pinned in PlanAuditSpec)
+    "bm25_filtered_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeTopKFiltered(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "lang = 'en' AND n_chars >= 200", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
     }),
 
     // tombstone delete, the LUCENE CONTRACT made cross-engine-checkable:
@@ -5133,6 +5207,54 @@ object SparkEntry {
 
   private val Bm25TopkSql: String = bm25TopkSqlOver("documents", "")
 
+  /** One field's BM25 scoring CTE chain, suffixed so two fields can
+    * coexist in a multi-field oracle (shares the `qt` CTE). Emits
+    * `scored_<sfx>(doc_id, score)` — unlimited, the combiner tops-k. */
+  private def bm25ScoredCtes(sfx: String, docsSrc: String): String =
+    s"""toks_$sfx AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      |  FROM $docsSrc),
+      |tk_$sfx AS (SELECT doc_id, tok FROM toks_$sfx WHERE tok <> ''),
+      |lens_$sfx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk_$sfx GROUP BY doc_id),
+      |st_$sfx AS (SELECT count(*) AS n, sum(len) AS tot FROM lens_$sfx),
+      |dfc_$sfx AS (
+      |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+      |  FROM qt q LEFT JOIN tk_$sfx t ON t.tok = q.tok GROUP BY q.tok),
+      |idf_$sfx AS (
+      |  SELECT tok, ((SELECT n FROM st_$sfx) - dfc + 1) * 10000 // (dfc + 1) AS idf
+      |  FROM dfc_$sfx),
+      |tf_$sfx AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk_$sfx
+      |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+      |scored_$sfx AS (
+      |  SELECT tf.doc_id,
+      |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+      |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+      |        ((SELECT tot FROM st_$sfx) * 1000 // (SELECT n FROM st_$sfx)))) // 1000)))
+      |      AS score
+      |  FROM tf_$sfx tf JOIN idf_$sfx i USING (tok) JOIN lens_$sfx l USING (doc_id)
+      |  GROUP BY tf.doc_id)""".stripMargin
+
+  /** Multi-field oracle: title chain over the derived first-8-tokens
+    * field, body chain over the full text, integer best_fields /
+    * most_fields combine (boosts title^2, body^1; tie 0.3). */
+  private def bm25MultiFieldSql(combine: String): String =
+    s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+      |tdocs AS (
+      |  SELECT doc_id, array_to_string(
+      |    list_slice(string_split_regex(lower(trim(text)), '\\s+'), 1, 8),
+      |    ' ') AS text
+      |  FROM documents),
+      |${bm25ScoredCtes("t", "tdocs")},
+      |${bm25ScoredCtes("b", "documents")},
+      |comb AS (
+      |  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+      |    coalesce(t.score, 0) * 2000 // 1000 AS ts,
+      |    coalesce(b.score, 0) * 1000 // 1000 AS bs
+      |  FROM scored_t t FULL OUTER JOIN scored_b b ON t.doc_id = b.doc_id)
+      |SELECT doc_id, CAST($combine AS BIGINT) AS score
+      |FROM comb ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -7270,6 +7392,20 @@ object SparkEntry {
     // all recomputed from the same corpus), so the direct query's
     // oracle applies verbatim
     "bm25_served" -> Bm25TopkSql,
+
+    // best_fields: max boosted field + 0.3 × the remainder (integer)
+    "bm25_multifield_served" -> bm25MultiFieldSql(
+      "greatest(ts, bs) + ((ts + bs - greatest(ts, bs)) * 300) // 1000"),
+
+    // most_fields: the boosted per-field sum
+    "bm25_multifield_most_served" -> bm25MultiFieldSql("ts + bs"),
+
+    // filter context: tf restricted to docs passing the structured
+    // predicate; N/avgdl/df CTEs deliberately UNfiltered (stats are
+    // full-corpus — the Lucene filter contract)
+    "bm25_filtered_served" -> bm25TopkSqlOver("documents",
+      "\n  AND doc_id IN (SELECT doc_id FROM documents" +
+        " WHERE lang = 'en' AND n_chars >= 200)"),
 
     // MaxScore early termination is result-invariant by construction —
     // the full-scoring oracle applies verbatim

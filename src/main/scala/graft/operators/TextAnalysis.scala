@@ -517,9 +517,14 @@ object TextAnalysis {
    * can be swept by deleting dirs no manifest version names).
    */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
-      root: String, nBuckets: Int = 32, positions: Boolean = false): Unit = {
+      root: String, nBuckets: Int = 32, positions: Boolean = false,
+      docValueCols: Seq[String] = Nil): Unit = {
+    val dv =
+      if (docValueCols.isEmpty) None
+      else Some(df.select((col(idCol).as("doc_id") +:
+        docValueCols.map(col)): _*))
     val seg = writeBm25Segment(
-      buildPostings(df, idCol, textCol, positions), root, nBuckets)
+      buildPostings(df, idCol, textCol, positions), root, nBuckets, dv)
     commitSegments(df.sparkSession, root, seg.toSeq)
   }
 
@@ -536,7 +541,8 @@ object TextAnalysis {
       val seg = writeBm25Segment(
         buildPostings(df, idCol, textCol,
           indexHasPositions(spark, root, old)),
-        root, nBuckets)
+        root, nBuckets,
+        appendDocVals(df, idCol, indexDocValueCols(spark, root, old)))
       commitSegments(spark, root, old ++ seg.toSeq, fence,
         deletedBm25Docs(spark, root).toSeq,
         deadBm25TermCorrections(spark, root))
@@ -552,6 +558,36 @@ object TextAnalysis {
     segs.headOption.exists(sg =>
       graft.sinks.MergeTable.read(spark, s"$root/segs/$sg/postings")
         .schema.fieldNames.contains("positions"))
+
+  /** The doc-values columns of an existing index (None when the base
+    * carries no docvals sidecar) — from the first live segment's schema,
+    * no data scan. Appends must match the base layout, same contract as
+    * [[indexHasPositions]]. */
+  private def indexDocValueCols(spark: SparkSession, root: String,
+      segs: Seq[String]): Option[Seq[String]] =
+    segs.headOption.flatMap { sg =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/segs/$sg/docvals")
+      if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        None
+      else Some(graft.sinks.MergeTable
+        .read(spark, s"$root/segs/$sg/docvals")
+        .schema.fieldNames.toSeq.filterNot(_ == "doc_id"))
+    }
+
+  /** Build the docvals frame an append must carry when the base index
+    * has the sidecar: the batch df must hold every doc-values column
+    * (loud failure otherwise — a half-sidecar'd index would silently
+    * drop the new docs from every filtered serve). */
+  private def appendDocVals(df: DataFrame, idCol: String,
+      dvCols: Option[Seq[String]]): Option[DataFrame] =
+    dvCols.map { cols =>
+      val missing = cols.filterNot(df.schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"index has doc-values columns ${cols.mkString(",")} but the " +
+          s"append batch lacks ${missing.mkString(",")} — filtered " +
+          "serves would silently miss the appended docs")
+      df.select((col(idCol).as("doc_id") +: cols.map(col)): _*)
+    }
 
   /** Exactly-once streaming append (the appendToIvfIndexExactlyOnce
     * design applied to the lexical index): the highest applied batch id
@@ -573,7 +609,8 @@ object TextAnalysis {
         val seg = writeBm25Segment(
           buildPostings(df, idCol, textCol,
             indexHasPositions(spark, root, old)),
-          root, nBuckets)
+          root, nBuckets,
+          appendDocVals(df, idCol, indexDocValueCols(spark, root, old)))
         // An empty batch still advances the fence (segments unchanged):
         // the exactly-once invariant is "highest APPLIED batch id", and
         // an all-whitespace batch is applied by having nothing to add —
@@ -648,7 +685,17 @@ object TextAnalysis {
       val survivors =
         if (dead.isEmpty) union
         else union.filter(!col("doc_id").isin(dead.toSeq: _*))
-      val seg = writeBm25Segment(survivors, root, nBuckets)
+      // the docvals sidecar compacts with the postings: union the live
+      // segments' sidecars, drop tombstoned docs, republish under the
+      // merged segment — filtered serves stay exact across the merge
+      val dv = indexDocValueCols(spark, root, old).map { _ =>
+        val u = old.map(sg =>
+          MergeTable.read(spark, s"$root/segs/$sg/docvals"))
+          .reduce(_.unionByName(_))
+        if (dead.isEmpty) u
+        else u.filter(!col("doc_id").isin(dead.toSeq: _*))
+      }
+      val seg = writeBm25Segment(survivors, root, nBuckets, dv)
       // deletes deliberately NOT carried: the merged segment holds only
       // survivors and its stats row is exact again — the Lucene merge.
       // A fully-tombstoned index compacts to an EMPTY segment list (the
@@ -1924,7 +1971,7 @@ object TextAnalysis {
     * and stranding an orphan dir (ADVICE r14). Emptiness is checked
     * FIRST, so the skip is side-effect-free. */
   private def writeBm25Segment(postings: DataFrame, root: String,
-      nBuckets: Int): Option[String] = {
+      nBuckets: Int, docVals: Option[DataFrame] = None): Option[String] = {
     import graft.sinks.MergeTable
     val spark = postings.sparkSession
     import spark.implicits._
@@ -1969,6 +2016,12 @@ object TextAnalysis {
           col("occ"))
       MergeTable.publishRange(revStats, s"$root/segs/$seg/terms_rev", "rtok",
         nParts = math.max(1, nBuckets / 4))
+      // docvals = the per-doc STRUCTURED attributes sidecar (Lucene doc
+      // values): columnar, doc_id-keyed, read ONLY by filtered serves —
+      // a filter's predicate pushes down to this table's parquet scan
+      // (filter columns + doc_id), never to the corpus or the postings.
+      docVals.foreach(dv => MergeTable.publish(dv,
+        s"$root/segs/$seg/docvals", "doc_id", math.max(1, nBuckets / 4)))
       Some(seg)
     } finally cached.unpersist()
   }
@@ -2156,18 +2209,38 @@ object TextAnalysis {
    */
   def bm25ServeTopK(spark: SparkSession, root: String,
       queryText: String, k: Int, asOf: Option[String] = None): DataFrame = {
-    import graft.sinks.MergeTable
     import spark.implicits._
     val terms = queryText.toLowerCase.trim.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
+    bm25ScoreFrame(spark, root, terms, asOf)
+      .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * The per-doc integer score frame one field index contributes — the
+   * exact (doc_id, score) relation [[bm25ServeTopK]] tops-k over,
+   * factored out so multi-field and filtered serves can reuse it. None
+   * on an empty manifest. `candidateFilter` (the ES `filter` context)
+   * semi-joins the candidates BEFORE the scoring aggregate: docs that
+   * fail the structured predicate are never scored, while N/avg/df stay
+   * full-corpus — scoring statistics are NOT conditioned on the filter,
+   * exactly Lucene's behavior (a filter restricts the doc set, not the
+   * term statistics).
+   */
+  private[graft] def bm25ScoreFrame(spark: SparkSession, root: String,
+      terms: Seq[String], asOf: Option[String] = None,
+      candidateFilter: Option[DataFrame] = None): Option[DataFrame] = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
     // AS-OF serve: the segments manifest is a versioned pointer and
     // segments are immutable, so serving an older retained version is
     // just reading its segment list (and ITS tombstone set) — index
     // time travel for free, same as MergeTable.readVersion
     val segs = liveSegmentsWithFence(spark, root, asOf)._1
-    if (segs.isEmpty) // empty manifest (all docs compacted away)
-      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    if (segs.isEmpty) return None // empty manifest (all compacted away)
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
     val tRows = segs.flatMap(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
@@ -2192,16 +2265,120 @@ object TextAnalysis {
     val alive =
       if (dead.isEmpty) postings
       else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
-    alive
+    // filter context: the predicate joins the CANDIDATE set (the query
+    // terms' postings), never the corpus — and it lands before the
+    // aggregate, so filtered-out docs contribute no scoring rows
+    val filtered = candidateFilter match {
+      case None => alive
+      case Some(pass) =>
+        alive.join(pass.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+    Some(filtered
       .join(broadcast(idf), "tok")
       .withColumn("norm1000",
         lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
       .withColumn("w",
         expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("idf") * col("w")).as("score"))
+      .agg(sum(col("idf") * col("w")).as("score")))
+  }
+
+  /** The index's doc-values sidecar as one relation (all live segments
+    * unioned) — raises when the index was built without `docValueCols`.
+    * Filtered serves scan it with the structured predicate pushed down
+    * to parquet; nothing else ever reads it. */
+  def bm25DocValues(spark: SparkSession, root: String,
+      asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    require(segs.nonEmpty, s"$root: empty index has no doc values")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    segs.foreach(sg => require(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/segs/$sg/docvals")),
+      s"$root/segs/$sg has no docvals sidecar — build the index with " +
+        "docValueCols to use filtered serves"))
+    segs.map(sg => MergeTable.read(spark, s"$root/segs/$sg/docvals"))
+      .reduce(_.unionByName(_))
+  }
+
+  /**
+   * Filtered BM25 top-k — the ES bool-query `filter` context: the
+   * structured predicate (a SQL expression over the index's doc-values
+   * columns) intersects the scored CANDIDATE set before top-k, and
+   * filtered-out docs are never scored (the semi-join lands before the
+   * scoring aggregate, so their postings rows exit the plan before the
+   * per-doc shuffle). Scoring statistics (N, avgdl, df) stay
+   * full-corpus — a filter restricts the doc set, not the term
+   * statistics, exactly Lucene's contract. The predicate itself pushes
+   * down to the docvals parquet scan: cost ∝ docvals (doc_id + filter
+   * columns, columnar), never a corpus-text read.
+   */
+  def bm25ServeTopKFiltered(spark: SparkSession, root: String,
+      queryText: String, filterSql: String, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    require(filterSql.trim.nonEmpty, "empty filter — use bm25ServeTopK")
+    val pass = bm25DocValues(spark, root, asOf).filter(expr(filterSql))
+    bm25ScoreFrame(spark, root, terms, asOf, candidateFilter = Some(pass))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /**
+   * Multi-field BM25 top-k — the ES `multi_match` pair over PER-FIELD
+   * indexes (the Lucene model: each field is its own inverted index
+   * with its own N/avgdl/df statistics, built by pointing
+   * [[writeBm25Index]] at that field's column). `fields` maps each
+   * field's index root to its query-time boost in thousandths
+   * (boost1000 = 2000 ⇒ `field^2`).
+   *
+   *  - `best_fields` (ES default; Lucene DisMaxQuery): per doc, the
+   *    best single field's boosted score, plus `tieBreaker1000`/1000
+   *    times the other fields' sum — tie_breaker = 0 is pure max,
+   *    1000 degenerates to most_fields.
+   *  - `most_fields`: the sum of the per-field boosted scores.
+   *
+   * All integer arithmetic (boosted = score·boost1000 div 1000), so the
+   * SQL oracle replays bit-for-bit. A single entry with boost 1000
+   * degenerates to [[bm25ServeTopK]] exactly (spec-pinned). Scale shape:
+   * each per-field frame is the standard candidates-only scoring plan;
+   * the combiner is one groupBy over ≤ Σ_field |candidates| rows — no
+   * corpus scan, no cross join, broadcast-friendly idf joins throughout.
+   */
+  def bm25MultiFieldTopK(spark: SparkSession,
+      fields: Seq[(String, Long)], queryText: String, k: Int,
+      mode: String = "best_fields", tieBreaker1000: Long = 0L,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(fields.nonEmpty, "no fields")
+    require(mode == "best_fields" || mode == "most_fields",
+      s"unknown multi_match mode '$mode'")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val frames = fields.flatMap { case (root, boost1000) =>
+      bm25ScoreFrame(spark, root, terms, asOf).map(_.select(col("doc_id"),
+        expr(s"(score * $boost1000) div 1000").as("fscore")))
+    }
+    if (frames.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val perField = frames.reduce(_.unionByName(_))
+    val combined = mode match {
+      case "most_fields" =>
+        perField.groupBy(col("doc_id"))
+          .agg(sum(col("fscore")).as("score"))
+      case "best_fields" =>
+        perField.groupBy(col("doc_id"))
+          .agg(max(col("fscore")).as("best"), sum(col("fscore")).as("tot"))
+          .select(col("doc_id"), (col("best") +
+            expr(s"((tot - best) * $tieBreaker1000) div 1000")).as("score"))
+    }
+    combined.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
   /** What a MaxScore serve actually did — read via [[lastMaxScoreAudit]]

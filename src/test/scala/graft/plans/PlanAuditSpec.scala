@@ -567,4 +567,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!df.inputFiles.exists(_.contains("/postings/")),
       "tombstoned wildcard count read postings — dictionary path lost")
   }
+
+  test("bm25_filtered_served: the filter joins the candidate set via docvals, never the corpus") {
+    val df = SparkEntry.queries("bm25_filtered_served")(spark, sfDir)
+    // the structured predicate reads the doc-values sidecar only — the
+    // corpus parquet (documents.parquet) must be absent from the scan set
+    assert(df.inputFiles.exists(_.contains("/docvals/")),
+      "filter must read the docvals sidecar")
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "filtered serve scanned the CORPUS — the filter context must stay " +
+        "on the index")
+    // the semi-join intersects candidates BEFORE the scoring aggregate
+    // (optimizedPlan prints top-down: Aggregate above the LeftSemi)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val semiAt = opt.indexOf("LeftSemi")
+    val aggAt = opt.indexOf("Aggregate")
+    assert(semiAt >= 0 && aggAt >= 0 && aggAt < semiAt,
+      s"filtered-out docs must never reach the scoring aggregate:\n$opt")
+    // and the predicate pushes down to the docvals parquet scan
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters: [IsNotNull(lang)"),
+      "docvals predicate must push to the parquet scan")
+  }
+
+  test("bm25_multifield_served: per-field frames broadcast idf; combiner adds one exchange, no corpus scan") {
+    val df = SparkEntry.queries("bm25_multifield_served")(spark, sfDir)
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "multi-field serve must read only the two field indexes")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "idf joins must broadcast (bounded query-term side)")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "no cross-field cartesian")
+  }
 }

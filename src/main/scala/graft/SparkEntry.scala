@@ -1803,6 +1803,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // graph ANN: per-segment deterministic HNSW (the Lucene model —
+    // independent graphs per segment, searched in parallel, merged).
+    // Construction is deterministic (hash-derived levels, id-ordered
+    // inserts, (dist,id) tie-breaks) so the serve is a pure function of
+    // the data, but the greedy walk is not SQL-replayable — oracle-
+    // exempt like the recall tables: HnswSpec pins determinism +
+    // recall ≥ 0.9 vs brute force; BASELINE.md r17 holds the measured
+    // recall-per-probe-cost frontier vs IVF.
+    "ann_hnsw_served" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val marker = new org.apache.hadoop.fs.Path(idx,
+        graft.operators.Hnsw.ReadyMarker)
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(marker))
+        graft.operators.Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
+          idx, m = 8, efConstruction = 64, nSegments = 8)
+      assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=8")
+      graft.operators.Hnsw.hnswTopK(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, efSearch = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF ANN with a TRAINED coarse quantizer: deterministic integer
     // Lloyd k-means (3 iterations, int8 space — every distance and mean
     // an exact int64, so training itself replays in the oracle); queries
@@ -5296,6 +5321,17 @@ object SparkEntry {
       |  FROM scored_t t FULL OUTER JOIN scored_b b ON t.doc_id = b.doc_id)
       |SELECT doc_id, CAST($combine AS BIGINT) AS score
       |FROM comb ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  /** Queries with NO SQL oracle, each for a stated structural reason —
+    * the driver records a rows-only check for these and their
+    * correctness lives in specs instead. Keep this set tiny and justify
+    * every member:
+    *  - ann_hnsw_served: the HNSW greedy graph walk is deterministic
+    *    (hash levels, id-ordered inserts, (dist,id) tie-breaks) but not
+    *    SQL-replayable; HnswSpec pins bit-identical construction,
+    *    recall ≥ 0.9 vs exact brute force, exact self-retrieval and the
+    *    ready-marker fence. */
+  val OracleExempt: Set[String] = Set("ann_hnsw_served")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,0 +1,314 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph-based ANN: HNSW (Malkov & Yashunin 2016), distributed the way
+ * Lucene distributes it — PER-SEGMENT GRAPHS. A monolithic HNSW is a
+ * pointer-chasing structure a shared-nothing batch engine cannot build
+ * or walk efficiently; Lucene's answer (and ours) is independent graphs
+ * per segment: construction is an embarrassingly-parallel
+ * `groupByKey(segment).flatMapGroups` (each task builds its segment's
+ * graph in memory), and a serve walks EVERY segment's graph in parallel
+ * and merges the per-segment top-k — cost ∝ segments · ef · log n,
+ * independent of corpus size per task, with the per-segment memory
+ * bound (`nSegments` sizes a segment to executor memory) as the
+ * explicit 100-TB knob.
+ *
+ * DETERMINISTIC CONSTRUCTION (the spec-verifiability requirement): the
+ * paper's level draw `⌊−ln(U)·mL⌋, U ~ uniform(0,1]` replaces U with a
+ * hash of the vector id, insertion order is ascending id, and every
+ * heap/selection tie breaks on (distance, id) — so two builds of the
+ * same corpus produce identical graphs bit-for-bit (HnswSpec pins it),
+ * and the serve's output is a pure function of the data.
+ *
+ * Distance is cosine (float dot / norms, norms precomputed). Results
+ * are approximate BY DESIGN — correctness is recall-pinned against the
+ * exact brute force in HnswSpec (oracle-exempt, like the recall
+ * tables), the driver row is rows-only checked.
+ */
+object Hnsw {
+  val ReadyMarker = "_hnsw_ready"
+
+  /** One persisted node: its segment, vector, top level and the FULL
+    * adjacency (per-level neighbor ids) — the graph reloads from this
+    * one table with a single groupByKey(seg), no edge join. */
+  final case class Node(seg: Int, vec_id: Long, level: Int,
+      vec: Array[Float], nbrs: Array[Edge])
+  final case class Edge(lvl: Int, dst: Long)
+
+  // ---------------------------------------------------------------
+  // In-memory per-segment graph (executor-side; bounded by segment)
+  // ---------------------------------------------------------------
+
+  private def levelOf(id: Long, mL: Double): Int = {
+    // deterministic stand-in for the RNG draw: 20 hash bits → U ∈ (0,1]
+    val h = scala.util.hashing.byteswap64(id)
+    val u = ((h & 0xFFFFFL) + 1).toDouble / (1 << 20).toDouble
+    math.floor(-math.log(u) * mL).toInt
+  }
+
+  private[graft] final class Graph(val m: Int) {
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    val norms = mutable.ArrayBuffer.empty[Double]
+    val levels = mutable.ArrayBuffer.empty[Int]
+    /** adjacency(node)(level) = neighbor node indexes */
+    val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    var entry: Int = -1
+    var maxLevel: Int = -1
+    var distEvals: Long = 0L
+
+    private def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    /** negative cosine — smaller is closer; zero-norm vectors sit at
+      * distance 0 from everything (they tie, ids break the tie). */
+    def dist(q: Array[Float], qNorm: Double, node: Int): Double = {
+      distEvals += 1
+      val v = vecs(node)
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += q(i).toDouble * v(i); i += 1 }
+      val d = qNorm * norms(node)
+      if (d == 0.0) 0.0 else -s / d
+    }
+
+    def addNode(id: Long, vec: Array[Float], level: Int): Int = {
+      ids += id; vecs += vec; norms += norm(vec); levels += level
+      adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      ids.length - 1
+    }
+
+    /** best-first search at one layer — the paper's SEARCH-LAYER with
+      * (dist, id) tie-breaks for determinism. Returns the ef closest
+      * as a sorted array of (dist, node). */
+    def searchLayer(q: Array[Float], qNorm: Double, eps: Seq[(Double, Int)],
+        ef: Int, lc: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      implicit val ord: Ordering[(Double, Int)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val visited = mutable.HashSet.empty[Int]
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
+      eps.foreach { case (d, n) =>
+        if (visited.add(n)) { cand.enqueue((d, n)); res.enqueue((d, n)) }
+      }
+      while (res.size > ef) res.dequeue()
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        if (cd > res.head._1 && res.size >= ef) {
+          cand.clear() // every remaining candidate is at least as far
+        } else {
+          val ns = adj(c)(lc)
+          var i = 0
+          while (i < ns.length) {
+            val n = ns(i)
+            if (visited.add(n)) {
+              val d = dist(q, qNorm, n)
+              // admit when there is room or it beats the current worst
+              // ((dist, node) order keeps ties deterministic)
+              if (res.size < ef || ord.lt((d, n), res.head)) {
+                cand.enqueue((d, n)); res.enqueue((d, n))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      out ++= res.dequeueAll.reverse // ascending distance
+      out
+    }
+
+    private def qNormOf(q: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < q.length) { s += q(i).toDouble * q(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    def insert(id: Long, vec: Array[Float], mL: Double,
+        efConstruction: Int): Unit = {
+      val lvl = levelOf(id, mL)
+      val node = addNode(id, vec, lvl)
+      if (entry < 0) { entry = node; maxLevel = lvl; return }
+      val qn = norms(node)
+      var eps = Seq((dist(vec, qn, entry), entry))
+      var lc = maxLevel
+      while (lc > lvl) { // greedy descent above the node's top level
+        eps = Seq(searchLayer(vec, qn, eps, 1, lc).head)
+        lc -= 1
+      }
+      while (lc >= 0) {
+        val w = searchLayer(vec, qn, eps, efConstruction, lc)
+        val mmax = if (lc == 0) 2 * m else m
+        val selected = w.take(m)
+        selected.foreach { case (d, n) =>
+          adj(node)(lc) += n
+          adj(n)(lc) += node
+          if (adj(n)(lc).length > mmax) prune(n, lc, mmax)
+        }
+        eps = w.toSeq
+        lc -= 1
+      }
+      if (lvl > maxLevel) { entry = node; maxLevel = lvl }
+    }
+
+    /** keep the mmax closest neighbors (deterministic (dist, id) order) */
+    private def prune(node: Int, lc: Int, mmax: Int): Unit = {
+      val v = vecs(node); val vn = norms(node)
+      val kept = adj(node)(lc)
+        .map(n => ((dist(v, vn, n), ids(n)), n))
+        .sortBy(_._1)
+        .take(mmax)
+        .map(_._2)
+      adj(node)(lc) = mutable.ArrayBuffer(kept.toSeq: _*)
+    }
+
+    /** top-k by cosine for one query; returns (id, cosine) descending
+      * plus the distance-eval count this search cost. */
+    def search(q: Array[Float], k: Int,
+        efSearch: Int): (Seq[(Long, Double)], Long) = {
+      if (entry < 0) return (Seq.empty, 0L)
+      val before = distEvals
+      val qn = qNormOf(q)
+      var eps = Seq((dist(q, qn, entry), entry))
+      var lc = maxLevel
+      while (lc > 0) {
+        eps = Seq(searchLayer(q, qn, eps, 1, lc).head)
+        lc -= 1
+      }
+      val w = searchLayer(q, qn, eps, math.max(efSearch, k), 0)
+      val out = w.take(k).map { case (d, n) => (ids(n), -d) }.toSeq
+      (out, distEvals - before)
+    }
+  }
+
+  private[graft] def buildGraph(items: Seq[(Long, Array[Float])], m: Int,
+      efConstruction: Int): Graph = {
+    val g = new Graph(m)
+    val mL = 1.0 / math.log(m.toDouble)
+    // ascending-id insertion: the deterministic replacement for the
+    // paper's arbitrary arrival order
+    items.sortBy(_._1).foreach { case (id, v) =>
+      g.insert(id, v, mL, efConstruction)
+    }
+    g
+  }
+
+  // ---------------------------------------------------------------
+  // Distributed build / serve
+  // ---------------------------------------------------------------
+
+  /**
+   * Build the per-segment HNSW index: vectors partition by
+   * `vec_id % nSegments`, each segment's graph builds in ONE task's
+   * memory (size segments to executors — the knob), and the whole graph
+   * persists as a single nodes-with-adjacency parquet. Ready marker
+   * written last (the crash fence: a serve refuses a half-written
+   * index).
+   */
+  def buildHnswIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, efConstruction: Int = 64,
+      nSegments: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("vec"))
+      .withColumn("seg", pmod(col("vec_id"), lit(nSegments)).cast("int"))
+      .as[(Long, Array[Float], Int)]
+    val nodes = items.groupByKey(_._3).flatMapGroups { (seg, it) =>
+      val g = buildGraph(it.map(r => (r._1, r._2)).toSeq, m, efConstruction)
+      g.ids.indices.iterator.map { n =>
+        val nbrs = g.adj(n).zipWithIndex.flatMap { case (ns, lvl) =>
+          ns.map(x => Edge(lvl, g.ids(x)))
+        }.toArray
+        Node(seg, g.ids(n), g.levels(n), g.vecs(n), nbrs)
+      }
+    }
+    nodes.write.mode("overwrite").parquet(s"$path/nodes")
+    val marker = new org.apache.hadoop.fs.Path(path, ReadyMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(marker, true).close()
+  }
+
+  /** Rebuild one segment's graph from its persisted nodes (adjacency
+    * stored, so no insertion replay — load is O(nodes + edges)). Entry
+    * point re-derives deterministically: max level, ties to min id. */
+  private def reload(rows: Seq[Node], m: Int): Graph = {
+    val g = new Graph(m)
+    val sorted = rows.sortBy(_.vec_id)
+    val idx = sorted.zipWithIndex.map { case (r, i) => r.vec_id -> i }.toMap
+    sorted.foreach(r => g.addNode(r.vec_id, r.vec, r.level))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      r.nbrs.foreach(e => g.adj(i)(e.lvl) += idx(e.dst))
+    }
+    if (sorted.nonEmpty) {
+      val (best, bi) = sorted.zipWithIndex
+        .map { case (r, i) => ((-r.level, r.vec_id), i) }.min
+      g.entry = bi
+      g.maxLevel = -best._1
+    }
+    g
+  }
+
+  /**
+   * Serve top-k over every segment graph: queries are a bounded batch
+   * (collected + broadcast — the probe contract every ANN serve here
+   * shares), each segment searches them against its own graph in one
+   * task, and the global top-k per query merges the ≤ segments·k
+   * candidates through a rank window. Output (query_id, vec_id, rank,
+   * cos1e6) — integer cosine, the repo-wide convention.
+   */
+  def hnswTopK(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, efSearch: Int = 64,
+      m: Int = 8): DataFrame = {
+    import spark.implicits._
+    val marker = new org.apache.hadoop.fs.Path(path, ReadyMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(marker),
+      s"$path is not a committed HNSW index (missing $ReadyMarker)")
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val bq = spark.sparkContext.broadcast(qs)
+    val nodes = spark.read.parquet(s"$path/nodes").as[Node]
+    val cands = nodes.groupByKey(_.seg).flatMapGroups { (_, it) =>
+      val g = reload(it.toSeq, m)
+      bq.value.iterator.flatMap { case (qid, qv) =>
+        g.search(qv, k, efSearch)._1.map { case (id, cos) =>
+          (qid, id, math.round(cos * 1e6))
+        }
+      }
+    }.toDF("query_id", "vec_id", "cos1e6")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos1e6").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos1e6"))
+  }
+
+  /** Per-(query, segment) distance-evaluation counts for the SAME walk
+    * the serve takes — the probe-cost side of the recall-vs-cost
+    * comparison against IVF (BASELINE.md r17). */
+  def hnswSearchStats(spark: SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      efSearch: Int = 64, m: Int = 8): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val bq = spark.sparkContext.broadcast(qs)
+    val nodes = spark.read.parquet(s"$path/nodes").as[Node]
+    nodes.groupByKey(_.seg).flatMapGroups { (seg, it) =>
+      val g = reload(it.toSeq, m)
+      bq.value.iterator.map { case (qid, qv) =>
+        (qid, seg, g.search(qv, k, efSearch)._2)
+      }
+    }.toDF("query_id", "seg", "dist_evals")
+  }
+}

@@ -10,7 +10,13 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
   test("every query has a DuckDB oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q diff o).isEmpty, s"queries missing oracles: ${(q diff o).toSeq.sorted}")
+    // the exempt set is EXPLICIT and must stay tiny: each member is a
+    // non-SQL-replayable algorithm whose correctness is spec-pinned
+    // instead (ann_hnsw_served: deterministic construction + recall
+    // bounds in HnswSpec — the greedy graph walk has no SQL replay)
+    assert((q diff o) == SparkEntry.OracleExempt,
+      s"queries missing oracles beyond the exempt set: " +
+        s"${(q diff o diff SparkEntry.OracleExempt).toSeq.sorted}")
     assert((o diff q).isEmpty, s"oracles without queries: ${(o diff q).toSeq.sorted}")
   }
 

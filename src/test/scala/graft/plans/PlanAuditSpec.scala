@@ -550,13 +550,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
-  test("search_response: rank-then-decorate — hits broadcast into the page joins") {
+  test("search_response: page decorate is a point lookup — ids pushed to the corpus scan") {
     val p = plan("search_response")
+    // r17 shape: the bounded page collects once and its ids push down to
+    // the documents scan as an In filter (row-group zone-map pruning),
+    // so the decorate/snippet stages read ~one row group per hit at any
+    // corpus size — the flat-per-page contract (BASELINE.md r17)
+    assert(p.contains("PushedFilters: [In(doc_id"),
+      "page ids must push into the corpus parquet scan")
     assert(p.contains("BroadcastHashJoin"),
       "the 10-hit page must broadcast into the decoration joins")
     assert(!p.contains("CartesianProduct"), "accidental cartesian")
-    assert(p.contains("TakeOrderedAndProject"),
-      "the ranking probe must stay a fused top-k")
   }
 
   test("prefix_search_deleted: corrections join broadcasts; no postings scan in the plan") {

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sinks.Versioned
+import graft.sinks.{Lease, Versioned}
 
 /**
  * Incremental rollup maintenance — the OLAP twin of the ANN index's
@@ -53,10 +53,19 @@ object Rollup {
 
   /** Fold one batch into the live rollup: aggregate the batch at the
     * grain, merge by key (counts and sums add), publish as the next
-    * version. Never reads any fact row outside `batch`. */
+    * version. Never reads any fact row outside `batch`.
+    *
+    * MAINTENANCE WRITE (lease audit, VERDICT r16 #7): every refresh is a
+    * read-live → merge → publish; two unserialized refreshes both read
+    * v_n and one batch's fold is silently lost. The whole family
+    * (refresh / refreshExactlyOnce / refreshDeltaExactlyOnce /
+    * refreshState) therefore runs under the root's maintenance lease —
+    * the batch-id fence only dedups REPLAYS of one stream, it cannot
+    * serialize two distinct writers. */
   def refresh(batch: DataFrame, dims: Seq[String], sums: Seq[String],
-      root: String): String =
+      root: String): String = Lease.withLease(batch.sparkSession, root) {
     Versioned.writeVersioned(mergedFrame(batch, dims, sums, root), root)
+  }
 
   /** Read the live rollup. */
   def serve(spark: SparkSession, root: String): DataFrame =
@@ -88,6 +97,8 @@ object Rollup {
   def refreshExactlyOnce(batch: DataFrame, dims: Seq[String],
       sums: Seq[String], root: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
+    Lease.withLease(spark, root) {
+    // fence check under the lease (see refresh's contract note)
     if (lastBatchId(spark, root).exists(_ >= batchId)) false
     else {
       val frame = mergedFrame(batch, dims, sums, root)
@@ -99,6 +110,7 @@ object Rollup {
         try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
       }
       true
+    }
     }
   }
 
@@ -124,6 +136,8 @@ object Rollup {
   def refreshDeltaExactlyOnce(delta: DataFrame, dims: Seq[String],
       sums: Seq[String], root: String, batchId: Long): Boolean = {
     val spark = delta.sparkSession
+    Lease.withLease(spark, root) {
+    // fence check under the lease (see refresh's contract note)
     if (lastBatchId(spark, root).exists(_ >= batchId)) false
     else {
       val frame = Versioned.read(spark, root)
@@ -140,6 +154,7 @@ object Rollup {
         try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
       }
       true
+    }
     }
   }
 
@@ -168,11 +183,13 @@ object Rollup {
     require(extra.isEmpty,
       s"state columns $extra have no merge aggregate — a refresh would drop them")
     val spark = batchState.sparkSession
-    val aggs = merges.map { case (name, f) => f(col(name)).as(name) }
-    val merged = Versioned.read(spark, root)
-      .unionByName(batchState)
-      .groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-    Versioned.writeVersioned(merged, root)
+    Lease.withLease(spark, root) {
+      val aggs = merges.map { case (name, f) => f(col(name)).as(name) }
+      val merged = Versioned.read(spark, root)
+        .unionByName(batchState)
+        .groupBy(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      Versioned.writeVersioned(merged, root)
+    }
   }
 }

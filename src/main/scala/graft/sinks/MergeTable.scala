@@ -262,6 +262,16 @@ object MergeTable {
   /**
    * First publish of a keyed table: bucket the rows, land the data files,
    * commit version 1's manifest. Returns the version name.
+   *
+   * CONCURRENCY CONTRACT (lease audit, VERDICT r16 #7): first publishes
+   * are SINGLE-CREATOR by contract and deliberately unleased — there is
+   * no prior state to lose, and leasing here would double-pay on every
+   * BM25 segment publish (each lands in a fresh UUID dir under the
+   * parent index's lease, which already serializes same-index writers).
+   * The files-snapshot diff below does mean two creators racing ONE root
+   * could cross-attribute data files — that is the single-creator
+   * contract's boundary, not a supported mode; mutation after creation
+   * goes through merge/rebucket/vacuumData, which are leased.
    */
   def publish(df: DataFrame, root: String, keyCol: String,
       nBuckets: Int = 64): String = {
@@ -780,7 +790,14 @@ object MergeTable {
    * keeps reading exactly as published (that is the time-travel
    * contract). Returns the deleted rel paths.
    */
-  def vacuumData(spark: SparkSession, root: String): Seq[String] = {
+  def vacuumData(spark: SparkSession, root: String): Seq[String] =
+      Lease.withLease(spark, root) {
+    // MAINTENANCE WRITE (lease audit, VERDICT r16 #7): an in-flight
+    // merge lands its data files BEFORE the manifest commit; an
+    // unserialized vacuum would read that window as "unreferenced",
+    // delete the about-to-be-committed files, and let the merge publish
+    // a manifest naming missing files — the vacuumBm25Orphans hazard,
+    // closed the same way.
     val referenced: Set[String] = Versioned.listVersions(spark, root)
       .map(_._1).flatMap(v => readManifest(spark, root, v).files.map(_._2)).toSet
     val dataP = new Path(root, "data")
@@ -793,5 +810,5 @@ object MergeTable {
             s"vacuumData: could not delete unreferenced file $rel")
         rel
       }
-  }
+    }
 }

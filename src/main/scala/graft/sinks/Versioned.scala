@@ -334,7 +334,15 @@ object Versioned {
 
   /** Write a new version via `write(versionDir)` and commit it. Returns
     * the version name. A crash (or exception) before the commit leaves
-    * the old version live and the fresh dir orphaned for `vacuum`. */
+    * the old version live and the fresh dir orphaned for `vacuum`.
+    *
+    * CONCURRENCY (lease audit, VERDICT r16 #7): this primitive does not
+    * acquire the lease itself — callers that READ prior state before
+    * publishing (merge, compact, rollup refresh, index maintenance) hold
+    * the root's maintenance lease around the whole read-modify-publish,
+    * and the commit inside re-validates that claim via the
+    * [[atomicOverwrite]] seam. First publishes (no prior state to lose)
+    * are single-creator by contract and run unleased. */
   def publish(spark: SparkSession, root: String)(
       write: String => Unit): String = {
     val version = s"v-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -355,7 +363,11 @@ object Versioned {
    * free, and the crash story is the pointer's.
    */
   def compact(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Compactor.CompactResult = {
+      targetBytes: Long = 128L * 1024 * 1024): Compactor.CompactResult =
+      Lease.withLease(spark, root) {
+    // MAINTENANCE WRITE (lease audit, VERDICT r16 #7): read-live →
+    // rewrite → commit. Racing another maintenance writer without the
+    // lease is the lost-update shape the lease exists for.
     val live = resolve(spark, root)
     val fs = fsOf(spark, new Path(root))
     def files(dir: String) = {
@@ -371,15 +383,17 @@ object Versioned {
     val bytes = before.map(fs.getFileStatus(_).getLen).sum
     val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     if (before.size <= targetFiles) {
+      // no `return`: the body now runs inside the lease scope
       val rows = spark.read.parquet(live).count()
-      return Compactor.CompactResult(before.size, before.size, bytes, rows)
+      Compactor.CompactResult(before.size, before.size, bytes, rows)
+    } else {
+      val v = publish(spark, root) { dir =>
+        spark.read.parquet(live).repartition(targetFiles).write.parquet(dir)
+      }
+      val after = files(s"$root/$v")
+      Compactor.CompactResult(before.size, after.size, bytes,
+        spark.read.parquet(s"$root/$v").count())
     }
-    val v = publish(spark, root) { dir =>
-      spark.read.parquet(live).repartition(targetFiles).write.parquet(dir)
-    }
-    val after = files(s"$root/$v")
-    Compactor.CompactResult(before.size, after.size, bytes,
-      spark.read.parquet(s"$root/$v").count())
   }
 
   /** Name of the declarative retention-policy file beside `_current`. */
@@ -430,10 +444,16 @@ object Versioned {
     * layout itself never deletes at commit time. */
   def vacuum(spark: SparkSession, root: String,
       keep: Set[String] = Set.empty): Seq[String] = {
-    val live = currentVersion(spark, root)
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     if (!fs.exists(rootP)) return Seq.empty
+    // MAINTENANCE WRITE (lease audit, VERDICT r16 #7): the delete set
+    // derives from a pointer + marker read — racing a concurrent commit
+    // could sweep a version the rival is about to re-point at. The
+    // existence pre-check stays OUTSIDE the lease (a vacuum of a
+    // never-published root must not materialize a lease file there).
+    Lease.withLease(spark, root) {
+    val live = currentVersion(spark, root)
     val policy = retention(spark, root)
     val committed = listVersions(spark, root) // newest first, committed only
     val inHorizon: Set[String] = policy.fold(Set.empty[String]) { p =>
@@ -448,6 +468,7 @@ object Versioned {
       .filterNot(p => live.contains(p.getName) || keep.contains(p.getName) ||
         inHorizon.contains(p.getName))
       .map { p => fs.delete(p, true); p.getName }
+    }
   }
 
   /** AS-OF read with the horizon in the failure mode: resolves the

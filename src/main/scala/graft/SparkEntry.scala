@@ -1859,9 +1859,35 @@ object SparkEntry {
       if (!markerFs.exists(marker))
         Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
           indexKey = embCorpusKey(s, dir))
+      assertFixtureSpec(s, idx, "ivf plain no-pq no-deletes")
       Similarity.ivfTopKServed(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
         indexKey = embCorpusKey(s, dir))
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // filtered vector search (the ES knn + filter shape, round 17): the
+    // structured predicate (label % 2 = 0 over the embeddings metadata)
+    // restricts the CANDIDATE side of the same materialized IVF index —
+    // cell assignment, probes and cosine ranking unchanged, the
+    // semi-join lands before the rank window so filtered-out vectors
+    // are never ranked. Same trained-replay oracle + a candWhere clause
+    "ann_filtered_served" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val marker = new org.apache.hadoop.fs.Path(s"$idx/${Similarity.ReadyMarker}")
+      val markerFs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!markerFs.exists(marker))
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+          indexKey = embCorpusKey(s, dir))
+      assertFixtureSpec(s, idx, "ivf plain no-pq no-deletes")
+      Similarity.ivfTopKServed(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        indexKey = embCorpusKey(s, dir),
+        candidateFilter = Some(emb.filter(col("label") % 2 === 0)
+          .select(col("vec_id"))))
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -4666,7 +4692,8 @@ object SparkEntry {
       nProbe: Int = 3, k: Int = 3, trainWhere: String = "TRUE",
       deleteWhere: String = "FALSE",
       embSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
-      queryWhere: String = "vec_id < 20")
+      queryWhere: String = "vec_id < 20",
+      candWhere: String = "TRUE")
       : String = {
     val dist = (q: String, c: String) => ivfDistSql(q, c)
     s"""WITH ${ivfTrainCtes(embSql, stride, iters, trainWhere)},
@@ -4676,7 +4703,7 @@ object SparkEntry {
        |      ORDER BY ${dist("x.qv", "ci.cv")}, ci.c) AS rn
        |  FROM q x CROSS JOIN c$iters ci),
        |cells AS (SELECT vec_id AS neighbor_id, c AS cell FROM fa
-       |  WHERE rn = 1 AND NOT ($deleteWhere)),
+       |  WHERE rn = 1 AND NOT ($deleteWhere) AND ($candWhere)),
        |qa AS (SELECT vec_id AS query_id, c AS cell FROM fa WHERE rn <= $nProbe AND ($queryWhere)),
        |scored AS (
        |  SELECT qa.query_id, ce.neighbor_id,
@@ -6517,6 +6544,10 @@ object SparkEntry {
     // the served index is assignment-identical to ann_ivf (same trained
     // centroids, same exact-cosine ranking) — same replay oracle
     "ann_ivf_served" -> annIvfTrainedSql(),
+
+    // same trained replay, candidate side restricted to even labels
+    "ann_filtered_served" -> annIvfTrainedSql(candWhere =
+      "vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
     "dedup_semantic" -> dedupSemanticSql(),
 
     // replays the trained-quantizer cell assignment (same CTEs as the

@@ -87,21 +87,29 @@ object Hnsw {
 
     /** best-first search at one layer — the paper's SEARCH-LAYER with
       * (dist, id) tie-breaks for determinism. Returns the ef closest
-      * as a sorted array of (dist, node). */
+      * as a sorted array of (dist, node). `allow` is the filtered-search
+      * hook (Lucene/qdrant style): disallowed nodes are still TRAVERSED
+      * (the graph's connectivity runs through them) but never enter the
+      * result set — with the default all-true it is exactly the paper's
+      * algorithm. */
     def searchLayer(q: Array[Float], qNorm: Double, eps: Seq[(Double, Int)],
-        ef: Int, lc: Int): mutable.ArrayBuffer[(Double, Int)] = {
+        ef: Int, lc: Int,
+        allow: Int => Boolean = _ => true): mutable.ArrayBuffer[(Double, Int)] = {
       implicit val ord: Ordering[(Double, Int)] =
         Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
       val visited = mutable.HashSet.empty[Int]
       val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
       val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
       eps.foreach { case (d, n) =>
-        if (visited.add(n)) { cand.enqueue((d, n)); res.enqueue((d, n)) }
+        if (visited.add(n)) {
+          cand.enqueue((d, n))
+          if (allow(n)) res.enqueue((d, n))
+        }
       }
       while (res.size > ef) res.dequeue()
       while (cand.nonEmpty) {
         val (cd, c) = cand.dequeue()
-        if (cd > res.head._1 && res.size >= ef) {
+        if (res.size >= ef && cd > res.head._1) {
           cand.clear() // every remaining candidate is at least as far
         } else {
           val ns = adj(c)(lc)
@@ -113,8 +121,11 @@ object Hnsw {
               // admit when there is room or it beats the current worst
               // ((dist, node) order keeps ties deterministic)
               if (res.size < ef || ord.lt((d, n), res.head)) {
-                cand.enqueue((d, n)); res.enqueue((d, n))
-                if (res.size > ef) res.dequeue()
+                cand.enqueue((d, n))
+                if (allow(n)) {
+                  res.enqueue((d, n))
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
             i += 1
@@ -171,9 +182,12 @@ object Hnsw {
     }
 
     /** top-k by cosine for one query; returns (id, cosine) descending
-      * plus the distance-eval count this search cost. */
-    def search(q: Array[Float], k: Int,
-        efSearch: Int): (Seq[(Long, Double)], Long) = {
+      * plus the distance-eval count this search cost. `allow` filters
+      * the RESULT set only — the walk traverses disallowed nodes (their
+      * edges carry the graph's connectivity), the upper-level greedy
+      * descent is unfiltered (it only picks an entry point). */
+    def search(q: Array[Float], k: Int, efSearch: Int,
+        allow: Int => Boolean = _ => true): (Seq[(Long, Double)], Long) = {
       if (entry < 0) return (Seq.empty, 0L)
       val before = distEvals
       val qn = qNormOf(q)
@@ -183,7 +197,7 @@ object Hnsw {
         eps = Seq(searchLayer(q, qn, eps, 1, lc).head)
         lc -= 1
       }
-      val w = searchLayer(q, qn, eps, math.max(efSearch, k), 0)
+      val w = searchLayer(q, qn, eps, math.max(efSearch, k), 0, allow)
       val out = w.take(k).map { case (d, n) => (ids(n), -d) }.toSeq
       (out, distEvals - before)
     }
@@ -281,6 +295,54 @@ object Hnsw {
       val g = reload(it.toSeq, m)
       bq.value.iterator.flatMap { case (qid, qv) =>
         g.search(qv, k, efSearch)._1.map { case (id, cos) =>
+          (qid, id, math.round(cos * 1e6))
+        }
+      }
+    }.toDF("query_id", "vec_id", "cos1e6")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos1e6").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos1e6"))
+  }
+
+  /**
+   * Filtered top-k (round 17 — the ES `knn` + `filter` shape on the
+   * graph index): only vectors in `allowIds` may enter the results, but
+   * the walk still traverses the full graph (connectivity runs through
+   * disallowed nodes — the Lucene/qdrant acceptance-filter approach;
+   * raise `efSearch` for very selective filters). The allow set
+   * broadcasts as a driver-side Set — the tombstone budget argument
+   * (1M longs ≈ 8 MB); this is the right shape for the common SELECTIVE
+   * filter (tenant/category ≪ corpus). A NON-selective filter should
+   * not use a graph walk at all — brute-force over the filtered subset
+   * wins there, exactly the dispatch Lucene's own filtered kNN applies.
+   */
+  def hnswTopKFiltered(spark: SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      allowIds: DataFrame, k: Int, efSearch: Int = 64,
+      m: Int = 8): DataFrame = {
+    import spark.implicits._
+    val marker = new org.apache.hadoop.fs.Path(path, ReadyMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(marker),
+      s"$path is not a committed HNSW index (missing $ReadyMarker)")
+    val allowed = allowIds.select(allowIds.columns.head)
+      .as[Long].collect().toSet
+    require(allowed.size <= 1000000,
+      s"filter set has ${allowed.size} ids (cap 1000000) — a filter this " +
+        "broad should brute-force the filtered subset instead")
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val bq = spark.sparkContext.broadcast(qs)
+    val ba = spark.sparkContext.broadcast(allowed)
+    val nodes = spark.read.parquet(s"$path/nodes").as[Node]
+    val cands = nodes.groupByKey(_.seg).flatMapGroups { (_, it) =>
+      val g = reload(it.toSeq, m)
+      val allow: Int => Boolean = n => ba.value.contains(g.ids(n))
+      bq.value.iterator.flatMap { case (qid, qv) =>
+        g.search(qv, k, efSearch, allow)._1.map { case (id, cos) =>
           (qid, id, math.round(cos * 1e6))
         }
       }

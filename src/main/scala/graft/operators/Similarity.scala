@@ -1297,10 +1297,19 @@ object Similarity {
     java.util.Arrays.copyOf(topCid, filled)
   }
 
+  /** `candidateFilter` (round 17 — the ES `knn` + `filter` shape): an
+    * id frame (any frame carrying `idCol`) restricting the CANDIDATE
+    * side before ranking. Semantics mirror the BM25 filter context —
+    * cell assignment, probes and cosine ranking are unchanged, the
+    * filter only removes candidates, and it lands BEFORE the rank
+    * window so filtered-out vectors are never scored into the top-k.
+    * The join is a semi-join the optimizer sizes (a selective filter
+    * broadcasts; a broad one shuffles with the cells — both correct). */
   def ivfTopKServed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, indexKey: String,
-      nProbe: Int = 3, stride: Int = 20, iters: Int = 3): DataFrame = {
+      nProbe: Int = 3, stride: Int = 20, iters: Int = 3,
+      candidateFilter: Option[DataFrame] = None): DataFrame = {
     requireIndexReady(spark, indexPath)
     val key = ivfKey(indexKey, idCol, vecCol, stride, iters)
     val cents = servedState(spark, indexPath, key)
@@ -1329,10 +1338,16 @@ object Similarity {
     val probes = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probeSchema)
     val probeCells = probeRows.map(_.getLong(2)).distinct.sorted
-    val cand = withoutTombstones(spark, indexPath,
+    val alive = withoutTombstones(spark, indexPath,
       readProbedCells(spark, indexPath, probeCells)
         .select(col("cell").cast("long").as("cell"),
           col(idCol).as("neighbor_id"), col(vecCol).cast(D).as("cvec")))
+    val cand = candidateFilter match {
+      case None => alive
+      case Some(p) => alive.join(
+        p.select(col(idCol).cast("long").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+    }
     val scored = broadcast(probes).join(cand, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", vec_cosine(col("qvec"), col("cvec")))

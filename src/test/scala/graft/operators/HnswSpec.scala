@@ -105,6 +105,47 @@ class HnswSpec extends AnyFunSuite with SparkTestBase {
     assert(evals(64) > evals(16))
   }
 
+  test("filtered search: only allowed ids surface, recall holds vs the filtered brute force") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("hnswf").toString
+    Hnsw.buildHnswIndex(emb, "vec_id", "embedding", p, nSegments = 4)
+    val allow = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val allowSet = allow.as[Long].collect().toSet
+    val served = Hnsw.hnswTopKFiltered(spark, p, queries, "vec_id",
+      "embedding", allow, k = 10, efSearch = 128)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // nothing outside the allow set ever surfaces
+    served.values.foreach(ids => assert(ids.subsetOf(allowSet)))
+    // recall vs the brute force RESTRICTED to the allow set
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().filter(v => allowSet(v._1))
+    val qs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        s += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else s / math.sqrt(na * nb)
+    }
+    val recalls = qs.map { case (qid, qv) =>
+      val want = vecs.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      want.intersect(served.getOrElse(qid, Set.empty)).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"filtered mean recall@10 = $mean")
+    // an over-broad filter set refuses loudly (the brute-force dispatch)
+    val cap = intercept[IllegalArgumentException] {
+      val wide = spark.range(0, 1000001).select(col("id").as("vec_id"))
+      Hnsw.hnswTopKFiltered(spark, p, queries, "vec_id", "embedding",
+        wide, k = 10)
+    }
+    assert(cap.getMessage.contains("brute-force"))
+  }
+
   test("a serve refuses an uncommitted index (ready marker is the fence)") {
     val p = Files.createTempDirectory("hnswx").toString
     intercept[IllegalArgumentException] {

@@ -2943,6 +2943,22 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // the full ES bool composition: multi_match (query context, scored)
+    // + filter (filter context, unscored) in ONE serve — the same
+    // doc-values filter frame semi-joins BOTH fields' candidates before
+    // their scoring aggregates
+    "bm25_multifield_filtered_served" -> ((s, dir) => {
+      val pass = TextAnalysis.bm25DocValues(s, ensureDocValsBm25Index(s, dir))
+        .filter(expr("lang = 'en' AND n_chars >= 200"))
+      TextAnalysis.bm25MultiFieldTopK(s,
+        Seq((ensureTitleBm25Index(s, dir), 2000L),
+          (ensureBm25Index(s, dir), 1000L)),
+        "dup sort query zzz", k = 15,
+        mode = "best_fields", tieBreaker1000 = 300L,
+        candidateFilter = Some(pass))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // tombstone delete, the LUCENE CONTRACT made cross-engine-checkable:
     // deleted docs (doc_id % 10 == 0) vanish from results immediately,
     // but N/Σlen/df stay full-corpus-stale until merge — the oracle
@@ -5304,7 +5320,8 @@ object SparkEntry {
   /** One field's BM25 scoring CTE chain, suffixed so two fields can
     * coexist in a multi-field oracle (shares the `qt` CTE). Emits
     * `scored_<sfx>(doc_id, score)` — unlimited, the combiner tops-k. */
-  private def bm25ScoredCtes(sfx: String, docsSrc: String): String =
+  private def bm25ScoredCtes(sfx: String, docsSrc: String,
+      tfExtra: String = ""): String =
     s"""toks_$sfx AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
       |  FROM $docsSrc),
@@ -5319,7 +5336,7 @@ object SparkEntry {
       |  FROM dfc_$sfx),
       |tf_$sfx AS (
       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk_$sfx
-      |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+      |  WHERE tok IN (SELECT tok FROM qt)$tfExtra GROUP BY doc_id, tok),
       |scored_$sfx AS (
       |  SELECT tf.doc_id,
       |    sum(i.idf * ((tf.tf * 2200 * 10000) //
@@ -5331,16 +5348,19 @@ object SparkEntry {
 
   /** Multi-field oracle: title chain over the derived first-8-tokens
     * field, body chain over the full text, integer best_fields /
-    * most_fields combine (boosts title^2, body^1; tie 0.3). */
-  private def bm25MultiFieldSql(combine: String): String =
+    * most_fields combine (boosts title^2, body^1; tie 0.3).
+    * `tfExtra` = the shared filter-context clause (restricts both
+    * fields' tf CTEs; the stats CTEs stay full-corpus). */
+  private def bm25MultiFieldSql(combine: String,
+      tfExtra: String = ""): String =
     s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
       |tdocs AS (
       |  SELECT doc_id, array_to_string(
       |    list_slice(string_split_regex(lower(trim(text)), '\\s+'), 1, 8),
       |    ' ') AS text
       |  FROM documents),
-      |${bm25ScoredCtes("t", "tdocs")},
-      |${bm25ScoredCtes("b", "documents")},
+      |${bm25ScoredCtes("t", "tdocs", tfExtra)},
+      |${bm25ScoredCtes("b", "documents", tfExtra)},
       |comb AS (
       |  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
       |    coalesce(t.score, 0) * 2000 // 1000 AS ts,
@@ -7508,6 +7528,13 @@ object SparkEntry {
 
     // most_fields: the boosted per-field sum
     "bm25_multifield_most_served" -> bm25MultiFieldSql("ts + bs"),
+
+    // multi_match + filter composed: both field chains' tf restricted
+    // to filter-passing docs, stats full-corpus, same combiner
+    "bm25_multifield_filtered_served" -> bm25MultiFieldSql(
+      "greatest(ts, bs) + ((ts + bs - greatest(ts, bs)) * 300) // 1000",
+      tfExtra = "\n  AND doc_id IN (SELECT doc_id FROM documents" +
+        " WHERE lang = 'en' AND n_chars >= 200)"),
 
     // filter context: tf restricted to docs passing the structured
     // predicate; N/avgdl/df CTEs deliberately UNfiltered (stats are

@@ -2353,7 +2353,8 @@ object TextAnalysis {
   def bm25MultiFieldTopK(spark: SparkSession,
       fields: Seq[(String, Long)], queryText: String, k: Int,
       mode: String = "best_fields", tieBreaker1000: Long = 0L,
-      asOf: Option[String] = None): DataFrame = {
+      asOf: Option[String] = None,
+      candidateFilter: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(fields.nonEmpty, "no fields")
     require(mode == "best_fields" || mode == "most_fields",
@@ -2361,9 +2362,13 @@ object TextAnalysis {
     val terms = queryText.toLowerCase.trim.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
+    // the ES bool composition: multi_match in query context + filter
+    // context in ONE serve — the same doc_id filter frame semi-joins
+    // EVERY field's candidates before its scoring aggregate
     val frames = fields.flatMap { case (root, boost1000) =>
-      bm25ScoreFrame(spark, root, terms, asOf).map(_.select(col("doc_id"),
-        expr(s"(score * $boost1000) div 1000").as("fscore")))
+      bm25ScoreFrame(spark, root, terms, asOf, candidateFilter)
+        .map(_.select(col("doc_id"),
+          expr(s"(score * $boost1000) div 1000").as("fscore")))
     }
     if (frames.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")

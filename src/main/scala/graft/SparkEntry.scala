@@ -474,6 +474,28 @@ object SparkEntry {
     idx
   }
 
+  /** Build-once gate for the ANALYZED BM25 index: the corpus passed
+    * through the index-time analysis chain (lowercase → whitespace
+    * tokenize → Lucene classic stop set → Harman S-stemmer,
+    * TextAnalysis.analyzeEnglishCol) before indexing — the fixture for
+    * the analyzer-parity serve (query text analyzed by the SAME chain
+    * at serve time). Its N equals the plain index's; its avgdl and df
+    * differ (stopwords gone, plurals folded), which is the point. */
+  private[graft] def ensureStemmedBm25Index(s: SparkSession,
+      dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stem_v1_" +
+      fsTag(s, dir, "documents.parquet")
+    if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val analyzed = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.analyzeEnglishCol(col("text")).as("atext"))
+      TextAnalysis.writeBm25Index(analyzed, "doc_id", "atext", idx)
+    }
+    assertFixtureSpec(s, idx, "bm25 analyzer=stop+sstem no-deletes")
+    idx
+  }
+
   /** Build-once gate for the feature-hash IVF index over documents
     * (shared by doc_search_served / hybrid_rrf_served). Returns
     * (indexPath, registryKey). */
@@ -2959,6 +2981,68 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // the Lucene classic QueryParser lowering: `+dup sort sc* -big`
+    // parses to MUST(dup) + SHOULD(sort, expansion of sc*) +
+    // MUST_NOT(big) and runs as ONE generalized BooleanQuery serve —
+    // wildcard expands against the dictionary, each variant scoring
+    // with its own idf; the oracle replays the parse result (the
+    // lowering IS the semantics; QueryStringSpec pins the parse)
+    "query_string_served" -> ((s, dir) => {
+      TextAnalysis.queryStringTopK(s, ensureBm25Index(s, dir),
+        "+dup sort sc* -big", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ...and a MUST **group**: `+s*` requires ≥ 1 of the wildcard's
+    // expansions per doc (the BooleanQuery-of-rewritten-disjunction
+    // Lucene builds for a required MultiTermQuery), composed with a
+    // bare term, a fuzzy clause (rows~ → row) and an exclusion
+    "query_string_group_served" -> ((s, dir) => {
+      TextAnalysis.queryStringTopK(s, ensureBm25Index(s, dir),
+        "+s* value rows~ -agg", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ES `range` aggregation over the match set: matching docs (the
+    // facet probe's candidate set) bucketed by the n_chars doc-value
+    // into *-200 / 200-400 / 400-* and counted — postings probe +
+    // docvals join, the corpus text never read
+    "search_range_agg" -> ((s, dir) => {
+      TextAnalysis.bm25RangeAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", Seq(200L, 400L))
+        .orderBy(col("bucket"))
+    }),
+
+    // ES `histogram` aggregation: fixed interval-100 buckets keyed by
+    // their inclusive lower bound, same probe + docvals-join shape
+    "search_histogram_agg" -> ((s, dir) => {
+      TextAnalysis.bm25HistogramAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", interval = 100L)
+        .orderBy(col("bucket"))
+    }),
+
+    // the index-time ANALYSIS CHAIN end-to-end: index built over the
+    // stop-filtered S-stemmed field, query text analyzed by the SAME
+    // chain at serve time ("sorts queries the dup zzz" → sort query
+    // dup zzz), scores replayed by the oracle over the identically
+    // analyzed corpus — the Lucene analyzer-parity contract
+    // (index-time analyzer == query-time analyzer) made hash-checkable
+    "bm25_stemmed_served" -> ((s, dir) => {
+      val analyzed = TextAnalysis.analyzeEnglish("sorts queries the dup zzz")
+      TextAnalysis.bm25ServeTopK(s, ensureStemmedBm25Index(s, dir),
+        analyzed, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // the analysis chain DIRECT (its own oracle, independent of any
+    // index): per doc the analyzed text — lowercase, stop-filtered
+    // (Lucene classic 33-word set), S-stemmed (Harman 1991)
+    "analyze_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.analyzeEnglishCol(col("text")).as("atext"))
+        .orderBy(col("doc_id"))
+    }),
+
     // tombstone delete, the LUCENE CONTRACT made cross-engine-checkable:
     // deleted docs (doc_id % 10 == 0) vanish from results immediately,
     // but N/Σlen/df stay full-corpus-stale until merge — the oracle
@@ -5368,6 +5452,30 @@ object SparkEntry {
       |  FROM scored_t t FULL OUTER JOIN scored_b b ON t.doc_id = b.doc_id)
       |SELECT doc_id, CAST($combine AS BIGINT) AS score
       |FROM comb ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  /** The index-time analysis chain (lowercase → whitespace tokenize →
+    * Lucene classic stop set → Harman S-stemmer) as a DuckDB
+    * subquery over `documents` — the oracle twin of
+    * TextAnalysis.analyzeEnglishCol, branch-for-branch. */
+  private val AnalyzedDocsSubquery: String =
+    """(SELECT doc_id, array_to_string(
+      |    list_transform(
+      |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        t -> t <> '' AND NOT list_contains(
+      |          ['a','an','and','are','as','at','be','but','by','for',
+      |           'if','in','into','is','it','no','not','of','on','or',
+      |           'such','that','the','their','then','there','these',
+      |           'they','this','to','was','will','with'], t)),
+      |      t -> CASE
+      |        WHEN t LIKE '%eies' OR t LIKE '%aies' THEN t
+      |        WHEN t LIKE '%ies'
+      |          THEN substring(t, 1, length(t) - 3) || 'y'
+      |        WHEN t LIKE '%aes' OR t LIKE '%ees' OR t LIKE '%oes' THEN t
+      |        WHEN t LIKE '%es' THEN substring(t, 1, length(t) - 1)
+      |        WHEN t LIKE '%us' OR t LIKE '%ss' THEN t
+      |        WHEN t LIKE '%s' THEN substring(t, 1, length(t) - 1)
+      |        ELSE t END), ' ') AS text
+      |  FROM documents) adocs""".stripMargin
 
   /** Queries with NO SQL oracle, each for a stated structural reason —
     * the driver records a rows-only check for these and their
@@ -7784,6 +7892,75 @@ object SparkEntry {
     "bm25_fuzzy_served" -> bm25TopkSqlOver("documents", "",
       qtClause = "qt AS (SELECT DISTINCT tok FROM tk " +
         "WHERE levenshtein(tok, 'hast') <= 1)"),
+
+    // query string `+dup sort sc* -big`: qt = the literal terms ∪ the
+    // prefix expansion, MUST via the bool serve's HAVING, MUST_NOT via
+    // the exclusion NOT IN — the parse lowering replayed clause by
+    // clause
+    "query_string_served" -> bm25TopkSqlOver("documents",
+      "\n  AND doc_id NOT IN (SELECT doc_id FROM tk WHERE tok = 'big')",
+      qtClause = "qt AS (SELECT DISTINCT tok FROM tk " +
+        "WHERE tok IN ('dup', 'sort') OR tok LIKE 'sc%')",
+      scoredHaving =
+        " HAVING count(DISTINCT CASE WHEN tf.tok = 'dup'" +
+          " THEN tf.tok END) = 1"),
+
+    // query string `+s* value rows~ -agg`: the MUST **group** (≥ 1 of
+    // the s* expansion present) via a LIKE-classed distinct count ≥ 1;
+    // fuzzy joins the scored set through DuckDB's levenshtein
+    "query_string_group_served" -> bm25TopkSqlOver("documents",
+      "\n  AND doc_id NOT IN (SELECT doc_id FROM tk WHERE tok = 'agg')",
+      qtClause = "qt AS (SELECT DISTINCT tok FROM tk " +
+        "WHERE tok = 'value' OR tok LIKE 's%'" +
+        " OR levenshtein(tok, 'rows') <= 1)",
+      scoredHaving =
+        " HAVING count(DISTINCT CASE WHEN tf.tok LIKE 's%'" +
+          " THEN tf.tok END) >= 1"),
+
+    // ES range agg: matching docs bucketed from-inclusive/to-exclusive
+    // by n_chars, keyed ES-style, empty buckets omitted
+    "search_range_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM tk
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT CASE WHEN n_chars >= 400 THEN '400-*'
+        |  WHEN n_chars >= 200 THEN '200-400' ELSE '*-200' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM matched m JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // ES histogram agg: interval-100 buckets keyed by the inclusive
+    // lower bound floor(n_chars/100)·100
+    "search_histogram_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM tk
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT (n_chars // 100) * 100 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM matched m JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the analyzed serve: the standard scoring chain over the
+    // IDENTICALLY analyzed corpus (stop set + S-stemmer replayed in
+    // SQL), query terms pre-analyzed (sorts→sort, queries→query,
+    // the→∅)
+    "bm25_stemmed_served" -> bm25TopkSqlOver(AnalyzedDocsSubquery, "",
+      qtClause =
+        "qt(tok) AS (VALUES ('sort'), ('query'), ('dup'), ('zzz'))"),
+
+    // the analysis chain replayed token-for-token
+    "analyze_tokens" ->
+      (s"""SELECT doc_id, text AS atext
+        |FROM $AnalyzedDocsSubquery
+        |ORDER BY doc_id""".stripMargin),
     "bm25_appended" -> Bm25TopkSql,
     "bm25_compacted" -> Bm25TopkSql,
     "bm25_stream_ingest" -> Bm25TopkSql,

@@ -932,15 +932,25 @@ object TextAnalysis {
     val segs = liveSegments(spark, root)
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    // stage 1: dictionary expansion; stage 2: the scoring serve over it
+    scoreExpandedTerms(spark, root, segs,
+      expandPrefixTerms(spark, root, segs, p), k)
+  }
+
+  /** Dictionary expansion for `pre*` — (term → summed df) from each
+    * segment's band scan [p, successor(p)) (band-pruned at the manifest
+    * level; carries df — one dictionary read, no postings). Per-segment
+    * limit: a terms table holds one row per distinct term, so any
+    * segment returning more than the budget already proves the
+    * expansion too broad — the collect is bounded even for `a*`.
+    * Shared by [[bm25ServePrefixTopK]] and [[queryStringTopK]]. */
+  private def expandPrefixTerms(spark: SparkSession, root: String,
+      segs: Seq[String], p: String): Map[String, Long] = {
+    import graft.sinks.MergeTable
     val upper = prefixSuccessor(p)
-    // stage 1: dictionary expansion (band-pruned; carries df and the
-    // corpus scalars — one dictionary read, no postings)
-    // per-segment limit: a terms table holds one row per distinct term,
-    // so any segment returning more than the budget already proves the
-    // expansion too broad — the collect is bounded even for `a*`
     val keyRows = segs.flatMap { sg =>
       MergeTable.readRange(spark, s"$root/segs/$sg/terms", Some(p), upper)
-        .filter(col("tok").startsWith(p))
+        .filter(col("tok").startsWith(p) && col("tok") =!= Bm25StatsKey)
         .select(col("tok"), col("dfc"))
         .limit(MaxPrefixExpansion + 1).collect().toSeq
     }
@@ -950,8 +960,7 @@ object TextAnalysis {
       s"prefix '$p*' expands to ${dfc.size} terms — past the " +
         s"$MaxPrefixExpansion budget; narrow the prefix (a too-broad " +
         "wildcard is a corpus scan in disguise)")
-    // stage 2: the scoring serve over the expanded set
-    scoreExpandedTerms(spark, root, segs, dfc, k)
+    dfc
   }
 
   /** Stage 2 shared by every MultiTermQuery SCORING serve (prefix /
@@ -1114,13 +1123,23 @@ object TextAnalysis {
     val segs = liveSegments(spark, root)
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    scoreExpandedTerms(spark, root, segs,
+      expandSuffixTerms(spark, root, segs, sx), k)
+  }
+
+  /** Dictionary expansion for `*suf` — (term → summed df) via the
+    * reversed dictionary's band scan ([[suffixBandRows]]), budget-
+    * checked. Shared by [[bm25ServeSuffixTopK]] and
+    * [[queryStringTopK]]. */
+  private def expandSuffixTerms(spark: SparkSession, root: String,
+      segs: Seq[String], sx: String): Map[String, Long] = {
     val rows = segs.flatMap(sg => suffixBandRows(spark, root, sg, sx))
     val dfc = rows.groupBy(_.getString(0))
       .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
     require(dfc.size <= MaxPrefixExpansion,
       s"suffix '*$sx' expands to ${dfc.size} terms — past the " +
         s"$MaxPrefixExpansion budget; narrow the suffix")
-    scoreExpandedTerms(spark, root, segs, dfc, k)
+    dfc
   }
 
   /**
@@ -1147,6 +1166,20 @@ object TextAnalysis {
     val segs = liveSegments(spark, root)
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    scoreExpandedTerms(spark, root, segs,
+      expandInfixTerms(spark, root, segs, p, sx), k)
+  }
+
+  /** Dictionary expansion for `pre*suf` — per segment, the forward
+    * dictionary's prefix band INTERSECTED with the reversed
+    * dictionary's suffix band distributedly, before any collect (either
+    * band alone may blow the budget while the intersection is tiny).
+    * The length guard `|tok| ≥ |pre| + |suf|` rejects overlapping
+    * spans, matching SQL `LIKE 'pre%suf'` exactly. Shared by
+    * [[bm25ServeInfixTopK]] and [[queryStringTopK]]. */
+  private def expandInfixTerms(spark: SparkSession, root: String,
+      segs: Seq[String], p: String, sx: String): Map[String, Long] = {
+    import graft.sinks.MergeTable
     val rows = segs.flatMap { sg =>
       val a = MergeTable.readRange(spark, s"$root/segs/$sg/terms",
           Some(p), prefixSuccessor(p))
@@ -1169,7 +1202,7 @@ object TextAnalysis {
     require(dfc.size <= MaxPrefixExpansion,
       s"pattern '$p*$sx' expands to ${dfc.size} terms — past the " +
         s"$MaxPrefixExpansion budget; narrow the pattern")
-    scoreExpandedTerms(spark, root, segs, dfc, k)
+    dfc
   }
 
   /**
@@ -1200,6 +1233,17 @@ object TextAnalysis {
     val segs = liveSegments(spark, root)
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    scoreExpandedTerms(spark, root, segs,
+      expandFuzzyTerms(spark, root, segs, q), k)
+  }
+
+  /** Dictionary expansion for `term~1` — (term → summed df) from the
+    * two-band candidate scan (forward q[0] band ∪ reversed rev(q[1:])
+    * band) filtered by codegen'd `levenshtein ≤ 1`. Shared by
+    * [[bm25ServeFuzzyTopK]] and [[queryStringTopK]]. */
+  private def expandFuzzyTerms(spark: SparkSession, root: String,
+      segs: Seq[String], q: String): Map[String, Long] = {
+    import graft.sinks.MergeTable
     val rows = segs.flatMap { sg =>
       val a = MergeTable.readRange(spark, s"$root/segs/$sg/terms",
           Some(q.take(1)), prefixSuccessor(q.take(1)))
@@ -1230,7 +1274,7 @@ object TextAnalysis {
     require(dfc.size <= MaxPrefixExpansion,
       s"fuzzy '$q~1' expands to ${dfc.size} terms — past the " +
         s"$MaxPrefixExpansion budget")
-    scoreExpandedTerms(spark, root, segs, dfc, k)
+    dfc
   }
 
   /** What an AND serve actually did — read via [[lastAndServeAudit]]
@@ -3431,4 +3475,400 @@ object TextAnalysis {
   def lang_id(text: Column): Column = call_function("lang_id", text)
 
   def quality_score(text: Column): Column = call_function("quality_score", text)
+
+  // ——— search-result aggregations (the ES aggs beyond `terms`) ———
+
+  /**
+   * ES `range` aggregation over the match set — every doc matching ANY
+   * query term (the same candidate set [[bm25FacetCounts]] uses),
+   * bucketed by a numeric doc-values column into from-INclusive /
+   * to-EXclusive ranges and counted. `cuts` are the interior
+   * boundaries: cuts (a, b) yields buckets (-∞,a) [a,b) [b,∞), keyed
+   * ES-style as "*-a", "a-b", "b-*". Empty buckets are omitted (the
+   * driver-comparable choice; ES keeps them — callers wanting ES's
+   * zero rows outer-join the key list). Cost: one postings probe ∝ the
+   * query terms' df + one join against the docvals sidecar — the
+   * corpus text is never read.
+   */
+  def bm25RangeAgg(spark: SparkSession, root: String, queryText: String,
+      valueCol: String, cuts: Seq[Long],
+      asOf: Option[String] = None): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
+      s"range cuts must be ascending and distinct, got $cuts")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol))
+    // descending when-chain: first cut ≤ value wins
+    val lastKey = s"${cuts.last}-*"
+    val bucket = cuts.init.zip(cuts.tail).reverse
+      .foldLeft(when(col(valueCol) >= cuts.last, lit(lastKey))) {
+        case (acc, (lo, hi)) =>
+          acc.when(col(valueCol) >= lo, lit(s"$lo-$hi"))
+      }
+      .otherwise(lit(s"*-${cuts.head}"))
+    matched.join(vals, Seq("doc_id"))
+      .groupBy(bucket.as("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /**
+   * ES `histogram` aggregation over the match set: fixed-`interval`
+   * buckets keyed by their inclusive lower bound
+   * (floor(value / interval) · interval, the ES key contract for
+   * non-negative values), counting distinct matching docs. Empty
+   * buckets are omitted. Same probe + docvals-join cost model as
+   * [[bm25RangeAgg]].
+   */
+  def bm25HistogramAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String, interval: Long,
+      asOf: Option[String] = None): DataFrame = {
+    require(interval > 0, s"interval must be positive, got $interval")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol))
+    matched.join(vals, Seq("doc_id"))
+      .groupBy(((col(valueCol).cast("long") / interval).cast("long")
+        * interval).as("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The distinct live doc_ids matching ANY query term — the shared
+    * candidate-set probe behind facets and the bucket aggs: one
+    * postings readKeys ∝ the terms' df, tombstone-masked. */
+  private def bm25MatchedDocIds(spark: SparkSession, root: String,
+      queryText: String, asOf: Option[String]): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[Long].toDF("doc_id")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    alive.select(col("doc_id")).distinct()
+  }
+
+  // ——— index-time analysis chain (stopwords + S-stemmer) ———
+
+  /** Lucene's classic English stop set (StopAnalyzer /
+    * EnglishAnalyzer.ENGLISH_STOP_WORDS_SET — 33 words, public and
+    * stable since 2.x). Index-time AND query-time: both sides must
+    * drop the same tokens or phrase/length stats skew. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with")
+
+  /** Harman's S-stemmer (Harman 1991, "How effective is suffixing?",
+    * JASIS 42(1) — the three-rule minimal English plural stemmer; also
+    * Lucene's EnglishMinimalStemmer lineage). Exactly one rule fires:
+    *  1. -ies → -y   unless -eies / -aies
+    *  2. -es  → -e   unless -aes / -ees / -oes
+    *  3. -s   → ∅    unless -us / -ss
+    * Chosen over Porter for the analyzer chain because every rule is a
+    * suffix test — replayable verbatim in the SQL oracle. */
+  def sStem(token: String): String = {
+    def ends(s: String) = token.endsWith(s)
+    // guard-TERMINAL: a word matching a rule's exception (goes, class,
+    // corpus…) stays unchanged — it does not fall through to a later
+    // rule (stripping goes→goe would defeat the -oes guard)
+    if (ends("eies") || ends("aies")) token
+    else if (ends("ies")) token.dropRight(3) + "y"
+    else if (ends("aes") || ends("ees") || ends("oes")) token
+    else if (ends("es")) token.dropRight(1)
+    else if (ends("us") || ends("ss")) token
+    else if (ends("s")) token.dropRight(1)
+    else token
+  }
+
+  /** The analysis chain as a STRING transform (driver-side twin, for
+    * query text): lowercase → whitespace-tokenize → drop stopwords →
+    * S-stem → re-join. AnalyzerSpec pins it equal to
+    * [[analyzeEnglishCol]] token-for-token. */
+  def analyzeEnglish(text: String): String =
+    text.toLowerCase.trim.split("\\s+")
+      .filter(t => t.nonEmpty && !EnglishStopwords.contains(t))
+      .map(sStem).mkString(" ")
+
+  /** The analysis chain as a COLUMN transform (index-build side): the
+    * same lowercase → tokenize → stop-filter → S-stem pipeline as one
+    * codegen'd expression (no UDF), producing the analyzed field to
+    * hand [[writeBm25Index]]. The stemmer CASE mirrors [[sStem]]
+    * branch-for-branch; the SQL oracle replays it with the identical
+    * CASE, so analyzed indexes stay hash-checkable cross-engine. */
+  def analyzeEnglishCol(text: Column): Column = {
+    val stops = typedLit(EnglishStopwords)
+    def stem(t: Column): Column =
+      when(t.endsWith("eies") || t.endsWith("aies"), t)
+        .when(t.endsWith("ies"),
+          concat(t.substr(lit(1), length(t) - 3), lit("y")))
+        .when(t.endsWith("aes") || t.endsWith("ees") || t.endsWith("oes"), t)
+        .when(t.endsWith("es"), t.substr(lit(1), length(t) - 1))
+        .when(t.endsWith("us") || t.endsWith("ss"), t)
+        .when(t.endsWith("s"), t.substr(lit(1), length(t) - 1))
+        .otherwise(t)
+    val toks = split(lower(trim(text)), "\\s+")
+    val kept = filter(toks, t => t =!= "" && !array_contains(stops, t))
+    array_join(transform(kept, stem(_)), " ")
+  }
+
+  // ——— query-string language (the Lucene classic QueryParser subset) ———
+
+  /** One parsed clause of a query string: `occur` is '+' (MUST),
+    * '-' (MUST_NOT) or 's' (SHOULD — a bare clause); `kind` is one of
+    * term / prefix / suffix / infix / fuzzy / phrase; `text` is the
+    * lowercased clause body — for infix it keeps the single interior
+    * `*` ("pre*suf"), for phrase it is the whitespace-normalized
+    * token sequence. */
+  final case class QsClause(occur: Char, kind: String, text: String)
+
+  /**
+   * Parse the Lucene classic QueryParser subset this engine serves —
+   * whitespace-separated clauses, each optionally prefixed `+` (MUST)
+   * or `-` (MUST_NOT), where a clause is a quoted `"phrase"`, a bare
+   * term, or a term carrying ONE wildcard shape: trailing `pre*`,
+   * leading `*suf`, interior `pre*suf`, or a trailing `~` (fuzzy,
+   * maxEdits = 1 — the only distance this engine's two-band expansion
+   * serves). Backslash escapes the next character anywhere (`\*`, `\"`,
+   * `\+`, `\\`), turning it literal. Everything lowercases (the
+   * index-time analyzer's contract). Raises on: empty input, a
+   * dangling operator, an unterminated quote, an empty wildcard stem,
+   * or more than one unescaped `*` in a clause — loud beats silent
+   * (the reference engine's empty-guard posture).
+   */
+  def parseQueryString(query: String): Seq[QsClause] = {
+    val q = query.trim
+    require(q.nonEmpty, "empty query string")
+    val out = scala.collection.mutable.ArrayBuffer.empty[QsClause]
+    var i = 0
+    while (i < q.length) {
+      while (i < q.length && q.charAt(i).isWhitespace) i += 1
+      if (i < q.length) {
+        val occur = q.charAt(i) match {
+          case '+' => i += 1; '+'
+          case '-' => i += 1; '-'
+          case _   => 's'
+        }
+        require(i < q.length && !q.charAt(i).isWhitespace,
+          s"dangling '$occur' operator in query string '$query'")
+        if (q.charAt(i) == '"') {
+          i += 1
+          val sb = new StringBuilder
+          var closed = false
+          while (i < q.length && !closed) q.charAt(i) match {
+            case '\\' if i + 1 < q.length =>
+              sb.append(q.charAt(i + 1)); i += 2
+            case '"' => closed = true; i += 1
+            case c   => sb.append(c); i += 1
+          }
+          require(closed, s"unterminated phrase quote in '$query'")
+          val ph = sb.toString.toLowerCase.trim.replaceAll("\\s+", " ")
+          require(ph.nonEmpty, "empty phrase clause")
+          out += QsClause(occur, "phrase", ph)
+        } else {
+          // scan the bare clause, tracking which output chars were
+          // escaped (an escaped '*'/'~' is literal, not an operator)
+          val sb = new StringBuilder
+          val esc = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+          var done = false
+          while (i < q.length && !done) q.charAt(i) match {
+            case c if c.isWhitespace => done = true
+            case '\\' if i + 1 < q.length =>
+              sb.append(q.charAt(i + 1)); esc += true; i += 2
+            case c => sb.append(c); esc += false; i += 1
+          }
+          val raw = sb.toString.toLowerCase
+          require(raw.nonEmpty, s"dangling '$occur' in query string")
+          val stars = raw.indices.filter(j => raw.charAt(j) == '*' && !esc(j))
+          require(stars.size <= 1,
+            s"clause '$raw' carries ${stars.size} wildcards — this " +
+              "engine serves one `*` per clause (pre*, *suf, pre*suf)")
+          val (kind, text) =
+            if (stars.size == 1) {
+              val j = stars.head
+              if (j == raw.length - 1) ("prefix", raw.dropRight(1))
+              else if (j == 0) ("suffix", raw.drop(1))
+              else ("infix", raw)
+            } else if (raw.length > 1 && raw.endsWith("~") && !esc.last)
+              ("fuzzy", raw.dropRight(1))
+            else ("term", raw)
+          require(text.nonEmpty && text != "*",
+            s"empty $kind stem in query string '$query'")
+          out += QsClause(occur, kind, text)
+        }
+      }
+    }
+    require(out.nonEmpty, "empty query string")
+    out.toSeq
+  }
+
+  /**
+   * Query-string serve — parse [[parseQueryString]]'s clause algebra
+   * and run it as ONE generalized BooleanQuery against the index, the
+   * Lucene QueryParser → BooleanQuery(+ MultiTermQuery rewrites)
+   * lowering:
+   *
+   *  - wildcard / fuzzy clauses expand against the dictionary first
+   *    (band-pruned, budget-capped — the existing MultiTermQuery
+   *    expansions, shared code); each expanded variant then scores
+   *    with its OWN idf (the scoring rewrite every wildcard serve
+   *    here uses);
+   *  - a MUST term requires that term; a MUST wildcard requires ≥ 1
+   *    of its expansions (a must-GROUP — the BooleanQuery-of-
+   *    rewritten-disjunction Lucene builds); a MUST wildcard with an
+   *    EMPTY expansion matches nothing;
+   *  - MUST_NOT clauses (terms or wildcard expansions) exclude by
+   *    anti-join before the scoring aggregate (the NOT serve's shape);
+   *  - scoring sums the BM25 contributions of every scored term once —
+   *    clauses naming the same term dedup (this engine's distinct-term
+   *    contract, also how its plain/bool serves treat repeats).
+   *
+   * Phrase clauses are lowered by [[queryStringTopK]]'s positional
+   * sibling; this serve raises on them (the plain index carries no
+   * positions to serve them with).
+   *
+   * Scale shape: expansions are dictionary band scans (no postings),
+   * the postings probe covers scored ∪ excluded terms only, the
+   * cheapest MUST clause (term df, or a group's summed df) seeds a
+   * semi-join bounding the aggregate input, and group enforcement is
+   * O(#groups) agg columns over isin literals ≤ the expansion budget —
+   * no corpus scan anywhere.
+   */
+  def queryStringTopK(spark: SparkSession, root: String, query: String,
+      k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val clauses = parseQueryString(query)
+    require(!clauses.exists(_.kind == "phrase"),
+      "phrase clause in a non-positional query-string serve — build " +
+        "the index with positions=true and use queryStringPhraseTopK")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    def expandOf(c: QsClause): Map[String, Long] = c.kind match {
+      case "prefix" => expandPrefixTerms(spark, root, segs, c.text)
+      case "suffix" => expandSuffixTerms(spark, root, segs, c.text)
+      case "infix" =>
+        val Array(p, sx) = c.text.split("\\*", 2)
+        expandInfixTerms(spark, root, segs, p, sx)
+      case "fuzzy" => expandFuzzyTerms(spark, root, segs, c.text)
+      case other => sys.error(s"unexpected expansion kind $other")
+    }
+    val mustTerms = clauses.filter(c => c.occur == '+' && c.kind == "term")
+      .map(_.text).distinct
+    val mustGroups = clauses
+      .filter(c => c.occur == '+' && c.kind != "term").map(expandOf)
+    // a MUST wildcard whose expansion is empty can match no document
+    if (mustGroups.exists(_.isEmpty))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val shouldTerms = clauses.filter(_.occur == 's')
+      .flatMap(c => if (c.kind == "term") Seq(c.text)
+        else expandOf(c).keys.toSeq)
+      .distinct.filterNot(mustTerms.contains)
+    val exTerms = clauses.filter(_.occur == '-')
+      .flatMap(c => if (c.kind == "term") Seq(c.text)
+        else expandOf(c).keys.toSeq).distinct
+    val scored =
+      (mustTerms ++ mustGroups.flatMap(_.keys) ++ shouldTerms).distinct
+    require(scored.nonEmpty,
+      "query string needs a scoring clause (+term or a bare term)")
+    require(scored.intersect(exTerms).isEmpty,
+      s"terms ${scored.intersect(exTerms).mkString(",")} are both " +
+        "scored and prohibited — such a query matches nothing")
+    // dictionary: df per scored term + the corpus scalars
+    val keyDf = (scored :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    // MUST decided from the dictionary alone, zero postings read
+    // (expansion terms always exist there; a literal MUST term may not)
+    if (!mustTerms.forall(dfc.contains))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val present = scored.filter(dfc.contains)
+    if (present.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val idf = bm25Idf(nDocs, dfc.toMap, present).toDF("tok", "idf")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        present.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    // MUST_NOT: anti-join before the aggregate (the NOT serve's shape)
+    val admitted =
+      if (exTerms.isEmpty) alive
+      else {
+        val excluded = segs.map(sg =>
+          MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+            exTerms.toDF("tok")))
+          .reduce(_.unionByName(_))
+          .select(col("doc_id")).distinct()
+        alive.join(excluded, Seq("doc_id"), "left_anti")
+      }
+    // seed: the cheapest MUST clause — a term's df, or a group's
+    // summed df — bounds the candidates (the AND serve's shape)
+    val seedSets: Seq[(Seq[String], Long)] =
+      mustTerms.map(t => (Seq(t), dfc(t))) ++
+        mustGroups.map { g =>
+          val gg = g.keys.toSeq.sorted
+          (gg, gg.map(dfc).sum)
+        }
+    val restricted =
+      if (seedSets.isEmpty) admitted
+      else {
+        val (seedToks, seedDf) =
+          seedSets.minBy { case (s, d) => (d, s.head) }
+        val cand0 = admitted.filter(col("tok").isin(seedToks: _*))
+          .select(col("doc_id")).distinct()
+        val cand =
+          if (seedDf <= MaxBm25Tombstones) broadcast(cand0) else cand0
+        admitted.join(cand, Seq("doc_id"), "left_semi")
+      }
+    val mustLit = typedLit(mustTerms)
+    val groupChecks = mustGroups.zipWithIndex.map { case (g, i) =>
+      max(when(col("tok").isin(g.keys.toSeq: _*), lit(1L))
+        .otherwise(lit(0L))).as(s"_g$i")
+    }
+    val aggCols =
+      Seq(sum(col("idf") * col("w")).as("score"),
+        countDistinct(when(array_contains(mustLit, col("tok")), col("tok")))
+          .as("nm")) ++ groupChecks
+    val groupPass = mustGroups.indices
+      .map(i => col(s"_g$i") === 1L)
+      .foldLeft(lit(true))(_ && _)
+    restricted
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .filter(col("nm") === mustTerms.size && groupPass)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

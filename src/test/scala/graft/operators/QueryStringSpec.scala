@@ -1,0 +1,154 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.TextAnalysis.QsClause
+
+/**
+ * The Lucene classic QueryParser subset (parseQueryString) and its
+ * BooleanQuery lowering (queryStringTopK): parse shapes, escapes, loud
+ * failures, and the serve's degenerate equalities against the
+ * individually-pinned serves.
+ */
+class QueryStringSpec extends AnyFunSuite with SparkTestBase {
+
+  private def p(q: String) = TextAnalysis.parseQueryString(q)
+
+  // ——— parser ———
+
+  test("occur prefixes, bare terms and trailing wildcards parse") {
+    assert(p("+dup sort sc* -big") == Seq(
+      QsClause('+', "term", "dup"),
+      QsClause('s', "term", "sort"),
+      QsClause('s', "prefix", "sc"),
+      QsClause('-', "term", "big")))
+  }
+
+  test("suffix, infix, fuzzy and phrase shapes parse") {
+    assert(p("*ing") == Seq(QsClause('s', "suffix", "ing")))
+    assert(p("pre*suf") == Seq(QsClause('s', "infix", "pre*suf")))
+    assert(p("hast~") == Seq(QsClause('s', "fuzzy", "hast")))
+    assert(p("+\"dup  sort\" x") == Seq(
+      QsClause('+', "phrase", "dup sort"),
+      QsClause('s', "term", "x")))
+  }
+
+  test("everything lowercases (the analyzer contract)") {
+    assert(p("+DUP Sc* \"Big Table\"") == Seq(
+      QsClause('+', "term", "dup"),
+      QsClause('s', "prefix", "sc"),
+      QsClause('s', "phrase", "big table")))
+  }
+
+  test("backslash escapes turn specials literal") {
+    assert(p("foo\\*bar") == Seq(QsClause('s', "term", "foo*bar")))
+    assert(p("\\+x") == Seq(QsClause('s', "term", "+x")))
+    assert(p("a\\~") == Seq(QsClause('s', "term", "a~")))
+    assert(p("say\\\"hi") == Seq(QsClause('s', "term", "say\"hi")))
+    // escaped star is literal, so the trailing UNescaped star still
+    // makes a prefix clause of the literal-star stem
+    assert(p("a\\*b*") == Seq(QsClause('s', "prefix", "a*b")))
+  }
+
+  test("malformed query strings fail loudly") {
+    assertThrows[IllegalArgumentException](p(""))
+    assertThrows[IllegalArgumentException](p("   "))
+    assertThrows[IllegalArgumentException](p("dup +"))
+    assertThrows[IllegalArgumentException](p("-"))
+    assertThrows[IllegalArgumentException](p("\"unterminated"))
+    assertThrows[IllegalArgumentException](p("a*b*c"))
+    assertThrows[IllegalArgumentException](p("*"))
+    assertThrows[IllegalArgumentException](p("+\"\""))
+  }
+
+  // ——— lowering: degenerate equalities against the pinned serves ———
+
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta common words here"),
+      (2L, "alpha alpha gamma padding text body"),
+      (3L, "beta beta gamma common long body text here"),
+      (4L, "alpha beta gamma delta"),
+      (5L, "delta epsilon nothing shared"),
+      (6L, "alphabet soup beta")
+    ).toDF("doc_id", "text")
+  }
+
+  private def freshIndex(): String = {
+    val root = Files.createTempDirectory("qs_idx").toString
+    TextAnalysis.writeBm25Index(corpus(), "doc_id", "text", root,
+      nBuckets = 4)
+    root
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("all-SHOULD terms degenerate to the plain disjunctive serve") {
+    val root = freshIndex()
+    assert(rows(TextAnalysis.queryStringTopK(spark, root, "alpha beta", 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha beta", 10)))
+  }
+
+  test("all-MUST terms degenerate to the conjunctive serve") {
+    val root = freshIndex()
+    assert(rows(TextAnalysis.queryStringTopK(spark, root, "+alpha +beta", 10))
+      == rows(TextAnalysis.bm25ServeTopKAnd(spark, root, "alpha beta", 10)))
+  }
+
+  test("SHOULD + MUST_NOT degenerates to the exclusion serve") {
+    val root = freshIndex()
+    assert(rows(TextAnalysis.queryStringTopK(spark, root, "alpha -gamma", 10))
+      == rows(TextAnalysis.bm25ServeTopKNot(spark, root, "alpha", "gamma", 10)))
+  }
+
+  test("a lone SHOULD prefix degenerates to the wildcard scoring serve") {
+    val root = freshIndex()
+    assert(rows(TextAnalysis.queryStringTopK(spark, root, "alpha*", 10))
+      == rows(TextAnalysis.bm25ServePrefixTopK(spark, root, "alpha", 10)))
+  }
+
+  test("a MUST group requires >= 1 expansion; docs outside it drop") {
+    val root = freshIndex()
+    // gam* expands to {gamma}; doc 1/6 match beta but carry no gamma
+    val got = rows(TextAnalysis.queryStringTopK(spark, root,
+      "+gam* beta", 10)).map(_._1).toSet
+    assert(got == Set(2L, 3L, 4L))
+    // and the group's own terms score: doc 2 has no beta yet qualifies
+  }
+
+  test("a MUST wildcard with an empty expansion matches nothing") {
+    val root = freshIndex()
+    assert(TextAnalysis.queryStringTopK(spark, root, "+zz* alpha", 10)
+      .count() == 0L)
+  }
+
+  test("a MUST term absent from the dictionary matches nothing") {
+    val root = freshIndex()
+    assert(TextAnalysis.queryStringTopK(spark, root, "+zzz alpha", 10)
+      .count() == 0L)
+  }
+
+  test("MUST_NOT wildcard excludes every expansion's docs") {
+    val root = freshIndex()
+    // -alph* excludes docs carrying alpha OR alphabet (1,2,4,6)
+    val got = rows(TextAnalysis.queryStringTopK(spark, root,
+      "beta -alph*", 10)).map(_._1).toSet
+    assert(got == Set(3L))
+  }
+
+  test("scored-and-prohibited, and phrase-on-plain-index, fail loudly") {
+    val root = freshIndex()
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.queryStringTopK(spark, root, "alpha -alpha", 10))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.queryStringTopK(spark, root, "\"alpha beta\"", 10))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.queryStringTopK(spark, root, "-alpha", 10))
+  }
+}

@@ -3003,6 +3003,17 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // the FULL classic QueryParser: a MUST phrase composed with a
+    // SHOULD term and a prohibited term in one query string, served
+    // over the positional index — phrase tf = exact adjacency count,
+    // clause scores SUM per doc (the BooleanQuery contract), the
+    // exclusion masks both frames before the sum
+    "query_string_phrase_served" -> ((s, dir) => {
+      TextAnalysis.queryStringPhraseTopK(s, ensurePosBm25Index(s, dir),
+        "+\"big table\" dup -window", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES `range` aggregation over the match set: matching docs (the
     // facet probe's candidate set) bucketed by the n_chars doc-value
     // into *-200 / 200-400 / 400-* and counted — postings probe +
@@ -7916,6 +7927,58 @@ object SparkEntry {
       scoredHaving =
         " HAVING count(DISTINCT CASE WHEN tf.tok LIKE 's%'" +
           " THEN tf.tok END) >= 1"),
+
+    // query string `+"big table" dup -window`: the phrase chain
+    // (adjacency tf, summed idf — phrase_scored_served's replay) LEFT
+    // JOINed with the term chain (MUST phrase anchors the result set),
+    // scores summed, 'window'-bearing docs excluded from BOTH frames
+    "query_string_phrase_served" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |ex AS (SELECT DISTINCT doc_id FROM tk WHERE tok = 'window'),
+        |dfd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'dup'),
+        |idfd AS (SELECT ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS s FROM dfd),
+        |tfd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok = 'dup' AND doc_id NOT IN (SELECT doc_id FROM ex)
+        |  GROUP BY doc_id),
+        |tscore AS (
+        |  SELECT tfd.doc_id,
+        |    (SELECT s FROM idfd) * ((tf * 2200 * 10000) //
+        |      (tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)) AS score
+        |  FROM tfd JOIN lens l USING (doc_id)),
+        |dfb AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'big'),
+        |dft AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'table'),
+        |idfp AS (SELECT
+        |  (((SELECT n FROM st) - b.dfc + 1) * 10000 // (b.dfc + 1)) +
+        |  (((SELECT n FROM st) - t.dfc + 1) * 10000 // (t.dfc + 1)) AS s
+        |  FROM dfb b, dft t),
+        |m AS (
+        |  SELECT a.doc_id FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.tok = 'big' AND b.tok = 'table'),
+        |ptf AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM m
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+        |  GROUP BY doc_id),
+        |pscore AS (
+        |  SELECT ptf.doc_id,
+        |    (SELECT s FROM idfp) * ((tf * 2200 * 10000) //
+        |      (tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)) AS score
+        |  FROM ptf JOIN lens l USING (doc_id)),
+        |comb AS (
+        |  SELECT p.doc_id, p.score + coalesce(t.score, 0) AS score
+        |  FROM pscore p LEFT JOIN tscore t USING (doc_id))
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM comb
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // ES range agg: matching docs bucketed from-inclusive/to-exclusive
     // by n_chars, keyed ES-style, empty buckets omitted

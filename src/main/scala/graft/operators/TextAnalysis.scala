@@ -1829,15 +1829,29 @@ object TextAnalysis {
    */
   def bm25ServePhraseTopK(spark: SparkSession, root: String,
       phrase: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    phraseScoreFrame(spark, root, segs, phrase)
+      .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The phrase serve's pre-limit scoring frame `(doc_id, score)` —
+    * None when a phrase term is absent from the dictionary (a phrase
+    * with an absent term matches nothing, dictionary-decided). Factored
+    * out so [[queryStringPhraseTopK]] can compose phrase clauses with
+    * term scoring; [[bm25ServePhraseTopK]] is this frame + top-k. */
+  private def phraseScoreFrame(spark: SparkSession, root: String,
+      segs: Seq[String], phrase: String): Option[DataFrame] = {
     import graft.sinks.MergeTable
     import spark.implicits._
     val terms = phrase.toLowerCase.trim.split("\\s+")
       .filter(_.nonEmpty).toSeq
     require(terms.length >= 2, "phrase needs at least two tokens")
     val distinctTerms = terms.distinct
-    val segs = liveSegments(spark, root)
-    if (segs.isEmpty)
-      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (distinctTerms :+ Bm25StatsKey).toDF("tok")
     val tRows = segs.flatMap(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
@@ -1853,7 +1867,7 @@ object TextAnalysis {
       .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
     // a phrase with an absent term matches nothing — dictionary-decided
     if (!distinctTerms.forall(dfc.contains))
-      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+      return None
     // Lucene sums idf over all phrase POSITIONS (duplicates included:
     // "table table" carries 2·idf(table)) — replayed in the oracle.
     // bm25Idf gets the dup-bearing list so its large-N overflow guard
@@ -1880,16 +1894,14 @@ object TextAnalysis {
         p => p - lit(i.toLong))
     }
     val inter = shifted.reduce((a, b) => array_intersect(a, b))
-    agg.select(col("doc_id"), size(inter).cast("long").as("tf"),
+    Some(agg.select(col("doc_id"), size(inter).cast("long").as("tf"),
         col("len"))
       .filter(col("tf") > 0)
       .withColumn("norm1000",
         lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
       .withColumn("w",
         expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
-      .select(col("doc_id"), (lit(idfSum) * col("w")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+      .select(col("doc_id"), (lit(idfSum) * col("w")).as("score")))
   }
 
   /**
@@ -3747,7 +3759,6 @@ object TextAnalysis {
    */
   def queryStringTopK(spark: SparkSession, root: String, query: String,
       k: Int, asOf: Option[String] = None): DataFrame = {
-    import graft.sinks.MergeTable
     import spark.implicits._
     val clauses = parseQueryString(query)
     require(!clauses.exists(_.kind == "phrase"),
@@ -3756,6 +3767,34 @@ object TextAnalysis {
     val segs = liveSegmentsWithFence(spark, root, asOf)._1
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val low = lowerClauses(spark, root, segs, clauses)
+    require(low.scored.nonEmpty,
+      "query string needs a scoring clause (+term or a bare term)")
+    boolScoreFrame(spark, root, segs, low, asOf)
+      .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The lowered term-clause algebra of a query string: literal MUSTs,
+    * MUST groups (each a wildcard/fuzzy expansion — the doc needs ≥ 1
+    * member), SHOULD terms (literals ∪ expansions), and prohibited
+    * terms. `groupEmpty` marks a MUST wildcard that expanded to
+    * nothing (the query can match no document). */
+  private final case class LoweredQs(mustTerms: Seq[String],
+      mustGroups: Seq[Map[String, Long]], shouldTerms: Seq[String],
+      exTerms: Seq[String]) {
+    def scored: Seq[String] =
+      (mustTerms ++ mustGroups.flatMap(_.keys) ++ shouldTerms).distinct
+    def groupEmpty: Boolean = mustGroups.exists(_.isEmpty)
+  }
+
+  /** Lower parsed TERM-ish clauses (everything but phrases) to
+    * [[LoweredQs]]: wildcard/fuzzy clauses expand against the
+    * dictionary (band-pruned, budget-capped), occurs bucket the
+    * results. Raises when a term is both scored and prohibited. */
+  private def lowerClauses(spark: SparkSession, root: String,
+      segs: Seq[String], clauses: Seq[QsClause]): LoweredQs = {
     def expandOf(c: QsClause): Map[String, Long] = c.kind match {
       case "prefix" => expandPrefixTerms(spark, root, segs, c.text)
       case "suffix" => expandSuffixTerms(spark, root, segs, c.text)
@@ -3769,9 +3808,6 @@ object TextAnalysis {
       .map(_.text).distinct
     val mustGroups = clauses
       .filter(c => c.occur == '+' && c.kind != "term").map(expandOf)
-    // a MUST wildcard whose expansion is empty can match no document
-    if (mustGroups.exists(_.isEmpty))
-      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val shouldTerms = clauses.filter(_.occur == 's')
       .flatMap(c => if (c.kind == "term") Seq(c.text)
         else expandOf(c).keys.toSeq)
@@ -3779,13 +3815,29 @@ object TextAnalysis {
     val exTerms = clauses.filter(_.occur == '-')
       .flatMap(c => if (c.kind == "term") Seq(c.text)
         else expandOf(c).keys.toSeq).distinct
-    val scored =
-      (mustTerms ++ mustGroups.flatMap(_.keys) ++ shouldTerms).distinct
-    require(scored.nonEmpty,
-      "query string needs a scoring clause (+term or a bare term)")
-    require(scored.intersect(exTerms).isEmpty,
-      s"terms ${scored.intersect(exTerms).mkString(",")} are both " +
+    val low = LoweredQs(mustTerms, mustGroups, shouldTerms, exTerms)
+    require(low.scored.intersect(exTerms).isEmpty,
+      s"terms ${low.scored.intersect(exTerms).mkString(",")} are both " +
         "scored and prohibited — such a query matches nothing")
+    low
+  }
+
+  /** The generalized BooleanQuery scoring frame for a lowered query
+    * string: pre-limit `(doc_id, score)` with MUST / MUST-group /
+    * MUST_NOT enforcement applied; None when the query provably
+    * matches nothing (an empty MUST expansion, a MUST term absent from
+    * the dictionary, or no scored term present at all). */
+  private def boolScoreFrame(spark: SparkSession, root: String,
+      segs: Seq[String], low: LoweredQs,
+      asOf: Option[String]): Option[DataFrame] = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    if (low.groupEmpty) return None
+    val mustTerms = low.mustTerms
+    val mustGroups = low.mustGroups
+    val exTerms = low.exTerms
+    val scored = low.scored
+    if (scored.isEmpty) return None
     // dictionary: df per scored term + the corpus scalars
     val keyDf = (scored :+ Bm25StatsKey).toDF("tok")
     val tRows = segs.flatMap(sg =>
@@ -3802,11 +3854,9 @@ object TextAnalysis {
       .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
     // MUST decided from the dictionary alone, zero postings read
     // (expansion terms always exist there; a literal MUST term may not)
-    if (!mustTerms.forall(dfc.contains))
-      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    if (!mustTerms.forall(dfc.contains)) return None
     val present = scored.filter(dfc.contains)
-    if (present.isEmpty)
-      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    if (present.isEmpty) return None
     val idf = bm25Idf(nDocs, dfc.toMap, present).toDF("tok", "idf")
     val postings = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
@@ -3858,7 +3908,7 @@ object TextAnalysis {
     val groupPass = mustGroups.indices
       .map(i => col(s"_g$i") === 1L)
       .foldLeft(lit(true))(_ && _)
-    restricted
+    Some(restricted
       .join(broadcast(idf), "tok")
       .withColumn("norm1000",
         lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
@@ -3867,7 +3917,96 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(aggCols.head, aggCols.tail: _*)
       .filter(col("nm") === mustTerms.size && groupPass)
-      .select(col("doc_id"), col("score"))
+      .select(col("doc_id"), col("score")))
+  }
+
+  /**
+   * Query-string serve WITH phrase clauses — the full Lucene classic
+   * QueryParser lowering over a POSITIONAL index: term-ish clauses run
+   * through the generalized BooleanQuery frame ([[queryStringTopK]]'s
+   * machinery), each phrase clause scores through the PhraseQuery
+   * frame ([[bm25ServePhraseTopK]]'s machinery, tf = exact adjacency
+   * count, idf = the summed term idfs), and clause scores SUM per doc
+   * (the BooleanQuery contract — every matching scored clause
+   * contributes):
+   *
+   *  - a SHOULD phrase adds its score to docs containing it;
+   *  - a MUST phrase restricts results to docs containing it (and
+   *    scores them); a MUST phrase with an absent term matches
+   *    nothing;
+   *  - a MUST_NOT phrase excludes docs containing the exact phrase —
+   *    note: the PHRASE, not its terms (docs with the words apart
+   *    survive, Lucene's semantics);
+   *  - term-side MUST/MUST_NOT behave exactly as in
+   *    [[queryStringTopK]]; prohibited TERMS also mask the phrase
+   *    frames (one exclusion set, applied to every scoring frame
+   *    before the sum).
+   *
+   * Scale shape: each frame is its serve's plan (postings probes ∝ the
+   * clauses' df, positional fold only over phrase-term docs); the
+   * combine is a unionByName + one groupBy over candidate rows, and
+   * the MUST semi-joins are doc_id-only frames.
+   */
+  def queryStringPhraseTopK(spark: SparkSession, root: String,
+      query: String, k: Int, asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val clauses = parseQueryString(query)
+    val (phrases, rest) = clauses.partition(_.kind == "phrase")
+    require(phrases.nonEmpty,
+      "no phrase clause — use queryStringTopK (cheaper: no positional read)")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty) return empty
+    val low = lowerClauses(spark, root, segs, rest)
+    if (low.groupEmpty) return empty
+    val termMust = low.mustTerms.nonEmpty || low.mustGroups.nonEmpty
+    // the term-side frame (None ⇔ no scored term clause, or the term
+    // musts are unsatisfiable — distinguish: unsatisfiable musts kill
+    // the whole query, a should-less term side just contributes nothing)
+    val termFrame =
+      if (low.scored.isEmpty) None
+      else boolScoreFrame(spark, root, segs, low, asOf) match {
+        case None if termMust => return empty
+        case f => f
+      }
+    // phrase frames by occur; a SHOULD phrase with an absent term just
+    // contributes nothing, a MUST one kills the query
+    val phraseFrames: Seq[(Char, Option[DataFrame])] = phrases.map(c =>
+      (c.occur, phraseScoreFrame(spark, root, segs, c.text)))
+    if (phraseFrames.exists { case (o, f) => o == '+' && f.isEmpty })
+      return empty
+    // prohibited TERMS mask every phrase frame too (the term frame
+    // already excluded them before its aggregate)
+    val exDocs: Option[DataFrame] =
+      if (low.exTerms.isEmpty) None
+      else Some(segs.map(sg =>
+        graft.sinks.MergeTable.readKeys(spark, s"$root/segs/$sg/postings",
+          "tok", low.exTerms.toDF("tok")))
+        .reduce(_.unionByName(_))
+        .select(col("doc_id")).distinct())
+    def maskEx(df: DataFrame): DataFrame = exDocs match {
+      case None => df
+      case Some(ex) => df.join(ex, Seq("doc_id"), "left_anti")
+    }
+    val scoringFrames = termFrame.toSeq ++ phraseFrames.collect {
+      case (o, Some(f)) if o != '-' => maskEx(f)
+    }
+    if (scoringFrames.isEmpty) return empty
+    val summed = scoringFrames
+      .map(_.select(col("doc_id"), col("score")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+    // MUST enforcement across frames: every doc must appear in the
+    // term frame when it carries musts, and in every MUST phrase
+    val mustSets = (if (termMust) termFrame.toSeq else Seq.empty) ++
+      phraseFrames.collect { case ('+', Some(f)) => f }
+    val enforced = mustSets.foldLeft(summed)((acc, f) =>
+      acc.join(f.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    // MUST_NOT phrases: anti-join the exact-phrase doc set
+    val excluded = phraseFrames.collect { case ('-', Some(f)) => f }
+      .foldLeft(enforced)((acc, f) =>
+        acc.join(f.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    excluded
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

@@ -151,4 +151,67 @@ class QueryStringSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](
       TextAnalysis.queryStringTopK(spark, root, "-alpha", 10))
   }
+
+  // ——— phrase composition over the positional index ———
+
+  private def freshPosIndex(): String = {
+    val root = Files.createTempDirectory("qsp_idx").toString
+    TextAnalysis.writeBm25Index(corpus(), "doc_id", "text", root,
+      nBuckets = 4, positions = true)
+    root
+  }
+
+  test("a lone SHOULD phrase degenerates to the scored phrase serve") {
+    val root = freshPosIndex()
+    assert(rows(TextAnalysis.queryStringPhraseTopK(spark, root,
+      "\"alpha beta\"", 10))
+      == rows(TextAnalysis.bm25ServePhraseTopK(spark, root, "alpha beta", 10)))
+  }
+
+  test("MUST phrase anchors the result set; clause scores sum") {
+    val root = freshPosIndex()
+    // "alpha beta" adjacent in docs 1 and 4 only
+    val phr = rows(TextAnalysis.bm25ServePhraseTopK(spark, root,
+      "alpha beta", 10)).toMap
+    val term = rows(TextAnalysis.queryStringTopK(spark, root, "gamma", 10))
+      .toMap
+    val got = rows(TextAnalysis.queryStringPhraseTopK(spark, root,
+      "+\"alpha beta\" gamma", 10)).toMap
+    assert(got.keySet == phr.keySet)
+    got.foreach { case (id, s) =>
+      assert(s == phr(id) + term.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
+  test("SHOULD phrase widens; MUST_NOT phrase excludes the exact phrase only") {
+    val root = freshPosIndex()
+    // should-phrase ∪ should-term: docs matching either qualify
+    val got = rows(TextAnalysis.queryStringPhraseTopK(spark, root,
+      "\"alpha beta\" delta", 10)).map(_._1).toSet
+    assert(got == Set(1L, 4L, 5L))
+    // -"alpha beta" kills 1 and 4 but keeps doc 2 (has alpha, no
+    // adjacent beta) — the PHRASE excludes, not its terms (doc 6's
+    // 'alphabet' is not the term 'alpha'; exact-term matching)
+    val not = rows(TextAnalysis.queryStringPhraseTopK(spark, root,
+      "alpha -\"alpha beta\"", 10)).map(_._1).toSet
+    assert(not == Set(2L))
+  }
+
+  test("prohibited terms mask the phrase frame too") {
+    val root = freshPosIndex()
+    // doc 1 and 4 carry the phrase; doc 4 carries delta → excluded
+    val got = rows(TextAnalysis.queryStringPhraseTopK(spark, root,
+      "\"alpha beta\" -delta", 10)).map(_._1).toSet
+    assert(got == Set(1L))
+  }
+
+  test("a MUST phrase with an absent term matches nothing") {
+    val root = freshPosIndex()
+    assert(TextAnalysis.queryStringPhraseTopK(spark, root,
+      "+\"alpha zz\" beta", 10).count() == 0L)
+    // …but a SHOULD phrase with an absent term just contributes nothing
+    assert(rows(TextAnalysis.queryStringPhraseTopK(spark, root,
+      "\"alpha zz\" beta", 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "beta", 10)))
+  }
 }

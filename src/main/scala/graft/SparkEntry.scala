@@ -3014,6 +3014,48 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // field-scoped query string (Lucene `field:clause` / ES
+    // query_string fields): title MUST + body SHOULD + body exclusion,
+    // each clause lowered against ITS field's index and statistics,
+    // boosted scores summed across fields
+    "query_string_fields_served" -> ((s, dir) => {
+      TextAnalysis.queryStringFieldsTopK(s,
+        Map("title" -> (ensureTitleBm25Index(s, dir), 2000L),
+          "body" -> (ensureBm25Index(s, dir), 1000L)),
+        defaultField = "body",
+        "+title:query sort -title:big", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ES `stats` aggregation: one integer-stats row (count/sum/min/
+    // max/per-mille avg) for n_chars over the match set
+    "search_stats_agg" -> ((s, dir) => {
+      TextAnalysis.bm25StatsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars")
+    }),
+
+    // ES `top_hits` sub-aggregation: the top-2 scored hits per lang
+    // bucket — scoring frame + docvals join + per-bucket window
+    "search_top_hits_agg" -> ((s, dir) => {
+      TextAnalysis.bm25TopHitsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "lang", perBucket = 2)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // ES `significant_terms`: terms over-represented in the match set
+    // vs the corpus — integer lift ⌊1e6·fg·N/(bg·M)⌋, fg from the hit
+    // rows only, bg from the dictionary
+    "search_significant_terms" -> ((s, dir) => {
+      TextAnalysis.bm25SignificantTerms(s, ensureBm25Index(s, dir),
+        "zzz dup", t(s, dir, "documents"), "doc_id", "text", k = 10)
+    }),
+
+    // did-you-mean (Lucene DirectSpellChecker): edit-1 dictionary
+    // candidates for a misspelling, ranked by corpus df
+    "suggest_terms" -> ((s, dir) => {
+      TextAnalysis.suggestTerms(s, ensureBm25Index(s, dir), "scann", k = 5)
+    }),
+
     // ES `range` aggregation over the match set: matching docs (the
     // facet probe's candidate set) bucketed by the n_chars doc-value
     // into *-200 / 200-400 / 400-* and counted — postings probe +
@@ -7979,6 +8021,135 @@ object SparkEntry {
         |  FROM pscore p LEFT JOIN tscore t USING (doc_id))
         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM comb
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // field-scoped query string: the title chain for 'query' (first-8-
+    // tokens field, its OWN stats) anchors (MUST), the body chain for
+    // 'sort' joins in, boosted scores sum, title 'big' docs excluded
+    // after the sum
+    "query_string_fields_served" ->
+      """WITH tdocs AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 8),
+        |    ' ') AS text
+        |  FROM documents),
+        |tkt AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM tdocs),
+        |tkt2 AS (SELECT doc_id, tok FROM tkt WHERE tok <> ''),
+        |lent AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tkt2 GROUP BY doc_id),
+        |stt AS (SELECT count(*) AS n, sum(len) AS tot FROM lent),
+        |dfct AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tkt2 WHERE tok = 'query'),
+        |idft AS (SELECT ((SELECT n FROM stt) - dfc + 1) * 10000 // (dfc + 1) AS s FROM dfct),
+        |tft AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tkt2 WHERE tok = 'query' GROUP BY doc_id),
+        |tscore AS (
+        |  SELECT tft.doc_id,
+        |    (SELECT s FROM idft) * ((tf * 2200 * 10000) //
+        |      (tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM stt) * 1000 // (SELECT n FROM stt)))) // 1000)) AS score
+        |  FROM tft JOIN lent l USING (doc_id)),
+        |tkb0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tkb AS (SELECT doc_id, tok FROM tkb0 WHERE tok <> ''),
+        |lenb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tkb GROUP BY doc_id),
+        |stb AS (SELECT count(*) AS n, sum(len) AS tot FROM lenb),
+        |dfcb AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tkb WHERE tok = 'sort'),
+        |idfb AS (SELECT ((SELECT n FROM stb) - dfc + 1) * 10000 // (dfc + 1) AS s FROM dfcb),
+        |tfb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tkb WHERE tok = 'sort' GROUP BY doc_id),
+        |bscore AS (
+        |  SELECT tfb.doc_id,
+        |    (SELECT s FROM idfb) * ((tf * 2200 * 10000) //
+        |      (tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM stb) * 1000 // (SELECT n FROM stb)))) // 1000)) AS score
+        |  FROM tfb JOIN lenb l USING (doc_id)),
+        |ex AS (SELECT DISTINCT doc_id FROM tkt2 WHERE tok = 'big'),
+        |comb AS (
+        |  SELECT t.doc_id,
+        |    (t.score * 2000 // 1000) + coalesce(b.score * 1000 // 1000, 0) AS score
+        |  FROM tscore t LEFT JOIN bscore b USING (doc_id))
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM comb
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // ES stats agg: one integer row over the match set's n_chars
+    "search_stats_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM tk
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |  CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v,
+        |  CAST((sum(n_chars) * 1000) // count(*) AS BIGINT) AS avg_1000
+        |FROM matched m JOIN documents d USING (doc_id)""".stripMargin,
+
+    // ES top_hits: the scoring chain unlimited, then a per-lang window
+    "search_top_hits_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |dfc AS (
+        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
+        |idf AS (
+        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfc),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+        |      AS score
+        |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
+        |  GROUP BY tf.doc_id),
+        |ranked AS (
+        |  SELECT d.lang, s.doc_id, CAST(s.score AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY s.score DESC, s.doc_id) AS rank
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT lang, rank, doc_id, score FROM ranked
+        |WHERE rank <= 2 ORDER BY lang, rank""".stripMargin,
+
+    // ES significant_terms: lift of match-set term frequency vs the
+    // corpus background, integer-exact
+    "search_significant_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+        |matched AS (SELECT DISTINCT doc_id FROM tk WHERE tok IN ('zzz', 'dup')),
+        |mc AS (SELECT CAST(count(*) AS BIGINT) AS m FROM matched),
+        |fg AS (
+        |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS fg FROM tk
+        |  WHERE doc_id IN (SELECT doc_id FROM matched) GROUP BY tok),
+        |bg AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS bg FROM tk GROUP BY tok)
+        |SELECT f.tok, f.fg, b.bg,
+        |  CAST((f.fg * (SELECT n FROM st) * 1000000) // (b.bg * (SELECT m FROM mc)) AS BIGINT) AS score_1e6
+        |FROM fg f JOIN bg b USING (tok)
+        |ORDER BY score_1e6 DESC, f.fg DESC, f.tok LIMIT 10""".stripMargin,
+
+    // did-you-mean: the edit-1 dictionary neighborhood ranked by df
+    "suggest_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> '')
+        |SELECT tok AS suggestion, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
+        |FROM tk WHERE levenshtein(tok, 'scann') <= 1 AND tok <> 'scann'
+        |GROUP BY tok ORDER BY dfc DESC, tok LIMIT 5""".stripMargin,
 
     // ES range agg: matching docs bucketed from-inclusive/to-exclusive
     // by n_chars, keyed ES-style, empty buckets omitted

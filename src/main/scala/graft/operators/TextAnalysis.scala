@@ -3546,6 +3546,136 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * ES `stats` aggregation over the match set: ONE row of integer
+   * statistics for a numeric doc-values column — n_docs, sum, min,
+   * max, and avg_1000 = ⌊1000·sum/n_docs⌋ (the per-mille average, so
+   * the row replays in SQL with no float). Same probe + docvals-join
+   * cost model as [[bm25RangeAgg]].
+   */
+  def bm25StatsAgg(spark: SparkSession, root: String, queryText: String,
+      valueCol: String, asOf: Option[String] = None): DataFrame = {
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    matched.join(vals, Seq("doc_id"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("__v")).as("sum_v"),
+        min(col("__v")).as("min_v"),
+        max(col("__v")).as("max_v"))
+      .withColumn("avg_1000", expr("(sum_v * 1000) div n_docs"))
+  }
+
+  /**
+   * ES `top_hits` sub-aggregation: the best `perBucket` docs (by the
+   * standard BM25 score, (score desc, doc_id) tie-break) WITHIN each
+   * doc-values facet bucket — "the top 2 hits per language". One
+   * scoring frame (the plain serve's candidates-only plan), one
+   * docvals join, one window PARTITIONED BY the facet — the per-bucket
+   * top-k never materializes more than the candidate set, and the
+   * window's partition count is the facet cardinality (bounded by
+   * contract: facets are low-cardinality doc values).
+   */
+  def bm25TopHitsAgg(spark: SparkSession, root: String,
+      queryText: String, facetCol: String, perBucket: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(perBucket >= 1, s"perBucket must be positive, got $perBucket")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None =>
+        return Seq.empty[(String, Int, Long, Long)]
+          .toDF(facetCol, "rank", "doc_id", "score")
+      case Some(f) => f
+    }
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(facetCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(facetCol))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.join(vals, Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perBucket)
+      .select(col(facetCol), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col(facetCol), col("rank"))
+  }
+
+  /**
+   * ES `significant_terms` aggregation: terms over-represented in the
+   * match set relative to the corpus. For every term of the matched
+   * docs, fg = matching docs containing it, bg = its corpus df (from
+   * the dictionary), and the lift score_1e6 = ⌊1e6·fg·N / (bg·M)⌋
+   * (N = corpus docs, M = matched docs) — the ES "popular vs
+   * background" ratio in exact integers. Top `k` by (score desc,
+   * fg desc, tok). Cost: the match probe + tokenizing ONLY the matched
+   * docs (`docs` is the forward corpus — ES reads term vectors of the
+   * hits, this engine re-tokenizes the hit rows; both are ∝ matched
+   * text, never the corpus) + one dictionary readKeys for bg.
+   */
+  def bm25SignificantTerms(spark: SparkSession, root: String,
+      queryText: String, docs: DataFrame, idCol: String, textCol: String,
+      k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("tok", "fg", "bg", "score_1e6")
+    val statsRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
+        Seq(Bm25StatsKey).toDF("tok")).collect().toSeq)
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    // fg: distinct matched docs per term — tokenize the HIT rows only
+    val hits = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(matched, Seq("doc_id"), "left_semi")
+    val m = hits.count()
+    if (m == 0L)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("tok", "fg", "bg", "score_1e6")
+    val fg = hits
+      .select(col("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("fg"))
+    // bg: corpus df from the dictionary, ONE readKeys over fg's terms
+    val bg = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
+        fg.select(col("tok"))))
+      .reduce(_.unionByName(_))
+      .groupBy(col("tok")).agg(sum(col("dfc")).as("bg"))
+    fg.join(bg, Seq("tok"))
+      .withColumn("score_1e6",
+        expr(s"(fg * ${nDocs}L * 1000000L) div (bg * ${m}L)"))
+      .orderBy(col("score_1e6").desc, col("fg").desc, col("tok"))
+      .limit(k)
+  }
+
+  /**
+   * Term suggestion ("did you mean") — the Lucene DirectSpellChecker
+   * shape: edit-distance-≤1 candidates from the fuzzy two-band
+   * dictionary expansion, the input itself excluded, ranked by
+   * (corpus df desc, tok) — the most-attested nearby spelling wins.
+   * Dictionary-only: no postings read, cost ∝ the two bands.
+   */
+  def suggestTerms(spark: SparkSession, root: String, term: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val q = term.toLowerCase.trim
+    require(q.nonEmpty && !q.exists(_.isWhitespace),
+      "suggest takes a single term")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(String, Long)].toDF("suggestion", "dfc")
+    (expandFuzzyTerms(spark, root, segs, q) - q)
+      .toSeq.sortBy { case (t, df) => (-df, t) }
+      .take(k)
+      .toDF("suggestion", "dfc")
+  }
+
   /** The distinct live doc_ids matching ANY query term — the shared
     * candidate-set probe behind facets and the bucket aggs: one
     * postings readKeys ∝ the terms' df, tombstone-masked. */
@@ -3642,8 +3772,11 @@ object TextAnalysis {
     * term / prefix / suffix / infix / fuzzy / phrase; `text` is the
     * lowercased clause body — for infix it keeps the single interior
     * `*` ("pre*suf"), for phrase it is the whitespace-normalized
-    * token sequence. */
-  final case class QsClause(occur: Char, kind: String, text: String)
+    * token sequence. `field` is the `ident:` scope when present
+    * ("" = the serve's default field — Lucene's field-scoping
+    * syntax; escape the colon to make it literal). */
+  final case class QsClause(occur: Char, kind: String, text: String,
+      field: String = "")
 
   /**
    * Parse the Lucene classic QueryParser subset this engine serves —
@@ -3674,6 +3807,19 @@ object TextAnalysis {
         }
         require(i < q.length && !q.charAt(i).isWhitespace,
           s"dangling '$occur' operator in query string '$query'")
+        // optional `ident:` field scope (idents cannot contain escapes,
+        // so no mask needed; `foo\:bar` never matches — the backslash
+        // breaks the ident run and the colon stays literal)
+        var field = ""
+        var j = i
+        while (j < q.length &&
+            (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
+        if (j > i && j < q.length && q.charAt(j) == ':') {
+          field = q.substring(i, j).toLowerCase
+          i = j + 1
+          require(i < q.length && !q.charAt(i).isWhitespace,
+            s"dangling field scope '$field:' in query string '$query'")
+        }
         if (q.charAt(i) == '"') {
           i += 1
           val sb = new StringBuilder
@@ -3687,7 +3833,7 @@ object TextAnalysis {
           require(closed, s"unterminated phrase quote in '$query'")
           val ph = sb.toString.toLowerCase.trim.replaceAll("\\s+", " ")
           require(ph.nonEmpty, "empty phrase clause")
-          out += QsClause(occur, "phrase", ph)
+          out += QsClause(occur, "phrase", ph, field)
         } else {
           // scan the bare clause, tracking which output chars were
           // escaped (an escaped '*'/'~' is literal, not an operator)
@@ -3717,7 +3863,7 @@ object TextAnalysis {
             else ("term", raw)
           require(text.nonEmpty && text != "*",
             s"empty $kind stem in query string '$query'")
-          out += QsClause(occur, kind, text)
+          out += QsClause(occur, kind, text, field)
         }
       }
     }
@@ -3764,6 +3910,9 @@ object TextAnalysis {
     require(!clauses.exists(_.kind == "phrase"),
       "phrase clause in a non-positional query-string serve — build " +
         "the index with positions=true and use queryStringPhraseTopK")
+    require(clauses.forall(_.field.isEmpty),
+      "field-scoped clause in a single-field serve — use " +
+        "queryStringFieldsTopK with a field→index registry")
     val segs = liveSegmentsWithFence(spark, root, asOf)._1
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
@@ -3952,6 +4101,9 @@ object TextAnalysis {
     import spark.implicits._
     def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val clauses = parseQueryString(query)
+    require(clauses.forall(_.field.isEmpty),
+      "field-scoped clause in a single-field serve — use " +
+        "queryStringFieldsTopK with a field→index registry")
     val (phrases, rest) = clauses.partition(_.kind == "phrase")
     require(phrases.nonEmpty,
       "no phrase clause — use queryStringTopK (cheaper: no positional read)")
@@ -4006,6 +4158,88 @@ object TextAnalysis {
     val excluded = phraseFrames.collect { case ('-', Some(f)) => f }
       .foldLeft(enforced)((acc, f) =>
         acc.join(f.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    excluded
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * FIELD-SCOPED query-string serve — Lucene's `field:clause` syntax
+   * over per-field indexes (the ES query_string `fields` model):
+   * `fields` maps each field name to its index root and query-time
+   * boost in thousandths; clauses without a scope go to
+   * `defaultField`. Per field, its clauses lower through the SAME
+   * generalized BooleanQuery frame as [[queryStringTopK]] (expansions
+   * against THAT field's dictionary, that field's statistics — the
+   * Lucene per-field model), scores boost by ⌊score·boost/1000⌋, and
+   * clause scores SUM per doc across fields. MUST clauses anchor the
+   * result to their field's frame; MUST_NOT clauses exclude docs
+   * matching in THEIR field, applied after the sum (a `-title:x` must
+   * kill a doc even when only its body scored). Same cost model as
+   * the single-field serve, once per named field.
+   */
+  def queryStringFieldsTopK(spark: SparkSession,
+      fields: Map[String, (String, Long)], defaultField: String,
+      query: String, k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    require(fields.contains(defaultField),
+      s"defaultField '$defaultField' is not in the field registry")
+    val clauses = parseQueryString(query)
+    require(!clauses.exists(_.kind == "phrase"),
+      "phrase clauses are single-field — use queryStringPhraseTopK " +
+        "on the scoped field's positional index")
+    val byField = clauses
+      .groupBy(c => if (c.field.isEmpty) defaultField else c.field)
+    byField.keys.foreach(f => require(fields.contains(f),
+      s"query string names unknown field '$f' — registry has " +
+        fields.keys.toSeq.sorted.mkString(",")))
+    var scoring = Seq.empty[DataFrame]
+    var mustFrames = Seq.empty[DataFrame]
+    var exSets = Seq.empty[DataFrame]
+    for ((f, cs) <- byField.toSeq.sortBy(_._1)) {
+      val (root, boost1000) = fields(f)
+      val segs = liveSegmentsWithFence(spark, root, asOf)._1
+      if (segs.isEmpty) {
+        // an empty field index: its MUSTs are unsatisfiable, its
+        // SHOULDs and exclusions contribute nothing
+        if (cs.exists(_.occur == '+')) return empty
+      } else {
+        val low0 = lowerClauses(spark, root, segs, cs)
+        if (low0.groupEmpty) return empty
+        val termMust = low0.mustTerms.nonEmpty || low0.mustGroups.nonEmpty
+        // exclusions apply to the cross-field SUM below, not here
+        val frameOpt =
+          if (low0.scored.isEmpty) None
+          else boolScoreFrame(spark, root, segs,
+            low0.copy(exTerms = Nil), asOf)
+        frameOpt match {
+          case None if termMust => return empty
+          case None => ()
+          case Some(fr) =>
+            val boosted = fr.select(col("doc_id"),
+              expr(s"(score * ${boost1000}L) div 1000").as("score"))
+            scoring :+= boosted
+            if (termMust) mustFrames :+= boosted
+        }
+        if (low0.exTerms.nonEmpty)
+          exSets :+= segs.map(sg =>
+            MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+              low0.exTerms.toDF("tok")))
+            .reduce(_.unionByName(_))
+            .select(col("doc_id")).distinct()
+      }
+    }
+    if (scoring.isEmpty) return empty
+    val summed = scoring
+      .map(_.select(col("doc_id"), col("score")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+    val enforced = mustFrames.foldLeft(summed)((acc, f) =>
+      acc.join(f.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val excluded = exSets.foldLeft(enforced)((acc, ex) =>
+      acc.join(ex, Seq("doc_id"), "left_anti"))
     excluded
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

@@ -205,6 +205,61 @@ class QueryStringSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(1L))
   }
 
+  // ——— field scoping ———
+
+  test("field scopes parse; escaped colons stay literal") {
+    assert(p("+title:dup body:sc* -title:big") == Seq(
+      QsClause('+', "term", "dup", "title"),
+      QsClause('s', "prefix", "sc", "body"),
+      QsClause('-', "term", "big", "title")))
+    assert(p("Title:\"Big Table\"") == Seq(
+      QsClause('s', "phrase", "big table", "title")))
+    assert(p("foo\\:bar") == Seq(QsClause('s', "term", "foo:bar")))
+    assertThrows[IllegalArgumentException](p("title: dup"))
+    // single-field serves reject scoped clauses loudly
+    val root = freshIndex()
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.queryStringTopK(spark, root, "title:alpha", 10))
+  }
+
+  test("fields serve: per-field statistics, boosts, cross-field must/not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "alpha alpha common words here"),
+      (2L, "beta gamma", "common words alpha and padding"),
+      (3L, "alpha alpha", "gamma common beta beta long body"),
+      (4L, "delta", "alpha beta common something else")
+    ).toDF("doc_id", "title", "body")
+    val tRoot = Files.createTempDirectory("qsf_t").toString
+    val bRoot = Files.createTempDirectory("qsf_b").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "title", tRoot, nBuckets = 4)
+    TextAnalysis.writeBm25Index(docs, "doc_id", "body", bRoot, nBuckets = 4)
+    val reg = Map("title" -> (tRoot, 2000L), "body" -> (bRoot, 1000L))
+    // +title:alpha anchors to docs 1,3; body:gamma adds body score
+    val got = rows(TextAnalysis.queryStringFieldsTopK(spark, reg, "body",
+      "+title:alpha body:gamma", 10)).toMap
+    assert(got.keySet == Set(1L, 3L))
+    // scores = boosted per-field single-clause serves summed
+    val ts = rows(TextAnalysis.queryStringTopK(spark, tRoot, "alpha", 10)).toMap
+    val bs = rows(TextAnalysis.queryStringTopK(spark, bRoot, "gamma", 10)).toMap
+    got.foreach { case (id, s) =>
+      val want = ts(id) * 2000L / 1000L + bs.getOrElse(id, 0L) * 1000L / 1000L
+      assert(s == want, s"doc $id")
+    }
+    // -title:beta kills a doc even when only its body scored: body
+    // 'alpha' docs are {1,2,4}; titles of 1 and 2 carry beta → only 4
+    val not = rows(TextAnalysis.queryStringFieldsTopK(spark, reg, "body",
+      "alpha -title:beta", 10)).map(_._1).toSet
+    assert(not == Set(4L))
+    // an unknown field fails loudly; unscoped clauses hit the default
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.queryStringFieldsTopK(spark, reg, "body",
+        "nosuch:alpha", 10))
+    assert(rows(TextAnalysis.queryStringFieldsTopK(spark, reg, "body",
+      "gamma", 10))
+      == rows(TextAnalysis.queryStringTopK(spark, bRoot, "gamma", 10)))
+  }
+
   test("a MUST phrase with an absent term matches nothing") {
     val root = freshPosIndex()
     assert(TextAnalysis.queryStringPhraseTopK(spark, root,

@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * The ES aggregation family over the match set (range / histogram /
+ * stats / top_hits / significant_terms) and the did-you-mean suggester
+ * — semantics on a hand-built corpus where every bucket and count is
+ * checkable by eye.
+ */
+class SearchAggSpec extends AnyFunSuite with SparkTestBase {
+
+  // text ∋ 'hit' marks the match set; n_chars chosen to straddle the
+  // 200/400 cuts; langs two buckets
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "hit alpha beta", "en", 100L),
+      (2L, "hit alpha", "en", 250L),
+      (3L, "hit gamma gamma", "de", 450L),
+      (4L, "miss gamma", "de", 300L), // not matched
+      (5L, "hit beta", "de", 199L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  private def build(): String = {
+    val root = Files.createTempDirectory("agg_idx").toString
+    TextAnalysis.writeBm25Index(corpus(), "doc_id", "text", root,
+      nBuckets = 4, docValueCols = Seq("lang", "n_chars"))
+    root
+  }
+
+  test("range agg buckets from-inclusive/to-exclusive with ES keys") {
+    val root = build()
+    val got = TextAnalysis.bm25RangeAgg(spark, root, "hit", "n_chars",
+      Seq(200L, 400L)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("*-200" -> 2L, "200-400" -> 1L, "400-*" -> 1L))
+  }
+
+  test("histogram agg keys by the inclusive lower bound") {
+    val root = build()
+    val got = TextAnalysis.bm25HistogramAgg(spark, root, "hit", "n_chars",
+      100L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 2L, 200L -> 1L, 400L -> 1L))
+  }
+
+  test("stats agg is one integer row over matched docs only") {
+    val root = build()
+    val r = TextAnalysis.bm25StatsAgg(spark, root, "hit", "n_chars")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("sum_v") == 999L)
+    assert(r.getAs[Long]("min_v") == 100L)
+    assert(r.getAs[Long]("max_v") == 450L)
+    assert(r.getAs[Long]("avg_1000") == 999L * 1000L / 4L)
+  }
+
+  test("top_hits ranks within each facet bucket by (score desc, id)") {
+    val root = build()
+    val got = TextAnalysis.bm25TopHitsAgg(spark, root, "hit alpha",
+      "lang", perBucket = 1).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 2)
+    assert(got.map(_._1).toSet == Set("en", "de"))
+    got.foreach { case (_, rank, _) => assert(rank == 1) }
+    // per-bucket winner beats the other bucket members on score
+    val scores = TextAnalysis.bm25ServeTopK(spark, root, "hit alpha", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLang = Map(1L -> "en", 2L -> "en", 3L -> "de", 5L -> "de")
+    got.foreach { case (lang, _, id) =>
+      byLang.filter(_._2 == lang).keys.foreach { other =>
+        assert(scores(id) >= scores(other)
+          || (scores(id) == scores(other) && id <= other), s"$lang winner")
+      }
+    }
+  }
+
+  test("significant_terms lifts match-set-only terms above background") {
+    val root = build()
+    val got = TextAnalysis.bm25SignificantTerms(spark, root, "hit",
+      corpus(), "doc_id", "text", k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byTok = got.map(g => g._1 -> g).toMap
+    // 'hit' is in every matched doc and only there: maximal lift
+    assert(byTok("hit") == ("hit", 4L, 4L, 1000000L * 5L / 4L))
+    // 'gamma' is mostly background (1 of 2 carriers matched): lift < 1
+    assert(byTok("gamma")._4 == 1000000L * 1L * 5L / (2L * 4L))
+    // ranked by lift first — 'hit' (and the equally-lifted exclusive
+    // terms) come before 'gamma'
+    assert(got.map(_._1).indexOf("hit") < got.map(_._1).indexOf("gamma"))
+  }
+
+  test("suggest ranks the edit-1 dictionary neighborhood by df") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table table cable"),
+      (2L, "table fable"),
+      (3L, "cable gable")
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("sug_idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    val got = TextAnalysis.suggestTerms(spark, root, "tible", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // edit-1 of 'tible': table (sub) df=2, fable/gable/cable are
+    // edit-2 (two subs) — excluded
+    assert(got == Seq(("table", 2L)))
+    // the input itself never suggests
+    assert(!TextAnalysis.suggestTerms(spark, root, "table", 5)
+      .collect().map(_.getString(0)).contains("table"))
+  }
+}

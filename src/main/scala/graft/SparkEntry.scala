@@ -1850,6 +1850,39 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ...and the APPEND lifecycle the per-segment design buys (the
+    // Lucene merge model): even half built, odd half appended as new
+    // immutable segments behind one manifest pointer swap — the serve
+    // walks base + appended graphs and merges. Rows-only + spec like
+    // its parent (HnswSpec pins append visibility, determinism and
+    // orphan invisibility).
+    "ann_hnsw_appended" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswapp_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val marker = new org.apache.hadoop.fs.Path(idx,
+        graft.operators.Hnsw.ReadyMarker)
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      val done = new org.apache.hadoop.fs.Path(idx, "_graft_append_done")
+      if (!fs.exists(marker)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        graft.operators.Hnsw.buildHnswIndex(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          idx, m = 8, efConstruction = 64, nSegments = 4)
+      }
+      if (!fs.exists(done)) {
+        graft.operators.Hnsw.appendHnswSegments(
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          idx, m = 8, efConstruction = 64, nNewSegments = 4)
+        fs.create(done, true).close()
+      }
+      assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=4+4 even-then-odd")
+      graft.operators.Hnsw.hnswTopK(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, efSearch = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF ANN with a TRAINED coarse quantizer: deterministic integer
     // Lloyd k-means (3 iterations, int8 space — every distance and mean
     // an exact int64, so training itself replays in the oracle); queries
@@ -5539,7 +5572,11 @@ object SparkEntry {
     *    SQL-replayable; HnswSpec pins bit-identical construction,
     *    recall ≥ 0.9 vs exact brute force, exact self-retrieval and the
     *    ready-marker fence. */
-  val OracleExempt: Set[String] = Set("ann_hnsw_served")
+  val OracleExempt: Set[String] =
+    // ann_hnsw_appended: the same non-replayable walk over base +
+    // appended segment graphs (HnswSpec pins append visibility,
+    // manifest-commit crash-safety and orphan invisibility)
+    Set("ann_hnsw_served", "ann_hnsw_appended")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

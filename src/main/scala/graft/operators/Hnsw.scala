@@ -227,16 +227,20 @@ object Hnsw {
    * written last (the crash fence: a serve refuses a half-written
    * index).
    */
-  def buildHnswIndex(df: DataFrame, idCol: String, vecCol: String,
-      path: String, m: Int = 8, efConstruction: Int = 64,
-      nSegments: Int = 8): Unit = {
+  /** Build the per-segment node table for a batch: seg ids are
+    * `segBase + (vec_id mod nSegments)`, one graph per seg built in
+    * its own task. */
+  private def buildNodes(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, efConstruction: Int, nSegments: Int,
+      segBase: Int): org.apache.spark.sql.Dataset[Node] = {
     val spark = df.sparkSession
     import spark.implicits._
     val items = df.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("vec"))
-      .withColumn("seg", pmod(col("vec_id"), lit(nSegments)).cast("int"))
+      .withColumn("seg",
+        (lit(segBase) + pmod(col("vec_id"), lit(nSegments))).cast("int"))
       .as[(Long, Array[Float], Int)]
-    val nodes = items.groupByKey(_._3).flatMapGroups { (seg, it) =>
+    items.groupByKey(_._3).flatMapGroups { (seg, it) =>
       val g = buildGraph(it.map(r => (r._1, r._2)).toSeq, m, efConstruction)
       g.ids.indices.iterator.map { n =>
         val nbrs = g.adj(n).zipWithIndex.flatMap { case (ns, lvl) =>
@@ -245,10 +249,73 @@ object Hnsw {
         Node(seg, g.ids(n), g.levels(n), g.vecs(n), nbrs)
       }
     }
-    nodes.write.mode("overwrite").parquet(s"$path/nodes")
+  }
+
+  def buildHnswIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, efConstruction: Int = 64,
+      nSegments: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    buildNodes(df, idCol, vecCol, m, efConstruction, nSegments, 0)
+      .write.mode("overwrite").parquet(s"$path/segs/base/nodes")
+    // manifest commit-last: the seg-dir list is the index's truth (the
+    // BM25 segments pattern) — a crash before this line leaves an
+    // orphan dir no serve reads
+    graft.sinks.Versioned.writeVersioned(
+      Seq("segs/base/nodes").toDF("seg_dir"), s"$path/manifest")
     val marker = new org.apache.hadoop.fs.Path(path, ReadyMarker)
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     fs.create(marker, true).close()
+  }
+
+  /**
+   * Append a batch as NEW segments — the Lucene merge model the
+   * per-segment design buys: existing graphs are IMMUTABLE (no
+   * insertion into a built graph, no rebuild), the batch forms its own
+   * per-segment graphs under a fresh seg dir, and the manifest commit
+   * (a Versioned pointer swap, atomic) makes them visible to every
+   * serve in one step. Crash before the commit leaves an unreferenced
+   * dir (garbage, invisible); the whole append runs under the
+   * maintenance Lease like every other index writer. New seg ids
+   * continue after the current max so graphs never merge on reload.
+   */
+  def appendHnswSegments(df: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, efConstruction: Int = 64,
+      nNewSegments: Int = 1): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sinks.Lease.withLease(spark, path) {
+      val dirs = segDirs(spark, path)
+      val maxSeg = loadNodes(spark, path)
+        .select(max(col("seg"))).head.getInt(0)
+      val newDir = s"segs/app-${java.util.UUID.randomUUID().toString.take(8)}/nodes"
+      buildNodes(df, idCol, vecCol, m, efConstruction, nNewSegments,
+        maxSeg + 1)
+        .write.mode("overwrite").parquet(s"$path/$newDir")
+      graft.sinks.Versioned.writeVersioned(
+        (dirs :+ newDir).toDF("seg_dir"), s"$path/manifest")
+    }
+  }
+
+  /** The manifest's live seg-dir list (sorted — deterministic union
+    * order), or the legacy single-dir layout when the index predates
+    * the manifest. */
+  private def segDirs(spark: SparkSession, path: String): Seq[String] = {
+    if (graft.sinks.Versioned
+        .currentVersion(spark, s"$path/manifest").isDefined)
+      graft.sinks.Versioned.read(spark, s"$path/manifest")
+        .collect().map(_.getString(0)).toSeq.sorted
+    else Seq("nodes")
+  }
+
+  /** Every live segment's nodes as one Dataset — the serve-side read:
+    * manifest-listed dirs only (orphans from crashed appends are
+    * invisible). */
+  private def loadNodes(spark: SparkSession,
+      path: String): org.apache.spark.sql.Dataset[Node] = {
+    import spark.implicits._
+    spark.read.parquet(segDirs(spark, path).map(d => s"$path/$d"): _*)
+      .as[Node]
   }
 
   /** Rebuild one segment's graph from its persisted nodes (adjacency
@@ -290,7 +357,7 @@ object Hnsw {
     val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])].collect()
     val bq = spark.sparkContext.broadcast(qs)
-    val nodes = spark.read.parquet(s"$path/nodes").as[Node]
+    val nodes = loadNodes(spark, path)
     val cands = nodes.groupByKey(_.seg).flatMapGroups { (_, it) =>
       val g = reload(it.toSeq, m)
       bq.value.iterator.flatMap { case (qid, qv) =>
@@ -337,7 +404,7 @@ object Hnsw {
       .as[(Long, Array[Float])].collect()
     val bq = spark.sparkContext.broadcast(qs)
     val ba = spark.sparkContext.broadcast(allowed)
-    val nodes = spark.read.parquet(s"$path/nodes").as[Node]
+    val nodes = loadNodes(spark, path)
     val cands = nodes.groupByKey(_.seg).flatMapGroups { (_, it) =>
       val g = reload(it.toSeq, m)
       val allow: Int => Boolean = n => ba.value.contains(g.ids(n))
@@ -365,7 +432,7 @@ object Hnsw {
     val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])].collect()
     val bq = spark.sparkContext.broadcast(qs)
-    val nodes = spark.read.parquet(s"$path/nodes").as[Node]
+    val nodes = loadNodes(spark, path)
     nodes.groupByKey(_.seg).flatMapGroups { (seg, it) =>
       val g = reload(it.toSeq, m)
       bq.value.iterator.map { case (qid, qv) =>

@@ -50,7 +50,7 @@ class HnswSpec extends AnyFunSuite with SparkTestBase {
     Hnsw.buildHnswIndex(emb, "vec_id", "embedding", p1, nSegments = 4)
     Hnsw.buildHnswIndex(emb, "vec_id", "embedding", p2, nSegments = 4)
     def edges(p: String): Seq[String] =
-      spark.read.parquet(s"$p/nodes")
+      spark.read.parquet(s"$p/segs/base/nodes")
         .select(col("seg"), col("vec_id"), col("level"),
           explode(col("nbrs")).as("e"))
         .select(col("seg"), col("vec_id"), col("level"),
@@ -151,5 +151,53 @@ class HnswSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Hnsw.hnswTopK(spark, p, queries, "vec_id", "embedding", k = 3)
     }
+  }
+
+  test("append lands as new segments: visible, deterministic, recall holds") {
+    val p = Files.createTempDirectory("hnswapp").toString
+    Hnsw.buildHnswIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", p, nSegments = 4)
+    Hnsw.appendHnswSegments(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", p, nNewSegments = 4)
+    // every appended vector retrieves itself exactly (rank 1, cos 1)
+    import spark.implicits._
+    val oddQs = emb.filter(col("vec_id") % 2 =!= 0)
+      .limit(20)
+    val self = Hnsw.hnswTopK(spark, p, oddQs, "vec_id", "embedding",
+      k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    self.foreach { case (q, got) => assert(got == q, s"self-retrieval $q") }
+    // recall over the UNION corpus still clears the build bound
+    val served = Hnsw.hnswTopK(spark, p, queries, "vec_id", "embedding",
+      k = 10, efSearch = 64).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val want = bruteTopK(10)
+    val recalls = want.toSeq.map { case (q, w) =>
+      w.intersect(served.getOrElse(q, Set.empty)).size.toDouble / w.size
+    }
+    assert(recalls.sum / recalls.length >= 0.9,
+      s"post-append mean recall@10 = ${recalls.sum / recalls.length}")
+  }
+
+  test("an orphan segment dir (crashed append) is invisible to serves") {
+    val p = Files.createTempDirectory("hnsworph").toString
+    Hnsw.buildHnswIndex(emb, "vec_id", "embedding", p, nSegments = 4)
+    val before = Hnsw.hnswTopK(spark, p, queries, "vec_id", "embedding",
+      k = 5).collect().map(_.toString).sorted.toSeq
+    // simulate a crash between the node write and the manifest commit:
+    // a fully-written seg dir that no manifest version references
+    val src = new java.io.File(s"$p/segs/base/nodes")
+    val dst = new java.io.File(s"$p/segs/app-orphan/nodes")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.walk(src.toPath).forEach { f =>
+      val rel = src.toPath.relativize(f)
+      val t = dst.toPath.resolve(rel)
+      if (java.nio.file.Files.isDirectory(f)) t.toFile.mkdirs()
+      else java.nio.file.Files.copy(f, t)
+    }
+    val after = Hnsw.hnswTopK(spark, p, queries, "vec_id", "embedding",
+      k = 5).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "orphan seg dir leaked into the serve")
   }
 }

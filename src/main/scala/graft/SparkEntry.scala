@@ -3089,6 +3089,17 @@ object SparkEntry {
       TextAnalysis.suggestTerms(s, ensureBm25Index(s, dir), "scann", k = 5)
     }),
 
+    // the ES rescore stage: cheap disjunctive query ranks a 50-doc
+    // window, the expensive phrase rescores ONLY the window (its ids
+    // pushed into the positional read as an isin literal), integer
+    // weight combine (query×1.0 + phrase×1.5), final top-10
+    "search_rescored" -> ((s, dir) => {
+      TextAnalysis.bm25RescorePhrase(s, ensurePosBm25Index(s, dir),
+        "dup sort query zzz", "big table", windowSize = 50, k = 10,
+        queryWeight1000 = 1000L, rescoreWeight1000 = 1500L)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES `range` aggregation over the match set: matching docs (the
     // facet probe's candidate set) bucketed by the n_chars doc-value
     // into *-200 / 200-400 / 400-* and counted — postings probe +
@@ -8187,6 +8198,62 @@ object SparkEntry {
         |SELECT tok AS suggestion, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
         |FROM tk WHERE levenshtein(tok, 'scann') <= 1 AND tok <> 'scann'
         |GROUP BY tok ORDER BY dfc DESC, tok LIMIT 5""".stripMargin,
+
+    // the rescore replay: base chain → top-50 window → phrase chain
+    // joined on the window (restriction is value-preserving: the
+    // engine's isin pushdown changes what is READ, not what matches)
+    // → integer weight combine → top-10
+    "search_rescored" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |dfc AS (
+        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
+        |idf AS (
+        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfc),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+        |      AS score
+        |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
+        |  GROUP BY tf.doc_id),
+        |win AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+        |dfb AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'big'),
+        |dft AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'table'),
+        |idfp AS (SELECT
+        |  (((SELECT n FROM st) - b.dfc + 1) * 10000 // (b.dfc + 1)) +
+        |  (((SELECT n FROM st) - t.dfc + 1) * 10000 // (t.dfc + 1)) AS s
+        |  FROM dfb b, dft t),
+        |m AS (
+        |  SELECT a.doc_id FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.tok = 'big' AND b.tok = 'table'),
+        |ptf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY doc_id),
+        |pscore AS (
+        |  SELECT ptf.doc_id,
+        |    (SELECT s FROM idfp) * ((tf * 2200 * 10000) //
+        |      (tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)) AS score
+        |  FROM ptf JOIN lens l USING (doc_id)),
+        |comb AS (
+        |  SELECT w.doc_id,
+        |    (w.score * 1000 // 1000) + coalesce(p.score * 1500 // 1000, 0) AS score
+        |  FROM win w LEFT JOIN pscore p USING (doc_id))
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM comb
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // ES range agg: matching docs bucketed from-inclusive/to-exclusive
     // by n_chars, keyed ES-style, empty buckets omitted

@@ -1845,7 +1845,8 @@ object TextAnalysis {
     * out so [[queryStringPhraseTopK]] can compose phrase clauses with
     * term scoring; [[bm25ServePhraseTopK]] is this frame + top-k. */
   private def phraseScoreFrame(spark: SparkSession, root: String,
-      segs: Seq[String], phrase: String): Option[DataFrame] = {
+      segs: Seq[String], phrase: String,
+      restrictTo: Option[Seq[Long]] = None): Option[DataFrame] = {
     import graft.sinks.MergeTable
     import spark.implicits._
     val terms = phrase.toLowerCase.trim.split("\\s+")
@@ -1880,9 +1881,16 @@ object TextAnalysis {
     require(posts.schema.fieldNames.contains("positions"),
       s"$root: postings carry no positions — build with positions = true")
     val dead = deletedBm25Docs(spark, root)
-    val alive =
+    val alive0 =
       if (dead.isEmpty) posts
       else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+    // rescore restriction: a BOUNDED id list (the rescore window)
+    // pushed into the postings read as an isin literal — the phrase
+    // fold only ever sees window docs
+    val alive = restrictTo match {
+      case None => alive0
+      case Some(ids) => alive0.filter(col("doc_id").isin(ids: _*))
+    }
     val agg = alive.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"),
         max(col("len")).as("len"))
@@ -4241,6 +4249,60 @@ object TextAnalysis {
     val excluded = exSets.foldLeft(enforced)((acc, ex) =>
       acc.join(ex, Seq("doc_id"), "left_anti"))
     excluded
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * Query RESCORER (the ES `rescore` stage / Lucene QueryRescorer):
+   * rank a `windowSize` window with the CHEAP disjunctive query, then
+   * rescore ONLY those docs with the EXPENSIVE phrase query, combining
+   * total = ⌊base·queryWeight/1000⌋ + ⌊phrase·rescoreWeight/1000⌋
+   * (phrase contributes 0 where it doesn't match — ES's default
+   * score_mode=total shape, integer-exact). The production two-stage
+   * ranking: the phrase's positional fold runs over AT MOST
+   * `windowSize` docs — the window ids are a bounded driver list
+   * pushed into the positional-postings read as an isin literal (the
+   * search_response page-decorate pattern), so rescore cost is
+   * window-∝, never corpus- or df-∝. Requires a positional index.
+   */
+  def bm25RescorePhrase(spark: SparkSession, root: String,
+      queryText: String, phrase: String, windowSize: Int, k: Int,
+      queryWeight1000: Long = 1000L, rescoreWeight1000: Long = 1000L,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    require(windowSize >= k,
+      s"rescore window $windowSize smaller than k=$k — the tail of the " +
+        "result would be unrescored noise")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty) return empty
+    val base = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None => return empty
+      case Some(f) => f
+    }
+    // stage 1: the cheap window — bounded, collected (the same driver
+    // step the search_after cursor and the response page take)
+    val window = base.orderBy(col("score").desc, col("doc_id"))
+      .limit(windowSize).collect()
+    if (window.isEmpty) return empty
+    val winDf = window.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("doc_id", "base")
+    // stage 2: the expensive phrase over the window ids only
+    val phr = phraseScoreFrame(spark, root, segs, phrase,
+      restrictTo = Some(window.map(_.getLong(0)).toSeq))
+    val joined = phr match {
+      case None => winDf.withColumn("p", lit(0L))
+      case Some(f) => winDf.join(
+        f.select(col("doc_id"), col("score").as("p")),
+        Seq("doc_id"), "left").na.fill(0L, Seq("p"))
+    }
+    joined.select(col("doc_id"),
+        (expr(s"(base * ${queryWeight1000}L) div 1000") +
+          expr(s"(p * ${rescoreWeight1000}L) div 1000")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

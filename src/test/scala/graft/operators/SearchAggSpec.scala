@@ -97,6 +97,39 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).indexOf("hit") < got.map(_._1).indexOf("gamma"))
   }
 
+  test("rescore: phrase lifts window docs; outside the window never enters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hit alpha beta zzz pad"), // phrase 'alpha beta' present
+      (2L, "hit beta alpha zzz pad"), // terms present, phrase absent
+      (3L, "hit alpha beta zzz pad"), // phrase present (tie with 1)
+      (4L, "miss only")
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("resc_idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 4, positions = true)
+    val got = TextAnalysis.bm25RescorePhrase(spark, root, "hit",
+      "alpha beta", windowSize = 3, k = 3,
+      queryWeight1000 = 1000L, rescoreWeight1000 = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // same base score everywhere (identical docs for 'hit'); the
+    // phrase lifts 1 and 3 above 2
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    assert(got(0)._2 == got(1)._2 && got(0)._2 > got(2)._2)
+    // total = base + phrase for the lifted docs, = base for doc 2
+    val base = TextAnalysis.bm25ServeTopK(spark, root, "hit", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val phr = TextAnalysis.bm25ServePhraseTopK(spark, root,
+      "alpha beta", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0)._2 == base(1L) + phr(1L))
+    assert(got(2)._2 == base(2L))
+    // a windowSize below k refuses loudly
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25RescorePhrase(spark, root, "hit", "alpha beta",
+        windowSize = 2, k = 3))
+  }
+
   test("suggest ranks the edit-1 dictionary neighborhood by df") {
     import spark.implicits._
     val docs = Seq(

@@ -3060,6 +3060,22 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `percentiles` agg, EXACT nearest-rank (deterministic, unlike
+    // TDigest): p50/p90/p99 of n_chars over the match set
+    "search_percentiles_agg" -> ((s, dir) => {
+      TextAnalysis.bm25PercentilesAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", Seq(50, 90, 99))
+        .orderBy(col("p"))
+    }),
+
+    // ES `terms` agg with a stats SUB-aggregation: per-lang doc count
+    // and per-mille average n_chars over the match set
+    "search_terms_stats_agg" -> ((s, dir) => {
+      TextAnalysis.bm25TermsStatsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "lang", "n_chars")
+        .orderBy(col("lang"))
+    }),
+
     // ES `stats` aggregation: one integer-stats row (count/sum/min/
     // max/per-mille avg) for n_chars over the match set
     "search_stats_agg" -> ((s, dir) => {
@@ -8118,6 +8134,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM comb
         |WHERE doc_id NOT IN (SELECT doc_id FROM ex)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // exact nearest-rank percentiles: one total order over the match
+    // set, value at rank max(1, ceil(p*n/100))
+    "search_percentiles_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM tk
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz')),
+        |ranked AS (
+        |  SELECT d.n_chars AS v,
+        |    row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS rn
+        |  FROM matched m JOIN documents d USING (doc_id)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ranked),
+        |ps(p) AS (VALUES (50), (90), (99))
+        |SELECT p, CAST(r.v AS BIGINT) AS value
+        |FROM ps JOIN ranked r
+        |  ON r.rn = greatest(1, CAST(ceil(p * (SELECT c FROM n) / 100.0) AS BIGINT))
+        |ORDER BY p""".stripMargin,
+
+    // terms + stats sub-agg: per-lang count and per-mille avg n_chars
+    "search_terms_stats_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM tk
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST((sum(d.n_chars) * 1000) // count(*) AS BIGINT) AS avg_1000
+        |FROM matched m JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
 
     // ES stats agg: one integer row over the match set's n_chars
     "search_stats_agg" ->

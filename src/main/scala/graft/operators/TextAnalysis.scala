@@ -3684,6 +3684,59 @@ object TextAnalysis {
       .toDF("suggestion", "dfc")
   }
 
+  /**
+   * ES `percentiles` aggregation, EXACT (nearest-rank: the value whose
+   * 1-based ascending rank is max(1, ⌈p·n/100⌉) over the match set's
+   * doc-values — integer-deterministic, unlike the TDigest approximation
+   * ES defaults to, so it replays in SQL). Exact percentiles need a
+   * total order: one global sort of the MATCH SET (not the corpus) is
+   * the honest cost; the rank filter then returns ≤ |ps| rows.
+   */
+  def bm25PercentilesAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String, ps: Seq[Int],
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $ps")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    val joined = matched.join(vals, Seq("doc_id"))
+    val n = joined.count()
+    if (n == 0L) return Seq.empty[(Int, Long)].toDF("p", "value")
+    val targets = ps.distinct.sorted
+      .map(p => p -> math.max(1L, math.ceil(p * n / 100.0).toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v"), col("doc_id"))
+    val atRanks = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn").isin(targets.map(_._2).distinct: _*))
+      .select(col("rn"), col("__v"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    targets.map { case (p, r) => (p, atRanks(r)) }.toDF("p", "value")
+  }
+
+  /**
+   * ES `terms` aggregation WITH a stats sub-aggregation: per facet
+   * value over the match set, the distinct-doc count and the per-mille
+   * average of a numeric doc-values column — "docs and avg length per
+   * language". One probe + one docvals join + one groupBy.
+   */
+  def bm25TermsStatsAgg(spark: SparkSession, root: String,
+      queryText: String, facetCol: String, valueCol: String,
+      asOf: Option[String] = None): DataFrame = {
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(facetCol),
+        col(valueCol).cast("long").as("__v"))
+    matched.join(vals, Seq("doc_id"))
+      .groupBy(col(facetCol))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("__v")).as("__s"))
+      .select(col(facetCol), col("n_docs"),
+        expr("(__s * 1000) div n_docs").as("avg_1000"))
+      .orderBy(col(facetCol))
+  }
+
   /** The distinct live doc_ids matching ANY query term — the shared
     * candidate-set probe behind facets and the bucket aggs: one
     * postings readKeys ∝ the terms' df, tombstone-masked. */

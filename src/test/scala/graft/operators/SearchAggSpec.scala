@@ -97,6 +97,31 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).indexOf("hit") < got.map(_._1).indexOf("gamma"))
   }
 
+  test("exact percentiles: nearest-rank over the match set, ties by doc id") {
+    val root = build()
+    // matched n_chars ascending: 100, 199, 250, 450 (n = 4)
+    // p50 → rank ceil(2.0)=2 → 199; p90 → rank ceil(3.6)=4 → 450;
+    // p1 → rank max(1, ceil(0.04))=1 → 100
+    val got = TextAnalysis.bm25PercentilesAgg(spark, root, "hit",
+      "n_chars", Seq(1, 50, 90)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 100L, 50 -> 199L, 90 -> 450L))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25PercentilesAgg(spark, root, "hit", "n_chars",
+        Seq(0)))
+  }
+
+  test("terms + stats sub-agg: per-bucket count and per-mille average") {
+    val root = build()
+    val got = TextAnalysis.bm25TermsStatsAgg(spark, root, "hit",
+      "lang", "n_chars").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // en: docs 1,2 (100+250); de: docs 3,5 (450+199)
+    assert(got == Map(
+      "en" -> ((2L, 350L * 1000L / 2L)),
+      "de" -> ((2L, 649L * 1000L / 2L))))
+  }
+
   test("rescore: phrase lifts window docs; outside the window never enters") {
     import spark.implicits._
     val docs = Seq(

@@ -604,4 +604,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "no cross-field cartesian")
   }
+
+  test("query_string serves: bool shape holds (seed semi, exclusion anti, broadcast idf, fused top-k), no corpus scan") {
+    Seq("query_string_served", "query_string_group_served",
+      "query_string_fields_served").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+        s"$q read the corpus — the parse lowering must stay on the index")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("LeftSemi"), s"$q: MUST seed semi-join missing")
+      assert(p.contains("LeftAnti"), s"$q: exclusion anti-join missing")
+      assert(p.contains("BroadcastHashJoin"), s"$q: idf join must broadcast")
+      assert(p.contains("TakeOrderedAndProject"), s"$q: top-k not fused")
+      assert(!p.contains("CartesianProduct"), s"$q: accidental cartesian")
+    }
+  }
+
+  test("match-set aggs: postings probe + docvals join only — the corpus text never read") {
+    Seq("search_range_agg", "search_histogram_agg", "search_stats_agg",
+      "search_terms_stats_agg", "search_top_hits_agg").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(df.inputFiles.exists(_.contains("/docvals/")),
+        s"$q must read the docvals sidecar")
+      assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+        s"$q scanned the corpus — aggs must stay on the index")
+    }
+  }
+
+  test("search_rescored: window ids push into the positional read as In filters") {
+    val df = SparkEntry.queries("search_rescored")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the rescore stage reads postings restricted to the collected
+    // window — the In(doc_id, ...) literal reaches the parquet scan,
+    // so the phrase fold's input is window-bounded at any corpus size
+    assert(p.contains("In(doc_id") || p.contains("doc_id IN"),
+      s"window ids must reach the postings scan as a literal filter:\n$p")
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "rescore must stay on the index")
+    assert(!p.contains("CartesianProduct"), "accidental cartesian")
+  }
 }

@@ -3014,6 +3014,33 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // cross-index MERGE (Lucene addIndexes): two indexes built over
+    // disjoint halves merge into a fresh root whose serve is
+    // bit-identical to one build over the union corpus (BM25 stats are
+    // sums) — the single-index oracle applies verbatim
+    "bm25_cross_merged" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = fsTag(s, dir, "documents.parquet")
+      val dst = s"$tmp/graft_bm25_xm_v1_$tag"
+      if (graft.sinks.Versioned.currentVersion(s, dst).isEmpty) {
+        val docs = t(s, dir, "documents")
+        val a = s"$tmp/graft_bm25_xma_v1_$tag"
+        val b = s"$tmp/graft_bm25_xmb_v1_$tag"
+        Seq(a, b, dst).foreach { p0 =>
+          val p = new org.apache.hadoop.fs.Path(p0)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        }
+        TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", a)
+        TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", b)
+        TextAnalysis.mergeBm25Indexes(s, Seq(a, b), dst)
+      }
+      assertFixtureSpec(s, dst, "bm25 merged(even,odd) no-deletes")
+      TextAnalysis.bm25ServeTopK(s, dst, "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // the Lucene classic QueryParser lowering: `+dup sort sc* -big`
     // parses to MUST(dup) + SHOULD(sort, expansion of sc*) +
     // MUST_NOT(big) and runs as ONE generalized BooleanQuery serve —
@@ -8351,6 +8378,9 @@ object SparkEntry {
         |FROM $AnalyzedDocsSubquery
         |ORDER BY doc_id""".stripMargin),
     "bm25_appended" -> Bm25TopkSql,
+    // cross-index merge: stats are sums, so the union-corpus chain is
+    // the exact oracle — the addIndexes invariant made hash-checkable
+    "bm25_cross_merged" -> Bm25TopkSql,
     "bm25_compacted" -> Bm25TopkSql,
     "bm25_stream_ingest" -> Bm25TopkSql,
 

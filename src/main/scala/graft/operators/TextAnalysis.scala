@@ -706,6 +706,75 @@ object TextAnalysis {
     }
   }
 
+  /**
+   * Cross-index MERGE — Lucene's IndexWriter.addIndexes: union every
+   * source index's LIVE postings (each source's tombstones apply —
+   * deleted docs do not survive a merge, same as compaction), rebuild
+   * the dictionary and statistics from the survivors, and commit the
+   * result as ONE segment at a FRESH `dest` root. BM25's global stats
+   * are all sums, so the merged index serves bit-identically to a
+   * single build over the union corpus (the same invariant
+   * bm25_appended pins for segments, here across whole indexes).
+   * Sources are read-only and stay fully serveable throughout; `dest`
+   * flips from absent to complete in one manifest commit. Contracts:
+   * doc-id spaces must be DISJOINT (verified: the merged distinct-doc
+   * count must equal the per-source sum — one extra aggregate over
+   * rows the merge already reads, the honest maintenance cost);
+   * sources must agree on positions= and on the docvals sidecar
+   * schema (a mixed merge would silently degrade phrase/filtered
+   * serves — loud beats silent).
+   */
+  def mergeBm25Indexes(spark: SparkSession, sources: Seq[String],
+      dest: String, nBuckets: Int = 32): Unit =
+    graft.sinks.Lease.withLease(spark, dest) {
+      import graft.sinks.MergeTable
+      require(sources.nonEmpty, "no source indexes")
+      require(graft.sinks.Versioned.currentVersion(spark, dest).isEmpty,
+        s"$dest already holds an index — merge targets a fresh root " +
+          "(in-place consolidation is compactBm25Index)")
+      val perSource = sources.map { root =>
+        val (segs, _) = liveSegmentsWithFence(spark, root)
+        val dead = deletedBm25Docs(spark, root)
+        val u = segs.map(sg =>
+          MergeTable.read(spark, s"$root/segs/$sg/postings"))
+          .reduce(_.unionByName(_))
+        val live =
+          if (dead.isEmpty) u
+          else u.filter(!col("doc_id").isin(dead.toSeq: _*))
+        (root, segs, dead, live)
+      }
+      val posFlags = perSource
+        .map(_._4.schema.fieldNames.contains("positions")).distinct
+      require(posFlags.size == 1,
+        "sources disagree on positions= — a mixed merge would silently " +
+          "break phrase serves on half the corpus")
+      val merged = perSource.map(_._4).reduce(_.unionByName(_))
+      val perCounts = perSource.map(_._4.select(col("doc_id"))
+        .distinct().count())
+      val mergedCount = merged.select(col("doc_id")).distinct().count()
+      require(mergedCount == perCounts.sum,
+        s"doc-id overlap across sources (union ${perCounts.sum} ids, " +
+          s"distinct $mergedCount) — merge requires disjoint id spaces")
+      val dvCols = perSource.map { case (root, segs, _, _) =>
+        indexDocValueCols(spark, root, segs)
+      }
+      require(dvCols.map(_.isDefined).distinct.size == 1 &&
+        dvCols.flatten.map(_.toSet).distinct.size <= 1,
+        "sources disagree on the docvals sidecar — merge them " +
+          "identically-shaped or not at all")
+      val dv = dvCols.head.map { _ =>
+        perSource.map { case (root, segs, dead, _) =>
+          val u = segs.map(sg =>
+            MergeTable.read(spark, s"$root/segs/$sg/docvals"))
+            .reduce(_.unionByName(_))
+          if (dead.isEmpty) u
+          else u.filter(!col("doc_id").isin(dead.toSeq: _*))
+        }.reduce(_.unionByName(_))
+      }
+      val seg = writeBm25Segment(merged, dest, nBuckets, dv)
+      commitSegments(spark, dest, seg.toSeq)
+    }
+
   /** Smallest string s.t. every `p`-prefixed string is < it (the
     * BigTable prefix-successor trick): increment the last non-U+FFFF
     * char and truncate; None when p is all U+FFFF (open upper bound).

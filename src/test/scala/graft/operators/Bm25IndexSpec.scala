@@ -49,6 +49,54 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       "appended index must equal a fresh build on the union: BM25 stats are sums")
   }
 
+  test("cross-index merge equals a single build; its guards fail loudly") {
+    val docs = corpus()
+    val a = Files.createTempDirectory("bm25xma").toString
+    val b = Files.createTempDirectory("bm25xmb").toString
+    val dst = Files.createTempDirectory("bm25xmd").toString + "/idx"
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", a, nBuckets = 4)
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", b, nBuckets = 4)
+    TextAnalysis.mergeBm25Indexes(spark, Seq(a, b), dst, nBuckets = 4)
+    // one segment, serve == direct union build (stats are sums)
+    assert(TextAnalysis.liveSegments(spark, dst).size == 1)
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      "rare table zzz", k = 10).collect().map(_.toString)
+    val served = TextAnalysis.bm25ServeTopK(spark, dst,
+      "rare table zzz", k = 10).collect().map(_.toString)
+    assert(served.sameElements(direct),
+      "merged index must equal a fresh build on the union corpus")
+    // sources stayed serveable and untouched
+    assert(TextAnalysis.bm25ServeTopK(spark, a, "rare", 5).count() > 0)
+    // a tombstoned source merges only its survivors
+    val c = Files.createTempDirectory("bm25xmc").toString
+    val d = Files.createTempDirectory("bm25xmg").toString
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 10),
+      "doc_id", "text", c, nBuckets = 4)
+    TextAnalysis.writeBm25Index(
+      docs.filter(col("doc_id") > 10 && col("doc_id") <= 20),
+      "doc_id", "text", d, nBuckets = 4)
+    TextAnalysis.deleteBm25Docs(spark, c, Seq(2L, 4L))
+    val dst2 = Files.createTempDirectory("bm25xme").toString + "/idx"
+    TextAnalysis.mergeBm25Indexes(spark,
+      Seq(c, d), dst2, nBuckets = 4)
+    val ids = TextAnalysis.bm25ServeTopK(spark, dst2, "common", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L) && !ids.contains(4L),
+      "deleted docs must not survive a merge")
+    assert(TextAnalysis.deletedBm25Docs(spark, dst2).isEmpty,
+      "the merged index must carry no tombstones")
+    // guards: overlapping id spaces, non-fresh dest
+    val eOverlap = intercept[IllegalArgumentException](
+      TextAnalysis.mergeBm25Indexes(spark, Seq(a, a),
+        Files.createTempDirectory("bm25xmf").toString + "/idx"))
+    assert(eOverlap.getMessage.contains("disjoint"))
+    val eDest = intercept[IllegalArgumentException](
+      TextAnalysis.mergeBm25Indexes(spark, Seq(a, b), dst))
+    assert(eDest.getMessage.contains("fresh root"))
+  }
+
   test("compaction is serve-invariant and collapses the segment list") {
     val docs = corpus()
     val root = Files.createTempDirectory("bm25idx").toString

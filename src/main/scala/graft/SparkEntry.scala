@@ -3132,6 +3132,16 @@ object SparkEntry {
       TextAnalysis.suggestTerms(s, ensureBm25Index(s, dir), "scann", k = 5)
     }),
 
+    // sloppy PhraseQuery scoring: in-order pairs within slop=2, each
+    // weighted ⌊1000/(d+1)⌋ into a per-mille phrase frequency — exact
+    // adjacency scores full weight, a one-gap pair half — slop=0
+    // degenerates bit-for-bit to the exact phrase serve (spec-pinned)
+    "phrase_sloppy_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeSloppyPhraseTopK(s, ensurePosBm25Index(s, dir),
+        "big", "table", slop = 2, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // the ES rescore stage: cheap disjunctive query ranks a 50-doc
     // window, the expensive phrase rescores ONLY the window (its ids
     // pushed into the positional read as an isin literal), integer
@@ -8276,6 +8286,41 @@ object SparkEntry {
         |SELECT tok AS suggestion, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
         |FROM tk WHERE levenshtein(tok, 'scann') <= 1 AND tok <> 'scann'
         |GROUP BY tok ORDER BY dfc DESC, tok LIMIT 5""".stripMargin,
+
+    // sloppy phrase replay: the in-order band self-join weighted
+    // 1000 // (pb − pa) into tf1e3, then the norm chain with tf1e3 in
+    // the exact serve's tf·1000 slot
+    "phrase_sloppy_served" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |dfa AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'big'),
+        |dfb AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'table'),
+        |idfp AS (SELECT
+        |  (((SELECT n FROM st) - a.dfc + 1) * 10000 // (a.dfc + 1)) +
+        |  (((SELECT n FROM st) - b.dfc + 1) * 10000 // (b.dfc + 1)) AS s
+        |  FROM dfa a, dfb b),
+        |m AS (
+        |  SELECT a.doc_id, 1000 // (b.pos - a.pos) AS w
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+        |    AND b.pos - a.pos BETWEEN 1 AND 3
+        |  WHERE a.tok = 'big' AND b.tok = 'table'),
+        |ptf AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tf1e3 FROM m
+        |  GROUP BY doc_id HAVING sum(w) > 0),
+        |scored AS (
+        |  SELECT ptf.doc_id,
+        |    (SELECT s FROM idfp) * ((tf1e3 * 2200 * 10) //
+        |      (tf1e3 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)) AS score
+        |  FROM ptf JOIN lens l USING (doc_id))
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // the rescore replay: base chain → top-50 window → phrase chain
     // joined on the window (restriction is value-preserving: the

@@ -2905,6 +2905,85 @@ object TextAnalysis {
 
   /** The same slop count served from the POSITIONAL index — positions
     * come pre-aggregated from the phrase-term postings, no tokenize. */
+  /**
+   * SLOPPY PhraseQuery SCORING serve (two terms; the Lucene
+   * SloppyPhraseScorer idea with this engine's exact-integer
+   * contract): every in-order pair (pa, pb) with displacement
+   * d = pb − pa − 1 ∈ [0, slop] contributes ⌊1000/(d+1)⌋ to a
+   * PER-MILLE phrase frequency tf1e3 (Lucene's 1/(distance+1)
+   * proximity weight made integral), and the score is
+   * idf(a)+idf(b) times the standard norm arithmetic run on tf1e3
+   * directly — the exact serve's denominator term tf·1000 IS tf1e3
+   * when every match is exact, so slop = 0 degenerates BIT-FOR-BIT to
+   * [[bm25ServePhraseTopK]] (spec-pinned). Documented divergence:
+   * Lucene's matcher is greedy non-overlapping and admits reordering
+   * at extra cost; this contract counts every in-order band pair —
+   * simpler, deterministic, and SQL-replayable. Cost model: the
+   * phrase serve's (one positional probe over the two terms' postings,
+   * one bounded per-doc pair fold).
+   */
+  def bm25ServeSloppyPhraseTopK(spark: SparkSession, root: String,
+      termA: String, termB: String, slop: Int, k: Int): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val a = termA.toLowerCase.trim; val b = termB.toLowerCase.trim
+    require(a.nonEmpty && b.nonEmpty && a != b,
+      "sloppy phrase needs two distinct terms")
+    require(slop >= 0, s"negative slop $slop")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (Seq(a, b) :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    if (!Seq(a, b).forall(dfc.contains))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val idfByTerm = bm25Idf(nDocs, dfc.toMap, Seq(a, b)).toMap
+    val idfSum = idfByTerm(a) + idfByTerm(b)
+    val posts = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        Seq(a, b).toDF("tok"))).reduce(_.unionByName(_))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"$root: postings carry no positions — build with positions = true")
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) posts
+      else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val agg = alive.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"),
+        max(col("len")).as("len"))
+    def posOf(t: String): Column = flatten(transform(
+      filter(col("tp"), x => x.getField("tok") === lit(t)),
+      x => x.getField("positions")))
+    val la = posOf(a); val lb = posOf(b)
+    // per-mille proximity-weighted frequency: ⌊1000/(pb−pa)⌋ per
+    // in-order pair with pb−pa ∈ [1, slop+1] (cast truncation is floor
+    // for the positive band)
+    val tf1e3 = aggregate(la, lit(0L), (acc, p) =>
+      acc + aggregate(
+        filter(lb, q => q > p && q - p <= lit(slop.toLong + 1L)),
+        lit(0L), (acc2, q) => acc2 + (lit(1000L) / (q - p)).cast("long")))
+    agg.select(col("doc_id"), tf1e3.as("tf1e3"), col("len"))
+      .filter(col("tf1e3") > 0)
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf1e3 * 2200 * 10) div (tf1e3 + (1200 * norm1000) div 1000)"))
+      .select(col("doc_id"), (lit(idfSum) * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def nearServeCount(spark: SparkSession, root: String,
       termA: String, termB: String, slop: Int): DataFrame =
     nearServeImpl(spark, root, termA, termB, slop, ordered = false)

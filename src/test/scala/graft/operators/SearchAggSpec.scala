@@ -155,6 +155,33 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
         windowSize = 2, k = 3))
   }
 
+  test("sloppy phrase: slop=0 equals the exact phrase serve; gaps weight 1/(d+1)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta pad pad pad"), // exact adjacency, d=0
+      (2L, "alpha pad beta pad pad"), // d=1 → weight 500
+      (3L, "alpha pad pad beta pad"), // d=2 → weight 333
+      (4L, "beta alpha pad pad pad"), // reversed: no in-order pair
+      (5L, "alpha pad pad pad beta") // d=3 → outside slop=2
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("slop_idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 4, positions = true)
+    // slop=0 degenerates bit-for-bit to the exact phrase serve
+    val exact = TextAnalysis.bm25ServePhraseTopK(spark, root,
+      "alpha beta", 10).collect().map(_.toString).toSeq
+    val slop0 = TextAnalysis.bm25ServeSloppyPhraseTopK(spark, root,
+      "alpha", "beta", slop = 0, k = 10).collect().map(_.toString).toSeq
+    assert(slop0 == exact)
+    // slop=2: docs 1..3 match with strictly decreasing scores; 4,5 out
+    val got = TextAnalysis.bm25ServeSloppyPhraseTopK(spark, root,
+      "alpha", "beta", slop = 2, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0)._2 > got(1)._2 && got(1)._2 > got(2)._2,
+      "proximity weight must decay with displacement")
+  }
+
   test("suggest ranks the edit-1 dictionary neighborhood by df") {
     import spark.implicits._
     val docs = Seq(

@@ -8404,7 +8404,7 @@ object SparkEntry {
         |matched AS (
         |  SELECT DISTINCT doc_id FROM tk
         |  WHERE tok IN ('dup', 'sort', 'query', 'zzz'))
-        |SELECT (n_chars // 100) * 100 AS bucket,
+        |SELECT n_chars - ((n_chars % 100) + 100) % 100 AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM matched m JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY bucket""".stripMargin,

@@ -286,8 +286,21 @@ object Hnsw {
     import spark.implicits._
     graft.sinks.Lease.withLease(spark, path) {
       val dirs = segDirs(spark, path)
-      val maxSeg = loadNodes(spark, path)
-        .select(max(col("seg"))).head.getInt(0)
+      val base = loadNodes(spark, path)
+      val maxSeg = base.select(max(col("seg"))).head.getInt(0)
+      // vec_id disjointness against the existing index — the same
+      // contract mergeBm25Indexes verifies for doc ids (ADVICE r17): an
+      // appended id already present in the base would silently occupy
+      // multiple ranks in hnswTopK results. One bounded aggregate over
+      // data the append already reads (batch ids semi-joined against
+      // the base's id column — parquet reads vec_id only).
+      val dupes = df.select(col(idCol).cast("long").as("vec_id"))
+        .join(base.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .count()
+      require(dupes == 0L,
+        s"append batch shares $dupes vec_ids with the index at $path — " +
+          "appends require disjoint id spaces (delete the old rows and " +
+          "compact first, or re-id the batch)")
       val newDir = s"segs/app-${java.util.UUID.randomUUID().toString.take(8)}/nodes"
       buildNodes(df, idCol, vecCol, m, efConstruction, nNewSegments,
         maxSeg + 1)

@@ -732,9 +732,23 @@ object TextAnalysis {
       require(graft.sinks.Versioned.currentVersion(spark, dest).isEmpty,
         s"$dest already holds an index — merge targets a fresh root " +
           "(in-place consolidation is compactBm25Index)")
-      val perSource = sources.map { root =>
-        val (segs, _) = liveSegmentsWithFence(spark, root)
-        val dead = deletedBm25Docs(spark, root)
+      // One manifest version per source, captured UP FRONT and threaded
+      // through every read (segments, tombstones — and via the pinned
+      // segment list all postings/docvals, which are immutable files):
+      // without the pin, each read re-resolved the LIVE version, so a
+      // concurrent append/delete/compact on a source could pair the new
+      // manifest's postings with the old delete set — an inconsistent
+      // merged snapshot (ADVICE r17). The merge holds only dest's lease
+      // by design: sources stay serveable AND appendable throughout;
+      // the pin makes that safe.
+      val pins = sources.map { root =>
+        root -> Some(graft.sinks.Versioned.currentVersion(spark, root)
+          .getOrElse(throw new IllegalStateException(
+            s"$root has no committed index manifest")))
+      }
+      val perSource = pins.map { case (root, pin) =>
+        val (segs, _) = liveSegmentsWithFence(spark, root, pin)
+        val dead = deletedBm25Docs(spark, root, pin)
         val u = segs.map(sg =>
           MergeTable.read(spark, s"$root/segs/$sg/postings"))
           .reduce(_.unionByName(_))
@@ -3683,10 +3697,15 @@ object TextAnalysis {
   /**
    * ES `histogram` aggregation over the match set: fixed-`interval`
    * buckets keyed by their inclusive lower bound
-   * (floor(value / interval) · interval, the ES key contract for
-   * non-negative values), counting distinct matching docs. Empty
-   * buckets are omitted. Same probe + docvals-join cost model as
-   * [[bm25RangeAgg]].
+   * (floor(value / interval) · interval — the ES key contract, FLOOR
+   * for negatives too: value −3, interval 10 lands in bucket −10, not
+   * 0), counting distinct matching docs. Empty buckets are omitted.
+   * Same probe + docvals-join cost model as [[bm25RangeAgg]]. The
+   * bucket key is v − pmod(v, interval): pmod is the non-negative
+   * remainder, so the subtraction IS exact integer floor division —
+   * double `/`-then-cast or `div` would truncate toward zero and
+   * diverge from both ES and the oracle's `//` on negative values
+   * (ADVICE r17).
    */
   def bm25HistogramAgg(spark: SparkSession, root: String,
       queryText: String, valueCol: String, interval: Long,
@@ -3695,9 +3714,9 @@ object TextAnalysis {
     val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(valueCol))
+    val v = col(valueCol).cast("long")
     matched.join(vals, Seq("doc_id"))
-      .groupBy(((col(valueCol).cast("long") / interval).cast("long")
-        * interval).as("bucket"))
+      .groupBy((v - pmod(v, lit(interval))).as("bucket"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("bucket"))
   }
@@ -4045,17 +4064,23 @@ object TextAnalysis {
           out += QsClause(occur, "phrase", ph, field)
         } else {
           // scan the bare clause, tracking which output chars were
-          // escaped (an escaped '*'/'~' is literal, not an operator)
+          // escaped (an escaped '*'/'~' is literal, not an operator).
+          // Chars lower-case ONE AT A TIME as they are appended — a
+          // whole-string toLowerCase can change the LENGTH for some
+          // Unicode chars (U+0130 'İ' → "i̇"), desyncing `esc` from the
+          // text and misclassifying a '*'/'~' as escaped (ADVICE r17);
+          // per-char Char.toLower never expands, so sb and esc stay in
+          // lockstep by construction.
           val sb = new StringBuilder
           val esc = scala.collection.mutable.ArrayBuffer.empty[Boolean]
           var done = false
           while (i < q.length && !done) q.charAt(i) match {
             case c if c.isWhitespace => done = true
             case '\\' if i + 1 < q.length =>
-              sb.append(q.charAt(i + 1)); esc += true; i += 2
-            case c => sb.append(c); esc += false; i += 1
+              sb.append(q.charAt(i + 1).toLower); esc += true; i += 2
+            case c => sb.append(c.toLower); esc += false; i += 1
           }
-          val raw = sb.toString.toLowerCase
+          val raw = sb.toString
           require(raw.nonEmpty, s"dangling '$occur' in query string")
           val stars = raw.indices.filter(j => raw.charAt(j) == '*' && !esc(j))
           require(stars.size <= 1,
@@ -4126,6 +4151,11 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val low = lowerClauses(spark, root, segs, clauses)
+    // an emptied MUST group (expansion empty, or every member
+    // prohibited) matches nothing — check BEFORE the scoring-clause
+    // require: such a query HAD a scoring clause, it just lowered away
+    if (low.groupEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     require(low.scored.nonEmpty,
       "query string needs a scoring clause (+term or a bare term)")
     boolScoreFrame(spark, root, segs, low, asOf)
@@ -4150,7 +4180,9 @@ object TextAnalysis {
   /** Lower parsed TERM-ish clauses (everything but phrases) to
     * [[LoweredQs]]: wildcard/fuzzy clauses expand against the
     * dictionary (band-pruned, budget-capped), occurs bucket the
-    * results. Raises when a term is both scored and prohibited. */
+    * results. Prohibited terms drop out of expansions (Lucene's
+    * effective semantics); a LITERAL scored term that is also
+    * prohibited raises. */
   private def lowerClauses(spark: SparkSession, root: String,
       segs: Seq[String], clauses: Seq[QsClause]): LoweredQs = {
     def expandOf(c: QsClause): Map[String, Long] = c.kind match {
@@ -4162,22 +4194,34 @@ object TextAnalysis {
       case "fuzzy" => expandFuzzyTerms(spark, root, segs, c.text)
       case other => sys.error(s"unexpected expansion kind $other")
     }
-    val mustTerms = clauses.filter(c => c.occur == '+' && c.kind == "term")
-      .map(_.text).distinct
-    val mustGroups = clauses
-      .filter(c => c.occur == '+' && c.kind != "term").map(expandOf)
-    val shouldTerms = clauses.filter(_.occur == 's')
-      .flatMap(c => if (c.kind == "term") Seq(c.text)
-        else expandOf(c).keys.toSeq)
-      .distinct.filterNot(mustTerms.contains)
     val exTerms = clauses.filter(_.occur == '-')
       .flatMap(c => if (c.kind == "term") Seq(c.text)
         else expandOf(c).keys.toSeq).distinct
-    val low = LoweredQs(mustTerms, mustGroups, shouldTerms, exTerms)
-    require(low.scored.intersect(exTerms).isEmpty,
-      s"terms ${low.scored.intersect(exTerms).mkString(",")} are both " +
-        "scored and prohibited — such a query matches nothing")
-    low
+    val mustTerms = clauses.filter(c => c.occur == '+' && c.kind == "term")
+      .map(_.text).distinct
+    // A prohibited term that falls inside a wildcard/fuzzy EXPANSION is
+    // dropped from the expansion, not a parse error: `+s* -sort` is
+    // satisfiable in Lucene (docs matching another expansion member but
+    // not `sort` survive — MUST_NOT already excludes every doc
+    // containing it, so scoring the term was dead weight anyway). Only a
+    // LITERAL scored term that is also prohibited raises: `+sort -sort`
+    // / `sort -sort` truly match nothing (ADVICE r17). A MUST group
+    // whose expansion empties after the drop provably matches nothing
+    // (every candidate doc would carry an excluded term) — groupEmpty
+    // then yields the empty result, not an error.
+    val mustGroups = clauses
+      .filter(c => c.occur == '+' && c.kind != "term")
+      .map(c => expandOf(c) -- exTerms)
+    val shouldTerms = clauses.filter(_.occur == 's')
+      .flatMap(c => if (c.kind == "term") Seq(c.text)
+        else (expandOf(c) -- exTerms).keys.toSeq)
+      .distinct.filterNot(mustTerms.contains)
+    val literalScored = (mustTerms ++ clauses
+      .filter(c => c.occur == 's' && c.kind == "term").map(_.text)).distinct
+    require(literalScored.intersect(exTerms).isEmpty,
+      s"terms ${literalScored.intersect(exTerms).mkString(",")} are both " +
+        "literally scored and prohibited — such a query matches nothing")
+    LoweredQs(mustTerms, mustGroups, shouldTerms, exTerms)
   }
 
   /** The generalized BooleanQuery scoring frame for a lowered query

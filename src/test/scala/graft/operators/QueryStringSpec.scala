@@ -142,6 +142,33 @@ class QueryStringSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(3L))
   }
 
+  test("escape flags survive length-changing lowercase chars (ADVICE r17)") {
+    // "İ".toLowerCase is the TWO-char "i̇" — a whole-string lowercase
+    // desyncs the per-char escape flags (IndexOutOfBounds, or a '*'
+    // misread as escaped); per-char lowering keeps them aligned
+    assert(p("İx*") == Seq(QsClause('s', "prefix", "ix")))
+    assert(p("İ\\*x") == Seq(QsClause('s', "term", "i*x")))
+  }
+
+  test("a prohibited term inside an expansion drops out, not errors (ADVICE r17)") {
+    val root = freshIndex()
+    // +alph* expands to {alpha, alphabet}; -alpha excludes docs 1/2/4
+    // and drops 'alpha' from the group — doc 6 (alphabet) satisfies the
+    // MUST group and survives, the Lucene effective semantics
+    val got = rows(TextAnalysis.queryStringTopK(spark, root,
+      "+alph* -alpha", 10))
+    assert(got.map(_._1) == Seq(6L))
+    // the SHOULD twin scores exactly like NOT(alphabet, -alpha)
+    assert(rows(TextAnalysis.queryStringTopK(spark, root,
+      "alph* -alpha", 10))
+      == rows(TextAnalysis.bm25ServeTopKNot(spark, root,
+        "alphabet", "alpha", 10)))
+    // a MUST group whose expansion empties after the drop matches
+    // nothing — every candidate would carry the excluded term
+    assert(TextAnalysis.queryStringTopK(spark, root,
+      "+gam* -gamma", 10).count() == 0L)
+  }
+
   test("scored-and-prohibited, and phrase-on-plain-index, fail loudly") {
     val root = freshIndex()
     assertThrows[IllegalArgumentException](

@@ -51,6 +51,21 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(100L -> 2L, 200L -> 1L, 400L -> 1L))
   }
 
+  test("histogram agg floors negative values (ADVICE r17)") {
+    import spark.implicits._
+    // value −3 at interval 10 belongs to bucket −10 (ES floorDiv key
+    // contract) — truncate-toward-zero would misfile it in bucket 0
+    val root = Files.createTempDirectory("agg_idx_neg").toString
+    TextAnalysis.writeBm25Index(Seq(
+      (1L, "hit up", 17L), (2L, "hit down", -3L),
+      (3L, "hit deep", -27L), (4L, "hit zero", 0L))
+      .toDF("doc_id", "text", "delta"), "doc_id", "text", root,
+      nBuckets = 4, docValueCols = Seq("delta"))
+    val got = TextAnalysis.bm25HistogramAgg(spark, root, "hit", "delta",
+      10L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, -10L -> 1L, -30L -> 1L, 0L -> 1L))
+  }
+
   test("stats agg is one integer row over matched docs only") {
     val root = build()
     val r = TextAnalysis.bm25StatsAgg(spark, root, "hit", "n_chars")

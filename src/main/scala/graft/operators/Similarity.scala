@@ -991,7 +991,8 @@ object Similarity {
    * append/compact. Returns the number of tombstoned ids cleared.
    */
   def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = graft.sinks.Lease.withLease(spark, path) {
+      path: String): Int =
+      graft.sinks.Lease.withLeaseHeartbeat(spark, path) {
     purgeTombstonesHooked(spark, path, () => ())
   }
 
@@ -1099,7 +1100,7 @@ object Similarity {
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String, indexKey: String,
       stride: Int = 20, iters: Int = 3, pqM: Option[Int] = None): Unit =
-    graft.sinks.Lease.withLease(spark, path) {
+    graft.sinks.Lease.withLeaseHeartbeat(spark, path) {
       retrainIvfIndexHooked(spark, path, idCol, vecCol, indexKey,
         stride, iters, pqM, () => ())
     }
@@ -1218,7 +1219,7 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long = 128L * 1024 * 1024)
       : graft.sinks.Compactor.CompactResult =
-      graft.sinks.Lease.withLease(spark, path) {
+      graft.sinks.Lease.withLeaseHeartbeat(spark, path) {
     import graft.sinks.Compactor
     requireIndexReady(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)

@@ -673,7 +673,8 @@ object TextAnalysis {
     * (and with it the per-serve readKeys fan-out) drops to 1. Returns
     * the number of segments merged. */
   def compactBm25Index(spark: SparkSession, root: String,
-      nBuckets: Int = 32): Int = graft.sinks.Lease.withLease(spark, root) {
+      nBuckets: Int = 32): Int =
+    graft.sinks.Lease.withLeaseHeartbeat(spark, root) {
     import graft.sinks.MergeTable
     val (old, fence) = liveSegmentsWithFence(spark, root)
     val dead = deletedBm25Docs(spark, root)
@@ -726,7 +727,7 @@ object TextAnalysis {
    */
   def mergeBm25Indexes(spark: SparkSession, sources: Seq[String],
       dest: String, nBuckets: Int = 32): Unit =
-    graft.sinks.Lease.withLease(spark, dest) {
+    graft.sinks.Lease.withLeaseHeartbeat(spark, dest) {
       import graft.sinks.MergeTable
       require(sources.nonEmpty, "no source indexes")
       require(graft.sinks.Versioned.currentVersion(spark, dest).isEmpty,

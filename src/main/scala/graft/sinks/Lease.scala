@@ -200,4 +200,84 @@ object Lease {
       release(spark, key, holder)
     }
   }
+
+  /** Default heartbeat period for [[withLeaseHeartbeat]] — and with
+    * [[HeartbeatGraceFactor]] the crash-recovery bound: a claim is never
+    * extended more than `interval × grace` past the last beat, so a
+    * crashed holder blocks rivals for ≤ 90 s, not a maintenance-sized
+    * TTL. */
+  val DefaultHeartbeatMillis: Long = 30L * 1000
+  val HeartbeatGraceFactor: Long = 3L
+
+  /**
+   * Run `body` under the maintenance lease WITH A RENEWAL HEARTBEAT —
+   * for corpus-proportional maintenance (cross-index merge, compaction,
+   * retrain at the 100 TB scales the docs target) whose runtime cannot
+   * be bounded by any claim TTL chosen up front (VERDICT r17 #2). Two
+   * properties the fixed-TTL [[withLease]] cannot give together:
+   *
+   *  - **no commit-time abort from sheer runtime**: a daemon thread
+   *    re-extends the claim every `intervalMillis` through the same
+   *    [[Versioned.atomicOverwrite]] / conditional-put seam as the
+   *    acquire, so the claim outlives the operation however long it
+   *    runs — [[verifyHeld]] at the manifest commit still passes;
+   *  - **prompt crash recovery**: every extension reaches only
+   *    `intervalMillis × HeartbeatGraceFactor` past the beat, so a
+   *    holder that dies mid-job (with its heartbeat) leaves a claim
+   *    that expires within the grace window — a rival acquires in
+   *    ≤ 90 s by default instead of stalling a full maintenance TTL.
+   *
+   * A failed renewal — the object no longer names us, i.e. a rival
+   * legitimately acquired after a stall longer than the grace window —
+   * stops the heartbeat and records the loss; the operation then
+   * aborts loudly at its commit-time [[verifyHeld]] (or earlier, at the
+   * next explicit [[renew]]) rather than double-committing. Nested
+   * scopes on an already-held root run under the outer claim unchanged
+   * (heartbeat included if the outer scope started one).
+   */
+  def withLeaseHeartbeat[T](spark: SparkSession, root: String,
+      intervalMillis: Long = DefaultHeartbeatMillis)(body: => T): T = {
+    val key = new Path(root).toString
+    if (held.get().contains(key)) return body
+    require(intervalMillis > 0, s"heartbeat interval $intervalMillis <= 0")
+    val holder =
+      s"$jvmId-t${Thread.currentThread().getId}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+    val grace = intervalMillis * HeartbeatGraceFactor
+    val claim = acquire(spark, key, holder, grace)
+    held.set(held.get() + (key -> claim))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          Thread.sleep(intervalMillis)
+          if (!stop.get()) {
+            // extend IN the heartbeat thread via acquire's same-holder
+            // renewal (check → CAS/atomic write → read-back): an
+            // expired claim STILL NAMING US re-extends (no rival took
+            // it — same recovery acquire gives any same-holder retry),
+            // a rival's live claim raises LeaseHeldException and stops
+            // the beat. The body thread's `held` entry keeps the
+            // ORIGINAL expiry — verifyHeld compares holder + the
+            // on-disk liveness, so extensions are visible to it with
+            // no thread-local plumbing.
+            try acquire(spark, key, holder, grace)
+            catch {
+              case _: LeaseHeldException =>
+                stop.set(true) // lost — let verifyHeld abort the commit
+            }
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$holder")
+    beat.setDaemon(true)
+    beat.start()
+    try body
+    finally {
+      stop.set(true)
+      beat.interrupt()
+      held.set(held.get() - key)
+      release(spark, key, holder)
+    }
+  }
 }

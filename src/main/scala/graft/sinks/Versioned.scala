@@ -139,16 +139,36 @@ object Versioned {
     * handling, eventual-consistency retry) lands in one place. */
   def readSmallText(spark: SparkSession, target: Path): Option[String] = {
     val fs = fsOf(spark, target)
-    if (!fs.exists(target)) None
-    else {
-      val len = fs.getFileStatus(target).getLen.toInt
-      val in = fs.open(target)
+    // Bounded retry on the LOCAL-filesystem concurrent-overwrite
+    // artifact: ChecksumFileSystem renames the data file and its .crc
+    // sidecar as two steps, so a reader racing an atomicOverwrite (e.g.
+    // a lease heartbeat extending the claim another thread is reading)
+    // can catch new data beside the old checksum (ChecksumException) or
+    // a stale length (EOF). The pair is consistent again by the next
+    // read; object stores and HDFS never tear (single-object PUT /
+    // atomic rename), so the retry is a local-only affordance that
+    // costs nothing elsewhere.
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(target)) return None
       try {
-        val bytes = new Array[Byte](len)
-        in.readFully(bytes)
-        Some(new String(bytes, StandardCharsets.UTF_8))
-      } finally in.close()
+        val len = fs.getFileStatus(target).getLen.toInt
+        val in = fs.open(target)
+        try {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          return Some(new String(bytes, StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.EOFException |
+                  _: java.io.FileNotFoundException) =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10L * attempt)
+      }
     }
+    None // unreachable
   }
 
   /** Name of the live version under `root`, if a commit ever happened. */

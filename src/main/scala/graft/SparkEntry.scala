@@ -185,6 +185,68 @@ object SparkEntry {
     }
   }
 
+  /** Recall-floor assertion for the HNSW driver rows (VERDICT r17 #1):
+    * the serve's hits per query vs the EXACT cosine top-k over the live
+    * corpus (self included — an existing query vector retrieves itself;
+    * tie-break (cos desc, id), the serve's own order). Embeddings are a
+    * bounded table by contract (500–2k rows at test SFs; queries are a
+    * collected probe batch everywhere), so the exact check is a
+    * driver-side O(|corpus|·|q|) pass. Raises below `floor` — the
+    * semantic gate that holds at ANY sf, alongside the sf-pinned VALUES
+    * golden the oracle replays. */
+  private def assertHnswRecallFloor(s: SparkSession, queries: DataFrame,
+      corpus: DataFrame, res: DataFrame, k: Int, floor: Double): Unit = {
+    def pull(df: DataFrame): Array[(Long, Array[Float])] =
+      df.select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vecs = pull(corpus)
+    val qs = pull(queries)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var sum = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        sum += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else sum / math.sqrt(na * nb)
+    }
+    val exact = qs.map { case (qid, qv) =>
+      qid -> vecs.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val got = res.select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = got.map { case (q, ids) => ids.count(exact(q).contains) }.sum
+    val recall = hits.toDouble / (exact.size * k)
+    require(recall >= floor,
+      f"HNSW serve recall@$k $recall%.3f fell below the $floor floor")
+  }
+
+  /** VALUES-golden oracle for the HNSW rows (VERDICT r17 #1): the serve
+    * is a pure deterministic function of the corpus (hash-derived
+    * levels, id-ordered inserts, (dist, id) tie-breaks — HnswSpec pins
+    * bit-identical rebuilds), so its sf0.01 output is a FIXED relation,
+    * committed under src/main/resources/goldens and replayed to the
+    * driver's DuckDB as literal VALUES. The greedy walk itself is not
+    * SQL-expressible; the golden pins exact content at the driver's
+    * gate sf, and the closure separately asserts a recall floor vs the
+    * exact brute force (the semantic check that holds at any sf).
+    * Regenerate after a corpus regeneration with
+    * tools/regen_hnsw_goldens.py. */
+  private def hnswGoldenSql(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/goldens/$name.csv")
+    require(in != null, s"missing golden resource /goldens/$name.csv")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val header = lines.head.split(",").map(_.trim).mkString(", ")
+    val rows = lines.tail.filter(_.nonEmpty).map(l => s"($l)")
+      .mkString(", ")
+    s"SELECT CAST(query_id AS BIGINT) AS query_id, " +
+      "CAST(rank AS INTEGER) AS rank, CAST(vec_id AS BIGINT) AS vec_id, " +
+      s"CAST(cos1e6 AS BIGINT) AS cos1e6 FROM (VALUES $rows) AS t($header)"
+  }
+
   /** Streaming-harness lifecycle shared by the oracled streaming rows.
     * `freshStreamDirs` hands out a FIXED per-(query, corpus) output +
     * checkpoint pair, wiped at entry — repeated invocations (bench reps,
@@ -1844,10 +1906,12 @@ object SparkEntry {
         graft.operators.Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
           idx, m = 8, efConstruction = 64, nSegments = 8)
       assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=8")
-      graft.operators.Hnsw.hnswTopK(s, idx,
+      val res = graft.operators.Hnsw.hnswTopK(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, efSearch = 64)
-        .orderBy(col("query_id"), col("rank"))
+      assertHnswRecallFloor(s, emb.filter(col("vec_id") < 20), emb,
+        res, k = 3, floor = 0.9)
+      res.orderBy(col("query_id"), col("rank"))
     }),
 
     // ...and the APPEND lifecycle the per-segment design buys (the
@@ -1877,10 +1941,86 @@ object SparkEntry {
         fs.create(done, true).close()
       }
       assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=4+4 even-then-odd")
-      graft.operators.Hnsw.hnswTopK(s, idx,
+      val res = graft.operators.Hnsw.hnswTopK(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, efSearch = 64)
-        .orderBy(col("query_id"), col("rank"))
+      assertHnswRecallFloor(s, emb.filter(col("vec_id") < 20), emb,
+        res, k = 3, floor = 0.9)
+      res.orderBy(col("query_id"), col("rank"))
+    }),
+
+    // tombstone DELETE on the graph index (VERDICT r17 #3): ids ≡ 0
+    // (mod 7) tombstone behind one atomic control-object swap; serves
+    // mask them through the walk's acceptance filter — dead nodes stay
+    // TRAVERSABLE (graph connectivity), never in results. Oracle = the
+    // committed deterministic-serve golden; recall floor asserted vs
+    // the exact brute force over the survivors (self excluded for the
+    // deleted query vectors, included otherwise)
+    "ann_hnsw_deleted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswtomb_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val marker = new org.apache.hadoop.fs.Path(idx,
+        graft.operators.Hnsw.ReadyMarker)
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      val done = new org.apache.hadoop.fs.Path(idx, "_graft_delete_done")
+      if (!fs.exists(marker)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        graft.operators.Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
+          idx, m = 8, efConstruction = 64, nSegments = 8)
+      }
+      if (!fs.exists(done)) {
+        val dead = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        graft.operators.Hnsw.deleteHnswVectors(s, idx, dead.toSeq)
+        fs.create(done, true).close()
+      }
+      assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=8 deleted id%7=0")
+      val res = graft.operators.Hnsw.hnswTopK(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, efSearch = 64)
+      assertHnswRecallFloor(s, emb.filter(col("vec_id") < 20),
+        emb.filter(pmod(col("vec_id"), lit(7)) =!= 0), res,
+        k = 3, floor = 0.9)
+      res.orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ...and COMPACTION, completing the graph index's lifecycle matrix
+    // to IVF's standard: survivor vectors rebuild into fresh per-segment
+    // graphs under the heartbeat lease + one manifest swap, tombstones
+    // clear, replaced dirs GC. Deterministic construction makes the
+    // compacted index bit-identical to a fresh build over the survivors
+    // (HnswDeleteSpec pins it), so the serve goldens like its siblings
+    "ann_hnsw_compacted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswcmp_v1_" +
+        fsTag(s, dir, "embeddings.parquet")
+      val marker = new org.apache.hadoop.fs.Path(idx,
+        graft.operators.Hnsw.ReadyMarker)
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      val done = new org.apache.hadoop.fs.Path(idx, "_graft_compact_done")
+      if (!fs.exists(marker)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        graft.operators.Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
+          idx, m = 8, efConstruction = 64, nSegments = 8)
+      }
+      if (!fs.exists(done)) {
+        val dead = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        graft.operators.Hnsw.deleteHnswVectors(s, idx, dead.toSeq)
+        graft.operators.Hnsw.compactHnswSegments(s, idx, m = 8,
+          efConstruction = 64, nSegments = 8)
+        fs.create(done, true).close()
+      }
+      assertFixtureSpec(s, idx,
+        "hnsw m=8 efc=64 segs=8 deleted id%7=0 compacted")
+      val res = graft.operators.Hnsw.hnswTopK(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, efSearch = 64)
+      assertHnswRecallFloor(s, emb.filter(col("vec_id") < 20),
+        emb.filter(pmod(col("vec_id"), lit(7)) =!= 0), res,
+        k = 3, floor = 0.9)
+      res.orderBy(col("query_id"), col("rank"))
     }),
 
     // IVF ANN with a TRAINED coarse quantizer: deterministic integer
@@ -5629,18 +5769,13 @@ object SparkEntry {
 
   /** Queries with NO SQL oracle, each for a stated structural reason —
     * the driver records a rows-only check for these and their
-    * correctness lives in specs instead. Keep this set tiny and justify
-    * every member:
-    *  - ann_hnsw_served: the HNSW greedy graph walk is deterministic
-    *    (hash levels, id-ordered inserts, (dist,id) tie-breaks) but not
-    *    SQL-replayable; HnswSpec pins bit-identical construction,
-    *    recall ≥ 0.9 vs exact brute force, exact self-retrieval and the
-    *    ready-marker fence. */
-  val OracleExempt: Set[String] =
-    // ann_hnsw_appended: the same non-replayable walk over base +
-    // appended segment graphs (HnswSpec pins append visibility,
-    // manifest-commit crash-safety and orphan invisibility)
-    Set("ann_hnsw_served", "ann_hnsw_appended")
+    * correctness lives in specs instead. EMPTY since round 18: the HNSW
+    * rows (the last members) now carry VALUES-golden oracles — the walk
+    * is deterministic, so its sf0.01 output is a committed fixed
+    * relation (hnswGoldenSql) — plus an in-closure recall floor vs the
+    * exact brute force (VERDICT r17 #1). Keep the set's machinery: any
+    * future member needs this documented justification. */
+  val OracleExempt: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -6822,6 +6957,14 @@ object SparkEntry {
     // assignment (max cosine, centroid-id tiebreak), same 3-cell probes
     // replay of Similarity.ivfTopKTrained: integer Lloyd training + L2
     // cell assignment + probes (see annIvfTrainedSql scaladoc)
+    // the HNSW family: committed VALUES goldens of the deterministic
+    // serve at the driver's gate sf (see hnswGoldenSql — the walk is
+    // not SQL-replayable; recall floors assert separately in-closure)
+    "ann_hnsw_served" -> hnswGoldenSql("ann_hnsw_served"),
+    "ann_hnsw_appended" -> hnswGoldenSql("ann_hnsw_appended"),
+    "ann_hnsw_deleted" -> hnswGoldenSql("ann_hnsw_deleted"),
+    "ann_hnsw_compacted" -> hnswGoldenSql("ann_hnsw_compacted"),
+
     "ann_ivf" -> annIvfTrainedSql(),
     // the served index is assignment-identical to ann_ivf (same trained
     // centroids, same exact-cosine ranking) — same replay oracle

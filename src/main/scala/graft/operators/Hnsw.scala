@@ -287,7 +287,9 @@ object Hnsw {
     graft.sinks.Lease.withLease(spark, path) {
       val dirs = segDirs(spark, path)
       val base = loadNodes(spark, path)
-      val maxSeg = base.select(max(col("seg"))).head.getInt(0)
+      // coalesce for the fully-compacted-empty base (max over no rows)
+      val maxSeg = base.select(coalesce(max(col("seg")), lit(-1)))
+        .head.getInt(0)
       // vec_id disjointness against the existing index — the same
       // contract mergeBm25Indexes verifies for doc ids (ADVICE r17): an
       // appended id already present in the base would silently occupy
@@ -309,6 +311,103 @@ object Hnsw {
         (dirs :+ newDir).toDF("seg_dir"), s"$path/manifest")
     }
   }
+
+  /**
+   * Delete vectors by id — tombstones, the IVF delete's contract on the
+   * graph index (VERDICT r17 #3): no data file is touched, the ids land
+   * in the shared `_tombstones` control object (one atomic swap), and
+   * every serve masks them through the SAME acceptance-filter hook the
+   * filtered search uses — tombstoned nodes are still TRAVERSED (their
+   * edges carry the graph's connectivity; this is exactly Lucene's
+   * live-docs mask over an HNSW walk) but never enter a result set.
+   * [[compactHnswSegments]] removes the rows physically and clears the
+   * set. Same cap ([[Similarity.MaxTombstones]]) bounding the serve-side
+   * broadcast, same re-append caveat: an id stays masked until purged,
+   * and the append-side disjointness guard refuses re-appending an id
+   * whose rows still sit in the base — delete → compact → re-append.
+   * Returns the merged tombstone-set size.
+   */
+  def deleteHnswVectors(spark: SparkSession, path: String,
+      ids: Iterable[Long]): Int = graft.sinks.Lease.withLease(spark, path) {
+    val marker = new org.apache.hadoop.fs.Path(path, ReadyMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(marker),
+      s"$path is not a committed HNSW index (missing $ReadyMarker)")
+    Similarity.mergeTombstones(spark, path, "vec_id", ids)
+  }
+
+  /** The index's live tombstone set — ids every serve must mask. */
+  private def deadIds(spark: SparkSession, path: String): Set[Long] =
+    Similarity.readTombstones(spark, path) match {
+      case Some((idCol, ids)) =>
+        require(idCol == "vec_id",
+          s"$path tombstones keyed by '$idCol', expected vec_id")
+        ids.toSet
+      case None => Set.empty
+    }
+
+  /**
+   * Compact the index: rebuild the survivor vectors (live nodes minus
+   * tombstones) into `nSegments` FRESH per-segment graphs, swap the
+   * manifest to name only them, clear the tombstone set, GC the
+   * replaced segment dirs. This is the Lucene segment-merge applied to
+   * graphs: merged segments' graphs are REBUILT over the union's
+   * vectors (adjacency from a masked walk degrades as deletes grow;
+   * the rebuild restores full graph quality), and because construction
+   * is deterministic the compacted index is BIT-IDENTICAL to a fresh
+   * [[buildHnswIndex]] over the survivor corpus at the same parameters
+   * (HnswDeleteSpec pins it). Runs under the heartbeat lease — the
+   * rebuild is index-proportional, the honest compaction cost anywhere.
+   * Crash model, same as every manifest-swap maintenance here: before
+   * the swap the old view serves untouched (the new dir is an orphan,
+   * invisible); after the swap the compacted view serves and only
+   * garbage remains. Returns the number of segment dirs replaced.
+   */
+  def compactHnswSegments(spark: SparkSession, path: String, m: Int = 8,
+      efConstruction: Int = 64, nSegments: Int = 8): Int =
+    compactHnswSegmentsHooked(spark, path, m, efConstruction, nSegments,
+      () => ())
+
+  private[graft] def compactHnswSegmentsHooked(spark: SparkSession,
+      path: String, m: Int, efConstruction: Int, nSegments: Int,
+      beforeCommit: () => Unit): Int =
+    graft.sinks.Lease.withLeaseHeartbeat(spark, path) {
+      import spark.implicits._
+      val marker = new org.apache.hadoop.fs.Path(path, ReadyMarker)
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(marker),
+        s"$path is not a committed HNSW index (missing $ReadyMarker)")
+      val dirs = segDirs(spark, path)
+      val dead = deadIds(spark, path)
+      val nodes = loadNodes(spark, path)
+      // survivors via broadcast anti-join, not an isin literal — the
+      // set is capped at MaxTombstones (1M ids ≈ 8 MB), a million-entry
+      // IN-list would dominate analysis/codegen
+      val vecs0 = nodes.toDF().select(col("vec_id"), col("vec"))
+      val vecs =
+        if (dead.isEmpty) vecs0
+        else vecs0.join(
+          broadcast(dead.toSeq.toDF("__dead_id")),
+          col("vec_id") === col("__dead_id"), "left_anti")
+      val newDir =
+        s"segs/cmp-${java.util.UUID.randomUUID().toString.take(8)}/nodes"
+      buildNodes(vecs, "vec_id", "vec", m, efConstruction, nSegments, 0)
+        .write.mode("overwrite").parquet(s"$path/$newDir")
+      beforeCommit()
+      graft.sinks.Versioned.writeVersioned(
+        Seq(newDir).toDF("seg_dir"), s"$path/manifest")
+      // post-swap cleanup: the tombstone object (its ids no longer
+      // exist — leaving it would be harmless but confusing) and the
+      // replaced dirs. A crash in here leaves only garbage; the
+      // compacted view is already committed.
+      fs.delete(new org.apache.hadoop.fs.Path(path,
+        Similarity.TombstoneFile), false)
+      dirs.foreach { d =>
+        val segParent = new org.apache.hadoop.fs.Path(s"$path/$d").getParent
+        fs.delete(segParent, true)
+      }
+      dirs.size
+    }
 
   /** The manifest's live seg-dir list (sorted — deterministic union
     * order), or the legacy single-dir layout when the index predates
@@ -370,11 +469,16 @@ object Hnsw {
     val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])].collect()
     val bq = spark.sparkContext.broadcast(qs)
+    // tombstone mask — the acceptance-filter hook: dead nodes are
+    // traversed (connectivity) but never enter results
+    val bd = spark.sparkContext.broadcast(deadIds(spark, path))
     val nodes = loadNodes(spark, path)
     val cands = nodes.groupByKey(_.seg).flatMapGroups { (_, it) =>
       val g = reload(it.toSeq, m)
+      val allow: Int => Boolean =
+        if (bd.value.isEmpty) _ => true else n => !bd.value.contains(g.ids(n))
       bq.value.iterator.flatMap { case (qid, qv) =>
-        g.search(qv, k, efSearch)._1.map { case (id, cos) =>
+        g.search(qv, k, efSearch, allow)._1.map { case (id, cos) =>
           (qid, id, math.round(cos * 1e6))
         }
       }
@@ -417,10 +521,12 @@ object Hnsw {
       .as[(Long, Array[Float])].collect()
     val bq = spark.sparkContext.broadcast(qs)
     val ba = spark.sparkContext.broadcast(allowed)
+    val bd = spark.sparkContext.broadcast(deadIds(spark, path))
     val nodes = loadNodes(spark, path)
     val cands = nodes.groupByKey(_.seg).flatMapGroups { (_, it) =>
       val g = reload(it.toSeq, m)
-      val allow: Int => Boolean = n => ba.value.contains(g.ids(n))
+      val allow: Int => Boolean = n =>
+        ba.value.contains(g.ids(n)) && !bd.value.contains(g.ids(n))
       bq.value.iterator.flatMap { case (qid, qv) =>
         g.search(qv, k, efSearch, allow)._1.map { case (id, cos) =>
           (qid, id, math.round(cos * 1e6))
@@ -445,11 +551,14 @@ object Hnsw {
     val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])].collect()
     val bq = spark.sparkContext.broadcast(qs)
+    val bd = spark.sparkContext.broadcast(deadIds(spark, path))
     val nodes = loadNodes(spark, path)
     nodes.groupByKey(_.seg).flatMapGroups { (seg, it) =>
       val g = reload(it.toSeq, m)
+      val allow: Int => Boolean =
+        if (bd.value.isEmpty) _ => true else n => !bd.value.contains(g.ids(n))
       bq.value.iterator.map { case (qid, qv) =>
-        (qid, seg, g.search(qv, k, efSearch)._2)
+        (qid, seg, g.search(qv, k, efSearch, allow)._2)
       }
     }.toDF("query_id", "seg", "dist_evals")
   }

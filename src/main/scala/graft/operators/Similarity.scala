@@ -927,6 +927,17 @@ object Similarity {
       path: String, idCol: String, ids: Iterable[Long]): Int =
       graft.sinks.Lease.withLease(spark, path) {
     requireIndexReady(spark, path)
+    mergeTombstones(spark, path, idCol, ids)
+  }
+
+  /** The shared tombstone-merge step ([[deleteFromIvfIndex]] and the
+    * HNSW delete): merge `ids` into the existing set, enforce the id
+    * column and the [[MaxTombstones]] cap, commit the one control
+    * object atomically. Caller holds the index lease. Returns the
+    * merged size. */
+  private[graft] def mergeTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, ids: Iterable[Long]): Int = {
     val existing = readTombstones(spark, path)
     existing.foreach { case (prev, _) =>
       require(prev == idCol,

@@ -3126,6 +3126,20 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ...and cross_fields, the third multi_match mode (VERDICT r17 #4):
+    // TERM-centric blending — df summed across fields (capped at the
+    // blended N) so a term rare per-field but common across them stops
+    // looking rare, per-(doc, term) weight = the best boosted field's
+    // (per-field norms, Lucene's BlendedTermQuery-over-DisMax shape),
+    // blended idf, summed per doc
+    "bm25_multifield_cross_served" -> ((s, dir) => {
+      TextAnalysis.bm25CrossFieldsTopK(s,
+        Seq((ensureTitleBm25Index(s, dir), 2000L),
+          (ensureBm25Index(s, dir), 1000L)),
+        "dup sort query zzz", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // filtered search (ES bool filter context): the structured predicate
     // over the index's doc-values sidecar intersects the candidates
     // BEFORE top-k — filtered-out docs are never scored, scoring stats
@@ -5711,14 +5725,17 @@ object SparkEntry {
       |tf_$sfx AS (
       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk_$sfx
       |  WHERE tok IN (SELECT tok FROM qt)$tfExtra GROUP BY doc_id, tok),
-      |scored_$sfx AS (
-      |  SELECT tf.doc_id,
-      |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+      |w_$sfx AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    (tf.tf * 2200 * 10000) //
       |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
-      |        ((SELECT tot FROM st_$sfx) * 1000 // (SELECT n FROM st_$sfx)))) // 1000)))
-      |      AS score
-      |  FROM tf_$sfx tf JOIN idf_$sfx i USING (tok) JOIN lens_$sfx l USING (doc_id)
-      |  GROUP BY tf.doc_id)""".stripMargin
+      |        ((SELECT tot FROM st_$sfx) * 1000 // (SELECT n FROM st_$sfx)))) // 1000)
+      |      AS w
+      |  FROM tf_$sfx tf JOIN lens_$sfx l USING (doc_id)),
+      |scored_$sfx AS (
+      |  SELECT w.doc_id, sum(i.idf * w.w) AS score
+      |  FROM w_$sfx w JOIN idf_$sfx i USING (tok)
+      |  GROUP BY w.doc_id)""".stripMargin
 
   /** Multi-field oracle: title chain over the derived first-8-tokens
     * field, body chain over the full text, integer best_fields /
@@ -5742,6 +5759,42 @@ object SparkEntry {
       |  FROM scored_t t FULL OUTER JOIN scored_b b ON t.doc_id = b.doc_id)
       |SELECT doc_id, CAST($combine AS BIGINT) AS score
       |FROM comb ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  /** cross_fields oracle: per-field per-term weight CTEs (w_t / w_b,
+    * per-field norms), BLENDED df = min(df_t + df_b, N) with N = the
+    * blended max, per-(doc, term) best boosted field weight × blended
+    * idf, summed per doc — TextAnalysis.bm25CrossFieldsTopK step for
+    * step in DuckDB integers. */
+  private def bm25CrossFieldsSql(): String =
+    s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+      |tdocs AS (
+      |  SELECT doc_id, array_to_string(
+      |    list_slice(string_split_regex(lower(trim(text)), '\\s+'), 1, 8),
+      |    ' ') AS text
+      |  FROM documents),
+      |${bm25ScoredCtes("t", "tdocs")},
+      |${bm25ScoredCtes("b", "documents")},
+      |nb AS (
+      |  SELECT greatest((SELECT n FROM st_t), (SELECT n FROM st_b)) AS n),
+      |dfb AS (
+      |  SELECT q.tok,
+      |    least(coalesce(t.dfc, 0) + coalesce(b.dfc, 0),
+      |      (SELECT n FROM nb)) AS dfc
+      |  FROM qt q
+      |  LEFT JOIN dfc_t t USING (tok) LEFT JOIN dfc_b b USING (tok)),
+      |idfx AS (
+      |  SELECT tok, ((SELECT n FROM nb) - dfc + 1) * 10000 // (dfc + 1) AS idf
+      |  FROM dfb),
+      |wx AS (
+      |  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+      |    coalesce(t.tok, b.tok) AS tok,
+      |    greatest(coalesce(t.w, 0) * 2000 // 1000,
+      |      coalesce(b.w, 0) * 1000 // 1000) AS wt
+      |  FROM w_t t FULL OUTER JOIN w_b b
+      |    ON t.doc_id = b.doc_id AND t.tok = b.tok)
+      |SELECT doc_id, CAST(sum(i.idf * wx.wt) AS BIGINT) AS score
+      |FROM wx JOIN idfx i USING (tok)
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
   /** The index-time analysis chain (lowercase → whitespace tokenize →
     * Lucene classic stop set → Harman S-stemmer) as a DuckDB
@@ -7933,6 +7986,8 @@ object SparkEntry {
 
     // most_fields: the boosted per-field sum
     "bm25_multifield_most_served" -> bm25MultiFieldSql("ts + bs"),
+
+    "bm25_multifield_cross_served" -> bm25CrossFieldsSql(),
 
     // multi_match + filter composed: both field chains' tf restricted
     // to filter-passing docs, stats full-corpus, same combiner

@@ -85,6 +85,62 @@ class Bm25MultiFieldSpec extends AnyFunSuite with SparkTestBase {
     assert(multi == plain)
   }
 
+  test("cross_fields: one field at boost 1000 degenerates to the plain serve exactly") {
+    val (tRoot, _) = buildPair()
+    val plain = scores(TextAnalysis.bm25ServeTopK(spark, tRoot,
+      "alpha beta", k = 10))
+    val cross = scores(TextAnalysis.bm25CrossFieldsTopK(spark,
+      Seq((tRoot, 1000L)), "alpha beta", k = 10))
+    assert(cross == plain)
+  }
+
+  test("cross_fields blends df term-centrically and takes the best field's weight") {
+    val (tRoot, bRoot) = buildPair()
+    val q = "alpha beta"
+    val got = scores(TextAnalysis.bm25CrossFieldsTopK(spark,
+      Seq((tRoot, 2000L), (bRoot, 1000L)), q, k = 10))
+    // replay the contract by hand from the corpus: per-field stats,
+    // blended df = min(df_t + df_b, N), per-(doc, term) max boosted w
+    val docs = corpus().collect().map(r => (r.getLong(0),
+      r.getString(1).split("\\s+").toSeq, r.getString(2).split("\\s+").toSeq))
+    val n = docs.length.toLong
+    def stats(field: Long => Seq[String]) = {
+      val lens = docs.map(d => d._1 -> field(d._1).length.toLong).toMap
+      val avg1000 = lens.values.sum * 1000L / n
+      (lens, avg1000)
+    }
+    val byId = docs.map(d => d._1 -> d).toMap
+    val (tLens, tAvg) = stats(id => byId(id)._2)
+    val (bLens, bAvg) = stats(id => byId(id)._3)
+    def w(tf: Long, len: Long, avg1000: Long): Long = {
+      val norm1000 = 250L + (750L * len * 1000L) / avg1000
+      (tf * 2200L * 10000L) / (tf * 1000L + (1200L * norm1000) / 1000L)
+    }
+    val terms = q.split(" ").toSeq
+    val dfT = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val dfB = terms.map(t => t -> docs.count(_._3.contains(t)).toLong).toMap
+    val idf = terms.map { t =>
+      val dfc = math.min(dfT(t) + dfB(t), n)
+      t -> ((n - dfc + 1) * 10000L / (dfc + 1))
+    }.toMap
+    val want = docs.map { case (id, title, body) =>
+      id -> terms.map { t =>
+        val tfT = title.count(_ == t).toLong
+        val tfB = body.count(_ == t).toLong
+        val wt = if (tfT > 0) w(tfT, tLens(id), tAvg) * 2000L / 1000L else 0L
+        val wb = if (tfB > 0) w(tfB, bLens(id), bAvg) * 1000L / 1000L else 0L
+        idf(t) * math.max(wt, wb)
+      }.sum
+    }.filter(_._2 > 0).toMap
+    assert(got == want)
+    // the blended df is LARGER than either field's own, so cross_fields
+    // idf is smaller than the single-field serve's for a shared term —
+    // the "rare in each field, common across them" correction
+    terms.foreach { t =>
+      assert(math.min(dfT(t) + dfB(t), n) >= math.max(dfT(t), dfB(t)))
+    }
+  }
+
   test("filter context: predicate intersects candidates pre-topk, scores keep full-corpus stats") {
     val docs = corpus()
     val root = Files.createTempDirectory("bm25filt").toString

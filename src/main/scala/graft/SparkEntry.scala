@@ -3126,6 +3126,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // query-time synonym expansion (VERDICT r17 #5 — SynonymGraphFilter
+    // done search-time, index invariant): 'lookup' is NOT in the corpus
+    // yet retrieves via its group {lookup, query, scan}; each group
+    // scores as ONE pseudo-term (tf summed over members, df = max
+    // member df — Lucene SynonymQuery), so the oracle replays the
+    // expansion as an IN-list union
+    "bm25_synonym_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServeTopKSynonyms(s, ensureBm25Index(s, dir),
+        "lookup dup", Map("lookup" -> Seq("query", "scan")), k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ...and cross_fields, the third multi_match mode (VERDICT r17 #4):
     // TERM-centric blending — df summed across fields (capped at the
     // blended N) so a term rare per-field but common across them stops
@@ -7988,6 +8000,39 @@ object SparkEntry {
     "bm25_multifield_most_served" -> bm25MultiFieldSql("ts + bs"),
 
     "bm25_multifield_cross_served" -> bm25CrossFieldsSql(),
+
+    // synonym groups replayed as an IN-list union: per group tf = Σ
+    // member tf per doc, df = max member df, the SynonymQuery contract
+    "bm25_synonym_served" ->
+      """WITH syn(grp, tok) AS (VALUES ('lookup', 'lookup'),
+        |  ('lookup', 'query'), ('lookup', 'scan'), ('dup', 'dup')),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |dfm AS (
+        |  SELECT s.grp, s.tok,
+        |    CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM syn s LEFT JOIN tk t ON t.tok = s.tok GROUP BY s.grp, s.tok),
+        |dfg AS (SELECT grp, max(dfc) AS dfc FROM dfm GROUP BY grp),
+        |idf AS (
+        |  SELECT grp, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfg),
+        |tfg AS (
+        |  SELECT t.doc_id, s.grp, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk t JOIN syn s ON s.tok = t.tok GROUP BY t.doc_id, s.grp),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+        |      AS score
+        |  FROM tfg tf JOIN idf i USING (grp) JOIN lens l USING (doc_id)
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // multi_match + filter composed: both field chains' tf restricted
     // to filter-passing docs, stats full-corpus, same combiner

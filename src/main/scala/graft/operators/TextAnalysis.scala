@@ -2368,6 +2368,92 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 top-k with QUERY-TIME synonym expansion (VERDICT r17 #5) — the
+   * SynonymGraphFilter stage done the search-time way: the index stays
+   * invariant (no index-time flattening to rebuild when the synonym set
+   * changes), each query term t expands to its group {t} ∪ synonyms(t),
+   * and a group scores as ONE pseudo-term with Lucene SynonymQuery
+   * semantics:
+   *
+   *  - tf_group(doc) = Σ member tf — occurrences of any member count
+   *    toward one term's frequency (the "same meaning" contract);
+   *  - df_group = max member df — the most common member's document
+   *    frequency, Lucene SynonymQuery's docFreq blend (summing would
+   *    overcount docs containing several members);
+   *  - score(doc) = Σ_groups idf(df_group) · w(tf_group, len).
+   *
+   * A term with no synonyms forms a singleton group, so an empty map
+   * degenerates EXACTLY to [[bm25ServeTopK]] (spec-pinned), and a query
+   * term absent from the corpus still retrieves through its synonyms —
+   * the use case the stage exists for. All integer; the oracle replays
+   * the expansion as an IN-list union per group. Scale shape unchanged
+   * from the plain serve: the dictionary probe covers the expanded term
+   * set, postings stay candidates-only, one extra bounded broadcast
+   * (tok → group) before the per-doc aggregate.
+   */
+  def bm25ServeTopKSynonyms(spark: SparkSession, root: String,
+      queryText: String, synonyms: Map[String, Seq[String]], k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    // group per query term: itself ∪ its (lowercased, deduped) synonyms
+    val groups: Seq[(String, Seq[String])] = terms.map { t =>
+      t -> (t +: synonyms.getOrElse(t, Seq.empty).map(_.toLowerCase.trim)
+        .filter(_.nonEmpty)).distinct
+    }
+    val members = groups.flatMap(_._2).distinct
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (members :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    // group df = max member df (SynonymQuery's blend)
+    val dfGroup = groups.map { case (g, ms) =>
+      g -> ms.map(m => dfc.getOrElse(m, 0L)).max
+    }.toMap
+    val idf = bm25Idf(nDocs, dfGroup, groups.map(_._1)).toDF("grp", "idf")
+    val tok2grp = groups.flatMap { case (g, ms) => ms.map(m => (m, g)) }
+      .toDF("tok", "grp")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        members.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    alive
+      .join(broadcast(tok2grp), "tok")
+      // one pseudo-term per (doc, group): member tfs sum, len is the
+      // doc's (identical on every one of its postings rows)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("tf")).as("tf"), max(col("len")).as("len"))
+      .join(broadcast(idf), "grp")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * The per-doc integer score frame one field index contributes — the
    * exact (doc_id, score) relation [[bm25ServeTopK]] tops-k over,
    * factored out so multi-field and filtered serves can reuse it. None

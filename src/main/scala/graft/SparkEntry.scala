@@ -3284,6 +3284,16 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // ES field collapsing (collapse + inner_hits, VERDICT r17 #6): one
+    // hit per lang (groups ranked by their best hit), each carrying its
+    // top-2 member docs — the scoring frame + docvals join + two
+    // windows, never a corpus scan (plan-pinned)
+    "search_collapsed" -> ((s, dir) => {
+      TextAnalysis.bm25CollapseTopK(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "lang", k = 3, innerK = 2)
+        .orderBy(col("grp_rank"), col("inner_rank"))
+    }),
+
     // ES `significant_terms`: terms over-represented in the match set
     // vs the corpus — integer lift ⌊1e6·fg·N/(bg·M)⌋, fg from the hit
     // rows only, bg from the dictionary
@@ -8499,6 +8509,25 @@ object SparkEntry {
         |  FROM scored s JOIN documents d USING (doc_id))
         |SELECT lang, rank, doc_id, score FROM ranked
         |WHERE rank <= 2 ORDER BY lang, rank""".stripMargin,
+
+    // field collapsing: per-key window for inner hits, a second window
+    // over the rank-1 hits for the group order, top-k groups
+    "search_collapsed" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("c", "documents")},
+        |ranked AS (
+        |  SELECT d.lang, s.doc_id, CAST(s.score AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY s.score DESC, s.doc_id) AS inner_rank
+        |  FROM scored_c s JOIN documents d USING (doc_id)),
+        |grps AS (
+        |  SELECT lang,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS grp_rank
+        |  FROM ranked WHERE inner_rank = 1)
+        |SELECT r.lang, g.grp_rank, r.inner_rank, r.doc_id, r.score
+        |FROM ranked r JOIN grps g USING (lang)
+        |WHERE r.inner_rank <= 2 AND g.grp_rank <= 3
+        |ORDER BY g.grp_rank, r.inner_rank""".stripMargin,
 
     // ES significant_terms: lift of match-set term frequency vs the
     // corpus background, integer-exact

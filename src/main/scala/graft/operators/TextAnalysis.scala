@@ -3967,6 +3967,61 @@ object TextAnalysis {
   }
 
   /**
+   * ES field collapsing (`collapse` + `inner_hits`, VERDICT r17 #6) —
+   * the RESPONSE-path twin of [[bm25TopHitsAgg]]: the hit list keeps
+   * ONE entry per collapse-key (each group represented by its best hit),
+   * groups rank by their top hit's (score desc, doc_id), the best `k`
+   * groups return, and each carries its `innerK` best member docs (the
+   * inner_hits). Output (key, grp_rank, inner_rank, doc_id, score):
+   * grp_rank orders the collapsed hit list, inner_rank = 1 IS the
+   * collapsed hit, ranks 2..innerK its inner hits.
+   *
+   * Scale shape: one candidates-only scoring frame + one docvals join
+   * (the collapse key never touches the corpus text), a per-key window
+   * over candidates, and a group-ranking window over ≤ |distinct keys
+   * in the candidates| rows — bounded by the same low-cardinality
+   * doc-values contract every facet agg here relies on (collapsing on
+   * a unique key is a no-op by construction, not a use case).
+   */
+  def bm25CollapseTopK(spark: SparkSession, root: String,
+      queryText: String, collapseCol: String, k: Int, innerK: Int = 1,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    require(innerK >= 1, s"innerK must be positive, got $innerK")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None =>
+        return Seq.empty[(String, Int, Int, Long, Long)]
+          .toDF(collapseCol, "grp_rank", "inner_rank", "doc_id", "score")
+      case Some(f) => f
+    }
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(collapseCol))
+    val perKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(collapseCol))
+      .orderBy(col("score").desc, col("doc_id"))
+    val ranked = scored.join(vals, Seq("doc_id"))
+      .withColumn("inner_rank", row_number().over(perKey))
+      .filter(col("inner_rank") <= innerK)
+    // group ranking: one window over ≤ |keys| rows (the rank-1 hits)
+    val grpW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("top_score").desc, col("top_doc"))
+    val topGroups = ranked.filter(col("inner_rank") === 1)
+      .select(col(collapseCol), col("score").as("top_score"),
+        col("doc_id").as("top_doc"))
+      .withColumn("grp_rank", row_number().over(grpW))
+      .filter(col("grp_rank") <= k)
+      .select(col(collapseCol), col("grp_rank"))
+    ranked.join(broadcast(topGroups), Seq(collapseCol))
+      .select(col(collapseCol), col("grp_rank"), col("inner_rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("grp_rank"), col("inner_rank"))
+  }
+
+  /**
    * ES `significant_terms` aggregation: terms over-represented in the
    * match set relative to the corpus. For every term of the matched
    * docs, fg = matching docs containing it, bg = its corpus df (from

@@ -77,6 +77,38 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("avg_1000") == 999L * 1000L / 4L)
   }
 
+  test("collapse: one best hit per key, groups ranked by their top hit, inner hits attached") {
+    val root = build()
+    val got = TextAnalysis.bm25CollapseTopK(spark, root, "hit alpha",
+      "lang", k = 2, innerK = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    val scores = TextAnalysis.bm25ServeTopK(spark, root, "hit alpha", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLang = Map(1L -> "en", 2L -> "en", 3L -> "de", 5L -> "de")
+    // hand-collapse: per lang the best (score desc, id) doc, then inner-2
+    val want = byLang.groupBy(_._2).map { case (lang, ds) =>
+      val inner = ds.keys.toSeq
+        .sortBy(id => (-scores(id), id)).take(2).zipWithIndex
+      lang -> inner
+    }
+    val grpOrder = want.toSeq
+      .sortBy { case (_, inner) =>
+        val top = inner.head._1; (-scores(top), top)
+      }.map(_._1).zipWithIndex.toMap
+    val expect = want.toSeq.flatMap { case (lang, inner) =>
+      inner.map { case (id, i) =>
+        (lang, grpOrder(lang) + 1, i + 1, id, scores(id))
+      }
+    }.sortBy(r => (r._2, r._3))
+    assert(got.toSeq == expect)
+    // k=1 group cut: only the best group remains
+    val one = TextAnalysis.bm25CollapseTopK(spark, root, "hit alpha",
+      "lang", k = 1, innerK = 1).collect()
+    assert(one.length == 1 && one.head.getInt(1) == 1
+      && one.head.getInt(2) == 1)
+  }
+
   test("top_hits ranks within each facet bucket by (score desc, id)") {
     val root = build()
     val got = TextAnalysis.bm25TopHitsAgg(spark, root, "hit alpha",

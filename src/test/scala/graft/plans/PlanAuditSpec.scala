@@ -605,6 +605,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "no cross-field cartesian")
   }
 
+  test("search_collapsed: windows run over candidates only — no corpus scan, docvals for the key") {
+    val df = SparkEntry.queries("search_collapsed")(spark, sfDir)
+    assert(df.inputFiles.exists(_.contains("/docvals/")),
+      "collapse key must come from the docvals sidecar")
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "collapse scanned the CORPUS — the response path must stay on " +
+        "the index")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-groups join must broadcast (≤ |keys| rows)")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "no cartesian in the collapse path")
+  }
+
+  test("cross_fields / synonym serves: candidates only, broadcast blends, no corpus scan") {
+    Seq("bm25_multifield_cross_served", "bm25_synonym_served").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+        s"$q read the corpus — blending must stay on the indexes")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the idf/group join must broadcast (bounded term side)")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q: no cartesian")
+    }
+  }
+
   test("query_string serves: bool shape holds (seed semi, exclusion anti, broadcast idf, fused top-k), no corpus scan") {
     Seq("query_string_served", "query_string_group_served",
       "query_string_fields_served").foreach { q =>

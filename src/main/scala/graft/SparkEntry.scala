@@ -3284,6 +3284,16 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // ES function_score (VERDICT r17 #7): a docvals-driven per-mille
+    // factor reshapes the final score — here a length boost
+    // (1000 + n_chars/10, multiply), so a longer doc can outrank a
+    // slightly more relevant short one; top-k applies AFTER the boost
+    "bm25_function_score_served" -> ((s, dir) => {
+      TextAnalysis.bm25FunctionScoreTopK(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "1000 + (n_chars div 10)", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES field collapsing (collapse + inner_hits, VERDICT r17 #6): one
     // hit per lang (groups ranked by their best hit), each carrying its
     // top-2 member docs — the scoring frame + docvals join + two
@@ -8509,6 +8519,16 @@ object SparkEntry {
         |  FROM scored s JOIN documents d USING (doc_id))
         |SELECT lang, rank, doc_id, score FROM ranked
         |WHERE rank <= 2 ORDER BY lang, rank""".stripMargin,
+
+    // function_score: the scored CTE times the per-mille docvals factor
+    "bm25_function_score_served" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("f", "documents")}
+        |SELECT s.doc_id,
+        |  CAST((s.score * (1000 + (d.n_chars // 10))) // 1000 AS BIGINT)
+        |    AS score
+        |FROM scored_f s JOIN documents d USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // field collapsing: per-key window for inner hits, a second window
     // over the rank-1 hits for the group order, top-k groups

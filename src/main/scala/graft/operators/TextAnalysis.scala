@@ -3967,6 +3967,57 @@ object TextAnalysis {
   }
 
   /**
+   * ES `function_score` (VERDICT r17 #7) — doc-values-driven boosts
+   * composed onto the relevance score, the ES boosting story in exact
+   * integers: `factor1000Sql` is an integer SQL expression over the
+   * index's doc-values columns yielding a PER-MILLE factor (1000 =
+   * neutral), composed by `boostMode`:
+   *
+   *  - `multiply` (the ES default): score' = (score · factor) div 1000
+   *    — factor 1000 degenerates EXACTLY to the plain serve
+   *    (spec-pinned), 2000 doubles, 500 halves;
+   *  - `sum`: score' = score + factor — the factor is then in score
+   *    units (an additive recency/popularity bump).
+   *
+   * Top-k applies AFTER the boost — that is the operator's point: a
+   * lower-relevance doc with a strong signal may outrank. The factor
+   * joins the CANDIDATE set via the docvals sidecar (predicate columns
+   * pushed to its parquet scan); the corpus text is never read, and
+   * scoring statistics are untouched — function_score reshapes the
+   * final score, not BM25's model. Cost over the plain serve: one
+   * broadcast-sized docvals join on the candidates.
+   */
+  def bm25FunctionScoreTopK(spark: SparkSession, root: String,
+      queryText: String, factor1000Sql: String, k: Int,
+      boostMode: String = "multiply",
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(boostMode == "multiply" || boostMode == "sum",
+      s"unknown boost_mode '$boostMode' (multiply | sum)")
+    require(factor1000Sql.trim.nonEmpty, "empty factor expression")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None => return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+      case Some(f) => f
+    }
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"),
+        expr(factor1000Sql).cast("long").as("__factor1000"))
+    val boosted = boostMode match {
+      case "multiply" =>
+        expr("(score * __factor1000) div 1000")
+      case "sum" =>
+        col("score") + col("__factor1000")
+    }
+    scored.join(vals, Seq("doc_id"))
+      .select(col("doc_id"), boosted.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * ES field collapsing (`collapse` + `inner_hits`, VERDICT r17 #6) —
    * the RESPONSE-path twin of [[bm25TopHitsAgg]]: the hit list keeps
    * ONE entry per collapse-key (each group represented by its best hit),

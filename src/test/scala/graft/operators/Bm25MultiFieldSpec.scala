@@ -166,6 +166,37 @@ class Bm25MultiFieldSpec extends AnyFunSuite with SparkTestBase {
       s"semi-join must sit BELOW the aggregate:\n$plan")
   }
 
+  test("function_score: factor 1000 degenerates to the plain serve; boosts replay exactly") {
+    val docs = corpus()
+    val root = Files.createTempDirectory("fs_idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "body", root,
+      nBuckets = 4, docValueCols = Seq("lang", "n_chars"))
+    val q = "alpha beta"
+    val plain = scores(TextAnalysis.bm25ServeTopK(spark, root, q, k = 10))
+    // the verdict's degenerate form: weight 1000, multiply ≡ plain
+    assert(scores(TextAnalysis.bm25FunctionScoreTopK(spark, root, q,
+      "1000", k = 10)) == plain)
+    // multiply: score' = (score · (1000 + n_chars)) div 1000, exactly
+    val nChars = docs.collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val mult = scores(TextAnalysis.bm25FunctionScoreTopK(spark, root, q,
+      "1000 + n_chars", k = 10))
+    assert(mult == plain.map { case (id, s) =>
+      id -> s * (1000L + nChars(id)) / 1000L
+    })
+    // sum adds the factor in score units
+    val add = scores(TextAnalysis.bm25FunctionScoreTopK(spark, root, q,
+      "n_chars * 100", k = 10, boostMode = "sum"))
+    assert(add == plain.map { case (id, s) => id -> (s + nChars(id) * 100L) })
+    // and the boost can REORDER: top-k applies AFTER the boost, so the
+    // winner is argmax of the BOOSTED score, not the relevance order
+    val strong = TextAnalysis.bm25FunctionScoreTopK(spark, root, q,
+      "n_chars * 1000", k = 10).collect().head.getLong(0)
+    assert(strong == plain.toSeq
+      .map { case (id, s) => (id, s * nChars(id)) }
+      .maxBy { case (id, v) => (v, -id) }._1)
+  }
+
   test("docvals ride append and compaction; a sidecar-less append batch raises") {
     import spark.implicits._
     val docs = corpus()

@@ -233,6 +233,43 @@ object SparkEntry {
       f"HNSW serve recall@$k $recall%.3f fell below the $floor floor")
   }
 
+  /** Build-once gate for the APPENDED HNSW fixture, shared by
+    * ann_hnsw_appended (serves the live two-half index) and
+    * ann_hnsw_asof (serves the retained PRE-APPEND version): even half
+    * built, pre-append manifest version pinned BY NAME (the
+    * bm25_served_asof lesson — mtimes are not a publish detector), odd
+    * half appended. Any partial state — marker without the pin, pin
+    * without the append marker (a stale fixture from before the pin
+    * existed) — rebuilds from scratch: the pin can only be recorded
+    * between build and append. Returns (index path, pre-append
+    * version). */
+  private def ensureHnswAppendFixture(s: SparkSession,
+      dir: String): (String, String) = {
+    val emb = t(s, dir, "embeddings")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswapp_v1_" +
+      fsTag(s, dir, "embeddings.parquet")
+    val marker = new org.apache.hadoop.fs.Path(idx,
+      graft.operators.Hnsw.ReadyMarker)
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    val done = new org.apache.hadoop.fs.Path(idx, "_graft_append_done")
+    val pv = new org.apache.hadoop.fs.Path(idx, "_graft_preappend_version")
+    if (!fs.exists(marker) || !fs.exists(pv) || !fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.operators.Hnsw.buildHnswIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        idx, m = 8, efConstruction = 64, nSegments = 4)
+      val v = graft.sinks.Versioned.currentVersion(s, s"$idx/manifest").get
+      val out = fs.create(pv, true)
+      out.write(v.getBytes("UTF-8")); out.close()
+      graft.operators.Hnsw.appendHnswSegments(
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        idx, m = 8, efConstruction = 64, nNewSegments = 4)
+      fs.create(done, true).close()
+    }
+    assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=4+4 even-then-odd")
+    (idx, graft.sinks.Versioned.readSmallText(s, pv).get.trim)
+  }
+
   /** VALUES-golden oracle for the HNSW rows (VERDICT r17 #1): the serve
     * is a pure deterministic function of the corpus (hash-derived
     * levels, id-ordered inserts, (dist, id) tie-breaks — HnswSpec pins
@@ -1933,30 +1970,28 @@ object SparkEntry {
     // orphan invisibility).
     "ann_hnsw_appended" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswapp_v1_" +
-        fsTag(s, dir, "embeddings.parquet")
-      val marker = new org.apache.hadoop.fs.Path(idx,
-        graft.operators.Hnsw.ReadyMarker)
-      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
-      val done = new org.apache.hadoop.fs.Path(idx, "_graft_append_done")
-      if (!fs.exists(marker)) {
-        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-        graft.operators.Hnsw.buildHnswIndex(
-          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-          idx, m = 8, efConstruction = 64, nSegments = 4)
-      }
-      if (!fs.exists(done)) {
-        graft.operators.Hnsw.appendHnswSegments(
-          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
-          idx, m = 8, efConstruction = 64, nNewSegments = 4)
-        fs.create(done, true).close()
-      }
-      assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=4+4 even-then-odd")
+      val (idx, _) = ensureHnswAppendFixture(s, dir)
       val res = graft.operators.Hnsw.hnswTopK(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, efSearch = 64)
       assertHnswRecallFloor(s, emb.filter(col("vec_id") < 20), emb,
         res, k = 3, floor = 0.9)
+      res.orderBy(col("query_id"), col("rank"))
+    }),
+
+    // index TIME TRAVEL on the graph index (the bm25_served_asof story):
+    // the seg-dir manifest is a versioned pointer over immutable
+    // segments, so serving the PRE-APPEND version is just reading its
+    // retained seg list — the even-half-only serve, a different golden
+    // than the live appended serve, which is the point
+    "ann_hnsw_asof" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (idx, preAppend) = ensureHnswAppendFixture(s, dir)
+      val res = graft.operators.Hnsw.hnswTopK(s, idx,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, efSearch = 64, asOf = Some(preAppend))
+      assertHnswRecallFloor(s, emb.filter(col("vec_id") < 20),
+        emb.filter(col("vec_id") % 2 === 0), res, k = 3, floor = 0.9)
       res.orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3134,6 +3169,17 @@ object SparkEntry {
         Seq((ensureTitleBm25Index(s, dir), 2000L),
           (ensureBm25Index(s, dir), 1000L)),
         "dup sort query zzz", k = 15, mode = "most_fields")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ES match_phrase_prefix — the autocomplete query (Lucene
+    // MultiPhraseQuery with an expanded last position): 'big s' matches
+    // docs where 'big' is immediately followed by ANY s-term (SpanOr
+    // over the dictionary expansion); the expanded position scores as
+    // one pseudo-term at the max member df (the SynonymQuery blend)
+    "phrase_prefix_served" -> ((s, dir) => {
+      TextAnalysis.bm25ServePhrasePrefixTopK(s, ensurePosBm25Index(s, dir),
+        "big s", k = 15)
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
@@ -7057,6 +7103,7 @@ object SparkEntry {
     // serve at the driver's gate sf (see hnswGoldenSql — the walk is
     // not SQL-replayable; recall floors assert separately in-closure)
     "ann_hnsw_served" -> hnswGoldenSql("ann_hnsw_served"),
+    "ann_hnsw_asof" -> hnswGoldenSql("ann_hnsw_asof"),
     "ann_hnsw_appended" -> hnswGoldenSql("ann_hnsw_appended"),
     "ann_hnsw_deleted" -> hnswGoldenSql("ann_hnsw_deleted"),
     "ann_hnsw_compacted" -> hnswGoldenSql("ann_hnsw_compacted"),
@@ -8031,6 +8078,38 @@ object SparkEntry {
     "bm25_multifield_most_served" -> bm25MultiFieldSql("ts + bs"),
 
     "bm25_multifield_cross_served" -> bm25CrossFieldsSql(),
+
+    // match_phrase_prefix replayed as the positional self-join with a
+    // LIKE last side; the expanded position's idf at the max member df
+    "phrase_prefix_served" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |dff AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'big'),
+        |dfl AS (
+        |  SELECT CAST(max(c) AS BIGINT) AS dfc FROM (
+        |    SELECT count(DISTINCT doc_id) AS c FROM tk
+        |    WHERE tok LIKE 's%' GROUP BY tok)),
+        |idfsum AS (
+        |  SELECT ((SELECT n FROM st) - (SELECT dfc FROM dff) + 1) * 10000 // ((SELECT dfc FROM dff) + 1)
+        |       + ((SELECT n FROM st) - (SELECT dfc FROM dfl) + 1) * 10000 // ((SELECT dfc FROM dfl) + 1) AS v),
+        |m AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.tok = 'big' AND b.tok LIKE 's%' GROUP BY a.doc_id)
+        |SELECT m.doc_id,
+        |  CAST((SELECT v FROM idfsum) * ((m.tf * 2200 * 10000) //
+        |    (m.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |      ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000))
+        |    AS BIGINT) AS score
+        |FROM m JOIN lens l USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // synonym groups replayed as an IN-list union: per group tf = Σ
     // member tf per doc, df = max member df, the SynonymQuery contract

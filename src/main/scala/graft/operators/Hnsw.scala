@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
  * and the serve's output is a pure function of the data.
  *
  * Distance is cosine (float dot / norms, norms precomputed). Results
- * are approximate BY DESIGN — correctness is recall-pinned against the
- * exact brute force in HnswSpec (oracle-exempt, like the recall
- * tables), the driver row is rows-only checked.
+ * are approximate BY DESIGN — but the serve is a pure deterministic
+ * function of the corpus, so every driver row replays against a
+ * committed VALUES golden (SparkEntry.hnswGoldenSql) AND holds a
+ * score-based recall floor vs the exact brute force (HnswSpec /
+ * HnswDeleteSpec pin construction determinism, recall, the lifecycle
+ * and the crash fences).
  */
 object Hnsw {
   val ReadyMarker = "_hnsw_ready"
@@ -447,22 +450,34 @@ object Hnsw {
 
   /** The manifest's live seg-dir list (sorted — deterministic union
     * order), or the legacy single-dir layout when the index predates
-    * the manifest. */
-  private def segDirs(spark: SparkSession, path: String): Seq[String] = {
-    if (graft.sinks.Versioned
-        .currentVersion(spark, s"$path/manifest").isDefined)
-      graft.sinks.Versioned.read(spark, s"$path/manifest")
-        .collect().map(_.getString(0)).toSeq.sorted
-    else Seq("nodes")
+    * the manifest. `asOf` = a retained manifest VERSION name: segments
+    * are immutable and the manifest a versioned pointer, so serving an
+    * older version is just reading its seg-dir list — index time
+    * travel, the bm25_served_asof story on the graph index. (The
+    * tombstone set is a single live control object, NOT versioned —
+    * deletes apply to every as-of view, same as the IVF index.) */
+  private def segDirs(spark: SparkSession, path: String,
+      asOf: Option[String] = None): Seq[String] = {
+    asOf match {
+      case Some(v) =>
+        graft.sinks.Versioned.readVersion(spark, s"$path/manifest", v)
+          .collect().map(_.getString(0)).toSeq.sorted
+      case None =>
+        if (graft.sinks.Versioned
+            .currentVersion(spark, s"$path/manifest").isDefined)
+          graft.sinks.Versioned.read(spark, s"$path/manifest")
+            .collect().map(_.getString(0)).toSeq.sorted
+        else Seq("nodes")
+    }
   }
 
   /** Every live segment's nodes as one Dataset — the serve-side read:
     * manifest-listed dirs only (orphans from crashed appends are
     * invisible). */
-  private def loadNodes(spark: SparkSession,
-      path: String): org.apache.spark.sql.Dataset[Node] = {
+  private def loadNodes(spark: SparkSession, path: String,
+      asOf: Option[String] = None): org.apache.spark.sql.Dataset[Node] = {
     import spark.implicits._
-    spark.read.parquet(segDirs(spark, path).map(d => s"$path/$d"): _*)
+    spark.read.parquet(segDirs(spark, path, asOf).map(d => s"$path/$d"): _*)
       .as[Node]
   }
 
@@ -496,7 +511,7 @@ object Hnsw {
    */
   def hnswTopK(spark: SparkSession, path: String, queries: DataFrame,
       qIdCol: String, qVecCol: String, k: Int, efSearch: Int = 64,
-      m: Int = 8): DataFrame = {
+      m: Int = 8, asOf: Option[String] = None): DataFrame = {
     import spark.implicits._
     val marker = new org.apache.hadoop.fs.Path(path, ReadyMarker)
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
@@ -508,7 +523,7 @@ object Hnsw {
     // tombstone mask — the acceptance-filter hook: dead nodes are
     // traversed (connectivity) but never enter results
     val bd = spark.sparkContext.broadcast(deadIds(spark, path))
-    val nodes = loadNodes(spark, path)
+    val nodes = loadNodes(spark, path, asOf)
     val cands = nodes.groupByKey(_.seg).flatMapGroups { (_, it) =>
       val g = reload(it.toSeq, m)
       val allow: Int => Boolean =

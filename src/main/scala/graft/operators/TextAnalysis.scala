@@ -1997,6 +1997,110 @@ object TextAnalysis {
   }
 
   /**
+   * ES `match_phrase_prefix` — the autocomplete query (Lucene
+   * MultiPhraseQuery with an expanded last position): the phrase's
+   * trailing token is a PREFIX stem, expanded against the dictionary
+   * (band-pruned, [[MaxPrefixExpansion]] budget, capped at
+   * `maxExpansions` lowest terms in dictionary order — ES's
+   * max_expansions contract), and a document matches where the fixed
+   * tokens sit adjacent and ANY expansion member occupies the last
+   * slot. tf = |∩ᵢ (pos(tᵢ)−i) ∩ (∪ₑ pos(e)−(n−1))| — the last slot is
+   * a SpanOr union, so overlapping matches count once per final
+   * position whichever variant supplies it. Scoring: the fixed tokens
+   * carry their own idf; the expanded position scores as ONE
+   * pseudo-term with df = max member df (the SynonymQuery blend this
+   * engine's synonym serve shares — summing would overcount, and
+   * per-variant idf would make the score depend on WHICH variant
+   * matched, which a MultiPhraseQuery position does not). Cost:
+   * expansion ∝ the dictionary band; the positional probe covers fixed
+   * ∪ expanded terms' postings only; one per-doc fold — never a corpus
+   * scan.
+   */
+  def bm25ServePhrasePrefixTopK(spark: SparkSession, root: String,
+      phrasePrefix: String, k: Int, maxExpansions: Int = 50): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = phrasePrefix.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.length >= 2,
+      "match_phrase_prefix needs at least one fixed token plus the stem")
+    require(maxExpansions >= 1, s"maxExpansions $maxExpansions < 1")
+    val fixed = terms.init
+    val stem = terms.last
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    // ES max_expansions: the FIRST maxExpansions terms in dictionary
+    // order (deterministic; the budgeted band scan already bounds it)
+    val expansion = expandPrefixTerms(spark, root, segs, stem)
+      .toSeq.sortBy(_._1).take(maxExpansions)
+    if (expansion.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val expToks = expansion.map(_._1)
+    val distinctFixed = fixed.distinct
+    val keyDf = (distinctFixed :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    if (!distinctFixed.forall(dfc.contains)) // absent fixed token
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    // idf: fixed positions by their own df; the expanded position as
+    // one pseudo-term at the max member df
+    val lastKey = s"$stem*"
+    val dfAll = dfc.toMap + (lastKey -> expansion.map(_._2).max)
+    val idfByPos = bm25Idf(nDocs, dfAll, fixed :+ lastKey).toMap
+    val idfSum = (fixed :+ lastKey).map(idfByPos).sum
+    val posts = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        (distinctFixed ++ expToks).toDF("tok"))).reduce(_.unionByName(_))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"$root: postings carry no positions — build with positions = true")
+    val dead = deletedBm25Docs(spark, root)
+    val alive =
+      if (dead.isEmpty) posts
+      else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val agg = alive.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok"), col("positions"))).as("tp"),
+        max(col("len")).as("len"))
+    val shifted: Seq[Column] = fixed.zipWithIndex.map { case (t, i) =>
+      transform(
+        flatten(transform(
+          filter(col("tp"), x => x.getField("tok") === lit(t)),
+          x => x.getField("positions"))),
+        p => p - lit(i.toLong))
+    }
+    // the last slot: the UNION of expansion members' positions (SpanOr)
+    // — array_distinct for overlap across variants, shifted to slot 0
+    val lastShifted = transform(
+      array_distinct(flatten(transform(
+        filter(col("tp"), x =>
+          array_contains(typedlit(expToks), x.getField("tok"))),
+        x => x.getField("positions")))),
+      p => p - lit(fixed.length.toLong))
+    val inter = (shifted :+ lastShifted).reduce((a, b) =>
+      array_intersect(a, b))
+    agg.select(col("doc_id"), size(inter).cast("long").as("tf"),
+        col("len"))
+      .filter(col("tf") > 0)
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .select(col("doc_id"), (lit(idfSum) * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Wildcard PROXIMITY serve — `preA* NEAR/slop termB` (Lucene's
    * SpanNear over a SpanMultiTermQueryWrapper): expand the prefix
    * against the term dictionary (band-pruned, [[MaxPrefixExpansion]]

@@ -140,6 +140,34 @@ class HnswDeleteSpec extends AnyFunSuite with SparkTestBase {
       == emb.count() - dead.length)
   }
 
+  test("as-of serve reads the retained pre-append manifest (index time travel)") {
+    val idx = Files.createTempDirectory("hnsw_asof").toString + "/idx"
+    Hnsw.buildHnswIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, m = 8, efConstruction = 64,
+      nSegments = 4)
+    val v = graft.sinks.Versioned.currentVersion(spark, s"$idx/manifest").get
+    Hnsw.appendHnswSegments(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", idx, m = 8, efConstruction = 64,
+      nNewSegments = 4)
+    def rows(asOf: Option[String]) =
+      Hnsw.hnswTopK(spark, idx, queries, "vec_id", "embedding",
+        k = 3, efSearch = 64, asOf = asOf)
+        .orderBy(col("query_id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // determinism makes the as-of serve BIT-IDENTICAL to a fresh build
+    // over the pre-append corpus at the same parameters
+    val fresh = Files.createTempDirectory("hnsw_asof_f").toString + "/idx"
+    Hnsw.buildHnswIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", fresh, m = 8, efConstruction = 64,
+      nSegments = 4)
+    val asof = rows(Some(v))
+    assert(asof == serve(fresh))
+    // the live serve sees the appended odd half; the as-of one cannot
+    assert(asof.forall(_._3 % 2 == 0))
+    assert(rows(None).exists(_._3 % 2 != 0))
+  }
+
   test("compaction killed before the manifest swap leaves the masked view; retry completes") {
     val idx = freshIndex()
     val dead = Seq(1L, 2L, 3L)

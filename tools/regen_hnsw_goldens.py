@@ -9,7 +9,7 @@ VALUES by SparkEntry.hnswGoldenSql. Re-run this ONLY after a deliberate
 corpus regeneration or HNSW parameter change, from a fresh-fixture run:
 
   rm -rf /tmp/graft_hnsw*_v1_*
-  SPARK_GRAFT_ONLY=ann_hnsw_served,ann_hnsw_appended,ann_hnsw_deleted,ann_hnsw_compacted \
+  SPARK_GRAFT_ONLY=ann_hnsw_served,ann_hnsw_appended,ann_hnsw_asof,ann_hnsw_deleted,ann_hnsw_compacted \
     sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_hnsw"
   python3 tools/regen_hnsw_goldens.py /tmp/verify_hnsw
 
@@ -22,8 +22,8 @@ import sys
 
 import pandas as pd
 
-QUERIES = ["ann_hnsw_served", "ann_hnsw_appended", "ann_hnsw_deleted",
-           "ann_hnsw_compacted"]
+QUERIES = ["ann_hnsw_served", "ann_hnsw_appended", "ann_hnsw_asof",
+           "ann_hnsw_deleted", "ann_hnsw_compacted"]
 COLS = ["query_id", "rank", "vec_id", "cos1e6"]
 
 

@@ -3361,6 +3361,41 @@ object SparkEntry {
         .orderBy(col("grp_rank"), col("inner_rank"))
     }),
 
+    // ES `cardinality` agg, EXACT (deterministic where ES's HLL is
+    // approximate): distinct n_chars values over the match set
+    "search_cardinality_agg" -> ((s, dir) => {
+      TextAnalysis.bm25CardinalityAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars")
+    }),
+
+    // ES `filters` agg: named structured predicates bucket the match
+    // set (overlapping allowed, empty buckets emitted — the named list
+    // is the caller's schema); one probe + one docvals join for ALL
+    // filters via conditional counts
+    "search_filters_agg" -> ((s, dir) => {
+      TextAnalysis.bm25FiltersAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", Seq(
+          ("english", "lang = 'en'"),
+          ("impossible", "n_chars < 0"),
+          ("longform", "n_chars >= 500"),
+          ("short_de", "lang = 'de' AND n_chars < 300")))
+    }),
+
+    // ES `composite` agg — paginated multi-source buckets (the
+    // aggregation world's search_after): page 2 of the (lang, n_chars)
+    // bucket list, fetched with the after-cursor from page 1; the
+    // oracle replays it as OFFSET/LIMIT over the same total order
+    "search_composite_agg" -> ((s, dir) => {
+      val idx = ensureDocValsBm25Index(s, dir)
+      val page1 = TextAnalysis.bm25CompositeAgg(s, idx,
+        "dup sort query zzz", Seq("lang", "n_chars"), size = 10)
+        .collect()
+      val last = page1.last
+      TextAnalysis.bm25CompositeAgg(s, idx, "dup sort query zzz",
+        Seq("lang", "n_chars"), size = 10,
+        after = Some(Seq(last.getString(0), last.getLong(1))))
+    }),
+
     // ES `significant_terms`: terms over-represented in the match set
     // vs the corpus — integer lift ⌊1e6·fg·N/(bg·M)⌋, fg from the hit
     // rows only, bg from the dictionary
@@ -8609,6 +8644,52 @@ object SparkEntry {
         |  FROM scored s JOIN documents d USING (doc_id))
         |SELECT lang, rank, doc_id, score FROM ranked
         |WHERE rank <= 2 ORDER BY lang, rank""".stripMargin,
+
+    // cardinality: exact distinct over the matched docs' values
+    "search_cardinality_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT CAST(count(DISTINCT d.n_chars) AS BIGINT) AS n_values
+        |FROM matched m JOIN documents d USING (doc_id)""".stripMargin,
+
+    // filters: conditional counts over one matched-join frame; the
+    // impossible bucket pins the emit-empty contract
+    "search_filters_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz')),
+        |j AS (SELECT d.* FROM matched m JOIN documents d USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT 'english' AS bucket,
+        |    CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS n_docs FROM j
+        |  UNION ALL SELECT 'impossible',
+        |    CAST(coalesce(sum(CASE WHEN n_chars < 0 THEN 1 END), 0) AS BIGINT) FROM j
+        |  UNION ALL SELECT 'longform',
+        |    CAST(coalesce(sum(CASE WHEN n_chars >= 500 THEN 1 END), 0) AS BIGINT) FROM j
+        |  UNION ALL SELECT 'short_de',
+        |    CAST(coalesce(sum(CASE WHEN lang = 'de' AND n_chars < 300 THEN 1 END), 0) AS BIGINT) FROM j)
+        |ORDER BY bucket""".stripMargin,
+
+    // composite page 2 = OFFSET/LIMIT over the bucket total order
+    "search_composite_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT d.lang, d.n_chars,
+        |  CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+        |FROM matched m JOIN documents d USING (doc_id)
+        |GROUP BY d.lang, d.n_chars
+        |ORDER BY d.lang, d.n_chars LIMIT 10 OFFSET 10""".stripMargin,
 
     // function_score: the scored CTE times the per-mille docvals factor
     "bm25_function_score_served" ->

@@ -4015,6 +4015,98 @@ object TextAnalysis {
   }
 
   /**
+   * ES `cardinality` aggregation over the match set — EXACT distinct
+   * count of a doc-values column (deterministic where ES's HLL sketch
+   * is approximate; the engine's Sketches.hll family exists for callers
+   * who want the mergeable-register shape). One row (n_values). Same
+   * probe + docvals-join cost model as [[bm25RangeAgg]]; the distinct
+   * is over the MATCHED docs' values only, never the corpus.
+   */
+  def bm25CardinalityAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String,
+      asOf: Option[String] = None): DataFrame = {
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol))
+    matched.join(vals, Seq("doc_id"))
+      .agg(countDistinct(col(valueCol)).as("n_values"))
+  }
+
+  /**
+   * ES `filters` aggregation over the match set: one bucket per NAMED
+   * structured predicate (SQL over the doc-values columns), counting
+   * the matched docs each admits — the "how does my hit set split
+   * across these segments" question. Buckets may overlap (a doc can
+   * satisfy several filters — ES's contract) and empty buckets ARE
+   * emitted with 0 (the named list is the caller's schema, unlike the
+   * data-driven terms agg). One probe + ONE docvals join for all
+   * filters: each predicate compiles to a conditional count over the
+   * same joined frame, never a per-filter scan.
+   */
+  def bm25FiltersAgg(spark: SparkSession, root: String,
+      queryText: String, filters: Seq[(String, String)],
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(filters.nonEmpty, "no filters")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "duplicate filter names")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+    val joined = matched.join(vals, Seq("doc_id"))
+    val counts = filters.map { case (name, pred) =>
+      sum(when(expr(pred), 1L).otherwise(0L)).as(name)
+    }
+    val row = joined.agg(counts.head, counts.tail: _*).head()
+    filters.zipWithIndex
+      .map { case ((name, _), i) =>
+        (name, if (row.isNullAt(i)) 0L else row.getLong(i))
+      }
+      .toDF("bucket", "n_docs")
+      .orderBy(col("bucket"))
+  }
+
+  /**
+   * ES `composite` aggregation — PAGINATED multi-source buckets, the
+   * scroll of the aggregation world: buckets are the distinct
+   * combinations of the source columns over the match set, totally
+   * ordered by the source tuple, returned `size` at a time with an
+   * `after` cursor (exclusive, strictly-greater — the search_after
+   * pagination shape applied to buckets). Unlike `terms` there is no
+   * top-N truncation: every bucket is reachable by paging, which is
+   * why ES offers it for full-result-set exports. Cost per page: the
+   * probe + one docvals join + one aggregate over the match set,
+   * cursor filter BEFORE the limit; concatenated pages equal the
+   * one-shot bucket list (spec-pinned).
+   */
+  def bm25CompositeAgg(spark: SparkSession, root: String,
+      queryText: String, sources: Seq[String], size: Int,
+      after: Option[Seq[Any]] = None,
+      asOf: Option[String] = None): DataFrame = {
+    require(sources.nonEmpty, "no sources")
+    require(size >= 1, s"size must be positive, got $size")
+    after.foreach(a => require(a.length == sources.length,
+      s"after key arity ${a.length} != sources arity ${sources.length}"))
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id") +: sources.map(col): _*)
+    val buckets = matched.join(vals, Seq("doc_id"))
+      .groupBy(sources.map(col): _*) // native key types (order matters)
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // after cursor: strictly greater in the sources' lexicographic
+    // order — build (s1 > a1) OR (s1 = a1 AND s2 > a2) OR …
+    val paged = after match {
+      case None => buckets
+      case Some(a) =>
+        val cond = sources.indices.map { i =>
+          val eqs = (0 until i).map(j => col(sources(j)) === lit(a(j)))
+          (eqs :+ (col(sources(i)) > lit(a(i)))).reduce(_ && _)
+        }.reduce(_ || _)
+        buckets.filter(cond)
+    }
+    paged.orderBy(sources.map(col): _*).limit(size)
+  }
+
+  /**
    * ES `stats` aggregation over the match set: ONE row of integer
    * statistics for a numeric doc-values column — n_docs, sum, min,
    * max, and avg_1000 = ⌊1000·sum/n_docs⌋ (the per-mille average, so

@@ -77,6 +77,47 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("avg_1000") == 999L * 1000L / 4L)
   }
 
+  test("cardinality agg: exact distinct values over the matched docs only") {
+    val root = build()
+    // matched docs 1,2,3,5 carry n_chars 100,250,450,199 → 4 distinct;
+    // doc 4 (unmatched, 300) must not count
+    assert(TextAnalysis.bm25CardinalityAgg(spark, root, "hit", "n_chars")
+      .head().getLong(0) == 4L)
+    assert(TextAnalysis.bm25CardinalityAgg(spark, root, "hit", "lang")
+      .head().getLong(0) == 2L)
+  }
+
+  test("filters agg: overlapping named buckets; empty buckets emitted as 0") {
+    val root = build()
+    val got = TextAnalysis.bm25FiltersAgg(spark, root, "hit", Seq(
+      ("de_docs", "lang = 'de'"),
+      ("long", "n_chars >= 200"),
+      ("never", "n_chars < 0")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // matched: 1(en,100) 2(en,250) 3(de,450) 5(de,199); buckets overlap
+    // (doc 3 is in both de_docs and long), 'never' emits 0
+    assert(got == Map("de_docs" -> 2L, "long" -> 2L, "never" -> 0L))
+  }
+
+  test("composite agg: after-cursor pages concatenate to the one-shot bucket list") {
+    val root = build()
+    val all = TextAnalysis.bm25CompositeAgg(spark, root, "hit",
+      Seq("lang", "n_chars"), size = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(all.length == 4) // 4 matched docs, distinct (lang, n_chars)
+    // page through with size 1: every page returns exactly the next
+    // bucket in (lang, n_chars) order, and the concat equals one-shot
+    var after: Option[Seq[Any]] = None
+    val paged = (1 to 5).flatMap { _ =>
+      val page = TextAnalysis.bm25CompositeAgg(spark, root, "hit",
+        Seq("lang", "n_chars"), size = 1, after = after)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      page.lastOption.foreach(p => after = Some(Seq(p._1, p._2)))
+      page
+    }
+    assert(paged == all.toSeq)
+  }
+
   test("collapse: one best hit per key, groups ranked by their top hit, inner hits attached") {
     val root = build()
     val got = TextAnalysis.bm25CollapseTopK(spark, root, "hit alpha",

@@ -3361,6 +3361,27 @@ object SparkEntry {
         .orderBy(col("grp_rank"), col("inner_rank"))
     }),
 
+    // ES `_explain`: the per-term integer score breakdown for the
+    // serve's rank-1 doc — every factor (tf, df, idf, norm, w) exposed,
+    // Σ contrib == the serve's score (spec-pinned)
+    "search_explain" -> ((s, dir) => {
+      val idx = ensureBm25Index(s, dir)
+      val top = TextAnalysis.bm25ServeTopK(s, idx, "dup sort query zzz",
+        k = 1).head().getLong(0)
+      TextAnalysis.bm25Explain(s, idx, "dup sort query zzz", top)
+    }),
+
+    // ES `adjacency_matrix` agg: named-filter counts plus every
+    // pairwise intersection over the match set (non-zero cells only —
+    // the matrix contract, unlike `filters`' emit-empty)
+    "search_adjacency_matrix" -> ((s, dir) => {
+      TextAnalysis.bm25AdjacencyMatrixAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", Seq(
+          ("english", "lang = 'en'"),
+          ("longform", "n_chars >= 500"),
+          ("tiny", "n_chars < 120")))
+    }),
+
     // ES `cardinality` agg, EXACT (deterministic where ES's HLL is
     // approximate): distinct n_chars values over the match set
     "search_cardinality_agg" -> ((s, dir) => {
@@ -8644,6 +8665,69 @@ object SparkEntry {
         |  FROM scored s JOIN documents d USING (doc_id))
         |SELECT lang, rank, doc_id, score FROM ranked
         |WHERE rank <= 2 ORDER BY lang, rank""".stripMargin,
+
+    // _explain: the full integer chain replayed for the oracle's own
+    // rank-1 doc (same total order → same doc as the engine's)
+    "search_explain" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |dfct AS (
+        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
+        |idf AS (
+        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfct),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+        |facts AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, c.dfc, i.idf, l.len,
+        |    250 + (750 * l.len * 1000) //
+        |      ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)) AS norm1000
+        |  FROM tf JOIN dfct c USING (tok) JOIN idf i USING (tok)
+        |  JOIN lens l USING (doc_id)),
+        |expl AS (
+        |  SELECT doc_id, tok, tf, dfc, idf, len, norm1000,
+        |    (tf * 2200 * 10000) // (tf * 1000 + (1200 * norm1000) // 1000) AS w
+        |  FROM facts),
+        |scored AS (
+        |  SELECT doc_id, sum(idf * w) AS score FROM expl GROUP BY doc_id),
+        |top1 AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 1)
+        |SELECT tok, tf, dfc, CAST(idf AS BIGINT) AS idf, len,
+        |  CAST(norm1000 AS BIGINT) AS norm1000, CAST(w AS BIGINT) AS w,
+        |  CAST(idf * w AS BIGINT) AS contrib
+        |FROM expl WHERE doc_id = (SELECT doc_id FROM top1)
+        |ORDER BY tok""".stripMargin,
+
+    // adjacency_matrix: every cell a conditional count over one frame,
+    // zero cells dropped (the matrix contract)
+    "search_adjacency_matrix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz')),
+        |j AS (SELECT d.* FROM matched m JOIN documents d USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT 'english' AS bucket,
+        |    CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS n_docs FROM j
+        |  UNION ALL SELECT 'longform',
+        |    CAST(coalesce(sum(CASE WHEN n_chars >= 500 THEN 1 END), 0) AS BIGINT) FROM j
+        |  UNION ALL SELECT 'tiny',
+        |    CAST(coalesce(sum(CASE WHEN n_chars < 120 THEN 1 END), 0) AS BIGINT) FROM j
+        |  UNION ALL SELECT 'english&longform',
+        |    CAST(coalesce(sum(CASE WHEN lang = 'en' AND n_chars >= 500 THEN 1 END), 0) AS BIGINT) FROM j
+        |  UNION ALL SELECT 'english&tiny',
+        |    CAST(coalesce(sum(CASE WHEN lang = 'en' AND n_chars < 120 THEN 1 END), 0) AS BIGINT) FROM j
+        |  UNION ALL SELECT 'longform&tiny',
+        |    CAST(coalesce(sum(CASE WHEN n_chars >= 500 AND n_chars < 120 THEN 1 END), 0) AS BIGINT) FROM j)
+        |WHERE n_docs > 0 ORDER BY bucket""".stripMargin,
 
     // cardinality: exact distinct over the matched docs' values
     "search_cardinality_agg" ->

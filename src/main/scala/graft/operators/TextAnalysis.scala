@@ -4015,6 +4015,105 @@ object TextAnalysis {
   }
 
   /**
+   * ES `_explain` — the per-term score breakdown for ONE document
+   * against a query, every factor of the integer BM25 chain exposed:
+   * (tok, tf, dfc, idf, len, norm1000, w, contrib) with
+   * contrib = idf·w and Σ contrib = the serve's score for that doc
+   * (spec-pinned). Terms the doc lacks are omitted (they contribute
+   * nothing — ES lists them as non-matching details). Cost: ONE
+   * bucket-pruned postings probe filtered to the doc — the doc_id
+   * predicate lands on the postings read, so the explain touches the
+   * query terms' postings of one document, never a corpus scan.
+   */
+  def bm25Explain(spark: SparkSession, root: String, queryText: String,
+      docId: Long, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("tok", "tf", "dfc", "idf", "len", "norm1000", "w", "contrib")
+    val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    val idf = bm25Idf(nDocs, dfc.toMap, terms).toDF("tok", "idf")
+    val dfcDf = dfc.toSeq.toDF("tok", "dfc")
+    val dead = deletedBm25Docs(spark, root, asOf)
+    require(!dead.contains(docId),
+      s"doc $docId is tombstoned — a deleted doc has no score to explain")
+    segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+      .filter(col("doc_id") === docId)
+      .join(broadcast(dfcDf), "tok")
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .select(col("tok"), col("tf"), col("dfc"), col("idf"), col("len"),
+        col("norm1000"), col("w"), (col("idf") * col("w")).as("contrib"))
+      .orderBy(col("tok"))
+  }
+
+  /**
+   * ES `adjacency_matrix` aggregation over the match set: for named
+   * structured predicates, the matched-doc count of every filter AND
+   * every pairwise intersection — "how do my segments overlap". Keys
+   * are ES's: the filter name for the diagonal, "a&b" (names in
+   * lexicographic order) for the off-diagonal. Empty intersections are
+   * omitted (ES's contract here — unlike `filters`, the matrix emits
+   * only non-zero cells). One probe + ONE docvals join: every cell is
+   * a conditional count over the same frame.
+   */
+  def bm25AdjacencyMatrixAgg(spark: SparkSession, root: String,
+      queryText: String, filters: Seq[(String, String)],
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(filters.nonEmpty, "no filters")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "duplicate filter names")
+    require(filters.forall(f => !f._1.contains("&")),
+      "filter names may not contain '&' (the intersection-key separator)")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+    val joined = matched.join(vals, Seq("doc_id"))
+    val sorted = filters.sortBy(_._1)
+    val cells: Seq[(String, Column)] =
+      sorted.map { case (n, p) => (n, expr(p)) } ++
+        (for {
+          i <- sorted.indices
+          j <- (i + 1) until sorted.length
+        } yield (s"${sorted(i)._1}&${sorted(j)._1}",
+          expr(sorted(i)._2) && expr(sorted(j)._2)))
+    val counts = cells.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    }
+    val row = joined.agg(counts.head, counts.tail: _*).head()
+    cells.zipWithIndex
+      .map { case ((name, _), i) =>
+        (name, if (row.isNullAt(i)) 0L else row.getLong(i))
+      }
+      .filter(_._2 > 0) // the matrix emits non-zero cells only
+      .toDF("bucket", "n_docs")
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * ES `cardinality` aggregation over the match set — EXACT distinct
    * count of a doc-values column (deterministic where ES's HLL sketch
    * is approximate; the engine's Sketches.hll family exists for callers

@@ -77,6 +77,41 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("avg_1000") == 999L * 1000L / 4L)
   }
 
+  test("explain: per-term contributions sum to the serve's exact score") {
+    val root = build()
+    val scores = TextAnalysis.bm25ServeTopK(spark, root, "hit alpha", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scores.keys.foreach { id =>
+      val rows = TextAnalysis.bm25Explain(spark, root, "hit alpha", id)
+        .collect()
+      assert(rows.map(_.getAs[Long]("contrib")).sum == scores(id),
+        s"doc $id explain does not reconcile")
+      rows.foreach { r => // every factor self-consistent
+        assert(r.getAs[Long]("contrib")
+          == r.getAs[Long]("idf") * r.getAs[Long]("w"))
+      }
+    }
+    // doc 4 never matches 'hit alpha'... it matches nothing: gamma only
+    assert(TextAnalysis.bm25Explain(spark, root, "hit alpha", 4L)
+      .count() == 0L)
+    // a tombstoned doc refuses to explain (it has no score)
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(2L))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25Explain(spark, root, "hit alpha", 2L).collect())
+  }
+
+  test("adjacency_matrix: diagonal + pairwise intersections, zero cells dropped") {
+    val root = build()
+    val got = TextAnalysis.bm25AdjacencyMatrixAgg(spark, root, "hit", Seq(
+      ("de_docs", "lang = 'de'"),
+      ("long", "n_chars >= 200"),
+      ("neg", "n_chars < 0")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // matched: 1(en,100) 2(en,250) 3(de,450) 5(de,199)
+    // de_docs={3,5} long={2,3} de&long={3}; every 'neg' cell is 0 → gone
+    assert(got == Map("de_docs" -> 2L, "long" -> 2L, "de_docs&long" -> 1L))
+  }
+
   test("cardinality agg: exact distinct values over the matched docs only") {
     val root = build()
     // matched docs 1,2,3,5 carry n_chars 100,250,450,199 → 4 distinct;

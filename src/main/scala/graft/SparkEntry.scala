@@ -3382,6 +3382,15 @@ object SparkEntry {
           ("tiny", "n_chars < 120")))
     }),
 
+    // ES pipeline aggs over the histogram: cumulative_sum + derivative
+    // in one frame (running total; bucket-over-bucket delta, NULL for
+    // the first bucket — the ES derivative contract)
+    "search_histogram_pipeline" -> ((s, dir) => {
+      TextAnalysis.bm25HistogramPipelineAgg(s,
+        ensureDocValsBm25Index(s, dir), "dup sort query zzz",
+        "n_chars", 100L)
+    }),
+
     // ES `cardinality` agg, EXACT (deterministic where ES's HLL is
     // approximate): distinct n_chars values over the match set
     "search_cardinality_agg" -> ((s, dir) => {
@@ -8728,6 +8737,27 @@ object SparkEntry {
         |  UNION ALL SELECT 'longform&tiny',
         |    CAST(coalesce(sum(CASE WHEN n_chars >= 500 AND n_chars < 120 THEN 1 END), 0) AS BIGINT) FROM j)
         |WHERE n_docs > 0 ORDER BY bucket""".stripMargin,
+
+    // pipeline aggs: one window over the emitted histogram buckets
+    "search_histogram_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok IN ('dup', 'sort', 'query', 'zzz')),
+        |buckets AS (
+        |  SELECT n_chars - ((n_chars % 100) + 100) % 100 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM matched m JOIN documents d USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT bucket, n_docs,
+        |  CAST(sum(n_docs) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_docs,
+        |  CAST(n_docs - lag(n_docs) OVER (ORDER BY bucket) AS BIGINT)
+        |    AS delta_docs
+        |FROM buckets ORDER BY bucket""".stripMargin,
 
     // cardinality: exact distinct over the matched docs' values
     "search_cardinality_agg" ->

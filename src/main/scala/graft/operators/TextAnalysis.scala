@@ -4206,6 +4206,33 @@ object TextAnalysis {
   }
 
   /**
+   * ES PIPELINE aggregations over a parent histogram —
+   * `cumulative_sum` and `derivative` in one frame: per bucket its
+   * matched-doc count, the running total (cum_docs) and the
+   * bucket-over-bucket delta (delta_docs, NULL for the first bucket —
+   * ES's derivative contract; deltas are over the EMITTED buckets, so
+   * a gap of empty buckets is one step, also ES's behavior with the
+   * default gap policy). The pipeline stage is one window over the
+   * bucket list (≤ value-range/interval rows) — the histogram's probe
+   * + docvals join dominates, the pipeline is free.
+   */
+  def bm25HistogramPipelineAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String, interval: Long,
+      asOf: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = bm25HistogramAgg(spark, root, queryText, valueCol,
+      interval, asOf)
+    val w = Window.orderBy(col("bucket"))
+    buckets
+      .withColumn("cum_docs",
+        sum(col("n_docs")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("delta_docs",
+        col("n_docs") - lag(col("n_docs"), 1).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * ES `stats` aggregation over the match set: ONE row of integer
    * statistics for a numeric doc-values column — n_docs, sum, min,
    * max, and avg_1000 = ⌊1000·sum/n_docs⌋ (the per-mille average, so

@@ -77,6 +77,19 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("avg_1000") == 999L * 1000L / 4L)
   }
 
+  test("histogram pipeline: cumulative_sum runs, derivative steps over emitted buckets") {
+    val root = build()
+    val got = TextAnalysis.bm25HistogramPipelineAgg(spark, root, "hit",
+      "n_chars", 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // matched buckets: 100→2 (docs 1@100, 5@199), 200→1, 400→1
+    assert(got.toSeq == Seq(
+      (100L, 2L, 2L, None),
+      (200L, 1L, 3L, Some(-1L)),
+      (400L, 1L, 4L, Some(0L)))) // 400 steps from the EMITTED 200 bucket
+  }
+
   test("explain: per-term contributions sum to the serve's exact score") {
     val root = build()
     val scores = TextAnalysis.bm25ServeTopK(spark, root, "hit alpha", 10)

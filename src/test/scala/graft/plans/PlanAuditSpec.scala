@@ -632,6 +632,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("phrase_prefix / explain / agg-family additions: index-only reads, no corpus scan") {
+    Seq("phrase_prefix_served", "search_explain",
+      "search_cardinality_agg", "search_filters_agg",
+      "search_composite_agg", "search_adjacency_matrix",
+      "search_histogram_pipeline").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+        s"$q read the corpus — the serve must stay on the index")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q: no cartesian")
+    }
+  }
+
   test("query_string serves: bool shape holds (seed semi, exclusion anti, broadcast idf, fused top-k), no corpus scan") {
     Seq("query_string_served", "query_string_group_served",
       "query_string_fields_served").foreach { q =>

@@ -3172,6 +3172,35 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `boosting` query — the soft MUST_NOT: docs matching the
+    // negative query ('big') still return, demoted to 30% of their
+    // positive score; top-k after the demote, so a strong-but-demoted
+    // doc can still outrank a weak clean one
+    "bm25_boosting_served" -> ((s, dir) => {
+      TextAnalysis.bm25BoostingTopK(s, ensureBm25Index(s, dir),
+        "dup sort query zzz", "big", negBoost1000 = 300L, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ES `terms_set` query — per-doc minimum_should_match from the
+    // docvals sidecar: longer docs (n_chars ≥ 300) must match ≥ 2 of
+    // the query terms, shorter ones ≥ 1
+    "bm25_terms_set_served" -> ((s, dir) => {
+      TextAnalysis.bm25TermsSetTopK(s, ensureDocValsBm25Index(s, dir),
+        "dup table sort", "least(n_chars div 300 + 1, 2)", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // Lucene SpanFirstQuery: 'sort' counted only within a doc's first
+    // 8 tokens (113 of 388 matching docs at sf0.01 qualify) —
+    // restricted tf, unchanged length norm; docs whose hits all sit
+    // past the boundary drop out
+    "span_first_served" -> ((s, dir) => {
+      TextAnalysis.bm25SpanFirstTopK(s, ensurePosBm25Index(s, dir),
+        "sort", end = 8, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES match_phrase_prefix — the autocomplete query (Lucene
     // MultiPhraseQuery with an expanded last position): 'big s' matches
     // docs where 'big' is immediately followed by ANY s-term (SpanOr
@@ -8143,6 +8172,62 @@ object SparkEntry {
     "bm25_multifield_most_served" -> bm25MultiFieldSql("ts + bs"),
 
     "bm25_multifield_cross_served" -> bm25CrossFieldsSql(),
+
+    // boosting: the scored chain, demoted where the doc carries 'big'
+    "bm25_boosting_served" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("p", "documents")},
+        |neg AS (
+        |  SELECT DISTINCT doc_id FROM tk_p WHERE tok = 'big')
+        |SELECT s.doc_id,
+        |  CAST(CASE WHEN n.doc_id IS NOT NULL
+        |    THEN (s.score * 300) // 1000 ELSE s.score END AS BIGINT)
+        |    AS score
+        |FROM scored_p s LEFT JOIN neg n USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // terms_set: the scored chain gated by a per-doc distinct-match
+    // threshold from n_chars
+    "bm25_terms_set_served" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('table'), ('sort')),
+        |${bm25ScoredCtes("t", "documents")},
+        |mm AS (
+        |  SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS matched
+        |  FROM tk_t WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(s.score AS BIGINT) AS score
+        |FROM scored_t s JOIN mm USING (doc_id)
+        |JOIN documents d USING (doc_id)
+        |WHERE mm.matched >= least(d.n_chars // 300 + 1, 2)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // span_first: tf restricted to 1-based positions <= 8 (the
+    // engine's 0-based pos < 8), norm unchanged
+    "span_first_served" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |dfq AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk
+        |  WHERE tok = 'sort'),
+        |idfq AS (
+        |  SELECT ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfq),
+        |tfr AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok = 'sort' AND pos <= 8 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST((SELECT idf FROM idfq) * ((t.tf * 2200 * 10000) //
+        |    (t.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |      ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000))
+        |    AS BIGINT) AS score
+        |FROM tfr t JOIN lens l USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // match_phrase_prefix replayed as the positional self-join with a
     // LIKE last side; the expanded position's idf at the max member df

@@ -435,17 +435,56 @@ object Hnsw {
       beforeCommit()
       graft.sinks.Versioned.writeVersioned(
         Seq(newDir).toDF("seg_dir"), s"$path/manifest")
-      // post-swap cleanup: the tombstone object (its ids no longer
-      // exist — leaving it would be harmless but confusing) and the
-      // replaced dirs. A crash in here leaves only garbage; the
-      // compacted view is already committed.
+      // post-swap: clear the tombstone object (its ids no longer exist
+      // in the live view). The REPLACED seg dirs are deliberately NOT
+      // deleted here — older retained manifest versions still name
+      // them, and an as-of serve must keep working (the BM25 model:
+      // [[vacuumHnswOrphans]] is the GC, and it only sweeps dirs no
+      // retained version names). Caveat shared with every
+      // live-tombstone index (IVF, Lucene): deletes are NOT versioned,
+      // so an as-of view of a pre-compact version sees the
+      // compacted-away ids alive again.
       fs.delete(new org.apache.hadoop.fs.Path(path,
         Similarity.TombstoneFile), false)
-      dirs.foreach { d =>
-        val segParent = new org.apache.hadoop.fs.Path(s"$path/$d").getParent
-        fs.delete(segParent, true)
-      }
       dirs.size
+    }
+
+  /**
+   * GC for crashed appends/compactions: delete seg dirs that NO
+   * retained manifest version names (a crash before a manifest commit
+   * leaves its freshly-written dir unreferenced — invisible to serves,
+   * pure garbage) and that are older than `minAgeMillis` (an append's
+   * dir exists BEFORE its commit; the age floor keeps an in-flight
+   * writer's work safe — the vacuumBm25Orphans discipline verbatim).
+   * Dirs named by any retained version survive, so as-of serves keep
+   * working; version-retention pruning is what eventually frees
+   * replaced segments. Returns the deleted dir names.
+   */
+  def vacuumHnswOrphans(spark: SparkSession, path: String,
+      minAgeMillis: Long = 3600000L): Seq[String] =
+    graft.sinks.Lease.withLease(spark, path) {
+      import graft.sinks.Versioned
+      val mroot = s"$path/manifest"
+      val named = Versioned.listVersions(spark, mroot)
+        .flatMap { case (v, _) =>
+          Versioned.readVersion(spark, mroot, v)
+            .collect().map(_.getString(0))
+        }
+        .map(d => new org.apache.hadoop.fs.Path(d).getParent.getName)
+        .toSet
+      val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
+      val fs = segsDir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(segsDir)) Seq.empty
+      else {
+        val cutoff = System.currentTimeMillis() - minAgeMillis
+        val orphans = fs.listStatus(segsDir).toSeq
+          .filter(s => s.isDirectory && s.getModificationTime <= cutoff)
+          .map(_.getPath.getName)
+          .filterNot(named)
+        orphans.foreach(o => fs.delete(
+          new org.apache.hadoop.fs.Path(segsDir, o), true))
+        orphans.sorted
+      }
     }
 
   /** The manifest's live seg-dir list (sorted — deterministic union

@@ -1534,6 +1534,177 @@ object TextAnalysis {
   }
 
   /**
+   * ES `boosting` query: documents matching the POSITIVE query score
+   * normally, but any that ALSO match the negative query are demoted by
+   * `negBoost1000`/1000 (ES negative_boost — a soft MUST_NOT: the doc
+   * still returns, just lower; at negBoost 1000 the serve degenerates
+   * to the plain serve, and at negBoost 0 its positive-scored rows are
+   * exactly the hard exclusion serve's result — demoted docs sink to
+   * score 0 instead of vanishing; both spec-pinned). Integer demote =
+   * (score · negBoost1000) div 1000.
+   * Cost over the plain serve: one postings probe for the negative
+   * terms reduced to a distinct doc set, one join against candidates.
+   */
+  def bm25BoostingTopK(spark: SparkSession, root: String,
+      positiveText: String, negativeText: String, negBoost1000: Long,
+      k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    require(negBoost1000 >= 0, s"negative boost $negBoost1000 < 0")
+    val posTerms = positiveText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    val negTerms = negativeText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(posTerms.nonEmpty && negTerms.nonEmpty,
+      "boosting needs both a positive and a negative query")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val scored = bm25ScoreFrame(spark, root, posTerms, asOf) match {
+      case None => return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+      case Some(f) => f
+    }
+    // the negative side needs MATCHING only, not scores: one postings
+    // probe reduced to a distinct doc set (dead docs harmless — the
+    // scoring side is dead-filtered before this join)
+    val negDocs = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        negTerms.toDF("tok")))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id")).distinct()
+      .withColumn("__neg", lit(true))
+    scored.join(negDocs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("__neg").isNotNull,
+          expr(s"(score * ${negBoost1000}L) div 1000"))
+          .otherwise(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * ES `terms_set` query — minimumShouldMatch decided PER DOCUMENT by
+   * the data: a doc qualifies when its count of distinct matched query
+   * terms reaches `msmSql`, an integer expression over the index's
+   * doc-values columns ("how many of these skills must match" stored
+   * per row — the ES minimum_should_match_field/script). Qualifying
+   * docs keep the standard BM25 sum over their matched terms. A
+   * constant expression degenerates to the fixed-m MSM serve
+   * (spec-pinned). Cost: the plain serve's probe + one docvals join
+   * carrying the threshold column.
+   */
+  def bm25TermsSetTopK(spark: SparkSession, root: String,
+      queryText: String, msmSql: String, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    require(msmSql.trim.nonEmpty, "empty minimum_should_match expression")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+    val idf = bm25Idf(nDocs, dfc.toMap, terms).toDF("tok", "idf")
+    val postings = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok")))
+      .reduce(_.unionByName(_))
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) postings
+      else postings.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val msm = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), expr(msmSql).cast("long").as("__msm"))
+    alive
+      .join(broadcast(idf), "tok")
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"),
+        countDistinct(col("tok")).as("__matched"))
+      .join(msm, Seq("doc_id"))
+      .filter(col("__matched") >= col("__msm"))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * Lucene `SpanFirstQuery` — a term restricted to the START of a
+   * document: only occurrences at position < `end` count (spans ending
+   * within the first `end` tokens — title-ish matching without a title
+   * field). tf is the RESTRICTED count, the length norm is unchanged,
+   * so a doc whose only hits sit past the boundary drops out entirely.
+   * Needs a positional index. Cost: the plain serve's probe; the
+   * position filter is one bounded array op per posting row.
+   */
+  def bm25SpanFirstTopK(spark: SparkSession, root: String, term: String,
+      end: Int, k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val t = term.toLowerCase.trim
+    require(t.nonEmpty && !t.exists(_.isWhitespace),
+      s"span_first takes one term, got '$term'")
+    require(end >= 1, s"end must be positive, got $end")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val keyDf = (Seq(t) :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val avg1000 = totLen * 1000L / nDocs
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (tk, rs) => tk -> rs.map(_.getLong(1)).sum }
+    if (!dfc.contains(t))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val idfV = bm25Idf(nDocs, dfc.toMap, Seq(t)).head._2
+    val posts = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        Seq(t).toDF("tok"))).reduce(_.unionByName(_))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"$root: postings carry no positions — build with positions = true")
+    val dead = deletedBm25Docs(spark, root, asOf)
+    val alive =
+      if (dead.isEmpty) posts
+      else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+    alive
+      .select(col("doc_id"), col("len"),
+        size(filter(col("positions"), p => p < lit(end.toLong)))
+          .cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .select(col("doc_id"), (lit(idfV) * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Highlighting — the deterministic core of a search response's
    * snippet stage (Lucene's highlighter, stripped of its float
    * fragment scorer): for every document matching at least one query

@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * The round-18 query-type additions — boosting (soft MUST_NOT),
+ * terms_set (per-doc minimum_should_match from doc values) and
+ * span_first (position-restricted term) — each pinned by its
+ * degenerate equality against the established serve plus a
+ * hand-checkable divergence case.
+ */
+class Bm25QueryTypesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta noise noise noise noise noise noise noise alpha", 120L),
+      (2L, "alpha beta gamma here", 250L),
+      (3L, "beta gamma body text longer here now", 400L),
+      (4L, "alpha alone", 90L),
+      (5L, "gamma delta unrelated", 310L)
+    ).toDF("doc_id", "text", "n_chars")
+  }
+
+  private def build(positions: Boolean = false): String = {
+    val root = Files.createTempDirectory("qt_idx").toString
+    TextAnalysis.writeBm25Index(corpus(), "doc_id", "text", root,
+      nBuckets = 4, positions = positions, docValueCols = Seq("n_chars"))
+    root
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("boosting: negBoost 1000 == plain serve; 0 sinks demoted docs to the NOT serve's set") {
+    val root = build()
+    val q = "alpha beta"
+    assert(rows(TextAnalysis.bm25BoostingTopK(spark, root, q, "gamma",
+      negBoost1000 = 1000L, k = 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, q, k = 10)))
+    val zero = rows(TextAnalysis.bm25BoostingTopK(spark, root, q, "gamma",
+      negBoost1000 = 0L, k = 10))
+    assert(zero.filter(_._2 > 0)
+      == rows(TextAnalysis.bm25ServeTopKNot(spark, root, q, "gamma", 10)))
+    // demoted docs are PRESENT at score 0 — the soft exclusion
+    assert(zero.filter(_._2 == 0).map(_._1).toSet == Set(2L, 3L))
+    // a partial demote keeps order within each class and scales exactly
+    val plain = rows(TextAnalysis.bm25ServeTopK(spark, root, q, 10)).toMap
+    val soft = rows(TextAnalysis.bm25BoostingTopK(spark, root, q, "gamma",
+      negBoost1000 = 250L, k = 10)).toMap
+    Seq(2L, 3L).foreach(id => assert(soft(id) == plain(id) * 250L / 1000L))
+    Seq(1L, 4L).foreach(id => assert(soft(id) == plain(id)))
+  }
+
+  test("terms_set: per-doc msm from docvals; constant expression == fixed-m MSM serve") {
+    val root = build()
+    val q = "alpha beta gamma"
+    assert(rows(TextAnalysis.bm25TermsSetTopK(spark, root, q, "2", k = 10))
+      == rows(TextAnalysis.bm25ServeTopKMsm(spark, root, q, 2, k = 10)))
+    // per-doc thresholds: docs with n_chars >= 300 need 2 matches,
+    // shorter ones 1 — doc 5 (310, matches only gamma) drops, doc 4
+    // (90, matches only alpha) stays
+    val got = rows(TextAnalysis.bm25TermsSetTopK(spark, root, q,
+      "CASE WHEN n_chars >= 300 THEN 2 ELSE 1 END", k = 10))
+      .map(_._1).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("span_first: only early positions count; a wide end == the plain serve") {
+    val root = build(positions = true)
+    assert(rows(TextAnalysis.bm25SpanFirstTopK(spark, root, "alpha",
+      end = 1000, k = 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha", k = 10)))
+    // end=2: doc 1's second 'alpha' (pos 9) no longer counts (tf 2→1);
+    // doc 2/4 keep their pos-0 hit
+    val tight = rows(TextAnalysis.bm25SpanFirstTopK(spark, root, "alpha",
+      end = 2, k = 10)).toMap
+    assert(tight.keySet == Set(1L, 2L, 4L))
+    // doc 1 restricted tf = 1: its score now uses tf 1 at ITS length
+    val lens = Map(1L -> 10L, 2L -> 4L, 3L -> 7L, 4L -> 2L, 5L -> 3L)
+    val n = 5L
+    val avg1000 = lens.values.sum * 1000L / n
+    def w(tf: Long, len: Long): Long = {
+      val norm1000 = 250L + (750L * len * 1000L) / avg1000
+      (tf * 2200L * 10000L) / (tf * 1000L + (1200L * norm1000) / 1000L)
+    }
+    val idf = (n - 3L + 1L) * 10000L / (3L + 1L) // df(alpha) = 3
+    assert(tight(1L) == idf * w(1L, 10L))
+    assert(tight(4L) == idf * w(1L, 2L))
+  }
+}

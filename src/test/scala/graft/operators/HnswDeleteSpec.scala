@@ -118,10 +118,23 @@ class HnswDeleteSpec extends AnyFunSuite with SparkTestBase {
 
   test("compaction == a fresh build over the survivors, bit for bit; tombstones clear") {
     val idx = freshIndex(nSegments = 4)
+    val before = serve(idx)
+    val preCompact = graft.sinks.Versioned
+      .currentVersion(spark, s"$idx/manifest").get
     val dead = (0L until 25L).filter(_ % 3 == 0)
     Hnsw.deleteHnswVectors(spark, idx, dead)
     assert(Hnsw.compactHnswSegments(spark, idx, m = 8,
       efConstruction = 64, nSegments = 4) == 1)
+    // the replaced dirs survive for the retained pre-compact version —
+    // as-of still serves; with tombstones cleared by the compact, the
+    // as-of view shows the PRE-delete corpus (deletes are live state,
+    // not versioned — the documented IVF/Lucene caveat)
+    val asof = Hnsw.hnswTopK(spark, idx, queries, "vec_id", "embedding",
+      k = 3, efSearch = 64, asOf = Some(preCompact))
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(asof == before)
     // deterministic construction ⇒ the compacted index serves exactly
     // like a fresh build over the survivor corpus at the same params
     val fresh = Files.createTempDirectory("hnsw_fresh").toString + "/idx"
@@ -181,6 +194,12 @@ class HnswDeleteSpec extends AnyFunSuite with SparkTestBase {
     // the orphan rebuild dir is invisible: the served view is unchanged
     assert(serve(idx) == masked)
     assert(Similarity.readTombstones(spark, idx).nonEmpty)
+    // ...and it is GC-able garbage: vacuum sweeps it (no retained
+    // version names it), while every version-named dir survives — the
+    // served view is still untouched after the sweep
+    val swept = Hnsw.vacuumHnswOrphans(spark, idx, minAgeMillis = 0L)
+    assert(swept.exists(_.startsWith("cmp-")), s"swept: $swept")
+    assert(serve(idx) == masked)
     // retry completes: tombstones clear, dead ids stay out, every
     // query fills its top-k over the rebuilt survivor graphs (the
     // rebuilt walk may rank differently from the MASKED walk — the

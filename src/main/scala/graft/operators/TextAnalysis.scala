@@ -2230,9 +2230,14 @@ object TextAnalysis {
     val dfAll = dfc.toMap + (lastKey -> expansion.map(_._2).max)
     val idfByPos = bm25Idf(nDocs, dfAll, fixed :+ lastKey).toMap
     val idfSum = (fixed :+ lastKey).map(idfByPos).sum
+    // key set deduped: a fixed token can itself match the stem
+    // ("sort so*") — a duplicate key would duplicate postings rows
+    // into the per-doc fold (harmless today only because
+    // array_intersect has set semantics; dedupe rather than rely on it)
     val posts = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
-        (distinctFixed ++ expToks).toDF("tok"))).reduce(_.unionByName(_))
+        (distinctFixed ++ expToks).distinct.toDF("tok")))
+      .reduce(_.unionByName(_))
     require(posts.schema.fieldNames.contains("positions"),
       s"$root: postings carry no positions — build with positions = true")
     val dead = deletedBm25Docs(spark, root)

@@ -70,6 +70,15 @@ class PhrasePrefixSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a fixed token inside its own stem's expansion stays exact ('big b*')") {
+    val root = freshIndex()
+    // 'b*' expands to {big} — the fixed token IS the expansion member;
+    // only doc 4 carries 'big big' (positions 0,1 → one final slot)
+    val got = rows(TextAnalysis.bm25ServePhrasePrefixTopK(spark, root,
+      "big b", k = 10))
+    assert(got.map(_._1) == Seq(4L))
+  }
+
   test("an absent fixed token or an empty expansion yields the empty result") {
     val root = freshIndex()
     assert(TextAnalysis.bm25ServePhrasePrefixTopK(spark, root,

@@ -3172,6 +3172,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `constant_score` — the filter-context query: matches at a
+    // fixed score, no statistics (the cacheable "give me the matches"
+    // path); ordering degenerates to doc_id
+    "bm25_constant_score_served" -> ((s, dir) => {
+      TextAnalysis.bm25ConstantScoreTopK(s, ensureBm25Index(s, dir),
+        "dup zzz", boost1000 = 1000L, k = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // ES `boosting` query — the soft MUST_NOT: docs matching the
     // negative query ('big') still return, demoted to 30% of their
     // positive score; top-k after the demote, so a strong-but-demoted
@@ -8172,6 +8181,15 @@ object SparkEntry {
     "bm25_multifield_most_served" -> bm25MultiFieldSql("ts + bs"),
 
     "bm25_multifield_cross_served" -> bm25CrossFieldsSql(),
+
+    // constant_score: the match set at a fixed score, doc_id order
+    "bm25_constant_score_served" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT DISTINCT doc_id, CAST(1000 AS BIGINT) AS score
+        |FROM toks WHERE tok IN ('dup', 'zzz')
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
 
     // boosting: the scored chain, demoted where the doc carries 'big'
     "bm25_boosting_served" ->

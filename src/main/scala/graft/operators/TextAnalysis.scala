@@ -1583,6 +1583,25 @@ object TextAnalysis {
   }
 
   /**
+   * ES `constant_score` — the filter-context query: every document
+   * matching ANY query term returns at exactly `boost1000` (no BM25, no
+   * statistics — "I want the matches, not a ranking", the cacheable
+   * fast path real ES users reach for daily). Ordering degenerates to
+   * doc_id (all scores equal), so the result is the match set paged
+   * deterministically. Cost: the postings probe reduced to a distinct
+   * doc set — no idf read, no scoring aggregate.
+   */
+  def bm25ConstantScoreTopK(spark: SparkSession, root: String,
+      queryText: String, boost1000: Long, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    matched.select(col("doc_id"), lit(boost1000).as("score"))
+      .orderBy(col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * ES `terms_set` query — minimumShouldMatch decided PER DOCUMENT by
    * the data: a doc qualifies when its count of distinct matched query
    * terms reaches `msmSql`, an integer expression over the index's

@@ -37,6 +37,18 @@ class Bm25QueryTypesSpec extends AnyFunSuite with SparkTestBase {
   private def rows(df: DataFrame): Seq[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
+  test("constant_score: the match set at a fixed score, no statistics") {
+    val root = build()
+    val got = rows(TextAnalysis.bm25ConstantScoreTopK(spark, root,
+      "alpha gamma", boost1000 = 700L, k = 10))
+    // match set = docs carrying alpha or gamma (all but none here: 1-5
+    // except... doc 1,2,4 alpha; 2,3,5 gamma) at the constant score
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L).map(id => (id, 700L)))
+    // the plain serve's doc set equals it; only the scores differ
+    assert(rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha gamma",
+      10)).map(_._1).toSet == got.map(_._1).toSet)
+  }
+
   test("boosting: negBoost 1000 == plain serve; 0 sinks demoted docs to the NOT serve's set") {
     val root = build()
     val q = "alpha beta"

@@ -4546,10 +4546,10 @@ object TextAnalysis {
    *
    * Scale shape: one candidates-only scoring frame + one docvals join
    * (the collapse key never touches the corpus text), a per-key window
-   * over candidates, and a group-ranking window over ≤ |distinct keys
-   * in the candidates| rows — bounded by the same low-cardinality
-   * doc-values contract every facet agg here relies on (collapsing on
-   * a unique key is a no-op by construction, not a use case).
+   * over candidates, then group ranking via distributed orderBy+limit(k)
+   * (TakeOrderedAndProject) with rank assigned over the collected ≤ k
+   * rows — safe even when the collapse key is high-cardinality
+   * (user_id, domain), the common ES collapse shape.
    */
   def bm25CollapseTopK(spark: SparkSession, root: String,
       queryText: String, collapseCol: String, k: Int, innerK: Int = 1,
@@ -4574,15 +4574,30 @@ object TextAnalysis {
     val ranked = scored.join(vals, Seq("doc_id"))
       .withColumn("inner_rank", row_number().over(perKey))
       .filter(col("inner_rank") <= innerK)
-    // group ranking: one window over ≤ |keys| rows (the rank-1 hits)
-    val grpW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("top_score").desc, col("top_doc"))
-    val topGroups = ranked.filter(col("inner_rank") === 1)
+    // group ranking: the serve only needs the best k groups, so rank
+    // via orderBy+limit(k) — TakeOrderedAndProject, fully distributed
+    // — and assign grp_rank driver-side over the collected ≤ k rows
+    // (the search_after cursor discipline). No unpartitioned window:
+    // collapsing on a high-cardinality key (user_id, domain) would
+    // otherwise push one row per distinct key through a single task.
+    val topRows = ranked.filter(col("inner_rank") === 1)
       .select(col(collapseCol), col("score").as("top_score"),
         col("doc_id").as("top_doc"))
-      .withColumn("grp_rank", row_number().over(grpW))
-      .filter(col("grp_rank") <= k)
-      .select(col(collapseCol), col("grp_rank"))
+      .orderBy(col("top_score").desc, col("top_doc"))
+      .limit(k)
+      .collect()
+    if (topRows.isEmpty)
+      return Seq.empty[(String, Int, Int, Long, Long)]
+        .toDF(collapseCol, "grp_rank", "inner_rank", "doc_id", "score")
+    val grpSchema = org.apache.spark.sql.types.StructType(Seq(
+      ranked.schema(collapseCol),
+      org.apache.spark.sql.types.StructField("grp_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val topGroups = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        topRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i + 1) }.toSeq, 1),
+      grpSchema)
     ranked.join(broadcast(topGroups), Seq(collapseCol))
       .select(col(collapseCol), col("grp_rank"), col("inner_rank"),
         col("doc_id"), col("score"))

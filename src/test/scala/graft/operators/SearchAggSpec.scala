@@ -198,6 +198,23 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       && one.head.getInt(2) == 1)
   }
 
+  test("collapse on a high-cardinality key (one group per doc) ranks by score, non-string key type") {
+    val root = build()
+    // n_chars is UNIQUE per matched doc — the ES user_id/domain shape
+    // the low-cardinality lang fixture hides; every doc is its own
+    // group, so collapse must reproduce the plain serve order
+    val got = TextAnalysis.bm25CollapseTopK(spark, root, "hit alpha",
+      "n_chars", k = 3, innerK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    val serve = TextAnalysis.bm25ServeTopK(spark, root, "hit alpha", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Map(1L -> 100L, 2L -> 250L, 3L -> 450L, 5L -> 199L)
+    val expect = serve.zipWithIndex.map { case ((id, s), i) =>
+      (chars(id), i + 1, 1, id, s) }
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("top_hits ranks within each facet bucket by (score desc, id)") {
     val root = build()
     val got = TextAnalysis.bm25TopHitsAgg(spark, root, "hit alpha",

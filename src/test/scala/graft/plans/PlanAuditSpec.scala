@@ -614,9 +614,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         "the index")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
-      "the top-groups join must broadcast (≤ |keys| rows)")
+      "the top-groups join must broadcast (≤ k rows)")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "no cartesian in the collapse path")
+    // group ranking must be TakeOrdered+driver-rank, never a global
+    // row_number: an unpartitioned WindowExec pushes one row per
+    // distinct collapse key through a single task
+    val unpartitioned = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"collapse executed an UNPARTITIONED window: $unpartitioned")
   }
 
   test("cross_fields / synonym serves: candidates only, broadcast blends, no corpus scan") {

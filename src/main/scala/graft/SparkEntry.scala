@@ -246,7 +246,7 @@ object SparkEntry {
   private def ensureHnswAppendFixture(s: SparkSession,
       dir: String): (String, String) = {
     val emb = t(s, dir, "embeddings")
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswapp_v1_" +
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswapp_v${graft.operators.Hnsw.AlgoVersion}_" +
       fsTag(s, dir, "embeddings.parquet")
     val marker = new org.apache.hadoop.fs.Path(idx,
       graft.operators.Hnsw.ReadyMarker)
@@ -266,7 +266,7 @@ object SparkEntry {
         idx, m = 8, efConstruction = 64, nNewSegments = 4)
       fs.create(done, true).close()
     }
-    assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=4+4 even-then-odd")
+    assertFixtureSpec(s, idx, s"hnsw algo=v${graft.operators.Hnsw.AlgoVersion} m=8 efc=64 segs=4+4 even-then-odd")
     (idx, graft.sinks.Versioned.readSmallText(s, pv).get.trim)
   }
 
@@ -1945,7 +1945,7 @@ object SparkEntry {
     // recall-per-probe-cost frontier vs IVF.
     "ann_hnsw_served" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_v1_" +
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_v${graft.operators.Hnsw.AlgoVersion}_" +
         fsTag(s, dir, "embeddings.parquet")
       val marker = new org.apache.hadoop.fs.Path(idx,
         graft.operators.Hnsw.ReadyMarker)
@@ -1953,7 +1953,7 @@ object SparkEntry {
       if (!fs.exists(marker))
         graft.operators.Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
           idx, m = 8, efConstruction = 64, nSegments = 8)
-      assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=8")
+      assertFixtureSpec(s, idx, s"hnsw algo=v${graft.operators.Hnsw.AlgoVersion} m=8 efc=64 segs=8")
       val res = graft.operators.Hnsw.hnswTopK(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, efSearch = 64)
@@ -2004,7 +2004,7 @@ object SparkEntry {
     // deleted query vectors, included otherwise)
     "ann_hnsw_deleted" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswtomb_v1_" +
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswtomb_v${graft.operators.Hnsw.AlgoVersion}_" +
         fsTag(s, dir, "embeddings.parquet")
       val marker = new org.apache.hadoop.fs.Path(idx,
         graft.operators.Hnsw.ReadyMarker)
@@ -2021,7 +2021,7 @@ object SparkEntry {
         graft.operators.Hnsw.deleteHnswVectors(s, idx, dead.toSeq)
         fs.create(done, true).close()
       }
-      assertFixtureSpec(s, idx, "hnsw m=8 efc=64 segs=8 deleted id%7=0")
+      assertFixtureSpec(s, idx, s"hnsw algo=v${graft.operators.Hnsw.AlgoVersion} m=8 efc=64 segs=8 deleted id%7=0")
       val res = graft.operators.Hnsw.hnswTopK(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, efSearch = 64)
@@ -2039,7 +2039,7 @@ object SparkEntry {
     // (HnswDeleteSpec pins it), so the serve goldens like its siblings
     "ann_hnsw_compacted" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswcmp_v1_" +
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_hnswcmp_v${graft.operators.Hnsw.AlgoVersion}_" +
         fsTag(s, dir, "embeddings.parquet")
       val marker = new org.apache.hadoop.fs.Path(idx,
         graft.operators.Hnsw.ReadyMarker)
@@ -2059,7 +2059,7 @@ object SparkEntry {
         fs.create(done, true).close()
       }
       assertFixtureSpec(s, idx,
-        "hnsw m=8 efc=64 segs=8 deleted id%7=0 compacted")
+        s"hnsw algo=v${graft.operators.Hnsw.AlgoVersion} m=8 efc=64 segs=8 deleted id%7=0 compacted")
       val res = graft.operators.Hnsw.hnswTopK(s, idx,
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, efSearch = 64)
@@ -3216,8 +3216,17 @@ object SparkEntry {
     // over the dictionary expansion); the expanded position scores as
     // one pseudo-term at the max member df (the SynonymQuery blend)
     "phrase_prefix_served" -> ((s, dir) => {
-      TextAnalysis.bm25ServePhrasePrefixTopK(s, ensurePosBm25Index(s, dir),
-        "big s", k = 15)
+      val idx = ensurePosBm25Index(s, dir)
+      // the DuckDB oracle blends over ALL 's%' dictionary terms while
+      // the serve truncates at maxExpansions=50 — they only agree while
+      // the band stays under the cap, so fail LOUDLY if the corpus
+      // ever grows past it instead of hash-mismatching (ADVICE r18)
+      val nExp = TextAnalysis.prefixExpansionCount(s, idx, "s")
+      require(nExp <= 50,
+        s"phrase_prefix oracle contract broken: 's*' expands to $nExp " +
+          "dictionary terms > maxExpansions=50 — the serve would " +
+          "truncate where the SQL replay does not")
+      TextAnalysis.bm25ServePhrasePrefixTopK(s, idx, "big s", k = 15)
         .orderBy(col("score").desc, col("doc_id"))
     }),
 

@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
 object Hnsw {
   val ReadyMarker = "_hnsw_ready"
 
+  /** Construction-algorithm version — BUMP whenever graph construction
+    * changes shape (level derivation, insert order, neighbor selection,
+    * tie-breaks). Folded into every warm fixture path/spec (ADVICE r18):
+    * a pre-change fixture must REBUILD under the new algorithm, not pass
+    * its spec gate and then fail the VALUES goldens with a confusing
+    * mismatch. v2 = diversity-based neighbor selection (round 18). */
+  val AlgoVersion: Int = 2
+
   /** One persisted node: its segment, vector, top level and the FULL
     * adjacency (per-level neighbor ids) — the graph reloads from this
     * one table with a single groupByKey(seg), no edge join. */
@@ -342,6 +350,26 @@ object Hnsw {
         s"append batch shares $dupes vec_ids with the index at $path — " +
           "appends require disjoint id spaces (delete the old rows and " +
           "compact first, or re-id the batch)")
+      // stale-tombstone repair (ADVICE r18): a compact that crashed
+      // between its manifest swap and its tombstone clear leaves
+      // tombstones for ids the base no longer holds. The batch passed
+      // the base-disjointness guard above, so any batch ∩ tombstone
+      // overlap is provably that residue — left in place it would
+      // silently mask every re-appended copy. Drop those ids from the
+      // set (under this same lease) before the new segment commits.
+      Similarity.readTombstones(spark, path).foreach { case (idCol, dead) =>
+        require(idCol == "vec_id",
+          s"$path tombstones keyed by '$idCol', expected vec_id")
+        // overlap via broadcast semi-join — collected rows ≤ |dead|
+        // (MaxTombstones-capped), never ∝ the batch
+        val stale = df.select(col(idCol).cast("long").as("vec_id"))
+          .join(broadcast(dead.toSeq.toDF("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .distinct().collect().map(_.getLong(0)).toSet
+        if (stale.nonEmpty)
+          Similarity.replaceTombstones(spark, path, idCol,
+            dead.filterNot(stale.contains))
+      }
       val newDir = s"segs/app-${java.util.UUID.randomUUID().toString.take(8)}/nodes"
       buildNodes(df, idCol, vecCol, m, efConstruction, nNewSegments,
         maxSeg + 1)
@@ -409,7 +437,7 @@ object Hnsw {
 
   private[graft] def compactHnswSegmentsHooked(spark: SparkSession,
       path: String, m: Int, efConstruction: Int, nSegments: Int,
-      beforeCommit: () => Unit): Int =
+      beforeCommit: () => Unit, afterSwap: () => Unit = () => ()): Int =
     graft.sinks.Lease.withLeaseHeartbeat(spark, path) {
       import spark.implicits._
       val marker = new org.apache.hadoop.fs.Path(path, ReadyMarker)
@@ -435,6 +463,7 @@ object Hnsw {
       beforeCommit()
       graft.sinks.Versioned.writeVersioned(
         Seq(newDir).toDF("seg_dir"), s"$path/manifest")
+      afterSwap()
       // post-swap: clear the tombstone object (its ids no longer exist
       // in the live view). The REPLACED seg dirs are deliberately NOT
       // deleted here — older retained manifest versions still name

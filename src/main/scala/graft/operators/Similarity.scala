@@ -930,6 +930,28 @@ object Similarity {
     mergeTombstones(spark, path, idCol, ids)
   }
 
+  /** Replace the tombstone set verbatim (delete the control object when
+    * `ids` is empty) — the repair verb for stale residue: a compact that
+    * crashed in its post-swap/pre-clear window leaves tombstones for ids
+    * no longer in the base, which would silently mask a later re-append
+    * of those ids. Caller holds the index lease and has PROVEN the
+    * dropped ids are absent from the live view. */
+  private[graft] def replaceTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, ids: Iterable[Long]): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(path, TombstoneFile)
+    if (ids.isEmpty) {
+      val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(tombPath, false)
+    } else {
+      val sb = new StringBuilder(TombstoneIdColPrefix).append(idCol)
+        .append('\n')
+      ids.toArray.sorted.foreach(id => sb.append(id).append('\n'))
+      graft.sinks.Versioned.atomicOverwrite(spark, tombPath,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** The shared tombstone-merge step ([[deleteFromIvfIndex]] and the
     * HNSW delete): merge `ids` into the existing set, enforce the id
     * column and the [[MaxTombstones]] cap, commit the one control

@@ -1047,6 +1047,19 @@ object TextAnalysis {
     dfc
   }
 
+  /** Number of dictionary terms a prefix stem expands to — the guard a
+    * caller needs when an external replay (the DuckDB oracle) matches
+    * ALL stem-prefixed tokens while the serve truncates at
+    * `maxExpansions`: the two only agree while the band stays under the
+    * cap, and asserting that makes the latent divergence loud
+    * (ADVICE r18). One dictionary band scan, no postings. */
+  private[graft] def prefixExpansionCount(spark: SparkSession,
+      root: String, stem: String): Int = {
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty) 0
+    else expandPrefixTerms(spark, root, segs, stem).size
+  }
+
   /** Stage 2 shared by every MultiTermQuery SCORING serve (prefix /
     * suffix / infix / fuzzy rewrites): exact BM25 over an expanded term
     * set — per-variant idf from the dictionary's build-time df (the

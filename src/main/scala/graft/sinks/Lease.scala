@@ -265,6 +265,13 @@ object Lease {
             catch {
               case _: LeaseHeldException =>
                 stop.set(true) // lost — let verifyHeld abort the commit
+              case scala.util.control.NonFatal(_) =>
+                // transient IO on a renewal must NOT kill the beat (the
+                // claim would silently expire within the grace window
+                // and a long compaction abort at commit with no rival)
+                // — retry on the next tick; only a genuine loss
+                // (LeaseHeldException above) stops the heartbeat
+                ()
             }
           }
         }
@@ -276,6 +283,10 @@ object Lease {
     finally {
       stop.set(true)
       beat.interrupt()
+      // join BEFORE release: the beat may be past its stop check and
+      // inside acquire() — letting it land a fresh grace-window claim
+      // AFTER the release would spuriously block the next writer
+      beat.join()
       held.set(held.get() - key)
       release(spark, key, holder)
     }

@@ -210,4 +210,35 @@ class HnswDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(after.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(1, 2, 3)))
     assert(Similarity.readTombstones(spark, idx).isEmpty)
   }
+
+  test("compaction killed AFTER the swap leaves stale tombstones; re-append self-heals them (ADVICE r18)") {
+    val idx = freshIndex()
+    val dead = Seq(1L, 2L, 3L)
+    Hnsw.deleteHnswVectors(spark, idx, dead)
+    // crash in the post-swap/pre-clear window: the manifest now names
+    // only the compacted (survivor) segments, but the tombstone object
+    // survives — stale ids that reference nothing in the live base
+    val boom = intercept[RuntimeException] {
+      Hnsw.compactHnswSegmentsHooked(spark, idx, 8, 64, 4,
+        beforeCommit = () => (),
+        afterSwap = () => throw new RuntimeException("killed after swap"))
+    }
+    assert(boom.getMessage.contains("killed after swap"))
+    assert(Similarity.readTombstones(spark, idx).exists(_._2.nonEmpty),
+      "the crash window under test requires the tombstones to survive")
+    // the documented recovery workflow — delete → compact → re-append —
+    // must WORK: the batch passes the base-disjointness guard (the rows
+    // are physically gone) and the stale tombstones must not silently
+    // mask the re-appended vectors
+    Hnsw.appendHnswSegments(emb.filter(col("vec_id").isin(dead: _*)),
+      "vec_id", "embedding", idx)
+    // the stale ids left the tombstone set (self-heal) and serve again
+    assert(Similarity.readTombstones(spark, idx).forall(
+      _._2.toSet.intersect(dead.toSet).isEmpty))
+    val got = serve(idx)
+    dead.foreach { id =>
+      assert(got.filter(_._1 == id).minBy(_._2)._3 == id,
+        s"re-appended id $id did not self-retrieve — still masked")
+    }
+  }
 }

@@ -584,6 +584,29 @@ object SparkEntry {
     idx
   }
 
+  /** Build-once gate for the TIMESTAMP-docvals twin: same corpus and
+    * postings, plus a derived `created_ts` sidecar —
+    * 2020-01-01T00:00Z + (doc_id % 400) days, a deterministic spread
+    * over ~14 calendar months that both engines re-derive exactly (the
+    * documents table carries no native timestamp). The fixture for the
+    * date_histogram / moving_fn family. */
+  private[graft] def ensureTsBm25Index(s: SparkSession,
+      dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_ts_v1_" +
+      fsTag(s, dir, "documents.parquet")
+    if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents").withColumn("created_ts",
+        timestamp_millis(lit(1577836800000L) +
+          pmod(col("doc_id"), lit(400L)) * lit(86400000L)))
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx,
+        docValueCols = Seq("created_ts"))
+    }
+    assertFixtureSpec(s, idx, "bm25 docvals=created_ts(2020+id%400d) no-deletes")
+    idx
+  }
+
   /** Build-once gate for the ANALYZED BM25 index: the corpus passed
     * through the index-time analysis chain (lowercase → whitespace
     * tokenize → Lucene classic stop set → Harman S-stemmer,
@@ -3524,6 +3547,35 @@ object SparkEntry {
       TextAnalysis.bm25HistogramAgg(s, ensureDocValsBm25Index(s, dir),
         "dup sort query zzz", "n_chars", interval = 100L)
         .orderBy(col("bucket"))
+    }),
+
+    // ES `date_histogram` with a CALENDAR interval (VERDICT r18 #2 —
+    // the most-used ES aggregation): month boundaries over the match
+    // set's created_ts docval, bucket key = start epoch millis; months
+    // vary 28-31 days, so this is date_trunc, not modular arithmetic
+    "search_date_histogram" -> ((s, dir) => {
+      TextAnalysis.bm25DateHistogramAgg(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts", "month")
+        .orderBy(col("bucket_ms"))
+    }),
+
+    // ...and ISO weeks (Monday-anchored — the boundary family a fixed
+    // interval cannot express at all, since weeks don't align to epoch)
+    "search_date_histogram_week" -> ((s, dir) => {
+      TextAnalysis.bm25DateHistogramAgg(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts", "week")
+        .orderBy(col("bucket_ms"))
+    }),
+
+    // ES `moving_fn` pipeline agg (VERDICT r18 #3): window of the 3
+    // PRECEDING month buckets (shift=0 — current bucket excluded), so
+    // the leading bucket emits NULL; avg1000 = |1000·sum/count| keeps
+    // the ratio integer-exact for the hash compare
+    "search_moving_agg" -> ((s, dir) => {
+      TextAnalysis.bm25DateHistogramMovingFn(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts", "month", window = 3,
+        fn = "avg1000")
+        .orderBy(col("bucket_ms"))
     }),
 
     // the index-time ANALYSIS CHAIN end-to-end: index built over the
@@ -9097,6 +9149,58 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM matched m JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // calendar-interval date_histogram: the oracle re-derives the
+    // created_ts docval (2020-01-01 + doc_id%400 days) and truncates to
+    // the month start — epoch_ms(date_trunc(...)) is the exact ES
+    // bucket-key contract both engines share under UTC
+    "search_date_histogram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT epoch_ms(date_trunc('month',
+        |    TIMESTAMP '2020-01-01' + ((doc_id % 400) * INTERVAL 1 DAY))) AS bucket_ms,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM matched
+        |GROUP BY 1 ORDER BY bucket_ms""".stripMargin,
+
+    "search_date_histogram_week" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT epoch_ms(date_trunc('week',
+        |    TIMESTAMP '2020-01-01' + ((doc_id % 400) * INTERVAL 1 DAY))) AS bucket_ms,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM matched
+        |GROUP BY 1 ORDER BY bucket_ms""".stripMargin,
+
+    // moving_fn over the month buckets: ROWS frame of the 3 PRECEDING
+    // buckets excluding current (ES shift=0), NULL leading edge via the
+    // NULL sum over an empty frame; // floors like the engine's div on
+    // these positive counts
+    "search_moving_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |hist AS (
+        |  SELECT epoch_ms(date_trunc('month',
+        |      TIMESTAMP '2020-01-01' + ((doc_id % 400) * INTERVAL 1 DAY))) AS bucket_ms,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM matched GROUP BY 1)
+        |SELECT bucket_ms, n_docs,
+        |  CAST((sum(n_docs) OVER w * 1000) // count(n_docs) OVER w AS BIGINT) AS moving
+        |FROM hist
+        |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |ORDER BY bucket_ms""".stripMargin,
 
     // the analyzed serve: the standard scoring chain over the
     // IDENTICALLY analyzed corpus (stop set + S-stemmer replayed in

@@ -4222,6 +4222,97 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** The calendar intervals [[bm25DateHistogramAgg]] accepts — the ES
+    * `calendar_interval` vocabulary whose boundaries do NOT reduce to
+    * `floor(v/interval)` (months vary in length, weeks anchor Monday).
+    * Each maps 1:1 to a Spark `date_trunc` unit DuckDB replays exactly. */
+  val CalendarIntervals: Set[String] =
+    Set("minute", "hour", "day", "week", "month", "quarter", "year")
+
+  /**
+   * ES `date_histogram` with a CALENDAR interval — the most-used ES
+   * aggregation: bucket the match set's docvals timestamp by calendar
+   * boundaries (month/week/day…), key = the bucket START as epoch
+   * millis (the ES key contract), value = distinct matching docs.
+   * Fixed-interval bucketing is [[bm25HistogramAgg]]; this one exists
+   * because calendar boundaries aren't modular arithmetic — `month`
+   * buckets vary 28–31 days and `week` anchors on Monday (ISO, the ES
+   * and Spark/DuckDB shared convention). Like the rest of the
+   * histogram family, only non-empty buckets emit.
+   *
+   * Timezone: boundaries are computed in the session timezone (Spark
+   * `date_trunc` semantics — exactly ES's `time_zone` parameter); every
+   * driver surface here pins UTC. Cost: the match probe + one docvals
+   * join + a codegen'd `date_trunc` groupBy — never a corpus scan, and
+   * the shuffle carries one row per (bucket, doc) pre-aggregated
+   * map-side.
+   */
+  def bm25DateHistogramAgg(spark: SparkSession, root: String,
+      queryText: String, tsCol: String, calendarInterval: String,
+      asOf: Option[String] = None): DataFrame = {
+    require(CalendarIntervals.contains(calendarInterval),
+      s"calendar_interval '$calendarInterval' not in " +
+        s"${CalendarIntervals.toSeq.sorted.mkString("{", ",", "}")}")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(tsCol))
+    matched.join(vals, Seq("doc_id"))
+      .groupBy(unix_millis(date_trunc(calendarInterval, col(tsCol)))
+        .as("bucket_ms"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket_ms"))
+  }
+
+  /** The sliding-window functions [[bm25DateHistogramMovingFn]] serves —
+    * min/max/sum exact, avg as the integer ratio ⌊1000·sum/count⌋. */
+  val MovingFns: Set[String] = Set("min", "max", "sum", "avg1000")
+
+  /**
+   * ES `moving_fn` pipeline aggregation over [[bm25DateHistogramAgg]]
+   * buckets: for every bucket, apply `fn` to the `window` PRECEDING
+   * buckets' doc counts — the ES shift=0 contract, where the window is
+   * [i−window, i−1] and EXCLUDES the current bucket, so the leading
+   * bucket (empty window) emits NULL (the ES null-leading-edge
+   * behavior; spec-pinned). avg1000 = ⌊1000·sum/count⌋ keeps the
+   * engine's integer-exact discipline so the DuckDB replay matches by
+   * hash. The frame is ROWS-based over EMITTED buckets — consistent
+   * with the family's emit-non-empty contract (an absent calendar
+   * month does not occupy a window slot).
+   *
+   * Scale shape: the window runs over histogram BUCKETS, never events —
+   * the one unpartitioned window here is bounded by |buckets| (the
+   * events_anomaly / histogram-pipeline precedent), downstream of the
+   * distributed groupBy that produced them.
+   */
+  def bm25DateHistogramMovingFn(spark: SparkSession, root: String,
+      queryText: String, tsCol: String, calendarInterval: String,
+      window: Int, fn: String, asOf: Option[String] = None): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    require(MovingFns.contains(fn),
+      s"moving_fn '$fn' not in ${MovingFns.toSeq.sorted.mkString("{", ",", "}")}")
+    val hist = bm25DateHistogramAgg(spark, root, queryText, tsCol,
+      calendarInterval, asOf)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_ms")).rowsBetween(-window, -1)
+    // sum over an empty frame is NULL → the leading edge is NULL for
+    // every fn with no special case (for avg1000 the NULL numerator
+    // nulls the integer ratio; count alone would give 0)
+    val staged = hist
+      .withColumn("mv_s", sum(col("n_docs")).over(w))
+      .withColumn("mv_c", count(col("n_docs")).over(w))
+      .withColumn("mv_min", min(col("n_docs")).over(w))
+      .withColumn("mv_max", max(col("n_docs")).over(w))
+    val moving = fn match {
+      case "min" => col("mv_min")
+      case "max" => col("mv_max")
+      case "sum" => col("mv_s")
+      case "avg1000" => expr("(mv_s * 1000) div mv_c")
+    }
+    staged.select(col("bucket_ms"), col("n_docs"),
+        moving.cast("long").as("moving"))
+      .orderBy(col("bucket_ms"))
+  }
+
   /**
    * ES `_explain` — the per-term score breakdown for ONE document
    * against a query, every factor of the integer BM25 chain exposed:

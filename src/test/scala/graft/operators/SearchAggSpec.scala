@@ -36,6 +36,73 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     root
   }
 
+  // corpus with a created_ts docval straddling calendar boundaries:
+  // a leap-February, a Friday/Saturday pair sharing an ISO week across
+  // the Jan/Feb boundary, and a Sunday that belongs to February's week
+  private def buildTs(): String = {
+    import java.time.Instant
+    import spark.implicits._
+    val root = Files.createTempDirectory("agg_ts_idx").toString
+    val docs = Seq(
+      (1L, "hit alpha", Instant.parse("2020-01-31T12:00:00Z")), // Fri
+      (2L, "hit beta", Instant.parse("2020-02-01T00:00:00Z")), // Sat
+      (3L, "hit gamma", Instant.parse("2020-02-29T23:59:59Z")), // leap Sat
+      (4L, "miss gamma", Instant.parse("2020-02-15T00:00:00Z")),
+      (5L, "hit delta", Instant.parse("2020-03-01T08:00:00Z")) // Sun
+    ).toDF("doc_id", "text", "created_ts")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 4, docValueCols = Seq("created_ts"))
+    root
+  }
+
+  test("date_histogram month: calendar boundaries (leap February), keys = bucket-start epoch millis") {
+    val root = buildTs()
+    val got = TextAnalysis.bm25DateHistogramAgg(spark, root, "hit",
+      "created_ts", "month").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Jan: doc 1; Feb: docs 2 + 3 (Feb 29 IS February — leap year);
+    // Mar: doc 5; doc 4 unmatched. Only non-empty buckets emit.
+    assert(got == Map(
+      1577836800000L -> 1L, // 2020-01-01
+      1580515200000L -> 2L, // 2020-02-01
+      1583020800000L -> 1L)) // 2020-03-01
+  }
+
+  test("date_histogram week: ISO Monday anchor groups across month boundaries") {
+    val root = buildTs()
+    val got = TextAnalysis.bm25DateHistogramAgg(spark, root, "hit",
+      "created_ts", "week").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Fri Jan 31 + Sat Feb 1 share the week of Mon Jan 27; Sat Feb 29 +
+    // Sun Mar 1 share the week of Mon Feb 24 — the boundaries a fixed
+    // interval cannot express (weeks don't align to epoch)
+    assert(got == Map(
+      1580083200000L -> 2L, // 2020-01-27
+      1582502400000L -> 2L)) // 2020-02-24
+    // and an unknown interval refuses loudly
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25DateHistogramAgg(spark, root, "hit",
+        "created_ts", "fortnight"))
+  }
+
+  test("moving_fn: window excludes the current bucket; leading edge NULL (ES shift=0)") {
+    val root = buildTs()
+    def run(fn: String): Seq[(Long, Long, Option[Long])] =
+      TextAnalysis.bm25DateHistogramMovingFn(spark, root, "hit",
+        "created_ts", "month", window = 2, fn = fn).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // month hist: Jan 1, Feb 2, Mar 1
+    assert(run("sum") == Seq(
+      (1577836800000L, 1L, None), // empty window -> NULL, not 0
+      (1580515200000L, 2L, Some(1L)), // {Jan}
+      (1583020800000L, 1L, Some(3L)))) // {Jan, Feb} — Mar itself excluded
+    assert(run("avg1000").map(_._3) == Seq(None, Some(1000L), Some(1500L)))
+    assert(run("min").map(_._3) == Seq(None, Some(1L), Some(1L)))
+    assert(run("max").map(_._3) == Seq(None, Some(1L), Some(2L)))
+    assertThrows[IllegalArgumentException](run("median"))
+  }
+
   test("range agg buckets from-inclusive/to-exclusive with ES keys") {
     val root = build()
     val got = TextAnalysis.bm25RangeAgg(spark, root, "hit", "n_chars",

@@ -3233,6 +3233,25 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // Lucene SpanNotQuery (VERDICT r18 #6): 'sort' occurrences with no
+    // 'dup' within 2 positions — tf is the surviving-position count,
+    // idf/norm the include term's own (the exclusion never scores)
+    "span_not_served" -> ((s, dir) => {
+      TextAnalysis.bm25SpanNotTopK(s, ensurePosBm25Index(s, dir),
+        include = "sort", exclude = "dup", dist = 2, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // public SpanOrQuery serve: the union of 'sort'/'dup' position
+    // lists scores as ONE pseudo-term at max member df (the
+    // SynonymQuery blend — which variant supplied a position never
+    // changes the score)
+    "span_or_served" -> ((s, dir) => {
+      TextAnalysis.bm25SpanOrTopK(s, ensurePosBm25Index(s, dir),
+        Seq("sort", "dup"), k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES match_phrase_prefix — the autocomplete query (Lucene
     // MultiPhraseQuery with an expanded last position): 'big s' matches
     // docs where 'big' is immediately followed by ANY s-term (SpanOr
@@ -3707,6 +3726,14 @@ object SparkEntry {
     // (TextAnalysis.prefixSearch)
     "prefix_search" -> ((s, dir) => {
       TextAnalysis.prefixSearch(s, ensureBm25Index(s, dir), "s")
+    }),
+
+    // ES completion suggester (VERDICT r18 #5): autocomplete for 's' —
+    // the prefix_search dictionary band ranked by attestation (corpus
+    // df desc, tok) and cut to k, dictionary-only (no postings read)
+    "suggest_complete" -> ((s, dir) => {
+      TextAnalysis.suggestComplete(s, ensureBm25Index(s, dir), "s", k = 10)
+        .orderBy(col("n_docs").desc, col("tok"))
     }),
 
     // leading-wildcard term search (`*er`): answered entirely from the
@@ -8308,6 +8335,72 @@ object SparkEntry {
         |FROM tfr t JOIN lens l USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
+    // span_not replayed as the positional anti-exists: an include
+    // position survives when no exclude position sits within dist=2;
+    // idf stays the include term's full df
+    "span_not_served" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |dfq AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk
+        |  WHERE tok = 'sort'),
+        |idfq AS (
+        |  SELECT ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfq),
+        |pa AS (SELECT doc_id, pos FROM tk WHERE tok = 'sort'),
+        |pb AS (SELECT doc_id, pos FROM tk WHERE tok = 'dup'),
+        |tfr AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM pa a
+        |  WHERE NOT EXISTS (SELECT 1 FROM pb b
+        |    WHERE b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= 2)
+        |  GROUP BY a.doc_id)
+        |SELECT t.doc_id,
+        |  CAST((SELECT idf FROM idfq) * ((t.tf * 2200 * 10000) //
+        |    (t.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |      ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000))
+        |    AS BIGINT) AS score
+        |FROM tfr t JOIN lens l USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // span_or replayed as the union position count (distinct terms
+    // occupy distinct positions, so the union = the IN-set occurrence
+    // count) at the max member df
+    "span_or_served" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |dfq AS (
+        |  SELECT CAST(max(dfc) AS BIGINT) AS dfc FROM (
+        |    SELECT tok, count(DISTINCT doc_id) AS dfc FROM tk
+        |    WHERE tok IN ('sort', 'dup') GROUP BY tok)),
+        |idfq AS (
+        |  SELECT ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfq),
+        |tfr AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN ('sort', 'dup') GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST((SELECT idf FROM idfq) * ((t.tf * 2200 * 10000) //
+        |    (t.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |      ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000))
+        |    AS BIGINT) AS score
+        |FROM tfr t JOIN lens l USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
     // match_phrase_prefix replayed as the positional self-join with a
     // LIKE last side; the expanded position's idf at the max member df
     "phrase_prefix_served" ->
@@ -9350,6 +9443,21 @@ object SparkEntry {
         |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tf) AS BIGINT) AS n_occ
         |FROM tf GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // completion suggester: the prefix band ranked by (df desc, tok),
+    // top 10 — the LIKE replay with the attestation order
+    "suggest_complete" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok LIKE 's%' GROUP BY doc_id, tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tf) AS BIGINT) AS n_occ
+        |FROM tf GROUP BY tok
+        |ORDER BY n_docs DESC, tok LIMIT 10""".stripMargin,
 
     // reversed-dictionary probe replay: same counts, LIKE '%er'
     "suffix_search" ->

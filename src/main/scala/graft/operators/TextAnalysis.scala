@@ -827,6 +827,29 @@ object TextAnalysis {
       _.startsWith(p))
   }
 
+  /**
+   * ES COMPLETION SUGGESTER — autocomplete-as-you-type (VERDICT r18
+   * #5): weighted prefix completion over the sorted dictionary. The
+   * candidates are the [prefix, successor) dictionary band
+   * ([[prefixSearch]] verbatim — manifest-level file pruning, tombstone
+   * corrections subtracted, NO postings read on the dictionary path),
+   * ranked by attestation (n_docs desc, tok) and cut to `k` via
+   * orderBy+limit (TakeOrderedAndProject — distributed, never a global
+   * window). Weight divergence from ES, documented: ES ranks by a
+   * per-suggestion weight indexed into a dedicated FST at write time;
+   * this engine's sorted dictionary IS its suggest structure, so the
+   * weight is corpus df — the most-attested completion wins, the same
+   * rank [[suggestTerms]] uses for did-you-mean. Cost ∝ the dictionary
+   * band — flat in the corpus size.
+   */
+  def suggestComplete(spark: SparkSession, root: String, prefix: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    prefixSearch(spark, root, prefix)
+      .orderBy(col("n_docs").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Extract a regex's leading LITERAL — the Lucene RegexpQuery trick
     * (CompiledAutomaton.commonPrefix): every match of `^pattern$` must
     * start with these characters, so the dictionary scan prunes to
@@ -1725,6 +1748,157 @@ object TextAnalysis {
     alive
       .select(col("doc_id"), col("len"),
         size(filter(col("positions"), p => p < lit(end.toLong)))
+          .cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .select(col("doc_id"), (lit(idfV) * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Shared stats header for the single-pseudo-term span serves: live
+    * segments, (N, avg1000), per-term df for `terms` — one dictionary
+    * readKeys. Returns None when the index is empty. */
+  private def spanStatsHeader(spark: SparkSession, root: String,
+      terms: Seq[String], asOf: Option[String])
+      : Option[(Seq[String], Long, Long, Map[String, Long])] = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty) return None
+    val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    require(statsRows.size == segs.size,
+      s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val totLen = statsRows.map(_.getLong(2)).sum
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (tk, rs) => tk -> rs.map(_.getLong(1)).sum }
+    Some((segs, nDocs, totLen * 1000L / nDocs, dfc.toMap))
+  }
+
+  /** Positional postings for `terms`, tombstone-masked — the probe the
+    * span serves share. Requires a positions=true index. */
+  private def spanPostings(spark: SparkSession, root: String,
+      segs: Seq[String], terms: Seq[String],
+      asOf: Option[String]): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val posts = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+        terms.toDF("tok"))).reduce(_.unionByName(_))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"$root: postings carry no positions — build with positions = true")
+    val dead = deletedBm25Docs(spark, root, asOf)
+    if (dead.isEmpty) posts
+    else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+  }
+
+  /**
+   * Lucene `SpanNotQuery` (VERDICT r18 #6 — the exclusion member of
+   * the span algebra, until now internal-only): occurrences of
+   * `include` that have NO occurrence of `exclude` within `dist`
+   * positions. tf is the surviving-position count — a doc whose every
+   * include-hit sits near an exclude-hit drops out entirely; idf and
+   * the length norm are the include term's own, unchanged (the
+   * [[bm25SpanFirstTopK]] restricted-tf model: the exclusion never
+   * scores, exactly Lucene's SpanNot weight). `dist = 0` is Lucene's
+   * default adjacency-overlap for single-position spans generalized:
+   * same-position collision only; the `dist > 0` form is its pre/post
+   * expansion ("matches of A not within slop of B"). Degenerate form,
+   * spec-pinned: an exclude term absent from the corpus leaves the
+   * plain single-term serve bit for bit.
+   *
+   * Cost: one positional probe over the TWO terms' postings, one
+   * per-doc left join + bounded higher-order fold (O(tfA·tfB) per doc,
+   * the near-query model) — never a corpus scan.
+   */
+  def bm25SpanNotTopK(spark: SparkSession, root: String,
+      include: String, exclude: String, dist: Int, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val inc = include.toLowerCase.trim
+    val exc = exclude.toLowerCase.trim
+    require(inc.nonEmpty && !inc.exists(_.isWhitespace) &&
+      exc.nonEmpty && !exc.exists(_.isWhitespace),
+      s"span_not takes single terms, got '$include' / '$exclude'")
+    require(inc != exc,
+      "span_not of a term against itself matches nothing by definition")
+    require(dist >= 0, s"dist must be non-negative, got $dist")
+    require(k >= 1, s"k must be positive, got $k")
+    def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val (segs, nDocs, avg1000, dfc) =
+      spanStatsHeader(spark, root, Seq(inc, exc), asOf) match {
+        case None => return empty
+        case Some(h) => h
+      }
+    if (!dfc.contains(inc)) return empty
+    val idfV = bm25Idf(nDocs, dfc, Seq(inc)).head._2
+    val posts = spanPostings(spark, root, segs, Seq(inc, exc), asOf)
+    val incPos = posts.filter(col("tok") === inc)
+      .select(col("doc_id"), col("len"), col("positions").as("pos_a"))
+    val excPos = posts.filter(col("tok") === exc)
+      .select(col("doc_id"), col("positions").as("pos_b"))
+    incPos.join(excPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        when(col("pos_b").isNull, size(col("pos_a")))
+          .otherwise(size(filter(col("pos_a"), p =>
+            !exists(col("pos_b"), q =>
+              abs(p - q) <= lit(dist.toLong)))))
+          .cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .select(col("doc_id"), (lit(idfV) * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * Public `SpanOrQuery` serve (VERDICT r18 #6): the UNION of the
+   * terms' position lists scores as ONE pseudo-term — tf = |∪ᵢ
+   * pos(tᵢ)| (single-token positions are disjoint across distinct
+   * terms, so the union is exact, counted through the real
+   * position-list algebra), idf at the MAX member df — the same
+   * SynonymQuery blend the phrase-prefix last slot and the synonym
+   * serve use, so which variant supplied a position never changes the
+   * score. A single-term span_or degenerates bit for bit to the plain
+   * serve (spec-pinned). Cost: one positional probe over the terms'
+   * postings + one per-doc aggregate.
+   */
+  def bm25SpanOrTopK(spark: SparkSession, root: String,
+      terms: Seq[String], k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val ts = terms.map(_.toLowerCase.trim)
+      .filter(t => t.nonEmpty && !t.exists(_.isWhitespace)).distinct
+    require(ts.nonEmpty, "span_or needs at least one term")
+    require(k >= 1, s"k must be positive, got $k")
+    def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val (segs, nDocs, avg1000, dfc) =
+      spanStatsHeader(spark, root, ts, asOf) match {
+        case None => return empty
+        case Some(h) => h
+      }
+    val present = ts.filter(dfc.contains)
+    if (present.isEmpty) return empty
+    // the pseudo-term df: max member df (SynonymQuery — summing would
+    // overcount docs holding several variants)
+    val idfV = bm25Idf(nDocs,
+      Map("__or__" -> present.map(dfc).max), Seq("__or__")).head._2
+    spanPostings(spark, root, segs, present, asOf)
+      .groupBy(col("doc_id"))
+      .agg(first(col("len")).as("len"),
+        size(array_distinct(flatten(collect_list(col("positions")))))
           .cast("long").as("tf"))
       .filter(col("tf") > 0)
       .withColumn("norm1000",

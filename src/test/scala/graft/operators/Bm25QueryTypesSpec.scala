@@ -105,4 +105,56 @@ class Bm25QueryTypesSpec extends AnyFunSuite with SparkTestBase {
     assert(tight(1L) == idf * w(1L, 10L))
     assert(tight(4L) == idf * w(1L, 2L))
   }
+
+  test("span_not: near-exclude positions drop; absent exclude == plain serve") {
+    val root = build(positions = true)
+    // exclude term absent from the corpus → bit-identical plain serve
+    assert(rows(TextAnalysis.bm25SpanNotTopK(spark, root, "alpha",
+      "nosuchterm", dist = 3, k = 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha", k = 10)))
+    // include='alpha', exclude='beta', dist=1: doc 1 (alpha@0 beta@1
+    // ... alpha@9) loses the pos-0 hit, keeps pos-9 (tf 2→1); doc 2
+    // (alpha@0 beta@1) loses its only hit and DROPS; doc 4 (no beta)
+    // keeps tf=1
+    val got = rows(TextAnalysis.bm25SpanNotTopK(spark, root, "alpha",
+      "beta", dist = 1, k = 10)).toMap
+    assert(got.keySet == Set(1L, 4L))
+    val lens = Map(1L -> 10L, 2L -> 4L, 4L -> 2L)
+    val n = 5L
+    val avg1000 = (10L + 4L + 7L + 2L + 3L) * 1000L / n
+    def w(tf: Long, len: Long): Long = {
+      val norm1000 = 250L + (750L * len * 1000L) / avg1000
+      (tf * 2200L * 10000L) / (tf * 1000L + (1200L * norm1000) / 1000L)
+    }
+    val idf = (n - 3L + 1L) * 10000L / (3L + 1L)
+    assert(got(1L) == idf * w(1L, 10L))
+    assert(got(4L) == idf * w(1L, 2L))
+    // dist=0 on distinct single-position spans excludes nothing — the
+    // Lucene same-position-overlap default generalizes to a no-op here
+    assert(rows(TextAnalysis.bm25SpanNotTopK(spark, root, "alpha",
+      "beta", dist = 0, k = 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha", k = 10)))
+    // self-exclusion is refused loudly (it matches nothing by definition)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25SpanNotTopK(spark, root, "alpha", "alpha", 1, 10))
+  }
+
+  test("span_or: single term == plain serve; union scores as one pseudo-term at max df") {
+    val root = build(positions = true)
+    assert(rows(TextAnalysis.bm25SpanOrTopK(spark, root, Seq("alpha"),
+      k = 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha", k = 10)))
+    // alpha|gamma: the union position count with idf at max(df)=3 —
+    // exactly the one-group synonym blend, cross-checked
+    assert(rows(TextAnalysis.bm25SpanOrTopK(spark, root,
+      Seq("alpha", "gamma"), k = 10))
+      == rows(TextAnalysis.bm25ServeTopKSynonyms(spark, root, "alpha",
+        Map("alpha" -> Seq("gamma")), k = 10)))
+    // absent members are ignored; all-absent returns empty
+    assert(rows(TextAnalysis.bm25SpanOrTopK(spark, root,
+      Seq("alpha", "nosuchterm"), k = 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha", k = 10)))
+    assert(TextAnalysis.bm25SpanOrTopK(spark, root, Seq("nosuchterm"),
+      k = 10).count() == 0L)
+  }
 }

@@ -420,4 +420,33 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(!TextAnalysis.suggestTerms(spark, root, "table", 5)
       .collect().map(_.getString(0)).contains("table"))
   }
+
+  test("completion suggester: prefix band ranked by (df desc, tok), deletes correct the weights") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "app apple apply"),
+      (2L, "apple banana"),
+      (3L, "apply apple app zz")
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("sugc_idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root, nBuckets = 4)
+    def got(k: Int): Seq[(String, Long, Long)] =
+      TextAnalysis.suggestComplete(spark, root, "ap", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(t => (-t._2, t._1)) // limit(k) order is the rank
+    // df: apple 3 > app 2 = apply 2 (tok tie-break) — banana/zz out of band
+    assert(got(10) == Seq(("apple", 3L, 3L), ("app", 2L, 2L),
+      ("apply", 2L, 2L)))
+    // k cuts AFTER the rank: top-2 keeps apple then app
+    assert(got(2) == Seq(("apple", 3L, 3L), ("app", 2L, 2L)))
+    // the dictionary path never reads postings
+    val files = TextAnalysis.suggestComplete(spark, root, "ap", 10)
+      .inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/terms")),
+      s"completion must answer from the dictionary alone, read: ${files.mkString(",")}")
+    // tombstone corrections re-weight: doc 3 carried one app/apple/apply
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(3L))
+    assert(got(10) == Seq(("apple", 2L, 2L), ("app", 1L, 1L),
+      ("apply", 1L, 1L)))
+  }
 }

@@ -572,6 +572,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "tombstoned wildcard count read postings — dictionary path lost")
   }
 
+  test("suggest_complete: dictionary-only (no postings), top-k via TakeOrdered not a global sort") {
+    val df = SparkEntry.queries("suggest_complete")(spark, sfDir)
+    assert(!df.inputFiles.exists(_.contains("/postings/")),
+      "completion suggester read postings — the dictionary path lost")
+    val unpartitioned = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "completion ranked through a global window")
+  }
+
   test("bm25_filtered_served: the filter joins the candidate set via docvals, never the corpus") {
     val df = SparkEntry.queries("bm25_filtered_served")(spark, sfDir)
     // the structured predicate reads the doc-values sidecar only — the

@@ -3252,6 +3252,32 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `nested` (VERDICT r18 #7): child rows in their own table
+    // keyed by parent id (orders ⊃ lineitem — the flattened-child
+    // representation), child predicate + per-parent score_mode=sum
+    // aggregate + semi-join to parents, top-k. Same-object semantics
+    // hold by construction: the predicate is a child-ROW predicate
+    "search_nested" -> ((s, dir) => {
+      graft.operators.Nested.nestedTopK(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey",
+        "l_returnflag = 'R' AND l_quantity >= 45",
+        "CAST(l_quantity AS BIGINT)", scoreMode = "sum", k = 20)
+        .orderBy(col("score").desc, col("o_orderkey"))
+    }),
+
+    // ...and the negative form (bool.must_not(nested)): orders with NO
+    // returned high-quantity item — the anti-join exclusion shape
+    "search_nested_mustnot" -> ((s, dir) => {
+      graft.operators.Nested.nestedMustNot(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey",
+        "l_returnflag = 'R' AND l_quantity >= 30")
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ES match_phrase_prefix — the autocomplete query (Lucene
     // MultiPhraseQuery with an expanded last position): 'big s' matches
     // docs where 'big' is immediately followed by ANY s-term (SpanOr
@@ -8369,6 +8395,27 @@ object SparkEntry {
         |    AS BIGINT) AS score
         |FROM tfr t JOIN lens l USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // nested: child predicate + parent-keyed score_mode aggregate +
+    // semi-join, replayed relationally
+    "search_nested" ->
+      """WITH m AS (
+        |  SELECT l_orderkey AS pid, CAST(l_quantity AS BIGINT) AS cs
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_quantity >= 45)
+        |SELECT o.o_orderkey, CAST(sum(m.cs) AS BIGINT) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_children
+        |FROM orders o JOIN m ON m.pid = o.o_orderkey
+        |GROUP BY o.o_orderkey
+        |ORDER BY score DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "search_nested_mustnot" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_returnflag = 'R' AND l.l_quantity >= 30)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
 
     // span_or replayed as the union position count (distinct terms
     // occupy distinct positions, so the union = the IN-set occurrence

@@ -16,6 +16,12 @@ corpus regeneration or HNSW parameter change, from a fresh-fixture run:
 The in-closure recall floor (assertHnswRecallFloor) stays the semantic
 gate either way — a regenerated golden that somehow encoded a recall
 regression would still fail the floor.
+
+AFTER regenerating, run `python3 tools/hnsw_independent.py` — the pure-
+Python second implementation of the construction spec must reproduce
+every regenerated golden byte-identically (the round-19 dual-generation
+contract; a mismatch means one of the two implementations drifted from
+the spec and MUST be resolved before committing new goldens).
 """
 import glob
 import sys

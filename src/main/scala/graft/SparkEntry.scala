@@ -3623,6 +3623,33 @@ object SparkEntry {
         .orderBy(col("bucket_ms"))
     }),
 
+    // ES `bucket_script`: an integer expression per histogram bucket
+    // over its metrics (here the per-mille average n_chars) — ES runs
+    // float Painless, this engine integer SQL so the replay is exact
+    "search_bucket_script" -> ((s, dir) => {
+      TextAnalysis.bm25BucketScriptAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", interval = 100L,
+        "(sum_v * 1000) div n_docs")
+        .orderBy(col("bucket"))
+    }),
+
+    // ES `bucket_selector`: the aggregation tree's HAVING — buckets
+    // failing the metrics predicate vanish from the response
+    "search_bucket_selector" -> ((s, dir) => {
+      TextAnalysis.bm25BucketSelectorAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", interval = 100L,
+        "n_docs >= 20 AND max_v - min_v >= 50")
+        .orderBy(col("bucket"))
+    }),
+
+    // ES `serial_diff` (lag=2) over the month date_histogram: seasonal
+    // differencing with the NULL-leading-edge contract
+    "search_serial_diff" -> ((s, dir) => {
+      TextAnalysis.bm25DateHistogramSerialDiff(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts", "month", lagN = 2)
+        .orderBy(col("bucket_ms"))
+    }),
+
     // the index-time ANALYSIS CHAIN end-to-end: index built over the
     // stop-filtered S-stemmed field, query text analyzed by the SAME
     // chain at serve time ("sorts queries the dup zzz" → sort query
@@ -9341,6 +9368,58 @@ object SparkEntry {
         |FROM hist
         |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
         |ORDER BY bucket_ms""".stripMargin,
+
+    "search_bucket_script" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |b AS (
+        |  SELECT n_chars - ((n_chars % 100) + 100) % 100 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_v
+        |  FROM matched m JOIN documents d USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT bucket, n_docs,
+        |  CAST((sum_v * 1000) // n_docs AS BIGINT) AS value
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "search_bucket_selector" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |b AS (
+        |  SELECT n_chars - ((n_chars % 100) + 100) % 100 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |    CAST(min(n_chars) AS BIGINT) AS min_v,
+        |    CAST(max(n_chars) AS BIGINT) AS max_v
+        |  FROM matched m JOIN documents d USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT bucket, n_docs, sum_v, min_v, max_v
+        |FROM b WHERE n_docs >= 20 AND max_v - min_v >= 50
+        |ORDER BY bucket""".stripMargin,
+
+    "search_serial_diff" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |hist AS (
+        |  SELECT epoch_ms(date_trunc('month',
+        |      TIMESTAMP '2020-01-01' + ((doc_id % 400) * INTERVAL 1 DAY))) AS bucket_ms,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM matched GROUP BY 1)
+        |SELECT bucket_ms, n_docs,
+        |  CAST(n_docs - lag(n_docs, 2) OVER (ORDER BY bucket_ms) AS BIGINT) AS diff
+        |FROM hist ORDER BY bucket_ms""".stripMargin,
 
     // the analyzed serve: the standard scoring chain over the
     // IDENTICALLY analyzed corpus (stop set + S-stemmer replayed in

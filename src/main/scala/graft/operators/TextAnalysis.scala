@@ -4705,6 +4705,83 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Per-histogram-bucket integer metrics — the buckets_path surface
+    * the ES bucket_* pipeline aggs script over: n_docs, sum_v, min_v,
+    * max_v of the doc-values column per fixed-interval bucket. Same
+    * probe + docvals-join plan as [[bm25HistogramAgg]]. */
+  private def histogramBucketMetrics(spark: SparkSession, root: String,
+      queryText: String, valueCol: String, interval: Long,
+      asOf: Option[String]): DataFrame = {
+    require(interval > 0, s"interval must be positive, got $interval")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    val v = col("__v")
+    matched.join(vals, Seq("doc_id"))
+      .groupBy((v - pmod(v, lit(interval))).as("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("__v")).as("sum_v"),
+        min(col("__v")).as("min_v"),
+        max(col("__v")).as("max_v"))
+  }
+
+  /**
+   * ES `bucket_script` pipeline aggregation: an INTEGER expression
+   * evaluated per histogram bucket over that bucket's metrics
+   * (`n_docs`, `sum_v`, `min_v`, `max_v` — the buckets_path names).
+   * ES runs a float Painless script; this engine's contract is integer
+   * SQL (`div`, not `/`) so the result replays hash-exactly. A pure
+   * map over the bucket frame — no window, no extra shuffle beyond the
+   * histogram's own aggregate.
+   */
+  def bm25BucketScriptAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String, interval: Long,
+      scriptExpr: String, asOf: Option[String] = None): DataFrame =
+    histogramBucketMetrics(spark, root, queryText, valueCol, interval,
+      asOf)
+      .withColumn("value", expr(scriptExpr).cast("long"))
+      .select(col("bucket"), col("n_docs"), col("value"))
+      .orderBy(col("bucket"))
+
+  /**
+   * ES `bucket_selector` pipeline aggregation: KEEP only the buckets
+   * whose metrics satisfy the predicate (the "having" of the
+   * aggregation tree — dashboards use it to hide noise buckets). Same
+   * bucket-metrics frame, one codegen'd filter; surviving buckets keep
+   * their full metric row.
+   */
+  def bm25BucketSelectorAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String, interval: Long,
+      predicateExpr: String, asOf: Option[String] = None): DataFrame =
+    histogramBucketMetrics(spark, root, queryText, valueCol, interval,
+      asOf)
+      .filter(expr(predicateExpr))
+      .select(col("bucket"), col("n_docs"), col("sum_v"), col("min_v"),
+        col("max_v"))
+      .orderBy(col("bucket"))
+
+  /**
+   * ES `serial_diff` pipeline aggregation over calendar
+   * [[bm25DateHistogramAgg]] buckets: value − value[t−lag] (lag ≥ 1;
+   * lag 1 is the plain derivative, larger lags are the
+   * seasonal-differencing form). The first `lag` buckets emit NULL —
+   * the same leading-edge contract as the moving_fn family, and like
+   * it the lag runs over EMITTED buckets (an absent calendar month
+   * does not occupy a lag slot). The window is over histogram buckets,
+   * bounded by |buckets|.
+   */
+  def bm25DateHistogramSerialDiff(spark: SparkSession, root: String,
+      queryText: String, tsCol: String, calendarInterval: String,
+      lagN: Int, asOf: Option[String] = None): DataFrame = {
+    require(lagN >= 1, s"lag must be positive, got $lagN")
+    val hist = bm25DateHistogramAgg(spark, root, queryText, tsCol,
+      calendarInterval, asOf)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket_ms"))
+    hist.withColumn("diff",
+        (col("n_docs") - lag(col("n_docs"), lagN).over(w)).cast("long"))
+      .orderBy(col("bucket_ms"))
+  }
+
   /**
    * ES `stats` aggregation over the match set: ONE row of integer
    * statistics for a numeric doc-values column — n_docs, sum, min,

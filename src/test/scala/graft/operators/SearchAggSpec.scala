@@ -103,6 +103,38 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](run("median"))
   }
 
+  test("bucket_script / bucket_selector: integer scripts and the aggregation HAVING over bucket metrics") {
+    val root = build()
+    // matched docs 1(100) 2(250) 3(450) 5(199); interval-100 buckets:
+    // 100 -> {1,5}, 200 -> {2}, 400 -> {3}
+    val script = TextAnalysis.bm25BucketScriptAgg(spark, root, "hit",
+      "n_chars", 100L, "(sum_v * 1000) div n_docs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(script == Seq((100L, 2L, 149500L), (200L, 1L, 250000L),
+      (400L, 1L, 450000L)))
+    val sel = TextAnalysis.bm25BucketSelectorAgg(spark, root, "hit",
+      "n_chars", 100L, "n_docs >= 2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(sel == Seq((100L, 2L, 299L, 100L, 199L)))
+    // a predicate over a metric that never holds empties the response
+    assert(TextAnalysis.bm25BucketSelectorAgg(spark, root, "hit",
+      "n_chars", 100L, "min_v < 0").count() == 0L)
+  }
+
+  test("serial_diff: value minus value[t-lag] over emitted buckets, NULL first lag rows") {
+    val root = buildTs()
+    def run(lagN: Int): Seq[(Long, Long, Option[Long])] =
+      TextAnalysis.bm25DateHistogramSerialDiff(spark, root, "hit",
+        "created_ts", "month", lagN).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // month hist: Jan 1, Feb 2, Mar 1
+    assert(run(1).map(_._3) == Seq(None, Some(1L), Some(-1L)))
+    assert(run(2).map(_._3) == Seq(None, None, Some(0L)))
+    assertThrows[IllegalArgumentException](run(0))
+  }
+
   test("range agg buckets from-inclusive/to-exclusive with ES keys") {
     val root = build()
     val got = TextAnalysis.bm25RangeAgg(spark, root, "hit", "n_chars",

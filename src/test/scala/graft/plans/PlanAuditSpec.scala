@@ -656,7 +656,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Seq("phrase_prefix_served", "search_explain",
       "search_cardinality_agg", "search_filters_agg",
       "search_composite_agg", "search_adjacency_matrix",
-      "search_histogram_pipeline").foreach { q =>
+      "search_histogram_pipeline", "search_date_histogram",
+      "search_date_histogram_week", "search_moving_agg",
+      "span_not_served", "span_or_served").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       assert(!df.inputFiles.exists(_.contains("documents.parquet")),
         s"$q read the corpus — the serve must stay on the index")

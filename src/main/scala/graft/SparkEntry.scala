@@ -3623,6 +3623,34 @@ object SparkEntry {
         .orderBy(col("bucket_ms"))
     }),
 
+    // ES `date_range` agg: from-inclusive/to-exclusive buckets over
+    // the created_ts docval at explicit calendar cuts (Feb/Jul 2020,
+    // Jan 2021) — unlike the fixed histogram the widths are uneven
+    "search_date_range" -> ((s, dir) => {
+      TextAnalysis.bm25DateRangeAgg(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts",
+        Seq(1580515200000L, 1593561600000L, 1609459200000L))
+        .orderBy(col("bucket"))
+    }),
+
+    // ES `multi_terms` agg: compound (lang, size-class) buckets by
+    // doc count desc — the facet TUPLE the plain terms agg can't give
+    "search_multi_terms" -> ((s, dir) => {
+      TextAnalysis.bm25MultiTermsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz",
+        Seq(("lang", "lang"), ("size_class", "n_chars div 100")), k = 10)
+        .orderBy(col("n_docs").desc, col("lang"), col("size_class"))
+    }),
+
+    // ES `rare_terms` agg: the long tail — size classes matching at
+    // most 40 docs, (count asc, value) — exact where ES is CuckooFilter
+    // approximate (the cardinality-agg stance)
+    "search_rare_terms" -> ((s, dir) => {
+      TextAnalysis.bm25RareTermsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars div 100", maxDocCount = 40)
+        .orderBy(col("n_docs"), col("value"))
+    }),
+
     // ES `bucket_script`: an integer expression per histogram bucket
     // over its metrics (here the per-mille average n_chars) — ES runs
     // float Painless, this engine integer SQL so the replay is exact
@@ -9368,6 +9396,51 @@ object SparkEntry {
         |FROM hist
         |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
         |ORDER BY bucket_ms""".stripMargin,
+
+    "search_date_range" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |ms AS (
+        |  SELECT doc_id, epoch_ms(TIMESTAMP '2020-01-01'
+        |    + ((doc_id % 400) * INTERVAL 1 DAY)) AS v
+        |  FROM matched)
+        |SELECT CASE
+        |    WHEN v >= 1609459200000 THEN '1609459200000-*'
+        |    WHEN v >= 1593561600000 THEN '1593561600000-1609459200000'
+        |    WHEN v >= 1580515200000 THEN '1580515200000-1593561600000'
+        |    ELSE '*-1580515200000' END AS bucket,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ms GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_multi_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT d.lang, d.n_chars // 100 AS size_class,
+        |  CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+        |FROM matched m JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2
+        |ORDER BY n_docs DESC, lang, size_class LIMIT 10""".stripMargin,
+
+    "search_rare_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT d.n_chars // 100 AS value,
+        |  CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+        |FROM matched m JOIN documents d USING (doc_id)
+        |GROUP BY 1 HAVING count(DISTINCT d.doc_id) <= 40
+        |ORDER BY n_docs, value""".stripMargin,
 
     "search_bucket_script" ->
       """WITH toks AS (

@@ -4370,6 +4370,89 @@ object TextAnalysis {
   }
 
   /**
+   * ES `date_range` aggregation: [[bm25RangeAgg]]'s from-inclusive/
+   * to-exclusive bucket contract applied to a TIMESTAMP doc-values
+   * column, cuts given as epoch millis (the ES from/to millis form;
+   * the calendar-boundary way to use it is passing month/week starts
+   * as cuts — which, unlike the fixed histogram, need no uniform
+   * width). Keys are "from-to" over the millis, "*" open ends, and
+   * only non-empty buckets emit — the family contract.
+   */
+  def bm25DateRangeAgg(spark: SparkSession, root: String,
+      queryText: String, tsCol: String, cutsMs: Seq[Long],
+      asOf: Option[String] = None): DataFrame = {
+    require(cutsMs.nonEmpty && cutsMs == cutsMs.sorted &&
+      cutsMs.distinct == cutsMs,
+      s"date_range cuts must be ascending and distinct, got $cutsMs")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), unix_millis(col(tsCol)).as("__ms"))
+    val lastKey = s"${cutsMs.last}-*"
+    val bucket = cutsMs.init.zip(cutsMs.tail).reverse
+      .foldLeft(when(col("__ms") >= cutsMs.last, lit(lastKey))) {
+        case (acc, (lo, hi)) =>
+          acc.when(col("__ms") >= lo, lit(s"$lo-$hi"))
+      }
+      .otherwise(lit(s"*-${cutsMs.head}"))
+    matched.join(vals, Seq("doc_id"))
+      .groupBy(bucket.as("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /**
+   * ES `multi_terms` aggregation: compound buckets over SEVERAL
+   * doc-values expressions at once (the facet tuple — "per (lang,
+   * size-class)"), counting distinct matching docs, ordered by the ES
+   * default (doc count desc, then the key tuple asc) and cut to `k`
+   * via TakeOrdered. Each facet is (alias, integer-or-string SQL expr
+   * over the docvals sidecar) — ES's field-or-script source list. One
+   * probe + one docvals join + one groupBy; the corpus text is never
+   * read.
+   */
+  def bm25MultiTermsAgg(spark: SparkSession, root: String,
+      queryText: String, facets: Seq[(String, String)], k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    require(facets.size >= 2,
+      s"multi_terms needs at least two sources, got ${facets.size} " +
+        "(one source is the plain terms aggregation)")
+    require(k >= 1, s"k must be positive, got $k")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+    val keyed = matched.join(vals, Seq("doc_id"))
+      .select(col("doc_id") +: facets.map { case (a, e) =>
+        expr(e).as(a) }: _*)
+    keyed.groupBy(facets.map { case (a, _) => col(a) }: _*)
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_docs").desc +: facets.map { case (a, _) => col(a) }: _*)
+      .limit(k)
+  }
+
+  /**
+   * ES `rare_terms` aggregation: the LONG-TAIL counterpart of `terms`
+   * — bucket values of a doc-values expression whose distinct-doc
+   * count within the match set is ≤ `maxDocCount`, ordered (count
+   * asc, value asc): "the sources that almost never match". ES
+   * implements this approximately (CuckooFilter sweeps); this engine
+   * is exact — deterministic where ES is probabilistic, same shape as
+   * the cardinality agg's exact-over-HLL stance. One probe + docvals
+   * join + groupBy + a codegen'd HAVING.
+   */
+  def bm25RareTermsAgg(spark: SparkSession, root: String,
+      queryText: String, valueExpr: String, maxDocCount: Long,
+      asOf: Option[String] = None): DataFrame = {
+    require(maxDocCount >= 1,
+      s"max_doc_count must be positive, got $maxDocCount")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+    matched.join(vals, Seq("doc_id"))
+      .groupBy(expr(valueExpr).as("value"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") <= maxDocCount)
+      .orderBy(col("n_docs"), col("value"))
+  }
+
+  /**
    * ES `histogram` aggregation over the match set: fixed-`interval`
    * buckets keyed by their inclusive lower bound
    * (floor(value / interval) · interval — the ES key contract, FLOOR

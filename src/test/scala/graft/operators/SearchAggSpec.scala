@@ -103,6 +103,46 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](run("median"))
   }
 
+  test("date_range agg: uneven from-inclusive/to-exclusive cuts over the timestamp docval") {
+    val root = buildTs()
+    // one cut at Feb 1 2020: doc 1 (Jan 31) below, docs 2 (Feb 1
+    // 00:00 — from-INCLUSIVE), 3 (Feb 29), 5 (Mar 1) at-or-above
+    val got = TextAnalysis.bm25DateRangeAgg(spark, root, "hit",
+      "created_ts", Seq(1580515200000L)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("*-1580515200000" -> 1L, "1580515200000-*" -> 3L))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25DateRangeAgg(spark, root, "hit", "created_ts",
+        Seq(2L, 1L)))
+  }
+
+  test("multi_terms agg: compound buckets by (count desc, key tuple); rare_terms keeps only the tail") {
+    val root = build()
+    // matched docs 1(en,100) 2(en,250) 3(de,450) 5(de,199) — all four
+    // (lang, n_chars div 100) tuples distinct, count 1 each, so the
+    // ES default order is the key tuple ascending
+    val mt = TextAnalysis.bm25MultiTermsAgg(spark, root, "hit",
+      Seq(("lang", "lang"), ("size_class", "n_chars div 100")), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(mt == Seq(("de", 1L, 1L), ("de", 4L, 1L), ("en", 1L, 1L)))
+    // one source refuses (that's the plain terms agg)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25MultiTermsAgg(spark, root, "hit",
+        Seq(("lang", "lang")), k = 3))
+    // rare_terms: size-class 1 holds docs {1, 5} (count 2) and falls
+    // OUT at max_doc_count=1; classes 2 and 4 (count 1) survive
+    val rare = TextAnalysis.bm25RareTermsAgg(spark, root, "hit",
+      "n_chars div 100", maxDocCount = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rare == Seq((2L, 1L), (4L, 1L)))
+    // raising the cap admits the class-1 bucket, count order holds
+    val rare2 = TextAnalysis.bm25RareTermsAgg(spark, root, "hit",
+      "n_chars div 100", maxDocCount = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rare2 == Seq((2L, 1L), (4L, 1L), (1L, 2L)))
+  }
+
   test("bucket_script / bucket_selector: integer scripts and the aggregation HAVING over bucket metrics") {
     val root = build()
     // matched docs 1(100) 2(250) 3(450) 5(199); interval-100 buckets:

@@ -3651,6 +3651,36 @@ object SparkEntry {
         .orderBy(col("n_docs"), col("value"))
     }),
 
+    // ES `distance_feature` query: recency boost — BM25 plus
+    // |boost·pivot/(pivot+|ts−origin|)|, maximal at 2021-01-01,
+    // halving at 7 days; the flagship "recent docs rank higher" form
+    "search_distance_feature" -> ((s, dir) => {
+      TextAnalysis.bm25DistanceFeatureTopK(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "unix_millis(created_ts)",
+        origin = 1609459200000L, pivot = 604800000L, boost1000 = 5000L,
+        k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ES `pinned` query: ids 42 then 7 rank first by editorial fiat
+    // (score −1 — they rank by position, not relevance), the organic
+    // tail follows deduplicated; a pin the index doesn't hold (400000)
+    // is skipped — ES behavior
+    "search_pinned" -> ((s, dir) => {
+      TextAnalysis.bm25PinnedTopK(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", Seq(42L, 7L, 400000L), k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    // ES `percentile_ranks` agg, exact per-mille: the fraction of
+    // matched docs at or under each probe value — the inverse of the
+    // percentiles agg, deterministic where TDigest is not
+    "search_percentile_ranks" -> ((s, dir) => {
+      TextAnalysis.bm25PercentileRanksAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", Seq(100L, 300L, 500L))
+        .orderBy(col("value"))
+    }),
+
     // ES `bucket_script`: an integer expression per histogram bucket
     // over its metrics (here the per-mille average n_chars) — ES runs
     // float Painless, this engine integer SQL so the replay is exact
@@ -9396,6 +9426,53 @@ object SparkEntry {
         |FROM hist
         |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
         |ORDER BY bucket_ms""".stripMargin,
+
+    // distance_feature: the scored chain + the integer decay term
+    "search_distance_feature" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("df", "documents")},
+        |ms AS (
+        |  SELECT doc_id, epoch_ms(TIMESTAMP '2020-01-01'
+        |    + ((doc_id % 400) * INTERVAL 1 DAY)) AS v
+        |  FROM documents)
+        |SELECT s.doc_id,
+        |  CAST(s.score + (CAST(5000 AS BIGINT) * 604800000) //
+        |    (604800000 + abs(m.v - 1609459200000)) AS BIGINT) AS score
+        |FROM scored_df s JOIN ms m USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // pinned: editorial rows first at score −1, organic tail excludes
+    // them; the unknown pin never appears
+    "search_pinned" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("pn", "documents")},
+        |org AS (
+        |  SELECT doc_id, CAST(score AS BIGINT) AS score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS ord
+        |  FROM scored_pn WHERE doc_id NOT IN (42, 7)),
+        |parts AS (
+        |  SELECT 0 AS grp, 1 AS ord, CAST(42 AS BIGINT) AS doc_id,
+        |    CAST(-1 AS BIGINT) AS score
+        |  UNION ALL SELECT 0, 2, CAST(7 AS BIGINT), CAST(-1 AS BIGINT)
+        |  UNION ALL SELECT 1, ord, doc_id, score FROM org WHERE ord <= 8)
+        |SELECT CAST(row_number() OVER (ORDER BY grp, ord) AS INT) AS rank,
+        |  doc_id, score
+        |FROM parts ORDER BY rank""".stripMargin,
+
+    // percentile_ranks: |probes| conditional counts over the match set
+    "search_percentile_ranks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |j AS (SELECT d.n_chars FROM matched m JOIN documents d USING (doc_id)),
+        |p(value) AS (VALUES (100), (300), (500))
+        |SELECT CAST(p.value AS BIGINT) AS value,
+        |  CAST((sum(CASE WHEN j.n_chars <= p.value THEN 1 ELSE 0 END) * 1000)
+        |    // count(*) AS BIGINT) AS rank1000
+        |FROM p CROSS JOIN j GROUP BY p.value ORDER BY value""".stripMargin,
 
     "search_date_range" ->
       """WITH toks AS (

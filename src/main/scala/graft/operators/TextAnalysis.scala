@@ -4973,6 +4973,116 @@ object TextAnalysis {
   }
 
   /**
+   * ES `distance_feature` query — the recency/proximity booster: the
+   * BM25 score plus a decay contribution that is maximal at `origin`
+   * and halves at `pivot` distance — ES's boost·pivot/(pivot+|v−origin|)
+   * made integer: contrib = ⌊boost1000·pivot / (pivot+|v−origin|)⌋.
+   * Driven by a numeric or timestamp doc-value (pass epoch millis for
+   * the "recent documents rank higher" form — the query's flagship
+   * use). Matching is the text query's alone (the distance feature
+   * only boosts, never matches — the ES contract); docs missing the
+   * docval… do not exist here (the sidecar is total), ES's
+   * skip-non-matching caveat noted. Cost: the scoring frame + one
+   * docvals join, a codegen'd arithmetic projection — the
+   * function_score plan shape.
+   */
+  def bm25DistanceFeatureTopK(spark: SparkSession, root: String,
+      queryText: String, valueSql: String, origin: Long, pivot: Long,
+      boost1000: Long, k: Int, asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(pivot > 0, s"pivot must be positive, got $pivot")
+    require(boost1000 >= 0, s"boost must be non-negative, got $boost1000")
+    require(k >= 1, s"k must be positive, got $k")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None => return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+      case Some(f) => f
+    }
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), expr(valueSql).cast("long").as("__v"))
+    scored.join(vals, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("score") +
+          expr(s"(${boost1000}L * ${pivot}L) div " +
+            s"(${pivot}L + abs(__v - ${origin}L))")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * ES `pinned` query — editorial curation: the given ids rank FIRST,
+   * in their given order (ES pins them with descending huge scores),
+   * followed by the organic matches of the query in their own order,
+   * pinned ids deduplicated out of the organic tail. Pinned ids the
+   * index does not hold (or that are tombstoned) are SKIPPED — ES
+   * behavior. Output (rank, doc_id, score): pinned rows carry score
+   * −1 (they rank by editorial fiat, not by relevance — surfacing a
+   * fake score would be a lie), organic rows their BM25 score. The
+   * pin list is a bounded literal (a curation list, ≤ hundreds); cost
+   * = the plain serve + one anti-filter.
+   */
+  def bm25PinnedTopK(spark: SparkSession, root: String,
+      queryText: String, pinnedIds: Seq[Long], k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    require(pinnedIds.distinct == pinnedIds,
+      s"pinned ids must be distinct, got $pinnedIds")
+    require(pinnedIds.size <= 1000,
+      s"${pinnedIds.size} pinned ids — the pin list is editorial " +
+        "curation, not a filter; cap 1000")
+    val dead = deletedBm25Docs(spark, root, asOf)
+    // a pinned id must EXIST in the live index to pin (ES skips
+    // unknown ids): one bounded postings-independent probe via the
+    // docvals sidecar when present, else the organic serve's ids
+    val live = bm25DocValues(spark, root, asOf)
+      .filter(col("doc_id").isin(pinnedIds: _*))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet -- dead
+    val pins = pinnedIds.filter(live.contains)
+    val organic = bm25ServeTopK(spark, root, queryText, k, asOf)
+      .filter(!col("doc_id").isin(pinnedIds: _*))
+      .limit(math.max(0, k - pins.size))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows =
+      pins.map(id => (id, -1L)) ++ organic
+    rows.take(k).zipWithIndex
+      .map { case ((id, s), i) => (i + 1, id, s) }
+      .toDF("rank", "doc_id", "score")
+  }
+
+  /**
+   * ES `percentile_ranks` aggregation, EXACT (the inverse of
+   * [[bm25PercentilesAgg]]): for each probe value, the per-mille
+   * fraction of matched docs whose doc-value is ≤ it —
+   * rank1000 = ⌊1000·|{v ≤ probe}| / n⌋ (ES reports percent as float;
+   * per-mille keeps the integer-exact replay, and like the percentiles
+   * agg the exact count is deterministic where ES's TDigest is not).
+   * One probe + docvals join + |probes| bounded conditional counts in
+   * a single aggregate — no sort, unlike the forward percentiles.
+   */
+  def bm25PercentileRanksAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String, probes: Seq[Long],
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(probes.nonEmpty, "percentile_ranks needs at least one value")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    val joined = matched.join(vals, Seq("doc_id"))
+    val aggs = count(lit(1)).cast("long").as("__n") +:
+      probes.distinct.sorted.zipWithIndex.map { case (p, i) =>
+        sum(when(col("__v") <= p, 1L).otherwise(0L)).as(s"__le_$i")
+      }
+    val row = joined.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    probes.distinct.sorted.zipWithIndex.map { case (p, i) =>
+      (p, if (n == 0L) 0L else row.getLong(i + 1) * 1000L / n)
+    }.toDF("value", "rank1000")
+  }
+
+  /**
    * ES field collapsing (`collapse` + `inner_hits`, VERDICT r17 #6) —
    * the RESPONSE-path twin of [[bm25TopHitsAgg]]: the hit list keeps
    * ONE entry per collapse-key (each group represented by its best hit),

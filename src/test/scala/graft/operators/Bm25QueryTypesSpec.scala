@@ -139,6 +139,52 @@ class Bm25QueryTypesSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.bm25SpanNotTopK(spark, root, "alpha", "alpha", 1, 10))
   }
 
+  test("pinned: editorial order first at score -1, organic tail deduped, unknown/dead pins skipped") {
+    val root = build()
+    // pins promote regardless of matching (doc 5 has no alpha/beta);
+    // organic = the plain serve minus the pinned ids
+    val got = TextAnalysis.bm25PinnedTopK(spark, root, "alpha beta",
+      Seq(5L, 3L, 999L), k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val organic = rows(TextAnalysis.bm25ServeTopK(spark, root,
+      "alpha beta", 10)).filterNot(r => Set(5L, 3L).contains(r._1))
+    val expect = Seq((1, 5L, -1L), (2, 3L, -1L)) ++
+      organic.zipWithIndex.map { case ((id, s), i) => (i + 3, id, s) }
+    assert(got == expect)
+    // k cuts across the boundary: k=2 returns just the two pins
+    assert(TextAnalysis.bm25PinnedTopK(spark, root, "alpha beta",
+      Seq(5L, 3L), k = 2).collect().map(_.getLong(1)).toSeq == Seq(5L, 3L))
+    // a tombstoned pin is skipped like an unknown one
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(5L))
+    val afterDel = TextAnalysis.bm25PinnedTopK(spark, root, "alpha beta",
+      Seq(5L, 3L), k = 10).collect().map(_.getLong(1)).toSeq
+    assert(!afterDel.contains(5L) && afterDel.head == 3L)
+    // duplicate pins are refused (one editorial slot per id)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25PinnedTopK(spark, root, "alpha", Seq(1L, 1L), 5))
+  }
+
+  test("distance_feature: integer decay contribution; boost 0 == plain serve") {
+    val root = build()
+    val plain = rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha",
+      k = 10)).toMap
+    val got = rows(TextAnalysis.bm25DistanceFeatureTopK(spark, root,
+      "alpha", "n_chars", origin = 250L, pivot = 100L,
+      boost1000 = 1000L, k = 10)).toMap
+    // contrib = (1000·100) div (100 + |n_chars − 250|)
+    val chars = Map(1L -> 120L, 2L -> 250L, 4L -> 90L)
+    got.foreach { case (id, s) =>
+      val contrib = 100000L / (100L + math.abs(chars(id) - 250L))
+      assert(s == plain(id) + contrib, s"doc $id")
+    }
+    // doc 2 sits AT the origin: full boost, exactly boost1000
+    assert(got(2L) == plain(2L) + 1000L)
+    // zero boost degenerates to the plain serve bit for bit
+    assert(rows(TextAnalysis.bm25DistanceFeatureTopK(spark, root,
+      "alpha", "n_chars", 250L, 100L, 0L, k = 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha", k = 10)))
+  }
+
   test("span_or: single term == plain serve; union scores as one pseudo-term at max df") {
     val root = build(positions = true)
     assert(rows(TextAnalysis.bm25SpanOrTopK(spark, root, Seq("alpha"),

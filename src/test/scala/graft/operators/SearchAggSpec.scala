@@ -103,6 +103,21 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](run("median"))
   }
 
+  test("percentile_ranks: exact per-mille fraction at or under each probe; empty match ranks 0") {
+    val root = build()
+    // matched n_chars {100, 250, 450, 199}: ≤100 → 1/4, ≤250 → 3/4,
+    // ≤500 → 4/4 (and an off-distribution probe between values)
+    val got = TextAnalysis.bm25PercentileRanksAgg(spark, root, "hit",
+      "n_chars", Seq(100L, 250L, 500L, 150L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((100L, 250L), (150L, 250L), (250L, 750L),
+      (500L, 1000L)))
+    // no matches → every probe ranks 0 (not a division crash)
+    assert(TextAnalysis.bm25PercentileRanksAgg(spark, root,
+      "zzznomatch", "n_chars", Seq(100L)).collect()
+      .map(_.getLong(1)).toSeq == Seq(0L))
+  }
+
   test("date_range agg: uneven from-inclusive/to-exclusive cuts over the timestamp docval") {
     val root = buildTs()
     // one cut at Feb 1 2020: doc 1 (Jan 31) below, docs 2 (Feb 1

@@ -8,6 +8,28 @@ import org.scalatest.Suite
 trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
   lazy val spark: SparkSession = SparkTestBase.session
   def sf(name: String): String = s"/root/testdata/sf0.001/$name.parquet"
+
+  /** Every physical node of a plan, DESCENDING through the wrappers a
+    * naive `plan.collect` stops at: AdaptiveSparkPlanExec (AQE hides
+    * the whole query under a childless root — a structural assert on
+    * the raw executedPlan of an AQE query is VACUOUS), query stages,
+    * reused exchanges/subqueries, and cached-plan boundaries
+    * (InMemoryTableScan's relation). Plan-audit specs must use this,
+    * not `collect`, for node-type assertions. */
+  def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allPlanNodes)
+  }
 }
 
 object SparkTestBase {

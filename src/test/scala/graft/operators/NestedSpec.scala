@@ -81,10 +81,11 @@ class NestedSpec extends AnyFunSuite with SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"),
       s"nested top-k must be TakeOrdered:\n$p")
-    val unpartitioned = df.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }
+    val unpartitioned = allPlanNodes(df.queryExecution.executedPlan)
+      .collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
     assert(unpartitioned.isEmpty)
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }

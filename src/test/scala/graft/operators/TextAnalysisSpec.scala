@@ -90,7 +90,9 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // leading round-robin primer — the collapse itself never shuffles
     val plan = TextAnalysis.repeatCollapse(df, "doc_id", "text")
       .queryExecution.executedPlan
-    val exchanges = plan.collect {
+    // allPlanNodes: a naive collect stops at the AQE wrapper and would
+    // make this forall vacuously true
+    val exchanges = allPlanNodes(plan).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(exchanges.forall(
@@ -892,7 +894,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val plan = TextAnalysis.lmScore(df, df.filter(col("lang") === "en"),
       "doc_id", "text", buckets = B).queryExecution.executedPlan
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
-    assert(plan.collect {
+    assert(allPlanNodes(plan).collect {
       case j: SortMergeJoinExec => j
       case j: ShuffledHashJoinExec => j }.isEmpty,
       "lmScore corpus scoring must not join")

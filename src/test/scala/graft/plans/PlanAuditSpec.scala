@@ -576,10 +576,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val df = SparkEntry.queries("suggest_complete")(spark, sfDir)
     assert(!df.inputFiles.exists(_.contains("/postings/")),
       "completion suggester read postings — the dictionary path lost")
-    val unpartitioned = df.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }
+    val unpartitioned = allPlanNodes(df.queryExecution.executedPlan)
+      .collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
     assert(unpartitioned.isEmpty, "completion ranked through a global window")
   }
 
@@ -618,9 +619,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   test("search_collapsed: windows run over candidates only — no corpus scan, docvals for the key") {
     val df = SparkEntry.queries("search_collapsed")(spark, sfDir)
-    assert(df.inputFiles.exists(_.contains("/docvals/")),
-      "collapse key must come from the docvals sidecar")
-    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+    // the candidates frame is PERSISTED (it feeds the top-groups
+    // collect and the final join — two actions that cannot share a
+    // ReusedExchange), so the file evidence sits inside the cached
+    // plan, not df.inputFiles — and AQE hides everything from a naive
+    // collect, hence allPlanNodes
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    val imts = nodes.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        => s
+    }
+    assert(imts.nonEmpty, "the collapse serve must reuse the cached " +
+      "candidates frame (two actions over one scoring pass)")
+    // file evidence from the scan nodes themselves (toString truncates
+    // locations): allPlanNodes already descended into the cached plan
+    val scanPaths = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanPaths.exists(_.contains("docvals")),
+      s"collapse key must come from the docvals sidecar, scans: $scanPaths")
+    assert(!scanPaths.exists(_.contains("documents.parquet")) &&
+      !df.inputFiles.exists(_.contains("documents.parquet")),
       "collapse scanned the CORPUS — the response path must stay on " +
         "the index")
     val p = df.queryExecution.executedPlan.toString
@@ -630,13 +650,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "no cartesian in the collapse path")
     // group ranking must be TakeOrdered+driver-rank, never a global
     // row_number: an unpartitioned WindowExec pushes one row per
-    // distinct collapse key through a single task
-    val unpartitioned = df.queryExecution.executedPlan.collect {
+    // distinct collapse key through a single task — checked through
+    // AQE wrappers AND the cached candidates plan
+    val unpartitioned = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
     }
     assert(unpartitioned.isEmpty,
       s"collapse executed an UNPARTITIONED window: $unpartitioned")
+    // the per-key window IS there (partitioned) — proof the traversal
+    // actually sees through the AQE/cache wrappers
+    assert(nodes.exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.nonEmpty
+      case _ => false
+    }, "traversal failed to reach the per-key inner_rank window")
   }
 
   test("cross_fields / synonym serves: candidates only, broadcast blends, no corpus scan") {

@@ -686,7 +686,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "search_composite_agg", "search_adjacency_matrix",
       "search_histogram_pipeline", "search_date_histogram",
       "search_date_histogram_week", "search_moving_agg",
-      "span_not_served", "span_or_served").foreach { q =>
+      "span_not_served", "span_or_served", "search_serial_diff",
+      "search_bucket_script", "search_bucket_selector",
+      "search_date_range", "search_multi_terms", "search_rare_terms",
+      "search_distance_feature", "search_percentile_ranks").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       assert(!df.inputFiles.exists(_.contains("documents.parquet")),
         s"$q read the corpus — the serve must stay on the index")
@@ -715,9 +718,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Seq("search_range_agg", "search_histogram_agg", "search_stats_agg",
       "search_terms_stats_agg", "search_top_hits_agg").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
-      assert(df.inputFiles.exists(_.contains("/docvals/")),
-        s"$q must read the docvals sidecar")
-      assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      // scan evidence via allPlanNodes, not inputFiles: the collapse
+      // serve persists its candidates frame, and the cache manager
+      // substitutes that InMemoryRelation into ANY later plan sharing
+      // the scored⋈docvals subtree — the docvals scan then lives
+      // inside the cached plan, invisible to inputFiles
+      val paths = allPlanNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(paths.exists(_.contains("docvals")),
+        s"$q must read the docvals sidecar, scans: $paths")
+      assert(!paths.exists(_.contains("documents.parquet")) &&
+        !df.inputFiles.exists(_.contains("documents.parquet")),
         s"$q scanned the corpus — aggs must stay on the index")
     }
   }

@@ -3623,6 +3623,45 @@ object SparkEntry {
         .orderBy(col("bucket_ms"))
     }),
 
+    // ES `auto_date_histogram`: the engine picks the finest calendar
+    // interval with <= 20 buckets (here: day=400, week=58, month=14 ->
+    // month) — the oracle must replay the CHOICE, not just the buckets
+    "search_auto_date_histogram" -> ((s, dir) => {
+      TextAnalysis.bm25AutoDateHistogramAgg(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts", targetBuckets = 20)
+        .orderBy(col("bucket_ms"))
+    }),
+
+    // ES `match_bool_prefix` — the unordered autocomplete: 'big' an
+    // independent SHOULD clause, 's*' a constant-score prefix clause
+    // (Lucene's bool-context prefix rewrite), docs matching only the
+    // prefix surface at the constant
+    "search_bool_prefix" -> ((s, dir) => {
+      val idx = ensureBm25Index(s, dir)
+      val nExp = TextAnalysis.prefixExpansionCount(s, idx, "s")
+      require(nExp <= 50,
+        s"bool_prefix oracle contract broken: 's*' expands to $nExp " +
+          "terms > maxExpansions=50")
+      TextAnalysis.bm25MatchBoolPrefixTopK(s, idx, "big s", k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ES `weighted_avg` agg: per-mille Σ(v·w)/Σw — English docs weigh
+    // 3×, integer-exact
+    "search_weighted_avg" -> ((s, dir) => {
+      TextAnalysis.bm25WeightedAvgAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars",
+        "CASE WHEN lang = 'en' THEN 3 ELSE 1 END")
+    }),
+
+    // ES `top_metrics` agg: the lang metric carried by the 5 largest
+    // matching docs under the n_chars sort
+    "search_top_metrics" -> ((s, dir) => {
+      TextAnalysis.bm25TopMetricsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", Seq("lang"), k = 5)
+        .orderBy(col("n_chars").desc, col("doc_id"))
+    }),
+
     // ES `date_range` agg: from-inclusive/to-exclusive buckets over
     // the created_ts docval at explicit calendar cuts (Feb/Jul 2020,
     // Jan 2021) — unlike the fixed histogram the widths are uneven
@@ -9426,6 +9465,73 @@ object SparkEntry {
         |FROM hist
         |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
         |ORDER BY bucket_ms""".stripMargin,
+
+    // auto_date_histogram: replay the ladder choice (7 distinct-bucket
+    // counts, first <= target wins) then the chosen histogram
+    "search_auto_date_histogram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |t AS (
+        |  SELECT doc_id, TIMESTAMP '2020-01-01'
+        |    + ((doc_id % 400) * INTERVAL 1 DAY) AS ts
+        |  FROM matched),
+        |c AS (SELECT
+        |  count(DISTINCT date_trunc('minute', ts)) AS c1,
+        |  count(DISTINCT date_trunc('hour', ts)) AS c2,
+        |  count(DISTINCT date_trunc('day', ts)) AS c3,
+        |  count(DISTINCT date_trunc('week', ts)) AS c4,
+        |  count(DISTINCT date_trunc('month', ts)) AS c5,
+        |  count(DISTINCT date_trunc('quarter', ts)) AS c6 FROM t),
+        |ch AS (SELECT CASE
+        |  WHEN c1 <= 20 THEN 'minute' WHEN c2 <= 20 THEN 'hour'
+        |  WHEN c3 <= 20 THEN 'day' WHEN c4 <= 20 THEN 'week'
+        |  WHEN c5 <= 20 THEN 'month' WHEN c6 <= 20 THEN 'quarter'
+        |  ELSE 'year' END AS iv FROM c)
+        |SELECT (SELECT iv FROM ch) AS "interval",
+        |  epoch_ms(date_trunc((SELECT iv FROM ch), ts)) AS bucket_ms,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM t GROUP BY 2 ORDER BY bucket_ms""".stripMargin,
+
+    // match_bool_prefix: fixed-term scored chain full-outer the
+    // constant-score prefix doc set
+    "search_bool_prefix" ->
+      s"""WITH qt(tok) AS (VALUES ('big')),
+        |${bm25ScoredCtes("bp", "documents")},
+        |pfx AS (SELECT DISTINCT doc_id FROM tk_bp WHERE tok LIKE 's%')
+        |SELECT doc_id,
+        |  CAST(COALESCE(s.score, 0) +
+        |    CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1000 END AS BIGINT)
+        |    AS score
+        |FROM scored_bp s FULL OUTER JOIN pfx p USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "search_weighted_avg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT CAST((sum(CAST(d.n_chars AS BIGINT) *
+        |    (CASE WHEN d.lang = 'en' THEN 3 ELSE 1 END)) * 1000) //
+        |  sum(CASE WHEN d.lang = 'en' THEN 3 ELSE 1 END) AS BIGINT)
+        |  AS wavg_1000
+        |FROM matched m JOIN documents d USING (doc_id)""".stripMargin,
+
+    "search_top_metrics" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, d.lang
+        |FROM matched m JOIN documents d USING (doc_id)
+        |ORDER BY n_chars DESC, doc_id LIMIT 5""".stripMargin,
 
     // distance_feature: the scored chain + the integer decay term
     "search_distance_feature" ->

@@ -4520,6 +4520,52 @@ object TextAnalysis {
       .orderBy(col("bucket_ms"))
   }
 
+  /** The interval ladder [[bm25AutoDateHistogramAgg]] walks, finest
+    * first — ES's auto_date_histogram rounding sequence restricted to
+    * the calendar members this engine serves. */
+  val AutoDateLadder: Seq[String] =
+    Seq("minute", "hour", "day", "week", "month", "quarter", "year")
+
+  /**
+   * ES `auto_date_histogram`: pick the FINEST calendar interval whose
+   * bucket count stays ≤ `targetBuckets`, then serve that histogram —
+   * the "give me a sensible time axis" aggregation dashboards reach
+   * for when the time range is unknown. Deterministic selection: one
+   * pass computes all seven distinct-bucket counts in a single
+   * aggregate (7 countDistincts over date_truncs — one shuffle), the
+   * ladder walks minute→year, and `year` serves as the floor even if
+   * it still exceeds the target (the ES behavior at its coarsest
+   * round). Output carries the chosen interval per row so the reply
+   * is self-describing (and the oracle must replay the CHOICE, not
+   * just the buckets).
+   */
+  def bm25AutoDateHistogramAgg(spark: SparkSession, root: String,
+      queryText: String, tsCol: String, targetBuckets: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(targetBuckets >= 1,
+      s"target bucket count must be positive, got $targetBuckets")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(tsCol))
+    val joined = matched.join(vals, Seq("doc_id"))
+    val countsRow = joined.agg(
+      countDistinct(date_trunc(AutoDateLadder.head, col(tsCol)))
+        .as(AutoDateLadder.head),
+      AutoDateLadder.tail.map(iv =>
+        countDistinct(date_trunc(iv, col(tsCol))).as(iv)): _*).head()
+    if (countsRow.isNullAt(0) || countsRow.getLong(0) == 0L)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("interval", "bucket_ms", "n_docs")
+    val chosen = AutoDateLadder.zipWithIndex
+      .find { case (_, i) => countsRow.getLong(i) <= targetBuckets }
+      .map(_._1).getOrElse(AutoDateLadder.last)
+    bm25DateHistogramAgg(spark, root, queryText, tsCol, chosen, asOf)
+      .select(lit(chosen).as("interval"), col("bucket_ms"),
+        col("n_docs"))
+      .orderBy(col("bucket_ms"))
+  }
+
   /** The sliding-window functions [[bm25DateHistogramMovingFn]] serves —
     * min/max/sum exact, avg as the integer ratio ⌊1000·sum/count⌋. */
   val MovingFns: Set[String] = Set("min", "max", "sum", "avg1000")
@@ -4883,6 +4929,49 @@ object TextAnalysis {
         min(col("__v")).as("min_v"),
         max(col("__v")).as("max_v"))
       .withColumn("avg_1000", expr("(sum_v * 1000) div n_docs"))
+  }
+
+  /**
+   * ES `weighted_avg` aggregation: ⌊1000·Σ(v·w)/Σw⌋ over the match
+   * set — the per-mille weighted average, integer-exact like the
+   * stats row's avg_1000 (ES reports a float; the ratio discipline
+   * here keeps the replay hash-exact). Value and weight are SQL
+   * expressions over the docvals sidecar (ES's field-or-script
+   * sources). One probe + docvals join + ONE aggregate.
+   */
+  def bm25WeightedAvgAgg(spark: SparkSession, root: String,
+      queryText: String, valueExpr: String, weightExpr: String,
+      asOf: Option[String] = None): DataFrame = {
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+    matched.join(vals, Seq("doc_id"))
+      .select(expr(valueExpr).cast("long").as("__v"),
+        expr(weightExpr).cast("long").as("__w"))
+      .agg(sum(expr("__v * __w")).as("__vw"), sum(col("__w")).as("__sw"))
+      .select(expr("(__vw * 1000) div __sw").cast("long")
+        .as("wavg_1000"))
+  }
+
+  /**
+   * ES `top_metrics` aggregation: the metric column values carried by
+   * the `k` top docs of the match set under a doc-values sort — "the
+   * price and rating of the newest matching doc". Sort is (sortCol
+   * desc, doc_id) — the ES sort plus this engine's universal
+   * tie-break; the cut is orderBy+limit (TakeOrderedAndProject,
+   * distributed). Metrics are docvals columns; the corpus text is
+   * never read.
+   */
+  def bm25TopMetricsAgg(spark: SparkSession, root: String,
+      queryText: String, sortCol: String, metricCols: Seq[String],
+      k: Int, asOf: Option[String] = None): DataFrame = {
+    require(metricCols.nonEmpty, "top_metrics needs at least one metric")
+    require(k >= 1, s"k must be positive, got $k")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+    matched.join(vals, Seq("doc_id"))
+      .select(col("doc_id") +: col(sortCol) +: metricCols.map(col): _*)
+      .orderBy(col(sortCol).desc, col("doc_id"))
+      .limit(k)
   }
 
   /**
@@ -5883,6 +5972,71 @@ object TextAnalysis {
     excluded
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /**
+   * ES `match_bool_prefix` — the OTHER autocomplete query: every term
+   * an independent SHOULD clause (docs may match in any order, any
+   * position — the contrast with match_phrase_prefix's adjacency),
+   * the trailing term a PREFIX clause. Scoring is the Lucene lowering
+   * verbatim: fixed terms sum their BM25 clause scores (the plain OR
+   * serve frame), and the prefix clause contributes a CONSTANT
+   * `prefixBoost1000` to any doc holding ≥ 1 dictionary expansion of
+   * the stem (Lucene rewrites prefix queries in a bool context to
+   * constant-score — they carry no tf/idf). A doc matching ONLY the
+   * prefix still surfaces at the constant. Expansion is dictionary-
+   * ordered and `maxExpansions`-capped like the phrase serve. Cost:
+   * the fixed-terms scoring frame + one expansion postings probe for
+   * a distinct doc set + one full-outer merge — never a corpus scan.
+   */
+  def bm25MatchBoolPrefixTopK(spark: SparkSession, root: String,
+      queryText: String, k: Int, maxExpansions: Int = 50,
+      prefixBoost1000: Long = 1000L,
+      asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    require(maxExpansions >= 1, s"maxExpansions $maxExpansions < 1")
+    require(prefixBoost1000 >= 0,
+      s"prefix boost must be non-negative, got $prefixBoost1000")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty query")
+    val fixed = terms.init.distinct
+    val stem = terms.last
+    def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val segs = liveSegments(spark, root)
+    if (segs.isEmpty) return empty
+    val scored = if (fixed.isEmpty) None
+      else bm25ScoreFrame(spark, root, fixed, asOf)
+        .map(_.select(col("doc_id"), col("score")))
+    val expansion = expandPrefixTerms(spark, root, segs, stem)
+      .toSeq.sortBy(_._1).take(maxExpansions).map(_._1)
+    val prefixDocs =
+      if (expansion.isEmpty) None
+      else {
+        val posts = segs.map(sg =>
+          MergeTable.readKeys(spark, s"$root/segs/$sg/postings", "tok",
+            expansion.toDF("tok"))).reduce(_.unionByName(_))
+        val dead = deletedBm25Docs(spark, root, asOf)
+        val alive =
+          if (dead.isEmpty) posts
+          else posts.filter(!col("doc_id").isin(dead.toSeq: _*))
+        Some(alive.select(col("doc_id")).distinct()
+          .withColumn("__pfx", lit(prefixBoost1000)))
+      }
+    val merged = (scored, prefixDocs) match {
+      case (None, None) => return empty
+      case (Some(s), None) => s
+      case (None, Some(p)) =>
+        p.select(col("doc_id"), col("__pfx").as("score"))
+      case (Some(s), Some(p)) =>
+        s.join(p, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(col("score"), lit(0L)) +
+              coalesce(col("__pfx"), lit(0L))).as("score"))
+    }
+    merged.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
   /**

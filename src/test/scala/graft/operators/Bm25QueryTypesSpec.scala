@@ -139,6 +139,28 @@ class Bm25QueryTypesSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.bm25SpanNotTopK(spark, root, "alpha", "alpha", 1, 10))
   }
 
+  test("match_bool_prefix: SHOULD clauses + constant-score prefix; degenerate forms") {
+    val root = build()
+    // 'beta al': beta scores its clause on docs 1,2,3; 'al*' expands
+    // {alpha, alone} -> docs 1,2,4 at the constant 1000; doc 4 matches
+    // ONLY the prefix and still surfaces
+    val got = rows(TextAnalysis.bm25MatchBoolPrefixTopK(spark, root,
+      "beta al", k = 10)).toMap
+    val beta = rows(TextAnalysis.bm25ServeTopK(spark, root, "beta",
+      k = 10)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    Seq(1L, 2L).foreach(id => assert(got(id) == beta(id) + 1000L))
+    assert(got(3L) == beta(3L)) // no al* term in doc 3
+    assert(got(4L) == 1000L) // prefix-only doc at the constant
+    // a stem matching nothing degenerates to the fixed-terms serve
+    assert(rows(TextAnalysis.bm25MatchBoolPrefixTopK(spark, root,
+      "beta zzzz", k = 10))
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "beta", k = 10)))
+    // prefix-only query: every expansion-matching doc at the constant
+    assert(rows(TextAnalysis.bm25MatchBoolPrefixTopK(spark, root,
+      "al", k = 10)) == Seq((1L, 1000L), (2L, 1000L), (4L, 1000L)))
+  }
+
   test("pinned: editorial order first at score -1, organic tail deduped, unknown/dead pins skipped") {
     val root = build()
     // pins promote regardless of matching (doc 5 has no alpha/beta);

@@ -85,6 +85,48 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
         "created_ts", "fortnight"))
   }
 
+  test("auto_date_histogram: the finest interval under the target wins; choice moves with the target") {
+    val root = buildTs()
+    def run(target: Int): (Set[String], Seq[(Long, Long)]) = {
+      val rows = TextAnalysis.bm25AutoDateHistogramAgg(spark, root,
+        "hit", "created_ts", target).collect()
+      (rows.map(_.getString(0)).toSet,
+        rows.map(r => (r.getLong(1), r.getLong(2))).toSeq)
+    }
+    // 4 distinct timestamps: minute/hour/day all give 4 buckets,
+    // week gives 2, quarter 1 — the ladder picks the finest fit
+    val (iv10, h10) = run(10)
+    assert(iv10 == Set("minute") && h10.length == 4
+      && h10.forall(_._2 == 1L))
+    val (iv3, h3) = run(3)
+    assert(iv3 == Set("week"))
+    assert(h3 == Seq((1580083200000L, 2L), (1582502400000L, 2L)))
+    val (iv1, h1) = run(1)
+    assert(iv1 == Set("quarter") && h1 == Seq((1577836800000L, 4L)))
+    // no matches → empty frame, no choice to make
+    assert(TextAnalysis.bm25AutoDateHistogramAgg(spark, root,
+      "zzznomatch", "created_ts", 5).count() == 0L)
+  }
+
+  test("weighted_avg and top_metrics over the match set's docvals") {
+    val root = build()
+    // matched: 1(en,100) 2(en,250) 3(de,450) 5(de,199); en weighs 3:
+    // Σ v·w = 100·3 + 250·3 + 450·1 + 199·1 = 1699; Σw = 8
+    // → ⌊1699·1000/8⌋ = 212375
+    assert(TextAnalysis.bm25WeightedAvgAgg(spark, root, "hit",
+      "n_chars", "CASE WHEN lang = 'en' THEN 3 ELSE 1 END")
+      .head().getLong(0) == 212375L)
+    // degenerate: weight 1 == stats avg_1000
+    assert(TextAnalysis.bm25WeightedAvgAgg(spark, root, "hit",
+      "n_chars", "1").head().getLong(0)
+      == TextAnalysis.bm25StatsAgg(spark, root, "hit", "n_chars")
+        .head().getAs[Long]("avg_1000"))
+    val tm = TextAnalysis.bm25TopMetricsAgg(spark, root, "hit",
+      "n_chars", Seq("lang"), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(tm == Seq((3L, 450L, "de"), (2L, 250L, "en")))
+  }
+
   test("moving_fn: window excludes the current bucket; leading edge NULL (ES shift=0)") {
     val root = buildTs()
     def run(fn: String): Seq[(Long, Long, Option[Long])] =

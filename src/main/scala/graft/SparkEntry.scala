@@ -3646,6 +3646,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `sampler` agg: the lang facet over ONLY the 25 best-scoring
+    // matches — the noise-control wrapper around terms facets, here
+    // with a deterministic (score desc, doc_id) sample
+    "search_sampler_terms" -> ((s, dir) => {
+      TextAnalysis.bm25SamplerTermsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "lang", shardSize = 25)
+        .orderBy(col("lang"))
+    }),
+
     // ES `weighted_avg` agg: per-mille Σ(v·w)/Σw — English docs weigh
     // 3×, integer-exact
     "search_weighted_avg" -> ((s, dir) => {
@@ -9508,6 +9517,17 @@ object SparkEntry {
         |    AS score
         |FROM scored_bp s FULL OUTER JOIN pfx p USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // sampler: the scored chain's top-25 cut, then the facet count
+    "search_sampler_terms" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("sm", "documents")},
+        |sample AS (
+        |  SELECT doc_id FROM scored_sm
+        |  ORDER BY score DESC, doc_id LIMIT 25)
+        |SELECT d.lang, CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+        |FROM sample s JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "search_weighted_avg" ->
       """WITH toks AS (

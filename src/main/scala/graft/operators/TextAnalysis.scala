@@ -4932,6 +4932,33 @@ object TextAnalysis {
   }
 
   /**
+   * ES `sampler` aggregation: restrict a sub-aggregation's context to
+   * the `shardSize` BEST-SCORING matches instead of the whole match
+   * set — "facet over the most relevant docs only", the noise-control
+   * wrapper dashboards put around terms facets. The sample is the
+   * serve's own top-k cut ((score desc, doc_id) — deterministic where
+   * ES's per-shard sampling is not), collected (bounded by shardSize,
+   * the rescore-window discipline) and semi-joined into the docvals
+   * facet count. Output (facet value, n_docs) over the sample only.
+   */
+  def bm25SamplerTermsAgg(spark: SparkSession, root: String,
+      queryText: String, facetCol: String, shardSize: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(shardSize >= 1,
+      s"sampler shard_size must be positive, got $shardSize")
+    val sample = bm25ServeTopK(spark, root, queryText, shardSize, asOf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    if (sample.isEmpty)
+      return Seq.empty[(String, Long)].toDF(facetCol, "n_docs")
+    bm25DocValues(spark, root, asOf)
+      .join(broadcast(sample.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col(facetCol))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col(facetCol))
+  }
+
+  /**
    * ES `weighted_avg` aggregation: ⌊1000·Σ(v·w)/Σw⌋ over the match
    * set — the per-mille weighted average, integer-exact like the
    * stats row's avg_1000 (ES reports a float; the ratio discipline

@@ -108,6 +108,27 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       "zzznomatch", "created_ts", 5).count() == 0L)
   }
 
+  test("sampler: the facet counts only the shard_size best-scoring matches") {
+    val root = build()
+    // 'hit alpha' serve order: the sample cut changes the facet where
+    // the full match set would not — shard_size 2 keeps only the two
+    // best docs; the full-set facet (shard_size >= matches) equals
+    // the plain facet counts
+    val top2 = TextAnalysis.bm25ServeTopK(spark, root, "hit alpha", 2)
+      .collect().map(_.getLong(0)).toSet
+    val byLang = Map(1L -> "en", 2L -> "en", 3L -> "de", 5L -> "de")
+    val want = top2.toSeq.map(byLang).groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    val got = TextAnalysis.bm25SamplerTermsAgg(spark, root, "hit alpha",
+      "lang", shardSize = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val full = TextAnalysis.bm25SamplerTermsAgg(spark, root, "hit alpha",
+      "lang", shardSize = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == Map("en" -> 2L, "de" -> 2L))
+  }
+
   test("weighted_avg and top_metrics over the match set's docvals") {
     val root = build()
     // matched: 1(en,100) 2(en,250) 3(de,450) 5(de,199); en weighs 3:

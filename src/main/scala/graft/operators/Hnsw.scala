@@ -357,17 +357,19 @@ object Hnsw {
       // overlap is provably that residue — left in place it would
       // silently mask every re-appended copy. Drop those ids from the
       // set (under this same lease) before the new segment commits.
-      Similarity.readTombstones(spark, path).foreach { case (idCol, dead) =>
-        require(idCol == "vec_id",
-          s"$path tombstones keyed by '$idCol', expected vec_id")
-        // overlap via broadcast semi-join — collected rows ≤ |dead|
-        // (MaxTombstones-capped), never ∝ the batch
+      Similarity.readTombstones(spark, path).foreach { case (tombCol, dead) =>
+        require(tombCol == "vec_id",
+          s"$path tombstones keyed by '$tombCol', expected vec_id")
+        // the BATCH probes through the caller's idCol (the tombstone
+        // file's key name is the index-internal column, not the
+        // batch's); overlap via broadcast semi-join — collected rows
+        // ≤ |dead| (MaxTombstones-capped), never ∝ the batch
         val stale = df.select(col(idCol).cast("long").as("vec_id"))
           .join(broadcast(dead.toSeq.toDF("vec_id")), Seq("vec_id"),
             "left_semi")
           .distinct().collect().map(_.getLong(0)).toSet
         if (stale.nonEmpty)
-          Similarity.replaceTombstones(spark, path, idCol,
+          Similarity.replaceTombstones(spark, path, tombCol,
             dead.filterNot(stale.contains))
       }
       val newDir = s"segs/app-${java.util.UUID.randomUUID().toString.take(8)}/nodes"

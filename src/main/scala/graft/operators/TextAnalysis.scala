@@ -4530,14 +4530,15 @@ object TextAnalysis {
    * ES `auto_date_histogram`: pick the FINEST calendar interval whose
    * bucket count stays ≤ `targetBuckets`, then serve that histogram —
    * the "give me a sensible time axis" aggregation dashboards reach
-   * for when the time range is unknown. Deterministic selection: one
-   * pass computes all seven distinct-bucket counts in a single
-   * aggregate (7 countDistincts over date_truncs — one shuffle), the
-   * ladder walks minute→year, and `year` serves as the floor even if
-   * it still exceeds the target (the ES behavior at its coarsest
-   * round). Output carries the chosen interval per row so the reply
-   * is self-describing (and the oracle must replay the CHOICE, not
-   * just the buckets).
+   * for when the time range is unknown. Deterministic selection: all
+   * seven distinct-bucket counts come from a single aggregate over the
+   * ONE match probe + docvals join (persisted MEMORY_ONLY so the
+   * chosen histogram's second action reuses it instead of re-probing
+   * postings), the ladder walks minute→year, and `year` serves as the
+   * floor even if it still exceeds the target (the ES behavior at its
+   * coarsest round). Output carries the chosen interval per row so
+   * the reply is self-describing (and the oracle must replay the
+   * CHOICE, not just the buckets).
    */
   def bm25AutoDateHistogramAgg(spark: SparkSession, root: String,
       queryText: String, tsCol: String, targetBuckets: Int,
@@ -4548,19 +4549,28 @@ object TextAnalysis {
     val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(tsCol))
+    // ONE match probe + docvals join feeds both the ladder counts and
+    // the chosen histogram (two actions — persist MEMORY_ONLY, the
+    // LRU-droppable tier, instead of re-probing postings; review r19)
     val joined = matched.join(vals, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val countsRow = joined.agg(
       countDistinct(date_trunc(AutoDateLadder.head, col(tsCol)))
         .as(AutoDateLadder.head),
       AutoDateLadder.tail.map(iv =>
         countDistinct(date_trunc(iv, col(tsCol))).as(iv)): _*).head()
-    if (countsRow.isNullAt(0) || countsRow.getLong(0) == 0L)
+    if (countsRow.isNullAt(0) || countsRow.getLong(0) == 0L) {
+      joined.unpersist(blocking = false)
       return Seq.empty[(String, Long, Long)]
         .toDF("interval", "bucket_ms", "n_docs")
+    }
     val chosen = AutoDateLadder.zipWithIndex
       .find { case (_, i) => countsRow.getLong(i) <= targetBuckets }
       .map(_._1).getOrElse(AutoDateLadder.last)
-    bm25DateHistogramAgg(spark, root, queryText, tsCol, chosen, asOf)
+    joined
+      .groupBy(unix_millis(date_trunc(chosen, col(tsCol)))
+        .as("bucket_ms"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
       .select(lit(chosen).as("interval"), col("bucket_ms"),
         col("n_docs"))
       .orderBy(col("bucket_ms"))
@@ -5133,7 +5143,11 @@ object TextAnalysis {
    * followed by the organic matches of the query in their own order,
    * pinned ids deduplicated out of the organic tail. Pinned ids the
    * index does not hold (or that are tombstoned) are SKIPPED — ES
-   * behavior. Output (rank, doc_id, score): pinned rows carry score
+   * behavior; the existence check reads the docvals sidecar when the
+   * index carries one, and on a bare postings index (no per-id
+   * structure to probe) pins are trusted as-given minus tombstones —
+   * the documented weaker contract. Output (rank, doc_id, score):
+   * pinned rows carry score
    * −1 (they rank by editorial fiat, not by relevance — surfacing a
    * fake score would be a lie), organic rows their BM25 score. The
    * pin list is a bounded literal (a curation list, ≤ hundreds); cost
@@ -5152,10 +5166,23 @@ object TextAnalysis {
     val dead = deletedBm25Docs(spark, root, asOf)
     // a pinned id must EXIST in the live index to pin (ES skips
     // unknown ids): one bounded postings-independent probe via the
-    // docvals sidecar when present, else the organic serve's ids
-    val live = bm25DocValues(spark, root, asOf)
-      .filter(col("doc_id").isin(pinnedIds: _*))
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet -- dead
+    // docvals sidecar. An index built WITHOUT docvals has no cheap
+    // per-id existence structure (doc ids are not dictionary keys), so
+    // there the pins are TRUSTED as-given minus tombstones — a
+    // documented weaker contract, the price of pinning on a bare
+    // postings index (review r19: the sidecar must stay optional here;
+    // pinning needs no doc values semantically)
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasDocVals = segs.nonEmpty && segs.forall(sg => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/segs/$sg/docvals")))
+    val live =
+      if (hasDocVals)
+        bm25DocValues(spark, root, asOf)
+          .filter(col("doc_id").isin(pinnedIds: _*))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet -- dead
+      else pinnedIds.toSet -- dead
     val pins = pinnedIds.filter(live.contains)
     val organic = bm25ServeTopK(spark, root, queryText, k, asOf)
       .filter(!col("doc_id").isin(pinnedIds: _*))
@@ -5224,25 +5251,41 @@ object TextAnalysis {
     val terms = queryText.toLowerCase.trim.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
-    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
-      case None =>
-        return Seq.empty[(String, Int, Int, Long, Long)]
-          .toDF(collapseCol, "grp_rank", "inner_rank", "doc_id", "score")
-      case Some(f) => f
-    }
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(collapseCol))
+    // empty results carry the REAL key type (the sidecar's), not a
+    // hardcoded string — a caller unioning results across queries must
+    // never hit a schema flip on the empty case (review r19)
+    def emptyOut: DataFrame = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(vals.schema(collapseCol),
+          StructField("grp_rank", IntegerType),
+          StructField("inner_rank", IntegerType),
+          StructField("doc_id", LongType),
+          StructField("score", LongType))))
+    }
+    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None => return emptyOut
+      case Some(f) => f
+    }
     val perKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col(collapseCol))
       .orderBy(col("score").desc, col("doc_id"))
     // persisted: the frame feeds TWO jobs (the top-groups collect and
     // the final join) which, as separate actions, cannot share a
     // ReusedExchange — without the persist the scoring probe and the
-    // per-key window run twice (measured 3.2 s vs 2.2 s at sf10)
+    // per-key window run twice (measured 3.2 s vs 1.5 s at sf10).
+    // MEMORY_ONLY deliberately: memory-store blocks are LRU-evicted
+    // under pressure (recompute, not spill), so a long-lived session
+    // serving many collapse queries cannot accumulate disk blocks —
+    // MEMORY_AND_DISK would leak spark.local.dir space until an
+    // explicit unpersist (review r19)
     val ranked = scored.join(vals, Seq("doc_id"))
       .withColumn("inner_rank", row_number().over(perKey))
       .filter(col("inner_rank") <= innerK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // group ranking: the serve only needs the best k groups, so rank
     // via orderBy+limit(k) — TakeOrderedAndProject, fully distributed
     // — and assign grp_rank driver-side over the collected ≤ k rows
@@ -5257,8 +5300,7 @@ object TextAnalysis {
       .collect()
     if (topRows.isEmpty) {
       ranked.unpersist(blocking = false)
-      return Seq.empty[(String, Int, Int, Long, Long)]
-        .toDF(collapseCol, "grp_rank", "inner_rank", "doc_id", "score")
+      return emptyOut
     }
     val grpSchema = org.apache.spark.sql.types.StructType(Seq(
       ranked.schema(collapseCol),
@@ -5270,9 +5312,9 @@ object TextAnalysis {
           org.apache.spark.sql.Row(r.get(0), i + 1) }.toSeq, 1),
       grpSchema)
     // returned lazy over the persisted frame: the caller's execution
-    // reads the cache instead of re-probing postings. The cached
-    // candidates are MEMORY_AND_DISK and LRU-evicted under storage
-    // pressure (and swept by any clearCache), so the lifecycle is
+    // reads the cache instead of re-probing postings. MEMORY_ONLY
+    // blocks are LRU-dropped (recomputed if needed) under storage
+    // pressure and swept by any clearCache, so the lifecycle is
     // self-bounding — the serve never re-pins it
     ranked.join(broadcast(topGroups), Seq(collapseCol))
       .select(col(collapseCol), col("grp_rank"), col("inner_rank"),
@@ -6032,7 +6074,10 @@ object TextAnalysis {
     val fixed = terms.init.distinct
     val stem = terms.last
     def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
-    val segs = liveSegments(spark, root)
+    // the AS-OF segment list — the prefix clause must read the SAME
+    // snapshot as the fixed-term clause (review r19: liveSegments
+    // without asOf would surface post-snapshot docs at the constant)
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
     if (segs.isEmpty) return empty
     val scored = if (fixed.isEmpty) None
       else bm25ScoreFrame(spark, root, fixed, asOf)

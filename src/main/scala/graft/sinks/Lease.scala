@@ -285,8 +285,19 @@ object Lease {
       beat.interrupt()
       // join BEFORE release: the beat may be past its stop check and
       // inside acquire() — letting it land a fresh grace-window claim
-      // AFTER the release would spuriously block the next writer
-      beat.join()
+      // AFTER the release would spuriously block the next writer.
+      // Interruption-safe and BOUNDED (review r19): an interrupt of
+      // THIS thread must not skip the release (the claim would leak
+      // until grace expiry), and a beat stuck in non-interruptible IO
+      // must not block the commit path forever — after the bound we
+      // release anyway (worst case = the pre-fix race, time-boxed).
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var selfInterrupted = false
+      while (beat.isAlive && System.nanoTime() < deadline) {
+        try beat.join(100L)
+        catch { case _: InterruptedException => selfInterrupted = true }
+      }
+      if (selfInterrupted) Thread.currentThread().interrupt()
       held.set(held.get() - key)
       release(spark, key, holder)
     }

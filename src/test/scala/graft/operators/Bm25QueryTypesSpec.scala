@@ -186,6 +186,24 @@ class Bm25QueryTypesSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.bm25PinnedTopK(spark, root, "alpha", Seq(1L, 1L), 5))
   }
 
+  test("pinned on a BARE postings index: pins trusted minus tombstones (the documented weaker contract)") {
+    val root = Files.createTempDirectory("qt_bare").toString
+    TextAnalysis.writeBm25Index(corpus(), "doc_id", "text", root,
+      nBuckets = 4) // no docValueCols — no per-id existence structure
+    // with no sidecar to probe, the unknown id 999 is TRUSTED and pins
+    val got = TextAnalysis.bm25PinnedTopK(spark, root, "alpha",
+      Seq(5L, 999L), k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.take(2) == Seq((1, 5L, -1L), (2, 999L, -1L)))
+    assert(got.drop(2).map(_._2)
+      == rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha", 10))
+        .map(_._1).filterNot(Set(5L, 999L)))
+    // tombstones still mask even without the sidecar
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(5L))
+    assert(!TextAnalysis.bm25PinnedTopK(spark, root, "alpha",
+      Seq(5L, 999L), k = 10).collect().map(_.getLong(1)).contains(5L))
+  }
+
   test("distance_feature: integer decay contribution; boost 0 == plain serve") {
     val root = build()
     val plain = rows(TextAnalysis.bm25ServeTopK(spark, root, "alpha",

@@ -229,9 +229,13 @@ class HnswDeleteSpec extends AnyFunSuite with SparkTestBase {
     // the documented recovery workflow — delete → compact → re-append —
     // must WORK: the batch passes the base-disjointness guard (the rows
     // are physically gone) and the stale tombstones must not silently
-    // mask the re-appended vectors
-    Hnsw.appendHnswSegments(emb.filter(col("vec_id").isin(dead: _*)),
-      "vec_id", "embedding", idx)
+    // mask the re-appended vectors. The batch deliberately uses a
+    // NON-vec_id id column: the repair must probe through the caller's
+    // idCol, not the tombstone file's key name (review r19)
+    Hnsw.appendHnswSegments(
+      emb.filter(col("vec_id").isin(dead: _*))
+        .withColumnRenamed("vec_id", "id"),
+      "id", "embedding", idx)
     // the stale ids left the tombstone set (self-heal) and serve again
     assert(Similarity.readTombstones(spark, idx).forall(
       _._2.toSet.intersect(dead.toSet).isEmpty))

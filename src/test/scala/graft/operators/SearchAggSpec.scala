@@ -415,6 +415,16 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       && one.head.getInt(2) == 1)
   }
 
+  test("collapse empty result keeps the sidecar's key type (no schema flip)") {
+    val root = build()
+    val df = TextAnalysis.bm25CollapseTopK(spark, root, "zzznomatch",
+      "n_chars", k = 3)
+    assert(df.schema("n_chars").dataType
+      == org.apache.spark.sql.types.LongType,
+      s"empty collapse flipped the key type: ${df.schema}")
+    assert(df.count() == 0L)
+  }
+
   test("collapse on a high-cardinality key (one group per doc) ranks by score, non-string key type") {
     val root = build()
     // n_chars is UNIQUE per matched doc — the ES user_id/domain shape

@@ -3646,6 +3646,39 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `boxplot` agg, exact: quartiles by the nearest-rank rule over
+    // one (value, doc_id) total order — deterministic where TDigest
+    // is not
+    "search_boxplot" -> ((s, dir) => {
+      TextAnalysis.bm25BoxplotAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars")
+    }),
+
+    // ES `median_absolute_deviation`, exact: two nearest-rank medians
+    // (value order, then deviation order)
+    "search_mad" -> ((s, dir) => {
+      TextAnalysis.bm25MadAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars")
+    }),
+
+    // ES `diversified_sampler`: the 25-doc best-scoring sample with at
+    // most 10 docs per lang — the de-biasing cap, greedy by score
+    "search_diversified_sampler" -> ((s, dir) => {
+      TextAnalysis.bm25DiversifiedSamplerAgg(s,
+        ensureDocValsBm25Index(s, dir), "dup sort query zzz", "lang",
+        shardSize = 25, maxPerValue = 10)
+        .orderBy(col("lang"))
+    }),
+
+    // ES `terms` ordered by a SUB-AGG metric: languages by average doc
+    // length — exact under one global aggregate where sharded ES warns
+    // of inexactness
+    "search_terms_by_metric" -> ((s, dir) => {
+      TextAnalysis.bm25TermsByMetricAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "lang", "n_chars", k = 5)
+        .orderBy(col("avg_1000").desc, col("lang"))
+    }),
+
     // ES `sampler` agg: the lang facet over ONLY the 25 best-scoring
     // matches — the noise-control wrapper around terms facets, here
     // with a deterministic (score desc, doc_id) sample
@@ -9517,6 +9550,78 @@ object SparkEntry {
         |    AS score
         |FROM scored_bp s FULL OUTER JOIN pfx p USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "search_boxplot" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |j AS (
+        |  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS v
+        |  FROM matched m JOIN documents d USING (doc_id)),
+        |st AS (SELECT count(*) AS n FROM j),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn FROM j)
+        |SELECT
+        |  (SELECT v FROM r WHERE rn = 1) AS min_v,
+        |  (SELECT v FROM r WHERE rn = greatest(1,
+        |    CAST(ceiling(25 * (SELECT n FROM st) / 100.0) AS BIGINT))) AS q1,
+        |  (SELECT v FROM r WHERE rn = greatest(1,
+        |    CAST(ceiling(50 * (SELECT n FROM st) / 100.0) AS BIGINT))) AS median,
+        |  (SELECT v FROM r WHERE rn = greatest(1,
+        |    CAST(ceiling(75 * (SELECT n FROM st) / 100.0) AS BIGINT))) AS q3,
+        |  (SELECT v FROM r WHERE rn = (SELECT n FROM st)) AS max_v""".stripMargin,
+
+    "search_mad" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |j AS (
+        |  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS v
+        |  FROM matched m JOIN documents d USING (doc_id)),
+        |st AS (SELECT greatest(1,
+        |  CAST(ceiling(50 * count(*) / 100.0) AS BIGINT)) AS mr FROM j),
+        |med AS (SELECT v FROM (
+        |    SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn FROM j)
+        |  WHERE rn = (SELECT mr FROM st)),
+        |dev AS (SELECT doc_id, abs(v - (SELECT v FROM med)) AS dv FROM j),
+        |mad AS (SELECT dv FROM (
+        |    SELECT dv, row_number() OVER (ORDER BY dv, doc_id) AS rn FROM dev)
+        |  WHERE rn = (SELECT mr FROM st))
+        |SELECT (SELECT v FROM med) AS median,
+        |  (SELECT dv FROM mad) AS mad""".stripMargin,
+
+    // diversified sampler: per-key rank cap, then the global top-25 cut
+    "search_diversified_sampler" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("dv", "documents")},
+        |cand AS (
+        |  SELECT s.doc_id, CAST(s.score AS BIGINT) AS score, d.lang,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY s.score DESC, s.doc_id) AS kr
+        |  FROM scored_dv s JOIN documents d USING (doc_id)),
+        |samp AS (
+        |  SELECT doc_id, lang FROM cand WHERE kr <= 10
+        |  ORDER BY score DESC, doc_id LIMIT 25)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM samp GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "search_terms_by_metric" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz'))
+        |SELECT d.lang, CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+        |  CAST((sum(CAST(d.n_chars AS BIGINT)) * 1000) //
+        |    count(d.n_chars) AS BIGINT) AS avg_1000
+        |FROM matched m JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY avg_1000 DESC, lang LIMIT 5""".stripMargin,
 
     // sampler: the scored chain's top-25 cut, then the facet count
     "search_sampler_terms" ->

@@ -4942,6 +4942,144 @@ object TextAnalysis {
   }
 
   /**
+   * ES `boxplot` aggregation, EXACT: one row of (min, q1, median, q3,
+   * max) over the match set's doc-values — the quartiles by the same
+   * nearest-rank rule as [[bm25PercentilesAgg]] (rank
+   * max(1, ⌈p·n/100⌉) over the (value, doc_id) total order), min/max
+   * as ranks 1 and n of the SAME order, so the whole row falls out of
+   * ONE sorted pass. Deterministic where ES's TDigest boxplot is
+   * approximate — the family stance.
+   */
+  def bm25BoxplotAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    val joined = matched.join(vals, Seq("doc_id"))
+    val n = joined.count()
+    if (n == 0L)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("min_v", "q1", "median", "q3", "max_v")
+    def rk(p: Int): Long = math.max(1L, math.ceil(p * n / 100.0).toLong)
+    val ranks = Seq(1L, rk(25), rk(50), rk(75), n)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v"), col("doc_id"))
+    val at = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn").isin(ranks.distinct: _*))
+      .select(col("rn"), col("__v"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    Seq((at(1L), at(rk(25)), at(rk(50)), at(rk(75)), at(n)))
+      .toDF("min_v", "q1", "median", "q3", "max_v")
+  }
+
+  /**
+   * ES `median_absolute_deviation`, EXACT: MAD = median(|v − median(v)|)
+   * over the match set — the robust dispersion measure, via TWO
+   * nearest-rank medians ((value, doc_id) order for the first,
+   * (deviation, doc_id) for the second). ES approximates with TDigest;
+   * this is the deterministic integer twin (the percentiles stance).
+   * Returns one row (median, mad).
+   */
+  def bm25MadAgg(spark: SparkSession, root: String, queryText: String,
+      valueCol: String, asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    // persisted across the two sorted passes (count + 2 medians —
+    // three actions over one probe; MEMORY_ONLY, the LRU-droppable
+    // tier, the collapse-serve precedent)
+    val joined = matched.join(vals, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val n = joined.count()
+    if (n == 0L) {
+      joined.unpersist(blocking = false)
+      return Seq.empty[(Long, Long)].toDF("median", "mad")
+    }
+    val medRank = math.max(1L, math.ceil(50 * n / 100.0).toLong)
+    def medianOf(df: DataFrame, v: String): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(v), col("doc_id"))
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === medRank).head().getAs[Long](v)
+    }
+    val med = medianOf(joined, "__v")
+    val mad = medianOf(
+      joined.withColumn("__d", abs(col("__v") - lit(med))), "__d")
+    joined.unpersist(blocking = false)
+    Seq((med, mad)).toDF("median", "mad")
+  }
+
+  /**
+   * ES `diversified_sampler` aggregation: the [[bm25SamplerTermsAgg]]
+   * sample with a DE-BIASING cap — at most `maxPerValue` docs of any
+   * `diversifyCol` value may enter the `shardSize` best-scoring
+   * sample (greedy by score: a doc is admitted iff fewer than
+   * maxPerValue same-key docs outrank it — exactly the per-key
+   * rank ≤ cap condition, then the global top shardSize of the
+   * survivors; both deterministic under (score desc, doc_id)).
+   * Returns the facet counts over the diversified sample. One scoring
+   * frame + docvals join + a per-key window over candidates + a
+   * TakeOrdered cut — no global window.
+   */
+  def bm25DiversifiedSamplerAgg(spark: SparkSession, root: String,
+      queryText: String, diversifyCol: String, shardSize: Int,
+      maxPerValue: Int, asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(shardSize >= 1 && maxPerValue >= 1,
+      s"shard_size/max_docs_per_value must be positive, got " +
+        s"$shardSize/$maxPerValue")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None => return Seq.empty[(String, Long)]
+        .toDF(diversifyCol, "n_docs")
+      case Some(f) => f
+    }
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(diversifyCol))
+    val perKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(diversifyCol))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.join(vals, Seq("doc_id"))
+      .withColumn("__kr", row_number().over(perKey))
+      .filter(col("__kr") <= maxPerValue)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(shardSize)
+      .groupBy(col(diversifyCol))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col(diversifyCol))
+  }
+
+  /**
+   * ES `terms` aggregation ORDERED BY A SUB-AGG METRIC — "languages by
+   * average doc length", the `order: {"metric": "desc"}` form the
+   * count-ordered facet cannot express: per facet bucket the distinct
+   * doc count and the per-mille average of `valueCol`, ranked by that
+   * average (desc, facet asc tie-break) and cut to `k` via
+   * TakeOrdered. ES warns this order is inexact under sharding; one
+   * global aggregate makes it exact here.
+   */
+  def bm25TermsByMetricAgg(spark: SparkSession, root: String,
+      queryText: String, facetCol: String, valueCol: String, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(facetCol),
+        col(valueCol).cast("long").as("__v"))
+    matched.join(vals, Seq("doc_id"))
+      .groupBy(col(facetCol))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        expr("(sum(__v) * 1000) div count(__v)").as("avg_1000"))
+      .orderBy(col("avg_1000").desc, col(facetCol))
+      .limit(k)
+  }
+
+  /**
    * ES `sampler` aggregation: restrict a sub-aggregation's context to
    * the `shardSize` BEST-SCORING matches instead of the whole match
    * set — "facet over the most relevant docs only", the noise-control

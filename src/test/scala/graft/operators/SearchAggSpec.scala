@@ -108,6 +108,48 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       "zzznomatch", "created_ts", 5).count() == 0L)
   }
 
+  test("boxplot and MAD: exact nearest-rank quartiles and the robust dispersion") {
+    val root = build()
+    // matched n_chars sorted: 100, 199, 250, 450 (n=4): ranks
+    // q1=⌈1⌉=1, median=⌈2⌉=2, q3=⌈3⌉=3
+    val bp = TextAnalysis.bm25BoxplotAgg(spark, root, "hit", "n_chars")
+      .head()
+    assert((bp.getLong(0), bp.getLong(1), bp.getLong(2), bp.getLong(3),
+      bp.getLong(4)) == ((100L, 100L, 199L, 250L, 450L)))
+    // median 199; deviations {99, 0, 51, 251} sorted → rank-2 = 51
+    val mad = TextAnalysis.bm25MadAgg(spark, root, "hit", "n_chars")
+      .head()
+    assert((mad.getLong(0), mad.getLong(1)) == ((199L, 51L)))
+    // empty match → empty rows, not a crash
+    assert(TextAnalysis.bm25BoxplotAgg(spark, root, "zzznomatch",
+      "n_chars").count() == 0L)
+    assert(TextAnalysis.bm25MadAgg(spark, root, "zzznomatch",
+      "n_chars").count() == 0L)
+  }
+
+  test("diversified_sampler caps per-key docs; terms_by_metric orders buckets by the sub-agg") {
+    val root = build()
+    // max 1 per lang, top-2 overall → exactly one en + one de doc
+    val div = TextAnalysis.bm25DiversifiedSamplerAgg(spark, root,
+      "hit alpha", "lang", shardSize = 2, maxPerValue = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(div == Map("en" -> 1L, "de" -> 1L))
+    // an uncapped sample of the same size would NOT be diversified:
+    // the top-2 by score alone can share a lang — pin the contrast
+    val plain = TextAnalysis.bm25SamplerTermsAgg(spark, root,
+      "hit alpha", "lang", shardSize = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain.values.sum == 2L)
+    // terms by metric: avg n_chars — de (324500) outranks en (175000)
+    val tbm = TextAnalysis.bm25TermsByMetricAgg(spark, root, "hit",
+      "lang", "n_chars", k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tbm == Seq(("de", 2L, 324500L), ("en", 2L, 175000L)))
+    assert(TextAnalysis.bm25TermsByMetricAgg(spark, root, "hit",
+      "lang", "n_chars", k = 1).collect().map(_.getString(0)).toSeq
+      == Seq("de"))
+  }
+
   test("sampler: the facet counts only the shard_size best-scoring matches") {
     val root = build()
     // 'hit alpha' serve order: the sample cut changes the facet where

@@ -3646,6 +3646,20 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `extended_stats`, exact: variance/std as integer ratios —
+    // n·Σv²−(Σv)² is an exact integer, std via BigInteger.sqrt
+    "search_extended_stats" -> ((s, dir) => {
+      TextAnalysis.bm25ExtendedStatsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars")
+    }),
+
+    // ES `stats_bucket` (+ min_bucket/max_bucket keys) over the
+    // interval-100 histogram's doc counts
+    "search_stats_bucket" -> ((s, dir) => {
+      TextAnalysis.bm25BucketStatsAgg(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", interval = 100L)
+    }),
+
     // ES `boxplot` agg, exact: quartiles by the nearest-rank rule over
     // one (value, doc_id) total order — deterministic where TDigest
     // is not
@@ -9550,6 +9564,54 @@ object SparkEntry {
         |    AS score
         |FROM scored_bp s FULL OUTER JOIN pfx p USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "search_extended_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |j AS (
+        |  SELECT CAST(d.n_chars AS HUGEINT) AS v
+        |  FROM matched m JOIN documents d USING (doc_id)),
+        |a AS (SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS ss,
+        |  min(v) AS mn, max(v) AS mx FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(s AS BIGINT) AS sum_v,
+        |  CAST(mn AS BIGINT) AS min_v, CAST(mx AS BIGINT) AS max_v,
+        |  CAST((s * 1000) // n AS BIGINT) AS avg_1000,
+        |  CAST(ss AS BIGINT) AS sum_sq,
+        |  CAST(((n * ss - s * s) * 1000) // (n * n) AS BIGINT)
+        |    AS variance_1000,
+        |  CAST(floor(sqrt(CAST(((n * ss - s * s) * 1000000) // (n * n)
+        |    AS DOUBLE))) AS BIGINT) AS std_1000
+        |FROM a""".stripMargin,
+
+    "search_stats_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |b AS (
+        |  SELECT n_chars - ((n_chars % 100) + 100) % 100 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM matched m JOIN documents d USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(min(n_docs) AS BIGINT) AS min_docs,
+        |  CAST(max(n_docs) AS BIGINT) AS max_docs,
+        |  CAST(sum(n_docs) AS BIGINT) AS sum_docs,
+        |  CAST((sum(n_docs) * 1000) // count(*) AS BIGINT)
+        |    AS avg_docs_1000,
+        |  CAST((SELECT min(bucket) FROM b
+        |    WHERE n_docs = (SELECT min(n_docs) FROM b)) AS BIGINT)
+        |    AS min_bucket,
+        |  CAST((SELECT min(bucket) FROM b
+        |    WHERE n_docs = (SELECT max(n_docs) FROM b)) AS BIGINT)
+        |    AS max_bucket
+        |FROM b""".stripMargin,
 
     "search_boxplot" ->
       """WITH toks AS (

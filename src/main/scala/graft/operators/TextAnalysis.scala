@@ -4942,6 +4942,78 @@ object TextAnalysis {
   }
 
   /**
+   * ES `extended_stats` aggregation, EXACT: the stats row plus
+   * sum-of-squares, variance and standard deviation — made integer:
+   * the variance numerator n·Σv² − (Σv)² is an exact integer, so
+   * variance_1000 = ⌊1000·(n·Σv²−(Σv)²)/n²⌋ and std_1000 =
+   * ⌊√(10⁶·(n·Σv²−(Σv)²)/n²)⌋ (integer square root of the
+   * per-million-scaled variance) replay bit-for-bit where ES's float
+   * std drifts in the last ulp. BigInt through the numerator (Σv² of
+   * 10⁶ docs × 10⁶-valued columns passes 2⁶³). ONE aggregate.
+   */
+  def bm25ExtendedStatsAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    val row = matched.join(vals, Seq("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__v")).as("s"),
+        sum(expr("__v * __v")).as("ss"),
+        min(col("__v")).as("mn"),
+        max(col("__v")).as("mx")).head()
+    if (row.getLong(0) == 0L)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("n_docs", "sum_v", "min_v", "max_v", "avg_1000",
+          "sum_sq", "variance_1000", "std_1000")
+    val n = BigInt(row.getLong(0))
+    val s = BigInt(row.getLong(1))
+    val ss = BigInt(row.getLong(2))
+    val varNum = n * ss - s * s // ≥ 0 by Cauchy-Schwarz
+    val var1000 = varNum * 1000 / (n * n)
+    // BigInteger.sqrt (Java 9+): exact ⌊√x⌋, no float roundtrip
+    val std1000 = BigInt((varNum * 1000000 / (n * n)).bigInteger.sqrt)
+    Seq((row.getLong(0), row.getLong(1), row.getLong(3), row.getLong(4),
+      (s * 1000 / n).toLong, row.getLong(2), var1000.toLong,
+      std1000.toLong))
+      .toDF("n_docs", "sum_v", "min_v", "max_v", "avg_1000",
+        "sum_sq", "variance_1000", "std_1000")
+  }
+
+  /**
+   * The ES `*_bucket` sibling pipeline aggregations in one row —
+   * `stats_bucket` over the fixed-interval histogram's doc counts:
+   * bucket count, min/max/sum of the per-bucket counts, the per-mille
+   * average, and (the `max_bucket`/`min_bucket` members) the KEYS
+   * holding the extremes — smallest key on ties, deterministic where
+   * ES returns key lists. Runs over the EMITTED buckets (≤ |buckets|
+   * driver-side rows — the pipeline-family contract).
+   */
+  def bm25BucketStatsAgg(spark: SparkSession, root: String,
+      queryText: String, valueCol: String, interval: Long,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val buckets = bm25HistogramAgg(spark, root, queryText, valueCol,
+      interval, asOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (buckets.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("n_buckets", "min_docs", "max_docs", "sum_docs",
+          "avg_docs_1000", "min_bucket", "max_bucket")
+    val counts = buckets.map(_._2)
+    val minC = counts.min
+    val maxC = counts.max
+    Seq((buckets.length.toLong, minC, maxC, counts.sum,
+      counts.sum * 1000L / buckets.length,
+      buckets.filter(_._2 == minC).map(_._1).min,
+      buckets.filter(_._2 == maxC).map(_._1).min))
+      .toDF("n_buckets", "min_docs", "max_docs", "sum_docs",
+        "avg_docs_1000", "min_bucket", "max_bucket")
+  }
+
+  /**
    * ES `boxplot` aggregation, EXACT: one row of (min, q1, median, q3,
    * max) over the match set's doc-values — the quartiles by the same
    * nearest-rank rule as [[bm25PercentilesAgg]] (rank

@@ -108,6 +108,28 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       "zzznomatch", "created_ts", 5).count() == 0L)
   }
 
+  test("extended_stats: integer variance/std; stats_bucket summarizes the histogram") {
+    val root = build()
+    // matched n_chars {100, 250, 450, 199}: n=4 s=999 ss=314601,
+    // varNum = 4·314601 − 999² = 260403 → var_1000 = ⌊260403000/16⌋,
+    // std_1000 = isqrt(⌊260403·10⁶/16⌋)
+    val es = TextAnalysis.bm25ExtendedStatsAgg(spark, root, "hit",
+      "n_chars").head()
+    assert((es.getLong(0), es.getLong(1), es.getLong(2), es.getLong(3),
+      es.getLong(4), es.getLong(5), es.getLong(6), es.getLong(7))
+      == ((4L, 999L, 100L, 450L, 249750L, 314601L, 16275187L, 127574L)))
+    // interval-100 buckets: 100 -> 2 docs, 200 -> 1, 400 -> 1;
+    // min_bucket = smallest key at the min count (tie 200 vs 400 ->
+    // 200), max_bucket = 100
+    val sb = TextAnalysis.bm25BucketStatsAgg(spark, root, "hit",
+      "n_chars", 100L).head()
+    assert((sb.getLong(0), sb.getLong(1), sb.getLong(2), sb.getLong(3),
+      sb.getLong(4), sb.getLong(5), sb.getLong(6))
+      == ((3L, 1L, 2L, 4L, 1333L, 200L, 100L)))
+    assert(TextAnalysis.bm25ExtendedStatsAgg(spark, root, "zzznomatch",
+      "n_chars").count() == 0L)
+  }
+
   test("boxplot and MAD: exact nearest-rank quartiles and the robust dispersion") {
     val root = build()
     // matched n_chars sorted: 100, 199, 250, 450 (n=4): ranks

@@ -33,6 +33,9 @@ object NgramBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC pinned to match Verify/SparkTestBase: the calendar serves
+      // (date_trunc bucketing) must bench the SAME plan they verify
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)

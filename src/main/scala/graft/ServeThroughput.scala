@@ -38,6 +38,9 @@ object ServeThroughput {
       .appName("graft-serve-throughput")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
+      // UTC pinned to match Verify/SparkTestBase: the calendar serves
+      // (date_trunc bucketing) must bench the SAME plan they verify
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -4958,10 +4958,14 @@ object TextAnalysis {
     val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    // Σv² aggregates as DECIMAL(38,0): a plain Long sum wraps silently
+    // for |v| ≳ 3e9 or large Σv² (review r20) — decimal keeps the
+    // BigInt exactness claim true INSIDE the aggregate, not just after
+    // the driver-side head()
     val row = matched.join(vals, Seq("doc_id"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("__v")).as("s"),
-        sum(expr("__v * __v")).as("ss"),
+        sum(col("__v").cast("decimal(38,0)")).as("s"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("ss"),
         min(col("__v")).as("mn"),
         max(col("__v")).as("mx")).head()
     if (row.getLong(0) == 0L)
@@ -4969,14 +4973,19 @@ object TextAnalysis {
         .toDF("n_docs", "sum_v", "min_v", "max_v", "avg_1000",
           "sum_sq", "variance_1000", "std_1000")
     val n = BigInt(row.getLong(0))
-    val s = BigInt(row.getLong(1))
-    val ss = BigInt(row.getLong(2))
+    val s = BigInt(row.getDecimal(1).toBigInteger)
+    val ss = BigInt(row.getDecimal(2).toBigInteger)
+    // the OUTPUT row is Long-typed (the oracle replays in BIGINT):
+    // values past 2⁶³ must fail LOUD, not wrap at emit
+    require(s.isValidLong && ss.isValidLong,
+      s"extended_stats sums exceed BIGINT (sum=$s, sum_sq=$ss) — " +
+        "rescale the doc-values column")
     val varNum = n * ss - s * s // ≥ 0 by Cauchy-Schwarz
     val var1000 = varNum * 1000 / (n * n)
     // BigInteger.sqrt (Java 9+): exact ⌊√x⌋, no float roundtrip
     val std1000 = BigInt((varNum * 1000000 / (n * n)).bigInteger.sqrt)
-    Seq((row.getLong(0), row.getLong(1), row.getLong(3), row.getLong(4),
-      (s * 1000 / n).toLong, row.getLong(2), var1000.toLong,
+    Seq((row.getLong(0), s.toLong, row.getLong(3), row.getLong(4),
+      (s * 1000 / n).toLong, ss.toLong, var1000.toLong,
       std1000.toLong))
       .toDF("n_docs", "sum_v", "min_v", "max_v", "avg_1000",
         "sum_sq", "variance_1000", "std_1000")
@@ -5014,13 +5023,90 @@ object TextAnalysis {
   }
 
   /**
+   * Exact values at the given 1-based ranks of the ascending
+   * (`__v`, doc_id) total order over `df` — WITHOUT an unpartitioned
+   * window (VERDICT r19 #1: `Window.orderBy` with no partition key
+   * pulls the ENTIRE match set through one task; for a common query
+   * term the match set ≈ the corpus). This is the in-repo exact
+   * global-rank pattern (operators/Sampling.scala `tokenBudgetSample`)
+   * applied to rank-SELECT: range-bucket on VALUE (a monotone map, so
+   * equal values share a bucket and within-bucket (__v, doc_id) order
+   * extends the global order), per-bucket counts to the driver
+   * (≤ numShufflePartitions rows — bounded by construction), driver
+   * prefix offsets locate each target rank's bucket and LOCAL rank,
+   * then ONE window partitioned BY BUCKET over only the ≤ |ranks|
+   * buckets that hold a target. Worst-case task = one value-range
+   * bucket's sort, never the match set's; double-precision bucket
+   * boundaries only shift bucket SIZES, never the order, so the
+   * selected values are exact at any scale.
+   *
+   * `df` must carry (doc_id: Long, __v: Long) and SHOULD be persisted
+   * by the caller (three actions: min/max, counts, probe). Callers
+   * guarantee ranks ⊆ [1, n], n ≥ 1. Returns the lazy probe frame
+   * (bucket, local rank, value) plus the decode map — split out so
+   * PlanAuditSpec can pin the partitioned-window shape before the
+   * collect.
+   */
+  private[graft] def exactRankProbe(df: DataFrame, ranks: Seq[Long])
+      : (DataFrame, Map[(Int, Long), Long]) = {
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val mm = df.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    // degenerate span: every row shares one bucket anyway — pin pid 0
+    val spanD = math.max(1.0, mx.toDouble - mn.toDouble)
+    val bucketed = df.withColumn("__pid",
+      least(lit(np - 1), greatest(lit(0),
+        floor((col("__v").cast("double") - lit(mn.toDouble))
+          / lit(spanD) * lit(np)).cast("int"))))
+    val counts = bucketed.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = (0 until np).map { p =>
+      p -> (0 until p).iterator.map(counts.getOrElse(_, 0L)).sum
+    }.toMap
+    // rank r lives in the unique bucket whose (offset, offset+count]
+    // half-open prefix interval covers it
+    val located: Seq[(Int, Long, Long)] = ranks.distinct.map { r =>
+      val p = (0 until np).find(p =>
+        offsets(p) < r && r <= offsets(p) + counts.getOrElse(p, 0L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"rank $r outside [1, ${counts.values.sum}]"))
+      (p, r - offsets(p), r)
+    }
+    val byBucket = located.groupBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__v"), col("doc_id"))
+    val cond = byBucket.map { case (p, ts) =>
+      col("__pid") === p && col("rn").isin(ts.map(_._2): _*)
+    }.reduce(_ || _)
+    val probe = bucketed
+      .filter(col("__pid").isin(byBucket.keys.toSeq: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(cond)
+      .select(col("__pid"), col("rn"), col("__v"))
+    (probe, located.map(t => (t._1, t._2) -> t._3).toMap)
+  }
+
+  /** [[exactRankProbe]] collected: global rank → value. */
+  private def exactValueAtRanks(df: DataFrame, ranks: Seq[Long])
+      : Map[Long, Long] = {
+    val (probe, decode) = exactRankProbe(df, ranks)
+    probe.collect().map { r =>
+      decode((r.getInt(0), r.getInt(1).toLong)) -> r.getLong(2)
+    }.toMap
+  }
+
+  /**
    * ES `boxplot` aggregation, EXACT: one row of (min, q1, median, q3,
    * max) over the match set's doc-values — the quartiles by the same
    * nearest-rank rule as [[bm25PercentilesAgg]] (rank
    * max(1, ⌈p·n/100⌉) over the (value, doc_id) total order), min/max
-   * as ranks 1 and n of the SAME order, so the whole row falls out of
-   * ONE sorted pass. Deterministic where ES's TDigest boxplot is
-   * approximate — the family stance.
+   * as ranks 1 and n of the SAME order. Rank selection rides
+   * [[exactRankProbe]] (range-bucketed, partitioned window — never a
+   * global sort; VERDICT r19 #1). Deterministic where ES's TDigest
+   * boxplot is approximate — the family stance.
    */
   def bm25BoxplotAgg(spark: SparkSession, root: String,
       queryText: String, valueCol: String,
@@ -5029,19 +5115,19 @@ object TextAnalysis {
     val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    // persisted across the rank-probe's three actions (count, min/max
+    // + bucket counts, probe); MEMORY_ONLY — the LRU-droppable tier
     val joined = matched.join(vals, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val n = joined.count()
-    if (n == 0L)
+    if (n == 0L) {
+      joined.unpersist(blocking = false)
       return Seq.empty[(Long, Long, Long, Long, Long)]
         .toDF("min_v", "q1", "median", "q3", "max_v")
+    }
     def rk(p: Int): Long = math.max(1L, math.ceil(p * n / 100.0).toLong)
-    val ranks = Seq(1L, rk(25), rk(50), rk(75), n)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v"), col("doc_id"))
-    val at = joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn").isin(ranks.distinct: _*))
-      .select(col("rn"), col("__v"))
-      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val at = exactValueAtRanks(joined, Seq(1L, rk(25), rk(50), rk(75), n))
+    joined.unpersist(blocking = false)
     Seq((at(1L), at(rk(25)), at(rk(50)), at(rk(75)), at(n)))
       .toDF("min_v", "q1", "median", "q3", "max_v")
   }
@@ -5050,8 +5136,10 @@ object TextAnalysis {
    * ES `median_absolute_deviation`, EXACT: MAD = median(|v − median(v)|)
    * over the match set — the robust dispersion measure, via TWO
    * nearest-rank medians ((value, doc_id) order for the first,
-   * (deviation, doc_id) for the second). ES approximates with TDigest;
-   * this is the deterministic integer twin (the percentiles stance).
+   * (deviation, doc_id) for the second), each selected by
+   * [[exactRankProbe]]'s range-bucketed partitioned window — never a
+   * global sort (VERDICT r19 #1). ES approximates with TDigest; this
+   * is the deterministic integer twin (the percentiles stance).
    * Returns one row (median, mad).
    */
   def bm25MadAgg(spark: SparkSession, root: String, queryText: String,
@@ -5060,9 +5148,9 @@ object TextAnalysis {
     val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
-    // persisted across the two sorted passes (count + 2 medians —
-    // three actions over one probe; MEMORY_ONLY, the LRU-droppable
-    // tier, the collapse-serve precedent)
+    // persisted across the two rank probes (count + 2×(min/max +
+    // counts + probe) — all actions over one probe frame; MEMORY_ONLY,
+    // the LRU-droppable tier, the collapse-serve precedent)
     val joined = matched.join(vals, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val n = joined.count()
@@ -5071,15 +5159,12 @@ object TextAnalysis {
       return Seq.empty[(Long, Long)].toDF("median", "mad")
     }
     val medRank = math.max(1L, math.ceil(50 * n / 100.0).toLong)
-    def medianOf(df: DataFrame, v: String): Long = {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col(v), col("doc_id"))
-      df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === medRank).head().getAs[Long](v)
-    }
-    val med = medianOf(joined, "__v")
-    val mad = medianOf(
-      joined.withColumn("__d", abs(col("__v") - lit(med))), "__d")
+    val med = exactValueAtRanks(joined, Seq(medRank))(medRank)
+    // the deviation frame is a PROJECTION of the cached probe — the
+    // second probe's three actions still read the one cached copy
+    val dev = joined.select(col("doc_id"),
+      abs(col("__v") - lit(med)).as("__v"))
+    val mad = exactValueAtRanks(dev, Seq(medRank))(medRank)
     joined.unpersist(blocking = false)
     Seq((med, mad)).toDF("median", "mad")
   }
@@ -5383,9 +5468,15 @@ object TextAnalysis {
     // postings index (review r19: the sidecar must stay optional here;
     // pinning needs no doc values semantically)
     val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    // ZERO live segments: no doc can exist, so no pin can hold — ES
+    // returns nothing. Without this guard the bare-postings branch
+    // below would TRUST the pins and emit ranks for impossible ids
+    // (review r20)
+    if (segs.isEmpty)
+      return Seq.empty[(Int, Long, Long)].toDF("rank", "doc_id", "score")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val hasDocVals = segs.nonEmpty && segs.forall(sg => fs.exists(
+    val hasDocVals = segs.forall(sg => fs.exists(
       new org.apache.hadoop.fs.Path(s"$root/segs/$sg/docvals")))
     val live =
       if (hasDocVals)
@@ -5611,8 +5702,10 @@ object TextAnalysis {
    * 1-based ascending rank is max(1, ⌈p·n/100⌉) over the match set's
    * doc-values — integer-deterministic, unlike the TDigest approximation
    * ES defaults to, so it replays in SQL). Exact percentiles need a
-   * total order: one global sort of the MATCH SET (not the corpus) is
-   * the honest cost; the rank filter then returns ≤ |ps| rows.
+   * total ORDER but never a total SORT: [[exactRankProbe]] range-
+   * buckets on value, locates each target rank's bucket from driver
+   * prefix offsets, and sorts only inside the ≤ |ps| buckets holding
+   * a target (VERDICT r19 #1 — the unpartitioned-window replan).
    */
   def bm25PercentilesAgg(spark: SparkSession, root: String,
       queryText: String, valueCol: String, ps: Seq[Int],
@@ -5623,17 +5716,19 @@ object TextAnalysis {
     val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(valueCol).cast("long").as("__v"))
+    // persisted across the rank-probe's three actions; MEMORY_ONLY —
+    // the LRU-droppable tier (the collapse-serve precedent)
     val joined = matched.join(vals, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val n = joined.count()
-    if (n == 0L) return Seq.empty[(Int, Long)].toDF("p", "value")
+    if (n == 0L) {
+      joined.unpersist(blocking = false)
+      return Seq.empty[(Int, Long)].toDF("p", "value")
+    }
     val targets = ps.distinct.sorted
       .map(p => p -> math.max(1L, math.ceil(p * n / 100.0).toLong))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v"), col("doc_id"))
-    val atRanks = joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn").isin(targets.map(_._2).distinct: _*))
-      .select(col("rn"), col("__v"))
-      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val atRanks = exactValueAtRanks(joined, targets.map(_._2))
+    joined.unpersist(blocking = false)
     targets.map { case (p, r) => (p, atRanks(r)) }.toDF("p", "value")
   }
 

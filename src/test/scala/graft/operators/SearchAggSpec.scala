@@ -673,4 +673,83 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(got(10) == Seq(("apple", 2L, 2L), ("app", 1L, 1L),
       ("apply", 1L, 1L)))
   }
+
+  test("exactRankProbe: exact at EVERY rank under heavy ties; window stays partitioned (VERDICT r19 #1)") {
+    import spark.implicits._
+    // heavy ties (13 distinct values over 400 rows), shuffled ids — the
+    // worst case for any bucketing that confused value order with id
+    // order; negatives exercise the double bucket map below zero
+    val rows = (1L to 400L).map(i => ((i * 181) % 400, (i * 37) % 13 - 6))
+    val df = rows.toDF("doc_id", "__v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val expect = rows.sortBy(t => (t._2, t._1)).map(_._2)
+    val (probe, decode) = TextAnalysis.exactRankProbe(df, 1L to 400L)
+    // plan pin BEFORE the collect: the replan's whole point is that no
+    // WindowExec runs unpartitioned — checked through AQE/cache
+    val unpart = allPlanNodes(probe.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty,
+      s"rank probe ran an UNPARTITIONED window: $unpart")
+    assert(allPlanNodes(probe.queryExecution.executedPlan).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.nonEmpty
+      case _ => false
+    }, "rank probe lost its per-bucket window entirely")
+    val got = probe.collect().map { r =>
+      decode((r.getInt(0), r.getInt(1).toLong)) -> r.getLong(2)
+    }.toMap
+    df.unpersist(blocking = false)
+    assert(got.size == 400)
+    (1 to 400).foreach(r =>
+      assert(got(r.toLong) == expect(r - 1), s"rank $r"))
+    // degenerate all-equal column: one bucket, still exact
+    val const = (1L to 50L).map(i => (i, 7L)).toDF("doc_id", "__v")
+    val (p2, d2) = TextAnalysis.exactRankProbe(const, Seq(1L, 25L, 50L))
+    assert(p2.collect().map(r =>
+      d2((r.getInt(0), r.getInt(1).toLong)) -> r.getLong(2)).toMap
+      == Map(1L -> 7L, 25L -> 7L, 50L -> 7L))
+  }
+
+  test("pinned on a zero-segment index returns nothing — pins cannot outlive the corpus (ADVICE r20)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("agg_pin_empty").toString
+    TextAnalysis.writeBm25Index(
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", root, nBuckets = 2)
+    // tombstone everything and compact: the manifest commits an EMPTY
+    // segment list (the r14 contract) — a pinned query must now return
+    // zero rows, not trust the pins as-given
+    TextAnalysis.deleteBm25Docs(spark, root, Seq(1L, 2L))
+    assert(TextAnalysis.compactBm25Index(spark, root, nBuckets = 2) == 1)
+    assert(TextAnalysis.liveSegments(spark, root).isEmpty)
+    assert(TextAnalysis.bm25PinnedTopK(spark, root, "beta",
+      Seq(1L, 2L), k = 10).count() == 0L)
+  }
+
+  test("extended_stats aggregates sum-of-squares in DECIMAL: exact where a Long sum wraps, loud past BIGINT (ADVICE r20)") {
+    import spark.implicits._
+    // two docs at 2e9: sum(v*v) as Long = 8e18 (fits, but each square
+    // already passed 2^62 — a 4-doc corpus wraps); decimal carries it
+    val root = Files.createTempDirectory("agg_es_big").toString
+    TextAnalysis.writeBm25Index(
+      Seq((1L, "hit a", 2000000000L), (2L, "hit b", 2000000000L))
+        .toDF("doc_id", "text", "big"),
+      "doc_id", "text", root, nBuckets = 2, docValueCols = Seq("big"))
+    val es = TextAnalysis.bm25ExtendedStatsAgg(spark, root, "hit", "big")
+      .head()
+    assert(es.getLong(5) == 8000000000000000000L) // Σv² exact
+    assert(es.getLong(6) == 0L && es.getLong(7) == 0L) // zero variance
+    // four docs at 2e9: Σv² = 1.6e19 > 2⁶³ — a Long aggregate returns
+    // a silently-wrapped NEGATIVE; the decimal path refuses loudly
+    val root2 = Files.createTempDirectory("agg_es_over").toString
+    TextAnalysis.writeBm25Index(
+      (1L to 4L).map(i => (i, s"hit d$i", 2000000000L))
+        .toDF("doc_id", "text", "big"),
+      "doc_id", "text", root2, nBuckets = 2, docValueCols = Seq("big"))
+    val ex = intercept[IllegalArgumentException](
+      TextAnalysis.bm25ExtendedStatsAgg(spark, root2, "hit", "big"))
+    assert(ex.getMessage.contains("exceed BIGINT"))
+  }
 }

@@ -584,6 +584,34 @@ object SparkEntry {
     idx
   }
 
+  /** Build-once gate for the GEO-docvals twin: same corpus/postings
+    * plus deterministic lat/lon doc-values derived from doc_id (the
+    * geo_radius_join coordinate scheme — both engines re-derive them
+    * exactly; the documents table carries no native coordinates):
+    * lat = doc_id % 160 − 80 + 0.25, lon = (doc_id·7) % 360 − 180 +
+    * 0.5 — the ·7 (coprime with 360) DECORRELATES lon from lat, so
+    * small corpora still populate every box/ring (doc_id%160 and
+    * doc_id%360 walk in lockstep over a 500-doc id range and left the
+    * oracle boxes structurally empty). The geo_distance /
+    * geo_bounding_box / geohash_grid serve family's fixture. */
+  private[graft] def ensureGeoBm25Index(s: SparkSession,
+      dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_geo_v2_" +
+      fsTag(s, dir, "documents.parquet")
+    if (graft.sinks.Versioned.currentVersion(s, idx).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+        .withColumn("lat", (col("doc_id") % 160 - 80).cast("double") + 0.25)
+        .withColumn("lon",
+          (col("doc_id") * 7 % 360 - 180).cast("double") + 0.5)
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx,
+        docValueCols = Seq("lat", "lon"))
+    }
+    assertFixtureSpec(s, idx, "bm25 docvals=lat,lon no-deletes")
+    idx
+  }
+
   /** Build-once gate for the TIMESTAMP-docvals twin: same corpus and
     * postings, plus a derived `created_ts` sidecar —
     * 2020-01-01T00:00Z + (doc_id % 400) days, a deterministic spread
@@ -3774,6 +3802,43 @@ object SparkEntry {
       TextAnalysis.bm25PercentileRanksAgg(s, ensureDocValsBm25Index(s, dir),
         "dup sort query zzz", "n_chars", Seq(100L, 300L, 500L))
         .orderBy(col("value"))
+    }),
+
+    // ES `geo_distance` QUERY with sort:_geo_distance — match set
+    // within 3000 km of (20.25, 10.5), nearest first; conservative
+    // bbox prefilter pushes to the docvals sidecar scan, integer
+    // meters replay in DuckDB (the geo_radius_join precedent)
+    "search_geo_distance" -> ((s, dir) => {
+      TextAnalysis.bm25GeoDistanceTopK(s, ensureGeoBm25Index(s, dir),
+        "dup sort query zzz", "lat", "lon",
+        originLat = 20.25, originLon = 10.5,
+        radiusMeters = 3000000L, k = 15)
+    }),
+
+    // ES `geo_bounding_box` query — BM25 top-k restricted to the box:
+    // pure composition of the filter context with a range predicate
+    "search_geo_bbox" -> ((s, dir) => {
+      TextAnalysis.bm25GeoBoundingBoxTopK(s, ensureGeoBm25Index(s, dir),
+        "dup sort query zzz", "lat", "lon",
+        latLo = 0.0, latHi = 45.0, lonLo = -30.0, lonHi = 60.0, k = 10)
+    }),
+
+    // ES `geo_distance` AGGREGATION: concentric-ring doc counts around
+    // the origin, every requested ring emitted (zeros included)
+    "search_geo_distance_agg" -> ((s, dir) => {
+      TextAnalysis.bm25GeoDistanceAgg(s, ensureGeoBm25Index(s, dir),
+        "dup sort query zzz", "lat", "lon",
+        originLat = 20.25, originLon = 10.5,
+        edges = Seq(1000000L, 3000000L, 8000000L))
+        .orderBy(col("ring_from"))
+    }),
+
+    // ES `geohash_grid` aggregation: the match set bucketed by the
+    // 3-bit/axis Morton cell (the integer twin of geohash's base32
+    // rendering), top-10 cells by count
+    "search_geohash_grid" -> ((s, dir) => {
+      TextAnalysis.bm25GeohashGridAgg(s, ensureGeoBm25Index(s, dir),
+        "dup sort query zzz", "lat", "lon", bits = 3, topN = 10)
     }),
 
     // ES `bucket_script`: an integer expression per histogram bucket
@@ -9766,6 +9831,96 @@ object SparkEntry {
         |  CAST((sum(CASE WHEN j.n_chars <= p.value THEN 1 ELSE 0 END) * 1000)
         |    // count(*) AS BIGINT) AS rank1000
         |FROM p CROSS JOIN j GROUP BY p.value ORDER BY value""".stripMargin,
+
+    // geo_distance query: haversine over the doc_id-derived lat/lon
+    // docvals; the engine's bbox is a PREFILTER only (box ⊇ ball), so
+    // the oracle needs no box — exact distance decides membership
+    "search_geo_distance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |pts AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 160 - 80 AS DOUBLE) + 0.25 AS lat,
+        |    CAST(doc_id * 7 % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM matched),
+        |d AS (
+        |  SELECT doc_id, CAST(round(2 * 6371000.0 * asin(sqrt(
+        |    pow(sin(radians(lat - 20.25) / 2), 2) +
+        |    cos(radians(20.25)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - 10.5) / 2), 2))), 0) AS BIGINT) AS dist_m
+        |  FROM pts)
+        |SELECT doc_id, dist_m FROM d WHERE dist_m <= 3000000
+        |ORDER BY dist_m, doc_id LIMIT 15""".stripMargin,
+
+    // geo_bounding_box = the filter-context serve with the box as the
+    // structured predicate over the derived coordinates
+    "search_geo_bbox" -> bm25TopkSqlOver("documents",
+      "\n  AND doc_id IN (SELECT doc_id FROM documents" +
+        " WHERE CAST(doc_id % 160 - 80 AS DOUBLE) + 0.25 BETWEEN 0.0 AND 45.0" +
+        " AND CAST(doc_id * 7 % 360 - 180 AS DOUBLE) + 0.5 BETWEEN -30.0 AND 60.0)",
+      k = 10),
+
+    // geo_distance agg: every requested ring emits, zeros included
+    "search_geo_distance_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |pts AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 160 - 80 AS DOUBLE) + 0.25 AS lat,
+        |    CAST(doc_id * 7 % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM matched),
+        |d AS (
+        |  SELECT doc_id, CAST(round(2 * 6371000.0 * asin(sqrt(
+        |    pow(sin(radians(lat - 20.25) / 2), 2) +
+        |    cos(radians(20.25)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - 10.5) / 2), 2))), 0) AS BIGINT) AS dist_m
+        |  FROM pts),
+        |rings(ring_from, ring_to) AS (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)),
+        |  (1000000, 3000000), (3000000, 8000000), (8000000, NULL))
+        |SELECT r.ring_from, r.ring_to,
+        |  CAST(count(d.doc_id) AS BIGINT) AS n_docs
+        |FROM rings r LEFT JOIN d
+        |  ON d.dist_m >= r.ring_from
+        |  AND (r.ring_to IS NULL OR d.dist_m < r.ring_to)
+        |GROUP BY r.ring_from, r.ring_to
+        |ORDER BY ring_from""".stripMargin,
+
+    // geohash_grid: the Morton-cell bucketing (zorder_cells' exact bit
+    // arithmetic at 3 bits/axis), top-10 cells by count
+    "search_geohash_grid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |pts AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 160 - 80 AS DOUBLE) + 0.25 AS lat,
+        |    CAST(doc_id * 7 % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM matched),
+        |xy AS (
+        |  SELECT doc_id,
+        |    CAST(least(floor((lon + 180.0) / 360.0 * 8.0), 7) AS BIGINT) AS x,
+        |    CAST(least(floor((lat + 90.0) / 180.0 * 8.0), 7) AS BIGINT) AS y
+        |  FROM pts),
+        |cells AS (
+        |  SELECT doc_id,
+        |    CAST(sum((((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b+1))) AS BIGINT) AS cell
+        |  FROM (SELECT doc_id, x, y, unnest(range(3)) AS b FROM xy)
+        |  GROUP BY doc_id)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM cells GROUP BY cell
+        |ORDER BY n_docs DESC, cell LIMIT 10""".stripMargin,
 
     "search_date_range" ->
       """WITH toks AS (

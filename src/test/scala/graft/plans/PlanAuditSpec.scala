@@ -680,6 +680,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("search_geo_distance: bbox pushes to the docvals scan, top-k fuses, no corpus read") {
+    val df = SparkEntry.queries("search_geo_distance")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "geo distance top-k must fuse, never a global sort")
+    assert(df.inputFiles.exists(_.contains("/docvals/")),
+      "coordinates must come from the docvals sidecar")
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "geo serve scanned the CORPUS — coordinates live on the index")
+    // the conservative bounding box is a plain range predicate and must
+    // reach the sidecar's parquet scan (row-group pruning at scale)
+    assert(p.contains("GreaterThanOrEqual(lat") ||
+      p.contains("PushedFilters: [IsNotNull(lat"),
+      s"bbox must push down to the docvals scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "no cartesian")
+    // geo_bbox / grid / rings: index-only reads
+    Seq("search_geo_bbox", "search_geohash_grid").foreach { q =>
+      val d = SparkEntry.queries(q)(spark, sfDir)
+      assert(!d.inputFiles.exists(_.contains("documents.parquet")),
+        s"$q read the corpus — the serve must stay on the index")
+    }
+  }
+
   test("phrase_prefix / explain / agg-family additions: index-only reads, no corpus scan") {
     Seq("phrase_prefix_served", "search_explain",
       "search_cardinality_agg", "search_filters_agg",

@@ -3280,6 +3280,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `intervals` match rule, ordered with max_gaps=2: 'big'
+    // anchors a following 'table' within width 2+2; tf = matching
+    // anchors, idf = the members' sum (the SpanNear weight)
+    "search_intervals" -> ((s, dir) => {
+      TextAnalysis.bm25IntervalsTopK(s, ensurePosBm25Index(s, dir),
+        Seq("big", "table"), ordered = true, maxGaps = 2, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES `nested` (VERDICT r18 #7): child rows in their own table
     // keyed by parent id (orders ⊃ lineitem — the flattened-child
     // representation), child predicate + per-parent score_mode=sum
@@ -3304,6 +3313,31 @@ object SparkEntry {
         .select(col("o_orderkey"))
         .orderBy(col("o_orderkey"))
         .limit(100)
+    }),
+
+    // ES has_child (the JOIN-FIELD model — independently-updatable
+    // parent/child, unlike nested's frozen block): orders with 2..5
+    // returned heavy lineitems, scored by max child quantity; the
+    // min/max_children bounds are has_child's distinguishing contract
+    "search_has_child" -> ((s, dir) => {
+      graft.operators.Nested.hasChildTopK(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey",
+        "l_returnflag = 'R' AND l_quantity >= 30",
+        "CAST(l_quantity AS BIGINT)", scoreMode = "max", k = 20,
+        minChildren = 2, maxChildren = 5)
+        .orderBy(col("score").desc, col("o_orderkey"))
+    }),
+
+    // ES has_parent with score=true: lineitems of open high-value
+    // orders, each carrying the parent's propagated integer score
+    "search_has_parent" -> ((s, dir) => {
+      graft.operators.Nested.hasParentTopK(
+        t(s, dir, "lineitem"), "l_orderkey",
+        Seq("l_orderkey", "l_linenumber"),
+        t(s, dir, "orders"), "o_orderkey",
+        "o_orderstatus = 'O' AND o_totalprice > 250000",
+        "CAST(o_totalprice * 100 AS BIGINT)", k = 25)
     }),
 
     // ES match_phrase_prefix — the autocomplete query (Lucene
@@ -3575,6 +3609,15 @@ object SparkEntry {
     "search_significant_terms" -> ((s, dir) => {
       TextAnalysis.bm25SignificantTerms(s, ensureBm25Index(s, dir),
         "zzz dup", t(s, dir, "documents"), "doc_id", "text", k = 10)
+    }),
+
+    // ES `significant_text`: significant_terms' free-text sibling —
+    // fg from the top-50 SAMPLED hits with duplicate text removed
+    // before counting (the filter_duplicate_text de-amplification)
+    "search_significant_text" -> ((s, dir) => {
+      TextAnalysis.bm25SignificantText(s, ensureBm25Index(s, dir),
+        "zzz dup", t(s, dir, "documents"), "doc_id", "text",
+        shardSize = 50, k = 10)
     }),
 
     // did-you-mean (Lucene DirectSpellChecker): edit-1 dictionary
@@ -8641,6 +8684,41 @@ object SparkEntry {
         |FROM tfr t JOIN lens l USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
+    // intervals (ordered, max_gaps=2): anchors of 'big' with a
+    // following 'table' at distance <= 3 (= width n+g); the greedy
+    // chain replays as EXISTS because the earliest-following walk
+    // succeeds iff any chain fits the width
+    "search_intervals" ->
+      """WITH toksl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toksl)),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |df1 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'big'),
+        |df2 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc FROM tk WHERE tok = 'table'),
+        |idfs AS (SELECT
+        |  ((SELECT n FROM st) - (SELECT dfc FROM df1) + 1) * 10000 // ((SELECT dfc FROM df1) + 1)
+        |  + ((SELECT n FROM st) - (SELECT dfc FROM df2) + 1) * 10000 // ((SELECT dfc FROM df2) + 1) AS idf),
+        |pa AS (SELECT doc_id, pos FROM tk WHERE tok = 'big'),
+        |pb AS (SELECT doc_id, pos FROM tk WHERE tok = 'table'),
+        |tfr AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM pa a
+        |  WHERE EXISTS (SELECT 1 FROM pb b
+        |    WHERE b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3)
+        |  GROUP BY a.doc_id)
+        |SELECT t.doc_id,
+        |  CAST((SELECT idf FROM idfs) * ((t.tf * 2200 * 10000) //
+        |    (t.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |      ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000))
+        |    AS BIGINT) AS score
+        |FROM tfr t JOIN lens l USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
     // nested: child predicate + parent-keyed score_mode aggregate +
     // semi-join, replayed relationally
     "search_nested" ->
@@ -8661,6 +8739,77 @@ object SparkEntry {
         |  WHERE l.l_orderkey = o.o_orderkey
         |    AND l.l_returnflag = 'R' AND l.l_quantity >= 30)
         |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    // significant_text: the serve's top-50 sample, duplicate text
+    // collapsed to one survivor, then the significant_terms lift
+    "search_significant_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+        |qt(tok) AS (VALUES ('zzz'), ('dup')),
+        |dfc AS (
+        |  SELECT q.tok, CAST(coalesce(count(DISTINCT t.doc_id), 0) AS BIGINT) AS dfc
+        |  FROM qt q LEFT JOIN tk t ON t.tok = q.tok GROUP BY q.tok),
+        |idf AS (
+        |  SELECT tok, ((SELECT n FROM st) - dfc + 1) * 10000 // (dfc + 1) AS idf
+        |  FROM dfc),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(i.idf * ((tf.tf * 2200 * 10000) //
+        |      (tf.tf * 1000 + (1200 * (250 + (750 * l.len * 1000) //
+        |        ((SELECT tot FROM st) * 1000 // (SELECT n FROM st)))) // 1000)))
+        |      AS score
+        |  FROM tf JOIN idf i USING (tok) JOIN lens l USING (doc_id)
+        |  GROUP BY tf.doc_id),
+        |sample AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+        |dedup AS (
+        |  SELECT lower(trim(d.text)) AS ntext, min(d.doc_id) AS doc_id
+        |  FROM documents d JOIN sample s ON d.doc_id = s.doc_id
+        |  GROUP BY lower(trim(d.text))),
+        |mc AS (SELECT CAST(count(*) AS BIGINT) AS m FROM dedup),
+        |ftoks AS (
+        |  SELECT doc_id, unnest(string_split_regex(ntext, '\s+')) AS tok
+        |  FROM dedup),
+        |fg AS (
+        |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS fg
+        |  FROM ftoks WHERE tok <> '' GROUP BY tok),
+        |bg AS (
+        |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS bg
+        |  FROM tk t JOIN fg USING (tok) GROUP BY t.tok)
+        |SELECT f.tok, f.fg, b.bg,
+        |  CAST((f.fg * (SELECT n FROM st) * 1000000) // (b.bg * (SELECT m FROM mc)) AS BIGINT) AS score_1e6
+        |FROM fg f JOIN bg b USING (tok)
+        |ORDER BY score_1e6 DESC, f.fg DESC, f.tok LIMIT 10""".stripMargin,
+
+    // has_child: the aggregated-then-bounded count contract replayed
+    // with a HAVING
+    "search_has_child" ->
+      """WITH m AS (
+        |  SELECT l_orderkey AS pid, CAST(l_quantity AS BIGINT) AS cs
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_quantity >= 30)
+        |SELECT o.o_orderkey, CAST(max(m.cs) AS BIGINT) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_children
+        |FROM orders o JOIN m ON m.pid = o.o_orderkey
+        |GROUP BY o.o_orderkey
+        |HAVING count(*) BETWEEN 2 AND 5
+        |ORDER BY score DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // has_parent: filtered parents fan their propagated score to
+    // children
+    "search_has_parent" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  CAST(o.o_totalprice * 100 AS BIGINT) AS score
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'O' AND o.o_totalprice > 250000
+        |ORDER BY score DESC, l_orderkey, l_linenumber
+        |LIMIT 25""".stripMargin,
 
     // span_or replayed as the union position count (distinct terms
     // occupy distinct positions, so the union = the IN-set occurrence

@@ -91,4 +91,91 @@ object Nested {
     parents.join(matched,
       parents(parentIdCol) === col("__pid"), "left_anti")
   }
+
+  // ——— the JOIN-FIELD model (`has_child` / `has_parent`, VERDICT r19
+  // #3): unlike `nested` (children frozen inside the parent's Lucene
+  // block — reindex the parent to touch one child), the join field
+  // keeps parent and child INDEPENDENTLY UPDATABLE documents. The
+  // relational twin is exactly two tables joined on the parent key,
+  // so the engine gets independent updates for free and only the
+  // query shapes need defining.
+
+  /**
+   * ES `has_child`: parents having between `minChildren` and
+   * `maxChildren` children matching `childPred` (ES's min_children/
+   * max_children — the contract `nested` does NOT have), scored by
+   * `scoreMode` over the per-child integer `childScoreExpr`
+   * (score_mode=none ⇒ pure existence filter, score 0 — the ES
+   * default). Output (parentIdCol, score, n_children), (score desc,
+   * id) top-k.
+   *
+   * Scale shape = [[nestedTopK]]'s: child filter + partial agg
+   * map-side before ONE shuffle on the parent key; the count bounds
+   * apply to the AGGREGATED frame (a post-agg filter, never a window);
+   * the parent join is key-on-key (AQE broadcasts the aggregated side
+   * when it fits); top-k fuses to TakeOrderedAndProject.
+   */
+  def hasChildTopK(parents: DataFrame, parentIdCol: String,
+      children: DataFrame, childParentCol: String,
+      childPred: String, childScoreExpr: String, scoreMode: String,
+      k: Int, minChildren: Int = 1,
+      maxChildren: Int = Int.MaxValue): DataFrame = {
+    require(ScoreModes.contains(scoreMode),
+      s"score_mode '$scoreMode' not in ${ScoreModes.toSeq.sorted.mkString("{", ",", "}")}")
+    require(k >= 1, s"k must be positive, got $k")
+    require(minChildren >= 1 && maxChildren >= minChildren,
+      s"need 1 <= min_children <= max_children, got " +
+        s"$minChildren..$maxChildren")
+    val matched = children.filter(expr(childPred))
+      .select(col(childParentCol).as("__pid"),
+        expr(childScoreExpr).cast("long").as("__cscore"))
+    val score = scoreMode match {
+      case "max" => max(col("__cscore"))
+      case "min" => min(col("__cscore"))
+      case "sum" => sum(col("__cscore"))
+      case "avg1000" => expr("(sum(__cscore) * 1000) div count(__cscore)")
+      case "count" => count(lit(1))
+      case "none" => lit(0L)
+    }
+    val perParent = matched.groupBy(col("__pid"))
+      .agg(score.cast("long").as("score"),
+        count(lit(1)).cast("long").as("n_children"))
+      .filter(col("n_children") >= minChildren &&
+        col("n_children") <= maxChildren)
+    parents.select(col(parentIdCol))
+      .join(perParent, col(parentIdCol) === col("__pid"))
+      .select(col(parentIdCol), col("score"), col("n_children"))
+      .orderBy(col("score").desc, col(parentIdCol))
+      .limit(k)
+  }
+
+  /**
+   * ES `has_parent`: CHILD documents whose parent matches
+   * `parentPred`, each child carrying its parent's integer
+   * `parentScoreExpr` (ES `score=true` propagation; pass a literal
+   * `0` for the score=false default). `childCols` are the child
+   * columns to return. Output (childCols…, score), (score desc,
+   * childCols asc) top-k.
+   *
+   * The inverse join shape: the PARENT side is filtered first (its
+   * predicate pushes to the parent scan), then joined key-on-key into
+   * the children — one parent row fans out to its children, never a
+   * cartesian; AQE broadcasts the filtered parent frame when it fits
+   * (the common case: a selective parent predicate over the smaller
+   * table). Top-k fuses to TakeOrderedAndProject.
+   */
+  def hasParentTopK(children: DataFrame, childParentCol: String,
+      childCols: Seq[String], parents: DataFrame, parentIdCol: String,
+      parentPred: String, parentScoreExpr: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(childCols.nonEmpty, "need at least one child column")
+    val matched = parents.filter(expr(parentPred))
+      .select(col(parentIdCol).as("__pid"),
+        expr(parentScoreExpr).cast("long").as("score"))
+    children
+      .join(matched, col(childParentCol) === col("__pid"))
+      .select((childCols.map(col) :+ col("score")): _*)
+      .orderBy(col("score").desc +: childCols.map(col): _*)
+      .limit(k)
+  }
 }

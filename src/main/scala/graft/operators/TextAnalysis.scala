@@ -1911,6 +1911,90 @@ object TextAnalysis {
   }
 
   /**
+   * ES `intervals` query (VERDICT r19 #5) — the `match` rule with
+   * `ordered` and `max_gaps` over the positional postings: a doc
+   * matches when some occurrence of the FIRST term anchors a chain of
+   * occurrences of the remaining terms within total width
+   * n + max_gaps. Formally, tf = |{p ∈ pos₁ : ∃ p < p₂ < … < pₙ ≤
+   * p + (n−1) + max_gaps, pᵢ ∈ posᵢ}| — the greedy
+   * earliest-following walk finds a chain iff one exists (each step
+   * takes the minimum eligible position, which can only leave MORE
+   * room for later steps), so the exists-form replays in SQL while
+   * the engine evaluates the linear greedy fold. `ordered = false`
+   * (supported for the two-term rule, ES's dominant unordered shape)
+   * relaxes the chain to ∃q: 0 < |q − p| ≤ max_gaps + 1.
+   *
+   * Scoring is the span-family restricted-tf model
+   * ([[bm25SpanFirstTopK]]): tf = matching anchor count, idf = the
+   * member terms' idf SUM (Lucene's SpanNear weight), length norm
+   * unchanged. Cost: ONE positional probe over the n terms' postings,
+   * a per-doc fold bounded by O(Σ tfᵢ · n) — never a corpus scan; the
+   * rule size is a query literal (n ≤ 4, the ES-practical band).
+   */
+  def bm25IntervalsTopK(spark: SparkSession, root: String,
+      terms: Seq[String], ordered: Boolean, maxGaps: Int, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val ts = terms.map(_.toLowerCase.trim)
+    require(ts.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"intervals terms must be single tokens, got $terms")
+    require(ts.distinct == ts, s"intervals terms must be distinct: $terms")
+    require(ts.size >= 2 && ts.size <= 4,
+      s"intervals match rule takes 2..4 terms, got ${ts.size}")
+    require(ordered || ts.size == 2,
+      "unordered intervals supported for the two-term rule")
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    require(k >= 1, s"k must be positive, got $k")
+    def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val (segs, nDocs, avg1000, dfc) =
+      spanStatsHeader(spark, root, ts, asOf) match {
+        case None => return empty
+        case Some(h) => h
+      }
+    if (!ts.forall(dfc.contains)) return empty // every term REQUIRED
+    // SpanNear weight: the member idfs sum into one pseudo-term idf
+    val idfV = ts.map(t =>
+      bm25Idf(nDocs, dfc, Seq(t)).head._2).sum
+    val n = ts.size
+    val agg = spanPostings(spark, root, segs, ts, asOf)
+      .groupBy(col("doc_id"))
+      .agg(first(col("len")).as("len"),
+        collect_list(struct(col("tok"), col("positions"))).as("tp"))
+      // every term present (distinct-tok count — robust if a doc's
+      // postings ever spanned two list entries)
+      .filter(size(array_distinct(transform(col("tp"),
+        x => x.getField("tok")))) === n)
+    // per-term position arrays via VALUE comparisons, not interpolated
+    // SQL literals (the ADVICE-r15 token-escaping discipline)
+    def posOf(t: String): Column = flatten(transform(
+      filter(col("tp"), x => x.getField("tok") === lit(t)),
+      x => x.getField("positions")))
+    val widthBound = lit((n - 1 + maxGaps).toLong)
+    val anchorOk: Column => Column =
+      if (!ordered) { p: Column =>
+        exists(posOf(ts(1)), q =>
+          q =!= p && abs(q - p) <= lit(maxGaps.toLong + 1L))
+      } else { p: Column =>
+        // greedy earliest-following chain; an empty step yields NULL
+        // and the null propagates through every later min/filter
+        val end = ts.tail.foldLeft(p)((cur, t) =>
+          array_min(filter(posOf(t), q => q > cur)))
+        end.isNotNull && end <= p + widthBound
+      }
+    agg
+      .select(col("doc_id"), col("len"),
+        size(filter(posOf(ts.head), anchorOk)).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .withColumn("norm1000",
+        lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
+      .withColumn("w",
+        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+      .select(col("doc_id"), (lit(idfV) * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Highlighting — the deterministic core of a search response's
    * snippet stage (Lucene's highlighter, stripped of its float
    * fragment scorer): for every document matching at least one query
@@ -5816,6 +5900,82 @@ object TextAnalysis {
       .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("fg"))
     // bg: corpus df from the dictionary, ONE readKeys over fg's terms
+    val bg = segs.map(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
+        fg.select(col("tok"))))
+      .reduce(_.unionByName(_))
+      .groupBy(col("tok")).agg(sum(col("dfc")).as("bg"))
+    fg.join(bg, Seq("tok"))
+      .withColumn("score_1e6",
+        expr(s"(fg * ${nDocs}L * 1000000L) div (bg * ${m}L)"))
+      .orderBy(col("score_1e6").desc, col("fg").desc, col("tok"))
+      .limit(k)
+  }
+
+  /**
+   * ES `significant_text` aggregation (VERDICT r19 #4) — the free-text
+   * sibling of [[bm25SignificantTerms]], with that aggregation's two
+   * ES-documented differences baked in:
+   *
+   *  1. SAMPLED: fg counts come from the `shardSize` BEST-SCORING hits
+   *     only, not the whole match set (ES docs: "re-analyzing text is
+   *     expensive — use inside a sampler"; here the sampler composition
+   *     is mandatory, so cost is ∝ sample text, never match-set text).
+   *     The sample is the serve's own deterministic (score desc,
+   *     doc_id) cut — the [[bm25SamplerTermsAgg]] contract.
+   *  2. `filter_duplicate_text`: near-duplicate hits are removed
+   *     BEFORE counting, so boilerplate/retweet amplification cannot
+   *     fabricate significance. Dedup is at document granularity —
+   *     one survivor (lowest doc_id) per normalized (lower/trim) text;
+   *     ES additionally drops re-seen ≥6-token sequences WITHIN
+   *     differing docs, a sequence-level refinement this engine leaves
+   *     out deliberately (doc-level covers the amplification failure
+   *     mode and replays exactly in SQL; the sequence filter is
+   *     order-dependent inside a shard and would not).
+   *
+   * Lift = ⌊1e6·fg·N / (bg·M)⌋ with M = the DEDUPED sample size and
+   * bg from the dictionary (one readKeys ∝ the sample's vocabulary).
+   * Top `k` by (score desc, fg desc, tok).
+   */
+  def bm25SignificantText(spark: SparkSession, root: String,
+      queryText: String, docs: DataFrame, idCol: String, textCol: String,
+      shardSize: Int, k: Int, asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    require(shardSize >= 1,
+      s"significant_text shard_size must be positive, got $shardSize")
+    require(k >= 1, s"k must be positive, got $k")
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("tok", "fg", "bg", "score_1e6")
+    val statsRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
+        Seq(Bm25StatsKey).toDF("tok")).collect().toSeq)
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    // the bounded sample (collect ≤ shardSize — the sampler discipline)
+    val sample = bm25ServeTopK(spark, root, queryText, shardSize, asOf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    if (sample.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("tok", "fg", "bg", "score_1e6")
+    // filter_duplicate_text: one survivor per normalized text
+    val deduped = docs
+      .select(col(idCol).as("doc_id"),
+        lower(trim(col(textCol))).as("__ntext"))
+      .join(broadcast(sample.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col("__ntext"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val m = deduped.count()
+    if (m == 0L)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("tok", "fg", "bg", "score_1e6")
+    val fg = deduped
+      .select(col("doc_id"),
+        explode(split(col("__ntext"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("fg"))
     val bg = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
         fg.select(col("tok"))))

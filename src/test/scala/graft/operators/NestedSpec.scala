@@ -75,6 +75,47 @@ class NestedSpec extends AnyFunSuite with SparkTestBase {
       "qty > 1000").count() == 4L)
   }
 
+  test("has_child: min/max_children bound the MATCHING-child count; score modes as nested") {
+    // cat='a' matches: p1 {10,30} (2 children), p2 {20} (1), p3 {1} (1)
+    def hc(minC: Int, maxC: Int): Seq[(Long, Long, Long)] =
+      Nested.hasChildTopK(parents, "pid", children, "pid",
+        "cat = 'a'", "qty", "max", k = 10,
+        minChildren = minC, maxChildren = maxC)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    // default-ish band [1, many]: all three parents as nested would
+    assert(hc(1, 99) == Seq((1L, 30L, 2L), (2L, 20L, 1L), (3L, 1L, 1L)))
+    // min_children=2: only parent 1 qualifies
+    assert(hc(2, 99) == Seq((1L, 30L, 2L)))
+    // max_children=1: parents 2 and 3
+    assert(hc(1, 1) == Seq((2L, 20L, 1L), (3L, 1L, 1L)))
+    // the band counts MATCHING children, not all children: parent 1
+    // has 3 rows but only 2 match cat='a' — max_children=2 keeps it
+    assert(hc(2, 2) == Seq((1L, 30L, 2L)))
+    assertThrows[IllegalArgumentException](hc(0, 5))
+    assertThrows[IllegalArgumentException](hc(3, 2))
+  }
+
+  test("has_parent: children inherit the matching parent's propagated score; non-matching parents drop") {
+    import spark.implicits._
+    val ps = Seq((1L, "open", 100L), (2L, "closed", 900L),
+      (3L, "open", 50L)).toDF("pid", "status", "weight")
+    val got = Nested.hasParentTopK(children, "pid", Seq("pid", "qty"),
+      ps, "pid", "status = 'open'", "weight * 10", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // parents 1 (w 1000) and 3 (w 500) match; parent 2's child drops;
+    // children order: score desc, then (pid, qty)
+    assert(got == Seq(
+      (1L, 5L, 1000L), (1L, 10L, 1000L), (1L, 30L, 1000L),
+      (3L, 1L, 500L), (3L, 50L, 500L)))
+    // k cuts inside a score tie deterministically (child-col order)
+    assert(Nested.hasParentTopK(children, "pid", Seq("pid", "qty"),
+      ps, "pid", "status = 'open'", "weight * 10", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (1L, 10L)))
+  }
+
   test("top-k is a distributed TakeOrdered, never a global window; one shuffle for the agg") {
     val df = Nested.nestedTopK(parents, "pid", children, "pid",
       "cat = 'a'", "qty", "sum", k = 2)

@@ -674,6 +674,74 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       ("apply", 1L, 1L)))
   }
 
+  test("intervals: ordered chains within n+max_gaps; unordered relaxes direction; greedy == exists") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("agg_iv_idx").toString
+    TextAnalysis.writeBm25Index(Seq(
+      (1L, "a b z z z"), // a→b adjacent: g=0 matches
+      (2L, "a x b z z"), // one gap: needs g>=1
+      (3L, "b a z z z"), // wrong order: ordered never, unordered g>=0
+      (4L, "a x x x b"), // three gaps: needs g>=3
+      (5L, "a b c z z"), // 3-term chain, adjacent
+      (6L, "a c b z z"), // 3-term wrong inner order
+      (7L, "a b x x b") // greedy: earliest b wins, tf=1
+    ).toDF("doc_id", "text"), "doc_id", "text", root,
+      nBuckets = 2, positions = true)
+    def ids(terms: Seq[String], ordered: Boolean, g: Int): Seq[Long] =
+      TextAnalysis.bm25IntervalsTopK(spark, root, terms, ordered, g,
+        k = 20).collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids(Seq("a", "b"), ordered = true, 0) == Seq(1L, 5L, 7L))
+    // g=1 admits one gap: docs 2 (a x b) AND 6 (a c b — any token gaps)
+    assert(ids(Seq("a", "b"), ordered = true, 1) ==
+      Seq(1L, 2L, 5L, 6L, 7L))
+    assert(ids(Seq("a", "b"), ordered = true, 3) ==
+      Seq(1L, 2L, 4L, 5L, 6L, 7L))
+    // unordered: doc 3's reversed pair now matches at g=0 (|Δ|=1)
+    assert(ids(Seq("a", "b"), ordered = false, 0) ==
+      Seq(1L, 3L, 5L, 7L))
+    // 3-term ordered: only the in-order chain
+    assert(ids(Seq("a", "b", "c"), ordered = true, 0) == Seq(5L))
+    assert(ids(Seq("a", "c", "b"), ordered = true, 0) == Seq(6L))
+    // a term absent corpus-wide → empty, every member is REQUIRED
+    assert(ids(Seq("a", "nosuch"), ordered = true, 9) == Seq())
+    // contract bounds refuse loudly
+    assertThrows[IllegalArgumentException](
+      ids(Seq("a"), ordered = true, 0))
+    assertThrows[IllegalArgumentException](
+      ids(Seq("a", "b", "c"), ordered = false, 0))
+    assertThrows[IllegalArgumentException](
+      ids(Seq("a", "b"), ordered = true, -1))
+  }
+
+  test("significant_text: duplicate hit text collapses before counting — no retweet amplification") {
+    import spark.implicits._
+    // five verbatim copies carrying 'boiler' + one unique doc carrying
+    // 'gem'; background noise so the lift denominator is honest
+    val docs = (Seq.fill(5)("boiler plate match zzz").zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, t) } ++
+      Seq((6L, "gem match zzz"),
+        (7L, "noise alpha beta"), (8L, "noise gamma delta")))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("agg_st_idx").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 2)
+    val got = TextAnalysis.bm25SignificantText(spark, root, "zzz",
+      docs, "doc_id", "text", shardSize = 10, k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the 5 boiler copies collapse to ONE survivor: fg(boiler)=1 like
+    // fg(gem)=1 — under significant_terms boiler's fg would be 5
+    assert(got("boiler") == ((1L, 5L)), s"got $got")
+    assert(got("gem") == ((1L, 1L)))
+    // gem outranks boiler: same fg, smaller bg → bigger lift
+    assert(got("gem")._2 < got("boiler")._2)
+    // the unsampled control: significant_terms DOES count all 5 copies
+    val st = TextAnalysis.bm25SignificantTerms(spark, root, "zzz",
+      docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("boiler") == 5L)
+  }
+
   test("exactRankProbe: exact at EVERY rank under heavy ties; window stays partitioned (VERDICT r19 #1)") {
     import spark.implicits._
     // heavy ties (13 distinct values over 400 rows), shuffled ids — the

@@ -3675,6 +3675,34 @@ object SparkEntry {
         .orderBy(col("bucket_ms"))
     }),
 
+    // ES date_histogram `offset`: day buckets shifted +6 h (run
+    // 06:00→06:00) — bucket(v) = trunc(v − off) + off
+    "search_date_histogram_offset" -> ((s, dir) => {
+      TextAnalysis.bm25DateHistogramAgg(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts", "day",
+        offsetMillis = 21600000L)
+        .orderBy(col("bucket_ms"))
+    }),
+
+    // ES date_histogram `time_zone`: month boundaries on the +05:30
+    // wall clock (fixed offset — DST-free, so the oracle replays
+    // without ICU; named-zone DST behavior is spec-pinned)
+    "search_date_histogram_tz" -> ((s, dir) => {
+      TextAnalysis.bm25DateHistogramAgg(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts", "month",
+        timeZone = "+05:30")
+        .orderBy(col("bucket_ms"))
+    }),
+
+    // ES `extended_bounds` + min_doc_count=0: every month bucket over
+    // [2019-10-15, 2021-06-15] emits, zero-count shoulders included
+    "search_date_histogram_bounds" -> ((s, dir) => {
+      TextAnalysis.bm25DateHistogramAgg(s, ensureTsBm25Index(s, dir),
+        "dup sort query zzz", "created_ts", "month",
+        extendedBounds = Some((1571097600000L, 1623715200000L)))
+        .orderBy(col("bucket_ms"))
+    }),
+
     // ...and ISO weeks (Monday-anchored — the boundary family a fixed
     // interval cannot express at all, since weeks don't align to epoch)
     "search_date_histogram_week" -> ((s, dir) => {
@@ -9700,6 +9728,62 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM matched
         |GROUP BY 1 ORDER BY bucket_ms""".stripMargin,
+
+    // offset: day is fixed-width in UTC, so the shifted bucket is pure
+    // modular arithmetic on epoch millis
+    "search_date_histogram_offset" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |ms AS (
+        |  SELECT doc_id, epoch_ms(TIMESTAMP '2020-01-01'
+        |    + ((doc_id % 400) * INTERVAL 1 DAY)) AS v
+        |  FROM matched)
+        |SELECT ((v - 21600000) // 86400000) * 86400000 + 21600000 AS bucket_ms,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ms GROUP BY 1 ORDER BY bucket_ms""".stripMargin,
+
+    // time_zone +05:30: truncate the shifted wall clock, shift back
+    "search_date_histogram_tz" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |ms AS (
+        |  SELECT doc_id, epoch_ms(TIMESTAMP '2020-01-01'
+        |    + ((doc_id % 400) * INTERVAL 1 DAY)) AS v
+        |  FROM matched)
+        |SELECT epoch_ms(date_trunc('month',
+        |    make_timestamp((v + 19800000) * 1000))) - 19800000 AS bucket_ms,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ms GROUP BY 1 ORDER BY bucket_ms""".stripMargin,
+
+    // extended_bounds: the month-start series over the bounds LEFT
+    // JOINs the data counts; zero-count shoulders emit
+    "search_date_histogram_bounds" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |counts AS (
+        |  SELECT epoch_ms(date_trunc('month', TIMESTAMP '2020-01-01'
+        |      + ((doc_id % 400) * INTERVAL 1 DAY))) AS bucket_ms,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM matched GROUP BY 1),
+        |allb AS (
+        |  SELECT epoch_ms(unnest(range(TIMESTAMP '2019-10-01',
+        |    TIMESTAMP '2021-07-01', INTERVAL 1 MONTH))) AS bucket_ms
+        |  UNION SELECT bucket_ms FROM counts)
+        |SELECT a.bucket_ms, CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+        |FROM allb a LEFT JOIN counts c USING (bucket_ms)
+        |ORDER BY bucket_ms""".stripMargin,
 
     "search_date_histogram_week" ->
       """WITH toks AS (

@@ -85,6 +85,67 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
         "created_ts", "fortnight"))
   }
 
+  test("date_histogram contract params: offset shifts boundaries, time_zone walls the clock, extended_bounds zero-fills") {
+    val root = buildTs()
+    def hist(iv: String, tz: String = "UTC", off: Long = 0L,
+        bounds: Option[(Long, Long)] = None): Seq[(Long, Long)] =
+      TextAnalysis.bm25DateHistogramAgg(spark, root, "hit",
+        "created_ts", iv, timeZone = tz, offsetMillis = off,
+        extendedBounds = bounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // offset +6h, day: buckets run 06:00→06:00 — Fri 12:00Z and Sat
+    // 00:00Z now SHARE the Jan-31-06:00 bucket
+    assert(hist("day", off = 21600000L) == Seq(
+      (1580450400000L, 2L), // 2020-01-31T06:00Z
+      (1582956000000L, 1L), // 2020-02-29T06:00Z
+      (1583042400000L, 1L))) // 2020-03-01T06:00Z
+    // time_zone America/New_York, day: Sat 00:00Z is Fri 19:00 wall —
+    // the same two docs share Jan 31; keys are the 05:00Z instants
+    assert(hist("day", tz = "America/New_York") == Seq(
+      (1580446800000L, 2L), // 2020-01-31T00:00-05:00
+      (1582952400000L, 1L), // 2020-02-29
+      (1583038800000L, 1L))) // 2020-03-01
+    // extended_bounds zero-fill: Dec 2019 and Apr/May 2020 shoulders
+    // emit with n_docs = 0 around the Jan/Feb/Mar data
+    assert(hist("month",
+      bounds = Some((1577232000000L, 1588636800000L))) == Seq(
+      (1575158400000L, 0L), (1577836800000L, 1L), (1580515200000L, 2L),
+      (1583020800000L, 1L), (1585699200000L, 0L), (1588291200000L, 0L)))
+    // data OUTSIDE the bounds still emits (bounds extend, never clip)
+    assert(hist("month",
+      bounds = Some((1585699200000L, 1588636800000L))) == Seq(
+      (1577836800000L, 1L), (1580515200000L, 2L), (1583020800000L, 1L),
+      (1585699200000L, 0L), (1588291200000L, 0L)))
+    assertThrows[IllegalArgumentException](hist("day", tz = "Mars/Olympus"))
+    assertThrows[IllegalArgumentException](
+      hist("minute", bounds = Some((0L, 9999999999999L))))
+  }
+
+  test("date_histogram DST fall-back: the ambiguous wall hour resolves to the EARLIER offset") {
+    import java.time.Instant
+    import spark.implicits._
+    // America/New_York 2020-11-01: 01:30 wall occurs at 05:30Z (EDT)
+    // and 06:30Z (EST) — two instants an hour apart, one wall bucket
+    val root = Files.createTempDirectory("agg_dst_idx").toString
+    val docs = Seq(
+      (1L, "hit edt", Instant.parse("2020-11-01T05:30:00Z")),
+      (2L, "hit est", Instant.parse("2020-11-01T06:30:00Z")))
+      .toDF("doc_id", "text", "created_ts")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", root,
+      nBuckets = 2, docValueCols = Seq("created_ts"))
+    val hour = TextAnalysis.bm25DateHistogramAgg(spark, root, "hit",
+      "created_ts", "hour", timeZone = "America/New_York")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // both wall to 01:00; the key instant takes the earlier (EDT)
+    // offset: 2020-11-01T01:00-04:00 = 05:00Z
+    assert(hour == Seq((1604206800000L, 2L)))
+    // day bucket likewise anchors at 00:00 EDT = 04:00Z
+    val day = TextAnalysis.bm25DateHistogramAgg(spark, root, "hit",
+      "created_ts", "day", timeZone = "America/New_York")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(day == Seq((1604203200000L, 2L)))
+  }
+
   test("auto_date_histogram: the finest interval under the target wins; choice moves with the target") {
     val root = buildTs()
     def run(target: Int): (Set[String], Seq[(Long, Long)]) = {

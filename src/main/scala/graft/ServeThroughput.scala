@@ -90,7 +90,9 @@ object ServeThroughput {
 
     def series(mode: String, serve: () => Unit): Unit = {
       serve() // warm-up: plans compiled, trained state cached
-      for (n <- Seq(1, 2, 4, 8)) {
+      // 32 matches the local[32] slot count — the saturation point
+      // where queued stages, not scheduling, set the ceiling
+      for (n <- Seq(1, 2, 4, 8, 32)) {
         val pool = Executors.newFixedThreadPool(n)
         val start = new CountDownLatch(1)
         val done = new CountDownLatch(n)

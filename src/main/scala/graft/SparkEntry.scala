@@ -3904,6 +3904,14 @@ object SparkEntry {
         .orderBy(col("ring_from"))
     }),
 
+    // ES `geo_centroid`: the match set's mean point in exact integer
+    // micro-degrees (floored factors; trunc-toward-zero division —
+    // the semantic Spark div, DuckDB //, and BigInt share)
+    "search_geo_centroid" -> ((s, dir) => {
+      TextAnalysis.bm25GeoCentroidAgg(s, ensureGeoBm25Index(s, dir),
+        "dup sort query zzz", "lat", "lon")
+    }),
+
     // ES `geohash_grid` aggregation: the match set bucketed by the
     // 3-bit/axis Morton cell (the integer twin of geohash's base32
     // rendering), top-10 cells by count
@@ -10126,6 +10134,28 @@ object SparkEntry {
         |  AND (r.ring_to IS NULL OR d.dist_m < r.ring_to)
         |GROUP BY r.ring_from, r.ring_to
         |ORDER BY ring_from""".stripMargin,
+
+    // geo_centroid: floored micro-degree factors; the division is //
+    // (DuckDB) vs div (Spark) — both truncate toward zero, measured
+    "search_geo_centroid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |pts AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 160 - 80 AS DOUBLE) + 0.25 AS lat,
+        |    CAST(doc_id * 7 % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM matched),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(floor(lat * 1000000.0) AS BIGINT)) AS BIGINT) AS slat,
+        |    CAST(sum(CAST(floor(lon * 1000000.0) AS BIGINT)) AS BIGINT) AS slon
+        |  FROM pts)
+        |SELECT slat // n_docs AS lat_e6, slon // n_docs AS lon_e6, n_docs
+        |FROM s WHERE n_docs > 0""".stripMargin,
 
     // geohash_grid: the Morton-cell bucketing (zorder_cells' exact bit
     // arithmetic at 3 bits/axis), top-10 cells by count

@@ -5737,13 +5737,25 @@ object TextAnalysis {
     val latLo = math.max(-90.0, originLat - thetaDeg * 1.01)
     val latHi = math.min(90.0, originLat + thetaDeg * 1.01)
     val worst = math.max(math.abs(latLo), math.abs(latHi))
+    val latPred = col(latCol) >= latLo && col(latCol) <= latHi
     val bbox: Column =
-      if (worst >= 89.0)
-        col(latCol) >= latLo && col(latCol) <= latHi
+      if (worst >= 89.0) latPred
       else {
         val dLon = thetaDeg * 1.01 / math.cos(math.toRadians(worst))
-        col(latCol) >= latLo && col(latCol) <= latHi &&
-          col(lonCol) >= originLon - dLon && col(lonCol) <= originLon + dLon
+        val (lo, hi) = (originLon - dLon, originLon + dLon)
+        // ANTIMERIDIAN wrap (review r20): a window crossing ±180 must
+        // become the OR of its two arcs — a clamped single range would
+        // silently cut true members on the far side (haversine itself
+        // is wrap-safe: sin²(Δλ/2) is 360°-periodic). Both arms stay
+        // plain range predicates, so pushdown survives as two filters.
+        val lonPred =
+          if (dLon >= 180.0) lit(true)
+          else if (lo < -180.0)
+            col(lonCol) >= lo + 360.0 || col(lonCol) <= hi
+          else if (hi > 180.0)
+            col(lonCol) >= lo || col(lonCol) <= hi - 360.0
+          else col(lonCol) >= lo && col(lonCol) <= hi
+        latPred && lonPred
       }
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(latCol), col(lonCol))
@@ -5815,6 +5827,39 @@ object TextAnalysis {
     bounds.zipWithIndex.map { case ((from, to), i) =>
       (from, to, counts.getOrElse(i, 0L))
     }.toDF("ring_from", "ring_to", "n_docs")
+  }
+
+  /**
+   * ES `geo_centroid` aggregation: the arithmetic mean point of the
+   * match set's coordinates, in integer MICRO-DEGREES (ES returns
+   * float degrees; Σ⌊lat·1e6⌋ div n keeps the replay hash-exact).
+   * Division semantics, measured not assumed (sums go NEGATIVE —
+   * southern/western hemispheres): Spark `div`, DuckDB `//`, and
+   * BigInt all TRUNCATE TOWARD ZERO, so truncation is the shared
+   * exact semantic (a floor spelling desyncs the engines by one at
+   * negative remainders); the factor uses explicit `floor(lat·1e6)`
+   * because THERE the engines do differ (Spark's double→long cast
+   * truncates, DuckDB's rounds). One probe + one docvals join + ONE
+   * aggregate; n_docs rides along (the ES response carries count
+   * too).
+   */
+  def bm25GeoCentroidAgg(spark: SparkSession, root: String,
+      queryText: String, latCol: String, lonCol: String,
+      asOf: Option[String] = None): DataFrame = {
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"),
+        floor(col(latCol) * 1000000.0).cast("long").as("__lat6"),
+        floor(col(lonCol) * 1000000.0).cast("long").as("__lon6"))
+    matched.join(vals, Seq("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__lat6")).as("__slat"),
+        sum(col("__lon6")).as("__slon"))
+      .filter(col("n_docs") > 0)
+      .select(
+        expr("__slat div n_docs").as("lat_e6"),
+        expr("__slon div n_docs").as("lon_e6"),
+        col("n_docs"))
   }
 
   /**
@@ -6042,11 +6087,16 @@ object TextAnalysis {
     if (sample.isEmpty)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("tok", "fg", "bg", "score_1e6")
-    // filter_duplicate_text: one survivor per normalized text
+    // filter_duplicate_text: one survivor per normalized text. The
+    // sample ids go in as an In FILTER, not a semi-join (review r20):
+    // the bounded literal pushes to the corpus parquet scan (row-group
+    // zone-map pruning — the search_response decorate precedent), so
+    // the two actions below each read ~one row group per hit, never
+    // the corpus
     val deduped = docs
       .select(col(idCol).as("doc_id"),
         lower(trim(col(textCol))).as("__ntext"))
-      .join(broadcast(sample.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isin(sample: _*))
       .groupBy(col("__ntext"))
       .agg(min(col("doc_id")).as("doc_id"))
     val m = deduped.count()

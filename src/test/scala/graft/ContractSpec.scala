@@ -30,8 +30,9 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_0-9]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       // (?<!distinct\s): `x IS NOT DISTINCT FROM y` is a predicate, not a
-      // table reference
-      val refs = "(?i)(?<!distinct\\s)(?:FROM|JOIN)\\s+([a-z_0-9]+)".r
+      // table reference; (?<![a-z_0-9]): a column named `ring_from`
+      // must not read as a FROM keyword (found r20)
+      val refs = "(?i)(?<!distinct\\s)(?<![a-z_0-9])(?:FROM|JOIN)\\s+([a-z_0-9]+)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- ctes.map(_.toLowerCase)
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")

@@ -95,6 +95,32 @@ class GeoSearchSpec extends AnyFunSuite with SparkTestBase {
       "the over-the-pole doc is within 200 km and must survive")
   }
 
+  test("antimeridian: the bbox window wraps at ±180 — far-side docs within radius survive") {
+    val rows = Seq(
+      (1L, "hit west", 0.0, 179.8), // ~22 km east over the seam
+      (2L, "hit east", 0.0, -179.8), // ~55 km west over the seam
+      (3L, "hit same", 0.0, 179.0), // ~56 km, same side
+      (4L, "hit far", 0.0, 170.0)) // ~1056 km — outside
+    val root = build(rows)
+    val expect = rows.map(t => (t._1, hav(0.0, 179.6, t._3, t._4)))
+      .filter(_._2 <= 200000L).sortBy(t => (t._2, t._1))
+    val got = TextAnalysis.bm25GeoDistanceTopK(spark, root, "hit",
+      "lat", "lon", originLat = 0.0, originLon = 179.6,
+      radiusMeters = 200000L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(got.map(_._1).contains(2L),
+      "the far-side doc is 55 km away and must survive the bbox")
+    // and mirrored from the west side of the seam
+    val got2 = TextAnalysis.bm25GeoDistanceTopK(spark, root, "hit",
+      "lat", "lon", originLat = 0.0, originLon = -179.9,
+      radiusMeters = 200000L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 (179.0) is 1.1° wrapped ≈ 122 km — inside too
+    assert(got2 == Set(1L, 2L, 3L),
+      s"west-seam origin must see across the seam, got $got2")
+  }
+
   test("geo_distance agg emits EVERY ring, zeros included; geo_bounding_box filters the scored serve") {
     val root = build(Seq(
       (1L, "hit a", 0.0, 0.0), // ring [0, 1000 km)
@@ -116,6 +142,27 @@ class GeoSearchSpec extends AnyFunSuite with SparkTestBase {
       "lat", "lon", latLo = -1.0, latHi = 1.0, lonLo = -1.0, lonHi = 1.0,
       k = 10).collect().map(_.getLong(0)).toSet
     assert(boxed == Set(1L, 2L))
+  }
+
+  test("geo_centroid: exact micro-degree mean; negative sums use the shared trunc-toward-zero division") {
+    val root = build(Seq(
+      (1L, "hit a", 0.25, 10.5),
+      (2L, "hit b", 0.25, 20.5),
+      (3L, "hit c", -1.0, -30.0),
+      (4L, "miss d", 50.0, 50.0)))
+    val r = TextAnalysis.bm25GeoCentroidAgg(spark, root, "hit",
+      "lat", "lon").head()
+    // lat sum e6 = 250000 + 250000 − 1000000 = −500000; n = 3 →
+    // trunc(−166666.67) = −166666 — truncation toward zero is the
+    // semantic ALL THREE engines share (Spark div, DuckDB //, BigInt);
+    // a floor spelling desyncs the oracle at negative remainders
+    assert(r.getLong(0) == -166666L, s"shared trunc semantics lost: $r")
+    // lon sum e6 = 10500000 + 20500000 − 30000000 = 1000000 → 333333
+    assert(r.getLong(1) == 333333L)
+    assert(r.getLong(2) == 3L)
+    // empty match → empty frame
+    assert(TextAnalysis.bm25GeoCentroidAgg(spark, root, "zzznomatch",
+      "lat", "lon").count() == 0L)
   }
 
   test("geohash_grid: Morton cells partition the match set; topN by (count desc, cell)") {

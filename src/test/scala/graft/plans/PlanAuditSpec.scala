@@ -713,7 +713,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "span_not_served", "span_or_served", "search_serial_diff",
       "search_bucket_script", "search_bucket_selector",
       "search_date_range", "search_multi_terms", "search_rare_terms",
-      "search_distance_feature", "search_percentile_ranks").foreach { q =>
+      "search_distance_feature", "search_percentile_ranks",
+      "search_intervals", "search_geo_centroid",
+      "search_geo_distance_agg", "search_date_histogram_offset",
+      "search_date_histogram_tz",
+      "search_date_histogram_bounds").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       assert(!df.inputFiles.exists(_.contains("documents.parquet")),
         s"$q read the corpus — the serve must stay on the index")

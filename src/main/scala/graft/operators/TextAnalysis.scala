@@ -5211,11 +5211,14 @@ object TextAnalysis {
    * by the caller (three actions: min/max, counts, probe). Callers
    * guarantee ranks ⊆ [1, n], n ≥ 1. Returns the lazy probe frame
    * (bucket, local rank, value) plus the decode map — split out so
-   * PlanAuditSpec can pin the partitioned-window shape before the
-   * collect.
+   * the spec can pin the partitioned-window shape before the collect.
+   * Returns None when `tieMassThreshold` is set and a bucket that
+   * must sort exceeds it (a dominant tie class defeated the value
+   * bucketing) — the caller falls back to [[exactRanksRanged]].
    */
-  private[graft] def exactRankProbe(df: DataFrame, ranks: Seq[Long])
-      : (DataFrame, Map[(Int, Long), Long]) = {
+  private[graft] def exactRankProbe(df: DataFrame, ranks: Seq[Long],
+      tieMassThreshold: Option[Long] = None)
+      : Option[(DataFrame, Map[(Int, Long), Long])] = {
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
     val mm = df.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
@@ -5243,6 +5246,12 @@ object TextAnalysis {
       (p, r - offsets(p), r)
     }
     val byBucket = located.groupBy(_._1)
+    // tie-mass gate: if any bucket that must SORT exceeds the
+    // threshold, this bucketing has degenerated (a dominant tie
+    // class) — signal the caller to use the ranged fallback
+    if (tieMassThreshold.exists(t =>
+        byBucket.keys.exists(p => counts.getOrElse(p, 0L) > t)))
+      return None
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("__v"), col("doc_id"))
     val cond = byBucket.map { case (p, ts) =>
@@ -5253,13 +5262,71 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w))
       .filter(cond)
       .select(col("__pid"), col("rn"), col("__v"))
+    Some((probe, located.map(t => (t._1, t._2) -> t._3).toMap))
+  }
+
+  /**
+   * [[exactRankProbe]]'s residual hazard, closed: a LOW-CARDINALITY
+   * value column (a boolean-ish docval) puts an entire tie class into
+   * ONE value bucket — the single-task sort sneaks back in for that
+   * class. When any TARGET bucket exceeds `tieMassThreshold` rows,
+   * fall back to `repartitionByRange(__v, doc_id)`: the range
+   * partitioner samples BOTH columns, so even a constant value column
+   * splits evenly on doc_id (unique — no cross-partition duplicate
+   * keys, so partition order extends the total order exactly).
+   * The fallback costs one extra sampling job, paid only when the
+   * cheap value-range bucketing actually degenerated. Same output
+   * contract; the window stays partitioned either way.
+   */
+  private[graft] def exactRanksRanged(df: DataFrame, ranks: Seq[Long])
+      : (DataFrame, Map[(Int, Long), Long]) = {
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(np, col("__v"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    val counts = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) 0 else counts.keys.max
+    val offsets: Map[Int, Long] = (0 to maxPid).map { p =>
+      p -> (0 until p).iterator.map(counts.getOrElse(_, 0L)).sum
+    }.toMap
+    val located: Seq[(Int, Long, Long)] = ranks.distinct.map { r =>
+      val p = (0 to maxPid).find(p =>
+        offsets(p) < r && r <= offsets(p) + counts.getOrElse(p, 0L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"rank $r outside [1, ${counts.values.sum}]"))
+      (p, r - offsets(p), r)
+    }
+    val byBucket = located.groupBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__v"), col("doc_id"))
+    val cond = byBucket.map { case (p, ts) =>
+      col("__pid") === p && col("rn").isin(ts.map(_._2): _*)
+    }.reduce(_ || _)
+    val probe = parted
+      .filter(col("__pid").isin(byBucket.keys.toSeq: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(cond)
+      .select(col("__pid"), col("rn"), col("__v"))
     (probe, located.map(t => (t._1, t._2) -> t._3).toMap)
   }
 
-  /** [[exactRankProbe]] collected: global rank → value. */
-  private def exactValueAtRanks(df: DataFrame, ranks: Seq[Long])
-      : Map[Long, Long] = {
-    val (probe, decode) = exactRankProbe(df, ranks)
+  /** Oversized-target-bucket gate for the ranged fallback: ~4M rows —
+    * a single task sorts that comfortably; past it the value-range
+    * bucketing has degenerated into a tie-mass hot spot. */
+  private[graft] val ExactRankTieMassRows: Long = 1L << 22
+
+  /** [[exactRankProbe]] collected: global rank → value, with the
+    * tie-mass fallback to [[exactRanksRanged]] when a target bucket
+    * degenerates. */
+  private[graft] def exactValueAtRanks(df: DataFrame, ranks: Seq[Long],
+      tieMassThreshold: Long = ExactRankTieMassRows): Map[Long, Long] = {
+    val (probe, decode) = exactRankProbe(df, ranks,
+      Some(tieMassThreshold)) match {
+      case Some(pd) => pd
+      case None => exactRanksRanged(df, ranks)
+    }
     probe.collect().map { r =>
       decode((r.getInt(0), r.getInt(1).toLong)) -> r.getLong(2)
     }.toMap

@@ -812,7 +812,7 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     val df = rows.toDF("doc_id", "__v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val expect = rows.sortBy(t => (t._2, t._1)).map(_._2)
-    val (probe, decode) = TextAnalysis.exactRankProbe(df, 1L to 400L)
+    val (probe, decode) = TextAnalysis.exactRankProbe(df, 1L to 400L).get
     // plan pin BEFORE the collect: the replan's whole point is that no
     // WindowExec runs unpartitioned — checked through AQE/cache
     val unpart = allPlanNodes(probe.queryExecution.executedPlan).collect {
@@ -835,10 +835,52 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       assert(got(r.toLong) == expect(r - 1), s"rank $r"))
     // degenerate all-equal column: one bucket, still exact
     val const = (1L to 50L).map(i => (i, 7L)).toDF("doc_id", "__v")
-    val (p2, d2) = TextAnalysis.exactRankProbe(const, Seq(1L, 25L, 50L))
+    val (p2, d2) =
+      TextAnalysis.exactRankProbe(const, Seq(1L, 25L, 50L)).get
     assert(p2.collect().map(r =>
       d2((r.getInt(0), r.getInt(1).toLong)) -> r.getLong(2)).toMap
       == Map(1L -> 7L, 25L -> 7L, 50L -> 7L))
+  }
+
+  test("tie-mass fallback: a dominant tie class trips the gate; the ranged path splits it and stays exact") {
+    import spark.implicits._
+    // 90% of rows share value 5 — the value bucketing piles them into
+    // one bucket; with the gate low the probe signals None and the
+    // repartitionByRange path (which splits ties on doc_id) takes over
+    val rows = (1L to 300L).map(i =>
+      ((i * 181) % 300, if (i % 10 == 0) (i % 7) - 3 else 5L))
+    val df = rows.toDF("doc_id", "__v")
+    val expect = rows.sortBy(t => (t._2, t._1)).map(_._2)
+    assert(TextAnalysis.exactRankProbe(df, 1L to 300L,
+      tieMassThreshold = Some(50L)).isEmpty,
+      "the dominant tie class must trip the tie-mass gate")
+    // the fallback: every rank exact, window still PARTITIONED, and
+    // the tie class actually SPLITS across range partitions
+    val (probe, decode) = TextAnalysis.exactRanksRanged(df, 1L to 300L)
+    val unpart = allPlanNodes(probe.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "ranged fallback ran an unpartitioned window")
+    val got = probe.collect().map { r =>
+      (decode((r.getInt(0), r.getInt(1).toLong)), r.getLong(2),
+        r.getInt(0))
+    }
+    assert(got.map(g => g._1 -> g._2).toMap.size == 300)
+    (1 to 300).foreach(r =>
+      assert(got.map(g => g._1 -> g._2).toMap.apply(r.toLong)
+        == expect(r - 1), s"rank $r"))
+    // the 270-row tie class spans MULTIPLE range partitions — the
+    // whole point of sampling (v, doc_id) jointly
+    val tiePids = got.filter(_._2 == 5L).map(_._3).distinct
+    assert(tiePids.size > 1,
+      s"tie class landed in one partition: $tiePids")
+    // end-to-end: the public agg stays exact when forced through the
+    // fallback (threshold 1 trips on any tie)
+    val atr = TextAnalysis.exactValueAtRanks(df, Seq(1L, 150L, 300L),
+      tieMassThreshold = 1L)
+    assert(atr == Map(1L -> expect(0), 150L -> expect(149),
+      300L -> expect(299)))
   }
 
   test("pinned on a zero-segment index returns nothing — pins cannot outlive the corpus (ADVICE r20)") {

@@ -3856,6 +3856,25 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `rank_feature` (saturation, the default function): static
+    // signal v boosts by ⌊boost·v/(v+pivot)⌋ — half-boost at v=pivot
+    "search_rank_feature" -> ((s, dir) => {
+      TextAnalysis.bm25RankFeatureTopK(s, ensureDocValsBm25Index(s, dir),
+        "dup sort query zzz", "n_chars", pivot = 250L,
+        boost1000 = 2000L, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ES `more_like_this` with like-text: top-3 interesting terms by
+    // integer tf·idf (ties to tok asc), served as one OR query; the
+    // never-seen token drops at min_doc_freq
+    "search_more_like_this" -> ((s, dir) => {
+      TextAnalysis.bm25MoreLikeThisTopK(s, ensureBm25Index(s, dir),
+        "dup dup table sort zzz qqqnosuchtoken", maxQueryTerms = 3,
+        k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES `pinned` query: ids 42 then 7 rank first by editorial fiat
     // (score −1 — they rank by position, not relevance), the organic
     // tail follows deduplicated; a pin the index doesn't hold (400000)
@@ -10039,6 +10058,40 @@ object SparkEntry {
         |    (604800000 + abs(m.v - 1609459200000)) AS BIGINT) AS score
         |FROM scored_df s JOIN ms m USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // rank_feature saturation: score + ⌊2000·v/(v+250)⌋ over n_chars
+    "search_rank_feature" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("rf", "documents")}
+        |SELECT s.doc_id,
+        |  CAST(s.score + (CAST(2000 AS BIGINT) *
+        |    greatest(d.n_chars, 0)) // (greatest(d.n_chars, 0) + 250)
+        |    AS BIGINT) AS score
+        |FROM scored_rf s JOIN documents d USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // more_like_this: the tf·idf term selection replayed in SQL, then
+    // the standard disjunctive scoring over the selected qt
+    "search_more_like_this" -> bm25TopkSqlOver("documents", "",
+      qtClause =
+        """liketoks AS (
+          |  SELECT unnest(string_split_regex(
+          |    lower(trim('dup dup table sort zzz qqqnosuchtoken')), '\s+')) AS tok),
+          |ltf AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS ltf FROM liketoks
+          |  WHERE tok <> '' GROUP BY tok HAVING count(*) >= 1),
+          |ldf AS (
+          |  SELECT l.tok, l.ltf,
+          |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS ldfc
+          |  FROM ltf l JOIN tk t USING (tok)
+          |  GROUP BY l.tok, l.ltf HAVING count(DISTINCT t.doc_id) >= 1),
+          |qt AS (
+          |  SELECT tok FROM (
+          |    SELECT tok,
+          |      ltf * (((SELECT n FROM st) - ldfc + 1) * 10000 // (ldfc + 1))
+          |        AS interest
+          |    FROM ldf)
+          |  ORDER BY interest DESC, tok LIMIT 3)""".stripMargin),
 
     // pinned: editorial rows first at score −1, organic tail excludes
     // them; the unknown pin never appears

@@ -5667,6 +5667,105 @@ object TextAnalysis {
   }
 
   /**
+   * ES `rank_feature` query — the static-signal booster (pagerank,
+   * url_length, click counts): the BM25 score plus the SATURATION
+   * contribution boost·v/(v+pivot) — ES's default rank_feature
+   * function — made integer: contrib = ⌊boost1000·v / (v+pivot)⌋,
+   * monotone in v, → boost1000 as v → ∞, half-boost exactly at
+   * v = pivot. Rank features are non-negative by the ES field
+   * contract; a negative doc-value clamps to 0 (zero contribution)
+   * rather than corrupting the ratio. Same plan shape as
+   * [[bm25DistanceFeatureTopK]]: scoring frame + one docvals join +
+   * a codegen'd projection.
+   */
+  def bm25RankFeatureTopK(spark: SparkSession, root: String,
+      queryText: String, featureSql: String, pivot: Long,
+      boost1000: Long, k: Int, asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(pivot > 0, s"pivot must be positive, got $pivot")
+    require(boost1000 >= 0, s"boost must be non-negative, got $boost1000")
+    require(k >= 1, s"k must be positive, got $k")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None => return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+      case Some(f) => f
+    }
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id"),
+        greatest(expr(featureSql).cast("long"), lit(0L)).as("__v"))
+    scored.join(vals, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("score") +
+          expr(s"(${boost1000}L * __v) div (__v + ${pivot}L)"))
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * ES `more_like_this` query with `like` TEXT: select the input's
+   * most INTERESTING terms and serve them as one disjunctive query.
+   * Selection is ES's tf·idf ranking made integer: per input term,
+   * tf = its count in the like-text (kept when ≥ `minTermFreq` — ES
+   * min_term_freq), df = its corpus document frequency from the
+   * dictionary (kept when ≥ `minDocFreq` — ES min_doc_freq, which
+   * also drops terms the corpus has never seen), interest =
+   * tf · ⌊1e4·(N−df+1)/(df+1)⌋ (the engine's own idf — deterministic
+   * where ES's float tf·idf ties are not), top `maxQueryTerms` by
+   * (interest desc, tok). The serve is then the standard candidates-
+   * only BM25 plan over the selected terms. Cost: the like-text
+   * tokenization is driver-side (a query literal, bounded), ONE
+   * dictionary readKeys ∝ the input vocabulary, then the plain serve.
+   */
+  def bm25MoreLikeThisTopK(spark: SparkSession, root: String,
+      likeText: String, maxQueryTerms: Int, k: Int,
+      minTermFreq: Int = 1, minDocFreq: Int = 1,
+      asOf: Option[String] = None): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    require(maxQueryTerms >= 1,
+      s"max_query_terms must be positive, got $maxQueryTerms")
+    require(minTermFreq >= 1 && minDocFreq >= 1,
+      s"min_term_freq/min_doc_freq must be positive, got " +
+        s"$minTermFreq/$minDocFreq")
+    require(k >= 1, s"k must be positive, got $k")
+    def empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val tf: Map[String, Long] = likeText.toLowerCase.trim
+      .split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, os) => t -> os.length.toLong }
+      .filter(_._2 >= minTermFreq)
+    if (tf.isEmpty) return empty
+    val segs = liveSegmentsWithFence(spark, root, asOf)._1
+    if (segs.isEmpty) return empty
+    val keyDf = (tf.keys.toSeq :+ Bm25StatsKey).toDF("tok")
+    val tRows = segs.flatMap(sg =>
+      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
+        .collect().toSeq)
+    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
+    val nDocs = statsRows.map(_.getLong(1)).sum
+    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
+      .filter(_._2 >= minDocFreq)
+    val selected = tf.keys.toSeq.filter(dfc.contains)
+      .map { t =>
+        val idf = (nDocs - dfc(t) + 1) * 10000L / (dfc(t) + 1)
+        (t, tf(t) * idf)
+      }
+      .sortBy { case (t, interest) => (-interest, t) }
+      .take(maxQueryTerms).map(_._1)
+    if (selected.isEmpty) return empty
+    bm25ScoreFrame(spark, root, selected.sorted, asOf) match {
+      case None => empty
+      case Some(f) => f
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+    }
+  }
+
+  /**
    * ES `pinned` query — editorial curation: the given ids rank FIRST,
    * in their given order (ES pins them with descending huge scores),
    * followed by the organic matches of the query in their own order,

@@ -842,6 +842,59 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       == Map(1L -> 7L, 25L -> 7L, 50L -> 7L))
   }
 
+  test("more_like_this: tf·idf selection respects min_doc_freq, min_term_freq, and the term budget") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("agg_mlt_idx").toString
+    // 'rare' df=1, 'mid' df=2, 'common' df=4 — idf strictly orders them
+    TextAnalysis.writeBm25Index(Seq(
+      (1L, "rare mid common x"),
+      (2L, "mid common y"),
+      (3L, "common z"),
+      (4L, "common w")).toDF("doc_id", "text"), "doc_id", "text", root,
+      nBuckets = 2)
+    def ids(like: String, maxQ: Int, minTf: Int = 1,
+        minDf: Int = 1): Set[Long] =
+      TextAnalysis.bm25MoreLikeThisTopK(spark, root, like, maxQ, k = 10,
+        minTermFreq = minTf, minDocFreq = minDf)
+        .collect().map(_.getLong(0)).toSet
+    // budget 1 from 'rare common': rare wins on idf → only doc 1
+    assert(ids("rare common", 1) == Set(1L))
+    // min_doc_freq=2 drops 'rare' → common serves all four
+    assert(ids("rare common", 1, minDf = 2) == Set(1L, 2L, 3L, 4L))
+    // tf weighting: 'mid mid mid rare' — tf=3 at idf(mid)=10000 beats
+    // rare's single occurrence at idf 20000 (30000 > 20000), so the
+    // 1-term budget selects 'mid' → docs {1, 2}
+    assert(ids("mid mid mid rare", 1) == Set(1L, 2L))
+    // min_term_freq=2 keeps only the repeated term
+    assert(ids("common common rare", 1, minTf = 2) ==
+      Set(1L, 2L, 3L, 4L))
+    // a like-text of never-seen tokens serves nothing
+    assert(ids("qqq www", 3) == Set())
+  }
+
+  test("rank_feature: saturation boost is monotone, half at pivot; negative features clamp to zero") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("agg_rf_idx").toString
+    TextAnalysis.writeBm25Index(Seq(
+      (1L, "hit one", 250L), // v = pivot → exactly half-boost
+      (2L, "hit two", 0L), // zero feature → zero boost
+      (3L, "hit three", -50L), // negative clamps to 0
+      (4L, "hit four", 1000000L)) // → boost saturates toward 2000
+      .toDF("doc_id", "text", "feat"), "doc_id", "text", root,
+      nBuckets = 2, docValueCols = Seq("feat"))
+    val got = TextAnalysis.bm25RankFeatureTopK(spark, root, "hit",
+      "feat", pivot = 250L, boost1000 = 2000L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical text ⇒ identical BM25 base; the boost orders them
+    val base = got(2L) // zero-boost row IS the base
+    assert(got(3L) == base, "negative feature must clamp to zero boost")
+    assert(got(1L) == base + 1000L, "v = pivot must add exactly half")
+    assert(got(4L) == base + (2000L * 1000000L) / 1000250L)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25RankFeatureTopK(spark, root, "hit", "feat",
+        pivot = 0L, boost1000 = 2000L, k = 10))
+  }
+
   test("tie-mass fallback: a dominant tie class trips the gate; the ranged path splits it and stays exact") {
     import spark.implicits._
     // 90% of rows share value 5 — the value bucketing piles them into

@@ -3856,6 +3856,20 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES `search_after` cursor pagination: page 2 fetched via the
+    // last row of page 1 — the oracle replays as OFFSET, proving the
+    // cursor identity (depth-independent cost, unlike from+size)
+    "search_after" -> ((s, dir) => {
+      val idx = ensureBm25Index(s, dir)
+      val q = "dup sort query zzz"
+      val last = TextAnalysis.bm25ServeTopK(s, idx, q, 5)
+        .collect().last // bounded: the 5-row first page
+      TextAnalysis.bm25SearchAfterTopK(s, idx, q,
+        afterScore = last.getLong(1), afterDocId = last.getLong(0),
+        k = 5)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES `rank_feature` (saturation, the default function): static
     // signal v boosts by ⌊boost·v/(v+pivot)⌋ — half-boost at v=pivot
     "search_rank_feature" -> ((s, dir) => {
@@ -10058,6 +10072,13 @@ object SparkEntry {
         |    (604800000 + abs(m.v - 1609459200000)) AS BIGINT) AS score
         |FROM scored_df s JOIN ms m USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // search_after(last of page 1) ≡ rows 6..10 of the total order
+    "search_after" ->
+      s"""WITH qt(tok) AS (VALUES ('dup'), ('sort'), ('query'), ('zzz')),
+        |${bm25ScoredCtes("sa", "documents")}
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored_sa
+        |ORDER BY score DESC, doc_id LIMIT 5 OFFSET 5""".stripMargin,
 
     // rank_feature saturation: score + ⌊2000·v/(v+250)⌋ over n_chars
     "search_rank_feature" ->

@@ -5667,6 +5667,36 @@ object TextAnalysis {
   }
 
   /**
+   * ES `search_after` — cursor pagination: the page of `k` hits
+   * strictly AFTER the cursor `(afterScore, afterDocId)` in the
+   * (score desc, doc_id asc) total order. Unlike from+size (which
+   * recomputes and SKIPS `from` rows — cost grows with depth), the
+   * cursor form is depth-independent: one predicate on the scoring
+   * frame, then the same fused top-k — page 1000 costs what page 1
+   * costs. The cursor is the last row of the previous page, exactly
+   * the ES contract (no server-side state; `asOf` is the
+   * point-in-time pin when consistent paging across writes matters).
+   */
+  def bm25SearchAfterTopK(spark: SparkSession, root: String,
+      queryText: String, afterScore: Long, afterDocId: Long, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val scored = bm25ScoreFrame(spark, root, terms, asOf) match {
+      case None => return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+      case Some(f) => f
+    }
+    scored
+      .filter(col("score") < afterScore ||
+        (col("score") === afterScore && col("doc_id") > afterDocId))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * ES `rank_feature` query — the static-signal booster (pagerank,
    * url_length, click counts): the BM25 score plus the SATURATION
    * contribution boost·v/(v+pivot) — ES's default rank_feature

@@ -3870,6 +3870,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // more_like_this by DOCUMENT: doc 42's text drives the selection,
+    // doc 42 itself excluded from the results (the ES contract)
+    "search_more_like_this_doc" -> ((s, dir) => {
+      TextAnalysis.bm25MoreLikeThisByIdTopK(s, ensureBm25Index(s, dir),
+        t(s, dir, "documents"), "doc_id", "text", docId = 42L,
+        maxQueryTerms = 5, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES `rank_feature` (saturation, the default function): static
     // signal v boosts by ⌊boost·v/(v+pivot)⌋ — half-boost at v=pivot
     "search_rank_feature" -> ((s, dir) => {
@@ -10079,6 +10088,32 @@ object SparkEntry {
         |${bm25ScoredCtes("sa", "documents")}
         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored_sa
         |ORDER BY score DESC, doc_id LIMIT 5 OFFSET 5""".stripMargin,
+
+    // MLT by document: the like-text is doc 42's own text; self
+    // excluded from the page
+    "search_more_like_this_doc" -> bm25TopkSqlOver("documents",
+      "",
+      qtClause =
+        """liketoks AS (
+          |  SELECT unnest(string_split_regex(
+          |    (SELECT lower(trim(text)) FROM documents WHERE doc_id = 42),
+          |    '\s+')) AS tok),
+          |ltf AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS ltf FROM liketoks
+          |  WHERE tok <> '' GROUP BY tok HAVING count(*) >= 1),
+          |ldf AS (
+          |  SELECT l.tok, l.ltf,
+          |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS ldfc
+          |  FROM ltf l JOIN tk t USING (tok)
+          |  GROUP BY l.tok, l.ltf HAVING count(DISTINCT t.doc_id) >= 1),
+          |qt AS (
+          |  SELECT tok FROM (
+          |    SELECT tok,
+          |      ltf * (((SELECT n FROM st) - ldfc + 1) * 10000 // (ldfc + 1))
+          |        AS interest
+          |    FROM ldf)
+          |  ORDER BY interest DESC, tok LIMIT 5)""".stripMargin,
+      scoredHaving = "\n  HAVING tf.doc_id <> 42"),
 
     // rank_feature saturation: score + ⌊2000·v/(v+250)⌋ over n_chars
     "search_rank_feature" ->

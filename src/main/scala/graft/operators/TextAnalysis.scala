@@ -5796,6 +5796,34 @@ object TextAnalysis {
   }
 
   /**
+   * [[bm25MoreLikeThisTopK]] with a DOCUMENT as the like source —
+   * ES's dominant MLT shape ("more like doc 42"): the doc's text is
+   * fetched by id from the forward corpus (one In-pushdown point
+   * lookup — ~one row group, the search_response decorate precedent),
+   * selection and serve proceed as the text form, and the source doc
+   * itself is EXCLUDED from the results (ES returns similar OTHERS;
+   * the input trivially tops any self-similarity ranking). Returns
+   * empty when the id does not exist.
+   */
+  def bm25MoreLikeThisByIdTopK(spark: SparkSession, root: String,
+      docs: DataFrame, idCol: String, textCol: String, docId: Long,
+      maxQueryTerms: Int, k: Int, minTermFreq: Int = 1,
+      minDocFreq: Int = 1, asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val row = docs.filter(col(idCol) === docId)
+      .select(col(textCol)).limit(1).collect()
+    if (row.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    bm25MoreLikeThisTopK(spark, root, row.head.getString(0),
+      maxQueryTerms, k + 1, minTermFreq, minDocFreq, asOf)
+      .filter(col("doc_id") =!= docId)
+      // re-pin the order: a bare limit after filter carries no
+      // ordering guarantee (the frame is ≤ k+1 rows — trivial sort)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * ES `pinned` query — editorial curation: the given ids rank FIRST,
    * in their given order (ES pins them with descending huge scores),
    * followed by the organic matches of the query in their own order,

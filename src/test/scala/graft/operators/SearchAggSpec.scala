@@ -895,6 +895,46 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
         pivot = 0L, boost1000 = 2000L, k = 10))
   }
 
+  test("property: both rank-select paths equal brute force on arbitrary distributions") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // mixed regimes: dense ties, extreme magnitudes, tiny frames —
+    // 12 sampled cases × 2 paths (Spark jobs are the cost, not cases)
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      mode <- Gen.oneOf(0, 1, 2)
+      vals <- Gen.listOfN(n, mode match {
+        case 0 => Gen.choose(-5L, 5L)
+        case 1 => Gen.choose(Long.MinValue / 4, Long.MaxValue / 4)
+        case 2 => Gen.const(7L)
+      })
+      ranks <- Gen.nonEmptyListOf(Gen.choose(1L, n.toLong))
+    } yield (vals, ranks.distinct)
+    var seed = org.scalacheck.rng.Seed(2026L)
+    var cases = 0
+    while (cases < 12) {
+      gen.apply(Gen.Parameters.default, seed).foreach {
+        case (vals, ranks) =>
+          cases += 1
+          val rows = vals.zipWithIndex.map { case (v, i) =>
+            (i.toLong, v)
+          }
+          val df = rows.toDF("doc_id", "__v")
+          val sorted = rows.sortBy(t => (t._2, t._1)).map(_._2)
+          val expect = ranks.map(r => r -> sorted((r - 1).toInt)).toMap
+          assert(TextAnalysis.exactValueAtRanks(df, ranks) == expect,
+            s"bucketed path diverged on $vals at $ranks")
+          val (probe, decode) = TextAnalysis.exactRanksRanged(df, ranks)
+          val ranged = probe.collect().map { r =>
+            decode((r.getInt(0), r.getInt(1).toLong)) -> r.getLong(2)
+          }.toMap
+          assert(ranged == expect,
+            s"ranged path diverged on $vals at $ranks")
+      }
+      seed = seed.next
+    }
+  }
+
   test("tie-mass fallback: a dominant tie class trips the gate; the ranged path splits it and stays exact") {
     import spark.implicits._
     // 90% of rows share value 5 — the value bucketing piles them into

@@ -49,32 +49,13 @@ object Nested {
   def nestedTopK(parents: DataFrame, parentIdCol: String,
       children: DataFrame, childParentCol: String,
       childPred: String, childScoreExpr: String,
-      scoreMode: String, k: Int): DataFrame = {
-    require(ScoreModes.contains(scoreMode),
-      s"score_mode '$scoreMode' not in ${ScoreModes.toSeq.sorted.mkString("{", ",", "}")}")
-    require(k >= 1, s"k must be positive, got $k")
-    val matched = children.filter(expr(childPred))
-      .select(col(childParentCol).as("__pid"),
-        expr(childScoreExpr).cast("long").as("__cscore"))
-    val score = scoreMode match {
-      case "max" => max(col("__cscore"))
-      case "min" => min(col("__cscore"))
-      case "sum" => sum(col("__cscore"))
-      // avg1000 = ⌊1000·sum/count⌋ — exact, replayable with // in SQL
-      case "avg1000" => expr("(sum(__cscore) * 1000) div count(__cscore)")
-      case "count" => count(lit(1))
-      // ES score_mode=none: the nested clause filters, contributes 0
-      case "none" => lit(0L)
-    }
-    val perParent = matched.groupBy(col("__pid"))
-      .agg(score.cast("long").as("score"),
-        count(lit(1)).cast("long").as("n_children"))
-    parents.select(col(parentIdCol))
-      .join(perParent, col(parentIdCol) === col("__pid"))
-      .select(col(parentIdCol), col("score"), col("n_children"))
-      .orderBy(col("score").desc, col(parentIdCol))
-      .limit(k)
-  }
+      scoreMode: String, k: Int): DataFrame =
+    // nested IS has_child without the count band (review r20 #3: one
+    // scoreMode/agg/join implementation, two ES query shapes) — the
+    // default [1, ∞) band filters nothing because the aggregate only
+    // emits parents with ≥ 1 matching child
+    hasChildTopK(parents, parentIdCol, children, childParentCol,
+      childPred, childScoreExpr, scoreMode, k)
 
   /**
    * The negative form ES expresses as `bool.must_not(nested(...))`:

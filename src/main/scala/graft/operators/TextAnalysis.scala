@@ -4587,8 +4587,11 @@ object TextAnalysis {
    *    WALL CLOCK of the given zone (IANA name or "+05:30" fixed
    *    offset), keys stay epoch millis of the bucket-start INSTANT.
    *    Realized as the shift-truncate-shift idiom
-   *    (from_utc_timestamp → date_trunc → to_utc_timestamp), which
-   *    keeps the session timezone out of the result entirely. At a
+   *    (from_utc_timestamp → date_trunc → to_utc_timestamp) with the
+   *    wall value re-expressed in the SESSION zone around the trunc
+   *    (date_trunc truncates the session rendering — without the
+   *    re-expression a non-UTC session would skew every key;
+   *    spec-pinned session-independent). At a
    *    DST fall-back ambiguity both Spark and java.time resolve to
    *    the EARLIER offset (spec-pinned; the oracle uses fixed-offset
    *    zones, where no ambiguity exists).
@@ -4624,13 +4627,28 @@ object TextAnalysis {
     val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
     val vals = bm25DocValues(spark, root, asOf)
       .select(col("doc_id"), col(tsCol))
-    // bucket key: shift by -offset, to wall clock, truncate, back to
-    // the instant, shift by +offset — every step a codegen'd built-in
+    // bucket key: shift by -offset, to the target wall clock,
+    // truncate, back to the instant, shift by +offset — every step a
+    // codegen'd built-in. `date_trunc` truncates the SESSION-timezone
+    // rendering (review r20 #2: the driver surfaces all pin UTC, but
+    // a library caller may not), so the wall value is re-expressed in
+    // the session zone before the trunc and mapped back after —
+    // identity when the session is UTC, session-independent keys
+    // otherwise (pathological session-DST ambiguity of the WALL value
+    // aside, which no fixed-session engine avoids).
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
     def bucketOf(c: Column): Column = {
+      // `wall` is an instant whose UTC rendering equals the target
+      // wall clock; date_trunc renders in the SESSION zone, so
+      // subtract the session offset first (to_utc) — the session
+      // rendering of the result IS the target wall — and add it back
+      // after the trunc (from_utc). Identity under a UTC session.
       val wall = from_utc_timestamp(
         timestamp_millis(unix_millis(c) - offsetMillis), timeZone)
-      unix_millis(to_utc_timestamp(
-        date_trunc(calendarInterval, wall), timeZone)) + offsetMillis
+      val wallInSession = to_utc_timestamp(wall, sessionTz)
+      val truncated = from_utc_timestamp(
+        date_trunc(calendarInterval, wallInSession), sessionTz)
+      unix_millis(to_utc_timestamp(truncated, timeZone)) + offsetMillis
     }
     val counts = matched.join(vals, Seq("doc_id"))
       .groupBy(bucketOf(col(tsCol)).as("bucket_ms"))
@@ -5151,6 +5169,12 @@ object TextAnalysis {
     val var1000 = varNum * 1000 / (n * n)
     // BigInteger.sqrt (Java 9+): exact ⌊√x⌋, no float roundtrip
     val std1000 = BigInt((varNum * 1000000 / (n * n)).bigInteger.sqrt)
+    // variance can pass 2⁶³ even when s and ss both fit (opposite-sign
+    // extremes: varNum ≈ 2·ss·n) — same loud-not-wrapped contract
+    // (review r20 #1)
+    require(var1000.isValidLong && std1000.isValidLong,
+      s"extended_stats variance exceeds BIGINT (variance_1000=" +
+        s"$var1000) — rescale the doc-values column")
     Seq((row.getLong(0), s.toLong, row.getLong(3), row.getLong(4),
       (s * 1000 / n).toLong, ss.toLong, var1000.toLong,
       std1000.toLong))
@@ -5233,25 +5257,26 @@ object TextAnalysis {
     val counts = bucketed.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets: Map[Int, Long] = (0 until np).map { p =>
-      p -> (0 until p).iterator.map(counts.getOrElse(_, 0L)).sum
-    }.toMap
-    // rank r lives in the unique bucket whose (offset, offset+count]
-    // half-open prefix interval covers it
-    val located: Seq[(Int, Long, Long)] = ranks.distinct.map { r =>
-      val p = (0 until np).find(p =>
-        offsets(p) < r && r <= offsets(p) + counts.getOrElse(p, 0L))
-        .getOrElse(throw new IllegalArgumentException(
-          s"rank $r outside [1, ${counts.values.sum}]"))
-      (p, r - offsets(p), r)
-    }
-    val byBucket = located.groupBy(_._1)
+    val located = rankLocate(counts, np - 1, ranks)
     // tie-mass gate: if any bucket that must SORT exceeds the
     // threshold, this bucketing has degenerated (a dominant tie
     // class) — signal the caller to use the ranged fallback
     if (tieMassThreshold.exists(t =>
-        byBucket.keys.exists(p => counts.getOrElse(p, 0L) > t)))
+        located.map(_._1).distinct
+          .exists(p => counts.getOrElse(p, 0L) > t)))
       return None
+    Some(rankLocateProbe(bucketed, located))
+  }
+
+  /** The shared probe tail of [[exactRankProbe]] and
+    * [[exactRanksRanged]] (review r20 #4 — one rank-location/window
+    * implementation, two __pid assignment strategies): filter to the
+    * buckets holding a target, per-bucket window, filter to the local
+    * ranks, return the lazy probe frame + decode map. */
+  private def rankLocateProbe(bucketed: DataFrame,
+      located: Seq[(Int, Long, Long)])
+      : (DataFrame, Map[(Int, Long), Long]) = {
+    val byBucket = located.groupBy(_._1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("__v"), col("doc_id"))
     val cond = byBucket.map { case (p, ts) =>
@@ -5262,7 +5287,24 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w))
       .filter(cond)
       .select(col("__pid"), col("rn"), col("__v"))
-    Some((probe, located.map(t => (t._1, t._2) -> t._3).toMap))
+    (probe, located.map(t => (t._1, t._2) -> t._3).toMap)
+  }
+
+  /** The shared bucket locator: rank r lives in the unique bucket
+    * whose (offset, offset+count] half-open prefix interval covers
+    * it; returns (bucket, local rank, global rank) per target. */
+  private def rankLocate(counts: Map[Int, Long], maxPid: Int,
+      ranks: Seq[Long]): Seq[(Int, Long, Long)] = {
+    val offsets: Map[Int, Long] = (0 to maxPid).map { p =>
+      p -> (0 until p).iterator.map(counts.getOrElse(_, 0L)).sum
+    }.toMap
+    ranks.distinct.map { r =>
+      val p = (0 to maxPid).find(p =>
+        offsets(p) < r && r <= offsets(p) + counts.getOrElse(p, 0L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"rank $r outside [1, ${counts.values.sum}]"))
+      (p, r - offsets(p), r)
+    }
   }
 
   /**
@@ -5288,28 +5330,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max
-    val offsets: Map[Int, Long] = (0 to maxPid).map { p =>
-      p -> (0 until p).iterator.map(counts.getOrElse(_, 0L)).sum
-    }.toMap
-    val located: Seq[(Int, Long, Long)] = ranks.distinct.map { r =>
-      val p = (0 to maxPid).find(p =>
-        offsets(p) < r && r <= offsets(p) + counts.getOrElse(p, 0L))
-        .getOrElse(throw new IllegalArgumentException(
-          s"rank $r outside [1, ${counts.values.sum}]"))
-      (p, r - offsets(p), r)
-    }
-    val byBucket = located.groupBy(_._1)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("__v"), col("doc_id"))
-    val cond = byBucket.map { case (p, ts) =>
-      col("__pid") === p && col("rn").isin(ts.map(_._2): _*)
-    }.reduce(_ || _)
-    val probe = parted
-      .filter(col("__pid").isin(byBucket.keys.toSeq: _*))
-      .withColumn("rn", row_number().over(w))
-      .filter(cond)
-      .select(col("__pid"), col("rn"), col("__v"))
-    (probe, located.map(t => (t._1, t._2) -> t._3).toMap)
+    rankLocateProbe(parted, rankLocate(counts, maxPid, ranks))
   }
 
   /** Oversized-target-bucket gate for the ranged fallback: ~4M rows —
@@ -5767,18 +5788,15 @@ object TextAnalysis {
       .groupBy(identity).map { case (t, os) => t -> os.length.toLong }
       .filter(_._2 >= minTermFreq)
     if (tf.isEmpty) return empty
-    val segs = liveSegmentsWithFence(spark, root, asOf)._1
-    if (segs.isEmpty) return empty
-    val keyDf = (tf.keys.toSeq :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
-    val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
-    val nDocs = statsRows.map(_.getLong(1)).sum
-    val dfc = tRows.filterNot(_.getString(0) == Bm25StatsKey)
-      .groupBy(_.getString(0))
-      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
-      .filter(_._2 >= minDocFreq)
+    // the shared dictionary-header readout — spanStatsHeader carries
+    // the per-segment stats-row corruption guard a hand-rolled readKeys
+    // would drop (review r20 #5: a missing stats row must fail loud,
+    // not silently skew every idf)
+    val (nDocs, dfc) =
+      spanStatsHeader(spark, root, tf.keys.toSeq, asOf) match {
+        case None => return empty
+        case Some((_, n, _, d)) => (n, d.filter(_._2 >= minDocFreq))
+      }
     val selected = tf.keys.toSeq.filter(dfc.contains)
       .map { t =>
         val idf = (nDocs - dfc(t) + 1) * 10000L / (dfc(t) + 1)

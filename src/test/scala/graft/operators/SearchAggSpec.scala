@@ -121,6 +121,27 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       hist("minute", bounds = Some((0L, 9999999999999L))))
   }
 
+  test("date_histogram keys are SESSION-independent: a non-UTC session reproduces the UTC session's buckets") {
+    val root = buildTs()
+    def run(): Seq[(Long, Long)] =
+      TextAnalysis.bm25DateHistogramAgg(spark, root, "hit",
+        "created_ts", "day", timeZone = "UTC",
+        extendedBounds = Some((1580428800000L, 1583107200000L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val underUtc = run()
+    // a library caller's session is NOT the driver's pinned UTC —
+    // date_trunc walls in the session zone, so without the in-plan
+    // re-expression every key would shift by the session offset and
+    // the driver-enumerated zero-fill keys would interleave misaligned
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try assert(run() == underUtc,
+      "bucket keys moved with the session timezone")
+    finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // sanity: the UTC-session run has the data buckets + zero fill
+    assert(underUtc.exists(_._2 > 0) && underUtc.exists(_._2 == 0))
+  }
+
   test("date_histogram DST fall-back: the ambiguous wall hour resolves to the EARLIER offset") {
     import java.time.Instant
     import spark.implicits._
@@ -1015,5 +1036,16 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     val ex = intercept[IllegalArgumentException](
       TextAnalysis.bm25ExtendedStatsAgg(spark, root2, "hit", "big"))
     assert(ex.getMessage.contains("exceed BIGINT"))
+    // opposite-sign extremes: s = 0 and ss fits BIGINT, but the
+    // variance numerator n·Σv² − s² ≈ 2·ss·n pushes variance_1000
+    // past 2⁶³ — must ALSO fail loud, not wrap at emit (review r20)
+    val root3 = Files.createTempDirectory("agg_es_var").toString
+    TextAnalysis.writeBm25Index(
+      Seq((1L, "hit p", 2120000000L), (2L, "hit q", -2120000000L))
+        .toDF("doc_id", "text", "big"),
+      "doc_id", "text", root3, nBuckets = 2, docValueCols = Seq("big"))
+    val ex2 = intercept[IllegalArgumentException](
+      TextAnalysis.bm25ExtendedStatsAgg(spark, root3, "hit", "big"))
+    assert(ex2.getMessage.contains("variance exceeds BIGINT"))
   }
 }

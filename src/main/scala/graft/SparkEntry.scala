@@ -3954,6 +3954,16 @@ object SparkEntry {
         "dup sort query zzz", "lat", "lon")
     }),
 
+    // ES `matrix_stats` (the exact-integer core): per-pair exact
+    // covariance over the matched docs' micro-degree coordinates —
+    // diagonals are the variances; correlation derivable by the caller
+    "search_matrix_stats" -> ((s, dir) => {
+      TextAnalysis.bm25MatrixStatsAgg(s, ensureGeoBm25Index(s, dir),
+        "dup sort query zzz", Seq(
+          ("lat6", "CAST(floor(lat * 1000000.0) AS BIGINT)"),
+          ("lon6", "CAST(floor(lon * 1000000.0) AS BIGINT)")))
+    }),
+
     // ES `geohash_grid` aggregation: the match set bucketed by the
     // 3-bit/axis Morton cell (the integer twin of geohash's base32
     // rendering), top-10 cells by count
@@ -10265,6 +10275,43 @@ object SparkEntry {
         |  FROM pts)
         |SELECT slat // n_docs AS lat_e6, slon // n_docs AS lon_e6, n_docs
         |FROM s WHERE n_docs > 0""".stripMargin,
+
+    // matrix_stats: HUGEINT sums, covariance numerator n·Σxy − Σx·Σy,
+    // // truncating division matching BigInt's; unscaled (the inputs
+    // carry the resolution)
+    "search_matrix_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |matched AS (
+        |  SELECT DISTINCT doc_id FROM toks
+        |  WHERE tok <> '' AND tok IN ('dup', 'sort', 'query', 'zzz')),
+        |pts AS (
+        |  SELECT doc_id,
+        |    CAST(floor((CAST(doc_id % 160 - 80 AS DOUBLE) + 0.25)
+        |      * 1000000.0) AS BIGINT) AS la,
+        |    CAST(floor((CAST(doc_id * 7 % 360 - 180 AS DOUBLE) + 0.5)
+        |      * 1000000.0) AS BIGINT) AS lo
+        |  FROM matched),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(la) AS HUGEINT) AS sa, CAST(sum(lo) AS HUGEINT) AS so,
+        |    CAST(sum(CAST(la AS HUGEINT) * la) AS HUGEINT) AS paa,
+        |    CAST(sum(CAST(la AS HUGEINT) * lo) AS HUGEINT) AS pal,
+        |    CAST(sum(CAST(lo AS HUGEINT) * lo) AS HUGEINT) AS pll
+        |  FROM pts)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(cov AS BIGINT) AS cov
+        |FROM (
+        |  SELECT 'lat6' AS col_a, 'lat6' AS col_b, n,
+        |    (n * paa - sa * sa) // (n * n) AS cov FROM s
+        |  UNION ALL
+        |  SELECT 'lat6', 'lon6', n,
+        |    (n * pal - sa * so) // (n * n) FROM s
+        |  UNION ALL
+        |  SELECT 'lon6', 'lon6', n,
+        |    (n * pll - so * so) // (n * n) FROM s)
+        |ORDER BY col_a, col_b""".stripMargin,
 
     // geohash_grid: the Morton-cell bucketing (zorder_cells' exact bit
     // arithmetic at 3 bits/axis), top-10 cells by count

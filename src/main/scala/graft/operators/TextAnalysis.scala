@@ -6072,6 +6072,70 @@ object TextAnalysis {
   }
 
   /**
+   * ES `matrix_stats` aggregation, the EXACT-integer core: per field
+   * pair (a ≤ b) over the match set, the doc count and the exact
+   * integer covariance cov = ⌊(n·Σxy − Σx·Σy)/n²⌋ — diagonal rows
+   * are the variances, exactly [[bm25ExtendedStatsAgg]]'s numerator
+   * generalized to pairs. NO per-mille multiplier here: the caller
+   * picks the input resolution (micro-degrees etc.), and a fixed
+   * ×1000 on already-scaled inputs just burns BIGINT headroom (a
+   * micro-degree lon variance × 1000 overflows at planet scale —
+   * found on first run). `fields` maps output names to integer SQL
+   * expressions over the docvals sidecar. Sums aggregate as
+   * DECIMAL(38,0) (the extended_stats overflow lesson) and the
+   * outputs fail LOUD past BIGINT. ES's correlation member is left
+   * to the caller as cov/√(var_a·var_b): its irrational divisor is
+   * the one matrix_stats value the integer-exact replay discipline
+   * cannot carry bit-for-bit (√ of a ~2⁷³ product exceeds both
+   * HUGEINT and double precision), and it is derivable from the
+   * emitted row set. ONE aggregate over one probe + docvals join;
+   * the pair count is a query literal (|fields|² rows).
+   */
+  def bm25MatrixStatsAgg(spark: SparkSession, root: String,
+      queryText: String, fields: Seq[(String, String)],
+      asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(fields.size >= 2, "matrix_stats needs at least two fields")
+    require(fields.map(_._1).distinct == fields.map(_._1),
+      s"duplicate field names: ${fields.map(_._1)}")
+    val matched = bm25MatchedDocIds(spark, root, queryText, asOf)
+    val vals = bm25DocValues(spark, root, asOf)
+      .select(col("doc_id") +: fields.zipWithIndex.map {
+        case ((_, sql), i) => expr(sql).cast("long").as(s"__x$i")
+      }: _*)
+    val pairs = for {
+      i <- fields.indices; j <- fields.indices if i <= j
+    } yield (i, j)
+    val aggs = (count(lit(1)).cast("long").as("__n") +:
+      fields.indices.map(i =>
+        sum(col(s"__x$i").cast("decimal(38,0)")).as(s"__s$i"))) ++
+      pairs.map { case (i, j) =>
+        sum(expr(s"CAST(__x$i AS DECIMAL(38,0)) * __x$j"))
+          .as(s"__p${i}_$j")
+      }
+    val row = matched.join(vals, Seq("doc_id"))
+      .agg(aggs.head, aggs.tail: _*).head()
+    val n = BigInt(row.getLong(0))
+    if (n == 0)
+      return Seq.empty[(String, String, Long, Long)]
+        .toDF("col_a", "col_b", "n_docs", "cov")
+    val s = fields.indices.map(i =>
+      BigInt(row.getDecimal(1 + i).toBigInteger))
+    val p = pairs.zipWithIndex.map { case (pr, k) =>
+      pr -> BigInt(row.getDecimal(1 + fields.size + k).toBigInteger)
+    }.toMap
+    pairs.map { case (i, j) =>
+      val covNum = n * p((i, j)) - s(i) * s(j)
+      val cov = covNum / (n * n)
+      require(cov.isValidLong,
+        s"matrix_stats covariance exceeds BIGINT " +
+          s"(${fields(i)._1}, ${fields(j)._1}: $cov) — rescale")
+      (fields(i)._1, fields(j)._1, n.toLong, cov.toLong)
+    }.toDF("col_a", "col_b", "n_docs", "cov")
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /**
    * ES `geo_centroid` aggregation: the arithmetic mean point of the
    * match set's coordinates, in integer MICRO-DEGREES (ES returns
    * float degrees; Σ⌊lat·1e6⌋ div n keeps the replay hash-exact).

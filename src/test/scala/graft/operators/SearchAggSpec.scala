@@ -863,6 +863,37 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
       == Map(1L -> 7L, 25L -> 7L, 50L -> 7L))
   }
 
+  test("matrix_stats: exact covariances, diagonals are variances, negative covariance truncates like the oracle") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("agg_mx_idx").toString
+    // anti-correlated (x, y): covNum = 3·30 − 15·16 = −150, n² = 9 →
+    // trunc(−16.67) = −16 (the shared BigInt/DuckDB-// semantic;
+    // floor would say −17)
+    TextAnalysis.writeBm25Index(Seq(
+      (1L, "hit a", 0L, 10L),
+      (2L, "hit b", 10L, 0L),
+      (3L, "hit c", 5L, 6L),
+      (4L, "miss d", 100L, 100L))
+      .toDF("doc_id", "text", "x", "y"), "doc_id", "text", root,
+      nBuckets = 2, docValueCols = Seq("x", "y"))
+    val got = TextAnalysis.bm25MatrixStatsAgg(spark, root, "hit",
+      Seq(("x", "x"), ("y", "y")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // var(x): 3·125 − 225 = 150 → 150/9 trunc = 16
+    // var(y): 3·136 − 256 = 152 → 152/9 trunc = 16
+    assert(got == Map(
+      ("x", "x") -> ((3L, 16L)),
+      ("x", "y") -> ((3L, -16L)),
+      ("y", "y") -> ((3L, 16L))))
+    // no matches → empty frame
+    assert(TextAnalysis.bm25MatrixStatsAgg(spark, root, "zzznomatch",
+      Seq(("x", "x"), ("y", "y"))).count() == 0L)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25MatrixStatsAgg(spark, root, "hit",
+        Seq(("x", "x"))))
+  }
+
   test("more_like_this: tf·idf selection respects min_doc_freq, min_term_freq, and the term budget") {
     import spark.implicits._
     val root = Files.createTempDirectory("agg_mlt_idx").toString

@@ -715,6 +715,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "search_date_range", "search_multi_terms", "search_rare_terms",
       "search_distance_feature", "search_percentile_ranks",
       "search_intervals", "search_geo_centroid",
+      "search_matrix_stats", "search_rank_feature",
+      "search_more_like_this", "search_after",
       "search_geo_distance_agg", "search_date_histogram_offset",
       "search_date_histogram_tz",
       "search_date_histogram_bounds").foreach { q =>

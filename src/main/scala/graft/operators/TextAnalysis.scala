@@ -1099,9 +1099,9 @@ object TextAnalysis {
     val terms = dfc.keys.toSeq.sorted
     if (terms.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
-    val statsRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
-        Seq(Bm25StatsKey).toDF("tok")).collect().toSeq)
+    val statsRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok",
+      Seq(Bm25StatsKey).toDF("tok"))
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
     val nDocs = statsRows.map(_.getLong(1)).sum
@@ -1433,9 +1433,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -1522,9 +1521,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -1661,9 +1659,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -1721,9 +1718,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (Seq(t) :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -1770,9 +1766,8 @@ object TextAnalysis {
     val segs = liveSegmentsWithFence(spark, root, asOf)._1
     if (segs.isEmpty) return None
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -2148,9 +2143,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (tf.keys.toSeq :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -2214,9 +2208,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -2295,9 +2288,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (scored :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -2399,9 +2391,8 @@ object TextAnalysis {
     require(terms.length >= 2, "phrase needs at least two tokens")
     val distinctTerms = terms.distinct
     val keyDf = (distinctTerms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -2500,9 +2491,8 @@ object TextAnalysis {
     val expToks = expansion.map(_._1)
     val distinctFixed = fixed.distinct
     val keyDf = (distinctFixed :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -2979,9 +2969,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (members :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -3046,9 +3035,8 @@ object TextAnalysis {
     val segs = liveSegmentsWithFence(spark, root, asOf)._1
     if (segs.isEmpty) return None // empty manifest (all compacted away)
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows" +
@@ -3238,9 +3226,8 @@ object TextAnalysis {
       val segs = liveSegmentsWithFence(spark, root, asOf)._1
       if (segs.isEmpty) None
       else {
-        val tRows = segs.flatMap(sg =>
-          MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-            .collect().toSeq)
+        val tRows = MergeTable.collectKeys(spark,
+          segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
         val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
         require(statsRows.size == segs.size,
           s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -3357,9 +3344,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -3541,9 +3527,8 @@ object TextAnalysis {
       return Seq.empty[(Long, Int, Long, Long)]
         .toDF("query_id", "rank", "doc_id", "score")
     val keyDf = (allTerms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -3707,9 +3692,8 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "score")
     val keyDf = (Seq(a, b) :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -4834,9 +4818,8 @@ object TextAnalysis {
       return Seq.empty[(String, Long, Long, Long, Long, Long, Long, Long)]
         .toDF("tok", "tf", "dfc", "idf", "len", "norm1000", "w", "contrib")
     val keyDf = (terms :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")
@@ -6316,9 +6299,9 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("tok", "fg", "bg", "score_1e6")
-    val statsRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
-        Seq(Bm25StatsKey).toDF("tok")).collect().toSeq)
+    val statsRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok",
+      Seq(Bm25StatsKey).toDF("tok"))
     val nDocs = statsRows.map(_.getLong(1)).sum
     // fg: distinct matched docs per term — tokenize the HIT rows only
     val hits = docs.select(col(idCol).as("doc_id"), col(textCol))
@@ -6383,9 +6366,9 @@ object TextAnalysis {
     if (segs.isEmpty)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("tok", "fg", "bg", "score_1e6")
-    val statsRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
-        Seq(Bm25StatsKey).toDF("tok")).collect().toSeq)
+    val statsRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok",
+      Seq(Bm25StatsKey).toDF("tok"))
     val nDocs = statsRows.map(_.getLong(1)).sum
     // the bounded sample (collect ≤ shardSize — the sampler discipline)
     val sample = bm25ServeTopK(spark, root, queryText, shardSize, asOf)
@@ -6844,9 +6827,8 @@ object TextAnalysis {
     if (scored.isEmpty) return None
     // dictionary: df per scored term + the corpus scalars
     val keyDf = (scored :+ Bm25StatsKey).toDF("tok")
-    val tRows = segs.flatMap(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf)
-        .collect().toSeq)
+    val tRows = MergeTable.collectKeys(spark,
+      segs.map(sg => s"$root/segs/$sg/terms"), "tok", keyDf)
     val statsRows = tRows.filter(_.getString(0) == Bm25StatsKey)
     require(statsRows.size == segs.size,
       s"$root: ${segs.size} live segments but ${statsRows.size} stats rows")

@@ -536,12 +536,28 @@ object MergeTable {
     val live = Versioned.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version"))
     val m = readManifest(spark, root, live)
-    // one pass over the (small) keys frame yields both bucket ids and,
-    // when bounded, the key literals for the pushdown path
-    val wantedRows = keys
-      .select(col(keyCol), bucketOf(keyCol, m.nBuckets).as("__b"))
-      .distinct().collect()
-    val buckets: Set[Long] = wantedRows.map(_.getLong(1)).toSet
+    // Key values land driver-side WITHOUT a shuffle job: the keys frame
+    // is small by contract and almost always a LocalRelation (query
+    // terms), which Project-folds to a jobless LocalTableScan collect.
+    // The former select(..., bucketOf).distinct().collect() planned a
+    // full exchange+aggregate Spark job per probe — pure fixed cost at
+    // serve time (×2 tables ×|segments| per lexical serve; ~0.1 s/query
+    // of the lexical family's bench floor). Dedup moves driver-side;
+    // bucket routing evaluates the SAME catalyst expression
+    // (pmod(xxhash64(key), n)) interpreted over each key literal, so
+    // hash routing cannot drift from the write path's codegen twin
+    // (interpreted ≡ codegen is a pinned Spark invariant for
+    // HashExpression, and MergeTableSpec's lookup round-trips pin it
+    // here end-to-end).
+    val keyVals: Array[Any] = keys.select(col(keyCol)).collect()
+      .map(_.get(0)).distinct
+    val dt = m.schema(keyCol).dataType
+    def bucketOfDriver(v: Any): Long = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+      Pmod(new XxHash64(Seq(Literal.create(v, dt))),
+        Literal(m.nBuckets.toLong)).eval(null).asInstanceOf[Long]
+    }
+    val buckets: Set[Long] = keyVals.map(bucketOfDriver).toSet
     val files =
       if (m.layout == LayoutRange) {
         // range layout: no hash routing — a file serves a key iff the
@@ -551,7 +567,7 @@ object MergeTable {
         zoneParser(m.schema(keyCol).dataType) match {
           case None => m.files
           case Some((parse, cmp)) =>
-            val wanted = wantedRows.map(r => parse(r.get(0).toString))
+            val wanted = keyVals.map(v => parse(v.toString))
             m.files.filter { case (_, f) =>
               m.zones.get(f) match {
                 case None => true
@@ -568,16 +584,29 @@ object MergeTable {
         org.apache.spark.sql.types.StructType(
           m.schema.filterNot(_.name == "bucket")))
     val scan = readFiles(spark, root, m, files.map(_._2))
-    if (wantedRows.length <= IsInPushdownLimit)
-      scan.filter(col(keyCol).isin(wantedRows.map(_.get(0)): _*)).drop("bucket")
+    if (keyVals.length <= IsInPushdownLimit)
+      scan.filter(col(keyCol).isin(keyVals.toIndexedSeq: _*)).drop("bucket")
     else {
       val wanted = spark.createDataFrame(
-        spark.sparkContext.parallelize(wantedRows.toIndexedSeq.map(r =>
-          org.apache.spark.sql.Row(r.get(0))), 1),
+        spark.sparkContext.parallelize(keyVals.toIndexedSeq.map(v =>
+          org.apache.spark.sql.Row(v)), 1),
         org.apache.spark.sql.types.StructType(Seq(m.schema(keyCol))))
       scan.join(broadcast(wanted), Seq(keyCol), "left_semi").drop("bucket")
     }
   }
+
+  /**
+   * Per-root pruned key reads unioned and collected in ONE Spark job —
+   * the k-segment serve's terms/stats probe was k sequential collect
+   * jobs (each a full job-submit/schedule round-trip on a handful of
+   * rows); the union scans the same pruned file set in one job. Row
+   * order is unspecified, like any union — every caller aggregates.
+   */
+  def collectKeys(spark: SparkSession, roots: Seq[String], keyCol: String,
+      keys: DataFrame): Seq[org.apache.spark.sql.Row] =
+    roots.map(r => readKeys(spark, r, keyCol, keys))
+      .reduceOption(_.unionByName(_))
+      .map(_.collect().toSeq).getOrElse(Seq.empty)
 
   /** The file list a range read scans — the zone-map pruning itself,
     * exposed so MergeTableSpec can pin the scanned set before/after.

@@ -330,26 +330,42 @@ object SparkEntry {
     slice.sparkSession.readStream.schema(slice.schema).parquet(feedDir)
   }
 
-  /** Far-future watermark-advancing sentinel for a drain slice: one
-    * reserved-user (-1) event 100 h past the slice's max event time —
-    * enough to put the post-batch watermark beyond every real timeout /
-    * window close / join-state horizon, so the trailing no-data
-    * micro-batch flushes them all. None when the slice is empty: there
-    * is no watermark to advance and nothing to flush, and the drain then
-    * just emits nothing (the naive max-ts read would NPE on the null
-    * aggregate instead). */
-  private def farFutureSentinel(slice: DataFrame,
-      eventType: String): Option[DataFrame] = {
+  /** Far-future watermark-advancing sentinel frame for a drain slice:
+    * one reserved-user (-1) event 100 h past the slice's max event time
+    * (`maxTs`) — enough to put the post-batch watermark beyond every
+    * real timeout / window close / join-state horizon, so the trailing
+    * no-data micro-batch flushes them all. Callers skip the sentinel
+    * when the slice is empty (no watermark to advance, nothing to
+    * flush): single-feed drains read maxTs from the staging write's
+    * observation ([[stageFeedWithSentinel]]); multi-feed drains compute
+    * it once and stamp every feed. */
+  private def sentinelFrame(ss: SparkSession, maxTs: java.sql.Timestamp,
+      eventType: String): DataFrame = {
     import graft.streaming.EventStreams.Event
-    val ss = slice.sparkSession
     import ss.implicits._
-    Option(slice.agg(max(col("ts"))).head.getTimestamp(0)).map { maxTs =>
-      Seq(Event(-1L,
-        new java.sql.Timestamp(maxTs.getTime + 100L * 3600 * 1000),
-        -1L, eventType, 0.0)).toDS()
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
+    Seq(Event(-1L,
+      new java.sql.Timestamp(maxTs.getTime + 100L * 3600 * 1000),
+      -1L, eventType, 0.0)).toDS()
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
+  /** stageFeed + farFutureSentinel fused into the staging write: the
+    * sentinel's anchor (the slice's max event time) rides the write job
+    * as a CollectMetrics observation (Observe.scala's contract — the
+    * metric accumulates inside the pass), where the former shape paid a
+    * SECOND full scan+agg job per drain just to read max(ts). Same
+    * sentinel row, same feed layout, one less pass over the slice. */
+  private def stageFeedWithSentinel(slice: DataFrame, feedDir: String,
+      eventType: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    slice.observe(obs, max(col("ts")).as("max_ts"))
+      .write.mode("overwrite").parquet(feedDir)
+    obs.get.get("max_ts").flatMap(Option(_)).foreach { m =>
+      sentinelFrame(slice.sparkSession, m.asInstanceOf[java.sql.Timestamp],
+        eventType).write.mode("append").parquet(feedDir)
     }
+    slice.sparkSession.readStream.schema(slice.schema).parquet(feedDir)
   }
 
   /** Serializes session-conf set/restore windows (shuffle partitions for
@@ -978,7 +994,7 @@ object SparkEntry {
       // in their own lifecycles) ran 3 lifecycles / 6 micro-batches for
       // the same output — and each micro-batch costs ~1 s of state-store
       // lifecycle regardless of rows (BASELINE.md round 11).
-      val feed = stageFeed(slice, feedDir, farFutureSentinel(slice, "view"))
+      val feed = stageFeedWithSentinel(slice, feedDir, "view")
       runAvailableNow(EventStreams.funnelStream(feed.as[Event]).toDF(), outDir, ckpt)
       s.read.parquet(outDir)
         .filter(col("kind") === "final" && col("user_id") >= 0)
@@ -1003,7 +1019,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val (outDir, ckpt, feedDir) = freshStreamDirs("twssess", dir)
-      val feed = stageFeed(slice, feedDir, farFutureSentinel(slice, "view"))
+      val feed = stageFeedWithSentinel(slice, feedDir, "view")
       runAvailableNow(EventStreams.sessionizeTws(feed.as[Event]).toDF(),
         outDir, ckpt, extraConfs = EventStreams.RocksDbStateStore)
       s.read.parquet(outDir).filter(col("user_id") >= 0)
@@ -1086,12 +1102,15 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val (outDir, ckpt, feedDir) = freshStreamDirs("ssleft", dir)
+      // ONE max-ts job for both feeds' sentinels (the per-feed
+      // farFutureSentinel shape scanned the identical slice twice)
+      val maxTs = Option(slice.agg(max(col("ts"))).head.getTimestamp(0))
       val clicks = stageFeed(
         slice.filter(col("event_type") === "click"), feedDir,
-        farFutureSentinel(slice, "click"))
+        maxTs.map(sentinelFrame(s, _, "click")))
       val purchases = stageFeed(
         slice.filter(col("event_type") === "purchase"), feedDir + "_p",
-        farFutureSentinel(slice, "purchase"))
+        maxTs.map(sentinelFrame(s, _, "purchase")))
       runAvailableNow(
         EventStreams.clickPurchaseLeftJoin(clicks, purchases, "1 hour"),
         outDir, ckpt, partitions = 4)
@@ -1274,7 +1293,7 @@ object SparkEntry {
       // past every real window's close, and the trailing no-data batch
       // emits them all. The sentinel's own window never closes and its
       // reserved event_type filters out below.
-      val feed = stageFeed(slice, feedDir, farFutureSentinel(slice, "sentinel"))
+      val feed = stageFeedWithSentinel(slice, feedDir, "sentinel")
       runAvailableNow(EventStreams.hourlyByType(feed), outDir, ckpt)
       s.read.parquet(outDir)
         .filter(col("event_type") =!= "sentinel")

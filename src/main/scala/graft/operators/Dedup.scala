@@ -284,19 +284,28 @@ object Dedup {
       n: Int = 3, minJaccard: Double = 0.5,
       verifyBroadcastMaxBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // grams carry 8-byte xxhash64 values, not strings: every downstream
+    // exchange (distinct, the freq window, the candidate equi-join)
+    // shuffles fixed-width longs — the narrower-types lever. The prefix
+    // theorem needs only a CONSISTENT total order over grams, so
+    // (gf, hash) orders as correctly as (gf, string); a cross-gram
+    // hash collision merging two grams is the same ~2⁻⁶⁴/pair risk
+    // class the dense plan's ngram_sorted_set arrays already accept
+    // (the exact verify below intersects those arrays — its own 64-bit
+    // hash domain — so the operator's collision exposure is unchanged).
     val grams = df
       .select(col(idCol).cast("long").as("id"),
         explode(expr(
-          s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n))"))
+          s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> xxhash64(substring($textCol, i, $n)))"))
           .as("g"))
       .distinct().cache()
-    val gfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gf"))
-    // set size via a window over the SAME partition key as the prefix
-    // rank: both window ops share one exchange by id, which drops the
-    // former groupBy(id) aggregate + equi-join (one shuffle + one join
-    // fewer — pure fixed cost on the bench slice, and at scale one fewer
-    // pass over the gram table)
-    val ranked = grams.join(gfreq, "g")
+    // gram frequency via a window over g INSTEAD of groupBy(g)+equi-join:
+    // the former shape shuffled the gram table twice (once into the
+    // aggregate, once re-keyed for the join); the window computes gf on
+    // the single exchange by g. The id-keyed windows below then share
+    // one exchange by id, as before.
+    val ranked = grams
+      .withColumn("gf", count(lit(1)).over(Window.partitionBy(col("g"))))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("gf"), col("g"))))
@@ -343,10 +352,14 @@ object Dedup {
   def ngramJaccardPairsSparse(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // grams as xxhash64 longs, not strings (same rationale and collision
+    // class as the prefix plan above): the inverted-index join's
+    // Σ n_g² candidate rows and the distinct's exchange all carry
+    // fixed 8-byte keys, and the join's equality test is a long compare
     val grams = df
       .select(col(idCol).cast("long").as("id"), // schema parity with the dense plan
         explode(expr(
-          s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n))"))
+          s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> xxhash64(substring($textCol, i, $n)))"))
           .as("g"))
       .distinct()
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))

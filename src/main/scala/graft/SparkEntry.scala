@@ -4838,20 +4838,27 @@ object SparkEntry {
     // for all profiled columns in ONE aggregation, unpivoted via stack —
     // at 100 TB that is one scan, not one scan per column
     "profile_table" -> ((s, dir) => {
+      // One gid-tagged single-column branch per profiled column instead
+      // of 4 countDistinct()s in one agg: the former plan Expand-ed
+      // every row ×5 into one hash aggregate (row traffic ∝ rows×cols
+      // through one scan stage); the union reads each column as its own
+      // column-pruned parquet scan (same total bytes — columnar), one
+      // distinct-aggregate per group, NO Expand, and 4× the scan
+      // parallelism. Values are identical: count(1)=n_rows per branch,
+      // null/distinct/min/max semantics match the per-column aggs.
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
-      val aggs = cols.flatMap { c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).cast("long").as(s"${c}__distinct"),
-        min(col(c)).cast("long").as(s"${c}__min"),
-        max(col(c)).cast("long").as(s"${c}__max"))
-      }
-      val one = t(s, dir, "lineitem")
-        .agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
-      val stackArgs = cols.map(c =>
-        s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
-        .mkString(", ")
-      one.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)")
+      cols.map { c =>
+          t(s, dir, "lineitem")
+            .select(lit(c).as("col_name"), col(c).cast("long").as("v"))
+        }.reduce(_.unionAll(_))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).cast("long").as("n_distinct"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .select(col("n_rows"), col("col_name"), col("n_nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"))
         .orderBy(col("col_name"))
     }),
 

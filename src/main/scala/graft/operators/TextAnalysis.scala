@@ -4298,12 +4298,20 @@ object TextAnalysis {
         graft.functions.HashFunctions.bigram_buckets(col(textCol), buckets))
     val bucketed = withBuckets(corpus)
       .select(col(idCol), col("__bkts")).cache()
-    def bucketCounts(df: DataFrame): Map[Long, Long] =
-      df.select(explode(col("__bkts")).as("bkt"))
-        .groupBy(col("bkt")).count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val src = bucketCounts(bucketed)
-    val tgt = bucketCounts(withBuckets(target))
+    // BOTH histograms (corpus + target) from ONE side-tagged union job —
+    // the former per-side explode+groupBy+collect pair paid two separate
+    // job round-trips; the union's first branch also fills the cache the
+    // scoring pass reads
+    val sideCounts = bucketed
+      .select(lit(0).as("__side"), explode(col("__bkts")).as("bkt"))
+      .unionAll(withBuckets(target)
+        .select(lit(1).as("__side"), explode(col("__bkts")).as("bkt")))
+      .groupBy(col("__side"), col("bkt")).count().collect()
+    def sideMap(side: Int): Map[Long, Long] = sideCounts
+      .filter(_.getInt(0) == side)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val src = sideMap(0)
+    val tgt = sideMap(1)
     val sTot = src.values.sum
     val tTot = tgt.values.sum
     val rmap: Map[Long, Long] = (0L until buckets.toLong).map { b =>

@@ -3881,12 +3881,19 @@ object SparkEntry {
     "search_after" -> ((s, dir) => {
       val idx = ensureBm25Index(s, dir)
       val q = "dup sort query zzz"
-      val last = TextAnalysis.bm25ServeTopK(s, idx, q, 5)
-        .collect().last // bounded: the 5-row first page
-      TextAnalysis.bm25SearchAfterTopK(s, idx, q,
-        afterScore = last.getLong(1), afterDocId = last.getLong(0),
-        k = 5)
-        .orderBy(col("score").desc, col("doc_id"))
+      // empty first page (no matches / empty index) → empty page 2,
+      // not a NoSuchElementException out of .last (ADVICE r20)
+      TextAnalysis.bm25ServeTopK(s, idx, q, 5)
+        .collect().lastOption match {
+        case Some(last) =>
+          TextAnalysis.bm25SearchAfterTopK(s, idx, q,
+            afterScore = last.getLong(1), afterDocId = last.getLong(0),
+            k = 5)
+            .orderBy(col("score").desc, col("doc_id"))
+        case None =>
+          import s.implicits._
+          Seq.empty[(Long, Long)].toDF("doc_id", "score")
+      }
     }),
 
     // more_like_this by DOCUMENT: doc 42's text drives the selection,
@@ -9816,7 +9823,12 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY bucket_ms""".stripMargin,
 
     // offset: day is fixed-width in UTC, so the shifted bucket is pure
-    // modular arithmetic on epoch millis
+    // modular arithmetic on epoch millis. Spelled with the POSITIVE
+    // modulus (v − ((v−o) mod⁺ d)) rather than DuckDB's `//`, which
+    // truncates toward zero and would diverge from the engine's
+    // flooring date_trunc for instants BEFORE epoch+offset (negative
+    // v−o) — identical for v ≥ o, so the fixture replay is unchanged
+    // (ADVICE r20).
     "search_date_histogram_offset" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -9828,7 +9840,7 @@ object SparkEntry {
         |  SELECT doc_id, epoch_ms(TIMESTAMP '2020-01-01'
         |    + ((doc_id % 400) * INTERVAL 1 DAY)) AS v
         |  FROM matched)
-        |SELECT ((v - 21600000) // 86400000) * 86400000 + 21600000 AS bucket_ms,
+        |SELECT v - (((v - 21600000) % 86400000) + 86400000) % 86400000 AS bucket_ms,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM ms GROUP BY 1 ORDER BY bucket_ms""".stripMargin,
 

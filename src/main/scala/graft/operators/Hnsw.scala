@@ -526,18 +526,24 @@ object Hnsw {
     * travel, the bm25_served_asof story on the graph index. (The
     * tombstone set is a single live control object, NOT versioned —
     * deletes apply to every as-of view, same as the IVF index.) */
+  /** Process-wide memo of each manifest VERSION's seg-dir list: versions
+    * are immutable by the Versioned contract (a new append/compact gets a
+    * fresh UUID version), so the list can never go stale — and reading it
+    * was one Spark collect job per serve (the manifest is a tiny parquet).
+    * Metadata only, never data or results; the pointer (currentVersion)
+    * is still re-read from the filesystem every call. */
+  private val segDirsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+
   private def segDirs(spark: SparkSession, path: String,
       asOf: Option[String] = None): Seq[String] = {
-    asOf match {
+    val mroot = s"$path/manifest"
+    asOf.orElse(graft.sinks.Versioned.currentVersion(spark, mroot)) match {
       case Some(v) =>
-        graft.sinks.Versioned.readVersion(spark, s"$path/manifest", v)
-          .collect().map(_.getString(0)).toSeq.sorted
-      case None =>
-        if (graft.sinks.Versioned
-            .currentVersion(spark, s"$path/manifest").isDefined)
-          graft.sinks.Versioned.read(spark, s"$path/manifest")
-            .collect().map(_.getString(0)).toSeq.sorted
-        else Seq("nodes")
+        segDirsMemo.computeIfAbsent((mroot, v), _ =>
+          graft.sinks.Versioned.readVersion(spark, mroot, v)
+            .collect().map(_.getString(0)).toSeq.sorted)
+      case None => Seq("nodes")
     }
   }
 

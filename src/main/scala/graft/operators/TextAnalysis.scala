@@ -5149,6 +5149,12 @@ object TextAnalysis {
         .toDF("n_docs", "sum_v", "min_v", "max_v", "avg_1000",
           "sum_sq", "variance_1000", "std_1000")
     val n = BigInt(row.getLong(0))
+    // a DECIMAL(38,0) sum that itself overflows 38 digits yields NULL
+    // under non-ANSI Spark — surface it as the same loud rescale error
+    // instead of an NPE out of toBigInteger (ADVICE r20)
+    require(!row.isNullAt(1) && !row.isNullAt(2),
+      "extended_stats sums overflow DECIMAL(38,0) — rescale the " +
+        "doc-values column")
     val s = BigInt(row.getDecimal(1).toBigInteger)
     val ss = BigInt(row.getDecimal(2).toBigInteger)
     // the OUTPUT row is Long-typed (the oracle replays in BIGINT):
@@ -6318,12 +6324,16 @@ object TextAnalysis {
     if (m == 0L)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("tok", "fg", "bg", "score_1e6")
+    // cached: fg feeds BOTH the bg probe's key routing (an eager collect
+    // inside readKeys at construction time) and the final join — without
+    // the boundary the hit-tokenize DAG runs twice per serve
     val fg = hits
       .select(col("doc_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("fg"))
+      .cache()
     // bg: corpus df from the dictionary, ONE readKeys over fg's terms
     val bg = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
@@ -6400,12 +6410,15 @@ object TextAnalysis {
     if (m == 0L)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("tok", "fg", "bg", "score_1e6")
+    // cached: same double-consumption boundary as bm25SignificantTerms
+    // (bg key routing + final join both read fg)
     val fg = deduped
       .select(col("doc_id"),
         explode(split(col("__ntext"), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("fg"))
+      .cache()
     val bg = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
         fg.select(col("tok"))))

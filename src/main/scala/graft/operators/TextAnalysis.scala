@@ -1055,12 +1055,14 @@ object TextAnalysis {
       segs: Seq[String], p: String): Map[String, Long] = {
     import graft.sinks.MergeTable
     val upper = prefixSuccessor(p)
-    val keyRows = segs.flatMap { sg =>
+    // per-segment bands (each budget-limited) union into ONE collect job
+    // — the per-segment collect loop paid |segments| job round-trips
+    val keyRows = segs.map { sg =>
       MergeTable.readRange(spark, s"$root/segs/$sg/terms", Some(p), upper)
         .filter(col("tok").startsWith(p) && col("tok") =!= Bm25StatsKey)
         .select(col("tok"), col("dfc"))
-        .limit(MaxPrefixExpansion + 1).collect().toSeq
-    }
+        .limit(MaxPrefixExpansion + 1)
+    }.reduce(_.unionByName(_)).collect().toSeq
     val dfc = keyRows.groupBy(_.getString(0))
       .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
     require(dfc.size <= MaxPrefixExpansion,
@@ -1144,8 +1146,8 @@ object TextAnalysis {
     * `occ` is null on pre-occ legacy segments (callers needing counts
     * fall back to a postings recount). Bounded per segment by the
     * expansion budget. */
-  private def suffixBandRows(spark: SparkSession, root: String, sg: String,
-      suffix: String): Seq[org.apache.spark.sql.Row] = {
+  private def suffixBandFrame(spark: SparkSession, root: String, sg: String,
+      suffix: String): DataFrame = {
     import graft.sinks.MergeTable
     if (segHasRevDict(spark, root, sg)) {
       val rp = suffix.reverse
@@ -1153,7 +1155,7 @@ object TextAnalysis {
           Some(rp), prefixSuccessor(rp))
         .filter(col("rtok").startsWith(rp))
         .select(col("tok"), col("dfc"), col("occ"))
-        .limit(MaxPrefixExpansion + 1).collect().toSeq
+        .limit(MaxPrefixExpansion + 1)
     } else {
       val t = MergeTable.read(spark, s"$root/segs/$sg/terms")
       val occCol =
@@ -1161,9 +1163,16 @@ object TextAnalysis {
         else lit(null).cast("long")
       t.filter(col("tok").endsWith(suffix) && col("tok") =!= Bm25StatsKey)
         .select(col("tok"), col("dfc"), occCol.as("occ"))
-        .limit(MaxPrefixExpansion + 1).collect().toSeq
+        .limit(MaxPrefixExpansion + 1)
     }
   }
+
+  /** All segments' suffix bands in ONE collect job (per-segment budget
+    * limits preserved inside each union branch). */
+  private def suffixBandRows(spark: SparkSession, root: String,
+      segs: Seq[String], suffix: String): Seq[org.apache.spark.sql.Row] =
+    segs.map(sg => suffixBandFrame(spark, root, sg, suffix))
+      .reduce(_.unionByName(_)).collect().toSeq
 
   /**
    * Suffix (leading-wildcard `*suf`) term search — the reversed twin of
@@ -1187,7 +1196,7 @@ object TextAnalysis {
     val segs = liveSegments(spark, root)
     if (segs.isEmpty)
       return Seq.empty[(String, Long, Long)].toDF("tok", "n_docs", "n_occ")
-    val rows = segs.flatMap(sg => suffixBandRows(spark, root, sg, sx))
+    val rows = suffixBandRows(spark, root, segs, sx)
     val expanded = rows.map(_.getString(0)).distinct.sorted
     require(expanded.size <= MaxPrefixExpansion,
       s"suffix '*$sx' expands to ${expanded.size} terms — past the " +
@@ -1253,7 +1262,7 @@ object TextAnalysis {
     * [[queryStringTopK]]. */
   private def expandSuffixTerms(spark: SparkSession, root: String,
       segs: Seq[String], sx: String): Map[String, Long] = {
-    val rows = segs.flatMap(sg => suffixBandRows(spark, root, sg, sx))
+    val rows = suffixBandRows(spark, root, segs, sx)
     val dfc = rows.groupBy(_.getString(0))
       .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
     require(dfc.size <= MaxPrefixExpansion,
@@ -1300,7 +1309,9 @@ object TextAnalysis {
   private def expandInfixTerms(spark: SparkSession, root: String,
       segs: Seq[String], p: String, sx: String): Map[String, Long] = {
     import graft.sinks.MergeTable
-    val rows = segs.flatMap { sg =>
+    // per-segment intersections (each budget-limited) union into ONE
+    // collect job, like every other expansion
+    val rows = segs.map { sg =>
       val a = MergeTable.readRange(spark, s"$root/segs/$sg/terms",
           Some(p), prefixSuccessor(p))
         .filter(col("tok").startsWith(p) && col("tok") =!= Bm25StatsKey)
@@ -1315,8 +1326,8 @@ object TextAnalysis {
           a.join(b, "tok")
         } else a.filter(col("tok").endsWith(sx))
       matched.filter(length(col("tok")) >= p.length + sx.length)
-        .limit(MaxPrefixExpansion + 1).collect().toSeq
-    }
+        .limit(MaxPrefixExpansion + 1)
+    }.reduce(_.unionByName(_)).collect().toSeq
     val dfc = rows.groupBy(_.getString(0))
       .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
     require(dfc.size <= MaxPrefixExpansion,
@@ -1364,7 +1375,9 @@ object TextAnalysis {
   private def expandFuzzyTerms(spark: SparkSession, root: String,
       segs: Seq[String], q: String): Map[String, Long] = {
     import graft.sinks.MergeTable
-    val rows = segs.flatMap { sg =>
+    // per-segment two-band candidates (each deduped + budget-limited)
+    // union into ONE collect job, like every other expansion
+    val rows = segs.map { sg =>
       val a = MergeTable.readRange(spark, s"$root/segs/$sg/terms",
           Some(q.take(1)), prefixSuccessor(q.take(1)))
         .filter(col("tok") =!= Bm25StatsKey)
@@ -1387,8 +1400,8 @@ object TextAnalysis {
       a.unionByName(b)
         .filter(levenshtein(col("tok"), lit(q)) <= 1)
         .distinct()
-        .limit(MaxPrefixExpansion + 1).collect().toSeq
-    }
+        .limit(MaxPrefixExpansion + 1)
+    }.reduce(_.unionByName(_)).collect().toSeq
     val dfc = rows.groupBy(_.getString(0))
       .map { case (t, rs) => t -> rs.map(_.getLong(1)).sum }
     require(dfc.size <= MaxPrefixExpansion,

@@ -4435,11 +4435,13 @@ object SparkEntry {
         graft.operators.Par.ensureParallelism(normed), "doc_id", "text")
         .withColumn("lang_pred", TextAnalysis.lang_id(col("text")))
         .cache()
-      val lm = TextAnalysis.lmScore(surv,
+      // lang_pred rides the scoring projection (lmScore carryCols), so
+      // the former N-row doc_id self-join back to surv — two exchanges
+      // + sort for a column the scoring pass already had — is gone
+      TextAnalysis.lmScore(surv,
         surv.filter(col("lang_pred") === "en"),
-        "doc_id", "text", buckets = 64, thresholdMicros = 37900L)
-      surv.select(col("doc_id"), col("lang_pred"))
-        .join(lm, "doc_id")
+        "doc_id", "text", buckets = 64, thresholdMicros = 37900L,
+        carryCols = Seq("lang_pred"))
         .select(col("doc_id"), col("lang_pred"), col("score"),
           col("n_bigrams"), col("kept"))
         .orderBy(col("doc_id"))
@@ -4449,12 +4451,21 @@ object SparkEntry {
       import graft.functions.Bpe
       val clean = TextAnalysis.qualityFilter(
         graft.operators.Par.ensureParallelism(t(s, dir, "documents")), "text")
-        .select(col("doc_id"), col("source"), col("text")).cache()
+        .select(col("doc_id"), col("source"), col("text"))
+      // boundary AFTER dedup + one BPE count per survivor: the cached
+      // frame is the narrow (doc_id, source, n_bpe) both downstream
+      // consumers (rebalance totals job, final keep-filter + pack) read
+      // — without it the quality regexes + dedup window + BPE encode
+      // all ran twice (totals job and final pass), and BPE ran a third
+      // time inside packSequencesBy's token expression
       val deduped = Dedup.dropExactDuplicates(clean, "doc_id", "text")
+        .select(col("doc_id"), col("source"),
+          Bpe.bpe_count(col("text")).cast("long").as("n_bpe"))
+        .cache()
       val balanced = graft.operators.Sampling.rebalanceToUniformBy(
-        deduped, "doc_id", "source", Bpe.bpe_count(col("text")))
+        deduped, "doc_id", "source", col("n_bpe"))
       TextAnalysis.packSequencesBy(balanced, "source", "doc_id",
-        Bpe.bpe_count(col("text")), budget = 400)
+        col("n_bpe"), budget = 400)
         .orderBy(col("source"), col("doc_id"))
     }),
 

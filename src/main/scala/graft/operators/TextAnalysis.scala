@@ -328,10 +328,12 @@ object TextAnalysis {
    * term contribution, preserved exactly.)
    *
    * Scale shape: the query's term set is BOUNDED (a literal string), so
-   * df counting filters the exploded token stream to |q| terms before
-   * any shuffle, idf values compile into a broadcast literal table, and
-   * scoring is one (doc, term) aggregate + top-k — no term joins wider
-   * than the query, never an unfiltered vocabulary shuffle. Int64-safe
+   * per-doc length and every per-term tf ride ONE groupBy(doc_id) as
+   * conditional sums (single tokenize pass, single shuffle of
+   * (doc_id, len, tf_0..tf_q)); corpus scalars + per-term dfs are one
+   * bounded aggregate over that frame, idf values compile into score
+   * literals, and scoring is row-local arithmetic + top-k — no term
+   * joins, never an unfiltered vocabulary shuffle. Int64-safe
    * at ANY corpus size: idf ≤ N·10^4 and w ≤ 22000 make raw scores safe
    * to N ≈ 10^7 docs, and past that [[bm25Idf]] uniformly rescales the
    * idf table so the worst-case score provably fits (the in-code
@@ -374,34 +376,44 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    // TWO corpus passes total: (1) per-doc lengths (cached — feeds the
-    // N/avg scalars AND the scoring join), (2) the query-term-filtered
-    // (doc, term, tf) pairs (cached — df counting derives from THESE,
-    // never a third tokenize: tf pairs are distinct per (doc, term), so
-    // count-per-term IS countDistinct(doc)).
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
-    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
+    // ONE corpus pass total (was two tokenize passes + a doc_id join):
+    // the query's term set is a bounded literal, so per-doc length AND
+    // every per-term tf ride one groupBy(doc_id) as conditional sums —
+    // map-side partials absorb token repetition, the single shuffle
+    // carries (doc_id, len, tf_0..tf_q). The corpus scalars (N, Σlen)
+    // and every term's df are then ONE bounded aggregate over the
+    // cached per-doc frame (df_t = count of docs with tf_t > 0, exactly
+    // the old countDistinct-by-construction), collapsing the former
+    // stats-head + dfc-collect job pair into one job.
+    val tfCols = terms.indices.map(i =>
+      sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"__tf$i"))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+      .cache()
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc
+      .agg(count(lit(1)).as("n"), (sum(col("len")).as("tot") +: dfCols): _*)
+      .head()
     val nDocs = stats.getLong(0); val totLen = stats.getLong(1)
     require(nDocs > 0, "empty corpus")
     val avg1000 = totLen * 1000L / nDocs
-    val tf = toks.filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .cache()
-    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val spark = df.sparkSession
-    import spark.implicits._
-    val idf = bm25Idf(nDocs, dfc, terms).toDF("tok", "idf")
-    // lens is N rows — NEVER broadcast; the equi-join shuffles on doc_id
-    // bounded by the candidate set (docs containing ≥1 query term)
-    tf.join(broadcast(idf), "tok")
-      .join(lens, "doc_id")
+    val dfc = terms.indices.map(i => terms(i) -> stats.getLong(2 + i)).toMap
+    val idf = bm25Idf(nDocs, dfc, terms).map(_._2)
+    // scoring is pure row-local arithmetic on the per-doc frame: w(tf)
+    // is 0 at tf = 0, so summing idf_t·w(tf_t) over ALL query terms
+    // equals the old tf-rows-only join-aggregate term for term; docs
+    // with no query term drop out pre-limit exactly as before
+    val w = (i: Int) =>
+      expr(s"(__tf$i * 2200 * 10000) div " +
+        s"(__tf$i * 1000 + (1200 * norm1000) div 1000)")
+    perDoc
+      .filter(terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
       .withColumn("norm1000",
         lit(250L) + expr(s"(750 * len * 1000) div $avg1000"))
-      .withColumn("w",
-        expr("(tf * 2200 * 10000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("idf") * col("w")).as("score"))
+      .withColumn("score",
+        terms.indices.map(i => lit(idf(i)) * w(i)).reduce(_ + _))
+      .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -4375,12 +4387,15 @@ object TextAnalysis {
    * count aggregate (B ≤ 256 keeps the table driver-sized; default 64 →
    * 4,096 entries), then one codegen'd map scoring each doc from the
    * literal ratio table — no join, no shuffle on the corpus side.
-   * Returns (idCol, score, n_bigrams, kept) for every corpus row; docs
-   * with <2 tokens score 0 and are never kept.
+   * Returns (idCol, carryCols…, score, n_bigrams, kept) for every
+   * corpus row; docs with <2 tokens score 0 and are never kept.
+   * `carryCols` ride the scoring projection so a caller needing other
+   * corpus columns beside the score (pipeline_ccnet's lang_pred) never
+   * pays an N-row join back against its own input.
    */
   def lmScore(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 64, thresholdMicros: Long = 15625L,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, carryCols: Seq[String] = Nil): DataFrame = {
     require(buckets > 0 && buckets <= 256, "buckets must stay driver-bounded")
     val spark = corpus.sparkSession
     graft.functions.HashFunctions.register(spark)
@@ -4401,12 +4416,13 @@ object TextAnalysis {
       code -> (num / den).toLong
     }).toMap
     val rLit = typedlit(rmap)
+    val carry = carryCols.map(col)
     corpus
-      .select(col(idCol), codes.as("__codes"))
-      .select(col(idCol),
+      .select(col(idCol) +: carry :+ codes.as("__codes"): _*)
+      .select(col(idCol) +: carry :+
         coalesce(aggregate(col("__codes"), lit(0L),
-          (acc, x) => acc + element_at(rLit, x)), lit(0L)).as("score"),
-        coalesce(size(col("__codes")), lit(0)).cast("long").as("n_bigrams"))
+          (acc, x) => acc + element_at(rLit, x)), lit(0L)).as("score") :+
+        coalesce(size(col("__codes")), lit(0)).cast("long").as("n_bigrams"): _*)
       .withColumn("kept",
         col("n_bigrams") > 0 && col("score") > lit(thresholdMicros) * col("n_bigrams"))
   }

@@ -4346,11 +4346,18 @@ object TextAnalysis {
       b -> (num / den).toLong
     }.toMap
     val rLit = typedlit(rmap)
+    // the (id, score) frame is CACHED: the count action, the budget
+    // machinery's quantile + totals passes, the rank window, and the
+    // final kept-join all consume it — uncached, the interpreted
+    // scoring lambda (aggregate over each doc's bucket array) re-ran in
+    // every one of those passes (4× the dominant per-row compute)
     val scored = bucketed
       .withColumn("score", coalesce(aggregate(col("__bkts"), lit(0L),
         (acc, x) => acc + element_at(rLit, x)), lit(0L)))
       .select(col(idCol), col("score"))
+      .cache()
     val k = math.ceil(keepFrac * scored.count()).toLong
+    bucketed.unpersist(false) // materialized into `scored`; no later reader
     val kept = Sampling.tokenBudgetSample(
         scored.withColumn("__one", lit(1L)), idCol, "score", "__one",
         budget = k)

@@ -528,19 +528,33 @@ object Hnsw {
     * deletes apply to every as-of view, same as the IVF index.) */
   /** Process-wide memo of each manifest VERSION's seg-dir list: versions
     * are immutable by the Versioned contract (a new append/compact gets a
-    * fresh UUID version), so the list can never go stale — and reading it
-    * was one Spark collect job per serve (the manifest is a tiny parquet).
-    * Metadata only, never data or results; the pointer (currentVersion)
-    * is still re-read from the filesystem every call. */
+    * fresh UUID version), so a RETAINED version's list can never go stale
+    * — and reading it was one Spark collect job per serve (the manifest
+    * is a tiny parquet). Metadata only, never data or results; the
+    * pointer (currentVersion) is still re-read from the filesystem every
+    * call. A memo hit re-checks the version dir exists (one fs stat, no
+    * Spark job): a VACUUMED version must fall through to readVersion's
+    * descriptive contract error, not serve a stale list into a
+    * path-not-found deep inside the parquet read. The map is bounded by
+    * a clear-at-cap backstop (entries are a few dozen bytes; the cap only
+    * matters to a months-long append-heavy process). */
   private val segDirsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+  private val SegDirsMemoCap = 4096
 
   private def segDirs(spark: SparkSession, path: String,
       asOf: Option[String] = None): Seq[String] = {
     val mroot = s"$path/manifest"
     asOf.orElse(graft.sinks.Versioned.currentVersion(spark, mroot)) match {
       case Some(v) =>
-        segDirsMemo.computeIfAbsent((mroot, v), _ =>
+        val key = (mroot, v)
+        if (segDirsMemo.containsKey(key)) {
+          val dir = new org.apache.hadoop.fs.Path(mroot, v)
+          val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(dir)) segDirsMemo.remove(key)
+        }
+        if (segDirsMemo.size() > SegDirsMemoCap) segDirsMemo.clear()
+        segDirsMemo.computeIfAbsent(key, _ =>
           graft.sinks.Versioned.readVersion(spark, mroot, v)
             .collect().map(_.getString(0)).toSeq.sorted)
       case None => Seq("nodes")

@@ -6360,16 +6360,19 @@ object TextAnalysis {
     if (m == 0L)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("tok", "fg", "bg", "score_1e6")
-    // cached: fg feeds BOTH the bg probe's key routing (an eager collect
-    // inside readKeys at construction time) and the final join — without
-    // the boundary the hit-tokenize DAG runs twice per serve
+    // persisted: fg feeds BOTH the bg probe's key routing (an eager
+    // collect inside readKeys at construction time) and the final join —
+    // without the boundary the hit-tokenize DAG runs twice per serve.
+    // MEMORY_ONLY, the serve-path persist idiom (see the collapse serve):
+    // blocks are LRU-dropped under pressure and swept by clearCache, so
+    // the returned-lazy frame needs no (impossible) explicit unpersist
     val fg = hits
       .select(col("doc_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("fg"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // bg: corpus df from the dictionary, ONE readKeys over fg's terms
     val bg = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
@@ -6446,15 +6449,15 @@ object TextAnalysis {
     if (m == 0L)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("tok", "fg", "bg", "score_1e6")
-    // cached: same double-consumption boundary as bm25SignificantTerms
-    // (bg key routing + final join both read fg)
+    // persisted: same double-consumption boundary and MEMORY_ONLY
+    // idiom as bm25SignificantTerms (bg key routing + final join)
     val fg = deduped
       .select(col("doc_id"),
         explode(split(col("__ntext"), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("fg"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val bg = segs.map(sg =>
       MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
         fg.select(col("tok"))))

@@ -531,6 +531,14 @@ object MergeTable {
     * the broadcast semi-join avoids a giant literal list. */
   val IsInPushdownLimit: Int = 64
 
+  /** Pruned point-lookup read: only the buckets/zone-banded files that
+    * can hold `keys` are scanned. PROBE CONTRACT: `keys` is a BOUNDED
+    * frame (query terms, a literal id list — the same contract every
+    * serve probe here shares); it is collected to the driver for
+    * jobless routing, so an unbounded or duplicate-heavy frame belongs
+    * in a join against [[read]], not here. Fails loud past the cap. */
+  val ReadKeysCap: Int = 1 << 20
+
   def readKeys(spark: SparkSession, root: String, keyCol: String,
       keys: DataFrame): DataFrame = {
     val live = Versioned.currentVersion(spark, root).getOrElse(
@@ -549,8 +557,12 @@ object MergeTable {
     // (interpreted ≡ codegen is a pinned Spark invariant for
     // HashExpression, and MergeTableSpec's lookup round-trips pin it
     // here end-to-end).
-    val keyVals: Array[Any] = keys.select(col(keyCol)).collect()
-      .map(_.get(0)).distinct
+    val rawKeys = keys.select(col(keyCol)).collect()
+    require(rawKeys.length <= ReadKeysCap,
+      s"readKeys collected ${rawKeys.length} key rows (cap $ReadKeysCap) " +
+        "— the probe contract is a bounded key frame; join an unbounded " +
+        "one against read() instead")
+    val keyVals: Array[Any] = rawKeys.map(_.get(0)).distinct
     val dt = m.schema(keyCol).dataType
     def bucketOfDriver(v: Any): Long = {
       import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}

@@ -81,8 +81,14 @@ def main() -> int:
               if k in ref and ref[k] > 0 and q[k] > 0}
     vals = sorted(ratios.values())
     print(f"\nfailed at 10x: {art['failed']}")
+    if not vals:
+        # an all-failed run (or zero key overlap with the reference) must
+        # report that state cleanly, not die on median([])
+        print("no comparable queries (all failed, or no ref overlap)")
+        return 1
+    p90 = vals[min(int(len(vals) * 0.9), len(vals) - 1)]
     print(f"n={len(vals)} median {statistics.median(vals):.2f}x "
-          f"p90 {vals[int(len(vals) * 0.9)]:.2f}x")
+          f"p90 {p90:.2f}x")
     print("| query | 10x s | ref s | ratio |")
     print("|---|---|---|---|")
     for k, v in sorted(ratios.items(), key=lambda kv: -kv[1])[:25]:

@@ -6373,17 +6373,48 @@ object TextAnalysis {
       .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("fg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    // bg: corpus df from the dictionary, ONE readKeys over fg's terms
-    val bg = segs.map(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
-        fg.select(col("tok"))))
-      .reduce(_.unionByName(_))
-      .groupBy(col("tok")).agg(sum(col("dfc")).as("bg"))
+    // bg: corpus df from the dictionary over fg's terms (size-gated)
+    val bg = bm25BgCounts(spark, root, segs, fg)
     fg.join(bg, Seq("tok"))
       .withColumn("score_1e6",
         expr(s"(fg * ${nDocs}L * 1000000L) div (bg * ${m}L)"))
       .orderBy(col("score_1e6").desc, col("fg").desc, col("tok"))
       .limit(k)
+  }
+
+  /**
+   * Background corpus df for a foreground vocabulary: one bounded probe
+   * (`limit(cap+1)`) sizes fg's vocabulary, then either (a) under the
+   * cap, the collected toks become a LocalRelation keys frame — every
+   * segment's `readKeys` routes JOBLESSLY off the literal list (one
+   * collect for the whole serve instead of one per segment), or (b) a
+   * corpus-sized vocabulary (fg of significant_terms is the match set's
+   * vocabulary, corpus-bounded, not query-bounded — ADVICE r21) joins
+   * the full dictionary scan semi-style instead: `readKeys`' driver
+   * collect contract is bounded probes only, and a huge hit set
+   * previously THREW at the ReadKeysCap guard where the scan+join plan
+   * completes. Both plans compute identical (tok, bg) rows — the gate
+   * is invisible to results. fg must be persisted by the caller (it
+   * also feeds the final join).
+   */
+  private[graft] def bm25BgCounts(spark: SparkSession, root: String,
+      segs: Seq[String], fg: DataFrame,
+      cap: Int = graft.sinks.MergeTable.ReadKeysCap): DataFrame = {
+    import graft.sinks.MergeTable
+    import spark.implicits._
+    val toks = fg.select(col("tok")).limit(cap + 1)
+      .collect().map(_.getString(0))
+    val dict =
+      if (toks.length <= cap) {
+        val keyDf = toks.toSeq.toDF("tok")
+        segs.map(sg =>
+          MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok", keyDf))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      } else
+        segs.map(sg => MergeTable.read(spark, s"$root/segs/$sg/terms"))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+          .join(fg.select(col("tok")), Seq("tok"), "left_semi")
+    dict.groupBy(col("tok")).agg(sum(col("dfc")).as("bg"))
   }
 
   /**
@@ -6458,11 +6489,7 @@ object TextAnalysis {
       .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("fg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val bg = segs.map(sg =>
-      MergeTable.readKeys(spark, s"$root/segs/$sg/terms", "tok",
-        fg.select(col("tok"))))
-      .reduce(_.unionByName(_))
-      .groupBy(col("tok")).agg(sum(col("dfc")).as("bg"))
+    val bg = bm25BgCounts(spark, root, segs, fg)
     fg.join(bg, Seq("tok"))
       .withColumn("score_1e6",
         expr(s"(fg * ${nDocs}L * 1000000L) div (bg * ${m}L)"))

@@ -616,8 +616,15 @@ object MergeTable {
    */
   def collectKeys(spark: SparkSession, roots: Seq[String], keyCol: String,
       keys: DataFrame): Seq[org.apache.spark.sql.Row] =
+    // allowMissingColumns: segment generations drift (a legacy pre-stats
+    // terms table mixed with post-maxtf/minlen ones) — a strict union
+    // threw AnalysisException at the probe, making the serve paths'
+    // documented degrade-gracefully checks (row arity / isNullAt on the
+    // stats columns) unreachable. Missing columns surface as nulls, so
+    // those checks fire instead. Schemas evolve append-only here
+    // (publish never reorders), so positional reads stay stable.
     roots.map(r => readKeys(spark, r, keyCol, keys))
-      .reduceOption(_.unionByName(_))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .map(_.collect().toSeq).getOrElse(Seq.empty)
 
   /** The file list a range read scans — the zone-map pruning itself,

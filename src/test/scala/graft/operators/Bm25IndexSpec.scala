@@ -570,6 +570,47 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     } finally TextAnalysis.auditMaxScore = false
   }
 
+  test("MaxScore serve: a legacy (pre-stats) segment in the mix degrades to the full serve, not AnalysisException (ADVICE r21)") {
+    import spark.implicits._
+    import graft.sinks.MergeTable
+    val root = Files.createTempDirectory("bm25mixedgen").toString
+    val docs = (1L to 100L).map { i =>
+      val needle = if (i <= 5) " needle" else ""
+      (i, s"hay common words$needle")
+    }.toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") <= 50),
+      "doc_id", "text", root, nBuckets = 4)
+    TextAnalysis.appendBm25Segment(docs.filter(col("doc_id") > 50),
+      "doc_id", "text", root, nBuckets = 4)
+    val full = TextAnalysis.bm25ServeTopK(spark, root, "needle hay", 5)
+      .collect().map(_.toString).toSeq
+    // sanity: with both segments current-generation the bound engages
+    TextAnalysis.auditMaxScore = true
+    try {
+      val msBefore = TextAnalysis.bm25ServeTopKMaxScore(
+        spark, root, "needle hay", 5, minSuffixRows = 0L)
+        .collect().map(_.toString).toSeq
+      assert(msBefore == full)
+      // simulate a legacy segment: republish ONE segment's terms table
+      // without the maxtf/minlen/occ/maxlen stats columns (the pre-r14
+      // dictionary shape). publishRange commits a new live version.
+      val segs = TextAnalysis.liveSegments(spark, root)
+      val tRoot = s"$root/segs/${segs.head}/terms"
+      val legacyTerms = MergeTable.read(spark, tRoot)
+        .select(col("tok"), col("dfc"), col("tot"))
+      MergeTable.publishRange(legacyTerms, tRoot, "tok", nParts = 2)
+      // the mixed-generation probe must fall back to the full serve
+      // (identical results), NOT crash at the collectKeys union
+      TextAnalysis.lastMaxScoreAudit = None
+      val msMixed = TextAnalysis.bm25ServeTopKMaxScore(
+        spark, root, "needle hay", 5, minSuffixRows = 0L)
+        .collect().map(_.toString).toSeq
+      assert(msMixed == full, s"mixed=$msMixed full=$full")
+      assert(TextAnalysis.lastMaxScoreAudit.isEmpty,
+        "a legacy segment must disable the pruned path (statsReady=false)")
+    } finally TextAnalysis.auditMaxScore = false
+  }
+
   test("term dictionary: prefix serve answers from the range-layout terms table with manifest pruning (VERDICT r14 #8)") {
     import spark.implicits._
     import graft.sinks.MergeTable

@@ -623,6 +623,30 @@ class SearchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).indexOf("hit") < got.map(_._1).indexOf("gamma"))
   }
 
+  test("significant_terms bg gate: the over-cap dictionary-join plan equals the bounded readKeys plan (ADVICE r21)") {
+    import spark.implicits._
+    val root = build()
+    val segs = TextAnalysis.liveSegments(spark, root)
+    val fg = corpus()
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("fg"))
+      .persist()
+    try {
+      def rows(df: DataFrame): Set[(String, Long)] =
+        df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val bounded = rows(TextAnalysis.bm25BgCounts(spark, root, segs, fg))
+      // cap=1 forces the unbounded branch (fg vocab ≫ 1): the full
+      // dictionary scan + semi-join must produce identical bg counts —
+      // and must NOT throw the ReadKeysCap guard a raw readKeys would
+      val joined = rows(TextAnalysis.bm25BgCounts(spark, root, segs, fg,
+        cap = 1))
+      assert(joined == bounded, s"join=$joined bounded=$bounded")
+      assert(bounded.nonEmpty)
+    } finally fg.unpersist()
+  }
+
   test("exact percentiles: nearest-rank over the match set, ties by doc id") {
     val root = build()
     // matched n_chars ascending: 100, 199, 250, 450 (n = 4)

@@ -321,6 +321,36 @@ class MergeTableSpec extends AnyFunSuite with SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("collectKeys: mixed-generation roots (append-only schema drift) union with nulls, not AnalysisException (ADVICE r21)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ck_").toString
+    // legacy generation: (tok, dfc) — pre-stats dictionary shape
+    val legacy = Seq(("alpha", 3L), ("beta", 1L)).toDF("tok", "dfc")
+    MergeTable.publish(legacy, s"$base/old", "tok", nBuckets = 4)
+    // current generation: the same columns plus appended stats columns
+    val fresh = Seq(("alpha", 2L, 7L, 11L), ("gamma", 5L, 9L, 13L))
+      .toDF("tok", "dfc", "maxtf", "minlen")
+    MergeTable.publish(fresh, s"$base/new", "tok", nBuckets = 4)
+    val keys = Seq("alpha", "beta", "gamma").toDF("tok")
+    // order roots BOTH ways: the union must tolerate either side leading
+    for (roots <- Seq(Seq(s"$base/old", s"$base/new"),
+                      Seq(s"$base/new", s"$base/old"))) {
+      val rows = MergeTable.collectKeys(spark, roots, "tok", keys)
+      assert(rows.size == 4, s"expected 4 rows, got ${rows.size}")
+      // every row carries the superset arity; legacy rows read null in
+      // the stats columns — the serve paths' isNullAt fallback trigger
+      assert(rows.forall(_.length == 4))
+      val legacyRows = rows.filter(r =>
+        (r.getString(0) == "alpha" && r.getLong(1) == 3L) ||
+          r.getString(0) == "beta")
+      assert(legacyRows.size == 2 && legacyRows.forall(r =>
+        r.isNullAt(r.fieldIndex("maxtf")) && r.isNullAt(r.fieldIndex("minlen"))))
+      assert(rows.filter(r => !r.isNullAt(r.fieldIndex("maxtf")))
+        .map(r => (r.getString(0),
+          r.getLong(r.fieldIndex("maxtf")))).toSet == Set(("alpha", 7L), ("gamma", 9L)))
+    }
+  }
+
   test("schema evolution: a declared new column joins from this version on; old rows read null") {
     val root = java.nio.file.Files.createTempDirectory("graft_mergeevo_").toString + "/t"
     val v1 = MergeTable.publish(docs, root, "doc_id", nBuckets = 16)

@@ -100,16 +100,153 @@ object SchemaInference {
   }
 
   /** Infer the reference-lattice type of every column in one pass.
-    * Returns columnName → "integer" | "float" | "varchar". */
+    * Returns columnName → "integer" | "float" | "varchar".
+    *
+    * TYPED-COLUMN ALGEBRA (r22, guide §2.3 "narrower types" applied to
+    * the scan itself): the lattice is defined on each cell's STRING
+    * rendering, but for a column whose Spark type pins that rendering,
+    * the fold's outcome is a function of cheap numeric facts — no cast
+    * to string, no regex/scanner, sometimes no read at all:
+    *  - date/timestamp/boolean render with '-', ':' or letters in every
+    *    row → every cell is varchar-looking → varchar, CONSTANT (the
+    *    column prunes out of the scan entirely);
+    *  - integral types render `-?[0-9]+`: all nulls → varchar; min ≥ 0
+    *    and max ≤ 2^31−1 → integer (no breaker exists in any order);
+    *    min < 0 and max ≤ 2^31−1 → varchar (the first value is either
+    *    varchar-looking itself or an unbroken-int later broken by the
+    *    first negative; float-looking renderings don't exist) — each
+    *    verdict ORDER-INDEPENDENT, so one min/max/count aggregate
+    *    decides; the one order-dependent corner (an overflow value that
+    *    may or may not be the column's FIRST value, importer.rb:544 vs
+    *    :527) falls back to the exact string fold;
+    *  - double/float render via Java toString: plain `-?d+.d+` exactly
+    *    when the value is 0 or 1e-3 ≤ |v| < 1e7 and finite (else
+    *    scientific/NaN/Infinity → varchar-looking). All-safe → every
+    *    cell float-looking → float (sticky from the first value in any
+    *    order); any unsafe value → fall back;
+    *  - decimal(p, s): s = 0 renders like integral (digits only, minus
+    *    sign) → the integral rule incl. the overflow corner; 1 ≤ s ≤ 6
+    *    renders plain with a '.' in every row (BigDecimal.toString goes
+    *    scientific only when the adjusted exponent < −6, impossible at
+    *    s ≤ 6) → float if any non-null else varchar; s ≥ 7 falls back;
+    *  - string (the CSV import path) and anything else: the exact
+    *    byte-state fold, unchanged.
+    * The numeric gates and the string-column fold run as TWO OVERLAPPED
+    * jobs, not one combined aggregate: mixing the Scala Aggregator with
+    * declarative min/max in one aggregate drops the whole row path out
+    * of codegen (measured 1.08 s combined vs 0.31 + 0.40 split at
+    * sf0.1), each job scans only its own columns (columnar parquet —
+    * no duplicate IO), and they are independent, so they overlap on a
+    * two-thread pool (guide §2.6) — wall ≈ max, not sum. CSV-import
+    * frames (all string) take exactly the old single-job fold.
+    * SchemaInferenceSpec pins algebra ≡ fold per type on adversarial
+    * values (overflows, negatives, NaN/Inf, tiny/huge doubles,
+    * all-null).
+    */
   def inferTypes(df: DataFrame, sampleRows: Option[Long] = None): Map[String, String] = {
+    import org.apache.spark.sql.types._
     // clamp: limit takes an Int; a >2^31 cap means "effectively unbounded"
     val src0 = sampleRows.map(n => df.limit(math.min(n, Int.MaxValue.toLong).toInt)).getOrElse(df)
-    val cols = src0.columns
-    val src = src0.select(cols.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*)
-    val names = cols.toIndexedSeq
-    val agg = udaf(new AllColumnsAgg(names.length), Encoders.row(src.schema))
-    val joined = src.select(agg(names.map(col): _*).as("types")).head().getString(0)
-    names.zip(joined.split(",", -1).toIndexedSeq).toMap
+    val fields = src0.schema.fields.toIndexedSeq
+
+    sealed trait Plan
+    case object ConstVarchar extends Plan            // no read needed
+    case object IntegralGate extends Plan            // count/min/max
+    case object FloatingGate extends Plan            // count/unsafe flag
+    case object DecimalFloatGate extends Plan        // count only
+    case object StringFold extends Plan              // exact UDAF fold
+
+    val plans: Map[String, Plan] = fields.map { f =>
+      f.name -> (f.dataType match {
+        case DateType | TimestampType | TimestampNTZType | BooleanType =>
+          ConstVarchar
+        case ByteType | ShortType | IntegerType | LongType => IntegralGate
+        case d: DecimalType if d.scale == 0 => IntegralGate
+        case d: DecimalType if d.scale >= 1 && d.scale <= 6 =>
+          DecimalFloatGate
+        case DoubleType | FloatType => FloatingGate
+        case _ => StringFold
+      })
+    }.toMap
+
+    val stringCols = fields.map(_.name).filter(plans(_) == StringFold)
+    val gateAggs: Seq[org.apache.spark.sql.Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      plans(f.name) match {
+        case IntegralGate => Seq(
+          count(c).as(s"__n_${f.name}"),
+          min(c).cast("decimal(38,0)").as(s"__mn_${f.name}"),
+          max(c).cast("decimal(38,0)").as(s"__mx_${f.name}"))
+        case DecimalFloatGate => Seq(count(c).as(s"__n_${f.name}"))
+        case FloatingGate => Seq(
+          count(c).as(s"__n_${f.name}"),
+          max(when(c.isNotNull &&
+              (isnan(c) || abs(c) === Double.PositiveInfinity ||
+                (c =!= 0.0 && (abs(c) < 1e-3 || abs(c) >= 1e7))), 1L)
+            .otherwise(0L)).as(s"__unsafe_${f.name}"))
+        case _ => Nil
+      }
+    }
+    def foldOver(colNames: Seq[String]): Map[String, String] = {
+      val strSrc = colNames.map(c => col(c).cast(StringType).as(c))
+      val schema = StructType(colNames.map(c => StructField(c, StringType)))
+      val agg = udaf(new AllColumnsAgg(colNames.length), Encoders.row(schema))
+      val joined = src0.select(strSrc.toIndexedSeq: _*)
+        .select(agg(colNames.map(col).toIndexedSeq: _*).as("__types"))
+        .head().getString(0)
+      colNames.zip(joined.split(",", -1)).toMap
+    }
+
+    val verdicts = scala.collection.mutable.Map[String, String]()
+    fields.foreach(f =>
+      if (plans(f.name) == ConstVarchar) verdicts(f.name) = "varchar")
+
+    // the two independent jobs, overlapped when both exist (§2.6):
+    // string fold on its own thread, gates on this one
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val foldF: Option[Future[Map[String, String]]] =
+      if (stringCols.isEmpty) None
+      else if (gateAggs.isEmpty) Some(Future.successful(foldOver(stringCols)))
+      else Some(Future(foldOver(stringCols))(
+        scala.concurrent.ExecutionContext.global))
+
+    if (gateAggs.nonEmpty) {
+      val row = src0.select(gateAggs.toIndexedSeq: _*).head()
+      val int32Max = java.math.BigDecimal.valueOf(Int.MaxValue.toLong)
+      val fallbackCols = fields.map(_.name).filter { c =>
+        plans(c) match {
+          case IntegralGate =>
+            if (row.getLong(row.fieldIndex(s"__n_$c")) == 0L) {
+              verdicts(c) = "varchar"; false
+            } else {
+              val mn = row.getDecimal(row.fieldIndex(s"__mn_$c"))
+              val mx = row.getDecimal(row.fieldIndex(s"__mx_$c"))
+              if (mx.compareTo(int32Max) <= 0) {
+                verdicts(c) =
+                  if (mn.signum() >= 0) "integer" else "varchar"
+                false
+              } else true // overflow present: order-dependent corner
+            }
+          case DecimalFloatGate =>
+            verdicts(c) =
+              if (row.getLong(row.fieldIndex(s"__n_$c")) > 0L) "float"
+              else "varchar"
+            false
+          case FloatingGate =>
+            if (row.getLong(row.fieldIndex(s"__n_$c")) == 0L) {
+              verdicts(c) = "varchar"; false
+            } else if (row.getLong(row.fieldIndex(s"__unsafe_$c")) == 0L) {
+              verdicts(c) = "float"; false
+            } else true // sci/NaN/Inf rendering possible: exact fold
+          case _ => false
+        }
+      }
+      // rare second pass: the exact fold over just the corner columns
+      if (fallbackCols.nonEmpty) verdicts ++= foldOver(fallbackCols)
+    }
+    foldF.foreach(f => verdicts ++= Await.result(f, Duration.Inf))
+    fields.map(f => f.name -> verdicts(f.name)).toMap
   }
 
   /** Default row cap for import-path inference (SURVEY.md §4 documented

@@ -37,6 +37,67 @@ class SchemaInferenceSpec extends AnyFunSuite with SparkTestBase with PropHelper
     }
   }
 
+  test("typed-column algebra ≡ string fold over Spark's own renderings (property, r22)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    // the reference verdict for a typed frame: cast every column to
+    // string FIRST (Spark's rendering — exactly what the pre-r22
+    // implementation folded over), which routes through the exact
+    // byte-state fold. coalesce(1) pins the fold's row order.
+    def ref(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      SchemaInference.inferTypes(df.select(
+        df.columns.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*))
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val one = df.coalesce(1)
+      assert(SchemaInference.inferTypes(one) == ref(one), s"on ${df.columns.toSeq}")
+    }
+    // adversarial longs: negatives, int32 overflow (incl. overflow-first
+    // — the order-dependent corner that must fall back), all-null
+    val longPool = Seq[java.lang.Long](null, 0L, 5L, -3L,
+      2147483647L, 2147483648L, 9999999999L)
+    val longCases = Seq(
+      Seq[java.lang.Long](5L, 7L),                      // clean integer
+      Seq[java.lang.Long](2147483648L, 5L),             // overflow FIRST → integer
+      Seq[java.lang.Long](5L, 2147483648L),             // overflow later → float
+      Seq[java.lang.Long](-3L, 5L), Seq[java.lang.Long](5L, -3L),
+      Seq[java.lang.Long](-3L, 2147483648L),            // mixed breakers
+      Seq[java.lang.Long](2147483648L, -3L),
+      Seq[java.lang.Long](null, null), Seq[java.lang.Long]())
+    longCases.foreach(c => check(c.toDF("v")))
+    forAllG(org.scalacheck.Gen.listOf(
+        org.scalacheck.Gen.oneOf(longPool))) { vs =>
+      check(vs.toDF("v"))
+    }
+    // adversarial doubles: NaN/Inf, scientific-notation ranges, zero
+    val dblPool = Seq[java.lang.Double](null, 0.0, -0.0, 1.5, -2.25,
+      0.001, 0.0001, 1e7, 9999999.0, -1e8, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+    forAllG(org.scalacheck.Gen.listOf(
+        org.scalacheck.Gen.oneOf(dblPool))) { vs =>
+      check(vs.toDF("v"))
+    }
+    // decimals: scale 2 (always-float), scale 0 (integral twin incl.
+    // overflow), scale 7 (scientific possible → must fall back)
+    check(Seq("1.25", "-3.50", "0.00").map(BigDecimal(_)).toDF("v")
+      .select(col("v").cast("decimal(10,2)").as("v")))
+    check(Seq("5", "2147483648", "-3").map(BigDecimal(_)).toDF("v")
+      .select(col("v").cast("decimal(20,0)").as("v")))
+    check(Seq("0.0000001", "1.0000000").map(BigDecimal(_)).toDF("v")
+      .select(col("v").cast("decimal(20,7)").as("v")))
+    // timestamps / dates / booleans: constant varchar
+    check(Seq("2020-01-02 03:04:05").toDF("v")
+      .select(col("v").cast("timestamp").as("v")))
+    check(Seq("2020-01-02").toDF("v").select(col("v").cast("date").as("v")))
+    check(Seq(true, false).toDF("v"))
+    // mixed frame: every plan in one pass
+    val mixed = Seq((1L, 1.5, "x", true))
+      .toDF("lng", "dbl", "str", "bool")
+      .withColumn("ts", col("dbl").cast("timestamp"))
+      .withColumn("dec", col("dbl").cast("decimal(10,2)"))
+    check(mixed)
+  }
+
   test("inferTypes over a real table matches expectations") {
     val types = SchemaInference.inferTypes(
       spark.read.parquet(sf("lineitem"))

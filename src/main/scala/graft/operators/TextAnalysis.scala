@@ -5284,13 +5284,19 @@ object TextAnalysis {
    * bucketing) — the caller falls back to [[exactRanksRanged]].
    */
   private[graft] def exactRankProbe(df: DataFrame, ranks: Seq[Long],
-      tieMassThreshold: Option[Long] = None)
+      tieMassThreshold: Option[Long] = None,
+      minMax: Option[(Long, Long)] = None)
       : Option[(DataFrame, Map[(Int, Long), Long])] = {
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
-    val mm = df.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-      .head()
-    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    // callers that already aggregated the frame pass (min, max) along —
+    // the count they all need and this probe's span ride ONE action
+    // instead of two (the serve-latency term of the percentile family)
+    val (mn, mx) = minMax.getOrElse {
+      val mm = df.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+        .head()
+      (mm.getLong(0), mm.getLong(1))
+    }
     // degenerate span: every row shares one bucket anyway — pin pid 0
     val spanD = math.max(1.0, mx.toDouble - mn.toDouble)
     val bucketed = df.withColumn("__pid",
@@ -5385,9 +5391,10 @@ object TextAnalysis {
     * tie-mass fallback to [[exactRanksRanged]] when a target bucket
     * degenerates. */
   private[graft] def exactValueAtRanks(df: DataFrame, ranks: Seq[Long],
-      tieMassThreshold: Long = ExactRankTieMassRows): Map[Long, Long] = {
+      tieMassThreshold: Long = ExactRankTieMassRows,
+      minMax: Option[(Long, Long)] = None): Map[Long, Long] = {
     val (probe, decode) = exactRankProbe(df, ranks,
-      Some(tieMassThreshold)) match {
+      Some(tieMassThreshold), minMax) match {
       case Some(pd) => pd
       case None => exactRanksRanged(df, ranks)
     }
@@ -5417,16 +5424,22 @@ object TextAnalysis {
     // + bucket counts, probe); MEMORY_ONLY — the LRU-droppable tier
     val joined = matched.join(vals, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val n = joined.count()
+    // n, min, max in ONE action — min/max ARE ranks 1 and n of the
+    // (value, doc_id) order, so only the quartiles need the rank probe
+    val st = joined.agg(count(lit(1)), min(col("__v")), max(col("__v")))
+      .head()
+    val n = st.getLong(0)
     if (n == 0L) {
       joined.unpersist(blocking = false)
       return Seq.empty[(Long, Long, Long, Long, Long)]
         .toDF("min_v", "q1", "median", "q3", "max_v")
     }
+    val (mn, mx) = (st.getLong(1), st.getLong(2))
     def rk(p: Int): Long = math.max(1L, math.ceil(p * n / 100.0).toLong)
-    val at = exactValueAtRanks(joined, Seq(1L, rk(25), rk(50), rk(75), n))
+    val at = exactValueAtRanks(joined, Seq(rk(25), rk(50), rk(75)),
+      minMax = Some((mn, mx)))
     joined.unpersist(blocking = false)
-    Seq((at(1L), at(rk(25)), at(rk(50)), at(rk(75)), at(n)))
+    Seq((mn, at(rk(25)), at(rk(50)), at(rk(75)), mx))
       .toDF("min_v", "q1", "median", "q3", "max_v")
   }
 
@@ -5451,13 +5464,19 @@ object TextAnalysis {
     // the LRU-droppable tier, the collapse-serve precedent)
     val joined = matched.join(vals, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val n = joined.count()
+    // n + the first probe's (min, max) in ONE action (cache-fill job);
+    // the deviation probe derives its own span (|v−med| min/max is not
+    // a function of v's)
+    val st = joined.agg(count(lit(1)), min(col("__v")), max(col("__v")))
+      .head()
+    val n = st.getLong(0)
     if (n == 0L) {
       joined.unpersist(blocking = false)
       return Seq.empty[(Long, Long)].toDF("median", "mad")
     }
     val medRank = math.max(1L, math.ceil(50 * n / 100.0).toLong)
-    val med = exactValueAtRanks(joined, Seq(medRank))(medRank)
+    val med = exactValueAtRanks(joined, Seq(medRank),
+      minMax = Some((st.getLong(1), st.getLong(2))))(medRank)
     // the deviation frame is a PROJECTION of the cached probe — the
     // second probe's three actions still read the one cached copy
     val dev = joined.select(col("doc_id"),
@@ -6552,14 +6571,18 @@ object TextAnalysis {
     // the LRU-droppable tier (the collapse-serve precedent)
     val joined = matched.join(vals, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val n = joined.count()
+    // n + the probe's (min, max) span in ONE action (cache-fill job)
+    val st = joined.agg(count(lit(1)), min(col("__v")), max(col("__v")))
+      .head()
+    val n = st.getLong(0)
     if (n == 0L) {
       joined.unpersist(blocking = false)
       return Seq.empty[(Int, Long)].toDF("p", "value")
     }
     val targets = ps.distinct.sorted
       .map(p => p -> math.max(1L, math.ceil(p * n / 100.0).toLong))
-    val atRanks = exactValueAtRanks(joined, targets.map(_._2))
+    val atRanks = exactValueAtRanks(joined, targets.map(_._2),
+      minMax = Some((st.getLong(1), st.getLong(2))))
     joined.unpersist(blocking = false)
     targets.map { case (p, r) => (p, atRanks(r)) }.toDF("p", "value")
   }

@@ -629,15 +629,25 @@ object Dedup {
       .withColumn("h", md5(col("ctext")))
       .cache()
     // ≥ 2 *distinct docs*: within-doc repetition is span_dedup's signal;
-    // the rewrite only removes cross-document boilerplate
-    val cnt = chunks.groupBy("h").agg(countDistinct(col(idCol)).as("nd"))
-    chunks.join(cnt, "h")
+    // the rewrite only removes cross-document boilerplate.
+    // Join the chunks against ONLY the duplicated digests (nd ≥ 2), not
+    // the full count table (r22, guide §3.2/§8): the old equi-join on h
+    // re-shuffled every chunk's TEXT by digest just to attach nd, where
+    // the decision needs one bit. The dup-digest side is the
+    // boilerplate set — small on real corpora, so the join broadcasts
+    // and the payload crosses exactly one exchange (the final per-doc
+    // groupBy); past broadcast scale it is still a build side of
+    // |duplicated digests|, not |chunks|.
+    val dups = chunks.groupBy("h").agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(true).as("__dup"))
+    chunks.join(dups, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dropped"),
         array_join(
           expr("transform(array_sort(collect_list(" +
-            "CASE WHEN nd < 2 THEN struct(chunk, ctext) END)), x -> x.ctext)"),
+            "CASE WHEN __dup IS NULL THEN struct(chunk, ctext) END)), x -> x.ctext)"),
           " ").as("clean_text"))
   }
 

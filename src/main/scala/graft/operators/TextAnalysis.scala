@@ -4777,6 +4777,11 @@ object TextAnalysis {
     // LRU-droppable tier, instead of re-probing postings; review r19)
     val joined = matched.join(vals, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // ladder counts: 7 countDistincts in one aggregate DO Expand the
+    // (column-pruned) match set ×7 — examined r22 against a two-level
+    // variant (distinct minutes first, 7-way over that): with per-doc
+    // timestamps the minute set ≈ the match set, so the extra exchange
+    // bought nothing and cost a pass. One action, ts-only rows, kept.
     val countsRow = joined.agg(
       countDistinct(date_trunc(AutoDateLadder.head, col(tsCol)))
         .as(AutoDateLadder.head),

@@ -556,11 +556,16 @@ object Dedup {
     // exploded column is cheap and cannot be pushed past the Generate.
     val spans = base.select(col(idCol), explode_outer(col("wh")).as("h"))
       .filter(col("h").isNotNull).cache()
-    val cnt = spans.groupBy("h").agg(count(lit(1)).as("c"))
-    spans.join(cnt, "h")
+    // duplicated digests only as the build side (the line_dedup shape,
+    // r22): the decision per span is one bit, so the join needs the
+    // c ≥ 2 set — usually tiny vs the full per-digest count table
+    val dups = spans.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h"), lit(true).as("__dup"))
+    spans.join(dups, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
   }
 
   /**

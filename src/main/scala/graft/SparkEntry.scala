@@ -4847,7 +4847,12 @@ object SparkEntry {
       val keyed = t(s, dir, "documents")
         .select(col("doc_id"), h.as("hkey"), lit(1L).as("one"))
       graft.operators.Sampling.tokenBudgetSample(
-        keyed, "doc_id", "hkey", "one", budget = Long.MaxValue)
+        keyed, "doc_id", "hkey", "one", budget = Long.MaxValue,
+        // hkey is hashUniform's mod-P value — a KNOWN [0, P) domain, so
+        // static bucket cuts replace the approxQuantile job + the cache
+        // boundary it forced (the budget_sample precedent; cum_tokens is
+        // bucket-independent, so results are unchanged by construction)
+        scoreRange = Some((0.0, graft.functions.HashFunctions.P.toDouble)))
         .select(col("doc_id"), col("hkey"), col("cum_tokens").as("shuffle_rank"))
         .orderBy(col("shuffle_rank"))
     }),

@@ -337,10 +337,14 @@ object Sampling {
     val w = Window.partitionBy(col("__pid"))
       .orderBy(col(scoreCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // offsets ride as a DENSE array literal (keys are 0 until np):
+    // element_at on a literal map linear-scans its keys per row — the
+    // r22 dsir/lm finding, applied to the np-entry offset table too
+    val offsetArr = typedlit((0 until np).map(p => offsets.getOrElse(p, 0L)))
     bucketed
       .withColumn("cum_tokens",
         sum(col(tokCol).cast("long")).over(w) +
-          coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L)))
+          coalesce(element_at(offsetArr, col("__pid") + 1), lit(0L)))
       .filter(col("cum_tokens") <= budget)
       .drop("__pid")
   }
